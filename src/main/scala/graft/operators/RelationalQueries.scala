@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Relational operator coverage over the TPC-H-ish tables (SURVEY.md §2.5:
@@ -13,13 +14,18 @@ import graft.sources.Tables
   *    partial (map-side) aggregation before the shuffle, so the shuffle
   *    carries one row per (partition × group), not per input row.
   *  - Dimension tables (region, nation — O(10^2) rows at any SF) are
-  *    explicitly `broadcast()`ed: no shuffle of the fact side.
+  *    explicitly `broadcast()`ed in q03/q05: the fact side is never
+  *    shuffled for those joins.
   *  - Double-typed aggregates are rounded in BOTH the Spark query and the
-  *    DuckDB oracle so the hash-compare is stable across summation orders.
-  *  - Every query ends in an ORDER BY on its natural key so row order is
-  *    deterministic for the driver compare.
+  *    DuckDB oracle so the hash-compare is stable across summation orders
+  *    at the tested scale factors (sf ≤ 0.1; at 10^16-scale sums a DECIMAL
+  *    cast before sum would be required for order-independent exactness).
+  *  - Every query ends in an ORDER BY with a full tie-break so row order
+  *    is deterministic for the driver compare.
   */
 object RelationalQueries {
+
+  private def ts(s: String) = to_timestamp(lit(s))
 
   /** TPC-H Q1-style pricing summary: full-scan aggregate over lineitem.
     * One shuffle (by the 2-value group key) after map-side partial agg.
@@ -27,7 +33,7 @@ object RelationalQueries {
   def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables
       .lineitem(spark, dir)
-      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .filter(col("l_shipdate") <= ts("1998-09-01"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
@@ -46,6 +52,78 @@ object RelationalQueries {
       )
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** TPC-H Q3-style shipping priority: 3-way join then top-10 by revenue.
+    *
+    * customer scales with SF, so it is NOT force-broadcast — AQE broadcasts
+    * it at small SF and falls back to shuffle join at cluster scale.
+    * orders⋈lineitem shuffles both sides on orderkey. The final top-10 is
+    * TakeOrderedAndProject — per-partition top-k then a driver merge of k
+    * rows per partition, no global sort of the aggregate output.
+    */
+  def q03ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables
+      .customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables
+      .orders(spark, dir)
+      .filter(col("o_orderdate") < ts("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables
+      .lineitem(spark, dir)
+      .filter(col("l_shipdate") > ts("1998-01-01"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style regional revenue: 6-way join. Only the fixed-cardinality
+    * dims (region 5 rows, nation 25 rows at ANY scale factor) are explicitly
+    * broadcast; customer/supplier grow with SF, so their join strategy is
+    * left to AQE (broadcast at small SF, shuffle at cluster scale).
+    */
+  def q05RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables
+      .region(spark, dir)
+      .filter(col("r_name") === "ASIA")
+      .select("r_regionkey")
+    val nation =
+      Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val asianNations = nation
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables
+      .orders(spark, dir)
+      .filter(
+        col("o_orderdate") >= ts("1996-01-01") &&
+          col("o_orderdate") < ts("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li =
+      Tables
+        .lineitem(spark, dir)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asianNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
   /** TPC-H Q6-style forecast revenue: selective filter + global agg.
     * Filters push to the parquet scan; single partial+final agg, no group
     * key — the reduce side is one row.
@@ -54,8 +132,8 @@ object RelationalQueries {
     Tables
       .lineitem(spark, dir)
       .filter(
-        col("l_shipdate") >= lit("1996-01-01") &&
-          col("l_shipdate") < lit("1997-01-01") &&
+        col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01") &&
           col("l_discount").between(0.02, 0.06) &&
           col("l_quantity") < 24)
       .agg(
@@ -63,9 +141,60 @@ object RelationalQueries {
           .as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** Window functions: top-3 orders by totalprice per order-priority class.
+    * row_number over (partition by priority, order by price desc with a key
+    * tie-break) — the partition count is 5, so the window shuffle is tiny;
+    * at scale the pattern stays one shuffle on the partition key.
+    */
+  def q11WindowTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("o_orderpriority")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** Set operations: UNION / EXCEPT / INTERSECT over customer key sets.
+    * Set ops plan as aggregates/joins on the full row — each is one shuffle
+    * on the row value; no driver-side set logic.
+    */
+  def q12SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val rich     = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+    val machinery =
+      c.filter(col("c_mktsegment") === "MACHINERY").select("c_custkey")
+    building
+      .union(machinery)
+      .intersect(rich)
+      .except(building.intersect(machinery)) // provably empty partition, still exercises except
+      .orderBy("c_custkey")
+  }
+
+  /** DISTINCT + countDistinct: distinct nation/segment combinations that
+    * appear among customers, with exact distinct key counts.
+    */
+  def q13Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .select("c_nationkey", "c_mktsegment")
+      .distinct()
+      .groupBy("c_mktsegment")
+      .agg(countDistinct("c_nationkey").as("n_nations"))
+      .orderBy("c_mktsegment")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_pricing_summary" -> (q01PricingSummary(_, _)),
-    "q06_forecast_revenue" -> (q06ForecastRevenue(_, _))
+    "q01_pricing_summary"   -> (q01PricingSummary(_, _)),
+    "q03_shipping_priority" -> (q03ShippingPriority(_, _)),
+    "q05_region_revenue"    -> (q05RegionRevenue(_, _)),
+    "q06_forecast_revenue"  -> (q06ForecastRevenue(_, _)),
+    "q11_window_top_orders" -> (q11WindowTopOrders(_, _)),
+    "q12_set_ops"           -> (q12SetOps(_, _)),
+    "q13_distinct"          -> (q13Distinct(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -83,6 +212,32 @@ object RelationalQueries {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q05_region_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "q06_forecast_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
         |  count(*) AS n_items
@@ -90,6 +245,31 @@ object RelationalQueries {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.02 AND 0.06
-        |  AND l_quantity < 24""".stripMargin
+        |  AND l_quantity < 24""".stripMargin,
+    "q11_window_top_orders" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice, rn FROM (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+    "q12_set_ops" ->
+      """SELECT c_custkey FROM (
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |   UNION ALL
+        |   SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |  INTERSECT
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |  EXCEPT
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |   INTERSECT
+        |   SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'))
+        |ORDER BY c_custkey""".stripMargin,
+    "q13_distinct" ->
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations
+        |FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
   )
 }
