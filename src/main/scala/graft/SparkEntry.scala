@@ -10,22 +10,30 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ ScalarQueries.queries
+    RelationalQueries.queries ++ ScalarQueries.queries ++
+      MlQueries.queries ++ LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ ScalarQueries.oracleSql
+    RelationalQueries.oracleSql ++ ScalarQueries.oracleSql ++
+      MlQueries.oracleSql ++ LlmQueries.oracleSql
 
   /** Headline subset timed by Bench (sf0.1). Keep this representative —
-    * scans, joins, windows, and the LLM-pipeline operators — not every
-    * micro-coverage query. */
+    * scans, joins, windows, ML pipelines, and the LLM-pipeline operators —
+    * not every micro-coverage query. */
   def benchQueries: Seq[String] = Seq(
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_region_revenue",
     "q06_forecast_revenue",
     "q11_window_top_orders",
-    "q21_events_hourly"
+    "q21_events_hourly",
+    "q31_token_stats",
+    "q34_exact_dedup",
+    "q35_minhash_dedup",
+    "q38_ann_brute_force",
+    "q39_ann_lsh",
+    "q50_sst2_pipeline"
   )
 }

@@ -1,0 +1,205 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. Every variant is a groupBy/join plan with
+  * NO all-pairs stage and no driver state — the cardinal 100 TB constraints.
+  *
+  * Candidate generation is always signature → band → bucket-join; exact
+  * similarity is computed only WITHIN buckets, and cluster assignment is
+  * min-id-over-neighbors (documents in a near-dup clique all map to the
+  * clique's smallest id — the standard keep-first policy of web-scale dedup
+  * pipelines).
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on the normalized-text fingerprint. One
+    * shuffle on the 128-bit key; output assigns every doc its cluster
+    * representative (min doc_id among identical texts).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val w  = Window.partitionBy("fp")
+    df.select(col(idCol).as("doc_id"), fp.as("fp"))
+      .withColumn("cluster_id", min("doc_id").over(w))
+      .withColumn("is_duplicate", col("doc_id") =!= col("cluster_id"))
+      .select("doc_id", "cluster_id", "is_duplicate")
+  }
+
+  /** Character k-shingles of the normalized text (the MinHash/Jaccard
+    * input universe). Row-local expression.
+    */
+  def shingles(text: Column, k: Int = 5): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    when(length(norm) < k, array(norm)).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), length(norm) - (k - 1)),
+                  i => norm.substr(i, lit(k)))))
+  }
+
+  /** MinHash signature of a shingle set: numHashes universal-hash slots,
+    * each `min over shingles of xxhash64(shingle, seed)`. Row-local
+    * (aggregate+transform higher-order funcs, no UDF, no shuffle).
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 32): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+              seed => array_min(
+                transform(shingleCol, s => xxhash64(s, seed))))
+
+  /** MinHash+LSH near-dup candidates: signature → `bands` band-hashes →
+    * explode → groupBy band-bucket. Docs sharing ANY band bucket are
+    * candidates; exact Jaccard is then computed only within buckets via a
+    * self-join ON the bucket key (never a cartesian).
+    *
+    * Returns (doc_a, doc_b, jaccard) pairs with doc_a < doc_b and
+    * jaccard >= threshold.
+    *
+    * Scale: the only shuffles are the explode-groupBy on band keys and the
+    * bucket self-join; band-bucket skew (a hot bucket) is bounded by
+    * `maxBucket` — buckets larger than that are dropped (standard
+    * web-dedup guard: a bucket that big means boilerplate, handled by
+    * exact dedup instead).
+    */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+                            threshold: Double = 0.5,
+                            maxBucket: Int = 1000): DataFrame = {
+    val rows = bands
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+
+    val sigs = df.select(
+      col(idCol).as("doc_id"),
+      shingles(col(textCol), k).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    // band hash = xxhash64 over the band's slice of the signature. Bands
+    // are unrolled Scala-side (fixed small count); `sig` is a named column
+    // so CollapseProject won't duplicate the signature computation per band.
+    val bandArr = array((0 until rows).map { b =>
+      xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
+    }: _*)
+    val banded = sigs.select(col("doc_id"), col("sh"), posexplode(bandArr))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+    // Drop pathological buckets (boilerplate storms) before the self-join.
+    val bucketW = Window.partitionBy("band", "bucket")
+    val pruned = banded
+      .withColumn("bsize", count(lit(1)).over(bucketW))
+      .filter(col("bsize") <= maxBucket)
+      .drop("bsize")
+
+    val a = pruned.select(col("band"), col("bucket"),
+                          col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = pruned.select(col("band"), col("bucket"),
+                          col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+                size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+                .as("jaccard"))
+      .distinct() // same pair can collide in several bands
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Cluster assignment from candidate pairs: every doc maps to the min id
+    * among its neighbors (and itself). Near-dup groups are cliques in
+    * practice (all copies resemble each other), so one min-propagation
+    * round assigns the whole clique to its smallest member; chains longer
+    * than one hop would need iterated propagation (documented limitation).
+    */
+  def clustersFromPairs(df: DataFrame, idCol: String, textCol: String,
+                        pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val neighborMin = edges.groupBy("src").agg(min("dst").as("min_nb"))
+    df.select(col(idCol).as("doc_id"))
+      .join(neighborMin, col("doc_id") === col("src"), "left")
+      .select(col("doc_id"),
+              least(col("doc_id"), coalesce(col("min_nb"), col("doc_id")))
+                .as("cluster_id"))
+      .withColumn("is_duplicate", col("doc_id") =!= col("cluster_id"))
+  }
+
+  /** End-to-end MinHash near-dedup: candidates → clusters. */
+  def minhash(df: DataFrame, idCol: String, textCol: String,
+              k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+              threshold: Double = 0.5): DataFrame =
+    clustersFromPairs(df, idCol, textCol,
+      minhashCandidatePairs(df, idCol, textCol, k, numHashes, bands, threshold))
+
+  /** 64-bit SimHash over whitespace tokens — row-local, no explode, no
+    * shuffle: per-token xxhash64, then per-bit vote via one `aggregate`
+    * higher-order fold (bit i of the result = majority sign of bit i over
+    * token hashes). The vote vector is a named intermediate column so the
+    * fold runs once per row (CollapseProject keeps non-cheap expressions
+    * single-use); final assembly reads 64 cheap `element_at`s off it.
+    */
+  def withSimhash(df: DataFrame, textCol: String,
+                  outCol: String = "simhash64"): DataFrame = {
+    val toks = array_distinct(
+      filter(split(lower(trim(col(textCol))), "\\W+"), t => length(t) > 0))
+    val hashes = transform(toks, t => xxhash64(t))
+    val votes = aggregate(
+      hashes,
+      transform(sequence(lit(0), lit(63)), _ => lit(0)),
+      (acc, h) =>
+        zip_with(acc, sequence(lit(0), lit(63)),
+                 (a, bit) => a + when(getbit(h, bit) === 1, 1).otherwise(-1)))
+    val assembled = (0 until 64)
+      .map(i => when(element_at(col("__simhash_votes"), i + 1) > 0,
+                     lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    df.withColumn("__simhash_votes", votes)
+      .withColumn(outCol, assembled)
+      .drop("__simhash_votes")
+  }
+
+  /** SimHash near-dup candidates: docs whose simhash matches exactly on at
+    * least one of 4 16-bit bands (guaranteed recall for Hamming distance
+    * ≤ 3). Same band-bucket-join shape as MinHash — no all-pairs stage.
+    */
+  def simhashCandidates(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val sh = withSimhash(df.select(col(idCol).as("doc_id"),
+                                   col(textCol)), textCol, "sh64")
+      .select("doc_id", "sh64")
+    val bandArr = array((0 until 4).map { b =>
+      shiftright(col("sh64"), b * 16).bitwiseAND(lit(0xFFFFL))
+    }: _*)
+    val banded = sh.select(col("doc_id"), col("sh64"), posexplode(bandArr))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"),
+                          col("doc_id").as("doc_a"), col("sh64").as("ha"))
+    val b = banded.select(col("band"), col("bucket"),
+                          col("doc_id").as("doc_b"), col("sh64").as("hb"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+  }
+
+  /** Word n-gram Jaccard similarity between two text columns (the
+    * within-bucket verify primitive, exposed standalone). Row-local.
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    def grams(c: Column): Column = {
+      val toks = filter(split(lower(trim(c)), "\\W+"), t => length(t) > 0)
+      when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
+        array_distinct(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    }
+    val ga = grams(a)
+    val gb = grams(b)
+    size(array_intersect(ga, gb)).cast("double") /
+      size(array_union(ga, gb)).cast("double")
+  }
+}

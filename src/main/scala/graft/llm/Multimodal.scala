@@ -1,0 +1,115 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * plus typed metadata, with decode / feature-extract / frame-sample stages
+  * shaped as `mapPartitions` batch transforms.
+  *
+  * The decode step is a clearly-marked STUB (no image/audio codecs in this
+  * container): [[StubDecoder]] produces deterministic fake pixels from the
+  * byte content. Everything Spark-side — schema, batch iteration,
+  * partitioning, output encoding — is real and tested; swapping in a real
+  * codec is a one-class change behind [[MediaDecoder]].
+  *
+  * Scale notes: media blobs ride in their partition; decode is row-local
+  * (no shuffle), and the decoder is initialized once per partition. Frame
+  * sampling emits 0..n rows per input via the same mapPartitions (never
+  * explode on a driver-built array).
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every blob. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta_width", IntegerType, nullable = true),
+    StructField("meta_height", IntegerType, nullable = true),
+    StructField("meta_duration_ms", LongType, nullable = true)))
+
+  trait MediaDecoder extends Serializable {
+    /** Returns (width, height, grayscale feature vector of length `dims`). */
+    def decodeImage(bytes: Array[Byte], dims: Int): (Int, Int, Array[Double])
+  }
+
+  /** STUB: deterministic fake decoder — "pixels" are a byte-content hash
+    * walk. Replace with a real codec (javax.imageio etc.) in deployment.
+    */
+  class StubDecoder extends MediaDecoder {
+    def decodeImage(bytes: Array[Byte], dims: Int): (Int, Int, Array[Double]) = {
+      val n = if (bytes == null) 0 else bytes.length
+      val w = 16 + (n % 16); val h = 16 + (n % 8)
+      var z = 0x9E3779B97F4A7C15L * (n + 1)
+      val feats = Array.fill(dims) {
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        (z >>> 11).toDouble / (1L << 53).toDouble
+      }
+      (w, h, feats)
+    }
+  }
+
+  /** Synthesize a deterministic media table from the documents table (the
+    * container ships no real media): blob = UTF-8 bytes of the text. This
+    * exercises the exact binary-column code paths a real corpus would.
+    */
+  def syntheticMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, lit("image"))
+        .when(col("doc_id") % 3 === 1, lit("audio"))
+        .otherwise(lit("video")).as("media_type"),
+      encode(col("text"), "UTF-8").as("content"),
+      lit(null).cast("int").as("meta_width"),
+      lit(null).cast("int").as("meta_height"),
+      (length(col("text")) * 40L).as("meta_duration_ms"))
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("features", ArrayType(DoubleType, false), nullable = false)))
+
+  /** Decode + feature-extract: mapPartitions, decoder built once per
+    * partition, one output row per image-typed input.
+    */
+  def decodeImages(media: DataFrame, dims: Int = 8,
+                   mkDecoder: () => MediaDecoder = () => new StubDecoder)
+      : DataFrame = {
+    val in = media.filter(col("media_type") === "image")
+      .select(col("media_id").cast("long"), col("content"))
+    val enc = Encoders.row(decodedSchema)
+    in.mapPartitions { rows =>
+      lazy val dec = mkDecoder()
+      rows.map { r =>
+        val (w, h, f) = dec.decodeImage(r.getAs[Array[Byte]](1), dims)
+        Row(r.getLong(0), w, h, f.toSeq)
+      }
+    }(enc)
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("ts_ms", LongType, nullable = false)))
+
+  /** Frame sampling for video rows: emits one row per sampled frame
+    * (every `everyMs`ms of metadata duration, cap `maxFrames`) — 0..n
+    * output rows per input row via the same mapPartitions shape.
+    */
+  def sampleFrames(media: DataFrame, everyMs: Long = 1000L,
+                   maxFrames: Int = 16): DataFrame = {
+    val in = media.filter(col("media_type") === "video")
+      .select(col("media_id").cast("long"), col("meta_duration_ms").cast("long"))
+    val enc = Encoders.row(frameSchema)
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val dur = if (r.isNullAt(1)) 0L else r.getLong(1)
+        val n = math.min(maxFrames, (dur / everyMs).toInt + 1)
+        (0 until n).iterator.map(i => Row(r.getLong(0), i, i * everyMs))
+      }
+    }(enc)
+  }
+}

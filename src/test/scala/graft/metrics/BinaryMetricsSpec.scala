@@ -1,0 +1,83 @@
+package graft.metrics
+
+import graft.SparkSpec
+import org.apache.spark.ml.evaluation.{
+  BinaryClassificationEvaluator, MulticlassClassificationEvaluator
+}
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed metrics must agree EXACTLY with the MLlib evaluators the
+  * reference calls (E1–E3) — same fixture, same numbers.
+  */
+class BinaryMetricsSpec extends SparkSpec {
+
+  /** 40 rows with a mix of right/wrong predictions and duplicate scores. */
+  private def fixture: DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    (0 until 40).map { i =>
+      val label = (i % 2).toDouble
+      val score = math.round(
+        (0.2 * label + 0.4 * rnd.nextDouble() + 0.2) * 100) / 100.0
+      val pred  = if (score > 0.5) 1.0 else 0.0
+      (label, pred, score, Vectors.dense(1 - score, score))
+    }.toDF("label", "prediction", "score", "probability")
+  }
+
+  test("E2: accuracy equals MulticlassClassificationEvaluator") {
+    val df = fixture
+    val expected = new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName("accuracy").evaluate(df)
+    assert(math.abs(BinaryMetrics.accuracy(df) - expected) < 1e-12)
+  }
+
+  test("E3: weightedF1 equals MulticlassClassificationEvaluator f1") {
+    val df = fixture
+    val expected = new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName("f1").evaluate(df)
+    assert(math.abs(BinaryMetrics.weightedF1(df) - expected) < 1e-12)
+  }
+
+  test("E1: aucROC equals BinaryClassificationEvaluator on the score column") {
+    val df = fixture
+    val expected = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("probability")
+      .setMetricName("areaUnderROC").evaluate(df)
+    assert(math.abs(BinaryMetrics.aucROC(df) - expected) < 1e-12)
+  }
+
+  test("E4: confusion matrix counts are exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1.0, 1.0), (1.0, 1.0), (1.0, 0.0),
+      (0.0, 0.0), (0.0, 1.0)).toDF("label", "prediction")
+    val cm = BinaryMetrics.confusionMatrix(df).collect()
+      .map(r => ((r.getDouble(0), r.getDouble(1)), r.getLong(2))).toMap
+    assert(cm == Map((1.0, 1.0) -> 2L, (1.0, 0.0) -> 1L,
+                     (0.0, 0.0) -> 1L, (0.0, 1.0) -> 1L))
+  }
+
+  test("E5: rocPoints ends at (1,1) and is monotone") {
+    val pts = BinaryMetrics.rocPoints(fixture).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(pts.last == (1.0, 1.0))
+    assert(pts.sliding(2).forall {
+      case Array((f0, t0), (f1, t1)) => f1 >= f0 && t1 >= t0
+      case _ => true
+    })
+  }
+
+  test("E7: histogram bins cover all rows; top edge closed") {
+    import spark.implicits._
+    val df = Seq(0.0, 0.04, 0.5, 0.99, 1.0).toDF("score")
+    val h = BinaryMetrics.probabilityHistogram(df, "score", bins = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(h.values.sum == 5)
+    assert(h(19L) == 2L) // 0.99 and 1.0 both land in the last bin
+    assert(h(0L) == 2L)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Plan-shape assertions: the scale properties claimed in Scaladoc must be
+  * visible in the executed plan at any SF.
+  */
+class PlanSpec extends SparkSpec {
+
+  test("q05: dimension joins are BroadcastHashJoin") {
+    val plan = RelationalQueries.q05RegionRevenue(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+           s"region/nation joins must broadcast, plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q01: shipdate filter is pushed to the parquet scan") {
+    val plan = RelationalQueries.q01PricingSummary(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+           s"expected pushed filter on l_shipdate:\n$plan")
+  }
+
+  test("q06: scan reads only the four needed columns") {
+    val plan = RelationalQueries.q06ForecastRevenue(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .forall(readSchema.contains), readSchema)
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
+           s"column pruning failed: $readSchema")
+  }
+
+  test("q03: top-10 plans as TakeOrderedAndProject, not a global sort") {
+    val plan = RelationalQueries.q03ShippingPriority(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q35 minhash dedup: no cartesian product anywhere in the plan") {
+    val plan = LlmQueries.q35MinhashDedup(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("whole-stage codegen covers the scalar query surface") {
+    // codegen stages print as "*(n)" — only in the FINAL adaptive plan,
+    // so force execution before inspecting
+    val df = ScalarQueries.q07StringFuncs(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+  }
+}
