@@ -74,4 +74,35 @@ object BatchInference {
                          parallelism: Int,
                          mkScorer: () => TextScorer): DataFrame =
     scoreAll(df.repartition(parallelism), textCol, targetCol, mkScorer)
+
+  /** A5 — the reference's literal grouped-map shape
+    * (`df.groupby("group").apply(pandas_udf)`, `transformers_test.py:
+    * 207-213`): synthesize `monotonically_increasing_id() % n` groups (F7 +
+    * F8), shuffle on the group key, score each group as a batch via
+    * `groupByKey.flatMapGroups`. Kept for keyed-batch semantics parity;
+    * prefer [[scoreAll]] (no shuffle) when grouping exists only for
+    * parallelism.
+    */
+  def scoreGrouped(df: DataFrame, textCol: String, targetCol: String,
+                   nGroups: Int, mkScorer: () => TextScorer): DataFrame = {
+    val keyed = df.select(
+      col(textCol).cast("string").as("text"),
+      col(targetCol).cast("int").as("target"),
+      (monotonically_increasing_id() % nGroups).cast("int").as("group"))
+    val enc = Encoders.row(outputSchema)
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val intEnc = Encoders.scalaInt
+    keyed
+      .groupByKey(r => r.getInt(2))(intEnc)
+      .flatMapGroups { (_: Int, rows: Iterator[Row]) =>
+        lazy val scorer = mkScorer() // one init per group batch
+        rows.map { r =>
+          val target = if (r.isNullAt(1)) null else Int.box(r.getInt(1))
+          try {
+            val (label, conf) = scorer.score(r.getString(0))
+            Row(target, label, conf)
+          } catch { case _: Exception => Row(target, "ERROR", 0.0d) }
+        }
+      }(enc)
+  }
 }

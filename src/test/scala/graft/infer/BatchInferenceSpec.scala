@@ -40,6 +40,23 @@ class BatchInferenceSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1, "fine"), (2, "ERROR")))
   }
 
+  test("A5/F7/F8: grouped-map shape scores every row exactly once") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (s"text $i", i)).toDF("text", "target")
+    val out = BatchInference
+      .scoreGrouped(df, "text", "target", nGroups = 7,
+                    () => new HashScorer(Seq("x", "y")))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(out.map(_._1) == (0 until 100))
+    // identical per-row results to the mapPartitions path (row-local scorer)
+    val flat = BatchInference
+      .scoreAll(df, "text", "target", () => new HashScorer(Seq("x", "y")))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(out == flat)
+  }
+
   test("U3: scoreRepartitioned widens parallelism without changing results") {
     import spark.implicits._
     val df = (0 until 50).map(i => (s"t$i", i)).toDF("text", "target")
