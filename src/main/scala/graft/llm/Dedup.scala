@@ -160,14 +160,31 @@ object Dedup {
       .drop("__simhash_votes")
   }
 
+  /** Same SimHash via the native codegen'd Catalyst expression
+    * ([[graft.functions.SimHash64Expr]], registered as SQL `simhash64` by
+    * GraftExtensions) — the hot-path variant; the HOF formulation above is
+    * the readable spec both are property-tested against.
+    */
+  def withSimhashNative(df: DataFrame, textCol: String,
+                        outCol: String = "simhash64"): DataFrame =
+    df.withColumn(outCol, expr(s"simhash64(${tokenizeSql(textCol)})"))
+
+  /** SQL fragment producing the same distinct-token array as
+    * [[withSimhash]]'s tokenizer — kept in one place so both simhash
+    * variants tokenize identically.
+    */
+  private def tokenizeSql(textCol: String): String =
+    s"array_distinct(filter(split(lower(trim($textCol)), '\\\\W+'), " +
+      "t -> length(t) > 0))"
+
   /** SimHash near-dup candidates: docs whose simhash matches exactly on at
     * least one of 4 16-bit bands (guaranteed recall for Hamming distance
     * ≤ 3). Same band-bucket-join shape as MinHash — no all-pairs stage.
     */
   def simhashCandidates(df: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    val sh = withSimhash(df.select(col(idCol).as("doc_id"),
-                                   col(textCol)), textCol, "sh64")
+    val sh = withSimhashNative(df.select(col(idCol).as("doc_id"),
+                                         col(textCol)), textCol, "sh64")
       .select("doc_id", "sh64")
     val bandArr = array((0 until 4).map { b =>
       shiftright(col("sh64"), b * 16).bitwiseAND(lit(0xFFFFL))

@@ -1,0 +1,24 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.SimHash64Expr
+
+/** Engine extension point, wired via `spark.sql.extensions` (set in
+  * [[graft.Sessions]]): registers the native expressions so they're usable
+  * from SQL and `expr(...)` on any session — the engine's public
+  * extensibility contract alongside the custom-Transformer template
+  * ([[graft.ml.EmptyListHandler]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "simhash64 takes exactly one argument")
+        SimHash64Expr(children.head)
+      }))
+  }
+}

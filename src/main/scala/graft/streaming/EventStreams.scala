@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming operators over the events stream (ts, event_type,
+  * user_id, value, props — the TESTDATA `events` table read as a stream).
+  *
+  * Design per the Spark streaming model: declarative readStream →
+  * transforms → writeStream; event-time windows bounded by watermarks so
+  * state is evicted and the job runs forever at constant memory — the
+  * 100 TB/continuous-ingest design point. Custom state (sessionization)
+  * uses flatMapGroupsWithState with event-time timeout: state size is
+  * O(active sessions), not O(events).
+  */
+object EventStreams {
+
+  case class Event(ts: Timestamp, event_type: String, user_id: Long,
+                   value: Double)
+
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long,
+                        value_sum: Double)
+
+  /** Per-user session accumulator (public: Catalyst's state encoder
+    * codegen instantiates it reflectively).
+    */
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Tumbling-window rollup with a watermark: late events beyond `lateness`
+    * are dropped and window state is evicted — append-mode compatible.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("value_avg"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("value_avg"))
+
+  /** Sliding-window variant (overlapping windows). */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
+                    slide: String = "15 minutes",
+                    lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"))
+
+  /** Event-time sessionization: a session closes after `gapMs` of
+    * inactivity (enforced via event-time timeout against the watermark).
+    * Emits one row per closed session. State per user is four scalars.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+                (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t),
+                                          s.n + 1, s.total + e.value))
+                case Some(s) => // gap exceeded → close previous session
+                  closed ::= SessionOut(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Batch replay of the same logic over the static events table —
+    * identical semantics checked in tests (stream/batch parity is the
+    * Structured Streaming contract).
+    */
+  def windowedCountsBatch(events: DataFrame,
+                          windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("value_avg"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("value_avg"))
+}

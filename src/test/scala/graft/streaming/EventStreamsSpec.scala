@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+  import EventStreams._
+
+  // offset from epoch: initial watermark is 0, and rows at event-time ≤
+  // watermark are dropped by stateful operators — keep fixtures clear of it
+  private val base = 24L * 3600000L
+  private def ts(minute: Int) = new Timestamp(base + minute * 60000L)
+
+  test("windowedCounts: tumbling windows aggregate by event time") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = windowedCounts(input.toDF(), windowLen = "10 minutes",
+                           lateness = "5 minutes")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(ts(1), "click", 1, 1.0), Event(ts(2), "click", 2, 3.0),
+        Event(ts(11), "click", 1, 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first two windows
+      input.addData(Event(ts(40), "click", 1, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").orderBy("window_start").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(2), r.getDouble(3)))
+      assert(rows.length == 2)
+      assert(rows(0) == ((ts(0), 2L, 2.0)))   // minutes 0-10: 2 clicks avg 2
+      assert(rows(1) == ((ts(10), 1L, 5.0)))  // minutes 10-20: 1 click
+    } finally q.stop()
+  }
+
+  test("late events beyond the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = windowedCounts(input.toDF(), windowLen = "10 minutes",
+                           lateness = "5 minutes")
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(ts(1), "a", 1, 1.0))
+      q.processAllAvailable()
+      input.addData(Event(ts(60), "a", 1, 1.0)) // watermark → 55
+      q.processAllAvailable()
+      input.addData(Event(ts(2), "a", 2, 9.0))  // 2 < 55 → dropped
+      q.processAllAvailable()
+      input.addData(Event(ts(120), "a", 1, 1.0))
+      q.processAllAvailable()
+      val w0 = spark.table("late")
+        .filter(col("window_start") === ts(0)).collect()
+      assert(w0.length == 1 && w0(0).getLong(2) == 1L,
+             "late event must not be counted")
+    } finally q.stop()
+  }
+
+  test("sessionize: gap closes sessions; state emits on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapMs = 10 * 60000L)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 0,5 (one session), then 30 (second session)
+      input.addData(Event(ts(0), "c", 1, 1.0), Event(ts(5), "c", 1, 2.0))
+      q.processAllAvailable()
+      input.addData(Event(ts(30), "c", 1, 4.0))
+      q.processAllAvailable()
+      // push watermark way past 30+gap so the open session times out
+      input.addData(Event(ts(300), "c", 99, 0.0))
+      q.processAllAvailable()
+      input.addData(Event(ts(600), "c", 98, 0.0))
+      q.processAllAvailable()
+      val sess = spark.table("sess").filter(col("user_id") === 1)
+        .orderBy("session_start").collect()
+        .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3),
+                   r.getDouble(4)))
+      assert(sess.length == 2, s"expected 2 sessions, got ${sess.toSeq}")
+      assert(sess(0) == ((ts(0), ts(5), 2L, 3.0)))
+      assert(sess(1) == ((ts(30), ts(30), 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("stream/batch parity: windowed counts agree with the batch plan") {
+    import spark.implicits._
+    val events = Seq(
+      Event(ts(1), "a", 1, 1.0), Event(ts(2), "b", 2, 2.0),
+      Event(ts(12), "a", 1, 3.0)).toDF()
+    val batch = windowedCountsBatch(events, "10 minutes")
+      .orderBy("window_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(batch.toSeq == Seq((ts(0), "a", 1L), (ts(0), "b", 1L),
+                              (ts(10), "a", 1L)))
+  }
+}
