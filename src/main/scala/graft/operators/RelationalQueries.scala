@@ -187,7 +187,25 @@ object RelationalQueries {
       .agg(countDistinct("c_nationkey").as("n_nations"))
       .orderBy("c_mktsegment")
 
+  /** Money aggregation done RIGHT for the 100 TB design point: cast to
+    * DECIMAL(18,2) before summing, so the result is exact and independent
+    * of summation order (double sums near 1e16 lose sub-cent precision to
+    * ULP; rounding cannot recover it). Result rendered as string so the
+    * driver compare is representation-exact.
+    */
+  def q16DecimalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").cast("string").as("sum_price_exact"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").cast("string").as("sum_qty_exact"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_decimal_agg"       -> (q16DecimalAgg(_, _)),
     "q01_pricing_summary"   -> (q01PricingSummary(_, _)),
     "q03_shipping_priority" -> (q03ShippingPriority(_, _)),
     "q05_region_revenue"    -> (q05RegionRevenue(_, _)),
@@ -198,6 +216,13 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q16_decimal_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price_exact,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty_exact
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

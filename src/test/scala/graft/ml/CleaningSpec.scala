@@ -20,6 +20,26 @@ class CleaningSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(1) - 0.9) < 1e-12)
   }
 
+  test("U1 UDF variant: Scala UDF surface produces same values as the expression") {
+    // The engine's preferred path is the pure expression (codegen'd); this
+    // exercises the udf() registration surface the reference relies on
+    // (sst2_test2.py:68-75) and pins both paths to identical outputs.
+    import spark.implicits._
+    import org.apache.spark.ml.linalg.Vector
+    val extractProb = udf((v: Vector) => v(1).toFloat)
+    val df = Seq(
+      (1L, Vectors.dense(0.25, 0.75)),
+      (2L, Vectors.sparse(2, Array(1), Array(0.5)))).toDF("id", "probability")
+    val both = df.select(
+      col("id"),
+      extractProb(col("probability")).as("via_udf"),
+      Cleaning.positiveProbability(col("probability")).as("via_expr"))
+      .collect()
+    both.foreach { r =>
+      assert(math.abs(r.getFloat(1) - r.getDouble(2)) < 1e-6)
+    }
+  }
+
   test("U2: cleanLabel covers entailment/not_entailment/numeric/null branches") {
     import spark.implicits._
     val df = Seq("not_entailment", "entailment", "3", "junk")
