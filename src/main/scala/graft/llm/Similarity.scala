@@ -21,11 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two array<float|double> columns. Elements
+  /** Cosine similarity between two array<float|double> columns, via the
+    * native codegen'd kernel ([[graft.functions.CosineSimExpr]]). Elements
     * are cast to double before any arithmetic so results are independent of
-    * the stored precision (and match a double-math oracle).
+    * the stored precision (and match a double-math oracle); numerics are
+    * bit-identical to [[cosineHof]], the readable spec formulation.
     */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.CosineSimExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Spec formulation of [[cosine]] as pure higher-order functions —
+    * slower (interpreted lambdas) but dependency-free; kept as the
+    * property-test twin of the native kernel.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     def d(c: Column) = transform(c, x => x.cast("double"))
     val dot = aggregate(zip_with(d(a), d(b), (x, y) => x * y),
                         lit(0.0d), (acc, x) => acc + x)

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.SimHash64Expr
+import graft.functions.{CosineSimExpr, SimHash64Expr}
 
 /** Engine extension point, wired via `spark.sql.extensions` (set in
   * [[graft.Sessions]]): registers the native expressions so they're usable
@@ -19,6 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "simhash64 takes exactly one argument")
         SimHash64Expr(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "cosine_sim takes exactly two arguments")
+        CosineSimExpr(children.head, children(1))
       }))
   }
 }
