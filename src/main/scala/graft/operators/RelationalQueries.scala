@@ -204,8 +204,83 @@ object RelationalQueries {
           .cast("decimal(38,2)").cast("string").as("sum_qty_exact"))
       .orderBy("l_returnflag")
 
+  /** TPC-H Q4-style: EXISTS subquery → left-semi join. The semi join
+    * shuffles both sides on orderkey but emits orders rows at most once —
+    * no fanout, no distinct needed; at scale this beats inner-join+dedup.
+    */
+  def q17SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables
+      .orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1997-01-01") &&
+        col("o_orderdate") < ts("1997-07-01"))
+      .select("o_orderkey", "o_orderpriority")
+    val late = Tables
+      .lineitem(spark, dir)
+      .filter(col("l_quantity") >= 45)
+      .select("l_orderkey")
+    ord
+      .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q13-style: LEFT OUTER join + two-level aggregation (customers by
+    * order count, including zero-order customers — the rows an inner join
+    * would silently drop).
+    */
+  def q18LeftJoinCount(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey")
+    val ord  = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey")
+    cust
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** Anti join: customers with NO orders in a window (NOT EXISTS). Plans as
+    * left-anti hash join — single shuffle, no driver-side set logic.
+    */
+  def q19AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment")
+    val ord = Tables
+      .orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1998-06-01"))
+      .select("o_custkey")
+    cust
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_inactive"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** GROUP BY + HAVING (post-aggregation filter) with an average-threshold
+    * subquery folded to a literal-free plan: parts whose average order
+    * quantity exceeds a fixed multiple. HAVING is just a Filter above the
+    * aggregate — no extra shuffle.
+    */
+  def q20Having(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(round(avg("l_quantity"), 4).as("avg_qty"),
+           count(lit(1)).as("n_items"))
+      .filter(col("n_items") >= 30)
+      .orderBy(desc("n_items"), asc("l_partkey"))
+      .limit(50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_decimal_agg"       -> (q16DecimalAgg(_, _)),
+    "q17_semi_join"         -> (q17SemiJoin(_, _)),
+    "q18_left_join_count"   -> (q18LeftJoinCount(_, _)),
+    "q19_anti_join"         -> (q19AntiJoin(_, _)),
+    "q20_having"            -> (q20Having(_, _)),
     "q01_pricing_summary"   -> (q01PricingSummary(_, _)),
     "q03_shipping_priority" -> (q03ShippingPriority(_, _)),
     "q05_region_revenue"    -> (q05RegionRevenue(_, _)),
@@ -223,6 +298,40 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q17_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_quantity >= 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q18_left_join_count" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q19_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_inactive
+        |FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q20_having" ->
+      """SELECT l_partkey, round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING count(*) >= 30
+        |ORDER BY n_items DESC, l_partkey
+        |LIMIT 50""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -39,6 +39,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q17/q19: EXISTS / NOT EXISTS plan as semi and anti hash joins") {
+    val semi = RelationalQueries.q17SemiJoin(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(semi.contains("LeftSemi"), semi)
+    val anti = RelationalQueries.q19AntiJoin(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(anti.contains("LeftAnti"), anti)
+  }
+
   test("q35 minhash dedup: no cartesian product anywhere in the plan") {
     val plan = LlmQueries.q35MinhashDedup(spark, sf0001)
       .queryExecution.executedPlan.toString
