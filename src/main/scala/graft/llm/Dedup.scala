@@ -41,13 +41,25 @@ object Dedup {
   }
 
   /** MinHash signature of a shingle set: numHashes universal-hash slots,
-    * each `min over shingles of xxhash64(shingle, seed)`. Row-local
-    * (aggregate+transform higher-order funcs, no UDF, no shuffle).
+    * each `min over shingles of xxhash64(shingle, seed)` — the HOF spec
+    * formulation (row-local, no UDF, no shuffle). Kept as the readable /
+    * property-test twin of [[minhashSignatureNative]].
     */
   def minhashSignature(shingleCol: Column, numHashes: Int = 32): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
               seed => array_min(
                 transform(shingleCol, s => xxhash64(s, seed))))
+
+  /** Same signature via the native codegen'd kernel
+    * ([[graft.functions.MinHashSigExpr]]): hashes each shingle once, then
+    * one cheap mix per seed — vs numHashes × |shingles| interpreted lambda
+    * hashes. The dedup hot path.
+    */
+  def minhashSignatureNative(shingleCol: Column, numHashes: Int = 32): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.MinHashSigExpr(
+      ColumnBridge.expression(shingleCol), numHashes))
+  }
 
   /** MinHash+LSH near-dup candidates: signature → `bands` band-hashes →
     * explode → groupBy band-bucket. Docs sharing ANY band bucket are
@@ -74,7 +86,7 @@ object Dedup {
     val sigs = df.select(
       col(idCol).as("doc_id"),
       shingles(col(textCol), k).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("sig", minhashSignatureNative(col("sh"), numHashes))
 
     // band hash = xxhash64 over the band's slice of the signature. Bands
     // are unrolled Scala-side (fixed small count); `sig` is a named column

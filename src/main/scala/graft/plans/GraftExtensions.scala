@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimExpr, SimHash64Expr}
+import graft.functions.{CosineSimExpr, MinHashSigExpr, SimHash64Expr}
+import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** Engine extension point, wired via `spark.sql.extensions` (set in
   * [[graft.Sessions]]): registers the native expressions so they're usable
@@ -26,6 +27,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "cosine_sim takes exactly two arguments")
         CosineSimExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_signature"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+                "minhash_signature takes (array<string>, numHashes literal)")
+        val n = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"numHashes must be an integer literal, got $other")
+        }
+        MinHashSigExpr(children.head, n)
       }))
   }
 }
