@@ -34,6 +34,7 @@ object SparkEntry {
     "q35_minhash_dedup",
     "q38_ann_brute_force",
     "q39_ann_lsh",
+    "q45_ann_ivf",
     "q50_sst2_pipeline"
   )
 }

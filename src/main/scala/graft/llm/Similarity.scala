@@ -132,6 +132,62 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus by seeded KMeans
+    * centroid, then each query probes only its `nProbe` nearest cells.
+    *
+    * The 100 TB shape: centroids are O(√N) rows fit on the driver and
+    * broadcast; the corpus is scanned once at index build (KMeans fit +
+    * cell assignment — both distributed), and each query's candidate set
+    * is corpus/nCells × nProbe via a broadcast equi-join on cell id.
+    * Recall is tunable with nProbe at constant index cost, unlike LSH
+    * where recall is baked into the bit count.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 3, seed: Long = 42L,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.{Vector => MlVector}
+
+    val corpusVec = corpus.select(
+      col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
+      array_to_vector(transform(col(vecCol), x => x.cast("double")))
+        .as("fvec"))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("fvec").setPredictionCol("cell")
+      .fit(corpusVec)
+    val indexed = model.transform(corpusVec).select("corpus_id", "cvec", "cell")
+
+    // centroid table: nCells rows — driver-side, broadcast back
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+
+    // each query ranks centroids by cosine, keeps top nProbe cells
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val wCells = Window.partitionBy("query_id")
+      .orderBy(desc("cell_cos"), asc("cell"))
+    val probed = q.join(broadcast(cents), lit(true))
+      .withColumn("cell_cos", cosine(col("qvec"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(wCells))
+      .filter(col("cell_rank") <= nProbe)
+      .select("query_id", "qvec", "cell")
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("corpus_id"))
+    indexed.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+              round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Brute-force all-pairs-free similarity JOIN between two document sets
     * via shared LSH buckets — returns pairs above a cosine threshold.
     * (The `approxSimilarityJoin` shape, hand-built so the plan is a plain

@@ -99,6 +99,16 @@ object LlmQueries {
                        nBits = 6)
   }
 
+  /** IVF ANN: seeded-KMeans cell index, nProbe-cell candidate search.
+    * Rows-only (model floats); SimilaritySpec asserts ≥0.95 recall vs
+    * exact on a clustered corpus.
+    */
+  def q45AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+                       nCells = 16, nProbe = 3)
+  }
+
   /** Multimodal frame sampling over the synthetic media table (binary
     * blobs + typed metadata): one row per sampled frame. The Spark-side
     * plumbing (binary columns, mapPartitions batch shape) is real; the
@@ -145,7 +155,8 @@ object LlmQueries {
     "q39_ann_lsh"          -> (q39AnnLsh(_, _)),
     "q40_frame_sample"     -> (q40FrameSample(_, _)),
     "q43_multimodal_decode" -> (q43MultimodalDecode(_, _)),
-    "q44_lsh_sim_join"     -> (q44LshSimJoin(_, _))
+    "q44_lsh_sim_join"     -> (q44LshSimJoin(_, _)),
+    "q45_ann_ivf"          -> (q45AnnIvf(_, _))
   )
 
   private val stopList =

@@ -64,6 +64,18 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("ivfTopK: recall ≥ 0.95 vs exact top-k with nProbe=3 of 8 cells") {
+    val corpus  = clustered
+    val queries = corpus.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 5,
+                                 nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.95, s"IVF recall $recall < 0.95")
+  }
+
   test("lshSimilarityJoin finds within-cluster pairs above threshold") {
     val corpus = clustered
     val pairs = Similarity.lshSimilarityJoin(
