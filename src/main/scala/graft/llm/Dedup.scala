@@ -215,6 +215,30 @@ object Dedup {
       .distinct()
   }
 
+  /** Embedding-cosine near-dedup: LSH-bucketed similarity join over the
+    * embedding column, then the same min-id cluster assignment as the text
+    * variants. Completes the dedup family (exact / MinHash / SimHash /
+    * n-gram / embedding) with the same no-all-pairs plan shape.
+    */
+  def embeddingClusters(embeddings: DataFrame, dim: Int,
+                        threshold: Double = 0.9, nBits: Int = 6,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val pairs = Similarity
+      .lshSimilarityJoin(embeddings, embeddings, dim, threshold, nBits,
+                         idCol = idCol, vecCol = vecCol)
+      .select(col("left_id").as("doc_a"), col("right_id").as("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val neighborMin = edges.groupBy("src").agg(min("dst").as("min_nb"))
+    embeddings.select(col(idCol).as("doc_id"))
+      .join(neighborMin, col("doc_id") === col("src"), "left")
+      .select(col("doc_id"),
+              least(col("doc_id"), coalesce(col("min_nb"), col("doc_id")))
+                .as("cluster_id"))
+      .withColumn("is_duplicate", col("doc_id") =!= col("cluster_id"))
+  }
+
   /** Word n-gram Jaccard similarity between two text columns (the
     * within-bucket verify primitive, exposed standalone). Row-local.
     */

@@ -143,7 +143,23 @@ object LlmQueries {
       .orderBy("left_id", "right_id")
   }
 
+  /** Corpus vocabulary stats: explode tokens → per-language token count +
+    * exact distinct vocabulary. Oracle-checked (unnest in DuckDB); the
+    * approx_count_distinct sketch variant is spec-tested against this
+    * exact result (±5%) since HLL internals differ across engines.
+    */
+  def q46VocabStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+              explode(filter(split(lower(trim(col("text"))), "\\W+"),
+                             t => length(t) > 0)).as("token"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+           countDistinct("token").as("vocab_exact"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_vocab_stats"      -> (q46VocabStats(_, _)),
     "q31_token_stats"      -> (q31TokenStats(_, _)),
     "q32_quality_score"    -> (q32QualityScore(_, _)),
     "q33_lang_id"          -> (q33LangId(_, _)),
@@ -181,6 +197,15 @@ object LlmQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q46_vocab_stats" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |                       x -> len(x) > 0)) AS token
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_tokens,
+        |  count(DISTINCT token) AS vocab_exact
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "q31_token_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,

@@ -63,6 +63,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(h(0) == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
   }
 
+  test("approx_count_distinct vocabulary within 5% of exact (sketch path)") {
+    import graft.sources.Tables
+    val toks = Tables.documents(spark, sf0001)
+      .select(explode(split(lower(trim(col("text"))), "\\W+")).as("t"))
+      .filter(length(col("t")) > 0)
+    val row = toks.agg(
+      countDistinct("t").as("exact"),
+      approx_count_distinct("t", 0.02).as("approx")).head()
+    val (exact, approx) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05,
+           s"approx $approx vs exact $exact")
+  }
+
   test("profile attaches all analysis columns") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox")).toDF("id", "text")
