@@ -11,13 +11,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ ScalarQueries.queries ++
-      MlQueries.queries ++ LlmQueries.queries
+      MlQueries.queries ++ LlmQueries.queries ++ TimeSeriesQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ ScalarQueries.oracleSql ++
-      MlQueries.oracleSql ++ LlmQueries.oracleSql
+      MlQueries.oracleSql ++ LlmQueries.oracleSql ++
+      TimeSeriesQueries.oracleSql
 
   /** Headline subset timed by Bench (sf0.1). Keep this representative —
     * scans, joins, windows, ML pipelines, and the LLM-pipeline operators —

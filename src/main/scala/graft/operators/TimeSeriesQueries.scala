@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Time-series / semi-structured / multidimensional query coverage over
+  * the events stream table: as-of join, rollup, exact quantiles, JSON
+  * extraction, lag-window deltas — each oracle-checked against DuckDB.
+  */
+object TimeSeriesQueries {
+
+  /** As-of join: each purchase picks up the user's most recent prior (or
+    * simultaneous) signup. One shuffle, no fanout (see [[AsOfJoin]]);
+    * oracle uses DuckDB's native ASOF LEFT JOIN.
+    */
+  def q23AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"),
+              col("value").as("signup_value"))
+    AsOfJoin.asofJoin(purchases, signups, key = "user_id",
+                      leftTime = "ts", rightTime = "signup_ts",
+                      rightVals = Seq("signup_value"))
+      .select(col("event_id"), col("user_id"),
+              col("signup_value"))
+      .orderBy("event_id")
+  }
+
+  /** ROLLUP over (lang, source): per-group, per-lang subtotal, and grand
+    * total in one pass — multidimensional aggregation without re-scanning.
+    */
+  def q24Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .rollup("lang", "source")
+      .agg(count(lit(1)).as("n"), round(avg("n_chars"), 4).as("avg_chars"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+              coalesce(col("source"), lit("ALL")).as("source"),
+              col("n"), col("avg_chars"))
+      .orderBy("lang", "source")
+
+  /** Exact linear-interpolation quantiles of event values per type
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`).
+    */
+  def q25Quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.75)"), 4).as("p75"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
+  /** JSON field extraction from the props column (semi-structured path:
+    * get_json_object keeps the scan schema narrow and the parse codegen'd).
+    */
+  def q26JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(round(avg("k"), 4).as("k_avg"),
+           min("k").as("k_min"), max("k").as("k_max"))
+      .orderBy("event_type")
+
+  /** Per-user event-to-event value delta via lag window, aggregated per
+    * type. Window order has a full tie-break (ts, event_id) so results are
+    * deterministic.
+    */
+  def q27LagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // avg computed as exact-decimal sum / count: order-independent, so the
+    // compare can't flap on summation order at a rounding boundary
+    Tables.events(spark, dir)
+      .withColumn("delta", col("value") - lag("value", 1).over(w))
+      .filter(col("delta").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("delta").cast("decimal(18,6)")).cast("double") /
+                   count(lit(1)), 4).as("delta_avg"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_asof_join"    -> (q23AsofJoin(_, _)),
+    "q24_rollup"       -> (q24Rollup(_, _)),
+    "q25_quantiles"    -> (q25Quantiles(_, _)),
+    "q26_json_extract" -> (q26JsonExtract(_, _)),
+    "q27_lag_delta"    -> (q27LagDelta(_, _))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q23_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts AS signup_ts, value AS signup_value
+        |      FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id, s.signup_value
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+        |ORDER BY event_id""".stripMargin,
+    "q24_rollup" ->
+      """SELECT coalesce(lang, 'ALL') AS lang,
+        |  coalesce(source, 'ALL') AS source,
+        |  count(*) AS n, round(avg(n_chars), 4) AS avg_chars
+        |FROM documents
+        |GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang, source""".stripMargin,
+    "q25_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 4) AS p25,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.75), 4) AS p75,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q26_json_extract" ->
+      """SELECT event_type,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS k_avg,
+        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q27_lag_delta" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    value - lag(value) OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id) AS delta
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(delta AS DECIMAL(18,6))) AS DOUBLE)
+        |        / count(*), 4) AS delta_avg
+        |FROM d WHERE delta IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+  )
+}
