@@ -115,6 +115,29 @@ object BinaryMetrics {
     }.sum
   }
 
+  /** All binary-classification metrics from one persisted pass — the fix
+    * for the reference's recompute-per-evaluator inefficiency (it re-ran
+    * the whole transform chain 3×, `sst2_test2.py:80-86`; SURVEY §3.2).
+    * Callers hand in scored predictions once; the input is persisted for
+    * the duration of the four aggregates and unpersisted before return.
+    */
+  case class MetricsSummary(accuracy: Double, f1: Double, auc: Double,
+                            confusion: Map[(Double, Double), Long])
+
+  def summary(preds: Dataset[_], labelCol: String = "label",
+              predictionCol: String = "prediction",
+              scoreCol: String = "score"): MetricsSummary = {
+    val cached = preds.persist()
+    try {
+      MetricsSummary(
+        accuracy(cached, labelCol, predictionCol),
+        weightedF1(cached, labelCol, predictionCol),
+        aucROC(cached, labelCol, scoreCol),
+        confusionMatrix(cached, labelCol, predictionCol).collect()
+          .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getLong(2)).toMap)
+    } finally { cached.unpersist(); () }
+  }
+
   /** E7a — fixed-width probability histogram (replaces driver-side
     * `plt.hist`, `sst2_test2.py:174-189`): floor-binning then one
     * aggregate; `bins` rows to the driver.

@@ -84,7 +84,26 @@ object TimeSeriesQueries {
       .orderBy("event_type")
   }
 
+  /** Range join: events bucketed into value bands derived from the nation
+    * table (interval per nation key, overlapping). Binned equi-join plan —
+    * PlanSpec asserts no nested-loop; oracle is the plain BETWEEN join.
+    */
+  def q28RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bands = Tables.nation(spark, dir).select(
+      col("n_nationkey").as("band_id"),
+      (col("n_nationkey") * 8.0).as("lo"),
+      (col("n_nationkey") * 8.0 + 16.0).as("hi"))
+    val ev = Tables.events(spark, dir).select("event_id", "value")
+    RangeJoin.binned(ev, "value", bands, "lo", "hi", binWidth = 8.0)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+                   count(lit(1)), 4).as("value_avg"))
+      .orderBy("band_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_range_join"   -> (q28RangeJoin(_, _)),
     "q23_asof_join"    -> (q23AsofJoin(_, _)),
     "q24_rollup"       -> (q24Rollup(_, _)),
     "q25_quantiles"    -> (q25Quantiles(_, _)),
@@ -93,6 +112,17 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q28_range_join" ->
+      """WITH bands AS (
+        |  SELECT n_nationkey AS band_id,
+        |    n_nationkey * 8.0 AS lo, n_nationkey * 8.0 + 16.0 AS hi
+        |  FROM nation)
+        |SELECT band_id, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |        / count(*), 4) AS value_avg
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band_id
+        |ORDER BY band_id""".stripMargin,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
         |           WHERE event_type = 'purchase'),

@@ -50,6 +50,15 @@ class BinaryMetricsSpec extends SparkSpec {
     assert(math.abs(BinaryMetrics.aucROC(df) - expected) < 1e-12)
   }
 
+  test("summary: one persisted pass agrees with individual metric calls") {
+    val df = fixture
+    val s = BinaryMetrics.summary(df)
+    assert(s.accuracy == BinaryMetrics.accuracy(df))
+    assert(s.f1 == BinaryMetrics.weightedF1(df))
+    assert(s.auc == BinaryMetrics.aucROC(df))
+    assert(s.confusion.values.sum == 40L)
+  }
+
   test("E4: confusion matrix counts are exact") {
     import spark.implicits._
     val df = Seq(

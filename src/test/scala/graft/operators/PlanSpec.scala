@@ -48,6 +48,13 @@ class PlanSpec extends SparkSpec {
     assert(anti.contains("LeftAnti"), anti)
   }
 
+  test("q28 range join: binned equi-join, no nested-loop or cartesian") {
+    val plan = TimeSeriesQueries.q28RangeJoin(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q35 minhash dedup: no cartesian product anywhere in the plan") {
     val plan = LlmQueries.q35MinhashDedup(spark, sf0001)
       .queryExecution.executedPlan.toString
