@@ -30,12 +30,16 @@ object SparkEntry {
     "q06_forecast_revenue",
     "q11_window_top_orders",
     "q21_events_hourly",
+    "q23_asof_join",
+    "q28_range_join",
     "q31_token_stats",
     "q34_exact_dedup",
     "q35_minhash_dedup",
     "q38_ann_brute_force",
     "q39_ann_lsh",
+    "q44_lsh_sim_join",
     "q45_ann_ivf",
+    "q46_vocab_stats",
     "q50_sst2_pipeline"
   )
 }
