@@ -144,6 +144,7 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 3, seed: Long = 42L,
+              kmeansMaxIter: Int = 8,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -154,7 +155,10 @@ object Similarity {
       col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
       array_to_vector(transform(col(vecCol), x => x.cast("double")))
         .as("fvec"))
+    // Index quality saturates fast; cap iterations — cell assignment just
+    // needs rough Voronoi structure, recall comes from nProbe.
     val model = new KMeans().setK(nCells).setSeed(seed)
+      .setMaxIter(kmeansMaxIter)
       .setFeaturesCol("fvec").setPredictionCol("cell")
       .fit(corpusVec)
     val indexed = model.transform(corpusVec).select("corpus_id", "cvec", "cell")

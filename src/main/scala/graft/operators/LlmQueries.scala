@@ -59,7 +59,7 @@ object LlmQueries {
 
   /** SimHash signatures + 16-bit band buckets (rows-only; deterministic). */
   def q36Simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.withSimhash(Tables.documents(spark, dir), "text", "simhash64")
+    Dedup.withSimhashNative(Tables.documents(spark, dir), "text", "simhash64")
       .select(col("doc_id"), col("simhash64"),
               (col("simhash64").bitwiseAND(lit(0xFFFFL))).as("band0"))
       .orderBy("doc_id")

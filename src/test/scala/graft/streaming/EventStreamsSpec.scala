@@ -90,6 +90,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream over the real events table matches the batch rollup") {
+    import graft.sources.Tables
+    val batchEvents = Tables.events(spark, sf0001)
+      .select("ts", "event_type", "value")
+    // stage the table as a stream source dir, then readStream it
+    val srcDir = tmpDir("evstream") + "/src"
+    batchEvents.write.parquet(srcDir)
+    val streamed = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(srcDir)
+    val q = windowedCounts(streamed, windowLen = "6 hours",
+                           lateness = "0 seconds")
+      .writeStream.format("memory").queryName("filewc")
+      .outputMode("complete") // complete mode: emit every window each batch
+      .start()
+    try {
+      q.processAllAvailable()
+      val fromStream = spark.table("filewc")
+        .orderBy("window_start", "event_type").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      val fromBatch = windowedCountsBatch(batchEvents, "6 hours")
+        .orderBy("window_start", "event_type").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      assert(fromStream.toSeq == fromBatch.toSeq)
+      assert(fromStream.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream/batch parity: windowed counts agree with the batch plan") {
     import spark.implicits._
     val events = Seq(
