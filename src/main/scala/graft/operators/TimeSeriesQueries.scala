@@ -102,7 +102,36 @@ object TimeSeriesQueries {
       .orderBy("band_id")
   }
 
+  /** Batch sessionization — same session semantics as the streaming
+    * `EventStreams.sessionize` (gap > 30 min starts a new session), as the
+    * classic two-window pass: lag → gap flag → running sum = session id →
+    * aggregate. Both windows share the (user_id, ts) shuffle; Catalyst
+    * plans them in one exchange.
+    */
+  def q29Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMs = 30 * 60 * 1000L
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+               unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+                 > gapMs * 1000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(byUser))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
+             .as("value_sum"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+           max("n_events").as("max_session_events"),
+           round(sum(col("value_sum").cast("decimal(18,6)")).cast("double"), 4)
+             .as("value_total"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_sessionize"   -> (q29Sessionize(_, _)),
     "q28_range_join"   -> (q28RangeJoin(_, _)),
     "q23_asof_join"    -> (q23AsofJoin(_, _)),
     "q24_rollup"       -> (q24Rollup(_, _)),
@@ -112,6 +141,34 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q29_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events),
+        |lagged AS (
+        |  SELECT *, lag(ts) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev_ts
+        |  FROM e),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged),
+        |per AS (
+        |  SELECT user_id, sess_id, count(*) AS n_events,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |      AS value_sum
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  max(n_events) AS max_session_events,
+        |  round(CAST(sum(CAST(value_sum AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS value_total
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q28_range_join" ->
       """WITH bands AS (
         |  SELECT n_nationkey AS band_id,

@@ -1,0 +1,101 @@
+package graft
+
+import graft.llm.{Dedup, TextAnalysis}
+import graft.ml.Cleaning
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** SURVEY §5 property-based invariants, swept over ScalaCheck-generated
+  * corpora at fixed seeds (deterministic, no scalatest bridge needed).
+  */
+class PropertyInvariantsSpec extends SparkSpec {
+
+  private val word = Gen.chooseNum(0, 12)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+  private val text = Gen.chooseNum(0, 20)
+    .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+  private def sample[A](g: Gen[List[A]], seed: Long): List[A] =
+    g(Gen.Parameters.default, Seed(seed)).getOrElse(fail("gen failed"))
+
+  test("cleaning invariants: no nulls survive na.drop + isNotNull chain") {
+    import spark.implicits._
+    (1L to 3L).foreach { seed =>
+      val texts = sample(Gen.listOfN(40, Gen.option(text)), seed)
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.orNull) }.toDF("id", "t")
+        .na.drop(Seq("t"))
+        .filter(col("t").isNotNull)
+      assert(df.filter(col("t").isNull).count() == 0)
+    }
+  }
+
+  test("concat_ws never yields null on any input combination") {
+    import spark.implicits._
+    (1L to 3L).foreach { seed =>
+      val rows = sample(Gen.listOfN(40,
+        Gen.zip(Gen.option(text), Gen.option(text))), seed)
+      val df = rows.map { case (a, b) => (a.orNull, b.orNull) }.toDF("a", "b")
+      val out = df.select(Cleaning.composeText(col("a"), col("b")).as("c"))
+      assert(out.filter(col("c").isNull).count() == 0)
+    }
+  }
+
+  test("replaceEmptyTokens output arrays are never empty or null") {
+    import spark.implicits._
+    (1L to 3L).foreach { seed =>
+      val rows = sample(Gen.listOfN(40, Gen.option(
+        Gen.chooseNum(0, 5).flatMap(n => Gen.listOfN(n, word)))), seed)
+      val df = rows.map(r => Tuple1(r.map(_.toSeq).orNull)).toDF("toks")
+      val out = df.select(Cleaning.replaceEmptyTokens(col("toks")).as("t"))
+      assert(out.filter(col("t").isNull || size(col("t")) === 0).count() == 0)
+    }
+  }
+
+  test("ngramJaccard is in [0,1] and 1.0 on identical non-trivial texts") {
+    import spark.implicits._
+    (1L to 3L).foreach { seed =>
+      val texts = sample(Gen.listOfN(30, text), seed)
+        .filter(_.exists(_.isLetterOrDigit))
+      val df = texts.zip(texts.reverse).toDF("a", "b")
+      val j = df.select(Dedup.ngramJaccard(col("a"), col("b")).as("j"))
+        .collect().map(_.getDouble(0))
+      assert(j.forall(v => v >= 0.0 && v <= 1.0))
+      val self = texts.map(t => (t, t)).toDF("a", "b")
+        .select(Dedup.ngramJaccard(col("a"), col("b")).as("j"))
+        .collect().map(_.getDouble(0))
+      assert(self.forall(_ == 1.0))
+    }
+  }
+
+  test("quality score stays within [0,1] on arbitrary text incl. edge cases") {
+    import spark.implicits._
+    val edge = List("", " ", "\t", "a", "!!!", "  x  ")
+    (1L to 3L).foreach { seed =>
+      val texts = edge ++ sample(Gen.listOfN(40, text), seed)
+      val q = texts.toDF("t")
+        .select(TextAnalysis.qualityScore(col("t")).as("q"))
+        .na.drop()
+        .collect().map(_.getDouble(0))
+      assert(q.forall(v => v >= 0.0 && v <= 1.0), q.toSeq)
+    }
+  }
+
+  test("minhash signature: permutation-invariant, length-stable") {
+    import spark.implicits._
+    (1L to 3L).foreach { seed =>
+      val sets = sample(Gen.listOfN(15,
+        Gen.chooseNum(1, 10).flatMap(n =>
+          Gen.listOfN(n, word.suchThat(_.nonEmpty)))), seed)
+      val fwd = sets.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "sh")
+      val rev = sets.zipWithIndex.map { case (s, i) => (i.toLong, s.reverse) }
+        .toDF("id", "sh")
+      def sigs(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("id"), Dedup.minhashSignatureNative(col("sh"), 16).as("s"))
+        .orderBy("id").collect().map(_.getSeq[Long](1)).toSeq
+      assert(sigs(fwd) == sigs(rev), "min over a set ignores order")
+      assert(sigs(fwd).forall(_.length == 16))
+    }
+  }
+}
