@@ -51,6 +51,17 @@ class SkewAndAggSpec extends SparkSpec {
     assert(viaAgg.sum == 502)
   }
 
+  test("approx_percentile tracks exact percentile within its accuracy bound") {
+    import graft.sources.Tables
+    val v = Tables.events(spark, sf0001).select(col("value"))
+    val row = v.agg(
+      expr("percentile(value, 0.5)").as("exact"),
+      expr("approx_percentile(value, 0.5, 1000)").as("approx")).head()
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(approx - exact) / math.max(exact, 1e-9) < 0.02,
+           s"approx $approx vs exact $exact")
+  }
+
   test("embeddingClusters groups near-identical embedding vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
