@@ -130,7 +130,20 @@ object TimeSeriesQueries {
       .orderBy("user_id")
   }
 
+  /** CUBE over (lang, source): all 2^2 grouping combinations in one pass,
+    * with grouping_id disambiguating total rows from genuine-null groups.
+    */
+  def q30Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .cube("lang", "source")
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+              coalesce(col("source"), lit("ALL")).as("source"),
+              col("n"), col("gid").cast("long").as("gid"))
+      .orderBy("gid", "lang", "source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_cube"         -> (q30Cube(_, _)),
     "q29_sessionize"   -> (q29Sessionize(_, _)),
     "q28_range_join"   -> (q28RangeJoin(_, _)),
     "q23_asof_join"    -> (q23AsofJoin(_, _)),
@@ -141,6 +154,14 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q30_cube" ->
+      """SELECT coalesce(lang, 'ALL') AS lang,
+        |  coalesce(source, 'ALL') AS source,
+        |  count(*) AS n,
+        |  CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid
+        |FROM documents
+        |GROUP BY CUBE (lang, source)
+        |ORDER BY gid, lang, source""".stripMargin,
     "q29_sessionize" ->
       """WITH e AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value

@@ -98,6 +98,22 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup for incremental corpus ingest: new documents
+    * are dropped if their normalized-text fingerprint was already seen
+    * within the watermark horizon. State = one fingerprint per unique doc
+    * inside the horizon, evicted as the watermark advances — constant
+    * memory on an infinite stream (the batch dedup twin is
+    * [[graft.llm.Dedup.exact]]).
+    */
+  def streamingDedup(docs: DataFrame, tsCol: String,
+                     textCol: String,
+                     horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", graft.llm.TextAnalysis.fingerprint(
+        org.apache.spark.sql.functions.col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicates("fp")
+
   /** Batch replay of the same logic over the static events table —
     * identical semantics checked in tests (stream/batch parity is the
     * Structured Streaming contract).

@@ -118,6 +118,25 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup drops repeated fingerprints across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    val q = streamingDedup(docs, "ts", "text")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), "hello world"), (ts(2), "HELLO   world"))
+      q.processAllAvailable() // same fingerprint → second dropped
+      input.addData((ts(3), "hello world"), (ts(4), "fresh document"))
+      q.processAllAvailable() // duplicate arrives in a LATER batch → dropped
+      val texts = spark.table("dedup").collect()
+        .map(_.getAs[String]("text")).sorted
+      assert(texts.toSeq == Seq("fresh document", "hello world"))
+    } finally q.stop()
+  }
+
   test("stream/batch parity: windowed counts agree with the batch plan") {
     import spark.implicits._
     val events = Seq(
