@@ -90,6 +90,39 @@ object Multimodal {
     }(enc)
   }
 
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("out_w", IntegerType, nullable = false),
+    StructField("out_h", IntegerType, nullable = false),
+    StructField("pixels", ArrayType(DoubleType, false), nullable = false)))
+
+  /** Resize stage: decode (stub) then nearest-neighbor downsample the
+    * feature grid to a fixed (outW × outH) raster — the canonical
+    * model-input normalization step. Same mapPartitions shape; decoder and
+    * resampler run row-local, once-per-partition init.
+    */
+  def resizeImages(media: DataFrame, outW: Int = 4, outH: Int = 4,
+                   mkDecoder: () => MediaDecoder = () => new StubDecoder)
+      : DataFrame = {
+    val in = media.filter(col("media_type") === "image")
+      .select(col("media_id").cast("long"), col("content"))
+    val enc = Encoders.row(resizedSchema)
+    in.mapPartitions { rows =>
+      lazy val dec = mkDecoder()
+      rows.map { r =>
+        val (w, h, feats) = dec.decodeImage(r.getAs[Array[Byte]](1), 64)
+        // treat the 64-dim feature walk as an 8x8 raster; nearest-neighbor
+        val grid = 8
+        val out = Array.tabulate(outH * outW) { i =>
+          val (oy, ox) = (i / outW, i % outW)
+          val (sy, sx) = (oy * grid / outH, ox * grid / outW)
+          feats(sy * grid + sx)
+        }
+        Row(r.getLong(0), outW, outH, out.toSeq)
+      }
+    }(enc)
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),

@@ -107,6 +107,40 @@ object TextAnalysis {
         lit(0L),
         (acc, b) => pmod(acc * 31 + b, lit(1000000007L))))
 
+  /** Language-ID, character-n-gram variant: score = |text's char-trigram
+    * set ∩ language trigram profile|, argmax with alphabetical tie-break.
+    * Profiles are the highest-frequency trigrams of each language's
+    * function words — fixed inline constants, so the vote is a pure
+    * row-local expression like [[langId]]. The two heuristics complement:
+    * trigram profiles catch inflected forms stopword lists miss.
+    */
+  private val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ein", "ich", "sch", "che", "nde",
+                "ung", "cht"),
+    "en" -> Seq("the", "and", "ing", "ion", "ent", "her", "tha", "nth",
+                "hat", "for"),
+    "es" -> Seq("que", "los", "ent", "ado", "con", "cio", "nte", "era",
+                "par", "una"),
+    "fr" -> Seq("les", "ent", "des", "que", "ion", "ais", "eur", "our",
+                "ait", "une"))
+
+  def langIdNgram(text: Column): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val grams = when(length(norm) < 3, array(norm)).otherwise(
+      array_distinct(transform(sequence(lit(1), length(norm) - 2),
+                               i => norm.substr(i, lit(3)))))
+    val scored = trigramProfiles.map { case (lang, profile) =>
+      (lang, size(array_intersect(grams,
+        array(profile.map(lit): _*))))
+    }
+    val (best, _) = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    val anyHit = scored.map(_._2).reduce(_ + _) > 0
+    when(anyHit, best).otherwise(lit("und"))
+  }
+
   /** Word lists exposed for oracle-SQL construction (LlmQueries builds the
     * DuckDB twin of these heuristics from the same constants).
     */

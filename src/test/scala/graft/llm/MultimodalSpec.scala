@@ -27,6 +27,19 @@ class MultimodalSpec extends SparkSpec {
     assert(r1.getSeq[Double](3).size == 8)
   }
 
+  test("resizeImages: fixed-raster output, deterministic, values from source grid") {
+    val media = Multimodal.syntheticMedia(Tables.documents(spark, sf0001))
+    val resized = Multimodal.resizeImages(media, outW = 4, outH = 4)
+    assert(resized.schema == Multimodal.resizedSchema)
+    val r = resized.orderBy("media_id").head()
+    assert(r.getInt(1) == 4 && r.getInt(2) == 4)
+    assert(r.getSeq[Double](3).size == 16)
+    // nearest-neighbor: every output pixel exists in the decoded grid
+    val full = Multimodal.decodeImages(media, dims = 64).orderBy("media_id")
+      .head().getSeq[Double](3).toSet
+    assert(r.getSeq[Double](3).forall(full.contains))
+  }
+
   test("sampleFrames: frame count = min(maxFrames, dur/step + 1)") {
     import spark.implicits._
     val media = Seq(

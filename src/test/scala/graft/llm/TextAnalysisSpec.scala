@@ -41,6 +41,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq("en", "fr", "es", "de", "und"))
   }
 
+  test("langIdNgram: trigram profiles vote correctly; und on no overlap") {
+    import spark.implicits._
+    val df = Seq(
+      "the thing and another that went for nothing",     // en trigrams
+      "les entreprises pour une question des jours",     // fr
+      "los cuentos que una parte con cierto adorno",     // es
+      "ich durchschaue die ordnung der entscheidung",    // de
+      "zzzz qqqq xxxx").toDF("t")
+    val out = df.select(TextAnalysis.langIdNgram(col("t")).as("l"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "fr", "es", "de", "und"))
+  }
+
   test("fingerprint: whitespace/case-normalized equality, md5 format") {
     import spark.implicits._
     val df = Seq("Hello   World", "hello world ", "different").toDF("t")
