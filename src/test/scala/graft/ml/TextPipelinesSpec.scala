@@ -61,6 +61,19 @@ class TextPipelinesSpec extends SparkSpec {
       preds.select("prediction").collect().toSeq)
   }
 
+  test("topFeatures: positive-class words rank top, negative rank bottom") {
+    val df = corpus()
+    val model = TextPipelines.sst2(vocabSize = 100).fit(df)
+    val (top, bottom) = ModelIntrospection.topFeatures(spark, model, k = 8)
+    val topWords = top.collect().map(_.getString(0)).toSet
+    val bottomWords = bottom.collect().map(_.getString(0)).toSet
+    assert((topWords intersect posWords.toSet).size >= 6, topWords)
+    assert((bottomWords intersect negWords.toSet).size >= 6, bottomWords)
+    // top-k plans as TakeOrderedAndProject, not a global sort
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("QQP pipeline: pair concat + HashingTF/IDF/StringIndexer path") {
     import spark.implicits._
     val base = corpus("q1")
