@@ -84,6 +84,35 @@ class GlueFixturesSpec extends SparkSpec {
     assert(model.transform(composed).count() == 21)
   }
 
+  test("S4: prediction export to CSV exactly like sst2_test2.py:225-227") {
+    val train = Tsv.readTsvInfer(spark, fixture("SST-2", "train")).na.drop()
+      .withColumn("label", col("label").cast("double"))
+    val model = TextPipelines.sst2(vocabSize = 100).fit(train)
+    val preds = model.transform(train)
+      .select("sentence", "label", "prediction") // the reference's 3 columns
+    val out = tmpDir("sst2csv") + "/preds"
+    Tsv.writeCsv(preds, out)
+    val back = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(out)
+    assert(back.count() == preds.count())
+    assert(back.columns.toSeq == Seq("sentence", "label", "prediction"))
+  }
+
+  test("StringIndexer round-trip: IndexToString inverts the indexing") {
+    import org.apache.spark.ml.feature.{IndexToString, StringIndexer}
+    import spark.implicits._
+    val df = Seq("cat", "dog", "cat", "bird", "dog", "dog").toDF("animal")
+    val model = new StringIndexer()
+      .setInputCol("animal").setOutputCol("idx").fit(df)
+    val back = new IndexToString()
+      .setInputCol("idx").setOutputCol("animal_back")
+      .setLabels(model.labelsArray(0))
+      .transform(model.transform(df))
+    assert(back.filter(col("animal") =!= col("animal_back")).count() == 0)
+    // frequency-ordered: most common label gets index 0
+    assert(model.labelsArray(0).head == "dog")
+  }
+
   test("batch-inference fixture shape (FIXTURES.md §A.4): ERROR sentinel + confidence") {
     import graft.infer.{BatchInference, TextScorer}
     val dev = Tsv.readTsvInfer(spark, fixture("SST-2", "dev"))
