@@ -70,6 +70,28 @@ class BinaryMetricsSpec extends SparkSpec {
                      (0.0, 0.0) -> 1L, (0.0, 1.0) -> 1L))
   }
 
+  test("E4 via stat.crosstab agrees with the confusion matrix") {
+    import spark.implicits._
+    val df = Seq((1.0, 1.0), (1.0, 0.0), (0.0, 0.0), (0.0, 0.0))
+      .toDF("label", "prediction")
+    val ct = df.stat.crosstab("label", "prediction").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cm = BinaryMetrics.confusionMatrix(df).collect()
+      .map(r => ((r.getDouble(0), r.getDouble(1)), r.getLong(2))).toMap
+    // crosstab columns sort lexicographically: 0.0 then 1.0
+    assert(ct("1.0") == ((cm.getOrElse((1.0, 0.0), 0L),
+                          cm.getOrElse((1.0, 1.0), 0L))))
+    assert(ct("0.0") == ((cm.getOrElse((0.0, 0.0), 0L),
+                          cm.getOrElse((0.0, 1.0), 0L))))
+  }
+
+  test("E7 via stat.approxQuantile brackets the exact median") {
+    import spark.implicits._
+    val df = (1 to 101).map(_.toDouble).toDF("v")
+    val Array(q) = df.stat.approxQuantile("v", Array(0.5), 0.01)
+    assert(q >= 50.0 && q <= 52.0)
+  }
+
   test("E5: rocPoints ends at (1,1) and is monotone") {
     val pts = BinaryMetrics.rocPoints(fixture).collect()
       .map(r => (r.getDouble(1), r.getDouble(2)))
