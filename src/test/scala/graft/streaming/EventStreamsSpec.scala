@@ -118,6 +118,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("durable sink: writeStream to parquet with checkpoint, append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val outDir = tmpDir("sink") + "/out"
+    val ckpt   = tmpDir("sink") + "/ckpt"
+    val q = windowedCounts(input.toDF(), windowLen = "10 minutes",
+                           lateness = "1 minute")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(Event(ts(1), "a", 1, 1.0), Event(ts(2), "a", 2, 3.0))
+      q.processAllAvailable()
+      input.addData(Event(ts(60), "a", 1, 0.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.read.parquet(outDir).collect()
+      assert(rows.length == 1) // first window closed and flushed durably
+      assert(rows(0).getAs[Long]("n") == 2L)
+      assert(java.nio.file.Files.list(
+        java.nio.file.Paths.get(ckpt)).count() > 0, "checkpoint written")
+    } finally q.stop()
+  }
+
   test("streamingDedup drops repeated fingerprints across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
