@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Scale probe (dev tool, not part of the driver contract): replicates the
+  * driver's corpus N× with shifted ids inside the query and times the
+  * scale-critical LLM operators, to measure how cost grows with corpus
+  * size — the "would this hold at 100×?" experiment, run at local[32].
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+                               "graft-scaleprobe")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+
+    def time[A](label: String)(f: => A): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    def docsX(n: Int) = {
+      val d = Tables.documents(spark, dir)
+      (0 until n).map(i =>
+        d.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+          .withColumn("text",
+            if (i % 4 == 0) col("text") // every 4th replica = exact dup
+            else concat(col("text"), lit(s" v$i")))
+      ).reduce(_ union _)
+    }
+    def embX(n: Int) = {
+      val e = Tables.embeddings(spark, dir)
+      (0 until n).map(i =>
+        e.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+        .reduce(_ union _)
+    }
+
+    for (n <- Seq(1, 5, 20)) {
+      val d = docsX(n); val rows = d.count()
+      time(s"minhash_dedup  n=$n ($rows)") {
+        Dedup.minhash(d, "doc_id", "text").count()
+      }
+      time(s"exact_dedup    n=$n ($rows)") {
+        Dedup.exact(d, "doc_id", "text").count()
+      }
+    }
+    for (n <- Seq(1, 5, 20)) {
+      val e = embX(n); val rows = e.count()
+      val q = Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+      time(s"ann_brute      n=$n ($rows)") {
+        Similarity.bruteForceTopK(e, q, 10).count()
+      }
+      time(s"ann_lsh        n=$n ($rows)") {
+        Similarity.lshTopK(e, q, 10, dim = 64,
+                           nBits = 6 + (32 - Integer.numberOfLeadingZeros(n)))
+          .count()
+      }
+    }
+    spark.stop()
+  }
+}
