@@ -99,6 +99,18 @@ object Similarity {
     bits.reduce((a, c) => a.bitwiseOR(c))
   }
 
+  /** Build the LSH index once: corpus rows keyed by hyperplane-signature
+    * bucket. This is the expensive pass (one corpus scan + signature) —
+    * persist it (or write it bucketed-by-`bucket`) and reuse across query
+    * batches; the scale probe (PLANS.md) shows the per-run re-hash is what
+    * makes one-shot LSH lose to brute force on small corpora.
+    */
+  def lshIndex(corpus: DataFrame, dim: Int, nBits: Int = 12,
+               seed: Long = 42L, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+      .withColumn("bucket", hyperplaneSignature(col("cvec"), dim, nBits, seed))
+
   /** LSH-bucketed approximate top-k: bucket corpus and queries by
     * hyperplane signature, equi-join on bucket, rank within query.
     * Multi-probe: each query also probes buckets at Hamming distance 1
@@ -108,9 +120,16 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               nBits: Int = 12, seed: Long = 42L,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
-      .withColumn("bucket", hyperplaneSignature(col("cvec"), dim, nBits, seed))
+              vecCol: String = "embedding"): DataFrame =
+    lshTopKWithIndex(lshIndex(corpus, dim, nBits, seed, idCol, vecCol),
+                     queries, k, dim, nBits, seed, idCol, vecCol)
+
+  /** Query a prebuilt (typically persisted) [[lshIndex]]. */
+  def lshTopKWithIndex(index: DataFrame, queries: DataFrame, k: Int,
+                       dim: Int, nBits: Int = 12, seed: Long = 42L,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val c = index
     // query probes: own bucket + all 1-bit flips
     val probes = array(
       (col("bucket") +: (0 until nBits).map(b =>

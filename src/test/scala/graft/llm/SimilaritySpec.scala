@@ -56,6 +56,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9")
   }
 
+  test("persisted lshIndex returns identical results to one-shot lshTopK") {
+    val corpus  = clustered
+    val queries = corpus.filter(col("vec_id") < 10)
+    val oneShot = Similarity.lshTopK(corpus, queries, k = 5, dim = 16,
+                                     nBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = Similarity.lshIndex(corpus, dim = 16, nBits = 8).persist()
+    try {
+      val viaIndex = Similarity
+        .lshTopKWithIndex(index, queries, k = 5, dim = 16, nBits = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaIndex == oneShot)
+    } finally { index.unpersist(); () }
+  }
+
   test("lshTopK plan is a bucket equi-join, not a cartesian scan") {
     val corpus = clustered
     val plan = Similarity.lshTopK(corpus, corpus.limit(3), k = 5, dim = 16,
