@@ -161,14 +161,19 @@ object Similarity {
     * Recall is tunable with nProbe at constant index cost, unlike LSH
     * where recall is baked into the bit count.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 3, seed: Long = 42L,
-              kmeansMaxIter: Int = 8,
-              idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+  /** Prebuilt IVF index: cell-assigned corpus (persist or write
+    * partitioned by `cell`) + the nCells centroid table.
+    */
+  case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  /** Build the IVF index once — the expensive pass (KMeans fit + corpus
+    * assignment). Reuse across query batches like [[lshIndex]].
+    */
+  def ivfIndex(corpus: DataFrame, nCells: Int = 16, seed: Long = 42L,
+               kmeansMaxIter: Int = 8, idCol: String = "vec_id",
+               vecCol: String = "embedding"): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.{Vector => MlVector}
 
     val corpusVec = corpus.select(
       col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
@@ -181,13 +186,29 @@ object Similarity {
       .setFeaturesCol("fvec").setPredictionCol("cell")
       .fit(corpusVec)
     val indexed = model.transform(corpusVec).select("corpus_id", "cvec", "cell")
-
-    // centroid table: nCells rows — driver-side, broadcast back
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
       .toDF("cell", "centroid")
+    IvfIndex(indexed, cents)
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 3, seed: Long = 42L,
+              kmeansMaxIter: Int = 8,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame =
+    ivfTopKWithIndex(
+      ivfIndex(corpus, nCells, seed, kmeansMaxIter, idCol, vecCol),
+      queries, k, nProbe, idCol, vecCol)
+
+  /** Query a prebuilt [[IvfIndex]]. */
+  def ivfTopKWithIndex(index: IvfIndex, queries: DataFrame, k: Int,
+                       nProbe: Int = 3, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val indexed = index.assigned
+    val cents   = index.centroids
 
     // each query ranks centroids by cosine, keeps top nProbe cells
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))

@@ -91,6 +91,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.95, s"IVF recall $recall < 0.95")
   }
 
+  test("persisted ivfIndex returns identical results to one-shot ivfTopK") {
+    val corpus  = clustered
+    val queries = corpus.filter(col("vec_id") < 10)
+    val oneShot = Similarity.ivfTopK(corpus, queries, k = 5,
+                                     nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = Similarity.ivfIndex(corpus, nCells = 8)
+    idx.assigned.persist()
+    try {
+      val viaIndex = Similarity
+        .ivfTopKWithIndex(idx, queries, k = 5, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaIndex == oneShot)
+    } finally { idx.assigned.unpersist(); () }
+  }
+
   test("lshSimilarityJoin finds within-cluster pairs above threshold") {
     val corpus = clustered
     val pairs = Similarity.lshSimilarityJoin(
