@@ -159,7 +159,35 @@ object ScalarQueries {
       .agg(round(avg("k"), 4).as("k_avg"), max("k").as("k_max"))
       .orderBy("event_type")
 
+  /** Array aggregation: collect_list made deterministic by sort_array +
+    * slice (unordered collect is never hash-comparable). The pattern
+    * training pipelines use to group documents per key.
+    */
+  def q48ArrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        slice(sort_array(collect_list("doc_id")), 1, 5).as("first_docs"),
+        count(lit(1)).as("n"))
+      .withColumn("first_docs", concat_ws(",", col("first_docs")))
+      .orderBy("lang")
+
+  /** Pivot: documents per (source × lang) as a wide table, with an
+    * explicit value list so the output schema is deterministic.
+    */
+  def q49Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .groupBy("source")
+      .pivot("lang", Seq("de", "en", "es", "fr"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_array_agg"       -> (q48ArrayAgg(_, _)),
+    "q49_pivot"           -> (q49Pivot(_, _)),
     "q02_select_cast"     -> (q02SelectCast(_, _)),
     "q04_null_cleaning"   -> (q04NullCleaning(_, _)),
     "q07_string_funcs"    -> (q07StringFuncs(_, _)),
@@ -173,6 +201,22 @@ object ScalarQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q48_array_agg" ->
+      """SELECT lang,
+        |  array_to_string(list_sort(list(doc_id))[1:5], ',') AS first_docs,
+        |  count(*) AS n
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    "q49_pivot" ->
+      """SELECT source,
+        |  count(*) FILTER (lang = 'de') AS de,
+        |  count(*) FILTER (lang = 'en') AS en,
+        |  count(*) FILTER (lang = 'es') AS es,
+        |  count(*) FILTER (lang = 'fr') AS fr
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     "q02_select_cast" ->
       """SELECT c_custkey, c_name AS name, c_mktsegment AS segment,
         |  CAST(trunc(c_acctbal) AS INTEGER) AS acctbal_int,
