@@ -9,6 +9,13 @@ import java.nio.file.{Files, Paths}
   *
   * Methodology: one untimed warmup pass per query (absorbs session startup,
   * first-job codegen and JIT), then 3 timed passes, median reported.
+  * Each pass drives the query through the `noop` sink, NOT `.count()`:
+  * count lets Catalyst prune cardinality-preserving operators (projects,
+  * windows, and — critically — left joins against aggregates keyed on the
+  * join key), so a count-driven bench can time a plan that skips the
+  * query's actual work. The noop sink evaluates every output row and
+  * column and writes nothing. (Round-2 numbers used count() and under-
+  * measured the dedup/window queries for exactly this reason.)
   * Failures are NOT swallowed into timings: each query carries an `ok` flag
   * and a failed pass contributes no median.
   */
@@ -20,18 +27,21 @@ object Bench {
 
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
 
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
     // Warmup: run each query once, untimed.
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
+      try run(n)
       catch { case _: Throwable => () }
     }
 
     val results: Seq[(String, Double, Boolean)] = names.map { name =>
-      val fn = SparkEntry.queries(name)
       val passes = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { run(name); true }
           catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")

@@ -42,14 +42,29 @@ case class CosineSimExpr(left: Expression, right: Expression)
     case _ => false
   }
 
+  // Null elements inside either array propagate to a null result (the
+  // zip_with/aggregate HOF twin folds null through the sums), so the
+  // expression is nullable even over non-null array columns.
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     CosineSimExpr.compute(a.asInstanceOf[ArrayData],
                           b.asInstanceOf[ArrayData],
                           isFloat(left), isFloat(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.CosineSimExpr.compute($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("cosRes")
+      s"""
+         |java.lang.Double $res = graft.functions.CosineSimExpr.compute(
+         |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $res.doubleValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimExpr =
@@ -59,14 +74,20 @@ case class CosineSimExpr(left: Expression, right: Expression)
 object CosineSimExpr {
   /** Fused kernel, called from interpreted eval and generated Java alike.
     * Iterates min(len) pairs (zip_with semantics over equal-length arrays;
-    * norms still cover each full array like the spec formulation).
+    * norms still cover each full array like the spec formulation). A null
+    * element anywhere in either array yields null (boxed), matching the
+    * HOF twin where null folds through the aggregate sums.
     */
   def compute(a: ArrayData, b: ArrayData,
-              aFloat: Boolean, bFloat: Boolean): Double = {
+              aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
     val na = a.numElements()
     val nb = b.numElements()
-    var dot = 0.0; var qa = 0.0; var qb = 0.0
     var i = 0
+    while (i < na) { if (a.isNullAt(i)) return null; i += 1 }
+    i = 0
+    while (i < nb) { if (b.isNullAt(i)) return null; i += 1 }
+    var dot = 0.0; var qa = 0.0; var qb = 0.0
+    i = 0
     val n = math.min(na, nb)
     while (i < n) {
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
@@ -84,6 +105,6 @@ object CosineSimExpr {
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       qb += y * y; i += 1
     }
-    dot / (math.sqrt(qa) * math.sqrt(qb))
+    java.lang.Double.valueOf(dot / (math.sqrt(qa) * math.sqrt(qb)))
   }
 }

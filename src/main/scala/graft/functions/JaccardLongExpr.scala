@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native exact Jaccard similarity between two `array<bigint>` element
+  * SETS — the within-bucket verify kernel of MinHash dedup, where the
+  * composed formulation
+  * `size(array_intersect(a,b)) / size(array_union(a,b))` allocates two
+  * boxed hash sets per pair (measured ~7 µs/pair — the dominant cost of
+  * the whole dedup pipeline once candidates are narrow).
+  *
+  * This kernel copies both arrays to primitive longs, sorts (adaptive:
+  * already-sorted inputs cost one linear scan), and counts distinct
+  * intersection/union in one merge — no boxing, no hash sets, fully
+  * inside whole-stage codegen.
+  *
+  * Semantics match the HOF twin exactly, including multiset inputs
+  * (duplicates collapse, as array_intersect/array_union do) and the
+  * empty/empty case (0/0 → NaN, double division semantics). Null
+  * ELEMENTS are rejected by the type check (the dedup pipeline hashes
+  * non-null shingles, so element nulls cannot occur there).
+  *
+  * Registered as SQL `jaccard_long` by [[graft.plans.GraftExtensions]].
+  */
+case class JaccardLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemOk(dt: DataType) = dt match {
+    case ArrayType(LongType, false) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaccard_long requires array<bigint> (no null elements), got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaccardLongExpr.compute(a.asInstanceOf[ArrayData],
+                            b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaccardLongExpr.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardLongExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardLongExpr {
+  /** Sorted-merge distinct intersection/union count. Called from
+    * interpreted eval and generated Java alike.
+    */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val xs = a.toLongArray()
+    val ys = b.toLongArray()
+    java.util.Arrays.sort(xs)
+    java.util.Arrays.sort(ys)
+    var i = 0; var j = 0
+    var inter = 0L; var union = 0L
+    while (i < xs.length && j < ys.length) {
+      val x = xs(i); val y = ys(j)
+      if (x == y) {
+        inter += 1; union += 1
+        // collapse duplicates on both sides (set semantics)
+        while (i < xs.length && xs(i) == x) i += 1
+        while (j < ys.length && ys(j) == y) j += 1
+      } else if (x < y) {
+        union += 1
+        while (i < xs.length && xs(i) == x) i += 1
+      } else {
+        union += 1
+        while (j < ys.length && ys(j) == y) j += 1
+      }
+    }
+    while (i < xs.length) {
+      val x = xs(i); union += 1
+      while (i < xs.length && xs(i) == x) i += 1
+    }
+    while (j < ys.length) {
+      val y = ys(j); union += 1
+      while (j < ys.length && ys(j) == y) j += 1
+    }
+    inter.toDouble / union.toDouble
+  }
+}

@@ -29,16 +29,34 @@ object Dedup {
       .select("doc_id", "cluster_id", "is_duplicate")
   }
 
-  /** Character k-shingles of the normalized text (the MinHash/Jaccard
-    * input universe). Row-local expression.
+  /** Whitespace/case normalization feeding [[shingles]] — exposed so
+    * pipelines can materialize it as a NAMED column before shingling.
     */
-  def shingles(text: Column, k: Int = 5): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+  def normalizeText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Character k-shingles over an ALREADY-MATERIALIZED normalized-text
+    * column. `norm` must be a plain column reference (attribute): HOF
+    * lambdas are interpreted and re-evaluate every outer expression they
+    * reference PER ELEMENT, so passing the normalization tree directly
+    * would run the regexp once per shingle (~|text| regexp calls per row —
+    * measured 10× the cost of the whole MinHash pipeline). Against an
+    * attribute, the per-element work is just the substr.
+    */
+  def shinglesOfNorm(norm: Column, k: Int = 5): Column =
     when(length(norm) < k, array(norm)).otherwise(
       array_distinct(
         transform(sequence(lit(1), length(norm) - (k - 1)),
                   i => norm.substr(i, lit(k)))))
-  }
+
+  /** Character k-shingles of the normalized text (the MinHash/Jaccard
+    * input universe). Row-local expression. Convenience form inlining the
+    * normalization — fine for specs and small relations; hot paths should
+    * name the norm column and use [[shinglesOfNorm]] (see scale note
+    * there).
+    */
+  def shingles(text: Column, k: Int = 5): Column =
+    shinglesOfNorm(normalizeText(text), k)
 
   /** MinHash signature of a shingle set: numHashes universal-hash slots,
     * each `min over shingles of xxhash64(shingle, seed)` — the HOF spec
@@ -83,18 +101,30 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
+    // Shingle sets are carried as xxhash64 values, not strings: the
+    // within-bucket verify intersects arrays of longs (single compare per
+    // element, no UTF8 hashing) and every shuffle of a shingle set moves
+    // 8 bytes/shingle instead of the string bytes. Jaccard over hashed
+    // shingles equals string Jaccard unless xxhash64 collides inside one
+    // document's ~10²-shingle set (P ≈ |sh|²/2⁶⁴ ≈ 1e-15 — negligible).
     val sigs = df.select(
       col(idCol).as("doc_id"),
-      shingles(col(textCol), k).as("sh"))
+      normalizeText(col(textCol)).as("norm"))
+      .select(col("doc_id"), shinglesOfNorm(col("norm"), k).as("sh"))
       .withColumn("sig", minhashSignatureNative(col("sh"), numHashes))
+      .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
+      .select("doc_id", "sig", "shh")
 
     // band hash = xxhash64 over the band's slice of the signature. Bands
     // are unrolled Scala-side (fixed small count); `sig` is a named column
     // so CollapseProject won't duplicate the signature computation per band.
+    // Only (doc_id, band, bucket) flows into the explode/window/join —
+    // shingle sets are joined back AFTER candidate pairs are deduped, so
+    // the 8-way band duplication and the bucket shuffle stay narrow.
     val bandArr = array((0 until rows).map { b =>
       xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
     }: _*)
-    val banded = sigs.select(col("doc_id"), col("sh"), posexplode(bandArr))
+    val banded = sigs.select(col("doc_id"), posexplode(bandArr))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
@@ -106,36 +136,97 @@ object Dedup {
       .drop("bsize")
 
     val a = pruned.select(col("band"), col("bucket"),
-                          col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+                          col("doc_id").as("doc_a"))
     val b = pruned.select(col("band"), col("bucket"),
-                          col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+                          col("doc_id").as("doc_b"))
+    // Distinct BEFORE the verify step: a pair colliding in several bands
+    // is verified once, not once per band.
+    val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+
+    val shA = sigs.select(col("doc_id").as("doc_a"), col("shh").as("sh_a"))
+    val shB = sigs.select(col("doc_id").as("doc_b"), col("shh").as("sh_b"))
+    cand.join(shA, Seq("doc_a")).join(shB, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-              (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-                size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-                .as("jaccard"))
-      .distinct() // same pair can collide in several bands
+              jaccardLong(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Cluster assignment from candidate pairs: every doc maps to the min id
-    * among its neighbors (and itself). Near-dup groups are cliques in
-    * practice (all copies resemble each other), so one min-propagation
-    * round assigns the whole clique to its smallest member; chains longer
-    * than one hop would need iterated propagation (documented limitation).
+  /** Exact set Jaccard over two array<bigint> columns via the native
+    * sorted-merge kernel ([[graft.functions.JaccardLongExpr]]) — equal to
+    * `size(array_intersect)/size(array_union)` without the per-pair boxed
+    * hash sets. The MinHash verify hot path.
+    */
+  def jaccardLong(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.JaccardLongExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Cluster assignment from candidate pairs: iterated min-label
+    * propagation to a fixpoint, so transitive chains A~B~C (with A≁C)
+    * land in ONE cluster — the connected-components closure standard in
+    * web-scale dedup. Delegates to [[clustersFromEdges]].
     */
   def clustersFromPairs(df: DataFrame, idCol: String, textCol: String,
-                        pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+                        pairs: DataFrame): DataFrame =
+    clustersFromEdges(df.select(col(idCol).as("doc_id")), pairs)
+
+  /** Connected components by iterated min-label propagation: each round,
+    * every vertex takes the min of its own label and its neighbors'
+    * labels; converged when no label decreases (checked distributed — an
+    * `isEmpty` probe, no data to the driver). Rounds needed = component
+    * diameter, which for near-dup chains is small; `maxRounds` bounds the
+    * job count regardless. Each round is one join + one aggregate —
+    * data-parallel, no driver state; intermediate labels are persisted
+    * per round and released immediately, so lineage stays flat at scale.
+    *
+    * `vertices` must expose `doc_id`; `pairs` must expose
+    * (`doc_a`, `doc_b`). Returns (doc_id, cluster_id, is_duplicate).
+    */
+  def clustersFromEdges(vertices: DataFrame, pairs: DataFrame,
+                        maxRounds: Int = 8): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // Narrow, symmetric edge list materialized ONCE (8+8 bytes/edge) —
+    // every round re-reads this cache, never the candidate-generation DAG.
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val neighborMin = edges.groupBy("src").agg(min("dst").as("min_nb"))
-    df.select(col(idCol).as("doc_id"))
-      .join(neighborMin, col("doc_id") === col("src"), "left")
-      .select(col("doc_id"),
-              least(col("doc_id"), coalesce(col("min_nb"), col("doc_id")))
-                .as("cluster_id"))
-      .withColumn("is_duplicate", col("doc_id") =!= col("cluster_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Iterative lineage MUST be truncated each round: persist() alone
+    // keeps the logical plan growing (each round embeds the previous
+    // round's tree twice), and optimizer/planning time explodes
+    // exponentially even when all data is cached. localCheckpoint is
+    // eager and cuts the plan back to the materialized blocks, so every
+    // round plans O(1) nodes. (On a shared cluster with executor loss,
+    // swap for reliable checkpoint() under a checkpoint dir.)
+    var labels = vertices.select(col("doc_id"))
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val propagated = edges
+        .join(labels, col("dst") === col("doc_id"))
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      val next = labels.select("doc_id", "cluster_id")
+        .unionByName(propagated)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      // Labels only ever decrease; fixpoint = zero strict decreases. The
+      // check joins two checkpointed label tables — a flat, tiny plan.
+      val changed = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter(col("n.cluster_id") < col("o.cluster_id"))
+        .count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist()
+    labels.withColumn("is_duplicate", col("doc_id") =!= col("cluster_id"))
   }
 
   /** End-to-end MinHash near-dedup: candidates → clusters. */
@@ -191,19 +282,28 @@ object Dedup {
 
   /** SimHash near-dup candidates: docs whose simhash matches exactly on at
     * least one of 4 16-bit bands (guaranteed recall for Hamming distance
-    * ≤ 3). Same band-bucket-join shape as MinHash — no all-pairs stage.
+    * ≤ 3). Same band-bucket-join shape as MinHash — no all-pairs stage,
+    * and the same `maxBucket` guard: a band bucket holding more than
+    * `maxBucket` docs (boilerplate storm) is dropped before the
+    * within-bucket self-join, bounding candidates at maxBucket² per
+    * bucket; such mass-duplicate text is exact-dedup's job.
     */
   def simhashCandidates(df: DataFrame, idCol: String,
-                        textCol: String): DataFrame = {
+                        textCol: String,
+                        maxBucket: Int = 1000): DataFrame = {
     val sh = withSimhashNative(df.select(col(idCol).as("doc_id"),
                                          col(textCol)), textCol, "sh64")
       .select("doc_id", "sh64")
     val bandArr = array((0 until 4).map { b =>
       shiftright(col("sh64"), b * 16).bitwiseAND(lit(0xFFFFL))
     }: _*)
+    val bucketW = Window.partitionBy("band", "bucket")
     val banded = sh.select(col("doc_id"), col("sh64"), posexplode(bandArr))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+      .withColumn("bsize", count(lit(1)).over(bucketW))
+      .filter(col("bsize") <= maxBucket)
+      .drop("bsize")
     val a = banded.select(col("band"), col("bucket"),
                           col("doc_id").as("doc_a"), col("sh64").as("ha"))
     val b = banded.select(col("band"), col("bucket"),
@@ -223,20 +323,14 @@ object Dedup {
   def embeddingClusters(embeddings: DataFrame, dim: Int,
                         threshold: Double = 0.9, nBits: Int = 6,
                         idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame = {
+                        vecCol: String = "embedding",
+                        maxBucket: Int = 10000): DataFrame = {
     val pairs = Similarity
       .lshSimilarityJoin(embeddings, embeddings, dim, threshold, nBits,
-                         idCol = idCol, vecCol = vecCol)
+                         idCol = idCol, vecCol = vecCol,
+                         maxBucket = maxBucket)
       .select(col("left_id").as("doc_a"), col("right_id").as("doc_b"))
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val neighborMin = edges.groupBy("src").agg(min("dst").as("min_nb"))
-    embeddings.select(col(idCol).as("doc_id"))
-      .join(neighborMin, col("doc_id") === col("src"), "left")
-      .select(col("doc_id"),
-              least(col("doc_id"), coalesce(col("min_nb"), col("doc_id")))
-                .as("cluster_id"))
-      .withColumn("is_duplicate", col("doc_id") =!= col("cluster_id"))
+    clustersFromEdges(embeddings.select(col(idCol).as("doc_id")), pairs)
   }
 
   /** Word n-gram Jaccard similarity between two text columns (the

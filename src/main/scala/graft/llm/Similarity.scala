@@ -77,20 +77,24 @@ object Similarity {
     * integer mix — no RNG object, fully reproducible), each contributing a
     * sign bit. Returns a bigint bucket id.
     */
+  /** Deterministic "random" hyperplane component for (bit, dimension):
+    * integer-mixed (splitmix-style) hash mapped to [-1, 1). Matches nothing
+    * external — just a fixed reproducible projection matrix computed
+    * inline. Public so the DuckDB oracle can inline the SAME matrix as SQL
+    * literals and replay the signature exactly.
+    */
+  def hyperplaneComponent(bit: Int, d: Int, seed: Long = 42L): Double = {
+    var z = seed + bit.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    z.toDouble / Long.MaxValue.toDouble
+  }
+
   def hyperplaneSignature(vec: Column, dim: Int, nBits: Int = 12,
                           seed: Long = 42L): Column = {
-    // Deterministic "random" hyperplane component for (bit, dimension):
-    // integer-mixed hash mapped to [-1, 1). Matches nothing external — just
-    // a fixed reproducible projection matrix computed inline.
-    def comp(bit: Int, d: Int): Double = {
-      var z = seed + bit.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      (z.toDouble / Long.MaxValue.toDouble)
-    }
     val bits = (0 until nBits).map { b =>
-      val plane = typedLit((0 until dim).map(d => comp(b, d)))
+      val plane = typedLit((0 until dim).map(d => hyperplaneComponent(b, d, seed)))
       val dot = aggregate(
         zip_with(vec, plane, (x, w) => x.cast("double") * w),
         lit(0.0d), (acc, x) => acc + x)
@@ -236,15 +240,35 @@ object Similarity {
     * via shared LSH buckets — returns pairs above a cosine threshold.
     * (The `approxSimilarityJoin` shape, hand-built so the plan is a plain
     * equi-join Catalyst can reason about.)
+    *
+    * Skew guard: the bucket equi-join is quadratic WITHIN a bucket, so a
+    * hot bucket (clustered corpus, too few bits) is a scale-killer. Each
+    * side drops buckets holding more than `maxBucket` of its rows before
+    * the join (the [[Dedup.minhashCandidatePairs]] guard), capping the
+    * per-bucket candidate count at maxBucket². Sizing rule: choose
+    * nBits ≈ log2(N / targetBucketSize) so the EXPECTED bucket holds
+    * `targetBucketSize` rows and the guard only fires on pathological
+    * (boilerplate/duplicate-storm) buckets, which exact dedup handles.
     */
   def lshSimilarityJoin(left: DataFrame, right: DataFrame, dim: Int,
                         threshold: Double, nBits: Int = 10,
                         seed: Long = 42L, idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame = {
-    val l = left.select(col(idCol).as("left_id"), col(vecCol).as("lvec"))
-      .withColumn("bucket", hyperplaneSignature(col("lvec"), dim, nBits, seed))
-    val r = right.select(col(idCol).as("right_id"), col(vecCol).as("rvec"))
-      .withColumn("bucket", hyperplaneSignature(col("rvec"), dim, nBits, seed))
+                        vecCol: String = "embedding",
+                        maxBucket: Int = 10000): DataFrame = {
+    def guarded(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("bucket")
+      df.withColumn("bsize", count(lit(1)).over(w))
+        .filter(col("bsize") <= maxBucket)
+        .drop("bsize")
+    }
+    val l = guarded(
+      left.select(col(idCol).as("left_id"), col(vecCol).as("lvec"))
+        .withColumn("bucket",
+                    hyperplaneSignature(col("lvec"), dim, nBits, seed)))
+    val r = guarded(
+      right.select(col(idCol).as("right_id"), col(vecCol).as("rvec"))
+        .withColumn("bucket",
+                    hyperplaneSignature(col("rvec"), dim, nBits, seed)))
     l.join(r, Seq("bucket"))
       .filter(col("left_id") < col("right_id"))
       .withColumn("cos", cosine(col("lvec"), col("rvec")))

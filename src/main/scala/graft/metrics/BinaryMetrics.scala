@@ -71,19 +71,44 @@ object BinaryMetrics {
     * (one aggregate), sort scores descending, cumulative TP/FP via a window
     * over the score-grouped relation, normalize by total P/N. Returns
     * (score, fpr, tpr) without the (0,0) origin point.
+    *
+    * `maxBins` is the cluster-scale guard: continuous scores (real LR
+    * probabilities) are almost all distinct, so the score-grouped relation
+    * is data-sized and the single-partition cumulative window would sort it
+    * on one task. With `maxBins > 0`, scores are first quantile-binned —
+    * approxQuantile edges (a distributed sketch, O(maxBins) to the driver),
+    * each score mapped to its bin, bin threshold = max score in bin — the
+    * same downsampling BinaryClassificationMetrics(numBins) applies. The
+    * window input is then ≤ maxBins rows no matter the data scale.
+    * `maxBins = 0` keeps the exact per-distinct-score curve (right for
+    * discrete scores / oracle comparison).
     */
   def rocPoints(preds: Dataset[_], labelCol: String = "label",
-                scoreCol: String = "score"): DataFrame = {
-    val byScore = preds
-      .groupBy(col(scoreCol).cast("double").as("score"))
-      .agg(
-        sum(when(col(labelCol).cast("double") === 1.0d, 1L).otherwise(0L))
-          .as("pos"),
-        sum(when(col(labelCol).cast("double") === 1.0d, 0L).otherwise(1L))
-          .as("neg"))
-    // Window over the score-aggregated relation (≤ #distinct scores rows);
-    // single-partition window is intentional here — the input is already
-    // reduced, so this is a driver-scale sort, not a data-scale one.
+                scoreCol: String = "score", maxBins: Int = 0): DataFrame = {
+    val scored = preds.select(
+      col(scoreCol).cast("double").as("score"),
+      col(labelCol).cast("double").as("label"))
+    val pos = sum(when(col("label") === 1.0d, 1L).otherwise(0L)).as("pos")
+    val neg = sum(when(col("label") === 1.0d, 0L).otherwise(1L)).as("neg")
+    val byScore =
+      if (maxBins <= 0) scored.groupBy("score").agg(pos, neg)
+      else {
+        val probs = (1 until maxBins).map(_.toDouble / maxBins).toArray
+        val edges = scored.stat
+          .approxQuantile("score", probs, 1.0 / (4.0 * maxBins))
+          .distinct.sorted.toSeq
+        // bin index = #edges strictly below the score (monotone in score),
+        // so binning preserves score order; threshold of a bin = its max.
+        val bin = size(filter(typedLit(edges), e => e < col("score")))
+        scored.withColumn("bin", bin)
+          .groupBy("bin")
+          .agg(max("score").as("score"), pos, neg)
+          .drop("bin")
+      }
+    // Window over the score-aggregated relation (≤ #distinct scores or
+    // maxBins rows); single-partition window is intentional here — the
+    // input is already reduced, so this is a driver-scale sort, not a
+    // data-scale one.
     val w = Window.orderBy(desc("score"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = byScore.agg(sum("pos"), sum("neg")).head()
@@ -105,8 +130,8 @@ object BinaryMetrics {
     * P(class=1) — exact-equality tested in MetricsSpec.
     */
   def aucROC(preds: Dataset[_], labelCol: String = "label",
-             scoreCol: String = "score"): Double = {
-    val pts = rocPoints(preds, labelCol, scoreCol)
+             scoreCol: String = "score", maxBins: Int = 0): Double = {
+    val pts = rocPoints(preds, labelCol, scoreCol, maxBins)
       .select("fpr", "tpr").collect()
       .map(r => (r.getDouble(0), r.getDouble(1)))
     val curve = ((0.0, 0.0) +: pts.toSeq).toList

@@ -175,6 +175,23 @@ object LlmQueries {
     "q45_ann_ivf"          -> (q45AnnIvf(_, _))
   )
 
+  /** DuckDB replay of [[Similarity.hyperplaneSignature]]: the projection
+    * matrix is a fixed deterministic constant, so its values are generated
+    * HERE with the same Scala function and inlined as SQL double literals
+    * (shortest-repr doubles round-trip exactly through DuckDB's parser).
+    * The SQL then only needs list_dot_product + sign bits — same
+    * accumulation order as the Spark `aggregate∘zip_with` formulation.
+    * Expects a CTE column `v` = double-cast embedding list.
+    */
+  private def lshBucketSql(nBits: Int, dim: Int = 64,
+                           seed: Long = 42L): String =
+    (0 until nBits).map { b =>
+      val plane = (0 until dim)
+        .map(d => Similarity.hyperplaneComponent(b, d, seed).toString)
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   private val stopList =
     TextAnalysis.stopwordsForSql.map(s => s"'$s'").mkString("[", ", ", "]")
 
@@ -279,6 +296,48 @@ object LlmQueries {
         |      FROM s)
         |SELECT query_id, corpus_id, round(cos, 6) AS cos, rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q39_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |        CAST(${lshBucketSql(6)} AS BIGINT) AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket
+         |      FROM b WHERE vec_id < 5),
+         |p AS (SELECT query_id, qv,
+         |        unnest([bucket, xor(bucket, CAST(1 AS BIGINT)),
+         |                xor(bucket, CAST(2 AS BIGINT)),
+         |                xor(bucket, CAST(4 AS BIGINT)),
+         |                xor(bucket, CAST(8 AS BIGINT)),
+         |                xor(bucket, CAST(16 AS BIGINT)),
+         |                xor(bucket, CAST(32 AS BIGINT))]) AS probe
+         |      FROM q),
+         |cand AS (
+         |  SELECT p.query_id, b.vec_id AS corpus_id,
+         |         list_cosine_similarity(p.qv, b.v) AS cos
+         |  FROM p JOIN b ON b.bucket = p.probe AND b.vec_id <> p.query_id),
+         |r AS (SELECT query_id, corpus_id, cos,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY cos DESC, corpus_id) AS rank
+         |      FROM cand)
+         |SELECT query_id, corpus_id, round(cos, 6) AS cos, rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q44_lsh_sim_join" ->
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |        CAST(${lshBucketSql(4)} AS BIGINT) AS bucket FROM e),
+         |g AS (SELECT * FROM b
+         |      QUALIFY count(*) OVER (PARTITION BY bucket) <= 10000),
+         |pairs AS (
+         |  SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+         |         list_cosine_similarity(l.v, r.v) AS cos
+         |  FROM g l JOIN g r
+         |    ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         |SELECT DISTINCT left_id, right_id, round(cos, 6) AS cos
+         |FROM pairs WHERE cos >= 0.25
+         |ORDER BY left_id, right_id""".stripMargin,
     "q40_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id AS media_id, length(text) * 40 AS dur

@@ -29,8 +29,13 @@ object RangeJoin {
     val iv = intervals.withColumn("__bin",
       explode(sequence(
         floor(col(loCol) / binWidth).cast("long"),
-        // hi is exclusive: a hi exactly on a grid line owns no bin there
-        floor((col(hiCol) - lit(1e-9)) / binWidth).cast("long"))))
+        // unconditionally include hi's bin: when hi sits exactly on a grid
+        // line the extra boundary bin yields only false candidates, which
+        // the exact range post-filter removes — an epsilon subtraction
+        // would instead DROP the last bin (missed matches) whenever hi is
+        // within the epsilon above a grid line, and is a double no-op for
+        // large hi anyway
+        floor(col(hiCol) / binWidth).cast("long"))))
     p.join(iv, Seq("__bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")

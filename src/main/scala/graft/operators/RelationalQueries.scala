@@ -16,10 +16,11 @@ import graft.sources.Tables
   *  - Dimension tables (region, nation — O(10^2) rows at any SF) are
   *    explicitly `broadcast()`ed in q03/q05: the fact side is never
   *    shuffled for those joins.
-  *  - Double-typed aggregates are rounded in BOTH the Spark query and the
-  *    DuckDB oracle so the hash-compare is stable across summation orders
-  *    at the tested scale factors (sf ≤ 0.1; at 10^16-scale sums a DECIMAL
-  *    cast before sum would be required for order-independent exactness).
+  *  - Money aggregates in the headline queries (q01/q03/q05, like q16) are
+  *    DECIMAL-exact: inputs cast to tight decimals before arithmetic, so
+  *    sums are order-independent at ANY scale. Remaining double aggregates
+  *    (ratios/averages) are rounded identically in the Spark query and the
+  *    DuckDB oracle for hash stability at the tested SFs.
   *  - Every query ends in an ORDER BY with a full tie-break so row order
   *    is deterministic for the driver compare.
   */
@@ -27,8 +28,31 @@ object RelationalQueries {
 
   private def ts(s: String) = to_timestamp(lit(s))
 
+  /** Decimal-exact money arithmetic (the q16 pattern, applied to the
+    * headline queries): inputs cast to tight decimals BEFORE any
+    * arithmetic — prices fit DECIMAL(12,2) (TPC-H domain: ≤ ~105k),
+    * discount/tax are 2-decimal rates — and every row-level product is
+    * cast back to the smallest exactly-representable decimal so the
+    * combined precision stays within BOTH Spark's and DuckDB's 38-digit
+    * cap. Sums over these are exact and independent of summation order —
+    * the property double sums lose near 1e16 at the 100 TB design point.
+    * Rendered as strings so the driver compare is representation-exact.
+    */
+  private val ep2     = col("l_extendedprice").cast("decimal(12,2)")
+  private val qty2    = col("l_quantity").cast("decimal(12,2)")
+  private val oneMinusDisc =
+    (lit(1) - col("l_discount").cast("decimal(3,2)")).cast("decimal(3,2)")
+  private val onePlusTax =
+    (lit(1) + col("l_tax").cast("decimal(3,2)")).cast("decimal(4,2)")
+  // price × rate: exact scale 4, value < 105k → DECIMAL(14,4) is lossless
+  private val discPriceRow = (ep2 * oneMinusDisc).cast("decimal(14,4)")
+  // × second rate: exact scale 6, value < 114k → DECIMAL(16,6) lossless
+  private val chargeRow    = (discPriceRow * onePlusTax).cast("decimal(16,6)")
+
   /** TPC-H Q1-style pricing summary: full-scan aggregate over lineitem.
     * One shuffle (by the 2-value group key) after map-side partial agg.
+    * Money sums are decimal-exact (order-independent); the avg diagnostics
+    * stay double+round (a ratio, not ledger money).
     */
   def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables
@@ -36,15 +60,11 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= ts("1998-09-01"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        sum(qty2).cast("decimal(38,2)").cast("string").as("sum_qty"),
+        sum(ep2).cast("decimal(38,2)").cast("string").as("sum_base_price"),
+        sum(discPriceRow).cast("decimal(38,2)").cast("string")
           .as("sum_disc_price"),
-        round(
-          sum(
-            col("l_extendedprice") * (lit(1) - col("l_discount")) *
-              (lit(1) + col("l_tax"))),
-          2).as("sum_charge"),
+        sum(chargeRow).cast("decimal(38,2)").cast("string").as("sum_charge"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_extendedprice"), 4).as("avg_price"),
         round(avg("l_discount"), 4).as("avg_disc"),
@@ -76,11 +96,11 @@ object RelationalQueries {
     li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-      .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
-      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .agg(sum(discPriceRow).cast("decimal(38,2)").as("revenue_d"))
+      .orderBy(desc("revenue_d"), asc("l_orderkey"))
       .limit(10)
+      .select(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+              col("revenue_d").cast("string").as("revenue"))
   }
 
   /** TPC-H Q5-style regional revenue: 6-way join. Only the fixed-cardinality
@@ -118,10 +138,9 @@ object RelationalQueries {
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(asianNations), col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
-      .orderBy(desc("revenue"), asc("n_name"))
+      .agg(sum(discPriceRow).cast("decimal(38,2)").as("revenue_d"))
+      .orderBy(desc("revenue_d"), asc("n_name"))
+      .select(col("n_name"), col("revenue_d").cast("string").as("revenue"))
   }
 
   /** TPC-H Q6-style forecast revenue: selective filter + global agg.
@@ -333,45 +352,65 @@ object RelationalQueries {
         |ORDER BY n_items DESC, l_partkey
         |LIMIT 50""".stripMargin,
     "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      """WITH d AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(l_quantity AS DECIMAL(12,2)) AS qty2,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS ep2,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |         * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(3,2))
+        |         AS DECIMAL(14,4)) AS disc_price,
+        |    l_quantity, l_extendedprice, l_discount, l_tax
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00')
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(sum(qty2) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+        |  CAST(CAST(sum(ep2) AS DECIMAL(38,2)) AS VARCHAR) AS sum_base_price,
+        |  CAST(CAST(round(sum(disc_price), 2) AS DECIMAL(38,2)) AS VARCHAR) AS sum_disc_price,
+        |  CAST(CAST(round(sum(CAST(disc_price
+        |         * CAST(1 + CAST(l_tax AS DECIMAL(3,2)) AS DECIMAL(4,2))
+        |         AS DECIMAL(16,6))), 2) AS DECIMAL(38,2)) AS VARCHAR) AS sum_charge,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_extendedprice), 4) AS avg_price,
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |FROM d
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q03_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
-        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, l_orderkey
+        |  CAST(revenue_d AS VARCHAR) AS revenue
+        |FROM (
+        |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |    CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(3,2))
+        |      AS DECIMAL(14,4))), 2) AS DECIMAL(38,2)) AS revenue_d
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_orderkey, o_orderdate, o_orderpriority) t
+        |ORDER BY revenue_d DESC, l_orderkey
         |LIMIT 10""".stripMargin,
     "q05_region_revenue" ->
-      """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-        |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin,
+      """SELECT n_name, CAST(revenue_d AS VARCHAR) AS revenue
+        |FROM (
+        |  SELECT n_name,
+        |    CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(3,2))
+        |      AS DECIMAL(14,4))), 2) AS DECIMAL(38,2)) AS revenue_d
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY n_name) t
+        |ORDER BY revenue_d DESC, n_name""".stripMargin,
     "q06_forecast_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
         |  count(*) AS n_items

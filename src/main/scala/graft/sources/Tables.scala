@@ -33,7 +33,10 @@ object Tables {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        // integral `div`, not `/`: double division loses sub-µs exactness
+        // for epoch nanos (~1.7e18 exceeds the 53-bit mantissa) — `div`
+        // matches DuckDB's exact nano→micro truncation bit-for-bit
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

@@ -91,7 +91,13 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // Late batches can make s.last + gapMs fall at or before the
+              // current watermark, which EventTimeTimeout rejects (it would
+              // be a timeout in the past) — clamp to just past the
+              // watermark so the session closes on the next trigger instead
+              // of killing the query.
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }
@@ -112,7 +118,60 @@ object EventStreams {
       .withColumn("fp", graft.llm.TextAnalysis.fingerprint(
         org.apache.spark.sql.functions.col(textCol)))
       .withWatermark(tsCol, horizon)
-      .dropDuplicates("fp")
+      // dropDuplicates("fp") alone would never evict state (eviction only
+      // applies when the watermark column is part of the dedup key);
+      // dropDuplicatesWithinWatermark ties each fingerprint's state to the
+      // watermark so it is dropped once the horizon passes — actual
+      // constant-memory dedup on an infinite stream.
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Watermarked stream-stream INNER join (the streaming twin of the
+    * as-of/event-correlation pattern): each purchase joins the signup of
+    * the same user that happened within `window` before it. Both sides
+    * carry watermarks and the join condition bounds purchase_ts relative
+    * to signup_ts, so Spark derives state-eviction watermarks for BOTH
+    * join buffers — state is O(events inside the window+lateness horizon),
+    * constant on an infinite stream. Without the time bound the buffers
+    * would grow forever; that shape is rejected by design here.
+    */
+  def streamStreamJoin(signups: DataFrame, purchases: DataFrame,
+                       lateness: String = "30 minutes",
+                       window: String = "1 hour"): DataFrame = {
+    val s = signups
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", lateness)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("value"))
+      .withWatermark("purchase_ts", lateness)
+    p.join(s,
+      col("p_user") === col("s_user") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $window"))
+      .select(col("s_user").as("user_id"), col("signup_ts"),
+              col("purchase_ts"), col("value"))
+  }
+
+  /** Idempotent micro-batch parquet upsert — the foreachBatch exactly-once
+    * recipe: each micro-batch lands in its own `batch_id=` partition with
+    * overwrite, so a replayed batch (failure between sink write and
+    * checkpoint commit) REPLACES its previous partial output instead of
+    * appending duplicates. Exposed standalone so tests can replay a batch
+    * id directly.
+    */
+  def upsertBatch(batch: DataFrame, batchId: Long, outDir: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** Start a streaming query writing `df` through [[upsertBatch]]. */
+  def idempotentParquetSink(df: DataFrame, outDir: String,
+                            checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        upsertBatch(batch.toDF(), id, outDir))
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .start()
 
   /** Batch replay of the same logic over the static events table —
     * identical semantics checked in tests (stream/batch parity is the

@@ -42,4 +42,19 @@ class CosineSimExprSpec extends SparkSpec {
       .select(Similarity.cosine(col("f"), col("d"))).head()
     assert(n.isNullAt(0))
   }
+
+  test("null ELEMENTS propagate to null, matching the HOF twin") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](1.0, 2.0, null)),
+      (Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+    val native = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val hof = df.select(Similarity.cosineHof(col("a"), col("b")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(native.toSeq == hof.toSeq)
+    assert(native(0).isEmpty && native(1).isEmpty && native(2).nonEmpty)
+  }
 }

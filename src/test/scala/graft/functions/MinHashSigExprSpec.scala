@@ -37,6 +37,39 @@ class MinHashSigExprSpec extends SparkSpec {
     }
   }
 
+  test("empty arrays: native emits MaxValue sentinels where HOF emits null " +
+       "slots — the documented divergence, unreachable via shingles()") {
+    import spark.implicits._
+    val df = Seq((1L, Seq.empty[String]), (2L, Seq("a")))
+      .toDF("id", "sh")
+    val native = df.select(col("id"),
+      Dedup.minhashSignatureNative(col("sh"), 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native(1L).forall(_ == Long.MaxValue),
+           "empty input → all-sentinel signature (never null)")
+    assert(native(2L).forall(_ != Long.MaxValue))
+    // the HOF twin instead yields numHashes NULL slots (array_min of an
+    // empty array) — callers feeding raw arrays must normalize empties
+    // first; Dedup.shingles never produces an empty array
+    val hofNulls = df.select(col("id"),
+      size(filter(Dedup.minhashSignature(col("sh"), 8), x => x.isNull))
+        .as("nulls"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hofNulls(1L) == 8 && hofNulls(2L) == 0)
+  }
+
+  test("null ELEMENTS are skipped by the native kernel: signature equals " +
+       "that of the array with nulls removed") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", null, "b")),
+      (2L, Seq("a", "b"))).toDF("id", "sh")
+    val sigs = df.select(col("id"),
+      Dedup.minhashSignatureNative(col("sh"), 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+  }
+
   test("identical docs share full signature; disjoint docs do not") {
     import spark.implicits._
     val df = Seq(

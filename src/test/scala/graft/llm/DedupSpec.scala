@@ -101,4 +101,41 @@ class DedupSpec extends SparkSpec {
       maxBucket = 10)
     assert(pairs.count() == 0)
   }
+
+  test("simhash candidate generation drops pathological buckets (maxBucket)") {
+    import spark.implicits._
+    val storm = (0 until 50).map(i => (i.toLong, "same text every time here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhashCandidates(storm, "doc_id", "text",
+                                   maxBucket = 10).count() == 0)
+    // and with the guard above the bucket size, the pairs are all there
+    assert(Dedup.simhashCandidates(storm, "doc_id", "text",
+                                   maxBucket = 100).count() == 50L * 49 / 2)
+  }
+
+  test("clustersFromPairs closes transitive chains (A~B~C, A≁C → one cluster)") {
+    import spark.implicits._
+    // chain 1-2-3-4-5: only adjacent pairs are candidate edges, so min-id
+    // labels need 4 propagation rounds to reach the tail — the fixpoint
+    // loop must carry 1 all the way to 5
+    val verts = (1L to 5L).map(Tuple1(_)).toDF("doc_id")
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.clustersFromEdges(verts, chain)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert((1L to 5L).forall(id => out(id)._1 == 1L),
+           s"all chain members must share cluster 1: $out")
+    assert(!out(1L)._2 && (2L to 5L).forall(out(_)._2))
+  }
+
+  test("clustersFromEdges: disjoint components stay separate; singletons self-cluster") {
+    import spark.implicits._
+    val verts = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clustersFromEdges(verts, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+                      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
 }

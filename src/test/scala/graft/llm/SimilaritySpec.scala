@@ -107,6 +107,23 @@ class SimilaritySpec extends SparkSpec {
     } finally { idx.assigned.unpersist(); () }
   }
 
+  test("lshSimilarityJoin drops pathological hot buckets (maxBucket)") {
+    import spark.implicits._
+    // 40 identical vectors all land in one LSH bucket: with the guard at
+    // 10 the hot bucket is dropped (0 pairs); raising the cap past the
+    // bucket size re-admits all 40·39/2 pairs — candidate count is
+    // bounded by the guard, not by luck
+    val hot = (0 until 40)
+      .map(i => (i.toLong, Seq(1.0f, 0.5f, -0.25f, 0.75f)))
+      .toDF("vec_id", "embedding")
+    val guarded = Similarity.lshSimilarityJoin(
+      hot, hot, dim = 4, threshold = 0.9, nBits = 6, maxBucket = 10)
+    assert(guarded.count() == 0)
+    val open = Similarity.lshSimilarityJoin(
+      hot, hot, dim = 4, threshold = 0.9, nBits = 6, maxBucket = 100)
+    assert(open.count() == 40L * 39 / 2)
+  }
+
   test("lshSimilarityJoin finds within-cluster pairs above threshold") {
     val corpus = clustered
     val pairs = Similarity.lshSimilarityJoin(

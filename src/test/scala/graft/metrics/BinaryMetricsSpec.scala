@@ -102,6 +102,45 @@ class BinaryMetricsSpec extends SparkSpec {
     })
   }
 
+  test("E5/E1 maxBins: binned ROC stays close to MLlib AUC on continuous scores") {
+    import spark.implicits._
+    // continuous scores: #distinct ≈ #rows — the case where the unbinned
+    // single-partition window would sort a data-scale relation
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 4000).map { _ =>
+      val label = if (rnd.nextBoolean()) 1.0 else 0.0
+      val score = math.min(1.0, math.max(0.0,
+        0.35 * label + 0.15 + 0.5 * rnd.nextDouble()))
+      (label, score, Vectors.dense(1 - score, score))
+    }
+    val df = rows.toDF("label", "score", "probability")
+    assert(df.select("score").distinct.count() > 3900)
+
+    val expected = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("probability")
+      .setMetricName("areaUnderROC").evaluate(df)
+    val binned = BinaryMetrics.aucROC(df, maxBins = 64)
+    assert(math.abs(binned - expected) < 0.01,
+           s"binned AUC $binned vs exact $expected")
+
+    val pts = BinaryMetrics.rocPoints(df, maxBins = 64)
+    assert(pts.count() <= 65, "window input must be bounded by maxBins")
+    val collected = pts.collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(collected.last == (1.0, 1.0))
+    assert(collected.sliding(2).forall {
+      case Array((f0, t0), (f1, t1)) => f1 >= f0 && t1 >= t0
+      case _ => true
+    })
+  }
+
+  test("E5 maxBins=0 keeps the exact per-distinct-score curve") {
+    val df = fixture
+    val exact  = BinaryMetrics.aucROC(df)
+    val binned = BinaryMetrics.aucROC(df, maxBins = 1000)
+    // more bins than distinct scores → binning is a no-op for AUC
+    assert(math.abs(exact - binned) < 1e-9)
+  }
+
   test("E7: histogram bins cover all rows; top edge closed") {
     import spark.implicits._
     val df = Seq(0.0, 0.04, 0.5, 0.99, 1.0).toDF("score")

@@ -162,6 +162,74 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join: purchases match signups within the window; " +
+       "late rows beyond the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val signups   = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = streamStreamJoin(
+      signups.toDF(), purchases.toDF(),
+      lateness = "10 minutes", window = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      // user 1 signs up at minute 0; purchases at minute 5 (in window)
+      // and minute 50 (outside the 30-minute window)
+      signups.addData(Event(ts(0), "signup", 1, 0.0))
+      purchases.addData(Event(ts(5), "purchase", 1, 9.0),
+                        Event(ts(50), "purchase", 1, 7.0))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past minute 0 + lateness
+      signups.addData(Event(ts(120), "signup", 99, 0.0))
+      purchases.addData(Event(ts(120), "purchase", 99, 0.0))
+      q.processAllAvailable()
+      // a purchase for user 1 at minute 2 is now behind the watermark:
+      // its matching signup state has been evicted → no output row
+      purchases.addData(Event(ts(2), "purchase", 1, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj").filter(col("user_id") === 1)
+        .collect().map(r => (r.getTimestamp(2), r.getDouble(3)))
+      assert(rows.toSeq == Seq((ts(5), 9.0)),
+             s"only the in-window on-time purchase joins: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("foreachBatch idempotent upsert: replaying a batch id does not duplicate") {
+    import spark.implicits._
+    val outDir = tmpDir("upsert") + "/out"
+    val batch1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    EventStreams.upsertBatch(batch1, 7L, outDir)
+    // simulate a failure-replay of the SAME micro-batch (same id)
+    EventStreams.upsertBatch(batch1, 7L, outDir)
+    EventStreams.upsertBatch(Seq((3L, "c")).toDF("id", "v"), 8L, outDir)
+    val rows = spark.read.parquet(outDir).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c")),
+           "batch 7 must appear exactly once despite the replay")
+  }
+
+  test("idempotentParquetSink streams micro-batches into batch_id partitions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val outDir = tmpDir("ipsink") + "/out"
+    val ckpt   = tmpDir("ipsink") + "/ckpt"
+    val q = EventStreams.idempotentParquetSink(
+      input.toDF().select("ts", "event_type", "user_id", "value"),
+      outDir, ckpt)
+    try {
+      input.addData(Event(ts(1), "a", 1, 1.0), Event(ts(2), "b", 2, 2.0))
+      q.processAllAvailable()
+      input.addData(Event(ts(3), "c", 3, 3.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(outDir)
+      assert(rows.count() == 3)
+      assert(rows.select("batch_id").distinct().count() >= 2,
+             "each micro-batch lands in its own partition")
+    } finally q.stop()
+  }
+
   test("stream/batch parity: windowed counts agree with the batch plan") {
     import spark.implicits._
     val events = Seq(
