@@ -21,6 +21,13 @@ object ScaleProbe {
       println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
+    // Evaluate through the noop sink, NOT count(): count lets Catalyst
+    // prune cardinality-preserving operators (incl. left joins against
+    // key-grouped aggregates), timing a plan that skips the real work —
+    // see the Bench scaladoc.
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     def docsX(n: Int) = {
       val d = Tables.documents(spark, dir)
       (0 until n).map(i =>
@@ -40,22 +47,21 @@ object ScaleProbe {
     for (n <- Seq(1, 5, 20)) {
       val d = docsX(n); val rows = d.count()
       time(s"minhash_dedup  n=$n ($rows)") {
-        Dedup.minhash(d, "doc_id", "text").count()
+        noop(Dedup.minhash(d, "doc_id", "text"))
       }
       time(s"exact_dedup    n=$n ($rows)") {
-        Dedup.exact(d, "doc_id", "text").count()
+        noop(Dedup.exact(d, "doc_id", "text"))
       }
     }
     for (n <- Seq(1, 5, 20)) {
       val e = embX(n); val rows = e.count()
       val q = Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
       time(s"ann_brute      n=$n ($rows)") {
-        Similarity.bruteForceTopK(e, q, 10).count()
+        noop(Similarity.bruteForceTopK(e, q, 10))
       }
       time(s"ann_lsh        n=$n ($rows)") {
-        Similarity.lshTopK(e, q, 10, dim = 64,
-                           nBits = 6 + (32 - Integer.numberOfLeadingZeros(n)))
-          .count()
+        noop(Similarity.lshTopK(e, q, 10, dim = 64,
+          nBits = 6 + (32 - Integer.numberOfLeadingZeros(n))))
       }
     }
     spark.stop()

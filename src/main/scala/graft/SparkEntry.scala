@@ -40,6 +40,8 @@ object SparkEntry {
     "q44_lsh_sim_join",
     "q45_ann_ivf",
     "q46_vocab_stats",
-    "q50_sst2_pipeline"
+    "q50_sst2_pipeline",
+    "q51_qqp_pipeline",
+    "q52_qnli_pipeline"
   )
 }

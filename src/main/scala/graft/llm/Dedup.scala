@@ -333,19 +333,35 @@ object Dedup {
     clustersFromEdges(embeddings.select(col(idCol).as("doc_id")), pairs)
   }
 
+  /** Word tokens feeding [[wordNgrams]] — materialize as a named column
+    * before n-gramming (see the [[shinglesOfNorm]] scale note: HOF lambdas
+    * re-evaluate referenced outer expressions per element, so the lambda
+    * must see an attribute, not the split/filter tree).
+    */
+  def wordTokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\W+"), t => length(t) > 0)
+
+  /** Distinct word n-grams over an ALREADY-MATERIALIZED token-array
+    * column (plain column reference — per-element work is then just the
+    * slice+concat).
+    */
+  def wordNgrams(toks: Column, n: Int = 3): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+
   /** Word n-gram Jaccard similarity between two text columns (the
     * within-bucket verify primitive, exposed standalone). Row-local.
+    * Convenience form inlining tokenize+n-gram — fine for specs; hot
+    * paths should name the token/gram columns and compose
+    * [[wordTokens]] → [[wordNgrams]] → intersect/union (the inlined tree
+    * re-runs tokenization once per n-gram element, per the HOF scale
+    * note on [[shinglesOfNorm]]).
     */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
-    def grams(c: Column): Column = {
-      val toks = filter(split(lower(trim(c)), "\\W+"), t => length(t) > 0)
-      when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
-        array_distinct(transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-    }
-    val ga = grams(a)
-    val gb = grams(b)
+    val ga = wordNgrams(wordTokens(a), n)
+    val gb = wordNgrams(wordTokens(b), n)
     size(array_intersect(ga, gb)).cast("double") /
       size(array_union(ga, gb)).cast("double")
   }

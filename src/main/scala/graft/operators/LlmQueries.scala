@@ -69,12 +69,20 @@ object LlmQueries {
     * list lambdas.
     */
   def q37NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // decomposed form: tokens and gram sets materialized as named columns
+    // so each HOF lambda reads an attribute (see Dedup.shinglesOfNorm
+    // scale note), and each gram set is built once per row
     val d = Tables.documents(spark, dir)
-    val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
-    val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      .select(col("doc_id"), Dedup.wordTokens(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.wordNgrams(col("toks"), 3).as("g"))
+    val a = d.select(col("doc_id").as("id_a"), col("g").as("g_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("g").as("g_b"))
     a.join(b, col("id_b") === col("id_a") + 1)
       .select(col("id_a"),
-              round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 4)
+              round(size(array_intersect(col("g_a"), col("g_b")))
+                      .cast("double") /
+                    size(array_union(col("g_a"), col("g_b")))
+                      .cast("double"), 4)
                 .as("jaccard3"))
       .orderBy("id_a")
   }
