@@ -1,0 +1,120 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Repetition/quality filters and deterministic sampling for training-data
+  * pipelines — the Gopher-style (Rae et al. 2021, arXiv:2112.11446 §A1.1)
+  * repetition rules, PII masking, and hash-threshold sampling. All
+  * row-local expressions (zero shuffle, scan speed at 100 TB); the
+  * aggregate queries over them are one partial-agg shuffle.
+  *
+  * HOF scale rule (see [[Dedup.shinglesOfNorm]]): lambdas re-evaluate
+  * referenced outer expressions per element, so every helper that refers
+  * to an array inside a lambda REQUIRES a materialized column reference —
+  * [[repetitionProfile]] shows the intended composition.
+  */
+object QualityFilters {
+
+  /** Non-empty trimmed lines of a document. Materialize before the
+    * duplicate-line metrics.
+    */
+  def docLines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+
+  /** Gopher duplicate-line fraction: 1 − |distinct lines| / |lines|
+    * (0 for ≤1 line). `linesCol` must be a materialized column.
+    */
+  def duplicateLineFraction(linesCol: Column): Column =
+    when(size(linesCol) <= 1, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(linesCol)).cast("double") /
+        size(linesCol).cast("double"))
+
+  /** Gopher duplicate-line CHARACTER fraction: chars inside lines whose
+    * value occurs more than once, over total line chars.
+    */
+  def duplicateLineCharFraction(linesCol: Column): Column = {
+    val dupChars = aggregate(linesCol, lit(0L), (acc, l) =>
+      acc + when(size(filter(linesCol, x => x === l)) > 1,
+                 length(l).cast("long")).otherwise(lit(0L)))
+    val totChars = aggregate(linesCol, lit(0L),
+                             (acc, l) => acc + length(l).cast("long"))
+    when(totChars === 0, lit(0.0))
+      .otherwise(dupChars.cast("double") / totChars.cast("double"))
+  }
+
+  /** Word n-gram occurrence list (NOT distinct — the repetition metrics
+    * need multiplicities). `toks` must be a materialized column.
+    */
+  def ngramOccurrences(toks: Column, n: Int): Column =
+    when(size(toks) < n, array()).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+                i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** Gopher top-n-gram character fraction: characters covered by the most
+    * frequent word n-gram (count × gram length) over total text chars.
+    * Tie-break: the longer gram, then lexicographic — fully deterministic.
+    * `gramsCol` and `distinctCol` must be materialized columns.
+    */
+  def topNgramCharFraction(gramsCol: Column, distinctCol: Column,
+                           text: Column): Column = {
+    val scored = transform(distinctCol, d =>
+      struct(size(filter(gramsCol, g => g === d)).as("cnt"),
+             length(d).as("len"), d.as("gram")))
+    val best = array_max(scored)
+    when(size(gramsCol) === 0 || length(text) === 0, lit(0.0)).otherwise(
+      least(lit(1.0),
+        (best.getField("cnt") * best.getField("len")).cast("double") /
+          length(text).cast("double")))
+  }
+
+  /** One-call Gopher repetition profile: duplicate-line fraction,
+    * duplicate-line char fraction, top-2-gram char fraction.
+    */
+  def repetitionProfile(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__lines", docLines(col(textCol)))
+      .withColumn("dup_line_frac",
+                  round(duplicateLineFraction(col("__lines")), 4))
+      .withColumn("dup_line_char_frac",
+                  round(duplicateLineCharFraction(col("__lines")), 4))
+      .withColumn("__toks", Dedup.wordTokens(col(textCol)))
+      .withColumn("__grams2", ngramOccurrences(col("__toks"), 2))
+      .withColumn("__dgrams2", array_distinct(col("__grams2")))
+      .withColumn("top_2gram_char_frac",
+                  round(topNgramCharFraction(col("__grams2"),
+                                             col("__dgrams2"),
+                                             col(textCol)), 4))
+      .drop("__lines", "__toks", "__grams2", "__dgrams2")
+
+  /** PII masking: emails, URLs, IPv4 addresses → typed placeholder
+    * tokens. Plain character-class regexes (no backrefs/lookaround) so
+    * Java regex and DuckDB's RE2 agree byte-for-byte.
+    */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val urlRe   = "https?://[^\\s]+"
+  private val ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def maskPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlRe, "<URL>"),
+        emailRe, "<EMAIL>"),
+      ipv4Re, "<IP>")
+
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(emailRe)),
+     regexp_count(text, lit(urlRe)),
+     regexp_count(text, lit(ipv4Re)))
+
+  /** Deterministic hash-threshold sampling: keep a row iff the first 4
+    * hex chars of md5(key) sort below `thresholdHex4` — a content-stable
+    * ~(threshold/0x10000) sample that is reproducible across engines
+    * (md5 hex strings compare identically everywhere), partitions, and
+    * reruns, with no RNG state. The standard web-pipeline holdout trick.
+    */
+  def hashSampleFlag(key: Column, thresholdHex4: String): Column = {
+    require(thresholdHex4.matches("[0-9a-f]{4}"),
+            s"threshold must be 4 lowercase hex chars, got $thresholdHex4")
+    substring(md5(key.cast("string").cast("binary")), 1, 4) < thresholdHex4
+  }
+}

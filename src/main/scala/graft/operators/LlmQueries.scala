@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, QualityFilters, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline operators as oracle-checkable queries over
@@ -166,7 +166,62 @@ object LlmQueries {
            countDistinct("token").as("vocab_exact"))
       .orderBy("lang")
 
+  /** Gopher-style repetition profile (duplicate-line fractions, top-2-gram
+    * char fraction) — oracle-checked via DuckDB list lambdas.
+    */
+  def q56RepetitionProfile(spark: SparkSession, dir: String): DataFrame =
+    QualityFilters.repetitionProfile(
+      Tables.documents(spark, dir).select("doc_id", "text"), "text")
+      .select("doc_id", "dup_line_frac", "dup_line_char_frac",
+              "top_2gram_char_frac")
+      .orderBy("doc_id")
+
+  /** PII masking over text with deterministically planted emails/URLs/IPs
+    * (the corpus has none, so both engines synthesize the same PII inline,
+    * mask it, and compare md5 of the masked text) — oracle-checked, which
+    * pins the Java-regex vs RE2 dialect agreement for these patterns.
+    */
+  def q57PiiMask(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val aug = concat(
+      col("text"),
+      when(col("doc_id") % 5 === 0,
+           concat(lit(" contact user"), id, lit("@example.com now")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+           concat(lit(" see https://example.org/page/"), id, lit(" today")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit(" from 192.168.1.77 logged"))
+        .otherwise(lit("")))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), aug.as("aug"))
+    val (em, ur, ip) = QualityFilters.piiCounts(col("aug"))
+    d.select(
+      col("doc_id"),
+      em.cast("long").as("n_emails"),
+      ur.cast("long").as("n_urls"),
+      ip.cast("long").as("n_ips"),
+      md5(QualityFilters.maskPii(col("aug")).cast("binary")).as("masked_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic md5-threshold sampling, stratified report per language
+    * — the content-stable ~20% holdout trick, replayable in any engine
+    * that has md5.
+    */
+  def q58HashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("keep",
+                  QualityFilters.hashSampleFlag(col("doc_id"), "3333"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+           sum(col("keep").cast("long")).as("n_kept"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_repetition_profile" -> (q56RepetitionProfile(_, _)),
+    "q57_pii_mask"         -> (q57PiiMask(_, _)),
+    "q58_hash_sample"      -> (q58HashSample(_, _)),
     "q46_vocab_stats"      -> (q46VocabStats(_, _)),
     "q31_token_stats"      -> (q31TokenStats(_, _)),
     "q32_quality_score"    -> (q32QualityScore(_, _)),
@@ -222,6 +277,87 @@ object LlmQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q56_repetition_profile" ->
+      """WITH l0 AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |                               x -> trim(x)),
+        |                x -> len(x) > 0) AS lines,
+        |    list_filter(string_split_regex(lower(trim(text)), '[^A-Za-z0-9]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |l1 AS (
+        |  SELECT doc_id, text, lines, toks,
+        |    CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+        |         ELSE list_transform(generate_series(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1])
+        |    END AS g
+        |  FROM l0),
+        |l2 AS (
+        |  SELECT doc_id, text, lines, g, list_distinct(g) AS dg FROM l1),
+        |m AS (
+        |  SELECT doc_id, text, lines, g,
+        |    CASE WHEN len(g) = 0 THEN 0 ELSE
+        |      list_max(list_transform(dg,
+        |        d -> len(list_filter(g, x -> x = d)))) END AS best_cnt,
+        |    dg
+        |  FROM l2),
+        |m2 AS (
+        |  SELECT doc_id, text, lines, g, best_cnt,
+        |    CASE WHEN len(g) = 0 THEN 0 ELSE
+        |      list_max(list_transform(
+        |        list_filter(dg, d -> len(list_filter(g, x -> x = d)) = best_cnt),
+        |        d -> len(d))) END AS best_len
+        |  FROM m)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(lines) <= 1 THEN 0.0
+        |        ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+        |                   / len(lines) END, 4) AS dup_line_frac,
+        |  round(CASE WHEN COALESCE(list_sum(list_transform(lines,
+        |                    x -> len(x))), 0) = 0 THEN 0.0
+        |        ELSE CAST(COALESCE(list_sum(list_transform(lines,
+        |               x -> CASE WHEN len(list_filter(lines, y -> y = x)) > 1
+        |                         THEN len(x) ELSE 0 END)), 0) AS DOUBLE)
+        |             / list_sum(list_transform(lines, x -> len(x)))
+        |        END, 4) AS dup_line_char_frac,
+        |  round(CASE WHEN len(g) = 0 OR length(text) = 0 THEN 0.0
+        |        ELSE least(1.0, CAST(best_cnt * best_len AS DOUBLE)
+        |                        / length(text)) END, 4)
+        |    AS top_2gram_char_frac
+        |FROM m2 ORDER BY doc_id""".stripMargin,
+    "q57_pii_mask" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 5 = 0
+        |            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+        |                 || '@example.com now' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |            THEN ' see https://example.org/page/'
+        |                 || CAST(doc_id AS VARCHAR) || ' today' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |            THEN ' from 192.168.1.77 logged' ELSE '' END AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(aug, 'https?://[^\s]+')) AS n_urls,
+        |  len(regexp_extract_all(aug,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        |  md5(regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(aug, 'https?://[^\s]+', '<URL>', 'g'),
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |          '<EMAIL>', 'g'),
+        |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |        '<IP>', 'g')) AS masked_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    "q58_hash_sample" ->
+      """SELECT lang, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |                < '3333' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q46_vocab_stats" ->
       """WITH t AS (
         |  SELECT lang,
