@@ -107,6 +107,12 @@ object Dedup {
     // 8 bytes/shingle instead of the string bytes. Jaccard over hashed
     // shingles equals string Jaccard unless xxhash64 collides inside one
     // document's ~10²-shingle set (P ≈ |sh|²/2⁶⁴ ≈ 1e-15 — negligible).
+    // The signature table is referenced three times below (banding + both
+    // sides of the shingle-set lookup) — materialize it once instead of
+    // re-shingling the corpus per reference. This is the standard
+    // "signature table" pass of production dedup pipelines (at cluster
+    // scale: write it out / reliable-checkpoint it; blocks here are freed
+    // by the ContextCleaner when unreferenced).
     val sigs = df.select(
       col(idCol).as("doc_id"),
       normalizeText(col(textCol)).as("norm"))
@@ -114,6 +120,7 @@ object Dedup {
       .withColumn("sig", minhashSignatureNative(col("sh"), numHashes))
       .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
       .select("doc_id", "sig", "shh")
+      .localCheckpoint(true)
 
     // band hash = xxhash64 over the band's slice of the signature. Bands
     // are unrolled Scala-side (fixed small count); `sig` is a named column
@@ -135,13 +142,23 @@ object Dedup {
       .filter(col("bsize") <= maxBucket)
       .drop("bsize")
 
+    // Salted self-join: a bucket near maxBucket emits O(maxBucket²) pairs,
+    // and an unsalted equi-join does that in ONE task (the bucket hashes
+    // to one partition) — a straggler even when the cluster is idle. The
+    // a-side gets a content salt, the b-side replicates S×, and the salt
+    // joins as a key: the same pair still meets exactly once (at
+    // salt = hash(doc_a) % S) but a hot bucket's emission spreads over S
+    // tasks. b-side replication is S× a narrow 3-column relation.
+    val S = 8
     val a = pruned.select(col("band"), col("bucket"),
                           col("doc_id").as("doc_a"))
+      .withColumn("salt", pmod(xxhash64(col("doc_a")), lit(S)).cast("int"))
     val b = pruned.select(col("band"), col("bucket"),
                           col("doc_id").as("doc_b"))
+      .withColumn("salt", explode(array((0 until S).map(lit): _*)))
     // Distinct BEFORE the verify step: a pair colliding in several bands
     // is verified once, not once per band.
-    val cand = a.join(b, Seq("band", "bucket"))
+    val cand = a.join(b, Seq("band", "bucket", "salt"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
@@ -174,59 +191,111 @@ object Dedup {
                         pairs: DataFrame): DataFrame =
     clustersFromEdges(df.select(col(idCol).as("doc_id")), pairs)
 
-  /** Connected components by iterated min-label propagation: each round,
-    * every vertex takes the min of its own label and its neighbors'
-    * labels; converged when no label decreases (checked distributed — an
-    * `isEmpty` probe, no data to the driver). Rounds needed = component
-    * diameter, which for near-dup chains is small; `maxRounds` bounds the
-    * job count regardless. Each round is one join + one aggregate —
-    * data-parallel, no driver state; intermediate labels are persisted
-    * per round and released immediately, so lineage stays flat at scale.
+  /** Connected components by min-label propagation WITH GRAPH CONTRACTION:
+    * each round computes one-hop min labels over the current label graph,
+    * path-compresses them (rep ← rep(rep) — pointer jumping, halving
+    * chain length per round), folds the hop into the doc→label mapping,
+    * and CONTRACTS the edge list through the new labels (self-edges drop,
+    * duplicates collapse). Converged when the contracted graph has no
+    * edges.
+    *
+    * Scale shape: only round 1 touches the full candidate edge set; a
+    * clique-heavy near-dup graph collapses almost entirely in that round,
+    * so later rounds shuffle a label graph orders of magnitude smaller —
+    * vs naive iteration which re-joins every original edge every round.
+    * All per-round state is localCheckpointed: plans stay O(1) nodes
+    * (persist alone lets the logical tree, and planning time, grow
+    * exponentially through the loop). On a shared cluster with executor
+    * loss, swap for reliable checkpoint() under a checkpoint dir.
     *
     * `vertices` must expose `doc_id`; `pairs` must expose
-    * (`doc_a`, `doc_b`). Returns (doc_id, cluster_id, is_duplicate).
+    * (`doc_a`, `doc_b`). Returns (doc_id, cluster_id, is_duplicate);
+    * cluster_id = the component's minimum doc id (fully deterministic).
     */
   def clustersFromEdges(vertices: DataFrame, pairs: DataFrame,
-                        maxRounds: Int = 8): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    // Narrow, symmetric edge list materialized ONCE (8+8 bytes/edge) —
-    // every round re-reads this cache, never the candidate-generation DAG.
-    val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Iterative lineage MUST be truncated each round: persist() alone
-    // keeps the logical plan growing (each round embeds the previous
-    // round's tree twice), and optimizer/planning time explodes
-    // exponentially even when all data is cached. localCheckpoint is
-    // eager and cuts the plan back to the materialized blocks, so every
-    // round plans O(1) nodes. (On a shared cluster with executor loss,
-    // swap for reliable checkpoint() under a checkpoint dir.)
-    var labels = vertices.select(col("doc_id"))
+                        maxRounds: Int = 16): DataFrame = {
+    var le = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+              greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var mapping = vertices.select(col("doc_id"))
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
-    var converged = false
     var round = 0
-    while (!converged && round < maxRounds) {
-      val propagated = edges
-        .join(labels, col("dst") === col("doc_id"))
-        .select(col("src").as("doc_id"), col("cluster_id"))
-      val next = labels.select("doc_id", "cluster_id")
-        .unionByName(propagated)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+    // Once the contracted graph fits comfortably on the driver, finish it
+    // there: a union-find over ≤`localFinishEdges` edges costs
+    // milliseconds, replacing several distributed rounds whose cost is
+    // pure job latency. This is the standard CC endgame (the quotient
+    // graph of a clique-heavy dup corpus is tiny after round 1); larger
+    // contracted graphs keep iterating distributed — the 100 TB fallback.
+    val localFinishEdges = 100000
+    val isLongKeyed =
+      le.schema("a").dataType == org.apache.spark.sql.types.LongType
+    var done = false
+    // isEmpty on a checkpointed frame scans materialized blocks — cheap,
+    // and cannot trigger the partial-cache recompute trap.
+    while (!done && round < maxRounds && !le.isEmpty) {
+      if (isLongKeyed && le.count() <= localFinishEdges) {
+        val local = le.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        local.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          // attach the LARGER root under the smaller: the component root
+          // is always its minimum id, matching the distributed semantics
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        val closure = local.iterator.flatMap(e => Iterator(e._1, e._2))
+          .toSeq.distinct.map(x => (x, find(x)))
+        val spark = le.sparkSession
+        import spark.implicits._
+        val repDf = closure.toDF("x", "rep")
+        mapping = mapping.as("m")
+          .join(broadcast(repDf), col("m.cluster_id") === col("x"), "left")
+          .select(col("doc_id"),
+                  coalesce(col("rep"), col("m.cluster_id")).as("cluster_id"))
+        done = true
+      } else {
+      val sym = le.select(col("a").as("x"), col("b").as("y"))
+        .unionByName(le.select(col("b").as("x"), col("a").as("y")))
+      val hop = sym.groupBy("x").agg(min("y").as("m"))
+        .select(col("x"), least(col("x"), col("m")).as("rep"))
+      // pointer jumping: rep ← min(rep, rep(rep))
+      val reps = hop.as("h")
+        .join(hop.select(col("x").as("rx"), col("rep").as("rrep")),
+              col("h.rep") === col("rx"), "left")
+        .select(col("x"),
+                least(col("h.rep"), coalesce(col("rrep"), col("h.rep")))
+                  .as("rep"))
         .localCheckpoint(true)
-      // Labels only ever decrease; fixpoint = zero strict decreases. The
-      // check joins two checkpointed label tables — a flat, tiny plan.
-      val changed = next.as("n")
-        .join(labels.as("o"), "doc_id")
-        .filter(col("n.cluster_id") < col("o.cluster_id"))
-        .count()
-      labels = next
-      converged = changed == 0
+      mapping = mapping.as("m")
+        .join(reps, col("m.cluster_id") === col("x"), "left")
+        .select(col("doc_id"),
+                coalesce(col("rep"), col("m.cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      le = le
+        .join(reps.select(col("x").as("a"), col("rep").as("ra")), Seq("a"))
+        .join(reps.select(col("x").as("b"), col("rep").as("rb")), Seq("b"))
+        .select(least(col("ra"), col("rb")).as("a"),
+                greatest(col("ra"), col("rb")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint(true)
+      }
       round += 1
     }
-    edges.unpersist()
-    labels.withColumn("is_duplicate", col("doc_id") =!= col("cluster_id"))
+    mapping.withColumn("is_duplicate", col("doc_id") =!= col("cluster_id"))
   }
 
   /** End-to-end MinHash near-dedup: candidates → clusters. */
