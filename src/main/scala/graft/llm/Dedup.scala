@@ -373,11 +373,16 @@ object Dedup {
       .withColumn("bsize", count(lit(1)).over(bucketW))
       .filter(col("bsize") <= maxBucket)
       .drop("bsize")
+    // salted self-join — same straggler guard as minhashCandidatePairs
+    val S = 8
     val a = banded.select(col("band"), col("bucket"),
                           col("doc_id").as("doc_a"), col("sh64").as("ha"))
+      .withColumn("salt", pmod(xxhash64(col("doc_a")), lit(S)).cast("int"))
     val b = banded.select(col("band"), col("bucket"),
                           col("doc_id").as("doc_b"), col("sh64").as("hb"))
-    a.join(b, Seq("band", "bucket"))
+      .withColumn("salt", explode(array((0 until S).map(lit): _*)))
+    a.join(b, Seq("band", "bucket", "salt"))
+      .drop("salt")
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
               bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))

@@ -261,15 +261,22 @@ object Similarity {
         .filter(col("bsize") <= maxBucket)
         .drop("bsize")
     }
+    // salted bucket join — same straggler guard as minhashCandidatePairs:
+    // a bucket at the maxBucket cap emits its quadratic pair set across S
+    // tasks instead of one
+    val S = 8
     val l = guarded(
       left.select(col(idCol).as("left_id"), col(vecCol).as("lvec"))
         .withColumn("bucket",
                     hyperplaneSignature(col("lvec"), dim, nBits, seed)))
+      .withColumn("salt", pmod(xxhash64(col("left_id")), lit(S)).cast("int"))
     val r = guarded(
       right.select(col(idCol).as("right_id"), col(vecCol).as("rvec"))
         .withColumn("bucket",
                     hyperplaneSignature(col("rvec"), dim, nBits, seed)))
-    l.join(r, Seq("bucket"))
+      .withColumn("salt", explode(array((0 until S).map(lit): _*)))
+    l.join(r, Seq("bucket", "salt"))
+      .drop("salt")
       .filter(col("left_id") < col("right_id"))
       .withColumn("cos", cosine(col("lvec"), col("rvec")))
       .filter(col("cos") >= threshold)

@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, QualityFilters, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, QualityFilters, Similarity,
+                  TextAnalysis, TextPacking}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline operators as oracle-checkable queries over
@@ -218,7 +219,32 @@ object LlmQueries {
            sum(col("keep").cast("long")).as("n_kept"))
       .orderBy("lang")
 
+  /** Sequence packing surfaced to the driver: per-partition first-fit is
+    * order-dependent, so the input is pinned to an explicit hash
+    * partitioning (value-determined, parallelism-independent) and sorted
+    * within partitions — bin assignment is then fully deterministic.
+    * Output = corpus-level packing stats (rows-only; the packing loop is
+    * imperative, no SQL twin — invariants live in TextPackingSpec).
+    */
+  def q59PackStats(spark: SparkSession, dir: String): DataFrame = {
+    val capacity = 256
+    val pinned = Tables.documents(spark, dir)
+      .select("doc_id", "text")
+      .repartition(8, pmod(col("doc_id"), lit(8)))
+      .sortWithinPartitions("doc_id")
+    val packed = TextPacking.packDocuments(pinned, "doc_id", "text", capacity)
+    val bins = packed.groupBy("bin_id")
+      .agg(max("bin_fill").as("fill"), count(lit(1)).as("docs_in_bin"))
+    bins.agg(
+      count(lit(1)).as("n_bins"),
+      sum("docs_in_bin").as("n_docs"),
+      sum(when(col("fill") > capacity, 1L).otherwise(0L)).as("oversize_bins"),
+      round(avg(least(col("fill"), lit(capacity)).cast("double") / capacity),
+            4).as("avg_fill"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_pack_stats"       -> (q59PackStats(_, _)),
     "q56_repetition_profile" -> (q56RepetitionProfile(_, _)),
     "q57_pii_mask"         -> (q57PiiMask(_, _)),
     "q58_hash_sample"      -> (q58HashSample(_, _)),
