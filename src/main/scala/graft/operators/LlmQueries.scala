@@ -243,7 +243,30 @@ object LlmQueries {
             4).as("avg_fill"))
   }
 
+  /** Unicode NFC normalization via the native expression — the corpus is
+    * ASCII, so both engines append the same decomposed sequences
+    * (e + U+0301, a + U+030A) to a deterministic subset of rows and the
+    * oracle (DuckDB nfc_normalize) must agree on the recomposed bytes.
+    * codepoint length shrinking under NFC is asserted via length deltas.
+    */
+  def q60UnicodeNorm(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0, lit(" cafe\u0301")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit(" A\u030Angstro\u0308m"))
+        .otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(
+        col("doc_id"),
+        length(col("aug")).cast("long").as("len_before"),
+        length(expr("nfc_normalize(aug)")).cast("long").as("len_after"),
+        md5(expr("nfc_normalize(aug)").cast("binary")).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_unicode_norm"     -> (q60UnicodeNorm(_, _)),
     "q59_pack_stats"       -> (q59PackStats(_, _)),
     "q56_repetition_profile" -> (q56RepetitionProfile(_, _)),
     "q57_pii_mask"         -> (q57PiiMask(_, _)),
@@ -303,6 +326,21 @@ object LlmQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q60_unicode_norm" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN ' cafe' || chr(769) ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0
+        |            THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+        |            ELSE '' END AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(aug) AS len_before,
+        |  length(nfc_normalize(aug)) AS len_after,
+        |  md5(nfc_normalize(aug)) AS norm_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
     "q56_repetition_profile" ->
       """WITH l0 AS (
         |  SELECT doc_id, text,

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimExpr, JaccardLongExpr, MinHashSigExpr, SimHash64Expr}
+import graft.functions.{CosineSimExpr, JaccardLongExpr, MinHashSigExpr, NfcNormalizeExpr, SimHash64Expr}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** Engine extension point, wired via `spark.sql.extensions` (set in
@@ -27,6 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "cosine_sim takes exactly two arguments")
         CosineSimExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "nfc_normalize takes exactly one argument")
+        NfcNormalizeExpr(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("jaccard_long"),
