@@ -124,8 +124,12 @@ object TextAnalysis {
     "fr" -> Seq("les", "ent", "des", "que", "ion", "ais", "eur", "our",
                 "ait", "une"))
 
-  def langIdNgram(text: Column): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+  /** Variant over an ALREADY-MATERIALIZED normalized-text column — the
+    * form hot paths must use: the trigram lambda references `norm` per
+    * element, so it must be a plain column reference (see
+    * [[graft.llm.Dedup.shinglesOfNorm]]'s HOF scale note).
+    */
+  def langIdNgramOfNorm(norm: Column): Column = {
     val grams = when(length(norm) < 3, array(norm)).otherwise(
       array_distinct(transform(sequence(lit(1), length(norm) - 2),
                                i => norm.substr(i, lit(3)))))
@@ -140,6 +144,14 @@ object TextAnalysis {
     val anyHit = scored.map(_._2).reduce(_ + _) > 0
     when(anyHit, best).otherwise(lit("und"))
   }
+
+  /** Convenience form inlining the normalization — fine for specs and
+    * small relations; hot paths should name the norm column and call
+    * [[langIdNgramOfNorm]] (the inlined tree re-runs the regexp once per
+    * trigram element).
+    */
+  def langIdNgram(text: Column): Column =
+    langIdNgramOfNorm(regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /** Word lists exposed for oracle-SQL construction (LlmQueries builds the
     * DuckDB twin of these heuristics from the same constants).
