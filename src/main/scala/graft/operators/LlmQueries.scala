@@ -265,7 +265,21 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus heavy hitters: exact top-20 tokens by frequency with a full
+    * tie-break. Plans as partial-agg → single shuffle →
+    * TakeOrderedAndProject (per-partition top-k, k×partitions rows to the
+    * driver — never a global sort). The CountMinSketch twin is spec-tested
+    * against this exact result (sketch internals differ across engines).
+    */
+  def q61HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(Dedup.wordTokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_heavy_hitters"    -> (q61HeavyHitters(_, _)),
     "q60_unicode_norm"     -> (q60UnicodeNorm(_, _)),
     "q59_pack_stats"       -> (q59PackStats(_, _)),
     "q56_repetition_profile" -> (q56RepetitionProfile(_, _)),
@@ -326,6 +340,16 @@ object LlmQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q61_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '[^A-Za-z0-9]+'),
+        |    x -> len(x) > 0)) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS n
+        |FROM t GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 20""".stripMargin,
     "q60_unicode_norm" ->
       """WITH aug AS (
         |  SELECT doc_id,

@@ -1,0 +1,96 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Degenerate-input robustness: every dedup/ANN/quality operator must
+  * handle empty and single-row inputs without crashing — the shapes that
+  * show up constantly in partitioned/filtered production runs (an empty
+  * date partition, a single-doc source) and that unit fixtures never hit.
+  */
+class RobustnessSpec extends SparkSpec {
+
+  private def emptyDocs = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  private def emptyEmb = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  test("dedup family on empty input returns empty, no exceptions") {
+    assert(Dedup.exact(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhash(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashCandidatePairs(emptyDocs, "doc_id", "text")
+      .count() == 0)
+    assert(Dedup.simhashCandidates(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("dedup family on a single row yields one self-cluster") {
+    import spark.implicits._
+    val one = Seq((7L, "only document here")).toDF("doc_id", "text")
+    val exact = Dedup.exact(one, "doc_id", "text").collect()
+    assert(exact.length == 1 && exact(0).getLong(1) == 7L &&
+           !exact(0).getBoolean(2))
+    val mh = Dedup.minhash(one, "doc_id", "text").collect()
+    assert(mh.length == 1 && mh(0).getLong(1) == 7L)
+  }
+
+  test("similarity family on empty corpus returns empty") {
+    import spark.implicits._
+    val q = Seq((1L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(emptyEmb, q, k = 5).count() == 0)
+    assert(Similarity.lshTopK(emptyEmb, q, k = 5, dim = 4).count() == 0)
+    assert(Similarity.lshSimilarityJoin(emptyEmb, emptyEmb, dim = 4,
+                                        threshold = 0.5).count() == 0)
+  }
+
+  test("clustersFromEdges with empty pairs maps every vertex to itself") {
+    import spark.implicits._
+    val verts = Seq(1L, 2L, 3L).toDF("doc_id")
+    val noPairs = emptyDocs
+      .select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"))
+    val out = Dedup.clustersFromEdges(verts, noPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("quality filters on empty and whitespace-only text") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "   \n  \n "), (3L, "ok text"))
+      .toDF("doc_id", "text")
+    val out = QualityFilters.repetitionProfile(df, "text")
+      .select("doc_id", "dup_line_frac", "top_2gram_char_frac")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(out(1L) == ((0.0, 0.0)) && out(2L) == ((0.0, 0.0)))
+    assert(TextAnalysis.profile(df, "text").count() == 3)
+  }
+
+  test("CountMinSketch estimates bracket the exact heavy-hitter counts") {
+    import graft.sources.Tables
+    val toks = Tables.documents(spark, sf0001)
+      .select(explode(Dedup.wordTokens(col("text"))).as("token"))
+    val total = toks.count()
+    val exact = toks.groupBy("token").count()
+      .orderBy(desc("count"), asc("token")).limit(10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val cms = toks.stat.countMinSketch("token", eps = 0.001,
+                                       confidence = 0.99, seed = 42)
+    exact.foreach { case (tok, n) =>
+      val est = cms.estimateCount(tok)
+      // CMS never under-counts; over-count bounded by eps × total stream
+      assert(est >= n, s"$tok: est $est < exact $n")
+      assert(est <= n + (0.001 * total).toLong + 1,
+             s"$tok: est $est too far above exact $n")
+    }
+  }
+}
