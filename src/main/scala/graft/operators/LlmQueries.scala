@@ -8,9 +8,13 @@ import graft.sources.Tables
 
 /** LLM-training-data-pipeline operators as oracle-checkable queries over
   * the `documents` / `embeddings` tables: text analysis, dedup (exact +
-  * MinHash + SimHash), similarity search (brute force + LSH), multimodal
-  * plumbing. SQL-expressible ops carry a DuckDB oracle; hash-based ops
-  * (xxhash64 has no DuckDB twin) are rows-only but still deterministic.
+  * MinHash + SimHash), similarity search (brute force + LSH + IVF),
+  * quality filters, PII masking, sampling, packing, Unicode
+  * normalization, heavy hitters, multimodal plumbing. SQL-expressible
+  * ops carry a DuckDB oracle (including the LSH family, whose
+  * deterministic projection matrix is inlined into the SQL);
+  * xxhash64-based ops (minhash/simhash signatures) have no DuckDB twin
+  * and are rows-only but still deterministic across parallelism.
   */
 object LlmQueries {
 
@@ -97,8 +101,10 @@ object LlmQueries {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
   }
 
-  /** LSH-bucketed ANN (random hyperplanes, multi-probe). Rows-only;
-    * SimilaritySpec asserts ≥0.9 recall vs q38 on sf0.001.
+  /** LSH-bucketed ANN (random hyperplanes, multi-probe). Oracle-checked:
+    * DuckDB replays the deterministic hyperplane projection from inlined
+    * literal constants ([[lshBucketSql]]); SimilaritySpec additionally
+    * asserts ≥0.9 recall vs q38.
     */
   def q39AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -141,7 +147,8 @@ object LlmQueries {
       .orderBy("media_id")
 
   /** LSH similarity self-join over embeddings (pairs above threshold) —
-    * rows-only; plan is a bucket equi-join, never cartesian.
+    * oracle-checked via the same inlined-projection replay as q39; plan
+    * is a salted bucket equi-join, never cartesian.
     */
   def q44LshSimJoin(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
