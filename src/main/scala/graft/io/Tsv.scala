@@ -57,6 +57,27 @@ object Tsv {
       .option("header", "true")
       .csv(path)
 
+  /** Production-hardened reader: explicit schema + PERMISSIVE mode with a
+    * corrupt-record column. Rows that fail to parse (wrong arity, bad
+    * casts) land with nulls plus the raw line in `_corrupt_record`
+    * instead of killing the job — at 100 TB a handful of mangled lines
+    * per shard is a certainty, and FAILFAST would turn each into a dead
+    * pipeline. Callers split on `_corrupt_record IS NULL` to quarantine
+    * the bad rows (TsvSpec shows the pattern).
+    */
+  def readTsvPermissive(spark: SparkSession, path: String,
+                        schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record",
+                                 org.apache.spark.sql.types.StringType)
+    spark.read
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+  }
+
   /** S4: CSV sink with header (`sst2_test2.py:225-227`). Distributed write —
     * one file per partition; callers coalesce ONLY for tiny results.
     */

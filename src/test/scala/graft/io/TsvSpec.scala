@@ -34,6 +34,30 @@ class TsvSpec extends SparkSpec {
     assert(rows(1).getString(0) == "tab\there")
   }
 
+  test("permissive read quarantines malformed rows instead of failing") {
+    import org.apache.spark.sql.functions.col
+    val p = writeFixture("bad.tsv",
+      "id\tscore\ttext\n" +
+        "1\t0.5\tgood row\n" +
+        "2\tnot_a_number\tbad cast\n" +
+        "3\t0.9\tanother good row\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType),
+      StructField("text", StringType)))
+    val df = Tsv.readTsvPermissive(spark, p, schema).cache()
+    try {
+      val good = df.filter(col("_corrupt_record").isNull)
+      val bad  = df.filter(col("_corrupt_record").isNotNull)
+      assert(good.count() == 2)
+      assert(good.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+        Seq(1L, 3L))
+      val quarantined = bad.collect()
+      assert(quarantined.length == 1)
+      assert(quarantined(0).getAs[String]("_corrupt_record")
+        .contains("not_a_number"), "raw line preserved for quarantine")
+    } finally { df.unpersist(); () }
+  }
+
   test("S3: string-typed read leaves all columns as string") {
     val p = writeFixture("t.tsv", "a\tb\n1\t2\n")
     val df = Tsv.readTsvStrings(spark, p)

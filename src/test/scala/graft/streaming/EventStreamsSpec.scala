@@ -230,6 +230,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join: streaming events pick up dimension " +
+       "attributes without a stream-stream state store") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // static dimension (e.g. a user → segment table): stream-static joins
+    // need no watermark and keep no join state — each micro-batch joins
+    // against the (broadcastable) static side
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val input = MemoryStream[Event]
+    val joined = input.toDF()
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"),
+            "left")
+    val q = joined.writeStream.format("memory").queryName("ssd")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(ts(1), "click", 1, 1.0),
+                    Event(ts(2), "click", 2, 2.0),
+                    Event(ts(3), "click", 99, 3.0)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("ssd").orderBy("user_id").collect()
+        .map(r => (r.getLong(0), Option(r.getAs[String]("segment"))))
+      assert(rows.toSeq == Seq((1L, Some("gold")), (2L, Some("silver")),
+                               (99L, None)))
+    } finally q.stop()
+  }
+
   test("stream/batch parity: windowed counts agree with the batch plan") {
     import spark.implicits._
     val events = Seq(
