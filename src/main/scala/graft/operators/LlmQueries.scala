@@ -285,7 +285,51 @@ object LlmQueries {
       .orderBy(desc("n"), asc("token"))
       .limit(20)
 
+  /** Fixed-width document chunking with overlap (200-char chunks, 20-char
+    * overlap) — the pre-tokenization step long documents need before
+    * packing/training. Row-local (sequence + substr over the text
+    * ATTRIBUTE, per the HOF scale rule); one output row per chunk.
+    * Oracle-checked: DuckDB replays the chunk arithmetic and compares
+    * md5 of every chunk.
+    */
+  def q62Chunking(spark: SparkSession, dir: String): DataFrame = {
+    val C = 200 // chunk width
+    val S = 180 // step = width - overlap
+    val t = col("text")
+    val nChunks = when(length(t) <= C, lit(1)).otherwise(
+      ceil((length(t) - C).cast("double") / S).cast("int") + 1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), t,
+              posexplode(transform(sequence(lit(0), nChunks - 1),
+                                   i => t.substr(i * S + 1, lit(C)))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+              length(col("col")).cast("long").as("chunk_len"),
+              md5(col("col").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Per-language quality percentile filter: percent_rank of the
+    * composite quality score within each language, keeping the top half —
+    * the standard "per-stratum quality cutoff" of corpus curation.
+    * Oracle-checked (identical percent_rank definition in DuckDB).
+    * Scale note: the window shuffles one partition per language; at
+    * 100 TB with few languages prefer approx-quantile thresholds
+    * (q25 pattern) over a global per-stratum sort.
+    */
+  def q63QualityRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(asc("q"), asc("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+              TextAnalysis.qualityScore(col("text")).as("q"))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .filter(col("pr") >= 0.5)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_chunking"         -> (q62Chunking(_, _)),
+    "q63_quality_rank"     -> (q63QualityRank(_, _)),
     "q61_heavy_hitters"    -> (q61HeavyHitters(_, _)),
     "q60_unicode_norm"     -> (q60UnicodeNorm(_, _)),
     "q59_pack_stats"       -> (q59PackStats(_, _)),
@@ -347,6 +391,46 @@ object LlmQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q62_chunking" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(text) <= 200 THEN 1
+        |         ELSE CAST(ceil((length(text) - 200) / 180.0) AS INTEGER) + 1
+        |    END AS nc
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, text,
+        |    CAST(unnest(generate_series(0, nc - 1)) AS INTEGER) AS chunk_idx
+        |  FROM c)
+        |SELECT doc_id, chunk_idx,
+        |  length(substring(text, chunk_idx * 180 + 1, 200)) AS chunk_len,
+        |  md5(substring(text, chunk_idx * 180 + 1, 200)) AS chunk_md5
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q63_quality_rank" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+         |      / CAST(greatest(length(text), 1) AS DOUBLE) AS praw
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, praw,
+         |    len(list_filter(toks, x -> list_contains($stopList, x)))
+         |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS sraw,
+         |    least(length(text) / 200.0, 1.0) AS len_score
+         |  FROM t),
+         |q AS (
+         |  SELECT u.doc_id, d.lang,
+         |    round((len_score + least(sraw * 4.0, 1.0)
+         |           + greatest(1.0 - praw * 4.0, 0.0)) / 3.0, 4) AS q
+         |  FROM u JOIN documents d ON u.doc_id = d.doc_id),
+         |r AS (
+         |  SELECT doc_id, lang, q,
+         |    round(percent_rank() OVER (PARTITION BY lang
+         |                               ORDER BY q, doc_id), 6) AS pr
+         |  FROM q)
+         |SELECT doc_id, lang, q, pr FROM r
+         |WHERE pr >= 0.5 ORDER BY doc_id""".stripMargin,
     "q61_heavy_hitters" ->
       """WITH t AS (
         |  SELECT unnest(list_filter(
