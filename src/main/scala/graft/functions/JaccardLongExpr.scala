@@ -19,10 +19,13 @@ import org.apache.spark.sql.types._
   * inside whole-stage codegen.
   *
   * Semantics match the HOF twin exactly, including multiset inputs
-  * (duplicates collapse, as array_intersect/array_union do) and the
-  * empty/empty case (0/0 → NaN, double division semantics). Null
-  * ELEMENTS are rejected by the type check (the dedup pipeline hashes
-  * non-null shingles, so element nulls cannot occur there).
+  * (duplicates collapse, as array_intersect/array_union do), the
+  * empty/empty case (0/0 → NaN, double division semantics), and null
+  * ELEMENTS: like array_intersect/array_union, null is one distinct set
+  * member (in the union if either side holds a null, in the intersection
+  * iff both do). Accepting `containsNull = true` matters in practice —
+  * parquet-read arrays and most SQL-built arrays carry that flag even
+  * when the data is null-free.
   *
   * Registered as SQL `jaccard_long` by [[graft.plans.GraftExtensions]].
   */
@@ -30,7 +33,7 @@ case class JaccardLongExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   private def elemOk(dt: DataType) = dt match {
-    case ArrayType(LongType, false) => true
+    case ArrayType(LongType, _) => true
     case _ => false
   }
 
@@ -38,7 +41,7 @@ case class JaccardLongExpr(left: Expression, right: Expression)
     if (elemOk(left.dataType) && elemOk(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"jaccard_long requires array<bigint> (no null elements), got " +
+      s"jaccard_long requires array<bigint>, got " +
         s"${left.dataType.sql}, ${right.dataType.sql}")
 
   override def dataType: DataType = DoubleType
@@ -59,15 +62,35 @@ case class JaccardLongExpr(left: Expression, right: Expression)
 
 object JaccardLongExpr {
   /** Sorted-merge distinct intersection/union count. Called from
-    * interpreted eval and generated Java alike.
+    * interpreted eval and generated Java alike. Null elements collapse to
+    * one distinct member per side (array_intersect/array_union semantics).
     */
   def compute(a: ArrayData, b: ArrayData): Double = {
-    val xs = a.toLongArray()
-    val ys = b.toLongArray()
+    var aNull = false; var bNull = false
+    var xs = new Array[Long](a.numElements())
+    var n = 0
+    var k = 0
+    while (k < a.numElements()) {
+      if (a.isNullAt(k)) aNull = true
+      else { xs(n) = a.getLong(k); n += 1 }
+      k += 1
+    }
+    var ys = new Array[Long](b.numElements())
+    var m = 0
+    k = 0
+    while (k < b.numElements()) {
+      if (b.isNullAt(k)) bNull = true
+      else { ys(m) = b.getLong(k); m += 1 }
+      k += 1
+    }
+    if (n < xs.length) xs = java.util.Arrays.copyOf(xs, n)
+    if (m < ys.length) ys = java.util.Arrays.copyOf(ys, m)
     java.util.Arrays.sort(xs)
     java.util.Arrays.sort(ys)
     var i = 0; var j = 0
     var inter = 0L; var union = 0L
+    if (aNull || bNull) union += 1
+    if (aNull && bNull) inter += 1
     while (i < xs.length && j < ys.length) {
       val x = xs(i); val y = ys(j)
       if (x == y) {

@@ -64,6 +64,14 @@ object Tsv {
     * per shard is a certainty, and FAILFAST would turn each into a dead
     * pipeline. Callers split on `_corrupt_record IS NULL` to quarantine
     * the bad rows (TsvSpec shows the pattern).
+    *
+    * IMPORTANT: callers MUST `.cache()` the returned frame before any
+    * query that filters or projects on `_corrupt_record`. Spark's CSV
+    * column pruning short-circuits parsing when a query references only
+    * the corrupt-record column (AnalysisException or misleading results
+    * on an uncached frame); caching forces a full parse first. Not cached
+    * here because the quarantine split is a two-consumer read — the
+    * caller owns the persist/unpersist lifecycle.
     */
   def readTsvPermissive(spark: SparkSession, path: String,
                         schema: StructType): DataFrame = {

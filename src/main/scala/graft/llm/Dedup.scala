@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact dedup: hash-groupBy on the normalized-text fingerprint. One
     * shuffle on the 128-bit key; output assigns every doc its cluster
     * representative (min doc_id among identical texts).
@@ -294,6 +296,17 @@ object Dedup {
         .localCheckpoint(true)
       }
       round += 1
+    }
+    // Detect a non-converged exit: maxRounds exhausted while contracted
+    // edges remain (possible with non-Long ids, where the local union-find
+    // finish is skipped, on a deep chain graph). Labels are then only
+    // PARTIALLY merged — surface it instead of returning silently.
+    if (!done && round >= maxRounds && !le.isEmpty) {
+      log.warn(
+        s"clustersFromEdges did NOT converge in $maxRounds rounds " +
+          s"(${le.count()} contracted edges remain); cluster labels are " +
+          "partially merged — raise maxRounds or use Long doc ids to " +
+          "enable the local union-find finish")
     }
     mapping.withColumn("is_duplicate", col("doc_id") =!= col("cluster_id"))
   }

@@ -434,7 +434,7 @@ object LlmQueries {
     "q61_heavy_hitters" ->
       """WITH t AS (
         |  SELECT unnest(list_filter(
-        |    string_split_regex(lower(trim(text)), '[^A-Za-z0-9]+'),
+        |    string_split_regex(lower(trim(text)), '\W+'),
         |    x -> len(x) > 0)) AS token
         |  FROM documents)
         |SELECT token, count(*) AS n
@@ -462,7 +462,7 @@ object LlmQueries {
         |    list_filter(list_transform(string_split(text, chr(10)),
         |                               x -> trim(x)),
         |                x -> len(x) > 0) AS lines,
-        |    list_filter(string_split_regex(lower(trim(text)), '[^A-Za-z0-9]+'),
+        |    list_filter(string_split_regex(lower(trim(text)), '\W+'),
         |                x -> len(x) > 0) AS toks
         |  FROM documents),
         |l1 AS (
@@ -588,7 +588,7 @@ object LlmQueries {
     "q37_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(trim(text)), '[^A-Za-z0-9]+'),
+        |    list_filter(string_split_regex(lower(trim(text)), '\W+'),
         |                x -> len(x) > 0) AS t
         |  FROM documents),
         |grams AS (

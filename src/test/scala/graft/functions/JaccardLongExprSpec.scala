@@ -54,4 +54,38 @@ class JaccardLongExprSpec extends SparkSpec {
       .select(Dedup.jaccardLong(col("a"), col("b"))).head()
     assert(n.isNullAt(0))
   }
+
+  test("accepts containsNull=true inputs (parquet-shaped) and matches HOF on null elements") {
+    import spark.implicits._
+    // Option elements ⇒ ArrayType(LongType, containsNull = true), the
+    // shape parquet reads and most SQL expressions produce.
+    val df = Seq(
+      (Seq[Option[Long]](Some(1L), None, Some(2L)),
+       Seq[Option[Long]](None, Some(2L), Some(3L))),
+      (Seq[Option[Long]](Some(1L), None),
+       Seq[Option[Long]](Some(1L), Some(2L))),
+      (Seq[Option[Long]](None), Seq[Option[Long]](None)),
+      (Seq[Option[Long]](Some(4L)), Seq[Option[Long]](Some(4L), Some(4L))))
+      .toDF("a", "b")
+    val native = df.select(Dedup.jaccardLong(col("a"), col("b")))
+      .collect().map(_.getDouble(0)).toSeq
+    val hof = df.select(
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b"))).cast("double")))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(native == hof)
+    // spelled out: {1,null,2}∩{null,2,3}={null,2} / union {1,null,2,3} = 0.5
+    assert(math.abs(native.head - 0.5) < 1e-12)
+  }
+
+  test("SQL function analyzes on a parquet-read array column") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jacpq").toString
+    Seq((Seq(1L, 2L), Seq(2L, 3L))).toDF("a", "b")
+      .write.mode("overwrite").parquet(dir)
+    // parquet arrays carry containsNull=true — must pass the type check
+    val v = spark.read.parquet(dir)
+      .selectExpr("jaccard_long(a, b)").head().getDouble(0)
+    assert(math.abs(v - 1.0 / 3.0) < 1e-12)
+  }
 }
