@@ -99,7 +99,6 @@ object Dedup {
                             k: Int = 5, numHashes: Int = 32, bands: Int = 8,
                             threshold: Double = 0.5,
                             maxBucket: Int = 1000): DataFrame = {
-    val rows = bands
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
@@ -124,15 +123,73 @@ object Dedup {
       .select("doc_id", "sig", "shh")
       .localCheckpoint(true)
 
-    // band hash = xxhash64 over the band's slice of the signature. Bands
-    // are unrolled Scala-side (fixed small count); `sig` is a named column
-    // so CollapseProject won't duplicate the signature computation per band.
-    // Only (doc_id, band, bucket) flows into the explode/window/join —
-    // shingle sets are joined back AFTER candidate pairs are deduped, so
-    // the 8-way band duplication and the bucket shuffle stay narrow.
-    val bandArr = array((0 until rows).map { b =>
+    // band hash = xxhash64 over the band's slice of the signature.
+    val bucketOfBand = (b: Int) =>
       xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
-    }: _*)
+    pairsFromSigTable(sigs, bands, bucketOfBand, threshold, maxBucket)
+  }
+
+  /** The portable ([[graft.functions.PortableHash]]) twin of
+    * [[minhashCandidatePairs]]: md5-prefix shingle hashes, modular
+    * permutation signatures, fold-mod band buckets — every step
+    * replayable by another SQL engine from inlined constants, which is
+    * how the DuckDB oracle checks the whole near-dedup pipeline (the
+    * xxhash64 family is faster but engine-private). Identical banding /
+    * bucket-join / salting / verify plumbing via [[pairsFromSigTable]].
+    */
+  def minhashCandidatePairsPortable(df: DataFrame, idCol: String,
+                                    textCol: String,
+                                    k: Int = 5, numHashes: Int = 32,
+                                    bands: Int = 8,
+                                    threshold: Double = 0.5,
+                                    maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def md5Prefix60(c: Column): Column =
+      ColumnBridge.column(graft.functions.Md5Prefix60Expr(
+        ColumnBridge.expression(c)))
+    def permSig(c: Column): Column =
+      ColumnBridge.column(graft.functions.PermMinSigExpr(
+        ColumnBridge.expression(c), numHashes))
+
+    val sigs = df.select(
+      col(idCol).as("doc_id"),
+      normalizeText(col(textCol)).as("norm"))
+      .select(col("doc_id"), shinglesOfNorm(col("norm"), k).as("sh"))
+      .withColumn("shh", md5Prefix60(col("sh")))
+      .withColumn("sig", permSig(col("shh")))
+      .select("doc_id", "sig", "shh")
+      .localCheckpoint(true)
+
+    // fold-mod band bucket: acc = (acc*M + slot) mod P, acc0 = band+1 —
+    // rowsPerBand is small and fixed, so unroll Scala-side instead of an
+    // interpreted `aggregate` HOF (identical arithmetic, stays codegen'd)
+    val bucketOfBand = (b: Int) =>
+      (0 until rowsPerBand).foldLeft(lit((b + 1).toLong)) { (acc, j) =>
+        (acc * graft.functions.PortableHash.M +
+          element_at(col("sig"), b * rowsPerBand + j + 1)) %
+          graft.functions.PortableHash.P
+      }
+    pairsFromSigTable(sigs, bands, bucketOfBand, threshold, maxBucket)
+  }
+
+  /** Shared LSH plumbing of both minhash families: band-bucket explode →
+    * size-guarded bucket self-join (salted) → distinct pairs → in-bucket
+    * exact-Jaccard verify. `sigs` must expose (doc_id, sig, shh);
+    * `bucketOfBand(b)` yields band b's bucket key off `sig`.
+    *
+    * Only (doc_id, band, bucket) flows into the explode/window/join —
+    * shingle sets are joined back AFTER candidate pairs are deduped, so
+    * the band duplication and the bucket shuffle stay narrow.
+    */
+  private def pairsFromSigTable(sigs: DataFrame, bands: Int,
+                                bucketOfBand: Int => Column,
+                                threshold: Double,
+                                maxBucket: Int): DataFrame = {
+    // bands are unrolled Scala-side (fixed small count); `sig` is a named
+    // column so CollapseProject won't duplicate the signature per band
+    val bandArr = array((0 until bands).map(bucketOfBand): _*)
     val banded = sigs.select(col("doc_id"), posexplode(bandArr))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
@@ -301,10 +358,11 @@ object Dedup {
     // edges remain (possible with non-Long ids, where the local union-find
     // finish is skipped, on a deep chain graph). Labels are then only
     // PARTIALLY merged — surface it instead of returning silently.
-    if (!done && round >= maxRounds && !le.isEmpty) {
-      log.warn(
+    if (!done && round >= maxRounds && log.isWarnEnabled) {
+      val remaining = le.count()
+      if (remaining > 0) log.warn(
         s"clustersFromEdges did NOT converge in $maxRounds rounds " +
-          s"(${le.count()} contracted edges remain); cluster labels are " +
+          s"($remaining contracted edges remain); cluster labels are " +
           "partially merged — raise maxRounds or use Long doc ids to " +
           "enable the local union-find finish")
     }
@@ -317,6 +375,16 @@ object Dedup {
               threshold: Double = 0.5): DataFrame =
     clustersFromPairs(df, idCol, textCol,
       minhashCandidatePairs(df, idCol, textCol, k, numHashes, bands, threshold))
+
+  /** End-to-end portable MinHash near-dedup (the DuckDB-oracled family):
+    * candidates → clusters.
+    */
+  def minhashPortable(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.5): DataFrame =
+    clustersFromPairs(df, idCol, textCol,
+      minhashCandidatePairsPortable(df, idCol, textCol, k, numHashes, bands,
+                                    threshold))
 
   /** 64-bit SimHash over whitespace tokens — row-local, no explode, no
     * shuffle: per-token xxhash64, then per-bit vote via one `aggregate`
@@ -361,6 +429,17 @@ object Dedup {
   private def tokenizeSql(textCol: String): String =
     s"array_distinct(filter(split(lower(trim($textCol)), '\\\\W+'), " +
       "t -> length(t) > 0))"
+
+  /** 60-bit portable SimHash ([[graft.functions.PortableHash]] family):
+    * same distinct-token tokenizer, tokens hashed by md5-prefix60 and
+    * bit-voted by [[graft.functions.SimHashVoteExpr]] — every step
+    * replayable per-bit in DuckDB SQL, which is how the oracle checks it.
+    * The xxhash64 [[withSimhashNative]] stays the throughput variant.
+    */
+  def withSimhashPortable(df: DataFrame, textCol: String,
+                          outCol: String = "simhash60"): DataFrame =
+    df.withColumn(outCol,
+      expr(s"simhash_vote(md5prefix60(${tokenizeSql(textCol)}), 60)"))
 
   /** SimHash near-dup candidates: docs whose simhash matches exactly on at
     * least one of 4 16-bit bands (guaranteed recall for Hamming distance

@@ -53,20 +53,29 @@ object LlmQueries {
     Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
-  /** MinHash+LSH near-dedup cluster assignment. xxhash64-based → rows-only
-    * check; deterministic given the data. Plan is signature→band→bucket
-    * join — DedupSpec asserts no cartesian anywhere.
+  /** MinHash+LSH near-dedup cluster assignment, portable hash family
+    * ([[graft.functions.PortableHash]]): md5-prefix shingle hashes,
+    * modular permutation signatures, fold-mod band buckets. FULLY
+    * oracle-checked — the DuckDB SQL replays shingling, signatures,
+    * banding, the size-guarded bucket join, the exact-Jaccard verify, AND
+    * the connected-components closure (recursive CTE), from the same
+    * inlined constants. Plan is signature→band→bucket join — DedupSpec
+    * asserts no cartesian anywhere.
     */
   def q35MinhashDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhash(Tables.documents(spark, dir), "doc_id", "text",
-                  k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+    Dedup.minhashPortable(Tables.documents(spark, dir), "doc_id", "text",
+                          k = 3, numHashes = 32, bands = 8, threshold = 0.5)
       .orderBy("doc_id")
 
-  /** SimHash signatures + 16-bit band buckets (rows-only; deterministic). */
+  /** Portable 60-bit SimHash signatures + 15-bit band-0 buckets — FULLY
+    * oracle-checked: DuckDB recomputes every bit's majority vote over the
+    * md5-prefix token hashes. (The xxhash64 simhash64 stays the
+    * throughput variant, property-tested in DedupSpec.)
+    */
   def q36Simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.withSimhashNative(Tables.documents(spark, dir), "text", "simhash64")
-      .select(col("doc_id"), col("simhash64"),
-              (col("simhash64").bitwiseAND(lit(0xFFFFL))).as("band0"))
+    Dedup.withSimhashPortable(Tables.documents(spark, dir), "text", "simhash60")
+      .select(col("doc_id"), col("simhash60"),
+              (col("simhash60").bitwiseAND(lit(0x7FFFL))).as("band0"))
       .orderBy("doc_id")
 
   /** Word-3-gram Jaccard between consecutive doc pairs — the within-bucket
@@ -369,6 +378,106 @@ object LlmQueries {
       s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** DuckDB replay of the ENTIRE portable MinHash dedup pipeline
+    * ([[Dedup.minhashPortable]]): the permutation constants are generated
+    * HERE from the same [[graft.functions.PortableHash]] stream and
+    * inlined as literals; every arithmetic step is overflow-free mod-P so
+    * both engines compute identical BIGINTs. The closure at the end is a
+    * recursive-CTE min-label propagation — labels flow along verified
+    * edges until fixpoint, then `min` per doc = the component's smallest
+    * id, exactly [[Dedup.clustersFromEdges]]' semantics.
+    */
+  private def minhashPortableOracleSql(k: Int, numHashes: Int, bands: Int,
+                                       threshold: Double,
+                                       maxBucket: Int): String = {
+    import graft.functions.PortableHash
+    val (pa, pb)    = PortableHash.perms(numHashes)
+    val P           = PortableHash.P
+    val M           = PortableHash.M
+    val rowsPerBand = numHashes / bands
+    val sigCols = (0 until numHashes).map { i =>
+      s"    list_min(list_transform(h, x -> (${pa(i)} * (x % $P) + ${pb(i)}) % $P)) AS s$i"
+    }.mkString(",\n")
+    val bandSelects = (0 until bands).map { b =>
+      val bucket = (0 until rowsPerBand).foldLeft(s"CAST(${b + 1} AS BIGINT)") {
+        (acc, j) => s"(($acc) * $M + s${b * rowsPerBand + j}) % $P"
+      }
+      s"  SELECT doc_id, $b AS band, ($bucket) AS bucket FROM sg"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH RECURSIVE
+       |nrm AS (
+       |  SELECT doc_id,
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(nt) < $k THEN [nt]
+       |         ELSE list_distinct(list_transform(
+       |                generate_series(1, length(nt) - ${k - 1}),
+       |                i -> substr(nt, i, $k)))
+       |    END AS s
+       |  FROM nrm),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+       |  FROM sh),
+       |sg AS (
+       |  SELECT doc_id,
+       |$sigCols
+       |  FROM hs),
+       |bd AS (
+       |$bandSelects),
+       |bf AS (
+       |  SELECT doc_id, band, bucket FROM bd
+       |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= $maxBucket),
+       |pr AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bf a JOIN bf b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |ed AS (
+       |  SELECT da, db FROM pr
+       |  JOIN hs ha ON ha.doc_id = pr.da
+       |  JOIN hs hb ON hb.doc_id = pr.db
+       |  WHERE CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(ha.h, hb.h))) >= $threshold),
+       |sym AS (SELECT da AS x, db AS y FROM ed
+       |        UNION ALL SELECT db, da FROM ed),
+       |lab(d, l) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT s.y, lab.l FROM lab JOIN sym s ON s.x = lab.d)
+       |SELECT d AS doc_id, min(l) AS cluster_id,
+       |  d <> min(l) AS is_duplicate
+       |FROM lab GROUP BY d ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB replay of [[Dedup.withSimhashPortable]]: one majority-vote
+    * term per bit over the md5-prefix60 token hashes.
+    */
+  private def simhashPortableOracleSql(bits: Int): String = {
+    val bitTerms = (0 until bits).map { i =>
+      s"    CASE WHEN 2 * len(list_filter(h, x -> ((x >> $i) & 1) = 1)) > len(h)" +
+        s" THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("\n    + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_filter(
+       |      string_split_regex(lower(trim(text)), '\\W+'),
+       |      x -> len(x) > 0)) AS t
+       |  FROM documents),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+       |  FROM toks),
+       |sh AS (
+       |  SELECT doc_id,
+       |$bitTerms
+       |  AS simhash60
+       |  FROM hs)
+       |SELECT doc_id, simhash60, simhash60 & 32767 AS band0
+       |FROM sh ORDER BY doc_id""".stripMargin
+  }
+
   private val stopList =
     TextAnalysis.stopwordsForSql.map(s => s"'$s'").mkString("[", ", ", "]")
 
@@ -585,6 +694,10 @@ object LlmQueries {
         |      FROM t)
         |SELECT doc_id, cluster_id, doc_id <> cluster_id AS is_duplicate
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q35_minhash_dedup" ->
+      minhashPortableOracleSql(k = 3, numHashes = 32, bands = 8,
+                               threshold = 0.5, maxBucket = 1000),
+    "q36_simhash" -> simhashPortableOracleSql(60),
     "q37_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id,

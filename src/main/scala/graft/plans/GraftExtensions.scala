@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimExpr, JaccardLongExpr, MinHashSigExpr, NfcNormalizeExpr, SimHash64Expr}
+import graft.functions.{CosineSimExpr, JaccardLongExpr, Md5Prefix60Expr, MinHashSigExpr, NfcNormalizeExpr, PermMinSigExpr, SimHash64Expr, SimHashVoteExpr}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** Engine extension point, wired via `spark.sql.extensions` (set in
@@ -54,6 +54,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"numHashes must be an integer literal, got $other")
         }
         MinHashSigExpr(children.head, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("md5prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60Expr].getName, "md5prefix60"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "md5prefix60 takes exactly one argument")
+        Md5Prefix60Expr(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_perm_signature"),
+      new ExpressionInfo(classOf[PermMinSigExpr].getName,
+                         "minhash_perm_signature"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+                "minhash_perm_signature takes (array<bigint>, numHashes literal)")
+        val n = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"numHashes must be an integer literal, got $other")
+        }
+        PermMinSigExpr(children.head, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_vote"),
+      new ExpressionInfo(classOf[SimHashVoteExpr].getName, "simhash_vote"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+                "simhash_vote takes (array<bigint>, bits literal)")
+        val n = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"bits must be an integer literal, got $other")
+        }
+        SimHashVoteExpr(children.head, n)
       }))
   }
 }

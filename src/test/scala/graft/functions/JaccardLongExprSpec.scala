@@ -80,12 +80,20 @@ class JaccardLongExprSpec extends SparkSpec {
 
   test("SQL function analyzes on a parquet-read array column") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("jacpq").toString
-    Seq((Seq(1L, 2L), Seq(2L, 3L))).toDF("a", "b")
-      .write.mode("overwrite").parquet(dir)
-    // parquet arrays carry containsNull=true — must pass the type check
-    val v = spark.read.parquet(dir)
-      .selectExpr("jaccard_long(a, b)").head().getDouble(0)
-    assert(math.abs(v - 1.0 / 3.0) < 1e-12)
+    val dirPath = java.nio.file.Files.createTempDirectory("jacpq")
+    try {
+      val dir = dirPath.toString
+      Seq((Seq(1L, 2L), Seq(2L, 3L))).toDF("a", "b")
+        .write.mode("overwrite").parquet(dir)
+      // parquet arrays carry containsNull=true — must pass the type check
+      val v = spark.read.parquet(dir)
+        .selectExpr("jaccard_long(a, b)").head().getDouble(0)
+      assert(math.abs(v - 1.0 / 3.0) < 1e-12)
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(dirPath).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
   }
 }
