@@ -24,6 +24,16 @@ object Sessions {
       // events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects by
       // default; read as long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate adds `size(gen_input) > 0 AND
+      // isnotnull(gen_input)` above every explode, and predicate pushdown
+      // then substitutes the generator-input ALIAS with its full
+      // expression tree below the projections — for HOF-built arrays
+      // (token/gram/shingle pipelines) that re-evaluates the whole
+      // interpreted lambda tree 2 extra times per row, measured 8× on the
+      // decontamination gram explode. The empty-array skip it buys is
+      // negligible at corpus scale; excluded engine-wide.
+      .config("spark.sql.optimizer.excludedRules",
+              "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

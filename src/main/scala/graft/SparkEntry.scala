@@ -42,6 +42,8 @@ object SparkEntry {
     "q46_vocab_stats",
     "q50_sst2_pipeline",
     "q51_qqp_pipeline",
-    "q52_qnli_pipeline"
+    "q52_qnli_pipeline",
+    "q66_tfidf_keywords",
+    "q67_decontamination"
   )
 }

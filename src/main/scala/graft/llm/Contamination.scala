@@ -1,0 +1,55 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Train/eval decontamination: flag training documents that share any word
+  * n-gram with an evaluation set — the standard benchmark-leakage guard a
+  * training-data pipeline runs before every corpus release (n = 8..13 word
+  * grams in published pipelines).
+  *
+  * Plan shape at 100 TB: eval sets are small (benchmarks are MBs), so the
+  * distinct eval-gram relation is BROADCAST and the train side is a
+  * scan → explode → broadcast-semi-join → partial-agg — one narrow
+  * shuffle on doc_id for the per-doc counts, no giant gram×gram shuffle.
+  * Grams travel as md5 strings (fixed 32 bytes, engine-portable) rather
+  * than raw gram text.
+  */
+object Contamination {
+
+  /** Distinct word-n-gram fingerprints per document, as 60-bit md5-prefix
+    * longs ([[graft.functions.PortableHash]] family — engine-portable and
+    * 8 bytes on the wire instead of a 32-byte md5 hex string). Tokens and
+    * grams are materialized columns per the HOF scale rule
+    * ([[Dedup.shinglesOfNorm]]); the gram ARRAY is hashed by the fused
+    * native kernel before the explode, so the explode moves only longs.
+    */
+  def gramFingerprints(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+              Dedup.wordTokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), Dedup.wordNgrams(col("__toks"), n).as("__grams"))
+      .select(col("doc_id"),
+              explode(expr("md5prefix60(__grams)")).as("gram_fp"))
+
+  /** Per-train-doc contamination report against `eval`: number of distinct
+    * eval-shared n-grams and the boolean flag. Train docs that ARE eval
+    * docs should be excluded by the caller (or pass disjoint frames).
+    */
+  def contaminationReport(train: DataFrame, eval: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 8): DataFrame = {
+    val trainG = gramFingerprints(train, idCol, textCol, n)
+    val evalG  = broadcast(
+      gramFingerprints(eval, idCol, textCol, n)
+        .select("gram_fp").distinct())
+    val shared = trainG.join(evalG, Seq("gram_fp"))
+      .groupBy("doc_id")
+      .agg(countDistinct("gram_fp").as("n_shared_grams"))
+    train.select(col(idCol).as("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .withColumn("contaminated", col("n_shared_grams") > 0)
+  }
+}

@@ -37,6 +37,20 @@ object Dedup {
   def normalizeText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** Decouple CPU-bound row-local stages from the INPUT's split count:
+    * a small/compacted source can arrive as one partition, serializing
+    * the signature computation on one core no matter the cluster size.
+    * If the frame has fewer partitions than the cluster's parallelism,
+    * hash-repartition on the id (deterministic, value-based); otherwise
+    * leave the input partitioning alone — at 100 TB the scan already has
+    * thousands of splits and the extra shuffle would be pure waste.
+    */
+  private def parallelizeCompute(df: DataFrame, idCol: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, col(idCol))
+    else df
+  }
+
   /** Character k-shingles over an ALREADY-MATERIALIZED normalized-text
     * column. `norm` must be a plain column reference (attribute): HOF
     * lambdas are interpreted and re-evaluate every outer expression they
@@ -114,7 +128,7 @@ object Dedup {
     // "signature table" pass of production dedup pipelines (at cluster
     // scale: write it out / reliable-checkpoint it; blocks here are freed
     // by the ContextCleaner when unreferenced).
-    val sigs = df.select(
+    val sigs = parallelizeCompute(df, idCol).select(
       col(idCol).as("doc_id"),
       normalizeText(col(textCol)).as("norm"))
       .select(col("doc_id"), shinglesOfNorm(col("norm"), k).as("sh"))
@@ -153,7 +167,7 @@ object Dedup {
       ColumnBridge.column(graft.functions.PermMinSigExpr(
         ColumnBridge.expression(c), numHashes))
 
-    val sigs = df.select(
+    val sigs = parallelizeCompute(df, idCol).select(
       col(idCol).as("doc_id"),
       normalizeText(col(textCol)).as("norm"))
       .select(col("doc_id"), shinglesOfNorm(col("norm"), k).as("sh"))
@@ -279,9 +293,12 @@ object Dedup {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
+    // the doc→label mapping starts as a pure projection of `vertices`;
+    // it is only checkpointed inside the DISTRIBUTED branch (where the
+    // loop would otherwise grow its plan) — the common local-finish path
+    // never pays a full-vertex materialization job for it
     var mapping = vertices.select(col("doc_id"))
       .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
     var round = 0
     // Once the contracted graph fits comfortably on the driver, finish it
     // there: a union-find over ≤`localFinishEdges` edges costs
@@ -293,10 +310,13 @@ object Dedup {
     val isLongKeyed =
       le.schema("a").dataType == org.apache.spark.sql.types.LongType
     var done = false
-    // isEmpty on a checkpointed frame scans materialized blocks — cheap,
-    // and cannot trigger the partial-cache recompute trap.
-    while (!done && round < maxRounds && !le.isEmpty) {
-      if (isLongKeyed && le.count() <= localFinishEdges) {
+    // one count() action per round drives BOTH the termination check and
+    // the local-finish decision (counting a checkpointed frame scans
+    // materialized blocks — cheap, and cannot trigger the partial-cache
+    // recompute trap); the iterative path refreshes it after contraction
+    var edgeCount = le.count()
+    while (!done && round < maxRounds && edgeCount > 0) {
+      if (isLongKeyed && edgeCount <= localFinishEdges) {
         val local = le.collect().map(r => (r.getLong(0), r.getLong(1)))
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {
@@ -351,6 +371,7 @@ object Dedup {
         .filter(col("a") =!= col("b"))
         .distinct()
         .localCheckpoint(true)
+      edgeCount = le.count()
       }
       round += 1
     }
@@ -358,11 +379,10 @@ object Dedup {
     // edges remain (possible with non-Long ids, where the local union-find
     // finish is skipped, on a deep chain graph). Labels are then only
     // PARTIALLY merged — surface it instead of returning silently.
-    if (!done && round >= maxRounds && log.isWarnEnabled) {
-      val remaining = le.count()
-      if (remaining > 0) log.warn(
+    if (!done && round >= maxRounds && edgeCount > 0) {
+      log.warn(
         s"clustersFromEdges did NOT converge in $maxRounds rounds " +
-          s"($remaining contracted edges remain); cluster labels are " +
+          s"($edgeCount contracted edges remain); cluster labels are " +
           "partially merged — raise maxRounds or use Long doc ids to " +
           "enable the local union-find finish")
     }

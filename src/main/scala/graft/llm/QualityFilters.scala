@@ -117,4 +117,79 @@ object QualityFilters {
             s"threshold must be 4 lowercase hex chars, got $thresholdHex4")
     substring(md5(key.cast("string").cast("binary")), 1, 4) < thresholdHex4
   }
+
+  /** Balanced per-stratum sampling: the first `n` rows of each stratum in
+    * md5(key) order — a deterministic, content-stable "random" balanced
+    * subset (class-balanced training sets, per-language caps). No RNG
+    * state, reproducible across engines/partitions/reruns.
+    *
+    * Plan: one shuffle on the stratum key; Spark's WindowGroupLimit
+    * pushes the rank limit below the sort, so each task keeps only n rows
+    * per stratum — never a full per-stratum sort at the reducer.
+    */
+  def stratifiedTopN(df: DataFrame, strataCol: String, keyCol: String,
+                     n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
+  /** Gopher-style document quality gate (Rae et al. 2021 §A1.1): word
+    * count bounds, mean word length band, symbol-to-word ratio, bullet /
+    * ellipsis line fractions, alphabetic-word fraction, minimum distinct
+    * stopword hits. Returns the stats AND the composite `keep` flag so
+    * pipelines can either filter or audit. All row-local expressions;
+    * `toks` / `lines` must be materialized columns (HOF scale rule).
+    */
+  def gopherStats(df: DataFrame, textCol: String,
+                  minStopwordHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val toks  = col("__toks")
+    val lines = col("__lines")
+    val nWords = size(toks)
+    val meanWordLen =
+      when(nWords === 0, lit(0.0)).otherwise(
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x).cast("long"))
+          .cast("double") / nWords.cast("double"))
+    val symbolRatio =
+      when(nWords === 0, lit(0.0)).otherwise(
+        (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\.")))
+          .cast("double") / nWords.cast("double"))
+    val bulletFrac =
+      when(size(lines) === 0, lit(0.0)).otherwise(
+        size(filter(lines, l => l.startsWith("-") || l.startsWith("*") ||
+                                l.startsWith("•"))).cast("double") /
+          size(lines).cast("double"))
+    val ellipsisFrac =
+      when(size(lines) === 0, lit(0.0)).otherwise(
+        size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+          .cast("double") / size(lines).cast("double"))
+    val alphaFrac =
+      when(nWords === 0, lit(0.0)).otherwise(
+        size(filter(toks, x => x.rlike("[a-z]"))).cast("double") /
+          nWords.cast("double"))
+    val stopHits = size(array_intersect(
+      toks, array(TextAnalysis.gopherStopwords.map(lit): _*)))
+    df.withColumn("__toks", Dedup.wordTokens(t))
+      .withColumn("__lines", docLines(t))
+      .withColumn("n_words", nWords.cast("long"))
+      .withColumn("mean_word_len", round(meanWordLen, 4))
+      .withColumn("symbol_ratio", round(symbolRatio, 4))
+      .withColumn("bullet_line_frac", round(bulletFrac, 4))
+      .withColumn("ellipsis_line_frac", round(ellipsisFrac, 4))
+      .withColumn("alpha_word_frac", round(alphaFrac, 4))
+      .withColumn("stopword_hits", stopHits.cast("long"))
+      .withColumn("keep",
+        col("n_words") >= 5 && col("n_words") <= 100000 &&
+        col("mean_word_len") >= 2.0 && col("mean_word_len") <= 10.0 &&
+        col("symbol_ratio") <= 0.1 &&
+        col("bullet_line_frac") <= 0.9 &&
+        col("ellipsis_line_frac") <= 0.3 &&
+        col("alpha_word_frac") >= 0.8 &&
+        col("stopword_hits") >= minStopwordHits)
+      .drop("__toks", "__lines")
+  }
 }

@@ -33,6 +33,13 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
     "was", "for", "on", "are", "as", "with", "at", "be", "this")
 
+  /** The Gopher quality rule's stopword list (Rae et al. 2021 §A1.1:
+    * "contains at least 2 of ..."). Exposed for the quality gate and its
+    * SQL oracle.
+    */
+  private[graft] val gopherStopwords = Seq(
+    "the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Fraction of whitespace tokens that are common-English stopwords —
     * natural prose scores ~0.2-0.5, keyword spam / boilerplate ~0.
     */

@@ -2,8 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, QualityFilters, Similarity,
-                  TextAnalysis, TextPacking}
+import graft.llm.{Contamination, Dedup, Multimodal, QualityFilters,
+                  Similarity, TextAnalysis, TextPacking}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline operators as oracle-checkable queries over
@@ -63,8 +63,11 @@ object LlmQueries {
     * asserts no cartesian anywhere.
     */
   def q35MinhashDedup(spark: SparkSession, dir: String): DataFrame =
+    // k=5 char shingles: at k=3 the trigram space saturates on ~300-char
+    // docs (unrelated pairs reach Jaccard 0.5 → 1.9M "pairs" at sf0.1);
+    // k=5 keeps only genuine near-dups (measured 256 pairs, 3× faster)
     Dedup.minhashPortable(Tables.documents(spark, dir), "doc_id", "text",
-                          k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+                          k = 5, numHashes = 32, bands = 8, threshold = 0.5)
       .orderBy("doc_id")
 
   /** Portable 60-bit SimHash signatures + 15-bit band-0 buckets — FULLY
@@ -336,7 +339,76 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Balanced per-language sample: first 30 docs of each language in
+    * md5(doc_id) order — deterministic class-balanced subsetting
+    * (no RNG state; content-stable across engines and reruns).
+    * Oracle-checked; plans as one shuffle + WindowGroupLimit.
+    */
+  def q64StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    QualityFilters.stratifiedTopN(
+      Tables.documents(spark, dir).select("doc_id", "lang"),
+      "lang", "doc_id", n = 30)
+      .orderBy("doc_id")
+
+  /** Gopher-style quality gate (Rae et al. 2021 §A1.1): per-doc stats +
+    * composite keep flag — oracle-checked via DuckDB list lambdas over
+    * the same rounded values.
+    */
+  def q65GopherFilter(spark: SparkSession, dir: String): DataFrame =
+    // minStopwordHits = 1: the synthetic corpus tops out at 1 distinct
+    // Gopher stopword per doc, so the faithful ≥2 would zero the flag
+    QualityFilters.gopherStats(
+      Tables.documents(spark, dir).select("doc_id", "text"), "text",
+      minStopwordHits = 1)
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+              "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+              "stopword_hits", "keep")
+      .orderBy("doc_id")
+
+  /** TF-IDF top-3 keywords per document, scored as tf × N / df (pure
+    * integer ratio in IEEE double — no log, so both engines agree
+    * bit-for-bit). Plans as two partial-agg shuffles + a broadcast of the
+    * one-row corpus count + per-doc WindowGroupLimit. Oracle-checked.
+    */
+  def q66TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Dedup.wordTokens(col("text"))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score"), asc("token"))
+    tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+                  (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"),
+              round(col("score"), 4).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Train/eval decontamination: flag training docs sharing any word
+    * 8-gram with the (doc_id % 10 = 7) eval slice — the benchmark-leakage
+    * guard run before corpus release. Broadcast semi-join on gram md5
+    * fingerprints; oracle-checked end-to-end.
+    */
+  def q67Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = Tables.documents(spark, dir)
+    val train = docs.filter(col("doc_id") % 10 =!= 7)
+    val eval  = docs.filter(col("doc_id") % 10 === 7)
+    Contamination.contaminationReport(train, eval, "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_stratified_sample" -> (q64StratifiedSample(_, _)),
+    "q65_gopher_filter"     -> (q65GopherFilter(_, _)),
+    "q66_tfidf_keywords"    -> (q66TfidfKeywords(_, _)),
+    "q67_decontamination"   -> (q67Decontamination(_, _)),
     "q62_chunking"         -> (q62Chunking(_, _)),
     "q63_quality_rank"     -> (q63QualityRank(_, _)),
     "q61_heavy_hitters"    -> (q61HeavyHitters(_, _)),
@@ -695,9 +767,112 @@ object LlmQueries {
         |SELECT doc_id, cluster_id, doc_id <> cluster_id AS is_duplicate
         |FROM c ORDER BY doc_id""".stripMargin,
     "q35_minhash_dedup" ->
-      minhashPortableOracleSql(k = 3, numHashes = 32, bands = 8,
+      minhashPortableOracleSql(k = 5, numHashes = 32, bands = 8,
                                threshold = 0.5, maxBucket = 1000),
     "q36_simhash" -> simhashPortableOracleSql(60),
+    "q64_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 30 ORDER BY doc_id""".stripMargin,
+    "q65_gopher_filter" -> {
+      val stops = TextAnalysis.gopherStopwords
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\W+'),
+         |                x -> len(x) > 0) AS toks,
+         |    list_filter(list_transform(string_split(text, chr(10)),
+         |                               l -> trim(l)),
+         |                l -> len(l) > 0) AS lines
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    round(CASE WHEN len(toks) = 0 THEN 0.0
+         |      ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+         |                AS DOUBLE) / len(toks) END, 4) AS mean_word_len,
+         |    round(CASE WHEN len(toks) = 0 THEN 0.0
+         |      ELSE CAST(len(regexp_extract_all(text, '#'))
+         |                + len(regexp_extract_all(text, '\\.\\.\\.'))
+         |                AS DOUBLE) / len(toks) END, 4) AS symbol_ratio,
+         |    round(CASE WHEN len(lines) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(lines,
+         |             l -> starts_with(l, '-') OR starts_with(l, '*')
+         |                  OR starts_with(l, '•'))) AS DOUBLE)
+         |           / len(lines) END, 4) AS bullet_line_frac,
+         |    round(CASE WHEN len(lines) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(lines,
+         |             l -> ends_with(l, '...') OR ends_with(l, '…')))
+         |             AS DOUBLE) / len(lines) END, 4) AS ellipsis_line_frac,
+         |    round(CASE WHEN len(toks) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(toks,
+         |             x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+         |           / len(toks) END, 4) AS alpha_word_frac,
+         |    CAST(len(list_intersect(toks, $stops)) AS BIGINT)
+         |      AS stopword_hits
+         |  FROM t)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+         |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+         |  stopword_hits,
+         |  (n_words >= 5 AND n_words <= 100000
+         |   AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+         |   AND symbol_ratio <= 0.1
+         |   AND bullet_line_frac <= 0.9
+         |   AND ellipsis_line_frac <= 0.3
+         |   AND alpha_word_frac >= 0.8
+         |   AND stopword_hits >= 1) AS keep
+         |FROM u ORDER BY doc_id""".stripMargin
+    },
+    "q66_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |       FROM toks GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.token,
+        |        CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+        |      FROM tf JOIN df USING (token) CROSS JOIN n),
+        |r AS (SELECT doc_id, token, score,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY score DESC, token) AS rank
+        |      FROM s)
+        |SELECT doc_id, rank, token, round(score, 4) AS tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q67_decontamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |      ELSE list_distinct(list_transform(
+        |             generate_series(0, len(t) - 8),
+        |             i -> array_to_string(t[i+1:i+8], ' ')))
+        |    END) AS g
+        |  FROM tok),
+        |tg AS (SELECT doc_id,
+        |         ('0x' || substr(md5(g), 1, 15))::BIGINT AS fp FROM grams
+        |       WHERE doc_id % 10 <> 7),
+        |eg AS (SELECT DISTINCT
+        |         ('0x' || substr(md5(g), 1, 15))::BIGINT AS fp FROM grams
+        |       WHERE doc_id % 10 = 7),
+        |sh AS (SELECT tg.doc_id, count(DISTINCT tg.fp) AS n
+        |       FROM tg JOIN eg USING (fp) GROUP BY tg.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(sh.n, 0) AS n_shared_grams,
+        |  coalesce(sh.n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+        |WHERE d.doc_id % 10 <> 7
+        |ORDER BY d.doc_id""".stripMargin,
     "q37_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -68,4 +68,78 @@ class QualityFiltersSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert((sub.filter(_ < 10000L)) == kept.filter(_ >= 5000L))
   }
+
+  test("stratifiedTopN: exactly n per stratum, deterministic, content-stable") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, s"lang${i % 3}")).toDF("id", "lang")
+    val s1 = QualityFilters.stratifiedTopN(df, "lang", "id", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.length == 30)
+    assert(s1.groupBy(_._2).forall(_._2.length == 10))
+    val s2 = QualityFilters.stratifiedTopN(df, "lang", "id", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.toSet == s2.toSet)
+    // content-stable: adding rows to OTHER strata never changes a
+    // stratum's selection; adding rows to the same stratum only replaces
+    // members whose md5 sorts later
+    val bigger = ((0L until 300L) ++ (1000L until 1100L))
+      .map(i => (i, s"lang${i % 3}")).toDF("id", "lang")
+    val s3 = QualityFilters.stratifiedTopN(bigger, "lang", "id", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // every survivor from the bigger run that existed before must have
+    // been selected before (md5 order is global, so prefixes nest)
+    assert(s3.filter(_._1 < 300L).toSet.subsetOf(s1.toSet))
+  }
+
+  test("gopherStats: planted violations trip the right rules") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs back home with that same steady pace we have come to expect"
+    val docs = Seq(
+      (1L, good),                                       // passes
+      (2L, "one two"),                                  // too few words
+      (3L, ("- bullet item\n" * 10) + "the end of that with be"), // bullets
+      (4L, good + " ### ## # # # # # # # # # # # # #"), // symbol soup
+      (5L, "a1 b2 c3 44 55 66 77 88 99 00 " * 3 + "the of and with")) // non-alpha
+      .toDF("doc_id", "text")
+    val out = QualityFilters.gopherStats(docs, "text")
+      .select("doc_id", "keep", "n_words", "bullet_line_frac",
+              "symbol_ratio", "alpha_word_frac", "stopword_hits")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+         r.getDouble(5), r.getLong(6))).toMap
+    assert(out(1L)._1, s"good doc rejected: ${out(1L)}")
+    assert(!out(2L)._1 && out(2L)._2 < 5)
+    assert(!out(3L)._1 && out(3L)._3 > 0.9)
+    assert(!out(4L)._1 && out(4L)._4 > 0.1)
+    assert(!out(5L)._1 && out(5L)._5 < 0.8)
+  }
+
+  test("contamination report: planted leak is flagged, clean docs are not") {
+    import spark.implicits._
+    val leaked = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima"
+    val train = Seq(
+      (1L, s"prefix words here $leaked suffix words trail"),
+      (2L, "completely clean document with its own fresh content words " +
+           "never seen in any benchmark at all"),
+      (3L, leaked)) // exact eval doc text
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, leaked)).toDF("doc_id", "text")
+    val out = Contamination.contaminationReport(train, eval,
+                                                "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L)._2 && out(1L)._1 >= 1)
+    assert(!out(2L)._2 && out(2L)._1 == 0)
+    assert(out(3L)._2)
+    // short-doc branch: fewer than n tokens → whole doc is the gram
+    val shortEval  = Seq((200L, "tiny doc")).toDF("doc_id", "text")
+    val shortTrain = Seq((4L, "tiny doc"), (5L, "other thing"))
+      .toDF("doc_id", "text")
+    val shortOut = Contamination.contaminationReport(
+      shortTrain, shortEval, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(shortOut(4L) && !shortOut(5L))
+  }
 }
