@@ -49,6 +49,9 @@ object ScaleProbe {
       time(s"minhash_dedup  n=$n ($rows)") {
         noop(Dedup.minhash(d, "doc_id", "text"))
       }
+      time(s"minhash_port   n=$n ($rows)") {
+        noop(Dedup.minhashPortable(d, "doc_id", "text"))
+      }
       time(s"exact_dedup    n=$n ($rows)") {
         noop(Dedup.exact(d, "doc_id", "text"))
       }

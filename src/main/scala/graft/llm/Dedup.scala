@@ -133,7 +133,11 @@ object Dedup {
       normalizeText(col(textCol)).as("norm"))
       .select(col("doc_id"), shinglesOfNorm(col("norm"), k).as("sh"))
       .withColumn("sig", minhashSignatureNative(col("sh"), numHashes))
-      .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
+      .withColumn("shh", {
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        ColumnBridge.column(graft.functions.XxHash64ArrayExpr(
+          ColumnBridge.expression(col("sh"))))
+      })
       .select("doc_id", "sig", "shh")
       .localCheckpoint(true)
 

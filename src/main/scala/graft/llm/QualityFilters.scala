@@ -118,6 +118,31 @@ object QualityFilters {
     substring(md5(key.cast("string").cast("binary")), 1, 4) < thresholdHex4
   }
 
+  /** Weighted dataset mixing: per-stratum deterministic hash-threshold
+    * rates — the "sampling weights per source" step that assembles a
+    * training mixture (e.g. keep 90% of en, 25% of zh). Same md5-prefix
+    * mechanics as [[hashSampleFlag]], so membership is content-stable,
+    * engine-portable, RNG-free, and each stratum's kept set NESTS as its
+    * weight grows. Row-local (scan-speed at 100 TB; no shuffle).
+    *
+    * `weights` maps stratum value → 4-hex-digit threshold (≈ rate ×
+    * 0x10000); strata not listed fall back to `defaultHex4`.
+    */
+  def weightedMix(df: DataFrame, stratumCol: String, keyCol: String,
+                  weights: Map[String, String],
+                  defaultHex4: String = "0000"): DataFrame = {
+    (weights.values.toSeq :+ defaultHex4).foreach { t =>
+      require(t.matches("[0-9a-f]{4}"),
+              s"thresholds must be 4 lowercase hex chars, got $t")
+    }
+    val threshold = weights.foldLeft(lit(defaultHex4)) {
+      case (acc, (k, t)) => when(col(stratumCol) === k, lit(t)).otherwise(acc)
+    }
+    df.filter(
+      substring(md5(col(keyCol).cast("string").cast("binary")), 1, 4)
+        < threshold)
+  }
+
   /** Balanced per-stratum sampling: the first `n` rows of each stratum in
     * md5(key) order — a deterministic, content-stable "random" balanced
     * subset (class-balanced training sets, per-language caps). No RNG

@@ -404,7 +404,27 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Training-mixture assembly: per-language sampling weights (keep 90%
+    * en, 50% de/fr, 25% es/zh) via deterministic md5-threshold mixing —
+    * reported as per-language total/kept counts. Oracle-checked.
+    */
+  def q68DatasetMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = Tables.documents(spark, dir)
+    val mixed = QualityFilters.weightedMix(
+      docs, "lang", "doc_id",
+      weights = Map("en" -> "e666", "de" -> "8000", "fr" -> "8000",
+                    "es" -> "4000", "zh" -> "4000"),
+      defaultHex4 = "1000")
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+      .join(mixed, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+              coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_dataset_mix"       -> (q68DatasetMix(_, _)),
     "q64_stratified_sample" -> (q64StratifiedSample(_, _)),
     "q65_gopher_filter"     -> (q65GopherFilter(_, _)),
     "q66_tfidf_keywords"    -> (q66TfidfKeywords(_, _)),
@@ -770,6 +790,20 @@ object LlmQueries {
       minhashPortableOracleSql(k = 5, numHashes = 32, bands = 8,
                                threshold = 0.5, maxBucket = 1000),
     "q36_simhash" -> simhashPortableOracleSql(60),
+    "q68_dataset_mix" ->
+      """WITH kept AS (
+        |  SELECT lang, count(*) AS n_kept FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |    CASE lang WHEN 'en' THEN 'e666'
+        |              WHEN 'de' THEN '8000' WHEN 'fr' THEN '8000'
+        |              WHEN 'es' THEN '4000' WHEN 'zh' THEN '4000'
+        |              ELSE '1000' END
+        |  GROUP BY lang),
+        |tot AS (SELECT lang, count(*) AS n_total FROM documents
+        |        GROUP BY lang)
+        |SELECT tot.lang, tot.n_total, coalesce(kept.n_kept, 0) AS n_kept
+        |FROM tot LEFT JOIN kept ON tot.lang = kept.lang
+        |ORDER BY tot.lang""".stripMargin,
     "q64_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

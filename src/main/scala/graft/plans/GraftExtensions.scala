@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimExpr, JaccardLongExpr, Md5Prefix60Expr, MinHashSigExpr, NfcNormalizeExpr, PermMinSigExpr, SimHash64Expr, SimHashVoteExpr}
+import graft.functions.{CosineSimExpr, JaccardLongExpr, Md5Prefix60Expr, MinHashSigExpr, NfcNormalizeExpr, PermMinSigExpr, SimHash64Expr, SimHashVoteExpr, XxHash64ArrayExpr}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** Engine extension point, wired via `spark.sql.extensions` (set in
@@ -75,6 +75,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"numHashes must be an integer literal, got $other")
         }
         PermMinSigExpr(children.head, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("xxhash64_array"),
+      new ExpressionInfo(classOf[XxHash64ArrayExpr].getName, "xxhash64_array"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+                "xxhash64_array takes exactly one argument")
+        XxHash64ArrayExpr(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash_vote"),

@@ -134,6 +134,17 @@ class PortableHashSpec extends SparkSpec {
     assert(ham(out(1L), out(3L)) > 10)
   }
 
+  test("XxHash64ArrayExpr equals transform(arr, xxhash64) elementwise") {
+    import spark.implicits._
+    Seq(Seq("abc", "", "hello world"), Seq.empty[String])
+      .toDF("a").createOrReplaceTempView("xxa_in")
+    val native = spark.sql("SELECT xxhash64_array(a) FROM xxa_in")
+      .collect().map(_.getSeq[Long](0)).toSeq
+    val hof = spark.sql("SELECT transform(a, s -> xxhash64(s)) FROM xxa_in")
+      .collect().map(_.getSeq[Long](0)).toSeq
+    assert(native == hof)
+  }
+
   test("portable and xxhash64 families agree on planted-dup clustering") {
     import spark.implicits._
     val mk = (s: String) => s * 10

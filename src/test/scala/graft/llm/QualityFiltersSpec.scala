@@ -69,6 +69,25 @@ class QualityFiltersSpec extends SparkSpec {
     assert((sub.filter(_ < 10000L)) == kept.filter(_ >= 5000L))
   }
 
+  test("weightedMix: per-stratum rates, nesting as weights grow, default rate") {
+    import spark.implicits._
+    val df = (0L until 9000L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    def keptIds(w: Map[String, String]) =
+      QualityFilters.weightedMix(df, "src", "id", w, "0800")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val k1 = keptIds(Map("s0" -> "8000", "s1" -> "2000"))
+    val bySrc = k1.groupBy(_._2).view.mapValues(_.size).toMap
+    // 3000 per stratum: s0 ≈ 50%, s1 ≈ 12.5%, s2 (default) ≈ 3%
+    assert(bySrc("s0") > 1350 && bySrc("s0") < 1650, bySrc.toString)
+    assert(bySrc("s1") > 280 && bySrc("s1") < 470, bySrc.toString)
+    assert(bySrc.getOrElse("s2", 0) > 40 && bySrc("s2") < 160, bySrc.toString)
+    // raising one stratum's weight only ADDS members there (nesting), and
+    // never changes other strata
+    val k2 = keptIds(Map("s0" -> "c000", "s1" -> "2000"))
+    assert(k1.filter(_._2 == "s0").subsetOf(k2.filter(_._2 == "s0")))
+    assert(k1.filter(_._2 != "s0") == k2.filter(_._2 != "s0"))
+  }
+
   test("stratifiedTopN: exactly n per stratum, deterministic, content-stable") {
     import spark.implicits._
     val df = (0L until 300L).map(i => (i, s"lang${i % 3}")).toDF("id", "lang")

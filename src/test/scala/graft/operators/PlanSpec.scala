@@ -62,6 +62,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q64 stratified sample: rank limit pushed below the sort (WindowGroupLimit)") {
+    val plan = LlmQueries.q64StratifiedSample(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+           s"per-stratum top-n must not be a full per-stratum sort:\n$plan")
+  }
+
+  test("q67 decontamination: eval gram set broadcasts; no explode pre-filter re-evaluation") {
+    val df = LlmQueries.q67Decontamination(spark, sf0001)
+    df.collect() // final AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+           s"train grams must never shuffle against the eval set:\n$plan")
+    // InferFiltersFromGenerate is excluded in Sessions: the optimized plan
+    // must NOT carry a size(...) filter above the gram explode, which
+    // would re-evaluate the HOF gram tree per row (measured 8x)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("size(CASE WHEN"),
+           s"generator pre-filter re-appeared — check excludedRules:\n$opt")
+  }
+
   test("whole-stage codegen covers the scalar query surface") {
     // codegen stages print as "*(n)" — only in the FINAL adaptive plan,
     // so force execution before inspecting
