@@ -44,6 +44,7 @@ object SparkEntry {
     "q51_qqp_pipeline",
     "q52_qnli_pipeline",
     "q66_tfidf_keywords",
-    "q67_decontamination"
+    "q67_decontamination",
+    "q70_curation_funnel"
   )
 }

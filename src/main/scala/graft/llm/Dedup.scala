@@ -305,12 +305,13 @@ object Dedup {
       .withColumn("cluster_id", col("doc_id"))
     var round = 0
     // Once the contracted graph fits comfortably on the driver, finish it
-    // there: a union-find over ≤`localFinishEdges` edges costs
-    // milliseconds, replacing several distributed rounds whose cost is
-    // pure job latency. This is the standard CC endgame (the quotient
-    // graph of a clique-heavy dup corpus is tiny after round 1); larger
-    // contracted graphs keep iterating distributed — the 100 TB fallback.
-    val localFinishEdges = 100000
+    // there: a union-find over ≤`localFinishEdges` edges costs well under
+    // a second (1M edges ≈ 16 MB collected), replacing several
+    // distributed rounds whose cost is pure job latency. This is the
+    // standard CC endgame (the quotient graph of a clique-heavy dup
+    // corpus is tiny after round 1); larger contracted graphs keep
+    // iterating distributed — the 100 TB fallback.
+    val localFinishEdges = 1000000
     val isLongKeyed =
       le.schema("a").dataType == org.apache.spark.sql.types.LongType
     var done = false

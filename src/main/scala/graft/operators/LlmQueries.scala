@@ -9,12 +9,16 @@ import graft.sources.Tables
 /** LLM-training-data-pipeline operators as oracle-checkable queries over
   * the `documents` / `embeddings` tables: text analysis, dedup (exact +
   * MinHash + SimHash), similarity search (brute force + LSH + IVF),
-  * quality filters, PII masking, sampling, packing, Unicode
-  * normalization, heavy hitters, multimodal plumbing. SQL-expressible
-  * ops carry a DuckDB oracle (including the LSH family, whose
-  * deterministic projection matrix is inlined into the SQL);
-  * xxhash64-based ops (minhash/simhash signatures) have no DuckDB twin
-  * and are rows-only but still deterministic across parallelism.
+  * quality filters/gates, PII masking, sampling/mixing, decontamination,
+  * packing, Unicode normalization, heavy hitters, multimodal plumbing,
+  * and the composed curation funnel. SQL-expressible ops carry a DuckDB
+  * oracle: the LSH family replays its deterministic projection matrix
+  * from inlined literals, and the minhash/simhash dedup family replays
+  * end-to-end (incl. the recursive-CTE connected-components closure) via
+  * the portable md5-prefix/mod-P hash family
+  * ([[graft.functions.PortableHash]]). Only model-float and
+  * imperative-loop outputs (IVF, ML pipelines, packing, stub decode)
+  * stay rows-only — still deterministic across parallelism.
   */
 object LlmQueries {
 
@@ -423,7 +427,50 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  /** End-to-end curation funnel — the composition a real training-data
+    * release runs, as ONE oracle-checked query: Gopher quality gate →
+    * portable MinHash near-dedup (keep cluster representatives) →
+    * decontamination against the (doc_id % 10 = 7) eval slice → weighted
+    * per-language mixing. Output = the funnel table (stage, n_docs).
+    * Every stage is replayed by the DuckDB oracle, including the
+    * recursive-CTE dedup closure running ON TOP of the quality-gated
+    * subset — proving the operators compose, not just run standalone.
+    */
+  def q70CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = Tables.documents(spark, dir)
+    val train = docs.filter(col("doc_id") % 10 =!= 7)
+      .select("doc_id", "text", "lang")
+    val eval  = docs.filter(col("doc_id") % 10 === 7)
+      .select("doc_id", "text")
+    val s1 = QualityFilters.gopherStats(train, "text", minStopwordHits = 1)
+      .filter(col("keep")).select("doc_id", "text", "lang")
+    val reps = Dedup.minhashPortable(s1, "doc_id", "text",
+                                     k = 5, numHashes = 32, bands = 8,
+                                     threshold = 0.5)
+      .filter(!col("is_duplicate")).select("doc_id")
+    val s2 = s1.join(reps, Seq("doc_id"))
+    val clean = Contamination.contaminationReport(s2, eval,
+                                                  "doc_id", "text", n = 8)
+      .filter(!col("contaminated")).select("doc_id")
+    val s3 = s2.join(clean, Seq("doc_id"))
+    val s4 = QualityFilters.weightedMix(
+      s3, "lang", "doc_id",
+      weights = Map("en" -> "e666", "de" -> "8000", "fr" -> "8000",
+                    "es" -> "4000", "zh" -> "4000"),
+      defaultHex4 = "1000")
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"),
+                                                col("n_docs"))
+    stage("0_train", train)
+      .unionByName(stage("1_quality", s1))
+      .unionByName(stage("2_dedup", s2))
+      .unionByName(stage("3_decontaminated", s3))
+      .unionByName(stage("4_mixed", s4))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_curation_funnel"   -> (q70CurationFunnel(_, _)),
     "q68_dataset_mix"       -> (q68DatasetMix(_, _)),
     "q64_stratified_sample" -> (q64StratifiedSample(_, _)),
     "q65_gopher_filter"     -> (q65GopherFilter(_, _)),
@@ -479,9 +526,15 @@ object LlmQueries {
     * edges until fixpoint, then `min` per doc = the component's smallest
     * id, exactly [[Dedup.clustersFromEdges]]' semantics.
     */
-  private def minhashPortableOracleSql(k: Int, numHashes: Int, bands: Int,
-                                       threshold: Double,
-                                       maxBucket: Int): String = {
+  /** The minhash-replay CTE chain (everything from normalization to the
+    * recursive-CTE closure), parameterized by the source relation so the
+    * same replay can run over `documents` (q35) or over an upstream
+    * funnel stage (q70). Ends with CTE `cc(doc_id, cluster_id,
+    * is_duplicate)`; embed inside a `WITH RECURSIVE ...` statement.
+    */
+  private def minhashPortableCtes(source: String, k: Int, numHashes: Int,
+                                  bands: Int, threshold: Double,
+                                  maxBucket: Int): String = {
     import graft.functions.PortableHash
     val (pa, pb)    = PortableHash.perms(numHashes)
     val P           = PortableHash.P
@@ -496,11 +549,10 @@ object LlmQueries {
       }
       s"  SELECT doc_id, $b AS band, ($bucket) AS bucket FROM sg"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH RECURSIVE
-       |nrm AS (
+    s"""nrm AS (
        |  SELECT doc_id,
        |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
-       |  FROM documents),
+       |  FROM $source),
        |sh AS (
        |  SELECT doc_id,
        |    CASE WHEN length(nt) < $k THEN [nt]
@@ -535,13 +587,24 @@ object LlmQueries {
        |sym AS (SELECT da AS x, db AS y FROM ed
        |        UNION ALL SELECT db, da FROM ed),
        |lab(d, l) AS (
-       |  SELECT doc_id, doc_id FROM documents
+       |  SELECT doc_id, doc_id FROM $source
        |  UNION
-       |  SELECT s.y, lab.l FROM lab JOIN sym s ON s.x = lab.d)
-       |SELECT d AS doc_id, min(l) AS cluster_id,
-       |  d <> min(l) AS is_duplicate
-       |FROM lab GROUP BY d ORDER BY doc_id""".stripMargin
+       |  SELECT s.y, lab.l FROM lab JOIN sym s ON s.x = lab.d),
+       |cc AS (
+       |  SELECT d AS doc_id, min(l) AS cluster_id,
+       |    d <> min(l) AS is_duplicate
+       |  FROM lab GROUP BY d)""".stripMargin
   }
+
+  private def minhashPortableOracleSql(k: Int, numHashes: Int, bands: Int,
+                                       threshold: Double,
+                                       maxBucket: Int): String =
+    s"""WITH RECURSIVE
+       |${minhashPortableCtes("documents", k, numHashes, bands, threshold,
+                              maxBucket)}
+       |SELECT doc_id, cluster_id, is_duplicate
+       |FROM cc ORDER BY doc_id""".stripMargin
+
 
   /** DuckDB replay of [[Dedup.withSimhashPortable]]: one majority-vote
     * term per bit over the md5-prefix60 token hashes.
@@ -569,6 +632,78 @@ object LlmQueries {
        |SELECT doc_id, simhash60, simhash60 & 32767 AS band0
        |FROM sh ORDER BY doc_id""".stripMargin
   }
+
+  /** DuckDB replay of [[QualityFilters.gopherStats]] over any source
+    * relation exposing (doc_id, text, lang): a SELECT yielding doc_id,
+    * text, lang, the rounded per-rule stats, and the composite `keep`
+    * flag (minStopwordHits = 1, matching q65/q70). Shared by the q65
+    * oracle and the q70 funnel oracle.
+    */
+  private def gopherStatsSql(source: String): String = {
+    val stops = TextAnalysis.gopherStopwords
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, text, lang, n_words, mean_word_len, symbol_ratio,
+       |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+       |  stopword_hits,
+       |  (n_words >= 5 AND n_words <= 100000
+       |   AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+       |   AND symbol_ratio <= 0.1
+       |   AND bullet_line_frac <= 0.9
+       |   AND ellipsis_line_frac <= 0.3
+       |   AND alpha_word_frac >= 0.8
+       |   AND stopword_hits >= 1) AS keep
+       |FROM (
+       |  SELECT doc_id, text, lang,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    round(CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+       |                AS DOUBLE) / len(toks) END, 4) AS mean_word_len,
+       |    round(CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE CAST(len(regexp_extract_all(text, '#'))
+       |                + len(regexp_extract_all(text, '\\.\\.\\.'))
+       |                AS DOUBLE) / len(toks) END, 4) AS symbol_ratio,
+       |    round(CASE WHEN len(lines) = 0 THEN 0.0
+       |      ELSE CAST(len(list_filter(lines,
+       |             l -> starts_with(l, '-') OR starts_with(l, '*')
+       |                  OR starts_with(l, '•'))) AS DOUBLE)
+       |           / len(lines) END, 4) AS bullet_line_frac,
+       |    round(CASE WHEN len(lines) = 0 THEN 0.0
+       |      ELSE CAST(len(list_filter(lines,
+       |             l -> ends_with(l, '...') OR ends_with(l, '…')))
+       |             AS DOUBLE) / len(lines) END, 4) AS ellipsis_line_frac,
+       |    round(CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE CAST(len(list_filter(toks,
+       |             x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+       |           / len(toks) END, 4) AS alpha_word_frac,
+       |    CAST(len(list_intersect(toks, $stops)) AS BIGINT)
+       |      AS stopword_hits
+       |  FROM (
+       |    SELECT doc_id, text, lang,
+       |      list_filter(string_split_regex(lower(trim(text)), '\\W+'),
+       |                  x -> len(x) > 0) AS toks,
+       |      list_filter(list_transform(string_split(text, chr(10)),
+       |                                 l -> trim(l)),
+       |                  l -> len(l) > 0) AS lines
+       |    FROM $source) raw) scored""".stripMargin
+  }
+
+  /** Word-8-gram md5-prefix fingerprint CTE fragment for the funnel's
+    * decontamination stage: distinct grams of `source` exploded to
+    * (doc_id, fp) rows.
+    */
+  private def gramFpSql(source: String): String =
+    s"""SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS fp FROM (
+       |  SELECT doc_id,
+       |    unnest(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+       |      ELSE list_distinct(list_transform(
+       |             generate_series(0, len(t) - 8),
+       |             i -> array_to_string(t[i+1:i+8], ' ')))
+       |    END) AS g
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_filter(string_split_regex(lower(trim(text)), '\\W+'),
+       |                  x -> len(x) > 0) AS t
+       |    FROM $source) tk) gr""".stripMargin
 
   private val stopList =
     TextAnalysis.stopwordsForSql.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -790,6 +925,39 @@ object LlmQueries {
       minhashPortableOracleSql(k = 5, numHashes = 32, bands = 8,
                                threshold = 0.5, maxBucket = 1000),
     "q36_simhash" -> simhashPortableOracleSql(60),
+    "q70_curation_funnel" ->
+      s"""WITH RECURSIVE
+         |tr AS (SELECT doc_id, text, lang FROM documents
+         |       WHERE doc_id % 10 <> 7),
+         |gq AS (
+         |${gopherStatsSql("tr")}),
+         |s1 AS (SELECT doc_id, text, lang FROM gq WHERE keep),
+         |${minhashPortableCtes("s1", k = 5, numHashes = 32, bands = 8,
+                                threshold = 0.5, maxBucket = 1000)},
+         |s2 AS (SELECT s1.doc_id, s1.text, s1.lang FROM s1
+         |       JOIN cc ON s1.doc_id = cc.doc_id
+         |       WHERE NOT cc.is_duplicate),
+         |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+         |tg AS (
+         |${gramFpSql("s2")}),
+         |eg AS (SELECT DISTINCT fp FROM (
+         |${gramFpSql("ev")}) egr2),
+         |cont AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (fp)),
+         |s3 AS (SELECT s2.* FROM s2
+         |       LEFT JOIN cont ON s2.doc_id = cont.doc_id
+         |       WHERE cont.doc_id IS NULL),
+         |s4 AS (SELECT * FROM s3
+         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+         |         CASE lang WHEN 'en' THEN 'e666'
+         |                   WHEN 'de' THEN '8000' WHEN 'fr' THEN '8000'
+         |                   WHEN 'es' THEN '4000' WHEN 'zh' THEN '4000'
+         |                   ELSE '1000' END)
+         |SELECT '0_train' AS stage, count(*) AS n_docs FROM tr
+         |UNION ALL SELECT '1_quality', count(*) FROM s1
+         |UNION ALL SELECT '2_dedup', count(*) FROM s2
+         |UNION ALL SELECT '3_decontaminated', count(*) FROM s3
+         |UNION ALL SELECT '4_mixed', count(*) FROM s4
+         |ORDER BY stage""".stripMargin,
     "q68_dataset_mix" ->
       """WITH kept AS (
         |  SELECT lang, count(*) AS n_kept FROM documents
@@ -811,55 +979,13 @@ object LlmQueries {
         |                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
         |  FROM documents) t
         |WHERE rk <= 30 ORDER BY doc_id""".stripMargin,
-    "q65_gopher_filter" -> {
-      val stops = TextAnalysis.gopherStopwords
-        .map(s => s"'$s'").mkString("[", ", ", "]")
-      s"""WITH t AS (
-         |  SELECT doc_id, text,
-         |    list_filter(string_split_regex(lower(trim(text)), '\\W+'),
-         |                x -> len(x) > 0) AS toks,
-         |    list_filter(list_transform(string_split(text, chr(10)),
-         |                               l -> trim(l)),
-         |                l -> len(l) > 0) AS lines
-         |  FROM documents),
-         |u AS (
-         |  SELECT doc_id,
-         |    CAST(len(toks) AS BIGINT) AS n_words,
-         |    round(CASE WHEN len(toks) = 0 THEN 0.0
-         |      ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
-         |                AS DOUBLE) / len(toks) END, 4) AS mean_word_len,
-         |    round(CASE WHEN len(toks) = 0 THEN 0.0
-         |      ELSE CAST(len(regexp_extract_all(text, '#'))
-         |                + len(regexp_extract_all(text, '\\.\\.\\.'))
-         |                AS DOUBLE) / len(toks) END, 4) AS symbol_ratio,
-         |    round(CASE WHEN len(lines) = 0 THEN 0.0
-         |      ELSE CAST(len(list_filter(lines,
-         |             l -> starts_with(l, '-') OR starts_with(l, '*')
-         |                  OR starts_with(l, '•'))) AS DOUBLE)
-         |           / len(lines) END, 4) AS bullet_line_frac,
-         |    round(CASE WHEN len(lines) = 0 THEN 0.0
-         |      ELSE CAST(len(list_filter(lines,
-         |             l -> ends_with(l, '...') OR ends_with(l, '…')))
-         |             AS DOUBLE) / len(lines) END, 4) AS ellipsis_line_frac,
-         |    round(CASE WHEN len(toks) = 0 THEN 0.0
-         |      ELSE CAST(len(list_filter(toks,
-         |             x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-         |           / len(toks) END, 4) AS alpha_word_frac,
-         |    CAST(len(list_intersect(toks, $stops)) AS BIGINT)
-         |      AS stopword_hits
-         |  FROM t)
+    "q65_gopher_filter" ->
+      s"""WITH g AS (
+         |${gopherStatsSql("documents")})
          |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
          |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
-         |  stopword_hits,
-         |  (n_words >= 5 AND n_words <= 100000
-         |   AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
-         |   AND symbol_ratio <= 0.1
-         |   AND bullet_line_frac <= 0.9
-         |   AND ellipsis_line_frac <= 0.3
-         |   AND alpha_word_frac >= 0.8
-         |   AND stopword_hits >= 1) AS keep
-         |FROM u ORDER BY doc_id""".stripMargin
-    },
+         |  stopword_hits, keep
+         |FROM g ORDER BY doc_id""".stripMargin,
     "q66_tfidf_keywords" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

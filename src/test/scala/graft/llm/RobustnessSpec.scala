@@ -75,6 +75,34 @@ class RobustnessSpec extends SparkSpec {
     assert(TextAnalysis.profile(df, "text").count() == 3)
   }
 
+  test("round-5 curation ops on empty and degenerate input") {
+    import spark.implicits._
+    // gopherStats: empty text → zero stats, keep=false (0 words)
+    val deg = Seq((1L, ""), (2L, "   \n\n  ")).toDF("doc_id", "text")
+    val gs = QualityFilters.gopherStats(deg, "text")
+      .select("doc_id", "n_words", "keep").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(gs(1L) == ((0L, false)) && gs(2L) == ((0L, false)))
+    assert(QualityFilters.gopherStats(emptyDocs, "text").count() == 0)
+    // stratifiedTopN: n larger than stratum size keeps everything
+    val small = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "s")
+    assert(QualityFilters.stratifiedTopN(small, "s", "id", 10).count() == 3)
+    assert(QualityFilters.stratifiedTopN(
+      small.filter(lit(false)), "s", "id", 10).count() == 0)
+    // weightedMix: 0000 threshold keeps nothing; unknown stratum uses default
+    assert(QualityFilters.weightedMix(small, "s", "id",
+      Map("a" -> "ffff"), "0000").collect().forall(_.getString(1) == "a"))
+    // contamination: empty eval set → nothing contaminated, all train rows out
+    val train = Seq((1L, "some words here for the test run today ok fine"))
+      .toDF("doc_id", "text")
+    val rep = Contamination.contaminationReport(
+      train, emptyDocs, "doc_id", "text", n = 8).collect()
+    assert(rep.length == 1 && !rep(0).getBoolean(2))
+    // empty train → empty report
+    assert(Contamination.contaminationReport(
+      emptyDocs, train, "doc_id", "text", n = 8).count() == 0)
+  }
+
   test("CountMinSketch estimates bracket the exact heavy-hitter counts") {
     import graft.sources.Tables
     val toks = Tables.documents(spark, sf0001)
