@@ -427,6 +427,35 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  /** Per-domain URL analysis — the provenance breakdown every web-corpus
+    * pipeline reports. The corpus has no URLs, so both engines plant the
+    * same deterministic ones (q57's pattern); domains are pulled with an
+    * identical Java/RE2 character-class regex and aggregated. Oracle
+    * replays extraction + aggregation.
+    */
+  def q69DomainStats(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val aug = concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+           concat(lit(" see https://example.org/page/"), id)).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+           concat(lit(" data at https://docs.example-data.com/item/"), id))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(" mirror http://cdn.mirror.net/x"))
+        .otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+              explode(regexp_extract_all(col("aug"),
+                                         lit("https?://([^/\\s]+)"),
+                                         lit(1))).as("domain"))
+      .groupBy("domain")
+      .agg(countDistinct("doc_id").as("n_docs"),
+           count(lit(1)).as("n_urls"))
+      .orderBy("domain")
+  }
+
   /** End-to-end curation funnel — the composition a real training-data
     * release runs, as ONE oracle-checked query: Gopher quality gate →
     * portable MinHash near-dedup (keep cluster representatives) →
@@ -470,6 +499,7 @@ object LlmQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_domain_stats"      -> (q69DomainStats(_, _)),
     "q70_curation_funnel"   -> (q70CurationFunnel(_, _)),
     "q68_dataset_mix"       -> (q68DatasetMix(_, _)),
     "q64_stratified_sample" -> (q64StratifiedSample(_, _)),
@@ -925,6 +955,24 @@ object LlmQueries {
       minhashPortableOracleSql(k = 5, numHashes = 32, bands = 8,
                                threshold = 0.5, maxBucket = 1000),
     "q36_simhash" -> simhashPortableOracleSql(60),
+    "q69_domain_stats" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' see https://example.org/page/' || CAST(doc_id AS VARCHAR)
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' data at https://docs.example-data.com/item/' || CAST(doc_id AS VARCHAR)
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ' mirror http://cdn.mirror.net/x' ELSE '' END AS a
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(a, 'https?://([^/\s]+)', 1)) AS domain
+        |  FROM aug)
+        |SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
+        |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
     "q70_curation_funnel" ->
       s"""WITH RECURSIVE
          |tr AS (SELECT doc_id, text, lang FROM documents

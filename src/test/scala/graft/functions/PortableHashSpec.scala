@@ -119,6 +119,59 @@ class PortableHashSpec extends SparkSpec {
     assert(native(2) == 0L)
   }
 
+  test("randomized equivalence: native kernels == SQL formulations on arbitrary input") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // strings with unicode, whitespace, empties; arrays of varied length
+    val str = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.const(""),
+      Gen.const("ünïcødé ✓ 中文"),
+      Gen.listOfN(5, Gen.choose(32.toChar, 126.toChar)).map(_.mkString))
+    val arr = Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, str))
+    (1L to 5L).foreach { seed =>
+      val rows = Gen.listOfN(30, arr)(Gen.Parameters.default, Seed(seed))
+        .getOrElse(fail("gen failed"))
+      val df = rows.toDF("a")
+      // md5prefix60 vs the conv/substring SQL twin
+      val nativeH = df.selectExpr("md5prefix60(a)")
+        .collect().map(_.getSeq[Long](0)).toSeq
+      val sqlH = df.select(
+        transform(col("a"),
+                  s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+        .collect().map(_.getSeq[Long](0)).toSeq
+      assert(nativeH == sqlH, s"md5prefix60 diverged at seed $seed")
+      // perm signature over those hashes vs HOF twin
+      val n = 8
+      val (pa, pb) = PortableHash.perms(n)
+      val p = PortableHash.P
+      val hdf = df.selectExpr("md5prefix60(a) AS h")
+      val nativeS = hdf.selectExpr(s"minhash_perm_signature(h, $n)")
+        .collect().map(_.getSeq[Long](0)).toSeq
+      val hofS = hdf.select(array((0 until n).map { i =>
+        array_min(transform(col("h"), x => (lit(pa(i)) * (x % p) + pb(i)) % p))
+      }: _*)).collect().map(_.getSeq[Long](0)).toSeq
+      // HOF array_min over an EMPTY array yields null → skip empty rows
+      // (kernel uses documented MaxValue sentinels there)
+      rows.zipWithIndex.filter(_._1.nonEmpty).foreach { case (_, idx) =>
+        assert(nativeS(idx) == hofS(idx), s"permsig diverged at seed $seed row $idx")
+      }
+      // simhash_vote vs per-bit majority recomputed in Scala
+      val nativeV = hdf.selectExpr("simhash_vote(h, 60)")
+        .collect().map(_.getLong(0)).toSeq
+      val expectV = rows.map { ss =>
+        val hs = ss.map(s => PortableHash.hash60(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+        (0 until 60).foldLeft(0L) { (acc, b) =>
+          val set = hs.count(h => ((h >>> b) & 1L) == 1L)
+          if (2 * set > hs.size) acc | (1L << b) else acc
+        }
+      }
+      assert(nativeV == expectV, s"simhash_vote diverged at seed $seed")
+    }
+  }
+
   test("portable simhash: near-identical docs land within small Hamming distance") {
     import spark.implicits._
     // simhash majority votes need a realistically sized token set: with
