@@ -456,6 +456,20 @@ object LlmQueries {
       .orderBy("domain")
   }
 
+  /** Embedding-cosine near-dedup clusters — the last dedup family member
+    * under a hard oracle: hyperplane-bucket candidate pairs (q44's
+    * replayable projection) + cosine threshold + the connected-components
+    * closure, all recomputed by DuckDB (cosine is bit-identical per q38).
+    */
+  def q71EmbeddingDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingClusters(Tables.embeddings(spark, dir), dim = 64,
+                            threshold = 0.25, nBits = 4,
+                            idCol = "vec_id", vecCol = "embedding",
+                            maxBucket = 10000)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+              col("is_duplicate"))
+      .orderBy("vec_id")
+
   /** End-to-end curation funnel — the composition a real training-data
     * release runs, as ONE oracle-checked query: Gopher quality gate →
     * portable MinHash near-dedup (keep cluster representatives) →
@@ -500,6 +514,7 @@ object LlmQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_domain_stats"      -> (q69DomainStats(_, _)),
+    "q71_embedding_dedup"   -> (q71EmbeddingDedup(_, _)),
     "q70_curation_funnel"   -> (q70CurationFunnel(_, _)),
     "q68_dataset_mix"       -> (q68DatasetMix(_, _)),
     "q64_stratified_sample" -> (q64StratifiedSample(_, _)),
@@ -955,6 +970,29 @@ object LlmQueries {
       minhashPortableOracleSql(k = 5, numHashes = 32, bands = 8,
                                threshold = 0.5, maxBucket = 1000),
     "q36_simhash" -> simhashPortableOracleSql(60),
+    "q71_embedding_dedup" ->
+      s"""WITH RECURSIVE
+         |e AS (SELECT vec_id,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |        CAST(${lshBucketSql(4)} AS BIGINT) AS bucket FROM e),
+         |g AS (SELECT * FROM b
+         |      QUALIFY count(*) OVER (PARTITION BY bucket) <= 10000),
+         |ed AS (
+         |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         |  FROM g l JOIN g r
+         |    ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |  WHERE list_cosine_similarity(l.v, r.v) >= 0.25),
+         |sym AS (SELECT a AS x, b AS y FROM ed
+         |        UNION ALL SELECT b, a FROM ed),
+         |lab(d, l) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT s.y, lab.l FROM lab JOIN sym s ON s.x = lab.d)
+         |SELECT d AS vec_id, min(l) AS cluster_id,
+         |  d <> min(l) AS is_duplicate
+         |FROM lab GROUP BY d ORDER BY vec_id""".stripMargin,
     "q69_domain_stats" ->
       """WITH aug AS (
         |  SELECT doc_id, text

@@ -209,6 +209,55 @@ class EventStreamsSpec extends SparkSpec {
            "batch 7 must appear exactly once despite the replay")
   }
 
+  test("streaming curation: quality gate + PII mask + mix inside foreachBatch") {
+    // the batch curation operators (gopherStats / maskPii / weightedMix)
+    // are pure DataFrame transforms, so they compose with Structured
+    // Streaming via foreachBatch — the shape an incremental-ingest
+    // curation pipeline runs. Verify kept-set parity with the batch run.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.QualityFilters
+    val goodText = ("the quick brown fox jumps over the lazy dog and " +
+      "then it runs back home with that same steady pace") +
+      " contact me me@example.com"
+    val docs = Seq(
+      (1L, goodText, "en"),
+      (2L, "x y", "en"),           // fails word count
+      (3L, goodText + " again", "de"))
+      .map { case (i, t, l) => (i, t, l) }
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      QualityFilters.weightedMix(
+        QualityFilters.gopherStats(df, "text", minStopwordHits = 1)
+          .filter(col("keep"))
+          .withColumn("masked", QualityFilters.maskPii(col("text"))),
+        "lang", "doc_id", Map("en" -> "ffff", "de" -> "ffff"), "0000")
+        .select("doc_id", "masked", "lang")
+    val expected = curate(docs.toDF("doc_id", "text", "lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(expected.nonEmpty && expected.forall(!_._2.contains("@")))
+
+    val input  = MemoryStream[(Long, String, String)]
+    val outDir = tmpDir("curate") + "/out"
+    val ckpt   = tmpDir("curate") + "/ckpt"
+    val q = input.toDF().toDF("doc_id", "text", "lang")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        curate(batch).write.mode("append").parquet(outDir)
+      }
+      .start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("masked"))).toSet
+      assert(streamed == expected,
+             s"stream/batch curation parity: $streamed vs $expected")
+    } finally q.stop()
+  }
+
   test("idempotentParquetSink streams micro-batches into batch_id partitions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
