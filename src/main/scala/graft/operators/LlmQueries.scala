@@ -456,6 +456,18 @@ object LlmQueries {
       .orderBy("domain")
   }
 
+  /** Portable simhash near-dup candidate pairs: 4 × 15-bit band buckets
+    * over the 60-bit portable simhash, size-guarded salted self-join,
+    * XOR-popcount Hamming verify. Oracle-checked end-to-end (DuckDB
+    * recomputes bit votes, bands, the join, and bit_count).
+    */
+  def q72SimhashCandidates(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidatesPortable(Tables.documents(spark, dir),
+                                    "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long")
+                .as("hamming"))
+      .orderBy("doc_a", "doc_b")
+
   /** Embedding-cosine near-dedup clusters — the last dedup family member
     * under a hard oracle: hyperplane-bucket candidate pairs (q44's
     * replayable projection) + cosine threshold + the connected-components
@@ -515,6 +527,7 @@ object LlmQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_domain_stats"      -> (q69DomainStats(_, _)),
     "q71_embedding_dedup"   -> (q71EmbeddingDedup(_, _)),
+    "q72_simhash_candidates" -> (q72SimhashCandidates(_, _)),
     "q70_curation_funnel"   -> (q70CurationFunnel(_, _)),
     "q68_dataset_mix"       -> (q68DatasetMix(_, _)),
     "q64_stratified_sample" -> (q64StratifiedSample(_, _)),
@@ -651,32 +664,34 @@ object LlmQueries {
        |FROM cc ORDER BY doc_id""".stripMargin
 
 
-  /** DuckDB replay of [[Dedup.withSimhashPortable]]: one majority-vote
-    * term per bit over the md5-prefix60 token hashes.
+  /** DuckDB replay of [[Dedup.withSimhashPortable]] over any relation
+    * exposing (doc_id, text): a SELECT yielding (doc_id, simhash60) with
+    * one majority-vote term per bit over the md5-prefix60 token hashes.
     */
-  private def simhashPortableOracleSql(bits: Int): String = {
+  private def simhash60Sql(source: String, bits: Int = 60): String = {
     val bitTerms = (0 until bits).map { i =>
       s"    CASE WHEN 2 * len(list_filter(h, x -> ((x >> $i) & 1) = 1)) > len(h)" +
         s" THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString("\n    + ")
-    s"""WITH toks AS (
-       |  SELECT doc_id,
-       |    list_distinct(list_filter(
-       |      string_split_regex(lower(trim(text)), '\\W+'),
-       |      x -> len(x) > 0)) AS t
-       |  FROM documents),
-       |hs AS (
-       |  SELECT doc_id,
-       |    list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
-       |  FROM toks),
-       |sh AS (
-       |  SELECT doc_id,
+    s"""SELECT doc_id,
        |$bitTerms
        |  AS simhash60
-       |  FROM hs)
+       |FROM (
+       |  SELECT doc_id,
+       |    list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_distinct(list_filter(
+       |        string_split_regex(lower(trim(text)), '\\W+'),
+       |        x -> len(x) > 0)) AS t
+       |    FROM $source) tk) hh""".stripMargin
+  }
+
+  private def simhashPortableOracleSql(bits: Int): String =
+    s"""WITH sh AS (
+       |${simhash60Sql("documents", bits)})
        |SELECT doc_id, simhash60, simhash60 & 32767 AS band0
        |FROM sh ORDER BY doc_id""".stripMargin
-  }
 
   /** DuckDB replay of [[QualityFilters.gopherStats]] over any source
     * relation exposing (doc_id, text, lang): a SELECT yielding doc_id,
@@ -970,6 +985,27 @@ object LlmQueries {
       minhashPortableOracleSql(k = 5, numHashes = 32, bands = 8,
                                threshold = 0.5, maxBucket = 1000),
     "q36_simhash" -> simhashPortableOracleSql(60),
+    "q72_simhash_candidates" -> {
+      val bandSelects = (0 until 4).map { b =>
+        s"  SELECT doc_id, simhash60, $b AS band," +
+          s" (simhash60 >> ${b * 15}) & 32767 AS bucket FROM sh"
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH sh AS (
+         |${simhash60Sql("documents")}),
+         |bd AS (
+         |$bandSelects),
+         |bf AS (
+         |  SELECT * FROM bd
+         |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash60, b.simhash60)) AS BIGINT)
+         |    AS hamming
+         |FROM bf a JOIN bf b
+         |  ON a.band = b.band AND a.bucket = b.bucket
+         |     AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "q71_embedding_dedup" ->
       s"""WITH RECURSIVE
          |e AS (SELECT vec_id,
