@@ -482,6 +482,32 @@ object LlmQueries {
               col("is_duplicate"))
       .orderBy("vec_id")
 
+  /** Token-budget subsetting: keep the highest-quality documents until
+    * half the corpus's whitespace tokens are spent — the data-budgeting
+    * step of corpus assembly ("give me the best N-token subset").
+    * Deterministic total order (quality desc, doc_id asc) + running token
+    * sum; oracle-checked. Scale note: the cumulative window is a global
+    * sort — at 100 TB replace the exact cumsum with an approx-quantile
+    * quality threshold (the q63/q25 pattern) and accept ±ε on the budget;
+    * the exact form here is the correctness anchor for that
+    * approximation.
+    */
+  def q73TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+    val total = scored.agg(sum("toks").as("total_toks"))
+    val w = Window.orderBy(desc("q"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.crossJoin(broadcast(total))
+      .withColumn("cum_toks", sum("toks").over(w))
+      .filter(col("cum_toks") <= col("total_toks") / 2.0)
+      .select("doc_id", "toks", "q", "cum_toks")
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation funnel — the composition a real training-data
     * release runs, as ONE oracle-checked query: Gopher quality gate →
     * portable MinHash near-dedup (keep cluster representatives) →
@@ -497,17 +523,22 @@ object LlmQueries {
       .select("doc_id", "text", "lang")
     val eval  = docs.filter(col("doc_id") % 10 === 7)
       .select("doc_id", "text")
+    // each surviving-doc frame feeds BOTH its stage count and every later
+    // stage — checkpoint once so the gate/dedup/decontamination work runs
+    // once, not once per downstream consumer (row-local recompute is the
+    // cheap part; the dedup sub-pipeline is not)
     val s1 = QualityFilters.gopherStats(train, "text", minStopwordHits = 1)
       .filter(col("keep")).select("doc_id", "text", "lang")
+      .localCheckpoint(true)
     val reps = Dedup.minhashPortable(s1, "doc_id", "text",
                                      k = 5, numHashes = 32, bands = 8,
                                      threshold = 0.5)
       .filter(!col("is_duplicate")).select("doc_id")
-    val s2 = s1.join(reps, Seq("doc_id"))
+    val s2 = s1.join(reps, Seq("doc_id")).localCheckpoint(true)
     val clean = Contamination.contaminationReport(s2, eval,
                                                   "doc_id", "text", n = 8)
       .filter(!col("contaminated")).select("doc_id")
-    val s3 = s2.join(clean, Seq("doc_id"))
+    val s3 = s2.join(clean, Seq("doc_id")).localCheckpoint(true)
     val s4 = QualityFilters.weightedMix(
       s3, "lang", "doc_id",
       weights = Map("en" -> "e666", "de" -> "8000", "fr" -> "8000",
@@ -528,6 +559,7 @@ object LlmQueries {
     "q69_domain_stats"      -> (q69DomainStats(_, _)),
     "q71_embedding_dedup"   -> (q71EmbeddingDedup(_, _)),
     "q72_simhash_candidates" -> (q72SimhashCandidates(_, _)),
+    "q73_token_budget"      -> (q73TokenBudget(_, _)),
     "q70_curation_funnel"   -> (q70CurationFunnel(_, _)),
     "q68_dataset_mix"       -> (q68DatasetMix(_, _)),
     "q64_stratified_sample" -> (q64StratifiedSample(_, _)),
@@ -985,6 +1017,29 @@ object LlmQueries {
       minhashPortableOracleSql(k = 5, numHashes = 32, bands = 8,
                                threshold = 0.5, maxBucket = 1000),
     "q36_simhash" -> simhashPortableOracleSql(60),
+    "q73_token_budget" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    len(string_split_regex(trim(text), '\\s+')) AS toks,
+         |    round((least(length(text) / 200.0, 1.0)
+         |       + least((len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                    x -> list_contains($stopList, x)))
+         |           / CAST(greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)
+         |                  AS DOUBLE)) * 4.0, 1.0)
+         |       + greatest(1.0 - (len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+         |           / CAST(greatest(length(text), 1) AS DOUBLE)) * 4.0, 0.0))
+         |      / 3.0, 4) AS q
+         |  FROM documents),
+         |tot AS (SELECT sum(toks) AS total_toks FROM s),
+         |c AS (
+         |  SELECT doc_id, toks, q,
+         |    CAST(sum(toks) OVER (ORDER BY q DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS cum_toks
+         |  FROM s)
+         |SELECT doc_id, toks, q, cum_toks
+         |FROM c, tot WHERE cum_toks <= total_toks / 2.0
+         |ORDER BY doc_id""".stripMargin,
     "q72_simhash_candidates" -> {
       val bandSelects = (0 until 4).map { b =>
         s"  SELECT doc_id, simhash60, $b AS band," +
