@@ -52,4 +52,39 @@ object Contamination {
               coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
       .withColumn("contaminated", col("n_shared_grams") > 0)
   }
+
+  /** Bloom-prefiltered decontamination — same result as
+    * [[contaminationReport]], different scale regime: when the distinct
+    * eval gram set outgrows what a broadcast HASH relation tolerates
+    * (~100M grams ≈ GBs of hashed relation per executor), a Bloom filter
+    * at `fpp` is ~10 bits/gram — an order of magnitude smaller to ship.
+    * The train side is prefiltered by the broadcast Bloom (dropping
+    * ~(1-fpp) of its grams scan-side), and only the surviving sliver
+    * takes the exact SHUFFLE semi-join that removes the false positives.
+    * Output is therefore byte-identical to the exact path (spec-pinned).
+    *
+    * Two driver actions build the filter (count + the distributed
+    * BloomFilter aggregate) — both over the small eval side only.
+    */
+  def contaminationReportBloom(train: DataFrame, eval: DataFrame,
+                               idCol: String, textCol: String,
+                               n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val trainG = gramFingerprints(train, idCol, textCol, n)
+    val evalG  = gramFingerprints(eval, idCol, textCol, n)
+      .select("gram_fp").distinct()
+      .localCheckpoint(true) // referenced by count, the bloom agg, AND the verify join
+    val items = math.max(evalG.count(), 1L)
+    val bloom = evalG.stat.bloomFilter("gram_fp", items, fpp)
+    val bloomB = train.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: Long) => bloomB.value.mightContainLong(fp))
+    val shared = trainG.filter(mightContain(col("gram_fp")))
+      .join(evalG, Seq("gram_fp")) // exact verify: kills bloom false positives
+      .groupBy("doc_id")
+      .agg(countDistinct("gram_fp").as("n_shared_grams"))
+    train.select(col(idCol).as("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .withColumn("contaminated", col("n_shared_grams") > 0)
+  }
 }

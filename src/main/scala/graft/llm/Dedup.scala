@@ -37,6 +37,42 @@ object Dedup {
   def normalizeText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** Incremental exact dedup: classify a NEW batch against an EXISTING
+    * corpus fingerprint index — the daily-ingest shape (crawl delta vs
+    * the accumulated index) where re-clustering the whole corpus would be
+    * absurd. Returns every new doc with `dup_of_corpus` (fingerprint
+    * already in the index), `dup_in_batch` (an earlier doc in the SAME
+    * batch has it), and the batch-local `cluster_id`.
+    *
+    * Scale: the index side is (fp, min_id) — one row per DISTINCT corpus
+    * text, usually orders of magnitude smaller than the corpus, stored
+    * sorted/bucketed by fp in production; the join is a plain equi-join
+    * on the 128-bit key. The new batch (a day's delta) is the small side;
+    * nothing ever re-touches corpus text.
+    */
+  def exactIncremental(newBatch: DataFrame, corpusIndex: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val w  = Window.partitionBy("fp")
+    newBatch.select(col(idCol).as("doc_id"), fp.as("fp"))
+      .join(corpusIndex.select(col("fp"), col("corpus_id")), Seq("fp"), "left")
+      .withColumn("cluster_id", min("doc_id").over(w))
+      .select(col("doc_id"),
+              col("corpus_id").isNotNull.as("dup_of_corpus"),
+              (col("doc_id") =!= col("cluster_id")).as("dup_in_batch"),
+              col("cluster_id"))
+  }
+
+  /** Build the (fp, corpus_id) fingerprint index [[exactIncremental]]
+    * joins against: one row per distinct normalized text, keyed by the
+    * minimum owning doc id.
+    */
+  def fingerprintIndex(corpus: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    corpus.select(col(idCol).as("corpus_id"),
+                  TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp").agg(min("corpus_id").as("corpus_id"))
+
   /** Decouple CPU-bound row-local stages from the INPUT's split count:
     * a small/compacted source can arrive as one partition, serializing
     * the signature computation on one core no matter the cluster size.
@@ -162,7 +198,20 @@ object Dedup {
                                     threshold: Double = 0.5,
                                     maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
+    pairsFromSigTable(portableSigTable(df, idCol, textCol, k, numHashes),
+                      bands, portableBucketOfBand(numHashes, bands),
+                      threshold, maxBucket)
+  }
+
+  /** The portable-family signature table: (doc_id, sig, shh) with
+    * md5-prefix60 hashed shingle sets and mod-P permutation signatures.
+    * Materialized (localCheckpoint) because every consumer references it
+    * 2-3 times; at cluster scale this is the relation a persisted dedup
+    * index stores.
+    */
+  private[llm] def portableSigTable(df: DataFrame, idCol: String,
+                                    textCol: String, k: Int,
+                                    numHashes: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     def md5Prefix60(c: Column): Column =
       ColumnBridge.column(graft.functions.Md5Prefix60Expr(
@@ -170,8 +219,7 @@ object Dedup {
     def permSig(c: Column): Column =
       ColumnBridge.column(graft.functions.PermMinSigExpr(
         ColumnBridge.expression(c), numHashes))
-
-    val sigs = parallelizeCompute(df, idCol).select(
+    parallelizeCompute(df, idCol).select(
       col(idCol).as("doc_id"),
       normalizeText(col(textCol)).as("norm"))
       .select(col("doc_id"), shinglesOfNorm(col("norm"), k).as("sh"))
@@ -179,17 +227,113 @@ object Dedup {
       .withColumn("sig", permSig(col("shh")))
       .select("doc_id", "sig", "shh")
       .localCheckpoint(true)
+  }
 
-    // fold-mod band bucket: acc = (acc*M + slot) mod P, acc0 = band+1 —
-    // rowsPerBand is small and fixed, so unroll Scala-side instead of an
-    // interpreted `aggregate` HOF (identical arithmetic, stays codegen'd)
-    val bucketOfBand = (b: Int) =>
+  /** Fold-mod band bucket off the portable signature: acc = (acc*M + slot)
+    * mod P, acc0 = band+1 — rowsPerBand is small and fixed, so unroll
+    * Scala-side instead of an interpreted `aggregate` HOF (identical
+    * arithmetic, stays codegen'd).
+    */
+  private[llm] def portableBucketOfBand(numHashes: Int,
+                                        bands: Int): Int => Column = {
+    val rowsPerBand = numHashes / bands
+    (b: Int) =>
       (0 until rowsPerBand).foldLeft(lit((b + 1).toLong)) { (acc, j) =>
         (acc * graft.functions.PortableHash.M +
           element_at(col("sig"), b * rowsPerBand + j + 1)) %
           graft.functions.PortableHash.P
       }
-    pairsFromSigTable(sigs, bands, bucketOfBand, threshold, maxBucket)
+  }
+
+  /** (doc_id, band, bucket) from a signature table: bands are unrolled
+    * Scala-side (fixed small count); `sig` is a named column so
+    * CollapseProject won't duplicate the signature per band.
+    */
+  private def bandedBuckets(sigs: DataFrame,
+                            bands: Int,
+                            bucketOfBand: Int => Column): DataFrame = {
+    val bandArr = array((0 until bands).map(bucketOfBand): _*)
+    sigs.select(col("doc_id"), posexplode(bandArr))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+  }
+
+  /** Persisted MinHash index of an accumulated corpus, the state an
+    * incremental (daily-ingest) near-dedup keeps between runs:
+    * `buckets` = (band, bucket, corpus_id) — the banded LSH buckets with
+    * the `maxBucket` boilerplate guard already applied — and `shingles` =
+    * (corpus_id, shh) — the hashed shingle sets the verify step joins
+    * against. In production both live as parquet bucketed by their join
+    * keys; re-deriving either from corpus text is the thing incremental
+    * dedup exists to avoid.
+    */
+  final case class MinhashIndex(buckets: DataFrame, shingles: DataFrame)
+
+  /** Build a [[MinhashIndex]] over `corpus` with the portable hash family
+    * (so index and query runs agree across engines and releases).
+    */
+  def minhashIndexPortable(corpus: DataFrame, idCol: String,
+                           textCol: String,
+                           k: Int = 5, numHashes: Int = 32,
+                           bands: Int = 8,
+                           maxBucket: Int = 1000): MinhashIndex = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = portableSigTable(corpus, idCol, textCol, k, numHashes)
+    val banded = bandedBuckets(sigs, bands,
+                               portableBucketOfBand(numHashes, bands))
+    val guardW = Window.partitionBy("band", "bucket")
+    val buckets = banded
+      .withColumn("bsize", count(lit(1)).over(guardW))
+      .filter(col("bsize") <= maxBucket)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bucket"))
+    MinhashIndex(buckets, sigs.select(col("doc_id").as("corpus_id"),
+                                      col("shh")))
+  }
+
+  /** Incremental MinHash near-dedup: classify a NEW batch against an
+    * existing [[MinhashIndex]] without touching corpus text — the
+    * daily-crawl shape where the corpus is orders of magnitude bigger
+    * than the delta. Each new doc gets `dup_of_corpus`, the smallest
+    * matching `match_id`, and that match's verified `match_jaccard`.
+    *
+    * Plan shape: batch signatures (delta-sized) → band buckets →
+    * equi-join against `index.buckets` (the only corpus-scale relation
+    * touched, and only on its join key) → distinct (doc, corpus) pairs →
+    * shingle-set lookups on both sides → native `jaccard_long` verify →
+    * min-match per doc. The index side is bounded per bucket by the
+    * build-time `maxBucket` guard, so a batch doc emits at most
+    * bands×maxBucket candidates.
+    */
+  def minhashIncrementalPortable(batch: DataFrame, index: MinhashIndex,
+                                 idCol: String, textCol: String,
+                                 k: Int = 5, numHashes: Int = 32,
+                                 bands: Int = 8,
+                                 threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = portableSigTable(batch, idCol, textCol, k, numHashes)
+    val banded = bandedBuckets(sigs, bands,
+                               portableBucketOfBand(numHashes, bands))
+    val cand = banded.join(index.buckets, Seq("band", "bucket"))
+      .select("doc_id", "corpus_id")
+      .distinct()
+    val verified = cand
+      .join(sigs.select(col("doc_id"), col("shh").as("sh_b")), Seq("doc_id"))
+      .join(index.shingles.select(col("corpus_id"), col("shh").as("sh_c")),
+            Seq("corpus_id"))
+      .select(col("doc_id"), col("corpus_id"),
+              jaccardLong(col("sh_b"), col("sh_c")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    // min(struct) picks the smallest corpus_id and carries ITS jaccard —
+    // deterministic however many corpus docs a batch doc matches.
+    val best = verified.groupBy("doc_id")
+      .agg(min(struct(col("corpus_id"), col("jaccard"))).as("m"))
+      .select(col("doc_id"), col("m.corpus_id").as("match_id"),
+              col("m.jaccard").as("match_jaccard"))
+    batch.select(col(idCol).as("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              col("match_id").isNotNull.as("dup_of_corpus"),
+              col("match_id"), col("match_jaccard"))
   }
 
   /** Shared LSH plumbing of both minhash families: band-bucket explode →
@@ -205,12 +349,7 @@ object Dedup {
                                 bucketOfBand: Int => Column,
                                 threshold: Double,
                                 maxBucket: Int): DataFrame = {
-    // bands are unrolled Scala-side (fixed small count); `sig` is a named
-    // column so CollapseProject won't duplicate the signature per band
-    val bandArr = array((0 until bands).map(bucketOfBand): _*)
-    val banded = sigs.select(col("doc_id"), posexplode(bandArr))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    val banded = bandedBuckets(sigs, bands, bucketOfBand)
 
     // Drop pathological buckets (boilerplate storms) before the self-join.
     val bucketW = Window.partitionBy("band", "bucket")

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.llm.{Contamination, Dedup, Multimodal, QualityFilters,
-                  Similarity, TextAnalysis, TextPacking}
+                  Sharding, Similarity, TextAnalysis, TextPacking}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline operators as oracle-checkable queries over
@@ -482,6 +482,71 @@ object LlmQueries {
               col("is_duplicate"))
       .orderBy("vec_id")
 
+  /** Incremental exact dedup: the (doc_id % 4 = 0) slice plays the
+    * accumulated corpus (as a fingerprint index), the rest play the new
+    * ingest batch — every new doc classified as corpus-dup / batch-dup /
+    * novel. Oracle-checked; the corpus text is touched only to build the
+    * one-row-per-distinct-text index.
+    */
+  def q74IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs   = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 4 === 0)
+    val batch  = docs.filter(col("doc_id") % 4 =!= 0)
+    Dedup.exactIncremental(
+      batch, Dedup.fingerprintIndex(corpus, "doc_id", "text"),
+      "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Bloom-prefiltered decontamination ([[Contamination.contaminationReportBloom]]):
+    * same n-gram-overlap semantics as q67 but through the
+    * broadcast-Bloom + exact-shuffle-verify plan for eval sets too big to
+    * broadcast as a hash relation. The Bloom's false positives are killed
+    * by the exact join, so the oracle is the plain SQL overlap — the
+    * correctness claim IS that the bloom path changes nothing. Distinct
+    * slice/gram-width from q67 (eval = doc_id % 10 = 3, word-6-grams).
+    */
+  def q75BloomDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = Tables.documents(spark, dir)
+    val train = docs.filter(col("doc_id") % 10 =!= 3)
+    val eval  = docs.filter(col("doc_id") % 10 === 3)
+    Contamination.contaminationReportBloom(train, eval, "doc_id", "text",
+                                           n = 6, fpp = 0.01)
+      .orderBy("doc_id")
+  }
+
+  /** Incremental MinHash near-dedup ([[Dedup.minhashIncrementalPortable]]):
+    * the (doc_id % 4 = 0) slice plays the accumulated corpus — persisted
+    * as a [[Dedup.MinhashIndex]] (banded buckets + hashed shingle sets) —
+    * and the rest play the ingest batch; each batch doc is classified
+    * against the index with its smallest verified corpus match and that
+    * match's exact Jaccard. The portable hash family makes the whole
+    * classification DuckDB-replayable.
+    */
+  def q76IncrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs   = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 4 === 0)
+    val batch  = docs.filter(col("doc_id") % 4 =!= 0)
+    val index  = Dedup.minhashIndexPortable(corpus, "doc_id", "text",
+                                            k = 5, numHashes = 32,
+                                            bands = 8, maxBucket = 1000)
+    Dedup.minhashIncrementalPortable(batch, index, "doc_id", "text",
+                                     k = 5, numHashes = 32, bands = 8,
+                                     threshold = 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic training-shard assignment ([[Sharding.assignShards]]):
+    * every doc routed to one of 8 shards by content hash with a stable
+    * in-shard position — the corpus-release layout step. Oracle-checked
+    * (both shard routing and in-shard ranks replay in DuckDB).
+    */
+  def q77ShardAssignment(spark: SparkSession, dir: String): DataFrame =
+    Sharding.assignShards(Tables.documents(spark, dir),
+                          "doc_id", "text", nShards = 8)
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+
   /** Token-budget subsetting: keep the highest-quality documents until
     * half the corpus's whitespace tokens are spent — the data-budgeting
     * step of corpus assembly ("give me the best N-token subset").
@@ -560,6 +625,10 @@ object LlmQueries {
     "q71_embedding_dedup"   -> (q71EmbeddingDedup(_, _)),
     "q72_simhash_candidates" -> (q72SimhashCandidates(_, _)),
     "q73_token_budget"      -> (q73TokenBudget(_, _)),
+    "q74_incremental_dedup" -> (q74IncrementalDedup(_, _)),
+    "q75_bloom_decontamination" -> (q75BloomDecontamination(_, _)),
+    "q76_incremental_minhash" -> (q76IncrementalMinhash(_, _)),
+    "q77_shard_assignment"  -> (q77ShardAssignment(_, _)),
     "q70_curation_funnel"   -> (q70CurationFunnel(_, _)),
     "q68_dataset_mix"       -> (q68DatasetMix(_, _)),
     "q64_stratified_sample" -> (q64StratifiedSample(_, _)),
@@ -622,9 +691,14 @@ object LlmQueries {
     * funnel stage (q70). Ends with CTE `cc(doc_id, cluster_id,
     * is_duplicate)`; embed inside a `WITH RECURSIVE ...` statement.
     */
-  private def minhashPortableCtes(source: String, k: Int, numHashes: Int,
-                                  bands: Int, threshold: Double,
-                                  maxBucket: Int): String = {
+  /** The signature-and-banding prefix of the minhash replay: CTEs
+    * nrm → sh → hs → sg → bd over `source`, ending with
+    * bd(doc_id, band, bucket). Shared by the full-dedup chain
+    * ([[minhashPortableCtes]]) and the incremental oracle (q76), which
+    * splits bd into corpus/batch sides instead of self-joining it.
+    */
+  private def minhashSigCtes(source: String, k: Int, numHashes: Int,
+                             bands: Int): String = {
     import graft.functions.PortableHash
     val (pa, pb)    = PortableHash.perms(numHashes)
     val P           = PortableHash.P
@@ -660,7 +734,13 @@ object LlmQueries {
        |$sigCols
        |  FROM hs),
        |bd AS (
-       |$bandSelects),
+       |$bandSelects)""".stripMargin
+  }
+
+  private def minhashPortableCtes(source: String, k: Int, numHashes: Int,
+                                  bands: Int, threshold: Double,
+                                  maxBucket: Int): String =
+    s"""${minhashSigCtes(source, k, numHashes, bands)},
        |bf AS (
        |  SELECT doc_id, band, bucket FROM bd
        |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= $maxBucket),
@@ -684,7 +764,48 @@ object LlmQueries {
        |  SELECT d AS doc_id, min(l) AS cluster_id,
        |    d <> min(l) AS is_duplicate
        |  FROM lab GROUP BY d)""".stripMargin
-  }
+
+  /** DuckDB replay of the incremental MinHash classification (q76,
+    * [[Dedup.minhashIncrementalPortable]]): signatures/bands over ALL
+    * docs via [[minhashSigCtes]] (per-doc row-local, so computing them
+    * jointly or per side is identical), then bd splits into the
+    * maxBucket-guarded corpus index vs the batch, an index equi-join
+    * replaces the self-join, and arg_min picks each batch doc's smallest
+    * verified corpus match.
+    */
+  private def minhashIncrementalOracleSql(k: Int, numHashes: Int,
+                                          bands: Int, threshold: Double,
+                                          maxBucket: Int): String =
+    s"""WITH
+       |${minhashSigCtes("documents", k, numHashes, bands)},
+       |bfc AS (
+       |  SELECT doc_id, band, bucket FROM bd WHERE doc_id % 4 = 0
+       |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= $maxBucket),
+       |bb AS (
+       |  SELECT doc_id, band, bucket FROM bd WHERE doc_id % 4 <> 0),
+       |pr AS (
+       |  SELECT DISTINCT b.doc_id AS did, c.doc_id AS cid
+       |  FROM bb b JOIN bfc c
+       |    ON b.band = c.band AND b.bucket = c.bucket),
+       |ed AS (
+       |  SELECT * FROM (
+       |    SELECT pr.did, pr.cid,
+       |      CAST(len(list_intersect(hb.h, hc.h)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(hb.h, hc.h))) AS j
+       |    FROM pr
+       |    JOIN hs hb ON hb.doc_id = pr.did
+       |    JOIN hs hc ON hc.doc_id = pr.cid) v
+       |  WHERE j >= $threshold),
+       |best AS (
+       |  SELECT did AS doc_id, min(cid) AS match_id,
+       |    arg_min(j, cid) AS match_jaccard
+       |  FROM ed GROUP BY did)
+       |SELECT d.doc_id,
+       |  best.match_id IS NOT NULL AS dup_of_corpus,
+       |  best.match_id, best.match_jaccard
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 <> 0) d
+       |LEFT JOIN best USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   private def minhashPortableOracleSql(k: Int, numHashes: Int, bands: Int,
                                        threshold: Double,
@@ -1017,6 +1138,62 @@ object LlmQueries {
       minhashPortableOracleSql(k = 5, numHashes = 32, bands = 8,
                                threshold = 0.5, maxBucket = 1000),
     "q36_simhash" -> simhashPortableOracleSql(60),
+    "q75_bloom_decontamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(t) < 6 THEN [array_to_string(t, ' ')]
+        |      ELSE list_distinct(list_transform(
+        |             generate_series(0, len(t) - 6),
+        |             i -> array_to_string(t[i+1:i+6], ' ')))
+        |    END) AS g
+        |  FROM tok),
+        |tg AS (SELECT doc_id,
+        |         ('0x' || substr(md5(g), 1, 15))::BIGINT AS fp FROM grams
+        |       WHERE doc_id % 10 <> 3),
+        |eg AS (SELECT DISTINCT
+        |         ('0x' || substr(md5(g), 1, 15))::BIGINT AS fp FROM grams
+        |       WHERE doc_id % 10 = 3),
+        |sh AS (SELECT tg.doc_id, count(DISTINCT tg.fp) AS n
+        |       FROM tg JOIN eg USING (fp) GROUP BY tg.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(sh.n, 0) AS n_shared_grams,
+        |  coalesce(sh.n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+        |WHERE d.doc_id % 10 <> 3
+        |ORDER BY d.doc_id""".stripMargin,
+    "q76_incremental_minhash" ->
+      minhashIncrementalOracleSql(k = 5, numHashes = 32, bands = 8,
+                                  threshold = 0.5, maxBucket = 1000),
+    "q77_shard_assignment" ->
+      """WITH s AS (
+        |  SELECT doc_id, md5(text) AS k,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT % 8 AS shard
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+        |       - 1 AS BIGINT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q74_incremental_dedup" ->
+      """WITH idx AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |         min(doc_id) AS corpus_id
+        |  FROM documents WHERE doc_id % 4 = 0 GROUP BY 1),
+        |nb AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 4 <> 0),
+        |j AS (
+        |  SELECT nb.doc_id, nb.fp, idx.corpus_id,
+        |    min(nb.doc_id) OVER (PARTITION BY nb.fp) AS cluster_id
+        |  FROM nb LEFT JOIN idx ON nb.fp = idx.fp)
+        |SELECT doc_id, corpus_id IS NOT NULL AS dup_of_corpus,
+        |  doc_id <> cluster_id AS dup_in_batch, cluster_id
+        |FROM j ORDER BY doc_id""".stripMargin,
     "q73_token_budget" ->
       s"""WITH s AS (
          |  SELECT doc_id,

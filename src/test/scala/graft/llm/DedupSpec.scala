@@ -138,4 +138,60 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
                       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
+
+  test("incremental minhash classifies batch docs against a corpus index") {
+    import spark.implicits._
+    val corpusText = "the quick brown fox jumps over the lazy dog near " +
+      "the quiet river bank while morning light settles on the water"
+    val corpus = Seq(
+      (10L, corpusText),
+      (11L, "an entirely different corpus document about compilers and " +
+            "register allocation strategies in modern optimizing backends"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, corpusText),                                   // exact corpus dup
+      (2L, corpusText.replace("morning", "evening")),     // near-dup of 10
+      (3L, "novel text about oceanic plate tectonics and subduction " +
+           "zones forming volcanic island arcs over geologic time"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashIndexPortable(corpus, "doc_id", "text")
+    val out = Dedup.minhashIncrementalPortable(batch, index,
+                                               "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    assert(out(1L) == ((true, 10L)), s"exact dup must match 10: $out")
+    assert(out(2L) == ((true, 10L)), s"near dup must match 10: $out")
+    assert(out(3L) == ((false, -1L)), s"novel doc must not match: $out")
+    // the matched jaccard of the exact dup is 1.0
+    val j = Dedup.minhashIncrementalPortable(batch, index, "doc_id", "text")
+      .filter(col("doc_id") === 1L).head().getDouble(3)
+    assert(j == 1.0)
+  }
+
+  test("incremental minhash agrees with batch-mode candidate pairs") {
+    // classifying batch-vs-corpus must find exactly the cross pairs the
+    // full batch-mode run finds over the union (restricted to cross side)
+    val all = docs
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val batch  = all.filter(col("doc_id") % 2 =!= 0)
+    val crossPairs = Dedup.minhashCandidatePairsPortable(
+      all, "doc_id", "text")
+      .collect()
+      .flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        // keep only (batch, corpus) sides, normalized to batch -> corpus
+        if (a % 2 != 0 && b % 2 == 0) Some(a -> b)
+        else if (b % 2 != 0 && a % 2 == 0) Some(b -> a)
+        else None
+      }
+      .groupBy(_._1).map { case (d, ms) => d -> ms.map(_._2).min }
+    val index = Dedup.minhashIndexPortable(corpus, "doc_id", "text")
+    val inc = Dedup.minhashIncrementalPortable(batch, index,
+                                               "doc_id", "text")
+      .filter(col("dup_of_corpus"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(inc == crossPairs, s"incremental=$inc batch-mode=$crossPairs")
+  }
 }

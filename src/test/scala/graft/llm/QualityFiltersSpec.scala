@@ -161,4 +161,21 @@ class QualityFiltersSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(shortOut(4L) && !shortOut(5L))
   }
+
+  test("bloom-prefiltered contamination is byte-identical to the exact path") {
+    import graft.sources.Tables
+    val docs  = Tables.documents(spark, sf0001)
+    val train = docs.filter(col("doc_id") % 10 =!= 3)
+    val eval  = docs.filter(col("doc_id") % 10 === 3)
+    val exact = Contamination.contaminationReport(
+      train, eval, "doc_id", "text", n = 6)
+      .orderBy("doc_id").collect().toSeq
+    val bloom = Contamination.contaminationReportBloom(
+      train, eval, "doc_id", "text", n = 6, fpp = 0.01)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloom == exact,
+           "bloom path must equal exact path after the verify join")
+    assert(exact.exists(_.getBoolean(2)) && exact.exists(!_.getBoolean(2)),
+           "fixture should exercise both outcomes")
+  }
 }

@@ -103,6 +103,50 @@ class RobustnessSpec extends SparkSpec {
       emptyDocs, train, "doc_id", "text", n = 8).count() == 0)
   }
 
+  test("approx quality-threshold budget brackets the exact cumsum subset") {
+    // the documented at-scale twin of q73: instead of a global cumsum
+    // window, pick a quality threshold via approxQuantile and keep
+    // everything above it. On the fixed sf0.001 corpus the approximate
+    // subset's token share must land near the 50% budget.
+    import graft.sources.Tables
+    val scored = Tables.documents(spark, sf0001).select(
+      col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+      .cache()
+    val totalToks = scored.agg(sum("toks")).head().getLong(0)
+    // approximate path: median quality as the cut (docs ≈ uniform tokens)
+    val t = scored.stat.approxQuantile("q", Array(0.5), 0.01)(0)
+    val keptToks = scored.filter(col("q") >= t)
+      .agg(sum("toks")).head().getLong(0)
+    val share = keptToks.toDouble / totalToks
+    assert(share > 0.3 && share < 0.7,
+           s"approx budget share $share strayed from the 0.5 target")
+    scored.unpersist()
+  }
+
+  test("incremental dedup classifies corpus-dups, batch-dups, and novel docs") {
+    import spark.implicits._
+    val corpus = Seq((100L, "seen before text"), (101L, "other old text"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "seen before text"),   // corpus dup
+      (2L, "brand new content"),  // novel
+      (3L, "brand new content"),  // batch dup of 2
+      (4L, "SEEN   BEFORE TEXT")) // corpus dup via normalization
+      .toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(
+      batch, Dedup.fingerprintIndex(corpus, "doc_id", "text"),
+      "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == ((true, false, 1L)))
+    assert(out(2L) == ((false, false, 2L)))
+    assert(out(3L) == ((false, true, 2L)))
+    assert(out(4L) == ((true, true, 1L))) // same normalized text as doc 1
+  }
+
   test("CountMinSketch estimates bracket the exact heavy-hitter counts") {
     import graft.sources.Tables
     val toks = Tables.documents(spark, sf0001)

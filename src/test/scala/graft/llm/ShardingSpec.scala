@@ -1,0 +1,63 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class ShardingSpec extends SparkSpec {
+
+  test("shard assignment is balanced, gapless per shard, and content-stable") {
+    val docs = Tables.documents(spark, sf0001)
+    val n = docs.count()
+    val out = Sharding.assignShards(docs, "doc_id", "text", nShards = 8)
+      .cache()
+    // every doc assigned exactly once, shards in range
+    assert(out.count() == n)
+    assert(out.agg(min("shard"), max("shard")).head() ==
+      org.apache.spark.sql.Row(0L, 7L))
+    // positions are 0..size-1 within each shard (gapless, no collisions)
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("cnt"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    perShard.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == r.getLong(1) - 1,
+             s"shard ${r.getLong(0)} positions not gapless: $r")
+    }
+    // rough balance: content hashing should not starve any shard
+    val counts = perShard.map(_.getLong(1))
+    assert(counts.min > counts.max / 4,
+           s"shard imbalance: ${counts.toSeq}")
+    // content-stable: shuffling the input rows changes nothing
+    val shuffled = Sharding.assignShards(
+      docs.repartition(13, col("lang")), "doc_id", "text", nShards = 8)
+    assert(shuffled.select("doc_id", "shard", "pos").orderBy("doc_id")
+             .collect().toSeq ==
+           out.select("doc_id", "shard", "pos").orderBy("doc_id")
+             .collect().toSeq)
+    out.unpersist()
+  }
+
+  test("sharded parquet write produces one sorted partition dir per shard") {
+    val dir  = tmpDir("shards")
+    val docs = Tables.documents(spark, sf0001).limit(500)
+    Sharding.writeShardedParquet(docs, "doc_id", "text", nShards = 4,
+                                 path = s"$dir/out")
+    val dirs = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 500)
+    // partition pruning: a shard filter reads only that partition dir
+    val pruned = back.filter(col("shard") === 2)
+    assert(pruned.count() ==
+             spark.read.parquet(s"$dir/out/shard=2").count())
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(shard#") ||
+             scan.contains("PartitionFilters: [(shard#"),
+           s"expected partition filter in scan:\n$scan")
+    // within a shard, file order == pos order (sorted write)
+    val s0 = spark.read.parquet(s"$dir/out/shard=0").select("pos").collect()
+      .map(_.getLong(0)).toSeq
+    assert(s0 == s0.sorted, "shard file must be written in pos order")
+  }
+}
