@@ -283,4 +283,56 @@ object Similarity {
       .select(col("left_id"), col("right_id"), round(col("cos"), 6).as("cos"))
       .distinct()
   }
+
+  /** Per-vector symmetric int8 quantization: each embedding becomes
+    * `round(x * 127 / max|x|)` ints plus a `qscale = max|x| / 127`
+    * reconstruction factor — the standard 4× memory cut for a
+    * billion-vector ANN index (float32 → int8). Cosine RANKING needs no
+    * dequantization at all: the per-vector scale cancels in
+    * dot/(|a||b|), so the quantized index is searched with the same
+    * [[cosine]] kernel on exact small integers.
+    *
+    * Rounding is spelled `floor(x + 0.5)` — portable half-up across
+    * engines (`round()` differs between HALF_UP and banker's semantics
+    * for negatives, exactly the kind of silent divergence an
+    * oracle-checked pipeline can't tolerate). All-zero vectors quantize
+    * to all-zero with qscale 0. The max|x| reduction is materialized as
+    * a named column BEFORE the quantize lambda references it (the
+    * [[Dedup.shinglesOfNorm]] HOF re-evaluation rule).
+    */
+  def withQuantizedInt8(df: DataFrame, vecCol: String = "embedding",
+                        outCol: String = "qvec"): DataFrame =
+    df.withColumn("__maxabs",
+                  array_max(transform(col(vecCol),
+                                      x => abs(x.cast("double")))))
+      .withColumn(outCol,
+        when(col("__maxabs") === 0.0d,
+             transform(col(vecCol), _ => lit(0).cast("tinyint")))
+          .otherwise(transform(
+            col(vecCol),
+            x => floor(x.cast("double") * 127.0d / col("__maxabs") + 0.5d)
+                   .cast("tinyint"))))
+      .withColumn("qscale", col("__maxabs") / 127.0d)
+      .drop("__maxabs")
+
+  /** Exact top-k over the int8-quantized index: same plan as
+    * [[bruteForceTopK]] (broadcast queries, per-partition top-k) but the
+    * corpus scanned is a quarter the bytes. Integer dots are exact in
+    * double arithmetic (≤ 127²·dim ≪ 2⁵³), so results are deterministic
+    * and engine-portable — the recall loss vs float32 comes only from
+    * the quantization grid, pinned ≥0.9 by spec.
+    */
+  def bruteForceTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    // the index STORES array<tinyint> (the 4× cut); the kernel wants
+    // float/double, so a single codegen'd array Cast widens at query
+    // time — byte values are exact in float, dots are exact in the
+    // kernel's double accumulation
+    def widened(df: DataFrame) =
+      withQuantizedInt8(df, vecCol).drop(vecCol)
+        .withColumn("qvecf", col("qvec").cast("array<float>"))
+    bruteForceTopK(widened(corpus), widened(queries),
+                   k, idCol, vecCol = "qvecf")
+  }
 }

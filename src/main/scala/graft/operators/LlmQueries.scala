@@ -536,6 +536,17 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Int8-quantized ANN ([[Similarity.bruteForceTopKInt8]]): top-10
+    * cosine neighbors over the per-vector-scaled int8 index — the 4×
+    * memory cut of production vector stores, oracle-checked end to end
+    * (quantization grid, integer-exact dots, ranking). Recall vs the
+    * float index is pinned ≥0.9 in SimilaritySpec.
+    */
+  def q78AnnInt8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopKInt8(emb, emb.filter(col("vec_id") < 5), k = 10)
+  }
+
   /** Deterministic training-shard assignment ([[Sharding.assignShards]]):
     * every doc routed to one of 8 shards by content hash with a stable
     * in-shard position — the corpus-release layout step. Oracle-checked
@@ -629,6 +640,7 @@ object LlmQueries {
     "q75_bloom_decontamination" -> (q75BloomDecontamination(_, _)),
     "q76_incremental_minhash" -> (q76IncrementalMinhash(_, _)),
     "q77_shard_assignment"  -> (q77ShardAssignment(_, _)),
+    "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q70_curation_funnel"   -> (q70CurationFunnel(_, _)),
     "q68_dataset_mix"       -> (q68DatasetMix(_, _)),
     "q64_stratified_sample" -> (q64StratifiedSample(_, _)),
@@ -1169,6 +1181,32 @@ object LlmQueries {
     "q76_incremental_minhash" ->
       minhashIncrementalOracleSql(k = 5, numHashes = 32, bands = 8,
                                   threshold = 0.5, maxBucket = 1000),
+    "q78_ann_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS ma
+        |  FROM e),
+        |qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma = 0 THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v, x -> floor(x * 127.0 / ma + 0.5))
+        |    END AS qv
+        |  FROM m),
+        |q AS (SELECT vec_id AS query_id, qv AS qqv FROM qz WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS corpus_id, qv AS cqv FROM qz),
+        |s AS (SELECT query_id, corpus_id,
+        |        list_cosine_similarity(qqv, cqv) AS cos
+        |      FROM q CROSS JOIN c WHERE query_id <> corpus_id),
+        |r AS (SELECT query_id, corpus_id, cos,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY cos DESC, corpus_id) AS rank
+        |      FROM s)
+        |SELECT query_id, corpus_id, round(cos, 6) AS cos, rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q77_shard_assignment" ->
       """WITH s AS (
         |  SELECT doc_id, md5(text) AS k,

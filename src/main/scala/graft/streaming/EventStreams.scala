@@ -173,6 +173,33 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Streaming incremental near-dedup: each micro-batch of newly ingested
+    * documents is classified against a PERSISTED
+    * [[graft.llm.Dedup.MinhashIndex]] (built offline from the accumulated
+    * corpus) and written to idempotent `batch_id=` partitions — the
+    * continuous-ingest twin of q76. foreachBatch is the right tool, not a
+    * stream-static join per stage: the classification is a multi-join
+    * batch pipeline (banding → index join → verify → min-match), and
+    * foreachBatch runs it unchanged per micro-batch with exactly-once
+    * sink semantics via [[upsertBatch]]. The index frames stay static
+    * across batches (refresh = restart with a newer index, the standard
+    * daily-index rotation).
+    */
+  def incrementalNearDedupSink(docs: DataFrame,
+                               index: graft.llm.Dedup.MinhashIndex,
+                               idCol: String, textCol: String,
+                               outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        upsertBatch(
+          graft.llm.Dedup.minhashIncrementalPortable(
+            batch.toDF(), index, idCol, textCol),
+          id, outDir))
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .start()
+
   /** Batch replay of the same logic over the static events table —
     * identical semantics checked in tests (stream/batch parity is the
     * Structured Streaming contract).

@@ -124,6 +124,36 @@ class SimilaritySpec extends SparkSpec {
     assert(open.count() == 40L * 39 / 2)
   }
 
+  test("int8 quantization: values bounded, zero-safe, scale reconstructs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))   // all-zero edge
+      .toDF("vec_id", "embedding")
+    val out = Similarity.withQuantizedInt8(df).orderBy("vec_id").collect()
+    val q1 = out(0).getSeq[Byte](2)
+    assert(q1 == Seq[Byte](64, -127, 32, 0), // floor(x*127/1.0 + 0.5)
+           s"unexpected quantization: $q1")
+    assert(math.abs(out(0).getDouble(3) - 1.0 / 127.0) < 1e-15)
+    assert(out(1).getSeq[Byte](2).forall(_ == 0) && out(1).getDouble(3) == 0.0)
+    // reconstruction: qvec * qscale ≈ original within half a grid step
+    val err = q1.map(_ * out(0).getDouble(3))
+      .zip(Seq(0.5, -1.0, 0.25, 0.0))
+      .map { case (r, o) => math.abs(r - o) }.max
+    assert(err <= 0.5 / 127.0 + 1e-12, s"reconstruction error $err")
+  }
+
+  test("int8 brute-force top-k: recall ≥ 0.9 vs float top-k") {
+    val corpus  = clustered
+    val queries = corpus.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val int8 = Similarity.bruteForceTopKInt8(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect int8).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall $recall < 0.9")
+  }
+
   test("lshSimilarityJoin finds within-cluster pairs above threshold") {
     val corpus = clustered
     val pairs = Similarity.lshSimilarityJoin(

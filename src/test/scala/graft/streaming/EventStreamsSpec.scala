@@ -258,6 +258,52 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dedup classifies micro-batches against a static " +
+       "minhash index, matching the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.Dedup
+    val corpusText = "the quick brown fox jumps over the lazy dog near " +
+      "the quiet river bank while morning light settles on the water"
+    val corpus = Seq(
+      (10L, corpusText),
+      (11L, "an entirely different corpus document about compilers and " +
+            "register allocation strategies in modern optimizing backends"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashIndexPortable(corpus, "doc_id", "text")
+    val b1 = Seq((1L, corpusText),
+                 (2L, "novel text about oceanic plate tectonics and " +
+                      "subduction zones forming volcanic island arcs"))
+    val b2 = Seq((3L, corpusText.replace("morning", "evening")))
+
+    val input  = MemoryStream[(Long, String)]
+    val outDir = tmpDir("incdedup") + "/out"
+    val ckpt   = tmpDir("incdedup") + "/ckpt"
+    val q = EventStreams.incrementalNearDedupSink(
+      input.toDF().toDF("doc_id", "text"), index,
+      "doc_id", "text", outDir, ckpt)
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .select("doc_id", "dup_of_corpus", "match_id")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .toMap
+      val batch = Dedup.minhashIncrementalPortable(
+        (b1 ++ b2).toDF("doc_id", "text"), index, "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .toMap
+      assert(streamed == batch,
+             s"stream/batch dedup parity: $streamed vs $batch")
+      assert(streamed(1L) == ((true, 10L)) && streamed(3L) == ((true, 10L))
+               && streamed(2L) == ((false, -1L)))
+    } finally q.stop()
+  }
+
   test("idempotentParquetSink streams micro-batches into batch_id partitions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
