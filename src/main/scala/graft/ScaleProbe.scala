@@ -66,6 +66,26 @@ object ScaleProbe {
         noop(Similarity.lshTopK(e, q, 10, dim = 64,
           nBits = 6 + (32 - Integer.numberOfLeadingZeros(n))))
       }
+      time(s"ann_int8       n=$n ($rows)") {
+        noop(Similarity.bruteForceTopKInt8(e, q, 10))
+      }
+    }
+    // Incremental dedup: the INDEX grows with the corpus (replicated N×),
+    // the ingest batch stays fixed — the probe measures that per-batch
+    // classification cost is driven by the batch, not the corpus.
+    for (n <- Seq(1, 5, 20)) {
+      val corpus = docsX(n); val rows = corpus.count()
+      val batch = Tables.documents(spark, dir)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+        .limit(2000)
+      val index = Dedup.minhashIndexPortable(corpus, "doc_id", "text")
+      val bucketsC = index.buckets.localCheckpoint(true)
+      val shinglesC = index.shingles.localCheckpoint(true)
+      time(s"inc_minhash    n=$n ($rows corpus, 2000 batch)") {
+        noop(Dedup.minhashIncrementalPortable(
+          batch, Dedup.MinhashIndex(bucketsC, shinglesC),
+          "doc_id", "text"))
+      }
     }
     spark.stop()
   }

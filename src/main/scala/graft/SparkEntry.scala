@@ -45,6 +45,8 @@ object SparkEntry {
     "q52_qnli_pipeline",
     "q66_tfidf_keywords",
     "q67_decontamination",
-    "q70_curation_funnel"
+    "q70_curation_funnel",
+    "q76_incremental_minhash",
+    "q78_ann_int8"
   )
 }

@@ -737,4 +737,46 @@ object Dedup {
     size(array_intersect(ga, gb)).cast("double") /
       size(array_union(ga, gb)).cast("double")
   }
+
+  /** Corpus-wide boilerplate LINE removal (the CCNet/C4 line-dedup pass):
+    * a line whose trimmed form appears in ≥ `minDocs` DISTINCT documents
+    * is boilerplate (headers, footers, nav chrome, cookie banners) and is
+    * struck from every document; blank lines are never counted as
+    * boilerplate. Returns one row per doc with the cleaned text (original
+    * line order preserved), lines kept, and lines removed.
+    *
+    * Scale shape: posexplode lines → one shuffle grouping by the 128-bit
+    * line fingerprint (count DISTINCT docs) → equi-join the per-line
+    * verdict back → per-doc re-assembly via sort_array(collect_list)
+    * (deterministic — no window, no collect_list ordering assumption).
+    * Line fingerprints ride as md5 strings so the verdict join never
+    * moves line text; the only data-scale relations are the exploded
+    * (doc, pos, fp) triples.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                minDocs: Int = 2): DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+                          posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("pos", "pos")
+      .withColumnRenamed("col", "line")
+      .withColumn("norm", trim(col("line")))
+      .withColumn("fp", md5(col("norm").cast("binary")))
+    val boiler = lines.filter(col("norm") =!= "")
+      .groupBy("fp")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("fp"), lit(true).as("boiler"))
+    lines.join(boiler, Seq("fp"), "left")
+      .withColumn("drop", coalesce(col("boiler"), lit(false)))
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("drop"), struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("clean_text"),
+        sum(when(!col("drop"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("drop"), 1L).otherwise(0L)).as("n_removed"))
+  }
 }

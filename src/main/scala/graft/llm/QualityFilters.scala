@@ -217,4 +217,31 @@ object QualityFilters {
         col("stopword_hits") >= minStopwordHits)
       .drop("__toks", "__lines")
   }
+
+  /** Token-budget subsetting, at-scale form: keep the highest-quality
+    * docs until ~`budgetFrac` of the corpus's tokens are spent. Instead
+    * of the exact global cumulative-sum window (a data-scale total order
+    * — the q73 correctness anchor), this picks a QUALITY THRESHOLD with
+    * `approxQuantile` (a distributed sketch, O(1/relErr) to the driver)
+    * and keeps every doc above it — two scans, no global sort, ±ε on the
+    * budget. Assumes tokens are roughly uniform across the quality range
+    * (true of natural corpora; for a pathological token/quality
+    * correlation, iterate on the quantile).
+    *
+    * Returns the kept docs as (idCol, toks, q); the spec brackets the
+    * kept token share against the target on real data.
+    */
+  def approxTokenBudget(df: DataFrame, idCol: String, textCol: String,
+                        budgetFrac: Double = 0.5,
+                        relErr: Double = 0.01): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac < 1, "budgetFrac in (0,1)")
+    val scored = df.select(
+      col(idCol),
+      TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("toks"),
+      TextAnalysis.qualityScore(col(textCol)).as("q"))
+      .localCheckpoint(true) // scanned twice: quantile sketch + filter
+    val cut = scored.stat
+      .approxQuantile("q", Array(1.0 - budgetFrac), relErr)(0)
+    scored.filter(col("q") >= cut)
+  }
 }

@@ -536,6 +536,26 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus-wide boilerplate line removal ([[Dedup.lineDedup]]): lines
+    * appearing in ≥2 distinct documents are struck everywhere (the
+    * CCNet/C4 line-dedup pass). Output carries md5 of the cleaned text
+    * (order-preserving reassembly) + kept/removed line counts, all
+    * replayed by the DuckDB oracle.
+    */
+  def q79LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    // the corpus is single-line; break sentences onto lines (same regexp
+    // in the oracle) so the pass has real line structure to deduplicate —
+    // planted near-dup docs then share exactly their common sentences
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      regexp_replace(col("text"), "\\. ", ".\n").as("text"))
+    Dedup.lineDedup(docs, "doc_id", "text", minDocs = 2)
+      .select(col("doc_id"),
+              md5(col("clean_text").cast("binary")).as("clean_md5"),
+              col("n_kept"), col("n_removed"))
+      .orderBy("doc_id")
+  }
+
   /** Int8-quantized ANN ([[Similarity.bruteForceTopKInt8]]): top-10
     * cosine neighbors over the per-vector-scaled int8 index — the 4×
     * memory cut of production vector stores, oracle-checked end to end
@@ -641,6 +661,7 @@ object LlmQueries {
     "q76_incremental_minhash" -> (q76IncrementalMinhash(_, _)),
     "q77_shard_assignment"  -> (q77ShardAssignment(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
+    "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q70_curation_funnel"   -> (q70CurationFunnel(_, _)),
     "q68_dataset_mix"       -> (q68DatasetMix(_, _)),
     "q64_stratified_sample" -> (q64StratifiedSample(_, _)),
@@ -1181,6 +1202,34 @@ object LlmQueries {
     "q76_incremental_minhash" ->
       minhashIncrementalOracleSql(k = 5, numHashes = 32, bands = 8,
                                   threshold = 0.5, maxBucket = 1000),
+    "q79_line_dedup" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '\. ', '.' || chr(10), 'g') AS text
+        |  FROM documents),
+        |ls AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS lns FROM src),
+        |ix AS (
+        |  SELECT doc_id, lns, unnest(generate_series(1, len(lns))) AS pos
+        |  FROM ls),
+        |l AS (
+        |  SELECT doc_id, pos, lns[pos] AS ln FROM ix),
+        |n AS (
+        |  SELECT doc_id, pos, ln, trim(ln) AS nrm, md5(trim(ln)) AS fp
+        |  FROM l),
+        |b AS (
+        |  SELECT fp FROM n WHERE nrm <> ''
+        |  GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+        |k AS (
+        |  SELECT n.doc_id, n.pos, n.ln, (b.fp IS NOT NULL) AS dr
+        |  FROM n LEFT JOIN b ON n.fp = b.fp)
+        |SELECT doc_id,
+        |  md5(coalesce(
+        |    string_agg(ln, chr(10) ORDER BY pos) FILTER (WHERE NOT dr),
+        |    '')) AS clean_md5,
+        |  CAST(count(*) FILTER (WHERE NOT dr) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE dr) AS BIGINT) AS n_removed
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q78_ann_int8" ->
       """WITH e AS (
         |  SELECT vec_id,

@@ -139,6 +139,27 @@ class DedupSpec extends SparkSpec {
                       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("lineDedup strikes corpus-wide boilerplate lines, keeps unique ones") {
+    import spark.implicits._
+    val footer = "Copyright 2026 Example Corp - all rights reserved"
+    val nav    = "  Home | About | Contact  " // trimmed form is shared
+    val docsL = Seq(
+      (1L, s"unique first line one\n$footer\nunique tail one"),
+      (2L, s"unique first line two\n$nav\n$footer"),
+      (3L, s"${nav.trim}\nunique body three\n\nunique tail three"),
+      (4L, "entirely unique document with no shared lines at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docsL, "doc_id", "text", minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == (("unique first line one\nunique tail one", 2L, 1L)))
+    assert(out(2L) == (("unique first line two", 1L, 2L)))
+    // blank line is never boilerplate; nav matches via trim
+    assert(out(3L) == (("unique body three\n\nunique tail three", 3L, 1L)))
+    assert(out(4L)._3 == 0L)
+  }
+
   test("incremental minhash classifies batch docs against a corpus index") {
     import spark.implicits._
     val corpusText = "the quick brown fox jumps over the lazy dog near " +

@@ -104,25 +104,20 @@ class RobustnessSpec extends SparkSpec {
   }
 
   test("approx quality-threshold budget brackets the exact cumsum subset") {
-    // the documented at-scale twin of q73: instead of a global cumsum
-    // window, pick a quality threshold via approxQuantile and keep
-    // everything above it. On the fixed sf0.001 corpus the approximate
-    // subset's token share must land near the 50% budget.
+    // the documented at-scale twin of q73 (QualityFilters.approxTokenBudget):
+    // no global cumsum window, just an approxQuantile cut. On the fixed
+    // sf0.001 corpus the kept token share must land near the 50% budget.
     import graft.sources.Tables
-    val scored = Tables.documents(spark, sf0001).select(
-      col("doc_id"),
-      TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"),
-      TextAnalysis.qualityScore(col("text")).as("q"))
-      .cache()
-    val totalToks = scored.agg(sum("toks")).head().getLong(0)
-    // approximate path: median quality as the cut (docs ≈ uniform tokens)
-    val t = scored.stat.approxQuantile("q", Array(0.5), 0.01)(0)
-    val keptToks = scored.filter(col("q") >= t)
-      .agg(sum("toks")).head().getLong(0)
+    val docs = Tables.documents(spark, sf0001)
+    val totalToks = docs
+      .agg(sum(TextAnalysis.wsTokenCount(col("text")).cast("long")))
+      .head().getLong(0)
+    val kept = QualityFilters.approxTokenBudget(
+      docs, "doc_id", "text", budgetFrac = 0.5)
+    val keptToks = kept.agg(sum("toks")).head().getLong(0)
     val share = keptToks.toDouble / totalToks
     assert(share > 0.3 && share < 0.7,
            s"approx budget share $share strayed from the 0.5 target")
-    scored.unpersist()
   }
 
   test("incremental dedup classifies corpus-dups, batch-dups, and novel docs") {
