@@ -180,4 +180,30 @@ object BinaryMetrics {
   /** E7b — class distribution (`qqp_test.py:181-189`). */
   def classDistribution(df: Dataset[_], labelCol: String): DataFrame =
     df.groupBy(labelCol).agg(count(lit(1)).as("n")).orderBy(labelCol)
+
+  /** Calibration curve (reliability diagram): scores bucketed into
+    * `bins` equal-width bins, each reporting its count, mean predicted
+    * score, and empirical positive rate — "when the model says 0.8, is
+    * it right 80% of the time?". The standard diagnostic next to
+    * ROC/AUC; score 1.0 lands in the top bin (the `least` clamp, same as
+    * [[probabilityHistogram]]).
+    *
+    * Scale: one shuffle down to `bins` groups — partial aggregation does
+    * the data-scale work map-side. Means are rounded to 4 decimals so the
+    * double summation order never leaks into comparisons.
+    */
+  def calibrationCurve(preds: Dataset[_], scoreCol: String = "score",
+                       labelCol: String = "label",
+                       bins: Int = 10): DataFrame =
+    preds
+      .select(
+        least(floor(col(scoreCol).cast("double") * bins), lit(bins - 1))
+          .cast("long").as("bin"),
+        col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("double").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+           round(avg("s"), 4).as("mean_score"),
+           round(avg("y"), 4).as("frac_pos"))
+      .orderBy("bin")
 }

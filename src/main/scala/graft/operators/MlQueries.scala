@@ -137,6 +137,16 @@ object MlQueries {
     BinaryMetrics.probabilityHistogram(preds, "score", bins = 20)
   }
 
+  /** E-family extension — calibration curve over the same deterministic
+    * synthetic score/label as q54; oracle-checked.
+    */
+  def q80Calibration(spark: SparkSession, dir: String): DataFrame = {
+    val preds = Tables.documents(spark, dir).select(
+      (col("lang") === "en").cast("double").as("label"),
+      ((col("n_chars") % 97).cast("double") / 97.0).as("score"))
+    BinaryMetrics.calibrationCurve(preds, bins = 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_tokenize"        -> (q41Tokenize(_, _)),
     "q42_stop_words"      -> (q42StopWords(_, _)),
@@ -145,7 +155,8 @@ object MlQueries {
     "q52_qnli_pipeline"   -> (q52QnliPipeline(_, _)),
     "q53_batch_infer"     -> (q53BatchInfer(_, _)),
     "q54_roc_points"      -> (q54RocPoints(_, _)),
-    "q55_prob_histogram"  -> (q55ProbHistogram(_, _))
+    "q55_prob_histogram"  -> (q55ProbHistogram(_, _)),
+    "q80_calibration"     -> (q80Calibration(_, _))
   )
 
   private val mlStopList = StopWordsRemover
@@ -206,6 +217,16 @@ object MlQueries {
         |  FROM documents)
         |SELECT least(CAST(floor(score * 20) AS BIGINT), 19) AS bin,
         |  count(*) AS n
+        |FROM s GROUP BY bin ORDER BY bin""".stripMargin,
+    "q80_calibration" ->
+      """WITH s AS (
+        |  SELECT CAST(lang = 'en' AS DOUBLE) AS y,
+        |    CAST(n_chars % 97 AS DOUBLE) / 97.0 AS score
+        |  FROM documents)
+        |SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+        |  count(*) AS n,
+        |  round(avg(score), 4) AS mean_score,
+        |  round(avg(y), 4) AS frac_pos
         |FROM s GROUP BY bin ORDER BY bin""".stripMargin
   )
 }

@@ -150,4 +150,25 @@ class BinaryMetricsSpec extends SparkSpec {
     assert(h(19L) == 2L) // 0.99 and 1.0 both land in the last bin
     assert(h(0L) == 2L)
   }
+
+  test("calibration curve: per-bin counts, mean score, and positive rate") {
+    import spark.implicits._
+    val df = Seq(
+      (0.05, 0.0), (0.15, 0.0), (0.15, 1.0),   // bins 0, 1, 1
+      (0.85, 1.0), (0.85, 1.0), (0.85, 0.0),   // bin 8
+      (1.00, 1.0))                              // clamps to bin 9
+      .toDF("score", "label")
+    val c = BinaryMetrics.calibrationCurve(df, bins = 10)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(c(0L) == ((1L, 0.05, 0.0)))
+    assert(c(1L) == ((2L, 0.15, 0.5)))
+    assert(c(8L) == ((3L, 0.85, round4(2.0 / 3))))
+    assert(c(9L) == ((1L, 1.0, 1.0)))
+    assert(c.values.map(_._1).sum == 7L)
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
