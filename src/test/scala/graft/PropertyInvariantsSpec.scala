@@ -98,4 +98,35 @@ class PropertyInvariantsSpec extends SparkSpec {
       assert(sigs(fwd).forall(_.length == 16))
     }
   }
+
+  test("int8 quantization preserves cosine within the grid-error bound") {
+    import graft.llm.Similarity
+    import spark.implicits._
+    for (seed <- Seq(11L, 22L, 33L)) {
+      val rnd = new scala.util.Random(seed)
+      // random pairs incl. correlated ones (v, v+noise) — the regime that
+      // matters for dedup thresholds
+      val pairs = (0 until 30).map { i =>
+        val a = Array.fill(64)(rnd.nextGaussian().toFloat)
+        val b =
+          if (i % 2 == 0) Array.fill(64)(rnd.nextGaussian().toFloat)
+          else a.map(x => x + 0.2f * rnd.nextGaussian().toFloat)
+        (i.toLong, a.toSeq, b.toSeq)
+      }
+      val df = pairs.toDF("id", "a", "b")
+      val qa = Similarity.withQuantizedInt8(df, "a", "qa")
+      val qb = Similarity.withQuantizedInt8(qa.drop("qscale"), "b", "qb")
+      val rows = qb.select(
+        Similarity.cosine(col("a"), col("b")).as("cf"),
+        Similarity.cosine(col("qa").cast("array<float>"),
+                          col("qb").cast("array<float>")).as("ci"))
+        .collect()
+      rows.foreach { r =>
+        val err = math.abs(r.getDouble(0) - r.getDouble(1))
+        // per-element grid error ≤ 0.5/127 of max|x| → cosine error well
+        // under 0.05 at dim 64; generous cap to stay noise-proof
+        assert(err < 0.05, s"int8 cosine drift $err (seed $seed)")
+      }
+    }
+  }
 }
