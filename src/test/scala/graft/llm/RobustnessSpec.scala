@@ -142,6 +142,38 @@ class RobustnessSpec extends SparkSpec {
     assert(out(4L) == ((true, true, 1L))) // same normalized text as doc 1
   }
 
+  test("late round-5 ops on empty and degenerate input") {
+    import spark.implicits._
+    // incremental minhash: empty batch → empty; empty index → no matches
+    val docs = Seq((1L, "some real document text for the robustness run"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashIndexPortable(docs, "doc_id", "text")
+    assert(Dedup.minhashIncrementalPortable(
+      emptyDocs, idx, "doc_id", "text").count() == 0)
+    val emptyIdx = Dedup.minhashIndexPortable(emptyDocs, "doc_id", "text")
+    val vsEmpty = Dedup.minhashIncrementalPortable(
+      docs, emptyIdx, "doc_id", "text").collect()
+    assert(vsEmpty.length == 1 && !vsEmpty(0).getBoolean(1))
+    // lineDedup: empty input → empty; whitespace-only doc survives intact
+    assert(Dedup.lineDedup(emptyDocs, "doc_id", "text").count() == 0)
+    val ws = Dedup.lineDedup(Seq((1L, "  \n  ")).toDF("doc_id", "text"),
+                             "doc_id", "text").head()
+    assert(ws.getLong(2) == 2L && ws.getLong(3) == 0L,
+           "blank lines are never struck")
+    // int8 ANN on empty corpus/queries
+    val emptyVecs = spark.emptyDataFrame
+      .withColumn("vec_id", lit(0L)).withColumn("embedding",
+        array(lit(0.0f))).limit(0)
+    assert(Similarity.bruteForceTopKInt8(
+      emptyVecs, emptyVecs, k = 3).count() == 0)
+    // sharding an empty frame
+    assert(Sharding.assignShards(emptyDocs, "doc_id", "text", 4).count() == 0)
+    // calibration on empty predictions
+    assert(graft.metrics.BinaryMetrics.calibrationCurve(
+      emptyDocs.withColumn("score", lit(0.5))
+        .withColumn("label", lit(1.0))).count() == 0)
+  }
+
   test("CountMinSketch estimates bracket the exact heavy-hitter counts") {
     import graft.sources.Tables
     val toks = Tables.documents(spark, sf0001)
