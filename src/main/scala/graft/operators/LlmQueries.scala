@@ -536,6 +536,46 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Dataset card: the per-(source, language) release datasheet every
+    * corpus publication ships — doc counts, char/token volumes, quality
+    * means, size extremes, corpus share. One partial-agg shuffle to
+    * #sources×#langs groups plus a broadcast one-row total; fully
+    * oracle-checked.
+    */
+  def q81DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("source"), col("lang"), col("n_chars"),
+      TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+    val total = docs.agg(count(lit(1)).as("total_docs"))
+    docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_chars").as("total_chars"),
+           sum("toks").as("total_tokens"),
+           // quality is a 4-decimal rational: aggregate it as exact
+           // integers (×10⁴) so the mean is order-independent and
+           // engine-portable — avg(double) can land either side of a
+           // round-half boundary depending on summation order
+           sum(floor(col("q") * 10000.0d + 0.5d).cast("long")).as("qsum"),
+           min("n_chars").as("min_chars"),
+           max("n_chars").as("max_chars"))
+      // floor(x+0.5), not round(): Spark round() goes through the
+      // double's shortest DECIMAL string (BigDecimal.valueOf) while other
+      // engines round the binary value — on exact .5 quotients (qsum/n
+      // dyadic) they disagree. floor on the IEEE-identical quotient is
+      // bit-portable.
+      .withColumn("mean_quality",
+                  floor(col("qsum").cast("double") /
+                          col("n_docs").cast("double") + 0.5d) / 10000.0d)
+      .drop("qsum")
+      .crossJoin(broadcast(total))
+      .withColumn("doc_share",
+                  round(col("n_docs").cast("double") /
+                          col("total_docs").cast("double"), 6))
+      .drop("total_docs")
+      .orderBy("source", "lang")
+  }
+
   /** Corpus-wide boilerplate line removal ([[Dedup.lineDedup]]): lines
     * appearing in ≥2 distinct documents are struck everywhere (the
     * CCNet/C4 line-dedup pass). Output carries md5 of the cleaned text
@@ -662,6 +702,7 @@ object LlmQueries {
     "q77_shard_assignment"  -> (q77ShardAssignment(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
+    "q81_dataset_card"      -> (q81DatasetCard(_, _)),
     "q70_curation_funnel"   -> (q70CurationFunnel(_, _)),
     "q68_dataset_mix"       -> (q68DatasetMix(_, _)),
     "q64_stratified_sample" -> (q64StratifiedSample(_, _)),
@@ -1202,6 +1243,39 @@ object LlmQueries {
     "q76_incremental_minhash" ->
       minhashIncrementalOracleSql(k = 5, numHashes = 32, bands = 8,
                                   threshold = 0.5, maxBucket = 1000),
+    "q81_dataset_card" ->
+      s"""WITH s AS (
+         |  SELECT source, lang, n_chars,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS toks,
+         |    round((least(length(text) / 200.0, 1.0)
+         |      + least((len(list_filter(
+         |            string_split_regex(lower(trim(text)), '\\s+'),
+         |            x -> list_contains($stopList, x)))
+         |          / CAST(greatest(len(string_split_regex(lower(trim(text)),
+         |                                                 '\\s+')), 1)
+         |                 AS DOUBLE)) * 4.0, 1.0)
+         |      + greatest(1.0 - (len(regexp_extract_all(text,
+         |            '[^A-Za-z0-9\\s]'))
+         |          / CAST(greatest(length(text), 1) AS DOUBLE)) * 4.0, 0.0))
+         |      / 3.0, 4) AS q
+         |  FROM documents),
+         |t AS (SELECT count(*) AS total_docs FROM documents),
+         |g AS (
+         |  SELECT source, lang, count(*) AS n_docs,
+         |    sum(n_chars) AS total_chars, sum(toks) AS total_tokens,
+         |    floor(CAST(sum(CAST(floor(q * 10000.0 + 0.5) AS BIGINT))
+         |               AS DOUBLE) / count(*) + 0.5) / 10000.0
+         |      AS mean_quality,
+         |    min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         |  FROM s GROUP BY source, lang)
+         |SELECT source, lang, n_docs,
+         |  CAST(total_chars AS BIGINT) AS total_chars,
+         |  CAST(total_tokens AS BIGINT) AS total_tokens,
+         |  mean_quality, min_chars, max_chars,
+         |  round(CAST(n_docs AS DOUBLE) / t.total_docs, 6) AS doc_share
+         |FROM g CROSS JOIN t
+         |ORDER BY source, lang""".stripMargin,
     "q79_line_dedup" ->
       """WITH src AS (
         |  SELECT doc_id,

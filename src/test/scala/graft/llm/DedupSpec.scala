@@ -189,6 +189,14 @@ class DedupSpec extends SparkSpec {
     val j = Dedup.minhashIncrementalPortable(batch, index, "doc_id", "text")
       .filter(col("doc_id") === 1L).head().getDouble(3)
     assert(j == 1.0)
+    // plan shape: bucket/shingle lookups are equi-joins — never a
+    // cartesian or nested-loop join
+    val plan = Dedup.minhashIncrementalPortable(batch, index,
+                                                "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"),
+           s"unexpected join strategy:\n$plan")
   }
 
   test("incremental minhash agrees with batch-mode candidate pairs") {
