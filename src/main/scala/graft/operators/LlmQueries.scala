@@ -583,12 +583,15 @@ object LlmQueries {
     * replayed by the DuckDB oracle.
     */
   def q79LineDedup(spark: SparkSession, dir: String): DataFrame = {
-    // the corpus is single-line; break sentences onto lines (same regexp
-    // in the oracle) so the pass has real line structure to deduplicate —
-    // planted near-dup docs then share exactly their common sentences
+    // the corpus is single-line; break sentences onto lines AND append a
+    // deterministic site-footer (3 variants, each shared by ~N/3 docs) —
+    // same transforms in the oracle — so the strike path runs against
+    // real volume, not just the planted spec fixtures (the raw sf corpus
+    // has near-dups but no two docs share a full sentence)
     val docs = Tables.documents(spark, dir).select(
       col("doc_id"),
-      regexp_replace(col("text"), "\\. ", ".\n").as("text"))
+      concat(regexp_replace(col("text"), "\\. ", ".\n"),
+             lit("\nsite footer variant "), col("doc_id") % 3).as("text"))
     Dedup.lineDedup(docs, "doc_id", "text", minDocs = 2)
       .select(col("doc_id"),
               md5(col("clean_text").cast("binary")).as("clean_md5"),
@@ -1279,7 +1282,8 @@ object LlmQueries {
     "q79_line_dedup" ->
       """WITH src AS (
         |  SELECT doc_id,
-        |    regexp_replace(text, '\. ', '.' || chr(10), 'g') AS text
+        |    regexp_replace(text, '\. ', '.' || chr(10), 'g')
+        |      || chr(10) || 'site footer variant ' || (doc_id % 3) AS text
         |  FROM documents),
         |ls AS (
         |  SELECT doc_id, string_split(text, chr(10)) AS lns FROM src),
