@@ -263,9 +263,11 @@ object Dedup {
     * `buckets` = (band, bucket, corpus_id) — the banded LSH buckets with
     * the `maxBucket` boilerplate guard already applied — and `shingles` =
     * (corpus_id, shh) — the hashed shingle sets the verify step joins
-    * against. In production both live as parquet bucketed by their join
-    * keys; re-deriving either from corpus text is the thing incremental
-    * dedup exists to avoid.
+    * against. Both persist as parquet bucketed by their join keys via
+    * [[IndexStore.saveMinhashIndex]]/[[IndexStore.loadMinhashIndex]] —
+    * the loaded join is Exchange-free on the index side; re-deriving
+    * either from corpus text is the thing incremental dedup exists to
+    * avoid.
     */
   final case class MinhashIndex(buckets: DataFrame, shingles: DataFrame)
 

@@ -200,6 +200,21 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Restart-surviving variant: the index is loaded from its persisted
+    * bucketed tables ([[graft.llm.IndexStore]]) by NAME, so a sink
+    * restarted in a fresh session — same checkpoint, same index name —
+    * resumes classifying with identical state. Daily index rotation =
+    * re-save under the same name, restart the query.
+    */
+  def incrementalNearDedupSink(docs: DataFrame, indexName: String,
+                               idCol: String, textCol: String,
+                               outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incrementalNearDedupSink(
+      docs,
+      graft.llm.IndexStore.loadMinhashIndex(docs.sparkSession, indexName),
+      idCol, textCol, outDir, checkpoint)
+
   /** Batch replay of the same logic over the static events table —
     * identical semantics checked in tests (stream/batch parity is the
     * Structured Streaming contract).

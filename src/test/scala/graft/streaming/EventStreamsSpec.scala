@@ -304,6 +304,59 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dedup survives a restart with a PERSISTED index: " +
+       "same checkpoint + index name resume with identical classifications") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.{Dedup, IndexStore}
+    val corpusText = "the quick brown fox jumps over the lazy dog near " +
+      "the quiet river bank while morning light settles on the water"
+    val corpus = Seq(
+      (10L, corpusText),
+      (11L, "an entirely different corpus document about compilers and " +
+            "register allocation strategies in modern optimizing backends"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashIndexPortable(corpus, "doc_id", "text")
+    val b1 = Seq((1L, corpusText),
+                 (2L, "novel text about oceanic plate tectonics and " +
+                      "subduction zones forming volcanic island arcs"))
+    val b2 = Seq((3L, corpusText.replace("morning", "evening")))
+
+    val input  = MemoryStream[(Long, String)]
+    val outDir = tmpDir("incdedupr") + "/out"
+    val ckpt   = tmpDir("incdedupr") + "/ckpt"
+    try {
+      IndexStore.saveMinhashIndex(index, "idx_stream_rt", numBuckets = 4)
+      // "yesterday's" run: sink resolves the index from disk by name
+      val q1 = EventStreams.incrementalNearDedupSink(
+        input.toDF().toDF("doc_id", "text"), "idx_stream_rt",
+        "doc_id", "text", outDir, ckpt)
+      try { input.addData(b1: _*); q1.processAllAvailable() }
+      finally q1.stop()
+      // restart: a fresh query, same checkpoint, index re-loaded from disk
+      val q2 = EventStreams.incrementalNearDedupSink(
+        input.toDF().toDF("doc_id", "text"), "idx_stream_rt",
+        "doc_id", "text", outDir, ckpt)
+      try { input.addData(b2: _*); q2.processAllAvailable() }
+      finally q2.stop()
+      val streamed = spark.read.parquet(outDir)
+        .select("doc_id", "dup_of_corpus", "match_id")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .toMap
+      val batch = Dedup.minhashIncrementalPortable(
+        (b1 ++ b2).toDF("doc_id", "text"), index, "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .toMap
+      assert(streamed.size == 3, s"restart must not drop/dup rows: $streamed")
+      assert(streamed == batch,
+             s"restarted stream/batch parity: $streamed vs $batch")
+    } finally IndexStore.drop(spark, "idx_stream_rt")
+  }
+
   test("idempotentParquetSink streams micro-batches into batch_id partitions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
