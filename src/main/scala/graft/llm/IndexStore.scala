@@ -21,19 +21,89 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object IndexStore {
 
+  /** Drop `table` AND its on-disk location. The drop alone is not enough
+    * across sessions: the catalog is per-session (in-memory), so a fresh
+    * JVM doesn't know yesterday's table, `DROP TABLE IF EXISTS` no-ops,
+    * and the leftover warehouse/external directory makes the re-save
+    * throw LOCATION_ALREADY_EXISTS — which is exactly the daily
+    * index-rotation path (save under the same name, next day, new
+    * process). Deleting the stale location restores save idempotence.
+    */
+  private def dropWithLocation(spark: SparkSession, table: String,
+                               dir: Option[String]): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = dir.getOrElse(
+      spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+        "/" + table.toLowerCase(java.util.Locale.ROOT))
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  private def location(spark: SparkSession, table: String,
+                       dir: Option[String]): String =
+    dir.getOrElse(
+      spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+        "/" + table.toLowerCase(java.util.Locale.ROOT))
+
   /** Overwrite-save `df` as a bucketed, bucket-sorted parquet table.
-    * The pre-drop makes re-saves atomic w.r.t. metadata: a stale table
-    * with different bucketing/path can never half-merge with the new one.
+    * The pre-drop (metadata + location) makes re-saves idempotent even
+    * from a fresh session — a stale table with different bucketing/path
+    * can never half-merge with the new one. A small `_graft_index_spec`
+    * descriptor (schema DDL + bucket spec) is written beside the data so
+    * a LATER session can re-register the table with its bucketing intact
+    * (see [[ensureRegistered]]).
     */
   private def writeBucketedTable(df: DataFrame, table: String,
                                  numBuckets: Int, keys: Seq[String],
                                  dir: Option[String]): Unit = {
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val spark = df.sparkSession
+    dropWithLocation(spark, table, dir)
     val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
     dir.fold(w)(d => w.option("path", d)).saveAsTable(table)
+    val loc = location(spark, table, dir)
+    val spec = s"$numBuckets\n${keys.mkString(",")}\n${df.schema.toDDL}"
+    val p = new org.apache.hadoop.fs.Path(loc, "_graft_index_spec")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(spec.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Re-register a persisted bucketed table in THIS session's catalog if
+    * it isn't there — the catalog is per-session, so an index saved by
+    * yesterday's JVM exists only as files + the `_graft_index_spec`
+    * descriptor. Registration re-declares the bucket spec (CLUSTERED BY
+    * … INTO n BUCKETS) over the existing LOCATION, so the loaded side
+    * keeps its Exchange-free join property across sessions.
+    */
+  private def ensureRegistered(spark: SparkSession, table: String,
+                               dir: Option[String]): Unit = {
+    if (!spark.catalog.tableExists(table)) {
+      val loc = location(spark, table, dir)
+      val p = new org.apache.hadoop.fs.Path(loc, "_graft_index_spec")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(p),
+              s"no persisted index at $loc (missing _graft_index_spec)")
+      val in = fs.open(p)
+      val spec =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      val Array(nb, keys, ddl) = spec.split("\n", 3)
+      val clustered =
+        if (nb == "0") ""
+        else {
+          val keyList = keys.split(",").mkString(", ")
+          s"CLUSTERED BY ($keyList) SORTED BY ($keyList) " +
+            s"INTO $nb BUCKETS "
+        }
+      spark.sql(
+        s"CREATE TABLE $table ($ddl) USING PARQUET " +
+          clustered + s"LOCATION '$loc'")
+    }
   }
 
   // ---------------------------------------------------------------- MinHash
@@ -53,11 +123,18 @@ object IndexStore {
 
   /** Load a persisted MinHash index; the returned frames carry the bucket
     * spec, so [[Dedup.minhashIncrementalPortable]] joins them without an
-    * index-side Exchange.
+    * index-side Exchange. Works from a FRESH session: if the catalog
+    * doesn't know the tables, they are re-registered from the on-disk
+    * descriptor (pass the same `dir` given to save, if any).
     */
-  def loadMinhashIndex(spark: SparkSession, name: String): Dedup.MinhashIndex =
+  def loadMinhashIndex(spark: SparkSession, name: String,
+                       dir: Option[String] = None): Dedup.MinhashIndex = {
+    ensureRegistered(spark, s"${name}_buckets", dir.map(d => s"$d/buckets"))
+    ensureRegistered(spark, s"${name}_shingles",
+                     dir.map(d => s"$d/shingles"))
     Dedup.MinhashIndex(spark.table(s"${name}_buckets"),
                        spark.table(s"${name}_shingles"))
+  }
 
   // ------------------------------------------------------------ fingerprint
 
@@ -69,8 +146,11 @@ object IndexStore {
                            dir: Option[String] = None): Unit =
     writeBucketedTable(index, name, numBuckets, Seq("fp"), dir)
 
-  def loadFingerprintIndex(spark: SparkSession, name: String): DataFrame =
+  def loadFingerprintIndex(spark: SparkSession, name: String,
+                           dir: Option[String] = None): DataFrame = {
+    ensureRegistered(spark, name, dir)
     spark.table(name)
+  }
 
   // -------------------------------------------------------------------- LSH
 
@@ -82,8 +162,11 @@ object IndexStore {
                    dir: Option[String] = None): Unit =
     writeBucketedTable(index, name, numBuckets, Seq("bucket"), dir)
 
-  def loadLshIndex(spark: SparkSession, name: String): DataFrame =
+  def loadLshIndex(spark: SparkSession, name: String,
+                   dir: Option[String] = None): DataFrame = {
+    ensureRegistered(spark, name, dir)
     spark.table(name)
+  }
 
   // -------------------------------------------------------------------- IVF
 
@@ -96,20 +179,35 @@ object IndexStore {
     writeBucketedTable(index.assigned, s"${name}_assigned", numBuckets,
                        Seq("cell"), dir.map(d => s"$d/assigned"))
     val cents = s"${name}_centroids"
-    index.centroids.sparkSession.sql(s"DROP TABLE IF EXISTS $cents")
+    val spark = index.centroids.sparkSession
+    dropWithLocation(spark, cents, dir.map(d => s"$d/centroids"))
     val w = index.centroids.write.mode(SaveMode.Overwrite).format("parquet")
     dir.fold(w)(d => w.option("path", s"$d/centroids")).saveAsTable(cents)
+    // unbucketed descriptor (numBuckets = 0) so a fresh session can
+    // re-register the centroid table too
+    val loc = location(spark, cents, dir.map(d => s"$d/centroids"))
+    val spec = s"0\n\n${index.centroids.schema.toDDL}"
+    val p = new org.apache.hadoop.fs.Path(loc, "_graft_index_spec")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(spec.getBytes("UTF-8")) finally out.close()
   }
 
-  def loadIvfIndex(spark: SparkSession, name: String): Similarity.IvfIndex =
+  def loadIvfIndex(spark: SparkSession, name: String,
+                   dir: Option[String] = None): Similarity.IvfIndex = {
+    ensureRegistered(spark, s"${name}_assigned",
+                     dir.map(d => s"$d/assigned"))
+    ensureRegistered(spark, s"${name}_centroids",
+                     dir.map(d => s"$d/centroids"))
     Similarity.IvfIndex(spark.table(s"${name}_assigned"),
                         spark.table(s"${name}_centroids"))
+  }
 
-  /** Drop a persisted index's tables (managed data is deleted; external
-    * `dir` data is left for the caller's lifecycle).
+  /** Drop a persisted index's tables and their warehouse locations
+    * (external `dir` data is left for the caller's lifecycle).
     */
   def drop(spark: SparkSession, name: String): Unit =
     Seq(name, s"${name}_buckets", s"${name}_shingles",
         s"${name}_assigned", s"${name}_centroids")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      .foreach(t => dropWithLocation(spark, t, None))
 }

@@ -8,11 +8,11 @@ import org.apache.spark.sql.types._
   * plus typed metadata, with decode / feature-extract / frame-sample stages
   * shaped as `mapPartitions` batch transforms.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs in this
-  * container): [[StubDecoder]] produces deterministic fake pixels from the
-  * byte content. Everything Spark-side — schema, batch iteration,
-  * partitioning, output encoding — is real and tested; swapping in a real
-  * codec is a one-class change behind [[MediaDecoder]].
+  * IMAGE decode is REAL: [[ImageIoDecoder]] reads PNG/BMP/JPEG through
+  * `javax.imageio` (codecs every JDK ships) and average-pools grayscale
+  * luminance into a fixed-length feature grid. Audio/video decode stays a
+  * clearly-marked stub ([[StubDecoder]] — no audio/video codecs in this
+  * container); both sit behind the same [[MediaDecoder]] seam.
   *
   * Scale notes: media blobs ride in their partition; decode is row-local
   * (no shuffle), and the decoder is initialized once per partition. Frame
@@ -35,8 +35,65 @@ object Multimodal {
     def decodeImage(bytes: Array[Byte], dims: Int): (Int, Int, Array[Double])
   }
 
+  /** Real image decoder backed by `javax.imageio` (PNG/BMP/JPEG/GIF — the
+    * codecs bundled with every JDK; no external libraries). Features are
+    * grayscale luminance average-pooled over a gh×gw cell grid where
+    * gh = ⌊√dims⌋ and gw = dims/gh (8 → 2×4, 64 → 8×8): cell (cy,cx)
+    * covers pixels with ⌊y·gh/h⌋ = cy, ⌊x·gw/w⌋ = cx, and each feature is
+    * mean(luminance)/255 ∈ [0,1]. Grayscale rasters use the sample value
+    * directly (8-bit gray PNGs round-trip exactly); color images use
+    * integer BT.601 luma ⌊(299R+587G+114B)/1000⌋ so results are
+    * bit-stable across platforms. Undecodable/empty bytes yield
+    * (0, 0, zeros) — width 0 marks the row for quarantine instead of
+    * failing the whole partition.
+    */
+  class ImageIoDecoder extends MediaDecoder {
+    def decodeImage(bytes: Array[Byte], dims: Int): (Int, Int, Array[Double]) = {
+      val gh = math.sqrt(dims.toDouble).toInt
+      require(gh > 0 && dims % gh == 0,
+              s"dims must factor as ⌊√dims⌋×(dims/⌊√dims⌋), got $dims")
+      val gw = dims / gh
+      val img =
+        if (bytes == null || bytes.isEmpty) null
+        else javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return (0, 0, new Array[Double](dims))
+      val w = img.getWidth; val h = img.getHeight
+      val sums = new Array[Long](dims)
+      val counts = new Array[Long](dims)
+      val raster = img.getRaster
+      val gray = raster.getNumBands == 1
+      var y = 0
+      while (y < h) {
+        val cy = y * gh / h
+        var x = 0
+        while (x < w) {
+          val lum =
+            if (gray) raster.getSample(x, y, 0)
+            else {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xFF
+              val g = (rgb >> 8) & 0xFF
+              val b = rgb & 0xFF
+              (299 * r + 587 * g + 114 * b) / 1000
+            }
+          val c = cy * gw + x * gw / w
+          sums(c) += lum
+          counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val feats = Array.tabulate(dims) { i =>
+        if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i) / 255.0
+      }
+      (w, h, feats)
+    }
+  }
+
   /** STUB: deterministic fake decoder — "pixels" are a byte-content hash
-    * walk. Replace with a real codec (javax.imageio etc.) in deployment.
+    * walk. Retained ONLY for audio/video, where no codec ships with the
+    * JDK; images go through [[ImageIoDecoder]].
     */
   class StubDecoder extends MediaDecoder {
     def decodeImage(bytes: Array[Byte], dims: Int): (Int, Int, Array[Double]) = {
@@ -66,6 +123,40 @@ object Multimodal {
       lit(null).cast("int").as("meta_height"),
       (length(col("text")) * 40L).as("meta_duration_ms"))
 
+  /** Synthesize REAL deterministic PNGs from the documents table — every
+    * doc becomes an 8-bit grayscale image with luminance
+    * `(media_id·31 + y·w + x) mod 256` at pixel (x,y), PNG-encoded via
+    * `ImageIO.write`. Because PNG is lossless and the formula is pure
+    * arithmetic, the decode→pool pipeline over these images is exactly
+    * replayable in plain SQL (the q43 oracle). Sizes vary per doc
+    * (w ∈ {8..24 step 4}, h ∈ {8,16,24}) to exercise non-uniform pooling.
+    */
+  def syntheticImageMedia(documents: DataFrame): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    documents.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 8 + (id % 5).toInt * 4
+        val h = 8 + (id % 3).toInt * 8
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, ((id * 31 + y * w + x) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, "image", bos.toByteArray, w, h, null)
+      }
+    }(enc)
+  }
+
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
@@ -76,7 +167,7 @@ object Multimodal {
     * partition, one output row per image-typed input.
     */
   def decodeImages(media: DataFrame, dims: Int = 8,
-                   mkDecoder: () => MediaDecoder = () => new StubDecoder)
+                   mkDecoder: () => MediaDecoder = () => new ImageIoDecoder)
       : DataFrame = {
     val in = media.filter(col("media_type") === "image")
       .select(col("media_id").cast("long"), col("content"))
@@ -102,7 +193,7 @@ object Multimodal {
     * resampler run row-local, once-per-partition init.
     */
   def resizeImages(media: DataFrame, outW: Int = 4, outH: Int = 4,
-                   mkDecoder: () => MediaDecoder = () => new StubDecoder)
+                   mkDecoder: () => MediaDecoder = () => new ImageIoDecoder)
       : DataFrame = {
     val in = media.filter(col("media_type") === "image")
       .select(col("media_id").cast("long"), col("content"))

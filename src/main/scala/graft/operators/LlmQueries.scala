@@ -151,16 +151,25 @@ object LlmQueries {
       Multimodal.syntheticMedia(Tables.documents(spark, dir)))
       .orderBy("media_id", "frame_idx")
 
-  /** Image decode + feature extraction through the stubbed decoder —
-    * aggregated so output is stable; rows-only (stub hash-walk features
-    * have no SQL twin).
+  /** REAL image decode + feature extraction: deterministic grayscale PNGs
+    * ([[Multimodal.syntheticImageMedia]]) are decoded through
+    * `javax.imageio` ([[Multimodal.ImageIoDecoder]]) and average-pooled
+    * into a 2×4 luminance grid. Because PNG is lossless and the synthetic
+    * pixel formula is pure arithmetic, the whole encode→decode→pool
+    * pipeline is DuckDB-replayable: the total luminance is recovered
+    * EXACTLY from the pooled features (w,h are chosen so every cell has
+    * the same pixel count (h/2)·(w/4); the true sum is an integer, so
+    * ⌊x+0.5⌋ kills the double fold error). Fully oracle-checked.
     */
   def q43MultimodalDecode(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeImages(
-      Multimodal.syntheticMedia(Tables.documents(spark, dir)), dims = 8)
+      Multimodal.syntheticImageMedia(Tables.documents(spark, dir)), dims = 8)
       .select(col("media_id"), col("width"), col("height"),
-              round(aggregate(col("features"), lit(0.0d),
-                              (acc, x) => acc + x), 4).as("feat_sum"))
+              floor(aggregate(col("features"), lit(0.0d),
+                              (acc, x) => acc + x)
+                      * (col("height") / 2) * (col("width") / 4)
+                      * 255.0d + 0.5d)
+                .cast("long").as("lum_sum"))
       .orderBy("media_id")
 
   /** LSH similarity self-join over embeddings (pairs above threshold) —
@@ -1653,6 +1662,25 @@ object LlmQueries {
         |          AS frame_idx
         |      FROM v)
         |SELECT media_id, frame_idx, CAST(frame_idx AS BIGINT) * 1000 AS ts_ms
-        |FROM f ORDER BY media_id, frame_idx""".stripMargin
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    // Replays the full PNG-encode → javax.imageio-decode → grid-pool
+    // pipeline arithmetically: pixel (x,y) of image media_id has
+    // luminance (media_id*31 + y*w + x) mod 256, PNG is lossless, and
+    // the query reconstitutes the exact integer luminance total from the
+    // pooled features.
+    "q43_multimodal_decode" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS media_id,
+        |         8 + (doc_id % 5) * 4 AS width,
+        |         8 + (doc_id % 3) * 8 AS height
+        |  FROM documents)
+        |SELECT media_id, CAST(width AS INT) AS width,
+        |       CAST(height AS INT) AS height,
+        |       CAST(sum((media_id * 31 + p) % 256) AS BIGINT) AS lum_sum
+        |FROM imgs, LATERAL unnest(generate_series(0, width*height - 1))
+        |       AS t(p)
+        |GROUP BY 1, 2, 3
+        |ORDER BY media_id""".stripMargin
   )
 }

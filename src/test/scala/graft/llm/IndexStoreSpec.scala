@@ -81,6 +81,41 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("cross-session load: a FRESH catalog re-registers the index from " +
+       "its on-disk descriptor, bucketing intact, and re-save over stale " +
+       "files is idempotent") {
+    val (corpus, batch) = corpusBatch
+    val index = Dedup.minhashIndexPortable(corpus, "doc_id", "text")
+    val dir = Some(tmpDir("idx_cs"))
+    val mem = classified(
+      Dedup.minhashIncrementalPortable(batch, index, "doc_id", "text"))
+    try {
+      IndexStore.saveMinhashIndex(index, "idx_cs_mh", numBuckets = 4, dir)
+      // simulate a fresh session: the per-session catalog forgets the
+      // tables (external data stays on disk)
+      spark.sql("DROP TABLE IF EXISTS idx_cs_mh_buckets")
+      spark.sql("DROP TABLE IF EXISTS idx_cs_mh_shingles")
+      val loaded = IndexStore.loadMinhashIndex(spark, "idx_cs_mh", dir)
+      val disk = classified(
+        Dedup.minhashIncrementalPortable(batch, loaded, "doc_id", "text"))
+      assert(disk == mem, s"cross-session disk=$disk mem=$mem")
+      // the re-registered table keeps its bucket spec
+      val ddl = spark.sql("SHOW CREATE TABLE idx_cs_mh_buckets")
+        .head().getString(0)
+      assert(ddl.contains("CLUSTERED BY") && ddl.contains("4 BUCKETS"),
+             s"bucket spec must survive re-registration:\n$ddl")
+      // daily rotation: re-save under the same name from a catalog that
+      // forgot the table but with stale files present — must not throw
+      spark.sql("DROP TABLE IF EXISTS idx_cs_mh_buckets")
+      spark.sql("DROP TABLE IF EXISTS idx_cs_mh_shingles")
+      IndexStore.saveMinhashIndex(index, "idx_cs_mh", numBuckets = 4, dir)
+      val disk2 = classified(Dedup.minhashIncrementalPortable(
+        batch, IndexStore.loadMinhashIndex(spark, "idx_cs_mh", dir),
+        "doc_id", "text"))
+      assert(disk2 == mem)
+    } finally IndexStore.drop(spark, "idx_cs_mh")
+  }
+
   test("fingerprint index save→load→classify matches in-memory") {
     import spark.implicits._
     val corpus = Seq((10L, "alpha beta gamma"), (11L, "delta epsilon"))

@@ -7,6 +7,17 @@ import org.apache.spark.sql.types.BinaryType
 
 class MultimodalSpec extends SparkSpec {
 
+  /** PNG-encode a small grayscale image with the given row-major pixels. */
+  private def png(w: Int, h: Int, pixels: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, pixels(y * w + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   test("syntheticMedia: binary content column + typed metadata") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sf0001))
     assert(media.schema("content").dataType == BinaryType)
@@ -15,29 +26,82 @@ class MultimodalSpec extends SparkSpec {
     assert(types == Set("image", "audio", "video"))
   }
 
-  test("decodeImages: one row per image, declared schema, deterministic") {
-    val media = Multimodal.syntheticMedia(Tables.documents(spark, sf0001))
-    val nImages = media.filter(col("media_type") === "image").count()
-    val decoded = Multimodal.decodeImages(media, dims = 8)
-    assert(decoded.schema == Multimodal.decodedSchema)
-    assert(decoded.count() == nImages)
-    val r1 = decoded.orderBy("media_id").head()
-    val r2 = Multimodal.decodeImages(media, dims = 8).orderBy("media_id").head()
-    assert(r1 == r2, "stub decode must be deterministic")
-    assert(r1.getSeq[Double](3).size == 8)
+  test("ImageIoDecoder decodes known-pixel PNGs EXACTLY: grid averages " +
+       "of the written luminances") {
+    val dec = new Multimodal.ImageIoDecoder
+    // 4×2 image, dims=8 → 2×4 grid → one pixel per cell: features are
+    // exactly pixel/255 in row-major order
+    val px = Array(0, 51, 102, 153, 204, 255, 10, 20)
+    val (w, h, f) = dec.decodeImage(png(4, 2, px), 8)
+    assert((w, h) == ((4, 2)))
+    assert(f.toSeq == px.map(_ / 255.0).toSeq)
+    // 4×4 image, dims=4 → 2×2 grid → each cell averages a 2×2 block
+    val px2 = Array(
+      10, 20, 30, 40,
+      50, 60, 70, 80,
+      90, 100, 110, 120,
+      130, 140, 150, 160)
+    val (_, _, f2) = dec.decodeImage(png(4, 4, px2), 4)
+    assert(f2.toSeq == Seq((10 + 20 + 50 + 60) / 4.0 / 255.0,
+                           (30 + 40 + 70 + 80) / 4.0 / 255.0,
+                           (90 + 100 + 130 + 140) / 4.0 / 255.0,
+                           (110 + 120 + 150 + 160) / 4.0 / 255.0))
   }
 
-  test("resizeImages: fixed-raster output, deterministic, values from source grid") {
-    val media = Multimodal.syntheticMedia(Tables.documents(spark, sf0001))
+  test("ImageIoDecoder quarantines undecodable bytes as (0, 0, zeros) " +
+       "instead of failing the partition") {
+    val dec = new Multimodal.ImageIoDecoder
+    for (bad <- Seq(null, Array.empty[Byte],
+                    "not an image".getBytes("UTF-8"))) {
+      val (w, h, f) = dec.decodeImage(bad, 8)
+      assert((w, h) == ((0, 0)) && f.toSeq == Seq.fill(8)(0.0))
+    }
+  }
+
+  test("decodeImages over synthetic PNGs: real javax.imageio decode, one " +
+       "row per image, deterministic, luminance formula recovered") {
+    val media =
+      Multimodal.syntheticImageMedia(Tables.documents(spark, sf0001))
+    val n = media.count()
+    val decoded = Multimodal.decodeImages(media, dims = 8)
+    assert(decoded.schema == Multimodal.decodedSchema)
+    assert(decoded.count() == n)
+    val r1 = decoded.orderBy("media_id").head()
+    val r2 = Multimodal.decodeImages(media, dims = 8).orderBy("media_id").head()
+    assert(r1 == r2, "decode must be deterministic")
+    // media_id 0: 8×8, lum(p) = p % 256 → total = 0+1+..+63 = 2016;
+    // uniform cells of (8/2)·(8/4) = 8 pixels
+    assert(r1.getLong(0) == 0L && r1.getInt(1) == 8 && r1.getInt(2) == 8)
+    val total = math.round(r1.getSeq[Double](3).sum * 8 * 255)
+    assert(total == (0 until 64).sum,
+           s"decoded luminance total must match the written pixels: $total")
+  }
+
+  test("resizeImages: fixed-raster output from REAL decoded pixels") {
+    val media =
+      Multimodal.syntheticImageMedia(Tables.documents(spark, sf0001))
     val resized = Multimodal.resizeImages(media, outW = 4, outH = 4)
     assert(resized.schema == Multimodal.resizedSchema)
     val r = resized.orderBy("media_id").head()
     assert(r.getInt(1) == 4 && r.getInt(2) == 4)
     assert(r.getSeq[Double](3).size == 16)
-    // nearest-neighbor: every output pixel exists in the decoded grid
+    // nearest-neighbor: every output pixel exists in the decoded 8×8 grid
     val full = Multimodal.decodeImages(media, dims = 64).orderBy("media_id")
       .head().getSeq[Double](3).toSet
     assert(r.getSeq[Double](3).forall(full.contains))
+  }
+
+  test("StubDecoder (audio/video placeholder) still deterministic behind " +
+       "the same MediaDecoder seam") {
+    val media = Multimodal.syntheticMedia(Tables.documents(spark, sf0001))
+    val d1 = Multimodal.decodeImages(media, dims = 8,
+                                     () => new Multimodal.StubDecoder)
+      .orderBy("media_id").head()
+    val d2 = Multimodal.decodeImages(media, dims = 8,
+                                     () => new Multimodal.StubDecoder)
+      .orderBy("media_id").head()
+    assert(d1 == d2)
+    assert(d1.getSeq[Double](3).size == 8)
   }
 
   test("sampleFrames: frame count = min(maxFrames, dur/step + 1)") {
