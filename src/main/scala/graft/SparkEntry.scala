@@ -35,6 +35,7 @@ object SparkEntry {
     "q31_token_stats",
     "q34_exact_dedup",
     "q35_minhash_dedup",
+    "q43_multimodal_decode",
     "q38_ann_brute_force",
     "q39_ann_lsh",
     "q44_lsh_sim_join",
@@ -47,6 +48,8 @@ object SparkEntry {
     "q67_decontamination",
     "q70_curation_funnel",
     "q76_incremental_minhash",
-    "q78_ann_int8"
+    "q78_ann_int8",
+    "q79_line_dedup",
+    "q81_dataset_card"
   )
 }

@@ -72,7 +72,7 @@ object Contamination {
     val trainG = gramFingerprints(train, idCol, textCol, n)
     val evalG  = gramFingerprints(eval, idCol, textCol, n)
       .select("gram_fp").distinct()
-      .localCheckpoint(true) // referenced by count, the bloom agg, AND the verify join
+      .transform(graft.Materialize(_)) // referenced by count, the bloom agg, AND the verify join
     val items = math.max(evalG.count(), 1L)
     val bloom = evalG.stat.bloomFilter("gram_fp", items, fpp)
     val bloomB = train.sparkSession.sparkContext.broadcast(bloom)

@@ -175,7 +175,7 @@ object Dedup {
           ColumnBridge.expression(col("sh"))))
       })
       .select("doc_id", "sig", "shh")
-      .localCheckpoint(true)
+      .transform(graft.Materialize(_))
 
     // band hash = xxhash64 over the band's slice of the signature.
     val bucketOfBand = (b: Int) =>
@@ -226,7 +226,7 @@ object Dedup {
       .withColumn("shh", md5Prefix60(col("sh")))
       .withColumn("sig", permSig(col("shh")))
       .select("doc_id", "sig", "shh")
-      .localCheckpoint(true)
+      .transform(graft.Materialize(_))
   }
 
   /** Fold-mod band bucket off the portable signature: acc = (acc*M + slot)
@@ -437,7 +437,7 @@ object Dedup {
               greatest(col("doc_a"), col("doc_b")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.Materialize(_))
     // the doc→label mapping starts as a pure projection of `vertices`;
     // it is only checkpointed inside the DISTRIBUTED branch (where the
     // loop would otherwise grow its plan) — the common local-finish path
@@ -503,12 +503,12 @@ object Dedup {
         .select(col("x"),
                 least(col("h.rep"), coalesce(col("rrep"), col("h.rep")))
                   .as("rep"))
-        .localCheckpoint(true)
+        .transform(graft.Materialize(_))
       mapping = mapping.as("m")
         .join(reps, col("m.cluster_id") === col("x"), "left")
         .select(col("doc_id"),
                 coalesce(col("rep"), col("m.cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
+        .transform(graft.Materialize(_))
       le = le
         .join(reps.select(col("x").as("a"), col("rep").as("ra")), Seq("a"))
         .join(reps.select(col("x").as("b"), col("rep").as("rb")), Seq("b"))
@@ -516,7 +516,7 @@ object Dedup {
                 greatest(col("ra"), col("rb")).as("b"))
         .filter(col("a") =!= col("b"))
         .distinct()
-        .localCheckpoint(true)
+        .transform(graft.Materialize(_))
       edgeCount = le.count()
       }
       round += 1

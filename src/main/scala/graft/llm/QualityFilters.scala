@@ -239,7 +239,7 @@ object QualityFilters {
       col(idCol),
       TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("toks"),
       TextAnalysis.qualityScore(col(textCol)).as("q"))
-      .localCheckpoint(true) // scanned twice: quantile sketch + filter
+      .transform(graft.Materialize(_)) // scanned twice: quantile sketch + filter
     val cut = scored.stat
       .approxQuantile("q", Array(1.0 - budgetFrac), relErr)(0)
     scored.filter(col("q") >= cut)

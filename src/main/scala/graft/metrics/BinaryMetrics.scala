@@ -82,20 +82,37 @@ object BinaryMetrics {
     * window input is then ≤ maxBins rows no matter the data scale.
     * `maxBins = 0` keeps the exact per-distinct-score curve (right for
     * discrete scores / oracle comparison).
+    *
+    * `maxBins = -1` (the DEFAULT) resolves automatically: one
+    * `approx_count_distinct(score)` pre-check picks exact mode when the
+    * cardinality is ≤ [[AutoExactMaxScores]] and [[AutoBins]]-bin
+    * quantile binning above it — a naive caller with continuous LR
+    * scores gets a bounded window WITHOUT opting in, and the unbounded
+    * exact mode is an explicit choice, never a scale accident.
     */
+  val AutoExactMaxScores = 10000L
+  val AutoBins           = 1000
+
   def rocPoints(preds: Dataset[_], labelCol: String = "label",
-                scoreCol: String = "score", maxBins: Int = 0): DataFrame = {
+                scoreCol: String = "score", maxBins: Int = -1): DataFrame = {
     val scored = preds.select(
       col(scoreCol).cast("double").as("score"),
       col(labelCol).cast("double").as("label"))
+    val bins =
+      if (maxBins >= 0) maxBins
+      else {
+        val distinct = scored.agg(
+          approx_count_distinct("score")).head().getLong(0)
+        if (distinct <= AutoExactMaxScores) 0 else AutoBins
+      }
     val pos = sum(when(col("label") === 1.0d, 1L).otherwise(0L)).as("pos")
     val neg = sum(when(col("label") === 1.0d, 0L).otherwise(1L)).as("neg")
     val byScore =
-      if (maxBins <= 0) scored.groupBy("score").agg(pos, neg)
+      if (bins <= 0) scored.groupBy("score").agg(pos, neg)
       else {
-        val probs = (1 until maxBins).map(_.toDouble / maxBins).toArray
+        val probs = (1 until bins).map(_.toDouble / bins).toArray
         val edges = scored.stat
-          .approxQuantile("score", probs, 1.0 / (4.0 * maxBins))
+          .approxQuantile("score", probs, 1.0 / (4.0 * bins))
           .distinct.sorted.toSeq
         // bin index = #edges strictly below the score (monotone in score),
         // so binning preserves score order; threshold of a bin = its max.
@@ -130,7 +147,7 @@ object BinaryMetrics {
     * P(class=1) — exact-equality tested in MetricsSpec.
     */
   def aucROC(preds: Dataset[_], labelCol: String = "label",
-             scoreCol: String = "score", maxBins: Int = 0): Double = {
+             scoreCol: String = "score", maxBins: Int = -1): Double = {
     val pts = rocPoints(preds, labelCol, scoreCol, maxBins)
       .select("fpr", "tpr").collect()
       .map(r => (r.getDouble(0), r.getDouble(1)))

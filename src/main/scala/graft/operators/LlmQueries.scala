@@ -692,16 +692,16 @@ object LlmQueries {
     // cheap part; the dedup sub-pipeline is not)
     val s1 = QualityFilters.gopherStats(train, "text", minStopwordHits = 1)
       .filter(col("keep")).select("doc_id", "text", "lang")
-      .localCheckpoint(true)
+      .transform(graft.Materialize(_))
     val reps = Dedup.minhashPortable(s1, "doc_id", "text",
                                      k = 5, numHashes = 32, bands = 8,
                                      threshold = 0.5)
       .filter(!col("is_duplicate")).select("doc_id")
-    val s2 = s1.join(reps, Seq("doc_id")).localCheckpoint(true)
+    val s2 = s1.join(reps, Seq("doc_id")).transform(graft.Materialize(_))
     val clean = Contamination.contaminationReport(s2, eval,
                                                   "doc_id", "text", n = 8)
       .filter(!col("contaminated")).select("doc_id")
-    val s3 = s2.join(clean, Seq("doc_id")).localCheckpoint(true)
+    val s3 = s2.join(clean, Seq("doc_id")).transform(graft.Materialize(_))
     val s4 = QualityFilters.weightedMix(
       s3, "lang", "doc_id",
       weights = Map("en" -> "e666", "de" -> "8000", "fr" -> "8000",

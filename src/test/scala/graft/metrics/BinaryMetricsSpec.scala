@@ -133,6 +133,39 @@ class BinaryMetricsSpec extends SparkSpec {
     })
   }
 
+  test("E5/E1 AUTO maxBins: default binning kicks in above the distinct-" +
+       "score threshold, bounds the window input, and stays within 1e-3 " +
+       "of MLlib") {
+    import spark.implicits._
+    // #distinct ≈ #rows >> AutoExactMaxScores: the naive-caller case the
+    // auto default exists for
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 50000).map { _ =>
+      val label = if (rnd.nextBoolean()) 1.0 else 0.0
+      val score = math.min(1.0, math.max(0.0,
+        0.35 * label + 0.15 + 0.5 * rnd.nextDouble()))
+      (label, score, Vectors.dense(1 - score, score))
+    }
+    val df = rows.toDF("label", "score", "probability")
+    val distinct = df.select("score").distinct.count()
+    assert(distinct > BinaryMetrics.AutoExactMaxScores,
+           s"fixture must exceed the auto threshold, got $distinct")
+
+    val pts = BinaryMetrics.rocPoints(df) // DEFAULT — no opt-in
+    assert(pts.count() <= BinaryMetrics.AutoBins + 1,
+           "default must auto-bin: window input bounded by AutoBins")
+    val expected = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("probability")
+      .setMetricName("areaUnderROC").evaluate(df)
+    val auto = BinaryMetrics.aucROC(df) // DEFAULT
+    assert(math.abs(auto - expected) < 1e-3,
+           s"auto-binned AUC $auto vs MLlib $expected")
+    // below the threshold the default stays exact
+    val small = fixture
+    assert(BinaryMetrics.aucROC(small) ==
+             BinaryMetrics.aucROC(small, maxBins = 0))
+  }
+
   test("E5 maxBins=0 keeps the exact per-distinct-score curve") {
     val df = fixture
     val exact  = BinaryMetrics.aucROC(df)
