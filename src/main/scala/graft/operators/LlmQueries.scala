@@ -135,11 +135,70 @@ object LlmQueries {
     * Rows-only (model floats); SimilaritySpec asserts ≥0.95 recall vs
     * exact on a clustered corpus.
     */
+  /** q45's KMeans fit runs once per (process, sf dir); the fitted index is
+    * persisted through [[IndexStore]] and every query pass classifies
+    * against the LOADED index — the production reuse shape (and what the
+    * bench times). The fitted centroids are also stashed as SQL literals
+    * so [[q45OracleSql]] can replay assignment + probe + top-k in DuckDB:
+    * given fixed centroids the whole classification is pure arithmetic
+    * (KMeans euclidean assignment → cosine cell probe → in-cell top-k).
+    */
+  private val q45IndexSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  @volatile private var q45CentroidRows: String = ""
+
   def q45AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
-                       nCells = 16, nProbe = 3)
+    val name = q45IndexSaved.getOrElseUpdate(dir, {
+      val idx = Similarity.ivfIndex(emb, nCells = 16, seed = 42L)
+      val n = "graft_idx_q45_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      IndexStore.saveIvfIndex(idx, n)
+      n
+    })
+    val index = IndexStore.loadIvfIndex(spark, name)
+    q45CentroidRows = index.centroids
+      .orderBy("cell").collect()
+      .map { r =>
+        val cs = r.getSeq[Double](1).map(_.toString).mkString(", ")
+        s"(${r.getInt(0)}, [$cs])"
+      }
+      .mkString(",\n  ")
+    Similarity.ivfTopKWithIndex(index, emb.filter(col("vec_id") < 5),
+                                k = 10, nProbe = 3)
   }
+
+  /** DuckDB replay of q45 with the FITTED centroids inlined as literals
+    * (shortest-repr doubles round-trip exactly — the q39 hyperplane
+    * pattern). Non-empty only after [[q45AnnIvf]] has run in this
+    * process, which is the order Verify guarantees (queries first, oracle
+    * dump second).
+    */
+  private def q45OracleSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |c(cell, cv) AS (VALUES
+       |  $q45CentroidRows),
+       |a AS (SELECT vec_id AS corpus_id, v AS cvec, cell
+       |      FROM e CROSS JOIN c
+       |      QUALIFY row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY list_distance(v, cv) ASC, cell ASC) = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |p AS (SELECT query_id, qv, cell
+       |      FROM q CROSS JOIN c
+       |      QUALIFY row_number() OVER (PARTITION BY query_id
+       |          ORDER BY list_cosine_similarity(qv, cv) DESC, cell ASC)
+       |          <= 3),
+       |cand AS (SELECT p.query_id, a.corpus_id,
+       |                list_cosine_similarity(p.qv, a.cvec) AS cos
+       |         FROM p JOIN a USING (cell)
+       |         WHERE a.corpus_id <> p.query_id),
+       |r AS (SELECT query_id, corpus_id, cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY cos DESC, corpus_id) AS rank
+       |      FROM cand)
+       |SELECT query_id, corpus_id, round(cos, 6) AS cos, rank
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** Multimodal frame sampling over the synthetic media table (binary
     * blobs + typed metadata): one row per sampled frame. The Spark-side
@@ -680,16 +739,20 @@ object LlmQueries {
     * recursive-CTE dedup closure running ON TOP of the quality-gated
     * subset — proving the operators compose, not just run standalone.
     */
-  def q70CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** The 4 composed funnel stages, shared by the stage-count view (q70)
+    * and the per-doc lineage view (q82). Each surviving-doc frame feeds
+    * BOTH its consumer queries and every later stage — checkpoint once so
+    * the gate/dedup/decontamination work runs once, not once per
+    * downstream consumer (row-local recompute is the cheap part; the
+    * dedup sub-pipeline is not).
+    */
+  private def funnelStages(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs  = Tables.documents(spark, dir)
     val train = docs.filter(col("doc_id") % 10 =!= 7)
       .select("doc_id", "text", "lang")
     val eval  = docs.filter(col("doc_id") % 10 === 7)
       .select("doc_id", "text")
-    // each surviving-doc frame feeds BOTH its stage count and every later
-    // stage — checkpoint once so the gate/dedup/decontamination work runs
-    // once, not once per downstream consumer (row-local recompute is the
-    // cheap part; the dedup sub-pipeline is not)
     val s1 = QualityFilters.gopherStats(train, "text", minStopwordHits = 1)
       .filter(col("keep")).select("doc_id", "text", "lang")
       .transform(graft.Materialize(_))
@@ -707,6 +770,11 @@ object LlmQueries {
       weights = Map("en" -> "e666", "de" -> "8000", "fr" -> "8000",
                     "es" -> "4000", "zh" -> "4000"),
       defaultHex4 = "1000")
+    (train, s1, s2, s3, s4)
+  }
+
+  def q70CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val (train, s1, s2, s3, s4) = funnelStages(spark, dir)
     def stage(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"),
                                                 col("n_docs"))
@@ -716,6 +784,31 @@ object LlmQueries {
       .unionByName(stage("3_decontaminated", s3))
       .unionByName(stage("4_mixed", s4))
       .orderBy("stage")
+  }
+
+  /** Per-document funnel LINEAGE: every training doc with the stage that
+    * dropped it (or 'retained') — the audit trail a corpus release needs
+    * to answer "why did document X leave?". Same composed stages as q70
+    * (one checkpointed pass); the lineage itself is four narrow left
+    * joins on doc_id. Fully oracle-checked — every stage predicate is
+    * SQL-replayable.
+    */
+  def q82FunnelLineage(spark: SparkSession, dir: String): DataFrame = {
+    val (train, s1, s2, s3, s4) = funnelStages(spark, dir)
+    def mark(df: DataFrame, name: String) =
+      df.select(col("doc_id"), lit(1).as(name))
+    train.select("doc_id")
+      .join(mark(s1, "in1"), Seq("doc_id"), "left")
+      .join(mark(s2, "in2"), Seq("doc_id"), "left")
+      .join(mark(s3, "in3"), Seq("doc_id"), "left")
+      .join(mark(s4, "in4"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              when(col("in1").isNull, "1_quality")
+                .when(col("in2").isNull, "2_dedup")
+                .when(col("in3").isNull, "3_decontaminated")
+                .when(col("in4").isNull, "4_mixed")
+                .otherwise("retained").as("dropped_at_stage"))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -731,6 +824,7 @@ object LlmQueries {
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
     "q70_curation_funnel"   -> (q70CurationFunnel(_, _)),
+    "q82_funnel_lineage"    -> (q82FunnelLineage(_, _)),
     "q68_dataset_mix"       -> (q68DatasetMix(_, _)),
     "q64_stratified_sample" -> (q64StratifiedSample(_, _)),
     "q65_gopher_filter"     -> (q65GopherFilter(_, _)),
@@ -1040,7 +1134,43 @@ object LlmQueries {
     s"CASE WHEN ($anyHit) > 0 THEN ($best) ELSE 'und' END"
   }
 
-  val oracleSql: Map[String, String] = Map(
+  /** Shared CTE prefix of the q70/q82 oracles: the full composed funnel
+    * (gopher gate → minhash dedup closure → decontamination → weighted
+    * mix) replayed stage by stage.
+    */
+  private def funnelCtesSql: String =
+    s"""WITH RECURSIVE
+       |tr AS (SELECT doc_id, text, lang FROM documents
+       |       WHERE doc_id % 10 <> 7),
+       |gq AS (
+       |${gopherStatsSql("tr")}),
+       |s1 AS (SELECT doc_id, text, lang FROM gq WHERE keep),
+       |${minhashPortableCtes("s1", k = 5, numHashes = 32, bands = 8,
+                              threshold = 0.5, maxBucket = 1000)},
+       |s2 AS (SELECT s1.doc_id, s1.text, s1.lang FROM s1
+       |       JOIN cc ON s1.doc_id = cc.doc_id
+       |       WHERE NOT cc.is_duplicate),
+       |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+       |tg AS (
+       |${gramFpSql("s2")}),
+       |eg AS (SELECT DISTINCT fp FROM (
+       |${gramFpSql("ev")}) egr2),
+       |cont AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (fp)),
+       |s3 AS (SELECT s2.* FROM s2
+       |       LEFT JOIN cont ON s2.doc_id = cont.doc_id
+       |       WHERE cont.doc_id IS NULL),
+       |s4 AS (SELECT * FROM s3
+       |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+       |         CASE lang WHEN 'en' THEN 'e666'
+       |                   WHEN 'de' THEN '8000' WHEN 'fr' THEN '8000'
+       |                   WHEN 'es' THEN '4000' WHEN 'zh' THEN '4000'
+       |                   ELSE '1000' END)""".stripMargin
+
+  // a def, not a val: the q45 entry inlines centroids fitted at query
+  // time, so the map must be built when Verify DUMPS it (after running
+  // the queries), not at class init
+  def oracleSql: Map[String, String] = Map(
+    "q45_ann_ivf" -> q45OracleSql,
     "q62_chunking" ->
       """WITH c AS (
         |  SELECT doc_id, text,
@@ -1469,38 +1599,27 @@ object LlmQueries {
         |SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
         |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
     "q70_curation_funnel" ->
-      s"""WITH RECURSIVE
-         |tr AS (SELECT doc_id, text, lang FROM documents
-         |       WHERE doc_id % 10 <> 7),
-         |gq AS (
-         |${gopherStatsSql("tr")}),
-         |s1 AS (SELECT doc_id, text, lang FROM gq WHERE keep),
-         |${minhashPortableCtes("s1", k = 5, numHashes = 32, bands = 8,
-                                threshold = 0.5, maxBucket = 1000)},
-         |s2 AS (SELECT s1.doc_id, s1.text, s1.lang FROM s1
-         |       JOIN cc ON s1.doc_id = cc.doc_id
-         |       WHERE NOT cc.is_duplicate),
-         |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
-         |tg AS (
-         |${gramFpSql("s2")}),
-         |eg AS (SELECT DISTINCT fp FROM (
-         |${gramFpSql("ev")}) egr2),
-         |cont AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (fp)),
-         |s3 AS (SELECT s2.* FROM s2
-         |       LEFT JOIN cont ON s2.doc_id = cont.doc_id
-         |       WHERE cont.doc_id IS NULL),
-         |s4 AS (SELECT * FROM s3
-         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
-         |         CASE lang WHEN 'en' THEN 'e666'
-         |                   WHEN 'de' THEN '8000' WHEN 'fr' THEN '8000'
-         |                   WHEN 'es' THEN '4000' WHEN 'zh' THEN '4000'
-         |                   ELSE '1000' END)
+      s"""$funnelCtesSql
          |SELECT '0_train' AS stage, count(*) AS n_docs FROM tr
          |UNION ALL SELECT '1_quality', count(*) FROM s1
          |UNION ALL SELECT '2_dedup', count(*) FROM s2
          |UNION ALL SELECT '3_decontaminated', count(*) FROM s3
          |UNION ALL SELECT '4_mixed', count(*) FROM s4
          |ORDER BY stage""".stripMargin,
+    "q82_funnel_lineage" ->
+      s"""$funnelCtesSql
+         |SELECT tr.doc_id,
+         |  CASE WHEN s1.doc_id IS NULL THEN '1_quality'
+         |       WHEN s2.doc_id IS NULL THEN '2_dedup'
+         |       WHEN s3.doc_id IS NULL THEN '3_decontaminated'
+         |       WHEN s4.doc_id IS NULL THEN '4_mixed'
+         |       ELSE 'retained' END AS dropped_at_stage
+         |FROM tr
+         |LEFT JOIN s1 ON tr.doc_id = s1.doc_id
+         |LEFT JOIN s2 ON tr.doc_id = s2.doc_id
+         |LEFT JOIN s3 ON tr.doc_id = s3.doc_id
+         |LEFT JOIN s4 ON tr.doc_id = s4.doc_id
+         |ORDER BY tr.doc_id""".stripMargin,
     "q68_dataset_mix" ->
       """WITH kept AS (
         |  SELECT lang, count(*) AS n_kept FROM documents
