@@ -97,7 +97,10 @@ class QualityParitySpec extends SparkSpec {
       .persist()
     try {
       val acc = BinaryMetrics.accuracy(preds)
-      val auc = BinaryMetrics.aucROC(preds, scoreCol = "score")
+      // maxBins = 0: this test's claim is about the EXACT curve (the auto
+      // default would quantile-bin at this cardinality, which the
+      // BinaryMetricsSpec auto test covers separately)
+      val auc = BinaryMetrics.aucROC(preds, scoreCol = "score", maxBins = 0)
       assertWindow("sst2", acc, auc)
       val mlAcc = new MulticlassClassificationEvaluator()
         .setLabelCol("label").setPredictionCol("prediction")
@@ -134,6 +137,31 @@ class QualityParitySpec extends SparkSpec {
     // StringIndexer is frequency-ordered: index 1 may be either raw
     // label, so AUC of P(class=1) can be the complement — normalize.
     assertWindow("qqp", acc, math.max(auc, 1.0 - auc))
+  }
+
+  test("SST-2 shape at GLUE-train size (67,349 rows): the golden window " +
+       "holds at the reference's actual data scale") {
+    import spark.implicits._
+    // SST-2's train split is 67,349 sentences — the scale behind
+    // BASELINE.md's published 0.7752. Fresh draws from the same
+    // generator (different seed), so this pins learner behavior at the
+    // reference's data size rather than replaying the 50k corpus.
+    val nGlue = 67349
+    val rnd = new scala.util.Random(5678)
+    val glue = (0 until nGlue).map { i =>
+      val cls = i % 2
+      (i.toLong, sentence(rnd, cls), cls.toDouble)
+    }.toDF("id", "sentence", "label").persist()
+    try {
+      val (train, test) = split(glue)
+      val model = TextPipelines.sst2(textCol = "sentence", labelCol = "label")
+        .fit(train)
+      val preds = model.transform(test)
+        .withColumn("score", Cleaning.positiveProbability(col("probability")))
+      val acc = BinaryMetrics.accuracy(preds)
+      val auc = BinaryMetrics.aucROC(preds, scoreCol = "score", maxBins = 0)
+      assertWindow("sst2@67k", acc, auc)
+    } finally { glue.unpersist(); () }
   }
 
   test("QNLI shape at 50k rows: holdout metrics inside the golden window") {
