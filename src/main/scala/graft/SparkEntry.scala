@@ -50,6 +50,7 @@ object SparkEntry {
     "q76_incremental_minhash",
     "q78_ann_int8",
     "q79_line_dedup",
-    "q81_dataset_card"
+    "q81_dataset_card",
+    "q83_lm_perplexity"
   )
 }

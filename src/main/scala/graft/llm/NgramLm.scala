@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Character n-gram language-model perplexity scoring — the CCNet/KenLM
+  * quality component of web-scale pipelines: fit a small LM on a clean
+  * reference corpus, score every candidate document, and gate (or
+  * bucket) on perplexity. A 5-gram KenLM is the published tool; the same
+  * pipeline role is filled here by an add-k-smoothed character n-gram
+  * model expressed entirely in DataFrame aggregations, so fit and score
+  * are one corpus scan each and the whole computation is replayable in
+  * plain SQL (the q83 oracle).
+  *
+  * Scale shape: the fitted model is (ctx, next) → count — bounded by
+  * |charset|^n rows regardless of corpus size (tens of thousands for
+  * char trigrams), so it BROADCASTS to the score join; scoring is
+  * explode (row-local) → two broadcast lookups → per-doc aggregate. No
+  * data-scale shuffle except the final per-doc agg, which partial-aggs
+  * map-side.
+  */
+object NgramLm {
+
+  /** Fitted model: per-(ctx,next) counts, per-ctx totals, and the
+    * next-char vocabulary size V used by add-k smoothing. Persist both
+    * frames via parquet for cross-session reuse — they are tiny.
+    */
+  final case class LmModel(counts: DataFrame, ctxTotals: DataFrame,
+                           vocabSize: Long, n: Int)
+
+  /** (doc-rows → one row per char n-gram of the NORMALIZED text, with
+    * multiplicity). The sequence bound is guarded: Spark's
+    * `sequence(1, len-n+1)` runs DESCENDING when len < n, which would
+    * fabricate grams for short docs — they must yield none.
+    */
+  private def grams(df: DataFrame, textCol: String, n: Int,
+                    keep: Seq[String] = Nil): DataFrame = {
+    val withNorm = df.withColumn("__norm",
+                                 Dedup.normalizeText(col(textCol)))
+    val norm = col("__norm")
+    val gramArr = when(length(norm) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(norm) - (n - 1)),
+                           i => norm.substr(i, lit(n))))
+    val keepCols = keep.map(col)
+    withNorm
+      .select(keepCols :+ explode(gramArr).as("g"): _*)
+      .select(keepCols :+ substring(col("g"), 1, n - 1).as("ctx")
+                       :+ substring(col("g"), n, 1).as("nxt"): _*)
+  }
+
+  /** One aggregation pass over the reference corpus → the model. */
+  def fit(corpus: DataFrame, textCol: String, n: Int = 3): LmModel = {
+    val g = grams(corpus, textCol, n)
+    val counts = g.groupBy("ctx", "nxt").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("ctx").agg(sum("c").as("t"))
+    val v = counts.select("nxt").distinct().count()
+    LmModel(counts, totals, v, n)
+  }
+
+  /** Score documents against a fitted model: per-doc gram count, mean
+    * add-k log-probability, and perplexity exp(−mean). Unseen grams get
+    * the smoothed floor (0+k)/(t+kV) (or 1/V for unseen contexts) — the
+    * standard add-k treatment, never −∞. Docs shorter than n chars have
+    * no grams and are absent from the output (nothing to score).
+    */
+  def scoreDocs(docs: DataFrame, model: LmModel, idCol: String,
+                textCol: String, k: Double = 1.0): DataFrame = {
+    val g = grams(docs.select(col(idCol).as("doc_id"), col(textCol)),
+                  textCol, model.n, keep = Seq("doc_id"))
+    g.join(broadcast(model.counts), Seq("ctx", "nxt"), "left")
+      .join(broadcast(model.ctxTotals), Seq("ctx"), "left")
+      .select(col("doc_id"),
+              log((coalesce(col("c"), lit(0L)) + k) /
+                    (coalesce(col("t"), lit(0L)) + k * model.vocabSize))
+                .as("logp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           avg("logp").as("avg_logp"))
+      .select(col("doc_id"), col("n_grams"),
+              round(col("avg_logp"), 6).as("avg_logp"),
+              round(exp(-col("avg_logp")), 4).as("ppl"))
+  }
+
+  /** Perplexity gate: score and keep docs at or below the cutoff — the
+    * CCNet "head/middle/tail" split reduces to two cutoffs of this.
+    */
+  def perplexityFilter(docs: DataFrame, model: LmModel, idCol: String,
+                       textCol: String, maxPpl: Double,
+                       k: Double = 1.0): DataFrame =
+    docs.join(
+      scoreDocs(docs, model, idCol, textCol, k)
+        .filter(col("ppl") <= maxPpl)
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol))
+}

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Contamination, Dedup, IndexStore, Multimodal,
+import graft.llm.{Contamination, Dedup, IndexStore, Multimodal, NgramLm,
                   QualityFilters, Sharding, Similarity, TextAnalysis,
                   TextPacking}
 import graft.sources.Tables
@@ -557,12 +557,25 @@ object LlmQueries {
     * novel. Oracle-checked; the corpus text is touched only to build the
     * one-row-per-distinct-text index.
     */
+  /** Like q76, the fingerprint index persists once per (process, sf dir)
+    * as an fp-bucketed table and classification reads it from DISK — the
+    * exact-dedup daily-ingest steady state.
+    */
+  private val q74IndexSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   def q74IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs   = Tables.documents(spark, dir)
-    val corpus = docs.filter(col("doc_id") % 4 === 0)
     val batch  = docs.filter(col("doc_id") % 4 =!= 0)
+    val table = q74IndexSaved.getOrElseUpdate(dir, {
+      val corpus = docs.filter(col("doc_id") % 4 === 0)
+      val name = "graft_idx_q74_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      IndexStore.saveFingerprintIndex(
+        Dedup.fingerprintIndex(corpus, "doc_id", "text"), name)
+      name
+    })
     Dedup.exactIncremental(
-      batch, Dedup.fingerprintIndex(corpus, "doc_id", "text"),
+      batch, IndexStore.loadFingerprintIndex(spark, table),
       "doc_id", "text")
       .orderBy("doc_id")
   }
@@ -616,6 +629,22 @@ object LlmQueries {
     Dedup.minhashIncrementalPortable(
       batch, IndexStore.loadMinhashIndex(spark, table), "doc_id", "text",
       k = 5, numHashes = 32, bands = 8, threshold = 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** Character-trigram LM perplexity scoring ([[NgramLm]]) — the
+    * CCNet/KenLM quality component: the (doc_id % 4 = 0) slice plays the
+    * clean reference corpus the LM is fitted on, the rest are candidates
+    * scored by mean add-one log-probability and perplexity. Fully
+    * oracle-checked: fit counts, smoothing, and the per-doc aggregate
+    * replay as plain SQL.
+    */
+  def q83LmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = Tables.documents(spark, dir)
+    val model = NgramLm.fit(docs.filter(col("doc_id") % 4 === 0),
+                            "text", n = 3)
+    NgramLm.scoreDocs(docs.filter(col("doc_id") % 4 =!= 0), model,
+                      "doc_id", "text")
       .orderBy("doc_id")
   }
 
@@ -825,6 +854,7 @@ object LlmQueries {
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
     "q70_curation_funnel"   -> (q70CurationFunnel(_, _)),
     "q82_funnel_lineage"    -> (q82FunnelLineage(_, _)),
+    "q83_lm_perplexity"     -> (q83LmPerplexity(_, _)),
     "q68_dataset_mix"       -> (q68DatasetMix(_, _)),
     "q64_stratified_sample" -> (q64StratifiedSample(_, _)),
     "q65_gopher_filter"     -> (q65GopherFilter(_, _)),
@@ -1171,6 +1201,43 @@ object LlmQueries {
   // the queries), not at class init
   def oracleSql: Map[String, String] = Map(
     "q45_ann_ivf" -> q45OracleSql,
+    // Replays the whole LM: trigram fit counts over the reference slice,
+    // add-one smoothing with the fitted next-char vocabulary, per-doc
+    // mean log-prob + perplexity.
+    "q83_lm_perplexity" ->
+      """WITH tr AS (
+        |  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |           AS norm
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |trg AS (
+        |  SELECT substr(norm, CAST(i AS INT), 2) AS ctx,
+        |         substr(norm, CAST(i AS INT) + 2, 1) AS nxt
+        |  FROM tr, LATERAL unnest(generate_series(1, len(norm) - 2))
+        |         AS t(i)),
+        |cnt AS (SELECT ctx, nxt, count(*) AS c FROM trg GROUP BY 1, 2),
+        |tot AS (SELECT ctx, sum(c) AS t FROM cnt GROUP BY 1),
+        |v AS (SELECT count(DISTINCT nxt) AS v FROM trg),
+        |sc AS (
+        |  SELECT doc_id,
+        |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |           AS norm
+        |  FROM documents WHERE doc_id % 4 <> 0),
+        |g AS (
+        |  SELECT doc_id, substr(norm, CAST(i AS INT), 2) AS ctx,
+        |         substr(norm, CAST(i AS INT) + 2, 1) AS nxt
+        |  FROM sc, LATERAL unnest(generate_series(1, len(norm) - 2))
+        |         AS t(i)),
+        |lp AS (
+        |  SELECT doc_id,
+        |         ln((coalesce(c, 0) + 1.0) / (coalesce(t, 0) + 1.0 * v.v))
+        |           AS logp
+        |  FROM g LEFT JOIN cnt USING (ctx, nxt)
+        |         LEFT JOIN tot USING (ctx)
+        |         CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       round(avg(logp), 6) AS avg_logp,
+        |       round(exp(-avg(logp)), 4) AS ppl
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q62_chunking" ->
       """WITH c AS (
         |  SELECT doc_id, text,

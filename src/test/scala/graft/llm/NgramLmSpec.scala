@@ -1,0 +1,81 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class NgramLmSpec extends SparkSpec {
+
+  private def refCorpus = {
+    import spark.implicits._
+    // repetitive "clean" language: the model should assign its own
+    // distribution low perplexity and alien character stats high
+    (0 until 40).map { i =>
+      (i.toLong,
+       s"the quick brown fox jumps over the lazy dog number $i again " +
+         "and the dog sleeps near the fox while the fox waits")
+    }.toDF("doc_id", "text")
+  }
+
+  test("fluent text scores lower perplexity than gibberish under a model " +
+       "fitted on fluent text") {
+    import spark.implicits._
+    val model = NgramLm.fit(refCorpus, "text", n = 3)
+    val cand = Seq(
+      (100L, "the quick dog jumps over the lazy fox near the dog"),
+      (101L, "zxq vvk pqj xxz qqq zzz kkk vvv jjj qqq wwq zqx")
+    ).toDF("doc_id", "text")
+    val scored = NgramLm.scoreDocs(cand, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scored(100L) < scored(101L) / 3,
+           s"fluent text must score far lower ppl: $scored")
+  }
+
+  test("unseen grams get the smoothed floor, never -inf/NaN; sub-n docs " +
+       "yield no score rows") {
+    import spark.implicits._
+    val model = NgramLm.fit(refCorpus, "text", n = 3)
+    val cand = Seq((1L, "üñî"), (2L, "ab"), (3L, ""))
+      .toDF("doc_id", "text")
+    val rows = NgramLm.scoreDocs(cand, model, "doc_id", "text").collect()
+    // doc 1: 3 chars → 1 trigram, fully unseen; docs 2 and 3 are shorter
+    // than n and must be absent (no fabricated grams from the descending
+    // sequence(1, len-n+1) trap)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
+    val ppl = rows.head.getDouble(3)
+    assert(!ppl.isNaN && !ppl.isInfinite && ppl > 0)
+  }
+
+  test("perplexityFilter keeps fluent docs and drops gibberish at a " +
+       "cutoff between their scores") {
+    import spark.implicits._
+    val model = NgramLm.fit(refCorpus, "text", n = 3)
+    val cand = Seq(
+      (100L, "the quick dog jumps over the lazy fox near the dog"),
+      (101L, "zxq vvk pqj xxz qqq zzz kkk vvv jjj qqq wwq zqx")
+    ).toDF("doc_id", "text")
+    val scored = NgramLm.scoreDocs(cand, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val cutoff = (scored(100L) + scored(101L)) / 2
+    val kept = NgramLm.perplexityFilter(cand, model, "doc_id", "text",
+                                        maxPpl = cutoff)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(100L))
+  }
+
+  test("model vocabulary and counts match hand-computed values on a " +
+       "tiny corpus") {
+    import spark.implicits._
+    // norm("aab") → trigram "aab": ctx "aa" → next "b"; V = {b}
+    val model = NgramLm.fit(Seq((1L, "AAB")).toDF("doc_id", "text"),
+                            "text", n = 3)
+    assert(model.vocabSize == 1L)
+    val counts = model.counts.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts == Map(("aa", "b") -> 1L))
+    // scoring the same doc: logp = ln((1+1)/(1+1*1)) = ln(1) = 0 → ppl 1
+    val s = NgramLm.scoreDocs(Seq((1L, "aab")).toDF("doc_id", "text"),
+                              model, "doc_id", "text").head()
+    assert(s.getLong(1) == 1L && s.getDouble(2) == 0.0 &&
+             s.getDouble(3) == 1.0)
+  }
+}
