@@ -92,4 +92,30 @@ object NgramLm {
         .filter(col("ppl") <= maxPpl)
         .select(col("doc_id").as(idCol)),
       Seq(idCol))
+
+  /** DSIR-style importance weights for domain-targeted data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): weight = mean log-likelihood under the TARGET-domain
+    * model minus mean log-likelihood under the RAW-corpus model. Docs
+    * that look more like the target than like average raw data get
+    * positive weights; selection = keep the top slice (or sample
+    * proportional to exp(weight)). Both scores come from [[scoreDocs]],
+    * so the whole computation inherits its broadcast-join scale shape —
+    * two tiny models, one candidate scan each.
+    */
+  def importanceWeights(docs: DataFrame, target: LmModel, raw: LmModel,
+                        idCol: String, textCol: String,
+                        k: Double = 1.0): DataFrame = {
+    require(target.n == raw.n, "models must share the gram order n")
+    val t = scoreDocs(docs, target, idCol, textCol, k)
+      .select(col("doc_id"), col("n_grams"),
+              col("avg_logp").as("logp_target"))
+    val r = scoreDocs(docs, raw, idCol, textCol, k)
+      .select(col("doc_id"), col("avg_logp").as("logp_raw"))
+    t.join(r, Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"),
+              col("logp_target"), col("logp_raw"),
+              round(col("logp_target") - col("logp_raw"), 6)
+                .as("importance"))
+  }
 }

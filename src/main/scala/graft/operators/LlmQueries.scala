@@ -648,6 +648,24 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance resampling weights
+    * ([[NgramLm.importanceWeights]]): the reference slice fits TWO LMs —
+    * a target-domain model (English reference docs) and a raw model (all
+    * reference docs) — and every candidate is weighted by the mean
+    * log-likelihood ratio. English-looking candidates score positive,
+    * others negative: the data-selection signal for domain-targeted
+    * pretraining mixes. Fully oracle-checked (both fits replayed).
+    */
+  def q84ImportanceResampling(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ref  = docs.filter(col("doc_id") % 4 === 0)
+    val target = NgramLm.fit(ref.filter(col("lang") === "en"), "text", n = 3)
+    val raw    = NgramLm.fit(ref, "text", n = 3)
+    NgramLm.importanceWeights(docs.filter(col("doc_id") % 4 =!= 0),
+                              target, raw, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Dataset card: the per-(source, language) release datasheet every
     * corpus publication ships — doc counts, char/token volumes, quality
     * means, size extremes, corpus share. One partial-agg shuffle to
@@ -855,6 +873,7 @@ object LlmQueries {
     "q70_curation_funnel"   -> (q70CurationFunnel(_, _)),
     "q82_funnel_lineage"    -> (q82FunnelLineage(_, _)),
     "q83_lm_perplexity"     -> (q83LmPerplexity(_, _)),
+    "q84_importance_weights" -> (q84ImportanceResampling(_, _)),
     "q68_dataset_mix"       -> (q68DatasetMix(_, _)),
     "q64_stratified_sample" -> (q64StratifiedSample(_, _)),
     "q65_gopher_filter"     -> (q65GopherFilter(_, _)),
@@ -1164,6 +1183,54 @@ object LlmQueries {
     s"CASE WHEN ($anyHit) > 0 THEN ($best) ELSE 'und' END"
   }
 
+  /** CTEs fitting one char-trigram LM over `documents WHERE fitWhere`:
+    * `{p}cnt` = (ctx,nxt,c), `{p}tot` = (ctx,t), `{p}v` = next-char
+    * vocabulary size — the [[graft.llm.NgramLm.fit]] replay.
+    */
+  private def lmFitCtes(p: String, fitWhere: String): String =
+    s"""${p}tr AS (
+       |  SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+       |           AS norm
+       |  FROM documents WHERE $fitWhere),
+       |${p}g AS (
+       |  SELECT substr(norm, CAST(i AS INT), 2) AS ctx,
+       |         substr(norm, CAST(i AS INT) + 2, 1) AS nxt
+       |  FROM ${p}tr, LATERAL unnest(generate_series(1, len(norm) - 2))
+       |         AS t(i)),
+       |${p}cnt AS (SELECT ctx, nxt, count(*) AS c FROM ${p}g
+       |            GROUP BY 1, 2),
+       |${p}tot AS (SELECT ctx, sum(c) AS t FROM ${p}cnt GROUP BY 1),
+       |${p}v AS (SELECT count(DISTINCT nxt) AS v FROM ${p}g)""".stripMargin
+
+  /** The candidate-side gram CTE (`candg`) shared by every LM scorer. */
+  private val candGramCtes: String =
+    """cand AS (
+      |  SELECT doc_id,
+      |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+      |           AS norm
+      |  FROM documents WHERE doc_id % 4 <> 0),
+      |candg AS (
+      |  SELECT doc_id, substr(norm, CAST(i AS INT), 2) AS ctx,
+      |         substr(norm, CAST(i AS INT) + 2, 1) AS nxt
+      |  FROM cand, LATERAL unnest(generate_series(1, len(norm) - 2))
+      |         AS t(i))""".stripMargin
+
+  /** Per-doc add-one score of `candg` under model `{p}*` → `{p}s` =
+    * (doc_id, n_grams, avg_logp) — the [[graft.llm.NgramLm.scoreDocs]]
+    * replay.
+    */
+  private def lmScoreCtes(p: String): String =
+    s"""${p}lp AS (
+       |  SELECT doc_id,
+       |         ln((coalesce(c, 0) + 1.0) /
+       |            (coalesce(t, 0) + 1.0 * ${p}v.v)) AS logp
+       |  FROM candg LEFT JOIN ${p}cnt USING (ctx, nxt)
+       |         LEFT JOIN ${p}tot USING (ctx)
+       |         CROSS JOIN ${p}v),
+       |${p}s AS (SELECT doc_id, count(*) AS n_grams,
+       |                 avg(logp) AS avg_logp
+       |          FROM ${p}lp GROUP BY doc_id)""".stripMargin
+
   /** Shared CTE prefix of the q70/q82 oracles: the full composed funnel
     * (gopher gate → minhash dedup closure → decontamination → weighted
     * mix) replayed stage by stage.
@@ -1205,39 +1272,28 @@ object LlmQueries {
     // add-one smoothing with the fitted next-char vocabulary, per-doc
     // mean log-prob + perplexity.
     "q83_lm_perplexity" ->
-      """WITH tr AS (
-        |  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
-        |           AS norm
-        |  FROM documents WHERE doc_id % 4 = 0),
-        |trg AS (
-        |  SELECT substr(norm, CAST(i AS INT), 2) AS ctx,
-        |         substr(norm, CAST(i AS INT) + 2, 1) AS nxt
-        |  FROM tr, LATERAL unnest(generate_series(1, len(norm) - 2))
-        |         AS t(i)),
-        |cnt AS (SELECT ctx, nxt, count(*) AS c FROM trg GROUP BY 1, 2),
-        |tot AS (SELECT ctx, sum(c) AS t FROM cnt GROUP BY 1),
-        |v AS (SELECT count(DISTINCT nxt) AS v FROM trg),
-        |sc AS (
-        |  SELECT doc_id,
-        |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
-        |           AS norm
-        |  FROM documents WHERE doc_id % 4 <> 0),
-        |g AS (
-        |  SELECT doc_id, substr(norm, CAST(i AS INT), 2) AS ctx,
-        |         substr(norm, CAST(i AS INT) + 2, 1) AS nxt
-        |  FROM sc, LATERAL unnest(generate_series(1, len(norm) - 2))
-        |         AS t(i)),
-        |lp AS (
-        |  SELECT doc_id,
-        |         ln((coalesce(c, 0) + 1.0) / (coalesce(t, 0) + 1.0 * v.v))
-        |           AS logp
-        |  FROM g LEFT JOIN cnt USING (ctx, nxt)
-        |         LEFT JOIN tot USING (ctx)
-        |         CROSS JOIN v)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-        |       round(avg(logp), 6) AS avg_logp,
-        |       round(exp(-avg(logp)), 4) AS ppl
-        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH ${lmFitCtes("m", "doc_id % 4 = 0")},
+         |$candGramCtes,
+         |${lmScoreCtes("m")}
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |       round(avg_logp, 6) AS avg_logp,
+         |       round(exp(-avg_logp), 4) AS ppl
+         |FROM ms ORDER BY doc_id""".stripMargin,
+    // Two LM replays (target = English reference docs, raw = all
+    // reference docs) joined into the DSIR log-likelihood-ratio weight.
+    "q84_importance_weights" ->
+      s"""WITH ${lmFitCtes("t", "doc_id % 4 = 0 AND lang = 'en'")},
+         |${lmFitCtes("r", "doc_id % 4 = 0")},
+         |$candGramCtes,
+         |${lmScoreCtes("t")},
+         |${lmScoreCtes("r")}
+         |SELECT ts.doc_id, CAST(ts.n_grams AS BIGINT) AS n_grams,
+         |       round(ts.avg_logp, 6) AS logp_target,
+         |       round(rs.avg_logp, 6) AS logp_raw,
+         |       round(round(ts.avg_logp, 6) - round(rs.avg_logp, 6), 6)
+         |         AS importance
+         |FROM ts JOIN rs ON ts.doc_id = rs.doc_id
+         |ORDER BY ts.doc_id""".stripMargin,
     "q62_chunking" ->
       """WITH c AS (
         |  SELECT doc_id, text,

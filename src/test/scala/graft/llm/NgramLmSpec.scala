@@ -62,6 +62,29 @@ class NgramLmSpec extends SparkSpec {
     assert(kept == Set(100L))
   }
 
+  test("DSIR importance weights: target-like candidates score positive, " +
+       "off-domain candidates negative") {
+    import spark.implicits._
+    val english = (0 until 30).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog and " +
+        s"the fox waits near the river number $i"))
+    val german = (100 until 130).map(i =>
+      (i.toLong, "der schnelle braune fuchs springt ueber den faulen " +
+        s"hund und wartet am fluss nummer $i"))
+    val ref = (english ++ german).toDF("doc_id", "text")
+    val target = NgramLm.fit(english.toDF("doc_id", "text"), "text", n = 3)
+    val raw    = NgramLm.fit(ref, "text", n = 3)
+    val cand = Seq(
+      (200L, "the lazy dog jumps over the brown fox near the river"),
+      (201L, "der faule hund springt ueber den braunen fuchs am fluss"))
+      .toDF("doc_id", "text")
+    val w = NgramLm.importanceWeights(cand, target, raw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(w(200L) > 0, s"target-like doc must weigh positive: $w")
+    assert(w(201L) < 0, s"off-domain doc must weigh negative: $w")
+    assert(w(200L) > w(201L))
+  }
+
   test("model vocabulary and counts match hand-computed values on a " +
        "tiny corpus") {
     import spark.implicits._
