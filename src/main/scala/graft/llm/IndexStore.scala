@@ -29,8 +29,8 @@ object IndexStore {
     * index-rotation path (save under the same name, next day, new
     * process). Deleting the stale location restores save idempotence.
     */
-  private def dropWithLocation(spark: SparkSession, table: String,
-                               dir: Option[String]): Unit = {
+  private[llm] def dropWithLocation(spark: SparkSession, table: String,
+                                    dir: Option[String]): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = dir.getOrElse(
       spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +

@@ -57,6 +57,39 @@ object NgramLm {
     LmModel(counts, totals, v, n)
   }
 
+  /** Persist a fitted model as three plain tables (counts / totals / a
+    * one-row meta with n and V) — the fit-once-score-daily shape: the
+    * model is charset-bounded, so no bucketing is needed; it broadcasts
+    * at score time regardless.
+    */
+  def save(model: LmModel, name: String): Unit = {
+    val spark = model.counts.sparkSession
+    import spark.implicits._
+    def w(df: DataFrame, t: String): Unit = {
+      // metadata + stale-location drop (the cross-session re-save trap —
+      // see IndexStore.dropWithLocation)
+      IndexStore.dropWithLocation(spark, t, None)
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(t)
+    }
+    w(model.counts, s"${name}_counts")
+    w(model.ctxTotals, s"${name}_totals")
+    w(Seq((model.n, model.vocabSize)).toDF("n", "vocab_size"),
+      s"${name}_meta")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession,
+           name: String): LmModel = {
+    val meta = spark.table(s"${name}_meta").head()
+    LmModel(spark.table(s"${name}_counts"),
+            spark.table(s"${name}_totals"),
+            meta.getLong(1), meta.getInt(0))
+  }
+
+  def drop(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
+    Seq(s"${name}_counts", s"${name}_totals", s"${name}_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
   /** Score documents against a fitted model: per-doc gram count, mean
     * add-k log-probability, and perplexity exp(−mean). Unseen grams get
     * the smoothed floor (0+k)/(t+kV) (or 1/V for unseen contexts) — the

@@ -85,6 +85,24 @@ class NgramLmSpec extends SparkSpec {
     assert(w(200L) > w(201L))
   }
 
+  test("LM save→load→score is identical to the in-memory model") {
+    val model = NgramLm.fit(refCorpus, "text", n = 3)
+    import spark.implicits._
+    val cand = Seq(
+      (100L, "the quick dog jumps over the lazy fox near the dog"),
+      (101L, "zxq vvk pqj xxz qqq zzz kkk vvv jjj qqq"))
+      .toDF("doc_id", "text")
+    def run(m: NgramLm.LmModel) =
+      NgramLm.scoreDocs(cand, m, "doc_id", "text")
+        .collect().map(_.toSeq).toSeq
+    try {
+      NgramLm.save(model, "lm_rt")
+      val loaded = NgramLm.load(spark, "lm_rt")
+      assert(loaded.n == model.n && loaded.vocabSize == model.vocabSize)
+      assert(run(loaded) == run(model))
+    } finally NgramLm.drop(spark, "lm_rt")
+  }
+
   test("model vocabulary and counts match hand-computed values on a " +
        "tiny corpus") {
     import spark.implicits._
