@@ -72,7 +72,10 @@ object ScaleProbe {
     }
     // Incremental dedup: the INDEX grows with the corpus (replicated N×),
     // the ingest batch stays fixed — the probe measures that per-batch
-    // classification cost is driven by the batch, not the corpus.
+    // classification cost is driven by the batch, not the corpus. Two
+    // index transports: in-memory (localCheckpoint, the in-session
+    // shape) and DISK-LOADED via IndexStore (the daily-rotation steady
+    // state: a fresh session reads yesterday's bucketed tables).
     for (n <- Seq(1, 5, 20)) {
       val corpus = docsX(n); val rows = corpus.count()
       val batch = Tables.documents(spark, dir)
@@ -86,6 +89,17 @@ object ScaleProbe {
           batch, Dedup.MinhashIndex(bucketsC, shinglesC),
           "doc_id", "text"))
       }
+      val name = s"graft_probe_idx_$n"
+      time(s"inc_mh_save    n=$n (index build+save)") {
+        graft.llm.IndexStore.saveMinhashIndex(
+          Dedup.MinhashIndex(bucketsC, shinglesC), name)
+      }
+      val loaded = graft.llm.IndexStore.loadMinhashIndex(spark, name)
+      time(s"inc_mh_loaded  n=$n ($rows corpus, 2000 batch)") {
+        noop(Dedup.minhashIncrementalPortable(batch, loaded,
+                                              "doc_id", "text"))
+      }
+      graft.llm.IndexStore.drop(spark, name)
     }
     spark.stop()
   }
