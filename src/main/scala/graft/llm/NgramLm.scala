@@ -48,13 +48,17 @@ object NgramLm {
                        :+ substring(col("g"), n, 1).as("nxt"): _*)
   }
 
-  /** One aggregation pass over the reference corpus → the model. */
+  /** One aggregation pass over the reference corpus → the model.
+    * An empty/sub-n corpus yields V = 0, which would turn the smoothing
+    * denominator into 0 (log ∞); clamp to 1 so a degenerate model
+    * scores everything at the uniform floor instead of NaN.
+    */
   def fit(corpus: DataFrame, textCol: String, n: Int = 3): LmModel = {
     val g = grams(corpus, textCol, n)
     val counts = g.groupBy("ctx", "nxt").agg(count(lit(1)).as("c"))
     val totals = counts.groupBy("ctx").agg(sum("c").as("t"))
     val v = counts.select("nxt").distinct().count()
-    LmModel(counts, totals, v, n)
+    LmModel(counts, totals, math.max(v, 1L), n)
   }
 
   /** Persist a fitted model as three plain tables (counts / totals / a

@@ -174,6 +174,31 @@ class RobustnessSpec extends SparkSpec {
         .withColumn("label", lit(1.0))).count() == 0)
   }
 
+  test("round-6 ops on empty and degenerate input: LM fit/score, " +
+       "importance weights, funnel lineage marks") {
+    import spark.implicits._
+    // empty-corpus model: V clamps to 1, so scoring yields the uniform
+    // floor ln(1/1)=0 … ln(k/(0+k·1))=0 — finite, never NaN/∞
+    val emptyModel = NgramLm.fit(emptyDocs, "text", n = 3)
+    assert(emptyModel.vocabSize == 1L)
+    val scored = NgramLm.scoreDocs(
+      Seq((1L, "abc")).toDF("doc_id", "text"), emptyModel,
+      "doc_id", "text").collect()
+    assert(scored.length == 1)
+    assert(!scored(0).getDouble(2).isNaN && !scored(0).getDouble(3).isNaN)
+    // scoring an empty candidate set is empty, not an error
+    val m = NgramLm.fit(Seq((1L, "some reference text here"))
+                          .toDF("doc_id", "text"), "text", n = 3)
+    assert(NgramLm.scoreDocs(emptyDocs, m, "doc_id", "text").count() == 0)
+    assert(NgramLm.importanceWeights(emptyDocs, m, m, "doc_id", "text")
+      .count() == 0)
+    // identical target/raw models → importance exactly 0
+    val w = NgramLm.importanceWeights(
+      Seq((5L, "some reference words")).toDF("doc_id", "text"),
+      m, m, "doc_id", "text").head()
+    assert(w.getDouble(4) == 0.0)
+  }
+
   test("CountMinSketch estimates bracket the exact heavy-hitter counts") {
     import graft.sources.Tables
     val toks = Tables.documents(spark, sf0001)
