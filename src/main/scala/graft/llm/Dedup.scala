@@ -552,6 +552,35 @@ object Dedup {
       minhashCandidatePairsPortable(df, idCol, textCol, k, numHashes, bands,
                                     threshold))
 
+  /** Keep-BEST cluster representative selection: real pipelines keep the
+    * HIGHEST-QUALITY copy of a near-dup cluster, not the smallest id.
+    * `clusters` = (doc_id, cluster_id, …) from any dedup variant;
+    * `quality` = (idCol, qCol) with a 4-decimal quality score (the
+    * [[TextAnalysis.qualityScore]] contract). The argmax is computed on
+    * the EXACT ×10⁴ integer (floor(q·10⁴+0.5) — q is a 4-dec rational,
+    * so this is lossless), ties broken by smallest id: deterministic and
+    * engine-portable, no double comparisons in the ordering.
+    *
+    * One window over cluster_id — the same shuffle the cluster assignment
+    * already did; at 100 TB clusters are tiny (near-dup cliques), so no
+    * per-partition skew.
+    */
+  def keepBestByQuality(clusters: DataFrame, quality: DataFrame,
+                        idCol: String = "doc_id",
+                        qCol: String = "q"): DataFrame = {
+    val j = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(quality.select(col(idCol).as("doc_id"),
+                           floor(col(qCol) * 10000.0d + 0.5d).cast("long")
+                             .as("__ql")),
+            Seq("doc_id"))
+    val w = Window.partitionBy("cluster_id")
+    j.withColumn("__m", min(struct((-col("__ql")).as("nq"),
+                                   col("doc_id").as("kid"))).over(w))
+      .select(col("doc_id"), col("cluster_id"),
+              col("__m.kid").as("kept_id"),
+              (col("doc_id") === col("__m.kid")).as("keep"))
+  }
+
   /** 64-bit SimHash over whitespace tokens — row-local, no explode, no
     * shuffle: per-token xxhash64, then per-bit vote via one `aggregate`
     * higher-order fold (bit i of the result = majority sign of bit i over

@@ -666,6 +666,24 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Keep-best dedup policy ([[Dedup.keepBestByQuality]]): near-dup
+    * clusters from the portable MinHash family, representative = the
+    * highest-quality member (exact ×10⁴ integer compare, ties → smallest
+    * id) instead of keep-first. Fully oracle-checked: clusters replay via
+    * the recursive-CTE closure, quality via the q32 expression, and the
+    * argmax as max-then-min-id.
+    */
+  def q85KeepBestDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = Dedup.minhashPortable(docs, "doc_id", "text",
+                                         k = 5, numHashes = 32, bands = 8,
+                                         threshold = 0.5)
+    val quality = docs.select(
+      col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+    Dedup.keepBestByQuality(clusters, quality)
+      .orderBy("doc_id")
+  }
+
   /** DSIR-style importance resampling weights
     * ([[NgramLm.importanceWeights]]): the reference slice fits TWO LMs —
     * a target-domain model (English reference docs) and a raw model (all
@@ -896,6 +914,7 @@ object LlmQueries {
     "q82_funnel_lineage"    -> (q82FunnelLineage(_, _)),
     "q83_lm_perplexity"     -> (q83LmPerplexity(_, _)),
     "q84_importance_weights" -> (q84ImportanceResampling(_, _)),
+    "q85_keep_best_dedup"   -> (q85KeepBestDedup(_, _)),
     "q68_dataset_mix"       -> (q68DatasetMix(_, _)),
     "q64_stratified_sample" -> (q64StratifiedSample(_, _)),
     "q65_gopher_filter"     -> (q65GopherFilter(_, _)),
@@ -1514,6 +1533,39 @@ object LlmQueries {
       minhashPortableOracleSql(k = 5, numHashes = 32, bands = 8,
                                threshold = 0.5, maxBucket = 1000),
     "q36_simhash" -> simhashPortableOracleSql(60),
+    // Clusters replay via the recursive-CTE closure; quality via the q32
+    // expression as an exact ×10⁴ integer; keep-best = max quality then
+    // min id within the cluster.
+    "q85_keep_best_dedup" ->
+      s"""WITH RECURSIVE
+         |${minhashPortableCtes("documents", k = 5, numHashes = 32,
+                                bands = 8, threshold = 0.5,
+                                maxBucket = 1000)},
+         |ql AS (
+         |  SELECT doc_id,
+         |    CAST(floor(round((least(length(text) / 200.0, 1.0)
+         |      + least((len(list_filter(
+         |            string_split_regex(lower(trim(text)), '\\s+'),
+         |            x -> list_contains($stopList, x)))
+         |          / CAST(greatest(len(string_split_regex(lower(trim(text)),
+         |                                                 '\\s+')), 1)
+         |                 AS DOUBLE)) * 4.0, 1.0)
+         |      + greatest(1.0 - (len(regexp_extract_all(text,
+         |            '[^A-Za-z0-9\\s]'))
+         |          / CAST(greatest(length(text), 1) AS DOUBLE)) * 4.0, 0.0))
+         |      / 3.0, 4) * 10000.0 + 0.5) AS BIGINT) AS q
+         |  FROM documents),
+         |j AS (SELECT cc.doc_id, cc.cluster_id, ql.q
+         |      FROM cc JOIN ql USING (doc_id)),
+         |b AS (SELECT cluster_id, max(q) AS mq FROM j GROUP BY 1),
+         |kept AS (SELECT j.cluster_id, min(j.doc_id) AS kept_id
+         |         FROM j JOIN b ON j.cluster_id = b.cluster_id
+         |                      AND j.q = b.mq
+         |         GROUP BY 1)
+         |SELECT j.doc_id, j.cluster_id, kept.kept_id,
+         |       j.doc_id = kept.kept_id AS keep
+         |FROM j JOIN kept USING (cluster_id)
+         |ORDER BY j.doc_id""".stripMargin,
     "q75_bloom_decontamination" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -199,6 +199,27 @@ class DedupSpec extends SparkSpec {
            s"unexpected join strategy:\n$plan")
   }
 
+  test("keepBestByQuality keeps the highest-quality cluster member, " +
+       "ties broken by smallest id; singletons keep themselves") {
+    import spark.implicits._
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // one cluster of three
+      (9L, 9L))                     // singleton
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.9), // 2 and 3 tie at the top
+      (9L, 0.1))
+      .toDF("doc_id", "q")
+    val out = Dedup.keepBestByQuality(clusters, quality)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out(1L) == ((2L, false)))
+    assert(out(2L) == ((2L, true)), "tie must break to the smaller id")
+    assert(out(3L) == ((2L, false)))
+    assert(out(9L) == ((9L, true)), "singleton keeps itself")
+  }
+
   test("incremental minhash agrees with batch-mode candidate pairs") {
     // classifying batch-vs-corpus must find exactly the cross pairs the
     // full batch-mode run finds over the union (restricted to cross side)
