@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 relevance of documents against a fixed query-term set — the
+  * retrieval-grade twin of the DSIR weights ([[NgramLm]]): score every
+  * corpus document against a handful of domain terms and keep the top
+  * slice, the "retrieve training data relevant to my domain" selection
+  * tool.
+  *
+  * Scale shape: the term set is a literal handful, so the token explode
+  * filters to it immediately (`isin` on the exploded token — pushed
+  * ahead of the aggregate); per-(doc,term) tf is one narrow shuffle,
+  * df/N/avgdl are O(terms)+O(1) aggregates that broadcast back. Nothing
+  * corpus-scale shuffles except the tf agg on matching tokens only.
+  */
+object Relevance {
+
+  /** Okapi BM25 with the standard k1/b defaults. Output: one row per doc
+    * with ≥1 matching term — (doc_id, n_hits, bm25 rounded to 6) —
+    * where idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (the non-negative
+    * variant) and tf saturates via k1 with length normalization b on
+    * dl/avgdl (whitespace-token doc lengths).
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      filter(split(lower(trim(col(textCol))), "\\W+"),
+             t => length(t) > 0).as("toks"))
+    val withDl = toks.select(col("doc_id"), col("toks"),
+                             size(col("toks")).cast("long").as("dl"))
+    // corpus stats: N and avgdl in one row (broadcast), df per term
+    val stats = withDl.agg(count(lit(1)).as("n_docs"),
+                           avg("dl").as("avgdl"))
+    val tf = withDl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+               (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("term_score"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+           round(sum("term_score"), 6).as("bm25"))
+  }
+
+  /** Selection form: the `topN` highest-BM25 docs (ties → smallest id),
+    * joined back to the full rows. orderBy+limit plans as
+    * TakeOrderedAndProject — per-partition top-N then a driver merge of
+    * N×partitions rows, never a global sort.
+    */
+  def topRelevant(docs: DataFrame, idCol: String, textCol: String,
+                  terms: Seq[String], topN: Int,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    docs.join(
+      bm25Scores(docs, idCol, textCol, terms, k1, b)
+        .orderBy(desc("bm25"), asc("doc_id"))
+        .limit(topN)
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol))
+}

@@ -3,8 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.llm.{Contamination, Dedup, IndexStore, Multimodal, NgramLm,
-                  QualityFilters, Sharding, Similarity, TextAnalysis,
-                  TextPacking}
+                  QualityFilters, Relevance, Sharding, Similarity,
+                  TextAnalysis, TextPacking}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline operators as oracle-checkable queries over
@@ -666,6 +666,17 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** BM25 relevance against a fixed domain-term query
+    * ([[Relevance.bm25Scores]]) — the retrieval-style data-selection
+    * signal: docs mentioning the query terms most (tf-saturated,
+    * length-normalized) score highest. Fully oracle-checked: df/N/avgdl
+    * stats and the Okapi formula replay as plain SQL.
+    */
+  def q86Bm25Relevance(spark: SparkSession, dir: String): DataFrame =
+    Relevance.bm25Scores(Tables.documents(spark, dir), "doc_id", "text",
+                         terms = Seq("vector", "stream", "merge"))
+      .orderBy("doc_id")
+
   /** Keep-best dedup policy ([[Dedup.keepBestByQuality]]): near-dup
     * clusters from the portable MinHash family, representative = the
     * highest-quality member (exact ×10⁴ integer compare, ties → smallest
@@ -915,6 +926,7 @@ object LlmQueries {
     "q83_lm_perplexity"     -> (q83LmPerplexity(_, _)),
     "q84_importance_weights" -> (q84ImportanceResampling(_, _)),
     "q85_keep_best_dedup"   -> (q85KeepBestDedup(_, _)),
+    "q86_bm25_relevance"    -> (q86Bm25Relevance(_, _)),
     "q68_dataset_mix"       -> (q68DatasetMix(_, _)),
     "q64_stratified_sample" -> (q64StratifiedSample(_, _)),
     "q65_gopher_filter"     -> (q65GopherFilter(_, _)),
@@ -1533,6 +1545,34 @@ object LlmQueries {
       minhashPortableOracleSql(k = 5, numHashes = 32, bands = 8,
                                threshold = 0.5, maxBucket = 1000),
     "q36_simhash" -> simhashPortableOracleSql(60),
+    // Okapi BM25 replay: whitespace tokens, per-(doc,term) tf, df/N/avgdl
+    // corpus stats, non-negative idf, k1/b tf saturation.
+    "q86_bm25_relevance" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+        |  WHERE token IN ('vector', 'stream', 'merge')
+        |  GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |      * (tf.tf * (1.2 + 1.0))
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+        |      AS term_score
+        |  FROM tf JOIN df USING (token)
+        |       JOIN dl USING (doc_id)
+        |       CROSS JOIN stats)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |       round(sum(term_score), 6) AS bm25
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Clusters replay via the recursive-CTE closure; quality via the q32
     // expression as an exact ×10⁴ integer; keep-best = max quality then
     // min id within the cluster.
