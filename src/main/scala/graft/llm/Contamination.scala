@@ -32,6 +32,68 @@ object Contamination {
       .select(col("doc_id"),
               explode(expr("md5prefix60(__grams)")).as("gram_fp"))
 
+  /** Positional gram fingerprints: one row per gram OCCURRENCE with its
+    * 0-based start-token offset (no distinct — positions are the point).
+    * Sub-n docs yield a single whole-doc gram at offset 0, matching the
+    * [[gramFingerprints]] construction.
+    */
+  def gramFingerprintsPos(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val toks = col("__toks")
+    val gramsPos =
+      when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
+        transform(sequence(lit(0), size(toks) - n),
+                  i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    df.select(col(idCol).as("doc_id"),
+              Dedup.wordTokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(toks).as("__nt"), gramsPos.as("__grams"))
+      .select(col("doc_id"), col("__nt"),
+              posexplode(expr("md5prefix60(__grams)")))
+      .select(col("doc_id"),
+              col("pos").cast("long").as("gram_pos"),
+              least(col("pos") + (n - 1), col("__nt") - 1).cast("long")
+                .as("gram_end"),
+              col("col").as("gram_fp"))
+  }
+
+  /** WHERE the leak sits: matched eval grams in each train doc, merged
+    * into maximal token spans (overlapping/adjacent gram hits collapse —
+    * the gaps-and-islands construction). The audit view surgical
+    * decontamination needs: instead of dropping a 10k-token document for
+    * one leaked benchmark sentence, excise `[span_start, span_end]`.
+    *
+    * Plan: positional train grams (row-local) → broadcast semi-join on
+    * the distinct eval fingerprints → per-doc window (bounded by doc
+    * length) → island aggregate. Same broadcast shape as
+    * [[contaminationReport]]; the window partitions by doc_id, never
+    * globally.
+    */
+  def contaminationSpans(train: DataFrame, eval: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = gramFingerprintsPos(train, idCol, textCol, n)
+      .join(broadcast(gramFingerprints(eval, idCol, textCol, n)
+                        .select("gram_fp").distinct()),
+            Seq("gram_fp"))
+      .select(col("doc_id"), col("gram_pos").as("start"),
+              col("gram_end").as("end"))
+    val w = Window.partitionBy("doc_id").orderBy("start", "end")
+    hits
+      .withColumn("__prev_end",
+                  max("end").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+                  when(col("__prev_end").isNull ||
+                         col("start") > col("__prev_end") + 1, 1)
+                    .otherwise(0))
+      .withColumn("__island", sum("__new").over(w))
+      .groupBy("doc_id", "__island")
+      .agg(min("start").as("span_start"), max("end").as("span_end"),
+           count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "n_grams")
+  }
+
   /** Per-train-doc contamination report against `eval`: number of distinct
     * eval-shared n-grams and the boolean flag. Train docs that ARE eval
     * docs should be excluded by the caller (or pass disjoint frames).

@@ -666,6 +666,20 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Span-level decontamination ([[Contamination.contaminationSpans]]):
+    * same slices and gram width as q67, but reporting WHERE each leak
+    * sits — matched eval grams merged into maximal token spans. The
+    * surgical-decon audit view. Fully oracle-checked (positional grams +
+    * gaps-and-islands replay as window SQL).
+    */
+  def q87ContaminationSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = Tables.documents(spark, dir)
+    val train = docs.filter(col("doc_id") % 10 =!= 3)
+    val eval  = docs.filter(col("doc_id") % 10 === 3)
+    Contamination.contaminationSpans(train, eval, "doc_id", "text", n = 6)
+      .orderBy("doc_id", "span_start")
+  }
+
   /** BM25 relevance against a fixed domain-term query
     * ([[Relevance.bm25Scores]]) — the retrieval-style data-selection
     * signal: docs mentioning the query terms most (tf-saturated,
@@ -927,6 +941,7 @@ object LlmQueries {
     "q84_importance_weights" -> (q84ImportanceResampling(_, _)),
     "q85_keep_best_dedup"   -> (q85KeepBestDedup(_, _)),
     "q86_bm25_relevance"    -> (q86Bm25Relevance(_, _)),
+    "q87_contamination_spans" -> (q87ContaminationSpans(_, _)),
     "q68_dataset_mix"       -> (q68DatasetMix(_, _)),
     "q64_stratified_sample" -> (q64StratifiedSample(_, _)),
     "q65_gopher_filter"     -> (q65GopherFilter(_, _)),
@@ -1545,6 +1560,54 @@ object LlmQueries {
       minhashPortableOracleSql(k = 5, numHashes = 32, bands = 8,
                                threshold = 0.5, maxBucket = 1000),
     "q36_simhash" -> simhashPortableOracleSql(60),
+    // Positional word-6-grams → broadcast eval-fp semi-join →
+    // gaps-and-islands span merge, all replayed as window SQL.
+    "q87_contamination_spans" ->
+      """WITH ev AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |                     x -> len(x) > 0) AS t
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |eg AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS fp
+        |  FROM (
+        |    SELECT unnest(CASE WHEN len(t) < 6
+        |        THEN [array_to_string(t, ' ')]
+        |        ELSE list_transform(generate_series(0, len(t) - 6),
+        |                            i -> array_to_string(t[i+1:i+6], ' '))
+        |      END) AS g
+        |    FROM ev) egr),
+        |tr AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS s,
+        |    CAST(least(i + 5, len(t) - 1) AS BIGINT) AS e,
+        |    ('0x' || substr(md5(CASE WHEN len(t) < 6
+        |        THEN array_to_string(t, ' ')
+        |        ELSE array_to_string(t[i+1:i+6], ' ') END),
+        |      1, 15))::BIGINT AS fp
+        |  FROM tr, LATERAL unnest(
+        |      CASE WHEN len(t) < 6 THEN [CAST(0 AS BIGINT)]
+        |           ELSE generate_series(0, len(t) - 6) END) AS u(i)),
+        |hits AS (SELECT g.doc_id, g.s, g.e FROM g JOIN eg USING (fp)),
+        |w AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND 1 PRECEDING) AS pe
+        |  FROM hits),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |    sum(CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s, e
+        |            ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM w)
+        |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+        |       CAST(count(*) AS BIGINT) AS n_grams
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     // Okapi BM25 replay: whitespace tokens, per-(doc,term) tf, df/N/avgdl
     // corpus stats, non-negative idf, k1/b tf saturation.
     "q86_bm25_relevance" ->

@@ -162,6 +162,41 @@ class QualityFiltersSpec extends SparkSpec {
     assert(shortOut(4L) && !shortOut(5L))
   }
 
+  test("contamination spans: leaked region localized and merged; " +
+       "separated leaks stay separate spans") {
+    import spark.implicits._
+    // doc 1: tokens 0-1 clean, 2-13 leaked (12 eval tokens), 14-16 clean
+    // → consecutive 8-gram hits at starts 2..6 merge into ONE span [2,13]
+    val leaked = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima"
+    val eval = Seq((100L, leaked),
+                   (101L, "zulu yankee xray whiskey victor uniform " +
+                          "tango sierra")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"prefix words $leaked and a tail"),
+      // doc 2: TWO leaks separated by clean middle tokens → two spans
+      (2L, s"$leaked middle clean words between leaks zulu yankee xray " +
+           "whiskey victor uniform tango sierra"),
+      (3L, "entirely clean content nothing shared with benchmarks at " +
+           "all in any way whatsoever today")).toDF("doc_id", "text")
+    val spans = Contamination
+      .contaminationSpans(train, eval, "doc_id", "text", n = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val byDoc = spans.groupBy(_._1)
+    // doc 1: one merged span covering exactly the leaked tokens 2..13
+    assert(byDoc(1L).toSeq == Seq((1L, 2L, 13L, 5L)),
+           s"doc1 spans: ${byDoc(1L).toSeq}")
+    // doc 2: two disjoint spans (leak at the head, leak at the tail)
+    assert(byDoc(2L).length == 2, s"doc2 spans: ${byDoc(2L).toSeq}")
+    val Seq(s1, s2) = byDoc(2L).toSeq.sortBy(_._2)
+    assert(s1._2 == 0L && s1._3 == 11L, s"head leak: $s1")
+    assert(s2._3 > s2._2 && s1._3 < s2._2 - 1, s"disjoint: $s1 $s2")
+    // doc 3: clean → absent
+    assert(!byDoc.contains(3L))
+  }
+
   test("bloom-prefiltered contamination is byte-identical to the exact path") {
     import graft.sources.Tables
     val docs  = Tables.documents(spark, sf0001)
