@@ -51,6 +51,8 @@ object SparkEntry {
     "q78_ann_int8",
     "q79_line_dedup",
     "q81_dataset_card",
-    "q83_lm_perplexity"
+    "q83_lm_perplexity",
+    "q88_semantic_dedup",
+    "q89_shared_substrings"
   )
 }

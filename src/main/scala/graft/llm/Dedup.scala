@@ -736,6 +736,75 @@ object Dedup {
     clustersFromEdges(embeddings.select(col(idCol).as("doc_id")), pairs)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with seeded KMeans (the
+    * [[Similarity.ivfIndex]] fit), enumerate cosine pairs WITHIN each
+    * cell only, and collapse pairs above `threshold` into
+    * connected-component groups keyed by minimum id. Complements
+    * [[embeddingClusters]]: LSH buckets find high-cosine twins; KMeans
+    * cells follow the density structure of the space, which is what the
+    * published method exploits to bound the pair enumeration.
+    *
+    * Scale shape: the KMeans fit and cell assignment are the one
+    * corpus-scale pass (both distributed; the index persists via
+    * [[IndexStore.saveIvfIndex]] and is reused across releases). Pair
+    * enumeration is quadratic only within a cell — `nCells` sizes the
+    * expected cell to corpus/nCells rows, the `maxCell` guard drops
+    * degenerate cells (a collapsed embedding space), and the salted
+    * self-join spreads a hot cell's pair emission across tasks exactly
+    * like the MinHash bucket join. No all-pairs stage anywhere.
+    */
+  def semanticDedup(embeddings: DataFrame, nCells: Int = 16,
+                    threshold: Double = 0.9, seed: Long = 42L,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    maxCell: Int = 100000): DataFrame =
+    semanticDedupWithIndex(
+      Similarity.ivfIndex(embeddings, nCells, seed,
+                          idCol = idCol, vecCol = vecCol),
+      embeddings, threshold, idCol, maxCell)
+
+  /** [[semanticDedup]] against a prebuilt (typically
+    * [[IndexStore]]-persisted) [[Similarity.IvfIndex]] — the production
+    * shape: fit once, reuse the cell assignment across query batches and
+    * threshold sweeps.
+    */
+  def semanticDedupWithIndex(index: Similarity.IvfIndex,
+                             vertices: DataFrame, threshold: Double,
+                             idCol: String = "vec_id",
+                             maxCell: Int = 100000): DataFrame =
+    clustersFromEdges(
+      vertices.select(col(idCol).as("doc_id")),
+      semanticPairs(index, threshold, maxCell).select("doc_a", "doc_b"))
+
+  /** The within-cell pair stage of [[semanticDedupWithIndex]], exposed
+    * standalone: (doc_a, doc_b, cos) for every same-cell pair at or above
+    * `threshold`. Salted cell self-join — the [[minhashCandidatePairs]]
+    * straggler guard — with the `maxCell` degenerate-cell cutoff applied
+    * first; never a cartesian.
+    */
+  def semanticPairs(index: Similarity.IvfIndex, threshold: Double,
+                    maxCell: Int = 100000): DataFrame = {
+    val cellW = Window.partitionBy("cell")
+    val guarded = index.assigned
+      .withColumn("csize", count(lit(1)).over(cellW))
+      .filter(col("csize") <= maxCell)
+      .drop("csize")
+    val S = 8
+    val a = guarded.select(col("cell"), col("corpus_id").as("doc_a"),
+                           col("cvec").as("va"))
+      .withColumn("salt", pmod(xxhash64(col("doc_a")), lit(S)).cast("int"))
+    val b = guarded.select(col("cell"), col("corpus_id").as("doc_b"),
+                           col("cvec").as("vb"))
+      .withColumn("salt", explode(array((0 until S).map(lit): _*)))
+    a.join(b, Seq("cell", "salt"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+
   /** Word tokens feeding [[wordNgrams]] — materialize as a named column
     * before n-gramming (see the [[shinglesOfNorm]] scale note: HOF lambdas
     * re-evaluate referenced outer expressions per element, so the lambda
@@ -809,5 +878,68 @@ object Dedup {
           "\n").as("clean_text"),
         sum(when(!col("drop"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("drop"), 1L).otherwise(0L)).as("n_removed"))
+  }
+
+  /** Cross-document EXACT-SUBSTRING spans (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better"
+    * suffix-array pass, re-expressed relationally): every maximal run of
+    * ≥ `minTokens` consecutive tokens shared verbatim between two
+    * documents, with its position in both. A shared L-token substring is
+    * exactly L−n+1 consecutive positional n-gram matches on one
+    * DIAGONAL (pos_a − pos_b constant), so the suffix-array scan becomes:
+    * positional gram fingerprints → fingerprint equi-join → per
+    * (pair, diagonal) contiguous-run islands — no suffix array, no
+    * global sort, and the oracle can replay it as window SQL.
+    *
+    * Scale shape: the only corpus-scale relations are the positional
+    * (doc, pos, fp) triples (longs — gram text never shuffles). The
+    * fingerprint join is guarded by `maxGramDocs`: a gram occurring in
+    * more distinct docs is boilerplate (license headers, nav chrome) and
+    * is dropped BEFORE the join — same role as the MinHash `maxBucket`
+    * guard; line-dedup/repetition gates upstream handle the degenerate
+    * docs that would make one fp hot within a single pair. Runs shorter
+    * than n tokens are invisible by construction (they produce no shared
+    * gram); sub-n whole-doc grams only ever match identical short docs,
+    * which exact dedup owns.
+    */
+  def sharedSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 8, minTokens: Int = 16,
+                           maxGramDocs: Int = 50): DataFrame = {
+    val g = Contamination.gramFingerprintsPos(df, idCol, textCol, n)
+    val rare = g.select("gram_fp", "doc_id").distinct()
+      .groupBy("gram_fp")
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") <= maxGramDocs)
+      .select("gram_fp")
+    val h = g.join(rare, Seq("gram_fp"))
+    val aSide = h.select(col("gram_fp"), col("doc_id").as("doc_a"),
+                         col("gram_pos").as("pa"), col("gram_end").as("ea"))
+    val bSide = h.select(col("gram_fp"), col("doc_id").as("doc_b"),
+                         col("gram_pos").as("pb"))
+    val hits = aSide.join(bSide, Seq("gram_fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              (col("pa") - col("pb")).as("diag"),
+              col("pa"), col("ea"))
+    // contiguous-run islands per (pair, diagonal): gram starts advance by
+    // exactly 1 inside a shared substring — a gap breaks the run (unlike
+    // the span MERGE in Contamination.contaminationSpans, which is the
+    // point there)
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    hits
+      .withColumn("__prev", lag("pa", 1).over(w))
+      .withColumn("__new",
+                  when(col("__prev").isNull ||
+                         col("pa") =!= col("__prev") + 1, 1).otherwise(0))
+      .withColumn("__run", sum("__new").over(w))
+      .groupBy("doc_a", "doc_b", "diag", "__run")
+      .agg(min("pa").as("a_start"), max("ea").as("a_end"),
+           count(lit(1)).as("n_grams"))
+      .withColumn("n_tokens", col("a_end") - col("a_start") + 1)
+      .filter(col("n_tokens") >= minTokens)
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("a_end"),
+              (col("a_start") - col("diag")).as("b_start"),
+              (col("a_end") - col("diag")).as("b_end"),
+              col("n_tokens"))
   }
 }

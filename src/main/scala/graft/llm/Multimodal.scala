@@ -108,6 +108,39 @@ object Multimodal {
     }
   }
 
+  /** Ingest a directory of REAL media files as a media table via Spark's
+    * built-in `binaryFile` source — the path a production corpus takes
+    * from raw crawled files into the opaque-binary-column model. Each
+    * file becomes one row: `media_id` = xxhash64 of its path (stable
+    * across reruns), `media_type` from the extension, `content` = the
+    * raw bytes, plus the source `media_path`/`media_bytes` for lineage.
+    *
+    * Scale notes: `binaryFile` splits at file granularity (a blob never
+    * straddles partitions) and `pathGlobFilter` prunes non-media files at
+    * listing time, before any byte is read. Spark caps rows at
+    * `spark.sql.sources.binaryFile.maxLength` (2 GB default) — larger
+    * assets belong in object storage with pointer columns, not inline.
+    * Metadata dims stay null here; [[decodeImages]] fills width/height
+    * from the actual pixels downstream.
+    */
+  def readBinaryMedia(spark: org.apache.spark.sql.SparkSession,
+                      path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        when(lower(col("path")).rlike("\\.(png|jpe?g|bmp|gif)$"), lit("image"))
+          .when(lower(col("path")).rlike("\\.(wav|mp3|flac|ogg)$"), lit("audio"))
+          .when(lower(col("path")).rlike("\\.(mp4|mkv|webm|avi)$"), lit("video"))
+          .otherwise(lit("binary")).as("media_type"),
+        col("content"),
+        lit(null).cast("int").as("meta_width"),
+        lit(null).cast("int").as("meta_height"),
+        lit(null).cast("long").as("meta_duration_ms"),
+        col("path").as("media_path"),
+        col("length").as("media_bytes"))
+
   /** Synthesize a deterministic media table from the documents table (the
     * container ships no real media): blob = UTF-8 bytes of the text. This
     * exercises the exact binary-column code paths a real corpus would.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.llm.{Contamination, Dedup, IndexStore, Multimodal, NgramLm,
                   QualityFilters, Relevance, Sharding, Similarity,
-                  TextAnalysis, TextPacking}
+                  TextAnalysis, TextPacking, Versioning}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline operators as oracle-checkable queries over
@@ -923,7 +923,103 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** SemDeDup semantic dedup ([[Dedup.semanticDedupWithIndex]]): seeded
+    * KMeans cells (the persisted IVF index — fitted once per (process,
+    * dir), loaded from disk on every pass, the production reuse shape),
+    * within-cell cosine pairs, connected-components closure. Fully
+    * oracle-checked: the fitted centroids inline as SQL literals (the q45
+    * pattern), so DuckDB replays euclidean cell assignment, the
+    * within-cell pair scan, the threshold, and the recursive-CTE closure.
+    */
+  private val q88IndexSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  @volatile private var q88CentroidRows: String = ""
+
+  def q88SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val name = q88IndexSaved.getOrElseUpdate(dir, {
+      val idx = Similarity.ivfIndex(emb, nCells = 8, seed = 42L)
+      val n = "graft_idx_q88_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      IndexStore.saveIvfIndex(idx, n)
+      n
+    })
+    val index = IndexStore.loadIvfIndex(spark, name)
+    q88CentroidRows = index.centroids
+      .orderBy("cell").collect()
+      .map { r =>
+        val cs = r.getSeq[Double](1).map(_.toString).mkString(", ")
+        s"(${r.getInt(0)}, [$cs])"
+      }
+      .mkString(",\n  ")
+    Dedup.semanticDedupWithIndex(index, emb, threshold = 0.25)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+              col("is_duplicate"))
+      .orderBy("vec_id")
+  }
+
+  private def q88OracleSql: String =
+    s"""WITH RECURSIVE
+       |e AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |c(cell, cv) AS (VALUES
+       |  $q88CentroidRows),
+       |a AS (SELECT vec_id, v, cell
+       |      FROM e CROSS JOIN c
+       |      QUALIFY row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY list_distance(v, cv) ASC, cell ASC) = 1),
+       |ed AS (
+       |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       |  FROM a l JOIN a r
+       |    ON l.cell = r.cell AND l.vec_id < r.vec_id
+       |  WHERE list_cosine_similarity(l.v, r.v) >= 0.25),
+       |sym AS (SELECT a AS x, b AS y FROM ed
+       |        UNION ALL SELECT b, a FROM ed),
+       |lab(d, l) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT s.y, lab.l FROM lab JOIN sym s ON s.x = lab.d)
+       |SELECT d AS vec_id, min(l) AS cluster_id,
+       |  d <> min(l) AS is_duplicate
+       |FROM lab GROUP BY d ORDER BY vec_id""".stripMargin
+
+  /** Cross-document exact-substring spans
+    * ([[Dedup.sharedSubstringSpans]]): maximal verbatim token runs shared
+    * between document pairs — the Lee et al. suffix-array dedup signal,
+    * re-expressed as positional-gram diagonals. Fully oracle-checked
+    * (positional grams, the rare-gram guard, and the contiguous-run
+    * islands all replay as window SQL).
+    */
+  def q89SharedSubstrings(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sharedSubstringSpans(Tables.documents(spark, dir),
+                               "doc_id", "text",
+                               n = 6, minTokens = 10, maxGramDocs = 50)
+      .orderBy("doc_a", "doc_b", "a_start", "b_start")
+
+  /** Dataset snapshot diff ([[Versioning.snapshotDiff]]): per-document
+    * added/removed/changed/unchanged between a release and its successor.
+    * The successor is derived deterministically from `documents`
+    * (doc_id%11=5 dropped, %7=1 rewritten, a shifted clone block added),
+    * so the diff is fully oracle-checked.
+    */
+  def q90SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir).select("doc_id", "text")
+    val v2 = v1.filter(col("doc_id") % 11 =!= 5)
+      .select(col("doc_id"),
+              when(col("doc_id") % 7 === 1,
+                   concat(col("text"), lit(" [rev2]")))
+                .otherwise(col("text")).as("text"))
+      .unionByName(
+        v1.filter(col("doc_id") % 13 === 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Versioning.snapshotDiff(v1, v2, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_semantic_dedup"    -> (q88SemanticDedup(_, _)),
+    "q89_shared_substrings" -> (q89SharedSubstrings(_, _)),
+    "q90_snapshot_diff"     -> (q90SnapshotDiff(_, _)),
     "q69_domain_stats"      -> (q69DomainStats(_, _)),
     "q71_embedding_dedup"   -> (q71EmbeddingDedup(_, _)),
     "q72_simhash_candidates" -> (q72SimhashCandidates(_, _)),
@@ -1336,6 +1432,71 @@ object LlmQueries {
   // the queries), not at class init
   def oracleSql: Map[String, String] = Map(
     "q45_ann_ivf" -> q45OracleSql,
+    "q88_semantic_dedup" -> q88OracleSql,
+    "q89_shared_substrings" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS s,
+        |    CAST(least(i + 5, len(t) - 1) AS BIGINT) AS e,
+        |    ('0x' || substr(md5(CASE WHEN len(t) < 6
+        |        THEN array_to_string(t, ' ')
+        |        ELSE array_to_string(t[i+1:i+6], ' ') END),
+        |      1, 15))::BIGINT AS fp
+        |  FROM tok, LATERAL unnest(
+        |      CASE WHEN len(t) < 6 THEN [CAST(0 AS BIGINT)]
+        |           ELSE generate_series(0, len(t) - 6) END) AS u(i)),
+        |rare AS (
+        |  SELECT fp FROM (SELECT DISTINCT fp, doc_id FROM g)
+        |  GROUP BY fp HAVING count(*) <= 50),
+        |h AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.s - b.s AS diag, a.s, a.e
+        |  FROM g a JOIN g b USING (fp)
+        |  WHERE a.doc_id < b.doc_id AND fp IN (SELECT fp FROM rare)),
+        |w AS (
+        |  SELECT doc_a, doc_b, diag, s, e,
+        |    lag(s) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY s)
+        |      AS prev
+        |  FROM h),
+        |isl AS (
+        |  SELECT doc_a, doc_b, diag, s, e,
+        |    sum(CASE WHEN prev IS NULL OR s <> prev + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_a, doc_b, diag ORDER BY s
+        |            ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM w),
+        |sp AS (
+        |  SELECT doc_a, doc_b, diag,
+        |         min(s) AS a_start, max(e) AS a_end
+        |  FROM isl GROUP BY doc_a, doc_b, diag, run)
+        |SELECT doc_a, doc_b, a_start, a_end,
+        |       a_start - diag AS b_start, a_end - diag AS b_end,
+        |       a_end - a_start + 1 AS n_tokens
+        |FROM sp WHERE a_end - a_start + 1 >= 10
+        |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
+    "q90_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 1 THEN text || ' [rev2]' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 11 <> 5
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 13 = 2),
+        |o AS (SELECT doc_id, md5(text) AS ofp FROM v1),
+        |n AS (SELECT doc_id, md5(text) AS nfp FROM v2)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN ofp <> nfp THEN 'changed'
+        |       ELSE 'unchanged' END AS change,
+        |  coalesce(nfp, ofp) AS content_fp
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // Replays the whole LM: trigram fit counts over the reference slice,
     // add-one smoothing with the fitted next-char vocabulary, per-doc
     // mean log-prob + perplexity.

@@ -244,4 +244,106 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(inc == crossPairs, s"incremental=$inc batch-mode=$crossPairs")
   }
+
+  /** Three tight unit-vector bundles (near-dup semantic groups) plus one
+    * far-off singleton: ids 0-3 point along e0 (with tiny e1 jitter),
+    * 10-12 along e1, 20-21 along e2, 30 along the (1,1,1)/√3 diagonal.
+    */
+  private def semEmbeddings = {
+    import spark.implicits._
+    def v(main: Int, jitter: Double, seqNo: Int): Seq[Float] = {
+      val a = Array.fill(8)(0.0)
+      a(main) = 1.0
+      a((main + 1) % 8) = jitter * (seqNo + 1)
+      val n = math.sqrt(a.map(x => x * x).sum)
+      a.map(x => (x / n).toFloat).toSeq
+    }
+    (Seq.tabulate(4)(i => (i.toLong, v(0, 0.01, i))) ++
+      Seq.tabulate(3)(i => (10L + i, v(1, 0.01, i))) ++
+      Seq.tabulate(2)(i => (20L + i, v(2, 0.01, i))) ++
+      Seq((30L, Seq(0.577f, 0.577f, 0.577f, 0f, 0f, 0f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("semanticDedup: tight embedding bundles collapse to min-id groups, " +
+       "the far-off vector stays a singleton, plan is never cartesian") {
+    val emb = semEmbeddings
+    val index = Similarity.ivfIndex(emb, nCells = 4, seed = 42L)
+    val pairs = Dedup.semanticPairs(index, threshold = 0.99)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+
+    val out = Dedup.semanticDedupWithIndex(index, emb, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(out(_) == 0L), s"e0 bundle: $out")
+    assert((10L to 12L).forall(out(_) == 10L), s"e1 bundle: $out")
+    assert((20L to 21L).forall(out(_) == 20L), s"e2 bundle: $out")
+    assert(out(30L) == 30L, s"diagonal singleton must not merge: $out")
+  }
+
+  test("semanticPairs matches a brute-force cosine scan within cells") {
+    val emb = semEmbeddings
+    val index = Similarity.ivfIndex(emb, nCells = 4, seed = 42L)
+    val got = Dedup.semanticPairs(index, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force reference over the SAME cell assignment
+    val cells = index.assigned.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+             math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = (for {
+      x <- vecs.keys; y <- vecs.keys
+      if x < y && cells(x) == cells(y) && cos(vecs(x), vecs(y)) >= 0.99
+    } yield (x, y)).toSet
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("sharedSubstringSpans finds the exact planted verbatim run with " +
+       "positions in both docs; a mid-run edit splits it below threshold") {
+    import spark.implicits._
+    val shared = (0 until 12).map(i => s"shared$i").mkString(" ")
+    val brokenRun = (0 until 12).map(i =>
+      if (i == 5) "EDITED" else s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"one two three $shared tail1 tail2"),
+      (2L, s"aa bb cc dd ee $shared zz"),
+      (3L, "totally unrelated words nothing in common here at all"),
+      (6L, s"xx yy $brokenRun ww")
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedSubstringSpans(docs, "doc_id", "text",
+                                         n = 4, minTokens = 8,
+                                         maxGramDocs = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    // doc1 tokens: 3 prefix + 12 shared + 2 tail → run at [3,14]
+    // doc2 tokens: 5 prefix + 12 shared + 1 tail → run at [5,16]
+    assert(out == Set((1L, 2L, 3L, 14L, 5L, 16L, 12L)),
+           s"unexpected spans: $out")
+  }
+
+  test("sharedSubstringSpans: the maxGramDocs guard strikes boilerplate " +
+       "shared by too many docs") {
+    import spark.implicits._
+    val boiler = (0 until 10).map(i => s"license$i").mkString(" ")
+    val docs = (0 until 6).map { i =>
+      (i.toLong, s"unique$i opening words $boiler unique${i}b closing")
+    }.toDF("doc_id", "text")
+    val guarded = Dedup.sharedSubstringSpans(docs, "doc_id", "text",
+                                             n = 4, minTokens = 8,
+                                             maxGramDocs = 5)
+    assert(guarded.count() == 0,
+           "grams in >5 docs must be dropped before pairing")
+    val unguarded = Dedup.sharedSubstringSpans(docs, "doc_id", "text",
+                                               n = 4, minTokens = 8,
+                                               maxGramDocs = 100)
+    assert(unguarded.count() == 15, "all C(6,2) pairs share the run")
+  }
 }

@@ -123,4 +123,41 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.getLong(2)).toSeq
     assert(ts == Seq(0L, 1000L, 2000L))
   }
+
+  test("readBinaryMedia ingests REAL files via the binaryFile source: " +
+       "glob prunes non-media, bytes decode to the exact written pixels") {
+    val dirPath = java.nio.file.Files.createTempDirectory("binmedia")
+    try {
+      val px1 = Array(0, 255, 128, 64, 32, 16, 8, 4)       // 4×2
+      val px2 = Array(10, 20, 30, 40, 50, 60, 70, 80)       // 4×2
+      java.nio.file.Files.write(dirPath.resolve("a.png"), png(4, 2, px1))
+      java.nio.file.Files.write(dirPath.resolve("b.png"), png(4, 2, px2))
+      java.nio.file.Files.write(dirPath.resolve("notes.txt"),
+                                "not media".getBytes("UTF-8"))
+
+      val media = Multimodal.readBinaryMedia(spark, dirPath.toString,
+                                             glob = "*.png")
+      assert(media.schema("content").dataType == BinaryType)
+      val rows = media.collect()
+      assert(rows.length == 2, "glob must prune the txt file at listing")
+      assert(rows.forall(_.getAs[String]("media_type") == "image"))
+      assert(rows.map(_.getAs[Long]("media_id")).distinct.length == 2,
+             "path-hash ids must be distinct")
+
+      // decode through the standard image stage: features are exactly
+      // pixel/255 for a 4×2 image pooled on the 2×4 grid
+      val feats = Multimodal.decodeImages(media, dims = 8)
+        .collect()
+        .map(r => (r.getInt(1), r.getInt(2),
+                   r.getSeq[Double](3).map(v => (v * 255.0).round.toInt)))
+      assert(feats.forall { case (w, h, _) => w == 4 && h == 2 })
+      assert(feats.map(_._3.toSeq).toSet ==
+               Set(px1.toSeq, px2.toSeq))
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(dirPath).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
 }
