@@ -94,6 +94,63 @@ object Contamination {
       .select("doc_id", "span_start", "span_end", "n_grams")
   }
 
+  /** SURGICAL decontamination: excise the leaked token spans found by
+    * [[contaminationSpans]] instead of dropping whole documents — the
+    * action the span audit exists for (a 10k-token doc loses its one
+    * leaked benchmark sentence, not its place in the corpus). Returns
+    * every train doc with its cleaned token text (leaked spans removed,
+    * original token order preserved) plus kept/removed counts; docs with
+    * no leak pass through with `n_tokens_removed = 0`.
+    *
+    * Output text is the NORMALIZED token stream (lowercased, punctuation
+    * collapsed — the same [[Dedup.wordTokens]] view the gram match runs
+    * on), which is what downstream tokenize-first pipelines consume;
+    * callers that must preserve raw bytes should treat the spans as
+    * offsets into their own token view instead.
+    *
+    * Plan: spans (broadcast-semi-join + doc-local window, per
+    * [[contaminationSpans]]) → token posexplode (row-local) → equi-join
+    * on doc_id with the span range as residual (spans per doc are few
+    * and disjoint, so no fanout) → per-doc sort_array(collect_list)
+    * reassembly — the [[Dedup.lineDedup]] shape, deterministic without a
+    * global window.
+    */
+  def exciseContamination(train: DataFrame, eval: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 8): DataFrame = {
+    val spans = contaminationSpans(train, eval, idCol, textCol, n)
+      .select(col("doc_id").as("s_doc"), col("span_start"), col("span_end"))
+    val toks = train.select(col(idCol).as("doc_id"),
+                            posexplode(Dedup.wordTokens(col(textCol))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+              col("col").as("token"))
+    // spans are maximal merged islands → disjoint per doc, so the range
+    // join marks each token at most once (no row duplication)
+    val marked = toks.join(
+        spans,
+        col("doc_id") === col("s_doc") &&
+          col("pos").between(col("span_start"), col("span_end")),
+        "left")
+      .withColumn("leak", col("s_doc").isNotNull)
+    val agg = marked.groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("leak"), struct(col("pos"), col("token"))))),
+            s => s.getField("token")),
+          " ").as("clean_text"),
+        sum(when(!col("leak"), 1L).otherwise(0L)).as("n_tokens_kept"),
+        sum(when(col("leak"), 1L).otherwise(0L)).as("n_tokens_removed"))
+    train.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("clean_text"), lit("")).as("clean_text"),
+              coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+              coalesce(col("n_tokens_removed"), lit(0L))
+                .as("n_tokens_removed"))
+  }
+
   /** Per-train-doc contamination report against `eval`: number of distinct
     * eval-shared n-grams and the boolean flag. Train docs that ARE eval
     * docs should be excluded by the caller (or pass disjoint frames).

@@ -1016,7 +1016,49 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Surgical decontamination ([[Contamination.exciseContamination]]):
+    * the q87 span audit turned into the transform — every train doc with
+    * its leaked spans EXCISED from the token stream, plus kept/removed
+    * counts. Same slices and gram width as q87. Fully oracle-checked
+    * (spans + token filter + ordered reassembly replay as window SQL).
+    */
+  def q91SurgicalDecon(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = Tables.documents(spark, dir)
+    val train = docs.filter(col("doc_id") % 10 =!= 3)
+    val eval  = docs.filter(col("doc_id") % 10 === 3)
+    Contamination.exciseContamination(train, eval, "doc_id", "text", n = 6)
+      .orderBy("doc_id")
+  }
+
+  /** Cross-source near-duplicate overlap matrix: verified portable-MinHash
+    * pairs rolled up to (source, source) counts — the release diagnostic
+    * that shows WHERE duplication comes from (mirror sites, cross-posted
+    * content) and which source pairs need a joint dedup pass. Pair
+    * generation is exactly q35's guarded banded plan; the rollup adds two
+    * narrow id-keyed joins and a ≤|sources|² aggregate. Fully
+    * oracle-checked via the factored minhash replay.
+    */
+  def q92SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashCandidatePairsPortable(
+      docs, "doc_id", "text", k = 5, numHashes = 32, bands = 8,
+      threshold = 0.5)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"),
+                       col("source").as("src_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"),
+                       col("source").as("src_b")), Seq("doc_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+              greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_surgical_decon"    -> (q91SurgicalDecon(_, _)),
+    "q92_source_overlap"    -> (q92SourceOverlap(_, _)),
     "q88_semantic_dedup"    -> (q88SemanticDedup(_, _)),
     "q89_shared_substrings" -> (q89SharedSubstrings(_, _)),
     "q90_snapshot_diff"     -> (q90SnapshotDiff(_, _)),
@@ -1433,6 +1475,85 @@ object LlmQueries {
   def oracleSql: Map[String, String] = Map(
     "q45_ann_ivf" -> q45OracleSql,
     "q88_semantic_dedup" -> q88OracleSql,
+    "q91_surgical_decon" ->
+      """WITH ev AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |                     x -> len(x) > 0) AS t
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |eg AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS fp
+        |  FROM (
+        |    SELECT unnest(CASE WHEN len(t) < 6
+        |        THEN [array_to_string(t, ' ')]
+        |        ELSE list_transform(generate_series(0, len(t) - 6),
+        |                            i -> array_to_string(t[i+1:i+6], ' '))
+        |      END) AS g
+        |    FROM ev) egr),
+        |tr AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS s,
+        |    CAST(least(i + 5, len(t) - 1) AS BIGINT) AS e,
+        |    ('0x' || substr(md5(CASE WHEN len(t) < 6
+        |        THEN array_to_string(t, ' ')
+        |        ELSE array_to_string(t[i+1:i+6], ' ') END),
+        |      1, 15))::BIGINT AS fp
+        |  FROM tr, LATERAL unnest(
+        |      CASE WHEN len(t) < 6 THEN [CAST(0 AS BIGINT)]
+        |           ELSE generate_series(0, len(t) - 6) END) AS u(i)),
+        |hits AS (SELECT g.doc_id, g.s, g.e FROM g JOIN eg USING (fp)),
+        |w AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND 1 PRECEDING) AS pe
+        |  FROM hits),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |    sum(CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s, e
+        |            ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM w),
+        |spn AS (
+        |  SELECT doc_id, min(s) AS ss, max(e) AS se
+        |  FROM isl GROUP BY doc_id, island),
+        |tk AS (
+        |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, t[u.i] AS token
+        |  FROM tr, LATERAL unnest(generate_series(1, len(t))) AS u(i)),
+        |mk AS (
+        |  SELECT tk.doc_id, tk.pos, tk.token, spn.ss
+        |  FROM tk LEFT JOIN spn
+        |    ON tk.doc_id = spn.doc_id AND tk.pos BETWEEN spn.ss AND spn.se),
+        |ag AS (
+        |  SELECT doc_id,
+        |    array_to_string(list(token ORDER BY pos), ' ') AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS n_tokens_kept
+        |  FROM mk WHERE ss IS NULL GROUP BY doc_id),
+        |rm AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_removed
+        |  FROM mk WHERE ss IS NOT NULL GROUP BY doc_id)
+        |SELECT tr.doc_id,
+        |  coalesce(ag.clean_text, '') AS clean_text,
+        |  coalesce(ag.n_tokens_kept, CAST(0 AS BIGINT)) AS n_tokens_kept,
+        |  coalesce(rm.n_tokens_removed, CAST(0 AS BIGINT))
+        |    AS n_tokens_removed
+        |FROM tr
+        |LEFT JOIN ag ON tr.doc_id = ag.doc_id
+        |LEFT JOIN rm ON tr.doc_id = rm.doc_id
+        |ORDER BY tr.doc_id""".stripMargin,
+    "q92_source_overlap" ->
+      s"""WITH RECURSIVE
+         |${minhashPortableCtes("documents", 5, 32, 8, 0.5, 1000)},
+         |sp AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS source_a,
+         |       greatest(sa.source, sb.source) AS source_b,
+         |       count(*) AS n_pairs
+         |FROM ed JOIN sp sa ON sa.doc_id = ed.da
+         |        JOIN sp sb ON sb.doc_id = ed.db
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q89_shared_substrings" ->
       """WITH tok AS (
         |  SELECT doc_id,

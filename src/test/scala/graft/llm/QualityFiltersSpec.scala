@@ -197,6 +197,30 @@ class QualityFiltersSpec extends SparkSpec {
     assert(!byDoc.contains(3L))
   }
 
+  test("exciseContamination removes EXACTLY the leaked tokens, keeps the " +
+       "rest in order; clean docs pass through with zero removals") {
+    import spark.implicits._
+    val leaked = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima"
+    val eval = Seq((100L, leaked)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"prefix words $leaked and a tail"),
+      (2L, "entirely clean content nothing shared with benchmarks"),
+      (3L, leaked) // fully leaked doc → empty cleaned text
+    ).toDF("doc_id", "text")
+    val out = Contamination
+      .exciseContamination(train, eval, "doc_id", "text", n = 8)
+      .collect()
+      .map(r => r.getLong(0) ->
+             ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("prefix words and a tail", 5L, 12L)),
+           s"doc1: ${out(1L)}")
+    assert(out(2L) ==
+             (("entirely clean content nothing shared with benchmarks",
+               7L, 0L)))
+    assert(out(3L) == (("", 0L, 12L)), s"fully leaked: ${out(3L)}")
+  }
+
   test("bloom-prefiltered contamination is byte-identical to the exact path") {
     import graft.sources.Tables
     val docs  = Tables.documents(spark, sf0001)
