@@ -101,6 +101,25 @@ object ScaleProbe {
       }
       graft.llm.IndexStore.drop(spark, name)
     }
+    // Round-6 heavy operators. semantic_dedup scales nCells with the
+    // corpus (the SemDeDup deployment rule: cell size ≈ corpus/nCells
+    // stays constant, so within-cell pair work stays bounded).
+    // shared_substrings on the replicated corpus is the designed WORST
+    // case: every 4th replica shares its full text with the base, so
+    // pair volume grows ~replica²×bases exactly like the minhash clique
+    // note — the maxGramDocs guard (not corpus size) is what bounds it.
+    for (n <- Seq(1, 5, 20)) {
+      val e = embX(n); val rows = e.count()
+      time(s"semantic_dedup n=$n ($rows)") {
+        noop(Dedup.semanticDedup(e, nCells = 8 * n, threshold = 0.9))
+      }
+    }
+    for (n <- Seq(1, 5, 20)) {
+      val d = docsX(n); val rows = d.count()
+      time(s"shared_substr  n=$n ($rows)") {
+        noop(Dedup.sharedSubstringSpans(d, "doc_id", "text"))
+      }
+    }
     spark.stop()
   }
 }

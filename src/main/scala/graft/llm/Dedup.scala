@@ -880,6 +880,54 @@ object Dedup {
         sum(when(col("drop"), 1L).otherwise(0L)).as("n_removed"))
   }
 
+  /** Document-level boilerplate gate (the Dolma/RefinedWeb companion to
+    * [[lineDedup]]): instead of striking duplicated lines and keeping the
+    * remainder, DROP the whole document when too much of it is
+    * boilerplate — a page that is mostly nav chrome / cookie banner /
+    * template is noise even after the chrome is removed. The signal is
+    * the fraction of a doc's non-blank characters sitting on lines whose
+    * trimmed form appears in ≥ `minDocs` distinct documents.
+    *
+    * Returns one row per doc: (doc_id, dup_chars, total_chars, dup_frac,
+    * keep) with `keep = dup_frac <= maxDupFraction`. The fraction is
+    * floored at 6 decimals via the q81 pattern — floor(x·10⁶ + 0.5) on
+    * the IEEE-identical quotient — so the gate decision is engine- and
+    * order-portable (avg/round on raw doubles is not).
+    *
+    * Scale shape: identical to [[lineDedup]] — posexplode (row-local) →
+    * one agg shuffle on the 128-bit line fingerprint → verdict equi-join
+    * on the fp key (line text never rides it) → per-doc agg. Docs whose
+    * lines are all blank have total_chars 0 and keep = true (nothing to
+    * judge).
+    */
+  def boilerplateDocGate(df: DataFrame, idCol: String, textCol: String,
+                         minDocs: Int = 2,
+                         maxDupFraction: Double = 0.15): DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+                          posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("col", "line")
+      .withColumn("norm", trim(col("line")))
+      .withColumn("fp", md5(col("norm").cast("binary")))
+    val boiler = lines.filter(col("norm") =!= "")
+      .groupBy("fp")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("fp"), lit(true).as("boiler"))
+    lines.join(boiler, Seq("fp"), "left")
+      .withColumn("dup", coalesce(col("boiler"), lit(false)))
+      .groupBy("doc_id")
+      .agg(sum(when(col("dup"), length(col("norm")).cast("long"))
+                 .otherwise(0L)).as("dup_chars"),
+           sum(length(col("norm")).cast("long")).as("total_chars"))
+      .withColumn(
+        "dup_frac",
+        when(col("total_chars") === 0, lit(0.0d))
+          .otherwise(
+            floor(col("dup_chars").cast("double") / col("total_chars")
+                    * 1e6d + 0.5d) / 1e6d))
+      .withColumn("keep", col("dup_frac") <= maxDupFraction)
+  }
+
   /** Cross-document EXACT-SUBSTRING spans (the Lee et al. 2021
     * "Deduplicating Training Data Makes Language Models Better"
     * suffix-array pass, re-expressed relationally): every maximal run of

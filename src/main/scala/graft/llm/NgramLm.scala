@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Character n-gram language-model perplexity scoring — the CCNet/KenLM
@@ -129,6 +130,43 @@ object NgramLm {
         .filter(col("ppl") <= maxPpl)
         .select(col("doc_id").as(idCol)),
       Seq(idCol))
+
+  /** The CCNet head/middle/tail split (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * candidates bucketed by perplexity TERCILES within each partition
+    * (CCNet partitions by language) — `head` is the most-fluent third
+    * under the reference LM, `tail` the least, and downstream pipelines
+    * typically train on head+middle. Ordering is (rounded ppl, doc_id),
+    * so ties are deterministic and the split replays exactly in SQL.
+    *
+    * Scale shape: scoring inherits [[scoreDocs]]'s broadcast-join plan;
+    * the tercile is one `ntile` window per partition value — a sort of
+    * each language's scored docs (id + two numbers, never text). At
+    * 100 TB the exact ntile becomes the correctness anchor for the
+    * production variant: take per-language ppl cutoffs from
+    * `approxQuantile` (or a sampled fit, as CCNet itself does) and
+    * bucket by comparison — one scan, no global sort. Docs shorter than
+    * n chars have no grams and are absent, exactly as in [[scoreDocs]].
+    */
+  def perplexityBuckets(docs: DataFrame, model: LmModel, idCol: String,
+                        textCol: String, byCols: Seq[String],
+                        k: Double = 1.0): DataFrame = {
+    val scored = scoreDocs(docs, model, idCol, textCol, k)
+    val keys = docs.select(
+      (col(idCol).as("doc_id") +: byCols.map(col)): _*)
+    val w = Window.partitionBy(byCols.map(col): _*)
+      .orderBy(col("ppl"), col("doc_id"))
+    scored.join(keys, Seq("doc_id"))
+      .withColumn("tercile", ntile(3).over(w))
+      .withColumn("bucket",
+                  when(col("tercile") === 1, "head")
+                    .when(col("tercile") === 2, "middle")
+                    .otherwise("tail"))
+      .select(
+        (col("doc_id") +: byCols.map(col)) ++
+          Seq(col("n_grams"), col("ppl"), col("tercile"),
+              col("bucket")): _*)
+  }
 
   /** DSIR-style importance weights for domain-targeted data selection
     * (Xie et al. 2023, "Data Selection for Language Models via Importance

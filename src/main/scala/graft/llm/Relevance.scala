@@ -71,4 +71,36 @@ object Relevance {
         .limit(topN)
         .select(col("doc_id").as(idCol)),
       Seq(idCol))
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists —
+    * the standard hybrid-retrieval combiner: a lexical ranker (BM25) and
+    * a vector ranker (ANN cosine) each contribute 1/(k + rank), and docs
+    * ranked by both float to the top. Inputs are (doc_id, rank) frames
+    * with rank starting at 1; a doc absent from a ranker contributes 0
+    * for it. Output: (doc_id, <a>_rank, <b>_rank, rrf) — the `topN`
+    * highest fused scores, ties → smallest id.
+    *
+    * Scale shape: both inputs are already top-N′ selections (bounded,
+    * not corpus-sized), so the full-outer fuse touches ranked ids only;
+    * the final orderBy+limit plans as TakeOrderedAndProject. The
+    * corpus-scale work lives in the rankers upstream, which keep their
+    * own plans ([[bm25Scores]]; `Similarity.bruteForceTopK` / the
+    * persisted-index ANN paths).
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, aName: String, bName: String,
+              k: Int = 60, topN: Int = 20): DataFrame = {
+    require(k > 0, "rrf k must be positive")
+    val ar = a.select(col("doc_id"), col("rank").as(s"${aName}_rank"))
+    val br = b.select(col("doc_id"), col("rank").as(s"${bName}_rank"))
+    ar.join(br, Seq("doc_id"), "full_outer")
+      .withColumn(
+        "rrf",
+        round(coalesce(lit(1.0d) / (lit(k) + col(s"${aName}_rank")),
+                       lit(0.0d)) +
+                coalesce(lit(1.0d) / (lit(k) + col(s"${bName}_rank")),
+                         lit(0.0d)),
+              6))
+      .orderBy(desc("rrf"), asc("doc_id"))
+      .limit(topN)
+  }
 }

@@ -666,6 +666,54 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Hybrid retrieval ([[Relevance.rrfFuse]]): the BM25 lexical ranking
+    * (q86's terms) and the embedding-cosine ANN ranking (query = vec 0,
+    * q38's exact scorer) fused by reciprocal-rank fusion — how production
+    * retrieval stacks (and retrieval-based data selection) combine sparse
+    * and dense signals. Each ranker is a bounded top-100 selection
+    * (TakeOrderedAndProject); only those ranked ids reach the fuse.
+    * Fully oracle-checked: both rankings and the 1/(60+rank) fusion
+    * replay as plain SQL.
+    */
+  def q94HybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val emb  = Tables.embeddings(spark, dir)
+    // top-100 selection FIRST (distributed top-k), then rank the tiny
+    // selected frame — never a corpus-wide single-partition window
+    val bmRanks = Relevance
+      .bm25Scores(docs, "doc_id", "text",
+                  terms = Seq("vector", "stream", "merge"))
+      .orderBy(desc("bm25"), asc("doc_id")).limit(100)
+      .withColumn("rank",
+                  row_number()
+                    .over(Window.orderBy(desc("bm25"), asc("doc_id")))
+                    .cast("long"))
+      .select("doc_id", "rank")
+    val vecRanks = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 100)
+      .select(col("corpus_id").as("doc_id"), col("rank"))
+    Relevance.rrfFuse(bmRanks, vecRanks, "bm25", "cos",
+                      k = 60, topN = 20)
+  }
+
+  /** CCNet head/middle/tail buckets ([[NgramLm.perplexityBuckets]]):
+    * the q83 candidates split into per-LANGUAGE perplexity terciles under
+    * the same persisted reference LM — the bucket CCNet publishes with
+    * each language shard (downstream recipes train on head+middle).
+    * Fully oracle-checked: LM fit + scoring replay as in q83, the
+    * tercile as an `ntile(3)` window over (ppl, doc_id) per lang.
+    */
+  def q93CcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = Tables.documents(spark, dir)
+    val model = lmModelFor(spark, dir, "q83") {
+      NgramLm.fit(docs.filter(col("doc_id") % 4 === 0), "text", n = 3)
+    }
+    NgramLm.perplexityBuckets(docs.filter(col("doc_id") % 4 =!= 0), model,
+                              "doc_id", "text", byCols = Seq("lang"))
+      .orderBy("doc_id")
+  }
+
   /** Span-level decontamination ([[Contamination.contaminationSpans]]):
     * same slices and gram width as q67, but reporting WHERE each leak
     * sits — matched eval grams merged into maximal token spans. The
@@ -791,6 +839,23 @@ object LlmQueries {
       .select(col("doc_id"),
               md5(col("clean_text").cast("binary")).as("clean_md5"),
               col("n_kept"), col("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** Document-level boilerplate gate ([[Dedup.boilerplateDocGate]]):
+    * q79's corpus (sentence lines + shared site footers), but the Dolma/
+    * RefinedWeb DOCUMENT decision — drop a doc when > 15% of its
+    * non-blank characters sit on corpus-duplicated lines — instead of
+    * q79's line strike. Fully oracle-checked (same line CTEs as q79 +
+    * the floored char-fraction replay).
+    */
+  def q95BoilerplateGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      concat(regexp_replace(col("text"), "\\. ", ".\n"),
+             lit("\nsite footer variant "), col("doc_id") % 3).as("text"))
+    Dedup.boilerplateDocGate(docs, "doc_id", "text", minDocs = 2,
+                             maxDupFraction = 0.15)
       .orderBy("doc_id")
   }
 
@@ -1059,6 +1124,9 @@ object LlmQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_surgical_decon"    -> (q91SurgicalDecon(_, _)),
     "q92_source_overlap"    -> (q92SourceOverlap(_, _)),
+    "q93_ccnet_buckets"     -> (q93CcnetBuckets(_, _)),
+    "q94_hybrid_retrieval"  -> (q94HybridRetrieval(_, _)),
+    "q95_boilerplate_gate"  -> (q95BoilerplateGate(_, _)),
     "q88_semantic_dedup"    -> (q88SemanticDedup(_, _)),
     "q89_shared_substrings" -> (q89SharedSubstrings(_, _)),
     "q90_snapshot_diff"     -> (q90SnapshotDiff(_, _)),
@@ -1408,6 +1476,64 @@ object LlmQueries {
        |${p}tot AS (SELECT ctx, sum(c) AS t FROM ${p}cnt GROUP BY 1),
        |${p}v AS (SELECT count(DISTINCT nxt) AS v FROM ${p}g)""".stripMargin
 
+  /** CTEs replaying the q79/q95 corpus transform (sentence lines +
+    * shared site footers) and [[graft.llm.Dedup.lineDedup]]'s per-line
+    * boilerplate verdict → `k` = (doc_id, pos, ln, nrm, dr) with `dr`
+    * true on corpus-duplicated lines. Shared by the q79 and q95 oracles.
+    */
+  private val lineVerdictCtes: String =
+    // NB: inside an interpolated outer stripMargin string — no line here
+    // may BEGIN with '||' (the outer stripMargin would eat one pipe)
+    """src AS (
+      |  SELECT doc_id,
+      |    regexp_replace(text, '\. ', '.' || chr(10), 'g') ||
+      |      chr(10) || 'site footer variant ' || (doc_id % 3) AS text
+      |  FROM documents),
+      |ls AS (
+      |  SELECT doc_id, string_split(text, chr(10)) AS lns FROM src),
+      |ix AS (
+      |  SELECT doc_id, lns, unnest(generate_series(1, len(lns))) AS pos
+      |  FROM ls),
+      |l AS (
+      |  SELECT doc_id, pos, lns[pos] AS ln FROM ix),
+      |n AS (
+      |  SELECT doc_id, pos, ln, trim(ln) AS nrm, md5(trim(ln)) AS fp
+      |  FROM l),
+      |b AS (
+      |  SELECT fp FROM n WHERE nrm <> ''
+      |  GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+      |k AS (
+      |  SELECT n.doc_id, n.pos, n.ln, n.nrm, (b.fp IS NOT NULL) AS dr
+      |  FROM n LEFT JOIN b ON n.fp = b.fp)""".stripMargin
+
+  /** CTEs replaying [[graft.llm.Relevance.bm25Scores]] on `documents`
+    * with q86's term set → `s` = (doc_id, term_score) rows, one per
+    * matching (doc, term). Shared by the q86 and q94 oracles.
+    */
+  private val bm25Ctes: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\W+'),
+      |                x -> len(x) > 0) AS t
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+      |  WHERE token IN ('vector', 'stream', 'merge')
+      |  GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |s AS (
+      |  SELECT tf.doc_id,
+      |    ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |      * (tf.tf * (1.2 + 1.0))
+      |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+      |      AS term_score
+      |  FROM tf JOIN df USING (token)
+      |       JOIN dl USING (doc_id)
+      |       CROSS JOIN stats)""".stripMargin
+
   /** The candidate-side gram CTE (`candg`) shared by every LM scorer. */
   private val candGramCtes: String =
     """cand AS (
@@ -1629,6 +1755,27 @@ object LlmQueries {
          |       round(avg_logp, 6) AS avg_logp,
          |       round(exp(-avg_logp), 4) AS ppl
          |FROM ms ORDER BY doc_id""".stripMargin,
+    // q83's LM replay extended with the per-language ntile(3) window;
+    // ordering on the ROUNDED ppl + doc_id keeps both engines' terciles
+    // identical even at 4-decimal ties.
+    "q93_ccnet_buckets" ->
+      s"""WITH ${lmFitCtes("m", "doc_id % 4 = 0")},
+         |$candGramCtes,
+         |${lmScoreCtes("m")},
+         |sc AS (
+         |  SELECT ms.doc_id, d.lang, ms.n_grams,
+         |         round(exp(-avg_logp), 4) AS ppl
+         |  FROM ms JOIN documents d USING (doc_id)),
+         |b AS (
+         |  SELECT doc_id, lang, n_grams, ppl,
+         |         ntile(3) OVER (PARTITION BY lang
+         |                        ORDER BY ppl, doc_id) AS tercile
+         |  FROM sc)
+         |SELECT doc_id, lang, CAST(n_grams AS BIGINT) AS n_grams, ppl,
+         |       CAST(tercile AS INT) AS tercile,
+         |       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM b ORDER BY doc_id""".stripMargin,
     // Two LM replays (target = English reference docs, raw = all
     // reference docs) joined into the DSIR log-likelihood-ratio weight.
     "q84_importance_weights" ->
@@ -1893,31 +2040,42 @@ object LlmQueries {
     // Okapi BM25 replay: whitespace tokens, per-(doc,term) tf, df/N/avgdl
     // corpus stats, non-negative idf, k1/b tf saturation.
     "q86_bm25_relevance" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(trim(text)), '\W+'),
-        |                x -> len(x) > 0) AS t
-        |  FROM documents),
-        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
-        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-        |tf AS (
-        |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
-        |  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
-        |  WHERE token IN ('vector', 'stream', 'merge')
-        |  GROUP BY 1, 2),
-        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        |s AS (
-        |  SELECT tf.doc_id,
-        |    ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
-        |      * (tf.tf * (1.2 + 1.0))
-        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
-        |      AS term_score
-        |  FROM tf JOIN df USING (token)
-        |       JOIN dl USING (doc_id)
-        |       CROSS JOIN stats)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
-        |       round(sum(term_score), 6) AS bm25
-        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |       round(sum(term_score), 6) AS bm25
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Both rankers replayed (BM25 per q86, exact cosine per q38 with
+    // query vec 0), top-100 each by row_number on the same tie-broken
+    // orderings, full-outer fused by 1/(60+rank).
+    "q94_hybrid_retrieval" ->
+      s"""WITH $bm25Ctes,
+         |bm AS (SELECT doc_id, round(sum(term_score), 6) AS bm25
+         |       FROM s GROUP BY doc_id),
+         |bmr AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY bm25 DESC, doc_id)
+         |            AS bm25_rank
+         |        FROM bm),
+         |bmt AS (SELECT doc_id, bm25_rank FROM bmr
+         |        WHERE bm25_rank <= 100),
+         |qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+         |         AS q FROM embeddings WHERE vec_id = 0),
+         |cv AS (SELECT vec_id AS doc_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+         |       FROM embeddings WHERE vec_id <> 0),
+         |cs AS (SELECT doc_id, list_cosine_similarity(q, c) AS cos
+         |       FROM cv CROSS JOIN qv),
+         |cr AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY cos DESC, doc_id)
+         |            AS cos_rank
+         |        FROM cs),
+         |ct AS (SELECT doc_id, cos_rank FROM cr WHERE cos_rank <= 100),
+         |f AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |        a.bm25_rank, b.cos_rank
+         |      FROM bmt a FULL OUTER JOIN ct b ON a.doc_id = b.doc_id)
+         |SELECT doc_id, bm25_rank, cos_rank,
+         |       round(coalesce(1.0 / (60 + bm25_rank), 0)
+         |             + coalesce(1.0 / (60 + cos_rank), 0), 6) AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     // Clusters replay via the recursive-CTE closure; quality via the q32
     // expression as an exact ×10⁴ integer; keep-best = max quality then
     // min id within the cluster.
@@ -2016,34 +2174,35 @@ object LlmQueries {
          |FROM g CROSS JOIN t
          |ORDER BY source, lang""".stripMargin,
     "q79_line_dedup" ->
-      """WITH src AS (
-        |  SELECT doc_id,
-        |    regexp_replace(text, '\. ', '.' || chr(10), 'g')
-        |      || chr(10) || 'site footer variant ' || (doc_id % 3) AS text
-        |  FROM documents),
-        |ls AS (
-        |  SELECT doc_id, string_split(text, chr(10)) AS lns FROM src),
-        |ix AS (
-        |  SELECT doc_id, lns, unnest(generate_series(1, len(lns))) AS pos
-        |  FROM ls),
-        |l AS (
-        |  SELECT doc_id, pos, lns[pos] AS ln FROM ix),
-        |n AS (
-        |  SELECT doc_id, pos, ln, trim(ln) AS nrm, md5(trim(ln)) AS fp
-        |  FROM l),
-        |b AS (
-        |  SELECT fp FROM n WHERE nrm <> ''
-        |  GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
-        |k AS (
-        |  SELECT n.doc_id, n.pos, n.ln, (b.fp IS NOT NULL) AS dr
-        |  FROM n LEFT JOIN b ON n.fp = b.fp)
-        |SELECT doc_id,
-        |  md5(coalesce(
-        |    string_agg(ln, chr(10) ORDER BY pos) FILTER (WHERE NOT dr),
-        |    '')) AS clean_md5,
-        |  CAST(count(*) FILTER (WHERE NOT dr) AS BIGINT) AS n_kept,
-        |  CAST(count(*) FILTER (WHERE dr) AS BIGINT) AS n_removed
-        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $lineVerdictCtes
+         |SELECT doc_id,
+         |  md5(coalesce(
+         |    string_agg(ln, chr(10) ORDER BY pos) FILTER (WHERE NOT dr),
+         |    '')) AS clean_md5,
+         |  CAST(count(*) FILTER (WHERE NOT dr) AS BIGINT) AS n_kept,
+         |  CAST(count(*) FILTER (WHERE dr) AS BIGINT) AS n_removed
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q79's line verdict rolled up to the DOCUMENT decision: floored
+    // duplicated-char fraction (q81's floor(x·10⁶+0.5) portability
+    // pattern) gated at 0.15.
+    "q95_boilerplate_gate" ->
+      s"""WITH $lineVerdictCtes,
+         |a AS (
+         |  SELECT doc_id,
+         |    CAST(coalesce(sum(length(nrm)) FILTER (WHERE dr), 0)
+         |         AS BIGINT) AS dup_chars,
+         |    CAST(coalesce(sum(length(nrm)), 0) AS BIGINT) AS total_chars
+         |  FROM k GROUP BY doc_id),
+         |f AS (
+         |  SELECT doc_id, dup_chars, total_chars,
+         |    CASE WHEN total_chars = 0 THEN 0.0
+         |         ELSE floor(dup_chars / CAST(total_chars AS DOUBLE)
+         |                    * 1000000.0 + 0.5) / 1000000.0
+         |    END AS dup_frac
+         |  FROM a)
+         |SELECT doc_id, dup_chars, total_chars, dup_frac,
+         |       dup_frac <= 0.15 AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
     "q78_ann_int8" ->
       """WITH e AS (
         |  SELECT vec_id,

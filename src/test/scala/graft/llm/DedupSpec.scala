@@ -160,6 +160,38 @@ class DedupSpec extends SparkSpec {
     assert(out(4L)._3 == 0L)
   }
 
+  test("boilerplateDocGate drops docs dominated by duplicated lines and " +
+       "computes the exact floored char fraction") {
+    import spark.implicits._
+    val footer = "Copyright 2026 Example Corp - all rights reserved" // 49
+    val docsL = Seq(
+      // footer 49 of 49+21=70 non-blank chars → frac 0.7 → dropped
+      (1L, s"unique line one alpha\n$footer"),
+      // footer 49 of 49+150 chars → frac ≈ 0.246 → dropped at 0.15
+      (2L, s"$footer\n" + ("b" * 150)),
+      // footer 49 of 49+500 chars → frac ≈ 0.089 → kept
+      (3L, s"${"c" * 500}\n$footer"),
+      // no duplicated lines at all → frac 0 → kept
+      (4L, "entirely unique document body"),
+      // blank-only doc: total 0 chars → frac 0 → kept
+      (5L, "\n  \n"))
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateDocGate(docsL, "doc_id", "text",
+                                       minDocs = 2, maxDupFraction = 0.15)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(out(1L) == ((49L, 70L, 0.7, false)))
+    assert(out(2L)._1 == 49L && out(2L)._2 == 199L && !out(2L)._4)
+    // exact floored fraction: floor(49/199·10⁶ + 0.5)/10⁶
+    assert(out(2L)._3 == math.floor(49.0 / 199.0 * 1e6 + 0.5) / 1e6)
+    assert(out(3L) == ((49L, 549L,
+                        math.floor(49.0 / 549.0 * 1e6 + 0.5) / 1e6, true)))
+    assert(out(4L) == ((0L, 29L, 0.0, true)))
+    assert(out(5L) == ((0L, 0L, 0.0, true)))
+  }
+
   test("incremental minhash classifies batch docs against a corpus index") {
     import spark.implicits._
     val corpusText = "the quick brown fox jumps over the lazy dog near " +

@@ -119,4 +119,44 @@ class NgramLmSpec extends SparkSpec {
     assert(s.getLong(1) == 1L && s.getDouble(2) == 0.0 &&
              s.getDouble(3) == 1.0)
   }
+
+  test("perplexityBuckets: terciles split per language, most-fluent " +
+       "third is head, ntile sizes follow the standard rule") {
+    import spark.implicits._
+    val model = NgramLm.fit(refCorpus, "text", n = 3)
+    // per language: 6 candidates spanning fluent → gibberish. Within a
+    // lang the fluent docs must land in head, the alien ones in tail.
+    def docs(lang: String, base: Long) = Seq(
+      (base + 0, "the quick brown fox jumps over the lazy dog", lang),
+      (base + 1, "the dog sleeps near the fox while the fox waits", lang),
+      (base + 2, "the lazy dog jumps again and the fox waits", lang),
+      (base + 3, "table value part hash row scan merge filter", lang),
+      (base + 4, "qqq zzz kkk vvv jjj xxz pqj vvk zxq wwq", lang),
+      (base + 5, "zxq vvk pqj xxz qqq zzz kkk vvv jjj qqq", lang))
+    val cand = (docs("en", 0L) ++ docs("de", 100L))
+      .toDF("doc_id", "text", "lang")
+    val out = NgramLm.perplexityBuckets(cand, model, "doc_id", "text",
+                                        byCols = Seq("lang"))
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (r.getString(1), r.getInt(4), r.getString(5))).toMap
+    // 6 docs per lang → exactly 2 per tercile in each language
+    for (lang <- Seq("en", "de")) {
+      val byBucket = rows.values.filter(_._1 == lang).groupBy(_._3)
+        .view.mapValues(_.size).toMap
+      assert(byBucket == Map("head" -> 2, "middle" -> 2, "tail" -> 2),
+             s"$lang terciles: $byBucket")
+    }
+    // fluent docs head, gibberish tail, in BOTH languages independently
+    for (base <- Seq(0L, 100L)) {
+      assert(rows(base + 0)._3 == "head" && rows(base + 1)._3 == "head",
+             s"fluent docs must be head: $rows")
+      assert(rows(base + 4)._3 == "tail" && rows(base + 5)._3 == "tail",
+             s"gibberish must be tail: $rows")
+    }
+    // bucket name is a pure function of the tercile
+    assert(rows.values.forall { case (_, t, b) =>
+      (t == 1 && b == "head") || (t == 2 && b == "middle") ||
+      (t == 3 && b == "tail")
+    })
+  }
 }

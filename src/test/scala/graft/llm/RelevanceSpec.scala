@@ -54,4 +54,32 @@ class RelevanceSpec extends SparkSpec {
              plan.contains("BroadcastNestedLoopJoin"),
            s"df/stats must broadcast:\n$plan")
   }
+
+  test("rrfFuse matches hand-computed reciprocal-rank scores, handles " +
+       "single-ranker docs, and breaks score ties by id") {
+    import spark.implicits._
+    // doc 1: rank 1 + rank 2; doc 2: rank 2 lexical only; doc 3: rank 1
+    // vector only; docs 4/5: identical single-ranker ranks → tied rrf
+    val lex = Seq((1L, 1L), (2L, 2L), (4L, 3L), (5L, 3L))
+      .toDF("doc_id", "rank")
+    val vec = Seq((1L, 2L), (3L, 1L)).toDF("doc_id", "rank")
+    val out = Relevance.rrfFuse(lex, vec, "bm25", "cos",
+                                k = 60, topN = 10).collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)), r.getDouble(3))).toMap
+    def rrf(xs: Double*) =
+      math.rint(xs.map(1.0 / _).sum * 1e6) / 1e6
+    assert(byId(1L) == ((Some(1L), Some(2L), rrf(61, 62))))
+    assert(byId(2L) == ((Some(2L), None, rrf(62))))
+    assert(byId(3L) == ((None, Some(1L), rrf(61))))
+    // both-ranker doc outranks every single-ranker doc here
+    assert(out.head.getLong(0) == 1L)
+    // tied rrf (docs 4 and 5, same rank, same single ranker) → id order
+    val order = out.map(_.getLong(0)).toSeq
+    assert(order.indexOf(4L) < order.indexOf(5L),
+           s"ties must break by id: $order")
+    // topN truncates: ask for 2, get the 2 best
+    assert(Relevance.rrfFuse(lex, vec, "bm25", "cos", k = 60, topN = 2)
+             .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
 }
