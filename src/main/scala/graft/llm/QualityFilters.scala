@@ -244,4 +244,57 @@ object QualityFilters {
       .approxQuantile("q", Array(1.0 - budgetFrac), relErr)(0)
     scored.filter(col("q") >= cut)
   }
+
+  /** Per-source token-budget allocation — the release-mix allocator
+    * ("sample an N-token corpus: web-heavy, best documents first"):
+    * `budgetFraction` of the corpus's tokens is split across sources in
+    * proportion to RELATIVE INTEGER weights (integer sums are exact and
+    * order-independent, so the per-source budgets are engine- and
+    * partitioning-portable — a double-weight sum would not be), then
+    * each source's budget fills best-quality-first (ties → smallest id)
+    * until the next document would overflow it.
+    *
+    * Output: one row per SELECTED doc — (doc_id, source, toks, q,
+    * cum_toks, src_budget). Budgets are
+    * floor(total·fraction·w/Σw): sources missing from `weights` get
+    * `defaultWeight`.
+    *
+    * Scale shape: one row-local scoring scan; a one-row total and a
+    * #sources-row weight sum, both broadcast back; one cumulative-sum
+    * window PER SOURCE (ids + two numbers, never text). The per-source
+    * sort is the exact-form anchor of the same approximation noted on
+    * q73: at 100 TB replace each source's exact cumsum with an
+    * [[approxTokenBudget]]-style quantile cutoff per source.
+    */
+  def mixtureTokenBudget(df: DataFrame, idCol: String, textCol: String,
+                         sourceCol: String, budgetFraction: Double,
+                         weights: Map[String, Long],
+                         defaultWeight: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetFraction > 0 && budgetFraction <= 1,
+            "budgetFraction in (0,1]")
+    require(defaultWeight >= 0 && weights.values.forall(_ >= 0),
+            "weights must be non-negative")
+    val s = df.select(
+      col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("toks"),
+      TextAnalysis.qualityScore(col(textCol)).as("q"))
+      .withColumn("w", weights.foldLeft(lit(defaultWeight)) {
+        case (acc, (k, v)) =>
+          when(col("source") === k, lit(v)).otherwise(acc)
+      })
+    val total = s.agg(sum("toks").as("total_toks"))
+    val wsum = s.select("source", "w").distinct()
+      .agg(sum("w").as("w_sum"))
+    val win = Window.partitionBy("source")
+      .orderBy(desc("q"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.crossJoin(broadcast(total)).crossJoin(broadcast(wsum))
+      .withColumn("src_budget",
+                  floor(col("total_toks") * lit(budgetFraction)
+                          * col("w") / col("w_sum")).cast("long"))
+      .withColumn("cum_toks", sum("toks").over(win))
+      .filter(col("cum_toks") <= col("src_budget"))
+      .select("doc_id", "source", "toks", "q", "cum_toks", "src_budget")
+  }
 }

@@ -859,6 +859,23 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Release-mix token-budget allocator
+    * ([[QualityFilters.mixtureTokenBudget]]): half the corpus's tokens
+    * split across sources by relative integer weights (src0:4, src1:3,
+    * src2:2, rest 1), each source filled best-quality-first — the
+    * "assemble an N-token release with this source mix" step that q68
+    * (rate mixing) and q73 (global budget) bracket. Fully oracle-checked
+    * (weights CASE, exact integer weight sum, floored budgets, per-source
+    * cumsum windows).
+    */
+  def q96MixtureBudget(spark: SparkSession, dir: String): DataFrame =
+    QualityFilters.mixtureTokenBudget(
+      Tables.documents(spark, dir), "doc_id", "text", "source",
+      budgetFraction = 0.5,
+      weights = Map("src0" -> 4L, "src1" -> 3L, "src2" -> 2L),
+      defaultWeight = 1L)
+      .orderBy("doc_id")
+
   /** Int8-quantized ANN ([[Similarity.bruteForceTopKInt8]]): top-10
     * cosine neighbors over the per-vector-scaled int8 index — the 4×
     * memory cut of production vector stores, oracle-checked end to end
@@ -1127,6 +1144,7 @@ object LlmQueries {
     "q93_ccnet_buckets"     -> (q93CcnetBuckets(_, _)),
     "q94_hybrid_retrieval"  -> (q94HybridRetrieval(_, _)),
     "q95_boilerplate_gate"  -> (q95BoilerplateGate(_, _)),
+    "q96_mixture_budget"    -> (q96MixtureBudget(_, _)),
     "q88_semantic_dedup"    -> (q88SemanticDedup(_, _)),
     "q89_shared_substrings" -> (q89SharedSubstrings(_, _)),
     "q90_snapshot_diff"     -> (q90SnapshotDiff(_, _)),
@@ -2276,6 +2294,41 @@ object LlmQueries {
          |  FROM s)
          |SELECT doc_id, toks, q, cum_toks
          |FROM c, tot WHERE cum_toks <= total_toks / 2.0
+         |ORDER BY doc_id""".stripMargin,
+    // q73's quality/token CTE extended with source; integer weight sum
+    // is exact, budget floor + per-source cumsum replay the Spark plan.
+    // 0.5 is CAST to DOUBLE: a bare DuckDB decimal literal would keep
+    // the product DECIMAL and round differently from Spark's double.
+    "q96_mixture_budget" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, source,
+         |    len(string_split_regex(trim(text), '\\s+')) AS toks,
+         |    round((least(length(text) / 200.0, 1.0)
+         |       + least((len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                    x -> list_contains($stopList, x)))
+         |           / CAST(greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)
+         |                  AS DOUBLE)) * 4.0, 1.0)
+         |       + greatest(1.0 - (len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+         |           / CAST(greatest(length(text), 1) AS DOUBLE)) * 4.0, 0.0))
+         |      / 3.0, 4) AS q,
+         |    CAST(CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 3
+         |         WHEN 'src2' THEN 2 ELSE 1 END AS BIGINT) AS w
+         |  FROM documents),
+         |tot AS (SELECT sum(toks) AS total_toks FROM s),
+         |ws AS (SELECT CAST(sum(w) AS BIGINT) AS w_sum
+         |       FROM (SELECT DISTINCT source, w FROM s)),
+         |c AS (
+         |  SELECT doc_id, source, toks, q,
+         |    CAST(floor(total_toks * CAST(0.5 AS DOUBLE) * w / w_sum)
+         |         AS BIGINT) AS src_budget,
+         |    CAST(sum(toks) OVER (PARTITION BY source
+         |           ORDER BY q DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS cum_toks
+         |  FROM s, tot, ws)
+         |SELECT doc_id, source, CAST(toks AS BIGINT) AS toks, q,
+         |       cum_toks, src_budget
+         |FROM c WHERE cum_toks <= src_budget
          |ORDER BY doc_id""".stripMargin,
     "q72_simhash_candidates" -> {
       val bandSelects = (0 until 4).map { b =>

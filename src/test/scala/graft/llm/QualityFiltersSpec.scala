@@ -237,4 +237,36 @@ class QualityFiltersSpec extends SparkSpec {
     assert(exact.exists(_.getBoolean(2)) && exact.exists(!_.getBoolean(2)),
            "fixture should exercise both outcomes")
   }
+
+  test("mixtureTokenBudget: floored per-source budgets from integer " +
+       "weights, greedy fill, id ties, empty-source selections") {
+    import spark.implicits._
+    // 9 identical 10-token docs → equal quality, ties broken by id.
+    // T=90, fraction 0.5 → 45 tokens to split over w: A=3, B=1, C=1
+    // (default) → Σw=5. Budgets: A floor(45·3/5)=27, B=C floor(45/5)=9.
+    // A fits 2 docs (20 ≤ 27 < 30); B and C fit none (10 > 9).
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, "A", text), (2L, "A", text), (3L, "A", text), (4L, "A", text),
+      (5L, "B", text), (6L, "B", text), (7L, "B", text), (8L, "B", text),
+      (9L, "C", text))
+      .toDF("doc_id", "source", "text")
+    val out = QualityFilters.mixtureTokenBudget(
+      docs, "doc_id", "text", "source", budgetFraction = 0.5,
+      weights = Map("A" -> 3L, "B" -> 1L), defaultWeight = 1L)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+           s"selection: ${out.map(_.getLong(0)).toSeq}")
+    assert(out.map(r => (r.getLong(2), r.getLong(4), r.getLong(5))).toSeq
+             == Seq((10L, 10L, 27L), (10L, 20L, 27L)))
+    // full budget spend: raising B's weight to dominate flips selection
+    val out2 = QualityFilters.mixtureTokenBudget(
+      docs, "doc_id", "text", "source", budgetFraction = 1.0,
+      weights = Map("A" -> 1L, "B" -> 1L), defaultWeight = 1L)
+      .collect()
+    // fraction 1, equal weights → each source budget = floor(90/3)=30:
+    // A and B fit 3 docs each, C fits its single doc
+    assert(out2.map(_.getLong(0)).sorted.toSeq ==
+             Seq(1L, 2L, 3L, 5L, 6L, 7L, 9L))
+  }
 }
