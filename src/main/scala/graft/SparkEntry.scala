@@ -53,6 +53,8 @@ object SparkEntry {
     "q81_dataset_card",
     "q83_lm_perplexity",
     "q88_semantic_dedup",
-    "q89_shared_substrings"
+    "q89_shared_substrings",
+    "q93_ccnet_buckets",
+    "q96_mixture_budget"
   )
 }

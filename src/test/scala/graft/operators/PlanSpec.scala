@@ -83,6 +83,24 @@ class PlanSpec extends SparkSpec {
            s"generator pre-filter re-appeared — check excludedRules:\n$opt")
   }
 
+  test("q94 hybrid retrieval: both ranker selections and the fused " +
+       "top-20 plan as TakeOrderedAndProject, no corpus-wide sort") {
+    val plan = LlmQueries.q94HybridRetrieval(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q96 mixture budget: stats join as one-row broadcasts; the only " +
+       "sort is the per-source cumsum window") {
+    val plan = LlmQueries.q96MixtureBudget(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // one-row total/weight-sum frames may plan as BroadcastNestedLoopJoin
+    // (a 1-row broadcast is fine); what must NOT appear is a shuffled join
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("whole-stage codegen covers the scalar query surface") {
     // codegen stages print as "*(n)" — only in the FINAL adaptive plan,
     // so force execution before inspecting
