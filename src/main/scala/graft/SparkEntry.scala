@@ -55,6 +55,9 @@ object SparkEntry {
     "q88_semantic_dedup",
     "q89_shared_substrings",
     "q93_ccnet_buckets",
-    "q96_mixture_budget"
+    "q96_mixture_budget",
+    "q97_cluster_split",
+    "q98_cms_heavy_hitters",
+    "q99_corpus_stats"
   )
 }

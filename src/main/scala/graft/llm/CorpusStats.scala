@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Whole-corpus token-distribution statistics: unigram entropy,
+  * type-token ratio, and a Zipf power-law fit — the summary numbers a
+  * dataset card reports and a curation run monitors for drift (a corpus
+  * whose entropy collapses or whose Zipf slope steepens between
+  * snapshots usually picked up boilerplate or lost diversity).
+  *
+  * Scale shape: ONE token-count aggregation (partial agg → single
+  * shuffle on token), consumed twice — a global 1-row aggregate for
+  * entropy, and a `TakeOrderedAndProject` top-K (per-partition top-k,
+  * K·partitions rows to the driver, never a global sort) for the Zipf
+  * fit. The closed-form least-squares slope avoids any ML fit. All
+  * arithmetic is engine-portable (ln/log2 + sums, rounded to 6
+  * decimals), so the DuckDB oracle replays it exactly (q99).
+  */
+object CorpusStats {
+
+  /** Per-token occurrence counts: (token, n). */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(Dedup.wordTokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+
+  /** One-row summary: token/type counts, type-token ratio, unigram
+    * entropy in bits (H = log2 N − Σ n·log2 n ⁄ N), and the least-squares
+    * fit of ln(freq) against ln(rank) over the `topK` most frequent
+    * tokens (slope ≈ −1 for natural text, per Zipf's law).
+    */
+  def corpusStats(docs: DataFrame, textCol: String,
+                  topK: Int = 100): DataFrame = {
+    val tc = tokenCounts(docs, textCol)
+      .select(col("token"), col("n").cast("double").as("n"))
+      .transform(graft.Materialize(_))
+
+    val global = tc.agg(
+      sum("n").as("nt"),
+      count(lit(1)).as("nd"),
+      sum(col("n") * log2(col("n"))).as("s"))
+
+    // TakeOrderedAndProject keeps this a per-partition top-k; the window
+    // then ranks only the ≤ topK surviving rows (single tiny partition).
+    val top = tc.orderBy(desc("n"), asc("token")).limit(topK)
+      .withColumn("rk",
+                  row_number().over(Window.orderBy(desc("n"), asc("token")))
+                    .cast("double"))
+      .select(log(col("rk")).as("x"), log(col("n")).as("y"))
+    val fit = top.agg(
+      count(lit(1)).cast("double").as("k"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+
+    val slope = (col("k") * col("sxy") - col("sx") * col("sy")) /
+      (col("k") * col("sxx") - col("sx") * col("sx"))
+    global.crossJoin(fit).select(
+      col("nt").cast("long").as("n_tokens"),
+      col("nd").cast("long").as("n_distinct"),
+      round(col("nd") / col("nt"), 6).as("ttr"),
+      round(log2(col("nt")) - col("s") / col("nt"), 6).as("entropy_bits"),
+      round(slope, 6).as("zipf_slope"),
+      round((col("sy") - slope * col("sx")) / col("k"), 6)
+        .as("zipf_intercept"))
+  }
+}

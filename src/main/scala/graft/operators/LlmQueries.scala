@@ -2,9 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Contamination, Dedup, IndexStore, Multimodal, NgramLm,
-                  QualityFilters, Relevance, Sharding, Similarity,
-                  TextAnalysis, TextPacking, Versioning}
+import graft.llm.{Contamination, CorpusStats, Dedup, IndexStore, Multimodal,
+                  NgramLm, QualityFilters, Relevance, Sharding, Similarity,
+                  Sketches, Splits, TextAnalysis, TextPacking, Versioning}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline operators as oracle-checkable queries over
@@ -876,6 +876,56 @@ object LlmQueries {
       defaultWeight = 1L)
       .orderBy("doc_id")
 
+  /** Leakage-safe cluster-aware train/val/test split
+    * ([[Splits.clusterAwareSplit]]): near-dup clusters from the q35
+    * portable MinHash pipeline, every cluster hashed to exactly ONE
+    * split (0.8/0.1/0.1), so near-duplicates never straddle the
+    * train/test boundary. FULLY oracle-checked — DuckDB replays the
+    * whole dedup closure (recursive CTE) plus the md5 split assignment
+    * from the same inlined 60-bit thresholds. [[Splits.splitLeakage]]
+    * is asserted empty in SplitsSpec.
+    */
+  def q97ClusterSplit(spark: SparkSession, dir: String): DataFrame =
+    Splits.clusterAwareSplit(
+      Dedup.minhashPortable(Tables.documents(spark, dir), "doc_id", "text",
+                            k = 5, numHashes = 32, bands = 8,
+                            threshold = 0.5),
+      splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy("doc_id")
+
+  /** Count-min-sketch frequency estimation ([[Sketches]]): the d=4×w=512
+    * portable-hash sketch built over all token occurrences, point-queried
+    * for the exact top-20 tokens (q61's output) with the guaranteed-
+    * non-negative overcount reported per token. FULLY oracle-checked —
+    * DuckDB rebuilds the sketch and the min-over-rows estimates from the
+    * same md5 bucket arithmetic. The sketch is the 100 TB answer to q61:
+    * the shuffle is ≤ d·w·partitions counter rows regardless of
+    * vocabulary size (see the [[Sketches]] scaladoc).
+    */
+  def q98CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(Dedup.wordTokens(col("text"))).as("token"))
+      .transform(graft.Materialize(_))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), asc("token")).limit(20)
+    val sketch = Sketches.cmsSketch(toks, "token", d = 4, w = 512)
+    Sketches.cmsEstimate(sketch, exact, "token", d = 4, w = 512)
+      .join(broadcast(exact), col("item") === col("token"))
+      .select(col("token"), col("n_exact"), col("n_est"),
+              (col("n_est") - col("n_exact")).as("overcount"))
+      .orderBy(desc("n_exact"), asc("token"))
+  }
+
+  /** Corpus token-distribution card ([[CorpusStats.corpusStats]]):
+    * unigram entropy, type-token ratio, and the closed-form Zipf
+    * least-squares fit over the top-100 tokens — one row of the summary
+    * numbers a dataset card reports and a drift monitor watches.
+    * Oracle-checked (same ln/log2 sums rounded to 6 decimals in DuckDB).
+    */
+  def q99CorpusStats(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.corpusStats(Tables.documents(spark, dir), "text",
+                            topK = 100)
+
   /** Int8-quantized ANN ([[Similarity.bruteForceTopKInt8]]): top-10
     * cosine neighbors over the per-vector-scaled int8 index — the 4×
     * memory cut of production vector stores, oracle-checked end to end
@@ -1192,7 +1242,10 @@ object LlmQueries {
     "q40_frame_sample"     -> (q40FrameSample(_, _)),
     "q43_multimodal_decode" -> (q43MultimodalDecode(_, _)),
     "q44_lsh_sim_join"     -> (q44LshSimJoin(_, _)),
-    "q45_ann_ivf"          -> (q45AnnIvf(_, _))
+    "q45_ann_ivf"          -> (q45AnnIvf(_, _)),
+    "q97_cluster_split"    -> (q97ClusterSplit(_, _)),
+    "q98_cms_heavy_hitters" -> (q98CmsHeavyHitters(_, _)),
+    "q99_corpus_stats"     -> (q99CorpusStats(_, _))
   )
 
   /** DuckDB replay of [[Similarity.hyperplaneSignature]]: the projection
@@ -2330,6 +2383,75 @@ object LlmQueries {
          |       cum_toks, src_budget
          |FROM c WHERE cum_toks <= src_budget
          |ORDER BY doc_id""".stripMargin,
+    // Dedup closure replay (recursive CTE, as q35) + the md5 split
+    // assignment from the SAME 60-bit thresholds Splits inlines.
+    "q97_cluster_split" ->
+      s"""WITH RECURSIVE
+         |${minhashPortableCtes("documents", k = 5, numHashes = 32,
+                                bands = 8, threshold = 0.5,
+                                maxBucket = 1000)}
+         |SELECT doc_id, cluster_id,
+         |  ${Splits.splitCaseSql(Seq("train" -> 0.8, "val" -> 0.1,
+                                      "test" -> 0.1))} AS split
+         |FROM cc ORDER BY doc_id""".stripMargin,
+    // Sketch AND estimates rebuilt from the same md5 bucket arithmetic:
+    // d=4 rows × w=512 buckets, min-over-rows point queries for the
+    // exact top-20.
+    "q98_cms_heavy_hitters" ->
+      s"""WITH t AS (
+         |  SELECT unnest(list_filter(
+         |    string_split_regex(lower(trim(text)), '\\W+'),
+         |    x -> len(x) > 0)) AS token
+         |  FROM documents),
+         |ex AS (
+         |  SELECT token, count(*) AS n_exact FROM t GROUP BY token
+         |  ORDER BY n_exact DESC, token LIMIT 20),
+         |rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |sk AS (
+         |  SELECT r, ${Sketches.bucketSql("r", "token", 512)} AS bucket,
+         |         count(*) AS cnt
+         |  FROM t CROSS JOIN rr GROUP BY 1, 2),
+         |qe AS (
+         |  SELECT ex.token, rr.r,
+         |         ${Sketches.bucketSql("rr.r", "ex.token", 512)} AS bucket
+         |  FROM ex CROSS JOIN rr),
+         |est AS (
+         |  SELECT qe.token, min(coalesce(sk.cnt, 0)) AS n_est
+         |  FROM qe LEFT JOIN sk ON sk.r = qe.r AND sk.bucket = qe.bucket
+         |  GROUP BY 1)
+         |SELECT ex.token, ex.n_exact, est.n_est,
+         |       est.n_est - ex.n_exact AS overcount
+         |FROM ex JOIN est USING (token)
+         |ORDER BY n_exact DESC, token""".stripMargin,
+    // Entropy + Zipf fit replay: same token counts, same ln/log2 sums,
+    // same closed-form least squares, rounded to 6 decimals.
+    "q99_corpus_stats" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |tc AS (SELECT token, CAST(count(*) AS DOUBLE) AS n
+        |       FROM t GROUP BY token),
+        |g AS (SELECT sum(n) AS nt, count(*) AS nd,
+        |             sum(n * log2(n)) AS s
+        |      FROM tc),
+        |tp AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk
+        |       FROM tc ORDER BY n DESC, token LIMIT 100),
+        |z AS (SELECT CAST(count(*) AS DOUBLE) AS k,
+        |             sum(ln(rk)) AS sx, sum(ln(n)) AS sy,
+        |             sum(ln(rk) * ln(n)) AS sxy,
+        |             sum(ln(rk) * ln(rk)) AS sxx
+        |      FROM tp)
+        |SELECT CAST(nt AS BIGINT) AS n_tokens,
+        |       CAST(nd AS BIGINT) AS n_distinct,
+        |       round(nd / nt, 6) AS ttr,
+        |       round(log2(nt) - s / nt, 6) AS entropy_bits,
+        |       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+        |         AS zipf_slope,
+        |       round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx))
+        |              * sx) / k, 6) AS zipf_intercept
+        |FROM g, z""".stripMargin,
     "q72_simhash_candidates" -> {
       val bandSelects = (0 until 4).map { b =>
         s"  SELECT doc_id, simhash60, $b AS band," +

@@ -1,0 +1,68 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusStatsSpec extends SparkSpec {
+
+  test("entropy and counts match a hand-computed distribution") {
+    import spark.implicits._
+    // counts: a=8, b=4, c=2, d=2 → N=16
+    // H = -(8/16·log2(8/16) + 4/16·log2(4/16) + 2·(2/16·log2(2/16)))
+    //   = 0.5·1 + 0.25·2 + 2·(0.125·3) = 1.75 bits
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq.fill(2)("d")).mkString(" ")
+    val row = CorpusStats.corpusStats(Seq(text).toDF("text"), "text").head()
+    assert(row.getAs[Long]("n_tokens") == 16L)
+    assert(row.getAs[Long]("n_distinct") == 4L)
+    assert(math.abs(row.getAs[Double]("ttr") - 0.25) < 1e-9)
+    assert(math.abs(row.getAs[Double]("entropy_bits") - 1.75) < 1e-6)
+  }
+
+  test("an exact power law fits with slope -1") {
+    import spark.implicits._
+    // token i appears round(120/rank_i) times — ln-ln slope ≈ -1; use
+    // EXACT 1/rank counts for ranks 1,2,3,4,6,8,12,24 (divisors of 24)
+    val ranks = Seq(1, 2, 3, 4, 6, 8, 12, 24)
+    val text = ranks.zipWithIndex.flatMap { case (rk, i) =>
+      Seq.fill(24 / rk)(f"w$i%02d")
+    }.mkString(" ")
+    val row = CorpusStats.corpusStats(Seq(text).toDF("text"), "text").head()
+    // counts 24/rk vs assigned rank by freq: freq ∝ 1/rank over the
+    // REALIZED ranks 1..8, not the construction ranks — compute expected
+    // slope with the same closed form over (ln r, ln n_r)
+    val ns = ranks.map(rk => 24.0 / rk).sorted(Ordering[Double].reverse)
+    val xs = ns.indices.map(i => math.log(i + 1.0))
+    val ys = ns.map(math.log)
+    val k = xs.length
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert(math.abs(row.getAs[Double]("zipf_slope") - slope) < 1e-5)
+  }
+
+  test("empty corpus yields a single row with null/zero-safe fields") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("text", StringType))))
+    val rows = CorpusStats.corpusStats(empty, "text").collect()
+    assert(rows.length == 1)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("n_tokens")) ||
+           rows.head.getAs[Long]("n_tokens") == 0L)
+  }
+
+  test("stats are invariant to partitioning (order-independent to 6dp)") {
+    import spark.implicits._
+    val docs = (0 until 500).map { i =>
+      (i.toLong, s"alpha beta gamma delta tok$i common words appear here " +
+        s"and also tok${i % 37} repeats across documents")
+    }.toDF("doc_id", "text")
+    val a = CorpusStats.corpusStats(docs.repartition(1), "text").head()
+    val b = CorpusStats.corpusStats(docs.repartition(32), "text").head()
+    assert(a.getAs[Double]("entropy_bits") == b.getAs[Double]("entropy_bits"))
+    assert(a.getAs[Double]("zipf_slope") == b.getAs[Double]("zipf_slope"))
+  }
+}

@@ -101,6 +101,35 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q98 CMS: sketch side broadcasts; no cartesian; single token shuffle " +
+    "feeds both sketch and exact sides") {
+    val df = LlmQueries.q98CmsHeavyHitters(spark, sf0001)
+    df.collect() // final AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+           s"d×w sketch (≤2048 rows) must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q99 corpus stats: Zipf top-K plans as TakeOrderedAndProject, " +
+    "never a global sort") {
+    val plan = LlmQueries.q99CorpusStats(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+           s"top-100 tokens must be a per-partition top-k:\n$plan")
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+           s"no global sort of the vocabulary:\n$plan")
+  }
+
+  test("q97 cluster split: split assignment adds no shuffle beyond the " +
+    "dedup mapping (no cartesian, no extra exchange stage)") {
+    val plan = LlmQueries.q97ClusterSplit(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("whole-stage codegen covers the scalar query surface") {
     // codegen stages print as "*(n)" — only in the FINAL adaptive plan,
     // so force execution before inspecting
