@@ -142,7 +142,34 @@ object TimeSeriesQueries {
               col("n"), col("gid").cast("long").as("gid"))
       .orderBy("gid", "lang", "source")
 
+  /** Z-order (Morton) curve coordinates for every event over the
+    * (value, user_id) plane — the cell arithmetic behind
+    * [[graft.io.Compaction.compactZOrderedParquet]]'s multi-dimensional
+    * clustering, surfaced as an oracle-checkable query: 8-bit fixed-width
+    * bins from a broadcast 1-row min/max aggregate, then the bit
+    * interleave. CompactionSpec proves the LAYOUT property (2-D box
+    * predicates overlap few z-clustered files, vs all files under a 1-D
+    * sort); this query pins the curve arithmetic itself cross-engine.
+    */
+  def q100ZorderCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Compaction
+    val ev = Tables.events(spark, dir)
+    val stats = ev.agg(
+      min(col("value")).as("mnv"), max(col("value")).as("mxv"),
+      min(col("user_id").cast("double")).as("mnu"),
+      max(col("user_id").cast("double")).as("mxu"))
+    val bv = Compaction.zBinCol(col("value"), col("mnv"), col("mxv"), 8)
+    val bu = Compaction.zBinCol(col("user_id").cast("double"),
+                                col("mnu"), col("mxu"), 8)
+    ev.crossJoin(broadcast(stats))
+      .select(col("event_id"), bv.as("bin_value"), bu.as("bin_user"))
+      .withColumn("z", Compaction.zInterleave(col("bin_value"),
+                                              col("bin_user"), 8))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_zorder_curve" -> (q100ZorderCurve(_, _)),
     "q30_cube"         -> (q30Cube(_, _)),
     "q29_sessionize"   -> (q29Sessionize(_, _)),
     "q28_range_join"   -> (q28RangeJoin(_, _)),
@@ -154,6 +181,28 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the bin quantization + bit interleave replayed from the same
+    // expression shapes (identical double ops, then integer shift/mask)
+    "q100_zorder_curve" -> {
+      def bin(c: String, mn: String, mx: String): String =
+        s"CASE WHEN $mx = $mn THEN 0 ELSE " +
+          s"least(255, greatest(0, CAST(floor(($c - $mn) * 256.0 " +
+          s"/ ($mx - $mn)) AS BIGINT))) END"
+      s"""WITH s AS (
+         |  SELECT min(value) AS mnv, max(value) AS mxv,
+         |         min(CAST(user_id AS DOUBLE)) AS mnu,
+         |         max(CAST(user_id AS DOUBLE)) AS mxu
+         |  FROM events),
+         |b AS (
+         |  SELECT event_id,
+         |    ${bin("value", "mnv", "mxv")} AS bin_value,
+         |    ${bin("CAST(user_id AS DOUBLE)", "mnu", "mxu")} AS bin_user
+         |  FROM events, s)
+         |SELECT event_id, bin_value, bin_user,
+         |  ${graft.io.Compaction.zInterleaveSql("bin_value", "bin_user", 8)}
+         |    AS z
+         |FROM b ORDER BY event_id""".stripMargin
+    },
     "q30_cube" ->
       """SELECT coalesce(lang, 'ALL') AS lang,
         |  coalesce(source, 'ALL') AS source,

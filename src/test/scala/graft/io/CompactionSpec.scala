@@ -59,4 +59,69 @@ class CompactionSpec extends SparkSpec {
     val sel = spark.read.parquet(s"$dir/out").filter(col("id") <= 100)
     assert(sel.count() == 100)
   }
+
+  test("zInterleave matches the hand-computed Morton code") {
+    import spark.implicits._
+    // a=0b101=5, b=0b011=3 → z bits: a0→p0,b0→p1,a1→p2,b1→p3,a2→p4,b2→p5
+    //   = 1·1 + 1·2 + 0·4 + 1·8 + 1·16 + 0·32 = 27
+    val z = Seq((5L, 3L)).toDF("a", "b")
+      .select(Compaction.zInterleave(col("a"), col("b"), 3).as("z"))
+      .head().getLong(0)
+    assert(z == 27L)
+    // order-2 curve over the full 2-bit grid: the classic z pattern
+    val grid = for { a <- 0L to 3L; b <- 0L to 3L } yield (a, b)
+    val zs = grid.toDF("a", "b")
+      .select(col("a"), col("b"),
+              Compaction.zInterleave(col("a"), col("b"), 2).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(zs((0L, 0L)) == 0 && zs((1L, 0L)) == 1 &&
+      zs((0L, 1L)) == 2 && zs((1L, 1L)) == 3 && zs((2L, 2L)) == 12)
+  }
+
+  test("zBin clamps to [0, 2^bits) and degenerate range bins to 0") {
+    import spark.implicits._
+    val df = Seq(0.0, 50.0, 100.0).toDF("x")
+    val bins = df.select(Compaction.zBin(col("x"), 0.0, 100.0, 8).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(bins == Seq(0L, 128L, 255L)) // max clamps 256 → 255
+    val const = df.select(Compaction.zBin(col("x"), 7.0, 7.0, 8))
+      .collect().map(_.getLong(0)).toSet
+    assert(const == Set(0L))
+  }
+
+  test("z-ordered layout prunes 2-D box queries where a 1-D sort cannot") {
+    import spark.implicits._
+    val dir = tmpDir("zorder")
+    // uniform 64×64 grid of points
+    val pts = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toDouble, y.toDouble, x * 64L + y)).toSeq
+      .toDF("x", "y", "id")
+    Compaction.compactZOrderedParquet(pts, s"$dir/z", nFiles = 16,
+                                      colA = "x", colB = "y")
+    Compaction.compactSortedParquet(pts, s"$dir/x", nFiles = 16,
+                                    sortCol = "x")
+    assert(parquetFiles(s"$dir/z").size == 16)
+
+    // box = the low-left quadrant's low-left quadrant (1/16 of the plane)
+    def overlapping(dir: String): Int =
+      parquetFiles(dir).count { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("x"), max("x"), min("y"), max("y")).head()
+        r.getDouble(0) <= 15.0 && r.getDouble(1) >= 0.0 &&
+          r.getDouble(2) <= 15.0 && r.getDouble(3) >= 0.0
+      }
+    val zHit = overlapping(s"$dir/z")
+    val xHit = overlapping(s"$dir/x")
+    // z-clustering: the box is a contiguous z-prefix → ~1/16 of files;
+    // x-sort: the y-constraint prunes nothing, the x-range spans 1/4 of
+    // the x axis → ≥ 4 of 16 files
+    assert(zHit <= 2, s"z layout should localize the box, hit $zHit/16")
+    assert(xHit >= zHit * 2,
+           s"1-D sort must overlap more files ($xHit vs $zHit)")
+    // correctness: both layouts return the identical box contents
+    val zRows = spark.read.parquet(s"$dir/z")
+      .filter(col("x") <= 15 && col("y") <= 15).count()
+    assert(zRows == 256)
+  }
 }
