@@ -58,6 +58,8 @@ object SparkEntry {
     "q96_mixture_budget",
     "q97_cluster_split",
     "q98_cms_heavy_hitters",
-    "q99_corpus_stats"
+    "q99_corpus_stats",
+    "q100_zorder_curve",
+    "q101_bpe_tokens"
   )
 }

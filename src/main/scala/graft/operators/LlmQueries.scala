@@ -876,6 +876,40 @@ object LlmQueries {
       defaultWeight = 1L)
       .orderBy("doc_id")
 
+  /** q101's fitted merge list, captured at query-build time so the
+    * oracle can inline the same literals (the q45 centroid pattern —
+    * the FIT is iterative/non-SQL, the APPLICATION replays exactly).
+    */
+  @volatile private var q101Merges: Seq[(String, String)] = Seq.empty
+
+  /** BPE vocabulary induction + tokenization ([[graft.llm.BpeTrainer]]):
+    * 40 merges learned from the corpus word-count table (one corpus-scale
+    * aggregation; driver merge loop over the MB-sized distinct-word
+    * table), then every document tokenized by the learned merges as a
+    * pure codegen'd replace chain — no UDF. Output: per-doc BPE token
+    * count + md5 of the exact token stream. Oracle-checked: DuckDB
+    * replays the tokenization from the inlined merge list (the fit
+    * itself is deterministic — max count, lexicographic tie-break —
+    * so both engines see identical merges).
+    */
+  def q101BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.BpeTrainer
+    val docs = Tables.documents(spark, dir)
+    val merges = BpeTrainer.fitMerges(
+      BpeTrainer.wordCounts(docs, "text"), numMerges = 40)
+    q101Merges = merges
+    // project the stream ONCE (the replace chain is the expensive part —
+    // a nested projection stops both consumers re-running it)
+    docs.select(col("doc_id"),
+                BpeTrainer.tokenStream(col("text"), merges).as("stream"))
+      .select(
+        col("doc_id"),
+        size(filter(split(col("stream"), " "), t => length(t) > 0))
+          .cast("long").as("n_bpe_tokens"),
+        md5(col("stream").cast("binary")).as("tokens_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Leakage-safe cluster-aware train/val/test split
     * ([[Splits.clusterAwareSplit]]): near-dup clusters from the q35
     * portable MinHash pipeline, every cluster hashed to exactly ONE
@@ -1245,7 +1279,8 @@ object LlmQueries {
     "q45_ann_ivf"          -> (q45AnnIvf(_, _)),
     "q97_cluster_split"    -> (q97ClusterSplit(_, _)),
     "q98_cms_heavy_hitters" -> (q98CmsHeavyHitters(_, _)),
-    "q99_corpus_stats"     -> (q99CorpusStats(_, _))
+    "q99_corpus_stats"     -> (q99CorpusStats(_, _)),
+    "q101_bpe_tokens"      -> (q101BpeTokens(_, _))
   )
 
   /** DuckDB replay of [[Similarity.hyperplaneSignature]]: the projection
@@ -2452,6 +2487,28 @@ object LlmQueries {
         |       round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx))
         |              * sx) / k, 6) AS zipf_intercept
         |FROM g, z""".stripMargin,
+    // Tokenization replay from the fitted merge list (captured when the
+    // query ran — the q45 pattern); the token stream, its md5, and the
+    // non-empty token count all recomputed in DuckDB.
+    "q101_bpe_tokens" -> {
+      val applied = graft.llm.BpeTrainer.applyMergesSql("w", q101Merges)
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\W+'),
+         |                x -> len(x) > 0) AS words
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(words, w -> $applied), ' ')
+         |      AS stream
+         |  FROM d)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(string_split(stream, ' '),
+         |                       x -> len(x) > 0)) AS BIGINT)
+         |    AS n_bpe_tokens,
+         |  md5(stream) AS tokens_md5
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
     "q72_simhash_candidates" -> {
       val bandSelects = (0 until 4).map { b =>
         s"  SELECT doc_id, simhash60, $b AS band," +
