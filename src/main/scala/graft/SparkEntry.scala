@@ -60,6 +60,7 @@ object SparkEntry {
     "q98_cms_heavy_hitters",
     "q99_corpus_stats",
     "q100_zorder_curve",
-    "q101_bpe_tokens"
+    "q101_bpe_tokens",
+    "q102_corpus_digest"
   )
 }

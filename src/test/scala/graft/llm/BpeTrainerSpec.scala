@@ -70,6 +70,18 @@ class BpeTrainerSpec extends SparkSpec {
     assert(s == "low est low")
   }
 
+  test("save/load round-trips the merge list in fit order") {
+    val merges = BpeTrainer.fitMerges(
+      BpeTrainer.wordCounts(corpus, "text"), numMerges = 6)
+    BpeTrainer.save(spark, merges, "graft_bpe_spec")
+    try {
+      assert(BpeTrainer.load(spark, "graft_bpe_spec") == merges)
+      // idempotent re-save (the stale-location trap)
+      BpeTrainer.save(spark, merges, "graft_bpe_spec")
+      assert(BpeTrainer.load(spark, "graft_bpe_spec") == merges)
+    } finally BpeTrainer.drop(spark, "graft_bpe_spec")
+  }
+
   test("fit is deterministic across partitioning") {
     import spark.implicits._
     val docs = (0 until 200).map(i =>

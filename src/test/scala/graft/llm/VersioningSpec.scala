@@ -41,4 +41,40 @@ class VersioningSpec extends SparkSpec {
     assert(out == Map("removed" -> 2L, "added" -> 2L,
                       "changed" -> 1L, "unchanged" -> 7L))
   }
+
+  test("corpusDigest is invariant to partitioning and row order") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"document body $i"))
+      .toDF("doc_id", "text")
+    val a = Versioning.corpusDigest(docs.repartition(1), "doc_id", "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    val b = Versioning.corpusDigest(
+      docs.repartition(32).sortWithinPartitions("text"), "doc_id", "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    assert(a == b)
+    assert(a.keys.count(_._1 == 1) == 1) // exactly one root
+  }
+
+  test("corpusDigest localizes a single-doc mutation to one bucket") {
+    import spark.implicits._
+    val v1 = (0L until 500L).map(i => (i, s"document body $i"))
+      .toDF("doc_id", "text")
+    val v2 = (0L until 500L).map(i =>
+      (i, if (i == 250L) "tampered" else s"document body $i"))
+      .toDF("doc_id", "text")
+    val d1 = Versioning.corpusDigest(v1, "doc_id", "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    val d2 = Versioning.corpusDigest(v2, "doc_id", "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    // root differs; exactly ONE level-0 bucket differs (the mutated
+    // leaf moves bucket: at most 2 buckets touched)
+    assert(d1((1, 0L)) != d2((1, 0L)))
+    val changed = d1.keys.filter(_._1 == 0)
+      .count(k => d1(k) != d2.getOrElse(k, ""))
+    assert(changed >= 1 && changed <= 2, s"$changed buckets changed")
+  }
 }
