@@ -61,6 +61,8 @@ object SparkEntry {
     "q99_corpus_stats",
     "q100_zorder_curve",
     "q101_bpe_tokens",
-    "q102_corpus_digest"
+    "q102_corpus_digest",
+    "q103_gram_novelty",
+    "q104_dup_graph_rank"
   )
 }

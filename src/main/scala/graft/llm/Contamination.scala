@@ -32,6 +32,33 @@ object Contamination {
       .select(col("doc_id"),
               explode(expr("md5prefix60(__grams)")).as("gram_fp"))
 
+  /** Corpus-internal gram novelty: for each doc, the share of its
+    * distinct word-n-grams appearing in NO other document — high novelty
+    * marks unique content worth keeping (and, inverted, low novelty
+    * flags templated/boilerplate-heavy docs the repetition gates may
+    * miss); the same df-per-gram table doubles as the memorization-risk
+    * audit (grams with df = 1 are the ones a model can only have learned
+    * from this document).
+    *
+    * Plan: distinct per-doc gram fps (row-local, longs only) → df per fp
+    * (one shuffle, map-side combined) → join back on fp → per-doc agg.
+    * The fraction is the exact ×10⁶-floored integer (ppm), so it is
+    * order-independent and engine-portable.
+    */
+  def gramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 6): DataFrame = {
+    val g = gramFingerprints(docs, idCol, textCol, n)
+      .transform(graft.Materialize(_))
+    val dfreq = g.groupBy("gram_fp").agg(count(lit(1)).as("df"))
+    g.join(dfreq, Seq("gram_fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm",
+                  floor(col("n_novel") * lit(1000000.0) / col("n_grams"))
+                    .cast("long"))
+  }
+
   /** Positional gram fingerprints: one row per gram OCCURRENCE with its
     * 0-based start-token offset (no distinct — positions are the point).
     * Sub-n docs yield a single whole-doc gram at offset 0, matching the

@@ -921,6 +921,35 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic fixed-point PageRank over the verified near-dup graph
+    * ([[graft.llm.GraphRank.pageRankFixedPoint]]): 10 integer-arithmetic
+    * iterations over the q35 candidate edges — the centrality signal
+    * that picks the CANONICAL member of a duplicate family. FULLY
+    * oracle-checked: no float exists anywhere in the iteration, so
+    * DuckDB replays the edges (same minhash prefix as q35) and the
+    * unrolled iterations to bit-identical BIGINT ranks.
+    */
+  def q104DupGraphRank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashCandidatePairsPortable(
+      Tables.documents(spark, dir), "doc_id", "text",
+      k = 5, numHashes = 32, bands = 8, threshold = 0.5)
+    graft.llm.GraphRank.pageRankFixedPoint(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b")), iters = 10)
+      .select(col("node").as("doc_id"), col("rank"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-internal gram novelty ([[Contamination.gramNovelty]]): per
+    * doc, how many of its distinct word-6-grams appear in NO other
+    * document — the uniqueness/memorization-risk audit (and, inverted,
+    * a template detector). Exact ×10⁶-floored ppm fraction; FULLY
+    * oracle-checked (grams, df counts, join-back, ppm all replayed).
+    */
+  def q103GramNovelty(spark: SparkSession, dir: String): DataFrame =
+    Contamination.gramNovelty(Tables.documents(spark, dir),
+                              "doc_id", "text", n = 6)
+      .orderBy("doc_id")
+
   /** Merkle-style corpus content digest ([[Versioning.corpusDigest]]):
     * 64 content-hash bucket digests over sorted leaf md5s + one root —
     * the verifiable release attestation (compare one hash, localize a
@@ -1305,7 +1334,9 @@ object LlmQueries {
     "q98_cms_heavy_hitters" -> (q98CmsHeavyHitters(_, _)),
     "q99_corpus_stats"     -> (q99CorpusStats(_, _)),
     "q101_bpe_tokens"      -> (q101BpeTokens(_, _)),
-    "q102_corpus_digest"   -> (q102CorpusDigest(_, _))
+    "q102_corpus_digest"   -> (q102CorpusDigest(_, _)),
+    "q103_gram_novelty"    -> (q103GramNovelty(_, _)),
+    "q104_dup_graph_rank"  -> (q104DupGraphRank(_, _))
   )
 
   /** DuckDB replay of [[Similarity.hyperplaneSignature]]: the projection
@@ -1386,9 +1417,14 @@ object LlmQueries {
        |$bandSelects)""".stripMargin
   }
 
-  private def minhashPortableCtes(source: String, k: Int, numHashes: Int,
-                                  bands: Int, threshold: Double,
-                                  maxBucket: Int): String =
+  /** The verified-edge prefix of the minhash replay (signatures →
+    * guarded banding → candidate pairs → exact-Jaccard verify), ending
+    * with ed(da, db) — shared by the full closure chain and the
+    * graph-rank oracle (q104), which consumes the edges directly.
+    */
+  private def minhashEdgeCtes(source: String, k: Int, numHashes: Int,
+                              bands: Int, threshold: Double,
+                              maxBucket: Int): String =
     s"""${minhashSigCtes(source, k, numHashes, bands)},
        |bf AS (
        |  SELECT doc_id, band, bucket FROM bd
@@ -1402,7 +1438,14 @@ object LlmQueries {
        |  JOIN hs ha ON ha.doc_id = pr.da
        |  JOIN hs hb ON hb.doc_id = pr.db
        |  WHERE CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE)
-       |        / len(list_distinct(list_concat(ha.h, hb.h))) >= $threshold),
+       |        / len(list_distinct(list_concat(ha.h, hb.h))) >= $threshold)"""
+      .stripMargin
+
+  private def minhashPortableCtes(source: String, k: Int, numHashes: Int,
+                                  bands: Int, threshold: Double,
+                                  maxBucket: Int): String =
+    s"""${minhashEdgeCtes(source, k, numHashes, bands, threshold,
+                          maxBucket)},
        |sym AS (SELECT da AS x, db AS y FROM ed
        |        UNION ALL SELECT db, da FROM ed),
        |lab(d, l) AS (
@@ -2512,6 +2555,41 @@ object LlmQueries {
         |       round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx))
         |              * sx) / k, 6) AS zipf_intercept
         |FROM g, z""".stripMargin,
+    // The q35 edge prefix + symmetric edges + the unrolled integer
+    // power iterations — every rank a bit-identical BIGINT.
+    "q104_dup_graph_rank" ->
+      s"""WITH ${minhashEdgeCtes("documents", k = 5, numHashes = 32,
+                                 bands = 8, threshold = 0.5,
+                                 maxBucket = 1000)},
+         |grsym AS (SELECT da AS x, db AS y FROM ed
+         |          UNION ALL SELECT db, da FROM ed),
+         |${graft.llm.GraphRank.oracleCtes(iters = 10)}
+         |SELECT node AS doc_id, rank FROM grr10
+         |ORDER BY doc_id""".stripMargin,
+    // Same distinct-gram CTE as q67, then df per fp → join back →
+    // per-doc counts and the exact ppm floor.
+    "q103_gram_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(unnest(
+        |      CASE WHEN len(t) < 6 THEN [array_to_string(t, ' ')]
+        |        ELSE list_distinct(list_transform(
+        |               generate_series(0, len(t) - 6),
+        |               i -> array_to_string(t[i+1:i+6], ' ')))
+        |      END)), 1, 15))::BIGINT AS fp
+        |  FROM tok),
+        |df AS (SELECT fp, count(*) AS df FROM g GROUP BY fp),
+        |j AS (SELECT g.doc_id, df.df FROM g JOIN df USING (fp))
+        |SELECT doc_id, count(*) AS n_grams,
+        |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_novel,
+        |  CAST(floor(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+        |             * 1000000.0 / count(*)) AS BIGINT) AS novelty_ppm
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Leaves, bucket routing, per-bucket sorted digests, and the root
     // all rebuilt; string_agg(ORDER BY) is the sort_array twin.
     "q102_corpus_digest" ->

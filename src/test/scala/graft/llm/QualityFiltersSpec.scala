@@ -269,4 +269,26 @@ class QualityFiltersSpec extends SparkSpec {
     assert(out2.map(_.getLong(0)).sorted.toSeq ==
              Seq(1L, 2L, 3L, 5L, 6L, 7L, 9L))
   }
+
+  test("gramNovelty: exact copies score 0 ppm, unique docs 1e6 ppm, " +
+       "partial overlap in between") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, shared),                              // copy of 2 → 0 novel
+      (2L, shared),
+      (3L, "one two three four five six seven"), // fully unique
+      // 9 tokens: 4 grams; the first gram == doc 1/2's first gram
+      (4L, "alpha beta gamma delta epsilon zeta nine ten eleven"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.Contamination
+      .gramNovelty(docs, "doc_id", "text", n = 6)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L)._3 == 0L && out(2L)._3 == 0L)
+    assert(out(3L) == (2L, 2L, 1000000L)) // 7 tokens → 2 grams, both novel
+    // doc 4: 4 grams, 1 shared with docs 1/2 → 3 novel → 750000 ppm
+    assert(out(4L) == (4L, 3L, 750000L))
+  }
 }
