@@ -215,6 +215,55 @@ object EventStreams {
       graft.llm.IndexStore.loadMinhashIndex(docs.sparkSession, indexName),
       idCol, textCol, outDir, checkpoint)
 
+  /** Per-micro-batch corpus stats for one ingest batch, flagged against
+    * a REFERENCE snapshot's numbers — the drift row a monitoring sink
+    * appends: a batch whose token entropy collapses or whose mean
+    * quality drops usually means an upstream source broke (boilerplate
+    * flood, encoding breakage, a crawler stuck in a template farm).
+    * `tol` is the +/- band on entropy bits; quality alerts below
+    * `minQuality`. Pure aggregation — one row out per batch.
+    */
+  def qualityDriftRow(batch: DataFrame, batchId: Long, textCol: String,
+                      refEntropyBits: Double, tol: Double,
+                      minQuality: Double): DataFrame = {
+    val stats = graft.llm.CorpusStats.corpusStats(batch, textCol)
+    val q = batch.agg(
+      round(avg(graft.llm.TextAnalysis.qualityScore(col(textCol))), 4)
+        .as("mean_quality"),
+      count(lit(1)).as("n_docs"))
+    stats.crossJoin(q).select(
+      lit(batchId).as("batch_id"),
+      col("n_docs"), col("n_tokens"), col("entropy_bits"),
+      col("mean_quality"),
+      (abs(col("entropy_bits") - lit(refEntropyBits)) > lit(tol))
+        .as("entropy_alert"),
+      (col("mean_quality") < lit(minQuality)).as("quality_alert"))
+  }
+
+  /** Streaming corpus-quality drift monitor: every micro-batch of
+    * documents appends ONE stats row (entropy, mean quality, alert
+    * flags vs the reference corpus) to a parquet monitoring table via
+    * the idempotent `batch_id=` layout — replayed batches overwrite
+    * their own partition, so the monitor history stays exactly-once
+    * across restarts. The reference numbers come from a batch
+    * [[graft.llm.CorpusStats.corpusStats]] run over the accepted
+    * corpus (refit at each release).
+    */
+  def qualityDriftSink(docs: DataFrame, textCol: String,
+                       refEntropyBits: Double, tol: Double,
+                       minQuality: Double,
+                       outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        upsertBatch(
+          qualityDriftRow(batch.toDF(), id, textCol,
+                          refEntropyBits, tol, minQuality),
+          id, outDir))
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .start()
+
   /** Batch replay of the same logic over the static events table —
     * identical semantics checked in tests (stream/batch parity is the
     * Structured Streaming contract).

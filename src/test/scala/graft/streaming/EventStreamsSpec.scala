@@ -415,4 +415,48 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.toSeq == Seq((ts(0), "a", 1L), (ts(0), "b", 1L),
                               (ts(10), "a", 1L)))
   }
+
+  test("quality-drift sink: healthy batch passes, boilerplate flood " +
+       "raises both alerts; replay stays exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val outDir = tmpDir("drift") + "/out"
+    val ckpt = tmpDir("drift") + "/ckpt"
+    val healthy = (0 until 30).map(i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog number $i" +
+        s" and walks to the market with friend $i carrying basket $i"))
+    val flood = (100 until 130).map(i => (i.toLong, "spam " * 40))
+    // reference entropy: batch corpusStats over the healthy slice
+    val ref = graft.llm.CorpusStats
+      .corpusStats(healthy.toDF("doc_id", "text"), "text")
+      .head().getAs[Double]("entropy_bits")
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.qualityDriftSink(
+      input.toDF().toDF("doc_id", "text"), "text",
+      refEntropyBits = ref, tol = 1.5, minQuality = 0.3,
+      outDir = outDir, checkpoint = ckpt)
+    try {
+      input.addData(healthy: _*)
+      q.processAllAvailable()
+      input.addData(flood: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(outDir)
+      // batch_id is the partition column → its read-back type is the
+      // inferred partition type; normalize
+      .select(col("batch_id").cast("long"), col("n_docs"),
+              col("entropy_alert"), col("quality_alert"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(rows.size == 2, s"one stats row per micro-batch: $rows")
+    assert(rows(0L) == ((30L, false, false)), s"healthy batch: $rows")
+    assert(rows(1L)._2 || rows(1L)._3,
+           s"boilerplate flood must alert: $rows")
+    // failure-replay of batch 1 overwrites its partition, no duplicates
+    EventStreams.upsertBatch(
+      EventStreams.qualityDriftRow(flood.toDF("doc_id", "text"), 1L,
+                                   "text", ref, 1.5, 0.3),
+      1L, outDir)
+    assert(spark.read.parquet(outDir).count() == 2)
+  }
 }
