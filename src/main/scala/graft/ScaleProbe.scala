@@ -120,6 +120,34 @@ object ScaleProbe {
         noop(Dedup.sharedSubstringSpans(d, "doc_id", "text"))
       }
     }
+    // CMS vs exact token counting: the sketch's shuffle is bounded by
+    // the d×w counter grid while the exact path shuffles one row per
+    // DISTINCT token (replicas add " v$i" suffix tokens, so vocabulary
+    // grows with n) — the probe measures the gap widening.
+    for (n <- Seq(1, 5, 20)) {
+      val d = docsX(n); val rows = d.count()
+      val toks = d.select(explode(Dedup.wordTokens(col("text")))
+        .as("token"))
+      time(s"exact_counts   n=$n ($rows)") {
+        noop(toks.groupBy("token").agg(count(lit(1)).as("n")))
+      }
+      time(s"cms_sketch     n=$n ($rows)") {
+        noop(graft.llm.Sketches.cmsSketch(toks, "token", d = 4, w = 512))
+      }
+    }
+    // PageRank: same replicated near-dup graph as the minhash probe;
+    // the driver endgame handles every n here (the graph after banding
+    // is pair-bounded) — the probe pins that rank cost tracks EDGES,
+    // not corpus rows.
+    for (n <- Seq(1, 5, 20)) {
+      val d = docsX(n); val rows = d.count()
+      time(s"graph_rank     n=$n ($rows)") {
+        val pairs = Dedup.minhashCandidatePairsPortable(
+          d, "doc_id", "text")
+        noop(graft.llm.GraphRank.pageRankFixedPoint(
+          pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))))
+      }
+    }
     spark.stop()
   }
 }

@@ -84,9 +84,17 @@ object GraphRank {
     val n = nodes.count()
     val init = scale / n
     val base = (scale * (100 - dampingPct) / 100) / n
+    // The rank vector is 16 bytes/node — broadcastable far beyond the
+    // endgame bound. Broadcasting it into the edge join means the EDGE
+    // LIST never shuffles: the only per-iteration exchange is the
+    // map-side-combined contribution aggregate (≤ nodes rows). Above
+    // `maxBroadcastNodes` fall back to the shuffled join (both sides
+    // exchange on node id) — same integer results either way.
+    val maxBroadcastNodes = 10000000L
     var r = nodes.withColumn("rank", lit(init))
     for (_ <- 1 to iters) {
-      val contrib = e.join(r, col("x") === col("node"))
+      val rSide = if (n <= maxBroadcastNodes) broadcast(r) else r
+      val contrib = e.join(rSide, col("x") === col("node"))
         .groupBy("y")
         .agg(sum(expr("rank DIV deg")).as("s"))
       r = nodes.join(contrib, col("node") === col("y"), "left")

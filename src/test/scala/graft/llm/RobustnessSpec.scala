@@ -217,4 +217,40 @@ class RobustnessSpec extends SparkSpec {
              s"$tok: est $est too far above exact $n")
     }
   }
+
+  test("late round-6 ops on empty and degenerate input: splits, portable " +
+       "CMS, gram novelty, BPE, digest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // cluster-aware split of an empty mapping
+    val emptyClusters = emptyDocs
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    assert(Splits.clusterAwareSplit(
+      emptyClusters, Seq("train" -> 0.9, "val" -> 0.1)).count() == 0)
+    // CMS over an empty item stream: empty sketch; estimates coalesce 0
+    val sk = Sketches.cmsSketch(
+      emptyDocs.select(col("text").as("item")), "item")
+    assert(sk.count() == 0)
+    val est = Sketches.cmsEstimate(sk, Seq("x").toDF("item"), "item")
+      .head()
+    assert(est.getLong(1) == 0L)
+    // gram novelty: empty corpus → empty; single doc → all grams novel
+    assert(Contamination.gramNovelty(emptyDocs, "doc_id", "text")
+      .count() == 0)
+    val one = Seq((1L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val nv = Contamination.gramNovelty(one, "doc_id", "text").head()
+    assert(nv.getAs[Long]("novelty_ppm") == 1000000L)
+    // BPE on empty corpus: no merges; tokenStream of empty text is empty
+    assert(BpeTrainer.fitMerges(
+      BpeTrainer.wordCounts(emptyDocs, "text"), 5).isEmpty)
+    val ts = Seq((1L, "")).toDF("doc_id", "text")
+      .select(BpeTrainer.tokenStream(col("text"), Seq(("a", "b"))))
+      .head().getString(0)
+    assert(ts == "")
+    // corpus digest of an empty corpus: no buckets, just the root row
+    val dg = Versioning.corpusDigest(emptyDocs, "doc_id", "text")
+      .collect()
+    assert(dg.count(_.getInt(0) == 1) == 1)
+  }
 }
