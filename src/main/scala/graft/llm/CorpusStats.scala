@@ -32,8 +32,40 @@ object CorpusStats {
     * tokens (slope ≈ −1 for natural text, per Zipf's law).
     */
   def corpusStats(docs: DataFrame, textCol: String,
-                  topK: Int = 100): DataFrame = {
-    val tc = tokenCounts(docs, textCol)
+                  topK: Int = 100): DataFrame =
+    statsFromCounts(tokenCounts(docs, textCol), topK)
+
+  /** Token counts are the MERGEABLE sufficient statistic for every
+    * number [[corpusStats]] reports: persist them once
+    * ([[saveCounts]]/[[loadCounts]]), then a day's ingest updates the
+    * dataset card by aggregating BATCH counts and [[mergeCounts]]-ing —
+    * touching yesterday's corpus only through its (token, n) table,
+    * never rescanning the text. Exact (no sketch): the merge is a sum.
+    */
+  def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.select("token", "n").unionByName(b.select("token", "n"))
+      .groupBy("token")
+      .agg(sum("n").as("n"))
+
+  def saveCounts(counts: DataFrame, name: String): Unit = {
+    val spark = counts.sparkSession
+    IndexStore.dropWithLocation(spark, s"${name}_counts", None)
+    counts.select("token", "n")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${name}_counts")
+  }
+
+  def loadCounts(spark: org.apache.spark.sql.SparkSession,
+                 name: String): DataFrame =
+    spark.table(s"${name}_counts")
+
+  def dropCounts(spark: org.apache.spark.sql.SparkSession,
+                 name: String): Unit =
+    IndexStore.dropWithLocation(spark, s"${name}_counts", None)
+
+  /** [[corpusStats]] from an existing (token, n) table. */
+  def statsFromCounts(counts: DataFrame, topK: Int = 100): DataFrame = {
+    val tc = counts
       .select(col("token"), col("n").cast("double").as("n"))
       .transform(graft.Materialize(_))
 

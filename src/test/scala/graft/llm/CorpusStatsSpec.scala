@@ -54,6 +54,34 @@ class CorpusStatsSpec extends SparkSpec {
            rows.head.getAs[Long]("n_tokens") == 0L)
   }
 
+  test("incremental counts: merged batch counts reproduce the full-corpus " +
+       "stats exactly; counts survive save/load") {
+    import spark.implicits._
+    val day1 = (0 until 300).map(i =>
+      (i.toLong, s"common words appear here tok${i % 23} and tok${i % 7}"))
+      .toDF("doc_id", "text")
+    val day2 = (300 until 500).map(i =>
+      (i.toLong, s"fresh batch text tok${i % 31} with common words too"))
+      .toDF("doc_id", "text")
+    val full = CorpusStats.corpusStats(day1.unionByName(day2), "text")
+      .head()
+    CorpusStats.saveCounts(CorpusStats.tokenCounts(day1, "text"),
+                           "graft_cs_spec")
+    try {
+      val merged = CorpusStats.mergeCounts(
+        CorpusStats.loadCounts(spark, "graft_cs_spec"),
+        CorpusStats.tokenCounts(day2, "text"))
+      val inc = CorpusStats.statsFromCounts(merged).head()
+      assert(inc.getAs[Long]("n_tokens") == full.getAs[Long]("n_tokens"))
+      assert(inc.getAs[Long]("n_distinct") ==
+        full.getAs[Long]("n_distinct"))
+      assert(inc.getAs[Double]("entropy_bits") ==
+        full.getAs[Double]("entropy_bits"))
+      assert(inc.getAs[Double]("zipf_slope") ==
+        full.getAs[Double]("zipf_slope"))
+    } finally CorpusStats.dropCounts(spark, "graft_cs_spec")
+  }
+
   test("stats are invariant to partitioning (order-independent to 6dp)") {
     import spark.implicits._
     val docs = (0 until 500).map { i =>
