@@ -29,7 +29,7 @@ object IndexStore {
     * index-rotation path (save under the same name, next day, new
     * process). Deleting the stale location restores save idempotence.
     */
-  private[llm] def dropWithLocation(spark: SparkSession, table: String,
+  private[graft] def dropWithLocation(spark: SparkSession, table: String,
                                     dir: Option[String]): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = dir.getOrElse(
