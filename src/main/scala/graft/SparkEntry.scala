@@ -63,6 +63,7 @@ object SparkEntry {
     "q101_bpe_tokens",
     "q102_corpus_digest",
     "q103_gram_novelty",
-    "q104_dup_graph_rank"
+    "q104_dup_graph_rank",
+    "q105_apply_changelog"
   )
 }

@@ -50,6 +50,41 @@ object Versioning {
       .groupBy("change")
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Apply a CHANGELOG to a corpus snapshot — the MERGE INTO of a
+    * versioned release pipeline, in plain Spark: `changes` carries
+    * (id, version, op ∈ upsert|delete, payload); per id the
+    * HIGHEST-version change wins (ties impossible when versions are
+    * ingest sequence numbers; broken by op then payload fingerprint for
+    * full determinism anyway), a winning `delete` removes the doc, a
+    * winning `upsert` replaces-or-inserts it, untouched docs pass
+    * through.
+    *
+    * Scale shape: latest-change-per-id is ONE aggregation (max_by via
+    * max(struct) — no window sort), then one full-outer join with the
+    * base on id. Store base snapshots bucketed by id ([[IndexStore]]
+    * layout) and the join plans Exchange-free on the base side; the
+    * changelog is delta-sized. Text never shuffles twice — the base
+    * side moves only through the join it already needed.
+    */
+  def applyChangelog(base: DataFrame, changes: DataFrame,
+                     idCol: String, versionCol: String, opCol: String,
+                     textCol: String): DataFrame = {
+    val latest = changes
+      .select(col(idCol).as("doc_id"),
+              struct(col(versionCol).as("v"), col(opCol).as("op"),
+                     md5(col(textCol).cast("binary")).as("fp"),
+                     col(textCol).as("text")).as("ch"))
+      .groupBy("doc_id")
+      .agg(max(col("ch")).as("ch"))
+      .select(col("doc_id"), col("ch.op").as("__op"),
+              col("ch.text").as("__text"))
+    base.select(col(idCol).as("doc_id"), col(textCol).as("__base_text"))
+      .join(latest, Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("__op"), lit("keep")) =!= "delete")
+      .select(col("doc_id"),
+              coalesce(col("__text"), col("__base_text")).as(textCol))
+  }
+
   /** Merkle-style corpus content digest — the verifiable release
     * attestation: two parties holding "the same" release can compare one
     * root hash instead of 100 TB of bytes, and a mismatch localizes to

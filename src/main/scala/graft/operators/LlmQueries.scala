@@ -972,6 +972,38 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Changelog application ([[Versioning.applyChangelog]] — the MERGE
+    * INTO of a versioned corpus): a deterministic synthetic changelog
+    * (revisions for id%7, a competing later revision for id%14,
+    * deletes for id%11, inserts above id 10⁶ for id%13) merged onto the
+    * documents snapshot, latest version winning per id. FULLY
+    * oracle-checked — DuckDB rebuilds the changelog, replays the
+    * latest-wins choice and the full-outer merge, and compares content
+    * md5 per surviving doc.
+    */
+  def q105ApplyChangelog(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val rev2 = d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), lit(2L).as("version"), lit("upsert").as("op"),
+              concat(col("text"), lit(" [rev2]")).as("text"))
+    val rev3 = d.filter(col("doc_id") % 14 === 0)
+      .select(col("doc_id"), lit(3L).as("version"), lit("upsert").as("op"),
+              concat(col("text"), lit(" [rev3]")).as("text"))
+    val dels = d.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), lit(2L).as("version"), lit("delete").as("op"),
+              lit("").as("text"))
+    val ins = d.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+              lit(1L).as("version"), lit("upsert").as("op"),
+              concat(lit("new doc "), col("doc_id").cast("string"))
+                .as("text"))
+    val changes = rev2.unionByName(rev3).unionByName(dels).unionByName(ins)
+    Versioning.applyChangelog(d, changes, "doc_id", "version", "op", "text")
+      .select(col("doc_id"),
+              md5(col("text").cast("binary")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-internal gram novelty ([[Contamination.gramNovelty]]): per
     * doc, how many of its distinct word-6-grams appear in NO other
     * document — the uniqueness/memorization-risk audit (and, inverted,
@@ -1371,7 +1403,8 @@ object LlmQueries {
     "q101_bpe_tokens"      -> (q101BpeTokens(_, _)),
     "q102_corpus_digest"   -> (q102CorpusDigest(_, _)),
     "q103_gram_novelty"    -> (q103GramNovelty(_, _)),
-    "q104_dup_graph_rank"  -> (q104DupGraphRank(_, _))
+    "q104_dup_graph_rank"  -> (q104DupGraphRank(_, _)),
+    "q105_apply_changelog" -> (q105ApplyChangelog(_, _))
   )
 
   /** DuckDB replay of [[Similarity.hyperplaneSignature]]: the projection
@@ -2590,6 +2623,38 @@ object LlmQueries {
         |       round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx))
         |              * sx) / k, 6) AS zipf_intercept
         |FROM g, z""".stripMargin,
+    // Changelog rebuilt from the same id-modulo rules; latest-wins via
+    // the (v, op, fp, text) DESC ordering (the max(struct) twin), then
+    // the full-outer merge and delete filter.
+    "q105_apply_changelog" ->
+      """WITH ch AS (
+        |  SELECT doc_id, 2 AS v, 'upsert' AS op,
+        |         text || ' [rev2]' AS text
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'upsert', text || ' [rev3]'
+        |  FROM documents WHERE doc_id % 14 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'delete', ''
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 1, 'upsert',
+        |         'new doc ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |latest AS (
+        |  SELECT doc_id, op AS __op, text AS __text
+        |  FROM ch
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY doc_id
+        |    ORDER BY v DESC, op DESC, md5(text) DESC, text DESC) = 1),
+        |m AS (
+        |  SELECT coalesce(b.doc_id, l.doc_id) AS doc_id,
+        |         l.__op, coalesce(l.__text, b.text) AS text
+        |  FROM documents b FULL OUTER JOIN latest l
+        |    ON b.doc_id = l.doc_id)
+        |SELECT doc_id, md5(text) AS content_md5
+        |FROM m WHERE coalesce(__op, 'keep') <> 'delete'
+        |ORDER BY doc_id""".stripMargin,
     // The q35 edge prefix + symmetric edges + the unrolled integer
     // power iterations — every rank a bit-identical BIGINT.
     "q104_dup_graph_rank" ->

@@ -42,6 +42,27 @@ class VersioningSpec extends SparkSpec {
                       "changed" -> 1L, "unchanged" -> 7L))
   }
 
+  test("applyChangelog: latest version wins; deletes remove; inserts " +
+       "land; untouched docs pass through") {
+    import spark.implicits._
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val changes = Seq(
+      (2L, 1L, "upsert", "two v1"),
+      (2L, 3L, "upsert", "two v3"),   // latest wins over v1
+      (2L, 2L, "upsert", "two v2"),
+      (3L, 1L, "delete", ""),
+      (5L, 1L, "upsert", "five new"), // insert
+      (4L, 1L, "delete", ""),
+      (4L, 2L, "upsert", "four back")) // re-upsert AFTER delete → kept
+      .toDF("doc_id", "version", "op", "text")
+    val out = Versioning.applyChangelog(base, changes,
+                                        "doc_id", "version", "op", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "one", 2L -> "two v3",
+                      4L -> "four back", 5L -> "five new"))
+  }
+
   test("corpusDigest is invariant to partitioning and row order") {
     import spark.implicits._
     val docs = (0L until 500L).map(i => (i, s"document body $i"))
