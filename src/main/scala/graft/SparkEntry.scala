@@ -64,6 +64,7 @@ object SparkEntry {
     "q102_corpus_digest",
     "q103_gram_novelty",
     "q104_dup_graph_rank",
-    "q105_apply_changelog"
+    "q105_apply_changelog",
+    "q106_event_funnel"
   )
 }

@@ -168,7 +168,45 @@ object TimeSeriesQueries {
       .orderBy("event_id")
   }
 
+  /** Ordered conversion funnel signup → view → purchase: a user counts
+    * at stage k only with a strictly later stage-k event than their
+    * stage-(k−1) entry time (first-touch semantics: min qualifying
+    * timestamp per stage). The classic product-analytics operator.
+    *
+    * Plan: one filtered min-agg per stage + an equi-join on user_id
+    * against the previous stage — three narrow shuffles on user_id, no
+    * window sort, no per-user event collection (per-user state never
+    * materializes, so a power user with millions of events costs the
+    * same as anyone). Conversion is an exact ×10⁶ integer ppm.
+    */
+  def q106EventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def stageEvents(t: String) =
+      ev.filter(col("event_type") === t).select("user_id", "ts")
+    val s1 = stageEvents("signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = stageEvents("view").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = stageEvents("purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def cnt(df: DataFrame, k: Int, name: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(k).as("stage"), lit(name).as("event_type"),
+                col("n_users"))
+    val staged = cnt(s1, 1, "signup")
+      .unionByName(cnt(s2, 2, "view"))
+      .unionByName(cnt(s3, 3, "purchase"))
+    staged.crossJoin(broadcast(
+        cnt(s1, 1, "signup").select(col("n_users").as("n1"))))
+      .select(col("stage"), col("event_type"), col("n_users"),
+              expr("(n_users * 1000000) DIV n1").as("conv_ppm"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_event_funnel" -> (q106EventFunnel(_, _)),
     "q100_zorder_curve" -> (q100ZorderCurve(_, _)),
     "q30_cube"         -> (q30Cube(_, _)),
     "q29_sessionize"   -> (q29Sessionize(_, _)),
@@ -181,6 +219,32 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // per-stage first-touch mins + strict-ordering joins + exact ppm
+    "q106_event_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |  GROUP BY e.user_id),
+        |staged AS (
+        |  SELECT 1 AS stage, 'signup' AS event_type,
+        |         count(*) AS n_users FROM s1
+        |  UNION ALL
+        |  SELECT 2, 'view', count(*) FROM s2
+        |  UNION ALL
+        |  SELECT 3, 'purchase', count(*) FROM s3),
+        |base AS (SELECT count(*) AS n1 FROM s1)
+        |SELECT stage, event_type, n_users,
+        |       (n_users * 1000000) // n1 AS conv_ppm
+        |FROM staged, base ORDER BY stage""".stripMargin,
     // the bin quantization + bit interleave replayed from the same
     // expression shapes (identical double ops, then integer shift/mask)
     "q100_zorder_curve" -> {
