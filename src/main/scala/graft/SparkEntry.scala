@@ -65,6 +65,7 @@ object SparkEntry {
     "q103_gram_novelty",
     "q104_dup_graph_rank",
     "q105_apply_changelog",
-    "q106_event_funnel"
+    "q106_event_funnel",
+    "q107_retention_cohorts"
   )
 }

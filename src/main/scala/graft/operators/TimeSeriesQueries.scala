@@ -205,7 +205,43 @@ object TimeSeriesQueries {
       .orderBy("stage")
   }
 
+  /** Weekly retention cohorts: users grouped by first-signup week, each
+    * cohort's share of users active again k weeks later (k ≤ 4). The
+    * second classic product-analytics operator (q106's sibling).
+    *
+    * Plan: first-signup agg per user → distinct (user, activity-week)
+    * projection → equi-join on user_id → (cohort, offset) count-distinct
+    * agg → cohort-size join. All shuffles are narrow (user ids and week
+    * dates); no window, no per-user sequence state. Retention is an
+    * exact ×10⁶ integer ppm.
+    */
+  def q107RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val weeks = ev.select(col("user_id"),
+                          date_trunc("week", col("ts")).as("activity_week"))
+      .distinct()
+    val joined = weeks.join(cohorts, "user_id")
+      .withColumn("week_offset",
+                  (datediff(col("activity_week"), col("cohort_week"))
+                    / 7).cast("long"))
+      .filter(col("week_offset") >= 0 && col("week_offset") <= 4)
+    val ret = joined.groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+    val sizes = cohorts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    ret.join(sizes, "cohort_week")
+      .select(col("cohort_week").cast("date").as("cohort_week"),
+              col("week_offset"), col("n_active"), col("cohort_size"),
+              expr("(n_active * 1000000) DIV cohort_size")
+                .as("retention_ppm"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_retention_cohorts" -> (q107RetentionCohorts(_, _)),
     "q106_event_funnel" -> (q106EventFunnel(_, _)),
     "q100_zorder_curve" -> (q100ZorderCurve(_, _)),
     "q30_cube"         -> (q30Cube(_, _)),
@@ -219,6 +255,34 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // cohort week = date_trunc('week', first signup); activity weeks
+    // distinct per user; integer day-diff / 7 offsets; exact ppm
+    "q107_retention_cohorts" ->
+      """WITH cohorts AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |weeks AS (
+        |  SELECT DISTINCT user_id,
+        |         date_trunc('week', ts) AS activity_week
+        |  FROM events),
+        |j AS (
+        |  SELECT w.user_id, c.cohort_week,
+        |    date_diff('day', c.cohort_week, w.activity_week) // 7
+        |      AS week_offset
+        |  FROM weeks w JOIN cohorts c ON w.user_id = c.user_id),
+        |ret AS (
+        |  SELECT cohort_week, week_offset,
+        |         count(DISTINCT user_id) AS n_active
+        |  FROM j WHERE week_offset BETWEEN 0 AND 4
+        |  GROUP BY 1, 2),
+        |sizes AS (
+        |  SELECT cohort_week, count(*) AS cohort_size
+        |  FROM cohorts GROUP BY 1)
+        |SELECT CAST(ret.cohort_week AS DATE) AS cohort_week,
+        |       week_offset, n_active, cohort_size,
+        |       (n_active * 1000000) // cohort_size AS retention_ppm
+        |FROM ret JOIN sizes ON ret.cohort_week = sizes.cohort_week
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     // per-stage first-touch mins + strict-ordering joins + exact ppm
     "q106_event_funnel" ->
       """WITH s1 AS (

@@ -43,6 +43,40 @@ class FunnelSpec extends SparkSpec {
     assert(out(3) == ((1L, 333333L)))
   }
 
+  test("retention cohorts: offsets count distinct users against their " +
+       "own signup week") {
+    import spark.implicits._
+    val dir = tmpDir("cohort")
+    val wk = 7 * 24 * 60 // minutes per week
+    // Mon 1970-01-05 is the first Monday ≥ epoch — keep everything
+    // inside clean week boundaries by offsetting 4 days
+    val base = 4 * 24 * 60
+    val events = Seq(
+      // cohort A (week 0): users 1, 2 sign up; user 1 active week 1
+      (1L, ts(base + 1), 1L, "signup", 0.0, "{}"),
+      (2L, ts(base + 2), 2L, "signup", 0.0, "{}"),
+      (3L, ts(base + wk + 5), 1L, "click", 0.0, "{}"),
+      // cohort B (week 1): user 3 signs up, active weeks 1 and 2
+      (4L, ts(base + wk + 1), 3L, "signup", 0.0, "{}"),
+      (5L, ts(base + 2 * wk + 1), 3L, "view", 0.0, "{}"),
+      // non-signup user: never a cohort member
+      (6L, ts(base + 3), 9L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TimeSeriesQueries.q107RetentionCohorts(spark, dir)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // cohort A: 2 users at offset 0; only user 1 back at offset 1
+    assert(out(("1970-01-05", 0L)) == ((2L, 2L, 1000000L)))
+    assert(out(("1970-01-05", 1L)) == ((1L, 2L, 500000L)))
+    // cohort B: 1 user, retained at offset 1
+    assert(out(("1970-01-12", 0L)) == ((1L, 1L, 1000000L)))
+    assert(out(("1970-01-12", 1L)) == ((1L, 1L, 1000000L)))
+    assert(!out.contains(("1970-01-05", 2L))) // nobody from A in week 2
+  }
+
   test("equal timestamps do not satisfy the STRICT order") {
     import spark.implicits._
     val dir = tmpDir("funneleq")
