@@ -66,6 +66,7 @@ object SparkEntry {
     "q104_dup_graph_rank",
     "q105_apply_changelog",
     "q106_event_funnel",
-    "q107_retention_cohorts"
+    "q107_retention_cohorts",
+    "q108_quality_psi"
   )
 }

@@ -63,6 +63,63 @@ object CorpusStats {
                  name: String): Unit =
     IndexStore.dropWithLocation(spark, s"${name}_counts", None)
 
+  /** Population Stability Index between a REFERENCE and a CURRENT score
+    * distribution — the standard drift number data-quality monitors
+    * alarm on (rule of thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * shifted). Scores in [0, 1) bucket into `buckets` fixed-width bins
+    * (values ≥ 1 clamp into the last); bucket shares are
+    * Laplace-smoothed ((n_i + 1) ⁄ (N + buckets)) so empty buckets need
+    * no epsilon hacks and the arithmetic stays engine-portable.
+    *
+    * Output: one row per bucket with both smoothed shares (ppm, exact
+    * integers) and the PSI contribution (p − q)·ln(p ⁄ q) rounded to 6
+    * decimals, plus a `bucket = -1` TOTAL row. Scale shape: two
+    * fixed-width-bucket aggregations (partial-agg to ≤ `buckets` rows
+    * each) + a broadcast join — nothing corpus-scale shuffles.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+               buckets: Int = 10): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def bucketed(df: DataFrame, nCol: String): DataFrame =
+      df.select(least(lit(buckets - 1),
+                      greatest(lit(0),
+                               floor(col(valueCol) * buckets).cast("int")))
+        .as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(nCol))
+    val all = ref.sparkSession.range(0, buckets)
+      .select(col("id").cast("int").as("bucket"))
+    val r = bucketed(ref, "n_ref")
+    val c = bucketed(cur, "n_cur")
+    val nr = ref.count(); val nc = cur.count()
+    val joined = all
+      .join(broadcast(r), Seq("bucket"), "left")
+      .join(broadcast(c), Seq("bucket"), "left")
+      .select(col("bucket"),
+              coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+              coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .withColumn("p", (col("n_ref") + 1).cast("double") /
+        lit((nr + buckets).toDouble))
+      .withColumn("q", (col("n_cur") + 1).cast("double") /
+        lit((nc + buckets).toDouble))
+      .withColumn("psi_contrib",
+                  round((col("p") - col("q")) * log(col("p") / col("q")),
+                        6))
+      .transform(graft.Materialize(_))
+    val perBucket = joined.select(
+      col("bucket"), col("n_ref"), col("n_cur"),
+      floor(col("p") * 1000000.0).cast("long").as("p_ppm"),
+      floor(col("q") * 1000000.0).cast("long").as("q_ppm"),
+      col("psi_contrib"))
+    val total = joined.agg(
+      sum("n_ref").as("n_ref"), sum("n_cur").as("n_cur"),
+      round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
+        .as("psi_contrib"))
+      .select(lit(-1).as("bucket"), col("n_ref"), col("n_cur"),
+              lit(-1L).as("p_ppm"), lit(-1L).as("q_ppm"),
+              col("psi_contrib"))
+    perBucket.unionByName(total)
+  }
+
   /** [[corpusStats]] from an existing (token, n) table. */
   def statsFromCounts(counts: DataFrame, topK: Int = 100): DataFrame = {
     val tc = counts

@@ -972,6 +972,22 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Population-stability-index drift ([[CorpusStats.psiDrift]]) of the
+    * quality-score distribution, src0 as the reference slice vs the
+    * rest of the corpus — per-bucket Laplace-smoothed shares (exact
+    * ppm) with PSI contributions and the headline total. FULLY
+    * oracle-checked (bucketing, smoothing, ln terms all replayed).
+    */
+  def q108QualityPsi(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("v", TextAnalysis.qualityScore(col("text")))
+    CorpusStats.psiDrift(
+      d.filter(col("source") === "src0").select("v"),
+      d.filter(col("source") =!= "src0").select("v"),
+      "v", buckets = 10)
+      .orderBy("bucket")
+  }
+
   /** Changelog application ([[Versioning.applyChangelog]] — the MERGE
     * INTO of a versioned corpus): a deterministic synthetic changelog
     * (revisions for id%7, a competing later revision for id%14,
@@ -1404,7 +1420,8 @@ object LlmQueries {
     "q102_corpus_digest"   -> (q102CorpusDigest(_, _)),
     "q103_gram_novelty"    -> (q103GramNovelty(_, _)),
     "q104_dup_graph_rank"  -> (q104DupGraphRank(_, _)),
-    "q105_apply_changelog" -> (q105ApplyChangelog(_, _))
+    "q105_apply_changelog" -> (q105ApplyChangelog(_, _)),
+    "q108_quality_psi"     -> (q108QualityPsi(_, _))
   )
 
   /** DuckDB replay of [[Similarity.hyperplaneSignature]]: the projection
@@ -2623,6 +2640,52 @@ object LlmQueries {
         |       round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx))
         |              * sx) / k, 6) AS zipf_intercept
         |FROM g, z""".stripMargin,
+    // Quality expr (the q32/q96 replay), fixed-width buckets, Laplace
+    // smoothing, ln contributions, and the -1 TOTAL row.
+    "q108_quality_psi" ->
+      s"""WITH s AS (
+         |  SELECT source,
+         |    round((least(length(text) / 200.0, 1.0)
+         |      + least((len(list_filter(
+         |            string_split_regex(lower(trim(text)), '\\s+'),
+         |            x -> list_contains($stopList, x)))
+         |          / CAST(greatest(len(string_split_regex(lower(trim(text)),
+         |                                                 '\\s+')), 1)
+         |                 AS DOUBLE)) * 4.0, 1.0)
+         |      + greatest(1.0 - (len(regexp_extract_all(text,
+         |            '[^A-Za-z0-9\\s]'))
+         |          / CAST(greatest(length(text), 1) AS DOUBLE)) * 4.0, 0.0))
+         |      / 3.0, 4) AS v
+         |  FROM documents),
+         |bk AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+         |rb AS (
+         |  SELECT least(9, greatest(0, CAST(floor(v * 10) AS INT)))
+         |    AS bucket, count(*) AS n
+         |  FROM s WHERE source = 'src0' GROUP BY 1),
+         |cb AS (
+         |  SELECT least(9, greatest(0, CAST(floor(v * 10) AS INT)))
+         |    AS bucket, count(*) AS n
+         |  FROM s WHERE source <> 'src0' GROUP BY 1),
+         |tot AS (
+         |  SELECT (SELECT count(*) FROM s WHERE source = 'src0') AS nr,
+         |         (SELECT count(*) FROM s WHERE source <> 'src0') AS nc),
+         |j AS (
+         |  SELECT bk.bucket,
+         |    coalesce(rb.n, 0) AS n_ref, coalesce(cb.n, 0) AS n_cur,
+         |    CAST(coalesce(rb.n, 0) + 1 AS DOUBLE) / (tot.nr + 10) AS p,
+         |    CAST(coalesce(cb.n, 0) + 1 AS DOUBLE) / (tot.nc + 10) AS q
+         |  FROM bk LEFT JOIN rb USING (bucket)
+         |          LEFT JOIN cb USING (bucket), tot)
+         |SELECT bucket, n_ref, n_cur,
+         |  CAST(floor(p * 1000000.0) AS BIGINT) AS p_ppm,
+         |  CAST(floor(q * 1000000.0) AS BIGINT) AS q_ppm,
+         |  round((p - q) * ln(p / q), 6) AS psi_contrib
+         |FROM j
+         |UNION ALL
+         |SELECT -1, sum(n_ref), sum(n_cur), -1, -1,
+         |  round(sum((p - q) * ln(p / q)), 6)
+         |FROM j
+         |ORDER BY bucket""".stripMargin,
     // Changelog rebuilt from the same id-modulo rules; latest-wins via
     // the (v, op, fp, text) DESC ordering (the max(struct) twin), then
     // the full-outer merge and delete filter.

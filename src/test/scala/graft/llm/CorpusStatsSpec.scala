@@ -82,6 +82,29 @@ class CorpusStatsSpec extends SparkSpec {
     } finally CorpusStats.dropCounts(spark, "graft_cs_spec")
   }
 
+  test("psiDrift: identical distributions score 0; a shifted one alarms; " +
+       "empty buckets are smoothed") {
+    import spark.implicits._
+    val ref = (0 until 1000).map(i => (i % 10) / 10.0 + 0.05).toDF("v")
+    val same = CorpusStats.psiDrift(ref, ref, "v")
+      .collect().map(r => r.getInt(0) -> r.getDouble(5)).toMap
+    assert(same.values.forall(_ == 0.0), s"self-PSI must be 0: $same")
+    // concentrated current distribution: everything in bucket 0
+    val shifted = (0 until 1000).map(_ => 0.01).toDF("v")
+    val drift = CorpusStats.psiDrift(ref, shifted, "v")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+    assert(drift(-1)._3 > 0.25, s"concentration must alarm: $drift")
+    // buckets 1..9 are empty on the current side but still present
+    assert((0 to 9).forall(drift.contains))
+    assert(drift(5)._2 == 0L)
+    // out-of-range values clamp into the edge buckets
+    val edges = Seq(-0.5, 1.7).toDF("v")
+    val e = CorpusStats.psiDrift(edges, edges, "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(e(0) == 1L && e(9) == 1L)
+  }
+
   test("stats are invariant to partitioning (order-independent to 6dp)") {
     import spark.implicits._
     val docs = (0 until 500).map { i =>
