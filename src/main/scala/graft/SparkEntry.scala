@@ -67,6 +67,7 @@ object SparkEntry {
     "q105_apply_changelog",
     "q106_event_funnel",
     "q107_retention_cohorts",
-    "q108_quality_psi"
+    "q108_quality_psi",
+    "q109_moving_avg"
   )
 }

@@ -240,7 +240,33 @@ object TimeSeriesQueries {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** 3-day moving average of daily revenue per event type, as a RANGE
+    * window over an integer day index — the frame type that stays
+    * correct across calendar GAPS (a missing day still shrinks the
+    * window, where a ROWS frame would silently reach further back).
+    * Daily totals are DECIMAL-exact before the window, so the average
+    * is order-independent; the window partitions by type and carries
+    * one row per (type, day) — never event-level rows.
+    */
+  def q109MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev
+      .groupBy(col("event_type"),
+               datediff(to_date(col("ts")), lit("1970-01-01"))
+                 .cast("long").as("day_idx"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("day_total"))
+    val w = Window.partitionBy("event_type").orderBy("day_idx")
+      .rangeBetween(-2, 0)
+    daily.select(
+      col("event_type"), col("day_idx"),
+      round(col("day_total").cast("double"), 4).as("day_total"),
+      round((sum(col("day_total")).over(w) /
+        count(lit(1)).over(w)).cast("double"), 4).as("avg_3d"))
+      .orderBy("event_type", "day_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_moving_avg" -> (q109MovingAvg(_, _)),
     "q107_retention_cohorts" -> (q107RetentionCohorts(_, _)),
     "q106_event_funnel" -> (q106EventFunnel(_, _)),
     "q100_zorder_curve" -> (q100ZorderCurve(_, _)),
@@ -255,6 +281,22 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // decimal-exact daily totals, integer day index, RANGE 2 PRECEDING
+    "q109_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS day_idx,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS day_total
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day_idx,
+        |  round(CAST(day_total AS DOUBLE), 4) AS day_total,
+        |  round(CAST(sum(day_total) OVER w AS DOUBLE)
+        |        / count(*) OVER w, 4) AS avg_3d
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+        |             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day_idx""".stripMargin,
     // cohort week = date_trunc('week', first signup); activity weeks
     // distinct per user; integer day-diff / 7 offsets; exact ppm
     "q107_retention_cohorts" ->

@@ -77,6 +77,26 @@ class FunnelSpec extends SparkSpec {
     assert(!out.contains(("1970-01-05", 2L))) // nobody from A in week 2
   }
 
+  test("moving average RANGE frame shrinks across calendar gaps") {
+    import spark.implicits._
+    val dir = tmpDir("mavg")
+    def day(d: Int, min: Int) = ts(d * 24 * 60 + min)
+    // type a: days 0, 1, 4 (gap of two days) with totals 10, 20, 40
+    val events = Seq(
+      (1L, day(0, 1), 1L, "a", 10.0, "{}"),
+      (2L, day(1, 1), 1L, "a", 20.0, "{}"),
+      (3L, day(4, 1), 1L, "a", 40.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TimeSeriesQueries.q109MovingAvg(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(out(0L) == 10.0)
+    assert(out(1L) == 15.0) // (10+20)/2
+    // day 4: days 2..4 in range — only day 4 present → avg = 40, NOT
+    // the rows-frame answer (10+20+40)/3
+    assert(out(4L) == 40.0)
+  }
+
   test("equal timestamps do not satisfy the STRICT order") {
     import spark.implicits._
     val dir = tmpDir("funneleq")

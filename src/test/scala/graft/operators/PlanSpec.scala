@@ -130,6 +130,38 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q105 changelog merge: latest-wins is an aggregation, not a " +
+    "window sort; merge join is not a cartesian") {
+    val plan = LlmQueries.q105ApplyChangelog(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+           s"latest-per-id must be max(struct), no window:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q106/q107 funnel + cohorts: no window sorts, no cartesians, " +
+    "no per-user collection") {
+    for (q <- Seq(TimeSeriesQueries.q106EventFunnel(spark, sf0001),
+                  TimeSeriesQueries.q107RetentionCohorts(spark, sf0001))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"no window expected:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+      assert(!plan.contains("collect_list"),
+             s"no per-user event collection:\n$plan")
+    }
+  }
+
+  test("q108 PSI: no cartesian, no window; final sort is bucket-count " +
+    "sized (the spine joins land before the internal materialization, " +
+    "so the final plan only scans the checkpointed 10-row frame)") {
+    val df = LlmQueries.q108QualityPsi(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("Window"))
+  }
+
   test("whole-stage codegen covers the scalar query surface") {
     // codegen stages print as "*(n)" — only in the FINAL adaptive plan,
     // so force execution before inspecting
