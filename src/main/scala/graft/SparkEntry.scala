@@ -68,6 +68,7 @@ object SparkEntry {
     "q106_event_funnel",
     "q107_retention_cohorts",
     "q108_quality_psi",
-    "q109_moving_avg"
+    "q109_moving_avg",
+    "q110_event_transitions"
   )
 }

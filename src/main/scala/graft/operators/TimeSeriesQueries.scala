@@ -265,7 +265,34 @@ object TimeSeriesQueries {
       .orderBy("event_type", "day_idx")
   }
 
+  /** Event-to-event transition matrix (first-order Markov view of user
+    * behavior): for each user's time-ordered event stream, count
+    * (event, next_event) pairs and report per-source transition
+    * probabilities as exact ppm. The path-analysis staple.
+    *
+    * Plan: one lag window PER USER (state bounded by that user's
+    * events, the q27/q29 pattern — never a global sort) → count agg to
+    * ≤ types² groups → broadcast row-total join. Ties on ts break by
+    * event_id, so the ordering is total and engine-portable.
+    */
+  def q110EventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("n_from"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+              expr("(n * 1000000) DIV n_from").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_event_transitions" -> (q110EventTransitions(_, _)),
     "q109_moving_avg" -> (q109MovingAvg(_, _)),
     "q107_retention_cohorts" -> (q107RetentionCohorts(_, _)),
     "q106_event_funnel" -> (q106EventFunnel(_, _)),
@@ -281,6 +308,23 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // per-user lead window with total (ts, event_id) ordering, pair
+    // counts, exact ppm row-normalization
+    "q110_event_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |       CAST(t.n_from AS BIGINT) AS n_from,
+        |       (c.n * 1000000) // t.n_from AS p_ppm
+        |FROM c JOIN t ON c.from_type = t.from_type
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
     // decimal-exact daily totals, integer day index, RANGE 2 PRECEDING
     "q109_moving_avg" ->
       """WITH daily AS (

@@ -97,6 +97,27 @@ class FunnelSpec extends SparkSpec {
     assert(out(4L) == 40.0)
   }
 
+  test("transition matrix counts ordered pairs per user; ppm rows " +
+       "normalize by from-type") {
+    import spark.implicits._
+    val dir = tmpDir("trans")
+    // user 1: a→b→a ; user 2: a→b — pairs: (a,b)×2, (b,a)×1
+    val events = Seq(
+      (1L, ts(0), 1L, "a", 0.0, "{}"),
+      (2L, ts(1), 1L, "b", 0.0, "{}"),
+      (3L, ts(2), 1L, "a", 0.0, "{}"),
+      (4L, ts(0), 2L, "a", 0.0, "{}"),
+      (5L, ts(1), 2L, "b", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TimeSeriesQueries.q110EventTransitions(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(4))).toMap
+    assert(out == Map(("a", "b") -> ((2L, 1000000L)),
+                      ("b", "a") -> ((1L, 1000000L))))
+  }
+
   test("equal timestamps do not satisfy the STRICT order") {
     import spark.implicits._
     val dir = tmpDir("funneleq")
