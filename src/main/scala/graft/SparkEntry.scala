@@ -69,6 +69,7 @@ object SparkEntry {
     "q107_retention_cohorts",
     "q108_quality_psi",
     "q109_moving_avg",
-    "q110_event_transitions"
+    "q110_event_transitions",
+    "q111_ab_test"
   )
 }

@@ -291,7 +291,49 @@ object TimeSeriesQueries {
       .orderBy("from_type", "to_type")
   }
 
+  /** Two-proportion z-test for an A/B split: users assigned to variants
+    * by id parity (the deterministic stand-in for an assignment
+    * column), conversion = "has a HIGH-VALUE purchase" (value > 180 —
+    * plain purchases are universal in this table, which would zero the
+    * pooled variance), z computed from the
+    * pooled rate. The experiment-analysis staple; conversion rates ride
+    * as exact ppm integers and only the final z is floating point
+    * (identical expression tree in the oracle, rounded to 6).
+    *
+    * Plan: one per-user agg (shuffle on user_id) → conditional-sum agg
+    * to ONE row → row-local arithmetic. Nothing else shuffles.
+    */
+  def q111AbTest(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+                      col("value") > 180.0, 1)
+        .otherwise(0)).as("converted"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)))
+    val agg = users.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 0, col("converted").cast("long"))
+        .otherwise(0L)).as("c_a"),
+      sum(when(col("variant") === 1, col("converted").cast("long"))
+        .otherwise(0L)).as("c_b"))
+    val pa = col("c_a").cast("double") / col("n_a")
+    val pb = col("c_b").cast("double") / col("n_b")
+    val pooled = (col("c_a") + col("c_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val z = (pa - pb) /
+      sqrt(pooled * (lit(1.0) - pooled) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    agg.select(
+      col("n_a"), col("n_b"),
+      expr("(c_a * 1000000) DIV n_a").as("conv_a_ppm"),
+      expr("(c_b * 1000000) DIV n_b").as("conv_b_ppm"),
+      round(z, 6).as("z"),
+      (abs(z) > 1.959964).as("significant_95"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_ab_test" -> (q111AbTest(_, _)),
     "q110_event_transitions" -> (q110EventTransitions(_, _)),
     "q109_moving_avg" -> (q109MovingAvg(_, _)),
     "q107_retention_cohorts" -> (q107RetentionCohorts(_, _)),
@@ -308,6 +350,34 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // per-user conversion flags → one-row conditional sums → the same
+    // pooled-z expression tree, rounded to 6
+    "q111_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 AS variant,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 180
+        |             THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT
+        |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+        |    sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS c_a,
+        |    sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS c_b
+        |  FROM u)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  (c_a * 1000000) // n_a AS conv_a_ppm,
+        |  (c_b * 1000000) // n_b AS conv_b_ppm,
+        |  round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+        |    / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 / n_a + 1.0 / n_b)), 6) AS z,
+        |  abs((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+        |    / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 / n_a + 1.0 / n_b))) > 1.959964 AS significant_95
+        |FROM a""".stripMargin,
     // per-user lead window with total (ts, event_id) ordering, pair
     // counts, exact ppm row-normalization
     "q110_event_transitions" ->

@@ -118,6 +118,28 @@ class FunnelSpec extends SparkSpec {
                       ("b", "a") -> ((1L, 1000000L))))
   }
 
+  test("A/B z-test matches the closed form on hand-built conversions") {
+    import spark.implicits._
+    val dir = tmpDir("abtest")
+    // variant A (even ids): users 0, 2 — user 0 converts (value > 180)
+    // variant B (odd ids): users 1, 3 — none convert
+    val events = Seq(
+      (1L, ts(0), 0L, "purchase", 200.0, "{}"),
+      (2L, ts(1), 2L, "purchase", 50.0, "{}"),
+      (3L, ts(2), 1L, "purchase", 10.0, "{}"),
+      (4L, ts(3), 3L, "click", 500.0, "{}")) // click ≠ conversion
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = TimeSeriesQueries.q111AbTest(spark, dir).head()
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("conv_a_ppm") == 500000L)
+    assert(r.getAs[Long]("conv_b_ppm") == 0L)
+    // z = (0.5 - 0) / sqrt(0.25 · 0.75 · (1/2 + 1/2))
+    val expected = 0.5 / math.sqrt(0.25 * 0.75 * 1.0)
+    assert(math.abs(r.getAs[Double]("z") - expected) < 1e-6)
+    assert(!r.getAs[Boolean]("significant_95"))
+  }
+
   test("equal timestamps do not satisfy the STRICT order") {
     import spark.implicits._
     val dir = tmpDir("funneleq")
