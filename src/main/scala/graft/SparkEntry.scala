@@ -70,6 +70,7 @@ object SparkEntry {
     "q108_quality_psi",
     "q109_moving_avg",
     "q110_event_transitions",
-    "q111_ab_test"
+    "q111_ab_test",
+    "q112_quality_ks"
   )
 }

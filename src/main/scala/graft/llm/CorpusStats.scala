@@ -120,6 +120,43 @@ object CorpusStats {
     perBucket.unionByName(total)
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic — [[psiDrift]]'s
+    * sharper twin: the max CDF gap catches a shift that PSI's 10 coarse
+    * buckets smooth over. Returns one row: the KS statistic, the score
+    * where the gap peaks, and both sample sizes.
+    *
+    * Scale note (the rocPoints argument): the CDF window is bounded by
+    * the number of DISTINCT score values, not rows — quality-style
+    * scores are 4-decimal rationals (≤ 10⁴ + 1 values), so the single-
+    * partition cumulative window sees a bounded input at ANY corpus
+    * size. For genuinely continuous scores, quantize first (the
+    * `maxBins` pattern); this exact form is that approximation's
+    * correctness anchor.
+    */
+  def ksDrift(ref: DataFrame, cur: DataFrame,
+              valueCol: String): DataFrame = {
+    def counts(df: DataFrame, nCol: String): DataFrame =
+      df.select(col(valueCol).as("v")).groupBy("v")
+        .agg(count(lit(1)).as(nCol))
+    val r = counts(ref, "n_r")
+    val c = counts(cur, "n_c")
+    val merged = r.join(c, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("n_r"), lit(0L)).as("n_r"),
+              coalesce(col("n_c"), lit(0L)).as("n_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("v").rowsBetween(Long.MinValue, 0)
+    val nr = ref.count(); val nc = cur.count()
+    merged
+      .withColumn("cdf_r", sum("n_r").over(w).cast("double") / lit(nr))
+      .withColumn("cdf_c", sum("n_c").over(w).cast("double") / lit(nc))
+      .withColumn("gap", abs(col("cdf_r") - col("cdf_c")))
+      .orderBy(desc("gap"), asc("v"))
+      .limit(1)
+      .select(round(col("gap"), 6).as("ks"),
+              col("v").as("v_at_max"),
+              lit(nr).as("n_ref"), lit(nc).as("n_cur"))
+  }
+
   /** [[corpusStats]] from an existing (token, n) table. */
   def statsFromCounts(counts: DataFrame, topK: Int = 100): DataFrame = {
     val tc = counts

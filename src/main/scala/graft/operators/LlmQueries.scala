@@ -988,6 +988,19 @@ object LlmQueries {
       .orderBy("bucket")
   }
 
+  /** Exact two-sample KS drift ([[CorpusStats.ksDrift]]) on the quality
+    * distribution, src0 vs the rest — q108's sharper twin (max CDF gap
+    * instead of 10-bucket PSI). The CDF window is bounded by the
+    * 4-decimal score grid, never by corpus rows. FULLY oracle-checked.
+    */
+  def q112QualityKs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("v", TextAnalysis.qualityScore(col("text")))
+    CorpusStats.ksDrift(
+      d.filter(col("source") === "src0").select("v"),
+      d.filter(col("source") =!= "src0").select("v"), "v")
+  }
+
   /** Changelog application ([[Versioning.applyChangelog]] — the MERGE
     * INTO of a versioned corpus): a deterministic synthetic changelog
     * (revisions for id%7, a competing later revision for id%14,
@@ -1421,7 +1434,8 @@ object LlmQueries {
     "q103_gram_novelty"    -> (q103GramNovelty(_, _)),
     "q104_dup_graph_rank"  -> (q104DupGraphRank(_, _)),
     "q105_apply_changelog" -> (q105ApplyChangelog(_, _)),
-    "q108_quality_psi"     -> (q108QualityPsi(_, _))
+    "q108_quality_psi"     -> (q108QualityPsi(_, _)),
+    "q112_quality_ks"      -> (q112QualityKs(_, _))
   )
 
   /** DuckDB replay of [[Similarity.hyperplaneSignature]]: the projection
@@ -2686,6 +2700,46 @@ object LlmQueries {
          |  round(sum((p - q) * ln(p / q)), 6)
          |FROM j
          |ORDER BY bucket""".stripMargin,
+    // Same quality expr; per-side distinct-value counts, cumulative CDFs
+    // over the merged value grid, max |gap| with smallest-value tiebreak.
+    "q112_quality_ks" ->
+      s"""WITH s AS (
+         |  SELECT source,
+         |    round((least(length(text) / 200.0, 1.0)
+         |      + least((len(list_filter(
+         |            string_split_regex(lower(trim(text)), '\\s+'),
+         |            x -> list_contains($stopList, x)))
+         |          / CAST(greatest(len(string_split_regex(lower(trim(text)),
+         |                                                 '\\s+')), 1)
+         |                 AS DOUBLE)) * 4.0, 1.0)
+         |      + greatest(1.0 - (len(regexp_extract_all(text,
+         |            '[^A-Za-z0-9\\s]'))
+         |          / CAST(greatest(length(text), 1) AS DOUBLE)) * 4.0, 0.0))
+         |      / 3.0, 4) AS v
+         |  FROM documents),
+         |r AS (SELECT v, count(*) AS n_r FROM s
+         |      WHERE source = 'src0' GROUP BY v),
+         |c AS (SELECT v, count(*) AS n_c FROM s
+         |      WHERE source <> 'src0' GROUP BY v),
+         |tot AS (
+         |  SELECT (SELECT count(*) FROM s WHERE source = 'src0') AS nr,
+         |         (SELECT count(*) FROM s WHERE source <> 'src0') AS nc),
+         |m AS (
+         |  SELECT coalesce(r.v, c.v) AS v,
+         |         coalesce(n_r, 0) AS n_r, coalesce(n_c, 0) AS n_c
+         |  FROM r FULL OUTER JOIN c ON r.v = c.v),
+         |cdf AS (
+         |  SELECT v,
+         |    CAST(sum(n_r) OVER (ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot.nr AS cdf_r,
+         |    CAST(sum(n_c) OVER (ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot.nc AS cdf_c,
+         |    tot.nr, tot.nc
+         |  FROM m, tot)
+         |SELECT round(abs(cdf_r - cdf_c), 6) AS ks, v AS v_at_max,
+         |       CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur
+         |FROM cdf
+         |ORDER BY abs(cdf_r - cdf_c) DESC, v LIMIT 1""".stripMargin,
     // Changelog rebuilt from the same id-modulo rules; latest-wins via
     // the (v, op, fp, text) DESC ordering (the max(struct) twin), then
     // the full-outer merge and delete filter.

@@ -105,6 +105,22 @@ class CorpusStatsSpec extends SparkSpec {
     assert(e(0) == 1L && e(9) == 1L)
   }
 
+  test("ksDrift: hand-computed max CDF gap with smallest-value tiebreak; " +
+       "identical samples score 0") {
+    import spark.implicits._
+    // ref = {0.1, 0.1, 0.5, 0.5}; cur = {0.5, 0.5, 0.9, 0.9}
+    // CDF gaps: at 0.1 → |0.5 − 0| = 0.5; at 0.5 → |1 − 0.5| = 0.5;
+    // at 0.9 → 0. Max 0.5, tie → smallest value 0.1.
+    val ref = Seq(0.1, 0.1, 0.5, 0.5).toDF("v")
+    val cur = Seq(0.5, 0.5, 0.9, 0.9).toDF("v")
+    val r = CorpusStats.ksDrift(ref, cur, "v").head()
+    assert(r.getAs[Double]("ks") == 0.5)
+    assert(r.getAs[Double]("v_at_max") == 0.1)
+    assert(r.getAs[Long]("n_ref") == 4L && r.getAs[Long]("n_cur") == 4L)
+    val same = CorpusStats.ksDrift(ref, ref, "v").head()
+    assert(same.getAs[Double]("ks") == 0.0)
+  }
+
   test("stats are invariant to partitioning (order-independent to 6dp)") {
     import spark.implicits._
     val docs = (0 until 500).map { i =>
