@@ -142,10 +142,10 @@ object NgramLm {
     * Scale shape: scoring inherits [[scoreDocs]]'s broadcast-join plan;
     * the tercile is one `ntile` window per partition value — a sort of
     * each language's scored docs (id + two numbers, never text). At
-    * 100 TB the exact ntile becomes the correctness anchor for the
-    * production variant: take per-language ppl cutoffs from
-    * `approxQuantile` (or a sampled fit, as CCNet itself does) and
-    * bucket by comparison — one scan, no global sort. Docs shorter than
+    * 100 TB the exact ntile is the correctness anchor for
+    * [[perplexityBucketsApprox]], the implemented production variant
+    * (per-language `percentile_approx` cutoffs, bucket by comparison —
+    * one scan, no global sort). Docs shorter than
     * n chars have no grams and are absent, exactly as in [[scoreDocs]].
     */
   def perplexityBuckets(docs: DataFrame, model: LmModel, idCol: String,
@@ -166,6 +166,40 @@ object NgramLm {
         (col("doc_id") +: byCols.map(col)) ++
           Seq(col("n_grams"), col("ppl"), col("tercile"),
               col("bucket")): _*)
+  }
+
+  /** [[perplexityBuckets]]'s at-scale twin — the production form CCNet
+    * itself uses (cutoffs from a sample, then bucket by comparison).
+    * Per-partition 1/3 and 2/3 perplexity cutoffs come from one
+    * `percentile_approx` aggregation (a mergeable sketch — no
+    * per-language sort, no ntile window), broadcast back, and every doc
+    * buckets by comparing its ppl to its partition's two cutoffs. One
+    * scoring scan + a #partitions-row broadcast join. Bucket sizes land
+    * within sketch error of thirds; docs tied at a cutoff all take the
+    * lower bucket (ntile would split them by doc_id), which is the only
+    * disagreement source vs the exact anchor — the spec brackets it.
+    */
+  def perplexityBucketsApprox(docs: DataFrame, model: LmModel,
+                              idCol: String, textCol: String,
+                              byCols: Seq[String], k: Double = 1.0,
+                              accuracy: Int = 10000): DataFrame = {
+    val scored = scoreDocs(docs, model, idCol, textCol, k)
+    val keys = docs.select(
+      (col(idCol).as("doc_id") +: byCols.map(col)): _*)
+    val j = scored.join(keys, Seq("doc_id"))
+      .transform(graft.Materialize(_)) // scanned twice: cuts + bucketing
+    val cuts = j.groupBy(byCols.map(col): _*)
+      .agg(percentile_approx(col("ppl"),
+                             array(lit(1.0 / 3), lit(2.0 / 3)),
+                             lit(accuracy)).as("__cuts"))
+    j.join(broadcast(cuts), byCols)
+      .withColumn("bucket",
+                  when(col("ppl") <= col("__cuts")(0), "head")
+                    .when(col("ppl") <= col("__cuts")(1), "middle")
+                    .otherwise("tail"))
+      .select(
+        (col("doc_id") +: byCols.map(col)) ++
+          Seq(col("n_grams"), col("ppl"), col("bucket")): _*)
   }
 
   /** DSIR-style importance weights for domain-targeted data selection

@@ -262,9 +262,9 @@ object QualityFilters {
     * Scale shape: one row-local scoring scan; a one-row total and a
     * #sources-row weight sum, both broadcast back; one cumulative-sum
     * window PER SOURCE (ids + two numbers, never text). The per-source
-    * sort is the exact-form anchor of the same approximation noted on
-    * q73: at 100 TB replace each source's exact cumsum with an
-    * [[approxTokenBudget]]-style quantile cutoff per source.
+    * sort is the exact-form anchor of [[mixtureTokenBudgetApprox]],
+    * the implemented 100 TB form (token-weighted histogram cutoffs —
+    * no per-source sort).
     */
   def mixtureTokenBudget(df: DataFrame, idCol: String, textCol: String,
                          sourceCol: String, budgetFraction: Double,
@@ -296,5 +296,72 @@ object QualityFilters {
       .withColumn("cum_toks", sum("toks").over(win))
       .filter(col("cum_toks") <= col("src_budget"))
       .select("doc_id", "source", "toks", "q", "cum_toks", "src_budget")
+  }
+
+  /** [[mixtureTokenBudget]]'s at-scale twin — the production form the
+    * exact per-source cumulative sort anchors. The quality score lives
+    * in [0,1], so each source's token mass is histogrammed over a fixed
+    * `grid` of quality bins (ONE narrow groupBy — #sources × (grid+1)
+    * rows total), the per-source suffix cumsum over that BOUNDED
+    * histogram (a window over ≤ grid+1 pre-aggregated rows, never data
+    * rows) yields "tokens spent keeping everything at or above bin b",
+    * and the cutoff is the lowest bin whose spend fits the budget. A
+    * broadcast join + filter then keeps `q >= q_cut`. No data-scale
+    * sort anywhere, and — unlike a doc-count quantile — the cutoff is
+    * TOKEN-weighted, so a quality/length correlation (short docs score
+    * lower) cannot overshoot the budget: spend is ≤ budget by
+    * construction and under-fills by at most one bin's token mass.
+    *
+    * Output: (doc_id, source, toks, q, q_cut, src_budget) — kept docs
+    * only. The spec brackets per-source kept tokens against the exact
+    * form's budget fill.
+    */
+  def mixtureTokenBudgetApprox(df: DataFrame, idCol: String,
+                               textCol: String, sourceCol: String,
+                               budgetFraction: Double,
+                               weights: Map[String, Long],
+                               defaultWeight: Long = 1L,
+                               grid: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetFraction > 0 && budgetFraction <= 1,
+            "budgetFraction in (0,1]")
+    require(defaultWeight >= 0 && weights.values.forall(_ >= 0),
+            "weights must be non-negative")
+    require(grid >= 10, "grid too coarse to realize a budget")
+    val s = df.select(
+      col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("toks"),
+      TextAnalysis.qualityScore(col(textCol)).as("q"))
+      .withColumn("w", weights.foldLeft(lit(defaultWeight)) {
+        case (acc, (k, v)) =>
+          when(col("source") === k, lit(v)).otherwise(acc)
+      })
+      .transform(graft.Materialize(_)) // scanned twice: histogram + filter
+    val total = s.agg(sum("toks").as("total_toks"))
+    val wsum = s.select("source", "w").distinct()
+      .agg(sum("w").as("w_sum"))
+    val hist = s
+      .groupBy(col("source"),
+               least(lit(grid), floor(col("q") * grid)).cast("int")
+                 .as("qb"))
+      .agg(sum("toks").as("btoks"), first("w").as("w"))
+    // suffix token mass: spend(b) = Σ btoks over bins ≥ b (≤ grid+1
+    // rows per source — an aggregate-scale window, not a data one)
+    val wDesc = Window.partitionBy("source").orderBy(desc("qb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = hist
+      .withColumn("spend", sum("btoks").over(wDesc))
+      .crossJoin(broadcast(total)).crossJoin(broadcast(wsum))
+      .withColumn("src_budget",
+                  floor(col("total_toks") * lit(budgetFraction)
+                          * col("w") / col("w_sum")).cast("long"))
+      .filter(col("spend") <= col("src_budget"))
+      .groupBy("source")
+      .agg(min("qb").as("cut_bin"), first("src_budget").as("src_budget"))
+      .withColumn("q_cut", col("cut_bin").cast("double") / grid)
+      .select("source", "q_cut", "src_budget")
+    s.join(broadcast(cuts), "source")
+      .filter(col("src_budget") > 0 && col("q") >= col("q_cut"))
+      .select("doc_id", "source", "toks", "q", "q_cut", "src_budget")
   }
 }

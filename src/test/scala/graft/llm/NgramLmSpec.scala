@@ -159,4 +159,39 @@ class NgramLmSpec extends SparkSpec {
       (t == 3 && b == "tail")
     })
   }
+
+  test("perplexityBucketsApprox agrees with the exact ntile anchor on " +
+       "distinct-ppl data and holds near-thirds on the sf0.001 corpus") {
+    import spark.implicits._
+    val model = NgramLm.fit(refCorpus, "text", n = 3)
+    def docs(lang: String, base: Long) = Seq(
+      (base + 0, "the quick brown fox jumps over the lazy dog", lang),
+      (base + 1, "the dog sleeps near the fox while the fox waits", lang),
+      (base + 2, "the lazy dog jumps again and the fox waits", lang),
+      (base + 3, "table value part hash row scan merge filter", lang),
+      (base + 4, "qqq zzz kkk vvv jjj xxz pqj vvk zxq wwq", lang),
+      (base + 5, "zxq vvk pqj xxz qqq zzz kkk vvv jjj qqq", lang))
+    val cand = (docs("en", 0L) ++ docs("de", 100L))
+      .toDF("doc_id", "text", "lang")
+    val exact = NgramLm.perplexityBuckets(
+      cand, model, "doc_id", "text", byCols = Seq("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    val approx = NgramLm.perplexityBucketsApprox(
+      cand, model, "doc_id", "text", byCols = Seq("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    // distinct ppl values, sketch exact at this size → full agreement
+    assert(approx == exact, s"approx $approx vs exact $exact")
+    // bulk check: per-source buckets on the real corpus stay near
+    // thirds (25 docs/source → 8.33 per bucket; allow sketch + tie slop)
+    import graft.sources.Tables
+    val corpus = Tables.documents(spark, sf0001)
+    val lm = NgramLm.fit(corpus, "text", n = 3)
+    val shares = NgramLm.perplexityBucketsApprox(
+      corpus, lm, "doc_id", "text", byCols = Seq("source"))
+      .groupBy("source", "bucket").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    for (((src, bucket), n) <- shares)
+      assert(n >= 5 && n <= 12, s"$src/$bucket count $n strayed from 8.3")
+  }
 }

@@ -270,6 +270,38 @@ class QualityFiltersSpec extends SparkSpec {
              Seq(1L, 2L, 3L, 5L, 6L, 7L, 9L))
   }
 
+  test("mixtureTokenBudgetApprox brackets the exact per-source fill " +
+       "on the sf0.001 corpus and never keeps below its cutoff") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf0001)
+    val weights = Map("src0" -> 3L, "src1" -> 0L) // skew + a zero weight
+    val exact = QualityFilters.mixtureTokenBudget(
+      docs, "doc_id", "text", "source", budgetFraction = 0.5, weights)
+      .groupBy("source")
+      .agg(sum("toks").as("kept"), first("src_budget").as("budget"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val approx = QualityFilters.mixtureTokenBudgetApprox(
+      docs, "doc_id", "text", "source", budgetFraction = 0.5, weights)
+    // every kept row respects its source's cutoff and budget columns
+    assert(approx.filter(col("q") < col("q_cut")).count() == 0)
+    val apx = approx.groupBy("source")
+      .agg(sum("toks").as("kept"), first("src_budget").as("budget"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // the zero-weight source is selected by NEITHER form
+    assert(!exact.contains("src1") && !apx.contains("src1"))
+    for ((src, (_, budget)) <- exact) {
+      val (keptA, budgetA) = apx.getOrElse(src, (0L, -1L))
+      assert(budgetA == budget, s"$src budgets disagree")
+      // token-weighted histogram cutoff: spend can NEVER overshoot the
+      // budget, and under-fills by at most one quality bin's tokens
+      assert(keptA <= budget, s"$src: approx overspent $keptA > $budget")
+      assert(keptA > budget * 0.6,
+             s"$src: approx kept $keptA vs budget $budget")
+    }
+  }
+
   test("gramNovelty: exact copies score 0 ppm, unique docs 1e6 ppm, " +
        "partial overlap in between") {
     import spark.implicits._
