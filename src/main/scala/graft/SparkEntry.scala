@@ -51,6 +51,10 @@ object SparkEntry {
     "q78_ann_int8",
     "q79_line_dedup",
     "q81_dataset_card",
+    "q82_funnel_lineage",
+    "q85_keep_best_dedup",
+    "q87_contamination_spans",
+    "q91_surgical_decon",
     "q83_lm_perplexity",
     "q88_semantic_dedup",
     "q89_shared_substrings",
@@ -71,6 +75,7 @@ object SparkEntry {
     "q109_moving_avg",
     "q110_event_transitions",
     "q111_ab_test",
-    "q112_quality_ks"
+    "q112_quality_ks",
+    "q113_mixture_budget_approx"
   )
 }

@@ -91,6 +91,8 @@ object CorpusStats {
     val r = bucketed(ref, "n_ref")
     val c = bucketed(cur, "n_cur")
     val nr = ref.count(); val nc = cur.count()
+    require(nr > 0 && nc > 0,
+            s"psiDrift needs non-empty samples (ref=$nr, cur=$nc)")
     val joined = all
       .join(broadcast(r), Seq("bucket"), "left")
       .join(broadcast(c), Seq("bucket"), "left")
@@ -146,6 +148,8 @@ object CorpusStats {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("v").rowsBetween(Long.MinValue, 0)
     val nr = ref.count(); val nc = cur.count()
+    require(nr > 0 && nc > 0,
+            s"ksDrift needs non-empty samples (ref=$nr, cur=$nc)")
     merged
       .withColumn("cdf_r", sum("n_r").over(w).cast("double") / lit(nr))
       .withColumn("cdf_c", sum("n_c").over(w).cast("double") / lit(nc))

@@ -93,18 +93,29 @@ object GraphRank {
     val maxBroadcastNodes = 10000000L
     var r = nodes.withColumn("rank", lit(init))
     for (_ <- 1 to iters) {
-      val rSide = if (n <= maxBroadcastNodes) broadcast(r) else r
-      val contrib = e.join(rSide, col("x") === col("node"))
-        .groupBy("y")
-        .agg(sum(expr("rank DIV deg")).as("s"))
-      r = nodes.join(contrib, col("node") === col("y"), "left")
-        .select(col("node"),
-                (lit(base) +
-                  expr(s"($dampingPct * coalesce(s, 0)) DIV 100"))
-                  .as("rank"))
+      r = prStep(e, nodes, r, base, dampingPct,
+                 broadcastRank = n <= maxBroadcastNodes)
         .transform(graft.Materialize(_))
     }
     r
+  }
+
+  /** One distributed power-iteration step — factored out so the spec can
+    * pin the executed plan (broadcast rank vector ⇒ the edge list joins
+    * without an Exchange) on the REAL production expression, not a copy.
+    */
+  private[graft] def prStep(e: DataFrame, nodes: DataFrame, r: DataFrame,
+                            base: Long, dampingPct: Int,
+                            broadcastRank: Boolean): DataFrame = {
+    val rSide = if (broadcastRank) broadcast(r) else r
+    val contrib = e.join(rSide, col("x") === col("node"))
+      .groupBy("y")
+      .agg(sum(expr("rank DIV deg")).as("s"))
+    nodes.join(contrib, col("node") === col("y"), "left")
+      .select(col("node"),
+              (lit(base) +
+                expr(s"($dampingPct * coalesce(s, 0)) DIV 100"))
+                .as("rank"))
   }
 
   /** The DuckDB replay of [[pageRankFixedPoint]] as UNROLLED chained
@@ -121,17 +132,20 @@ object GraphRank {
          |        FROM grsym JOIN grdeg USING (x)),
          |grn AS (SELECT DISTINCT x AS node FROM grsym),
          |grcnt AS (SELECT count(*) AS n FROM grn),
-         |grr0 AS (SELECT node, $scale // n AS rank FROM grn, grcnt)"""
+         |grr0 AS (SELECT node, CAST($scale // n AS BIGINT) AS rank
+         |         FROM grn, grcnt)"""
         .stripMargin
     val steps = (1 to iters).map { k =>
       s"""grc$k AS (
-         |  SELECT gre.y AS node, sum(grr${k - 1}.rank // gre.deg) AS s
+         |  SELECT gre.y AS node,
+         |    CAST(sum(grr${k - 1}.rank // gre.deg) AS BIGINT) AS s
          |  FROM gre JOIN grr${k - 1} ON grr${k - 1}.node = gre.x
          |  GROUP BY gre.y),
          |grr$k AS (
          |  SELECT grn.node,
-         |    (($scale * ${100 - dampingPct} // 100) // grcnt.n)
-         |      + ($dampingPct * coalesce(grc$k.s, 0)) // 100 AS rank
+         |    CAST((($scale * ${100 - dampingPct} // 100) // grcnt.n)
+         |      + ($dampingPct * coalesce(grc$k.s, 0)) // 100
+         |      AS BIGINT) AS rank
          |  FROM grn LEFT JOIN grc$k USING (node), grcnt)""".stripMargin
     }
     (head +: steps).mkString(",\n")

@@ -321,9 +321,18 @@ object TimeSeriesQueries {
     val pb = col("c_b").cast("double") / col("n_b")
     val pooled = (col("c_a") + col("c_b")).cast("double") /
       (col("n_a") + col("n_b"))
-    val z = (pa - pb) /
+    // Degenerate guard: pooled = 0 or 1 (nobody / everybody converts)
+    // makes the variance 0 and z = 0/0 = NaN — and Spark's NaN-is-
+    // greatest ordering would flip abs(z) > 1.96 to TRUE. Null the z
+    // instead (DuckDB's x/0 → NULL gives the oracle the same shape),
+    // and significant_95 null-propagates through the comparison.
+    val z0 = (pa - pb) /
       sqrt(pooled * (lit(1.0) - pooled) *
         (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    val z = when(col("c_a") + col("c_b") === 0 ||
+                   col("c_a") + col("c_b") === col("n_a") + col("n_b"),
+                 lit(null).cast("double"))
+      .otherwise(z0)
     agg.select(
       col("n_a"), col("n_b"),
       expr("(c_a * 1000000) DIV n_a").as("conv_a_ppm"),
@@ -361,10 +370,14 @@ object TimeSeriesQueries {
         |  FROM events GROUP BY user_id),
         |a AS (
         |  SELECT
-        |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
-        |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
-        |    sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS c_a,
-        |    sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS c_b
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+        |         AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+        |         AS BIGINT) AS c_b
         |  FROM u)
         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         |  (c_a * 1000000) // n_a AS conv_a_ppm,
@@ -389,7 +402,8 @@ object TimeSeriesQueries {
         |c AS (
         |  SELECT from_type, to_type, count(*) AS n
         |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
-        |t AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |      FROM c GROUP BY 1)
         |SELECT c.from_type, c.to_type, c.n,
         |       CAST(t.n_from AS BIGINT) AS n_from,
         |       (c.n * 1000000) // t.n_from AS p_ppm

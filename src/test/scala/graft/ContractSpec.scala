@@ -35,4 +35,31 @@ class ContractSpec extends SparkSpec {
   test("entry() smoke: flagship query yields rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  // Round-6 postmortem: a bare integer sum() in oracle SQL binds as
+  // HUGEINT in DuckDB and hash-mismatches at the driver even when the
+  // values are numerically identical (q103/q104/q108/q110/q111). The
+  // local row compare coerces int128 to Python int and cannot see it —
+  // only a DESCRIBE-level typecheck can. Cancels (not fails) where the
+  // local python/duckdb harness is unavailable.
+  test("oracle SQL binds with no driver-unhashable HUGEINT columns") {
+    import scala.sys.process._
+    val probe = Process(Seq("python3", "-c", "import duckdb")).!(
+      ProcessLogger(_ => (), _ => ()))
+    assume(probe == 0, "python3+duckdb not available in this environment")
+    // Materialize the runtime-captured oracle literals (IVF centroids,
+    // BPE merges) exactly as Verify would before dumping the JSON.
+    Seq("q45_ann_ivf", "q88_semantic_dedup", "q101_bpe_tokens",
+        "q59_pack_stats")
+      .foreach(n => SparkEntry.queries(n)(spark, sf0001).count())
+    val tmp = java.nio.file.Files.createTempFile("oracle_sql", ".json")
+    java.nio.file.Files.writeString(tmp, Verify.oracleJson())
+    val out = new StringBuilder
+    val rc = Process(Seq("python3", "tools/compare_oracle.py",
+                         "--typecheck", sf0001, tmp.toString)).!(
+      ProcessLogger(l => out.append(l).append('\n'),
+                    l => out.append(l).append('\n')))
+    java.nio.file.Files.deleteIfExists(tmp)
+    assert(rc == 0, s"oracle typecheck failed:\n$out")
+  }
 }

@@ -121,6 +121,17 @@ class CorpusStatsSpec extends SparkSpec {
     assert(same.getAs[Double]("ks") == 0.0)
   }
 
+  test("psiDrift and ksDrift reject an empty sample side instead of " +
+       "emitting NaN CDFs") {
+    import spark.implicits._
+    val some = Seq(0.1, 0.5).toDF("v")
+    val none = Seq.empty[Double].toDF("v")
+    intercept[IllegalArgumentException](CorpusStats.psiDrift(some, none, "v"))
+    intercept[IllegalArgumentException](CorpusStats.psiDrift(none, some, "v"))
+    intercept[IllegalArgumentException](CorpusStats.ksDrift(some, none, "v"))
+    intercept[IllegalArgumentException](CorpusStats.ksDrift(none, some, "v"))
+  }
+
   test("stats are invariant to partitioning (order-independent to 6dp)") {
     import spark.implicits._
     val docs = (0 until 500).map { i =>

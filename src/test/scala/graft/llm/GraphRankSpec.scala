@@ -74,6 +74,37 @@ class GraphRankSpec extends SparkSpec {
     assert(viaDriver == viaCluster)
   }
 
+  test("distributed branch at real size: >1M symmetric edges take the " +
+       "cluster path under the DEFAULT bound and match the recurrence") {
+    // 600k directed edges → 1.2M symmetric rows: crosses the 1M
+    // localFinishEdges default, so this exercises the genuine
+    // symCount > localFinishEdges branch — no forced-small bound.
+    val nNodes = 600000L
+    val edges = (0L until nNodes).map(i => (i, (i * 11 + 3) % nNodes))
+    val df = spark.range(nNodes)
+      .select(col("id").as("a"),
+              ((col("id") * 11 + 3) % nNodes).as("b"))
+    val got = GraphRank.pageRankFixedPoint(df, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = reference(edges, 3)
+    assert(got.size == want.size)
+    assert(got == want, "distributed ranks diverged from the recurrence")
+  }
+
+  test("broadcast step plan: the edge list joins the rank vector with " +
+       "NO exchange on the edge side") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, 2L), (2L, 1L, 1L), (1L, 3L, 2L), (3L, 1L, 1L))
+      .toDF("x", "y", "deg")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val r = nodes.withColumn("rank", lit(1000000L))
+    val plan = GraphRank.prStep(e, nodes, r, base = 100L, dampingPct = 85,
+                                broadcastRank = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+           s"rank vector must broadcast into the edge join:\n$plan")
+  }
+
   test("ranks are bit-identical across partitioning (integer arithmetic)") {
     import spark.implicits._
     val edges = (0L until 200L).map(i => (i, (i * 7 + 1) % 200))

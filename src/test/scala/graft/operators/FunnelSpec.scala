@@ -140,6 +140,32 @@ class FunnelSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("significant_95"))
   }
 
+  test("A/B z-test: degenerate pooled rate (0 or 1) nulls z instead of " +
+       "reporting NaN-driven significance") {
+    import spark.implicits._
+    val dir = tmpDir("abtestdgn")
+    // Nobody converts → pooled = 0 → variance 0 → z would be 0/0 = NaN,
+    // and Spark's NaN-is-greatest ordering would make abs(z) > 1.96 TRUE.
+    val events = Seq(
+      (1L, ts(0), 0L, "purchase", 50.0, "{}"),
+      (2L, ts(1), 1L, "purchase", 50.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = TimeSeriesQueries.q111AbTest(spark, dir).head()
+    assert(r.isNullAt(r.fieldIndex("z")))
+    assert(r.isNullAt(r.fieldIndex("significant_95")))
+    // Everybody converts → pooled = 1 → same guard.
+    val dir2 = tmpDir("abtestdgn2")
+    val events2 = Seq(
+      (1L, ts(0), 0L, "purchase", 200.0, "{}"),
+      (2L, ts(1), 1L, "purchase", 200.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events2.write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val r2 = TimeSeriesQueries.q111AbTest(spark, dir2).head()
+    assert(r2.isNullAt(r2.fieldIndex("z")))
+    assert(r2.isNullAt(r2.fieldIndex("significant_95")))
+  }
+
   test("equal timestamps do not satisfy the STRICT order") {
     import spark.implicits._
     val dir = tmpDir("funneleq")

@@ -2,6 +2,7 @@
 """Local stand-in for the driver's DuckDB oracle compare.
 
 Usage: python3 tools/compare_oracle.py <sfDir> <outDir> [query ...]
+       python3 tools/compare_oracle.py --typecheck <sfDir> <oracleJson|outDir> [query ...]
 
 Reads <outDir>/oracle_sql.json (written by graft.Verify / QuickVerify),
 registers the parquet tables from <sfDir> as DuckDB views, runs each oracle
@@ -10,6 +11,14 @@ SQL, and compares against the Spark result parquet at <outDir>/<name>/.
 Compare semantics mirror the driver: columns sorted by NAME, rows sorted by
 all columns, values hashed after normalization (floats rounded to 9 sig
 figs, NaN/None canonicalized). Prints one line per query + a summary.
+
+--typecheck: DESCRIBE every oracle SQL (bind only, no execution) and fail
+on any column DuckDB types as HUGEINT/UHUGEINT. Those come from bare
+integer sum()s and hash differently than Spark's BIGINT at the driver even
+when values are numerically identical — while THIS script's compare coerces
+int128 to Python int and cannot see the difference. Round-6 postmortem:
+q103/q104/q108/q110/q111 were bit-exact locally yet hash-mismatched at the
+driver for exactly this reason.
 """
 import json
 import math
@@ -49,15 +58,49 @@ def canon(cur):
     return [cols[i] for i in order], rows
 
 
+BAD_TYPES = ("HUGEINT",)  # matches UHUGEINT too (substring check)
+
+
+def typecheck(con, oracle, only):
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        try:
+            rows = con.execute(f"DESCRIBE {oracle[name]}").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: describe error {e}")
+            n_bad += 1
+            continue
+        offenders = [(r[0], r[1]) for r in rows
+                     if any(b in r[1].upper() for b in BAD_TYPES)]
+        if offenders:
+            print(f"FAIL {name}: driver-unhashable column types {offenders}"
+                  " — wrap the aggregate in CAST(... AS BIGINT)")
+            n_bad += 1
+        else:
+            n_ok += 1
+    print(f"== typecheck: {n_ok} ok, {n_bad} fail ==")
+    sys.exit(1 if n_bad else 0)
+
+
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = sys.argv[1:]
+    tc = "--typecheck" in args
+    if tc:
+        args.remove("--typecheck")
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    oracle_path = (out_dir if out_dir.endswith(".json")
+                   else f"{out_dir}/oracle_sql.json")
+    oracle = json.load(open(oracle_path))
+    if tc:
+        typecheck(con, oracle, only)
     n_ok = n_bad = 0
     for name in sorted(oracle):
         if only and name not in only:
