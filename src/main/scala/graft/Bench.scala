@@ -7,8 +7,15 @@ import java.nio.file.{Files, Paths}
   * bench_out.json (stdout through sbt is [info]-prefixed log soup, so the
   * file is the machine-readable copy).
   *
-  * Methodology: one untimed warmup pass per query (absorbs session startup,
-  * first-job codegen and JIT), then 3 timed passes, median reported.
+  * Methodology: one untimed warmup pass per query IMMEDIATELY before its
+  * timed passes (absorbs session startup, codegen and JIT for exactly the
+  * shape about to be timed — a single up-front warmup phase left ~50
+  * queries between q01's warmup and its timing, and the evicted warm
+  * state showed up as a phantom 1.8× "regression" on the headline query
+  * in round 6), then 3 timed passes, median reported.
+  * `SPARK_GRAFT_BENCH_QUERIES` (comma-separated names) restricts the run
+  * to a subset — the isolation/reorder tool used to diagnose exactly that
+  * kind of contention artifact.
   * Each pass drives the query through the `noop` sink, NOT `.count()`:
   * count lets Catalyst prune cardinality-preserving operators (projects,
   * windows, and — critically — left joins against aggregates keyed on the
@@ -25,19 +32,19 @@ object Bench {
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus, "graft-bench")
 
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+      .filter(n => subset.forall(_.contains(n)))
 
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // Warmup: run each query once, untimed.
-    names.foreach { n =>
-      try run(n)
-      catch { case _: Throwable => () }
-    }
-
     val results: Seq[(String, Double, Boolean)] = names.map { name =>
+      // Warmup this query's exact shape, untimed, right before timing.
+      try run(name)
+      catch { case _: Throwable => () }
       val passes = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok =

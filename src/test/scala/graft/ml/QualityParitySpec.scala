@@ -164,6 +164,62 @@ class QualityParitySpec extends SparkSpec {
     } finally { glue.unpersist(); () }
   }
 
+  test("QQP shape at GLUE-train size (363,846 pairs): the golden window " +
+       "holds at the reference's actual data scale") {
+    import spark.implicits._
+    // QQP's train split is 363,846 question pairs — the scale behind
+    // BASELINE.md's QQP numbers. Fresh draws, different seed (the
+    // sst2@67k pattern): pins learner behavior at the real data size.
+    val nGlue = 363846
+    val rnd = new scala.util.Random(24681)
+    val glue = (0 until nGlue).map { p =>
+      val dup = rnd.nextBoolean()
+      val (c1, c2) =
+        if (dup) (1, 1)
+        else if (rnd.nextBoolean()) (1, 0)
+        else (0, 1)
+      (p.toLong, sentence(rnd, c1), sentence(rnd, c2),
+       (if (dup) 1 else 0).toString)
+    }.toDF("pid", "q1", "q2", "is_duplicate")
+      .withColumn("combined_text", Cleaning.pairConcat(col("q1"), col("q2")))
+      .persist()
+    try {
+      val (train, test) = (glue.filter(col("pid") % 5 =!= 0),
+                           glue.filter(col("pid") % 5 === 0))
+      val model = TextPipelines.qqp(maxIter = 25).fit(train)
+      val preds = model.transform(test)
+        .withColumn("score", Cleaning.positiveProbability(col("probability")))
+      val acc = BinaryMetrics.accuracy(preds, labelCol = "indexed_label")
+      val auc = BinaryMetrics.aucROC(preds, labelCol = "indexed_label",
+                                     scoreCol = "score")
+      assertWindow("qqp@364k", acc, math.max(auc, 1.0 - auc))
+    } finally { glue.unpersist(); () }
+  }
+
+  test("QNLI shape at GLUE-train size (104,743 rows): the golden window " +
+       "holds at the reference's actual data scale") {
+    import spark.implicits._
+    val nGlue = 104743
+    val rnd = new scala.util.Random(13579)
+    val glue = (0 until nGlue).map { i =>
+      val cls = i % 2
+      (i.toLong, sentence(rnd, cls), cls.toDouble)
+    }.toDF("id", "sentence", "label")
+      .withColumn("input_text", col("sentence"))
+      .persist()
+    try {
+      val (train, test) = split(glue)
+      val model = TextPipelines
+        .qnli(vectorSize = 48, minCount = 5, maxIter = 20, seed = 42L)
+        .fit(train)
+      val preds = model.transform(test)
+        .withColumn("score", Cleaning.positiveProbability(col("probability")))
+      val acc = BinaryMetrics.accuracy(preds)
+      val auc = BinaryMetrics.aucROC(preds, scoreCol = "score")
+      assertWindow("qnli@105k", acc, auc)
+    } finally { glue.unpersist(); () }
+  }
+
   test("QNLI shape at 50k rows: holdout metrics inside the golden window") {
     val df = corpus.withColumn("input_text", col("sentence"))
     val (train, test) = split(df)
