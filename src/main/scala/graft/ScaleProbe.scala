@@ -135,6 +135,37 @@ object ScaleProbe {
         noop(graft.llm.Sketches.cmsSketch(toks, "token", d = 4, w = 512))
       }
     }
+    // Exact vs approx budget allocators: the exact form pays a
+    // per-source SORT of all scored docs (grows n·log n per source);
+    // the approx twin's histogram agg + bounded window is one narrow
+    // shuffle to #sources×201 rows at any n — the probe measures the
+    // gap widening and checks the approx spend never overshoots.
+    for (n <- Seq(1, 5, 20)) {
+      val d = docsX(n); val rows = d.count()
+      time(s"mix_exact      n=$n ($rows)") {
+        noop(graft.llm.QualityFilters.mixtureTokenBudget(
+          d, "doc_id", "text", "source", 0.5, Map("src0" -> 3L)))
+      }
+      time(s"mix_approx     n=$n ($rows)") {
+        noop(graft.llm.QualityFilters.mixtureTokenBudgetApprox(
+          d, "doc_id", "text", "source", 0.5, Map("src0" -> 3L)))
+      }
+    }
+    // CCNet terciles: exact per-language ntile (a per-language sort)
+    // vs percentile_approx cutoffs (one mergeable sketch agg).
+    for (n <- Seq(1, 5, 20)) {
+      val d = docsX(n); val rows = d.count()
+      val lm = graft.llm.NgramLm.fit(Tables.documents(spark, dir),
+                                     "text", n = 3)
+      time(s"ccnet_exact    n=$n ($rows)") {
+        noop(graft.llm.NgramLm.perplexityBuckets(
+          d, lm, "doc_id", "text", byCols = Seq("lang")))
+      }
+      time(s"ccnet_approx   n=$n ($rows)") {
+        noop(graft.llm.NgramLm.perplexityBucketsApprox(
+          d, lm, "doc_id", "text", byCols = Seq("lang")))
+      }
+    }
     // PageRank: same replicated near-dup graph as the minhash probe;
     // the driver endgame handles every n here (the graph after banding
     // is pair-bounded) — the probe pins that rank cost tracks EDGES,

@@ -76,6 +76,7 @@ object SparkEntry {
     "q110_event_transitions",
     "q111_ab_test",
     "q112_quality_ks",
-    "q113_mixture_budget_approx"
+    "q113_mixture_budget_approx",
+    "q114_audio_decode"
   )
 }

@@ -10,9 +10,12 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL: [[ImageIoDecoder]] reads PNG/BMP/JPEG through
   * `javax.imageio` (codecs every JDK ships) and average-pools grayscale
-  * luminance into a fixed-length feature grid. Audio/video decode stays a
-  * clearly-marked stub ([[StubDecoder]] — no audio/video codecs in this
-  * container); both sit behind the same [[MediaDecoder]] seam.
+  * luminance into a fixed-length feature grid. AUDIO decode is REAL too:
+  * [[JavaSoundDecoder]] parses WAV/AIFF/AU PCM through
+  * `javax.sound.sampled` (also bundled with every JDK) and window-pools
+  * channel-averaged amplitude with the same cell arithmetic. Only VIDEO
+  * decode stays a clearly-marked stub ([[StubDecoder]] — no video codec
+  * ships with the JDK); all three sit behind the same decoder seam.
   *
   * Scale notes: media blobs ride in their partition; decode is row-local
   * (no shuffle), and the decoder is initialized once per partition. Frame
@@ -103,9 +106,90 @@ object Multimodal {
     }
   }
 
+  trait AudioDecoder extends Serializable {
+    /** Returns (sampleRateHz, nSamples, amplitude feature vector of
+      * length `dims`). A zero sample rate marks undecodable bytes for
+      * quarantine.
+      */
+    def decodeAudio(bytes: Array[Byte], dims: Int): (Int, Long, Array[Double])
+  }
+
+  /** Real audio decoder backed by `javax.sound.sampled` (WAV/AIFF/AU —
+    * the PCM container parsers bundled with every JDK; no external
+    * libraries). Supports 8- and 16-bit integer PCM, any channel count,
+    * both endiannesses. Per frame, channels average by integer division
+    * into a 0..255 amplitude (16-bit samples scale down by `>> 8`, signed
+    * encodings shift to unsigned first), then frames window-pool exactly
+    * like image cells: frame i of n lands in window ⌊i·dims/n⌋ and each
+    * feature is mean(amplitude)/255 ∈ [0,1] — all-integer sums, so the
+    * pipeline replays in plain SQL (the q114 oracle). Undecodable bytes
+    * or unsupported encodings yield (0, 0, zeros) — quarantine, not a
+    * partition failure.
+    */
+  class JavaSoundDecoder extends AudioDecoder {
+    def decodeAudio(bytes: Array[Byte],
+                    dims: Int): (Int, Long, Array[Double]) = {
+      val zeros = new Array[Double](dims)
+      if (bytes == null || bytes.isEmpty) return (0, 0L, zeros)
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (ais == null) return (0, 0L, zeros)
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val unsigned =
+        enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      val bits = fmt.getSampleSizeInBits
+      if (!(signed || unsigned) || !(bits == 8 || bits == 16))
+        return (0, 0L, zeros)
+      val data = ais.readAllBytes()
+      val ch = fmt.getChannels
+      val frameBytes = fmt.getFrameSize
+      val n = data.length / frameBytes
+      val rate = fmt.getSampleRate.toInt
+      if (n == 0) return (rate, 0L, zeros)
+      val big = fmt.isBigEndian
+      val sums = new Array[Long](dims)
+      val counts = new Array[Long](dims)
+      var i = 0
+      while (i < n) {
+        var acc = 0L
+        var c = 0
+        while (c < ch) {
+          val off = i * frameBytes + c * (bits / 8)
+          val amp =
+            if (bits == 8) {
+              if (signed) (data(off).toInt + 128) else data(off) & 0xFF
+            } else {
+              val (b0, b1) =
+                if (big) (data(off), data(off + 1))
+                else (data(off + 1), data(off))
+              val u =
+                if (signed) ((b0.toInt << 8) | (b1 & 0xFF)) + 32768
+                else ((b0 & 0xFF) << 8) | (b1 & 0xFF)
+              u >> 8
+            }
+          acc += amp
+          c += 1
+        }
+        val w = (i.toLong * dims / n).toInt
+        sums(w) += acc / ch
+        counts(w) += 1
+        i += 1
+      }
+      val feats = Array.tabulate(dims) { c =>
+        if (counts(c) == 0) 0.0 else sums(c).toDouble / counts(c) / 255.0
+      }
+      (rate, n.toLong, feats)
+    }
+  }
+
   /** STUB: deterministic fake decoder — "pixels" are a byte-content hash
-    * walk. Retained ONLY for audio/video, where no codec ships with the
-    * JDK; images go through [[ImageIoDecoder]].
+    * walk. Retained ONLY for video, where no codec ships with the JDK;
+    * images go through [[ImageIoDecoder]] and audio through
+    * [[JavaSoundDecoder]].
     */
   class StubDecoder extends MediaDecoder {
     def decodeImage(bytes: Array[Byte], dims: Int): (Int, Int, Array[Double]) = {
@@ -199,6 +283,62 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         Row(id, "image", bos.toByteArray, w, h, null)
+      }
+    }(enc)
+  }
+
+  /** Synthesize REAL deterministic WAVs from the documents table — every
+    * doc becomes an 8-bit unsigned mono PCM clip at 8 kHz with amplitude
+    * `(media_id·31 + i) mod 256` at frame i, RIFF-encoded via
+    * `AudioSystem.write` (the real JDK encoder, so decode exercises the
+    * real parser). Frame counts `256 + (id mod 8)·128` are multiples of
+    * the 8-dim window grid, making every window the same size — the same
+    * trick [[syntheticImageMedia]] plays so the decode→pool pipeline
+    * replays exactly in SQL (the q114 oracle).
+    */
+  def syntheticWavMedia(documents: DataFrame): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    documents.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = 256 + (id % 8).toInt * 128
+        val rate = 8000
+        val data = Array.tabulate[Byte](n) { i =>
+          (((id * 31 + i) % 256) & 0xFF).toByte
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+          rate.toFloat, 8, 1, 1, rate.toFloat, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, "audio", bos.toByteArray, null, null, n * 1000L / rate)
+      }
+    }(enc)
+  }
+
+  val audioDecodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("features", ArrayType(DoubleType, false), nullable = false)))
+
+  /** Decode + window-pool audio rows: mapPartitions, decoder built once
+    * per partition, one output row per audio-typed input.
+    */
+  def decodeAudio(media: DataFrame, dims: Int = 8,
+                  mkDecoder: () => AudioDecoder = () => new JavaSoundDecoder)
+      : DataFrame = {
+    val in = media.filter(col("media_type") === "audio")
+      .select(col("media_id").cast("long"), col("content"))
+    val enc = Encoders.row(audioDecodedSchema)
+    in.mapPartitions { rows =>
+      lazy val dec = mkDecoder()
+      rows.map { r =>
+        val (rate, n, f) = dec.decodeAudio(r.getAs[Array[Byte]](1), dims)
+        Row(r.getLong(0), rate, n, f.toSeq)
       }
     }(enc)
   }

@@ -231,6 +231,31 @@ object LlmQueries {
                 .cast("long").as("lum_sum"))
       .orderBy("media_id")
 
+  /** REAL audio decode ([[Multimodal.syntheticWavMedia]] →
+    * [[Multimodal.decodeAudio]] via `javax.sound.sampled`): synthesized
+    * RIFF/WAV bytes parsed by the JDK's actual codec, amplitudes
+    * window-pooled, and the float features folded back to exact integer
+    * amplitude sums (the q43 trick — windows are uniform because frame
+    * counts are multiples of the grid): `amp_sum` recovers the total
+    * amplitude and `w0_sum` the first window's, so a permuted or
+    * misaligned pooling cannot cancel out. FULLY oracle-checked — DuckDB
+    * regenerates every frame from the (id·31 + i) mod 256 formula.
+    */
+  def q114AudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticWavMedia(Tables.documents(spark, dir))
+    val winSize = col("n_samples") / 8
+    Multimodal.decodeAudio(media, dims = 8)
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+              floor(aggregate(col("features"), lit(0.0d),
+                              (acc, x) => acc + x)
+                      * winSize * 255.0d + 0.5d)
+                .cast("long").as("amp_sum"),
+              floor(element_at(col("features"), 1)
+                      * winSize * 255.0d + 0.5d)
+                .cast("long").as("w0_sum"))
+      .orderBy("media_id")
+  }
+
   /** LSH similarity self-join over embeddings (pairs above threshold) —
     * oracle-checked via the same inlined-projection replay as q39; plan
     * is a salted bucket equi-join, never cartesian.
@@ -1476,7 +1501,8 @@ object LlmQueries {
     "q105_apply_changelog" -> (q105ApplyChangelog(_, _)),
     "q108_quality_psi"     -> (q108QualityPsi(_, _)),
     "q112_quality_ks"      -> (q112QualityKs(_, _)),
-    "q113_mixture_budget_approx" -> (q113MixtureBudgetApprox(_, _))
+    "q113_mixture_budget_approx" -> (q113MixtureBudgetApprox(_, _)),
+    "q114_audio_decode"    -> (q114AudioDecode(_, _))
   )
 
   /** DuckDB replay of [[Similarity.hyperplaneSignature]]: the projection
@@ -3220,6 +3246,23 @@ object LlmQueries {
         |       CAST(sum((media_id * 31 + p) % 256) AS BIGINT) AS lum_sum
         |FROM imgs, LATERAL unnest(generate_series(0, width*height - 1))
         |       AS t(p)
+        |GROUP BY 1, 2, 3
+        |ORDER BY media_id""".stripMargin,
+    // Every WAV frame regenerated from the (id*31 + i) % 256 formula;
+    // amp_sum is the full amplitude total, w0_sum the first of the 8
+    // uniform windows (frames i < n/8).
+    "q114_audio_decode" ->
+      """WITH clips AS (
+        |  SELECT doc_id AS media_id,
+        |         256 + (doc_id % 8) * 128 AS n
+        |  FROM documents)
+        |SELECT media_id, CAST(8000 AS INT) AS sample_rate,
+        |       CAST(n AS BIGINT) AS n_samples,
+        |       CAST(sum((media_id * 31 + i) % 256) AS BIGINT) AS amp_sum,
+        |       CAST(sum(CASE WHEN i < n // 8
+        |                     THEN (media_id * 31 + i) % 256
+        |                     ELSE 0 END) AS BIGINT) AS w0_sum
+        |FROM clips, LATERAL unnest(generate_series(0, n - 1)) AS t(i)
         |GROUP BY 1, 2, 3
         |ORDER BY media_id""".stripMargin
   )

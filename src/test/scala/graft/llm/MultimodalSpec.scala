@@ -91,7 +91,86 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getSeq[Double](3).forall(full.contains))
   }
 
-  test("StubDecoder (audio/video placeholder) still deterministic behind " +
+  /** RIFF-encode PCM bytes via the JDK encoder (the real container). */
+  private def wav(data: Array[Byte], bits: Int, channels: Int,
+                  signed: Boolean, rate: Int = 8000): Array[Byte] = {
+    val enc =
+      if (signed) javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      else javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+    val frameBytes = channels * bits / 8
+    val fmt = new javax.sound.sampled.AudioFormat(
+      enc, rate.toFloat, bits, channels, frameBytes, rate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt,
+      data.length.toLong / frameBytes)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("JavaSoundDecoder decodes known-sample WAVs EXACTLY: window " +
+       "means over 8-bit unsigned mono PCM") {
+    val dec = new Multimodal.JavaSoundDecoder
+    // 16 frames, dims=8 → 2 frames per window: features are pair means
+    val samples = Array(0, 10, 20, 30, 40, 50, 60, 70,
+                        80, 90, 100, 110, 120, 130, 140, 250)
+    val bytes = wav(samples.map(_.toByte), bits = 8, channels = 1,
+                    signed = false)
+    val (rate, n, f) = dec.decodeAudio(bytes, 8)
+    assert(rate == 8000 && n == 16L)
+    val want = samples.grouped(2)
+      .map(p => (p(0) + p(1)) / 2.0 / 255.0).toSeq
+    assert(f.toSeq == want)
+  }
+
+  test("JavaSoundDecoder: 16-bit signed stereo averages channels by " +
+       "integer division and scales samples down by >> 8") {
+    val dec = new Multimodal.JavaSoundDecoder
+    // 2 frames × 2 channels, little-endian 16-bit signed:
+    // frame 0: L = 0x2000 (8192), R = -0x2000 → unsigned 40960, 24576
+    //   → amps 160, 96 → channel mean 128
+    // frame 1: L = R = 0 → unsigned 32768 → amp 128 → mean 128
+    def le(s: Short) = Array((s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte)
+    val data = (le(0x2000.toShort) ++ le((-0x2000).toShort) ++
+                le(0.toShort) ++ le(0.toShort))
+    val bytes = wav(data, bits = 16, channels = 2, signed = true)
+    val (rate, n, f) = dec.decodeAudio(bytes, 2)
+    assert(rate == 8000 && n == 2L)
+    assert(f.toSeq == Seq(128 / 255.0, 128 / 255.0))
+  }
+
+  test("JavaSoundDecoder quarantines undecodable bytes as (0, 0, zeros)") {
+    val dec = new Multimodal.JavaSoundDecoder
+    for (bad <- Seq(null, Array.empty[Byte],
+                    Array.tabulate[Byte](64)(_.toByte))) {
+      val (rate, n, f) = dec.decodeAudio(bad, 4)
+      assert(rate == 0 && n == 0L && f.toSeq == Seq(0.0, 0.0, 0.0, 0.0))
+    }
+  }
+
+  test("decodeAudio over synthetic WAVs: the real javax.sound parse " +
+       "recovers the generator formula's amplitude sums") {
+    val media = Multimodal.syntheticWavMedia(
+      Tables.documents(spark, sf0001).limit(20))
+    val rows = Multimodal.decodeAudio(media, dims = 8)
+      .orderBy("media_id").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = 256 + (id % 8).toInt * 128
+      assert(r.getInt(1) == 8000 && r.getLong(2) == n.toLong)
+      val feats = r.getSeq[Double](3)
+      val winSize = n / 8
+      val expected = (0 until 8).map { w =>
+        (0 until winSize).map(j => (id * 31 + (w * winSize + j)) % 256)
+          .sum.toDouble / winSize / 255.0
+      }
+      assert(feats == expected, s"media $id features diverge")
+    }
+  }
+
+  test("StubDecoder (video placeholder) still deterministic behind " +
        "the same MediaDecoder seam") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sf0001))
     val d1 = Multimodal.decodeImages(media, dims = 8,
