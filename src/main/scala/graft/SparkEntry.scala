@@ -77,6 +77,7 @@ object SparkEntry {
     "q111_ab_test",
     "q112_quality_ks",
     "q113_mixture_budget_approx",
-    "q114_audio_decode"
+    "q114_audio_decode",
+    "q115_doc_chunks"
   )
 }

@@ -23,6 +23,43 @@ object TextPacking {
     StructField("bin_id", LongType, nullable = false),
     StructField("bin_fill", LongType, nullable = false))) // fill AFTER adding
 
+  /** Sliding-window document chunking — the RAG/pretraining prep staple:
+    * split each doc into `chunkTokens`-token windows advancing by
+    * `chunkTokens - overlap`, the last window running short rather than
+    * back-shifting (so chunk starts are a pure function of the index and
+    * the whole op replays in SQL — the q115 oracle). Pure codegen'd
+    * expressions: whitespace split → integer chunk count →
+    * explode(sequence) → slice, all row-local (scan-speed at 100 TB, no
+    * shuffle, no UDF). Emits (doc_id, chunk_idx, start_tok, n_tok,
+    * chunk_text) — md5(chunk_text) is the usual downstream dedup key.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+            "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol).as("doc_id"), toks.as("__t"))
+      .withColumn("__n", size(col("__t")))
+      // integer ceil((n - chunkTokens) / stride) + 1, portable DIV math
+      .withColumn("__nc",
+        when(col("__n") <= chunkTokens, lit(1)).otherwise(
+          expr(s"((__n - $chunkTokens + ${stride - 1}) DIV $stride) + 1")
+            .cast("int")))
+      .withColumn("chunk_idx",
+                  explode(sequence(lit(0), col("__nc") - 1)))
+      .withColumn("start_tok", (col("chunk_idx") * stride).cast("long"))
+      .withColumn("n_tok",
+                  least(lit(chunkTokens),
+                        col("__n") - col("chunk_idx") * stride)
+                    .cast("long"))
+      .withColumn("chunk_text",
+                  concat_ws(" ", slice(col("__t"),
+                                       col("chunk_idx") * stride + 1,
+                                       lit(chunkTokens))))
+      .select("doc_id", "chunk_idx", "start_tok", "n_tok", "chunk_text")
+  }
+
   def packDocuments(df: DataFrame, idCol: String, textCol: String,
                     capacity: Int): DataFrame = {
     require(capacity > 0)

@@ -256,6 +256,22 @@ object LlmQueries {
       .orderBy("media_id")
   }
 
+  /** Sliding-window chunking ([[TextPacking.chunkDocuments]]) — 32-token
+    * windows, 8-token overlap (stride 24), so typical ~57-token docs
+    * emit 2-3 chunks and the short-tail window is exercised. Emits the
+    * chunk md5 (the downstream dedup key) instead of the text to keep
+    * the dump lean. FULLY oracle-checked: DuckDB re-splits, re-windows
+    * with the same integer stride math, and re-hashes every chunk.
+    */
+  def q115DocChunks(spark: SparkSession, dir: String): DataFrame =
+    TextPacking.chunkDocuments(Tables.documents(spark, dir),
+                               "doc_id", "text",
+                               chunkTokens = 32, overlap = 8)
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+              col("n_tok"), md5(col("chunk_text").cast("binary"))
+                .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** LSH similarity self-join over embeddings (pairs above threshold) —
     * oracle-checked via the same inlined-projection replay as q39; plan
     * is a salted bucket equi-join, never cartesian.
@@ -1502,7 +1518,8 @@ object LlmQueries {
     "q108_quality_psi"     -> (q108QualityPsi(_, _)),
     "q112_quality_ks"      -> (q112QualityKs(_, _)),
     "q113_mixture_budget_approx" -> (q113MixtureBudgetApprox(_, _)),
-    "q114_audio_decode"    -> (q114AudioDecode(_, _))
+    "q114_audio_decode"    -> (q114AudioDecode(_, _)),
+    "q115_doc_chunks"      -> (q115DocChunks(_, _))
   )
 
   /** DuckDB replay of [[Similarity.hyperplaneSignature]]: the projection
@@ -3248,6 +3265,27 @@ object LlmQueries {
         |       AS t(p)
         |GROUP BY 1, 2, 3
         |ORDER BY media_id""".stripMargin,
+    // Tokens re-split, windows re-derived with the same integer stride
+    // arithmetic, chunks re-hashed. DuckDB list slices are 1-based
+    // inclusive and length-clamp at the array end exactly like Spark's
+    // slice().
+    "q115_doc_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+        |         len(string_split_regex(trim(text), '\s+')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, t,
+        |    unnest(generate_series(0,
+        |      CASE WHEN n <= 32 THEN 0
+        |           ELSE (n - 32 + 23) // 24 END)) AS ci
+        |  FROM tok)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |  CAST(ci * 24 AS BIGINT) AS start_tok,
+        |  CAST(least(32, n - ci * 24) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(t[ci*24 + 1 : ci*24 + 32], ' '))
+        |    AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // Every WAV frame regenerated from the (id*31 + i) % 256 formula;
     // amp_sum is the full amplitude total, w0_sum the first of the 8
     // uniform windows (frames i < n/8).

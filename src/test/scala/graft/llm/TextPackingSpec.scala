@@ -41,4 +41,49 @@ class TextPackingSpec extends SparkSpec {
     assert(packed(1L) != packed(2L))
     assert(packed(2L) == packed(3L), "small docs share a bin")
   }
+
+  test("chunking: hand-computed windows, short last chunk, sub-window " +
+       "docs yield one chunk") {
+    import spark.implicits._
+    // 10 tokens, chunk 4, overlap 1 → stride 3 → ceil((10-4)/3)+1 = 3
+    // chunks starting at 0, 3, 6; the last runs 4 long (tokens 7-10).
+    val df = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+                 (2L, "a b"))                       // n=2 ≤ 4 → 1 chunk
+      .toDF("doc_id", "text")
+    val out = TextPacking.chunkDocuments(df, "doc_id", "text",
+                                         chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+                 r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1, 3L, 4L, "t4 t5 t6 t7"),
+      (1L, 2, 6L, 4L, "t7 t8 t9 t10"),
+      (2L, 0, 0L, 2L, "a b")))
+  }
+
+  test("chunking invariants on the real corpus: full coverage with the " +
+       "exact overlap, deterministic, token counts add up") {
+    val docs = Tables.documents(spark, sf0001)
+    val chunks = TextPacking.chunkDocuments(docs, "doc_id", "text",
+                                            chunkTokens = 32, overlap = 8)
+    val n = docs.select(
+      sum(size(split(trim(col("text")), "\\s+"))).cast("long")).head()
+      .getLong(0)
+    val stats = chunks.agg(
+      sum("n_tok").cast("long"),
+      sum(when(col("chunk_idx") > 0, lit(8L)).otherwise(0L))
+        .cast("long")).head()
+    // Σ chunk tokens = corpus tokens + 8 overlap tokens per non-first
+    // chunk — exact coverage, nothing dropped or double-counted beyond
+    // the designed overlap.
+    assert(stats.getLong(0) == n + stats.getLong(1))
+    // every chunk is non-empty and within the window size
+    assert(chunks.filter(col("n_tok") < 1 || col("n_tok") > 32)
+      .count() == 0)
+    // deterministic across runs
+    assert(chunks.orderBy("doc_id", "chunk_idx").collect().toSeq ==
+      TextPacking.chunkDocuments(docs, "doc_id", "text", 32, 8)
+        .orderBy("doc_id", "chunk_idx").collect().toSeq)
+  }
 }
