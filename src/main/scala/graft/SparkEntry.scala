@@ -78,6 +78,7 @@ object SparkEntry {
     "q112_quality_ks",
     "q113_mixture_budget_approx",
     "q114_audio_decode",
-    "q115_doc_chunks"
+    "q115_doc_chunks",
+    "q116_source_similarity"
   )
 }

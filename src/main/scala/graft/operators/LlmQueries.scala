@@ -272,6 +272,58 @@ object LlmQueries {
                 .as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Source-centroid similarity — the corpus-curation "which sources
+    * overlap semantically" report: embeddings mean-pooled per source,
+    * then pairwise cosine between the ~#sources centroids. Floats
+    * quantize to ⌊x·10⁶⌋ BIGINTs BEFORE aggregation, so the per-(source,
+    * dim) sums are exact integers (order-independent — float mean-pool
+    * would hash-flap on summation order), dot products and norms ride
+    * decimal(38,0) (HUGEINT in the oracle), and only the final cosine is
+    * floating point. Quantization cancels in the cosine ratio up to the
+    * 1e-6 grid. FULLY oracle-checked.
+    *
+    * Plan: one narrow (source, dim) aggregation (explode multiplies rows
+    * ×64 but partial-aggs map-side to #sources×64 groups) → tiny
+    * centroid frame → broadcast self-join of ~#sources² rows. Nothing
+    * corpus-scale shuffles twice.
+    */
+  def q116SourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    val sums = Tables.embeddings(spark, dir)
+      .join(docs, col("vec_id") === col("doc_id"))
+      .select(col("source"), posexplode(col("embedding")))
+      .select(col("source"), col("pos"),
+              floor(col("col").cast("double") * 1000000)
+                .cast("long").as("qv"))
+      .groupBy("source", "pos").agg(sum("qv").as("sv"))
+    val vecs = sums.groupBy("source")
+      .agg(sort_array(collect_list(struct(col("pos"), col("sv"))))
+        .as("ps"))
+      .select(col("source"),
+              transform(col("ps"), p => p.getField("sv")).as("vec"))
+      .withColumn("nrm",
+        aggregate(col("vec"), lit(0).cast(dec),
+                  (acc, x) => acc + x.cast(dec) * x.cast(dec)))
+    val a = vecs.select(col("source").as("src_a"), col("vec").as("va"),
+                        col("nrm").as("na"))
+    val b = vecs.select(col("source").as("src_b"), col("vec").as("vb"),
+                        col("nrm").as("nb"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .withColumn("dot",
+        aggregate(zip_with(col("va"), col("vb"),
+                           (x, y) => x.cast(dec) * y.cast(dec)),
+                  lit(0).cast(dec), (acc, x) => acc + x))
+      .select(col("src_a"), col("src_b"),
+              when(col("na") === 0 || col("nb") === 0,
+                   lit(null).cast("double"))
+                .otherwise(round(col("dot").cast("double")
+                                   / sqrt(col("na").cast("double"))
+                                   / sqrt(col("nb").cast("double")), 6))
+                .as("cosine"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** LSH similarity self-join over embeddings (pairs above threshold) —
     * oracle-checked via the same inlined-projection replay as q39; plan
     * is a salted bucket equi-join, never cartesian.
@@ -1519,7 +1571,8 @@ object LlmQueries {
     "q112_quality_ks"      -> (q112QualityKs(_, _)),
     "q113_mixture_budget_approx" -> (q113MixtureBudgetApprox(_, _)),
     "q114_audio_decode"    -> (q114AudioDecode(_, _)),
-    "q115_doc_chunks"      -> (q115DocChunks(_, _))
+    "q115_doc_chunks"      -> (q115DocChunks(_, _)),
+    "q116_source_similarity" -> (q116SourceSimilarity(_, _))
   )
 
   /** DuckDB replay of [[Similarity.hyperplaneSignature]]: the projection
@@ -3265,6 +3318,35 @@ object LlmQueries {
         |       AS t(p)
         |GROUP BY 1, 2, 3
         |ORDER BY media_id""".stripMargin,
+    // Quantized per-(source,dim) sums, HUGEINT dot/norm intermediates
+    // (exact int128 — only the final cosine column is double, so the
+    // typecheck gate stays clean), identical division/sqrt order.
+    "q116_source_similarity" ->
+      """WITH j AS (
+        |  SELECT d.source, e.embedding AS emb
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        |q AS (
+        |  SELECT source, i AS pos,
+        |    CAST(floor(CAST(emb[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS qv
+        |  FROM j, LATERAL unnest(generate_series(0, 63)) AS t(i)),
+        |s AS (SELECT source, pos, CAST(sum(qv) AS BIGINT) AS sv
+        |      FROM q GROUP BY 1, 2),
+        |n AS (SELECT source, sum(CAST(sv AS HUGEINT) * sv) AS nrm
+        |      FROM s GROUP BY 1),
+        |p AS (
+        |  SELECT sa.source AS src_a, sb.source AS src_b,
+        |    sum(CAST(sa.sv AS HUGEINT) * sb.sv) AS dot
+        |  FROM s sa JOIN s sb ON sa.pos = sb.pos AND sa.source < sb.source
+        |  GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b,
+        |  CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN NULL
+        |       ELSE round(CAST(p.dot AS DOUBLE)
+        |                  / sqrt(CAST(na.nrm AS DOUBLE))
+        |                  / sqrt(CAST(nb.nrm AS DOUBLE)), 6) END AS cosine
+        |FROM p JOIN n na ON p.src_a = na.source
+        |       JOIN n nb ON p.src_b = nb.source
+        |ORDER BY src_a, src_b""".stripMargin,
     // Tokens re-split, windows re-derived with the same integer stride
     // arithmetic, chunks re-hashed. DuckDB list slices are 1-based
     // inclusive and length-clamp at the array end exactly like Spark's

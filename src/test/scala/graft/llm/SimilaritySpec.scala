@@ -164,4 +164,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall { case (a, b) => a % 20 == b % 20 },
            "pairs above 0.9 cosine must be cluster-mates")
   }
+
+  test("source-centroid similarity (q116): identical sources score 1, " +
+       "orthogonal sources 0, on hand-built centroids") {
+    import spark.implicits._
+    val dir = tmpDir("srcsim")
+    // Sources A and B share the same mean direction (axis 0), C is
+    // orthogonal (axis 1). 64-dim vectors, two docs per source.
+    def vec(axis: Int, scale: Float) =
+      (0 until 64).map(d => if (d == axis) scale else 0.0f)
+    Seq((0L, "A"), (1L, "A"), (2L, "B"), (3L, "B"), (4L, "C"), (5L, "C"))
+      .toDF("doc_id", "source")
+      .withColumn("text", lit("x")).withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((0L, vec(0, 1.0f), 0), (1L, vec(0, 3.0f), 0),
+        (2L, vec(0, 2.0f), 0), (3L, vec(0, 4.0f), 0),
+        (4L, vec(1, 1.0f), 0), (5L, vec(1, 2.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.LlmQueries
+      .queries("q116_source_similarity")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out(("A", "B")) == 1.0, s"collinear centroids: $out")
+    assert(out(("A", "C")) == 0.0 && out(("B", "C")) == 0.0,
+           s"orthogonal centroids: $out")
+  }
 }
