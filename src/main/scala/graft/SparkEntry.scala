@@ -79,6 +79,7 @@ object SparkEntry {
     "q113_mixture_budget_approx",
     "q114_audio_decode",
     "q115_doc_chunks",
-    "q116_source_similarity"
+    "q116_source_similarity",
+    "q117_temperature_mix"
   )
 }

@@ -143,6 +143,53 @@ object QualityFilters {
         < threshold)
   }
 
+  /** Temperature-controlled stratum rebalancing — the multilingual mixing
+    * rule (mT5 / XLM-R): sampling rate per stratum ∝ n^(1/T), so
+    * high-resource strata are DOWN-sampled toward the low-resource tail
+    * as T grows (T=1 reproduces proportional sampling; T→∞ uniform).
+    * T ∈ {1, 2, 4} keeps the weight arithmetic a sqrt chain — IEEE sqrt
+    * is correctly rounded, so weights are bit-portable across engines
+    * (a general pow() is not). Weights quantize to ⌊w·10⁶⌋ integers, the
+    * weight/row totals are exact integer sums, the per-stratum keep
+    * threshold is a ppm from one fixed-order double expression, and
+    * membership is the md5-prefix trick compared in EXACT integer space
+    * (h·10⁶ < ppm·2³², both ≤ 4.4e15 — no float boundary). Row-local
+    * after two tiny aggregations; content-stable, RNG-free.
+    *
+    * Returns the input plus (n_total, thresh_ppm, keep).
+    */
+  def temperatureSample(df: DataFrame, stratumCol: String, keyCol: String,
+                        budgetFrac: Double,
+                        temperature: Int = 2): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1, "budgetFrac in (0,1]")
+    require(Set(1, 2, 4).contains(temperature),
+            "temperature must be 1, 2, or 4 (sqrt-chain portability)")
+    def w(c: Column): Column = temperature match {
+      case 1 => c.cast("double")
+      case 2 => sqrt(c)
+      case 4 => sqrt(sqrt(c))
+    }
+    val counts = df.groupBy(col(stratumCol).as("__stratum"))
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("wq", floor(w(col("n_total")) * 1000000).cast("long"))
+    val tot = counts.agg(sum("n_total").as("n_corpus"),
+                         sum("wq").as("w_sum"))
+    val thr = counts.crossJoin(broadcast(tot))
+      .withColumn("target",
+                  floor(col("n_corpus") * lit(budgetFrac)).cast("long"))
+      .withColumn("thresh_ppm",
+        least(lit(1000000L),
+              floor(col("target") * col("wq") / col("w_sum")
+                      / col("n_total") * 1000000.0).cast("long")))
+      .select(col("__stratum"), col("n_total"), col("thresh_ppm"))
+    val h = expr(s"CAST(conv(substring(md5(CAST($keyCol AS STRING)), 1, 8)" +
+                 s", 16, 10) AS BIGINT)")
+    df.join(broadcast(thr), col(stratumCol) === col("__stratum"))
+      .drop("__stratum")
+      .withColumn("keep",
+                  h * 1000000L < col("thresh_ppm") * 4294967296L)
+  }
+
   /** Balanced per-stratum sampling: the first `n` rows of each stratum in
     * md5(key) order — a deterministic, content-stable "random" balanced
     * subset (class-balanced training sets, per-language caps). No RNG

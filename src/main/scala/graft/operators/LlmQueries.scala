@@ -324,6 +324,24 @@ object LlmQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** Temperature rebalancing report
+    * ([[QualityFilters.temperatureSample]], T=2, 50% budget): per-source
+    * row counts, the derived ppm keep-threshold, and the rows actually
+    * kept by the md5 membership test. T=2 halves the spread between
+    * high- and low-resource sources (rate ∝ √n). FULLY oracle-checked —
+    * sqrt-chain weights, fixed-order double threshold arithmetic, and
+    * the exact-integer md5 comparison all replay in DuckDB.
+    */
+  def q117TemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    QualityFilters.temperatureSample(
+      Tables.documents(spark, dir), "source", "doc_id",
+      budgetFrac = 0.5, temperature = 2)
+      .groupBy("source")
+      .agg(first("n_total").as("n_total"),
+           first("thresh_ppm").as("thresh_ppm"),
+           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+
   /** LSH similarity self-join over embeddings (pairs above threshold) —
     * oracle-checked via the same inlined-projection replay as q39; plan
     * is a salted bucket equi-join, never cartesian.
@@ -1572,7 +1590,8 @@ object LlmQueries {
     "q113_mixture_budget_approx" -> (q113MixtureBudgetApprox(_, _)),
     "q114_audio_decode"    -> (q114AudioDecode(_, _)),
     "q115_doc_chunks"      -> (q115DocChunks(_, _)),
-    "q116_source_similarity" -> (q116SourceSimilarity(_, _))
+    "q116_source_similarity" -> (q116SourceSimilarity(_, _)),
+    "q117_temperature_mix" -> (q117TemperatureMix(_, _))
   )
 
   /** DuckDB replay of [[Similarity.hyperplaneSignature]]: the projection
@@ -3318,6 +3337,34 @@ object LlmQueries {
         |       AS t(p)
         |GROUP BY 1, 2, 3
         |ORDER BY media_id""".stripMargin,
+    // Sqrt-chain weights, the same fixed-order double threshold
+    // expression, and the md5-prefix membership compared in exact
+    // integer space.
+    "q117_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_total FROM documents GROUP BY 1),
+        |wq AS (
+        |  SELECT source, CAST(n_total AS BIGINT) AS n_total,
+        |    CAST(floor(sqrt(n_total) * 1000000) AS BIGINT) AS wq
+        |  FROM c),
+        |tot AS (
+        |  SELECT CAST(sum(n_total) AS BIGINT) AS n_corpus,
+        |         CAST(sum(wq) AS BIGINT) AS w_sum
+        |  FROM wq),
+        |thr AS (
+        |  SELECT source, n_total,
+        |    least(1000000, CAST(floor(
+        |      CAST(floor(n_corpus * 0.5) AS BIGINT) * wq / w_sum
+        |        / n_total * 1000000.0) AS BIGINT)) AS thresh_ppm
+        |  FROM wq, tot)
+        |SELECT d.source, thr.n_total, thr.thresh_ppm,
+        |  CAST(sum(CASE WHEN
+        |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      * 1000000 < thr.thresh_ppm * 4294967296
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d JOIN thr ON d.source = thr.source
+        |GROUP BY 1, 2, 3
+        |ORDER BY d.source""".stripMargin,
     // Quantized per-(source,dim) sums, HUGEINT dot/norm intermediates
     // (exact int128 — only the final cosine column is double, so the
     // typecheck gate stays clean), identical division/sqrt order.

@@ -302,6 +302,38 @@ class QualityFiltersSpec extends SparkSpec {
     }
   }
 
+  test("temperatureSample: T=2 lifts the low-resource stratum to full " +
+       "keep and downsamples the high-resource one; T=1 is proportional") {
+    import spark.implicits._
+    // A = 1600 rows, B = 100 rows → Σ = 1700, budget 850.
+    // T=2: wA=40, wB=10 → rateA = 850·40/50/1600 = 0.425,
+    //      rateB = 850·10/50/100 = 1.7 → clamped to 1.
+    val df = ((0 until 1600).map(i => (i.toLong, "A")) ++
+              (0 until 100).map(i => (10000L + i, "B")))
+      .toDF("doc_id", "source")
+    val t2 = QualityFilters.temperatureSample(df, "source", "doc_id",
+                                              budgetFrac = 0.5,
+                                              temperature = 2)
+    val rep = t2.groupBy("source")
+      .agg(first("thresh_ppm").as("t"),
+           sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(rep("A")._1 == 425000L, s"A threshold: $rep")
+    assert(rep("B")._1 == 1000000L && rep("B")._2 == 100L,
+           s"B must be fully kept: $rep")
+    // md5 membership is ~binomial(1600, 0.425): wide bracket, zero noise
+    assert(rep("A")._2 > 560 && rep("A")._2 < 800, s"A kept: $rep")
+    // T=1 degenerates to plain proportional sampling: every stratum
+    // gets exactly the budget rate (850/1700 = 0.5 → 500000 ppm).
+    val t1 = QualityFilters.temperatureSample(df, "source", "doc_id",
+                                              budgetFrac = 0.5,
+                                              temperature = 1)
+      .select("source", "thresh_ppm").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t1 == Map("A" -> 500000L, "B" -> 500000L), s"T=1: $t1")
+  }
+
   test("gramNovelty: exact copies score 0 ppm, unique docs 1e6 ppm, " +
        "partial overlap in between") {
     import spark.implicits._
