@@ -80,6 +80,7 @@ object SparkEntry {
     "q114_audio_decode",
     "q115_doc_chunks",
     "q116_source_similarity",
-    "q117_temperature_mix"
+    "q117_temperature_mix",
+    "q118_hard_negatives"
   )
 }

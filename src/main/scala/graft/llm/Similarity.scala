@@ -72,6 +72,39 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining for contrastive/embedding training data: per
+    * query, the `k` MOST similar corpus vectors whose cosine stays BELOW
+    * `dupThreshold` — the classic "semantically close but not a
+    * duplicate" negatives; at-or-above-threshold neighbors are
+    * positives/leaks and are excluded BEFORE ranking, so a query ringed
+    * by near-dups still yields k genuine negatives. Same scale shape as
+    * [[bruteForceTopK]]: corpus scanned once and never shuffled (queries
+    * broadcast), per-partition top-k before the exchange; swap the scan
+    * for an [[ivfTopK]]-style probe at 100 TB with a larger candidate k.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    dupThreshold: Double,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && dupThreshold > -1.0 && dupThreshold <= 1.0,
+            "need k > 0 and dupThreshold in (-1, 1]")
+    val c = corpus.select(col(idCol).as("corpus_id"),
+                          col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"),
+                           col(vecCol).as("qvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .filter(col("cos") < dupThreshold)
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("corpus_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+              round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Random-hyperplane sign signature: `nBits` fixed pseudo-random
     * hyperplanes (deterministically derived from a seed via a splitmix-ish
     * integer mix — no RNG object, fully reproducible), each contributing a

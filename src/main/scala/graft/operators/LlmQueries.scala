@@ -118,6 +118,19 @@ object LlmQueries {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
   }
 
+  /** Hard-negative mining ([[Similarity.hardNegatives]]) — per query
+    * vector, the 5 most similar corpus vectors BELOW the 0.25 near-dup
+    * threshold (the q44/q88 duplicate line): semantically close
+    * non-duplicates, the contrastive-training negative set. FULLY
+    * oracle-checked via the q38 replay + the same pre-rank threshold
+    * filter.
+    */
+  def q118HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
+                             k = 5, dupThreshold = 0.25)
+  }
+
   /** LSH-bucketed ANN (random hyperplanes, multi-probe). Oracle-checked:
     * DuckDB replays the deterministic hyperplane projection from inlined
     * literal constants ([[lshBucketSql]]); SimilaritySpec additionally
@@ -1591,7 +1604,8 @@ object LlmQueries {
     "q114_audio_decode"    -> (q114AudioDecode(_, _)),
     "q115_doc_chunks"      -> (q115DocChunks(_, _)),
     "q116_source_similarity" -> (q116SourceSimilarity(_, _)),
-    "q117_temperature_mix" -> (q117TemperatureMix(_, _))
+    "q117_temperature_mix" -> (q117TemperatureMix(_, _)),
+    "q118_hard_negatives"  -> (q118HardNegatives(_, _))
   )
 
   /** DuckDB replay of [[Similarity.hyperplaneSignature]]: the projection
@@ -3249,6 +3263,24 @@ object LlmQueries {
         |        / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard3
         |FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+    // q38's replay with the near-dup exclusion applied BEFORE ranking.
+    "q118_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS corpus_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT query_id, corpus_id,
+        |        list_cosine_similarity(qv, cv) AS cos
+        |      FROM q CROSS JOIN c WHERE query_id <> corpus_id),
+        |f AS (SELECT * FROM s WHERE cos < 0.25),
+        |r AS (SELECT query_id, corpus_id, cos,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY cos DESC, corpus_id) AS rank
+        |      FROM f)
+        |SELECT query_id, corpus_id, round(cos, 6) AS cos, rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q38_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

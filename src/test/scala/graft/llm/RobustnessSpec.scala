@@ -253,4 +253,42 @@ class RobustnessSpec extends SparkSpec {
       .collect()
     assert(dg.count(_.getInt(0) == 1) == 1)
   }
+
+  test("round-7 ops on empty and degenerate input") {
+    import spark.implicits._
+    // chunking: empty corpus → empty; whitespace-only text still yields
+    // exactly one (empty-token) chunk, never zero or an exception
+    assert(TextPacking.chunkDocuments(emptyDocs, "doc_id", "text")
+      .count() == 0)
+    val ws = Seq((1L, "   ")).toDF("doc_id", "text")
+    val wsChunks = TextPacking.chunkDocuments(ws, "doc_id", "text",
+                                              chunkTokens = 4, overlap = 1)
+      .collect()
+    assert(wsChunks.length == 1 && wsChunks(0).getInt(1) == 0)
+    // temperature sampling: empty input → empty report; a single
+    // stratum always degenerates to the plain budget rate
+    assert(QualityFilters.temperatureSample(
+      emptyDocs.withColumnRenamed("text", "source"),
+      "source", "doc_id", 0.5).count() == 0)
+    val oneSrc = (0 until 64).map(i => (i.toLong, "only"))
+      .toDF("doc_id", "source")
+    val t = QualityFilters.temperatureSample(oneSrc, "source", "doc_id",
+                                             budgetFrac = 0.25,
+                                             temperature = 4)
+      .select("thresh_ppm").distinct().collect()
+    assert(t.length == 1 && t(0).getLong(0) == 250000L)
+    // approx allocators: empty corpus → empty selections, no div-by-zero
+    assert(QualityFilters.mixtureTokenBudgetApprox(
+      emptyDocs.withColumn("source", lit("s")),
+      "doc_id", "text", "source", 0.5, Map.empty[String, Long])
+      .count() == 0)
+    // audio decode: empty media table → empty; non-audio rows filtered
+    assert(Multimodal.decodeAudio(
+      Multimodal.syntheticMedia(emptyDocs)).count() == 0)
+    val img = Seq((1L, "image", Array[Byte](1), null.asInstanceOf[Integer],
+                   null.asInstanceOf[Integer], 0L))
+      .toDF("media_id", "media_type", "content",
+            "meta_width", "meta_height", "meta_duration_ms")
+    assert(Multimodal.decodeAudio(img).count() == 0)
+  }
 }

@@ -165,6 +165,31 @@ class SimilaritySpec extends SparkSpec {
            "pairs above 0.9 cosine must be cluster-mates")
   }
 
+  test("hardNegatives: near-duplicates excluded BEFORE ranking, so the " +
+       "negatives are the closest sub-threshold neighbors") {
+    val corpus = clustered
+    val queries = corpus.filter(col("vec_id") < 3)
+    val negs = Similarity.hardNegatives(corpus, queries, k = 5,
+                                        dupThreshold = 0.95)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(negs.length == 15, s"3 queries × 5 negatives, got ${negs.length}")
+    assert(negs.forall(_._3 < 0.95))
+    // cluster-mates (cos ≈ 0.99+) are the positives — none may appear
+    assert(negs.forall { case (q, c, _, _) => q % 20 != c % 20 },
+           "cluster-mates must be excluded from the negative set")
+    // equivalence: the negatives are exactly the first 5 sub-threshold
+    // entries of the FULL brute-force ranking, re-ranked 1..5
+    val full = Similarity.bruteForceTopK(corpus, queries, k = 499)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = full.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.filter(_._3 < 0.95).take(5).zipWithIndex
+        .map { case ((_, c, _), i) => (q, c, i + 1L) }.toSeq
+    }.toSet
+    assert(negs.map(n => (n._1, n._2, n._4)).toSet == want)
+  }
+
   test("source-centroid similarity (q116): identical sources score 1, " +
        "orthogonal sources 0, on hand-built centroids") {
     import spark.implicits._
