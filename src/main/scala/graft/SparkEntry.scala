@@ -81,6 +81,7 @@ object SparkEntry {
     "q115_doc_chunks",
     "q116_source_similarity",
     "q117_temperature_mix",
-    "q118_hard_negatives"
+    "q118_hard_negatives",
+    "q119_mixed_language"
   )
 }

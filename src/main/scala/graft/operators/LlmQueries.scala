@@ -118,6 +118,35 @@ object LlmQueries {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
   }
 
+  /** Mixed-language detection — the multilingual-corpus quality gate
+    * that a whole-doc language-ID vote smooths over: language-ID each
+    * DISJOINT 32-token chunk ([[TextPacking.chunkDocuments]] with zero
+    * overlap, so every token votes exactly once), then per doc report
+    * chunk count, distinct chunk languages, the majority language
+    * (ties → alphabetically first, matching [[TextAnalysis.langId]]'s
+    * own tie rule), its exact-ppm share, and the mixed flag. Docs whose
+    * majority share is low get split or dropped in production pipelines.
+    * Row-local chunking+ID, two narrow aggs. FULLY oracle-checked.
+    */
+  def q119MixedLanguage(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = TextPacking.chunkDocuments(
+      Tables.documents(spark, dir), "doc_id", "text",
+      chunkTokens = 32, overlap = 0)
+      .withColumn("clang", TextAnalysis.langId(col("chunk_text")))
+    chunks.groupBy("doc_id", "clang").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_chunks"),
+           count(lit(1)).as("n_langs"),
+           min(struct((-col("n")).as("negn"), col("clang").as("l")))
+             .as("m"))
+      .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+              col("m.l").as("majority_lang"),
+              expr("((-m.negn) * 1000000) DIV n_chunks")
+                .as("majority_ppm"),
+              (col("n_langs") > 1).as("mixed"))
+      .orderBy("doc_id")
+  }
+
   /** Hard-negative mining ([[Similarity.hardNegatives]]) — per query
     * vector, the 5 most similar corpus vectors BELOW the 0.25 near-dup
     * threshold (the q44/q88 duplicate line): semantically close
@@ -1605,7 +1634,8 @@ object LlmQueries {
     "q115_doc_chunks"      -> (q115DocChunks(_, _)),
     "q116_source_similarity" -> (q116SourceSimilarity(_, _)),
     "q117_temperature_mix" -> (q117TemperatureMix(_, _)),
-    "q118_hard_negatives"  -> (q118HardNegatives(_, _))
+    "q118_hard_negatives"  -> (q118HardNegatives(_, _)),
+    "q119_mixed_language"  -> (q119MixedLanguage(_, _))
   )
 
   /** DuckDB replay of [[Similarity.hyperplaneSignature]]: the projection
@@ -3263,6 +3293,41 @@ object LlmQueries {
         |        / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard3
         |FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+    // The q115 chunk windows at zero overlap, the q33 language CASE per
+    // chunk, majority via (n DESC, lang) window, exact-ppm share.
+    "q119_mixed_language" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
+         |         len(string_split_regex(trim(text), '\\s+')) AS n
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id, t,
+         |    unnest(generate_series(0,
+         |      CASE WHEN n <= 32 THEN 0
+         |           ELSE (n - 32 + 31) // 32 END)) AS ci
+         |  FROM tok),
+         |lt AS (
+         |  SELECT doc_id,
+         |    string_split_regex(lower(trim(
+         |      array_to_string(t[ci*32 + 1 : ci*32 + 32], ' '))), '\\s+')
+         |      AS toks
+         |  FROM ch),
+         |lc AS (SELECT doc_id, ($langCase) AS clang FROM lt),
+         |g AS (SELECT doc_id, clang, count(*) AS n
+         |      FROM lc GROUP BY 1, 2),
+         |d AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chunks,
+         |             CAST(count(*) AS BIGINT) AS n_langs
+         |      FROM g GROUP BY 1),
+         |m AS (SELECT doc_id, clang AS majority_lang,
+         |             CAST(n AS BIGINT) AS maj_n
+         |      FROM g
+         |      QUALIFY row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY n DESC, clang) = 1)
+         |SELECT d.doc_id, d.n_chunks, d.n_langs, m.majority_lang,
+         |  (m.maj_n * 1000000) // d.n_chunks AS majority_ppm,
+         |  d.n_langs > 1 AS mixed
+         |FROM d JOIN m USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // q38's replay with the near-dup exclusion applied BEFORE ranking.
     "q118_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id,

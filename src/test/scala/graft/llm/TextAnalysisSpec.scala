@@ -98,4 +98,31 @@ class TextAnalysisSpec extends SparkSpec {
                "quality", "lang_pred", "fingerprint").subsetOf(cols))
     assert(out.count() == 1)
   }
+
+  test("mixed-language detection (q119): per-chunk votes, majority share, " +
+       "alphabetical majority tie-break") {
+    import spark.implicits._
+    val dir = tmpDir("mixedlang")
+    def rep(s: String, n: Int) = Seq.fill(n)(s).mkString(" ")
+    // doc 1: 32 en-marker tokens + 32 de-marker tokens → 2 chunks, one
+    //        voting en and one de → mixed, tie → 'de' (alphabetical)
+    // doc 2: 40 en tokens → 2 chunks (32 + 8), both en → not mixed
+    // doc 3: 10 gibberish tokens → 1 'und' chunk
+    val docs = Seq(
+      (1L, rep("the", 32) + " " + rep("der", 32)),
+      (2L, rep("the", 40)),
+      (3L, rep("zzz", 10)))
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("s")).withColumn("lang", lit("x"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.LlmQueries
+      .queries("q119_mixed_language")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+         r.getBoolean(5))).toMap
+    assert(out(1L) == ((2L, 2L, "de", 500000L, true)), s"doc1: $out")
+    assert(out(2L) == ((2L, 1L, "en", 1000000L, false)), s"doc2: $out")
+    assert(out(3L) == ((1L, 1L, "und", 1000000L, false)), s"doc3: $out")
+  }
 }
