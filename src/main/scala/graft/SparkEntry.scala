@@ -82,6 +82,7 @@ object SparkEntry {
     "q116_source_similarity",
     "q117_temperature_mix",
     "q118_hard_negatives",
-    "q119_mixed_language"
+    "q119_mixed_language",
+    "q120_gopher_yield"
   )
 }

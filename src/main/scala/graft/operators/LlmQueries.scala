@@ -118,6 +118,35 @@ object LlmQueries {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
   }
 
+  /** Per-source quality-gate yield report — the pipeline diagnostic
+    * behind "which source is bleeding docs, and on which Gopher rule":
+    * every gate of [[QualityFilters.gopherStats]] counted per source as
+    * a violation column, plus the kept total. Violations are counted
+    * independently (a doc can trip several rules), so rule columns
+    * need not sum to drops. One row-local stats scan + one narrow
+    * #sources-group aggregation. FULLY oracle-checked via the shared
+    * gopher replay joined back to sources.
+    */
+  def q120GopherYield(spark: SparkSession, dir: String): DataFrame = {
+    def v(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    QualityFilters.gopherStats(
+      Tables.documents(spark, dir).select("doc_id", "text", "source"),
+      "text", minStopwordHits = 1)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           v(col("n_words") < 5 || col("n_words") > 100000).as("v_words"),
+           v(col("mean_word_len") < 2.0 || col("mean_word_len") > 10.0)
+             .as("v_word_len"),
+           v(col("symbol_ratio") > 0.1).as("v_symbol"),
+           v(col("bullet_line_frac") > 0.9).as("v_bullet"),
+           v(col("ellipsis_line_frac") > 0.3).as("v_ellipsis"),
+           v(col("alpha_word_frac") < 0.8).as("v_alpha"),
+           v(col("stopword_hits") < 1).as("v_stopword"),
+           v(col("keep")).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** Mixed-language detection — the multilingual-corpus quality gate
     * that a whole-doc language-ID vote smooths over: language-ID each
     * DISJOINT 32-token chunk ([[TextPacking.chunkDocuments]] with zero
@@ -1635,7 +1664,8 @@ object LlmQueries {
     "q116_source_similarity" -> (q116SourceSimilarity(_, _)),
     "q117_temperature_mix" -> (q117TemperatureMix(_, _)),
     "q118_hard_negatives"  -> (q118HardNegatives(_, _)),
-    "q119_mixed_language"  -> (q119MixedLanguage(_, _))
+    "q119_mixed_language"  -> (q119MixedLanguage(_, _)),
+    "q120_gopher_yield"    -> (q120GopherYield(_, _))
   )
 
   /** DuckDB replay of [[Similarity.hyperplaneSignature]]: the projection
@@ -3293,6 +3323,31 @@ object LlmQueries {
         |        / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard3
         |FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+    // The shared gopher replay joined back to sources; every rule
+    // counted independently, kept docs via the same composite flag.
+    "q120_gopher_yield" ->
+      s"""WITH g AS (
+         |${gopherStatsSql("documents")}),
+         |j AS (SELECT d.source, g.* FROM g
+         |      JOIN documents d USING (doc_id))
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN n_words < 5 OR n_words > 100000
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS v_words,
+         |  CAST(sum(CASE WHEN mean_word_len < 2.0 OR mean_word_len > 10.0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS v_word_len,
+         |  CAST(sum(CASE WHEN symbol_ratio > 0.1
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS v_symbol,
+         |  CAST(sum(CASE WHEN bullet_line_frac > 0.9
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS v_bullet,
+         |  CAST(sum(CASE WHEN ellipsis_line_frac > 0.3
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS v_ellipsis,
+         |  CAST(sum(CASE WHEN alpha_word_frac < 0.8
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS v_alpha,
+         |  CAST(sum(CASE WHEN stopword_hits < 1
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS v_stopword,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
     // The q115 chunk windows at zero overlap, the q33 language CASE per
     // chunk, majority via (n DESC, lang) window, exact-ppm share.
     "q119_mixed_language" ->

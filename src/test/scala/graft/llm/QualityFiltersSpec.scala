@@ -302,6 +302,33 @@ class QualityFiltersSpec extends SparkSpec {
     }
   }
 
+  test("per-source gopher yield (q120): rules counted independently, " +
+       "kept = composite gate") {
+    import spark.implicits._
+    val dir = tmpDir("gopheryield")
+    val good = "the quick brown fox jumps over a lazy dog near the barn"
+    val docs = Seq(
+      (1L, "A", good),                  // passes everything
+      (2L, "A", "too few"),             // v_words (2 < 5), no stopword hit
+      (3L, "B", good),
+      (4L, "B", "zz qq ## ## ## ## ##")) // symbol soup: wordTokens drops
+                                         // the '#' runs → 2 words →
+                                         // v_words + v_symbol + v_stopword
+      .toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.LlmQueries
+      .queries("q120_gopher_yield")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(7),
+         r.getLong(8), r.getLong(9))).toMap
+    // columns: source, n_docs, v_words, v_word_len, v_symbol, v_bullet,
+    //          v_ellipsis, v_alpha, v_stopword, n_kept
+    assert(out("A") == ((2L, 1L, 0L, 0L, 1L, 1L)), s"A: $out")
+    assert(out("B") == ((2L, 1L, 1L, 0L, 1L, 1L)), s"B: $out")
+  }
+
   test("temperatureSample: T=2 lifts the low-resource stratum to full " +
        "keep and downsamples the high-resource one; T=1 is proportional") {
     import spark.implicits._
