@@ -431,7 +431,8 @@ object Dedup {
     * cluster_id = the component's minimum doc id (fully deterministic).
     */
   def clustersFromEdges(vertices: DataFrame, pairs: DataFrame,
-                        maxRounds: Int = 16): DataFrame = {
+                        maxRounds: Int = 16,
+                        localFinishEdges: Long = 1000000L): DataFrame = {
     var le = pairs
       .select(least(col("doc_a"), col("doc_b")).as("a"),
               greatest(col("doc_a"), col("doc_b")).as("b"))
@@ -451,8 +452,9 @@ object Dedup {
     // distributed rounds whose cost is pure job latency. This is the
     // standard CC endgame (the quotient graph of a clique-heavy dup
     // corpus is tiny after round 1); larger contracted graphs keep
-    // iterating distributed — the 100 TB fallback.
-    val localFinishEdges = 1000000
+    // iterating distributed — the 100 TB fallback. The bound is a
+    // parameter (default 1M ≈ 16 MB collected) so specs can force either
+    // branch at identical input size; 0 disables the endgame entirely.
     val isLongKeyed =
       le.schema("a").dataType == org.apache.spark.sql.types.LongType
     var done = false

@@ -144,6 +144,11 @@ object Multimodal {
       val bits = fmt.getSampleSizeInBits
       if (!(signed || unsigned) || !(bits == 8 || bits == 16))
         return (0, 0L, zeros)
+      // headers may report fields as AudioSystem.NOT_SPECIFIED (-1);
+      // a -1 frame size would make n negative and skip the loop with a
+      // garbage (rate, n) pair instead of the quarantine shape
+      if (fmt.getFrameSize <= 0 || fmt.getSampleRate <= 0 ||
+          fmt.getChannels <= 0) return (0, 0L, zeros)
       val data = ais.readAllBytes()
       val ch = fmt.getChannels
       val frameBytes = fmt.getFrameSize

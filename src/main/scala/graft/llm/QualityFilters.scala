@@ -178,8 +178,12 @@ object QualityFilters {
       .withColumn("target",
                   floor(col("n_corpus") * lit(budgetFrac)).cast("long"))
       .withColumn("thresh_ppm",
+        // target cast to double BEFORE the multiply: LONG*LONG would wrap
+        // silently past ~1e9-row strata (target*wq > Long.MaxValue) while
+        // DuckDB's BIGINT*BIGINT raises — double-first keeps both engines
+        // on the identical IEEE op sequence at any corpus size
         least(lit(1000000L),
-              floor(col("target") * col("wq") / col("w_sum")
+              floor(col("target").cast("double") * col("wq") / col("w_sum")
                       / col("n_total") * 1000000.0).cast("long")))
       .select(col("__stratum"), col("n_total"), col("thresh_ppm"))
     val h = expr(s"CAST(conv(substring(md5(CAST($keyCol AS STRING)), 1, 8)" +
@@ -358,6 +362,18 @@ object QualityFilters {
     * TOKEN-weighted, so a quality/length correlation (short docs score
     * lower) cannot overshoot the budget: spend is ≤ budget by
     * construction and under-fills by at most one bin's token mass.
+    *
+    * Empty-selection edge: the under-fill bound above assumes the top
+    * bin fits. If a source's TOP quality bin alone already exceeds its
+    * budget, no bin satisfies `spend <= src_budget` and the source is
+    * dropped entirely (0 kept docs), whereas the exact form may still
+    * keep a few leading docs that individually fit. This is deliberate:
+    * recovering those docs would need a per-doc order within the bin —
+    * exactly the data-scale sort this twin exists to avoid — and keeping
+    * the whole top bin would overshoot the budget. At production grids
+    * (≥200 bins) a single bin holding more than a source's entire budget
+    * means the budget is a tiny sliver of that source; the exact anchor
+    * remains the tool for that regime. The spec pins this edge.
     *
     * Output: (doc_id, source, toks, q, q_cut, src_budget) — kept docs
     * only. The spec brackets per-source kept tokens against the exact

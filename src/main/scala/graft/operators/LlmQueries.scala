@@ -2144,10 +2144,16 @@ object LlmQueries {
        |  round(avg(least(fill, 256) / 256.0), 4) AS avg_fill
        |FROM bins""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = (
+    // q59's oracle inlines a captured doc→bin assignment; if the capture
+    // was skipped (corpus > q59MaxCapture) the literal is empty and
+    // string_split('',',')→[''] would make DuckDB's CAST throw at compare
+    // time — omit the entry so the driver records a rows-only check
+    if (q59Assign.nonEmpty) Map("q59_pack_stats" -> q59OracleSql)
+    else Map.empty[String, String]
+  ) ++ Map(
     "q45_ann_ivf" -> q45OracleSql,
     "q88_semantic_dedup" -> q88OracleSql,
-    "q59_pack_stats" -> q59OracleSql,
     "q91_surgical_decon" ->
       """WITH ev AS (
         |  SELECT list_filter(string_split_regex(lower(trim(text)), '\W+'),
@@ -3506,8 +3512,8 @@ object LlmQueries {
         |thr AS (
         |  SELECT source, n_total,
         |    least(1000000, CAST(floor(
-        |      CAST(floor(n_corpus * 0.5) AS BIGINT) * wq / w_sum
-        |        / n_total * 1000000.0) AS BIGINT)) AS thresh_ppm
+        |      CAST(CAST(floor(n_corpus * 0.5) AS BIGINT) AS DOUBLE)
+        |        * wq / w_sum / n_total * 1000000.0) AS BIGINT)) AS thresh_ppm
         |  FROM wq, tot)
         |SELECT d.source, thr.n_total, thr.thresh_ppm,
         |  CAST(sum(CASE WHEN

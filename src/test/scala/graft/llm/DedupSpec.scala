@@ -139,6 +139,39 @@ class DedupSpec extends SparkSpec {
                       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("clustersFromEdges distributed branch at real size: >1M edges " +
+       "take the cluster path under the DEFAULT bound, and all three " +
+       "paths (hybrid, forced-driver, forced-distributed) are " +
+       "bit-identical to the closed form") {
+    // 1.2M nodes in chains of 10 → 1,080,000 edges: crosses the 1M
+    // localFinishEdges default, so round 1 runs the genuine
+    // edgeCount > localFinishEdges contraction branch — no forced-small
+    // bound (the GraphRankSpec real-size pattern). Closed form: node i's
+    // component minimum is i - i%10.
+    val n = 1200000L
+    val verts = spark.range(n).select(col("id").as("doc_id"))
+    val edges = spark.range(n).filter(col("id") % 10 =!= 9)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    def misses(out: org.apache.spark.sql.DataFrame): Long =
+      out.filter(col("cluster_id") =!= (col("doc_id") - col("doc_id") % 10)
+                   || col("is_duplicate") =!= (col("doc_id") % 10 =!= 0))
+        .count()
+    // hybrid (default bound): distributed round 1, local endgame after
+    val hybrid = Dedup.clustersFromEdges(verts, edges)
+    assert(hybrid.count() == n && misses(hybrid) == 0,
+           "hybrid path diverged from the closed form")
+    // forced driver endgame at the SAME >1M-edge size
+    val viaDriver = Dedup.clustersFromEdges(verts, edges,
+                                            localFinishEdges = 2000000L)
+    assert(viaDriver.count() == n && misses(viaDriver) == 0,
+           "driver union-find endgame diverged from the closed form")
+    // forced fully-distributed to convergence (endgame disabled)
+    val viaCluster = Dedup.clustersFromEdges(verts, edges,
+                                             localFinishEdges = 0L)
+    assert(viaCluster.count() == n && misses(viaCluster) == 0,
+           "distributed fixpoint diverged from the closed form")
+  }
+
   test("lineDedup strikes corpus-wide boilerplate lines, keeps unique ones") {
     import spark.implicits._
     val footer = "Copyright 2026 Example Corp - all rights reserved"

@@ -302,6 +302,30 @@ class QualityFiltersSpec extends SparkSpec {
     }
   }
 
+  test("mixtureTokenBudgetApprox empty-selection edge: a source whose " +
+       "top quality bin alone exceeds its budget drops entirely " +
+       "(documented under-fill-bound exception) while the exact form " +
+       "keeps leading docs that fit") {
+    import spark.implicits._
+    // 4 identical docs → one quality bin holding all 40 tokens; at
+    // budgetFraction 0.4 the source budget is floor(40·0.4)=16 < 40, so
+    // no histogram bin satisfies spend <= budget
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (1L to 4L).map(i => (i, "X", txt))
+      .toDF("doc_id", "source", "text")
+    val exact = QualityFilters.mixtureTokenBudget(
+      docs, "doc_id", "text", "source", budgetFraction = 0.4,
+      weights = Map.empty[String, Long])
+    // exact form: cum sort keeps the leading doc (10 <= 16)
+    assert(exact.count() == 1)
+    val approx = QualityFilters.mixtureTokenBudgetApprox(
+      docs, "doc_id", "text", "source", budgetFraction = 0.4,
+      weights = Map.empty[String, Long])
+    // approx form: the documented edge — source vanishes rather than
+    // overspending its budget by keeping the whole top bin
+    assert(approx.count() == 0)
+  }
+
   test("per-source gopher yield (q120): rules counted independently, " +
        "kept = composite gate") {
     import spark.implicits._
