@@ -820,10 +820,13 @@ object LlmQueries {
   private val q76IndexSaved =
     new graft.SavedOnce[String, String]
 
-  def q76IncrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs   = Tables.documents(spark, dir)
-    val batch  = docs.filter(col("doc_id") % 4 =!= 0)
-    val table = q76IndexSaved.getOrElseUpdate(dir, {
+  /** Build-and-save q76's corpus index once per (process, sf dir); both
+    * the batch classification (q76) and its streaming twin (q121) load
+    * it by name — the shared daily-index-rotation artifact.
+    */
+  private def q76IndexName(spark: SparkSession, dir: String): String =
+    q76IndexSaved.getOrElseUpdate(dir, {
+      val docs   = Tables.documents(spark, dir)
       val corpus = docs.filter(col("doc_id") % 4 === 0)
       val index  = Dedup.minhashIndexPortable(corpus, "doc_id", "text",
                                               k = 5, numHashes = 32,
@@ -832,9 +835,59 @@ object LlmQueries {
       IndexStore.saveMinhashIndex(index, name)
       name
     })
+
+  def q76IncrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs   = Tables.documents(spark, dir)
+    val batch  = docs.filter(col("doc_id") % 4 =!= 0)
+    val table  = q76IndexName(spark, dir)
     Dedup.minhashIncrementalPortable(
       batch, IndexStore.loadMinhashIndex(spark, table), "doc_id", "text",
       k = 5, numHashes = 32, bands = 8, threshold = 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** Streaming parity surfaced under the oracle: the q76 ingest slice
+    * (doc_id % 4 ≠ 0) is fed through
+    * [[graft.streaming.EventStreams.incrementalNearDedupSink]] as THREE
+    * MemoryStream micro-batches (split by doc_id % 3 — content-based,
+    * order-free), classified against the SAME persisted index q76 loads,
+    * and landed in idempotent `batch_id=` partitions. Because the index
+    * is static across batches and classification is per-doc, the UNION
+    * of the partitions must equal the one-shot batch classification —
+    * so the oracle replays the identical incremental-minhash SQL as
+    * q76. The MemoryStream feed is harness wiring (a production sink
+    * reads files/Kafka); the sink, checkpoint, and batch layout are the
+    * real streaming path, exercised to completion inside the query.
+    */
+  private val q121Saved = new graft.SavedOnce[String, String]
+
+  def q121StreamingParity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val table = q76IndexName(spark, dir)
+    val outDir = q121Saved.getOrElseUpdate(dir, {
+      val rows = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[(Long, String)]
+      val base  = java.nio.file.Files
+        .createTempDirectory("graft_q121_").toString
+      val out   = s"$base/out"
+      val q = graft.streaming.EventStreams.incrementalNearDedupSink(
+        input.toDF().toDF("doc_id", "text"), table, "doc_id", "text",
+        out, s"$base/ckpt")
+      try {
+        (0 until 3).foreach { b =>
+          input.addData(rows.filter(_._1 % 3 == b).toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      out
+    })
+    spark.read.parquet(outDir)
+      .select("doc_id", "dup_of_corpus", "match_id", "match_jaccard")
       .orderBy("doc_id")
   }
 
@@ -1610,6 +1663,7 @@ object LlmQueries {
     "q74_incremental_dedup" -> (q74IncrementalDedup(_, _)),
     "q75_bloom_decontamination" -> (q75BloomDecontamination(_, _)),
     "q76_incremental_minhash" -> (q76IncrementalMinhash(_, _)),
+    "q121_streaming_parity" -> (q121StreamingParity(_, _)),
     "q77_shard_assignment"  -> (q77ShardAssignment(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
@@ -2691,6 +2745,12 @@ object LlmQueries {
         |WHERE d.doc_id % 10 <> 3
         |ORDER BY d.doc_id""".stripMargin,
     "q76_incremental_minhash" ->
+      minhashIncrementalOracleSql(k = 5, numHashes = 32, bands = 8,
+                                  threshold = 0.5, maxBucket = 1000),
+    // the streaming sink classifies the SAME slice against the SAME
+    // persisted index, batch-by-batch — its partition union replays as
+    // the identical one-shot SQL
+    "q121_streaming_parity" ->
       minhashIncrementalOracleSql(k = 5, numHashes = 32, bands = 8,
                                   threshold = 0.5, maxBucket = 1000),
     "q81_dataset_card" ->
