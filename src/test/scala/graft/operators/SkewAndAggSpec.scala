@@ -24,6 +24,55 @@ class SkewAndAggSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("AQE skew-join covers the UNSALTED hot-key join: the final " +
+       "adaptive plan splits the skewed partition (skew=true) and rows " +
+       "are identical to the salted join") {
+    // the engine hand-salts deterministically (q35's bucket join); this
+    // pins the OTHER coverage path — at 100× a skewed join with no manual
+    // salt must still be split by AQE's runtime skew handling. Thresholds
+    // are lowered test-locally (the defaults key on 256 MB partitions);
+    // the shared session's values are restored in finally.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      // no broadcast: a 50-row dim would otherwise BHJ and sidestep the
+      // skew machinery entirely (which is the normal, correct plan — the
+      // scenario here is the non-broadcastable skewed join)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+               "32k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      // 90% of 40k fact rows land on key 7 → one hot shuffle partition
+      val big = spark.range(40000).select(
+        when(col("id") % 10 === 0, col("id") % 50).otherwise(lit(7L))
+          .as("key"),
+        concat(lit("payload-"), col("id")).as("payload"))
+      val small = spark.range(50).select(
+        col("id").as("key"), concat(lit("dim"), col("id")).as("dim"))
+      val joined = big.join(small, "key").select("key", "payload", "dim")
+      val rows = joined.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("skew"),
+             s"AQE must mark the hot partition's join skew=true:\n$plan")
+      val salted = Skew.saltedJoin(big, small, "key", 8, Seq("payload"))
+        .select("key", "payload", "dim").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+      assert(rows.toSeq == salted.toSeq,
+             "AQE-split join must be row-identical to the salted join")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("salt is deterministic and spans the full [0, n) range") {
     import spark.implicits._
     val df = (0 until 1000).map(i => Tuple1(s"row$i")).toDF("v")
