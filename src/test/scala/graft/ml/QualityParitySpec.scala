@@ -27,6 +27,20 @@ class QualityParitySpec extends SparkSpec {
 
   private val N = 50000
 
+  /** Driver-built corpora used directly as a parallelize/LocalRelation
+    * source ship their data slice inside EVERY task binary of every job
+    * that scans them (38 MB tasks, 214 "maximum recommended task size"
+    * warnings in the r7 suite run). Writing the corpus to temp parquet
+    * ONCE — from many sub-MiB parallelize slices — and scanning the
+    * files back keeps all downstream ML-fit jobs at scan-split task
+    * size, matching how the engine reads real tables.
+    */
+  private def viaParquet(df: DataFrame, name: String): DataFrame = {
+    val dir = tmpDir(name)
+    df.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
   private val topicA = (0 until 60).map(i => s"alpha$i")
   private val topicB = (0 until 60).map(i => s"beta$i")
   private val filler = (0 until 120).map(i => s"common$i")
@@ -49,7 +63,8 @@ class QualityParitySpec extends SparkSpec {
       val cls = i % 2
       (i.toLong, sentence(rnd, cls), cls.toDouble)
     }
-    rows.toDF("id", "sentence", "label").persist()
+    viaParquet(spark.sparkContext.parallelize(rows, 32)
+                 .toDF("id", "sentence", "label"), "qp_corpus").persist()
   }
 
   /** Sentence pairs with an independent duplicate coin. The label must be
@@ -74,7 +89,9 @@ class QualityParitySpec extends SparkSpec {
       (p.toLong, sentence(rnd, c1), sentence(rnd, c2),
        (if (dup) 1 else 0).toString)
     }
-    rows.toDF("pid", "q1", "q2", "is_duplicate").persist()
+    viaParquet(spark.sparkContext.parallelize(rows, 32)
+                 .toDF("pid", "q1", "q2", "is_duplicate"),
+               "qp_pairs").persist()
   }
 
   private def split(df: DataFrame): (DataFrame, DataFrame) =
@@ -148,10 +165,12 @@ class QualityParitySpec extends SparkSpec {
     // reference's data size rather than replaying the 50k corpus.
     val nGlue = 67349
     val rnd = new scala.util.Random(5678)
-    val glue = (0 until nGlue).map { i =>
-      val cls = i % 2
-      (i.toLong, sentence(rnd, cls), cls.toDouble)
-    }.toDF("id", "sentence", "label").persist()
+    val glue = viaParquet(
+      spark.sparkContext.parallelize(
+        (0 until nGlue).map { i =>
+          val cls = i % 2
+          (i.toLong, sentence(rnd, cls), cls.toDouble)
+        }, 64).toDF("id", "sentence", "label"), "qp_sst2_glue").persist()
     try {
       val (train, test) = split(glue)
       val model = TextPipelines.sst2(textCol = "sentence", labelCol = "label")
@@ -172,15 +191,17 @@ class QualityParitySpec extends SparkSpec {
     // sst2@67k pattern): pins learner behavior at the real data size.
     val nGlue = 363846
     val rnd = new scala.util.Random(24681)
-    val glue = (0 until nGlue).map { p =>
-      val dup = rnd.nextBoolean()
-      val (c1, c2) =
-        if (dup) (1, 1)
-        else if (rnd.nextBoolean()) (1, 0)
-        else (0, 1)
-      (p.toLong, sentence(rnd, c1), sentence(rnd, c2),
-       (if (dup) 1 else 0).toString)
-    }.toDF("pid", "q1", "q2", "is_duplicate")
+    val glue = viaParquet(
+      spark.sparkContext.parallelize(
+        (0 until nGlue).map { p =>
+          val dup = rnd.nextBoolean()
+          val (c1, c2) =
+            if (dup) (1, 1)
+            else if (rnd.nextBoolean()) (1, 0)
+            else (0, 1)
+          (p.toLong, sentence(rnd, c1), sentence(rnd, c2),
+           (if (dup) 1 else 0).toString)
+        }, 128).toDF("pid", "q1", "q2", "is_duplicate"), "qp_qqp_glue")
       .withColumn("combined_text", Cleaning.pairConcat(col("q1"), col("q2")))
       .persist()
     try {
@@ -201,10 +222,12 @@ class QualityParitySpec extends SparkSpec {
     import spark.implicits._
     val nGlue = 104743
     val rnd = new scala.util.Random(13579)
-    val glue = (0 until nGlue).map { i =>
-      val cls = i % 2
-      (i.toLong, sentence(rnd, cls), cls.toDouble)
-    }.toDF("id", "sentence", "label")
+    val glue = viaParquet(
+      spark.sparkContext.parallelize(
+        (0 until nGlue).map { i =>
+          val cls = i % 2
+          (i.toLong, sentence(rnd, cls), cls.toDouble)
+        }, 64).toDF("id", "sentence", "label"), "qp_qnli_glue")
       .withColumn("input_text", col("sentence"))
       .persist()
     try {
