@@ -15,10 +15,20 @@ object ScaleProbe {
                                "graft-scaleprobe")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
 
+    // SPARK_GRAFT_PROBE_ONLY=substr[,substr...] runs just the matching
+    // measurements (dev loop: probe one operator without paying for the
+    // whole sweep)
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    // a whole block (incl. its untimed setup — replication counts, index
+    // builds) runs only when one of its measurement labels is selected
+    def section(tags: String)(body: => Unit): Unit =
+      if (only.forall(_.exists(tags.contains))) body
     def time[A](label: String)(f: => A): Unit = {
       val t0 = System.nanoTime()
       f
-      println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println(
+        f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
     // Evaluate through the noop sink, NOT count(): count lets Catalyst
@@ -44,30 +54,34 @@ object ScaleProbe {
         .reduce(_ union _)
     }
 
+    section("minhash_dedup minhash_port exact_dedup") {
     for (n <- Seq(1, 5, 20)) {
-      val d = docsX(n); val rows = d.count()
-      time(s"minhash_dedup  n=$n ($rows)") {
-        noop(Dedup.minhash(d, "doc_id", "text"))
-      }
-      time(s"minhash_port   n=$n ($rows)") {
-        noop(Dedup.minhashPortable(d, "doc_id", "text"))
-      }
-      time(s"exact_dedup    n=$n ($rows)") {
-        noop(Dedup.exact(d, "doc_id", "text"))
+        val d = docsX(n); val rows = d.count()
+        time(s"minhash_dedup  n=$n ($rows)") {
+          noop(Dedup.minhash(d, "doc_id", "text"))
+        }
+        time(s"minhash_port   n=$n ($rows)") {
+          noop(Dedup.minhashPortable(d, "doc_id", "text"))
+        }
+        time(s"exact_dedup    n=$n ($rows)") {
+          noop(Dedup.exact(d, "doc_id", "text"))
+        }
       }
     }
+    section("ann_brute ann_lsh ann_int8") {
     for (n <- Seq(1, 5, 20)) {
-      val e = embX(n); val rows = e.count()
-      val q = Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
-      time(s"ann_brute      n=$n ($rows)") {
-        noop(Similarity.bruteForceTopK(e, q, 10))
-      }
-      time(s"ann_lsh        n=$n ($rows)") {
-        noop(Similarity.lshTopK(e, q, 10, dim = 64,
-          nBits = 6 + (32 - Integer.numberOfLeadingZeros(n))))
-      }
-      time(s"ann_int8       n=$n ($rows)") {
-        noop(Similarity.bruteForceTopKInt8(e, q, 10))
+        val e = embX(n); val rows = e.count()
+        val q = Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+        time(s"ann_brute      n=$n ($rows)") {
+          noop(Similarity.bruteForceTopK(e, q, 10))
+        }
+        time(s"ann_lsh        n=$n ($rows)") {
+          noop(Similarity.lshTopK(e, q, 10, dim = 64,
+            nBits = 6 + (32 - Integer.numberOfLeadingZeros(n))))
+        }
+        time(s"ann_int8       n=$n ($rows)") {
+          noop(Similarity.bruteForceTopKInt8(e, q, 10))
+        }
       }
     }
     // Incremental dedup: the INDEX grows with the corpus (replicated N×),
@@ -76,30 +90,32 @@ object ScaleProbe {
     // index transports: in-memory (localCheckpoint, the in-session
     // shape) and DISK-LOADED via IndexStore (the daily-rotation steady
     // state: a fresh session reads yesterday's bucketed tables).
+    section("inc_minhash inc_mh_save inc_mh_loaded") {
     for (n <- Seq(1, 5, 20)) {
-      val corpus = docsX(n); val rows = corpus.count()
-      val batch = Tables.documents(spark, dir)
-        .withColumn("doc_id", col("doc_id") + lit(900000000L))
-        .limit(2000)
-      val index = Dedup.minhashIndexPortable(corpus, "doc_id", "text")
-      val bucketsC = index.buckets.localCheckpoint(true)
-      val shinglesC = index.shingles.localCheckpoint(true)
-      time(s"inc_minhash    n=$n ($rows corpus, 2000 batch)") {
-        noop(Dedup.minhashIncrementalPortable(
-          batch, Dedup.MinhashIndex(bucketsC, shinglesC),
-          "doc_id", "text"))
+        val corpus = docsX(n); val rows = corpus.count()
+        val batch = Tables.documents(spark, dir)
+          .withColumn("doc_id", col("doc_id") + lit(900000000L))
+          .limit(2000)
+        val index = Dedup.minhashIndexPortable(corpus, "doc_id", "text")
+        val bucketsC = index.buckets.localCheckpoint(true)
+        val shinglesC = index.shingles.localCheckpoint(true)
+        time(s"inc_minhash    n=$n ($rows corpus, 2000 batch)") {
+          noop(Dedup.minhashIncrementalPortable(
+            batch, Dedup.MinhashIndex(bucketsC, shinglesC),
+            "doc_id", "text"))
+        }
+        val name = s"graft_probe_idx_$n"
+        time(s"inc_mh_save    n=$n (index build+save)") {
+          graft.llm.IndexStore.saveMinhashIndex(
+            Dedup.MinhashIndex(bucketsC, shinglesC), name)
+        }
+        val loaded = graft.llm.IndexStore.loadMinhashIndex(spark, name)
+        time(s"inc_mh_loaded  n=$n ($rows corpus, 2000 batch)") {
+          noop(Dedup.minhashIncrementalPortable(batch, loaded,
+                                                "doc_id", "text"))
+        }
+        graft.llm.IndexStore.drop(spark, name)
       }
-      val name = s"graft_probe_idx_$n"
-      time(s"inc_mh_save    n=$n (index build+save)") {
-        graft.llm.IndexStore.saveMinhashIndex(
-          Dedup.MinhashIndex(bucketsC, shinglesC), name)
-      }
-      val loaded = graft.llm.IndexStore.loadMinhashIndex(spark, name)
-      time(s"inc_mh_loaded  n=$n ($rows corpus, 2000 batch)") {
-        noop(Dedup.minhashIncrementalPortable(batch, loaded,
-                                              "doc_id", "text"))
-      }
-      graft.llm.IndexStore.drop(spark, name)
     }
     // Round-6 heavy operators. semantic_dedup scales nCells with the
     // corpus (the SemDeDup deployment rule: cell size ≈ corpus/nCells
@@ -108,31 +124,37 @@ object ScaleProbe {
     // case: every 4th replica shares its full text with the base, so
     // pair volume grows ~replica²×bases exactly like the minhash clique
     // note — the maxGramDocs guard (not corpus size) is what bounds it.
+    section("semantic_dedup") {
     for (n <- Seq(1, 5, 20)) {
-      val e = embX(n); val rows = e.count()
-      time(s"semantic_dedup n=$n ($rows)") {
-        noop(Dedup.semanticDedup(e, nCells = 8 * n, threshold = 0.9))
+        val e = embX(n); val rows = e.count()
+        time(s"semantic_dedup n=$n ($rows)") {
+          noop(Dedup.semanticDedup(e, nCells = 8 * n, threshold = 0.9))
+        }
       }
     }
+    section("shared_substr") {
     for (n <- Seq(1, 5, 20)) {
-      val d = docsX(n); val rows = d.count()
-      time(s"shared_substr  n=$n ($rows)") {
-        noop(Dedup.sharedSubstringSpans(d, "doc_id", "text"))
+        val d = docsX(n); val rows = d.count()
+        time(s"shared_substr  n=$n ($rows)") {
+          noop(Dedup.sharedSubstringSpans(d, "doc_id", "text"))
+        }
       }
     }
     // CMS vs exact token counting: the sketch's shuffle is bounded by
     // the d×w counter grid while the exact path shuffles one row per
     // DISTINCT token (replicas add " v$i" suffix tokens, so vocabulary
     // grows with n) — the probe measures the gap widening.
+    section("exact_counts cms_sketch") {
     for (n <- Seq(1, 5, 20)) {
-      val d = docsX(n); val rows = d.count()
-      val toks = d.select(explode(Dedup.wordTokens(col("text")))
-        .as("token"))
-      time(s"exact_counts   n=$n ($rows)") {
-        noop(toks.groupBy("token").agg(count(lit(1)).as("n")))
-      }
-      time(s"cms_sketch     n=$n ($rows)") {
-        noop(graft.llm.Sketches.cmsSketch(toks, "token", d = 4, w = 512))
+        val d = docsX(n); val rows = d.count()
+        val toks = d.select(explode(Dedup.wordTokens(col("text")))
+          .as("token"))
+        time(s"exact_counts   n=$n ($rows)") {
+          noop(toks.groupBy("token").agg(count(lit(1)).as("n")))
+        }
+        time(s"cms_sketch     n=$n ($rows)") {
+          noop(graft.llm.Sketches.cmsSketch(toks, "token", d = 4, w = 512))
+        }
       }
     }
     // Exact vs approx budget allocators: the exact form pays a
@@ -140,43 +162,91 @@ object ScaleProbe {
     // the approx twin's histogram agg + bounded window is one narrow
     // shuffle to #sources×201 rows at any n — the probe measures the
     // gap widening and checks the approx spend never overshoots.
+    section("mix_exact mix_approx") {
     for (n <- Seq(1, 5, 20)) {
-      val d = docsX(n); val rows = d.count()
-      time(s"mix_exact      n=$n ($rows)") {
-        noop(graft.llm.QualityFilters.mixtureTokenBudget(
-          d, "doc_id", "text", "source", 0.5, Map("src0" -> 3L)))
-      }
-      time(s"mix_approx     n=$n ($rows)") {
-        noop(graft.llm.QualityFilters.mixtureTokenBudgetApprox(
-          d, "doc_id", "text", "source", 0.5, Map("src0" -> 3L)))
+        val d = docsX(n); val rows = d.count()
+        time(s"mix_exact      n=$n ($rows)") {
+          noop(graft.llm.QualityFilters.mixtureTokenBudget(
+            d, "doc_id", "text", "source", 0.5, Map("src0" -> 3L)))
+        }
+        time(s"mix_approx     n=$n ($rows)") {
+          noop(graft.llm.QualityFilters.mixtureTokenBudgetApprox(
+            d, "doc_id", "text", "source", 0.5, Map("src0" -> 3L)))
+        }
       }
     }
     // CCNet terciles: exact per-language ntile (a per-language sort)
     // vs percentile_approx cutoffs (one mergeable sketch agg).
+    section("ccnet_exact ccnet_approx") {
     for (n <- Seq(1, 5, 20)) {
-      val d = docsX(n); val rows = d.count()
-      val lm = graft.llm.NgramLm.fit(Tables.documents(spark, dir),
-                                     "text", n = 3)
-      time(s"ccnet_exact    n=$n ($rows)") {
-        noop(graft.llm.NgramLm.perplexityBuckets(
-          d, lm, "doc_id", "text", byCols = Seq("lang")))
+        val d = docsX(n); val rows = d.count()
+        val lm = graft.llm.NgramLm.fit(Tables.documents(spark, dir),
+                                       "text", n = 3)
+        time(s"ccnet_exact    n=$n ($rows)") {
+          noop(graft.llm.NgramLm.perplexityBuckets(
+            d, lm, "doc_id", "text", byCols = Seq("lang")))
+        }
+        time(s"ccnet_approx   n=$n ($rows)") {
+          noop(graft.llm.NgramLm.perplexityBucketsApprox(
+            d, lm, "doc_id", "text", byCols = Seq("lang")))
+        }
       }
-      time(s"ccnet_approx   n=$n ($rows)") {
-        noop(graft.llm.NgramLm.perplexityBucketsApprox(
-          d, lm, "doc_id", "text", byCols = Seq("lang")))
+    }
+    // Round-7 newcomers (q113 is covered above as mix_approx).
+    // audio_decode is decode-bound row-local mapPartitions over small
+    // blobs; temperature_mix is two tiny aggs + row-local membership;
+    // mixed_language / gopher_yield are row-local expression pipelines
+    // with narrow rollups; all four should track rows ~linearly.
+    section("audio_decode temp_mix mixed_lang gopher_yield") {
+    for (n <- Seq(1, 5, 20)) {
+        val d = docsX(n); val rows = d.count()
+        time(s"audio_decode   n=$n ($rows)") {
+          noop(graft.llm.Multimodal.decodeAudio(
+            graft.llm.Multimodal.syntheticWavMedia(d), dims = 8))
+        }
+        time(s"temp_mix       n=$n ($rows)") {
+          noop(graft.llm.QualityFilters.temperatureSample(
+            d, "source", "doc_id", budgetFrac = 0.5, temperature = 2))
+        }
+        time(s"mixed_lang     n=$n ($rows)") {
+          noop(graft.operators.LlmQueries.mixedLanguageFrames(d))
+        }
+        time(s"gopher_yield   n=$n ($rows)") {
+          noop(graft.operators.LlmQueries.gopherYieldFrames(
+            d.select("doc_id", "text", "source")))
+        }
+      }
+    }
+    // hard_negatives = the q38 broadcast-query per-partition top-k shape
+    // (corpus never shuffles); source_similarity's one data-scale stage
+    // is the per-(source,pos) quantized sum — the pairwise tail is
+    // #sources², corpus-independent.
+    section("hard_negatives src_similarity") {
+    for (n <- Seq(1, 5, 20)) {
+        val e = embX(n); val rows = e.count()
+        val q = Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+        time(s"hard_negatives n=$n ($rows)") {
+          noop(Similarity.hardNegatives(e, q, k = 5, dupThreshold = 0.25))
+        }
+        val d = docsX(n).select("doc_id", "source")
+        time(s"src_similarity n=$n ($rows)") {
+          noop(graft.operators.LlmQueries.sourceSimilarityFrames(d, e))
+        }
       }
     }
     // PageRank: same replicated near-dup graph as the minhash probe;
     // the driver endgame handles every n here (the graph after banding
     // is pair-bounded) — the probe pins that rank cost tracks EDGES,
     // not corpus rows.
+    section("graph_rank") {
     for (n <- Seq(1, 5, 20)) {
-      val d = docsX(n); val rows = d.count()
-      time(s"graph_rank     n=$n ($rows)") {
-        val pairs = Dedup.minhashCandidatePairsPortable(
-          d, "doc_id", "text")
-        noop(graft.llm.GraphRank.pageRankFixedPoint(
-          pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))))
+        val d = docsX(n); val rows = d.count()
+        time(s"graph_rank     n=$n ($rows)") {
+          val pairs = Dedup.minhashCandidatePairsPortable(
+            d, "doc_id", "text")
+          noop(graft.llm.GraphRank.pageRankFixedPoint(
+            pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))))
+        }
       }
     }
     spark.stop()

@@ -127,12 +127,17 @@ object LlmQueries {
     * #sources-group aggregation. FULLY oracle-checked via the shared
     * gopher replay joined back to sources.
     */
-  def q120GopherYield(spark: SparkSession, dir: String): DataFrame = {
+  def q120GopherYield(spark: SparkSession, dir: String): DataFrame =
+    gopherYieldFrames(
+      Tables.documents(spark, dir).select("doc_id", "text", "source"))
+
+  /** [[q120GopherYield]]'s pipeline over an explicit frame (also the
+    * ScaleProbe entry).
+    */
+  def gopherYieldFrames(docs: DataFrame): DataFrame = {
     def v(c: org.apache.spark.sql.Column) =
       sum(when(c, 1L).otherwise(0L))
-    QualityFilters.gopherStats(
-      Tables.documents(spark, dir).select("doc_id", "text", "source"),
-      "text", minStopwordHits = 1)
+    QualityFilters.gopherStats(docs, "text", minStopwordHits = 1)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
            v(col("n_words") < 5 || col("n_words") > 100000).as("v_words"),
@@ -157,9 +162,15 @@ object LlmQueries {
     * majority share is low get split or dropped in production pipelines.
     * Row-local chunking+ID, two narrow aggs. FULLY oracle-checked.
     */
-  def q119MixedLanguage(spark: SparkSession, dir: String): DataFrame = {
+  def q119MixedLanguage(spark: SparkSession, dir: String): DataFrame =
+    mixedLanguageFrames(Tables.documents(spark, dir))
+
+  /** [[q119MixedLanguage]]'s pipeline over an explicit frame (also the
+    * ScaleProbe entry).
+    */
+  def mixedLanguageFrames(docs: DataFrame): DataFrame = {
     val chunks = TextPacking.chunkDocuments(
-      Tables.documents(spark, dir), "doc_id", "text",
+      docs, "doc_id", "text",
       chunkTokens = 32, overlap = 0)
       .withColumn("clang", TextAnalysis.langId(col("chunk_text")))
     chunks.groupBy("doc_id", "clang").agg(count(lit(1)).as("n"))
@@ -358,10 +369,17 @@ object LlmQueries {
     * centroid frame → broadcast self-join of ~#sources² rows. Nothing
     * corpus-scale shuffles twice.
     */
-  def q116SourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+  def q116SourceSimilarity(spark: SparkSession, dir: String): DataFrame =
+    sourceSimilarityFrames(
+      Tables.documents(spark, dir).select("doc_id", "source"),
+      Tables.embeddings(spark, dir))
+
+  /** [[q116SourceSimilarity]]'s pipeline over explicit frames (also the
+    * ScaleProbe entry).
+    */
+  def sourceSimilarityFrames(docs: DataFrame, emb: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    val docs = Tables.documents(spark, dir).select("doc_id", "source")
-    val sums = Tables.embeddings(spark, dir)
+    val sums = emb
       .join(docs, col("vec_id") === col("doc_id"))
       .select(col("source"), posexplode(col("embedding")))
       .select(col("source"), col("pos"),
