@@ -36,6 +36,28 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q50-q53 pinned self-oracles: emitted for golden sf dirs after " +
+       "the pipeline runs, omitted (rows-only) for unknown dirs") {
+    // run ONE pipeline query against an unknown dir → the stashed dir
+    // has no golden and the four entries must be absent
+    val scratch = tmpDir("goldens")
+    graft.sources.Tables.documents(spark, sf0001).limit(50)
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    MlQueries.queries("q53_batch_infer")(spark, scratch).count()
+    assert(!MlQueries.oracleSql.contains("q53_batch_infer"),
+           "unknown sf dir must fall back to the rows-only check")
+    // run against the pinned sf0.001 dir → all four goldens emitted,
+    // clearly labeled
+    MlQueries.queries("q53_batch_infer")(spark, sf0001).count()
+    val o = MlQueries.oracleSql
+    Seq("q50_sst2_pipeline", "q51_qqp_pipeline", "q52_qnli_pipeline",
+        "q53_batch_infer").foreach { q =>
+      assert(o.contains(q), s"$q golden missing for sf0.001")
+      assert(o(q).contains("pinned self-oracle"),
+             s"$q golden must be labeled as a self-oracle")
+    }
+  }
+
   // Round-6 postmortem: a bare integer sum() in oracle SQL binds as
   // HUGEINT in DuckDB and hash-mismatches at the driver even when the
   // values are numerically identical (q103/q104/q108/q110/q111). The
