@@ -909,6 +909,55 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Streaming quality-drift monitor under the oracle (q121's sibling):
+    * the reference entropy is fitted on the held-out (doc_id % 4 = 0)
+    * slice, the ingest slice streams through
+    * [[graft.streaming.EventStreams.qualityDriftSink]] as THREE
+    * MemoryStream micro-batches (doc_id % 3), and each batch appends one
+    * monitor row to the idempotent `batch_id=` layout. Every column
+    * replays in DuckDB: per-batch token entropy is the q99 machinery
+    * per slice, mean quality is the q81 exact-integer mean, and the
+    * alert booleans are comparisons of those portable values — so the
+    * whole monitor table is hash-checked, not just spec'd.
+    */
+  private val q122Saved = new graft.SavedOnce[String, String]
+
+  def q122DriftMonitor(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val outDir = q122Saved.getOrElseUpdate(dir, {
+      val docs = Tables.documents(spark, dir)
+      val ref = graft.llm.CorpusStats
+        .corpusStats(docs.filter(col("doc_id") % 4 === 0), "text")
+        .head().getAs[Double]("entropy_bits")
+      val rows = docs.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[(Long, String)]
+      val base  = java.nio.file.Files
+        .createTempDirectory("graft_q122_").toString
+      val out   = s"$base/out"
+      val q = graft.streaming.EventStreams.qualityDriftSink(
+        input.toDF().toDF("doc_id", "text"), "text",
+        refEntropyBits = ref, tol = 0.5, minQuality = 0.3,
+        outDir = out, checkpoint = s"$base/ckpt")
+      try {
+        (0 until 3).foreach { b =>
+          input.addData(rows.filter(_._1 % 3 == b).toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      out
+    })
+    spark.read.parquet(outDir)
+      .select(col("batch_id").cast("long").as("batch_id"),
+              col("n_docs"), col("n_tokens"), col("entropy_bits"),
+              col("mean_quality"), col("entropy_alert"),
+              col("quality_alert"))
+      .orderBy("batch_id")
+  }
+
   /** Character-trigram LM perplexity scoring ([[NgramLm]]) — the
     * CCNet/KenLM quality component: the (doc_id % 4 = 0) slice plays the
     * clean reference corpus the LM is fitted on, the rest are candidates
@@ -1682,6 +1731,7 @@ object LlmQueries {
     "q75_bloom_decontamination" -> (q75BloomDecontamination(_, _)),
     "q76_incremental_minhash" -> (q76IncrementalMinhash(_, _)),
     "q121_streaming_parity" -> (q121StreamingParity(_, _)),
+    "q122_drift_monitor" -> (q122DriftMonitor(_, _)),
     "q77_shard_assignment"  -> (q77ShardAssignment(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
@@ -2771,6 +2821,47 @@ object LlmQueries {
     "q121_streaming_parity" ->
       minhashIncrementalOracleSql(k = 5, numHashes = 32, bands = 8,
                                   threshold = 0.5, maxBucket = 1000),
+    // per-batch entropy = the q99 machinery per (doc_id % 3) slice; mean
+    // quality = the q81 exact-integer mean; the reference entropy is
+    // recomputed in SQL from the held-out slice, so no captured literals
+    "q122_drift_monitor" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+         |t AS (
+         |  SELECT doc_id % 3 AS batch_id,
+         |    unnest(list_filter(
+         |      string_split_regex(lower(trim(text)), '\\W+'),
+         |      x -> len(x) > 0)) AS token
+         |  FROM d),
+         |tc AS (SELECT batch_id, token, CAST(count(*) AS DOUBLE) AS n
+         |       FROM t GROUP BY 1, 2),
+         |g AS (SELECT batch_id, sum(n) AS nt, sum(n * log2(n)) AS s
+         |      FROM tc GROUP BY 1),
+         |rt AS (
+         |  SELECT unnest(list_filter(
+         |    string_split_regex(lower(trim(text)), '\\W+'),
+         |    x -> len(x) > 0)) AS token
+         |  FROM documents WHERE doc_id % 4 = 0),
+         |rc AS (SELECT token, CAST(count(*) AS DOUBLE) AS n
+         |       FROM rt GROUP BY 1),
+         |rg AS (SELECT round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6)
+         |         AS ref FROM rc),
+         |q AS (
+         |  SELECT doc_id % 3 AS batch_id, count(*) AS n_docs,
+         |    floor(CAST(sum(CAST(floor($qualitySql * 10000.0 + 0.5)
+         |                        AS BIGINT)) AS DOUBLE)
+         |            / count(*) + 0.5) / 10000.0 AS mean_quality
+         |  FROM d GROUP BY 1)
+         |SELECT CAST(q.batch_id AS BIGINT) AS batch_id,
+         |  CAST(q.n_docs AS BIGINT) AS n_docs,
+         |  CAST(g.nt AS BIGINT) AS n_tokens,
+         |  round(log2(g.nt) - g.s / g.nt, 6) AS entropy_bits,
+         |  q.mean_quality,
+         |  abs(round(log2(g.nt) - g.s / g.nt, 6) - rg.ref) > 0.5
+         |    AS entropy_alert,
+         |  q.mean_quality < 0.3 AS quality_alert
+         |FROM q JOIN g USING (batch_id), rg
+         |ORDER BY q.batch_id""".stripMargin,
     "q81_dataset_card" ->
       s"""WITH s AS (
          |  SELECT source, lang, n_chars,

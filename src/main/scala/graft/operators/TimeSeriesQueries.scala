@@ -341,7 +341,20 @@ object TimeSeriesQueries {
       (abs(z) > 1.959964).as("significant_95"))
   }
 
+  /** Tumbling-window event rollup under the oracle — the BATCH form of
+    * [[graft.streaming.EventStreams.windowedCounts]] (S-window streaming
+    * semantics; EventStreamsSpec proves the streaming query produces the
+    * identical table, so hash-checking this surface pins both). The
+    * window mean uses the portable exact-DECIMAL sum + floored ×10⁴
+    * rounding shared with the streaming form.
+    */
+  def q123WindowedCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams
+      .windowedCountsBatch(Tables.events(spark, dir))
+      .orderBy("window_start", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_windowed_counts" -> (q123WindowedCounts(_, _)),
     "q111_ab_test" -> (q111AbTest(_, _)),
     "q110_event_transitions" -> (q110EventTransitions(_, _)),
     "q109_moving_avg" -> (q109MovingAvg(_, _)),
@@ -359,6 +372,16 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // hour bucket = Spark's window(ts, '1 hour') start; mean = exact
+    // DECIMAL sum + the floored ×10⁴ rounding (identical op order)
+    "q123_windowed_counts" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  event_type, count(*) AS n,
+        |  floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |          / count(*) * 10000.0 + 0.5) / 10000.0 AS value_avg
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // per-user conversion flags → one-row conditional sums → the same
     // pooled-z expression tree, rounded to 6
     "q111_ab_test" ->

@@ -37,9 +37,20 @@ object EventStreams {
     events
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("value_avg"))
+      .agg(count(lit(1)).as("n"), windowValueAvg)
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n"), col("value_avg"))
+
+  /** 4-decimal window mean, engine-portable: exact DECIMAL sum (order
+    * independent), one IEEE division, and the floor(x·10⁴+0.5) rounding
+    * both engines compute bit-identically (q81's pattern — avg(double)
+    * + round() can land either side of a half boundary depending on
+    * summation order and the engine's rounding path).
+    */
+  private def windowValueAvg =
+    (floor(sum(col("value").cast("decimal(18,6)")).cast("double")
+             / count(lit(1)).cast("double") * 10000.0d + 0.5d) / 10000.0d)
+      .as("value_avg")
 
   /** Sliding-window variant (overlapping windows). */
   def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
@@ -227,9 +238,15 @@ object EventStreams {
                       refEntropyBits: Double, tol: Double,
                       minQuality: Double): DataFrame = {
     val stats = graft.llm.CorpusStats.corpusStats(batch, textCol)
+    // q81's exact-integer mean: the per-doc quality is a 4-decimal
+    // rational, so summing ×10⁴ longs + one floored division is
+    // order-independent and engine-portable (lets the monitor table sit
+    // under the DuckDB oracle, q122)
+    val qint = floor(graft.llm.TextAnalysis.qualityScore(col(textCol))
+                       * 10000.0d + 0.5d).cast("long")
     val q = batch.agg(
-      round(avg(graft.llm.TextAnalysis.qualityScore(col(textCol))), 4)
-        .as("mean_quality"),
+      (floor(sum(qint).cast("double") / count(lit(1)).cast("double")
+               + 0.5d) / 10000.0d).as("mean_quality"),
       count(lit(1)).as("n_docs"))
     stats.crossJoin(q).select(
       lit(batchId).as("batch_id"),
@@ -272,7 +289,7 @@ object EventStreams {
                           windowLen: String = "1 hour"): DataFrame =
     events
       .groupBy(window(col("ts"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("value_avg"))
+      .agg(count(lit(1)).as("n"), windowValueAvg)
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n"), col("value_avg"))
 }
