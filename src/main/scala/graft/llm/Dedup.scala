@@ -487,7 +487,12 @@ object Dedup {
           .toSeq.distinct.map(x => (x, find(x)))
         val spark = le.sparkSession
         import spark.implicits._
-        val repDf = closure.toDF("x", "rep")
+        // slice the rep mapping so no parallelize task exceeds ~1 MiB
+        // (at the 1M-edge bound the mapping is ~MBs — a single-slice
+        // localRelation would ship it whole inside one task binary)
+        val slices = math.max(1, closure.size / 20000 + 1)
+        val repDf = spark.sparkContext.parallelize(closure, slices)
+          .toDF("x", "rep")
         mapping = mapping.as("m")
           .join(broadcast(repDf), col("m.cluster_id") === col("x"), "left")
           .select(col("doc_id"),
