@@ -48,6 +48,58 @@ object Sharding {
       .drop("__md5key")
   }
 
+  /** Global token-offset assignment + token-boundary shard mapping — the
+    * "concatenate the corpus into one token stream and cut it into
+    * fixed-size training shards" step (every doc gets the offset of its
+    * first token in the doc_id-ordered stream, and the shard whose token
+    * range contains that offset).
+    *
+    * Scale shape: a global ordered prefix sum WITHOUT the single-partition
+    * window anti-pattern — the classic two-phase distributed scan:
+    *   1. value-determined range buckets over the id (width from a 1-row
+    *      min/max agg, broadcast);
+    *   2. per-bucket token sums (≤ `nBuckets` rows) prefix-scanned in one
+    *      tiny window — bounded by construction, never data-scale;
+    *   3. per-row offsets from an in-bucket window (partitioned BY BUCKET,
+    *      so `nBuckets` parallel sort tasks) plus the broadcast bucket
+    *      base.
+    * At 100 TB: nBuckets ~ cluster parallelism; every data-scale operation
+    * is one shuffle on the bucket key. Arithmetic is pure BIGINT (token
+    * counts are ≤ corpus tokens ≈ 2.5e13 « 2^63), identical in any SQL
+    * engine — the oracle replays it as one running-sum window.
+    *
+    * Returns `idCol, tokCol, global_offset, shard_id` where
+    * `shard_id = global_offset div shardTokens`.
+    */
+  def tokenOffsets(df: DataFrame, idCol: String, tokCol: String,
+                   nBuckets: Int, shardTokens: Long): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(shardTokens > 0, "shardTokens must be positive")
+    val bounds = df.agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
+    // ceil-div keeps every id in [0, nBuckets) even when span < nBuckets
+    val bucketed = df.crossJoin(broadcast(bounds))
+      .withColumn("__width",
+        expr(s"(__hi - __lo + ${nBuckets}L) div ${nBuckets}L"))
+      .withColumn("__bucket", expr(s"($idCol - __lo) div __width"))
+      .drop("__lo", "__hi", "__width")
+    // phase 1+2: bucket partial sums, prefix-scanned over ≤ nBuckets rows
+    val basesW = Window.orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = bucketed.groupBy("__bucket")
+      .agg(sum(col(tokCol)).as("__btoks"))
+      .withColumn("__base", coalesce(sum("__btoks").over(basesW), lit(0L)))
+      .select("__bucket", "__base")
+    // phase 3: in-bucket running sum + broadcast base
+    val inBucketW = Window.partitionBy("__bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(bases), "__bucket")
+      .withColumn("global_offset",
+        col("__base") + coalesce(sum(col(tokCol)).over(inBucketW), lit(0L)))
+      .withColumn("shard_id",
+        expr(s"global_offset div ${shardTokens}L"))
+      .drop("__bucket", "__base")
+  }
+
   /** Write the sharded corpus as parquet partitioned by shard, each
     * shard's file sorted by `pos` — the layout a data loader streams
     * sequentially. One output file per shard (that is what `pos` is for);

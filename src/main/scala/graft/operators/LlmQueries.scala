@@ -1473,6 +1473,23 @@ object LlmQueries {
       .select("doc_id", "shard", "pos")
       .orderBy("doc_id")
 
+  /** Global token-offset assignment ([[Sharding.tokenOffsets]]): every
+    * doc gets the offset of its first token in the doc_id-ordered corpus
+    * token stream, and the token-boundary training shard containing that
+    * offset — "concatenate and cut into fixed-size shards". Computed as a
+    * distributed two-phase prefix sum (range buckets + broadcast bases),
+    * never a single-partition global window; the oracle replays it as one
+    * running-sum window, which must agree exactly (pure BIGINT).
+    */
+  def q124TokenOffsets(spark: SparkSession, dir: String): DataFrame =
+    Sharding.tokenOffsets(
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks")),
+      "doc_id", "toks", nBuckets = 32, shardTokens = 4096L)
+      .select("doc_id", "toks", "global_offset", "shard_id")
+      .orderBy("doc_id")
+
   /** Token-budget subsetting: keep the highest-quality documents until
     * half the corpus's whitespace tokens are spent — the data-budgeting
     * step of corpus assembly ("give me the best N-token subset").
@@ -1733,6 +1750,7 @@ object LlmQueries {
     "q121_streaming_parity" -> (q121StreamingParity(_, _)),
     "q122_drift_monitor" -> (q122DriftMonitor(_, _)),
     "q77_shard_assignment"  -> (q77ShardAssignment(_, _)),
+    "q124_token_offsets"    -> (q124TokenOffsets(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -2960,6 +2978,20 @@ object LlmQueries {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
         |       - 1 AS BIGINT) AS pos
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q124_token_offsets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS toks
+        |  FROM documents)
+        |SELECT doc_id, toks,
+        |  CAST(coalesce(sum(toks) OVER (ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |       AS BIGINT) AS global_offset,
+        |  CAST(coalesce(sum(toks) OVER (ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |       // 4096 AS BIGINT) AS shard_id
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q74_incremental_dedup" ->
       """WITH idx AS (
         |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

@@ -37,6 +37,52 @@ class ShardingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("token offsets equal the single-window reference for any bucket count") {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sf0001).select(
+      col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"))
+    // naive reference: one global running-sum window (fine at spec scale)
+    val refW = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = toks
+      .withColumn("global_offset", coalesce(sum("toks").over(refW), lit(0L)))
+      .withColumn("shard_id", expr("global_offset div 4096L"))
+      .orderBy("doc_id").collect().toSeq
+    // the distributed form must agree exactly, at every bucket count —
+    // including nBuckets > distinct ids (degenerate 1-row buckets) and
+    // nBuckets = 1 (single bucket = the naive form)
+    for (b <- Seq(1, 7, 32, 5000)) {
+      val got = Sharding.tokenOffsets(toks, "doc_id", "toks",
+                                      nBuckets = b, shardTokens = 4096L)
+        .select("doc_id", "toks", "global_offset", "shard_id")
+        .orderBy("doc_id").collect().toSeq
+      assert(got == ref, s"nBuckets=$b diverged from the reference window")
+    }
+    // offsets are a prefix sum: last offset + last toks = corpus total
+    val total = toks.agg(sum("toks")).head().getLong(0)
+    val last  = ref.last
+    assert(last.getLong(2) + last.getLong(1) == total)
+  }
+
+  test("token-offset plan: data-scale window is bucket-partitioned") {
+    val toks = Tables.documents(spark, sf0001).select(
+      col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"))
+    val out = Sharding.tokenOffsets(toks, "doc_id", "toks",
+                                    nBuckets = 32, shardTokens = 4096L)
+    val plan = out.queryExecution.executedPlan.toString
+    // the per-row running sum must be partitioned by __bucket (32-way
+    // parallel sort), not a global single-partition window over the data
+    assert(plan.contains("windowspecdefinition(__bucket"),
+           s"expected a __bucket-partitioned window in:\n$plan")
+    // the only global-ordered window is over the ≤nBuckets bases frame,
+    // which reaches the join as a broadcast, not an exchange of the data
+    assert(plan.contains("BroadcastHashJoin") ||
+             plan.contains("BroadcastExchange"),
+           s"bucket bases must broadcast:\n$plan")
+  }
+
   test("sharded parquet write produces one sorted partition dir per shard") {
     val dir  = tmpDir("shards")
     val docs = Tables.documents(spark, sf0001).limit(500)
