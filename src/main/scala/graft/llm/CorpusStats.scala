@@ -161,6 +161,46 @@ object CorpusStats {
               lit(nr).as("n_ref"), lit(nc).as("n_cur"))
   }
 
+  /** Per-group word-n-gram diversity — the corpus self-repetition
+    * numbers a curation run watches per source: n-gram instance count,
+    * distinct count, type-token ratio, and the fraction of instances
+    * whose n-gram occurs more than once (the "duplicate n-gram mass" of
+    * Rae et al. 2021 §A1.1, lifted from per-document to per-source). A
+    * source whose ttr collapses or rep_frac spikes between snapshots is
+    * emitting templated/boilerplate text.
+    *
+    * Unlike [[Dedup.wordNgrams]] (a distinct SET for Jaccard), this
+    * counts the positional MULTISET — repetition is the signal here.
+    * Scale shape: explode → two mergeable aggregations (partial agg →
+    * one shuffle on (group, gram), then one on group). No windows, no
+    * distinct-on-raw-rows; the (group, gram) pre-aggregation is the
+    * map-side combine that keeps the shuffle proportional to distinct
+    * grams, not corpus tokens. Docs shorter than n grams contribute
+    * nothing (explode drops their empty arrays).
+    */
+  def ngramDiversity(docs: DataFrame, textCol: String, groupCol: String,
+                     n: Int = 3): DataFrame = {
+    val toks = Dedup.wordTokens(col(textCol))
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+                           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    docs.select(col(groupCol), explode(grams).as("__g"))
+      .groupBy(groupCol, "__g")
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(groupCol)
+      .agg(sum("__cnt").as("n_grams"),
+           count(lit(1)).as("distinct_grams"),
+           sum(when(col("__cnt") > 1, col("__cnt")).otherwise(0L))
+             .as("__rep"))
+      .select(col(groupCol),
+              col("n_grams"),
+              col("distinct_grams"),
+              round(col("distinct_grams").cast("double") / col("n_grams"), 6)
+                .as("ttr"),
+              round(col("__rep").cast("double") / col("n_grams"), 6)
+                .as("rep_frac"))
+  }
+
   /** [[corpusStats]] from an existing (token, n) table. */
   def statsFromCounts(counts: DataFrame, topK: Int = 100): DataFrame = {
     val tc = counts

@@ -427,4 +427,60 @@ object QualityFilters {
       .filter(col("src_budget") > 0 && col("q") >= col("q_cut"))
       .select("doc_id", "source", "toks", "q", "q_cut", "src_budget")
   }
+
+  /** Per-source epoch schedule for a token budget — the data-constrained
+    * training plan (Muennighoff et al. 2023's repeat-vs-mix question):
+    * given a total budget of `budgetMult` × corpus tokens, split it by
+    * temperature weight (the [[temperatureSample]] sqrt chain), then cap
+    * each source at `maxEpochs` passes over its own tokens; `capped`
+    * sources would be over-repeated and the planner reallocates their
+    * unmet remainder in the next iteration (reported, not looped, here).
+    *
+    * One row per SOURCE: the token totals are the only data-scale
+    * aggregation (partial agg → one shuffle on source), then all
+    * planning math runs on that #sources-row frame against a broadcast
+    * 1-row total. Arithmetic is the portable integer-weight pattern:
+    * integer token sums, `floor(sqrt·1e6)` weights, double-FIRST
+    * multiplies (never LONG·LONG that could wrap at 100 TB — the
+    * [[temperatureSample]] overflow lesson), so any SQL engine replays
+    * it bit-identically.
+    */
+  def epochSchedule(df: DataFrame, sourceCol: String, textCol: String,
+                    budgetMult: Double, maxEpochs: Int = 4,
+                    temperature: Int = 2): DataFrame = {
+    require(budgetMult > 0, "budgetMult must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    require(Set(1, 2, 4).contains(temperature),
+            "temperature must be 1, 2, or 4 (sqrt-chain portability)")
+    def w(c: Column): Column = temperature match {
+      case 1 => c.cast("double")
+      case 2 => sqrt(c)
+      case 4 => sqrt(sqrt(c))
+    }
+    val perSrc = df
+      .groupBy(col(sourceCol).as("source"))
+      .agg(sum(graft.llm.TextAnalysis.wsTokenCount(col(textCol))
+                 .cast("long")).as("n_toks"))
+      .withColumn("wq", floor(w(col("n_toks")) * 1000000).cast("long"))
+    val tot = perSrc.agg(sum("n_toks").as("n_corpus"),
+                         sum("wq").as("w_sum"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("budget",
+                  floor(col("n_corpus").cast("double") * budgetMult)
+                    .cast("long"))
+      .withColumn("weight_ppm",
+                  floor(col("wq").cast("double") * 1000000.0 / col("w_sum"))
+                    .cast("long"))
+      .withColumn("target_toks",
+                  floor(col("wq").cast("double") * col("budget")
+                          / col("w_sum")).cast("long"))
+      .withColumn("cap_toks", col("n_toks") * maxEpochs)
+      .withColumn("effective_toks", least(col("target_toks"), col("cap_toks")))
+      .withColumn("epochs_x1000",
+                  floor(col("effective_toks").cast("double") * 1000.0
+                          / col("n_toks")).cast("long"))
+      .withColumn("capped", col("target_toks") > col("cap_toks"))
+      .select("source", "n_toks", "weight_ppm", "target_toks",
+              "effective_toks", "epochs_x1000", "capped")
+  }
 }

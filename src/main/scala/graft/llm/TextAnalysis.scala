@@ -114,6 +114,53 @@ object TextAnalysis {
         lit(0L),
         (acc, b) => pmod(acc * 31 + b, lit(1000000007L))))
 
+  /** 60-bit md5-prefix hashes of every positional character k-gram of an
+    * ALREADY-MATERIALIZED normalized-text column — the winnowing input
+    * stream. Positional MULTISET (unlike [[Dedup.shinglesOfNorm]]'s
+    * distinct set): winnowing needs the hash at every gram start. One
+    * fused codegen'd loop per row ([[graft.functions.Md5Prefix60Expr]]);
+    * texts shorter than k chars yield an empty array.
+    */
+  def gramHashes(norm: Column, k: Int = 5): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val grams = when(length(norm) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(norm) - (k - 1)),
+                           i => norm.substr(i, lit(k))))
+    ColumnBridge.column(graft.functions.Md5Prefix60Expr(
+      ColumnBridge.expression(grams)))
+  }
+
+  /** Winnowing fingerprint selection (Schleimer et al. 2003 — the MOSS
+    * algorithm) over an ALREADY-MATERIALIZED [[gramHashes]] column:
+    * slide a window of `w` consecutive gram hashes, keep each window's
+    * minimum (RIGHTMOST on ties, per the paper's robust-winnowing rule),
+    * and record every selected (pos, fp) once. Guarantees any shared
+    * substring of ≥ w+k−1 chars contributes a matching fingerprint while
+    * storing ~2/(w+1) of all gram hashes — the standard density/recall
+    * dial between a single whole-doc hash ([[fingerprint]]) and
+    * all-gram fingerprints ([[graft.llm.Contamination]]).
+    *
+    * Row-local HOFs over the named hash column (attribute reference, so
+    * the md5 stream is computed once per row, per the [[Dedup
+    * .shinglesOfNorm]] HOF scale note) — no UDF, no shuffle; the picks
+    * replay in DuckDB from the same md5-prefix hashes. Docs with fewer
+    * than w gram hashes yield no fingerprints (winnowing leaves
+    * sub-window docs to exact dedup). Returns
+    * `array<struct<pos:int, fp:long>>`, pos = 1-based gram start.
+    */
+  def winnowPicks(hs: Column, w: Int = 9): Column = {
+    require(w > 0, "window size must be positive")
+    def win(i: Column): Column = slice(hs, i, lit(w))
+    val picks = transform(
+      sequence(lit(1), size(hs) - (w - 1)),
+      i => struct(
+        (i + w - array_position(reverse(win(i)), array_min(win(i))))
+          .cast("int").as("pos"),
+        array_min(win(i)).as("fp")))
+    when(size(hs) < w, array().cast("array<struct<pos:int,fp:bigint>>"))
+      .otherwise(array_distinct(picks))
+  }
+
   /** Language-ID, character-n-gram variant: score = |text's char-trigram
     * set ∩ language trigram profile|, argmax with alphabetical tie-break.
     * Profiles are the highest-frequency trigrams of each language's

@@ -1490,6 +1490,44 @@ object LlmQueries {
       .select("doc_id", "toks", "global_offset", "shard_id")
       .orderBy("doc_id")
 
+  /** Per-source word-trigram diversity ([[CorpusStats.ngramDiversity]]):
+    * instance/distinct counts, type-token ratio, duplicate-gram mass —
+    * the per-source self-repetition monitor. Oracle-checked (DuckDB
+    * builds the same positional trigram multiset with list lambdas).
+    */
+  def q125NgramDiversity(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.ngramDiversity(Tables.documents(spark, dir),
+                               "text", "source", n = 3)
+      .orderBy("source")
+
+  /** Data-constrained epoch schedule ([[QualityFilters.epochSchedule]]):
+    * a 2×-corpus token budget split by sqrt-temperature weight, capped
+    * at 4 epochs per source. Oracle-checked (pure integer/double-first
+    * planning math over per-source token sums).
+    */
+  def q126EpochSchedule(spark: SparkSession, dir: String): DataFrame =
+    QualityFilters.epochSchedule(Tables.documents(spark, dir),
+                                 "source", "text",
+                                 budgetMult = 2.0, maxEpochs = 4,
+                                 temperature = 2)
+      .orderBy("source")
+
+  /** Winnowing fingerprints ([[TextAnalysis.winnowPicks]], MOSS): every
+    * selected (pos, fp) of each document at k=5, w=9 — the bounded-
+    * density fingerprint index a plagiarism/overlap detector builds.
+    * Oracle-checked fingerprint-by-fingerprint: DuckDB replays the
+    * rightmost-min window picks from the same md5-prefix hashes.
+    */
+  def q127WinnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.normalizeText(col("text")).as("__norm"))
+      .withColumn("__hs", TextAnalysis.gramHashes(col("__norm"), k = 5))
+      .select(col("doc_id"),
+              explode(TextAnalysis.winnowPicks(col("__hs"), w = 9))
+                .as("__p"))
+      .select(col("doc_id"), col("__p.pos").as("pos"), col("__p.fp").as("fp"))
+      .orderBy("doc_id", "pos", "fp")
+
   /** Token-budget subsetting: keep the highest-quality documents until
     * half the corpus's whitespace tokens are spent — the data-budgeting
     * step of corpus assembly ("give me the best N-token subset").
@@ -1751,6 +1789,9 @@ object LlmQueries {
     "q122_drift_monitor" -> (q122DriftMonitor(_, _)),
     "q77_shard_assignment"  -> (q77ShardAssignment(_, _)),
     "q124_token_offsets"    -> (q124TokenOffsets(_, _)),
+    "q125_ngram_diversity"  -> (q125NgramDiversity(_, _)),
+    "q126_epoch_schedule"   -> (q126EpochSchedule(_, _)),
+    "q127_winnow_fingerprints" -> (q127WinnowFingerprints(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -2992,6 +3033,74 @@ object LlmQueries {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |       // 4096 AS BIGINT) AS shard_id
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q125_ngram_diversity" ->
+      """WITH w AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |                t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT source,
+        |    unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gr
+        |  FROM w),
+        |c AS (SELECT source, gr, count(*) AS cnt FROM g GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |  count(*) AS distinct_grams,
+        |  round(count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS ttr,
+        |  round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+        |          / sum(cnt), 6) AS rep_frac
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "q126_epoch_schedule" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS n_toks
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_toks,
+        |        CAST(floor(sqrt(n_toks) * 1000000) AS BIGINT) AS wq
+        |      FROM s),
+        |t AS (SELECT CAST(sum(n_toks) AS BIGINT) AS n_corpus,
+        |             CAST(sum(wq) AS BIGINT) AS w_sum FROM w),
+        |p AS (
+        |  SELECT source, n_toks, wq, n_corpus, w_sum,
+        |    CAST(floor(CAST(n_corpus AS DOUBLE) * 2.0) AS BIGINT) AS budget
+        |  FROM w CROSS JOIN t),
+        |q AS (
+        |  SELECT source, n_toks,
+        |    CAST(floor(CAST(wq AS DOUBLE) * 1000000.0 / w_sum) AS BIGINT)
+        |      AS weight_ppm,
+        |    CAST(floor(CAST(wq AS DOUBLE) * budget / w_sum) AS BIGINT)
+        |      AS target_toks,
+        |    n_toks * 4 AS cap_toks
+        |  FROM p)
+        |SELECT source, n_toks, weight_ppm, target_toks,
+        |  least(target_toks, cap_toks) AS effective_toks,
+        |  CAST(floor(CAST(least(target_toks, cap_toks) AS DOUBLE) * 1000.0
+        |               / n_toks) AS BIGINT) AS epochs_x1000,
+        |  target_toks > cap_toks AS capped
+        |FROM q ORDER BY source""".stripMargin,
+    "q127_winnow_fingerprints" ->
+      """WITH nrm AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(s) - 3),
+        |      i -> ('0x' || substr(md5(substr(s, i, 5)), 1, 15))::BIGINT)
+        |      AS hs
+        |  FROM nrm WHERE length(s) >= 5),
+        |p AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(hs) - 7),
+        |      i -> {'pos': i + 9 - list_position(list_reverse(hs[i:i+8]),
+        |                                         list_min(hs[i:i+8])),
+        |            'fp': list_min(hs[i:i+8])})) AS pk
+        |  FROM h WHERE len(hs) >= 9)
+        |SELECT DISTINCT doc_id, CAST(pk.pos AS INTEGER) AS pos, pk.fp AS fp
+        |FROM p ORDER BY doc_id, pos, fp""".stripMargin,
     "q74_incremental_dedup" ->
       """WITH idx AS (
         |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

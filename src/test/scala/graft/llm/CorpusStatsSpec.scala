@@ -132,6 +132,52 @@ class CorpusStatsSpec extends SparkSpec {
     intercept[IllegalArgumentException](CorpusStats.ksDrift(none, some, "v"))
   }
 
+  test("ngram diversity matches hand-computed trigram counts") {
+    import spark.implicits._
+    // "a b a b a" → trigrams: (a b a), (b a b), (a b a) → 3 instances,
+    // 2 distinct, ttr = 2/3, rep mass = 2 instances of (a b a) → 2/3
+    // "x y z w"  → (x y z), (y z w) → 2 instances, 2 distinct, rep 0
+    // "hi"       → shorter than a trigram → contributes nothing
+    val docs = Seq(("rep", "a b a b a"), ("uniq", "x y z w"),
+                   ("uniq", "hi")).toDF("source", "text")
+    val out = CorpusStats.ngramDiversity(docs, "text", "source")
+      .orderBy("source").collect()
+    assert(out.length == 2)
+    val rep = out(0)
+    assert(rep.getAs[String]("source") == "rep")
+    assert(rep.getAs[Long]("n_grams") == 3L)
+    assert(rep.getAs[Long]("distinct_grams") == 2L)
+    assert(math.abs(rep.getAs[Double]("ttr") - 0.666667) < 1e-6)
+    assert(math.abs(rep.getAs[Double]("rep_frac") - 0.666667) < 1e-6)
+    val un = out(1)
+    assert(un.getAs[Long]("n_grams") == 2L)
+    assert(un.getAs[Long]("distinct_grams") == 2L)
+    assert(un.getAs[Double]("ttr") == 1.0)
+    assert(un.getAs[Double]("rep_frac") == 0.0)
+  }
+
+  test("ngram diversity flags a templated source and is partition-stable") {
+    import spark.implicits._
+    val docs = (0 until 200).map { i =>
+      val src = if (i % 2 == 0) "varied" else "templated"
+      val text = if (i % 2 == 0)
+        s"doc $i speaks of topic${i} and angle${i * 7} uniquely today"
+      else
+        s"click here to buy now item$i click here to buy now"
+      (src, text)
+    }.toDF("source", "text")
+    val out = CorpusStats.ngramDiversity(docs, "text", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("templated").getAs[Double]("rep_frac") >
+             out("varied").getAs[Double]("rep_frac") + 0.3)
+    assert(out("varied").getAs[Double]("ttr") >
+             out("templated").getAs[Double]("ttr"))
+    val re = CorpusStats.ngramDiversity(docs.repartition(17), "text",
+                                        "source")
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(out.keys.forall(k => out(k).toSeq == re(k)))
+  }
+
   test("stats are invariant to partitioning (order-independent to 6dp)") {
     import spark.implicits._
     val docs = (0 until 500).map { i =>

@@ -406,4 +406,69 @@ class QualityFiltersSpec extends SparkSpec {
     // doc 4: 4 grams, 1 shared with docs 1/2 → 3 novel → 750000 ppm
     assert(out(4L) == (4L, 3L, 750000L))
   }
+
+  test("epoch schedule: hand-computed plan, caps, and invariants") {
+    import spark.implicits._
+    // big: 1 doc × 100 tokens; small: 1 doc × 4 tokens. T=2 weights:
+    // wq_big = 10_000_000, wq_small = 2_000_000, w_sum = 12_000_000.
+    // budget = floor(104 · 2.0) = 208.
+    // target_big   = floor(1e7 · 208 / 1.2e7)  = 173  (1.73 epochs)
+    // target_small = floor(2e6 · 208 / 1.2e7)  = 34 → cap 4·4 = 16
+    val docs = Seq(
+      ("big", (1 to 100).map(i => s"t$i").mkString(" ")),
+      ("small", "just four tokens here")).toDF("source", "text")
+    val out = QualityFilters.epochSchedule(docs, "source", "text",
+                                           budgetMult = 2.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val big = out("big")
+    assert(big.getAs[Long]("n_toks") == 100L)
+    assert(big.getAs[Long]("weight_ppm") == 833333L)
+    assert(big.getAs[Long]("target_toks") == 173L)
+    assert(big.getAs[Long]("effective_toks") == 173L)
+    assert(big.getAs[Long]("epochs_x1000") == 1730L)
+    assert(!big.getAs[Boolean]("capped"))
+    val small = out("small")
+    assert(small.getAs[Long]("n_toks") == 4L)
+    assert(small.getAs[Long]("weight_ppm") == 166666L)
+    assert(small.getAs[Long]("target_toks") == 34L)
+    assert(small.getAs[Long]("effective_toks") == 16L)
+    assert(small.getAs[Long]("epochs_x1000") == 4000L)
+    assert(small.getAs[Boolean]("capped"))
+  }
+
+  test("epoch schedule: temperature upweights small sources, never " +
+       "exceeds the cap, and weights sum to ≤ 1e6 ppm") {
+    import spark.implicits._
+    val docs = (0 until 300).map { i =>
+      val src = s"src${i % 10}"
+      // source sizes spread over ~1 order of magnitude
+      val words = 5 + (i % 10) * 10
+      (src, (1 to words).map(j => s"w$j").mkString(" "))
+    }.toDF("source", "text")
+    val out = QualityFilters.epochSchedule(docs, "source", "text",
+                                           budgetMult = 1.0,
+                                           maxEpochs = 3)
+      .collect()
+    assert(out.map(_.getAs[Long]("weight_ppm")).sum <= 1000000L)
+    out.foreach { r =>
+      assert(r.getAs[Long]("effective_toks") <=
+               r.getAs[Long]("n_toks") * 3)
+      assert(r.getAs[Long]("epochs_x1000") <= 3000L)
+      assert(r.getAs[Long]("effective_toks") <=
+               r.getAs[Long]("target_toks"))
+    }
+    // sqrt temperature: smallest source gets MORE epochs than largest
+    val bySize = out.sortBy(_.getAs[Long]("n_toks"))
+    assert(bySize.head.getAs[Long]("epochs_x1000") >=
+             bySize.last.getAs[Long]("epochs_x1000"))
+    // uniform-weight sanity at T=1: epochs ≈ budgetMult for every source
+    val flat = QualityFilters.epochSchedule(docs, "source", "text",
+                                            budgetMult = 1.0,
+                                            maxEpochs = 3,
+                                            temperature = 1).collect()
+    flat.foreach { r =>
+      val e = r.getAs[Long]("epochs_x1000")
+      assert(e >= 990L && e <= 1000L, s"T=1 epochs drifted: $r")
+    }
+  }
 }

@@ -125,4 +125,77 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1L, "en", 1000000L, false)), s"doc2: $out")
     assert(out(3L) == ((1L, 1L, "und", 1000000L, false)), s"doc3: $out")
   }
+
+  /** Pure-Scala winnowing reference: same md5-prefix hash, rightmost-min
+    * per window, distinct (1-based pos, fp) picks.
+    */
+  private def refWinnow(s: String, k: Int, w: Int): Set[(Int, Long)] = {
+    def h60(g: String): Long = {
+      val out = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      var v = 0L
+      for (i <- 0 until 8) v = (v << 8) | (out(i) & 0xFFL)
+      v >>> 4
+    }
+    if (s.length < k + w - 1) return Set.empty
+    val hs = (0 to s.length - k).map(i => h60(s.substring(i, i + k)))
+    (0 to hs.length - w).map { i =>
+      val win = hs.slice(i, i + w)
+      val m = win.min
+      (i + win.lastIndexOf(m) + 1, m)
+    }.toSet
+  }
+
+  test("winnowing picks match the reference algorithm exactly") {
+    import spark.implicits._
+    // already-normalized strings, incl. heavy repetition (hash ties) and
+    // sub-window shorts that must yield nothing
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "abababababababababababab", // max tie stress
+      "aaaaaaaaaaaaaaaaaaaaa",    // single repeated gram
+      "mixed 1234 with numbers and text strings 5678 interleaved ok",
+      "short doc",                // < k+w-1 chars → no fingerprints
+      "exactly13char"             // == w+k-1 → exactly one window
+    )
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("hs", TextAnalysis.gramHashes(col("text"), k = 5))
+      .select(col("doc_id"),
+              TextAnalysis.winnowPicks(col("hs"), w = 9).as("picks"))
+    val got = df.collect().map { r =>
+      r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (p.getInt(0), p.getLong(1))).toSet
+    }.toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == refWinnow(t, 5, 9),
+             s"doc $i mismatch vs reference: '$t'")
+    }
+    assert(got(4L).isEmpty)
+    assert(got(5L).size == 1)
+  }
+
+  test("winnowing guarantee: shared substrings ≥ w+k-1 chars share a " +
+       "fingerprint; density stays ~2/(w+1)") {
+    import spark.implicits._
+    val shared = "common plagiarized fragment that both docs contain"
+    val a = s"first document preamble text then $shared and an ending"
+    val b = s"totally different opening words here $shared closing words"
+    val c = "unrelated content with no overlap whatsoever present here ok"
+    val rows = Seq((1L, a), (2L, b), (3L, c))
+      .toDF("doc_id", "text")
+      .withColumn("hs", TextAnalysis.gramHashes(col("text"), k = 5))
+      .select(col("doc_id"),
+              explode(TextAnalysis.winnowPicks(col("hs"), w = 9)).as("p"))
+      .select(col("doc_id"), col("p.fp").as("fp"))
+    val fps = rows.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+           "docs sharing a 50-char substring must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty)
+    // density: expected 2/(w+1) = 0.2 of windows; allow a wide band
+    val nWindows = a.length - 5 + 1 - 9 + 1
+    assert(fps(1L).size <= nWindows / 2 && fps(1L).size >= nWindows / 10,
+           s"density off: ${fps(1L).size} picks over $nWindows windows")
+  }
 }
