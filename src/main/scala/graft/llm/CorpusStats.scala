@@ -201,6 +201,58 @@ object CorpusStats {
                 .as("rep_frac"))
   }
 
+  /** Vocabulary-growth curve (Heaps' law: vocab(N) ≈ K·N^β, β ≈ 0.5 for
+    * natural text): the number of DISTINCT word types seen after reading
+    * the first 1/nGrid, 2/nGrid, … of the doc_id-ordered token stream.
+    * A corpus whose curve flattens early is repeating itself; one whose
+    * curve stays near-linear is noise — the companion diagnostic to
+    * [[ngramDiversity]]'s end-state ratios.
+    *
+    * Scale shape: the ordered prefix is NOT a data-scale sort — each
+    * token's global position comes from [[Sharding.tokenOffsets]]'s
+    * two-phase prefix sum (doc offset + in-doc posexplode index), the
+    * per-type first occurrence is one groupBy(word).min shuffle
+    * (proportional to distinct types, with map-side combine), and the
+    * curve itself is a grid-binned count: `bin = first·nGrid div total`,
+    * an nGrid-row aggregate cum-summed in one bounded window. Pure
+    * BIGINT arithmetic throughout (first·nGrid ≤ 10× corpus tokens «
+    * 2^63), replayed exactly by the oracle. Returns one row per grid
+    * point: `grid_idx, prefix_toks (= ceil(g·total/nGrid)), new_types,
+    * vocab`.
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  nGrid: Int = 10, nBuckets: Int = 32): DataFrame = {
+    require(nGrid > 0, "nGrid must be positive")
+    val toks = docs.select(col(idCol),
+                           Dedup.wordTokens(col(textCol)).as("__toks"))
+      .withColumn("__ntoks", size(col("__toks")).cast("long"))
+    // shardTokens is irrelevant here — MaxValue collapses shard_id to 0
+    val offsets = Sharding.tokenOffsets(toks, idCol, "__ntoks", nBuckets,
+                                        Long.MaxValue)
+    val first = offsets
+      .select(col("global_offset"),
+              posexplode(col("__toks")).as(Seq("__pos", "__word")))
+      .groupBy("__word")
+      .agg(min(col("global_offset") + col("__pos")).as("__first"))
+    val total = toks.agg(sum("__ntoks").as("__total"))
+    val binCounts = first.crossJoin(broadcast(total))
+      .withColumn("__bin", expr(s"(__first * $nGrid) div __total"))
+      .groupBy("__bin")
+      .agg(count(lit(1)).as("new_types"))
+    val grid = docs.sparkSession.range(0, nGrid).toDF("__bin")
+    val cumW = Window.orderBy("__bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(binCounts, Seq("__bin"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .crossJoin(broadcast(total))
+      .select((col("__bin") + 1).cast("int").as("grid_idx"),
+              expr(s"((__bin + 1) * __total + ${nGrid - 1}) div $nGrid")
+                .as("prefix_toks"),
+              col("new_types"),
+              sum("new_types").over(cumW).as("vocab"))
+      .orderBy("grid_idx")
+  }
+
   /** [[corpusStats]] from an existing (token, n) table. */
   def statsFromCounts(counts: DataFrame, topK: Int = 100): DataFrame = {
     val tc = counts

@@ -725,6 +725,52 @@ object Dedup {
       .distinct()
   }
 
+  /** Edit-distance verification of near-dup candidates: run the
+    * [[simhashCandidatesPortable]] signature filter with a LOOSENED
+    * Hamming bound (recall), then score every surviving pair with
+    * character Levenshtein over whitespace/case-normalized text truncated
+    * to `maxChars`, keeping pairs whose similarity ratio
+    * `1 − lev / max(len_a, len_b)` clears `minRatio` (precision). This is
+    * the two-stage shape production near-dedup uses when signature
+    * collisions must be confirmed against ground truth instead of
+    * trusted outright.
+    *
+    * Scale shape: the O(maxChars²) DP runs once per CANDIDATE pair —
+    * banded + bucket-guarded, never all-pairs — and `maxChars` caps each
+    * evaluation independent of document length (a prefix comparison is
+    * the standard production compromise; raise the cap, not the pair
+    * count, if precision needs it). The pair list is slim (ids + hamming)
+    * and picks up both texts via two hash joins on doc id; full texts
+    * never ride the banding shuffle. Levenshtein is the unit-cost DP in
+    * Spark and DuckDB alike, so the oracle replays the entire pipeline
+    * including the verification arithmetic.
+    */
+  def editVerifiedCandidates(df: DataFrame, idCol: String, textCol: String,
+                             maxBucket: Int = 1000, maxHamming: Int = 8,
+                             minRatio: Double = 0.8,
+                             maxChars: Int = 512): DataFrame = {
+    require(minRatio >= 0.0 && minRatio <= 1.0, "minRatio must be in [0,1]")
+    require(maxChars > 0, "maxChars must be positive")
+    val pairs = simhashCandidatesPortable(df, idCol, textCol,
+                                          maxBucket, maxHamming)
+    val norm = df.select(
+      col(idCol).as("__id"),
+      substring(normalizeText(col(textCol)), 1, maxChars).as("__norm"))
+    pairs
+      .join(norm.select(col("__id").as("doc_a"), col("__norm").as("__na")),
+            "doc_a")
+      .join(norm.select(col("__id").as("doc_b"), col("__norm").as("__nb")),
+            "doc_b")
+      .withColumn("lev", levenshtein(col("__na"), col("__nb")).cast("long"))
+      .withColumn("sim_ratio",
+        round(lit(1.0) - col("lev").cast("double") /
+          greatest(greatest(length(col("__na")), length(col("__nb"))),
+                   lit(1)).cast("double"), 6))
+      .filter(col("sim_ratio") >= minRatio)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long")
+                .as("hamming"), col("lev"), col("sim_ratio"))
+  }
+
   /** Embedding-cosine near-dedup: LSH-bucketed similarity join over the
     * embedding column, then the same min-id cluster assignment as the text
     * variants. Completes the dedup family (exact / MinHash / SimHash /

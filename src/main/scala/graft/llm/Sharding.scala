@@ -100,6 +100,50 @@ object Sharding {
       .drop("__bucket", "__base")
   }
 
+  /** Deterministic seeded corpus shuffle + fixed-size batch assignment —
+    * the training-order step: rank every document by the 60-bit
+    * md5-prefix of `"seed:id"` (a reproducible pseudorandom permutation;
+    * change the seed, get an independent order) and cut the ranked stream
+    * into consecutive `batchSize` batches. Content-keyed like
+    * [[assignShards]]: rerunning on different hardware, partitioning, or
+    * engine yields byte-identical order.
+    *
+    * Scale shape: the same two-phase distributed prefix sum as
+    * [[tokenOffsets]], counting ROWS instead of tokens, with range
+    * buckets cut directly over the hash key — uniform by construction
+    * (md5), so buckets balance without sampling and there is never a
+    * single-partition window. At 100 TB: one shuffle on the bucket key,
+    * `nBuckets` parallel in-bucket sorts, a ≤ `nBuckets`-row driver-side
+    * window for the bases. Ties (a 60-bit collision) break by id, so the
+    * rank is a total order. Returns `idCol, sort_key, global_rank
+    * (0-based), batch_id = global_rank div batchSize`.
+    */
+  def seededOrder(df: DataFrame, idCol: String, seed: String,
+                  nBuckets: Int, batchSize: Long): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(batchSize > 0, "batchSize must be positive")
+    // ceil-div so bucket ids stay in [0, nBuckets) across the 2^60 range
+    val width = ((1L << 60) + nBuckets - 1) / nBuckets
+    val keyed = df.select(
+      col(idCol),
+      md5Prefix60Scalar(concat_ws(":", lit(seed), col(idCol).cast("string")))
+        .as("sort_key"))
+      .withColumn("__bucket", expr(s"sort_key div ${width}L"))
+    val basesW = Window.orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = keyed.groupBy("__bucket")
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__base", coalesce(sum("__bn").over(basesW), lit(0L)))
+      .select("__bucket", "__base")
+    val inBucketW = Window.partitionBy("__bucket")
+      .orderBy(col("sort_key"), col(idCol))
+    keyed.join(broadcast(bases), "__bucket")
+      .withColumn("global_rank",
+                  col("__base") + row_number().over(inBucketW) - 1)
+      .withColumn("batch_id", expr(s"global_rank div ${batchSize}L"))
+      .drop("__bucket", "__base")
+  }
+
   /** Write the sharded corpus as parquet partitioned by shard, each
     * shard's file sorted by `pos` — the layout a data loader streams
     * sequentially. One output file per shard (that is what `pos` is for);

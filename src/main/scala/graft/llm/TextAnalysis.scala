@@ -161,6 +161,58 @@ object TextAnalysis {
       .otherwise(array_distinct(picks))
   }
 
+  /** Content-defined chunking (the storage-dedup primitive of LBFS,
+    * Muthitacharoen et al. SOSP 2001, re-expressed over [[gramHashes]]):
+    * cut a chunk boundary after every character k-gram whose 60-bit hash
+    * is ≡ 0 (mod `modulus`), close the final chunk at the doc end, and
+    * fingerprint each chunk with md5. Expected chunk length ≈ `modulus`
+    * chars, and — the property fixed-width splitting lacks — an edit
+    * only re-keys the chunks it touches: every boundary is a function of
+    * the local k chars, so downstream chunk-level dedup still matches
+    * the untouched remainder of two near-identical documents.
+    *
+    * Operates on ALREADY-MATERIALIZED norm + hash columns (the
+    * [[winnowPicks]] contract — attribute references keep the md5
+    * stream computed once per row). Row-local HOFs, zero shuffle; at
+    * 100 TB only the (doc_id, chunk_md5) fingerprints ride any
+    * downstream exchange, never chunk text. Docs shorter than k chars
+    * yield one whole-doc chunk; empty docs yield no chunks. Returns
+    * `array<struct<chunk_idx:int, start:int, chunk_len:int,
+    * chunk_md5:string>>`, start = 1-based char offset.
+    */
+  def cdcChunks(norm: Column, hs: Column, k: Int = 8,
+                modulus: Int = 64): Column = {
+    require(k > 0, "gram size must be positive")
+    require(modulus > 0, "modulus must be positive")
+    // greatest(…, 1) keeps the sequence ascending when hs is empty (a
+    // sub-k doc): sequence(1, 0) would descend through index 0, which
+    // element_at rejects; the spurious index 1 probes a null and drops.
+    val ends0 = transform(
+      filter(sequence(lit(1), greatest(size(hs), lit(1))),
+             i => element_at(hs, i) % modulus.toLong === 0),
+      p => p + (k - 1))
+    val ends = concat(filter(ends0, e => e < length(norm)),
+                      array(length(norm)))
+    val starts = concat(array(lit(1)),
+                        transform(slice(ends, lit(1), size(ends) - 1),
+                                  e => e + 1))
+    val chunks = transform(
+      sequence(lit(1), size(ends)),
+      j => struct(
+        j.cast("int").as("chunk_idx"),
+        element_at(starts, j).cast("int").as("start"),
+        (element_at(ends, j) - element_at(starts, j) + 1).cast("int")
+          .as("chunk_len"),
+        md5(norm.substr(element_at(starts, j),
+                        element_at(ends, j) - element_at(starts, j) + 1)
+              .cast("binary")).as("chunk_md5")))
+    when(length(norm) === 0,
+         array().cast(
+           "array<struct<chunk_idx:int,start:int,chunk_len:int," +
+             "chunk_md5:string>>"))
+      .otherwise(chunks)
+  }
+
   /** Language-ID, character-n-gram variant: score = |text's char-trigram
     * set ∩ language trigram profile|, argmax with alphabetical tie-break.
     * Profiles are the highest-frequency trigrams of each language's

@@ -1528,6 +1528,62 @@ object LlmQueries {
       .select(col("doc_id"), col("__p.pos").as("pos"), col("__p.fp").as("fp"))
       .orderBy("doc_id", "pos", "fp")
 
+  /** Edit-distance-verified near-dup pairs
+    * ([[Dedup.editVerifiedCandidates]]): simhash banding at a loosened
+    * Hamming ≤ 8 for recall, then character Levenshtein over 512-char
+    * normalized prefixes for precision (keep ratio ≥ 0.5). Oracle-checked
+    * end-to-end — DuckDB replays the banding, the join, AND the
+    * levenshtein verify (the unit-cost DP is identical in both engines).
+    */
+  def q128EditVerify(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editVerifiedCandidates(Tables.documents(spark, dir),
+                                 "doc_id", "text",
+                                 maxHamming = 8, minRatio = 0.5,
+                                 maxChars = 512)
+      .orderBy("doc_a", "doc_b")
+
+  /** Content-defined chunks ([[TextAnalysis.cdcChunks]], LBFS-style):
+    * every chunk of every document at k=8, modulus=64 — the
+    * chunk-fingerprint table a storage-dedup layer joins on. Oracle-
+    * checked chunk-by-chunk: DuckDB recomputes the same md5-prefix gram
+    * hashes, the same mod-64 boundaries, and each chunk's md5.
+    */
+  def q129CdcChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.normalizeText(col("text")).as("__norm"))
+      .withColumn("__hs", TextAnalysis.gramHashes(col("__norm"), k = 8))
+      .select(col("doc_id"),
+              explode(TextAnalysis.cdcChunks(col("__norm"), col("__hs"),
+                                             k = 8, modulus = 64))
+                .as("__c"))
+      .select(col("doc_id"), col("__c.chunk_idx").as("chunk_idx"),
+              col("__c.start").as("start"),
+              col("__c.chunk_len").as("chunk_len"),
+              col("__c.chunk_md5").as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Deterministic training order ([[Sharding.seededOrder]]): the full
+    * seeded permutation + batch assignment of the corpus — rank by
+    * md5("r8:"+doc_id), batches of 50. Oracle-checked row-by-row (DuckDB
+    * replays the hash and a row_number window; the engine side uses the
+    * distributed prefix sum, so this also pins their equivalence).
+    */
+  def q130TrainingOrder(spark: SparkSession, dir: String): DataFrame =
+    Sharding.seededOrder(Tables.documents(spark, dir), "doc_id",
+                         seed = "r8", nBuckets = 32, batchSize = 50)
+      .select("doc_id", "sort_key", "global_rank", "batch_id")
+      .orderBy("global_rank")
+
+  /** Vocabulary-growth curve ([[CorpusStats.vocabGrowth]], Heaps' law):
+    * distinct word types after each tenth of the doc_id-ordered token
+    * stream. Oracle-checked point-by-point (DuckDB replays first-
+    * occurrence positions via a running-sum window over doc offsets).
+    */
+  def q131VocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.vocabGrowth(Tables.documents(spark, dir),
+                            "doc_id", "text", nGrid = 10)
+      .orderBy("grid_idx")
+
   /** Token-budget subsetting: keep the highest-quality documents until
     * half the corpus's whitespace tokens are spent — the data-budgeting
     * step of corpus assembly ("give me the best N-token subset").
@@ -1792,6 +1848,10 @@ object LlmQueries {
     "q125_ngram_diversity"  -> (q125NgramDiversity(_, _)),
     "q126_epoch_schedule"   -> (q126EpochSchedule(_, _)),
     "q127_winnow_fingerprints" -> (q127WinnowFingerprints(_, _)),
+    "q128_edit_verify"      -> (q128EditVerify(_, _)),
+    "q129_cdc_chunks"       -> (q129CdcChunks(_, _)),
+    "q130_training_order"   -> (q130TrainingOrder(_, _)),
+    "q131_vocab_growth"     -> (q131VocabGrowth(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -3101,6 +3161,128 @@ object LlmQueries {
         |  FROM h WHERE len(hs) >= 9)
         |SELECT DISTINCT doc_id, CAST(pk.pos AS INTEGER) AS pos, pk.fp AS fp
         |FROM p ORDER BY doc_id, pos, fp""".stripMargin,
+    "q128_edit_verify" -> {
+      val bandSelects = (0 until 4).map { b =>
+        s"  SELECT doc_id, simhash60, $b AS band," +
+          s" (simhash60 >> ${b * 15}) & 32767 AS bucket FROM sh"
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH sh AS (
+         |${simhash60Sql("documents")}),
+         |bd AS (
+         |$bandSelects),
+         |bf AS (
+         |  SELECT * FROM bd
+         |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.simhash60, b.simhash60)) AS BIGINT)
+         |      AS hamming
+         |  FROM bf a JOIN bf b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |       AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 8),
+         |nrm AS (
+         |  SELECT doc_id,
+         |    left(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 512)
+         |      AS nm
+         |  FROM documents),
+         |v AS (
+         |  SELECT doc_a, doc_b, hamming,
+         |    CAST(levenshtein(na.nm, nb.nm) AS BIGINT) AS lev,
+         |    round(1.0 - levenshtein(na.nm, nb.nm)
+         |            / CAST(greatest(greatest(length(na.nm),
+         |                                     length(nb.nm)), 1) AS DOUBLE),
+         |          6) AS sim_ratio
+         |  FROM cand
+         |  JOIN nrm na ON na.doc_id = doc_a
+         |  JOIN nrm nb ON nb.doc_id = doc_b)
+         |SELECT * FROM v WHERE sim_ratio >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q129_cdc_chunks" ->
+      """WITH nrm AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents WHERE length(regexp_replace(lower(trim(text)),
+        |                                             '\s+', ' ', 'g')) > 0),
+        |h AS (
+        |  SELECT doc_id, s,
+        |    CASE WHEN length(s) >= 8 THEN
+        |      list_transform(range(1, length(s) - 6),
+        |        i -> ('0x' || substr(md5(substr(s, i, 8)), 1, 15))::BIGINT)
+        |    ELSE []::BIGINT[] END AS hs
+        |  FROM nrm),
+        |e AS (
+        |  SELECT doc_id, s,
+        |    list_append(
+        |      list_filter(
+        |        list_transform(
+        |          list_filter(range(1, len(hs) + 1), i -> hs[i] % 64 = 0),
+        |          p -> p + 7),
+        |        x -> x < length(s)),
+        |      CAST(length(s) AS BIGINT)) AS ends
+        |  FROM h),
+        |se AS (
+        |  SELECT doc_id, s, ends,
+        |    list_prepend(CAST(1 AS BIGINT),
+        |                 list_transform(ends[1:len(ends)-1], x -> x + 1))
+        |      AS starts
+        |  FROM e),
+        |c AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ends) + 1),
+        |      j -> {'ci': j, 'st': starts[j],
+        |            'ln': ends[j] - starts[j] + 1,
+        |            'h': md5(substr(s, CAST(starts[j] AS INTEGER),
+        |                            CAST(ends[j] - starts[j] + 1
+        |                                 AS INTEGER)))})) AS ck
+        |  FROM se)
+        |SELECT doc_id, CAST(ck.ci AS INTEGER) AS chunk_idx,
+        |  CAST(ck.st AS INTEGER) AS "start",
+        |  CAST(ck.ln AS INTEGER) AS chunk_len, ck.h AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q130_training_order" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('r8:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS sort_key
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, sort_key,
+        |    CAST(row_number() OVER (ORDER BY sort_key, doc_id) - 1
+        |         AS BIGINT) AS global_rank
+        |  FROM k)
+        |SELECT doc_id, sort_key, global_rank,
+        |  global_rank // 50 AS batch_id
+        |FROM r ORDER BY global_rank""".stripMargin,
+    "q131_vocab_growth" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |                t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, toks,
+        |    CAST(coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS off
+        |  FROM d),
+        |w AS (
+        |  SELECT unnest(list_transform(range(1, len(toks) + 1),
+        |    i -> {'wd': toks[i], 'p': off + i - 1})) AS tp
+        |  FROM o),
+        |f AS (SELECT tp.wd AS wd, min(tp.p) AS fp FROM w GROUP BY 1),
+        |t AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS total FROM d),
+        |b AS (SELECT (fp * 10) // total AS bin, count(*) AS n
+        |      FROM f CROSS JOIN t GROUP BY 1),
+        |g AS (SELECT unnest(range(0, 10)) AS bin),
+        |j AS (SELECT g.bin, coalesce(b.n, 0) AS new_types
+        |      FROM g LEFT JOIN b ON g.bin = b.bin)
+        |SELECT CAST(j.bin + 1 AS INTEGER) AS grid_idx,
+        |  ((j.bin + 1) * t.total + 9) // 10 AS prefix_toks,
+        |  CAST(new_types AS BIGINT) AS new_types,
+        |  CAST(sum(new_types) OVER (ORDER BY j.bin) AS BIGINT) AS vocab
+        |FROM j CROSS JOIN t ORDER BY grid_idx""".stripMargin,
     "q74_incremental_dedup" ->
       """WITH idx AS (
         |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
