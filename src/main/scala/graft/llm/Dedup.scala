@@ -988,16 +988,21 @@ object Dedup {
     * documents, with its position in both. A shared L-token substring is
     * exactly L−n+1 consecutive positional n-gram matches on one
     * DIAGONAL (pos_a − pos_b constant), so the suffix-array scan becomes:
-    * positional gram fingerprints → fingerprint equi-join → per
-    * (pair, diagonal) contiguous-run islands — no suffix array, no
-    * global sort, and the oracle can replay it as window SQL.
+    * positional gram fingerprints → per-fingerprint occurrence gather →
+    * row-local a<b pairing → per (pair, diagonal) contiguous-run
+    * islands — no suffix array, no global sort, and the oracle can
+    * replay it as join+window SQL (the relational pair set is identical
+    * to a fingerprint self-equi-join).
     *
-    * Scale shape: the only corpus-scale relations are the positional
-    * (doc, pos, fp) triples (longs — gram text never shuffles). The
-    * fingerprint join is guarded by `maxGramDocs`: a gram occurring in
-    * more distinct docs is boilerplate (license headers, nav chrome) and
-    * is dropped BEFORE the join — same role as the MinHash `maxBucket`
-    * guard; line-dedup/repetition gates upstream handle the degenerate
+    * Scale shape: the only corpus-scale relation is the positional
+    * (doc, pos, fp) triple stream (longs — gram text never shuffles),
+    * and it shuffles exactly ONCE (the groupBy-fp gather; the window
+    * shuffle downstream sees only the matched pairs, which are
+    * leak-sized). Pairing is guarded by `maxGramDocs`: a gram occurring
+    * in more distinct docs is boilerplate (license headers, nav chrome)
+    * and is dropped before any pair is generated — same role as the
+    * MinHash `maxBucket` guard, and it also bounds each gathered
+    * occurrence list; line-dedup/repetition gates upstream handle the degenerate
     * docs that would make one fp hot within a single pair. Runs shorter
     * than n tokens are invisible by construction (they produce no shared
     * gram); sub-n whole-doc grams only ever match identical short docs,
@@ -1007,21 +1012,27 @@ object Dedup {
                            n: Int = 8, minTokens: Int = 16,
                            maxGramDocs: Int = 50): DataFrame = {
     val g = Contamination.gramFingerprintsPos(df, idCol, textCol, n)
-    val rare = g.select("gram_fp", "doc_id").distinct()
-      .groupBy("gram_fp")
-      .agg(count(lit(1)).as("__nd"))
-      .filter(col("__nd") <= maxGramDocs)
-      .select("gram_fp")
-    val h = g.join(rare, Seq("gram_fp"))
-    val aSide = h.select(col("gram_fp"), col("doc_id").as("doc_a"),
-                         col("gram_pos").as("pa"), col("gram_end").as("ea"))
-    val bSide = h.select(col("gram_fp"), col("doc_id").as("doc_b"),
-                         col("gram_pos").as("pb"))
-    val hits = aSide.join(bSide, Seq("gram_fp"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-              (col("pa") - col("pb")).as("diag"),
-              col("pa"), col("ea"))
+    // ONE corpus-scale shuffle: gather each fingerprint's occurrences,
+    // judge rarity locally (the same maxGramDocs distinct-doc guard,
+    // plus the ≥2-doc floor — a single-doc fp can't produce a cross-doc
+    // pair), then generate the a<b occurrence pairs row-locally. The
+    // previous shape re-shuffled the corpus-scale gram triples three
+    // more times (distinct-doc count, rare-gram join, fp self-join) to
+    // build the identical pair set.
+    val occ = g.groupBy("gram_fp")
+      .agg(collect_list(struct(col("doc_id"), col("gram_pos"),
+                               col("gram_end"))).as("occ"))
+      .withColumn("__nd",
+                  size(array_distinct(
+                    transform(col("occ"), o => o.getField("doc_id")))))
+      .filter(col("__nd") >= 2 && col("__nd") <= maxGramDocs)
+    val hits = occ
+      .select(explode(col("occ")).as("a"), col("occ"))
+      .select(col("a"), explode(col("occ")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              (col("a.gram_pos") - col("b.gram_pos")).as("diag"),
+              col("a.gram_pos").as("pa"), col("a.gram_end").as("ea"))
     // contiguous-run islands per (pair, diagonal): gram starts advance by
     // exactly 1 inside a shared substring — a gap breaks the run (unlike
     // the span MERGE in Contamination.contaminationSpans, which is the

@@ -29,7 +29,7 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
@@ -37,6 +37,13 @@ object Tables {
         // for epoch nanos (~1.7e18 exceeds the 53-bit mantissa) — `div`
         // matches DuckDB's exact nano→micro truncation bit-for-bit
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // TIMESTAMP(MICROS, isAdjustedToUTC=false) scans as TIMESTAMP_NTZ
+        // under Spark 4's default inferTimestampNTZ. Normalize to
+        // session-zoned TimestampType (the session is pinned to UTC in
+        // [[graft.Sessions]], so the cast is value-identical and matches
+        // DuckDB's naive read); watermarks/windows reject NTZ event time.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
