@@ -234,6 +234,42 @@ object ScaleProbe {
         }
       }
     }
+    // Round-9 newcomers: domain_cap / line_quality / blocklist /
+    // span_corrupt are row-local or group-limit shapes (expect linear);
+    // length_batching is the q124 two-phase prefix-sum shape (expect
+    // linear — the windows stay (band, bucket)-partitioned at any n).
+    section("domain_cap blocklist line_quality span_corrupt length_batching") {
+    for (n <- Seq(1, 5, 20)) {
+        val d = docsX(n); val rows = d.count()
+        time(s"domain_cap     n=$n ($rows)") {
+          noop(graft.llm.QualityFilters.domainCap(
+            d.select(col("doc_id"), col("source"),
+                     graft.llm.TextAnalysis.qualityScore(col("text"))
+                       .as("q")),
+            "source", "doc_id", "q", cap = 50))
+        }
+        time(s"blocklist      n=$n ($rows)") {
+          noop(d.select(col("doc_id"), Dedup.wordTokens(col("text"))
+                          .as("__t"))
+            .select(col("doc_id"),
+                    graft.llm.TextAnalysis.blocklistHits(col("__t"))
+                      .as("hits")))
+        }
+        time(s"line_quality   n=$n ($rows)") {
+          noop(graft.llm.QualityFilters.c4LineFilter(d, "doc_id", "text"))
+        }
+        time(s"span_corrupt   n=$n ($rows)") {
+          noop(graft.llm.TextPacking.spanCorrupt(d, "doc_id", "text"))
+        }
+        time(s"length_batching n=$n ($rows)") {
+          noop(graft.llm.Sharding.lengthBatching(
+            d.select(col("doc_id"),
+                     graft.llm.TextAnalysis.wsTokenCount(col("text"))
+                       .cast("long").as("toks")),
+            "doc_id", "toks"))
+        }
+      }
+    }
     // PageRank: same replicated near-dup graph as the minhash probe;
     // the driver endgame handles every n here (the graph after banding
     // is pair-bounded) — the probe pins that rank cost tracks EDGES,

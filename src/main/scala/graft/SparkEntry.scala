@@ -87,6 +87,12 @@ object SparkEntry {
     // q121/q122 are excluded deliberately: they run a streaming query to
     // completion and memoize the sink output, so a timed pass would
     // measure a parquet re-read, not the operator
-    "q123_windowed_counts"
+    "q123_windowed_counts",
+    "q132_domain_cap",
+    "q133_blocklist_ratio",
+    "q134_jsonl_roundtrip",
+    "q135_line_quality",
+    "q136_span_corrupt",
+    "q137_length_batching"
   )
 }

@@ -483,4 +483,59 @@ object QualityFilters {
       .select("source", "n_toks", "weight_ppm", "target_toks",
               "effective_toks", "epochs_x1000", "capped")
   }
+
+  /** Per-domain document cap (the DCLM/RefinedWeb curation rule): keep at
+    * most `cap` documents per domain, highest `scoreCol` first (ties by
+    * id — fully deterministic). Over-represented domains (SEO farms, one
+    * crawler-friendly wiki) otherwise dominate a corpus however good the
+    * per-doc filters are.
+    *
+    * Plan: one shuffle on the domain key; WindowGroupLimit pushes the
+    * rank bound below the sort (the [[stratifiedTopN]] shape), so each
+    * task retains ≤ cap rows per domain — never a full per-domain sort
+    * at the reducer. Returns the surviving rows + their `domain_rank`.
+    */
+  def domainCap(df: DataFrame, domainCol: String, idCol: String,
+                scoreCol: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap > 0, "cap must be positive")
+    val w = Window.partitionBy(domainCol)
+      .orderBy(desc(scoreCol), asc(idCol))
+    df.withColumn("domain_rank", row_number().over(w))
+      .filter(col("domain_rank") <= cap)
+  }
+
+  /** C4-style LINE-level structural cleaning (Raffel et al. 2020 §2.2 —
+    * the rules that act on lines, complementing [[Dedup.lineDedup]]'s
+    * cross-doc duplicate strike): keep only lines that end in terminal
+    * punctuation (optionally quoted), carry ≥ `minLineWords` words, and
+    * are not list/nav chrome (bullet or numbered-list markers). Returns
+    * per-doc counts, the floored kept-fraction, and the md5 of the
+    * cleaned text (narrow output; the cleaned text itself is
+    * reconstructable and row-local).
+    *
+    * All higher-order functions over a materialized line array — zero
+    * shuffle, scan-speed row-local, SQL-replayable.
+    */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+                   minLineWords: Int = 3): DataFrame = {
+    val keepLine: Column => Column = l =>
+      l.rlike("[.!?][\"']?$") &&
+        size(split(l, "\\s+")) >= minLineWords &&
+        !l.rlike("^([-*>•]|\\d+[.)])\\s")
+    df.select(col(idCol).as("doc_id"),
+              filter(transform(split(col(textCol), "\n"), l => trim(l)),
+                     l => length(l) > 0).as("__ls"))
+      .withColumn("__kept", filter(col("__ls"), keepLine))
+      .select(
+        col("doc_id"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        when(size(col("__ls")) === 0, lit(0.0))
+          .otherwise(
+            floor(size(col("__kept")).cast("double") /
+                    size(col("__ls")) * 1e6d + 0.5d) / 1e6d)
+          .as("kept_frac"),
+        md5(array_join(col("__kept"), "\n").cast("binary")).as("clean_md5"))
+  }
 }

@@ -144,6 +144,53 @@ object Sharding {
       .drop("__bucket", "__base")
   }
 
+  /** Length-grouped token-budget batching — the dynamic-batching step of
+    * a padded-sequence training loader: group documents into length
+    * BANDS (`band = min(toks div bandTokens, nBands-1)`, so batchmates
+    * pad to similar lengths), pseudorandomly order each band by the
+    * seeded 60-bit md5 key (reproducible shuffle, ties by id), and cut
+    * each band's stream into batches of ≤ `capacity` tokens via an
+    * exclusive running token sum: `batch_id = prefix div capacity`.
+    *
+    * Scale shape: [[seededOrder]]'s two-phase distributed prefix sum,
+    * run per band — hash sub-buckets cut on the uniform sort key (never
+    * a single-partition window), a ≤ nBands×nBuckets-row base table
+    * broadcast back, one shuffle on (band, bucket). A batch can
+    * straddle two sub-buckets only at the seam, which the base offsets
+    * make exact — assignment is independent of partitioning and
+    * cluster size.
+    */
+  def lengthBatching(df: DataFrame, idCol: String, tokCol: String,
+                     bandTokens: Int = 64, nBands: Int = 8,
+                     capacity: Long = 2048L, seed: String = "r9",
+                     nBuckets: Int = 32): DataFrame = {
+    require(bandTokens > 0 && nBands > 0 && capacity > 0 && nBuckets > 0,
+            "bandTokens, nBands, capacity, nBuckets must be positive")
+    val width = ((1L << 60) + nBuckets - 1) / nBuckets
+    val keyed = df.select(
+      col(idCol), col(tokCol),
+      least(expr(s"$tokCol div ${bandTokens}L"), lit(nBands - 1L))
+        .cast("int").as("band"),
+      md5Prefix60Scalar(concat_ws(":", lit(seed), col(idCol).cast("string")))
+        .as("sort_key"))
+      .withColumn("__bucket", expr(s"sort_key div ${width}L"))
+    val basesW = Window.partitionBy("band").orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = keyed.groupBy("band", "__bucket")
+      .agg(sum(col(tokCol)).as("__btoks"))
+      .withColumn("__base", coalesce(sum("__btoks").over(basesW), lit(0L)))
+      .select("band", "__bucket", "__base")
+    val inBucketW = Window.partitionBy("band", "__bucket")
+      .orderBy(col("sort_key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed.join(broadcast(bases), Seq("band", "__bucket"))
+      .withColumn("__off",
+                  col("__base") +
+                    coalesce(sum(col(tokCol)).over(inBucketW), lit(0L)))
+      .withColumn("batch_id", expr(s"__off div ${capacity}L"))
+      .drop("__bucket", "__base", "__off")
+  }
+
   /** Write the sharded corpus as parquet partitioned by shard, each
     * shard's file sorted by `pos` — the layout a data loader streams
     * sequentially. One output file per shard (that is what `pos` is for);

@@ -266,6 +266,21 @@ object TextAnalysis {
   private[graft] def langMarkersForSql: Map[String, Seq[String]] =
     langMarkers.toMap
 
+  /** The doc-level "bad word" list (the C4 §2.2 blocklist rule, with a
+    * tame spam-marker list standing in for the published one): documents
+    * whose token stream is dominated by engagement-bait/spam markers are
+    * dropped however clean their structure is. Exposed for oracle SQL.
+    */
+  private[graft] val blockWords = Seq(
+    "subscribe", "clickbait", "giveaway", "casino", "lottery", "jackpot",
+    "unsubscribe", "promo", "discount", "winner")
+
+  /** Blocklist hits over a MATERIALIZED token-array column (HOF scale
+    * rule — see [[QualityFilters]]): row-local, codegen'd, zero shuffle.
+    */
+  def blocklistHits(toksCol: Column): Column =
+    size(filter(toksCol, t => t.isin(blockWords: _*)))
+
   /** One-call document profile over a text column. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

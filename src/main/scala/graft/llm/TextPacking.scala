@@ -60,6 +60,53 @@ object TextPacking {
       .select("doc_id", "chunk_idx", "start_tok", "n_tok", "chunk_text")
   }
 
+  /** Seeded span-corruption pairs (the T5/BERT denoising-objective data
+    * prep): deterministically mask ~`rateHex4`/0x10000 of each document's
+    * whitespace tokens — the mask decision is the 4-hex-digit md5 prefix
+    * of `"id:pos"` compared against the threshold, so the corruption is a
+    * pure function of (doc, position): reproducible across engines,
+    * partitionings, and reruns, with no RNG state to checkpoint. Emits
+    * `input_text` (masked positions replaced by the sentinel) and
+    * `target_text` ("pos:token" for every masked position, in order) —
+    * the (input, label) pair a denoising trainer consumes.
+    *
+    * Row-local HOFs over a materialized token array, one md5 per token
+    * (computed once into the flagged struct array — the HOF scale rule);
+    * zero shuffle, SQL-replayable.
+    */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  rateHex4: String = "2666",
+                  sentinel: String = "<X>"): DataFrame = {
+    require(rateHex4.matches("[0-9a-f]{4}"), "rateHex4: 4 lowercase hex digits")
+    df.select(col(idCol).as("doc_id"),
+              split(trim(col(textCol)), "\\s+").as("__t"))
+      .withColumn(
+        "__m",
+        transform(col("__t"), (t, i) =>
+          struct(
+            (substring(md5(concat_ws("",
+                                     col("doc_id").cast("string"), lit(":"),
+                                     (i + 1).cast("string")).cast("binary")),
+                       1, 4) < lit(rateHex4)).as("f"),
+            t.as("t"),
+            (i + 1).cast("long").as("p"))))
+      .select(
+        col("doc_id"),
+        size(col("__m")).cast("long").as("n_tokens"),
+        size(filter(col("__m"), m => m.getField("f")))
+          .cast("long").as("n_masked"),
+        array_join(
+          transform(col("__m"),
+                    m => when(m.getField("f"), lit(sentinel))
+                      .otherwise(m.getField("t"))),
+          " ").as("input_text"),
+        array_join(
+          transform(filter(col("__m"), m => m.getField("f")),
+                    m => concat_ws(":", m.getField("p").cast("string"),
+                                   m.getField("t"))),
+          " ").as("target_text"))
+  }
+
   def packDocuments(df: DataFrame, idCol: String, textCol: String,
                     capacity: Int): DataFrame = {
     require(capacity > 0)

@@ -1584,6 +1584,106 @@ object LlmQueries {
                             "doc_id", "text", nGrid = 10)
       .orderBy("grid_idx")
 
+  /** Per-domain document cap ([[QualityFilters.domainCap]], the
+    * DCLM/RefinedWeb curation rule): ≤ 50 docs per source, highest
+    * quality first, ties by doc_id. Oracle-checked (row_number window
+    * replay); plans as one shuffle + WindowGroupLimit.
+    */
+  def q132DomainCap(spark: SparkSession, dir: String): DataFrame =
+    QualityFilters.domainCap(
+      Tables.documents(spark, dir).select(
+        col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("q")),
+      "source", "doc_id", "q", cap = 50)
+      .select("doc_id", "source", "q", "domain_rank")
+      .orderBy("doc_id")
+
+  /** Doc-level blocklist gate ([[TextAnalysis.blocklistHits]], the C4
+    * bad-word rule): spam-marker hits over the word tokens, floored
+    * ratio, keep = ratio ≤ 2%. Row-local; oracle-checked.
+    */
+  def q133BlocklistRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.wordTokens(col("text")).as("__t"))
+      .select(col("doc_id"),
+              size(col("__t")).cast("long").as("n_tokens"),
+              TextAnalysis.blocklistHits(col("__t")).cast("long")
+                .as("block_hits"))
+      .withColumn(
+        "block_ratio",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(floor(col("block_hits").cast("double") /
+                             col("n_tokens") * 1e6d + 0.5d) / 1e6d))
+      .withColumn("keep", col("block_ratio") <= 0.02)
+      .orderBy("doc_id")
+
+  /** JSONL round-trip through [[graft.io.Jsonl]]: documents written as
+    * newline-delimited JSON (the corpus release/ingest boundary format),
+    * read back under the PERMISSIVE corrupt-record contract, quarantine
+    * filtered (none here — JsonlSpec exercises actual corrupt lines).
+    * The oracle is the source table itself: escaping embedded
+    * quotes/tabs/unicode must be lossless or the hash breaks.
+    * Write-once per (process, dir) via SavedOnce — timed passes measure
+    * the READ path, the shape a loader actually exercises.
+    */
+  def q134JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outDir = q134Saved.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_q134_").toString
+      graft.io.Jsonl.writeJsonl(Tables.documents(spark, dir), d + "/docs")
+      d
+    })
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val back = graft.io.Jsonl.readJsonlPermissive(spark, outDir + "/docs",
+                                                  schema)
+      .cache() // corrupt-column pruning contract — see Jsonl scaladoc
+    back.filter(col("_corrupt_record").isNull)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+  private val q134Saved = new graft.SavedOnce[String, String]
+
+  /** C4 line-level structural cleaning ([[QualityFilters.c4LineFilter]]):
+    * per-doc kept/total line counts, floored kept-fraction, md5 of the
+    * cleaned text. Zero-shuffle row-local HOFs; oracle-checked including
+    * the md5 of the reassembled text.
+    */
+  def q135LineQuality(spark: SparkSession, dir: String): DataFrame =
+    QualityFilters.c4LineFilter(Tables.documents(spark, dir),
+                                "doc_id", "text", minLineWords = 3)
+      .orderBy("doc_id")
+
+  /** Seeded span-corruption pairs ([[TextPacking.spanCorrupt]], the
+    * T5-style denoising objective prep): deterministic md5-threshold
+    * masking, (input, target) emitted per doc. Row-local; the oracle
+    * replays the per-position hash decision with DuckDB list lambdas
+    * (1-based indices in both engines).
+    */
+  def q136SpanCorrupt(spark: SparkSession, dir: String): DataFrame =
+    TextPacking.spanCorrupt(Tables.documents(spark, dir),
+                            "doc_id", "text", rateHex4 = "2666")
+      .orderBy("doc_id")
+
+  /** Length-grouped token-budget batching ([[Sharding.lengthBatching]]):
+    * 64-token length bands, seeded in-band order, 2048-token batch
+    * cuts via the two-phase distributed prefix sum (never a
+    * single-partition window). Oracle-checked: DuckDB replays the
+    * logically-identical per-band running sum with a plain window.
+    */
+  def q137LengthBatching(spark: SparkSession, dir: String): DataFrame =
+    Sharding.lengthBatching(
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks")),
+      "doc_id", "toks", bandTokens = 64, nBands = 8,
+      capacity = 2048L, seed = "r9", nBuckets = 32)
+      .select("doc_id", "toks", "band", "sort_key", "batch_id")
+      .orderBy("doc_id")
+
   /** Token-budget subsetting: keep the highest-quality documents until
     * half the corpus's whitespace tokens are spent — the data-budgeting
     * step of corpus assembly ("give me the best N-token subset").
@@ -1852,6 +1952,12 @@ object LlmQueries {
     "q129_cdc_chunks"       -> (q129CdcChunks(_, _)),
     "q130_training_order"   -> (q130TrainingOrder(_, _)),
     "q131_vocab_growth"     -> (q131VocabGrowth(_, _)),
+    "q132_domain_cap"       -> (q132DomainCap(_, _)),
+    "q133_blocklist_ratio"  -> (q133BlocklistRatio(_, _)),
+    "q134_jsonl_roundtrip"  -> (q134JsonlRoundtrip(_, _)),
+    "q135_line_quality"     -> (q135LineQuality(_, _)),
+    "q136_span_corrupt"     -> (q136SpanCorrupt(_, _)),
+    "q137_length_batching"  -> (q137LengthBatching(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -2182,6 +2288,9 @@ object LlmQueries {
 
   private val stopList =
     TextAnalysis.stopwordsForSql.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  private val blockList =
+    TextAnalysis.blockWords.map(s => s"'$s'").mkString("[", ", ", "]")
 
   /** DuckDB replay of [[TextAnalysis.qualityScore]] over a `text`
     * column — the (length, stopword-ratio, punctuation) mean rounded to
@@ -3283,6 +3392,100 @@ object LlmQueries {
         |  CAST(new_types AS BIGINT) AS new_types,
         |  CAST(sum(new_types) OVER (ORDER BY j.bin) AS BIGINT) AS vocab
         |FROM j CROSS JOIN t ORDER BY grid_idx""".stripMargin,
+    "q132_domain_cap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, $qualitySql AS q FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, q,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY q DESC, doc_id) AS INTEGER) AS domain_rank
+         |  FROM t)
+         |SELECT doc_id, source, q, domain_rank FROM r
+         |WHERE domain_rank <= 50 ORDER BY doc_id""".stripMargin,
+    "q133_blocklist_ratio" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\W+'),
+         |                x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(toks, x -> list_contains($blockList, x)))
+         |         AS BIGINT) AS block_hits
+         |  FROM t),
+         |v AS (
+         |  SELECT doc_id, n_tokens, block_hits,
+         |    CASE WHEN n_tokens = 0 THEN 0.0
+         |         ELSE floor(block_hits / CAST(n_tokens AS DOUBLE)
+         |                      * 1000000 + 0.5) / 1000000 END AS block_ratio
+         |  FROM u)
+         |SELECT doc_id, n_tokens, block_hits, block_ratio,
+         |  block_ratio <= 0.02 AS keep
+         |FROM v ORDER BY doc_id""".stripMargin,
+    "q134_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q135_line_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |                               l -> trim(l)),
+        |                l -> len(l) > 0) AS ls
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, ls, list_filter(ls, l ->
+        |      regexp_matches(l, '[.!?]["'']?$')
+        |      AND len(string_split_regex(l, '\s+')) >= 3
+        |      AND NOT regexp_matches(l, '^([-*>•]|\d+[.)])\s')) AS kept
+        |  FROM t)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CASE WHEN len(ls) = 0 THEN 0.0
+        |       ELSE floor(len(kept) / CAST(len(ls) AS DOUBLE)
+        |                    * 1000000 + 0.5) / 1000000 END AS kept_frac,
+        |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+        |FROM u ORDER BY doc_id""".stripMargin,
+    "q136_span_corrupt" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, list_transform(toks, (x, i) -> struct_pack(
+        |      f := substr(md5(CAST(doc_id AS VARCHAR) || ':'
+        |                        || CAST(i AS VARCHAR)), 1, 4) < '2666',
+        |      t := x, p := CAST(i AS BIGINT))) AS ms
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(ms) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(ms, m -> struct_extract(m, 'f')))
+        |       AS BIGINT) AS n_masked,
+        |  coalesce(array_to_string(list_transform(ms,
+        |      m -> CASE WHEN struct_extract(m, 'f') THEN '<X>'
+        |                ELSE struct_extract(m, 't') END), ' '), '')
+        |    AS input_text,
+        |  coalesce(array_to_string(list_transform(
+        |      list_filter(ms, m -> struct_extract(m, 'f')),
+        |      m -> CAST(struct_extract(m, 'p') AS VARCHAR) || ':'
+        |             || struct_extract(m, 't')), ' '), '') AS target_text
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q137_length_batching" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS toks
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, toks,
+        |    CAST(least(toks // 64, 7) AS INTEGER) AS band,
+        |    ('0x' || substr(md5('r9:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS sort_key
+        |  FROM t)
+        |SELECT doc_id, toks, band, sort_key,
+        |  CAST(coalesce(sum(toks) OVER (PARTITION BY band
+        |         ORDER BY sort_key, doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |       AS BIGINT) // 2048 AS batch_id
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q74_incremental_dedup" ->
       """WITH idx AS (
         |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

@@ -471,4 +471,54 @@ class QualityFiltersSpec extends SparkSpec {
       assert(e >= 990L && e <= 1000L, s"T=1 epochs drifted: $r")
     }
   }
+
+  test("domainCap keeps the top-cap docs per domain, quality desc, ties by id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.9), (3L, "a", 0.5), (4L, "a", 0.7),
+      (5L, "b", 0.1), (6L, "b", 0.2),
+      (7L, "c", 0.3)
+    ).toDF("doc_id", "source", "q")
+    val kept = QualityFilters.domainCap(docs, "source", "doc_id", "q", cap = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSeq
+    // a: 0.9/0.9 tie broken by id (1 then 2); 0.7 and 0.5 cut
+    // b: both survive (under cap); c: singleton
+    assert(kept == Seq((1L, "a", 1), (2L, "a", 2), (5L, "b", 2),
+                       (6L, "b", 1), (7L, "c", 1)))
+  }
+
+  test("domainCap plan: rank bound pushes below the sort (WindowGroupLimit)") {
+    val docs = graft.sources.Tables.documents(spark, sf0001).select(
+      col("doc_id"), col("source"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+    val plan = QualityFilters.domainCap(docs, "source", "doc_id", "q", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+           s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("c4LineFilter: planted lines — terminal punct, min words, bullets") {
+    import spark.implicits._
+    val text = Seq(
+      "This is a good sentence.",          // kept
+      "short.",                            // < 3 words
+      "- a bullet item here.",             // bullet marker
+      "2) numbered list item stays out.",  // numbered marker
+      "no terminal punctuation here",      // no terminal punct
+      "",                                  // blank: not a line at all
+      "Another proper sentence ends here!" // kept
+    ).mkString("\n")
+    val out = QualityFilters.c4LineFilter(
+      Seq((1L, text), (2L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getLong(1) == 6L && r1.getLong(2) == 2L) // 6 non-blank, 2 kept
+    assert(r1.getDouble(3) == 0.333333)
+    // md5 of the reassembled kept text, engine-portable
+    assert(r1.getString(4) == "90b1122478a15a1bfb17408c352f5c94")
+    val r2 = out(1) // empty doc: nothing to judge
+    assert(r2.getLong(1) == 0L && r2.getDouble(3) == 0.0 &&
+             r2.getString(4) == "d41d8cd98f00b204e9800998ecf8427e")
+  }
 }

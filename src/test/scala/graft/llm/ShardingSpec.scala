@@ -106,4 +106,66 @@ class ShardingSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq
     assert(s0 == s0.sorted, "shard file must be written in pos order")
   }
+
+  test("lengthBatching equals the single-window per-band reference; batches respect capacity") {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sf0001).select(
+      col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"))
+    // naive reference: plain per-band window over the seeded key
+    val keyed = toks
+      .withColumn("band", least(expr("toks div 64L"), lit(7L)).cast("int"))
+      .withColumn("sort_key",
+                  conv(substring(md5(concat_ws(":", lit("r9"),
+                                               col("doc_id").cast("string"))
+                                       .cast("binary")), 1, 15), 16, 10)
+                    .cast("long"))
+    val refW = Window.partitionBy("band").orderBy("sort_key", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = keyed
+      .withColumn("__cum", coalesce(sum("toks").over(refW), lit(0L)))
+      .withColumn("batch_id", expr("__cum div 2048L"))
+      .select("doc_id", "toks", "band", "sort_key", "batch_id")
+      .orderBy("doc_id").collect().toSeq
+    for (b <- Seq(1, 4, 32, 5000)) {
+      val got = Sharding.lengthBatching(toks, "doc_id", "toks",
+                                        bandTokens = 64, nBands = 8,
+                                        capacity = 2048L, seed = "r9",
+                                        nBuckets = b)
+        .select("doc_id", "toks", "band", "sort_key", "batch_id")
+        .orderBy("doc_id").collect().toSeq
+      assert(got == ref, s"nBuckets=$b diverged from the reference window")
+    }
+    // batch token sums: removing the straddling last doc of a batch
+    // brings it under capacity (the prefix-cut invariant)
+    val batches = Sharding.lengthBatching(toks, "doc_id", "toks",
+                                          nBuckets = 32)
+      .groupBy("band", "batch_id")
+      .agg(sum("toks").as("total"), max("toks").as("biggest"))
+      .collect()
+    batches.foreach { r =>
+      assert(r.getAs[Long]("total") - r.getAs[Long]("biggest") < 2048L,
+             s"batch overfilled beyond one straddling doc: $r")
+    }
+    // bands are the documented token bands
+    val bad = keyed.filter(
+      col("band") =!= least(expr("toks div 64L"), lit(7L)).cast("int"))
+    assert(bad.count() == 0)
+  }
+
+  test("lengthBatching plan: data-scale window is (band, bucket)-partitioned; bases broadcast") {
+    val toks = Tables.documents(spark, sf0001).select(
+      col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"))
+    val plan = Sharding.lengthBatching(toks, "doc_id", "toks",
+                                       nBuckets = 32)
+      .queryExecution.executedPlan.toString
+    // the per-row token cumsum parallelizes over hash sub-buckets within
+    // each band — never a single-partition or per-band-only window
+    assert(plan.contains("windowspecdefinition(band"),
+           s"expected a (band, __bucket)-partitioned window in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+             plan.contains("BroadcastExchange"),
+           s"band/bucket bases must broadcast:\n$plan")
+  }
 }

@@ -198,4 +198,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L).size <= nWindows / 2 && fps(1L).size >= nWindows / 10,
            s"density off: ${fps(1L).size} picks over $nWindows windows")
   }
+
+  test("blocklistHits counts spam markers over word tokens, case-folded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Subscribe now to win the LOTTERY jackpot"),
+      (2L, "a perfectly ordinary sentence about mathematics"),
+      (3L, "promo PROMO Promo discount")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.wordTokens(col("text")).as("t"))
+      .select(col("doc_id"), TextAnalysis.blocklistHits(col("t")).as("hits"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    // doc 1: subscribe + lottery + jackpot (win is not on the list)
+    assert(df.toSeq == Seq((1L, 3), (2L, 0), (3L, 4)))
+  }
 }

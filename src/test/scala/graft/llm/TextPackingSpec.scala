@@ -86,4 +86,38 @@ class TextPackingSpec extends SparkSpec {
       TextPacking.chunkDocuments(docs, "doc_id", "text", 32, 8)
         .orderBy("doc_id", "chunk_idx").collect().toSeq)
   }
+
+  test("spanCorrupt: deterministic, reconstructable, and near the nominal rate") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf0001)
+    val out = TextPacking.spanCorrupt(docs, "doc_id", "text", "2666")
+    // deterministic across evaluations
+    assert(out.orderBy("doc_id").collect().toSeq ==
+             TextPacking.spanCorrupt(docs, "doc_id", "text", "2666")
+               .orderBy("doc_id").collect().toSeq)
+    // reconstruction: substituting target tokens back at their 1-based
+    // positions recovers the original whitespace token stream
+    val rows = out.orderBy("doc_id").limit(50).collect()
+    val orig = docs.orderBy("doc_id").limit(50).collect()
+      .map(r => r.getAs[String]("text").trim.split("\\s+").toSeq)
+    rows.zip(orig).foreach { case (r, toks) =>
+      val input = r.getAs[String]("input_text").split(" ", -1)
+      val tgt   = r.getAs[String]("target_text")
+      val subs  = if (tgt.isEmpty) Map.empty[Int, String]
+                  else tgt.split(" ").map { p =>
+                    val i = p.indexOf(':')
+                    p.take(i).toInt -> p.drop(i + 1)
+                  }.toMap
+      val rebuilt = input.zipWithIndex.map { case (t, i) =>
+        if (subs.contains(i + 1)) subs(i + 1) else t
+      }.toSeq
+      assert(rebuilt == toks, s"doc ${r.getLong(0)} failed to reconstruct")
+      // every masked slot is the sentinel in the input
+      subs.keys.foreach(k => assert(input(k - 1) == "<X>"))
+    }
+    // corpus-level mask rate ~ 0x2666/0x10000 = 15%
+    val agg = out.agg(sum("n_masked").cast("double") / sum("n_tokens"))
+      .head().getDouble(0)
+    assert(agg > 0.10 && agg < 0.20, s"mask rate drifted: $agg")
+  }
 }
