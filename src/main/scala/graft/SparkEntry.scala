@@ -93,6 +93,8 @@ object SparkEntry {
     "q134_jsonl_roundtrip",
     "q135_line_quality",
     "q136_span_corrupt",
-    "q137_length_batching"
+    "q137_length_batching",
+    "q138_tokenizer_fertility",
+    "q139_script_anomalies"
   )
 }

@@ -1220,20 +1220,30 @@ object LlmQueries {
     * itself is deterministic — max count, lexicographic tie-break —
     * so both engines see identical merges).
     */
-  def q101BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+  /** The q101 tokenizer's fit-once/load-per-pass merge table, shared by
+    * every consumer of the persisted tokenizer (q101 encode, q138
+    * fertility report): fit + persist ONCE per process (the q45/q76
+    * steady-state pattern), LOAD on every pass.
+    */
+  private def q101MergeTable(spark: SparkSession,
+                             dir: String): Seq[(String, String)] = {
     import graft.llm.BpeTrainer
-    val docs = Tables.documents(spark, dir)
-    // fit + persist ONCE per process (the q45/q76 steady-state pattern:
-    // a tokenizer trains once and then tokenizes every batch); timed
-    // passes measure application against the LOADED merge table
     val name = q101Saved.getOrElseUpdate(dir, {
       val m = BpeTrainer.fitMerges(
-        BpeTrainer.wordCounts(docs, "text"), numMerges = 40)
+        BpeTrainer.wordCounts(Tables.documents(spark, dir), "text"),
+        numMerges = 40)
       val n = "graft_bpe_q101_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       BpeTrainer.save(spark, m, n)
       n
     })
-    val merges = BpeTrainer.load(spark, name)
+    BpeTrainer.load(spark, name)
+  }
+
+  def q101BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.BpeTrainer
+    val docs = Tables.documents(spark, dir)
+    // timed passes measure application against the LOADED merge table
+    val merges = q101MergeTable(spark, dir)
     q101Merges = merges
     // project the stream ONCE (the replace chain is the expensive part —
     // a nested projection stops both consumers re-running it)
@@ -1684,6 +1694,82 @@ object LlmQueries {
       .select("doc_id", "toks", "band", "sort_key", "batch_id")
       .orderBy("doc_id")
 
+  /** Per-source tokenizer quality report against the PERSISTED q101
+    * tokenizer ([[q101MergeTable]] — the accept-or-retrain metric a
+    * tokenizer change ships with): fertility (BPE tokens per word) and
+    * compression (chars per BPE token), as exact ×1000 integers so the
+    * report is order- and engine-portable. One row-local encode scan +
+    * one #sources-row aggregate; the merge chain is the same codegen'd
+    * replace fold q101 times.
+    */
+  def q138TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val merges = q101MergeTable(spark, dir)
+    q101Merges = merges
+    tokenizerFertilityFrames(Tables.documents(spark, dir), merges)
+  }
+
+  /** [[q138TokenizerFertility]]'s report over an explicit frame + merge
+    * list (also the spec/ScaleProbe entry).
+    */
+  def tokenizerFertilityFrames(docs: DataFrame,
+                               merges: Seq[(String, String)]): DataFrame = {
+    import graft.llm.BpeTrainer
+    docs
+      .select(col("source"),
+              Dedup.wordTokens(col("text")).as("__w"),
+              BpeTrainer.tokenStream(col("text"), merges).as("__s"))
+      .select(
+        col("source"),
+        size(col("__w")).cast("long").as("__nw"),
+        size(filter(split(col("__s"), " "), t => length(t) > 0))
+          .cast("long").as("__nb"),
+        length(regexp_replace(col("__s"), " ", "")).cast("long")
+          .as("__nc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("__nw").as("n_words"),
+           sum("__nb").as("n_bpe_tokens"),
+           sum("__nc").as("n_chars"))
+      .withColumn("fertility_x1000",
+                  floor(col("n_bpe_tokens") * 1000L /
+                          greatest(col("n_words"), lit(1L))).cast("long"))
+      .withColumn("chars_per_tok_x1000",
+                  floor(col("n_chars") * 1000L /
+                          greatest(col("n_bpe_tokens"), lit(1L)))
+                    .cast("long"))
+      .orderBy("source")
+  }
+
+  /** Script/encoding anomaly profile ([[TextAnalysis]] script classes —
+    * the mojibake/mixed-script data-cleaning gate): replacement-char
+    * count (U+FFFD — the scar double-decoding leaves), C0 control
+    * characters, per-script presence flags, and the mixed-script flag
+    * homoglyph spoofing and concatenation bugs both trip. Row-local
+    * regex counts, all replayed by the oracle from the same codepoint
+    * ranges.
+    */
+  def q139ScriptAnomalies(spark: SparkSession, dir: String): DataFrame =
+    scriptAnomalyFrames(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** [[q139ScriptAnomalies]]'s profile over an explicit frame (also the
+    * spec entry). */
+  def scriptAnomalyFrames(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("\\uFFFD")).cast("long")
+          .as("repl_chars"),
+        regexp_count(col("text"),
+                     lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+          .cast("long").as("ctrl_chars"),
+        col("text").rlike("[A-Za-z]").as("has_latin"),
+        col("text").rlike("[\\u0400-\\u04FF]").as("has_cyrillic"),
+        col("text").rlike("[\\u4E00-\\u9FFF]").as("has_cjk"))
+      .withColumn("mixed_script",
+                  (col("has_latin").cast("int") +
+                     col("has_cyrillic").cast("int") +
+                     col("has_cjk").cast("int")) >= 2)
+
   /** Token-budget subsetting: keep the highest-quality documents until
     * half the corpus's whitespace tokens are spent — the data-budgeting
     * step of corpus assembly ("give me the best N-token subset").
@@ -1958,6 +2044,8 @@ object LlmQueries {
     "q135_line_quality"     -> (q135LineQuality(_, _)),
     "q136_span_corrupt"     -> (q136SpanCorrupt(_, _)),
     "q137_length_batching"  -> (q137LengthBatching(_, _)),
+    "q138_tokenizer_fertility" -> (q138TokenizerFertility(_, _)),
+    "q139_script_anomalies" -> (q139ScriptAnomalies(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -3486,6 +3574,51 @@ object LlmQueries {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |       AS BIGINT) // 2048 AS batch_id
         |FROM k ORDER BY doc_id""".stripMargin,
+    "q138_tokenizer_fertility" -> {
+      val applied = graft.llm.BpeTrainer.applyMergesSql("w", q101Merges)
+      s"""WITH d AS (
+         |  SELECT source,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\W+'),
+         |                x -> len(x) > 0) AS words
+         |  FROM documents),
+         |t AS (
+         |  SELECT source, words,
+         |    array_to_string(list_transform(words, w -> $applied), ' ')
+         |      AS stream
+         |  FROM d),
+         |u AS (
+         |  SELECT source,
+         |    CAST(len(words) AS BIGINT) AS nw,
+         |    CAST(len(list_filter(string_split(stream, ' '),
+         |                         x -> len(x) > 0)) AS BIGINT) AS nb,
+         |    CAST(length(replace(stream, ' ', '')) AS BIGINT) AS nc
+         |  FROM t)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(nw) AS BIGINT) AS n_words,
+         |  CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  CAST(floor(sum(nb) * 1000 / greatest(sum(nw), 1)) AS BIGINT)
+         |    AS fertility_x1000,
+         |  CAST(floor(sum(nc) * 1000 / greatest(sum(nb), 1)) AS BIGINT)
+         |    AS chars_per_tok_x1000
+         |FROM u GROUP BY source ORDER BY source""".stripMargin
+    },
+    "q139_script_anomalies" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT)
+        |      AS repl_chars,
+        |    CAST(len(regexp_extract_all(text,
+        |        '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT) AS ctrl_chars,
+        |    regexp_matches(text, '[A-Za-z]') AS has_latin,
+        |    regexp_matches(text, '[\x{0400}-\x{04FF}]') AS has_cyrillic,
+        |    regexp_matches(text, '[\x{4E00}-\x{9FFF}]') AS has_cjk
+        |  FROM documents)
+        |SELECT doc_id, repl_chars, ctrl_chars, has_latin, has_cyrillic,
+        |  has_cjk,
+        |  (CAST(has_latin AS INTEGER) + CAST(has_cyrillic AS INTEGER)
+        |     + CAST(has_cjk AS INTEGER)) >= 2 AS mixed_script
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q74_incremental_dedup" ->
       """WITH idx AS (
         |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

@@ -93,4 +93,26 @@ class BpeTrainerSpec extends SparkSpec {
       BpeTrainer.wordCounts(docs.repartition(32), "text"), 15)
     assert(a == b)
   }
+
+  test("tokenizerFertilityFrames: exact integer fertility on a planted corpus") {
+    import spark.implicits._
+    // merges: l+o -> lo, lo+w -> low; "low" encodes to 1 token, "lower"
+    // to 3 (low e r), anything else letter-by-letter
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val docs = Seq(
+      (1L, "srcA", "low low"),   // 2 words, 2 bpe tokens, 6 chars
+      (2L, "srcA", "lower"),     // 1 word,  3 bpe tokens, 5 chars
+      (3L, "srcB", "ab")         // 1 word,  2 bpe tokens, 2 chars
+    ).toDF("doc_id", "source", "text")
+    val out = graft.operators.LlmQueries
+      .tokenizerFertilityFrames(docs, merges)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      // srcA: 3 words, 5 bpe tokens, 11 chars -> fertility 1666, cpt 2200
+      ("srcA", 2L, 3L, 5L, 11L, 1666L, 2200L),
+      // srcB: 1 word, 2 tokens, 2 chars -> fertility 2000, cpt 1000
+      ("srcB", 1L, 1L, 2L, 2L, 2000L, 1000L)))
+  }
 }

@@ -212,4 +212,28 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 1: subscribe + lottery + jackpot (win is not on the list)
     assert(df.toSeq == Seq((1L, 3), (2L, 0), (3L, 4)))
   }
+
+  test("scriptAnomalyFrames flags mojibake, control chars, and mixed scripts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain english text"),
+      (2L, "broken \uFFFD twice \uFFFD here"),
+      (3L, "control\u0001chars\u001Fhere"),
+      (4L, "latin and \u043A\u0438\u0440\u0438\u043B\u043B\u0438\u0446\u0430 mixed"),
+      (5L, "\u4E2D\u6587\u6587\u672C only"),
+      (6L, "ascii with \u4E2D\u6587 inside")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.LlmQueries.scriptAnomalyFrames(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                 r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+                 r.getBoolean(6)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, true, false, false, false),
+      (2L, 2L, 0L, true, false, false, false),
+      (3L, 0L, 2L, true, false, false, false),
+      (4L, 0L, 0L, true, true, false, true),
+      (5L, 0L, 0L, true, false, true, true),
+      (6L, 0L, 0L, true, false, true, true)))
+  }
 }
