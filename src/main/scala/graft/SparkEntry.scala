@@ -95,6 +95,7 @@ object SparkEntry {
     "q136_span_corrupt",
     "q137_length_batching",
     "q138_tokenizer_fertility",
-    "q139_script_anomalies"
+    "q139_script_anomalies",
+    "q140_ann_recall"
   )
 }

@@ -1751,6 +1751,47 @@ object LlmQueries {
   def q139ScriptAnomalies(spark: SparkSession, dir: String): DataFrame =
     scriptAnomalyFrames(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** ANN index quality under the oracle: recall@10 of the LSH index
+    * (q39's exact configuration) against the exact cosine ranking
+    * (q38's), per query — the accept-or-rebuild metric an approximate
+    * index ships with, here with BOTH rankings and the recall join
+    * replayed end-to-end in DuckDB. Exact integer ×1000 recall.
+    * Corpus-scale work is the two rankers' audited plans; the recall
+    * join touches k×queries rows.
+    *
+    * The driver corpus's near-random embeddings are LSH's WORST case
+    * (no locality → hyperplane buckets decorrelate from cosine rank),
+    * so the recall this reports at the sf dirs is honestly low — which
+    * is the point of shipping the metric: it says "brute-force or IVF
+    * this corpus, don't LSH it". SimilaritySpec pins ≥0.9 on a
+    * clustered corpus through the same frames helper, so both regimes
+    * are covered.
+    */
+  def q140AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    annRecallFrames(emb, emb.filter(col("vec_id") < 5),
+                    k = 10, dim = 64, nBits = 6)
+  }
+
+  /** [[q140AnnRecall]]'s recall join over explicit corpus/query frames
+    * (also the spec entry).
+    */
+  def annRecallFrames(corpus: DataFrame, queries: DataFrame,
+                      k: Int, dim: Int, nBits: Int): DataFrame = {
+    val exact = Similarity.bruteForceTopK(corpus, queries, k)
+      .select("query_id", "corpus_id")
+    val approx = Similarity.lshTopK(corpus, queries, k, dim, nBits)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("__hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+           sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall_x1000",
+                  floor(col("n_hit") * 1000L /
+                          greatest(col("n_exact"), lit(1L))).cast("long"))
+      .orderBy("query_id")
+  }
+
   /** [[q139ScriptAnomalies]]'s profile over an explicit frame (also the
     * spec entry). */
   def scriptAnomalyFrames(docs: DataFrame): DataFrame =
@@ -2046,6 +2087,7 @@ object LlmQueries {
     "q137_length_batching"  -> (q137LengthBatching(_, _)),
     "q138_tokenizer_fertility" -> (q138TokenizerFertility(_, _)),
     "q139_script_anomalies" -> (q139ScriptAnomalies(_, _)),
+    "q140_ann_recall"       -> (q140AnnRecall(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -3619,6 +3661,51 @@ object LlmQueries {
         |  (CAST(has_latin AS INTEGER) + CAST(has_cyrillic AS INTEGER)
         |     + CAST(has_cjk AS INTEGER)) >= 2 AS mixed_script
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q140_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |exq AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |        WHERE vec_id < 5),
+         |exs AS (SELECT query_id, e.vec_id AS corpus_id,
+         |          list_cosine_similarity(qv, v) AS cos
+         |        FROM exq CROSS JOIN e WHERE e.vec_id <> query_id),
+         |ex AS (SELECT query_id, corpus_id FROM (
+         |         SELECT query_id, corpus_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, corpus_id) AS rank
+         |         FROM exs) WHERE rank <= 10),
+         |b AS (SELECT vec_id, v,
+         |        CAST(${lshBucketSql(6)} AS BIGINT) AS bucket FROM e),
+         |qq AS (SELECT vec_id AS query_id, v AS qv, bucket
+         |       FROM b WHERE vec_id < 5),
+         |p AS (SELECT query_id, qv,
+         |        unnest([bucket, xor(bucket, CAST(1 AS BIGINT)),
+         |                xor(bucket, CAST(2 AS BIGINT)),
+         |                xor(bucket, CAST(4 AS BIGINT)),
+         |                xor(bucket, CAST(8 AS BIGINT)),
+         |                xor(bucket, CAST(16 AS BIGINT)),
+         |                xor(bucket, CAST(32 AS BIGINT))]) AS probe
+         |      FROM qq),
+         |cand AS (
+         |  SELECT p.query_id, b.vec_id AS corpus_id,
+         |         list_cosine_similarity(p.qv, b.v) AS cos
+         |  FROM p JOIN b ON b.bucket = p.probe AND b.vec_id <> p.query_id),
+         |ar AS (SELECT query_id, corpus_id FROM (
+         |         SELECT query_id, corpus_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, corpus_id) AS rank
+         |         FROM cand) WHERE rank <= 10),
+         |hit AS (
+         |  SELECT ex.query_id,
+         |    CASE WHEN ar.corpus_id IS NOT NULL THEN 1 ELSE 0 END AS h
+         |  FROM ex LEFT JOIN ar
+         |    ON ex.query_id = ar.query_id AND ex.corpus_id = ar.corpus_id)
+         |SELECT query_id, count(*) AS n_exact,
+         |  CAST(sum(h) AS BIGINT) AS n_hit,
+         |  CAST(floor(sum(h) * 1000 / greatest(count(*), 1)) AS BIGINT)
+         |    AS recall_x1000
+         |FROM hit GROUP BY query_id ORDER BY query_id""".stripMargin,
     "q74_incremental_dedup" ->
       """WITH idx AS (
         |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

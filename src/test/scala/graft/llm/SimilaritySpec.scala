@@ -215,4 +215,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out(("A", "C")) == 0.0 && out(("B", "C")) == 0.0,
            s"orthogonal centroids: $out")
   }
+
+  test("annRecallFrames: exact-integer recall@k — high on the clustered corpus, defined on the random one") {
+    val corpus  = clustered
+    val queries = corpus.filter(col("vec_id") < 20)
+    val rows = graft.operators.LlmQueries
+      .annRecallFrames(corpus, queries, k = 5, dim = 16, nBits = 8)
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 5L)
+      val recall = r.getAs[Long]("recall_x1000")
+      assert(recall == r.getAs[Long]("n_hit") * 1000 / 5)
+    }
+    // mean recall on the clustered corpus matches the ≥0.9 LSH pin
+    val mean = rows.map(_.getAs[Long]("recall_x1000")).sum / rows.length
+    assert(mean >= 900L, s"clustered-corpus mean recall $mean < 900")
+  }
 }
