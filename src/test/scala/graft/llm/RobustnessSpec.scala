@@ -291,4 +291,51 @@ class RobustnessSpec extends SparkSpec {
             "meta_width", "meta_height", "meta_duration_ms")
     assert(Multimodal.decodeAudio(img).count() == 0)
   }
+
+  test("round-9 ops on empty and degenerate input") {
+    import spark.implicits._
+    // domain cap: empty -> empty; a single doc per domain always ranks 1
+    val capEmpty = emptyDocs.withColumn("source", lit("s"))
+      .withColumn("q", lit(0.5))
+    assert(QualityFilters.domainCap(capEmpty, "source", "doc_id", "q", 3)
+      .count() == 0)
+    val one = Seq((1L, "s", 0.5)).toDF("doc_id", "source", "q")
+    assert(QualityFilters.domainCap(one, "source", "doc_id", "q", 3)
+      .head().getAs[Int]("domain_rank") == 1)
+    // c4 line filter: empty corpus, empty text, whitespace-only text
+    assert(QualityFilters.c4LineFilter(emptyDocs, "doc_id", "text")
+      .count() == 0)
+    val degenerate = Seq((1L, ""), (2L, "   \n  \n")).toDF("doc_id", "text")
+    val lf = QualityFilters.c4LineFilter(degenerate, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    lf.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L &&
+               r.getDouble(3) == 0.0)
+    }
+    // blocklist hits on empty token arrays
+    val bl = degenerate
+      .select(Dedup.wordTokens(col("text")).as("t"))
+      .select(TextAnalysis.blocklistHits(col("t")).as("h")).collect()
+    bl.foreach(r => assert(r.getInt(0) == 0))
+    // span corruption: empty corpus -> empty; empty text yields the
+    // single empty token, never an exception
+    assert(TextPacking.spanCorrupt(emptyDocs, "doc_id", "text")
+      .count() == 0)
+    val sc = TextPacking.spanCorrupt(
+      Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(sc.getAs[Long]("n_tokens") == 1L)
+    // length batching: empty -> empty; single doc lands in batch 0
+    val emptyToks = emptyDocs.select(col("doc_id"), lit(1L).as("toks"))
+      .filter(lit(false))
+    assert(Sharding.lengthBatching(emptyToks, "doc_id", "toks")
+      .count() == 0)
+    val lb = Sharding.lengthBatching(
+      Seq((7L, 100L)).toDF("doc_id", "toks"), "doc_id", "toks").head()
+    assert(lb.getAs[Long]("batch_id") == 0L)
+    // ann recall: empty queries -> empty report
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    assert(graft.operators.LlmQueries.annRecallFrames(
+      emb, emb.filter(lit(false)), k = 5, dim = 64, nBits = 6)
+      .count() == 0)
+  }
 }
