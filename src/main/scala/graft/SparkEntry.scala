@@ -96,6 +96,8 @@ object SparkEntry {
     "q137_length_batching",
     "q138_tokenizer_fertility",
     "q139_script_anomalies",
-    "q140_ann_recall"
+    "q140_ann_recall",
+    "q141_epoch_expand",
+    "q142_knn_eval"
   )
 }

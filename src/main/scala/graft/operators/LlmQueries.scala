@@ -1792,6 +1792,74 @@ object LlmQueries {
       .orderBy("query_id")
   }
 
+  /** Epoch-expanded training mixture ([[QualityFilters.epochSchedule]]'s
+    * MATERIALIZATION — the actual repeat-data step): every doc emitted
+    * `floor(epochs)` times plus one fractional-epoch copy decided by a
+    * per-doc md5 threshold in exact integer space (h·1000 <
+    * frac_ppt·65536 over the 4-hex prefix) — so the expansion hits each
+    * source's token budget in expectation while staying a pure function
+    * of (doc, schedule): content-stable, RNG-free, replayable. Same
+    * schedule configuration as q126 (budget ×2.0, cap 4 epochs, T=2).
+    * Scale: schedule is #sources rows broadcast; expansion is a
+    * row-local sequence explode.
+    */
+  def q141EpochExpand(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sched = QualityFilters.epochSchedule(docs, "source", "text",
+                                             budgetMult = 2.0,
+                                             maxEpochs = 4, temperature = 2)
+      .select("source", "epochs_x1000")
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(sched), Seq("source"))
+      .withColumn("__full", expr("epochs_x1000 div 1000L"))
+      .withColumn("__frac", expr("epochs_x1000 % 1000L"))
+      .withColumn("__h",
+                  conv(substring(md5(concat_ws("",
+                                               col("doc_id").cast("string"),
+                                               lit(":ep")).cast("binary")),
+                                 1, 4), 16, 10).cast("long"))
+      .withColumn("__extra",
+                  (col("__h") * 1000L < col("__frac") * 65536L)
+                    .cast("long"))
+      .withColumn("n_copies", (col("__full") + col("__extra")).cast("int"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("n_copies"),
+              explode(sequence(lit(0), col("n_copies") - 1))
+                .as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  /** k-NN label evaluation over the embedding table (the
+    * embedding-quality probe: if cosine neighbors don't share labels,
+    * the embeddings carry no label signal): held-out queries
+    * (vec_id % 10 = 0) classified by majority vote of their 5 nearest
+    * corpus vectors' labels, ties to the smallest label. Exact cosine
+    * ranking (the q38 plan against the 90% corpus slice); the vote is a
+    * k×queries-row aggregate. Fully oracle-checked.
+    */
+  def q142KnnEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val labels = corpus.select(col("vec_id").as("corpus_id"),
+                               col("label").as("n_label"))
+    val votes = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .join(labels, Seq("corpus_id"))
+      .groupBy("query_id", "n_label")
+      .agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(desc("__n"), asc("n_label"))
+    val pred = votes.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("query_id"), col("n_label").as("pred_label"),
+              col("__n").cast("long").as("n_votes"))
+    queries.select(col("vec_id").as("query_id"),
+                   col("label").as("true_label"))
+      .join(pred, Seq("query_id"))
+      .withColumn("correct", col("pred_label") === col("true_label"))
+      .orderBy("query_id")
+  }
+
   /** [[q139ScriptAnomalies]]'s profile over an explicit frame (also the
     * spec entry). */
   def scriptAnomalyFrames(docs: DataFrame): DataFrame =
@@ -2088,6 +2156,8 @@ object LlmQueries {
     "q138_tokenizer_fertility" -> (q138TokenizerFertility(_, _)),
     "q139_script_anomalies" -> (q139ScriptAnomalies(_, _)),
     "q140_ann_recall"       -> (q140AnnRecall(_, _)),
+    "q141_epoch_expand"     -> (q141EpochExpand(_, _)),
+    "q142_knn_eval"         -> (q142KnnEval(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -3706,6 +3776,68 @@ object LlmQueries {
          |  CAST(floor(sum(h) * 1000 / greatest(count(*), 1)) AS BIGINT)
          |    AS recall_x1000
          |FROM hit GROUP BY query_id ORDER BY query_id""".stripMargin,
+    "q141_epoch_expand" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS n_toks
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_toks,
+        |        CAST(floor(sqrt(n_toks) * 1000000) AS BIGINT) AS wq
+        |      FROM s),
+        |t AS (SELECT CAST(sum(n_toks) AS BIGINT) AS n_corpus,
+        |             CAST(sum(wq) AS BIGINT) AS w_sum FROM w),
+        |p AS (
+        |  SELECT source, n_toks, wq, n_corpus, w_sum,
+        |    CAST(floor(CAST(n_corpus AS DOUBLE) * 2.0) AS BIGINT) AS budget
+        |  FROM w CROSS JOIN t),
+        |q AS (
+        |  SELECT source,
+        |    CAST(floor(CAST(least(
+        |        CAST(floor(CAST(wq AS DOUBLE) * budget / w_sum) AS BIGINT),
+        |        n_toks * 4) AS DOUBLE) * 1000.0 / n_toks) AS BIGINT)
+        |      AS epochs_x1000
+        |  FROM p),
+        |d AS (
+        |  SELECT doc_id, documents.source, epochs_x1000,
+        |    epochs_x1000 // 1000 AS fl, epochs_x1000 % 1000 AS fr,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ep'), 1, 4))
+        |      ::BIGINT AS h
+        |  FROM documents JOIN q ON documents.source = q.source),
+        |e AS (
+        |  SELECT doc_id, source,
+        |    CAST(fl + (CASE WHEN h * 1000 < fr * 65536 THEN 1 ELSE 0 END)
+        |         AS INTEGER) AS n_copies
+        |  FROM d)
+        |SELECT doc_id, source, n_copies,
+        |  unnest(range(0, n_copies)) AS copy_idx
+        |FROM e WHERE n_copies > 0
+        |ORDER BY doc_id, copy_idx""".stripMargin,
+    "q142_knn_eval" ->
+      """WITH c AS (SELECT vec_id AS corpus_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+        |             label AS n_label
+        |           FROM embeddings WHERE vec_id % 10 <> 0),
+        |q AS (SELECT vec_id AS query_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+        |        label AS true_label
+        |      FROM embeddings WHERE vec_id % 10 = 0),
+        |r AS (SELECT query_id, corpus_id, n_label,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY list_cosine_similarity(qv, cv) DESC, corpus_id)
+        |          AS rank
+        |      FROM q CROSS JOIN c),
+        |v AS (SELECT query_id, n_label, count(*) AS n
+        |      FROM r WHERE rank <= 5 GROUP BY 1, 2),
+        |pr AS (SELECT query_id, n_label AS pred_label,
+        |         CAST(n AS BIGINT) AS n_votes,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY n DESC, n_label) AS rk
+        |       FROM v)
+        |SELECT q.query_id, q.true_label, pr.pred_label, pr.n_votes,
+        |  pr.pred_label = q.true_label AS correct
+        |FROM q JOIN pr ON q.query_id = pr.query_id AND pr.rk = 1
+        |ORDER BY q.query_id""".stripMargin,
     "q74_incremental_dedup" ->
       """WITH idx AS (
         |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

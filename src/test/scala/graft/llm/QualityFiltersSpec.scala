@@ -521,4 +521,49 @@ class QualityFiltersSpec extends SparkSpec {
     assert(r2.getLong(1) == 0L && r2.getDouble(3) == 0.0 &&
              r2.getString(4) == "d41d8cd98f00b204e9800998ecf8427e")
   }
+
+  test("q141 epoch expansion materializes the schedule: copies bracket the budget") {
+    import graft.sources.Tables
+    val docs  = Tables.documents(spark, sf0001)
+    val out   = graft.operators.LlmQueries
+      .q141EpochExpand(spark, sf0001)
+    // every doc appears floor(epochs) or floor(epochs)+1 times
+    val sched = QualityFilters.epochSchedule(docs, "source", "text",
+                                             budgetMult = 2.0,
+                                             maxEpochs = 4, temperature = 2)
+      .select("source", "epochs_x1000").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perDoc = out.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n")).collect()
+    perDoc.foreach { r =>
+      val e = sched(r.getString(1))
+      val n = r.getLong(2)
+      assert(n == e / 1000 || n == e / 1000 + 1,
+             s"doc ${r.getLong(0)}: $n copies for epochs $e")
+    }
+    // per-source expanded token mass lands near effective_toks: the
+    // fractional copies are hash-sampled, so allow a ±15% band
+    val toks = docs.select(col("doc_id"),
+                           TextAnalysis.wsTokenCount(col("text"))
+                             .cast("long").as("t"))
+    val expanded = out.join(toks, Seq("doc_id"))
+      .groupBy("source").agg(sum("t").as("got")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val eff = QualityFilters.epochSchedule(docs, "source", "text",
+                                           budgetMult = 2.0,
+                                           maxEpochs = 4, temperature = 2)
+      .select("source", "effective_toks").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    eff.foreach { case (s, want) =>
+      val got = expanded(s).toDouble
+      assert(got > want * 0.85 && got < want * 1.15,
+             s"source $s expanded to $got vs target $want")
+    }
+    // copy_idx is dense 0..n-1 per doc
+    val bad = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("copy_idx").as("mx"),
+           min("copy_idx").as("mn"))
+      .filter(col("mx") =!= col("n") - 1 || col("mn") =!= 0)
+    assert(bad.count() == 0)
+  }
 }

@@ -232,4 +232,36 @@ class SimilaritySpec extends SparkSpec {
     val mean = rows.map(_.getAs[Long]("recall_x1000")).sum / rows.length
     assert(mean >= 900L, s"clustered-corpus mean recall $mean < 900")
   }
+
+  test("kNN label vote: perfect on cluster-labeled embeddings, majority/tie rules exact") {
+    import spark.implicits._
+    // label = cluster id on the clustered corpus -> 5-NN vote must be
+    // perfect (cluster-mates dominate every neighborhood)
+    val labeled = clustered.withColumn(
+      "label", (col("vec_id") % 20).cast("int"))
+    // mirror q142's split/vote inline. The held-out set must not swallow
+    // a whole cluster (a %10 split would: clusters 0 and 10 sit entirely
+    // on multiples of 10) — hold out the first 50 ids instead, leaving
+    // ≥20 corpus mates per cluster
+    val queries = labeled.filter(col("vec_id") < 50)
+    val corpus  = labeled.filter(col("vec_id") >= 50)
+    val votes = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .join(corpus.select(col("vec_id").as("corpus_id"),
+                          col("label").as("n_label")), Seq("corpus_id"))
+      .groupBy("query_id", "n_label").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("n"), asc("n_label"))
+    val pred = votes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+    val joined = queries.select(col("vec_id").as("query_id"), col("label"))
+      .join(pred, Seq("query_id"))
+    assert(joined.filter(col("n_label") =!= col("label")).count() == 0,
+           "cluster-labeled 5-NN vote must be perfect")
+    // the real q142 runs end-to-end and stays deterministic
+    val out = graft.operators.LlmQueries.q142KnnEval(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.toSeq == graft.operators.LlmQueries
+             .q142KnnEval(spark, sf0001).collect().toSeq)
+  }
 }
