@@ -98,6 +98,7 @@ object SparkEntry {
     "q139_script_anomalies",
     "q140_ann_recall",
     "q141_epoch_expand",
-    "q142_knn_eval"
+    "q142_knn_eval",
+    "q143_bm25_indexed"
   )
 }

@@ -203,11 +203,47 @@ object IndexStore {
                         spark.table(s"${name}_centroids"))
   }
 
+  // ------------------------------------------------------------------- BM25
+
+  /** Persist a [[Relevance.Bm25Index]]: postings bucketed AND sorted by
+    * `token` (a query-term filter prunes parquet row groups via the
+    * token min/max stats — scoring reads index slivers, never corpus
+    * text) plus the one-row stats table plain (the IVF-centroid
+    * pattern).
+    */
+  def saveBm25Index(index: Relevance.Bm25Index, name: String,
+                    numBuckets: Int = 32,
+                    dir: Option[String] = None): Unit = {
+    writeBucketedTable(index.postings, s"${name}_postings", numBuckets,
+                       Seq("token"), dir.map(d => s"$d/postings"))
+    val statsT = s"${name}_stats"
+    val spark = index.stats.sparkSession
+    dropWithLocation(spark, statsT, dir.map(d => s"$d/stats"))
+    val w = index.stats.write.mode(SaveMode.Overwrite).format("parquet")
+    dir.fold(w)(d => w.option("path", s"$d/stats")).saveAsTable(statsT)
+    val loc = location(spark, statsT, dir.map(d => s"$d/stats"))
+    val spec = s"0\n\n${index.stats.schema.toDDL}"
+    val p = new org.apache.hadoop.fs.Path(loc, "_graft_index_spec")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(spec.getBytes("UTF-8")) finally out.close()
+  }
+
+  def loadBm25Index(spark: SparkSession, name: String,
+                    dir: Option[String] = None): Relevance.Bm25Index = {
+    ensureRegistered(spark, s"${name}_postings",
+                     dir.map(d => s"$d/postings"))
+    ensureRegistered(spark, s"${name}_stats", dir.map(d => s"$d/stats"))
+    Relevance.Bm25Index(spark.table(s"${name}_postings"),
+                        spark.table(s"${name}_stats"))
+  }
+
   /** Drop a persisted index's tables and their warehouse locations
     * (external `dir` data is left for the caller's lifecycle).
     */
   def drop(spark: SparkSession, name: String): Unit =
     Seq(name, s"${name}_buckets", s"${name}_shingles",
-        s"${name}_assigned", s"${name}_centroids")
+        s"${name}_assigned", s"${name}_centroids",
+        s"${name}_postings", s"${name}_stats")
       .foreach(t => dropWithLocation(spark, t, None))
 }

@@ -41,6 +41,15 @@ object Relevance {
       .filter(col("token").isin(terms: _*))
       .groupBy("doc_id", "dl", "token")
       .agg(count(lit(1)).cast("double").as("tf"))
+    scoreFromTf(tf, stats, k1, b)
+  }
+
+  /** The Okapi scoring tail shared by the one-shot and indexed paths:
+    * `tf` = (doc_id, dl, token, tf) already filtered to the query terms,
+    * `stats` = one (n_docs, avgdl) row.
+    */
+  private def scoreFromTf(tf: DataFrame, stats: DataFrame,
+                          k1: Double, b: Double): DataFrame = {
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("token"))
       .crossJoin(broadcast(stats))
@@ -55,6 +64,48 @@ object Relevance {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"),
            round(sum("term_score"), 6).as("bm25"))
+  }
+
+  /** PERSISTED retrieval state for ad-hoc queries — the full inverted
+    * index: `postings` = one row per (token, doc) with its tf and the
+    * doc length, `stats` = the one (n_docs, avgdl) row. Persist via
+    * [[IndexStore.saveBm25Index]] (postings bucketed + sorted by token:
+    * a query-term filter prunes parquet row groups by the token min/max,
+    * so scoring a term set reads the matching slivers of the index and
+    * NEVER rescans corpus text — the production retrieval shape; one-shot
+    * [[bm25Scores]] re-tokenizes the corpus per query batch).
+    */
+  final case class Bm25Index(postings: DataFrame, stats: DataFrame)
+
+  /** Build the [[Bm25Index]] of a corpus — the offline indexing job, run
+    * once per corpus release (one tokenize scan + one (token, doc) agg).
+    */
+  def bm25Index(docs: DataFrame, idCol: String,
+                textCol: String): Bm25Index = {
+    val withDl = docs.select(
+      col(idCol).as("doc_id"),
+      filter(split(lower(trim(col(textCol))), "\\W+"),
+             t => length(t) > 0).as("toks"))
+      .select(col("doc_id"), col("toks"),
+              size(col("toks")).cast("long").as("dl"))
+    val postings = withDl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .groupBy("token", "doc_id", "dl")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"),
+                           avg("dl").as("avgdl"))
+    Bm25Index(postings, stats)
+  }
+
+  /** Score ad-hoc `terms` against a LOADED [[Bm25Index]] — byte-identical
+    * output to [[bm25Scores]] on the same corpus, without touching corpus
+    * text (RelevanceSpec pins the equality).
+    */
+  def bm25ScoresWithIndex(index: Bm25Index, terms: Seq[String],
+                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    scoreFromTf(index.postings.filter(col("token").isin(terms: _*)),
+                index.stats, k1, b)
   }
 
   /** Selection form: the `topN` highest-BM25 docs (ties → smallest id),

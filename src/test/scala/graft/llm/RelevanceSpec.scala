@@ -82,4 +82,28 @@ class RelevanceSpec extends SparkSpec {
     assert(Relevance.rrfFuse(lex, vec, "bm25", "cos", k = 60, topN = 2)
              .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
   }
+
+  test("indexed BM25 is byte-identical to the one-shot scorer; postings prune by token") {
+    import graft.sources.Tables
+    val docs  = Tables.documents(spark, sf0001)
+    val terms = Seq("vector", "stream", "merge")
+    val oneShot = Relevance.bm25Scores(docs, "doc_id", "text", terms)
+      .orderBy("doc_id").collect().toSeq
+    val idx  = Relevance.bm25Index(docs, "doc_id", "text")
+    val name = "graft_test_bm25_rt"
+    IndexStore.saveBm25Index(idx, name)
+    try {
+      val loaded = IndexStore.loadBm25Index(spark, name)
+      val viaIndex = Relevance.bm25ScoresWithIndex(loaded, terms)
+        .orderBy("doc_id").collect().toSeq
+      assert(viaIndex == oneShot,
+             "indexed path must be byte-identical to the one-shot scorer")
+      // the query-term filter reaches the postings scan (row-group
+      // pruning leverage: PushedFilters carries the In(token, ...))
+      val plan = Relevance.bm25ScoresWithIndex(loaded, terms)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [In(token"),
+             s"expected the term filter pushed into the postings scan:\n$plan")
+    } finally IndexStore.drop(spark, name)
+  }
 }
