@@ -270,6 +270,37 @@ object ScaleProbe {
         }
       }
     }
+    // epoch_expand is schedule-broadcast + row-local explode (expect
+    // linear); bm25_indexed times ad-hoc scoring against a LOADED
+    // index built per n (the build is the amortized offline job, timed
+    // separately as bm25_build)
+    section("epoch_expand bm25_build bm25_indexed") {
+    for (n <- Seq(1, 5, 20)) {
+        val d = docsX(n); val rows = d.count()
+        time(s"epoch_expand   n=$n ($rows)") {
+          val sched = graft.llm.QualityFilters.epochSchedule(
+            d, "source", "text", budgetMult = 2.0, maxEpochs = 4,
+            temperature = 2).select("source", "epochs_x1000")
+          noop(d.select(col("doc_id"), col("source"))
+            .join(broadcast(sched), Seq("source"))
+            .withColumn("__full", expr("epochs_x1000 div 1000L"))
+            .withColumn("n_copies", col("__full").cast("int") + 1)
+            .select(col("doc_id"),
+                    explode(sequence(lit(0), col("n_copies") - 1))))
+        }
+        val name = s"graft_probe_bm25_$n"
+        time(s"bm25_build     n=$n ($rows)") {
+          graft.llm.IndexStore.saveBm25Index(
+            graft.llm.Relevance.bm25Index(d, "doc_id", "text"), name)
+        }
+        val loaded = graft.llm.IndexStore.loadBm25Index(spark, name)
+        time(s"bm25_indexed   n=$n ($rows)") {
+          noop(graft.llm.Relevance.bm25ScoresWithIndex(
+            loaded, Seq("vector", "stream", "merge")))
+        }
+        graft.llm.IndexStore.drop(spark, name)
+      }
+    }
     // PageRank: same replicated near-dup graph as the minhash probe;
     // the driver endgame handles every n here (the graph after banding
     // is pair-bounded) — the probe pins that rank cost tracks EDGES,
