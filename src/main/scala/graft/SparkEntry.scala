@@ -99,6 +99,7 @@ object SparkEntry {
     "q140_ann_recall",
     "q141_epoch_expand",
     "q142_knn_eval",
-    "q143_bm25_indexed"
+    "q143_bm25_indexed",
+    "q144_index_merge"
   )
 }

@@ -73,6 +73,23 @@ object Dedup {
                   TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .groupBy("fp").agg(min("corpus_id").as("corpus_id"))
 
+  /** ROLL a persisted fingerprint index forward with a delta batch —
+    * the daily index-maintenance job incremental dedup depends on:
+    * union the existing (fp, corpus_id) rows with the delta's
+    * fingerprints and keep the minimum owner per fp. Equal by
+    * construction to [[fingerprintIndex]] rebuilt over corpus ∪ delta
+    * (DedupSpec pins it), at delta-plus-index cost instead of a corpus
+    * re-scan: the delta is tokenized row-locally and the merge is one
+    * agg shuffle on the 128-bit fp — corpus text is never touched.
+    */
+  def mergeFingerprintIndex(index: DataFrame, delta: DataFrame,
+                            idCol: String, textCol: String): DataFrame =
+    index.select("fp", "corpus_id")
+      .unionByName(delta.select(
+        TextAnalysis.fingerprint(col(textCol)).as("fp"),
+        col(idCol).as("corpus_id")))
+      .groupBy("fp").agg(min("corpus_id").as("corpus_id"))
+
   /** Decouple CPU-bound row-local stages from the INPUT's split count:
     * a small/compacted source can arrive as one partition, serializing
     * the signature computation on one core no matter the cluster size.

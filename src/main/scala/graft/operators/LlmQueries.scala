@@ -1882,6 +1882,36 @@ object LlmQueries {
   }
   private val q143Saved = new graft.SavedOnce[String, String]
 
+  /** Fingerprint-index ROLL ([[Dedup.mergeFingerprintIndex]] — the
+    * daily index-maintenance job): the base index over the `doc_id % 4
+    * = 0` slice is built + persisted once, the `% 4 = 1` delta is
+    * merged in at delta-plus-index cost (no corpus re-scan), and the
+    * ROLLED index is persisted and read back. The oracle rebuilds the
+    * union index from scratch — merged must hash-match a rebuild, which
+    * is the invariant that lets production roll indexes forward daily
+    * instead of re-indexing the corpus.
+    */
+  def q144IndexMerge(spark: SparkSession, dir: String): DataFrame = {
+    val merged = q144Saved.getOrElseUpdate(dir, {
+      val docs  = Tables.documents(spark, dir)
+      val safe  = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base  = "graft_fpidx_q144_base_" + safe
+      IndexStore.saveFingerprintIndex(
+        Dedup.fingerprintIndex(docs.filter(col("doc_id") % 4 === 0),
+                               "doc_id", "text"), base)
+      val rolled = Dedup.mergeFingerprintIndex(
+        IndexStore.loadFingerprintIndex(spark, base),
+        docs.filter(col("doc_id") % 4 === 1), "doc_id", "text")
+      val name = "graft_fpidx_q144_merged_" + safe
+      IndexStore.saveFingerprintIndex(rolled, name)
+      name
+    })
+    IndexStore.loadFingerprintIndex(spark, merged)
+      .select("fp", "corpus_id")
+      .orderBy("fp", "corpus_id")
+  }
+  private val q144Saved = new graft.SavedOnce[String, String]
+
   /** [[q139ScriptAnomalies]]'s profile over an explicit frame (also the
     * spec entry). */
   def scriptAnomalyFrames(docs: DataFrame): DataFrame =
@@ -2181,6 +2211,7 @@ object LlmQueries {
     "q141_epoch_expand"     -> (q141EpochExpand(_, _)),
     "q142_knn_eval"         -> (q142KnnEval(_, _)),
     "q143_bm25_indexed"     -> (q143Bm25Indexed(_, _)),
+    "q144_index_merge"      -> (q144IndexMerge(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -3868,6 +3899,14 @@ object LlmQueries {
         |  pr.pred_label = q.true_label AS correct
         |FROM q JOIN pr ON q.query_id = pr.query_id AND pr.rk = 1
         |ORDER BY q.query_id""".stripMargin,
+    // the merged index must equal a from-scratch rebuild over the union
+    // slice — the invariant that makes daily index rolls safe
+    "q144_index_merge" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    AS fp,
+        |  CAST(min(doc_id) AS BIGINT) AS corpus_id
+        |FROM documents WHERE doc_id % 4 IN (0, 1)
+        |GROUP BY 1 ORDER BY fp, corpus_id""".stripMargin,
     "q74_incremental_dedup" ->
       """WITH idx AS (
         |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

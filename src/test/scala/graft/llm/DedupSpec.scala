@@ -411,4 +411,27 @@ class DedupSpec extends SparkSpec {
                                                maxGramDocs = 100)
     assert(unguarded.count() == 15, "all C(6,2) pairs share the run")
   }
+
+  test("mergeFingerprintIndex: rolling a delta in equals a from-scratch rebuild") {
+    import graft.sources.Tables
+    val docs  = Tables.documents(spark, sf0001)
+    val a     = docs.filter(col("doc_id") % 4 === 0)
+    val delta = docs.filter(col("doc_id") % 4 === 1)
+    val merged = Dedup.mergeFingerprintIndex(
+      Dedup.fingerprintIndex(a, "doc_id", "text"), delta, "doc_id", "text")
+      .orderBy("fp").collect().toSeq
+    val rebuilt = Dedup.fingerprintIndex(
+      docs.filter(col("doc_id") % 4 === 0 || col("doc_id") % 4 === 1),
+      "doc_id", "text")
+      .orderBy("fp").collect().toSeq
+    assert(merged == rebuilt,
+           "rolled index must be byte-identical to a rebuild")
+    // rolling the SAME delta twice is idempotent
+    val again = Dedup.mergeFingerprintIndex(
+      Dedup.mergeFingerprintIndex(
+        Dedup.fingerprintIndex(a, "doc_id", "text"),
+        delta, "doc_id", "text"),
+      delta, "doc_id", "text").orderBy("fp").collect().toSeq
+    assert(again == rebuilt, "re-rolling the same delta must be a no-op")
+  }
 }
