@@ -100,6 +100,7 @@ object SparkEntry {
     "q141_epoch_expand",
     "q142_knn_eval",
     "q143_bm25_indexed",
-    "q144_index_merge"
+    "q144_index_merge",
+    "q145_funnel_v2"
   )
 }

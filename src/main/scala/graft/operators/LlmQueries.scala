@@ -1912,6 +1912,61 @@ object LlmQueries {
   }
   private val q144Saved = new graft.SavedOnce[String, String]
 
+  /** Curation funnel v2 — the round-9 gates composed end-to-end, the
+    * q70 proof repeated for the NEW operators: blocklist gate (≤ 2%
+    * spam-marker ratio) → script/encoding hygiene gate (no mojibake, no
+    * C0 control chars, not mixed-script) → per-domain cap (50 best by
+    * quality, cap 15 — sized to bite at the driver SFs) → exact dedup
+    * (keep-first). Output = the funnel table
+    * (stage, n_docs); every stage predicate replays in the oracle.
+    * Stage frames materialize once (each feeds its count AND the next
+    * stage — the q70 checkpoint pattern). On the clean synthetic corpus
+    * the two hygiene gates pass everything — the honest outcome (their
+    * planted-dirty behavior is pinned by the q133/q139 specs); the cap
+    * and the dedup are the stages that bite here.
+    */
+  def q145FunnelV2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "text")
+    val s1 = docs
+      .withColumn("__t", Dedup.wordTokens(col("text")))
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .withColumn("__bh", TextAnalysis.blocklistHits(col("__t"))
+                            .cast("long"))
+      .filter(col("__n") === 0 ||
+                floor(col("__bh").cast("double") / col("__n") * 1e6d +
+                        0.5d) / 1e6d <= 0.02)
+      .select("doc_id", "source", "text")
+      .transform(graft.Materialize(_))
+    val scriptKeep = scriptAnomalyFrames(s1)
+      .filter(col("repl_chars") === 0 && col("ctrl_chars") === 0 &&
+                !col("mixed_script"))
+      .select("doc_id")
+    val s2 = s1.join(scriptKeep, Seq("doc_id"))
+      .transform(graft.Materialize(_))
+    val s3 = QualityFilters.domainCap(
+      s2.withColumn("__q", TextAnalysis.qualityScore(col("text"))),
+      "source", "doc_id", "__q", cap = 15)
+      .select("doc_id", "source", "text")
+      .transform(graft.Materialize(_))
+    val s4 = s3
+      .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("__min",
+                  min("doc_id").over(
+                    org.apache.spark.sql.expressions.Window
+                      .partitionBy("__fp")))
+      .filter(col("doc_id") === col("__min"))
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("stage"), col("n_docs"))
+    stage("0_all", docs)
+      .unionByName(stage("1_blocklist", s1))
+      .unionByName(stage("2_script_hygiene", s2))
+      .unionByName(stage("3_domain_cap", s3))
+      .unionByName(stage("4_deduped", s4))
+      .orderBy("stage")
+  }
+
   /** [[q139ScriptAnomalies]]'s profile over an explicit frame (also the
     * spec entry). */
   def scriptAnomalyFrames(docs: DataFrame): DataFrame =
@@ -2212,6 +2267,7 @@ object LlmQueries {
     "q142_knn_eval"         -> (q142KnnEval(_, _)),
     "q143_bm25_indexed"     -> (q143Bm25Indexed(_, _)),
     "q144_index_merge"      -> (q144IndexMerge(_, _)),
+    "q145_funnel_v2"        -> (q145FunnelV2(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -3899,6 +3955,55 @@ object LlmQueries {
         |  pr.pred_label = q.true_label AS correct
         |FROM q JOIN pr ON q.query_id = pr.query_id AND pr.rk = 1
         |ORDER BY q.query_id""".stripMargin,
+    "q145_funnel_v2" ->
+      s"""WITH base AS (SELECT doc_id, source, text FROM documents),
+         |bt AS (
+         |  SELECT doc_id, source, text,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\W+'),
+         |                x -> len(x) > 0) AS toks
+         |  FROM base),
+         |s1 AS (
+         |  SELECT doc_id, source, text FROM bt
+         |  WHERE len(toks) = 0
+         |     OR floor(len(list_filter(toks,
+         |                  x -> list_contains($blockList, x)))
+         |              / CAST(len(toks) AS DOUBLE) * 1000000 + 0.5)
+         |        / 1000000 <= 0.02),
+         |sa AS (
+         |  SELECT doc_id, source, text,
+         |    len(regexp_extract_all(text, chr(65533))) AS repl,
+         |    len(regexp_extract_all(text,
+         |        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS ctrl,
+         |    (CAST(regexp_matches(text, '[A-Za-z]') AS INTEGER)
+         |       + CAST(regexp_matches(text, '[\\x{0400}-\\x{04FF}]')
+         |              AS INTEGER)
+         |       + CAST(regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]')
+         |              AS INTEGER)) >= 2 AS mixed
+         |  FROM s1),
+         |s2 AS (
+         |  SELECT doc_id, source, text FROM sa
+         |  WHERE repl = 0 AND ctrl = 0 AND NOT mixed),
+         |qq AS (SELECT doc_id, source, text, $qualitySql AS q FROM s2),
+         |s3 AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text,
+         |      row_number() OVER (PARTITION BY source
+         |                         ORDER BY q DESC, doc_id) AS rnk
+         |    FROM qq) WHERE rnk <= 15),
+         |s4 AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      min(doc_id) OVER (PARTITION BY
+         |        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+         |        AS mn
+         |    FROM s3) WHERE doc_id = mn)
+         |SELECT stage, n_docs FROM (
+         |  SELECT '0_all' AS stage, count(*) AS n_docs FROM base
+         |  UNION ALL SELECT '1_blocklist', count(*) FROM s1
+         |  UNION ALL SELECT '2_script_hygiene', count(*) FROM s2
+         |  UNION ALL SELECT '3_domain_cap', count(*) FROM s3
+         |  UNION ALL SELECT '4_deduped', count(*) FROM s4)
+         |ORDER BY stage""".stripMargin,
     // the merged index must equal a from-scratch rebuild over the union
     // slice — the invariant that makes daily index rolls safe
     "q144_index_merge" ->

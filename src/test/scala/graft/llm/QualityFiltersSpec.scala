@@ -566,4 +566,17 @@ class QualityFiltersSpec extends SparkSpec {
       .filter(col("mx") =!= col("n") - 1 || col("mn") =!= 0)
     assert(bad.count() == 0)
   }
+
+  test("funnel v2: stage counts are monotone non-increasing and deterministic") {
+    val out = graft.operators.LlmQueries.q145FunnelV2(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out.map(_._1) == Seq("0_all", "1_blocklist",
+                                "2_script_hygiene", "3_domain_cap",
+                                "4_deduped"))
+    assert(out.map(_._2) == out.map(_._2).sorted.reverse,
+           s"stage counts must not increase: $out")
+    assert(out.head._2 > 0 && out.last._2 > 0)
+    assert(out == graft.operators.LlmQueries.q145FunnelV2(spark, sf0001)
+             .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
 }
