@@ -1648,10 +1648,12 @@ object LlmQueries {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val back = graft.io.Jsonl.readJsonlPermissive(spark, outDir + "/docs",
-                                                  schema)
-      .cache() // corrupt-column pruning contract — see Jsonl scaladoc
-    back.filter(col("_corrupt_record").isNull)
+    // no cache: the corrupt-column pruning restriction bites only when a
+    // query references ONLY `_corrupt_record` (see Jsonl scaladoc); this
+    // projection reads every data column alongside the quarantine
+    // filter, so each timed pass pays the real JSONL parse
+    graft.io.Jsonl.readJsonlPermissive(spark, outDir + "/docs", schema)
+      .filter(col("_corrupt_record").isNull)
       .select("doc_id", "text", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }
