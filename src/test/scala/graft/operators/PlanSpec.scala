@@ -170,4 +170,33 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*("), plan)
   }
+
+  test("round-9 row-local gates plan with ZERO data-scale exchanges") {
+    // q133 / q135 / q136 / q139 claim scan-speed zero-shuffle plans in
+    // PLANS.md; pin it. The only allowed Exchange is the final
+    // single-partition ordering of the driver-facing ORDER BY — assert
+    // no hash-partitioned (data-scale) exchange appears at all.
+    for ((name, df) <- Seq(
+           "q133" -> LlmQueries.q133BlocklistRatio(spark, sf0001),
+           "q135" -> LlmQueries.q135LineQuality(spark, sf0001),
+           "q136" -> LlmQueries.q136SpanCorrupt(spark, sf0001),
+           "q139" -> LlmQueries.q139ScriptAnomalies(spark, sf0001))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+             s"$name must not shuffle, plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+    }
+  }
+
+  test("q132 domain cap / q141 epoch expand: one narrow shuffle; schedule broadcasts") {
+    val capPlan = LlmQueries.q132DomainCap(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(capPlan.contains("WindowGroupLimit"),
+           s"rank bound must push below the sort:\n$capPlan")
+    val expPlan = LlmQueries.q141EpochExpand(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(expPlan.contains("BroadcastHashJoin"),
+           s"the #sources schedule must broadcast:\n$expPlan")
+    assert(!expPlan.contains("CartesianProduct"))
+  }
 }
