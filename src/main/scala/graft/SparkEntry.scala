@@ -101,6 +101,7 @@ object SparkEntry {
     "q142_knn_eval",
     "q143_bm25_indexed",
     "q144_index_merge",
-    "q145_funnel_v2"
+    "q145_funnel_v2",
+    "q146_cluster_stats"
   )
 }

@@ -1428,6 +1428,25 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Near-dup cluster-size report off the dedup job's PERSISTED cluster
+    * table (the q97 steady state — zero re-dedup cost): one row per
+    * cluster size with the cluster and document counts — the
+    * duplication-profile number a corpus release publishes (singleton
+    * rate, how heavy the tail of big dup families is). Two narrow aggs
+    * over (doc_id, cluster_id); fully oracle-checked via the same
+    * recursive-CTE closure replay as q97.
+    */
+  def q146ClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val (_, clusters) = dupArtifacts(spark, dir)
+    clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", (col("cluster_size") * col("n_clusters"))
+                              .cast("long"))
+      .orderBy("cluster_size")
+  }
+
   /** Count-min-sketch frequency estimation ([[Sketches]]): the d=4×w=512
     * portable-hash sketch built over all token occurrences, point-queried
     * for the exact top-20 tokens (q61's output) with the guaranteed-
@@ -2270,6 +2289,7 @@ object LlmQueries {
     "q143_bm25_indexed"     -> (q143Bm25Indexed(_, _)),
     "q144_index_merge"      -> (q144IndexMerge(_, _)),
     "q145_funnel_v2"        -> (q145FunnelV2(_, _)),
+    "q146_cluster_stats"    -> (q146ClusterStats(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -4099,6 +4119,17 @@ object LlmQueries {
          |  ${Splits.splitCaseSql(Seq("train" -> 0.8, "val" -> 0.1,
                                       "test" -> 0.1))} AS split
          |FROM cc ORDER BY doc_id""".stripMargin,
+    // same closure replay as q97, aggregated to the size profile
+    "q146_cluster_stats" ->
+      s"""WITH RECURSIVE
+         |${minhashPortableCtes("documents", k = 5, numHashes = 32,
+                                bands = 8, threshold = 0.5,
+                                maxBucket = 1000)},
+         |cs AS (SELECT cluster_id, count(*) AS sz FROM cc GROUP BY 1)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |  count(*) AS n_clusters,
+         |  CAST(sz * count(*) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin,
     // The whole at-scale allocator replayed: token-weighted quality
     // histogram over the 200-bin grid, per-source suffix spend (a
     // window over ≤201 aggregate rows), lowest bin whose spend fits,

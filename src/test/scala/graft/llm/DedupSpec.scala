@@ -434,4 +434,16 @@ class DedupSpec extends SparkSpec {
       delta, "doc_id", "text").orderBy("fp").collect().toSeq
     assert(again == rebuilt, "re-rolling the same delta must be a no-op")
   }
+
+  test("cluster-size report conserves mass and matches the cluster table") {
+    val stats = graft.operators.LlmQueries
+      .q146ClusterStats(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc is in exactly one cluster of exactly one size
+    val corpus = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(stats.map(_._3).sum == corpus,
+           s"size-profile doc mass must equal the corpus: $stats")
+    stats.foreach { case (sz, nc, nd) => assert(sz * nc == nd) }
+    assert(stats.map(_._1).distinct.length == stats.length)
+  }
 }
