@@ -1011,38 +1011,50 @@ object Dedup {
     * replay it as join+window SQL (the relational pair set is identical
     * to a fingerprint self-equi-join).
     *
-    * Scale shape: the only corpus-scale relation is the positional
-    * (doc, pos, fp) triple stream (longs — gram text never shuffles),
-    * and it shuffles exactly ONCE (the groupBy-fp gather; the window
-    * shuffle downstream sees only the matched pairs, which are
-    * leak-sized). Pairing is guarded by `maxGramDocs`: a gram occurring
-    * in more distinct docs is boilerplate (license headers, nav chrome)
-    * and is dropped before any pair is generated — same role as the
-    * MinHash `maxBucket` guard, and it also bounds each gathered
-    * occurrence list; line-dedup/repetition gates upstream handle the degenerate
-    * docs that would make one fp hot within a single pair. Runs shorter
-    * than n tokens are invisible by construction (they produce no shared
-    * gram); sub-n whole-doc grams only ever match identical short docs,
-    * which exact dedup owns.
+    * Scale shape: the only corpus-scale relations are the positional
+    * (doc, pos, fp) triple stream (longs — gram text never shuffles)
+    * and its counter-only pre-pass. The pre-pass judges every
+    * fingerprint with O(1) per-key state (distinct-doc and
+    * total-occurrence COUNTERS, never a gathered list), so the
+    * occurrence gather below only ever materializes lists for
+    * fingerprints already known to be rare — each list is genuinely
+    * bounded at `maxGramOccs` entries, not merely filtered after an
+    * unbounded gather. Pairing is guarded by `maxGramDocs`: a gram
+    * occurring in more distinct docs is boilerplate (license headers,
+    * nav chrome) and never reaches the gather — same role as the
+    * MinHash `maxBucket` guard. `maxGramOccs` additionally bounds
+    * TOTAL occurrences per fingerprint, so a gram repeated many times
+    * within one or two degenerate docs cannot blow up the row-local
+    * |occ|² pair explode even when callers skipped the upstream
+    * repetition gates. Runs shorter than n tokens are invisible by
+    * construction (they produce no shared gram); sub-n whole-doc grams
+    * only ever match identical short docs, which exact dedup owns.
     */
   def sharedSubstringSpans(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 8, minTokens: Int = 16,
-                           maxGramDocs: Int = 50): DataFrame = {
+                           maxGramDocs: Int = 50,
+                           maxGramOccs: Int = 200): DataFrame = {
     val g = Contamination.gramFingerprintsPos(df, idCol, textCol, n)
-    // ONE corpus-scale shuffle: gather each fingerprint's occurrences,
-    // judge rarity locally (the same maxGramDocs distinct-doc guard,
-    // plus the ≥2-doc floor — a single-doc fp can't produce a cross-doc
-    // pair), then generate the a<b occurrence pairs row-locally. The
-    // previous shape re-shuffled the corpus-scale gram triples three
-    // more times (distinct-doc count, rare-gram join, fp self-join) to
-    // build the identical pair set.
-    val occ = g.groupBy("gram_fp")
+    // Counter-only pre-pass: (fp, doc) partial-count then per-fp
+    // (ndocs, nocc) — both aggs keep O(1) state per key, so no hot
+    // fingerprint can blow an aggregation buffer here. Only fps that
+    // pass BOTH bounds (plus the ≥2-doc floor — a single-doc fp can't
+    // produce a cross-doc pair) reach the list gather.
+    val eligible = g.groupBy("gram_fp", "doc_id")
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("gram_fp")
+      .agg(count(lit(1)).as("__nd"), sum("__c").as("__nocc"))
+      .filter(col("__nd") >= 2 && col("__nd") <= maxGramDocs &&
+              col("__nocc") <= maxGramOccs)
+      .select("gram_fp")
+    // Gather only the eligible fingerprints' occurrences: every
+    // collected list is ≤ maxGramOccs entries by construction. The join
+    // shuffles g on gram_fp (or broadcasts `eligible` under AQE when it
+    // is leak-sized), and the gather reuses that partitioning.
+    val occ = g.join(eligible, Seq("gram_fp"))
+      .groupBy("gram_fp")
       .agg(collect_list(struct(col("doc_id"), col("gram_pos"),
                                col("gram_end"))).as("occ"))
-      .withColumn("__nd",
-                  size(array_distinct(
-                    transform(col("occ"), o => o.getField("doc_id")))))
-      .filter(col("__nd") >= 2 && col("__nd") <= maxGramDocs)
     val hits = occ
       .select(explode(col("occ")).as("a"), col("occ"))
       .select(col("a"), explode(col("occ")).as("b"))

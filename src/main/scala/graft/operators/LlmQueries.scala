@@ -865,43 +865,42 @@ object LlmQueries {
   }
 
   /** Streaming parity surfaced under the oracle: the q76 ingest slice
-    * (doc_id % 4 ≠ 0) is fed through
-    * [[graft.streaming.EventStreams.incrementalNearDedupSink]] as THREE
-    * MemoryStream micro-batches (split by doc_id % 3 — content-based,
-    * order-free), classified against the SAME persisted index q76 loads,
-    * and landed in idempotent `batch_id=` partitions. Because the index
-    * is static across batches and classification is per-doc, the UNION
-    * of the partitions must equal the one-shot batch classification —
-    * so the oracle replays the identical incremental-minhash SQL as
-    * q76. The MemoryStream feed is harness wiring (a production sink
-    * reads files/Kafka); the sink, checkpoint, and batch layout are the
+    * (doc_id % 4 ≠ 0) is staged as three parquet files (one per
+    * doc_id % 3 slice — content-based, order-free) and fed through
+    * [[graft.streaming.EventStreams.incrementalNearDedupSink]] as a
+    * FILE-SOURCE stream with `maxFilesPerTrigger=1`, classified against
+    * the SAME persisted index q76 loads, and landed in idempotent
+    * `batch_id=` partitions. Because the index is static across batches
+    * and classification is per-doc, the UNION of the partitions must
+    * equal the one-shot batch classification — so the oracle replays
+    * the identical incremental-minhash SQL as q76. Nothing is ever
+    * collected to the driver: the slices are written by executors
+    * ([[graft.streaming.EventStreams.stageMicroBatchFiles]]) and the
+    * stream reads them exactly as a production sink reads a landing
+    * directory; the source, sink, checkpoint, and batch layout are the
     * real streaming path, exercised to completion inside the query.
     */
   private val q121Saved = new graft.SavedOnce[String, String]
 
   def q121StreamingParity(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val table = q76IndexName(spark, dir)
     val outDir = q121Saved.getOrElseUpdate(dir, {
-      val rows = Tables.documents(spark, dir)
-        .filter(col("doc_id") % 4 =!= 0)
-        .select(col("doc_id"), col("text"))
-        .collect().map(r => (r.getLong(0), r.getString(1)))
-      implicit val sqlCtx = spark.sqlContext
-      import spark.implicits._
-      val input = MemoryStream[(Long, String)]
-      val base  = java.nio.file.Files
+      val base = java.nio.file.Files
         .createTempDirectory("graft_q121_").toString
-      val out   = s"$base/out"
+      val in   = s"$base/in"
+      graft.streaming.EventStreams.stageMicroBatchFiles(
+        Tables.documents(spark, dir)
+          .filter(col("doc_id") % 4 =!= 0)
+          .select(col("doc_id"), col("text")),
+        col("doc_id") % 3, nBatches = 3, inDir = in)
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val out = s"$base/out"
       val q = graft.streaming.EventStreams.incrementalNearDedupSink(
-        input.toDF().toDF("doc_id", "text"), table, "doc_id", "text",
-        out, s"$base/ckpt")
-      try {
-        (0 until 3).foreach { b =>
-          input.addData(rows.filter(_._1 % 3 == b).toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+        stream, table, "doc_id", "text", out, s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
       out
     })
     spark.read.parquet(outDir)
@@ -912,42 +911,42 @@ object LlmQueries {
   /** Streaming quality-drift monitor under the oracle (q121's sibling):
     * the reference entropy is fitted on the held-out (doc_id % 4 = 0)
     * slice, the ingest slice streams through
-    * [[graft.streaming.EventStreams.qualityDriftSink]] as THREE
-    * MemoryStream micro-batches (doc_id % 3), and each batch appends one
-    * monitor row to the idempotent `batch_id=` layout. Every column
-    * replays in DuckDB: per-batch token entropy is the q99 machinery
-    * per slice, mean quality is the q81 exact-integer mean, and the
-    * alert booleans are comparisons of those portable values — so the
-    * whole monitor table is hash-checked, not just spec'd.
+    * [[graft.streaming.EventStreams.qualityDriftSink]] as a FILE-SOURCE
+    * stream of three staged parquet files (one per doc_id % 3 slice,
+    * admitted one per trigger in staged-mtime order so micro-batch b IS
+    * slice b — [[graft.streaming.EventStreams.stageMicroBatchFiles]];
+    * no driver collect), and each batch appends one monitor row to the
+    * idempotent `batch_id=` layout. Every column replays in DuckDB:
+    * per-batch token entropy is the q99 machinery per slice, mean
+    * quality is the q81 exact-integer mean, and the alert booleans are
+    * comparisons of those portable values — so the whole monitor table
+    * is hash-checked, not just spec'd.
     */
   private val q122Saved = new graft.SavedOnce[String, String]
 
   def q122DriftMonitor(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val outDir = q122Saved.getOrElseUpdate(dir, {
       val docs = Tables.documents(spark, dir)
       val ref = graft.llm.CorpusStats
         .corpusStats(docs.filter(col("doc_id") % 4 === 0), "text")
         .head().getAs[Double]("entropy_bits")
-      val rows = docs.filter(col("doc_id") % 4 =!= 0)
-        .select(col("doc_id"), col("text"))
-        .collect().map(r => (r.getLong(0), r.getString(1)))
-      implicit val sqlCtx = spark.sqlContext
-      import spark.implicits._
-      val input = MemoryStream[(Long, String)]
-      val base  = java.nio.file.Files
+      val base = java.nio.file.Files
         .createTempDirectory("graft_q122_").toString
-      val out   = s"$base/out"
+      val in   = s"$base/in"
+      graft.streaming.EventStreams.stageMicroBatchFiles(
+        docs.filter(col("doc_id") % 4 =!= 0)
+          .select(col("doc_id"), col("text")),
+        col("doc_id") % 3, nBatches = 3, inDir = in)
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val out = s"$base/out"
       val q = graft.streaming.EventStreams.qualityDriftSink(
-        input.toDF().toDF("doc_id", "text"), "text",
+        stream, "text",
         refEntropyBits = ref, tol = 0.5, minQuality = 0.3,
         outDir = out, checkpoint = s"$base/ckpt")
-      try {
-        (0 until 3).foreach { b =>
-          input.addData(rows.filter(_._1 % 3 == b).toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
       out
     })
     spark.read.parquet(outDir)
@@ -2932,8 +2931,9 @@ object LlmQueries {
         |      CASE WHEN len(t) < 6 THEN [CAST(0 AS BIGINT)]
         |           ELSE generate_series(0, len(t) - 6) END) AS u(i)),
         |rare AS (
-        |  SELECT fp FROM (SELECT DISTINCT fp, doc_id FROM g)
-        |  GROUP BY fp HAVING count(*) <= 50),
+        |  SELECT fp FROM g
+        |  GROUP BY fp
+        |  HAVING count(DISTINCT doc_id) <= 50 AND count(*) <= 200),
         |h AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |         a.s - b.s AS diag, a.s, a.e

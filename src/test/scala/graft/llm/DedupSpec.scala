@@ -412,6 +412,32 @@ class DedupSpec extends SparkSpec {
     assert(unguarded.count() == 15, "all C(6,2) pairs share the run")
   }
 
+  test("sharedSubstringSpans: maxGramOccs bounds TOTAL occurrences per " +
+       "fingerprint — a gram hot inside two degenerate docs is dropped " +
+       "before any gather or pair explode") {
+    import spark.implicits._
+    val run = (0 until 12).map(i => s"w$i").mkString(" ")
+    // Two docs each repeating the same 12-token run 30 times: every run
+    // gram sits in only 2 distinct docs (passes maxGramDocs) but has 60
+    // total occurrences (fails a tight maxGramOccs).
+    val docs = Seq(
+      (1L, Seq.fill(30)(run).mkString(" xx ")),
+      (2L, Seq.fill(30)(run).mkString(" yy "))
+    ).toDF("doc_id", "text")
+    val capped = Dedup.sharedSubstringSpans(docs, "doc_id", "text",
+                                            n = 4, minTokens = 8,
+                                            maxGramDocs = 10,
+                                            maxGramOccs = 5)
+    assert(capped.count() == 0,
+           "fps with >5 total occurrences must be dropped pre-gather")
+    val uncapped = Dedup.sharedSubstringSpans(docs, "doc_id", "text",
+                                              n = 4, minTokens = 8,
+                                              maxGramDocs = 10,
+                                              maxGramOccs = 1000000)
+    assert(uncapped.count() > 0,
+           "with the cap lifted the repeated run must surface as spans")
+  }
+
   test("mergeFingerprintIndex: rolling a delta in equals a from-scratch rebuild") {
     import graft.sources.Tables
     val docs  = Tables.documents(spark, sf0001)
