@@ -184,6 +184,48 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Stage a bounded ingest slice as ONE parquet file per micro-batch
+    * under `inDir`, so a file-source stream
+    * (`spark.readStream.schema(...).parquet(inDir)` with
+    * `maxFilesPerTrigger=1`) replays micro-batch b = the rows where
+    * `batchExpr = b` — a fully distributed feed: the slices are written
+    * by executors and nothing is ever collected to the driver (the
+    * MemoryStream harness this replaces collected the whole slice).
+    * FileStreamSource admits new files oldest-modification-time first,
+    * so the staged strictly-increasing mtimes pin batch order
+    * content-free (the mtimes span minutes, far inside the source's
+    * 7-day maxFileAge window, which purges relative to the LATEST seen
+    * file timestamp, not the wall clock). `coalesce(1)` per slice is
+    * the local-harness shape; a production feed writes many files per
+    * batch and raises `maxFilesPerTrigger` to match.
+    */
+  def stageMicroBatchFiles(slice: DataFrame,
+                           batchExpr: org.apache.spark.sql.Column,
+                           nBatches: Int, inDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val base = Paths.get(inDir)
+    Files.createDirectories(base)
+    (0 until nBatches).foreach { b =>
+      val stage = s"$inDir/__stage_b$b"
+      slice.filter(batchExpr === b).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val stageDir = Paths.get(stage)
+      val part = Files.list(stageDir).iterator().asScala
+        .find { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }
+        .getOrElse(sys.error(s"no part file staged for micro-batch $b"))
+      val dest = base.resolve(s"batch$b.parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(60000L * (b + 1)))
+      Files.walk(stageDir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+  }
+
   /** Streaming incremental near-dedup: each micro-batch of newly ingested
     * documents is classified against a PERSISTED
     * [[graft.llm.Dedup.MinhashIndex]] (built offline from the accumulated

@@ -378,6 +378,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stageMicroBatchFiles: file-source stream replays micro-batch b = " +
+       "slice b, deterministically, with no driver collect") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, s"doc number $i"))
+      .toDF("doc_id", "text")
+    val base = tmpDir("stagemb")
+    val in   = s"$base/in"
+    EventStreams.stageMicroBatchFiles(docs, col("doc_id") % 3,
+                                      nBatches = 3, inDir = in)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val outDir = s"$base/out"
+    val q = EventStreams.idempotentParquetSink(stream, outDir, s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(outDir)
+      .select(col("batch_id").cast("long"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 30L).map(i => (i % 3, i)).toSet
+    assert(got == want,
+           s"each micro-batch must be exactly its doc_id%3 slice: $got")
+  }
+
   test("stream-static enrichment join: streaming events pick up dimension " +
        "attributes without a stream-stream state store") {
     implicit val sqlCtx = spark.sqlContext
