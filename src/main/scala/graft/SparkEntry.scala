@@ -102,6 +102,7 @@ object SparkEntry {
     "q143_bm25_indexed",
     "q144_index_merge",
     "q145_funnel_v2",
-    "q146_cluster_stats"
+    "q146_cluster_stats",
+    "q147_bm25_roll"
   )
 }

@@ -170,6 +170,24 @@ object IndexStore {
 
   // -------------------------------------------------------------------- IVF
 
+  /** Persist a small UNBUCKETED side table (IVF centroids, BM25 stats)
+    * with a numBuckets=0 descriptor so a fresh session can re-register
+    * it from disk like the bucketed tables.
+    */
+  private def savePlainTable(df: DataFrame, table: String,
+                             dir: Option[String]): Unit = {
+    val spark = df.sparkSession
+    dropWithLocation(spark, table, dir)
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+    dir.fold(w)(d => w.option("path", d)).saveAsTable(table)
+    val loc = location(spark, table, dir)
+    val spec = s"0\n\n${df.schema.toDDL}"
+    val p = new org.apache.hadoop.fs.Path(loc, "_graft_index_spec")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(spec.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Persist a [[Similarity.IvfIndex]]: the cell-assigned corpus bucketed
     * by `cell` (the probe-join key) and the tiny centroid table plain.
     */
@@ -178,19 +196,8 @@ object IndexStore {
                    dir: Option[String] = None): Unit = {
     writeBucketedTable(index.assigned, s"${name}_assigned", numBuckets,
                        Seq("cell"), dir.map(d => s"$d/assigned"))
-    val cents = s"${name}_centroids"
-    val spark = index.centroids.sparkSession
-    dropWithLocation(spark, cents, dir.map(d => s"$d/centroids"))
-    val w = index.centroids.write.mode(SaveMode.Overwrite).format("parquet")
-    dir.fold(w)(d => w.option("path", s"$d/centroids")).saveAsTable(cents)
-    // unbucketed descriptor (numBuckets = 0) so a fresh session can
-    // re-register the centroid table too
-    val loc = location(spark, cents, dir.map(d => s"$d/centroids"))
-    val spec = s"0\n\n${index.centroids.schema.toDDL}"
-    val p = new org.apache.hadoop.fs.Path(loc, "_graft_index_spec")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(spec.getBytes("UTF-8")) finally out.close()
+    savePlainTable(index.centroids, s"${name}_centroids",
+                   dir.map(d => s"$d/centroids"))
   }
 
   def loadIvfIndex(spark: SparkSession, name: String,
@@ -216,17 +223,7 @@ object IndexStore {
                     dir: Option[String] = None): Unit = {
     writeBucketedTable(index.postings, s"${name}_postings", numBuckets,
                        Seq("token"), dir.map(d => s"$d/postings"))
-    val statsT = s"${name}_stats"
-    val spark = index.stats.sparkSession
-    dropWithLocation(spark, statsT, dir.map(d => s"$d/stats"))
-    val w = index.stats.write.mode(SaveMode.Overwrite).format("parquet")
-    dir.fold(w)(d => w.option("path", s"$d/stats")).saveAsTable(statsT)
-    val loc = location(spark, statsT, dir.map(d => s"$d/stats"))
-    val spec = s"0\n\n${index.stats.schema.toDDL}"
-    val p = new org.apache.hadoop.fs.Path(loc, "_graft_index_spec")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(spec.getBytes("UTF-8")) finally out.close()
+    savePlainTable(index.stats, s"${name}_stats", dir.map(d => s"$d/stats"))
   }
 
   def loadBm25Index(spark: SparkSession, name: String,

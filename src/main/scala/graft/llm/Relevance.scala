@@ -34,8 +34,7 @@ object Relevance {
     val withDl = toks.select(col("doc_id"), col("toks"),
                              size(col("toks")).cast("long").as("dl"))
     // corpus stats: N and avgdl in one row (broadcast), df per term
-    val stats = withDl.agg(count(lit(1)).as("n_docs"),
-                           avg("dl").as("avgdl"))
+    val stats = corpusStats(withDl)
     val tf = withDl
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
       .filter(col("token").isin(terms: _*))
@@ -68,7 +67,8 @@ object Relevance {
 
   /** PERSISTED retrieval state for ad-hoc queries — the full inverted
     * index: `postings` = one row per (token, doc) with its tf and the
-    * doc length, `stats` = the one (n_docs, avgdl) row. Persist via
+    * doc length, `stats` = the one (n_docs, sum_dl, avgdl) row (sum_dl
+    * is the sufficient statistic [[mergeBm25Index]] rolls). Persist via
     * [[IndexStore.saveBm25Index]] (postings bucketed + sorted by token:
     * a query-term filter prunes parquet row groups by the token min/max,
     * so scoring a term set reads the matching slivers of the index and
@@ -92,8 +92,64 @@ object Relevance {
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
       .groupBy("token", "doc_id", "dl")
       .agg(count(lit(1)).cast("double").as("tf"))
-    val stats = withDl.agg(count(lit(1)).as("n_docs"),
-                           avg("dl").as("avgdl"))
+    Bm25Index(postings, corpusStats(withDl))
+  }
+
+  /** The one-row (n_docs, sum_dl, avgdl) stats aggregate shared by the
+    * one-shot scorer, the index build, and the index roll. `sum_dl` is
+    * the SUFFICIENT statistic that makes the roll exact: avgdl is
+    * always the exact long Σdl divided once by the exact count, so a
+    * merged index's avgdl is bit-identical to a rebuilt one's (avg() on
+    * doubles would be summation-order-dependent and unrecoverable from
+    * a stored average).
+    */
+  private def corpusStats(withDl: DataFrame): DataFrame =
+    withDl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") /
+                             col("n_docs").cast("double"))
+
+  /** ROLL a persisted [[Bm25Index]] forward with a delta batch — the
+    * daily index-maintenance job the indexed-retrieval steady state
+    * needs (the [[Dedup.mergeFingerprintIndex]] pattern, q144's
+    * invariant applied to this index): tokenize ONLY the delta, upsert
+    * its postings, and merge the stats as (n_docs, Σdl) sufficient
+    * statistics. Docs re-ingested in the delta REPLACE their base
+    * postings and stats contribution, so re-rolling the same delta is a
+    * no-op and the result equals [[bm25Index]] rebuilt from scratch
+    * over (base corpus ∖ delta ids) ∪ delta — RelevanceSpec pins both,
+    * and q147's oracle replays the rebuild on real data.
+    *
+    * Scale shape: delta tokenization is O(delta) row-local work; the
+    * delta id set broadcasts into an anti-join (replaced postings out)
+    * and a semi-join + distinct-doc agg (their stats contribution out)
+    * over the token-bucketed base postings — index-cost scans, never a
+    * corpus re-scan; corpus text behind the base index is not touched.
+    * Re-bucketing happens at save time exactly as for a fresh build.
+    */
+  def mergeBm25Index(base: Bm25Index, delta: DataFrame, idCol: String,
+                     textCol: String): Bm25Index = {
+    val d = bm25Index(delta, idCol, textCol)
+    val deltaIds = delta.select(col(idCol).as("doc_id")).distinct()
+    val postings = base.postings
+      .join(broadcast(deltaIds), Seq("doc_id"), "left_anti")
+      .select("token", "doc_id", "dl", "tf")
+      .unionByName(d.postings.select("token", "doc_id", "dl", "tf"))
+    // stats contribution of the docs the delta replaces (empty on a
+    // pure append): one (doc_id, dl) row per overlapping doc
+    val removed = base.postings
+      .join(broadcast(deltaIds), Seq("doc_id"), "left_semi")
+      .select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("r_n"),
+           coalesce(sum("dl"), lit(0L)).as("r_sum"))
+    val stats = base.stats
+      .select(col("n_docs").as("b_n"), col("sum_dl").as("b_sum"))
+      .crossJoin(d.stats.select(col("n_docs").as("d_n"),
+                                col("sum_dl").as("d_sum")))
+      .crossJoin(removed)
+      .select((col("b_n") - col("r_n") + col("d_n")).as("n_docs"),
+              (col("b_sum") - col("r_sum") + col("d_sum")).as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") /
+                             col("n_docs").cast("double"))
     Bm25Index(postings, stats)
   }
 

@@ -1932,6 +1932,39 @@ object LlmQueries {
   }
   private val q144Saved = new graft.SavedOnce[String, String]
 
+  /** BM25 postings-index ROLL ([[Relevance.mergeBm25Index]] — q144's
+    * merged-equals-rebuilt invariant applied to the q143 index, the
+    * day-two job a q143 user hits first): the base index over the
+    * `doc_id % 5 ≠ 4` corpus slice is built + persisted once, the
+    * `% 5 = 4` delta is merged in at delta-plus-index cost (only the
+    * delta is tokenized; the base corpus text is never re-scanned), and
+    * the ROLLED index is persisted, read back, and scored against q86's
+    * term set. The oracle replays a FROM-SCRATCH index over the WHOLE
+    * corpus (q86's SQL verbatim), so hash-green means the roll is
+    * exactly a rebuild — including avgdl, which merges as the
+    * (n_docs, Σdl) sufficient statistics.
+    */
+  def q147Bm25Roll(spark: SparkSession, dir: String): DataFrame = {
+    val name = q147Saved.getOrElseUpdate(dir, {
+      val docs = Tables.documents(spark, dir)
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = "graft_bm25_q147_base_" + safe
+      IndexStore.saveBm25Index(
+        Relevance.bm25Index(docs.filter(col("doc_id") % 5 =!= 4),
+                            "doc_id", "text"), base)
+      val rolled = Relevance.mergeBm25Index(
+        IndexStore.loadBm25Index(spark, base),
+        docs.filter(col("doc_id") % 5 === 4), "doc_id", "text")
+      val merged = "graft_bm25_q147_merged_" + safe
+      IndexStore.saveBm25Index(rolled, merged)
+      merged
+    })
+    Relevance.bm25ScoresWithIndex(IndexStore.loadBm25Index(spark, name),
+                                  terms = Seq("vector", "stream", "merge"))
+      .orderBy("doc_id")
+  }
+  private val q147Saved = new graft.SavedOnce[String, String]
+
   /** Curation funnel v2 — the round-9 gates composed end-to-end, the
     * q70 proof repeated for the NEW operators: blocklist gate (≤ 2%
     * spam-marker ratio) → script/encoding hygiene gate (no mojibake, no
@@ -2289,6 +2322,7 @@ object LlmQueries {
     "q144_index_merge"      -> (q144IndexMerge(_, _)),
     "q145_funnel_v2"        -> (q145FunnelV2(_, _)),
     "q146_cluster_stats"    -> (q146ClusterStats(_, _)),
+    "q147_bm25_roll"        -> (q147Bm25Roll(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -3282,6 +3316,13 @@ object LlmQueries {
     // identical semantics to q86 — the indexed path must be
     // byte-identical to the one-shot scorer
     "q143_bm25_indexed" ->
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |       round(sum(term_score), 6) AS bm25
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the rolled (base ∪ delta) index must score byte-identically to a
+    // from-scratch index over the whole corpus — q86's replay again
+    "q147_bm25_roll" ->
       s"""WITH $bm25Ctes
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
          |       round(sum(term_score), 6) AS bm25

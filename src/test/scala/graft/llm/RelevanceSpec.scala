@@ -106,4 +106,48 @@ class RelevanceSpec extends SparkSpec {
              s"expected the term filter pushed into the postings scan:\n$plan")
     } finally IndexStore.drop(spark, name)
   }
+
+  private def indexRows(idx: Relevance.Bm25Index) = {
+    val p = idx.postings.select("token", "doc_id", "dl", "tf")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                           r.getDouble(3))).toSet
+    val s = idx.stats.select("n_docs", "sum_dl", "avgdl")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    (p, s)
+  }
+
+  test("mergeBm25Index: rolling a delta in equals a from-scratch rebuild " +
+       "(postings AND the avgdl sufficient statistics), and re-rolling " +
+       "the same delta is a no-op") {
+    import graft.sources.Tables
+    val docs  = Tables.documents(spark, sf0001)
+    val base  = docs.filter(col("doc_id") % 3 =!= 2)
+    val delta = docs.filter(col("doc_id") % 3 === 2)
+    val merged  = Relevance.mergeBm25Index(
+      Relevance.bm25Index(base, "doc_id", "text"), delta, "doc_id", "text")
+    val rebuilt = Relevance.bm25Index(docs, "doc_id", "text")
+    assert(indexRows(merged) == indexRows(rebuilt),
+           "merged index must equal the from-scratch rebuild exactly")
+    val rerolled = Relevance.mergeBm25Index(merged, delta, "doc_id", "text")
+    assert(indexRows(rerolled) == indexRows(rebuilt),
+           "re-rolling the same delta must be a no-op")
+  }
+
+  test("mergeBm25Index: a re-ingested doc REPLACES its base postings and " +
+       "stats contribution (upsert, not double-count)") {
+    import spark.implicits._
+    val base = Seq((1L, "spark streams data"),
+                   (2L, "old text here")).toDF("doc_id", "text")
+    val delta = Seq((2L, "completely new and longer replacement text"),
+                    (3L, "spark again")).toDF("doc_id", "text")
+    val merged = Relevance.mergeBm25Index(
+      Relevance.bm25Index(base, "doc_id", "text"), delta, "doc_id", "text")
+    val expected = Relevance.bm25Index(
+      Seq((1L, "spark streams data"),
+          (2L, "completely new and longer replacement text"),
+          (3L, "spark again")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(indexRows(merged) == indexRows(expected),
+           "delta docs must replace, not add to, their base postings")
+  }
 }
