@@ -103,6 +103,7 @@ object SparkEntry {
     "q144_index_merge",
     "q145_funnel_v2",
     "q146_cluster_stats",
-    "q147_bm25_roll"
+    "q147_bm25_roll",
+    "q148_ann_recall_multi"
   )
 }

@@ -1794,22 +1794,46 @@ object LlmQueries {
   }
 
   /** [[q140AnnRecall]]'s recall join over explicit corpus/query frames
-    * (also the spec entry).
+    * (also the spec entry): the single-ranker LSH form of
+    * [[annRecallReport]], kept for q140's original shape.
     */
   def annRecallFrames(corpus: DataFrame, queries: DataFrame,
-                      k: Int, dim: Int, nBits: Int): DataFrame = {
+                      k: Int, dim: Int, nBits: Int): DataFrame =
+    annRecallReport(corpus, queries, k,
+      Seq("lsh" -> Similarity.lshTopK(corpus, queries, k, dim, nBits)))
+      .drop("ranker")
+      .orderBy("query_id")
+
+  /** Recall@k of NAMED approximate rankings against the exact cosine
+    * ranking — the accept-or-rebuild decision table: the competing
+    * indexes' numbers side by side, computed against the same exact
+    * top-k. Each `approx` frame is a (query_id, corpus_id, …) top-k
+    * ranking, typically from a PERSISTED index
+    * ([[Similarity.lshTopKWithIndex]] /
+    * [[Similarity.ivfTopKWithIndex]]). The exact ranking (the only
+    * corpus-scale pass) materializes once and is reused by every
+    * ranker's recall join, each of which touches k×queries rows.
+    */
+  def annRecallReport(corpus: DataFrame, queries: DataFrame, k: Int,
+                      approx: Seq[(String, DataFrame)]): DataFrame = {
+    require(approx.nonEmpty, "at least one approximate ranking required")
     val exact = Similarity.bruteForceTopK(corpus, queries, k)
       .select("query_id", "corpus_id")
-    val approx = Similarity.lshTopK(corpus, queries, k, dim, nBits)
-      .select(col("query_id"), col("corpus_id"), lit(1).as("__hit"))
-    exact.join(approx, Seq("query_id", "corpus_id"), "left")
-      .groupBy("query_id")
-      .agg(count(lit(1)).as("n_exact"),
-           sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
-      .withColumn("recall_x1000",
-                  floor(col("n_hit") * 1000L /
-                          greatest(col("n_exact"), lit(1L))).cast("long"))
-      .orderBy("query_id")
+      .transform(graft.Materialize(_))
+    approx.map { case (name, a) =>
+      exact.join(a.select(col("query_id"), col("corpus_id"),
+                          lit(1).as("__hit")),
+                 Seq("query_id", "corpus_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"),
+             sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+        .withColumn("recall_x1000",
+                    floor(col("n_hit") * 1000L /
+                            greatest(col("n_exact"), lit(1L))).cast("long"))
+        .withColumn("ranker", lit(name))
+    }.reduce(_.unionByName(_))
+      .select("ranker", "query_id", "n_exact", "n_hit", "recall_x1000")
+      .orderBy("ranker", "query_id")
   }
 
   /** Epoch-expanded training mixture ([[QualityFilters.epochSchedule]]'s
@@ -1964,6 +1988,49 @@ object LlmQueries {
       .orderBy("doc_id")
   }
   private val q147Saved = new graft.SavedOnce[String, String]
+
+  /** ANN recall side by side ([[annRecallReport]]): LSH (q140's exact
+    * configuration) and IVF (q45's) recall@10 against the exact cosine
+    * ranking, BOTH computed from their PERSISTED indexes — the
+    * accept-or-rebuild decision table q140 motivates. q140 honestly
+    * reports LSH recall low on the near-random driver embeddings; this
+    * report puts the competing index's number beside it so the rebuild
+    * decision is data, not guesswork (SimilaritySpec pins IVF ≥ LSH on
+    * the clustered corpus through the same report). The IVF half
+    * replays in DuckDB with the fitted centroids inlined as literals
+    * (the q45 pattern); the LSH half replays via the hyperplane SQL
+    * (the q140 pattern).
+    */
+  def q148AnnRecallMulti(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val (lshName, ivfName) = q148Saved.getOrElseUpdate(dir, {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val ln = "graft_lsh_q148_" + safe
+      IndexStore.saveLshIndex(Similarity.lshIndex(emb, dim = 64, nBits = 6),
+                              ln)
+      val iv = "graft_ivf_q148_" + safe
+      IndexStore.saveIvfIndex(Similarity.ivfIndex(emb, nCells = 16,
+                                                  seed = 42L), iv)
+      (ln, iv)
+    })
+    val ivfIdx = IndexStore.loadIvfIndex(spark, ivfName)
+    q148CentroidRows = ivfIdx.centroids
+      .orderBy("cell").collect()
+      .map { r =>
+        val cs = r.getSeq[Double](1).map(_.toString).mkString(", ")
+        s"(${r.getInt(0)}, [$cs])"
+      }
+      .mkString(",\n  ")
+    annRecallReport(emb, queries, k = 10, Seq(
+      "ivf" -> Similarity.ivfTopKWithIndex(ivfIdx, queries, k = 10,
+                                           nProbe = 3),
+      "lsh" -> Similarity.lshTopKWithIndex(
+        IndexStore.loadLshIndex(spark, lshName), queries, k = 10,
+        dim = 64, nBits = 6)))
+  }
+  private val q148Saved = new graft.SavedOnce[String, (String, String)]
+  @volatile private var q148CentroidRows: String = ""
 
   /** Curation funnel v2 — the round-9 gates composed end-to-end, the
     * q70 proof repeated for the NEW operators: blocklist gate (≤ 2%
@@ -2323,6 +2390,7 @@ object LlmQueries {
     "q145_funnel_v2"        -> (q145FunnelV2(_, _)),
     "q146_cluster_stats"    -> (q146ClusterStats(_, _)),
     "q147_bm25_roll"        -> (q147Bm25Roll(_, _)),
+    "q148_ann_recall_multi" -> (q148AnnRecallMulti(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -2858,6 +2926,92 @@ object LlmQueries {
        |    AS oversize_bins,
        |  round(avg(least(fill, 256) / 256.0), 4) AS avg_fill
        |FROM bins""".stripMargin
+
+  /** DuckDB replay of q148: the q140 LSH-recall SQL and the q45
+    * IVF-probe SQL (fitted centroids inlined as literals) each reduced
+    * to per-query recall rows against the SAME exact top-10, unioned
+    * under their ranker names. Non-empty only after [[q148AnnRecallMulti]]
+    * has run in this process (the Verify order).
+    */
+  private def q148OracleSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |exq AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |        WHERE vec_id < 5),
+       |exs AS (SELECT query_id, e.vec_id AS corpus_id,
+       |          list_cosine_similarity(qv, v) AS cos
+       |        FROM exq CROSS JOIN e WHERE e.vec_id <> query_id),
+       |ex AS (SELECT query_id, corpus_id FROM (
+       |         SELECT query_id, corpus_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cos DESC, corpus_id) AS rank
+       |         FROM exs) WHERE rank <= 10),
+       |b AS (SELECT vec_id, v,
+       |        CAST(${lshBucketSql(6)} AS BIGINT) AS bucket FROM e),
+       |qq AS (SELECT vec_id AS query_id, v AS qv, bucket
+       |       FROM b WHERE vec_id < 5),
+       |p AS (SELECT query_id, qv,
+       |        unnest([bucket, xor(bucket, CAST(1 AS BIGINT)),
+       |                xor(bucket, CAST(2 AS BIGINT)),
+       |                xor(bucket, CAST(4 AS BIGINT)),
+       |                xor(bucket, CAST(8 AS BIGINT)),
+       |                xor(bucket, CAST(16 AS BIGINT)),
+       |                xor(bucket, CAST(32 AS BIGINT))]) AS probe
+       |      FROM qq),
+       |cand AS (
+       |  SELECT p.query_id, b.vec_id AS corpus_id,
+       |         list_cosine_similarity(p.qv, b.v) AS cos
+       |  FROM p JOIN b ON b.bucket = p.probe AND b.vec_id <> p.query_id),
+       |ar AS (SELECT query_id, corpus_id FROM (
+       |         SELECT query_id, corpus_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cos DESC, corpus_id) AS rank
+       |         FROM cand) WHERE rank <= 10),
+       |lhit AS (
+       |  SELECT ex.query_id,
+       |    CASE WHEN ar.corpus_id IS NOT NULL THEN 1 ELSE 0 END AS h
+       |  FROM ex LEFT JOIN ar
+       |    ON ex.query_id = ar.query_id AND ex.corpus_id = ar.corpus_id),
+       |lrec AS (
+       |  SELECT 'lsh' AS ranker, query_id, count(*) AS n_exact,
+       |    CAST(sum(h) AS BIGINT) AS n_hit,
+       |    CAST(floor(sum(h) * 1000 / greatest(count(*), 1)) AS BIGINT)
+       |      AS recall_x1000
+       |  FROM lhit GROUP BY query_id),
+       |c(cell, cv) AS (VALUES
+       |  $q148CentroidRows),
+       |a AS (SELECT vec_id AS corpus_id, v AS cvec, cell
+       |      FROM e CROSS JOIN c
+       |      QUALIFY row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY list_distance(v, cv) ASC, cell ASC) = 1),
+       |qp AS (SELECT query_id, qv, cell
+       |       FROM exq CROSS JOIN c
+       |       QUALIFY row_number() OVER (PARTITION BY query_id
+       |           ORDER BY list_cosine_similarity(qv, cv) DESC, cell ASC)
+       |           <= 3),
+       |icand AS (SELECT qp.query_id, a.corpus_id,
+       |                 list_cosine_similarity(qp.qv, a.cvec) AS cos
+       |          FROM qp JOIN a USING (cell)
+       |          WHERE a.corpus_id <> qp.query_id),
+       |iar AS (SELECT query_id, corpus_id FROM (
+       |          SELECT query_id, corpus_id,
+       |            row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, corpus_id) AS rank
+       |          FROM icand) WHERE rank <= 10),
+       |ihit AS (
+       |  SELECT ex.query_id,
+       |    CASE WHEN iar.corpus_id IS NOT NULL THEN 1 ELSE 0 END AS h
+       |  FROM ex LEFT JOIN iar
+       |    ON ex.query_id = iar.query_id AND ex.corpus_id = iar.corpus_id),
+       |irec AS (
+       |  SELECT 'ivf' AS ranker, query_id, count(*) AS n_exact,
+       |    CAST(sum(h) AS BIGINT) AS n_hit,
+       |    CAST(floor(sum(h) * 1000 / greatest(count(*), 1)) AS BIGINT)
+       |      AS recall_x1000
+       |  FROM ihit GROUP BY query_id)
+       |SELECT * FROM irec UNION ALL SELECT * FROM lrec
+       |ORDER BY ranker, query_id""".stripMargin
 
   def oracleSql: Map[String, String] = (
     // q59's oracle inlines a captured doc→bin assignment; if the capture
@@ -3956,6 +4110,7 @@ object LlmQueries {
          |  CAST(floor(sum(h) * 1000 / greatest(count(*), 1)) AS BIGINT)
          |    AS recall_x1000
          |FROM hit GROUP BY query_id ORDER BY query_id""".stripMargin,
+    "q148_ann_recall_multi" -> q148OracleSql,
     "q141_epoch_expand" ->
       """WITH s AS (
         |  SELECT source,

@@ -233,6 +233,28 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 900L, s"clustered-corpus mean recall $mean < 900")
   }
 
+  test("annRecallReport: IVF and LSH side by side from the same exact " +
+       "top-k; IVF ≥ LSH on the clustered corpus") {
+    val corpus  = clustered
+    val queries = corpus.filter(col("vec_id") < 20)
+    val rows = graft.operators.LlmQueries.annRecallReport(
+      corpus, queries, k = 5, Seq(
+        "ivf" -> Similarity.ivfTopK(corpus, queries, k = 5, nCells = 16,
+                                    nProbe = 3),
+        "lsh" -> Similarity.lshTopK(corpus, queries, k = 5, dim = 16,
+                                    nBits = 8)))
+      .collect()
+    assert(rows.length == 40, "one row per (ranker, query)")
+    val byRanker = rows.groupBy(_.getAs[String]("ranker"))
+      .view.mapValues(rs =>
+        rs.map(_.getAs[Long]("recall_x1000")).sum / rs.length).toMap
+    assert(byRanker.keySet == Set("ivf", "lsh"))
+    assert(byRanker("ivf") >= byRanker("lsh"),
+           s"IVF must not lose to LSH on the clustered corpus: $byRanker")
+    assert(byRanker("ivf") >= 900L,
+           s"clustered-corpus IVF mean recall ${byRanker("ivf")} < 900")
+  }
+
   test("kNN label vote: perfect on cluster-labeled embeddings, majority/tie rules exact") {
     import spark.implicits._
     // label = cluster id on the clustered corpus -> 5-NN vote must be
