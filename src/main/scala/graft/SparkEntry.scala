@@ -104,6 +104,7 @@ object SparkEntry {
     "q145_funnel_v2",
     "q146_cluster_stats",
     "q147_bm25_roll",
-    "q148_ann_recall_multi"
+    "q148_ann_recall_multi",
+    "q150_union_split"
   )
 }

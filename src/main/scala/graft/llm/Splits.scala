@@ -77,6 +77,30 @@ object Splits {
       .agg(countDistinct("split").as("n_splits"))
       .filter(col("n_splits") > 1)
 
+  /** Similarity PAIRS whose endpoints were assigned different splits —
+    * the CROSS-FAMILY leak audit. [[splitLeakage]] only checks that the
+    * clustering the split was keyed on doesn't straddle; a SECOND
+    * similarity structure (e.g. SemDeDup cosine pairs over a
+    * MinHash-keyed split) can still link a train doc to a test doc.
+    * Feed that structure's pairs here: empty output iff the split
+    * respects the pair graph; otherwise split on the union closure of
+    * both edge sets (q150). `assigned` is (doc_id, split, …); `pairs`
+    * is (doc_a, doc_b, …).
+    *
+    * Scale shape: two id-keyed equi-joins of the pair list against the
+    * (doc_id, split) projection — no text, no vectors, no closure.
+    */
+  def pairLeakage(assigned: DataFrame, pairs: DataFrame): DataFrame = {
+    val s = assigned.select(col("doc_id"), col("split"))
+    pairs.select(col("doc_a"), col("doc_b"))
+      .join(s.select(col("doc_id").as("doc_a"),
+                     col("split").as("split_a")), Seq("doc_a"))
+      .join(s.select(col("doc_id").as("doc_b"),
+                     col("split").as("split_b")), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b", "split_a", "split_b")
+  }
+
   /** The CASE expression of [[clusterAwareSplit]] as DuckDB SQL over a
     * `cluster_id` column — inlines the SAME thresholds, for oracles.
     */

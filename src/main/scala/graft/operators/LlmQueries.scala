@@ -2032,6 +2032,40 @@ object LlmQueries {
   private val q148Saved = new graft.SavedOnce[String, (String, String)]
   @volatile private var q148CentroidRows: String = ""
 
+  /** Leakage-safe split on the UNION closure of BOTH similarity
+    * structures ([[Splits]] + [[Dedup.clustersFromEdges]]): q97 splits
+    * on MinHash clusters, but a SemDeDup cosine pair (q88) can still
+    * link a train doc to a test doc through the embedding space —
+    * [[Splits.pairLeakage]] is the audit that catches it. This query
+    * closes the hole: connected components over the union of the dedup
+    * job's PERSISTED verified MinHash pairs and the within-cell
+    * semantic pairs from q88's PERSISTED IVF index, then the same
+    * 0.8/0.1/0.1 cluster-keyed split. By construction no MinHash pair
+    * AND no semantic pair straddles train/test (SplitsSpec pins both
+    * audits empty). FULLY oracle-checked: the MinHash edges replay via
+    * the q97 CTE chain, the semantic edges via the fitted-centroid
+    * literals (q88's pattern), and the union closure via the same
+    * recursive CTE.
+    *
+    * Scale shape: both edge lists are the PERSISTED artifacts of jobs
+    * already run (zero re-dedup, zero re-fit); the union is a narrow
+    * id-pair relation and the closure is the audited contraction loop
+    * with its ≤1M-edge driver endgame and distributed branch.
+    */
+  def q150UnionSplit(spark: SparkSession, dir: String): DataFrame = {
+    val (mhPairs, _) = dupArtifacts(spark, dir)
+    val sem = Dedup.semanticPairs(q88Index(spark, dir), threshold = 0.25)
+    val edges = mhPairs.select(col("doc_a"), col("doc_b"))
+      .unionByName(sem.select(col("doc_a"), col("doc_b")))
+      .distinct()
+    val clusters = Dedup.clustersFromEdges(
+      Tables.documents(spark, dir).select(col("doc_id")), edges)
+    Splits.clusterAwareSplit(
+      clusters,
+      splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy("doc_id")
+  }
+
   /** Curation funnel v2 — the round-9 gates composed end-to-end, the
     * q70 proof repeated for the NEW operators: blocklist gate (≤ 2%
     * spam-marker ratio) → script/encoding hygiene gate (no mojibake, no
@@ -2225,10 +2259,17 @@ object LlmQueries {
     new graft.SavedOnce[String, String]
   @volatile private var q88CentroidRows: String = ""
 
-  def q88SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+  /** Build-and-save the SemDeDup IVF index once per (process, sf dir);
+    * q88 and the union-closure split (q150) both load it by name and
+    * capture its fitted centroids as oracle literals — one persisted
+    * index feeding the dedup pass AND the leakage audit, the production
+    * reuse shape.
+    */
+  private def q88Index(spark: SparkSession,
+                       dir: String): Similarity.IvfIndex = {
     val name = q88IndexSaved.getOrElseUpdate(dir, {
-      val idx = Similarity.ivfIndex(emb, nCells = 8, seed = 42L)
+      val idx = Similarity.ivfIndex(Tables.embeddings(spark, dir),
+                                    nCells = 8, seed = 42L)
       val n = "graft_idx_q88_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       IndexStore.saveIvfIndex(idx, n)
       n
@@ -2241,6 +2282,12 @@ object LlmQueries {
         s"(${r.getInt(0)}, [$cs])"
       }
       .mkString(",\n  ")
+    index
+  }
+
+  def q88SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val index = q88Index(spark, dir)
     Dedup.semanticDedupWithIndex(index, emb, threshold = 0.25)
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
               col("is_duplicate"))
@@ -2391,6 +2438,7 @@ object LlmQueries {
     "q146_cluster_stats"    -> (q146ClusterStats(_, _)),
     "q147_bm25_roll"        -> (q147Bm25Roll(_, _)),
     "q148_ann_recall_multi" -> (q148AnnRecallMulti(_, _)),
+    "q150_union_split"      -> (q150UnionSplit(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -3012,6 +3060,45 @@ object LlmQueries {
        |  FROM ihit GROUP BY query_id)
        |SELECT * FROM irec UNION ALL SELECT * FROM lrec
        |ORDER BY ranker, query_id""".stripMargin
+
+  /** DuckDB replay of q150: the q97 MinHash edge chain and the q88
+    * semantic-pair SQL (fitted centroids as literals — set by
+    * [[q88Index]], which q150 always calls) UNIONED into one edge set,
+    * closed by the same recursive CTE, split by the same inlined
+    * thresholds.
+    */
+  private def q150OracleSql: String =
+    s"""WITH RECURSIVE
+       |${minhashEdgeCtes("documents", k = 5, numHashes = 32, bands = 8,
+                          threshold = 0.5, maxBucket = 1000)},
+       |ee AS (SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |       FROM embeddings),
+       |c(cell, cv) AS (VALUES
+       |  $q88CentroidRows),
+       |asg AS (SELECT vec_id, v, cell
+       |        FROM ee CROSS JOIN c
+       |        QUALIFY row_number() OVER (PARTITION BY vec_id
+       |            ORDER BY list_distance(v, cv) ASC, cell ASC) = 1),
+       |sed AS (SELECT DISTINCT l.vec_id AS da, r.vec_id AS db
+       |        FROM asg l JOIN asg r
+       |          ON l.cell = r.cell AND l.vec_id < r.vec_id
+       |        WHERE list_cosine_similarity(l.v, r.v) >= 0.25),
+       |alle AS (SELECT da, db FROM ed UNION SELECT da, db FROM sed),
+       |sym AS (SELECT da AS x, db AS y FROM alle
+       |        UNION ALL SELECT db, da FROM alle),
+       |lab(d, l) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT s.y, lab.l FROM lab JOIN sym s ON s.x = lab.d),
+       |cc AS (
+       |  SELECT d AS doc_id, min(l) AS cluster_id,
+       |    d <> min(l) AS is_duplicate
+       |  FROM lab GROUP BY d)
+       |SELECT doc_id, cluster_id,
+       |  ${Splits.splitCaseSql(Seq("train" -> 0.8, "val" -> 0.1,
+                                    "test" -> 0.1))} AS split
+       |FROM cc ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = (
     // q59's oracle inlines a captured doc→bin assignment; if the capture
@@ -4111,6 +4198,7 @@ object LlmQueries {
          |    AS recall_x1000
          |FROM hit GROUP BY query_id ORDER BY query_id""".stripMargin,
     "q148_ann_recall_multi" -> q148OracleSql,
+    "q150_union_split" -> q150OracleSql,
     "q141_epoch_expand" ->
       """WITH s AS (
         |  SELECT source,

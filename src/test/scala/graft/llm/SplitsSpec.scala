@@ -72,4 +72,38 @@ class SplitsSpec extends SparkSpec {
     // sanity: clustering actually merged the variants
     assert(clusters.filter(col("is_duplicate")).count() > 0)
   }
+
+  test("pairLeakage: flags exactly the pairs whose endpoints straddle " +
+       "splits; empty when the split respects the pair graph") {
+    import spark.implicits._
+    val assigned = Seq((1L, 10L, "train"), (2L, 10L, "train"),
+                       (3L, 30L, "test"), (4L, 30L, "test"))
+      .toDF("doc_id", "cluster_id", "split")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val leaks = Splits.pairLeakage(assigned, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(leaks == Set((2L, 3L)),
+           s"only the straddling pair must be flagged: $leaks")
+    val aligned = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    assert(Splits.pairLeakage(assigned, aligned).count() == 0)
+  }
+
+  test("union-closure split (q150): BOTH the minhash and the semantic " +
+       "pair audits are empty on the real corpus") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf0001)
+    val emb  = Tables.embeddings(spark, sf0001)
+    val assigned = graft.operators.LlmQueries
+      .queries("q150_union_split")(spark, sf0001)
+    assert(Splits.splitLeakage(assigned).count() == 0)
+    val mhPairs = Dedup.minhashCandidatePairsPortable(
+      docs, "doc_id", "text",
+      k = 5, numHashes = 32, bands = 8, threshold = 0.5)
+    assert(Splits.pairLeakage(assigned, mhPairs).count() == 0,
+           "no verified minhash pair may straddle the union split")
+    val semPairs = Dedup.semanticPairs(
+      Similarity.ivfIndex(emb, nCells = 8, seed = 42L), threshold = 0.25)
+    assert(Splits.pairLeakage(assigned, semPairs).count() == 0,
+           "no semantic pair may straddle the union split")
+  }
 }
