@@ -105,6 +105,7 @@ object SparkEntry {
     "q146_cluster_stats",
     "q147_bm25_roll",
     "q148_ann_recall_multi",
+    "q149_release_build",
     "q150_union_split"
   )
 }

@@ -2066,6 +2066,141 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Release endgame — "BUILD THE RELEASE" as ONE oracle-checked query,
+    * the closest local twin of the actual 100 TB job: funnel v2's
+    * hygiene gates (blocklist → script/encoding → per-domain cap) →
+    * keep-best MinHash dedup (q85) → SURGICAL decontamination against
+    * the held-out eval slice (q91 — leaked spans excised, not whole
+    * docs dropped) → mixture token budget (q96's allocator over the
+    * CLEANED text) → shard assignment (q77) → Merkle digest (q102) +
+    * dataset card (q81), with q82-style per-doc lineage. Output is one
+    * tall (kind, k1, k2, v) string relation carrying ALL release
+    * artifacts — funnel counts, per-doc lineage, per-doc shard
+    * assignment, the bucket+root digest tree, and the per-(source,
+    * lang) card — so the whole composition hash-checks as a unit: the
+    * oracle replays every stage IN SEQUENCE (including the recursive
+    * dedup closure over the capped subset and the span excision whose
+    * output feeds the budget, shards, digest, and card).
+    *
+    * Scale shape: each stage keeps its audited standalone plan (the
+    * stages are the q133/q139/q132/q85/q91/q96/q77/q102/q81 operators
+    * applied to successively smaller frames); stage frames materialize
+    * once and feed BOTH their funnel count and the next stage (the
+    * q70/q145 checkpoint pattern). Only the dedup, cap, budget, and
+    * shard stages shuffle; every v-value is an integer or md5 string,
+    * so the report is engine-portable by construction.
+    */
+  def q149ReleaseBuild(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "lang", "text")
+    val eval = docs.filter(col("doc_id") % 10 === 3)
+      .select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 10 =!= 3)
+    val s1 = base
+      .withColumn("__t", Dedup.wordTokens(col("text")))
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .withColumn("__bh", TextAnalysis.blocklistHits(col("__t"))
+                            .cast("long"))
+      .filter(col("__n") === 0 ||
+                floor(col("__bh").cast("double") / col("__n") * 1e6d +
+                        0.5d) / 1e6d <= 0.02)
+      .select("doc_id", "source", "lang", "text")
+      .transform(graft.Materialize(_))
+    val keep2 = scriptAnomalyFrames(s1)
+      .filter(col("repl_chars") === 0 && col("ctrl_chars") === 0 &&
+                !col("mixed_script"))
+      .select("doc_id")
+    val s2 = s1.join(keep2, Seq("doc_id")).transform(graft.Materialize(_))
+    val s3 = QualityFilters.domainCap(
+      s2.withColumn("__q", TextAnalysis.qualityScore(col("text"))),
+      "source", "doc_id", "__q", cap = 22)
+      .select("doc_id", "source", "lang", "text")
+      .transform(graft.Materialize(_))
+    val keep4 = Dedup.keepBestByQuality(
+      Dedup.minhashPortable(s3, "doc_id", "text",
+                            k = 5, numHashes = 32, bands = 8,
+                            threshold = 0.5),
+      s3.select(col("doc_id"),
+                TextAnalysis.qualityScore(col("text")).as("q")))
+      .filter(col("keep")).select("doc_id")
+    val s4 = s3.join(keep4, Seq("doc_id")).transform(graft.Materialize(_))
+    val s5 = s4.select("doc_id", "source", "lang")
+      .join(Contamination.exciseContamination(s4, eval, "doc_id", "text",
+                                              n = 6)
+              .filter(col("n_tokens_kept") > 0)
+              .select(col("doc_id"), col("clean_text").as("text")),
+            Seq("doc_id"))
+      .transform(graft.Materialize(_))
+    val keep6 = QualityFilters.mixtureTokenBudget(
+      s5, "doc_id", "text", "source",
+      budgetFraction = 0.5,
+      weights = Map("src0" -> 4L, "src1" -> 3L, "src2" -> 2L),
+      defaultWeight = 1L)
+      .select("doc_id")
+    val s6 = s5.join(keep6, Seq("doc_id")).transform(graft.Materialize(_))
+
+    def vstr(c: org.apache.spark.sql.Column) = c.cast("string")
+    val funnel = Seq(
+      "0_all" -> base, "1_blocklist" -> s1, "2_script_hygiene" -> s2,
+      "3_domain_cap" -> s3, "4_keep_best_dedup" -> s4,
+      "5_decontaminated" -> s5, "6_mixture_budget" -> s6)
+      .map { case (n, df) =>
+        df.agg(count(lit(1)).as("__n"))
+          .select(lit("funnel").as("kind"), lit(n).as("k1"),
+                  lit("").as("k2"), vstr(col("__n")).as("v"))
+      }
+      .reduce(_.unionByName(_))
+    def mark(df: DataFrame, name: String) =
+      df.select(col("doc_id"), lit(true).as(name))
+    val lineage = docs.select("doc_id")
+      .join(mark(s1, "in1"), Seq("doc_id"), "left")
+      .join(mark(s2, "in2"), Seq("doc_id"), "left")
+      .join(mark(s3, "in3"), Seq("doc_id"), "left")
+      .join(mark(s4, "in4"), Seq("doc_id"), "left")
+      .join(mark(s5, "in5"), Seq("doc_id"), "left")
+      .join(mark(s6, "in6"), Seq("doc_id"), "left")
+      .select(lit("lineage").as("kind"), vstr(col("doc_id")).as("k1"),
+              lit("").as("k2"),
+              when(col("doc_id") % 10 === 3, "0_eval_holdout")
+                .when(col("in1").isNull, "1_blocklist")
+                .when(col("in2").isNull, "2_script_hygiene")
+                .when(col("in3").isNull, "3_domain_cap")
+                .when(col("in4").isNull, "4_keep_best_dedup")
+                .when(col("in5").isNull, "5_decontaminated")
+                .when(col("in6").isNull, "6_mixture_budget")
+                .otherwise("retained").as("v"))
+    val assign = Sharding.assignShards(s6, "doc_id", "text", nShards = 8)
+      .select(lit("assign").as("kind"), vstr(col("doc_id")).as("k1"),
+              vstr(col("shard")).as("k2"), vstr(col("pos")).as("v"))
+    val digest = Versioning.corpusDigest(s6, "doc_id", "text", buckets = 64)
+      .select(lit("digest").as("kind"), vstr(col("level")).as("k1"),
+              vstr(col("bucket")).as("k2"), col("digest").as("v"))
+    val cardBase = s6.select(
+      col("source"), col("lang"),
+      TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("toks").as("total_tokens"),
+           sum(floor(col("q") * 10000.0d + 0.5d).cast("long")).as("qsum"))
+      .withColumn("mq",
+                  floor(col("qsum").cast("double") /
+                          col("n_docs").cast("double") + 0.5d).cast("long"))
+      .transform(graft.Materialize(_))
+    val card = cardBase
+      .select(lit("card_docs").as("kind"), col("source").as("k1"),
+              col("lang").as("k2"), vstr(col("n_docs")).as("v"))
+      .unionByName(cardBase.select(
+        lit("card_tokens").as("kind"), col("source").as("k1"),
+        col("lang").as("k2"), vstr(col("total_tokens")).as("v")))
+      .unionByName(cardBase.select(
+        lit("card_quality_x10000").as("kind"), col("source").as("k1"),
+        col("lang").as("k2"), vstr(col("mq")).as("v")))
+    funnel.unionByName(lineage).unionByName(assign)
+      .unionByName(digest).unionByName(card)
+      .orderBy("kind", "k1", "k2", "v")
+  }
+
   /** Curation funnel v2 — the round-9 gates composed end-to-end, the
     * q70 proof repeated for the NEW operators: blocklist gate (≤ 2%
     * spam-marker ratio) → script/encoding hygiene gate (no mojibake, no
@@ -2438,6 +2573,7 @@ object LlmQueries {
     "q146_cluster_stats"    -> (q146ClusterStats(_, _)),
     "q147_bm25_roll"        -> (q147Bm25Roll(_, _)),
     "q148_ann_recall_multi" -> (q148AnnRecallMulti(_, _)),
+    "q149_release_build"    -> (q149ReleaseBuild(_, _)),
     "q150_union_split"      -> (q150UnionSplit(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
@@ -3099,6 +3235,224 @@ object LlmQueries {
        |  ${Splits.splitCaseSql(Seq("train" -> 0.8, "val" -> 0.1,
                                     "test" -> 0.1))} AS split
        |FROM cc ORDER BY doc_id""".stripMargin
+
+  /** DuckDB replay of the whole q149 release build, every stage composed
+    * in sequence: funnel-v2 hygiene CTEs → the recursive MinHash closure
+    * OVER THE CAPPED SUBSET (minhashPortableCtes("s3")) + the q85
+    * argmax → the q91 span-excision chain whose clean_text feeds → the
+    * q96 budget allocator → the q77 shard router, q102 digest tree, and
+    * q81 card aggregates — all reduced to the same tall
+    * (kind, k1, k2, v) string relation.
+    */
+  private def q149OracleSql: String =
+    s"""WITH RECURSIVE
+       |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3),
+       |base AS (SELECT doc_id, source, lang, text FROM documents
+       |         WHERE doc_id % 10 <> 3),
+       |bt AS (
+       |  SELECT doc_id, source, lang, text,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\W+'),
+       |                x -> len(x) > 0) AS btoks
+       |  FROM base),
+       |s1 AS MATERIALIZED (
+       |  SELECT doc_id, source, lang, text FROM bt
+       |  WHERE len(btoks) = 0
+       |     OR floor(len(list_filter(btoks,
+       |                  x -> list_contains($blockList, x)))
+       |              / CAST(len(btoks) AS DOUBLE) * 1000000 + 0.5)
+       |        / 1000000 <= 0.02),
+       |sa AS (
+       |  SELECT doc_id, source, lang, text,
+       |    len(regexp_extract_all(text, chr(65533))) AS repl,
+       |    len(regexp_extract_all(text,
+       |        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS ctrl,
+       |    (CAST(regexp_matches(text, '[A-Za-z]') AS INTEGER)
+       |       + CAST(regexp_matches(text, '[\\x{0400}-\\x{04FF}]')
+       |              AS INTEGER)
+       |       + CAST(regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]')
+       |              AS INTEGER)) >= 2 AS mixed
+       |  FROM s1),
+       |s2 AS MATERIALIZED (
+       |  SELECT doc_id, source, lang, text FROM sa
+       |  WHERE repl = 0 AND ctrl = 0 AND NOT mixed),
+       |qq AS (SELECT doc_id, source, lang, text, $qualitySql AS q FROM s2),
+       |s3 AS MATERIALIZED (
+       |  SELECT doc_id, source, lang, text FROM (
+       |    SELECT doc_id, source, lang, text,
+       |      row_number() OVER (PARTITION BY source
+       |                         ORDER BY q DESC, doc_id) AS rnk
+       |    FROM qq) WHERE rnk <= 22),
+       |${minhashPortableCtes("s3", k = 5, numHashes = 32, bands = 8,
+                              threshold = 0.5, maxBucket = 1000)},
+       |ql AS (
+       |  SELECT doc_id, CAST(floor(q * 10000.0 + 0.5) AS BIGINT) AS qi
+       |  FROM qq WHERE doc_id IN (SELECT doc_id FROM s3)),
+       |j AS (SELECT cc.doc_id, cc.cluster_id, ql.qi
+       |      FROM cc JOIN ql USING (doc_id)),
+       |mb AS (SELECT cluster_id, max(qi) AS mq FROM j GROUP BY 1),
+       |kept4 AS (SELECT j.cluster_id, min(j.doc_id) AS kept_id
+       |          FROM j JOIN mb ON j.cluster_id = mb.cluster_id
+       |                        AND j.qi = mb.mq
+       |          GROUP BY 1),
+       |s4 AS MATERIALIZED (SELECT s3.* FROM s3
+       |       JOIN (SELECT kept_id FROM kept4) k
+       |         ON s3.doc_id = k.kept_id),
+       |eg AS MATERIALIZED (
+       |  SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS fp
+       |  FROM (
+       |    SELECT unnest(CASE WHEN len(t) < 6
+       |        THEN [array_to_string(t, ' ')]
+       |        ELSE list_transform(generate_series(0, len(t) - 6),
+       |                            i -> array_to_string(t[i+1:i+6], ' '))
+       |      END) AS g
+       |    FROM (SELECT list_filter(
+       |            string_split_regex(lower(trim(text)), '\\W+'),
+       |            x -> len(x) > 0) AS t FROM ev) evt) egr),
+       |trn AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\W+'),
+       |                x -> len(x) > 0) AS t
+       |  FROM s4),
+       |tgr AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS s,
+       |    CAST(least(i + 5, len(t) - 1) AS BIGINT) AS e,
+       |    ('0x' || substr(md5(CASE WHEN len(t) < 6
+       |        THEN array_to_string(t, ' ')
+       |        ELSE array_to_string(t[i+1:i+6], ' ') END),
+       |      1, 15))::BIGINT AS fp
+       |  FROM trn, LATERAL unnest(
+       |      CASE WHEN len(t) < 6 THEN [CAST(0 AS BIGINT)]
+       |           ELSE generate_series(0, len(t) - 6) END) AS u(i)),
+       |hits AS (SELECT tgr.doc_id, tgr.s, tgr.e FROM tgr
+       |         JOIN eg USING (fp)),
+       |wnd AS (
+       |  SELECT doc_id, s, e,
+       |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING
+       |                          AND 1 PRECEDING) AS pe
+       |  FROM hits),
+       |isl AS (
+       |  SELECT doc_id, s, e,
+       |    sum(CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY s, e
+       |            ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM wnd),
+       |spn AS (
+       |  SELECT doc_id, min(s) AS ss, max(e) AS se
+       |  FROM isl GROUP BY doc_id, island),
+       |tk AS (
+       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, t[u.i] AS token
+       |  FROM trn, LATERAL unnest(generate_series(1, len(t))) AS u(i)),
+       |mk AS (
+       |  SELECT tk.doc_id, tk.pos, tk.token, spn.ss
+       |  FROM tk LEFT JOIN spn
+       |    ON tk.doc_id = spn.doc_id AND tk.pos BETWEEN spn.ss AND spn.se),
+       |ag AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    array_to_string(list(token ORDER BY pos), ' ') AS clean_text
+       |  FROM mk WHERE ss IS NULL GROUP BY doc_id),
+       |s5 AS MATERIALIZED (SELECT s4.doc_id, s4.source, s4.lang, ag.clean_text AS text
+       |       FROM s4 JOIN ag USING (doc_id)),
+       |ms AS (
+       |  SELECT doc_id, source,
+       |    len(string_split_regex(trim(text), '\\s+')) AS toks,
+       |    $qualitySql AS q,
+       |    CAST(CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 3
+       |         WHEN 'src2' THEN 2 ELSE 1 END AS BIGINT) AS w
+       |  FROM s5),
+       |mtot AS (SELECT sum(toks) AS total_toks FROM ms),
+       |mws AS (SELECT CAST(sum(w) AS BIGINT) AS w_sum
+       |        FROM (SELECT DISTINCT source, w FROM ms)),
+       |mc AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(floor(total_toks * CAST(0.5 AS DOUBLE) * w / w_sum)
+       |         AS BIGINT) AS src_budget,
+       |    CAST(sum(toks) OVER (PARTITION BY source
+       |           ORDER BY q DESC, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |         AS BIGINT) AS cum_toks
+       |  FROM ms, mtot, mws),
+       |s6 AS MATERIALIZED (SELECT s5.* FROM s5
+       |       JOIN (SELECT doc_id FROM mc WHERE cum_toks <= src_budget) kk
+       |       USING (doc_id)),
+       |shardp AS MATERIALIZED (
+       |  SELECT doc_id, shard,
+       |    CAST(row_number() OVER (PARTITION BY shard
+       |                            ORDER BY kk, doc_id) - 1 AS BIGINT)
+       |      AS pos
+       |  FROM (SELECT doc_id, md5(text) AS kk,
+       |          ('0x' || substr(md5(text), 1, 15))::BIGINT % 8 AS shard
+       |        FROM s6)),
+       |lf AS (
+       |  SELECT md5(CAST(doc_id AS VARCHAR) || ':' || text) AS leaf
+       |  FROM s6),
+       |bk2 AS (
+       |  SELECT leaf,
+       |    (('0x' || substr(md5(leaf), 1, 15))::BIGINT) % 64 AS bucket
+       |  FROM lf),
+       |l1 AS (
+       |  SELECT bucket, md5(string_agg(leaf, '' ORDER BY leaf)) AS digest
+       |  FROM bk2 GROUP BY bucket),
+       |rt AS (
+       |  SELECT md5(string_agg(digest, '' ORDER BY bucket)) AS digest
+       |  FROM l1),
+       |cardb AS MATERIALIZED (
+       |  SELECT source, lang, count(*) AS n_docs,
+       |    CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+       |         AS BIGINT) AS total_tokens,
+       |    CAST(floor(CAST(sum(CAST(floor($qualitySql * 10000.0 + 0.5)
+       |                             AS BIGINT)) AS DOUBLE)
+       |               / count(*) + 0.5) AS BIGINT) AS mq
+       |  FROM s6 GROUP BY source, lang)
+       |SELECT kind, k1, k2, v FROM (
+       |  SELECT 'funnel' AS kind, '0_all' AS k1, '' AS k2,
+       |    CAST(count(*) AS VARCHAR) AS v FROM base
+       |  UNION ALL SELECT 'funnel', '1_blocklist', '',
+       |    CAST(count(*) AS VARCHAR) FROM s1
+       |  UNION ALL SELECT 'funnel', '2_script_hygiene', '',
+       |    CAST(count(*) AS VARCHAR) FROM s2
+       |  UNION ALL SELECT 'funnel', '3_domain_cap', '',
+       |    CAST(count(*) AS VARCHAR) FROM s3
+       |  UNION ALL SELECT 'funnel', '4_keep_best_dedup', '',
+       |    CAST(count(*) AS VARCHAR) FROM s4
+       |  UNION ALL SELECT 'funnel', '5_decontaminated', '',
+       |    CAST(count(*) AS VARCHAR) FROM s5
+       |  UNION ALL SELECT 'funnel', '6_mixture_budget', '',
+       |    CAST(count(*) AS VARCHAR) FROM s6
+       |  UNION ALL
+       |  SELECT 'lineage', CAST(d.doc_id AS VARCHAR), '',
+       |    CASE WHEN d.doc_id % 10 = 3 THEN '0_eval_holdout'
+       |         WHEN m1.doc_id IS NULL THEN '1_blocklist'
+       |         WHEN m2.doc_id IS NULL THEN '2_script_hygiene'
+       |         WHEN m3.doc_id IS NULL THEN '3_domain_cap'
+       |         WHEN m4.doc_id IS NULL THEN '4_keep_best_dedup'
+       |         WHEN m5.doc_id IS NULL THEN '5_decontaminated'
+       |         WHEN m6.doc_id IS NULL THEN '6_mixture_budget'
+       |         ELSE 'retained' END
+       |  FROM documents d
+       |  LEFT JOIN (SELECT doc_id FROM s1) m1 ON d.doc_id = m1.doc_id
+       |  LEFT JOIN (SELECT doc_id FROM s2) m2 ON d.doc_id = m2.doc_id
+       |  LEFT JOIN (SELECT doc_id FROM s3) m3 ON d.doc_id = m3.doc_id
+       |  LEFT JOIN (SELECT doc_id FROM s4) m4 ON d.doc_id = m4.doc_id
+       |  LEFT JOIN (SELECT doc_id FROM s5) m5 ON d.doc_id = m5.doc_id
+       |  LEFT JOIN (SELECT doc_id FROM s6) m6 ON d.doc_id = m6.doc_id
+       |  UNION ALL
+       |  SELECT 'assign', CAST(doc_id AS VARCHAR), CAST(shard AS VARCHAR),
+       |    CAST(pos AS VARCHAR) FROM shardp
+       |  UNION ALL
+       |  SELECT 'digest', '0', CAST(bucket AS VARCHAR), digest FROM l1
+       |  UNION ALL
+       |  SELECT 'digest', '1', '0', digest FROM rt
+       |  UNION ALL
+       |  SELECT 'card_docs', source, lang, CAST(n_docs AS VARCHAR)
+       |  FROM cardb
+       |  UNION ALL
+       |  SELECT 'card_tokens', source, lang, CAST(total_tokens AS VARCHAR)
+       |  FROM cardb
+       |  UNION ALL
+       |  SELECT 'card_quality_x10000', source, lang, CAST(mq AS VARCHAR)
+       |  FROM cardb)
+       |ORDER BY kind, k1, k2, v""".stripMargin
 
   def oracleSql: Map[String, String] = (
     // q59's oracle inlines a captured doc→bin assignment; if the capture
@@ -4198,6 +4552,7 @@ object LlmQueries {
          |    AS recall_x1000
          |FROM hit GROUP BY query_id ORDER BY query_id""".stripMargin,
     "q148_ann_recall_multi" -> q148OracleSql,
+    "q149_release_build" -> q149OracleSql,
     "q150_union_split" -> q150OracleSql,
     "q141_epoch_expand" ->
       """WITH s AS (

@@ -338,4 +338,39 @@ class RobustnessSpec extends SparkSpec {
       emb, emb.filter(lit(false)), k = 5, dim = 64, nBits = 6)
       .count() == 0)
   }
+
+  test("q149 release build: internal consistency — lineage, funnel, " +
+       "shard assignment, digest, and card all describe the SAME " +
+       "retained set") {
+    val out = graft.operators.LlmQueries
+      .queries("q149_release_build")(spark, sf0001).collect()
+    val byKind = out.groupBy(_.getString(0))
+    val lineage = byKind("lineage")
+      .map(r => r.getString(1) -> r.getString(3)).toMap
+    val retainedIds = lineage.filter(_._2 == "retained").keySet
+    val funnel = byKind("funnel")
+      .map(r => r.getString(1) -> r.getString(3).toLong).toMap
+    // funnel is monotone non-increasing and ends at the retained count
+    val order = Seq("0_all", "1_blocklist", "2_script_hygiene",
+                    "3_domain_cap", "4_keep_best_dedup",
+                    "5_decontaminated", "6_mixture_budget")
+    assert(order.map(funnel).sliding(2).forall(p => p.head >= p.last),
+           s"funnel must shrink monotonically: $funnel")
+    assert(funnel("6_mixture_budget") == retainedIds.size.toLong)
+    // every doc appears exactly once in lineage; eval slice labeled
+    assert(lineage.size == funnel("0_all") +
+             lineage.valuesIterator.count(_ == "0_eval_holdout"))
+    // exactly the retained docs carry a shard row
+    val assign = byKind("assign").map(_.getString(1)).toSet
+    assert(assign == retainedIds,
+           "shard assignment must cover exactly the retained docs")
+    // one digest root, bucket digests distinct
+    val digs = byKind("digest")
+    assert(digs.count(_.getString(1) == "1") == 1, "exactly one root")
+    val buckets = digs.filter(_.getString(1) == "0").map(_.getString(3))
+    assert(buckets.distinct.length == buckets.length)
+    // card doc counts sum to the retained count
+    val cardDocs = byKind("card_docs").map(_.getString(3).toLong).sum
+    assert(cardDocs == retainedIds.size.toLong)
+  }
 }
