@@ -316,6 +316,142 @@ object ScaleProbe {
         }
       }
     }
+    // round-10 probes for the round-9/10 newcomers.
+    // script_anomaly is row-local regex counts (expect linear);
+    // ann_recall and knn_eval are ranker-bound (the exact ranker is the
+    // corpus-scale pass; the recall/vote joins touch k×queries rows).
+    section("script_anomaly ann_recall knn_eval") {
+    for (n <- Seq(1, 5, 20)) {
+        val d = docsX(n); val rows = d.count()
+        val e = embX(n)
+        val q = Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+        time(s"script_anomaly n=$n ($rows)") {
+          noop(graft.operators.LlmQueries.scriptAnomalyFrames(d))
+        }
+        time(s"ann_recall     n=$n ($rows)") {
+          noop(graft.operators.LlmQueries.annRecallFrames(
+            e, q, k = 10, dim = 64, nBits = 6))
+        }
+        time(s"knn_eval       n=$n ($rows)") {
+          // q142's machinery with a FIXED query set and a growing corpus
+          val corpus = e.filter(col("vec_id") >= 5)
+          val labels = corpus.select(col("vec_id").as("corpus_id"),
+                                     (col("vec_id") % 7).as("n_label"))
+          val votes = Similarity.bruteForceTopK(corpus, q, k = 5)
+            .join(labels, Seq("corpus_id"))
+            .groupBy("query_id", "n_label")
+            .agg(count(lit(1)).as("n"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id").orderBy(desc("n"), asc("n_label"))
+          noop(votes.withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1))
+        }
+      }
+    }
+    // fertility encode: the q138 steady state — merges FIT ONCE on the
+    // base corpus (the loaded-tokenizer artifact), the encode scan grows
+    // with the corpus (expect linear; the agg is #sources rows)
+    section("fertility_encode") {
+      val merges = graft.llm.BpeTrainer.fitMerges(
+        graft.llm.BpeTrainer.wordCounts(
+          Tables.documents(spark, dir), "text"), numMerges = 40)
+      for (n <- Seq(1, 5, 20)) {
+        val d = docsX(n); val rows = d.count()
+        time(s"fertility_enc  n=$n ($rows)") {
+          noop(graft.operators.LlmQueries.tokenizerFertilityFrames(
+            d, merges))
+        }
+      }
+    }
+    // Index rolls vs rebuilds — THE q144/q147 claim: the roll reads the
+    // narrow persisted index + tokenizes ONLY the fixed delta, while the
+    // rebuild re-tokenizes the whole corpus. Roll cost should grow only
+    // with index ROWS (md5/posting records), rebuild with corpus TEXT.
+    section("fp_roll fp_rebuild bm25_roll bm25_rebuild") {
+      val delta = Tables.documents(spark, dir)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+        .withColumn("text", concat(col("text"), lit(" probe-delta")))
+      for (n <- Seq(1, 5, 20)) {
+        val d = docsX(n); val rows = d.count()
+        val fpName = s"graft_probe_fpidx_$n"
+        graft.llm.IndexStore.saveFingerprintIndex(
+          Dedup.fingerprintIndex(d, "doc_id", "text"), fpName)
+        val fpLoaded = graft.llm.IndexStore
+          .loadFingerprintIndex(spark, fpName)
+        time(s"fp_roll        n=$n ($rows)") {
+          noop(Dedup.mergeFingerprintIndex(fpLoaded, delta,
+                                           "doc_id", "text"))
+        }
+        time(s"fp_rebuild     n=$n ($rows)") {
+          noop(Dedup.fingerprintIndex(d.unionByName(delta),
+                                      "doc_id", "text"))
+        }
+        graft.llm.IndexStore.drop(spark, fpName)
+        val bmName = s"graft_probe_bm25roll_$n"
+        graft.llm.IndexStore.saveBm25Index(
+          graft.llm.Relevance.bm25Index(d, "doc_id", "text"), bmName)
+        val bmLoaded = graft.llm.IndexStore.loadBm25Index(spark, bmName)
+        time(s"bm25_roll      n=$n ($rows)") {
+          val rolled = graft.llm.Relevance.mergeBm25Index(
+            bmLoaded, delta, "doc_id", "text")
+          noop(rolled.postings); noop(rolled.stats)
+        }
+        time(s"bm25_rebuild   n=$n ($rows)") {
+          val built = graft.llm.Relevance.bm25Index(
+            d.unionByName(delta), "doc_id", "text")
+          noop(built.postings); noop(built.stats)
+        }
+        graft.llm.IndexStore.drop(spark, bmName)
+      }
+    }
+    // funnel v2 / cluster stats / release build: compositions of audited
+    // stages; the probe pins that composing them keeps the linear shape
+    // (cluster_stats is timed off a PREBUILT cluster frame — the q146
+    // steady state reads the persisted table, never re-dedups)
+    section("funnel_v2 cluster_stats release_probe") {
+    for (n <- Seq(1, 5, 20)) {
+        val d = docsX(n); val rows = d.count()
+        time(s"funnel_v2      n=$n ($rows)") {
+          val s1 = d
+            .withColumn("__t", Dedup.wordTokens(col("text")))
+            .withColumn("__n", size(col("__t")).cast("long"))
+            .withColumn("__bh",
+                        graft.llm.TextAnalysis.blocklistHits(col("__t"))
+                          .cast("long"))
+            .filter(col("__n") === 0 ||
+                      floor(col("__bh").cast("double") / col("__n") * 1e6d +
+                              0.5d) / 1e6d <= 0.02)
+            .select("doc_id", "source", "text")
+          val s2 = s1.join(
+            graft.operators.LlmQueries.scriptAnomalyFrames(s1)
+              .filter(col("repl_chars") === 0 && col("ctrl_chars") === 0 &&
+                        !col("mixed_script"))
+              .select("doc_id"),
+            Seq("doc_id"))
+          val s3 = graft.llm.QualityFilters.domainCap(
+            s2.withColumn("__q",
+                          graft.llm.TextAnalysis.qualityScore(col("text"))),
+            "source", "doc_id", "__q", cap = 50)
+          noop(s3
+            .withColumn("__fp",
+                        graft.llm.TextAnalysis.fingerprint(col("text")))
+            .withColumn("__min",
+                        min("doc_id").over(
+                          org.apache.spark.sql.expressions.Window
+                            .partitionBy("__fp")))
+            .filter(col("doc_id") === col("__min"))
+            .select("doc_id"))
+        }
+        val clusters = Dedup.minhashPortable(d, "doc_id", "text")
+          .select("doc_id", "cluster_id")
+          .transform(graft.Materialize(_))
+        time(s"cluster_stats  n=$n ($rows)") {
+          noop(clusters.groupBy("cluster_id")
+            .agg(count(lit(1)).as("sz"))
+            .groupBy("sz").agg(count(lit(1)).as("n_clusters")))
+        }
+      }
+    }
     spark.stop()
   }
 }
