@@ -106,6 +106,7 @@ object SparkEntry {
     "q147_bm25_roll",
     "q148_ann_recall_multi",
     "q149_release_build",
-    "q150_union_split"
+    "q150_union_split",
+    "q151_minhash_roll"
   )
 }

@@ -309,6 +309,59 @@ object Dedup {
                                       col("shh")))
   }
 
+  /** ROLL a persisted [[MinhashIndex]] forward with a delta batch — the
+    * daily index-maintenance job [[minhashIncrementalPortable]]'s
+    * daily-rotation story needs (the [[mergeFingerprintIndex]] /
+    * `mergeBm25Index` pattern for the third index family): only the
+    * DELTA is shingled and signed (row-local), its banded rows union
+    * into the base buckets, and the `maxBucket` boilerplate guard is
+    * re-applied over the UNION with a (band, bucket) recount — a bucket
+    * that becomes hot only once the delta lands is dropped exactly as a
+    * from-scratch rebuild would drop it. Delta docs REPLACE their base
+    * rows (anti-join on id), so re-rolling the same delta is a no-op.
+    *
+    * Equivalence: for append-only deltas (new ids) the rolled index is
+    * EXACTLY [[minhashIndexPortable]] rebuilt over base ∪ delta —
+    * DedupSpec pins it, and q151's oracle replays the rebuilt-index
+    * classification on real data. For re-ingested ids the one corner
+    * that can differ is a doc whose OLD rows sat in a guard-dropped
+    * bucket: the base index no longer holds that bucket's other rows,
+    * so a rebuild (which re-sees them) can resurrect the bucket while
+    * the roll cannot. Guard-dropped buckets are boilerplate by
+    * definition, so the divergence only ever re-drops junk candidates;
+    * a release that re-ingests heavily should schedule a rebuild.
+    *
+    * Scale shape: delta signing is O(delta) row-local work; the guard
+    * recount and the union shuffle narrow (corpus_id, band, bucket)
+    * longs; shingle rows ride an id-keyed anti-join + union. Corpus
+    * text behind the base index is never touched; save-time bucketing
+    * restores the Exchange-free query property.
+    */
+  def mergeMinhashIndex(base: MinhashIndex, delta: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+                        maxBucket: Int = 1000): MinhashIndex = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val deltaIds = delta.select(col(idCol).as("corpus_id")).distinct()
+    val sigs = portableSigTable(delta, idCol, textCol, k, numHashes)
+    val banded = bandedBuckets(sigs, bands,
+                               portableBucketOfBand(numHashes, bands))
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bucket"))
+    val guardW = Window.partitionBy("band", "bucket")
+    val buckets = base.buckets
+      .join(broadcast(deltaIds), Seq("corpus_id"), "left_anti")
+      .select("corpus_id", "band", "bucket")
+      .unionByName(banded)
+      .withColumn("bsize", count(lit(1)).over(guardW))
+      .filter(col("bsize") <= maxBucket)
+      .drop("bsize")
+    val shingles = base.shingles
+      .join(broadcast(deltaIds), Seq("corpus_id"), "left_anti")
+      .select("corpus_id", "shh")
+      .unionByName(sigs.select(col("doc_id").as("corpus_id"), col("shh")))
+    MinhashIndex(buckets, shingles)
+  }
+
   /** Incremental MinHash near-dedup: classify a NEW batch against an
     * existing [[MinhashIndex]] without touching corpus text — the
     * daily-crawl shape where the corpus is orders of magnitude bigger

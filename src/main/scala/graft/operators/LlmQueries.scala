@@ -2201,6 +2201,45 @@ object LlmQueries {
       .orderBy("kind", "k1", "k2", "v")
   }
 
+  /** MinHash-index ROLL ([[Dedup.mergeMinhashIndex]] — the q144/q147
+    * invariant for the THIRD index family, closing the "refresh =
+    * restart with a newer index" gap in q76's daily-rotation story):
+    * the base index over the `doc_id % 4 = 0` slice is built +
+    * persisted once, the `% 4 = 1` delta is rolled in (only the delta
+    * is shingled/signed; the maxBucket guard re-applies over the union
+    * with a narrow recount), the ROLLED index is persisted, and the
+    * `% 4 ∈ {2,3}` probe batch is classified against it. The oracle
+    * replays the classification against a FROM-SCRATCH index over the
+    * union slice — hash-green means rolled ≡ rebuilt where it counts:
+    * at the classification surface, on real data.
+    */
+  def q151MinhashRoll(spark: SparkSession, dir: String): DataFrame = {
+    val name = q151RollSaved.getOrElseUpdate(dir, {
+      val docs = Tables.documents(spark, dir)
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val baseN = "graft_mh_q151_base_" + safe
+      IndexStore.saveMinhashIndex(
+        Dedup.minhashIndexPortable(docs.filter(col("doc_id") % 4 === 0),
+                                   "doc_id", "text",
+                                   k = 5, numHashes = 32, bands = 8,
+                                   maxBucket = 1000),
+        baseN)
+      val rolled = Dedup.mergeMinhashIndex(
+        IndexStore.loadMinhashIndex(spark, baseN),
+        docs.filter(col("doc_id") % 4 === 1), "doc_id", "text",
+        k = 5, numHashes = 32, bands = 8, maxBucket = 1000)
+      val mergedN = "graft_mh_q151_merged_" + safe
+      IndexStore.saveMinhashIndex(rolled, mergedN)
+      mergedN
+    })
+    Dedup.minhashIncrementalPortable(
+      Tables.documents(spark, dir).filter(col("doc_id") % 4 >= 2),
+      IndexStore.loadMinhashIndex(spark, name), "doc_id", "text",
+      k = 5, numHashes = 32, bands = 8, threshold = 0.5)
+      .orderBy("doc_id")
+  }
+  private val q151RollSaved = new graft.SavedOnce[String, String]
+
   /** Curation funnel v2 — the round-9 gates composed end-to-end, the
     * q70 proof repeated for the NEW operators: blocklist gate (≤ 2%
     * spam-marker ratio) → script/encoding hygiene gate (no mojibake, no
@@ -2575,6 +2614,7 @@ object LlmQueries {
     "q148_ann_recall_multi" -> (q148AnnRecallMulti(_, _)),
     "q149_release_build"    -> (q149ReleaseBuild(_, _)),
     "q150_union_split"      -> (q150UnionSplit(_, _)),
+    "q151_minhash_roll"     -> (q151MinhashRoll(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -2758,16 +2798,18 @@ object LlmQueries {
     * replaces the self-join, and arg_min picks each batch doc's smallest
     * verified corpus match.
     */
-  private def minhashIncrementalOracleSql(k: Int, numHashes: Int,
-                                          bands: Int, threshold: Double,
-                                          maxBucket: Int): String =
+  private def minhashIncrementalOracleSql(
+      k: Int, numHashes: Int, bands: Int, threshold: Double,
+      maxBucket: Int,
+      corpusPred: String = "doc_id % 4 = 0",
+      batchPred: String = "doc_id % 4 <> 0"): String =
     s"""WITH
        |${minhashSigCtes("documents", k, numHashes, bands)},
        |bfc AS (
-       |  SELECT doc_id, band, bucket FROM bd WHERE doc_id % 4 = 0
+       |  SELECT doc_id, band, bucket FROM bd WHERE $corpusPred
        |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= $maxBucket),
        |bb AS (
-       |  SELECT doc_id, band, bucket FROM bd WHERE doc_id % 4 <> 0),
+       |  SELECT doc_id, band, bucket FROM bd WHERE $batchPred),
        |pr AS (
        |  SELECT DISTINCT b.doc_id AS did, c.doc_id AS cid
        |  FROM bb b JOIN bfc c
@@ -2788,7 +2830,7 @@ object LlmQueries {
        |SELECT d.doc_id,
        |  best.match_id IS NOT NULL AS dup_of_corpus,
        |  best.match_id, best.match_jaccard
-       |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 <> 0) d
+       |FROM (SELECT doc_id FROM documents WHERE $batchPred) d
        |LEFT JOIN best USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
@@ -4554,6 +4596,13 @@ object LlmQueries {
     "q148_ann_recall_multi" -> q148OracleSql,
     "q149_release_build" -> q149OracleSql,
     "q150_union_split" -> q150OracleSql,
+    // rolled index ≡ rebuilt index AT THE CLASSIFICATION SURFACE: the
+    // oracle rebuilds over the union slice and classifies the probe
+    "q151_minhash_roll" ->
+      minhashIncrementalOracleSql(k = 5, numHashes = 32, bands = 8,
+                                  threshold = 0.5, maxBucket = 1000,
+                                  corpusPred = "doc_id % 4 IN (0, 1)",
+                                  batchPred = "doc_id % 4 IN (2, 3)"),
     "q141_epoch_expand" ->
       """WITH s AS (
         |  SELECT source,

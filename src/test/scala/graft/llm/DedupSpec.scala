@@ -461,6 +461,52 @@ class DedupSpec extends SparkSpec {
     assert(again == rebuilt, "re-rolling the same delta must be a no-op")
   }
 
+  private def minhashIndexRows(idx: Dedup.MinhashIndex) = {
+    val b = idx.buckets.select("corpus_id", "band", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val s = idx.shingles.select("corpus_id", "shh")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSet
+    (b, s)
+  }
+
+  test("mergeMinhashIndex: an append-only roll equals a from-scratch " +
+       "rebuild (buckets incl. the re-applied maxBucket guard, and " +
+       "shingles); re-rolling the same delta is a no-op") {
+    import graft.sources.Tables
+    val docs  = Tables.documents(spark, sf0001)
+    val a     = docs.filter(col("doc_id") % 4 === 0)
+    val delta = docs.filter(col("doc_id") % 4 === 1)
+    val union = docs.filter(col("doc_id") % 4 <= 1)
+    val merged = Dedup.mergeMinhashIndex(
+      Dedup.minhashIndexPortable(a, "doc_id", "text"), delta,
+      "doc_id", "text")
+    val rebuilt = Dedup.minhashIndexPortable(union, "doc_id", "text")
+    assert(minhashIndexRows(merged) == minhashIndexRows(rebuilt),
+           "rolled index must equal the rebuild exactly")
+    val again = Dedup.mergeMinhashIndex(merged, delta, "doc_id", "text")
+    assert(minhashIndexRows(again) == minhashIndexRows(rebuilt),
+           "re-rolling the same delta must be a no-op")
+  }
+
+  test("mergeMinhashIndex: the maxBucket guard re-judges buckets over " +
+       "the UNION — a bucket pushed over the cap by the delta is " +
+       "dropped exactly as a rebuild drops it") {
+    import spark.implicits._
+    val boiler = "identical boilerplate text shared by every document " +
+      "in this fixture with plenty of shingle overlap"
+    val base  = (0L until 3L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val delta = (10L until 13L).map(i => (i, boiler)).toDF("doc_id", "text")
+    // cap 4: the base's 3-doc buckets survive, the 6-doc union must drop
+    val merged = Dedup.mergeMinhashIndex(
+      Dedup.minhashIndexPortable(base, "doc_id", "text", maxBucket = 4),
+      delta, "doc_id", "text", maxBucket = 4)
+    val rebuilt = Dedup.minhashIndexPortable(
+      base.unionByName(delta), "doc_id", "text", maxBucket = 4)
+    assert(minhashIndexRows(merged) == minhashIndexRows(rebuilt))
+    assert(merged.buckets.count() == 0,
+           "all buckets hold 6 identical docs > cap 4 — must be dropped")
+  }
+
   test("cluster-size report conserves mass and matches the cluster table") {
     val stats = graft.operators.LlmQueries
       .q146ClusterStats(spark, sf0001).collect()
