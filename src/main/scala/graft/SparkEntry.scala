@@ -107,6 +107,7 @@ object SparkEntry {
     "q148_ann_recall_multi",
     "q149_release_build",
     "q150_union_split",
-    "q151_minhash_roll"
+    "q151_minhash_roll",
+    "q152_ivf_roll"
   )
 }

@@ -231,6 +231,62 @@ object Similarity {
     IvfIndex(indexed, cents)
   }
 
+  /** Squared euclidean distance between a float-array vector and a
+    * double-array centroid — row-local HOF arithmetic, same
+    * left-to-right summation order as the oracle's replay.
+    */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+                val d = x.cast("double") - y; d * d
+              }),
+              lit(0.0d), (acc, v) => acc + v)
+
+  /** Assign vectors to a FIXED centroid table by euclidean argmin (ties
+    * → smallest cell) — the KMeans-free assignment the index ROLL uses:
+    * rolling must not re-fit, so delta vectors route to the cells the
+    * BASE fit defined. Same Voronoi rule the q45/q88 oracles replay
+    * with `list_distance` argmin; SimilaritySpec pins agreement with
+    * the fitted model's own assignment on the clustered corpus. Output:
+    * (corpus_id, cvec, cell) — [[IvfIndex.assigned]]'s schema.
+    *
+    * Scale shape: centroids are O(√N) rows broadcast; assignment is one
+    * row-local pass over the vectors (cross join against the broadcast
+    * + per-vector argmin window partitioned by id).
+    */
+  def assignToCells(centroids: DataFrame, vectors: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val w = Window.partitionBy("corpus_id")
+      .orderBy(asc("__d2"), asc("cell"))
+    vectors.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("__d2", dist2(col("cvec"), col("centroid")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select("corpus_id", "cvec", "cell")
+  }
+
+  /** ROLL a persisted [[IvfIndex]] forward with a delta batch — the
+    * q144/q147/q151 maintenance invariant for the IVF family: the delta
+    * is assigned to the base's FIXED centroids ([[assignToCells]] — no
+    * re-fit, the whole point of the roll) and upserts into the assigned
+    * table (re-ingested ids replace their rows, so re-rolling is a
+    * no-op). Centroids pass through unchanged. Equal by construction to
+    * assigning the union corpus against the same centroids
+    * (SimilaritySpec pins it); when cells drift hot the roll can't fix
+    * that — q152's health report is the refit trigger.
+    */
+  def mergeIvfIndex(base: IvfIndex, delta: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): IvfIndex = {
+    val deltaIds = delta.select(col(idCol).as("corpus_id")).distinct()
+    val assigned = base.assigned
+      .join(broadcast(deltaIds), Seq("corpus_id"), "left_anti")
+      .select("corpus_id", "cvec", "cell")
+      .unionByName(assignToCells(base.centroids, delta, idCol, vecCol))
+    IvfIndex(assigned, base.centroids)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 3, seed: Long = 42L,
               kmeansMaxIter: Int = 8,

@@ -2240,6 +2240,65 @@ object LlmQueries {
   }
   private val q151RollSaved = new graft.SavedOnce[String, String]
 
+  /** IVF-index ROLL + health report ([[Similarity.mergeIvfIndex]] — the
+    * maintenance job for the FOURTH persisted index family): the base
+    * index is fitted + persisted over the `vec_id % 4 = 0` slice, the
+    * rest of the embedding table arrives as the delta and is assigned
+    * to the base's FIXED centroids (no re-fit — [[Similarity
+    * .assignToCells]]), and the rolled index is persisted. The query
+    * output is the per-cell HEALTH REPORT a roll job publishes: base /
+    * delta / total occupancy, each cell's ×1000 share of its fair load
+    * (n·nCells/N in exact integer arithmetic), and the refit flag
+    * (share > 2× fair) — the signal that the frozen centroids have
+    * drifted from the data and the expensive re-fit is due. FULLY
+    * oracle-checked: the fitted centroids inline as literals and DuckDB
+    * replays the euclidean argmin assignment of BOTH slices (the
+    * q45/q88 pattern), the counts, and the integer flags.
+    */
+  def q152IvfRoll(spark: SparkSession, dir: String): DataFrame = {
+    val nCells = 8
+    val name = q152Saved.getOrElseUpdate(dir, {
+      val emb = Tables.embeddings(spark, dir)
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val baseN = "graft_ivf_q152_base_" + safe
+      IndexStore.saveIvfIndex(
+        Similarity.ivfIndex(emb.filter(col("vec_id") % 4 === 0),
+                            nCells = nCells, seed = 42L), baseN)
+      val rolled = Similarity.mergeIvfIndex(
+        IndexStore.loadIvfIndex(spark, baseN),
+        emb.filter(col("vec_id") % 4 =!= 0))
+      val mergedN = "graft_ivf_q152_merged_" + safe
+      IndexStore.saveIvfIndex(rolled, mergedN)
+      mergedN
+    })
+    val idx = IndexStore.loadIvfIndex(spark, name)
+    q152CentroidRows = idx.centroids
+      .orderBy("cell").collect()
+      .map { r =>
+        val cs = r.getSeq[Double](1).map(_.toString).mkString(", ")
+        s"(${r.getInt(0)}, [$cs])"
+      }
+      .mkString(",\n  ")
+    val counts = idx.assigned
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_total"),
+           sum(when(col("corpus_id") % 4 =!= 0, 1L).otherwise(0L))
+             .as("n_delta"))
+    val grand = counts.agg(sum("n_total").as("grand"))
+    counts.crossJoin(broadcast(grand))
+      .select(col("cell"),
+              (col("n_total") - col("n_delta")).as("n_base"),
+              col("n_delta"), col("n_total"),
+              // exact integer division on both engines (`div` / `//`) —
+              // Column./ would detour through doubles
+              expr(s"n_total * ${1000L * nCells} div grand")
+                .cast("long").as("share_x1000"))
+      .withColumn("refit_flag", col("share_x1000") > 2000L)
+      .orderBy("cell")
+  }
+  private val q152Saved = new graft.SavedOnce[String, String]
+  @volatile private var q152CentroidRows: String = ""
+
   /** Curation funnel v2 — the round-9 gates composed end-to-end, the
     * q70 proof repeated for the NEW operators: blocklist gate (≤ 2%
     * spam-marker ratio) → script/encoding hygiene gate (no mojibake, no
@@ -2615,6 +2674,7 @@ object LlmQueries {
     "q149_release_build"    -> (q149ReleaseBuild(_, _)),
     "q150_union_split"      -> (q150UnionSplit(_, _)),
     "q151_minhash_roll"     -> (q151MinhashRoll(_, _)),
+    "q152_ivf_roll"         -> (q152IvfRoll(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -3495,6 +3555,32 @@ object LlmQueries {
        |  SELECT 'card_quality_x10000', source, lang, CAST(mq AS VARCHAR)
        |  FROM cardb)
        |ORDER BY kind, k1, k2, v""".stripMargin
+
+  /** DuckDB replay of q152: euclidean-argmin assignment of the WHOLE
+    * embedding table against the fitted-centroid literals (the q45/q88
+    * pattern — the persisted base assignment and the rolled delta
+    * assignment obey the same Voronoi rule), then per-cell counts and
+    * the exact-integer share/refit arithmetic.
+    */
+  private def q152OracleSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |c(cell, cv) AS (VALUES
+       |  $q152CentroidRows),
+       |a AS (SELECT vec_id, cell
+       |      FROM e CROSS JOIN c
+       |      QUALIFY row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY list_distance(v, cv) ASC, cell ASC) = 1),
+       |ct AS (SELECT cell, count(*) AS n_total,
+       |         CAST(sum(CASE WHEN vec_id % 4 <> 0 THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_delta
+       |       FROM a GROUP BY cell),
+       |g AS (SELECT CAST(sum(n_total) AS BIGINT) AS grand FROM ct)
+       |SELECT cell, n_total - n_delta AS n_base, n_delta, n_total,
+       |  CAST(n_total * 8000 // grand AS BIGINT) AS share_x1000,
+       |  (n_total * 8000 // grand) > 2000 AS refit_flag
+       |FROM ct, g ORDER BY cell""".stripMargin
 
   def oracleSql: Map[String, String] = (
     // q59's oracle inlines a captured doc→bin assignment; if the capture
@@ -4603,6 +4689,7 @@ object LlmQueries {
                                   threshold = 0.5, maxBucket = 1000,
                                   corpusPred = "doc_id % 4 IN (0, 1)",
                                   batchPred = "doc_id % 4 IN (2, 3)"),
+    "q152_ivf_roll" -> q152OracleSql,
     "q141_epoch_expand" ->
       """WITH s AS (
         |  SELECT source,

@@ -233,6 +233,29 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 900L, s"clustered-corpus mean recall $mean < 900")
   }
 
+  test("assignToCells matches the fitted model's own assignment on the " +
+       "clustered corpus; mergeIvfIndex equals assign-over-union and " +
+       "re-rolls are no-ops") {
+    val base  = clustered.filter(col("vec_id") % 3 =!= 2)
+    val delta = clustered.filter(col("vec_id") % 3 === 2)
+    val idx = Similarity.ivfIndex(base, nCells = 8, seed = 1L)
+    def cells(df: DataFrame) = df.select("corpus_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // the KMeans-free argmin reproduces the model's own assignment
+    assert(cells(Similarity.assignToCells(idx.centroids, base)) ==
+             cells(idx.assigned))
+    val merged = Similarity.mergeIvfIndex(idx, delta)
+    assert(cells(merged.assigned) ==
+             cells(Similarity.assignToCells(idx.centroids, clustered)),
+           "rolled assignment must equal assigning the union corpus")
+    val again = Similarity.mergeIvfIndex(merged, delta)
+    assert(cells(again.assigned) == cells(merged.assigned),
+           "re-rolling the same delta must be a no-op")
+    // centroids pass through untouched
+    assert(merged.centroids.collect().toSeq ==
+             idx.centroids.collect().toSeq)
+  }
+
   test("annRecallReport: IVF and LSH side by side from the same exact " +
        "top-k; IVF ≥ LSH on the clustered corpus") {
     val corpus  = clustered
