@@ -108,6 +108,7 @@ object SparkEntry {
     "q149_release_build",
     "q150_union_split",
     "q151_minhash_roll",
-    "q152_ivf_roll"
+    "q152_ivf_roll",
+    "q153_lsh_roll"
   )
 }

@@ -148,6 +148,28 @@ object Similarity {
     corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
       .withColumn("bucket", hyperplaneSignature(col("cvec"), dim, nBits, seed))
 
+  /** ROLL a persisted [[lshIndex]] forward with a delta batch — the
+    * maintenance job for the LSH family (the q144/q147/q151/q152
+    * pattern): the hyperplane signature is a pure row-local function of
+    * the vector, so the roll is hash-the-delta + upsert (re-ingested
+    * ids replace their rows; re-rolling is a no-op). Exactly equal to
+    * [[lshIndex]] rebuilt over base ∪ delta — the one index family
+    * whose roll is unconditionally exact even under re-ingestion,
+    * because there is no cross-row state (no guard, no stats) to
+    * reconcile. SimilaritySpec pins it; q153's oracle replays the
+    * rolled-index classification against a full rebuild.
+    */
+  def mergeLshIndex(base: DataFrame, delta: DataFrame, dim: Int,
+                    nBits: Int = 12, seed: Long = 42L,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val deltaIds = delta.select(col(idCol).as("corpus_id")).distinct()
+    base.join(broadcast(deltaIds), Seq("corpus_id"), "left_anti")
+      .select("corpus_id", "cvec", "bucket")
+      .unionByName(lshIndex(delta, dim, nBits, seed, idCol, vecCol)
+                     .select("corpus_id", "cvec", "bucket"))
+  }
+
   /** LSH-bucketed approximate top-k: bucket corpus and queries by
     * hyperplane signature, equi-join on bucket, rank within query.
     * Multi-probe: each query also probes buckets at Hamming distance 1

@@ -2299,6 +2299,39 @@ object LlmQueries {
   private val q152Saved = new graft.SavedOnce[String, String]
   @volatile private var q152CentroidRows: String = ""
 
+  /** LSH-index ROLL ([[Similarity.mergeLshIndex]] — the FIFTH and last
+    * persisted index family's maintenance job, completing the set:
+    * fingerprint q144, BM25 q147, MinHash q151, IVF q152): the base
+    * index over the `vec_id % 4 = 0` slice is built + persisted once,
+    * the rest of the table rolls in (the hyperplane signature is a pure
+    * row-local function of the vector, so the roll is hash-the-delta +
+    * upsert and is unconditionally exact), the rolled index is
+    * persisted, and q39's query set is answered against it. The rolled
+    * index covers the whole table, so the oracle is q39's full-corpus
+    * replay — hash-green means rolled ≡ rebuilt at the query surface.
+    */
+  def q153LshRoll(spark: SparkSession, dir: String): DataFrame = {
+    val name = q153Saved.getOrElseUpdate(dir, {
+      val emb = Tables.embeddings(spark, dir)
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val baseN = "graft_lsh_q153_base_" + safe
+      IndexStore.saveLshIndex(
+        Similarity.lshIndex(emb.filter(col("vec_id") % 4 === 0),
+                            dim = 64, nBits = 6), baseN)
+      val rolled = Similarity.mergeLshIndex(
+        IndexStore.loadLshIndex(spark, baseN),
+        emb.filter(col("vec_id") % 4 =!= 0), dim = 64, nBits = 6)
+      val mergedN = "graft_lsh_q153_merged_" + safe
+      IndexStore.saveLshIndex(rolled, mergedN)
+      mergedN
+    })
+    Similarity.lshTopKWithIndex(
+      IndexStore.loadLshIndex(spark, name),
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 5),
+      k = 10, dim = 64, nBits = 6)
+  }
+  private val q153Saved = new graft.SavedOnce[String, String]
+
   /** Curation funnel v2 — the round-9 gates composed end-to-end, the
     * q70 proof repeated for the NEW operators: blocklist gate (≤ 2%
     * spam-marker ratio) → script/encoding hygiene gate (no mojibake, no
@@ -2675,6 +2708,7 @@ object LlmQueries {
     "q150_union_split"      -> (q150UnionSplit(_, _)),
     "q151_minhash_roll"     -> (q151MinhashRoll(_, _)),
     "q152_ivf_roll"         -> (q152IvfRoll(_, _)),
+    "q153_lsh_roll"         -> (q153LshRoll(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -3581,6 +3615,37 @@ object LlmQueries {
        |  CAST(n_total * 8000 // grand AS BIGINT) AS share_x1000,
        |  (n_total * 8000 // grand) > 2000 AS refit_flag
        |FROM ct, g ORDER BY cell""".stripMargin
+
+  /** The q39 LSH top-k replay (hyperplane projection from inlined
+    * literals, multi-probe, in-bucket ranking) — shared by q39 and the
+    * rolled-index classification q153.
+    */
+  private def lshTopKOracleSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |        CAST(${lshBucketSql(6)} AS BIGINT) AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket
+       |      FROM b WHERE vec_id < 5),
+       |p AS (SELECT query_id, qv,
+       |        unnest([bucket, xor(bucket, CAST(1 AS BIGINT)),
+       |                xor(bucket, CAST(2 AS BIGINT)),
+       |                xor(bucket, CAST(4 AS BIGINT)),
+       |                xor(bucket, CAST(8 AS BIGINT)),
+       |                xor(bucket, CAST(16 AS BIGINT)),
+       |                xor(bucket, CAST(32 AS BIGINT))]) AS probe
+       |      FROM q),
+       |cand AS (
+       |  SELECT p.query_id, b.vec_id AS corpus_id,
+       |         list_cosine_similarity(p.qv, b.v) AS cos
+       |  FROM p JOIN b ON b.bucket = p.probe AND b.vec_id <> p.query_id),
+       |r AS (SELECT query_id, corpus_id, cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY cos DESC, corpus_id) AS rank
+       |      FROM cand)
+       |SELECT query_id, corpus_id, round(cos, 6) AS cos, rank
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = (
     // q59's oracle inlines a captured doc→bin assignment; if the capture
@@ -5452,32 +5517,10 @@ object LlmQueries {
         |      FROM s)
         |SELECT query_id, corpus_id, round(cos, 6) AS cos, rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-    "q39_ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id,
-         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |           FROM embeddings),
-         |b AS (SELECT vec_id, v,
-         |        CAST(${lshBucketSql(6)} AS BIGINT) AS bucket FROM e),
-         |q AS (SELECT vec_id AS query_id, v AS qv, bucket
-         |      FROM b WHERE vec_id < 5),
-         |p AS (SELECT query_id, qv,
-         |        unnest([bucket, xor(bucket, CAST(1 AS BIGINT)),
-         |                xor(bucket, CAST(2 AS BIGINT)),
-         |                xor(bucket, CAST(4 AS BIGINT)),
-         |                xor(bucket, CAST(8 AS BIGINT)),
-         |                xor(bucket, CAST(16 AS BIGINT)),
-         |                xor(bucket, CAST(32 AS BIGINT))]) AS probe
-         |      FROM q),
-         |cand AS (
-         |  SELECT p.query_id, b.vec_id AS corpus_id,
-         |         list_cosine_similarity(p.qv, b.v) AS cos
-         |  FROM p JOIN b ON b.bucket = p.probe AND b.vec_id <> p.query_id),
-         |r AS (SELECT query_id, corpus_id, cos,
-         |        row_number() OVER (PARTITION BY query_id
-         |                           ORDER BY cos DESC, corpus_id) AS rank
-         |      FROM cand)
-         |SELECT query_id, corpus_id, round(cos, 6) AS cos, rank
-         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q39_ann_lsh" -> lshTopKOracleSql,
+    // the rolled index covers the whole table, so rolled ≡ rebuilt at
+    // the query surface means q153 shares q39's full-corpus replay
+    "q153_lsh_roll" -> lshTopKOracleSql,
     "q44_lsh_sim_join" ->
       s"""WITH e AS (SELECT vec_id,
          |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -256,6 +256,31 @@ class SimilaritySpec extends SparkSpec {
              idx.centroids.collect().toSeq)
   }
 
+  test("mergeLshIndex: roll equals a from-scratch rebuild, re-rolls are " +
+       "no-ops, and a re-ingested vector is re-hashed") {
+    import spark.implicits._
+    val base  = clustered.filter(col("vec_id") % 3 =!= 2)
+    val delta = clustered.filter(col("vec_id") % 3 === 2)
+    def rows(df: DataFrame) = df.select("corpus_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val merged = Similarity.mergeLshIndex(
+      Similarity.lshIndex(base, dim = 16, nBits = 8), delta, dim = 16,
+      nBits = 8)
+    val rebuilt = Similarity.lshIndex(clustered, dim = 16, nBits = 8)
+    assert(rows(merged) == rows(rebuilt))
+    assert(rows(Similarity.mergeLshIndex(merged, delta, dim = 16,
+                                         nBits = 8)) == rows(rebuilt),
+           "re-rolling the same delta must be a no-op")
+    // a changed vector re-hashes: re-ingest vec 0 with vec 1's embedding
+    val swapped = clustered.filter(col("vec_id") === 1L)
+      .withColumn("vec_id", lit(0L))
+    val reIngested = Similarity.mergeLshIndex(rebuilt, swapped, dim = 16,
+                                              nBits = 8)
+    val b = rows(rebuilt).toMap
+    assert(rows(reIngested).toMap.apply(0L) == b(1L),
+           "re-ingested vec 0 must land in vec 1's bucket")
+  }
+
   test("annRecallReport: IVF and LSH side by side from the same exact " +
        "top-k; IVF ≥ LSH on the clustered corpus") {
     val corpus  = clustered
