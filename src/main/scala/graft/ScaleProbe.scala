@@ -404,6 +404,49 @@ object ScaleProbe {
         graft.llm.IndexStore.drop(spark, bmName)
       }
     }
+    // round-10 rolls for the remaining index families: MinHash (delta
+    // signed row-locally + union-recounted guard), IVF (delta assigned
+    // to FIXED centroids), LSH (delta hashed row-locally). Same
+    // fixed-delta design as fp/bm25 above: cost should track index
+    // ROWS, never corpus text.
+    section("mh_roll ivf_roll lsh_roll") {
+      val docDelta = Tables.documents(spark, dir)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+        .withColumn("text", concat(col("text"), lit(" probe-delta")))
+      val vecDelta = Tables.embeddings(spark, dir)
+        .withColumn("vec_id", col("vec_id") + lit(900000000L))
+      for (n <- Seq(1, 5, 20)) {
+        val d = docsX(n); val rows = d.count()
+        val e = embX(n); val vrows = e.count()
+        val mhName = s"graft_probe_mhidx_$n"
+        graft.llm.IndexStore.saveMinhashIndex(
+          Dedup.minhashIndexPortable(d, "doc_id", "text"), mhName)
+        val mhLoaded = graft.llm.IndexStore.loadMinhashIndex(spark, mhName)
+        time(s"mh_roll        n=$n ($rows)") {
+          val rolled = Dedup.mergeMinhashIndex(mhLoaded, docDelta,
+                                               "doc_id", "text")
+          noop(rolled.buckets); noop(rolled.shingles)
+        }
+        graft.llm.IndexStore.drop(spark, mhName)
+        val ivfName = s"graft_probe_ivfidx_$n"
+        graft.llm.IndexStore.saveIvfIndex(
+          Similarity.ivfIndex(e, nCells = 8 * n, seed = 42L), ivfName)
+        val ivfLoaded = graft.llm.IndexStore.loadIvfIndex(spark, ivfName)
+        time(s"ivf_roll       n=$n ($vrows)") {
+          noop(Similarity.mergeIvfIndex(ivfLoaded, vecDelta).assigned)
+        }
+        graft.llm.IndexStore.drop(spark, ivfName)
+        val lshName = s"graft_probe_lshidx_$n"
+        graft.llm.IndexStore.saveLshIndex(
+          Similarity.lshIndex(e, dim = 64, nBits = 6), lshName)
+        val lshLoaded = graft.llm.IndexStore.loadLshIndex(spark, lshName)
+        time(s"lsh_roll       n=$n ($vrows)") {
+          noop(Similarity.mergeLshIndex(lshLoaded, vecDelta, dim = 64,
+                                        nBits = 6))
+        }
+        graft.llm.IndexStore.drop(spark, lshName)
+      }
+    }
     // funnel v2 / cluster stats / release build: compositions of audited
     // stages; the probe pins that composing them keeps the linear shape
     // (cluster_stats is timed off a PREBUILT cluster frame — the q146
