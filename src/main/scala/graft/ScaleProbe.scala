@@ -495,6 +495,33 @@ object ScaleProbe {
         }
       }
     }
+
+    section("sem_decon wps_sample cell_sample") {
+      // semantic decon: eval side FIXED (benchmarks don't grow with the
+      // corpus) while train replicates — cost must be linear in train
+      val evalE = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 10 === 3)
+      for (n <- Seq(1, 5, 20)) {
+        val e = embX(n); val rows = e.count()
+        time(s"sem_decon      n=$n ($rows)") {
+          noop(graft.llm.Contamination.semanticContamination(
+            e, evalE, threshold = 0.3))
+        }
+        val idx = Similarity.ivfIndex(e, nCells = 8, seed = 42L)
+        val idxM = idx.copy(assigned = graft.Materialize(idx.assigned))
+        time(s"cell_sample    n=$n ($rows)") {
+          noop(Similarity.cellBalancedSample(idxM, k = 20))
+        }
+      }
+      for (n <- Seq(1, 5, 20)) {
+        val d = docsX(n); val rows = d.count()
+        time(s"wps_sample     n=$n ($rows)") {
+          noop(graft.llm.QualityFilters.weightedPrioritySample(
+            d.select("doc_id", "source", "n_chars"),
+            "source", "doc_id", "n_chars", k = 25))
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -109,6 +109,10 @@ object SparkEntry {
     "q150_union_split",
     "q151_minhash_roll",
     "q152_ivf_roll",
-    "q153_lsh_roll"
+    "q153_lsh_roll",
+    "q154_semantic_decon",
+    "q155_weighted_sample",
+    "q156_cell_sample",
+    "q157_decon_matrix"
   )
 }

@@ -233,4 +233,41 @@ object Contamination {
               coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
       .withColumn("contaminated", col("n_shared_grams") > 0)
   }
+
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * lexical gram reports above: a training vector is contaminated when
+    * any eval vector sits within `threshold` cosine of it (paraphrased /
+    * templated benchmark leakage that shares no 8-gram and so slips past
+    * every lexical gate). Returns one row per train vector: the closest
+    * eval id (ties → smallest id), the max cosine, the count of eval
+    * vectors above threshold, and the flag.
+    *
+    * Plan shape at 100 TB: eval benchmark embeddings are tiny (thousands
+    * of vectors, MBs) → BROADCAST eval, scan train once; the train×eval
+    * product collapses map-side via partial aggregation (one output row
+    * per train id per task), so the only shuffle carries |train| partial
+    * rows. The argmax travels as max(struct(cos, -eval_id)) — a
+    * deterministic lexicographic struct max, no window over the product.
+    * Cosines are computed in double ([[Similarity.cosine]]) so the
+    * threshold compare and the struct ordering are engine-portable.
+    */
+  def semanticContamination(train: DataFrame, eval: DataFrame,
+                            threshold: Double,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val t = train.select(col(idCol).as("train_id"), col(vecCol).as("__tv"))
+    val e = eval.select(col(idCol).as("__eid"), col(vecCol).as("__ev"))
+    t.crossJoin(broadcast(e))
+      .withColumn("__cos", Similarity.cosine(col("__tv"), col("__ev")))
+      .groupBy("train_id")
+      .agg(max(struct(col("__cos").as("c"), (-col("__eid")).as("n")))
+             .as("__m"),
+           sum(when(col("__cos") >= threshold, 1L).otherwise(0L))
+             .as("n_hits"))
+      .select(col("train_id"),
+              (-col("__m.n")).as("closest_eval"),
+              round(col("__m.c"), 6).as("max_cos"),
+              col("n_hits"),
+              (col("__m.c") >= threshold).as("is_contaminated"))
+  }
 }

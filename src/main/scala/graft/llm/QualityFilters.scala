@@ -213,6 +213,42 @@ object QualityFilters {
       .drop("__rk")
   }
 
+  /** PER-ROW-weighted deterministic sampling — the priority-sampling
+    * complement of [[weightedMix]] (whose rates are per-STRATUM): each
+    * row draws a content-stable uniform key h from md5(key:salt) and
+    * competes with priority h/weight, and the k smallest priorities per
+    * stratum win. Heavier rows draw proportionally smaller priorities,
+    * so inclusion odds scale with the weight column (token counts,
+    * quality scores) — the Efraimidis–Spirakis priority-sampling shape
+    * with the exponential key replaced by a uniform one: exp keys make
+    * inclusion probabilities exactly ∝w but need ln(), whose last-ulp
+    * varies across math libraries; h/w is ONE correctly-rounded IEEE
+    * divide on a 52-bit-exact integer, so priorities (and the sample)
+    * are bit-identical in any engine. QualityFiltersSpec pins the
+    * ∝w pull statistically.
+    *
+    * Plan: row-local hash + divide, then ONE shuffle on the stratum key
+    * where WindowGroupLimit keeps ≤k rows per task — never a full
+    * per-stratum sort. Returns the winners with their `rank`.
+    */
+  def weightedPrioritySample(df: DataFrame, strataCol: String,
+                             keyCol: String, weightCol: String, k: Int,
+                             salt: String = "wps"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 13 hex digits = 52 bits: exact in an IEEE double, so the
+    // long→double cast below is value-preserving in every engine.
+    val h = conv(substring(md5(concat(col(keyCol).cast("string"),
+                                      lit(":" + salt)).cast("binary")),
+                           1, 13), 16, 10).cast("long")
+    val w = Window.partitionBy(strataCol)
+      .orderBy(asc("__pri"), asc(keyCol))
+    df.withColumn("__pri",
+                  h.cast("double") / col(weightCol).cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .drop("__pri")
+  }
+
   /** Gopher-style document quality gate (Rae et al. 2021 §A1.1): word
     * count bounds, mean word length band, symbol-to-word ratio, bullet /
     * ellipsis line fractions, alphabetic-word fraction, minimum distinct

@@ -288,6 +288,30 @@ object Similarity {
       .select("corpus_id", "cvec", "cell")
   }
 
+  /** Diversity-balanced subset off a persisted [[IvfIndex]]: the k
+    * md5-priority winners from EACH Voronoi cell — cluster-stratified
+    * coreset selection (the embedding-space analogue of
+    * [[QualityFilters.stratifiedTopN]]): a uniform hash sample
+    * reproduces the corpus density and so over-draws its dense modes,
+    * while drawing per CELL guarantees every embedding-space region
+    * keeps representation. This is the curation move for eval-set
+    * seeding and balanced fine-tuning subsets.
+    *
+    * Plan: reads the ALREADY-ASSIGNED index table (the expensive KMeans
+    * + assignment pass is amortized across every consumer of the index),
+    * then one shuffle on `cell` where WindowGroupLimit keeps ≤k rows per
+    * task. Membership is the md5-order trick: content-stable, RNG-free,
+    * engine-portable, and the selected set NESTS as k grows.
+    */
+  def cellBalancedSample(index: IvfIndex, k: Int): DataFrame = {
+    val w = Window.partitionBy("cell")
+      .orderBy(md5(col("corpus_id").cast("string").cast("binary")),
+               asc("corpus_id"))
+    index.assigned.select(col("cell"), col("corpus_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** ROLL a persisted [[IvfIndex]] forward with a delta batch — the
     * q144/q147/q151 maintenance invariant for the IVF family: the delta
     * is assigned to the base's FIXED centroids ([[assignToCells]] — no

@@ -2332,6 +2332,95 @@ object LlmQueries {
   }
   private val q153Saved = new graft.SavedOnce[String, String]
 
+  /** Semantic decontamination ([[Contamination.semanticContamination]]):
+    * the embedding-space complement of q67's lexical gram gate — train
+    * vectors within 0.3 cosine of any eval vector are flagged as
+    * paraphrase-level benchmark leakage that shares no 8-gram. Eval =
+    * vec_id%10=3 (the q67/q91 holdout convention). Fully oracle-checked:
+    * DuckDB replays the cross product with list_cosine_similarity, the
+    * argmax tie-break, the hit count, and the threshold.
+    */
+  def q154SemanticDecon(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Contamination.semanticContamination(
+      emb.filter(col("vec_id") % 10 =!= 3),
+      emb.filter(col("vec_id") % 10 === 3),
+      threshold = 0.3)
+      .orderBy("train_id")
+  }
+
+  /** Per-row-weighted deterministic sampling
+    * ([[QualityFilters.weightedPrioritySample]]): 25 docs per source,
+    * priority = hash-uniform / n_chars, so longer documents win
+    * proportionally more slots — the "sample ∝ tokens" draw a
+    * token-budget mixture uses. Fully oracle-checked (md5 priority and
+    * the one IEEE divide replay bit-identically in DuckDB).
+    */
+  def q155WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    QualityFilters.weightedPrioritySample(
+      Tables.documents(spark, dir).select("doc_id", "source", "n_chars"),
+      "source", "doc_id", "n_chars", k = 25)
+      .select("source", "rank", "doc_id", "n_chars")
+      .orderBy("source", "rank")
+
+  /** Cell-balanced diversity sample ([[Similarity.cellBalancedSample]]):
+    * 20 md5-priority winners per Voronoi cell of the PERSISTED q88 IVF
+    * index — cluster-stratified coreset selection that guarantees every
+    * embedding-space region representation (a third consumer of the one
+    * persisted index, after the dedup pass and the leakage audit). Fully
+    * oracle-checked: the fitted centroids inline as SQL literals (the
+    * q88 pattern), so DuckDB replays cell assignment, the md5 ordering,
+    * and the per-cell limit.
+    */
+  def q156CellSample(spark: SparkSession, dir: String): DataFrame = {
+    val index = q88Index(spark, dir)
+    Similarity.cellBalancedSample(index, k = 20)
+      .select(col("cell").cast("long").as("cell"), col("rank"),
+              col("corpus_id").as("vec_id"))
+      .orderBy("cell", "rank")
+  }
+
+  /** Contamination matrix — the release diagnostic that puts q67's
+    * LEXICAL gate and q154's SEMANTIC gate side by side per source, on
+    * the SAME holdout (id%10=3, docs↔vectors 1:1): how much leakage each
+    * gate catches, and how much only ONE of them sees (the n_either −
+    * n_both gap is the reason a release runs both). Fully oracle-checked
+    * (both gate replays composed, joined on id, rolled up by source).
+    *
+    * Plan: both gates broadcast their (small) eval side and partial-agg
+    * to one row per train doc; the matrix adds two narrow id-keyed joins
+    * + a #sources-row agg. Nothing here outgrows the gates themselves.
+    */
+  def q157DeconMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val emb  = Tables.embeddings(spark, dir)
+    val lex = Contamination.contaminationReport(
+      docs.filter(col("doc_id") % 10 =!= 3),
+      docs.filter(col("doc_id") % 10 === 3),
+      "doc_id", "text", n = 8)
+      .select(col("doc_id"), col("contaminated").as("__lex"))
+    val sem = Contamination.semanticContamination(
+      emb.filter(col("vec_id") % 10 =!= 3),
+      emb.filter(col("vec_id") % 10 === 3), threshold = 0.3)
+      .select(col("train_id").as("doc_id"),
+              col("is_contaminated").as("__sem"))
+    docs.filter(col("doc_id") % 10 =!= 3).select("doc_id", "source")
+      .join(lex, Seq("doc_id"))
+      .join(sem, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train"),
+           sum(when(col("__lex"), 1L).otherwise(0L)).as("n_lex"),
+           sum(when(col("__sem"), 1L).otherwise(0L)).as("n_sem"),
+           sum(when(col("__lex") && col("__sem"), 1L).otherwise(0L))
+             .as("n_both"),
+           sum(when(col("__lex") || col("__sem"), 1L).otherwise(0L))
+             .as("n_either"))
+      .withColumn("either_ppm",
+                  floor(col("n_either") * lit(1000000.0) / col("n_train"))
+                    .cast("long"))
+      .orderBy("source")
+  }
+
   /** Curation funnel v2 — the round-9 gates composed end-to-end, the
     * q70 proof repeated for the NEW operators: blocklist gate (≤ 2%
     * spam-marker ratio) → script/encoding hygiene gate (no mojibake, no
@@ -2586,6 +2675,27 @@ object LlmQueries {
        |  d <> min(l) AS is_duplicate
        |FROM lab GROUP BY d ORDER BY vec_id""".stripMargin
 
+  /** DuckDB replay of [[Similarity.cellBalancedSample]] over the q88
+    * index: Voronoi assignment from the captured centroid literals, then
+    * the md5-order per-cell limit (the q64 sampling replay).
+    */
+  private def q156OracleSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |c(cell, cv) AS (VALUES
+       |  $q88CentroidRows),
+       |a AS (SELECT vec_id, cell
+       |      FROM e CROSS JOIN c
+       |      QUALIFY row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY list_distance(v, cv) ASC, cell ASC) = 1),
+       |r AS (SELECT cell, vec_id,
+       |        row_number() OVER (PARTITION BY cell
+       |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rank
+       |      FROM a)
+       |SELECT CAST(cell AS BIGINT) AS cell, rank, vec_id
+       |FROM r WHERE rank <= 20 ORDER BY cell, rank""".stripMargin
+
   /** Cross-document exact-substring spans
     * ([[Dedup.sharedSubstringSpans]]): maximal verbatim token runs shared
     * between document pairs — the Lee et al. suffix-array dedup signal,
@@ -2709,6 +2819,10 @@ object LlmQueries {
     "q151_minhash_roll"     -> (q151MinhashRoll(_, _)),
     "q152_ivf_roll"         -> (q152IvfRoll(_, _)),
     "q153_lsh_roll"         -> (q153LshRoll(_, _)),
+    "q154_semantic_decon"   -> (q154SemanticDecon(_, _)),
+    "q155_weighted_sample"  -> (q155WeightedSample(_, _)),
+    "q156_cell_sample"      -> (q156CellSample(_, _)),
+    "q157_decon_matrix"     -> (q157DeconMatrix(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -4747,6 +4861,87 @@ object LlmQueries {
     "q148_ann_recall_multi" -> q148OracleSql,
     "q149_release_build" -> q149OracleSql,
     "q150_union_split" -> q150OracleSql,
+    "q154_semantic_decon" ->
+      """WITH e AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |t AS (SELECT vec_id AS train_id, v FROM e WHERE vec_id % 10 <> 3),
+        |q AS (SELECT vec_id AS eval_id, v AS qv FROM e
+        |      WHERE vec_id % 10 = 3),
+        |s AS (SELECT train_id, eval_id,
+        |        list_cosine_similarity(v, qv) AS cos
+        |      FROM t CROSS JOIN q),
+        |best AS (SELECT train_id, eval_id, cos,
+        |    row_number() OVER (PARTITION BY train_id
+        |                       ORDER BY cos DESC, eval_id ASC) AS rk
+        |  FROM s),
+        |hits AS (SELECT train_id,
+        |    count(*) FILTER (WHERE cos >= 0.3) AS n_hits
+        |  FROM s GROUP BY train_id)
+        |SELECT b.train_id, b.eval_id AS closest_eval,
+        |  round(b.cos, 6) AS max_cos, h.n_hits,
+        |  b.cos >= 0.3 AS is_contaminated
+        |FROM best b JOIN hits h USING (train_id)
+        |WHERE b.rk = 1 ORDER BY b.train_id""".stripMargin,
+    "q155_weighted_sample" ->
+      """WITH p AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wps'),
+        |                         1, 13)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(h AS DOUBLE) / CAST(n_chars AS DOUBLE) ASC,
+        |               doc_id ASC) AS rank
+        |  FROM p)
+        |SELECT source, rank, doc_id, n_chars FROM r
+        |WHERE rank <= 25 ORDER BY source, rank""".stripMargin,
+    "q156_cell_sample" -> q156OracleSql,
+    "q157_decon_matrix" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |      ELSE list_distinct(list_transform(
+        |             generate_series(0, len(t) - 8),
+        |             i -> array_to_string(t[i+1:i+8], ' ')))
+        |    END) AS g
+        |  FROM tok),
+        |tg AS (SELECT doc_id,
+        |         ('0x' || substr(md5(g), 1, 15))::BIGINT AS fp FROM grams
+        |       WHERE doc_id % 10 <> 3),
+        |eg AS (SELECT DISTINCT
+        |         ('0x' || substr(md5(g), 1, 15))::BIGINT AS fp FROM grams
+        |       WHERE doc_id % 10 = 3),
+        |lex AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (fp)),
+        |e AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |s AS (SELECT t.vec_id AS doc_id,
+        |        max(list_cosine_similarity(t.v, q.v)) AS mx
+        |      FROM e t CROSS JOIN e q
+        |      WHERE t.vec_id % 10 <> 3 AND q.vec_id % 10 = 3
+        |      GROUP BY t.vec_id),
+        |m AS (SELECT d.source, d.doc_id,
+        |        CASE WHEN lex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS lx,
+        |        CASE WHEN s.mx >= 0.3 THEN 1 ELSE 0 END AS sm
+        |      FROM documents d JOIN s ON s.doc_id = d.doc_id
+        |      LEFT JOIN lex ON lex.doc_id = d.doc_id
+        |      WHERE d.doc_id % 10 <> 3)
+        |SELECT source, count(*) AS n_train,
+        |  CAST(sum(lx) AS BIGINT) AS n_lex,
+        |  CAST(sum(sm) AS BIGINT) AS n_sem,
+        |  CAST(sum(lx * sm) AS BIGINT) AS n_both,
+        |  CAST(sum(CASE WHEN lx + sm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_either,
+        |  CAST(floor(sum(CASE WHEN lx + sm > 0 THEN 1 ELSE 0 END)
+        |               * 1000000.0 / count(*)) AS BIGINT) AS either_ppm
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
     // rolled index ≡ rebuilt index AT THE CLASSIFICATION SURFACE: the
     // oracle rebuilds over the union slice and classifies the probe
     "q151_minhash_roll" ->

@@ -579,4 +579,44 @@ class QualityFiltersSpec extends SparkSpec {
     assert(out == graft.operators.LlmQueries.q145FunnelV2(spark, sf0001)
              .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
+
+  test("weightedPrioritySample: exactly k per stratum, deterministic, " +
+       "and the sample NESTS as k grows") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "n_chars")
+    val k10 = QualityFilters.weightedPrioritySample(
+      docs, "source", "doc_id", "n_chars", k = 10)
+    val k20 = QualityFilters.weightedPrioritySample(
+      docs, "source", "doc_id", "n_chars", k = 20)
+    val per = k10.groupBy("source").agg(count(lit(1)).as("n")).collect()
+    assert(per.nonEmpty && per.forall(_.getLong(1) == 10L))
+    // nesting: every k=10 winner survives at k=20 with the SAME rank
+    val j = k10.select(col("source"), col("doc_id"), col("rank").as("r10"))
+      .join(k20.select(col("doc_id"), col("rank").as("r20")), Seq("doc_id"))
+    assert(j.count() == k10.count())
+    assert(j.filter(col("r10") =!= col("r20")).count() == 0)
+    assert(k10.orderBy("source", "rank").collect().toSeq ==
+           QualityFilters.weightedPrioritySample(
+             docs, "source", "doc_id", "n_chars", k = 10)
+             .orderBy("source", "rank").collect().toSeq)
+  }
+
+  test("weightedPrioritySample pulls toward heavy rows: 10x-weight rows " +
+       "dominate the winners, and the salt reshuffles membership") {
+    import spark.implicits._
+    // one stratum, 200 light rows (w=1) and 200 heavy rows (w=10)
+    val rows = ((0L until 200L).map(i => (i, "s", 1L)) ++
+                (200L until 400L).map(i => (i, "s", 10L)))
+      .toDF("id", "st", "w")
+    val win = QualityFilters.weightedPrioritySample(
+      rows, "st", "id", "w", k = 50)
+    val heavy = win.filter(col("id") >= 200L).count()
+    // E[heavy share] ≈ 10/11; even a loose bound rules out uniform draw
+    assert(heavy >= 35, s"expected heavy-row dominance, got $heavy/50")
+    val other = QualityFilters.weightedPrioritySample(
+      rows, "st", "id", "w", k = 50, salt = "other")
+    val a = win.select("id").collect().map(_.getLong(0)).toSet
+    val b = other.select("id").collect().map(_.getLong(0)).toSet
+    assert(a != b, "a different salt must draw a different sample")
+  }
 }

@@ -334,4 +334,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == graft.operators.LlmQueries
              .q142KnnEval(spark, sf0001).collect().toSeq)
   }
+
+  test("cellBalancedSample: ≤k per cell, every populated cell represented, " +
+       "ranks dense from 1, and the sample NESTS as k grows") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val index = Similarity.ivfIndex(emb, nCells = 8, seed = 42L)
+    val s5  = Similarity.cellBalancedSample(index, k = 5)
+    val s10 = Similarity.cellBalancedSample(index, k = 10)
+    val per5 = s5.groupBy("cell").agg(count(lit(1)).as("n"),
+                                      min("rank").as("mn"),
+                                      max("rank").as("mx")).collect()
+    val cellSizes = index.assigned.groupBy("cell")
+      .agg(count(lit(1)).as("sz")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(per5.map(_.getInt(0)).toSet == cellSizes.keySet,
+           "every populated cell must be represented")
+    per5.foreach { r =>
+      val want = math.min(5L, cellSizes(r.getInt(0)))
+      assert(r.getLong(1) == want && r.getLong(2) == 1L &&
+               r.getLong(3) == want,
+             s"cell ${r.getInt(0)}: dense ranks 1..$want expected")
+    }
+    // nesting: the k=5 winners are exactly the rank≤5 slice of k=10
+    val a = s5.select("cell", "corpus_id", "rank").orderBy("cell", "rank")
+      .collect().toSeq
+    val b = s10.filter(col("rank") <= 5)
+      .select("cell", "corpus_id", "rank").orderBy("cell", "rank")
+      .collect().toSeq
+    assert(a == b)
+  }
 }
