@@ -243,31 +243,46 @@ object Contamination {
     * vectors above threshold, and the flag.
     *
     * Plan shape at 100 TB: eval benchmark embeddings are tiny (thousands
-    * of vectors, MBs) → BROADCAST eval, scan train once; the train×eval
-    * product collapses map-side via partial aggregation (one output row
-    * per train id per task), so the only shuffle carries |train| partial
-    * rows. The argmax travels as max(struct(cos, -eval_id)) — a
-    * deterministic lexicographic struct max, no window over the product.
-    * Cosines are computed in double ([[Similarity.cosine]]) so the
-    * threshold compare and the struct ordering are engine-portable.
+    * of vectors, MBs) → they collapse to ONE array row, broadcast to a
+    * single-row nested-loop join, and the whole report is then a
+    * ROW-LOCAL map over the train scan: per train vector, one HOF pass
+    * over the eval array computes max/argmax/hit-count. ZERO data-scale
+    * shuffles, no aggregation, no window — |train| rows in, |train| rows
+    * out at scan speed (the first cut aggregated max(struct) per
+    * train_id, which planned as a SortAggregate SORTING the train×eval
+    * product per task; PlanSpec pins the sort-free shape). The argmax is
+    * array_max over struct(cos, -eval_id) — deterministic lexicographic
+    * max, independent of collect_list order. Cosines are computed in
+    * double ([[Similarity.cosine]] — the codegen'd kernel's interpreted
+    * eval inside the lambda) so threshold compare and ordering are
+    * engine-portable. An EMPTY eval set yields the honest all-clean
+    * report (null closest/max, zero hits).
     */
   def semanticContamination(train: DataFrame, eval: DataFrame,
                             threshold: Double,
                             idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
-    val t = train.select(col(idCol).as("train_id"), col(vecCol).as("__tv"))
-    val e = eval.select(col(idCol).as("__eid"), col(vecCol).as("__ev"))
-    t.crossJoin(broadcast(e))
-      .withColumn("__cos", Similarity.cosine(col("__tv"), col("__ev")))
-      .groupBy("train_id")
-      .agg(max(struct(col("__cos").as("c"), (-col("__eid")).as("n")))
-             .as("__m"),
-           sum(when(col("__cos") >= threshold, 1L).otherwise(0L))
-             .as("n_hits"))
+    val e = eval
+      .select(struct(col(idCol).cast("long").as("eid"),
+                     col(vecCol).as("ev")).as("__e"))
+      .agg(collect_list("__e").as("__evs"))
+    train.select(col(idCol).as("train_id"), col(vecCol).as("__tv"))
+      .crossJoin(broadcast(e))
+      .withColumn("__cs",
+                  transform(col("__evs"), x =>
+                    struct(Similarity.cosine(col("__tv"),
+                                             x.getField("ev")).as("c"),
+                           (-x.getField("eid")).as("n"))))
+      .withColumn("__m", array_max(col("__cs")))
       .select(col("train_id"),
               (-col("__m.n")).as("closest_eval"),
               round(col("__m.c"), 6).as("max_cos"),
-              col("n_hits"),
-              (col("__m.c") >= threshold).as("is_contaminated"))
+              coalesce(
+                size(filter(col("__cs"),
+                            x => x.getField("c") >= lit(threshold)))
+                  .cast("long"),
+                lit(0L)).as("n_hits"),
+              coalesce(col("__m.c") >= threshold, lit(false))
+                .as("is_contaminated"))
   }
 }

@@ -199,4 +199,33 @@ class PlanSpec extends SparkSpec {
            s"the #sources schedule must broadcast:\n$expPlan")
     assert(!expPlan.contains("CartesianProduct"))
   }
+
+  test("q154 semantic decon: eval collapses to one broadcast array row; " +
+       "the train side is a row-local scan — zero data-scale shuffles") {
+    val plan = LlmQueries.q154SemanticDecon(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+           s"the one-row eval array must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // the only exchanges allowed: the eval side's single-partition
+    // collect and the driver-facing ORDER BY — never a hash shuffle or
+    // a per-train-id sort of the train×eval product
+    assert(!plan.contains("Exchange hashpartitioning"),
+           s"train side must not shuffle:\n$plan")
+    assert(!plan.contains("WindowGroupLimit") &&
+             !plan.linesIterator.exists(_.trim.startsWith("Window")),
+           s"argmax must be row-local, not a window:\n$plan")
+  }
+
+  test("q155 weighted sample / q156 cell sample: rank bound pushes below " +
+       "the per-stratum sort (WindowGroupLimit)") {
+    for ((name, df) <- Seq(
+           "q155" -> LlmQueries.q155WeightedSample(spark, sf0001),
+           "q156" -> LlmQueries.q156CellSample(spark, sf0001))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+             s"$name: per-stratum top-k must group-limit:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+    }
+  }
 }
