@@ -113,6 +113,8 @@ object SparkEntry {
     "q154_semantic_decon",
     "q155_weighted_sample",
     "q156_cell_sample",
-    "q157_decon_matrix"
+    "q157_decon_matrix",
+    "q158_cluster_decon",
+    "q159_cell_purity"
   )
 }

@@ -2421,6 +2421,64 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** Cluster-level (fuzzy) decontamination — the third decon mode after
+    * lexical grams (q67) and embedding cosine (q154): a train doc is
+    * flagged when it shares a MinHash near-dup cluster with an eval doc,
+    * catching lightly-edited benchmark copies whose shared grams fall
+    * under the 8-gram window and whose embeddings drift past the cosine
+    * gate. Clustering is exactly q35's audited guarded pipeline; the
+    * decon adds one distinct over eval cluster ids (sized by the EVAL
+    * set — benchmarks are tiny at production scale) broadcast into a
+    * left join. Fully oracle-checked (the factored minhash replay +
+    * the leak join).
+    */
+  def q158ClusterDecon(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.minhashPortable(
+      Tables.documents(spark, dir), "doc_id", "text")
+      .select("doc_id", "cluster_id")
+      .transform(graft.Materialize(_))
+    val leaked = clusters.filter(col("doc_id") % 10 === 3)
+      .select("cluster_id").distinct()
+      .withColumn("__l", lit(true))
+    clusters.filter(col("doc_id") % 10 =!= 3)
+      .join(broadcast(leaked), Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+              coalesce(col("__l"), lit(false)).as("cluster_leaked"))
+      .orderBy("doc_id")
+  }
+
+  /** Label-purity report over the persisted q88 IVF index — the index
+    * health view for SEMANTIC use: per Voronoi cell, how concentrated
+    * the label distribution is (majority share as an exact ppm integer).
+    * Low-purity cells mean the index's regions don't align with the
+    * label structure — the signal to refit with more cells before
+    * trusting cell-balanced draws (q156) or IVF-pruned kNN (q142) for
+    * label-sensitive work. Plan: the assigned table joins labels by id
+    * (narrow), one (cell,label) count agg, one #cells-row argmax.
+    * Fully oracle-checked via the captured centroid literals.
+    */
+  def q159CellPurity(spark: SparkSession, dir: String): DataFrame = {
+    val index = q88Index(spark, dir)
+    val labeled = index.assigned.select("corpus_id", "cell")
+      .join(Tables.embeddings(spark, dir)
+              .select(col("vec_id").as("corpus_id"),
+                      col("label").cast("long").as("label")),
+            Seq("corpus_id"))
+    labeled.groupBy(col("cell").cast("long").as("cell"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("cell")
+      .agg(sum("n").as("n_vecs"),
+           count(lit(1)).as("n_labels"),
+           max(struct(col("n").as("c"), (-col("label")).as("l")))
+             .as("__m"))
+      .select(col("cell"), col("n_vecs"), col("n_labels"),
+              (-col("__m.l")).as("majority_label"),
+              col("__m.c").as("majority_n"),
+              floor(col("__m.c") * lit(1000000.0) / col("n_vecs"))
+                .cast("long").as("purity_ppm"))
+      .orderBy("cell")
+  }
+
   /** Curation funnel v2 — the round-9 gates composed end-to-end, the
     * q70 proof repeated for the NEW operators: blocklist gate (≤ 2%
     * spam-marker ratio) → script/encoding hygiene gate (no mojibake, no
@@ -2696,6 +2754,35 @@ object LlmQueries {
        |SELECT CAST(cell AS BIGINT) AS cell, rank, vec_id
        |FROM r WHERE rank <= 20 ORDER BY cell, rank""".stripMargin
 
+  /** DuckDB replay of [[q159CellPurity]]: Voronoi assignment from the
+    * captured centroid literals, then the (cell,label) counts and the
+    * struct-argmax tie-break (ties → smallest label).
+    */
+  private def q159OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, label,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |c(cell, cv) AS (VALUES
+       |  $q88CentroidRows),
+       |a AS (SELECT vec_id, CAST(label AS BIGINT) AS label, cell
+       |      FROM e CROSS JOIN c
+       |      QUALIFY row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY list_distance(v, cv) ASC, cell ASC) = 1),
+       |g AS (SELECT cell, label, count(*) AS n
+       |      FROM a GROUP BY cell, label),
+       |m AS (SELECT cell, label, n,
+       |        row_number() OVER (PARTITION BY cell
+       |            ORDER BY n DESC, label ASC) AS rk
+       |      FROM g),
+       |t AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_vecs,
+       |        count(*) AS n_labels
+       |      FROM g GROUP BY cell)
+       |SELECT CAST(t.cell AS BIGINT) AS cell, t.n_vecs, t.n_labels,
+       |  m.label AS majority_label, m.n AS majority_n,
+       |  CAST(floor(m.n * 1000000.0 / t.n_vecs) AS BIGINT) AS purity_ppm
+       |FROM t JOIN m ON m.cell = t.cell AND m.rk = 1
+       |ORDER BY cell""".stripMargin
+
   /** Cross-document exact-substring spans
     * ([[Dedup.sharedSubstringSpans]]): maximal verbatim token runs shared
     * between document pairs — the Lee et al. suffix-array dedup signal,
@@ -2823,6 +2910,8 @@ object LlmQueries {
     "q155_weighted_sample"  -> (q155WeightedSample(_, _)),
     "q156_cell_sample"      -> (q156CellSample(_, _)),
     "q157_decon_matrix"     -> (q157DeconMatrix(_, _)),
+    "q158_cluster_decon"    -> (q158ClusterDecon(_, _)),
+    "q159_cell_purity"      -> (q159CellPurity(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -4898,6 +4987,17 @@ object LlmQueries {
         |SELECT source, rank, doc_id, n_chars FROM r
         |WHERE rank <= 25 ORDER BY source, rank""".stripMargin,
     "q156_cell_sample" -> q156OracleSql,
+    "q158_cluster_decon" ->
+      s"""WITH RECURSIVE
+         |${minhashPortableCtes("documents", 5, 32, 8, 0.5, 1000)},
+         |leak AS (SELECT DISTINCT cluster_id FROM cc
+         |         WHERE doc_id % 10 = 3)
+         |SELECT cc.doc_id, cc.cluster_id,
+         |  leak.cluster_id IS NOT NULL AS cluster_leaked
+         |FROM cc LEFT JOIN leak USING (cluster_id)
+         |WHERE cc.doc_id % 10 <> 3
+         |ORDER BY cc.doc_id""".stripMargin,
+    "q159_cell_purity" -> q159OracleSql,
     "q157_decon_matrix" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -84,4 +84,30 @@ class ContaminationSpec extends SparkSpec {
       .filter(col("doc_id") % 10 =!= 3).count()
     assert(out.map(_.getLong(1)).sum == nTrain)
   }
+
+  test("cluster decon (q158): a planted near-dup of an eval doc is " +
+       "flagged; unrelated docs are not") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 6
+    val docs = Seq(
+      3L  -> base,                       // eval (id%10=3)
+      11L -> (base + "tail edit"),       // near-dup of the eval doc
+      12L -> ("completely different content about spark shuffles " * 6))
+      .toDF("doc_id", "text")
+    val clusters = Dedup.minhashPortable(docs, "doc_id", "text")
+      .select("doc_id", "cluster_id")
+    val leak = clusters.filter(col("doc_id") % 10 === 3)
+      .select(col("cluster_id")).distinct()
+    val flagged = clusters.filter(col("doc_id") % 10 =!= 3)
+      .join(leak, Seq("cluster_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(11L),
+           s"only the planted near-dup must be flagged, got $flagged")
+    // the registered query stays deterministic end-to-end
+    val a = graft.operators.LlmQueries.q158ClusterDecon(spark, sf0001)
+      .collect().toSeq
+    assert(a.nonEmpty)
+    assert(a == graft.operators.LlmQueries.q158ClusterDecon(spark, sf0001)
+             .collect().toSeq)
+  }
 }

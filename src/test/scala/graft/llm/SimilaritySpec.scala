@@ -363,4 +363,25 @@ class SimilaritySpec extends SparkSpec {
       .collect().toSeq
     assert(a == b)
   }
+
+  test("cell purity (q159): counts cover the corpus, majority is within " +
+       "bounds, and the report is deterministic") {
+    val out = graft.operators.LlmQueries.q159CellPurity(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    val nVecs = graft.sources.Tables.embeddings(spark, sf0001).count()
+    assert(out.map(_.getLong(1)).sum == nVecs,
+           "per-cell n_vecs must cover every vector exactly once")
+    out.foreach { r =>
+      val (n, nl, mn, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))
+      assert(mn >= 1 && mn <= n)
+      assert(nl >= 1 && nl <= n)
+      // majority share ≥ 1/n_labels by pigeonhole; ppm floor respects it
+      assert(ppm >= 1000000L / (nl * n) && ppm <= 1000000L)
+      assert(ppm == mn * 1000000L / n)
+    }
+    assert(out.toSeq == graft.operators.LlmQueries
+             .q159CellPurity(spark, sf0001).collect().toSeq)
+  }
 }
