@@ -241,9 +241,13 @@ object QualityFilters {
                                       lit(":" + salt)).cast("binary")),
                            1, 13), 16, 10).cast("long")
     val w = Window.partitionBy(strataCol)
-      .orderBy(asc("__pri"), asc(keyCol))
+      .orderBy(asc_nulls_last("__pri"), asc(keyCol))
+    // nonpositive weights draw a NULL priority and sort last: they can
+    // only fill slots no positive-weight row wants (and never crash
+    // ANSI division; DuckDB replays the same CASE)
     df.withColumn("__pri",
-                  h.cast("double") / col(weightCol).cast("double"))
+                  when(col(weightCol) > 0,
+                       h.cast("double") / col(weightCol).cast("double")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .drop("__pri")

@@ -4981,7 +4981,9 @@ object LlmQueries {
         |r AS (
         |  SELECT source, doc_id, n_chars,
         |    row_number() OVER (PARTITION BY source
-        |      ORDER BY CAST(h AS DOUBLE) / CAST(n_chars AS DOUBLE) ASC,
+        |      ORDER BY CASE WHEN n_chars > 0
+        |          THEN CAST(h AS DOUBLE) / CAST(n_chars AS DOUBLE)
+        |        END ASC NULLS LAST,
         |               doc_id ASC) AS rank
         |  FROM p)
         |SELECT source, rank, doc_id, n_chars FROM r

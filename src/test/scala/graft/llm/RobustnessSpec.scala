@@ -339,6 +339,39 @@ class RobustnessSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("round-10 ops on empty and degenerate input") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    // semantic decon: EMPTY eval -> every train vector reports clean
+    // (null closest/max, 0 hits, false) instead of an empty join
+    val clean = Contamination.semanticContamination(
+      emb, emptyEmb, threshold = 0.3).collect()
+    assert(clean.length == emb.count())
+    clean.foreach { r =>
+      assert(r.isNullAt(1) && r.isNullAt(2) && r.getLong(3) == 0L &&
+               !r.getBoolean(4))
+    }
+    // ... and an empty TRAIN side is an empty report
+    assert(Contamination.semanticContamination(emptyEmb, emb, 0.3)
+      .count() == 0)
+    // weighted sample: empty -> empty; a zero weight draws +Inf priority
+    // and can never beat a positive-weight row
+    val emptyW = emptyDocs.select(col("doc_id"), lit("s").as("s"),
+                                  lit(1L).as("w")).filter(lit(false))
+    assert(QualityFilters.weightedPrioritySample(
+      emptyW, "s", "doc_id", "w", k = 5).count() == 0)
+    val zw = Seq((1L, "s", 0L), (2L, "s", 5L)).toDF("doc_id", "s", "w")
+    val zwin = QualityFilters.weightedPrioritySample(
+      zw, "s", "doc_id", "w", k = 1).collect()
+    assert(zwin.length == 1 && zwin.head.getLong(0) == 2L,
+           "the zero-weight row must lose the single slot")
+    // cell-balanced sample: k larger than any cell returns the whole
+    // index, ranks still dense
+    val idx = Similarity.ivfIndex(emb, nCells = 4, seed = 42L)
+    assert(Similarity.cellBalancedSample(idx, k = Int.MaxValue).count() ==
+             emb.count())
+  }
+
   test("q149 release build: internal consistency — lineage, funnel, " +
        "shard assignment, digest, and card all describe the SAME " +
        "retained set") {
