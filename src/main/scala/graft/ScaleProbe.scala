@@ -513,6 +513,28 @@ object ScaleProbe {
           noop(Similarity.cellBalancedSample(idxM, k = 20))
         }
       }
+      // kernel-relevant regime: a BENCHMARK-sized eval (all 2k vectors)
+      // against the 20× train side — 80M cosines; the fused native
+      // kernel vs the interpreted HOF twin, same plan otherwise
+      {
+        val e20 = embX(20)
+        val allEval = Tables.embeddings(spark, dir)
+        val evs = allEval
+          .select(struct(col("vec_id").cast("long").as("eid"),
+                         col("embedding").as("ev")).as("__e"))
+          .agg(collect_list("__e").as("evs"))
+        val t = e20.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(evs))
+        time("sem_decon_2keval nat n=20") {
+          noop(t.select(col("vec_id"),
+            Similarity.cosineArgmax(col("embedding"), col("evs"), 0.3)))
+        }
+        time("sem_decon_2keval hof n=20") {
+          noop(t.select(col("vec_id"),
+            Similarity.cosineArgmaxHof(col("embedding"), col("evs"),
+                                       0.3)))
+        }
+      }
       for (n <- Seq(1, 5, 20)) {
         val d = docsX(n); val rows = d.count()
         time(s"wps_sample     n=$n ($rows)") {

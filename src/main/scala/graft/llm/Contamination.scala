@@ -245,16 +245,16 @@ object Contamination {
     * Plan shape at 100 TB: eval benchmark embeddings are tiny (thousands
     * of vectors, MBs) → they collapse to ONE array row, broadcast to a
     * single-row nested-loop join, and the whole report is then a
-    * ROW-LOCAL map over the train scan: per train vector, one HOF pass
-    * over the eval array computes max/argmax/hit-count. ZERO data-scale
-    * shuffles, no aggregation, no window — |train| rows in, |train| rows
-    * out at scan speed (the first cut aggregated max(struct) per
-    * train_id, which planned as a SortAggregate SORTING the train×eval
-    * product per task; PlanSpec pins the sort-free shape). The argmax is
-    * array_max over struct(cos, -eval_id) — deterministic lexicographic
-    * max, independent of collect_list order. Cosines are computed in
-    * double ([[Similarity.cosine]] — the codegen'd kernel's interpreted
-    * eval inside the lambda) so threshold compare and ordering are
+    * ROW-LOCAL map over the train scan: per train vector, ONE fused
+    * codegen'd pass over the eval array ([[Similarity.cosineArgmax]])
+    * computes max/argmax/hit-count. ZERO data-scale shuffles, no
+    * aggregation, no window — |train| rows in, |train| rows out at scan
+    * speed (the first cut aggregated max(struct) per train_id, which
+    * planned as a SortAggregate SORTING the train×eval product per task;
+    * PlanSpec pins the sort-free shape). The argmax tie rule matches
+    * max(struct(cos, -eval_id)) — deterministic, independent of
+    * collect_list order — and every cosine is [[CosineSimExpr]]'s double
+    * accumulation, so threshold compare and ordering are
     * engine-portable. An EMPTY eval set yields the honest all-clean
     * report (null closest/max, zero hits).
     */
@@ -268,21 +268,14 @@ object Contamination {
       .agg(collect_list("__e").as("__evs"))
     train.select(col(idCol).as("train_id"), col(vecCol).as("__tv"))
       .crossJoin(broadcast(e))
-      .withColumn("__cs",
-                  transform(col("__evs"), x =>
-                    struct(Similarity.cosine(col("__tv"),
-                                             x.getField("ev")).as("c"),
-                           (-x.getField("eid")).as("n"))))
-      .withColumn("__m", array_max(col("__cs")))
+      .withColumn("__m",
+                  Similarity.cosineArgmax(col("__tv"), col("__evs"),
+                                          threshold))
       .select(col("train_id"),
-              (-col("__m.n")).as("closest_eval"),
-              round(col("__m.c"), 6).as("max_cos"),
-              coalesce(
-                size(filter(col("__cs"),
-                            x => x.getField("c") >= lit(threshold)))
-                  .cast("long"),
-                lit(0L)).as("n_hits"),
-              coalesce(col("__m.c") >= threshold, lit(false))
+              col("__m.closest").as("closest_eval"),
+              round(col("__m.max_cos"), 6).as("max_cos"),
+              col("__m.n_hits").as("n_hits"),
+              coalesce(col("__m.max_cos") >= threshold, lit(false))
                 .as("is_contaminated"))
   }
 }

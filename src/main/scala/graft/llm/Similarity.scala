@@ -33,6 +33,38 @@ object Similarity {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** Fused cosine argmax over a (broadcast) candidate array via the
+    * native kernel ([[graft.functions.CosineArgmaxExpr]]): one codegen'd
+    * pass returns struct(closest, max_cos, n_hits). `candidates` must be
+    * array<struct<bigint, array<float|double>>>. Bit-identical to
+    * [[cosineArgmaxHof]], the spec twin.
+    */
+  def cosineArgmax(vec: Column, candidates: Column,
+                   threshold: Double): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.CosineArgmaxExpr(
+      ColumnBridge.expression(vec), ColumnBridge.expression(candidates),
+      threshold))
+  }
+
+  /** Spec twin of [[cosineArgmax]] as higher-order functions: three
+    * interpreted walks (transform → array_max, filter → size) instead of
+    * one fused loop. The candidate struct is positional: field 0 = id,
+    * field 1 = vector.
+    */
+  def cosineArgmaxHof(vec: Column, candidates: Column,
+                      threshold: Double): Column = {
+    val cs = transform(candidates, x =>
+      struct(cosine(vec, x.getField("ev")).as("c"),
+             (-x.getField("eid")).as("n")))
+    val m = array_max(cs)
+    struct(
+      (-m.getField("n")).as("closest"),
+      m.getField("c").as("max_cos"),
+      coalesce(size(filter(cs, x => x.getField("c") >= lit(threshold)))
+                 .cast("long"), lit(0L)).as("n_hits"))
+  }
+
   /** Spec formulation of [[cosine]] as pure higher-order functions —
     * slower (interpreted lambdas) but dependency-free; kept as the
     * property-test twin of the native kernel.

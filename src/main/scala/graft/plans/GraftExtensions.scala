@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimExpr, JaccardLongExpr, Md5Prefix60Expr, MinHashSigExpr, NfcNormalizeExpr, PermMinSigExpr, SimHash64Expr, SimHashVoteExpr, XxHash64ArrayExpr}
+import graft.functions.{CosineArgmaxExpr, CosineSimExpr, JaccardLongExpr, Md5Prefix60Expr, MinHashSigExpr, NfcNormalizeExpr, PermMinSigExpr, SimHash64Expr, SimHashVoteExpr, XxHash64ArrayExpr}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** Engine extension point, wired via `spark.sql.extensions` (set in
@@ -83,6 +83,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1,
                 "xxhash64_array takes exactly one argument")
         XxHash64ArrayExpr(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_argmax"),
+      new ExpressionInfo(classOf[CosineArgmaxExpr].getName, "cosine_argmax"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+                "cosine_argmax takes (vec, candidates, threshold literal)")
+        val th = children(2) match {
+          case Literal(v: Double, _) => v
+          case Literal(v: Float, _)  => v.toDouble
+          case Literal(v: Int, _)    => v.toDouble
+          case other => throw new IllegalArgumentException(
+            s"threshold must be a numeric literal, got $other")
+        }
+        CosineArgmaxExpr(children.head, children(1), th)
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash_vote"),

@@ -364,6 +364,33 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("cosineArgmax native kernel ≡ HOF twin on the corpus; empty " +
+       "candidates yield (null, null, 0)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val e = emb.filter(col("vec_id") % 10 === 3)
+      .select(struct(col("vec_id").cast("long").as("eid"),
+                     col("embedding").as("ev")).as("__e"))
+      .agg(collect_list("__e").as("evs"))
+    val t = emb.filter(col("vec_id") % 10 =!= 3)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(e))
+    val native = t.select(
+      col("vec_id"),
+      Similarity.cosineArgmax(col("embedding"), col("evs"), 0.3).as("m"))
+      .orderBy("vec_id").collect().toSeq
+    val hof = t.select(
+      col("vec_id"),
+      Similarity.cosineArgmaxHof(col("embedding"), col("evs"), 0.3)
+        .as("m"))
+      .orderBy("vec_id").collect().toSeq
+    assert(native == hof, "fused kernel must be bit-identical to the HOF chain")
+    val empty = t.limit(1).select(
+      Similarity.cosineArgmax(col("embedding"),
+                              slice(col("evs"), 1, 0), 0.3).as("m"))
+      .collect().head.getStruct(0)
+    assert(empty.isNullAt(0) && empty.isNullAt(1) && empty.getLong(2) == 0L)
+  }
+
   test("cell purity (q159): counts cover the corpus, majority is within " +
        "bounds, and the report is deterministic") {
     val out = graft.operators.LlmQueries.q159CellPurity(spark, sf0001)
