@@ -115,6 +115,7 @@ object SparkEntry {
     "q156_cell_sample",
     "q157_decon_matrix",
     "q158_cluster_decon",
-    "q159_cell_purity"
+    "q159_cell_purity",
+    "q160_semantic_decon_ivf"
   )
 }

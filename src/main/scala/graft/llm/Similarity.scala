@@ -403,6 +403,37 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** All (corpus, query) pairs at or above a cosine threshold, pruned by
+    * a prebuilt [[IvfIndex]]: each query probes its `nProbe`
+    * closest-centroid cells and compares only against their members —
+    * the threshold-query analogue of [[ivfTopKWithIndex]] (which ranks;
+    * this filters). Every returned pair carries its TRUE cosine, so the
+    * result is a SUBSET of the exact threshold join with zero false
+    * positives; recall is tuned with nProbe at constant index cost.
+    *
+    * Scale shape: centroids broadcast (O(√N) rows), probed
+    * (query, cell) pairs broadcast (nProbe × |queries| rows), the
+    * assigned table joins on `cell` — the corpus never self-joins and
+    * only probed-cell members are scored.
+    */
+  def ivfThresholdMatches(index: IvfIndex, queries: DataFrame,
+                          threshold: Double, nProbe: Int = 3,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val wCells = Window.partitionBy("query_id")
+      .orderBy(desc("cell_cos"), asc("cell"))
+    val probed = q.join(broadcast(index.centroids), lit(true))
+      .withColumn("cell_cos", cosine(col("qvec"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(wCells))
+      .filter(col("cell_rank") <= nProbe)
+      .select("query_id", "qvec", "cell")
+    index.assigned.join(broadcast(probed), Seq("cell"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .filter(col("cos") >= threshold)
+      .select(col("corpus_id"), col("query_id"), col("cos"))
+  }
+
   /** Brute-force all-pairs-free similarity JOIN between two document sets
     * via shared LSH buckets — returns pairs above a cosine threshold.
     * (The `approxSimilarityJoin` shape, hand-built so the plan is a plain

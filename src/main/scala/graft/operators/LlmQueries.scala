@@ -2479,6 +2479,83 @@ object LlmQueries {
       .orderBy("cell")
   }
 
+  /** IVF-probed semantic decontamination — q154's AT-SCALE twin for the
+    * regime where the eval side is NOT broadcast-tiny (a giant held-out
+    * shard, another corpus release): instead of every train×eval pair,
+    * each eval vector probes its 3 closest cells of a PERSISTED IVF
+    * index built over TRAIN, and only probed-cell members are scored.
+    * Every flagged pair carries its TRUE cosine, so flags are a strict
+    * SUBSET of q154's exact flags (zero false positives — spec-pinned);
+    * recall is bought with nProbe at constant index cost, and the cell
+    * structure makes the work |eval| × cellSize instead of
+    * |eval| × |train|. Fully oracle-checked: centroids inline as
+    * literals, DuckDB replays train assignment, eval cell-probing, the
+    * threshold, and the per-train rollup.
+    */
+  def q160SemanticDeconIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb   = Tables.embeddings(spark, dir)
+    val train = emb.filter(col("vec_id") % 10 =!= 3)
+    val eval  = emb.filter(col("vec_id") % 10 === 3)
+    val name = q160Saved.getOrElseUpdate(dir, {
+      val n = "graft_idx_q160_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      IndexStore.saveIvfIndex(
+        Similarity.ivfIndex(train, nCells = 8, seed = 42L), n)
+      n
+    })
+    val index = IndexStore.loadIvfIndex(spark, name)
+    q160CentroidRows = index.centroids
+      .orderBy("cell").collect()
+      .map { r =>
+        val cs = r.getSeq[Double](1).map(_.toString).mkString(", ")
+        s"(${r.getInt(0)}, [$cs])"
+      }
+      .mkString(",\n  ")
+    val m = Similarity.ivfThresholdMatches(index, eval,
+                                           threshold = 0.3, nProbe = 3)
+      .groupBy(col("corpus_id").as("train_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    train.select(col("vec_id").as("train_id"))
+      .join(m, Seq("train_id"), "left")
+      .select(col("train_id"),
+              coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+              col("n_hits").isNotNull.as("is_contaminated"))
+      .orderBy("train_id")
+  }
+  private val q160Saved = new graft.SavedOnce[String, String]
+  @volatile private var q160CentroidRows: String = ""
+
+  /** DuckDB replay of [[q160SemanticDeconIvf]] from the captured
+    * train-index centroids.
+    */
+  private def q160OracleSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |c(cell, cv) AS (VALUES
+       |  $q160CentroidRows),
+       |t AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 3),
+       |q AS (SELECT vec_id AS eval_id, v AS qv FROM e
+       |      WHERE vec_id % 10 = 3),
+       |a AS (SELECT vec_id, cell
+       |      FROM t CROSS JOIN c
+       |      QUALIFY row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY list_distance(v, cv) ASC, cell ASC) = 1),
+       |probe AS (SELECT eval_id, qv, cell
+       |      FROM q CROSS JOIN c
+       |      QUALIFY row_number() OVER (PARTITION BY eval_id
+       |          ORDER BY list_cosine_similarity(qv, cv) DESC,
+       |                   cell ASC) <= 3),
+       |m AS (SELECT a.vec_id AS train_id, count(*) AS n_hits
+       |      FROM a JOIN probe USING (cell)
+       |           JOIN t ON t.vec_id = a.vec_id
+       |      WHERE list_cosine_similarity(t.v, probe.qv) >= 0.3
+       |      GROUP BY 1)
+       |SELECT t.vec_id AS train_id,
+       |  coalesce(m.n_hits, 0) AS n_hits,
+       |  m.train_id IS NOT NULL AS is_contaminated
+       |FROM t LEFT JOIN m ON m.train_id = t.vec_id
+       |ORDER BY train_id""".stripMargin
+
   /** Curation funnel v2 — the round-9 gates composed end-to-end, the
     * q70 proof repeated for the NEW operators: blocklist gate (≤ 2%
     * spam-marker ratio) → script/encoding hygiene gate (no mojibake, no
@@ -2912,6 +2989,7 @@ object LlmQueries {
     "q157_decon_matrix"     -> (q157DeconMatrix(_, _)),
     "q158_cluster_decon"    -> (q158ClusterDecon(_, _)),
     "q159_cell_purity"      -> (q159CellPurity(_, _)),
+    "q160_semantic_decon_ivf" -> (q160SemanticDeconIvf(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -5000,6 +5078,7 @@ object LlmQueries {
          |WHERE cc.doc_id % 10 <> 3
          |ORDER BY cc.doc_id""".stripMargin,
     "q159_cell_purity" -> q159OracleSql,
+    "q160_semantic_decon_ivf" -> q160OracleSql,
     "q157_decon_matrix" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -110,4 +110,25 @@ class ContaminationSpec extends SparkSpec {
     assert(a == graft.operators.LlmQueries.q158ClusterDecon(spark, sf0001)
              .collect().toSeq)
   }
+
+  test("IVF-probed semantic decon (q160): flags are a strict subset of " +
+       "the exact gate's (zero false positives); probing EVERY cell " +
+       "recovers the exact flag set") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val train = emb.filter(col("vec_id") % 10 =!= 3)
+    val eval  = emb.filter(col("vec_id") % 10 === 3)
+    val exact = Contamination.semanticContamination(train, eval, 0.3)
+      .filter(col("is_contaminated"))
+      .select("train_id").collect().map(_.getLong(0)).toSet
+    val index = Similarity.ivfIndex(train, nCells = 8, seed = 42L)
+    def flagged(nProbe: Int) =
+      Similarity.ivfThresholdMatches(index, eval, 0.3, nProbe)
+        .select("corpus_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+    val probed3 = flagged(3)
+    assert(probed3.nonEmpty && probed3.subsetOf(exact),
+           "probed flags must carry true cosines — no false positives")
+    assert(flagged(8) == exact,
+           "probing all cells must equal the exact threshold gate")
+  }
 }
