@@ -2426,17 +2426,17 @@ object LlmQueries {
     * flagged when it shares a MinHash near-dup cluster with an eval doc,
     * catching lightly-edited benchmark copies whose shared grams fall
     * under the 8-gram window and whose embeddings drift past the cosine
-    * gate. Clustering is exactly q35's audited guarded pipeline; the
-    * decon adds one distinct over eval cluster ids (sized by the EVAL
-    * set — benchmarks are tiny at production scale) broadcast into a
-    * left join. Fully oracle-checked (the factored minhash replay +
-    * the leak join).
+    * gate. Reads the PERSISTED cluster table (the q146 steady state —
+    * the dedup job already built it; the decon never re-clusters); the
+    * decon itself is one distinct over eval cluster ids (sized by the
+    * EVAL set — benchmarks are tiny at production scale) broadcast into
+    * a left join. Fully oracle-checked (the factored minhash replay +
+    * the leak join — the persisted table ≡ fresh clustering is the same
+    * equivalence q146's oracle rests on).
     */
   def q158ClusterDecon(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = Dedup.minhashPortable(
-      Tables.documents(spark, dir), "doc_id", "text")
+    val clusters = dupArtifacts(spark, dir)._2
       .select("doc_id", "cluster_id")
-      .transform(graft.Materialize(_))
     val leaked = clusters.filter(col("doc_id") % 10 === 3)
       .select("cluster_id").distinct()
       .withColumn("__l", lit(true))
