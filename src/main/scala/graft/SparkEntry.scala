@@ -116,6 +116,7 @@ object SparkEntry {
     "q157_decon_matrix",
     "q158_cluster_decon",
     "q159_cell_purity",
-    "q160_semantic_decon_ivf"
+    "q160_semantic_decon_ivf",
+    "q161_substring_scrub"
   )
 }

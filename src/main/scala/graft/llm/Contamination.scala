@@ -144,17 +144,36 @@ object Contamination {
     */
   def exciseContamination(train: DataFrame, eval: DataFrame,
                           idCol: String, textCol: String,
-                          n: Int = 8): DataFrame = {
-    val spans = contaminationSpans(train, eval, idCol, textCol, n)
-      .select(col("doc_id").as("s_doc"), col("span_start"), col("span_end"))
-    val toks = train.select(col(idCol).as("doc_id"),
-                            posexplode(Dedup.wordTokens(col(textCol))))
+                          n: Int = 8): DataFrame =
+    exciseSpans(train, idCol, textCol,
+                contaminationSpans(train, eval, idCol, textCol, n)
+                  .select("doc_id", "span_start", "span_end"))
+
+  /** Excise token spans from documents: the reassembly tail shared by
+    * [[exciseContamination]] and [[Dedup.scrubSharedSubstrings]]. `spans`
+    * must be (doc_id, span_start, span_end) with DISJOINT intervals per
+    * doc (maximal merged islands — both callers guarantee this), so the
+    * range join marks each token at most once (no row duplication).
+    * Returns every doc in `docs` with its cleaned token text (spans
+    * removed, original token order preserved) plus kept/removed counts;
+    * docs with no span pass through with `n_tokens_removed = 0`.
+    *
+    * Plan: token posexplode (row-local) → equi-join on doc_id with the
+    * span range as residual (spans per doc are few and disjoint, so no
+    * fanout) → per-doc sort_array(collect_list) reassembly — the
+    * [[Dedup.lineDedup]] shape, deterministic without a global window.
+    */
+  private[llm] def exciseSpans(docs: DataFrame, idCol: String,
+                               textCol: String,
+                               spans: DataFrame): DataFrame = {
+    val sp = spans.select(col("doc_id").as("s_doc"),
+                          col("span_start"), col("span_end"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+                           posexplode(Dedup.wordTokens(col(textCol))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
               col("col").as("token"))
-    // spans are maximal merged islands → disjoint per doc, so the range
-    // join marks each token at most once (no row duplication)
     val marked = toks.join(
-        spans,
+        sp,
         col("doc_id") === col("s_doc") &&
           col("pos").between(col("span_start"), col("span_end")),
         "left")
@@ -169,7 +188,7 @@ object Contamination {
           " ").as("clean_text"),
         sum(when(!col("leak"), 1L).otherwise(0L)).as("n_tokens_kept"),
         sum(when(col("leak"), 1L).otherwise(0L)).as("n_tokens_removed"))
-    train.select(col(idCol).as("doc_id"))
+    docs.select(col(idCol).as("doc_id"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
               coalesce(col("clean_text"), lit("")).as("clean_text"),

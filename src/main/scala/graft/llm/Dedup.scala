@@ -1136,4 +1136,54 @@ object Dedup {
               (col("a_end") - col("diag")).as("b_end"),
               col("n_tokens"))
   }
+
+  /** Exact-substring SCRUB — the removal step of Lee et al. 2021's
+    * ExactSubstr dedup, completing [[sharedSubstringSpans]] (the audit)
+    * into the transform: every document with its cross-document duplicate
+    * spans EXCISED from the token stream, keeping one copy.
+    *
+    * Policy (deterministic, local): each shared span is removed from the
+    * HIGHER-id side of its pair (`doc_b`) — the keep-first rule every
+    * other dedup operator here uses (min-id keeps the clique
+    * representative). A doc can be the kept side of one pair and the
+    * scrubbed side of another; spans from different pairs/diagonals may
+    * overlap within a doc, so b-side spans are merged per doc into
+    * maximal disjoint islands (adjacent spans coalesce) before excision.
+    *
+    * Scale shape: span generation is [[sharedSubstringSpans]]'s
+    * counter-guarded plan (no unbounded gathers); the merge is a per-doc
+    * window over span rows only (spans per doc are few — bounded by the
+    * gram guards); excision is [[Contamination.exciseSpans]]'s
+    * posexplode + residual range join + per-doc reassembly. No stage
+    * touches more than (tokens + spans) rows.
+    *
+    * Output text is the normalized [[wordTokens]] view (same contract as
+    * [[Contamination.exciseContamination]] — see its scaladoc for the
+    * raw-bytes caveat).
+    */
+  def scrubSharedSubstrings(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 8, minTokens: Int = 16,
+                            maxGramDocs: Int = 50,
+                            maxGramOccs: Int = 200): DataFrame = {
+    val bSpans = sharedSubstringSpans(df, idCol, textCol, n, minTokens,
+                                      maxGramDocs, maxGramOccs)
+      .select(col("doc_b").as("doc_id"), col("b_start").as("start"),
+              col("b_end").as("end"))
+    // merge per-doc intervals into maximal disjoint islands (adjacent
+    // spans coalesce) — the contaminationSpans island window
+    val w = Window.partitionBy("doc_id").orderBy("start", "end")
+    val merged = bSpans
+      .withColumn("__prev_end",
+                  max("end").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+                  when(col("__prev_end").isNull ||
+                         col("start") > col("__prev_end") + 1, 1)
+                    .otherwise(0))
+      .withColumn("__island", sum("__new").over(w))
+      .groupBy("doc_id", "__island")
+      .agg(min("start").as("span_start"), max("end").as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+    Contamination.exciseSpans(df, idCol, textCol, merged)
+  }
 }

@@ -2873,6 +2873,20 @@ object LlmQueries {
                                n = 6, minTokens = 10, maxGramDocs = 50)
       .orderBy("doc_a", "doc_b", "a_start", "b_start")
 
+  /** Exact-substring SCRUB ([[Dedup.scrubSharedSubstrings]]): q89's span
+    * audit turned into the transform — the Lee et al. ExactSubstr dedup
+    * REMOVAL step. Every document with its cross-doc duplicate spans
+    * excised from the higher-id side of each pair (keep-first), plus
+    * kept/removed counts. Same gram width and guards as q89. Fully
+    * oracle-checked (q89's span replay + per-doc interval merge + the
+    * q91 token-filter reassembly, all as window SQL).
+    */
+  def q161SubstringScrub(spark: SparkSession, dir: String): DataFrame =
+    Dedup.scrubSharedSubstrings(Tables.documents(spark, dir),
+                                "doc_id", "text",
+                                n = 6, minTokens = 10, maxGramDocs = 50)
+      .orderBy("doc_id")
+
   /** Dataset snapshot diff ([[Versioning.snapshotDiff]]): per-document
     * added/removed/changed/unchanged between a release and its successor.
     * The successor is derived deterministically from `documents`
@@ -2990,6 +3004,7 @@ object LlmQueries {
     "q158_cluster_decon"    -> (q158ClusterDecon(_, _)),
     "q159_cell_purity"      -> (q159CellPurity(_, _)),
     "q160_semantic_decon_ivf" -> (q160SemanticDeconIvf(_, _)),
+    "q161_substring_scrub"  -> (q161SubstringScrub(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -5079,6 +5094,90 @@ object LlmQueries {
          |ORDER BY cc.doc_id""".stripMargin,
     "q159_cell_purity" -> q159OracleSql,
     "q160_semantic_decon_ivf" -> q160OracleSql,
+    // q89's span replay → b-side spans → per-doc interval merge → the
+    // q91 token-filter reassembly
+    "q161_substring_scrub" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS s,
+        |    CAST(least(i + 5, len(t) - 1) AS BIGINT) AS e,
+        |    ('0x' || substr(md5(CASE WHEN len(t) < 6
+        |        THEN array_to_string(t, ' ')
+        |        ELSE array_to_string(t[i+1:i+6], ' ') END),
+        |      1, 15))::BIGINT AS fp
+        |  FROM tok, LATERAL unnest(
+        |      CASE WHEN len(t) < 6 THEN [CAST(0 AS BIGINT)]
+        |           ELSE generate_series(0, len(t) - 6) END) AS u(i)),
+        |rare AS (
+        |  SELECT fp FROM g
+        |  GROUP BY fp
+        |  HAVING count(DISTINCT doc_id) <= 50 AND count(*) <= 200),
+        |h AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.s - b.s AS diag, a.s, a.e
+        |  FROM g a JOIN g b USING (fp)
+        |  WHERE a.doc_id < b.doc_id AND fp IN (SELECT fp FROM rare)),
+        |w AS (
+        |  SELECT doc_a, doc_b, diag, s, e,
+        |    lag(s) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY s)
+        |      AS prev
+        |  FROM h),
+        |isl AS (
+        |  SELECT doc_a, doc_b, diag, s, e,
+        |    sum(CASE WHEN prev IS NULL OR s <> prev + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_a, doc_b, diag ORDER BY s
+        |            ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM w),
+        |sp AS (
+        |  SELECT doc_a, doc_b, diag,
+        |         min(s) AS a_start, max(e) AS a_end
+        |  FROM isl GROUP BY doc_a, doc_b, diag, run),
+        |bs AS (
+        |  SELECT doc_b AS doc_id, a_start - diag AS s, a_end - diag AS e
+        |  FROM sp WHERE a_end - a_start + 1 >= 10),
+        |mw AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND 1 PRECEDING) AS pe
+        |  FROM bs),
+        |misl AS (
+        |  SELECT doc_id, s, e,
+        |    sum(CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s, e
+        |            ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM mw),
+        |spn AS (
+        |  SELECT doc_id, min(s) AS ss, max(e) AS se
+        |  FROM misl GROUP BY doc_id, island),
+        |tk AS (
+        |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, t[u.i] AS token
+        |  FROM tok, LATERAL unnest(generate_series(1, len(t))) AS u(i)),
+        |mk AS (
+        |  SELECT tk.doc_id, tk.pos, tk.token, spn.ss
+        |  FROM tk LEFT JOIN spn
+        |    ON tk.doc_id = spn.doc_id AND tk.pos BETWEEN spn.ss AND spn.se),
+        |ag AS (
+        |  SELECT doc_id,
+        |    array_to_string(list(token ORDER BY pos), ' ') AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS n_tokens_kept
+        |  FROM mk WHERE ss IS NULL GROUP BY doc_id),
+        |rm AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_removed
+        |  FROM mk WHERE ss IS NOT NULL GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(ag.clean_text, '') AS clean_text,
+        |  coalesce(ag.n_tokens_kept, CAST(0 AS BIGINT)) AS n_tokens_kept,
+        |  coalesce(rm.n_tokens_removed, CAST(0 AS BIGINT))
+        |    AS n_tokens_removed
+        |FROM documents d
+        |LEFT JOIN ag ON d.doc_id = ag.doc_id
+        |LEFT JOIN rm ON d.doc_id = rm.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q157_decon_matrix" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -518,4 +518,46 @@ class DedupSpec extends SparkSpec {
     stats.foreach { case (sz, nc, nd) => assert(sz * nc == nd) }
     assert(stats.map(_._1).distinct.length == stats.length)
   }
+
+  test("scrubSharedSubstrings excises the planted run from the higher-id " +
+       "side only; untouched docs pass through with zero removals") {
+    import spark.implicits._
+    val shared = (0 until 12).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"one two three $shared tail1 tail2"),
+      (2L, s"aa bb cc dd ee $shared zz"),
+      (3L, "totally unrelated words nothing in common here at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubSharedSubstrings(docs, "doc_id", "text",
+                                          n = 4, minTokens = 8,
+                                          maxGramDocs = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc1 is the kept (lower-id) side: all 17 tokens survive
+    assert(out(1L) == ((s"one two three $shared tail1 tail2", 17L, 0L)))
+    // doc2 loses exactly the 12-token run at [5,16], keeping its 6 others
+    assert(out(2L) == (("aa bb cc dd ee zz", 6L, 12L)))
+    assert(out(3L)._3 == 0L)
+  }
+
+  test("scrubSharedSubstrings merges overlapping spans from different " +
+       "pairs before excision — no double-removal, one contiguous cut") {
+    import spark.implicits._
+    val r = (0 until 18).map(i => s"r$i")
+    val docs = Seq(
+      (1L, "ax ay " + r.slice(0, 12).mkString(" ")),  // shares r0..r11 w/ 3
+      (2L, "bx by " + r.slice(6, 18).mkString(" ")),  // shares r6..r17 w/ 3
+      (3L, "cx " + r.mkString(" ") + " cz")           // scrubbed side twice
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubSharedSubstrings(docs, "doc_id", "text",
+                                          n = 4, minTokens = 8,
+                                          maxGramDocs = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // 1↔2 share only 6 tokens (< minTokens): both keep everything vs each
+    // other; doc3 is the higher-id side of BOTH pairs, whose spans
+    // [1,12] and [7,18] must merge to one [1,18] cut: 18 removed, not 24
+    assert(out(1L)._3 == 0L && out(2L)._3 == 0L)
+    assert(out(3L) == (("cx cz", 2L, 18L)))
+  }
 }
