@@ -957,6 +957,64 @@ object LlmQueries {
       .orderBy("batch_id")
   }
 
+  /** Streaming EXACT dedup under the oracle (q121's stateful sibling):
+    * the corpus streams through
+    * [[graft.streaming.EventStreams.streamingDedupSink]] as a
+    * FILE-SOURCE stream of three staged parquet slices (doc_id % 3,
+    * admitted one per trigger — no driver collect), and the stateful
+    * `dropDuplicatesWithinWatermark` gate lands each batch's FIRST-SEEN
+    * fingerprints in idempotent `batch_id=` partitions. Synthetic event
+    * times advance one minute per batch under a 1-hour horizon, so no
+    * state is evicted inside the run and the result is pure keep-first:
+    * each distinct normalized-text fingerprint appears exactly once, in
+    * the first batch containing it — which is why the whole stream
+    * output replays as one GROUP BY in DuckDB (fp → min slice).
+    * State is O(distinct fps inside the horizon), constant on an
+    * infinite stream; eviction semantics are spec-pinned in
+    * EventStreamsSpec.
+    *
+    * The corpus texts are distinct at the oracle scale, so the ingest
+    * is salted with a deterministic clone block (doc_id % 7 = 2
+    * re-emitted as doc_id + 1000000 — the q90 successor trick): since
+    * 1000000 % 3 = 1, every clone lands one slice AFTER its original
+    * (cross-batch state hits), and clones of slice-2 originals land in
+    * slice 0 — arriving BEFORE their original, so keep-first keeps the
+    * clone's batch. Both directions are exercised and both replay in
+    * the GROUP BY.
+    */
+  private val q162Saved = new graft.SavedOnce[String, String]
+
+  def q162StreamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = q162Saved.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q162_").toString
+      val in   = s"$base/in"
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      val salted = docs.unionByName(
+        docs.filter(col("doc_id") % 7 === 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.streaming.EventStreams.stageMicroBatchFiles(
+        salted
+          .select(col("doc_id"), col("text"),
+                  expr("timestampadd(MINUTE, CAST(doc_id % 3 AS INT), " +
+                       "timestamp'2024-01-01 00:00:00')").as("ts")),
+        col("doc_id") % 3, nBatches = 3, inDir = in)
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val out = s"$base/out"
+      val q = graft.streaming.EventStreams.streamingDedupSink(
+        stream, "ts", "text", horizon = "1 hour",
+        outDir = out, checkpoint = s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      out
+    })
+    spark.read.parquet(outDir)
+      .select(col("batch_id").cast("long").as("batch_id"), col("fp"))
+      .orderBy("batch_id", "fp")
+  }
+
   /** Character-trigram LM perplexity scoring ([[NgramLm]]) — the
     * CCNet/KenLM quality component: the (doc_id % 4 = 0) slice plays the
     * clean reference corpus the LM is fitted on, the rest are candidates
@@ -3005,6 +3063,7 @@ object LlmQueries {
     "q159_cell_purity"      -> (q159CellPurity(_, _)),
     "q160_semantic_decon_ivf" -> (q160SemanticDeconIvf(_, _)),
     "q161_substring_scrub"  -> (q161SubstringScrub(_, _)),
+    "q162_streaming_dedup"  -> (q162StreamingDedup(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -5094,6 +5153,19 @@ object LlmQueries {
          |ORDER BY cc.doc_id""".stripMargin,
     "q159_cell_purity" -> q159OracleSql,
     "q160_semantic_decon_ivf" -> q160OracleSql,
+    // keep-first over the whole stream = fp → min staged slice: the
+    // stateful gate's entire observable output in one GROUP BY
+    "q162_streaming_dedup" ->
+      """WITH s AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 7 = 2)
+        |SELECT CAST(min(doc_id % 3) AS BIGINT) AS batch_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM s
+        |GROUP BY fp
+        |ORDER BY batch_id, fp""".stripMargin,
     // q89's span replay → b-side spans → per-doc interval merge → the
     // q91 token-filter reassembly
     "q161_substring_scrub" ->

@@ -268,6 +268,27 @@ object EventStreams {
       graft.llm.IndexStore.loadMinhashIndex(docs.sparkSession, indexName),
       idCol, textCol, outDir, checkpoint)
 
+  /** Streaming exact-dedup sink: [[streamingDedup]]'s stateful
+    * first-seen gate landed in idempotent `batch_id=` partitions. Each
+    * partition holds the FINGERPRINTS first seen in that micro-batch —
+    * fp, not doc rows, because when several same-fp docs arrive in one
+    * micro-batch the state store keeps an arbitrary one; the fingerprint
+    * set per batch is the deterministic (and oracle-checkable) output,
+    * while which physical row represented it is a partitioning accident.
+    * Downstream joins the kept fps back to the landing table when it
+    * needs full rows.
+    */
+  def streamingDedupSink(docs: DataFrame, tsCol: String, textCol: String,
+                         horizon: String, outDir: String,
+                         checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingDedup(docs, tsCol, textCol, horizon).writeStream
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        upsertBatch(batch.toDF().select("fp"), id, outDir))
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .start()
+
   /** Per-micro-batch corpus stats for one ingest batch, flagged against
     * a REFERENCE snapshot's numbers — the drift row a monitoring sink
     * appends: a batch whose token entropy collapses or whose mean

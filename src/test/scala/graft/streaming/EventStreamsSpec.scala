@@ -162,6 +162,61 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup evicts state past the horizon: the same " +
+       "fingerprint is re-admitted once the watermark clears it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    val q = streamingDedup(docs, "ts", "text", horizon = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_evict")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), "hello world"))
+      q.processAllAvailable()
+      // advance the watermark far past ts(1) + 10 min so the fp evicts
+      input.addData((ts(60), "unrelated text"))
+      q.processAllAvailable()
+      input.addData((ts(61), "hello world")) // same fp, state gone
+      q.processAllAvailable()
+      val n = spark.table("dedup_evict").collect()
+        .count(_.getAs[String]("text").toLowerCase == "hello world")
+      assert(n == 2, "evicted fingerprint must be re-admitted")
+    } finally q.stop()
+  }
+
+  test("streamingDedupSink lands first-seen fps in batch_id partitions; " +
+       "a replayed batch overwrites its own partition (idempotent)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sds_").toString
+    val q = streamingDedupSink(docs, "ts", "text", "1 hour",
+                               s"$base/out", s"$base/ckpt")
+    try {
+      input.addData((ts(1), "alpha doc"), (ts(1), "ALPHA   doc"))
+      q.processAllAvailable()
+      input.addData((ts(2), "alpha doc"), (ts(2), "beta doc"))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$base/out")
+        .select(col("batch_id").cast("long"), col("fp")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      // exactly one row per distinct fp, in its FIRST-SEEN batch (alpha
+      // before beta); ids themselves may skip no-data watermark batches
+      assert(rows.length == 2, s"one fp per first-seen batch: ${rows.toSeq}")
+      val Array(alphaBatch, betaBatch) =
+        rows.sortBy(_._1).map(_._1)
+      assert(alphaBatch < betaBatch)
+      // replaying a batch into its partition overwrites cleanly
+      val bLast = rows.filter(_._1 == betaBatch).map(_._2)
+      upsertBatch(Seq(bLast.head).toDF("fp"), betaBatch, s"$base/out")
+      val again = spark.read.parquet(s"$base/out").count()
+      assert(again == 2, "replayed partition must not duplicate rows")
+    } finally q.stop()
+  }
+
   test("stream-stream join: purchases match signups within the window; " +
        "late rows beyond the watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
