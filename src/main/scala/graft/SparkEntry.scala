@@ -117,6 +117,7 @@ object SparkEntry {
     "q158_cluster_decon",
     "q159_cell_purity",
     "q160_semantic_decon_ivf",
-    "q161_substring_scrub"
+    "q161_substring_scrub",
+    "q163_quality_distill"
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.infer.{BatchInference, HashScorer}
 import graft.metrics.BinaryMetrics
-import graft.ml.{Cleaning, TextPipelines}
+import graft.ml.{Cleaning, QualityDistill, TextPipelines}
 import graft.sources.Tables
 
 /** ML text-classification surface as driver-checkable queries: feature
@@ -156,8 +156,26 @@ object MlQueries {
     BinaryMetrics.calibrationCurve(preds, bins = 10)
   }
 
+  /** Quality-rule distillation ([[QualityDistill.distillGopher]]): the
+    * Gopher gate's verdicts on the (doc_id % 4 = 0) slice train a
+    * HashingTF+IDF+LR imitator, which is then audited on the held-out
+    * remainder — output is the rule-vs-model confusion matrix (the
+    * accept/reject evidence for swapping the rule for the model).
+    * Deterministic given (data, config); pinned golden self-oracle at
+    * the driver sf dirs, rows-only elsewhere. minStopwordHits = 1 as in
+    * q65 (the synthetic corpus tops out at 1 distinct Gopher stopword).
+    */
+  def q163QualityDistill(spark: SparkSession, dir: String): DataFrame = {
+    pipelineDir = dir
+    val scored = QualityDistill.distillGopher(
+      Tables.documents(spark, dir), "doc_id", "text",
+      trainFilter = col("doc_id") % 4 === 0, minStopwordHits = 1)
+    BinaryMetrics.confusionMatrix(scored, labelCol = "label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_tokenize"        -> (q41Tokenize(_, _)),
+    "q163_quality_distill" -> (q163QualityDistill(_, _)),
     "q42_stop_words"      -> (q42StopWords(_, _)),
     "q50_sst2_pipeline"   -> (q50Sst2Pipeline(_, _)),
     "q51_qqp_pipeline"    -> (q51QqpPipeline(_, _)),
@@ -228,13 +246,19 @@ object MlQueries {
       (0.0, 1.0, 193L), (1.0, 1.0, 307L))),
     ("sf0.001", "q53_batch_infer") -> inferGolden(Seq(
       ("neg", 175L, 0.7397), ("neu", 145L, 0.7311),
-      ("pos", 180L, 0.7384))))
+      ("pos", 180L, 0.7384))),
+    ("sf0.01", "q163_quality_distill") -> cmGolden(Seq(
+      (0.0, 0.0, 58L), (0.0, 1.0, 28L), (1.0, 0.0, 14L),
+      (1.0, 1.0, 275L))),
+    ("sf0.001", "q163_quality_distill") -> cmGolden(Seq(
+      (0.0, 0.0, 69L), (0.0, 1.0, 15L), (1.0, 0.0, 12L),
+      (1.0, 1.0, 279L))))
 
   def oracleSql: Map[String, String] = {
     val base = pipelineDir.split('/').lastOption.getOrElse("")
     staticOracleSql ++
       Seq("q50_sst2_pipeline", "q51_qqp_pipeline", "q52_qnli_pipeline",
-          "q53_batch_infer")
+          "q53_batch_infer", "q163_quality_distill")
         .flatMap(q => pipelineGoldens.get((base, q)).map(q -> _))
   }
 
