@@ -118,6 +118,7 @@ object SparkEntry {
     "q159_cell_purity",
     "q160_semantic_decon_ivf",
     "q161_substring_scrub",
-    "q163_quality_distill"
+    "q163_quality_distill",
+    "q164_image_dedup"
   )
 }

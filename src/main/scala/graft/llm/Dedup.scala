@@ -765,12 +765,30 @@ object Dedup {
                                 maxHamming: Int = 3): DataFrame = {
     val sh = withSimhashPortable(df.select(col(idCol).as("doc_id"),
                                            col(textCol)), textCol, "sh60")
-      .select("doc_id", "sh60")
+      .select(col("doc_id"), col("sh60").as("h60"))
+    hammingCandidatesPortable(sh, maxBucket, maxHamming)
+  }
+
+  /** Banded Hamming pair generation over ANY 60-bit signature column —
+    * the band-bucket-join core shared by text simhash
+    * ([[simhashCandidatesPortable]]) and perceptual image hashes
+    * ([[Multimodal.imageAHash60]] → q164): 4 × 15-bit bands give
+    * guaranteed recall for Hamming ≤ 3, the `maxBucket` guard drops
+    * boilerplate-storm buckets before the within-bucket self-join
+    * (candidates ≤ maxBucket² per bucket — no all-pairs stage), and the
+    * salted join spreads hot buckets across `S` tasks. Input: (doc_id,
+    * h60); output: (doc_a, doc_b, hamming) with doc_a < doc_b and
+    * hamming ≤ `maxHamming`, distinct.
+    */
+  def hammingCandidatesPortable(hashed: DataFrame,
+                                maxBucket: Int = 1000,
+                                maxHamming: Int = 3): DataFrame = {
     val bandArr = array((0 until 4).map { b =>
-      shiftright(col("sh60"), b * 15).bitwiseAND(lit(0x7FFFL))
+      shiftright(col("h60"), b * 15).bitwiseAND(lit(0x7FFFL))
     }: _*)
     val bucketW = Window.partitionBy("band", "bucket")
-    val banded = sh.select(col("doc_id"), col("sh60"), posexplode(bandArr))
+    val banded = hashed.select(col("doc_id"), col("h60"),
+                               posexplode(bandArr))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
       .withColumn("bsize", count(lit(1)).over(bucketW))
@@ -778,10 +796,10 @@ object Dedup {
       .drop("bsize")
     val S = 8
     val a = banded.select(col("band"), col("bucket"),
-                          col("doc_id").as("doc_a"), col("sh60").as("ha"))
+                          col("doc_id").as("doc_a"), col("h60").as("ha"))
       .withColumn("salt", pmod(xxhash64(col("doc_a")), lit(S)).cast("int"))
     val b = banded.select(col("band"), col("bucket"),
-                          col("doc_id").as("doc_b"), col("sh60").as("hb"))
+                          col("doc_id").as("doc_b"), col("h60").as("hb"))
       .withColumn("salt", explode(array((0 until S).map(lit): _*)))
     a.join(b, Seq("band", "bucket", "salt"))
       .drop("salt")

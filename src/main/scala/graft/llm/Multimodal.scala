@@ -427,4 +427,115 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Synthesize CONTENT-KEYED deterministic PNGs: every row becomes a
+    * 16×16 8-bit grayscale image whose pixel (x,y) is the first md5 byte
+    * of `"<fp>|<x>|<y>"` — i.e. pseudorandom noise seeded by the row's
+    * `fp` string (normally the doc's normalized-text fingerprint), so
+    * equal content ⇒ identical images and distinct content ⇒ images ~32
+    * aHash bits apart. Rows with `perturb = true` additionally saturate
+    * the top-left 2×2 block to 255 — a visually-tiny edit that moves at
+    * most one aHash block, the planted near-duplicate for the q164
+    * pipeline. PNG is lossless and the formula is pure md5 arithmetic,
+    * so the encode→decode→hash pipeline replays exactly in SQL.
+    *
+    * Input columns: (media_id LONG, fp STRING, perturb BOOLEAN).
+    */
+  def syntheticContentImages(keyed: DataFrame): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    keyed.select(col("media_id").cast("long"), col("fp"),
+                 col("perturb").cast("boolean"))
+      .mapPartitions { rows =>
+        imageIoMemoryCache
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0); val fp = r.getString(1)
+          val perturb = r.getBoolean(2)
+          val img = new java.awt.image.BufferedImage(
+            16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              md.reset()
+              val d = md.digest(
+                s"$fp|$x|$y".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val lum =
+                if (perturb && x < 2 && y < 2) 255 else d(0) & 0xFF
+              raster.setSample(x, y, 0, lum)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(id, "image", bos.toByteArray, 16, 16, null)
+        }
+      }(enc)
+  }
+
+  val aHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("ahash60", LongType, nullable = false)))
+
+  /** 60-bit average-hash (aHash) of 16×16 grayscale images — the
+    * perceptual-dedup signature: block b ∈ [0,60) is the 2×2 pixel block
+    * at (bx, by) = (b mod 8, b div 8), and bit b is set iff the block's
+    * luminance sum beats the whole image's (64·blockSum > totalSum —
+    * integer-exact, no float means, so DuckDB replays it bit-for-bit).
+    * 60 bits rather than 64 (blocks 60–63, the bottom-right strip, are
+    * dropped) to match the engine's portable-hash width: DuckDB BIGINTs
+    * are signed, and every banded-Hamming operator here speaks 4×15-bit
+    * bands ([[Dedup.hammingCandidatesPortable]]).
+    *
+    * Decode is the real `javax.imageio` parser (built once per
+    * partition, in-memory cache); undecodable or non-16×16 rows hash to
+    * −1 with their actual dimensions, for quarantine rather than task
+    * failure. Row-local, zero shuffle.
+    */
+  def imageAHash60(media: DataFrame): DataFrame = {
+    val in = media.filter(col("media_type") === "image")
+      .select(col("media_id").cast("long"), col("content"))
+    val enc = Encoders.row(aHashSchema)
+    in.mapPartitions { rows =>
+      imageIoMemoryCache
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val img =
+          if (bytes == null || bytes.isEmpty) null
+          else javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+        if (img == null) Row(r.getLong(0), 0, 0, -1L)
+        else if (img.getWidth != 16 || img.getHeight != 16 ||
+                 img.getRaster.getNumBands != 1)
+          Row(r.getLong(0), img.getWidth, img.getHeight, -1L)
+        else {
+          val raster = img.getRaster
+          val blockSum = new Array[Long](64)
+          var total = 0L
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val lum = raster.getSample(x, y, 0).toLong
+              blockSum((y / 2) * 8 + x / 2) += lum
+              total += lum
+              x += 1
+            }
+            y += 1
+          }
+          var h = 0L
+          var b = 0
+          while (b < 60) {
+            if (64L * blockSum(b) > total) h |= (1L << b)
+            b += 1
+          }
+          Row(r.getLong(0), 16, 16, h)
+        }
+      }
+    }(enc)
+  }
 }

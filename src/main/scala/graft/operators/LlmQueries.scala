@@ -338,6 +338,39 @@ object LlmQueries {
       .orderBy("media_id")
   }
 
+  /** Image near-duplicate detection by perceptual hash — the multimodal
+    * dedup stage: content-keyed 16×16 PNGs
+    * ([[Multimodal.syntheticContentImages]] — REAL `ImageIO` encode)
+    * are decoded by the REAL JDK parser, average-hashed to 60 bits with
+    * integer-exact block comparisons ([[Multimodal.imageAHash60]]), and
+    * paired by the same 4×15-bit banded Hamming join text simhash uses
+    * ([[Dedup.hammingCandidatesPortable]]). The corpus is salted with
+    * perturbed clones (doc_id % 7 = 2 re-imaged as doc_id + 1000000
+    * with the top-left block saturated — a visually-tiny edit), so every
+    * planted pair must surface at Hamming ≤ 1 while pseudorandom
+    * non-dup hashes sit ~30 bits apart. FULLY oracle-checked: DuckDB
+    * regenerates every pixel from the md5 formula and replays blocks,
+    * bits, bands, buckets, and popcounts.
+    */
+  def q164ImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def keyed(d: DataFrame, shift: Long, perturb: Boolean) =
+      d.select((col("doc_id") + shift).as("media_id"),
+               graft.llm.TextAnalysis.fingerprint(col("text")).as("fp"),
+               lit(perturb).as("perturb"))
+    val media = Multimodal.syntheticContentImages(
+      keyed(docs, 0L, perturb = false).unionByName(
+        keyed(docs.filter(col("doc_id") % 7 === 2), 1000000L,
+              perturb = true)))
+    val hashed = Multimodal.imageAHash60(media)
+      .select(col("media_id").as("doc_id"), col("ahash60").as("h60"))
+    Dedup.hammingCandidatesPortable(hashed, maxBucket = 1000,
+                                    maxHamming = 3)
+      .select(col("doc_a"), col("doc_b"),
+              col("hamming").cast("long").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Sliding-window chunking ([[TextPacking.chunkDocuments]]) — 32-token
     * windows, 8-token overlap (stride 24), so typical ~57-token docs
     * emit 2-3 chunks and the short-tail window is exercised. Emits the
@@ -3064,6 +3097,7 @@ object LlmQueries {
     "q160_semantic_decon_ivf" -> (q160SemanticDeconIvf(_, _)),
     "q161_substring_scrub"  -> (q161SubstringScrub(_, _)),
     "q162_streaming_dedup"  -> (q162StreamingDedup(_, _)),
+    "q164_image_dedup"      -> (q164ImageDedup(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -5153,6 +5187,56 @@ object LlmQueries {
          |ORDER BY cc.doc_id""".stripMargin,
     "q159_cell_purity" -> q159OracleSql,
     "q160_semantic_decon_ivf" -> q160OracleSql,
+    // regenerate every pixel from the md5 formula, then replay blocks →
+    // bits → 60-bit hash → 4×15-bit bands → bucket join → popcount
+    "q164_image_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    false AS perturb
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+        |    true
+        |  FROM documents WHERE doc_id % 7 = 2),
+        |px AS (
+        |  SELECT media_id, (y // 2) * 8 + (x // 2) AS b,
+        |    CASE WHEN perturb AND x < 2 AND y < 2 THEN 255
+        |         ELSE ('0x' || substr(md5(fp || '|' || x || '|' || y),
+        |                              1, 2))::INT END AS lum
+        |  FROM d, generate_series(0, 15) gx(x),
+        |       generate_series(0, 15) gy(y)),
+        |bs AS (
+        |  SELECT media_id, b, CAST(sum(lum) AS BIGINT) AS s
+        |  FROM px GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT media_id, CAST(sum(s) AS BIGINT) AS total
+        |  FROM bs GROUP BY 1),
+        |hh AS (
+        |  SELECT bs.media_id,
+        |    CAST(sum(CASE WHEN bs.b < 60 AND 64 * bs.s > tot.total
+        |                  THEN (CAST(1 AS BIGINT) << bs.b)
+        |                  ELSE 0 END) AS BIGINT) AS h60
+        |  FROM bs JOIN tot USING (media_id) GROUP BY 1),
+        |banded AS (
+        |  SELECT media_id AS doc_id, h60, band,
+        |    (h60 >> (band * 15)) & 32767 AS bucket
+        |  FROM hh, generate_series(0, 3) g(band)),
+        |sz AS (
+        |  SELECT band, bucket, count(*) AS n
+        |  FROM banded GROUP BY 1, 2),
+        |bd AS (
+        |  SELECT banded.* FROM banded JOIN sz USING (band, bucket)
+        |  WHERE sz.n <= 1000),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    bit_count(xor(a.h60, b.h60)) AS hamming
+        |  FROM bd a JOIN bd b USING (band, bucket)
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM pairs WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // keep-first over the whole stream = fp → min staged slice: the
     // stateful gate's entire observable output in one GROUP BY
     "q162_streaming_dedup" ->

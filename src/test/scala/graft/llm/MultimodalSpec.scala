@@ -239,4 +239,57 @@ class MultimodalSpec extends SparkSpec {
         .forEach(p => Files.deleteIfExists(p))
     }
   }
+
+  test("imageAHash60: equal content keys hash identically through the " +
+       "real PNG round-trip; distinct keys land far apart; perturbed " +
+       "clones stay near") {
+    import spark.implicits._
+    val keyed = Seq(
+      (1L, "fpA", false), (2L, "fpA", false),   // same content key
+      (3L, "fpB", false),                       // different key
+      (4L, "fpA", true)                         // perturbed clone of fpA
+    ).toDF("media_id", "fp", "perturb")
+    val h = Multimodal.imageAHash60(
+        Multimodal.syntheticContentImages(keyed))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(h(1L) == h(2L), "identical keys must round-trip to one hash")
+    assert(h.values.forall(_ >= 0L), "all rows decodable")
+    val far = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    assert(far > 10, s"distinct keys should differ widely, got $far bits")
+    val near = java.lang.Long.bitCount(h(1L) ^ h(4L))
+    assert(near <= 3, s"a one-block perturbation must stay near: $near")
+  }
+
+  test("imageAHash60 quarantines undecodable and off-grid images as -1 " +
+       "instead of failing the partition") {
+    import spark.implicits._
+    val junk = Seq(
+      (1L, "image", "not a png".getBytes("UTF-8")),
+      (2L, "image", Array.empty[Byte])
+    ).toDF("media_id", "media_type", "content")
+    val out = Multimodal.imageAHash60(junk).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> -1L, 2L -> -1L))
+    // off-grid: a real 8x8 PNG is decodable but not hashable on the
+    // 16x16 contract
+    val docs = Tables.documents(spark, sf0001).limit(1)
+    val off = Multimodal.imageAHash60(
+      Multimodal.syntheticImageMedia(docs))
+    assert(off.collect().forall(_.getLong(3) == -1L))
+  }
+
+  test("q164 planted perturbed clones surface with high recall and no " +
+       "spurious pairs at Hamming <= 3") {
+    val pairs = graft.operators.LlmQueries
+      .q164ImageDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = pairs.filter { case (a, b, _) => b == a + 1000000L }
+    val nPlantable = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 7 === 2).count()
+    assert(planted.length >= (nPlantable * 85) / 100,
+           s"recall too low: ${planted.length} of $nPlantable")
+    assert(pairs.length == planted.length,
+           s"random 60-bit hashes must not collide at <=3 bits: " +
+             pairs.filterNot { case (a, b, _) => b == a + 1000000L }.toSeq)
+  }
 }
