@@ -544,6 +544,63 @@ object ScaleProbe {
         }
       }
     }
+
+    section("substr_scrub image_dedup quality_distill stream_dedup " +
+            "unigram_segment") {
+      // tokenizer fitted ONCE on the base corpus (the persisted-model
+      // steady state); the probe times the APPLY path as corpus grows
+      val uniVocab = graft.llm.UnigramTrainer.fitUnigram(
+        graft.llm.BpeTrainer.wordCounts(Tables.documents(spark, dir),
+                                        "text"),
+        vocabSize = 300)
+      for (n <- Seq(1, 5, 20)) {
+        val d = docsX(n); val rows = d.count()
+        time(s"substr_scrub   n=$n ($rows)") {
+          noop(Dedup.scrubSharedSubstrings(
+            d, "doc_id", "text", n = 6, minTokens = 10,
+            maxGramDocs = 50))
+        }
+        time(s"image_dedup    n=$n ($rows)") {
+          val keyed = d.select(
+            col("doc_id").as("media_id"),
+            graft.llm.TextAnalysis.fingerprint(col("text")).as("fp"),
+            lit(false).as("perturb"))
+          noop(Dedup.hammingCandidatesPortable(
+            graft.llm.Multimodal.imageAHash60(
+              graft.llm.Multimodal.syntheticContentImages(keyed))
+              .select(col("media_id").as("doc_id"),
+                      col("ahash60").as("h60"))))
+        }
+        time(s"quality_distill n=$n ($rows)") {
+          noop(graft.ml.QualityDistill.distillGopher(
+            d, "doc_id", "text",
+            trainFilter = col("doc_id") % 4 === 0, minStopwordHits = 1)
+            .select("doc_id", "label", "prediction"))
+        }
+        time(s"unigram_segment n=$n ($rows)") {
+          noop(graft.llm.UnigramTrainer.segmentDocs(
+            d, "doc_id", "text", uniVocab))
+        }
+        // streaming dedup: staging is setup, the timer covers the full
+        // 3-trigger run of the stateful gate over the landed files
+        val base = java.nio.file.Files
+          .createTempDirectory("probe_sd_").toString
+        graft.streaming.EventStreams.stageMicroBatchFiles(
+          d.select(col("doc_id"), col("text"),
+                   expr("timestampadd(MINUTE, CAST(doc_id % 3 AS INT), " +
+                        "timestamp'2024-01-01 00:00:00')").as("ts")),
+          col("doc_id") % 3, nBatches = 3, inDir = s"$base/in")
+        time(s"stream_dedup   n=$n ($rows)") {
+          val stream = spark.readStream
+            .schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$base/in")
+          val q = graft.streaming.EventStreams.streamingDedupSink(
+            stream, "ts", "text", "1 hour", s"$base/out", s"$base/ckpt")
+          try q.processAllAvailable() finally q.stop()
+        }
+      }
+    }
     spark.stop()
   }
 }

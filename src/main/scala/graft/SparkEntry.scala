@@ -119,6 +119,9 @@ object SparkEntry {
     "q160_semantic_decon_ivf",
     "q161_substring_scrub",
     "q163_quality_distill",
-    "q164_image_dedup"
+    "q164_image_dedup",
+    // q165 is the fitted-vocab load (trivial); q166 times the real
+    // apply path against the loaded vocabulary
+    "q166_unigram_segment"
   )
 }

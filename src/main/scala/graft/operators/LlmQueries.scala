@@ -2,9 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Contamination, CorpusStats, Dedup, IndexStore, Multimodal,
-                  NgramLm, QualityFilters, Relevance, Sharding, Similarity,
-                  Sketches, Splits, TextAnalysis, TextPacking, Versioning}
+import graft.llm.{BpeTrainer, Contamination, CorpusStats, Dedup, IndexStore,
+                  Multimodal, NgramLm, QualityFilters, Relevance, Sharding,
+                  Similarity, Sketches, Splits, TextAnalysis, TextPacking,
+                  UnigramTrainer, Versioning}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline operators as oracle-checkable queries over
@@ -370,6 +371,107 @@ object LlmQueries {
               col("hamming").cast("long").as("hamming"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** The unigram tokenizer fits once per (process, sf dir) and persists
+    * ([[UnigramTrainer.save]]) — the BPE/LM train-once/apply-daily
+    * contract: q165 exposes the fitted vocabulary, q166 applies it.
+    */
+  private val unigramSaved = new graft.SavedOnce[String, String]
+
+  private def unigramVocabFor(spark: SparkSession,
+                              dir: String): Seq[(String, Long)] = {
+    val name = unigramSaved.getOrElseUpdate(dir, {
+      val n = "graft_unigram_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      UnigramTrainer.save(
+        spark,
+        UnigramTrainer.fitUnigram(
+          BpeTrainer.wordCounts(Tables.documents(spark, dir), "text"),
+          vocabSize = 300),
+        n)
+      n
+    })
+    UnigramTrainer.load(spark, name)
+  }
+
+  /** Unigram-LM tokenizer vocabulary ([[UnigramTrainer.fitUnigram]] —
+    * SentencePiece's unigram model, Viterbi-EM variant): the fitted
+    * (rank, piece, count) table. EM has no SQL twin, so this is a
+    * rows-only driver check; the fit itself is spec-pinned
+    * (UnigramTrainerSpec goldens + determinism) and its APPLICATION is
+    * fully oracle-checked in q166 with this vocabulary inlined.
+    */
+  def q165UnigramVocab(spark: SparkSession, dir: String): DataFrame = {
+    val v = unigramVocabFor(spark, dir)
+    import spark.implicits._
+    v.zipWithIndex
+      .map { case ((p, n), i) => (i.toLong, p, n) }
+      .toDF("rank", "piece", "n")
+      .orderBy("rank")
+  }
+
+  /** WordPiece-style greedy maximal-munch segmentation
+    * ([[UnigramTrainer.segmentDocs]]) against the persisted q165
+    * vocabulary — per-doc word count, piece count, and the md5 of the
+    * ordered piece stream. FULLY oracle-checked: the fitted multi-char
+    * pieces are inlined as literals and DuckDB replays the longest-match
+    * walk as a recursive CTE over DISTINCT words (single-char fallback
+    * via left join), then reassembles per doc.
+    */
+  def q166UnigramSegment(spark: SparkSession, dir: String): DataFrame = {
+    val v = unigramVocabFor(spark, dir)
+    q166VocabRows = v.filter(_._1.length > 1)
+      .map(p => s"('${p._1}')").mkString(", ")
+    UnigramTrainer.segmentDocs(Tables.documents(spark, dir),
+                               "doc_id", "text", v)
+      .orderBy("doc_id")
+  }
+  @volatile private var q166VocabRows: String = ""
+
+  private def q166OracleSql: String =
+    s"""WITH RECURSIVE
+       |v(piece) AS (VALUES $q166VocabRows),
+       |tok AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\W+'),
+       |                x -> len(x) > 0) AS t
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, t[u.i] AS word
+       |  FROM tok, LATERAL unnest(generate_series(1, len(t))) AS u(i)),
+       |dw AS (SELECT DISTINCT word FROM w),
+       |ps AS (
+       |  SELECT dw.word, CAST(u.i AS INT) AS p
+       |  FROM dw, LATERAL unnest(generate_series(0, len(dw.word) - 1))
+       |       AS u(i)),
+       |mb AS (
+       |  SELECT word, p, piece FROM (
+       |    SELECT s.word, s.p, v.piece,
+       |      row_number() OVER (PARTITION BY s.word, s.p
+       |                         ORDER BY len(v.piece) DESC, v.piece) AS rn
+       |    FROM ps s JOIN v
+       |      ON substr(s.word, s.p + 1, len(v.piece)) = v.piece)
+       |  WHERE rn = 1),
+       |best AS (
+       |  SELECT s.word, s.p,
+       |    coalesce(mb.piece, substr(s.word, s.p + 1, 1)) AS piece
+       |  FROM ps s LEFT JOIN mb ON mb.word = s.word AND mb.p = s.p),
+       |seg(word, p, pieces, np) AS (
+       |  SELECT word, 0, '', CAST(0 AS BIGINT) FROM dw
+       |  UNION ALL
+       |  SELECT s.word, s.p + len(b.piece),
+       |    s.pieces || CASE WHEN s.pieces = '' THEN ''
+       |                     ELSE ' ' END || b.piece,
+       |    s.np + 1
+       |  FROM seg s JOIN best b ON b.word = s.word AND b.p = s.p
+       |  WHERE s.p < len(s.word)),
+       |res AS (SELECT word, pieces, np FROM seg WHERE p = len(word)),
+       |j AS (
+       |  SELECT w.doc_id, w.pos, res.pieces, res.np
+       |  FROM w JOIN res ON res.word = w.word)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(np) AS BIGINT) AS n_pieces,
+       |  md5(array_to_string(list(pieces ORDER BY pos), ' ')) AS piece_fp
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Sliding-window chunking ([[TextPacking.chunkDocuments]]) — 32-token
     * windows, 8-token overlap (stride 24), so typical ~57-token docs
@@ -3098,6 +3200,8 @@ object LlmQueries {
     "q161_substring_scrub"  -> (q161SubstringScrub(_, _)),
     "q162_streaming_dedup"  -> (q162StreamingDedup(_, _)),
     "q164_image_dedup"      -> (q164ImageDedup(_, _)),
+    "q165_unigram_vocab"    -> (q165UnigramVocab(_, _)),
+    "q166_unigram_segment"  -> (q166UnigramSegment(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -5187,6 +5291,7 @@ object LlmQueries {
          |ORDER BY cc.doc_id""".stripMargin,
     "q159_cell_purity" -> q159OracleSql,
     "q160_semantic_decon_ivf" -> q160OracleSql,
+    "q166_unigram_segment" -> q166OracleSql,
     // regenerate every pixel from the md5 formula, then replay blocks →
     // bits → 60-bit hash → 4×15-bit bands → bucket join → popcount
     "q164_image_dedup" ->
