@@ -122,6 +122,7 @@ object SparkEntry {
     "q164_image_dedup",
     // q165 is the fitted-vocab load (trivial); q166 times the real
     // apply path against the loaded vocabulary
-    "q166_unigram_segment"
+    "q166_unigram_segment",
+    "q167_domain_reweight"
   )
 }

@@ -260,6 +260,55 @@ object QualityFilters {
     * pipelines can either filter or audit. All row-local expressions;
     * `toks` / `lines` must be materialized columns (HOF scale rule).
     */
+  /** Perplexity-driven domain reweighting — the DoReMi/CCNet idea of
+    * letting a reference LM's judgment set the training mixture: domains
+    * whose documents the reference model finds surprising (high mean
+    * perplexity) are DOWN-weighted from their natural token share by
+    * `exp(−η · excessPpl)`, then renormalized. One deterministic round
+    * (the published method iterates with a proxy model; the fixed-point
+    * arithmetic here is the portable, oracle-checkable core).
+    *
+    * All arithmetic is exact-integer after the per-doc ppl quantization:
+    * per-domain mean ppl is an integer division of summed ×10⁴ longs
+    * (order-independent), the multiplier is exp of an exactly-determined
+    * double rounded to ppm, and the final weights are HUGEINT-free ppm
+    * ratios via decimal floor division — so another engine reproduces
+    * every output bit. Plan: one groupBy(domain) over the scored docs +
+    * two one-row broadcasts (min, total) — #domains-row arithmetic after
+    * a single aggregation pass.
+    *
+    * Input: per-doc rows with a domain column, the 4-decimal `pplCol`
+    * (from [[NgramLm.scoreDocs]]), and an integer token-mass column.
+    * `etaE2` is η in hundredths (100 = 1.0) so configs stay exact.
+    */
+  def perplexityDomainWeights(scored: DataFrame, domainCol: String,
+                              pplCol: String, massCol: String,
+                              etaE2: Int = 100): DataFrame = {
+    val d = scored.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col(massCol).cast("long")).as("n_tokens"),
+           sum(floor(col(pplCol) * 10000.0d + 0.5d).cast("long"))
+             .as("__ppl_sum"))
+      .withColumn("avg_ppl_e4", expr("__ppl_sum div n_docs"))
+    val mins = d.agg(min("avg_ppl_e4").as("__min_e4"))
+    val u = d.crossJoin(broadcast(mins))
+      .withColumn(
+        "u_ppm",
+        floor(exp(lit(-etaE2 / 100.0d) *
+                    ((col("avg_ppl_e4") - col("__min_e4")).cast("double")
+                       / 10000.0d))
+                * 1000000.0d + 0.5d).cast("long"))
+      .withColumn("__unnorm", col("n_tokens") * col("u_ppm"))
+    val tot = u.agg(sum("__unnorm").as("__tot"))
+    u.crossJoin(broadcast(tot))
+      .withColumn(
+        "weight_ppm",
+        floor(col("__unnorm").cast("decimal(38,0)") * lit(1000000) /
+                col("__tot").cast("decimal(38,0)")).cast("long"))
+      .select("domain", "n_docs", "n_tokens", "avg_ppl_e4", "u_ppm",
+              "weight_ppm")
+  }
+
   def gopherStats(df: DataFrame, textCol: String,
                   minStopwordHits: Int = 2): DataFrame = {
     val t = col(textCol)

@@ -1232,6 +1232,27 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Perplexity-driven domain reweighting
+    * ([[QualityFilters.perplexityDomainWeights]]) — the DoReMi/CCNet
+    * mixture knob: per-source mean perplexity under the LOADED q83
+    * reference LM down-weights surprising domains from their natural
+    * token share by exp(−η·excess), renormalized to ppm. Fully
+    * oracle-checked: the LM replay (q83's CTEs) plus #domains-row
+    * exact-integer weight arithmetic.
+    */
+  def q167DomainReweight(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = Tables.documents(spark, dir)
+    val model = lmModelFor(spark, dir, "q83") {
+      NgramLm.fit(docs.filter(col("doc_id") % 4 === 0), "text", n = 3)
+    }
+    val scored = NgramLm.scoreDocs(docs.filter(col("doc_id") % 4 =!= 0),
+                                   model, "doc_id", "text")
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    QualityFilters.perplexityDomainWeights(scored, "source", "ppl",
+                                           "n_grams")
+      .orderBy("domain")
+  }
+
   /** Span-level decontamination ([[Contamination.contaminationSpans]]):
     * same slices and gram width as q67, but reporting WHERE each leak
     * sits — matched eval grams merged into maximal token spans. The
@@ -3202,6 +3223,7 @@ object LlmQueries {
     "q164_image_dedup"      -> (q164ImageDedup(_, _)),
     "q165_unigram_vocab"    -> (q165UnigramVocab(_, _)),
     "q166_unigram_segment"  -> (q166UnigramSegment(_, _)),
+    "q167_domain_reweight"  -> (q167DomainReweight(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -5292,6 +5314,38 @@ object LlmQueries {
     "q159_cell_purity" -> q159OracleSql,
     "q160_semantic_decon_ivf" -> q160OracleSql,
     "q166_unigram_segment" -> q166OracleSql,
+    // q83's LM replay → per-domain exact-integer mean ppl → exp
+    // multiplier in ppm → decimal-floor weight normalization
+    "q167_domain_reweight" ->
+      s"""WITH ${lmFitCtes("m", "doc_id % 4 = 0")},
+         |$candGramCtes,
+         |${lmScoreCtes("m")},
+         |sc AS (
+         |  SELECT ms.doc_id, d.source,
+         |    CAST(ms.n_grams AS BIGINT) AS n_grams,
+         |    CAST(floor(round(exp(-avg_logp), 4) * 10000 + 0.5)
+         |         AS BIGINT) AS ppl_e4
+         |  FROM ms JOIN documents d USING (doc_id)),
+         |g AS (
+         |  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_grams) AS BIGINT) AS n_tokens,
+         |    CAST(sum(ppl_e4) AS BIGINT) AS pps
+         |  FROM sc GROUP BY 1),
+         |g2 AS (
+         |  SELECT domain, n_docs, n_tokens,
+         |    pps // n_docs AS avg_ppl_e4
+         |  FROM g),
+         |mn AS (SELECT min(avg_ppl_e4) AS min_e4 FROM g2),
+         |u AS (
+         |  SELECT g2.*,
+         |    CAST(floor(exp(-1.0 * (avg_ppl_e4 - min_e4) / 10000.0)
+         |               * 1000000 + 0.5) AS BIGINT) AS u_ppm
+         |  FROM g2 CROSS JOIN mn),
+         |t AS (SELECT sum(n_tokens * u_ppm) AS tot FROM u)
+         |SELECT u.domain, u.n_docs, u.n_tokens, u.avg_ppl_e4, u.u_ppm,
+         |  CAST((u.n_tokens * u.u_ppm * 1000000) // t.tot AS BIGINT)
+         |    AS weight_ppm
+         |FROM u CROSS JOIN t ORDER BY domain""".stripMargin,
     // regenerate every pixel from the md5 formula, then replay blocks →
     // bits → 60-bit hash → 4×15-bit bands → bucket join → popcount
     "q164_image_dedup" ->

@@ -619,4 +619,33 @@ class QualityFiltersSpec extends SparkSpec {
     val b = other.select("id").collect().map(_.getLong(0)).toSet
     assert(a != b, "a different salt must draw a different sample")
   }
+
+  test("perplexityDomainWeights: the calmest domain keeps full " +
+       "multiplier, surprising domains decay, and ppm weights conserve " +
+       "mass") {
+    import spark.implicits._
+    // three domains: equal token mass, char-LM-scaled ppl 2.0/2.5/3.0
+    val scored = Seq(
+      ("a", 2.0d, 50L), ("a", 2.0d, 50L),
+      ("b", 2.5d, 50L), ("b", 2.5d, 50L),
+      ("c", 3.0d, 50L), ("c", 3.0d, 50L)
+    ).toDF("source", "ppl", "n_grams")
+    val w = QualityFilters.perplexityDomainWeights(
+      scored, "source", "ppl", "n_grams", etaE2 = 100)
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4),
+                 r.getLong(5)))
+    val byD = w.map(x => x._1 -> x).toMap
+    assert(byD("a")._3 == 1000000L, s"min-ppl domain keeps e^0: $w")
+    // u decays monotonically with excess ppl and is exactly
+    // e^(-η·excess) in ppm
+    assert(byD("b")._3 ==
+             math.floor(math.exp(-0.5) * 1e6 + 0.5).toLong)
+    assert(byD("c")._3 ==
+             math.floor(math.exp(-1.0) * 1e6 + 0.5).toLong)
+    assert(byD("a")._4 > byD("b")._4 && byD("b")._4 > byD("c")._4)
+    val mass = w.map(_._4).sum
+    assert(mass >= 1000000L - w.length && mass <= 1000000L,
+           s"floor-division ppm weights must conserve mass: $mass")
+  }
 }

@@ -228,4 +228,23 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"))
     }
   }
+
+  test("round-10 second wave (q161/q164/q166): no cartesian products, " +
+       "every window keyed — the all-pairs and global-sort hazards of " +
+       "scrub, image dedup, and segmentation stay structurally excluded") {
+    for ((name, df) <- Seq(
+           "q161" -> LlmQueries.q161SubstringScrub(spark, sf0001),
+           "q164" -> LlmQueries.q164ImageDedup(spark, sf0001),
+           "q166" -> LlmQueries.q166UnigramSegment(spark, sf0001))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+             s"$name must have no all-pairs stage:\n$plan")
+      // every Window operator must carry a partition key (a keyless
+      // window would drag the whole relation onto one task)
+      val keyless = plan.linesIterator.filter(_.contains("Window "))
+        .filter(_.contains("windowspecdefinition()"))
+      assert(keyless.isEmpty,
+             s"$name has an unpartitioned window:\n${keyless.mkString}")
+    }
+  }
 }
