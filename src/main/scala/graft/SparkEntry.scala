@@ -123,6 +123,7 @@ object SparkEntry {
     // q165 is the fitted-vocab load (trivial); q166 times the real
     // apply path against the loaded vocabulary
     "q166_unigram_segment",
-    "q167_domain_reweight"
+    "q167_domain_reweight",
+    "q168_pq_ann"
   )
 }

@@ -533,4 +533,120 @@ object Similarity {
     bruteForceTopK(widened(corpus), widened(queries),
                    k, idCol, vecCol = "qvecf")
   }
+
+  /** Product-quantization index (Jégou et al. 2011 — the FAISS PQ core):
+    * the vector space is split into `nSub` contiguous subspaces, each
+    * with its own seeded k-means codebook of `nCodes` centroids, and
+    * every corpus vector is stored as `nSub` small codes — 64 float32
+    * dims become 4 bytes at (4, 16), a 64× memory cut, which at 100 TB
+    * is the difference between an in-RAM index and none. `codes` is
+    * (corpus_id, codes ARRAY<INT>); `codebooks` is (sub, code, centroid).
+    */
+  case class PqIndex(codes: DataFrame, codebooks: DataFrame,
+                     nSub: Int, subDim: Int)
+
+  /** Fit the PQ codebooks (one seeded MLlib KMeans per subspace over the
+    * sliced corpus — `seed + sub` keeps subspaces independent but
+    * deterministic) and encode the corpus with the PORTABLE assignment
+    * rule ([[pqAssignCodes]] — explicit d² argmin, ties → smallest code,
+    * the same Voronoi convention the IVF roll uses), so encoding is
+    * exactly replayable from the centroid literals.
+    */
+  def pqIndex(corpus: DataFrame, nSub: Int = 4, nCodes: Int = 16,
+              seed: Long = 42L, kmeansMaxIter: Int = 8,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): PqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(dim % nSub == 0, s"dim $dim must split into $nSub subspaces")
+    val subDim = dim / nSub
+    val base = corpus.select(col(idCol).as("corpus_id"),
+                             col(vecCol).as("cvec"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = (0 until nSub).flatMap { s =>
+      val sv = base.select(
+        col("corpus_id"),
+        array_to_vector(
+          transform(slice(col("cvec"), s * subDim + 1, subDim),
+                    x => x.cast("double"))).as("fvec"))
+      val m = new KMeans().setK(nCodes).setSeed(seed + s)
+        .setMaxIter(kmeansMaxIter)
+        .setFeaturesCol("fvec").setPredictionCol("code")
+        .fit(sv)
+      m.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (s, i, c.toArray.toSeq)
+      }
+    }.toDF("sub", "code", "centroid")
+    PqIndex(pqAssignCodes(cb, base, subDim), cb, nSub, subDim)
+  }
+
+  /** Encode vectors against FIXED codebooks: per (vector, subspace) the
+    * d²-argmin code (ties → smallest code), gathered into the sub-major
+    * code array. Row-local against the broadcast codebooks + one
+    * per-(id, sub) window over nSub·nCodes candidate rows — linear in
+    * the corpus, and the rule another engine replays verbatim.
+    * Input `vectors` must be (corpus_id, cvec).
+    */
+  def pqAssignCodes(codebooks: DataFrame, vectors: DataFrame,
+                    subDim: Int): DataFrame = {
+    val w = Window.partitionBy("corpus_id", "sub")
+      .orderBy(asc("__d2"), asc("code"))
+    vectors.join(broadcast(codebooks), lit(true))
+      .withColumn("__d2",
+                  dist2(slice(col("cvec"), col("sub") * subDim + 1,
+                              lit(subDim)),
+                        col("centroid")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .groupBy("corpus_id")
+      .agg(transform(
+             array_sort(collect_list(struct(col("sub"), col("code")))),
+             s => s.getField("code")).as("codes"))
+  }
+
+  /** Approximate top-k by asymmetric distance computation (ADC): each
+    * query builds its nSub×nCodes distance table against the broadcast
+    * codebooks (row-local), and a corpus vector's approximate d² is the
+    * FIXED-ORDER sum of its codes' table entries — the whole scan
+    * touches only (id, sub, code) ints, never the original floats.
+    * The sub-wise sum is pivoted into explicit columns and added in
+    * subspace order so the double arithmetic is identical in any
+    * engine; ranking orders by the 6-decimal rounded distance with an
+    * id tie-break. Queries must be broadcast-small (they are
+    * explicitly broadcast, twice — tables, then scan).
+    */
+  def pqTopK(index: PqIndex, queries: DataFrame, k: Int = 10,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val qt = queries.select(col(idCol).as("query_id"),
+                            col(vecCol).as("qvec"))
+      .join(broadcast(index.codebooks), lit(true))
+      .select(col("query_id"), col("sub"), col("code"),
+              dist2(slice(col("qvec"), col("sub") * index.subDim + 1,
+                          lit(index.subDim)),
+                    col("centroid")).as("d2"))
+    val ce = index.codes
+      .select(col("corpus_id"), posexplode(col("codes")))
+      .withColumnRenamed("pos", "sub")
+      .withColumnRenamed("col", "code")
+    val subCols = (0 until index.nSub).map(s =>
+      max(when(col("sub") === s, col("d2"))).as(s"__d$s"))
+    val adc = (1 until index.nSub).foldLeft(col("__d0")) {
+      (acc, s) => acc + col(s"__d$s")
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(asc("adc_d2"), asc("corpus_id"))
+    ce.join(broadcast(qt), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .groupBy("query_id", "corpus_id")
+      .agg(subCols.head, subCols.tail: _*)
+      .withColumn("adc_d2", round(adc, 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("adc_d2"),
+              col("rank"))
+      .orderBy("query_id", "rank")
+  }
 }

@@ -119,6 +119,75 @@ object LlmQueries {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
   }
 
+  /** Product-quantized ANN ([[Similarity.pqIndex]]/[[Similarity.pqTopK]]
+    * — the FAISS PQ memory story): the 64-dim float corpus is encoded as
+    * 4 codes from per-subspace seeded codebooks (a 64× index-size cut),
+    * and queries rank by asymmetric distance (per-query distance tables,
+    * fixed-order sub sums). FULLY oracle-checked: codebook centroids are
+    * inlined as literals and DuckDB replays encoding argmin, the ADC
+    * tables, the pivoted sum, and the rounded-distance ranking.
+    */
+  private val q168Saved = new graft.SavedOnce[String, Similarity.PqIndex]
+  @volatile private var q168CodebookRows: String = ""
+
+  def q168PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val index = q168Saved.getOrElseUpdate(dir, {
+      val idx = Similarity.pqIndex(emb, nSub = 4, nCodes = 16,
+                                   seed = 42L)
+      idx.copy(codes = graft.Materialize(idx.codes),
+               codebooks = graft.Materialize(idx.codebooks))
+    })
+    q168CodebookRows = index.codebooks.orderBy("sub", "code").collect()
+      .map { r =>
+        val cs = r.getSeq[Double](2).map(_.toString).mkString(", ")
+        s"(${r.getInt(0)}, ${r.getInt(1)}, [$cs])"
+      }
+      .mkString(",\n  ")
+    Similarity.pqTopK(index, emb.filter(col("vec_id") < 5), k = 10)
+  }
+
+  private def q168OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cb(sub, code, cv) AS (VALUES
+       |  $q168CodebookRows),
+       |a AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT e.vec_id, cb.sub, cb.code,
+       |      row_number() OVER (PARTITION BY e.vec_id, cb.sub
+       |        ORDER BY list_sum(list_transform(generate_series(1, 16),
+       |                   i -> (v[cb.sub * 16 + i] - cv[i]) ^ 2)) ASC,
+       |                 cb.code ASC) AS rn
+       |    FROM e CROSS JOIN cb)
+       |  WHERE rn = 1),
+       |qt AS (
+       |  SELECT e.vec_id AS query_id, cb.sub, cb.code,
+       |    list_sum(list_transform(generate_series(1, 16),
+       |      i -> (v[cb.sub * 16 + i] - cv[i]) ^ 2)) AS d2
+       |  FROM e CROSS JOIN cb WHERE e.vec_id < 5),
+       |s AS (
+       |  SELECT qt.query_id, a.vec_id AS corpus_id,
+       |    max(CASE WHEN qt.sub = 0 THEN d2 END) AS d0,
+       |    max(CASE WHEN qt.sub = 1 THEN d2 END) AS d1,
+       |    max(CASE WHEN qt.sub = 2 THEN d2 END) AS d2_,
+       |    max(CASE WHEN qt.sub = 3 THEN d2 END) AS d3
+       |  FROM a JOIN qt ON a.sub = qt.sub AND a.code = qt.code
+       |  WHERE a.vec_id <> qt.query_id
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, corpus_id,
+       |    round(((d0 + d1) + d2_) + d3, 6) AS adc_d2
+       |  FROM s)
+       |SELECT query_id, corpus_id, adc_d2,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY adc_d2 ASC, corpus_id ASC) AS BIGINT) AS rank
+       |FROM r
+       |QUALIFY rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Per-source quality-gate yield report — the pipeline diagnostic
     * behind "which source is bleeding docs, and on which Gopher rule":
     * every gate of [[QualityFilters.gopherStats]] counted per source as
@@ -3224,6 +3293,7 @@ object LlmQueries {
     "q165_unigram_vocab"    -> (q165UnigramVocab(_, _)),
     "q166_unigram_segment"  -> (q166UnigramSegment(_, _)),
     "q167_domain_reweight"  -> (q167DomainReweight(_, _)),
+    "q168_pq_ann"           -> (q168PqAnn(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -5314,6 +5384,7 @@ object LlmQueries {
     "q159_cell_purity" -> q159OracleSql,
     "q160_semantic_decon_ivf" -> q160OracleSql,
     "q166_unigram_segment" -> q166OracleSql,
+    "q168_pq_ann" -> q168OracleSql,
     // q83's LM replay → per-domain exact-integer mean ppl → exp
     // multiplier in ppm → decimal-floor weight normalization
     "q167_domain_reweight" ->

@@ -233,6 +233,38 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 900L, s"clustered-corpus mean recall $mean < 900")
   }
 
+  test("PQ: codes are nSub small ints, encoding is deterministic across " +
+       "partitionings, and ADC recall holds on the clustered corpus") {
+    val corpus  = clustered
+    val index = Similarity.pqIndex(corpus, nSub = 4, nCodes = 16,
+                                   seed = 42L)
+    val codes = index.codes.orderBy("corpus_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(codes.length == 500)
+    assert(codes.forall(_._2.length == 4), "one code per subspace")
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 16)))
+    // seeded refit on the same frame reproduces the codes exactly (like
+    // the IVF index, k-means|| init is seed-deterministic per layout,
+    // not across arbitrary repartitionings)
+    val again = Similarity.pqIndex(corpus, nSub = 4, nCodes = 16,
+                                   seed = 42L)
+      .codes.orderBy("corpus_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(codes.toSeq == again.toSeq, "seeded refit must reproduce codes")
+    // PQ preserves neighborhoods at the cluster granularity: mates of a
+    // query's generator cell quantize to (nearly) the same codes, so the
+    // ADC top-k must be cluster-mates. Fine-grained order INSIDE a
+    // cluster is exactly what 4×16 quantization gives up (codes tie →
+    // id tie-break), so rank-level recall@k vs the float ranker is the
+    // wrong bar — membership is the right one.
+    val queries = corpus.filter(col("vec_id") < 20)
+    val approx = Similarity.pqTopK(index, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mates = approx.count { case (q, c) => (c - q) % 20 == 0 }
+    assert(mates.toDouble / approx.length >= 0.9,
+           s"ADC top-5 must be cluster-mates: $mates/${approx.length}")
+  }
+
   test("assignToCells matches the fitted model's own assignment on the " +
        "clustered corpus; mergeIvfIndex equals assign-over-union and " +
        "re-rolls are no-ops") {
