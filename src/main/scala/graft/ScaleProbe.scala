@@ -409,7 +409,7 @@ object ScaleProbe {
     // to FIXED centroids), LSH (delta hashed row-locally). Same
     // fixed-delta design as fp/bm25 above: cost should track index
     // ROWS, never corpus text.
-    section("mh_roll ivf_roll lsh_roll") {
+    section("mh_roll ivf_roll lsh_roll pq_roll") {
       val docDelta = Tables.documents(spark, dir)
         .withColumn("doc_id", col("doc_id") + lit(900000000L))
         .withColumn("text", concat(col("text"), lit(" probe-delta")))
@@ -445,6 +445,15 @@ object ScaleProbe {
                                         nBits = 6))
         }
         graft.llm.IndexStore.drop(spark, lshName)
+        val pqName = s"graft_probe_pqidx_$n"
+        graft.llm.IndexStore.savePqIndex(
+          Similarity.pqIndex(e, nSub = 4, nCodes = 16, seed = 42L),
+          pqName)
+        val pqLoaded = graft.llm.IndexStore.loadPqIndex(spark, pqName)
+        time(s"pq_roll        n=$n ($vrows)") {
+          noop(Similarity.mergePqIndex(pqLoaded, vecDelta).codes)
+        }
+        graft.llm.IndexStore.drop(spark, pqName)
       }
     }
     // funnel v2 / cluster stats / release build: compositions of audited

@@ -124,6 +124,7 @@ object SparkEntry {
     // apply path against the loaded vocabulary
     "q166_unigram_segment",
     "q167_domain_reweight",
-    "q168_pq_ann"
+    "q168_pq_ann",
+    "q169_pq_roll"
   )
 }

@@ -210,6 +210,39 @@ object IndexStore {
                         spark.table(s"${name}_centroids"))
   }
 
+  // -------------------------------------------------------------------- PQ
+
+  /** Persist a [[Similarity.PqIndex]]: codes bucketed by `corpus_id`
+    * (the id-keyed upsert pattern every roll job probes), codebooks
+    * plain (the IVF-centroid pattern). Subspace geometry is recovered
+    * from the codebook shape on load, so the descriptor carries no
+    * extra config.
+    */
+  def savePqIndex(index: Similarity.PqIndex, name: String,
+                  numBuckets: Int = 16,
+                  dir: Option[String] = None): Unit = {
+    writeBucketedTable(index.codes, s"${name}_codes", numBuckets,
+                       Seq("corpus_id"), dir.map(d => s"$d/codes"))
+    savePlainTable(index.codebooks, s"${name}_codebooks",
+                   dir.map(d => s"$d/codebooks"))
+  }
+
+  def loadPqIndex(spark: SparkSession, name: String,
+                  dir: Option[String] = None): Similarity.PqIndex = {
+    ensureRegistered(spark, s"${name}_codes", dir.map(d => s"$d/codes"))
+    ensureRegistered(spark, s"${name}_codebooks",
+                     dir.map(d => s"$d/codebooks"))
+    val cb = spark.table(s"${name}_codebooks")
+    val shape = cb.agg(
+      org.apache.spark.sql.functions.max("sub"),
+      org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("centroid")))).head()
+    Similarity.PqIndex(spark.table(s"${name}_codes"), cb,
+                       nSub = shape.getInt(0) + 1,
+                       subDim = shape.getInt(1))
+  }
+
   // ------------------------------------------------------------------- BM25
 
   /** Persist a [[Relevance.Bm25Index]]: postings bucketed AND sorted by
@@ -241,6 +274,7 @@ object IndexStore {
   def drop(spark: SparkSession, name: String): Unit =
     Seq(name, s"${name}_buckets", s"${name}_shingles",
         s"${name}_assigned", s"${name}_centroids",
-        s"${name}_postings", s"${name}_stats")
+        s"${name}_postings", s"${name}_stats",
+        s"${name}_codes", s"${name}_codebooks")
       .foreach(t => dropWithLocation(spark, t, None))
 }

@@ -606,6 +606,30 @@ object Similarity {
              s => s.getField("code")).as("codes"))
   }
 
+  /** Roll the PQ index forward with a delta batch WITHOUT refitting:
+    * delta vectors are encoded against the BASE codebooks (the fixed
+    * Voronoi rule — codebooks define the quantization contract, refit =
+    * new index version) and upserted by id, latest wins. Cost is
+    * delta-sized encoding + an id anti-join over narrow code rows —
+    * never a corpus re-encode. Same day-two contract as
+    * [[mergeIvfIndex]]; spec-pinned merged ≡ assign-over-union and
+    * re-roll idempotence.
+    */
+  def mergePqIndex(base: PqIndex, delta: DataFrame,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): PqIndex = {
+    val deltaIds = delta.select(col(idCol).as("corpus_id")).distinct()
+    val deltaCodes = pqAssignCodes(
+      base.codebooks,
+      delta.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec")),
+      base.subDim)
+    val codes = base.codes
+      .join(broadcast(deltaIds), Seq("corpus_id"), "left_anti")
+      .select("corpus_id", "codes")
+      .unionByName(deltaCodes)
+    PqIndex(codes, base.codebooks, base.nSub, base.subDim)
+  }
+
   /** Approximate top-k by asymmetric distance computation (ADC): each
     * query builds its nSub×nCodes distance table against the broadcast
     * codebooks (row-local), and a corpus vector's approximate d² is the

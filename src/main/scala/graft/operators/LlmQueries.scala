@@ -188,6 +188,78 @@ object LlmQueries {
        |QUALIFY rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  /** PQ index roll (q168's day-two job, completing the maintenance
+    * family for the SIXTH index): the base index fits codebooks on the
+    * (vec_id % 4 = 0) shard, the delta is encoded against those FIXED
+    * codebooks ([[Similarity.mergePqIndex]] — codebooks are the
+    * quantization contract; refit = new index version) and upserted by
+    * id; the rolled index persists. Output is the per-(sub, code)
+    * population report with base/delta split — the drift view that
+    * tells an operator when codebook refit is due. FULLY oracle-checked
+    * AND the roll invariant is the oracle: DuckDB re-encodes the WHOLE
+    * corpus from the inlined codebooks, so the hash only matches if
+    * rolled ≡ rebuilt-with-same-codebooks.
+    */
+  private val q169Saved = new graft.SavedOnce[String, String]
+  @volatile private var q169CodebookRows: String = ""
+
+  def q169PqRoll(spark: SparkSession, dir: String): DataFrame = {
+    val name = q169Saved.getOrElseUpdate(dir, {
+      val emb  = Tables.embeddings(spark, dir)
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val baseN = "graft_pq_q169_base_" + safe
+      IndexStore.savePqIndex(
+        Similarity.pqIndex(emb.filter(col("vec_id") % 4 === 0),
+                           nSub = 4, nCodes = 16, seed = 42L), baseN)
+      val rolled = Similarity.mergePqIndex(
+        IndexStore.loadPqIndex(spark, baseN),
+        emb.filter(col("vec_id") % 4 =!= 0))
+      val mergedN = "graft_pq_q169_merged_" + safe
+      IndexStore.savePqIndex(rolled, mergedN)
+      mergedN
+    })
+    val idx = IndexStore.loadPqIndex(spark, name)
+    q169CodebookRows = idx.codebooks.orderBy("sub", "code").collect()
+      .map { r =>
+        val cs = r.getSeq[Double](2).map(_.toString).mkString(", ")
+        s"(${r.getInt(0)}, ${r.getInt(1)}, [$cs])"
+      }
+      .mkString(",\n  ")
+    idx.codes
+      .select(col("corpus_id"), posexplode(col("codes")))
+      .groupBy(col("pos").as("sub"), col("col").as("code"))
+      .agg(sum(when(col("corpus_id") % 4 === 0, 1L).otherwise(0L))
+             .as("n_base"),
+           sum(when(col("corpus_id") % 4 =!= 0, 1L).otherwise(0L))
+             .as("n_delta"),
+           count(lit(1)).as("n_total"))
+      .orderBy("sub", "code")
+  }
+
+  private def q169OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cb(sub, code, cv) AS (VALUES
+       |  $q169CodebookRows),
+       |a AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT e.vec_id, cb.sub, cb.code,
+       |      row_number() OVER (PARTITION BY e.vec_id, cb.sub
+       |        ORDER BY list_sum(list_transform(generate_series(1, 16),
+       |                   i -> (v[cb.sub * 16 + i] - cv[i]) ^ 2)) ASC,
+       |                 cb.code ASC) AS rn
+       |    FROM e CROSS JOIN cb)
+       |  WHERE rn = 1)
+       |SELECT CAST(sub AS INT) AS sub, CAST(code AS INT) AS code,
+       |  CAST(sum(CASE WHEN vec_id % 4 = 0 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_base,
+       |  CAST(sum(CASE WHEN vec_id % 4 <> 0 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_delta,
+       |  CAST(count(*) AS BIGINT) AS n_total
+       |FROM a GROUP BY 1, 2 ORDER BY sub, code""".stripMargin
+
   /** Per-source quality-gate yield report — the pipeline diagnostic
     * behind "which source is bleeding docs, and on which Gopher rule":
     * every gate of [[QualityFilters.gopherStats]] counted per source as
@@ -3294,6 +3366,7 @@ object LlmQueries {
     "q166_unigram_segment"  -> (q166UnigramSegment(_, _)),
     "q167_domain_reweight"  -> (q167DomainReweight(_, _)),
     "q168_pq_ann"           -> (q168PqAnn(_, _)),
+    "q169_pq_roll"          -> (q169PqRoll(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -5385,6 +5458,7 @@ object LlmQueries {
     "q160_semantic_decon_ivf" -> q160OracleSql,
     "q166_unigram_segment" -> q166OracleSql,
     "q168_pq_ann" -> q168OracleSql,
+    "q169_pq_roll" -> q169OracleSql,
     // q83's LM replay → per-domain exact-integer mean ppl → exp
     // multiplier in ppm → decimal-floor weight normalization
     "q167_domain_reweight" ->

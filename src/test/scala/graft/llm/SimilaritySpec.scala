@@ -265,6 +265,44 @@ class SimilaritySpec extends SparkSpec {
            s"ADC top-5 must be cluster-mates: $mates/${approx.length}")
   }
 
+  test("mergePqIndex equals encode-over-union against the base " +
+       "codebooks, and re-rolling the same delta is a no-op") {
+    val base  = clustered.filter(col("vec_id") % 3 =!= 2)
+    val delta = clustered.filter(col("vec_id") % 3 === 2)
+    val idx = Similarity.pqIndex(base, nSub = 4, nCodes = 16, seed = 42L)
+    def rows(i: Similarity.PqIndex) =
+      i.codes.orderBy("corpus_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toSeq
+    val rolled = Similarity.mergePqIndex(idx, delta)
+    val rebuilt = idx.copy(codes = Similarity.pqAssignCodes(
+      idx.codebooks,
+      clustered.select(col("vec_id").as("corpus_id"),
+                       col("embedding").as("cvec")),
+      idx.subDim))
+    assert(rows(rolled) == rows(rebuilt),
+           "roll must equal encode-over-union on fixed codebooks")
+    assert(rows(Similarity.mergePqIndex(rolled, delta)) == rows(rolled),
+           "re-rolling the same delta must be idempotent")
+  }
+
+  test("pq index round-trips through the store with identical codes, " +
+       "codebooks, and recovered subspace geometry") {
+    val idx = Similarity.pqIndex(clustered, nSub = 4, nCodes = 16,
+                                 seed = 42L)
+    IndexStore.savePqIndex(idx, "graft_test_pq_rt")
+    val back = IndexStore.loadPqIndex(spark, "graft_test_pq_rt")
+    assert(back.nSub == 4 && back.subDim == 4)
+    def rows(i: Similarity.PqIndex) =
+      i.codes.orderBy("corpus_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toSeq
+    assert(rows(back) == rows(idx))
+    val cb = back.codebooks.orderBy("sub", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val cb0 = idx.codebooks.orderBy("sub", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    assert(cb.toSeq == cb0.toSeq)
+  }
+
   test("assignToCells matches the fitted model's own assignment on the " +
        "clustered corpus; mergeIvfIndex equals assign-over-union and " +
        "re-rolls are no-ops") {
