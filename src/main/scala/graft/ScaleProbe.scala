@@ -555,7 +555,7 @@ object ScaleProbe {
     }
 
     section("substr_scrub image_dedup quality_distill stream_dedup " +
-            "unigram_segment") {
+            "unigram_segment pq_adc_scan") {
       // tokenizer fitted ONCE on the base corpus (the persisted-model
       // steady state); the probe times the APPLY path as corpus grows
       val uniVocab = graft.llm.UnigramTrainer.fitUnigram(
@@ -607,6 +607,20 @@ object ScaleProbe {
           val q = graft.streaming.EventStreams.streamingDedupSink(
             stream, "ts", "text", "1 hour", s"$base/out", s"$base/ckpt")
           try q.processAllAvailable() finally q.stop()
+        }
+      }
+      // PQ ADC scan: index built per n outside the timer (the persisted
+      // steady state); the timer covers the pure code-scan ranking
+      val pqQueries = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < 5)
+      for (n <- Seq(1, 5, 20)) {
+        val e = embX(n); val vrows = e.count()
+        val idx0 = Similarity.pqIndex(e, nSub = 4, nCodes = 16,
+                                      seed = 42L)
+        val idx = idx0.copy(codes = graft.Materialize(idx0.codes),
+                            codebooks = graft.Materialize(idx0.codebooks))
+        time(s"pq_adc_scan    n=$n ($vrows)") {
+          noop(Similarity.pqTopK(idx, pqQueries, k = 10))
         }
       }
     }
