@@ -125,6 +125,7 @@ object SparkEntry {
     "q166_unigram_segment",
     "q167_domain_reweight",
     "q168_pq_ann",
-    "q169_pq_roll"
+    "q169_pq_roll",
+    "q170_tokenizer_compare"
   )
 }

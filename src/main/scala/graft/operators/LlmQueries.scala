@@ -579,9 +579,12 @@ object LlmQueries {
   }
   @volatile private var q166VocabRows: String = ""
 
-  private def q166OracleSql: String =
-    s"""WITH RECURSIVE
-       |v(piece) AS (VALUES $q166VocabRows),
+  /** The greedy maximal-munch replay (everything through `res` =
+    * per-distinct-word piece stream) — shared by the q166 and q170
+    * oracles. Must run under `WITH RECURSIVE`.
+    */
+  private def unigramSegCtes(vocabRows: String): String =
+    s"""v(piece) AS (VALUES $vocabRows),
        |tok AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(trim(text)), '\\W+'),
@@ -616,7 +619,12 @@ object LlmQueries {
        |    s.np + 1
        |  FROM seg s JOIN best b ON b.word = s.word AND b.p = s.p
        |  WHERE s.p < len(s.word)),
-       |res AS (SELECT word, pieces, np FROM seg WHERE p = len(word)),
+       |res AS (SELECT word, pieces, np FROM seg WHERE p = len(word))"""
+      .stripMargin
+
+  private def q166OracleSql: String =
+    s"""WITH RECURSIVE
+       |${unigramSegCtes(q166VocabRows)},
        |j AS (
        |  SELECT w.doc_id, w.pos, res.pieces, res.np
        |  FROM w JOIN res ON res.word = w.word)
@@ -624,6 +632,79 @@ object LlmQueries {
        |  CAST(sum(np) AS BIGINT) AS n_pieces,
        |  md5(array_to_string(list(pieces ORDER BY pos), ' ')) AS piece_fp
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Cross-tokenizer fertility comparison — the vocabulary bake-off a
+    * pipeline runs before committing a tokenizer: per source, pieces
+    * per word under the LOADED BPE merge list (q101's artifact) vs the
+    * LOADED unigram vocabulary (q165's), as exact ppm ratios. One
+    * token-stream scan per tokenizer + a #sources-row aggregate; docs
+    * whose normalized text has zero words drop out of both sides
+    * identically. FULLY oracle-checked: DuckDB replays the BPE replace
+    * chain AND the recursive greedy munch from the same inlined
+    * artifacts, then the integer ppm arithmetic.
+    */
+  def q170TokenizerCompare(spark: SparkSession, dir: String): DataFrame = {
+    val docs   = Tables.documents(spark, dir)
+    val merges = q101MergeTable(spark, dir)
+    q101Merges = merges
+    val vocab = unigramVocabFor(spark, dir)
+    q170VocabRows = vocab.filter(_._1.length > 1)
+      .map(p => s"('${p._1}')").mkString(", ")
+    val bpe = docs.select(
+        col("doc_id"), col("source"),
+        BpeTrainer.tokenStream(col("text"), merges).as("stream"))
+      .select(col("doc_id"), col("source"),
+              size(filter(split(col("stream"), " "),
+                          t => length(t) > 0))
+                .cast("long").as("bpe_pieces"))
+    val uni = UnigramTrainer.segmentDocs(docs, "doc_id", "text", vocab)
+      .select(col("doc_id"), col("n_words"),
+              col("n_pieces").as("uni_pieces"))
+    bpe.join(uni, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_words").as("n_words"),
+           sum("bpe_pieces").as("bpe_pieces"),
+           sum("uni_pieces").as("uni_pieces"))
+      .withColumn("bpe_fert_ppm",
+                  expr("bpe_pieces * 1000000 div n_words"))
+      .withColumn("uni_fert_ppm",
+                  expr("uni_pieces * 1000000 div n_words"))
+      .orderBy("source")
+  }
+  @volatile private var q170VocabRows: String = ""
+
+  private def q170OracleSql: String = {
+    val applied = graft.llm.BpeTrainer.applyMergesSql("w", q101Merges)
+    s"""WITH RECURSIVE
+       |${unigramSegCtes(q170VocabRows)},
+       |ud AS (
+       |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(res.np) AS BIGINT) AS uni_pieces
+       |  FROM w JOIN res ON res.word = w.word
+       |  GROUP BY 1),
+       |bp AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(
+       |      string_split(array_to_string(
+       |        list_transform(t, w -> $applied), ' '), ' '),
+       |      x -> len(x) > 0)) AS BIGINT) AS bpe_pieces
+       |  FROM tok),
+       |j AS (
+       |  SELECT d.source, ud.doc_id, ud.n_words, ud.uni_pieces,
+       |         bp.bpe_pieces
+       |  FROM ud JOIN bp USING (doc_id)
+       |       JOIN documents d USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(bpe_pieces) AS BIGINT) AS bpe_pieces,
+       |  CAST(sum(uni_pieces) AS BIGINT) AS uni_pieces,
+       |  CAST((sum(bpe_pieces) * 1000000) // sum(n_words) AS BIGINT)
+       |    AS bpe_fert_ppm,
+       |  CAST((sum(uni_pieces) * 1000000) // sum(n_words) AS BIGINT)
+       |    AS uni_fert_ppm
+       |FROM j GROUP BY 1 ORDER BY source""".stripMargin
+  }
 
   /** Sliding-window chunking ([[TextPacking.chunkDocuments]]) — 32-token
     * windows, 8-token overlap (stride 24), so typical ~57-token docs
@@ -3380,6 +3461,7 @@ object LlmQueries {
     "q167_domain_reweight"  -> (q167DomainReweight(_, _)),
     "q168_pq_ann"           -> (q168PqAnn(_, _)),
     "q169_pq_roll"          -> (q169PqRoll(_, _)),
+    "q170_tokenizer_compare" -> (q170TokenizerCompare(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -5516,6 +5598,7 @@ object LlmQueries {
     "q166_unigram_segment" -> q166OracleSql,
     "q168_pq_ann" -> q168OracleSql,
     "q169_pq_roll" -> q169OracleSql,
+    "q170_tokenizer_compare" -> q170OracleSql,
     // q83's LM replay → per-domain exact-integer mean ppl → exp
     // multiplier in ppm → decimal-floor weight normalization
     "q167_domain_reweight" ->
