@@ -126,6 +126,7 @@ object SparkEntry {
     "q167_domain_reweight",
     "q168_pq_ann",
     "q169_pq_roll",
-    "q170_tokenizer_compare"
+    "q170_tokenizer_compare",
+    "q171_bitext_mining"
   )
 }

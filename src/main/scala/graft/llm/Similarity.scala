@@ -606,6 +606,71 @@ object Similarity {
              s => s.getField("code")).as("codes"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix parallel-corpus miner): a source-language document
+    * pairs with the target-language document that maximizes the MARGIN
+    * cos(x,y) / (½·(avgₖ(x) + avgₖ(y))), where avgₖ is the mean cosine
+    * of each side's k nearest neighbors in the OTHER language — the
+    * ratio criterion that suppresses hubs (vectors close to everything)
+    * which absolute-threshold mining mis-pairs.
+    *
+    * Both k-NN averages are computed by rank-pivoting the top-k
+    * cosines into fixed columns and adding them in rank order, so the
+    * double arithmetic is engine-identical (the PQ ADC trick); margins
+    * round to 6 decimals with id tie-breaks. Requires ≥ k docs on each
+    * side.
+    *
+    * Scale shape: the target side is broadcast (mining runs one
+    * language-shard batch at a time — the production loop's unit); the
+    * pair frame shuffles twice for the two per-side rank windows. At
+    * 100 TB the candidate pairs come from the PERSISTED IVF/PQ index
+    * instead of the dense cross ([[ivfThresholdMatches]] composed the
+    * q160 way) with the same margin arithmetic on top.
+    */
+  def bitextMarginMine(src: DataFrame, tgt: DataFrame, k: Int = 4,
+                       minMargin: Double = 1.05,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, "k > 0")
+    val s = src.select(col(idCol).as("src_id"), col(vecCol).as("sv"))
+    val t = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("tv"))
+    val scored = s.join(broadcast(t), lit(true))
+      .withColumn("cos", cosine(col("sv"), col("tv")))
+      .select("src_id", "tgt_id", "cos")
+    val ws = Window.partitionBy("src_id").orderBy(desc("cos"),
+                                                 asc("tgt_id"))
+    val wt = Window.partitionBy("tgt_id").orderBy(desc("cos"),
+                                                  asc("src_id"))
+    val ranked = scored
+      .withColumn("rs", row_number().over(ws))
+      .withColumn("rt", row_number().over(wt))
+    def knnAvg(side: String, rank: String) = {
+      val pivots = (1 to k).map(r =>
+        max(when(col(rank) === r, col("cos"))).as(s"__c$r"))
+      val sum = (2 to k).foldLeft(col("__c1")) {
+        (acc, r) => acc + col(s"__c$r")
+      }
+      ranked.filter(col(rank) <= k)
+        .groupBy(side)
+        .agg(pivots.head, pivots.tail: _*)
+        .select(col(side), (sum / k).as(s"__avg_$side"))
+    }
+    val out = ranked
+      .join(knnAvg("src_id", "rs"), Seq("src_id"))
+      .join(broadcast(knnAvg("tgt_id", "rt")), Seq("tgt_id"))
+      .withColumn("margin",
+                  round(col("cos") /
+                          ((col("__avg_src_id") + col("__avg_tgt_id"))
+                             / 2.0d), 6))
+    val wBest = Window.partitionBy("src_id")
+      .orderBy(desc("margin"), asc("tgt_id"))
+    out
+      .withColumn("__rk", row_number().over(wBest))
+      .filter(col("__rk") === 1 && col("margin") >= minMargin)
+      .select(col("src_id"), col("tgt_id"),
+              round(col("cos"), 6).as("cos"), col("margin"))
+  }
+
   /** Roll the PQ index forward with a delta batch WITHOUT refitting:
     * delta vectors are encoded against the BASE codebooks (the fixed
     * Voronoi rule — codebooks define the quantization contract, refit =

@@ -271,6 +271,27 @@ object LlmQueries {
        |  CAST(count(*) AS BIGINT) AS n_total
        |FROM a GROUP BY 1, 2 ORDER BY sub, code""".stripMargin
 
+  /** Margin-based bitext mining ([[Similarity.bitextMarginMine]] — the
+    * LASER/CCMatrix parallel-corpus stage): English embeddings mine
+    * their best German counterpart by the ratio-margin criterion
+    * (cosine over the mean of both sides' k-NN cosines in the other
+    * language), which suppresses hub vectors that absolute thresholds
+    * mis-pair. FULLY oracle-checked: cosines, both rank windows, the
+    * fixed-order k-NN averages, the margin, and the best-pair selection
+    * all replay as window SQL.
+    */
+  def q171BitextMining(spark: SparkSession, dir: String): DataFrame = {
+    val emb  = Tables.embeddings(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val byLang = emb.join(docs.select(col("doc_id").as("vec_id"),
+                                      col("lang")), Seq("vec_id"))
+    Similarity.bitextMarginMine(
+      byLang.filter(col("lang") === "en"),
+      byLang.filter(col("lang") === "de"),
+      k = 4, minMargin = 1.02)
+      .orderBy("src_id")
+  }
+
   /** Per-source quality-gate yield report — the pipeline diagnostic
     * behind "which source is bleeding docs, and on which Gopher rule":
     * every gate of [[QualityFilters.gopherStats]] counted per source as
@@ -3462,6 +3483,7 @@ object LlmQueries {
     "q168_pq_ann"           -> (q168PqAnn(_, _)),
     "q169_pq_roll"          -> (q169PqRoll(_, _)),
     "q170_tokenizer_compare" -> (q170TokenizerCompare(_, _)),
+    "q171_bitext_mining"    -> (q171BitextMining(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -5599,6 +5621,55 @@ object LlmQueries {
     "q168_pq_ann" -> q168OracleSql,
     "q169_pq_roll" -> q169OracleSql,
     "q170_tokenizer_compare" -> q170OracleSql,
+    // cross-lingual cross join → two rank windows → rank-pivoted k-NN
+    // averages summed in fixed order → margin ratio → best pair per src
+    "q171_bitext_mining" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |l AS (
+        |  SELECT e.vec_id, d.lang, e.v
+        |  FROM e JOIN documents d ON d.doc_id = e.vec_id),
+        |s AS (SELECT vec_id AS src_id, v AS sv FROM l WHERE lang = 'en'),
+        |t AS (SELECT vec_id AS tgt_id, v AS tv FROM l WHERE lang = 'de'),
+        |sc AS (
+        |  SELECT src_id, tgt_id, list_cosine_similarity(sv, tv) AS cos
+        |  FROM s CROSS JOIN t),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY src_id
+        |                       ORDER BY cos DESC, tgt_id) AS rs,
+        |    row_number() OVER (PARTITION BY tgt_id
+        |                       ORDER BY cos DESC, src_id) AS rt
+        |  FROM sc),
+        |sa AS (
+        |  SELECT src_id, (((c1 + c2) + c3) + c4) / 4 AS av FROM (
+        |    SELECT src_id,
+        |      max(CASE WHEN rs = 1 THEN cos END) AS c1,
+        |      max(CASE WHEN rs = 2 THEN cos END) AS c2,
+        |      max(CASE WHEN rs = 3 THEN cos END) AS c3,
+        |      max(CASE WHEN rs = 4 THEN cos END) AS c4
+        |    FROM r WHERE rs <= 4 GROUP BY 1)),
+        |ta AS (
+        |  SELECT tgt_id, (((c1 + c2) + c3) + c4) / 4 AS av FROM (
+        |    SELECT tgt_id,
+        |      max(CASE WHEN rt = 1 THEN cos END) AS c1,
+        |      max(CASE WHEN rt = 2 THEN cos END) AS c2,
+        |      max(CASE WHEN rt = 3 THEN cos END) AS c3,
+        |      max(CASE WHEN rt = 4 THEN cos END) AS c4
+        |    FROM r WHERE rt <= 4 GROUP BY 1)),
+        |m AS (
+        |  SELECT r.src_id, r.tgt_id, r.cos,
+        |    round(r.cos / ((sa.av + ta.av) / 2), 6) AS margin
+        |  FROM r JOIN sa USING (src_id) JOIN ta USING (tgt_id)),
+        |b AS (
+        |  SELECT *, row_number() OVER (PARTITION BY src_id
+        |             ORDER BY margin DESC, tgt_id) AS rk
+        |  FROM m)
+        |SELECT src_id, tgt_id, round(cos, 6) AS cos, margin
+        |FROM b WHERE rk = 1 AND margin >= 1.02
+        |ORDER BY src_id""".stripMargin,
     // q83's LM replay → per-domain exact-integer mean ppl → exp
     // multiplier in ppm → decimal-floor weight normalization
     "q167_domain_reweight" ->

@@ -265,6 +265,42 @@ class SimilaritySpec extends SparkSpec {
            s"ADC top-5 must be cluster-mates: $mates/${approx.length}")
   }
 
+  test("bitextMarginMine pairs cluster-mates across the pseudo-language " +
+       "split and matches a local margin replay") {
+    import spark.implicits._
+    val corpus = clustered
+    // block-parity split is independent of the id%20 cluster structure,
+    // so every cluster has members on both sides
+    val src = corpus.filter((col("vec_id") / 20).cast("long") % 2 === 0)
+    val tgt = corpus.filter((col("vec_id") / 20).cast("long") % 2 === 1)
+    val out = Similarity.bitextMarginMine(src, tgt, k = 4,
+                                          minMargin = 1.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // the mined counterpart sits in the same generator cell
+    val mates = out.count { case (s, t, _) => (t - s) % 20 == 0 }
+    assert(mates.toDouble / out.length >= 0.9,
+           s"mined pairs must be cluster-mates: $mates/${out.length}")
+    // local replay of one source's margin from raw vectors
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+             math.sqrt(b.map(x => x * x).sum))
+    }
+    val (s0, t0, m0) = out.minBy(_._1)
+    val tgtIds = vecs.keys.filter(i => (i / 20) % 2 == 1).toSeq
+    val srcIds = vecs.keys.filter(i => (i / 20) % 2 == 0).toSeq
+    def avgK(ids: Seq[Long], v: Seq[Double]) =
+      ids.map(i => cos(v, vecs(i))).sorted.reverse.take(4).sum / 4
+    val expect = cos(vecs(s0), vecs(t0)) /
+      ((avgK(tgtIds, vecs(s0)) + avgK(srcIds, vecs(t0))) / 2)
+    assert(math.abs(m0 - expect) < 1e-4,
+           s"margin $m0 must match local replay $expect")
+  }
+
   test("mergePqIndex equals encode-over-union against the base " +
        "codebooks, and re-rolling the same delta is a no-op") {
     val base  = clustered.filter(col("vec_id") % 3 =!= 2)
