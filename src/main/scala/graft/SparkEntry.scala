@@ -127,6 +127,7 @@ object SparkEntry {
     "q168_pq_ann",
     "q169_pq_roll",
     "q170_tokenizer_compare",
-    "q171_bitext_mining"
+    "q171_bitext_mining",
+    "q172_vector_quarantine"
   )
 }

@@ -606,6 +606,59 @@ object Similarity {
              s => s.getField("code")).as("codes"))
   }
 
+  /** Embedding hygiene gate — the QA pass an ANN/dedup consumer runs
+    * before indexing a new embedding batch: flag zero vectors (encoder
+    * failures serialize as zeros more often than anything else) and
+    * norm outliers (scale bugs, double-normalization, truncated
+    * payloads) by a robust median/MAD rule on the ×10⁶-quantized norm.
+    *
+    * Medians are LOWER medians (smallest value whose cumulative count
+    * reaches ⌈n/2⌉) — a pure integer definition with no interpolation,
+    * so any engine picks the identical element — computed the q112 way:
+    * counts per QUANTIZED value (one narrow shuffle bounded by the
+    * ×10⁴ norm grid, never by corpus size), then a cumulative window
+    * over grid rows only. The MAD repeats it on |norm − med|.
+    * `is_outlier` = zero norm OR |norm − med| > madK · MAD.
+    */
+  def vectorQuarantine(df: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       madK: Int = 5): DataFrame = {
+    val normed = df.select(
+      col(idCol).as("vec_id"),
+      floor(sqrt(aggregate(transform(col(vecCol), x =>
+                             x.cast("double") * x.cast("double")),
+                           lit(0.0d), (acc, v) => acc + v))
+              * 10000.0d + 0.5d).cast("long").as("norm_e4"))
+    // lower median over the value GRID: counts per quantized value →
+    // cumulative window over grid rows → first value reaching ⌈n/2⌉
+    def lowerMedian(in: DataFrame, valCol: String): DataFrame = {
+      val counts = in.groupBy(valCol).agg(count(lit(1)).as("__c"))
+      val w = Window.orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val n = in.agg(count(lit(1)).as("__n"))
+      counts.crossJoin(broadcast(n))
+        .withColumn("__cum", sum("__c").over(w))
+        // `div`, not `/`: Column./ on longs detours through doubles
+        .filter(col("__cum") >= expr("(__n + 1) div 2"))
+        .orderBy(valCol).limit(1)
+        .select(col(valCol).as("__med"))
+    }
+    val med = lowerMedian(normed, "norm_e4")
+    val dev = normed.crossJoin(broadcast(med))
+      .withColumn("abs_dev", abs(col("norm_e4") - col("__med")))
+    val mad = lowerMedian(dev.select(col("abs_dev")), "abs_dev")
+      .select(col("__med").as("__mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(
+        col("vec_id"), col("norm_e4"),
+        col("__med").as("median_e4"), col("__mad").as("mad_e4"),
+        when(col("norm_e4") === 0L, lit("zero_norm"))
+          .when(col("abs_dev") > col("__mad") * madK,
+                lit("norm_outlier"))
+          .otherwise(lit("ok")).as("reason"))
+      .withColumn("is_outlier", col("reason") =!= "ok")
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the
     * LASER/CCMatrix parallel-corpus miner): a source-language document
     * pairs with the target-language document that maximizes the MARGIN

@@ -271,6 +271,29 @@ object LlmQueries {
        |  CAST(count(*) AS BIGINT) AS n_total
        |FROM a GROUP BY 1, 2 ORDER BY sub, code""".stripMargin
 
+  /** Embedding hygiene gate ([[Similarity.vectorQuarantine]]): the QA
+    * pass before any embedding batch reaches an ANN index — zero
+    * vectors and norm outliers flagged by the exact-integer median/MAD
+    * rule. The corpus is salted with deterministic corruption (vec_id %
+    * 9 = 4 re-emitted as +1000000 with zeroed or ×1000-scaled floats —
+    * the two failure modes encoders actually produce), so both flag
+    * paths fire. FULLY oracle-checked: norms, the value-grid medians,
+    * and the gate replay as window SQL.
+    */
+  def q172VectorQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val corrupted = emb.filter(col("vec_id") % 9 === 4)
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        when(col("vec_id") % 2 === 0,
+             transform(col("embedding"), _ => lit(0.0f)))
+          .otherwise(transform(col("embedding"),
+                               x => x * lit(1000.0f)))
+          .as("embedding"))
+    Similarity.vectorQuarantine(emb.unionByName(corrupted))
+      .orderBy("vec_id")
+  }
+
   /** Margin-based bitext mining ([[Similarity.bitextMarginMine]] — the
     * LASER/CCMatrix parallel-corpus stage): English embeddings mine
     * their best German counterpart by the ratio-margin criterion
@@ -3484,6 +3507,7 @@ object LlmQueries {
     "q169_pq_roll"          -> (q169PqRoll(_, _)),
     "q170_tokenizer_compare" -> (q170TokenizerCompare(_, _)),
     "q171_bitext_mining"    -> (q171BitextMining(_, _)),
+    "q172_vector_quarantine" -> (q172VectorQuarantine(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -5621,6 +5645,50 @@ object LlmQueries {
     "q168_pq_ann" -> q168OracleSql,
     "q169_pq_roll" -> q169OracleSql,
     "q170_tokenizer_compare" -> q170OracleSql,
+    // planted corruption → exact-integer norms → value-grid lower
+    // medians (norm, then |dev|) → MAD gate
+    "q172_vector_quarantine" ->
+      """WITH raw AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    CASE WHEN vec_id % 2 = 0
+        |      THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+        |      ELSE list_transform(embedding,
+        |                          x -> CAST(x * 1000 AS FLOAT)) END
+        |  FROM embeddings WHERE vec_id % 9 = 4),
+        |n AS (
+        |  SELECT vec_id,
+        |    CAST(floor(sqrt(list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |        * 10000 + 0.5) AS BIGINT) AS norm_e4
+        |  FROM raw),
+        |tot AS (SELECT count(*) AS nn FROM n),
+        |cnt AS (SELECT norm_e4 AS v, count(*) AS c FROM n GROUP BY 1),
+        |cum AS (
+        |  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |    AS cm
+        |  FROM cnt),
+        |md AS (SELECT min(v) AS med FROM cum, tot
+        |       WHERE cm >= (nn + 1) // 2),
+        |dv AS (
+        |  SELECT vec_id, norm_e4, abs(norm_e4 - med) AS ad, med
+        |  FROM n, md),
+        |dcnt AS (SELECT ad AS v, count(*) AS c FROM dv GROUP BY 1),
+        |dcum AS (
+        |  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |    AS cm
+        |  FROM dcnt),
+        |mad AS (SELECT min(v) AS mv FROM dcum, tot
+        |        WHERE cm >= (nn + 1) // 2)
+        |SELECT dv.vec_id, dv.norm_e4,
+        |  CAST(dv.med AS BIGINT) AS median_e4,
+        |  CAST(mad.mv AS BIGINT) AS mad_e4,
+        |  CASE WHEN dv.norm_e4 = 0 THEN 'zero_norm'
+        |       WHEN dv.ad > mad.mv * 5 THEN 'norm_outlier'
+        |       ELSE 'ok' END AS reason,
+        |  (dv.norm_e4 = 0 OR dv.ad > mad.mv * 5) AS is_outlier
+        |FROM dv, mad ORDER BY dv.vec_id""".stripMargin,
     // cross-lingual cross join → two rank windows → rank-pivoted k-NN
     // averages summed in fixed order → margin ratio → best pair per src
     "q171_bitext_mining" ->

@@ -265,6 +265,23 @@ class SimilaritySpec extends SparkSpec {
            s"ADC top-5 must be cluster-mates: $mates/${approx.length}")
   }
 
+  test("vectorQuarantine: zero vectors and scale blowups flagged with " +
+       "their reasons; a clean corpus passes whole") {
+    import spark.implicits._
+    val clean = Similarity.vectorQuarantine(clustered)
+    assert(clean.filter(col("is_outlier")).count() == 0,
+           "tightly clustered norms must all pass")
+    val salted = clustered.unionByName(
+      Seq((9001L, Seq.fill(16)(0.0f)),
+          (9002L, Seq.fill(16)(900.0f))).toDF("vec_id", "embedding"))
+    val out = Similarity.vectorQuarantine(salted)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out(9001L) == "zero_norm")
+    assert(out(9002L) == "norm_outlier")
+    assert(out.count(_._2 == "ok") == 500,
+           "original rows must be untouched by the salt")
+  }
+
   test("bitextMarginMine pairs cluster-mates across the pseudo-language " +
        "split and matches a local margin replay") {
     import spark.implicits._
