@@ -128,6 +128,7 @@ object SparkEntry {
     "q169_pq_roll",
     "q170_tokenizer_compare",
     "q171_bitext_mining",
-    "q172_vector_quarantine"
+    "q172_vector_quarantine",
+    "q173_compression_gate"
   )
 }

@@ -271,6 +271,98 @@ object LlmQueries {
        |  CAST(count(*) AS BIGINT) AS n_total
        |FROM a GROUP BY 1, 2 ORDER BY sub, code""".stripMargin
 
+  /** Compression-ratio quality gate ([[TextAnalysis.deflateRatios]]):
+    * per-source DEFLATE ratio rollup — the one-number signal that
+    * catches both boilerplate (compresses far below prose) and noise
+    * (barely compresses). Byte totals and ppm ratios are exact
+    * integers. DuckDB has no deflate, so this carries a PINNED GOLDEN
+    * self-oracle at the driver sf dirs (the q50 pattern — measured
+    * bit-stable across partitionings) and falls back to the rows-only
+    * check elsewhere; the signal's ordering properties are spec-pinned.
+    */
+  def q173CompressionGate(spark: SparkSession, dir: String): DataFrame = {
+    q173Dir = dir
+    val docs = Tables.documents(spark, dir)
+    TextAnalysis.deflateRatios(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("raw_bytes").as("raw_bytes"),
+           sum("comp_bytes").as("comp_bytes"))
+      .withColumn("ratio_ppm",
+                  expr("comp_bytes * 1000000 div raw_bytes"))
+      .orderBy("source")
+  }
+  @volatile private var q173Dir = ""
+
+  private def q173Golden(rows: Seq[(String, Long, Long, Long, Long)])
+      : String = {
+    val vs = rows.map { case (s, n, r, c, p) =>
+      s"('$s', $n, $r, $c, $p)"
+    }.mkString(",\n  ")
+    s"""-- pinned self-oracle: DEFLATE has no DuckDB twin; see
+       |-- LlmQueries.q173Goldens
+       |SELECT CAST(source AS VARCHAR) AS source,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(raw_bytes AS BIGINT) AS raw_bytes,
+       |  CAST(comp_bytes AS BIGINT) AS comp_bytes,
+       |  CAST(ratio_ppm AS BIGINT) AS ratio_ppm
+       |FROM (VALUES
+       |  $vs) AS t(source, n_docs, raw_bytes, comp_bytes, ratio_ppm)
+       |ORDER BY source""".stripMargin
+  }
+
+  private val q173Goldens
+      : Map[String, Seq[(String, Long, Long, Long, Long)]] = Map(
+    "sf0.01" -> Seq(
+      ("src0", 25L, 7949L, 3764L, 473518L),
+      ("src1", 25L, 8570L, 3930L, 458576L),
+      ("src10", 25L, 7161L, 3480L, 485965L),
+      ("src11", 25L, 8387L, 3938L, 469536L),
+      ("src12", 25L, 6927L, 3408L, 491987L),
+      ("src13", 25L, 8462L, 3914L, 462538L),
+      ("src14", 25L, 7216L, 3474L, 481430L),
+      ("src15", 25L, 7100L, 3407L, 479859L),
+      ("src16", 25L, 7484L, 3510L, 469000L),
+      ("src17", 25L, 7477L, 3581L, 478935L),
+      ("src18", 25L, 7556L, 3599L, 476310L),
+      ("src19", 25L, 6306L, 3169L, 502537L),
+      ("src2", 25L, 7689L, 3647L, 474313L),
+      ("src3", 25L, 7620L, 3635L, 477034L),
+      ("src4", 25L, 7098L, 3453L, 486475L),
+      ("src5", 25L, 7254L, 3513L, 484284L),
+      ("src6", 25L, 6964L, 3362L, 482768L),
+      ("src7", 25L, 8201L, 3859L, 470552L),
+      ("src8", 25L, 6277L, 3155L, 502628L),
+      ("src9", 25L, 7476L, 3551L, 474986L)),
+    "sf0.001" -> Seq(
+      ("src0", 25L, 8364L, 3857L, 461142L),
+      ("src1", 25L, 7899L, 3692L, 467400L),
+      ("src10", 25L, 7497L, 3567L, 475790L),
+      ("src11", 25L, 7753L, 3680L, 474654L),
+      ("src12", 25L, 8127L, 3771L, 464008L),
+      ("src13", 25L, 6926L, 3372L, 486861L),
+      ("src14", 25L, 9163L, 4109L, 448433L),
+      ("src15", 25L, 7255L, 3526L, 486009L),
+      ("src16", 25L, 7789L, 3646L, 468096L),
+      ("src17", 25L, 7278L, 3488L, 479252L),
+      ("src18", 25L, 6914L, 3382L, 489152L),
+      ("src19", 25L, 7626L, 3673L, 481641L),
+      ("src2", 25L, 6922L, 3339L, 482375L),
+      ("src3", 25L, 8480L, 3922L, 462500L),
+      ("src4", 25L, 7198L, 3507L, 487218L),
+      ("src5", 25L, 6758L, 3316L, 490677L),
+      ("src6", 25L, 8004L, 3765L, 470389L),
+      ("src7", 25L, 6606L, 3303L, 500000L),
+      ("src8", 25L, 8978L, 4065L, 452773L),
+      ("src9", 25L, 7619L, 3618L, 474865L)))
+
+  private def q173OracleEntry: Map[String, String] = {
+    val base = q173Dir.split('/').lastOption.getOrElse("")
+    q173Goldens.get(base)
+      .map(rows => "q173_compression_gate" -> q173Golden(rows)).toMap
+  }
+
   /** Embedding hygiene gate ([[Similarity.vectorQuarantine]]): the QA
     * pass before any embedding batch reaches an ANN index — zero
     * vectors and norm outliers flagged by the exact-integer median/MAD
@@ -3508,6 +3600,7 @@ object LlmQueries {
     "q170_tokenizer_compare" -> (q170TokenizerCompare(_, _)),
     "q171_bitext_mining"    -> (q171BitextMining(_, _)),
     "q172_vector_quarantine" -> (q172VectorQuarantine(_, _)),
+    "q173_compression_gate" -> (q173CompressionGate(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -4497,7 +4590,7 @@ object LlmQueries {
     // time — omit the entry so the driver records a rows-only check
     if (q59Assign.nonEmpty) Map("q59_pack_stats" -> q59OracleSql)
     else Map.empty[String, String]
-  ) ++ Map(
+  ) ++ q173OracleEntry ++ Map(
     "q45_ann_ivf" -> q45OracleSql,
     "q88_semantic_dedup" -> q88OracleSql,
     "q91_surgical_decon" ->

@@ -236,4 +236,30 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, 0L, 0L, true, false, true, true),
       (6L, 0L, 0L, true, false, true, true)))
   }
+
+  test("deflateRatios orders boilerplate < prose < noise and is " +
+       "deterministic across partitionings; empty text is safe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = Seq(
+      (1L, Seq.fill(80)("the same boilerplate line repeats forever")
+             .mkString(" ")),
+      (2L, "the quick brown fox jumps over the lazy dog and then " +
+           "wanders through a long meadow describing many distinct " +
+           "things it sees along the winding path toward the river " +
+           "bank where several other animals gather in the evening"),
+      (3L, Seq.fill(400)(rnd.nextPrintableChar()).mkString),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.deflateRatios(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) < out(2L) && out(2L) < out(3L),
+           s"ratio must order boilerplate < prose < noise: $out")
+    assert(out(4L) >= 0L, "empty text must not divide by zero")
+    val again = TextAnalysis
+      .deflateRatios(docs.repartition(3), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again == out, "row-local compression must not depend on " +
+                         "partitioning")
+  }
 }
