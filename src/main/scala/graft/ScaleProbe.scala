@@ -624,6 +624,30 @@ object ScaleProbe {
         }
       }
     }
+
+    section("bitext_mine vector_qa compress_gate") {
+      // bitext: the TARGET side is the broadcast batch unit — fix it,
+      // grow the source side (the mining loop's actual shape)
+      val tgtFixed = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 7 === 3)
+      for (n <- Seq(1, 5, 20)) {
+        val e = embX(n); val vrows = e.count()
+        time(s"bitext_mine    n=$n ($vrows)") {
+          noop(Similarity.bitextMarginMine(
+            e.filter(col("vec_id") % 7 =!= 3), tgtFixed, k = 4,
+            minMargin = 1.0))
+        }
+        time(s"vector_qa      n=$n ($vrows)") {
+          noop(Similarity.vectorQuarantine(e))
+        }
+      }
+      for (n <- Seq(1, 5, 20)) {
+        val d = docsX(n); val rows = d.count()
+        time(s"compress_gate  n=$n ($rows)") {
+          noop(graft.llm.TextAnalysis.deflateRatios(d, "doc_id", "text"))
+        }
+      }
+    }
     spark.stop()
   }
 }
