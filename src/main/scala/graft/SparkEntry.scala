@@ -129,6 +129,7 @@ object SparkEntry {
     "q170_tokenizer_compare",
     "q171_bitext_mining",
     "q172_vector_quarantine",
-    "q173_compression_gate"
+    "q173_compression_gate",
+    "q174_ivf_pq_ann"
   )
 }

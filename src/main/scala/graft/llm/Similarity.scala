@@ -724,6 +724,63 @@ object Similarity {
               round(col("cos"), 6).as("cos"), col("margin"))
   }
 
+  /** IVF-PQ ranking (the FAISS composition): queries probe their
+    * `nProbe` closest IVF cells (the [[ivfTopKWithIndex]] probe shape —
+    * broadcast centroids, cosine argtop), and ONLY the probed cells'
+    * members are ADC-ranked against the PQ codes — so a query touches
+    * |corpus|·nProbe/nCells code rows instead of the full code scan,
+    * and never a float vector at all. Requires both PERSISTED indexes
+    * over the same corpus; candidate pruning (IVF) and memory
+    * compression (PQ) compose orthogonally, which is the whole point.
+    * Same fixed-order ADC arithmetic and rounded-distance ranking as
+    * [[pqTopK]], so the composition replays in SQL from the two
+    * indexes' literals.
+    */
+  def ivfPqTopK(ivf: IvfIndex, pq: PqIndex, queries: DataFrame,
+                k: Int = 10, nProbe: Int = 3,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+                           col(vecCol).as("qvec"))
+    val wCells = Window.partitionBy("query_id")
+      .orderBy(desc("cell_cos"), asc("cell"))
+    val probed = q.join(broadcast(ivf.centroids), lit(true))
+      .withColumn("cell_cos", cosine(col("qvec"), col("centroid")))
+      .withColumn("__rk", row_number().over(wCells))
+      .filter(col("__rk") <= nProbe)
+      .select("query_id", "cell")
+    val cand = ivf.assigned.select("corpus_id", "cell")
+      .join(broadcast(probed), Seq("cell"))
+      .select("query_id", "corpus_id")
+    val qt = q.join(broadcast(pq.codebooks), lit(true))
+      .select(col("query_id"), col("sub"), col("code"),
+              dist2(slice(col("qvec"), col("sub") * pq.subDim + 1,
+                          lit(pq.subDim)),
+                    col("centroid")).as("d2"))
+    val ce = pq.codes
+      .select(col("corpus_id"), posexplode(col("codes")))
+      .withColumnRenamed("pos", "sub")
+      .withColumnRenamed("col", "code")
+    val subCols = (0 until pq.nSub).map(s =>
+      max(when(col("sub") === s, col("d2"))).as(s"__d$s"))
+    val adc = (1 until pq.nSub).foldLeft(col("__d0")) {
+      (acc, s) => acc + col(s"__d$s")
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(asc("adc_d2"), asc("corpus_id"))
+    cand.join(ce, Seq("corpus_id"))
+      .join(broadcast(qt), Seq("query_id", "sub", "code"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .groupBy("query_id", "corpus_id")
+      .agg(subCols.head, subCols.tail: _*)
+      .withColumn("adc_d2", round(adc, 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("adc_d2"),
+              col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Roll the PQ index forward with a delta batch WITHOUT refitting:
     * delta vectors are encoded against the BASE codebooks (the fixed
     * Voronoi rule — codebooks define the quantization contract, refit =

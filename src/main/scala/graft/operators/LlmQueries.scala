@@ -271,6 +271,83 @@ object LlmQueries {
        |  CAST(count(*) AS BIGINT) AS n_total
        |FROM a GROUP BY 1, 2 ORDER BY sub, code""".stripMargin
 
+  /** IVF-PQ ANN ([[Similarity.ivfPqTopK]] — the FAISS composition):
+    * queries probe their 3 closest cells of the persisted q148 IVF
+    * index, and only probed-cell members are ADC-ranked against the
+    * persisted q168 PQ codes — candidate pruning and memory compression
+    * composed, touching neither a full scan nor a float vector. FULLY
+    * oracle-checked from BOTH indexes' inlined literals: cell
+    * assignment + probe (the q45 replay) feeding the PQ encode/ADC/rank
+    * replay restricted to candidates.
+    */
+  def q174IvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfPqTopK(ivfIndexQ148(spark, dir),
+                         pqIndexFor(spark, dir),
+                         emb.filter(col("vec_id") < 5),
+                         k = 10, nProbe = 3)
+  }
+
+  private def q174OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c(cell, cv) AS (VALUES
+       |  $q148CentroidRows),
+       |a AS (SELECT vec_id AS corpus_id, cell
+       |      FROM e CROSS JOIN c
+       |      QUALIFY row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY list_distance(v, cv) ASC, cell ASC) = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |      WHERE vec_id < 5),
+       |probe AS (SELECT query_id, cell
+       |      FROM q CROSS JOIN c
+       |      QUALIFY row_number() OVER (PARTITION BY query_id
+       |          ORDER BY list_cosine_similarity(qv, cv) DESC,
+       |                   cell ASC) <= 3),
+       |cand AS (
+       |  SELECT probe.query_id, a.corpus_id
+       |  FROM a JOIN probe USING (cell)
+       |  WHERE a.corpus_id <> probe.query_id),
+       |pcb(sub, code, pcv) AS (VALUES
+       |  $q168CodebookRows),
+       |pa AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT e.vec_id, pcb.sub, pcb.code,
+       |      row_number() OVER (PARTITION BY e.vec_id, pcb.sub
+       |        ORDER BY list_sum(list_transform(generate_series(1, 16),
+       |                   i -> (v[pcb.sub * 16 + i] - pcv[i]) ^ 2)) ASC,
+       |                 pcb.code ASC) AS rn
+       |    FROM e CROSS JOIN pcb)
+       |  WHERE rn = 1),
+       |qt AS (
+       |  SELECT e.vec_id AS query_id, pcb.sub, pcb.code,
+       |    list_sum(list_transform(generate_series(1, 16),
+       |      i -> (v[pcb.sub * 16 + i] - pcv[i]) ^ 2)) AS d2
+       |  FROM e CROSS JOIN pcb WHERE e.vec_id < 5),
+       |s AS (
+       |  SELECT cand.query_id, cand.corpus_id,
+       |    max(CASE WHEN qt.sub = 0 THEN d2 END) AS d0,
+       |    max(CASE WHEN qt.sub = 1 THEN d2 END) AS d1,
+       |    max(CASE WHEN qt.sub = 2 THEN d2 END) AS d2_,
+       |    max(CASE WHEN qt.sub = 3 THEN d2 END) AS d3
+       |  FROM cand
+       |    JOIN pa ON pa.vec_id = cand.corpus_id
+       |    JOIN qt ON qt.query_id = cand.query_id
+       |           AND qt.sub = pa.sub AND qt.code = pa.code
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, corpus_id,
+       |    round(((d0 + d1) + d2_) + d3, 6) AS adc_d2
+       |  FROM s)
+       |SELECT query_id, corpus_id, adc_d2,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY adc_d2 ASC, corpus_id ASC) AS BIGINT) AS rank
+       |FROM r
+       |QUALIFY rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Compression-ratio quality gate ([[TextAnalysis.deflateRatios]]):
     * per-source DEFLATE ratio rollup — the one-number signal that
     * catches both boilerplate (compresses far below prose) and noise
@@ -2584,10 +2661,14 @@ object LlmQueries {
     * (the q45 pattern); the LSH half replays via the hyperplane SQL
     * (the q140 pattern).
     */
-  def q148AnnRecallMulti(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val queries = emb.filter(col("vec_id") < 5)
-    val (lshName, ivfName) = q148Saved.getOrElseUpdate(dir, {
+  /** q148's persisted full-corpus LSH + IVF indexes; fetching the IVF
+    * one (re)captures the centroid literals the q148/q174 oracles
+    * inline.
+    */
+  private def q148IndexNames(spark: SparkSession,
+                             dir: String): (String, String) =
+    q148Saved.getOrElseUpdate(dir, {
+      val emb  = Tables.embeddings(spark, dir)
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
       val ln = "graft_lsh_q148_" + safe
       IndexStore.saveLshIndex(Similarity.lshIndex(emb, dim = 64, nBits = 6),
@@ -2597,7 +2678,11 @@ object LlmQueries {
                                                   seed = 42L), iv)
       (ln, iv)
     })
-    val ivfIdx = IndexStore.loadIvfIndex(spark, ivfName)
+
+  private def ivfIndexQ148(spark: SparkSession,
+                           dir: String): Similarity.IvfIndex = {
+    val ivfIdx = IndexStore.loadIvfIndex(spark,
+                                         q148IndexNames(spark, dir)._2)
     q148CentroidRows = ivfIdx.centroids
       .orderBy("cell").collect()
       .map { r =>
@@ -2605,6 +2690,14 @@ object LlmQueries {
         s"(${r.getInt(0)}, [$cs])"
       }
       .mkString(",\n  ")
+    ivfIdx
+  }
+
+  def q148AnnRecallMulti(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val lshName = q148IndexNames(spark, dir)._1
+    val ivfIdx  = ivfIndexQ148(spark, dir)
     annRecallReport(emb, queries, k = 10, Seq(
       "ivf" -> Similarity.ivfTopKWithIndex(ivfIdx, queries, k = 10,
                                            nProbe = 3),
@@ -3601,6 +3694,7 @@ object LlmQueries {
     "q171_bitext_mining"    -> (q171BitextMining(_, _)),
     "q172_vector_quarantine" -> (q172VectorQuarantine(_, _)),
     "q173_compression_gate" -> (q173CompressionGate(_, _)),
+    "q174_ivf_pq_ann"       -> (q174IvfPqAnn(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -5737,6 +5831,7 @@ object LlmQueries {
     "q166_unigram_segment" -> q166OracleSql,
     "q168_pq_ann" -> q168OracleSql,
     "q169_pq_roll" -> q169OracleSql,
+    "q174_ivf_pq_ann" -> q174OracleSql,
     "q170_tokenizer_compare" -> q170OracleSql,
     // planted corruption → exact-integer norms → value-grid lower
     // medians (norm, then |dev|) → MAD gate

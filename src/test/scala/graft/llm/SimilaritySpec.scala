@@ -318,6 +318,31 @@ class SimilaritySpec extends SparkSpec {
            s"margin $m0 must match local replay $expect")
   }
 
+  test("ivfPqTopK composes pruning and compression: top-k are " +
+       "cluster-mates, and ADC scores agree with the full PQ scan on " +
+       "shared pairs") {
+    val corpus = clustered
+    val ivf = Similarity.ivfIndex(corpus, nCells = 8, seed = 42L)
+    val pq  = Similarity.pqIndex(corpus, nSub = 4, nCodes = 16,
+                                 seed = 42L)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val out = Similarity.ivfPqTopK(ivf, pq, queries, k = 5, nProbe = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    val mates = out.count { case (q, c, _) => (c - q) % 20 == 0 }
+    assert(mates.toDouble / out.length >= 0.9,
+           s"probed-cell ADC top-5 must be cluster-mates: " +
+             s"$mates/${out.length}")
+    val full = Similarity.pqTopK(pq, queries, k = 500)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.foreach { case (q, c, adc) =>
+      assert(full((q, c)) == adc,
+             s"composition must not change the ADC score for ($q,$c)")
+    }
+  }
+
   test("mergePqIndex equals encode-over-union against the base " +
        "codebooks, and re-rolling the same delta is a no-op") {
     val base  = clustered.filter(col("vec_id") % 3 =!= 2)
