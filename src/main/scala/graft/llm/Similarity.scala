@@ -685,6 +685,10 @@ object Similarity {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     require(k > 0, "k > 0")
+    // fewer than k rows on either side would leave null pivot columns,
+    // null margins, and a silently empty result — fail loudly instead
+    require(src.limit(k).count() >= k && tgt.limit(k).count() >= k,
+            s"bitext mining needs >= k=$k docs on each side")
     val s = src.select(col(idCol).as("src_id"), col(vecCol).as("sv"))
     val t = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("tv"))
     val scored = s.join(broadcast(t), lit(true))

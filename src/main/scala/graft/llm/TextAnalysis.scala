@@ -299,16 +299,18 @@ object TextAnalysis {
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { rows =>
+        // one Deflater per partition, reset per row — per-row
+        // construction would allocate/free native zlib state every doc
         val buf = new Array[Byte](1 << 16)
+        val d = new java.util.zip.Deflater(6, true)
         rows.map { case (id, text) =>
           val raw =
             if (text == null) Array.empty[Byte]
             else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val d = new java.util.zip.Deflater(6, true)
+          d.reset()
           d.setInput(raw); d.finish()
           var comp = 0L
           while (!d.finished()) comp += d.deflate(buf)
-          d.end()
           (id, raw.length.toLong, comp,
            comp * 1000000L / math.max(raw.length.toLong, 1L))
         }

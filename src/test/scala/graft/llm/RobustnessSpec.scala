@@ -372,6 +372,63 @@ class RobustnessSpec extends SparkSpec {
              emb.count())
   }
 
+  test("round-10 third-wave ops on empty and degenerate input") {
+    import spark.implicits._
+    // substring scrub: empty corpus -> empty; a corpus with no shared
+    // runs passes through with zero removals
+    assert(Dedup.scrubSharedSubstrings(emptyDocs, "doc_id", "text",
+                                       n = 4, minTokens = 8).count() == 0)
+    val lone = Seq((1L, "only one document here")).toDF("doc_id", "text")
+    val loneOut = Dedup.scrubSharedSubstrings(lone, "doc_id", "text",
+                                              n = 4, minTokens = 8)
+      .head()
+    assert(loneOut.getLong(3) == 0L && loneOut.getLong(2) == 4L)
+    // unigram fit: empty counts -> empty vocab; single word -> itself
+    assert(UnigramTrainer.fitUnigram(
+      emptyDocs.select(col("text").as("word"),
+                       col("doc_id").as("n")).filter(lit(false)),
+      vocabSize = 10).isEmpty)
+    val one = UnigramTrainer.fitUnigram(
+      Seq(("hello", 5L)).toDF("word", "n"), vocabSize = 10,
+      minCount = 1L)
+    assert(one.map(_._1).contains("hello"))
+    // segmentation of an empty corpus is empty
+    assert(UnigramTrainer.segmentDocs(emptyDocs, "doc_id", "text",
+                                      one).count() == 0)
+    // pq: dimension must split into subspaces
+    intercept[IllegalArgumentException] {
+      Similarity.pqIndex(
+        Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding"),
+        nSub = 2, nCodes = 2)
+    }
+    // bitext: fewer than k docs on a side fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      Similarity.bitextMarginMine(
+        graft.sources.Tables.embeddings(spark, sf0001).limit(10),
+        graft.sources.Tables.embeddings(spark, sf0001).limit(2),
+        k = 4)
+    }
+    // vector QA: empty input -> empty report, no division anywhere
+    assert(Similarity.vectorQuarantine(emptyEmb).count() == 0)
+    // deflate: empty corpus -> empty; null text -> zero bytes
+    assert(TextAnalysis.deflateRatios(emptyDocs, "doc_id", "text")
+      .count() == 0)
+    val nulled = TextAnalysis.deflateRatios(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text").head()
+    // empty input still emits zlib's empty block (2 bytes); the ratio
+    // guard divides by max(raw, 1) so the row stays finite
+    assert(nulled.getLong(1) == 0L &&
+             nulled.getLong(3) == nulled.getLong(2) * 1000000L)
+    // domain reweight: a single domain takes the whole ppm mass
+    val oneDom = QualityFilters.perplexityDomainWeights(
+      Seq(("a", 2.5d, 10L), ("a", 2.5d, 10L))
+        .toDF("source", "ppl", "n_grams"),
+      "source", "ppl", "n_grams").head()
+    assert(oneDom.getLong(4) == 1000000L &&
+             oneDom.getLong(5) == 1000000L)
+  }
+
   test("q149 release build: internal consistency — lineage, funnel, " +
        "shard assignment, digest, and card all describe the SAME " +
        "retained set") {
