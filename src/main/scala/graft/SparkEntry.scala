@@ -130,6 +130,7 @@ object SparkEntry {
     "q171_bitext_mining",
     "q172_vector_quarantine",
     "q173_compression_gate",
-    "q174_ivf_pq_ann"
+    "q174_ivf_pq_ann",
+    "q175_shard_diff"
   )
 }

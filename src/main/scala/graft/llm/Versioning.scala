@@ -102,6 +102,51 @@ object Versioning {
     * construction, if ever needed). Output: one row per bucket
     * (level 0) + the root (level 1).
     */
+  /** Shard-level release diff — the rsync story at 100 TB: compare two
+    * snapshots' Merkle BUCKET digests ([[corpusDigest]]'s level-0
+    * arithmetic, same content-keyed bucket routing) and report per
+    * bucket whether it changed, so an incremental distribution re-ships
+    * only the changed shards instead of the whole release. Output:
+    * (bucket, n_old, n_new, old_digest, new_digest, status ∈
+    * added|removed|changed|unchanged). Cost: one digest aggregation per
+    * side (text never shuffles — only 32-byte leaves) + a
+    * #buckets-row full-outer join.
+    */
+  def shardDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                idCol: String, textCol: String,
+                buckets: Int = 64): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def l1(df: DataFrame) = {
+      val leaf = md5(concat(col(idCol).cast("string"), lit(":"),
+                            col(textCol)).cast("binary"))
+      val hash60 = conv(substring(md5(leaf.cast("binary")), 1, 15),
+                        16, 10).cast("long")
+      df.select(leaf.as("leaf"),
+                pmod(hash60, lit(buckets.toLong)).as("bucket"))
+        .groupBy("bucket")
+        .agg(md5(array_join(sort_array(collect_list(col("leaf"))), "")
+                   .cast("binary")).as("digest"),
+             count(lit(1)).as("n"))
+    }
+    l1(oldSnap)
+      .select(col("bucket"), col("digest").as("old_digest"),
+              col("n").as("n_old"))
+      .join(l1(newSnap)
+              .select(col("bucket"), col("digest").as("new_digest"),
+                      col("n").as("n_new")),
+            Seq("bucket"), "full_outer")
+      .select(
+        col("bucket"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("old_digest"), col("new_digest"),
+        when(col("old_digest").isNull, lit("added"))
+          .when(col("new_digest").isNull, lit("removed"))
+          .when(col("old_digest") === col("new_digest"),
+                lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   def corpusDigest(docs: DataFrame, idCol: String, textCol: String,
                    buckets: Int = 64): DataFrame = {
     require(buckets > 0, "buckets must be positive")

@@ -2068,6 +2068,26 @@ object LlmQueries {
                             "doc_id", "text", buckets = 64)
       .orderBy("level", "bucket")
 
+  /** Shard-level release diff ([[Versioning.shardDiff]]): q90's derived
+    * successor snapshot compared to v1 at the Merkle BUCKET level — the
+    * incremental-distribution view that tells a mirror which shards to
+    * re-fetch. Same bucket routing and digest arithmetic as q102, so
+    * the whole report replays in SQL.
+    */
+  def q175ShardDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir).select("doc_id", "text")
+    val v2 = v1.filter(col("doc_id") % 11 =!= 5)
+      .select(col("doc_id"),
+              when(col("doc_id") % 7 === 1,
+                   concat(col("text"), lit(" [rev2]")))
+                .otherwise(col("text")).as("text"))
+      .unionByName(
+        v1.filter(col("doc_id") % 13 === 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Versioning.shardDiff(v1, v2, "doc_id", "text", buckets = 64)
+      .orderBy("bucket")
+  }
+
   /** Leakage-safe cluster-aware train/val/test split
     * ([[Splits.clusterAwareSplit]]): near-dup clusters from the q35
     * portable MinHash pipeline, every cluster hashed to exactly ONE
@@ -3695,6 +3715,7 @@ object LlmQueries {
     "q172_vector_quarantine" -> (q172VectorQuarantine(_, _)),
     "q173_compression_gate" -> (q173CompressionGate(_, _)),
     "q174_ivf_pq_ann"       -> (q174IvfPqAnn(_, _)),
+    "q175_shard_diff"       -> (q175ShardDiff(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -6608,6 +6629,48 @@ object LlmQueries {
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Leaves, bucket routing, per-bucket sorted digests, and the root
     // all rebuilt; string_agg(ORDER BY) is the sort_array twin.
+    // q90's successor CTE + q102's bucket-digest arithmetic per side +
+    // a #buckets-row full outer
+    "q175_shard_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 1 THEN text || ' [rev2]' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 11 <> 5
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 13 = 2),
+        |b1 AS (
+        |  SELECT bucket, md5(string_agg(leaf, '' ORDER BY leaf))
+        |      AS old_digest,
+        |    CAST(count(*) AS BIGINT) AS n_old
+        |  FROM (
+        |    SELECT leaf,
+        |      (('0x' || substr(md5(leaf), 1, 15))::BIGINT) % 64 AS bucket
+        |    FROM (SELECT md5(CAST(doc_id AS VARCHAR) || ':' || text)
+        |            AS leaf FROM v1))
+        |  GROUP BY bucket),
+        |b2 AS (
+        |  SELECT bucket, md5(string_agg(leaf, '' ORDER BY leaf))
+        |      AS new_digest,
+        |    CAST(count(*) AS BIGINT) AS n_new
+        |  FROM (
+        |    SELECT leaf,
+        |      (('0x' || substr(md5(leaf), 1, 15))::BIGINT) % 64 AS bucket
+        |    FROM (SELECT md5(CAST(doc_id AS VARCHAR) || ':' || text)
+        |            AS leaf FROM v2))
+        |  GROUP BY bucket)
+        |SELECT coalesce(b1.bucket, b2.bucket) AS bucket,
+        |  coalesce(n_old, 0) AS n_old,
+        |  coalesce(n_new, 0) AS n_new,
+        |  old_digest, new_digest,
+        |  CASE WHEN old_digest IS NULL THEN 'added'
+        |       WHEN new_digest IS NULL THEN 'removed'
+        |       WHEN old_digest = new_digest THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM b1 FULL OUTER JOIN b2 ON b1.bucket = b2.bucket
+        |ORDER BY bucket""".stripMargin,
     "q102_corpus_digest" ->
       """WITH lf AS (
         |  SELECT md5(CAST(doc_id AS VARCHAR) || ':' || text) AS leaf

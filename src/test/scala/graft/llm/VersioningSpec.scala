@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class VersioningSpec extends SparkSpec {
 
@@ -97,5 +98,24 @@ class VersioningSpec extends SparkSpec {
     val changed = d1.keys.filter(_._1 == 0)
       .count(k => d1(k) != d2.getOrElse(k, ""))
     assert(changed >= 1 && changed <= 2, s"$changed buckets changed")
+  }
+
+  test("shardDiff: identical snapshots are all-unchanged; a one-doc " +
+       "edit touches at most two buckets; doc mass is conserved") {
+    val v1 = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text")
+    val same = Versioning.shardDiff(v1, v1, "doc_id", "text")
+    assert(same.filter(col("status") =!= "unchanged").count() == 0)
+    val v2 = v1.select(
+      col("doc_id"),
+      when(col("doc_id") === 7, concat(col("text"), lit(" edited")))
+        .otherwise(col("text")).as("text"))
+    val diff = Versioning.shardDiff(v1, v2, "doc_id", "text").collect()
+    val touched = diff.count(_.getString(5) != "unchanged")
+    assert(touched >= 1 && touched <= 2,
+           s"a one-doc edit must touch <= 2 buckets, got $touched")
+    assert(diff.map(_.getLong(1)).sum == v1.count() &&
+             diff.map(_.getLong(2)).sum == v2.count(),
+           "per-bucket doc counts must conserve corpus mass")
   }
 }
