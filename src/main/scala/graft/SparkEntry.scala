@@ -131,6 +131,7 @@ object SparkEntry {
     "q172_vector_quarantine",
     "q173_compression_gate",
     "q174_ivf_pq_ann",
-    "q175_shard_diff"
+    "q175_shard_diff",
+    "q176_contrastive_triplets"
   )
 }

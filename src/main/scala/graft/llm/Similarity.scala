@@ -114,19 +114,30 @@ object Similarity {
     * broadcast), per-partition top-k before the exchange; swap the scan
     * for an [[ivfTopK]]-style probe at 100 TB with a larger candidate k.
     */
+  /** `exclude`, when given, is a (query_id, corpus_id) relation of KNOWN
+    * POSITIVES to anti-join out of negative candidacy — the standard
+    * triplet-mining guard: the cosine threshold excludes embedding-space
+    * duplicates, but a pair known positive through ANOTHER signal (text
+    * near-dup, click log) must be excluded explicitly or it can
+    * surface as a "negative".
+    */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
                     dupThreshold: Double,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    exclude: Option[DataFrame] = None): DataFrame = {
     require(k > 0 && dupThreshold > -1.0 && dupThreshold <= 1.0,
             "need k > 0 and dupThreshold in (-1, 1]")
     val c = corpus.select(col(idCol).as("corpus_id"),
                           col(vecCol).as("cvec"))
     val q = queries.select(col(idCol).as("query_id"),
                            col(vecCol).as("qvec"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+    val scored0 = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
       .withColumn("cos", cosine(col("qvec"), col("cvec")))
       .filter(col("cos") < dupThreshold)
+    val scored = exclude.fold(scored0)(ex =>
+      scored0.join(broadcast(ex.select("query_id", "corpus_id")),
+                   Seq("query_id", "corpus_id"), "left_anti"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), asc("corpus_id"))
     scored

@@ -2068,6 +2068,40 @@ object LlmQueries {
                             "doc_id", "text", buckets = 64)
       .orderBy("level", "bucket")
 
+  /** Contrastive-triplet generation — the embedding-training data feed:
+    * each VERIFIED near-dup pair from the persisted dedup artifacts
+    * becomes (anchor, positive), and the anchor's top hard negative
+    * ([[Similarity.hardNegatives]] — most similar vector BELOW the
+    * duplicate threshold) completes the triplet. Anchors are
+    * pair-table-sized (broadcast); the corpus scans once for the
+    * negative mining. FULLY oracle-checked: the minhash edge replay
+    * composed with q118's hard-negative ranker replay.
+    */
+  def q176ContrastiveTriplets(spark: SparkSession,
+                              dir: String): DataFrame = {
+    val (pairs, _) = dupArtifacts(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val aEmb = emb.join(
+      pairs.select(col("doc_a").as("vec_id")).distinct(), Seq("vec_id"))
+    // both orientations: an anchor's partners are positives whether the
+    // anchor sat on the a or b side of the pair row
+    val knownPos = pairs
+      .select(col("doc_a").as("query_id"), col("doc_b").as("corpus_id"))
+      .unionByName(pairs.select(col("doc_b").as("query_id"),
+                                col("doc_a").as("corpus_id")))
+    val negs = Similarity.hardNegatives(emb, aEmb, k = 1,
+                                        dupThreshold = 0.25,
+                                        exclude = Some(knownPos))
+      .select(col("query_id").as("doc_a"),
+              col("corpus_id").as("negative_id"),
+              col("cos").as("neg_cos"))
+    pairs.select(col("doc_a"), col("doc_b").as("positive_id"))
+      .join(negs, Seq("doc_a"))
+      .select(col("doc_a").as("anchor_id"), col("positive_id"),
+              col("negative_id"), col("neg_cos"))
+      .orderBy("anchor_id", "positive_id")
+  }
+
   /** Shard-level release diff ([[Versioning.shardDiff]]): q90's derived
     * successor snapshot compared to v1 at the Merkle BUCKET level — the
     * incremental-distribution view that tells a mirror which shards to
@@ -3716,6 +3750,7 @@ object LlmQueries {
     "q173_compression_gate" -> (q173CompressionGate(_, _)),
     "q174_ivf_pq_ann"       -> (q174IvfPqAnn(_, _)),
     "q175_shard_diff"       -> (q175ShardDiff(_, _)),
+    "q176_contrastive_triplets" -> (q176ContrastiveTriplets(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -6629,6 +6664,39 @@ object LlmQueries {
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Leaves, bucket routing, per-bucket sorted digests, and the root
     // all rebuilt; string_agg(ORDER BY) is the sort_array twin.
+    // verified minhash edges (positives) composed with q118's
+    // hard-negative ranker replay (k=1 per anchor)
+    "q176_contrastive_triplets" ->
+      s"""WITH RECURSIVE
+         |${minhashEdgeCtes("documents", 5, 32, 8, 0.5, 1000)},
+         |anch AS (SELECT DISTINCT da FROM ed),
+         |q AS (
+         |  SELECT e.vec_id AS query_id,
+         |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings e JOIN anch ON anch.da = e.vec_id),
+         |c AS (
+         |  SELECT vec_id AS corpus_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT query_id, corpus_id,
+         |    list_cosine_similarity(qv, cv) AS cos
+         |  FROM q CROSS JOIN c WHERE query_id <> corpus_id),
+         |f AS (
+         |  SELECT * FROM s WHERE cos < 0.25
+         |    AND NOT EXISTS (SELECT 1 FROM ed
+         |      WHERE (ed.da = s.query_id AND ed.db = s.corpus_id)
+         |         OR (ed.db = s.query_id AND ed.da = s.corpus_id))),
+         |r AS (
+         |  SELECT query_id, corpus_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, corpus_id) AS rank
+         |  FROM f),
+         |neg AS (SELECT query_id, corpus_id, cos FROM r WHERE rank = 1)
+         |SELECT ed.da AS anchor_id, ed.db AS positive_id,
+         |  neg.corpus_id AS negative_id, round(neg.cos, 6) AS neg_cos
+         |FROM ed JOIN neg ON neg.query_id = ed.da
+         |ORDER BY anchor_id, positive_id""".stripMargin,
     // q90's successor CTE + q102's bucket-digest arithmetic per side +
     // a #buckets-row full outer
     "q175_shard_diff" ->

@@ -519,6 +519,26 @@ class DedupSpec extends SparkSpec {
     assert(stats.map(_._1).distinct.length == stats.length)
   }
 
+  test("contrastive triplets: positives are exactly the verified " +
+       "near-dup pairs, negatives sit below the duplicate threshold") {
+    val t = graft.operators.LlmQueries
+      .q176ContrastiveTriplets(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                 r.getDouble(3)))
+    assert(t.nonEmpty)
+    t.foreach { case (a, p, n, cos) =>
+      assert(cos < 0.25, s"negative of $a must be below threshold: $cos")
+      assert(n != a && n != p, "negative must be a third document")
+    }
+    val pairs = Dedup.minhashCandidatePairsPortable(
+        graft.sources.Tables.documents(spark, sf0001), "doc_id", "text",
+        k = 5, numHashes = 32, bands = 8, threshold = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t.map(x => (x._1, x._2)).toSet == pairs,
+           "every verified pair must yield exactly one triplet")
+  }
+
   test("scrubSharedSubstrings excises the planted run from the higher-id " +
        "side only; untouched docs pass through with zero removals") {
     import spark.implicits._
