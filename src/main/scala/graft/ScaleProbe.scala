@@ -625,6 +625,33 @@ object ScaleProbe {
       }
     }
 
+    section("shard_diff triplet_mine") {
+      for (n <- Seq(1, 5, 20)) {
+        val d = docsX(n); val rows = d.count()
+        val v2 = d.filter(col("doc_id") % 11 =!= 5)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 1,
+                 concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text")))
+        time(s"shard_diff     n=$n ($rows)") {
+          noop(graft.llm.Versioning.shardDiff(
+            d.select("doc_id", "text"), v2.select("doc_id", "text"),
+            "doc_id", "text", buckets = 64))
+        }
+      }
+      // triplet mining with a FIXED anchor batch (the production unit:
+      // pairs arrive batch-wise from the dedup job) as the corpus grows
+      val anchorBatch = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 5 === 2)
+      for (n <- Seq(1, 5, 20)) {
+        val e = embX(n); val vrows = e.count()
+        time(s"triplet_mine   n=$n ($vrows)") {
+          noop(Similarity.hardNegatives(e, anchorBatch, k = 1,
+                                        dupThreshold = 0.25))
+        }
+      }
+    }
+
     section("bitext_mine vector_qa compress_gate") {
       // bitext: the TARGET side is the broadcast batch unit — fix it,
       // grow the source side (the mining loop's actual shape)
