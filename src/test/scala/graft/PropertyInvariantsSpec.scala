@@ -129,4 +129,88 @@ class PropertyInvariantsSpec extends SparkSpec {
       }
     }
   }
+
+  test("greedy segmentation reconstructs every word under every vocab") {
+    import graft.llm.UnigramTrainer
+    (1L to 3L).foreach { seed =>
+      val words = sample(Gen.listOfN(60, word), seed).filter(_.nonEmpty)
+      // vocab = random substrings of the corpus words (plausible pieces)
+      val pieces = sample(
+        Gen.listOfN(40, Gen.oneOf(
+          if (words.isEmpty) List("x") else words)), seed + 100)
+        .flatMap { w =>
+          if (w.length < 2) Nil
+          else {
+            val i = (seed % w.length).toInt
+            List(w.substring(0, math.max(1, i)), w.takeRight(2))
+          }
+        }.filter(_.nonEmpty).toSet
+      words.foreach { w =>
+        val segs = UnigramTrainer.greedySegment(w, pieces, 6)
+        assert(segs.mkString("") == w,
+               s"'$w' must reconstruct from $segs (seed $seed)")
+        assert(segs.forall(_.nonEmpty))
+      }
+    }
+  }
+
+  test("aHash is invariant under PNG re-encode and flips at most one " +
+       "block bit under a single-block perturbation") {
+    import graft.llm.Multimodal
+    import spark.implicits._
+    (1L to 3L).foreach { seed =>
+      val keyed = (0 until 20).map(i => (i.toLong, s"fp$seed-$i", false))
+        .toDF("media_id", "fp", "perturb")
+      val h1 = Multimodal.imageAHash60(
+          Multimodal.syntheticContentImages(keyed))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      // re-encode: generate the same images again (fresh PNG bytes)
+      val h2 = Multimodal.imageAHash60(
+          Multimodal.syntheticContentImages(keyed))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(h1 == h2, s"lossless re-encode must not move any hash")
+      val perturbed = Multimodal.imageAHash60(
+          Multimodal.syntheticContentImages(
+            keyed.withColumn("perturb", lit(true))))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      // saturating ONE 2x2 block moves block 0's bit plus whatever
+      // threshold-adjacent bits the global-mean shift (~3%) tips — a
+      // handful, where two UNRELATED hashes differ by ~30 of 60 bits.
+      // The perceptual property is the gap, not an exact count.
+      perturbed.foreach { case (id, h) =>
+        val d = java.lang.Long.bitCount(h ^ h1(id))
+        assert(d <= 12, s"one-block edit moved $d bits (id $id)")
+      }
+      val strangers = h1.toSeq.combinations(2).take(30).map {
+        case Seq((_, a), (_, b)) => java.lang.Long.bitCount(a ^ b)
+      }.toSeq
+      assert(strangers.sum.toDouble / strangers.size > 20,
+             s"unrelated hashes must sit far apart: $strangers")
+    }
+  }
+
+  test("vectorQuarantine median/MAD agree with a sort-based local replay") {
+    import graft.llm.Similarity
+    import spark.implicits._
+    (1L to 3L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val vecs = (0 until 101).map { i =>
+        (i.toLong, Seq.fill(8)((rnd.nextGaussian() * (1 + i % 3)).toFloat))
+      }
+      val out = Similarity.vectorQuarantine(vecs.toDF("vec_id", "embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val norms = vecs.map { case (_, v) =>
+        math.floor(math.sqrt(v.map(x => x.toDouble * x).sum) * 1e4 + 0.5)
+          .toLong
+      }.sorted
+      val med = norms((norms.length + 1) / 2 - 1) // lower median, 1-based
+      assert(out.forall(_._3 == med),
+             s"median ${out.head._3} != sort-replay $med (seed $seed)")
+      val devs = out.map(r => math.abs(r._2 - med)).sorted
+      val madExp = devs((devs.length + 1) / 2 - 1)
+      assert(out.forall(_._4 == madExp),
+             s"MAD ${out.head._4} != sort-replay $madExp (seed $seed)")
+    }
+  }
 }
