@@ -84,9 +84,9 @@ object SparkEntry {
     "q118_hard_negatives",
     "q119_mixed_language",
     "q120_gopher_yield",
-    // q121/q122/q162 are excluded deliberately: they run a streaming
-    // query to completion and memoize the sink output, so a timed pass
-    // would measure a parquet re-read, not the operator
+    // q121/q122/q162/q177 are excluded deliberately: they run a
+    // streaming query to completion and memoize the sink output, so a
+    // timed pass would measure a parquet re-read, not the operator
     "q123_windowed_counts",
     "q132_domain_cap",
     "q133_blocklist_ratio",

@@ -348,6 +348,86 @@ object LlmQueries {
        |QUALIFY rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Streaming PQ encode under the oracle
+    * ([[graft.streaming.EventStreams.pqEncodeSink]] — q121/q162's
+    * sibling for the embedding side): the codebooks fit once on the
+    * (vec_id % 4 = 0) shard and persist; the FULL embedding table then
+    * streams through the sink as three staged parquet slices
+    * (vec_id % 3, one per trigger, no driver collect) and every batch
+    * lands its (id, codes) rows in idempotent partitions. Because the
+    * encode is a pure function of (vector, codebooks), the union of
+    * the partitions replays as the argmin assignment of every vector —
+    * batch_id = its slice — from the inlined codebook literals.
+    */
+  private val q177Saved = new graft.SavedOnce[String, String]
+  @volatile private var q177CodebookRows: String = ""
+
+  def q177StreamingPqEncode(spark: SparkSession,
+                            dir: String): DataFrame = {
+    val outDir = q177Saved.getOrElseUpdate(dir, {
+      val emb  = Tables.embeddings(spark, dir)
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val name = "graft_pq_q177_" + safe
+      IndexStore.savePqIndex(
+        Similarity.pqIndex(emb.filter(col("vec_id") % 4 === 0),
+                           nSub = 4, nCodes = 16, seed = 42L), name)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q177_").toString
+      val in = s"$base/in"
+      graft.streaming.EventStreams.stageMicroBatchFiles(
+        emb.select(col("vec_id"), col("embedding")),
+        col("vec_id") % 3, nBatches = 3, inDir = in)
+      val stream = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val out = s"$base/out"
+      val q = graft.streaming.EventStreams.pqEncodeSink(
+        stream, name, out, s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      out
+    })
+    val idx = IndexStore.loadPqIndex(
+      spark, "graft_pq_q177_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    q177CodebookRows = idx.codebooks.orderBy("sub", "code").collect()
+      .map { r =>
+        val cs = r.getSeq[Double](2).map(_.toString).mkString(", ")
+        s"(${r.getInt(0)}, ${r.getInt(1)}, [$cs])"
+      }
+      .mkString(",\n  ")
+    spark.read.parquet(outDir)
+      .select(col("batch_id").cast("long").as("batch_id"),
+              col("corpus_id"),
+              element_at(col("codes"), 1).as("c0"),
+              element_at(col("codes"), 2).as("c1"),
+              element_at(col("codes"), 3).as("c2"),
+              element_at(col("codes"), 4).as("c3"))
+      .orderBy("corpus_id")
+  }
+
+  private def q177OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cb(sub, code, cv) AS (VALUES
+       |  $q177CodebookRows),
+       |a AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT e.vec_id, cb.sub, cb.code,
+       |      row_number() OVER (PARTITION BY e.vec_id, cb.sub
+       |        ORDER BY list_sum(list_transform(generate_series(1, 16),
+       |                   i -> (v[cb.sub * 16 + i] - cv[i]) ^ 2)) ASC,
+       |                 cb.code ASC) AS rn
+       |    FROM e CROSS JOIN cb)
+       |  WHERE rn = 1)
+       |SELECT CAST(vec_id % 3 AS BIGINT) AS batch_id, vec_id AS corpus_id,
+       |  CAST(max(CASE WHEN sub = 0 THEN code END) AS INT) AS c0,
+       |  CAST(max(CASE WHEN sub = 1 THEN code END) AS INT) AS c1,
+       |  CAST(max(CASE WHEN sub = 2 THEN code END) AS INT) AS c2,
+       |  CAST(max(CASE WHEN sub = 3 THEN code END) AS INT) AS c3
+       |FROM a GROUP BY 1, 2 ORDER BY corpus_id""".stripMargin
+
   /** Compression-ratio quality gate ([[TextAnalysis.deflateRatios]]):
     * per-source DEFLATE ratio rollup — the one-number signal that
     * catches both boilerplate (compresses far below prose) and noise
@@ -3751,6 +3831,7 @@ object LlmQueries {
     "q174_ivf_pq_ann"       -> (q174IvfPqAnn(_, _)),
     "q175_shard_diff"       -> (q175ShardDiff(_, _)),
     "q176_contrastive_triplets" -> (q176ContrastiveTriplets(_, _)),
+    "q177_streaming_pq_encode" -> (q177StreamingPqEncode(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -5888,6 +5969,7 @@ object LlmQueries {
     "q168_pq_ann" -> q168OracleSql,
     "q169_pq_roll" -> q169OracleSql,
     "q174_ivf_pq_ann" -> q174OracleSql,
+    "q177_streaming_pq_encode" -> q177OracleSql,
     "q170_tokenizer_compare" -> q170OracleSql,
     // planted corruption → exact-integer norms → value-grid lower
     // medians (norm, then |dev|) → MAD gate

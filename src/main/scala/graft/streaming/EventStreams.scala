@@ -289,6 +289,35 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Streaming PQ encode: each micro-batch of newly ingested embedding
+    * vectors is encoded against a PERSISTED product-quantization
+    * index's codebooks (loaded by NAME — codebooks are the quantization
+    * contract and stay fixed across batches; refit = new index version,
+    * restart the sink) and landed as (corpus_id, codes) rows in
+    * idempotent `batch_id=` partitions — the continuous-ingest twin of
+    * the q169 roll, same encode rule, same day-two economics: per-batch
+    * cost is batch-sized row-local argmin work against the broadcast
+    * codebooks.
+    */
+  def pqEncodeSink(vecs: DataFrame, indexName: String,
+                   outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val index = graft.llm.IndexStore.loadPqIndex(vecs.sparkSession,
+                                                 indexName)
+    vecs.writeStream
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        upsertBatch(
+          graft.llm.Similarity.pqAssignCodes(
+            index.codebooks,
+            batch.toDF().select(col("vec_id").as("corpus_id"),
+                                col("embedding").as("cvec")),
+            index.subDim),
+          id, outDir))
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .start()
+  }
+
   /** Per-micro-batch corpus stats for one ingest batch, flagged against
     * a REFERENCE snapshot's numbers — the drift row a monitoring sink
     * appends: a batch whose token entropy collapses or whose mean

@@ -217,6 +217,46 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pqEncodeSink: streamed codes equal the one-shot batch encode " +
+       "against the same persisted codebooks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.{IndexStore, Similarity}
+    val rnd = new scala.util.Random(3)
+    val corpus = (0 until 64).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    IndexStore.savePqIndex(
+      Similarity.pqIndex(corpus, nSub = 4, nCodes = 4, seed = 42L),
+      "graft_test_pq_sink")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_pqs_").toString
+    val q = pqEncodeSink(input.toDF().toDF("vec_id", "embedding"),
+                         "graft_test_pq_sink",
+                         s"$base/out", s"$base/ckpt")
+    val rows = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    try {
+      input.addData(rows.take(32).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(32).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$base/out")
+        .select("corpus_id", "codes").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val idx = IndexStore.loadPqIndex(spark, "graft_test_pq_sink")
+      val direct = Similarity.pqAssignCodes(
+          idx.codebooks,
+          corpus.select(col("vec_id").as("corpus_id"),
+                        col("embedding").as("cvec")),
+          idx.subDim)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(streamed == direct,
+             "stream/batch encode parity must hold exactly")
+    } finally q.stop()
+  }
+
   test("stream-stream join: purchases match signups within the window; " +
        "late rows beyond the watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
