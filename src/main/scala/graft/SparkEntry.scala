@@ -132,6 +132,7 @@ object SparkEntry {
     "q173_compression_gate",
     "q174_ivf_pq_ann",
     "q175_shard_diff",
-    "q176_contrastive_triplets"
+    "q176_contrastive_triplets",
+    "q178_selective_rescore"
   )
 }

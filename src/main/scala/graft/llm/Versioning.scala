@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset release management: diff two corpus snapshots.
@@ -102,6 +102,20 @@ object Versioning {
     * construction, if ever needed). Output: one row per bucket
     * (level 0) + the root (level 1).
     */
+  /** The content-keyed bucket of a document — ONE definition shared by
+    * the Merkle digest, the shard diff, and selective-recompute
+    * consumers, so "which bucket does this doc live in" can never
+    * drift between the digest and its readers. Row-local md5
+    * arithmetic, replayable in SQL.
+    */
+  def contentBucket(id: Column, text: Column, buckets: Int): Column = {
+    val leaf = md5(concat(id.cast("string"), lit(":"), text)
+                     .cast("binary"))
+    pmod(conv(substring(md5(leaf.cast("binary")), 1, 15), 16, 10)
+           .cast("long"),
+         lit(buckets.toLong))
+  }
+
   /** Shard-level release diff — the rsync story at 100 TB: compare two
     * snapshots' Merkle BUCKET digests ([[corpusDigest]]'s level-0
     * arithmetic, same content-keyed bucket routing) and report per
@@ -119,10 +133,9 @@ object Versioning {
     def l1(df: DataFrame) = {
       val leaf = md5(concat(col(idCol).cast("string"), lit(":"),
                             col(textCol)).cast("binary"))
-      val hash60 = conv(substring(md5(leaf.cast("binary")), 1, 15),
-                        16, 10).cast("long")
       df.select(leaf.as("leaf"),
-                pmod(hash60, lit(buckets.toLong)).as("bucket"))
+                contentBucket(col(idCol), col(textCol), buckets)
+                  .as("bucket"))
         .groupBy("bucket")
         .agg(md5(array_join(sort_array(collect_list(col("leaf"))), "")
                    .cast("binary")).as("digest"),

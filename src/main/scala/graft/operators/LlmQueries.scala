@@ -2202,6 +2202,46 @@ object LlmQueries {
       .orderBy("bucket")
   }
 
+  /** Selective re-scoring of CHANGED shards only — the incremental
+    * recompute that makes gate upgrades affordable at 100 TB: q175's
+    * shard diff names the buckets the v1→v2 release actually touched,
+    * and only THOSE buckets' v2 docs re-run the Gopher gate (a
+    * localized edit re-touches 1/64th of the corpus instead of all of
+    * it). Bucket routing shares ONE definition with the digest
+    * ([[Versioning.contentBucket]]), so the rescore can never disagree
+    * with the diff about membership. Output: per changed bucket, docs
+    * re-scored and the keep/drop split. FULLY oracle-checked: the
+    * shard-diff replay feeding the gopher replay over the routed
+    * subset.
+    */
+  def q178SelectiveRescore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.select("doc_id", "text")
+    val v2 = v1.filter(col("doc_id") % 11 =!= 5)
+      .select(col("doc_id"),
+              when(col("doc_id") % 7 === 1,
+                   concat(col("text"), lit(" [rev2]")))
+                .otherwise(col("text")).as("text"))
+      .unionByName(
+        v1.filter(col("doc_id") % 13 === 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val changed = Versioning.shardDiff(v1, v2, "doc_id", "text",
+                                       buckets = 64)
+      .filter(col("status") =!= "unchanged")
+      .select("bucket")
+    val routed = v2.withColumn(
+      "bucket",
+      Versioning.contentBucket(col("doc_id"), col("text"), 64))
+      .join(broadcast(changed), Seq("bucket"))
+    QualityFilters.gopherStats(routed.select("bucket", "doc_id", "text"),
+                               "text", minStopwordHits = 1)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rescored"),
+           sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+           sum(when(!col("keep"), 1L).otherwise(0L)).as("n_drop"))
+      .orderBy("bucket")
+  }
+
   /** Leakage-safe cluster-aware train/val/test split
     * ([[Splits.clusterAwareSplit]]): near-dup clusters from the q35
     * portable MinHash pipeline, every cluster hashed to exactly ONE
@@ -3832,6 +3872,7 @@ object LlmQueries {
     "q175_shard_diff"       -> (q175ShardDiff(_, _)),
     "q176_contrastive_triplets" -> (q176ContrastiveTriplets(_, _)),
     "q177_streaming_pq_encode" -> (q177StreamingPqEncode(_, _)),
+    "q178_selective_rescore" -> (q178SelectiveRescore(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -6779,6 +6820,61 @@ object LlmQueries {
          |  neg.corpus_id AS negative_id, round(neg.cos, 6) AS neg_cos
          |FROM ed JOIN neg ON neg.query_id = ed.da
          |ORDER BY anchor_id, positive_id""".stripMargin,
+    // the q175 diff replay names the changed buckets; only their v2
+    // docs flow into the gopher replay (same bucket arithmetic)
+    "q178_selective_rescore" -> {
+      s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+         |v2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 1 THEN text || ' [rev2]'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 11 <> 5
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents
+         |  WHERE doc_id % 13 = 2),
+         |b1 AS (
+         |  SELECT bucket, md5(string_agg(leaf, '' ORDER BY leaf)) AS dg
+         |  FROM (
+         |    SELECT leaf,
+         |      (('0x' || substr(md5(leaf), 1, 15))::BIGINT) % 64
+         |        AS bucket
+         |    FROM (SELECT md5(CAST(doc_id AS VARCHAR) || ':' || text)
+         |            AS leaf FROM v1))
+         |  GROUP BY bucket),
+         |b2 AS (
+         |  SELECT bucket, md5(string_agg(leaf, '' ORDER BY leaf)) AS dg
+         |  FROM (
+         |    SELECT leaf,
+         |      (('0x' || substr(md5(leaf), 1, 15))::BIGINT) % 64
+         |        AS bucket
+         |    FROM (SELECT md5(CAST(doc_id AS VARCHAR) || ':' || text)
+         |            AS leaf FROM v2))
+         |  GROUP BY bucket),
+         |chg AS (
+         |  SELECT coalesce(b1.bucket, b2.bucket) AS bucket
+         |  FROM b1 FULL OUTER JOIN b2 ON b1.bucket = b2.bucket
+         |  WHERE b1.dg IS NULL OR b2.dg IS NULL OR b1.dg <> b2.dg),
+         |routed AS (
+         |  SELECT v2.doc_id, v2.text, '' AS lang,
+         |    (('0x' || substr(md5(md5(CAST(v2.doc_id AS VARCHAR)
+         |        || ':' || v2.text)), 1, 15))::BIGINT) % 64 AS bucket
+         |  FROM v2 JOIN chg
+         |    ON chg.bucket =
+         |       (('0x' || substr(md5(md5(CAST(v2.doc_id AS VARCHAR)
+         |           || ':' || v2.text)), 1, 15))::BIGINT) % 64),
+         |gq AS (
+         |${gopherStatsSql("routed")}),
+         |j AS (
+         |  SELECT routed.bucket, gq.keep
+         |  FROM gq JOIN routed ON routed.doc_id = gq.doc_id)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_rescored,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_keep,
+         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_drop
+         |FROM j GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
     // q90's successor CTE + q102's bucket-digest arithmetic per side +
     // a #buckets-row full outer
     "q175_shard_diff" ->

@@ -118,4 +118,29 @@ class VersioningSpec extends SparkSpec {
              diff.map(_.getLong(2)).sum == v2.count(),
            "per-bucket doc counts must conserve corpus mass")
   }
+
+  test("selective rescore touches only changed buckets: a one-doc edit " +
+       "re-scores ~1/64th of the corpus, and bucket routing agrees " +
+       "with the digest") {
+    val v1 = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text")
+    val v2 = v1.select(
+      col("doc_id"),
+      when(col("doc_id") === 7, concat(col("text"), lit(" edited")))
+        .otherwise(col("text")).as("text"))
+    val changed = Versioning.shardDiff(v1, v2, "doc_id", "text", 64)
+      .filter(col("status") =!= "unchanged").select("bucket")
+    val nChanged = changed.count()
+    assert(nChanged >= 1 && nChanged <= 2)
+    val rescored = v2.withColumn(
+        "bucket", Versioning.contentBucket(col("doc_id"),
+                                           col("text"), 64))
+      .join(broadcast(changed), Seq("bucket"))
+    val n = rescored.count()
+    // a handful of bucket-mates, never the corpus
+    assert(n >= 1 && n <= v1.count() / 8,
+           s"one-doc edit must re-score a sliver, got $n")
+    assert(rescored.filter(col("doc_id") === 7).count() == 1,
+           "the edited doc itself must be in the rescore set")
+  }
 }
