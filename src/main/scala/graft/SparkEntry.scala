@@ -133,6 +133,7 @@ object SparkEntry {
     "q174_ivf_pq_ann",
     "q175_shard_diff",
     "q176_contrastive_triplets",
-    "q178_selective_rescore"
+    "q178_selective_rescore",
+    "q179_rendezvous_reshard"
   )
 }

@@ -31,6 +31,47 @@ object Sharding {
   private def md5Prefix60Scalar(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** Rendezvous (highest-random-weight) shard of a key: the shard
+    * `s ∈ [0, nShards)` maximizing `h(key ++ ":" ++ s)` under the
+    * portable 60-bit md5 prefix.
+    *
+    * Why not `hash mod n`: growing a fleet from n to n+1 shards under
+    * mod-hashing relocates ~n/(n+1) of the corpus (every key whose hash
+    * changes residue). Under rendezvous hashing a key moves ONLY when
+    * the NEW shard wins its argmax — so exactly ~1/(n+1) of keys move,
+    * and every mover lands on the new shard (both properties pinned in
+    * ShardingSpec). At 100 TB that is the difference between copying
+    * ~94 TB and ~6 TB on a 16→17 re-shard.
+    *
+    * Scale shape: one row-local codegen'd pass — `transform` over a
+    * literal shard sequence + `array_max` over (weight, shard) structs;
+    * no shuffle, no join, no state. Cost is O(nShards) md5s per row,
+    * fine for file-count-sized shard counts. (The fan-out alternative —
+    * explode × nShards + a max window — would shuffle corpus × nShards
+    * rows; never do that.) Ties (probability 2^-60 per pair) break to
+    * the larger shard id identically in both engines (struct / list
+    * lexicographic compare).
+    */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    require(nShards > 0, "nShards must be positive")
+    val pairs = transform(
+      sequence(lit(0L), lit(nShards - 1L)),
+      s => struct(
+        md5Prefix60Scalar(
+          concat_ws(":", key.cast("string"), s.cast("string"))).as("w"),
+        s.as("s")))
+    array_max(pairs).getField("s")
+  }
+
+  /** The DuckDB twin of [[rendezvousShard]]: list compare is
+    * lexicographic like Spark's struct compare, `[2]` is the 1-based
+    * shard element.
+    */
+  private[graft] def rendezvousShardSql(key: String, nShards: Int): String =
+    s"""list_max(list_transform(range(0, $nShards), s ->
+       |  [('0x' || substr(md5(CAST($key AS VARCHAR) || ':' ||
+       |      CAST(s AS VARCHAR)), 1, 15))::BIGINT, s]))[2]""".stripMargin
+
   /** Assign (shard, pos) to every row: shard = content-hash mod nShards,
     * pos = 0-based rank of the full md5 within the shard (ties broken by
     * id — identical texts keep distinct, stable slots).

@@ -2242,6 +2242,61 @@ object LlmQueries {
       .orderBy("bucket")
   }
 
+  /** Re-shard movement report ([[Sharding.rendezvousShard]]): assign
+    * every document a shard under the OLD fleet (16) and the GROWN fleet
+    * (17) with both schemes — rendezvous (highest-random-weight) and the
+    * naive `hash mod n` — and report, per scheme, how many documents a
+    * 16→17 re-shard relocates, how many of the movers land on the new
+    * shard 16, the movement rate in ppm (integer floor division), and the
+    * min/max shard load after the resize (balance retained).
+    *
+    * The table IS the 100 TB argument: mod-hashing moves ~16/17 of the
+    * corpus (~94%), rendezvous moves ~1/17 (~6%) and EVERY mover lands on
+    * the new shard — so an incremental re-shard job copies only the new
+    * shard's slice. Plan: the assignment is one row-local codegen'd scan
+    * (no explode, no join — see the [[Sharding.rendezvousShard]] scale
+    * note); the report is two narrow aggs over (scheme, shard) rows.
+    * FULLY oracle-checked: DuckDB replays the argmax as a lexicographic
+    * list-max over the same md5 weights and the mod residues from the
+    * same 60-bit prefixes.
+    */
+  def q179RendezvousReshard(spark: SparkSession, dir: String): DataFrame = {
+    val nOld = 16; val nNew = 17
+    def h60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    val a = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      Sharding.rendezvousShard(col("doc_id"), nOld).as("rdv_old"),
+      Sharding.rendezvousShard(col("doc_id"), nNew).as("rdv_new"),
+      pmod(h60(col("doc_id").cast("string")), lit(nOld.toLong))
+        .as("mod_old"),
+      pmod(h60(col("doc_id").cast("string")), lit(nNew.toLong))
+        .as("mod_new"))
+    val long = a.select(lit("rendezvous").as("scheme"),
+                        col("rdv_old").as("s_old"),
+                        col("rdv_new").as("s_new"))
+      .unionByName(a.select(lit("mod").as("scheme"),
+                            col("mod_old").as("s_old"),
+                            col("mod_new").as("s_new")))
+    val moved = long.groupBy("scheme").agg(
+      count(lit(1)).as("total_docs"),
+      sum(when(col("s_old") =!= col("s_new"), 1L).otherwise(0L))
+        .as("moved_docs"),
+      sum(when(col("s_old") =!= col("s_new") &&
+                 col("s_new") === lit(nOld.toLong), 1L).otherwise(0L))
+        .as("moved_to_new_shard"))
+    val loads = long.groupBy("scheme", "s_new")
+      .agg(count(lit(1)).as("__load"))
+      .groupBy("scheme")
+      .agg(min("__load").as("min_load"), max("__load").as("max_load"))
+    moved.join(loads, Seq("scheme"))
+      .withColumn("moved_ppm",
+                  expr("moved_docs * 1000000 DIV total_docs"))
+      .select("scheme", "total_docs", "moved_docs", "moved_to_new_shard",
+              "moved_ppm", "min_load", "max_load")
+      .orderBy("scheme")
+  }
+
   /** Leakage-safe cluster-aware train/val/test split
     * ([[Splits.clusterAwareSplit]]): near-dup clusters from the q35
     * portable MinHash pipeline, every cluster hashed to exactly ONE
@@ -3873,6 +3928,7 @@ object LlmQueries {
     "q176_contrastive_triplets" -> (q176ContrastiveTriplets(_, _)),
     "q177_streaming_pq_encode" -> (q177StreamingPqEncode(_, _)),
     "q178_selective_rescore" -> (q178SelectiveRescore(_, _)),
+    "q179_rendezvous_reshard" -> (q179RendezvousReshard(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -6874,6 +6930,47 @@ object LlmQueries {
          |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
          |    AS n_drop
          |FROM j GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+    // the rendezvous argmax replayed as a lexicographic list-max over
+    // the same md5 weights; mod residues from the same 60-bit prefixes
+    "q179_rendezvous_reshard" -> {
+      val rdvOld = Sharding.rendezvousShardSql("doc_id", 16)
+      val rdvNew = Sharding.rendezvousShardSql("doc_id", 17)
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |    $rdvOld AS rdv_old,
+         |    $rdvNew AS rdv_new,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |      % 16 AS mod_old,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |      % 17 AS mod_new
+         |  FROM documents),
+         |l AS (
+         |  SELECT 'rendezvous' AS scheme, rdv_old AS s_old,
+         |         rdv_new AS s_new FROM a
+         |  UNION ALL
+         |  SELECT 'mod', mod_old, mod_new FROM a),
+         |m AS (
+         |  SELECT scheme,
+         |    CAST(count(*) AS BIGINT) AS total_docs,
+         |    CAST(sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS moved_docs,
+         |    CAST(sum(CASE WHEN s_old <> s_new AND s_new = 16
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS moved_to_new_shard
+         |  FROM l GROUP BY scheme),
+         |ld AS (
+         |  SELECT scheme,
+         |    CAST(min(cnt) AS BIGINT) AS min_load,
+         |    CAST(max(cnt) AS BIGINT) AS max_load
+         |  FROM (SELECT scheme, s_new, count(*) AS cnt
+         |        FROM l GROUP BY 1, 2)
+         |  GROUP BY scheme)
+         |SELECT m.scheme, total_docs, moved_docs, moved_to_new_shard,
+         |  CAST(moved_docs * 1000000 // total_docs AS BIGINT)
+         |    AS moved_ppm,
+         |  min_load, max_load
+         |FROM m JOIN ld ON m.scheme = ld.scheme
+         |ORDER BY m.scheme""".stripMargin
     },
     // q90's successor CTE + q102's bucket-digest arithmetic per side +
     // a #buckets-row full outer

@@ -168,4 +168,58 @@ class ShardingSpec extends SparkSpec {
              plan.contains("BroadcastExchange"),
            s"band/bucket bases must broadcast:\n$plan")
   }
+
+  test("rendezvousShard matches an independent scalar argmax") {
+    // independent JVM reference: md5("id:s") 60-bit prefix, argmax,
+    // ties to the larger shard id (the struct-compare tiebreak)
+    def ref(id: Long, n: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until n).map { s =>
+        val d = md.digest(s"$id:$s".getBytes("UTF-8"))
+        val w = java.lang.Long.parseLong(
+          d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+        (w, s.toLong)
+      }.max._2
+    }
+    val got = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+              Sharding.rendezvousShard(col("doc_id"), 7).as("s7"),
+              Sharding.rendezvousShard(col("doc_id"), 16).as("s16"))
+      .orderBy("doc_id").limit(200).collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == ref(id, 7), s"n=7 mismatch for doc $id")
+      assert(r.getLong(2) == ref(id, 16), s"n=16 mismatch for doc $id")
+    }
+  }
+
+  test("rendezvous 16→17 re-shard: movers all land on the new shard, ~1/17 move, mod-hash moves most") {
+    def h60(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    val a = Tables.documents(spark, sf0001).select(
+      Sharding.rendezvousShard(col("doc_id"), 16).as("rdv_old"),
+      Sharding.rendezvousShard(col("doc_id"), 17).as("rdv_new"),
+      pmod(h60(col("doc_id").cast("string")), lit(16L)).as("mod_old"),
+      pmod(h60(col("doc_id").cast("string")), lit(17L)).as("mod_new"))
+      .cache()
+    val n = a.count().toDouble
+    // shards in range after the resize
+    assert(a.agg(min("rdv_new"), max("rdv_new")).head() ==
+      org.apache.spark.sql.Row(0L, 16L))
+    // THE rendezvous property: a doc moves iff the NEW shard wins
+    val movedElsewhere = a.filter(col("rdv_old") =!= col("rdv_new") &&
+                                  col("rdv_new") =!= 16L).count()
+    assert(movedElsewhere == 0L,
+           s"$movedElsewhere movers did not land on the new shard")
+    val rdvMoved = a.filter(col("rdv_old") =!= col("rdv_new")).count()
+    assert(rdvMoved > 0 && rdvMoved / n < 2.0 / 17,
+           s"rendezvous moved ${rdvMoved / n}, expected ~1/17")
+    val modMoved = a.filter(col("mod_old") =!= col("mod_new")).count()
+    assert(modMoved / n > 0.5,
+           s"mod-hash moved only ${modMoved / n}, expected ~16/17")
+    // balance survives the resize
+    val loads = a.groupBy("rdv_new").count().collect().map(_.getLong(1))
+    assert(loads.min > loads.max / 4, s"imbalance: ${loads.toSeq}")
+    a.unpersist()
+  }
 }
