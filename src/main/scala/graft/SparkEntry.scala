@@ -134,6 +134,8 @@ object SparkEntry {
     "q175_shard_diff",
     "q176_contrastive_triplets",
     "q178_selective_rescore",
-    "q179_rendezvous_reshard"
+    "q179_rendezvous_reshard",
+    "q180_stats_roll",
+    "q181_phrase_search"
   )
 }

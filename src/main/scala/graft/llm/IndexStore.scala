@@ -259,6 +259,23 @@ object IndexStore {
     savePlainTable(index.stats, s"${name}_stats", dir.map(d => s"$d/stats"))
   }
 
+  /** Positional postings ([[Relevance.positionalIndex]]), bucketed +
+    * sorted by token exactly like the BM25 postings — phrase-term
+    * filters prune row groups the same way.
+    */
+  def savePositionalIndex(index: DataFrame, name: String,
+                          numBuckets: Int = 32,
+                          dir: Option[String] = None): Unit =
+    writeBucketedTable(index, s"${name}_positions", numBuckets,
+                       Seq("token"), dir.map(d => s"$d/positions"))
+
+  def loadPositionalIndex(spark: SparkSession, name: String,
+                          dir: Option[String] = None): DataFrame = {
+    ensureRegistered(spark, s"${name}_positions",
+                     dir.map(d => s"$d/positions"))
+    spark.table(s"${name}_positions")
+  }
+
   def loadBm25Index(spark: SparkSession, name: String,
                     dir: Option[String] = None): Relevance.Bm25Index = {
     ensureRegistered(spark, s"${name}_postings",
@@ -275,6 +292,6 @@ object IndexStore {
     Seq(name, s"${name}_buckets", s"${name}_shingles",
         s"${name}_assigned", s"${name}_centroids",
         s"${name}_postings", s"${name}_stats",
-        s"${name}_codes", s"${name}_codebooks")
+        s"${name}_codes", s"${name}_codebooks", s"${name}_positions")
       .foreach(t => dropWithLocation(spark, t, None))
 }

@@ -164,6 +164,54 @@ object Relevance {
                 index.stats, k1, b)
   }
 
+  /** Positional inverted index: one row per (token, doc_id) with the
+    * SORTED 0-based occurrence positions — the Lucene-style structure
+    * exact-phrase search needs, which the tf-only [[Bm25Index]] cannot
+    * answer. Same build cost family as [[bm25Index]]: one tokenize scan
+    * + one (token, doc) agg; positions arrays are bounded by document
+    * length. Persist via [[IndexStore.savePositionalIndex]] (bucketed +
+    * sorted by token, so a phrase's term filters prune parquet row
+    * groups and read only the matching-token slivers).
+    */
+  def positionalIndex(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      posexplode(filter(split(lower(trim(col(textCol))), "\\W+"),
+                        t => length(t) > 0)))
+      .withColumnRenamed("col", "token")
+      .groupBy("token", "doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Exact-phrase matches from a LOADED positional index: docs where
+    * `phrase` occurs as consecutive tokens, with the occurrence count.
+    *
+    * Plan: one token-pruned read of the index per DISTINCT phrase term
+    * (an `In(token, …)` filter over the bucketed postings — row-group
+    * sliver reads, never a corpus scan), inner-joined on doc_id (only
+    * docs containing EVERY term survive, each join side is one term's
+    * posting sliver), then ONE row-local codegen'd pass over the first
+    * term's positions checking `p + i ∈ positions_i` for the rest —
+    * no explode of positions, no window. Phrase frequency is exact;
+    * ties and ordering are deterministic.
+    */
+  def phraseMatches(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val parts = phrase.zipWithIndex.map { case (t, i) =>
+      index.filter(col("token") === lit(t))
+        .select(col("doc_id"), col("positions").as(s"__p$i"))
+    }
+    val joined = parts.reduce((a, b) => a.join(b, Seq("doc_id")))
+    val tf =
+      if (phrase.size == 1) size(col("__p0"))
+      else size(filter(col("__p0"), p =>
+        (1 until phrase.size)
+          .map(i => array_contains(col(s"__p$i"), p + i))
+          .reduce(_ && _)))
+    joined.select(col("doc_id"), tf.cast("long").as("phrase_tf"))
+      .filter(col("phrase_tf") > 0)
+  }
+
   /** Selection form: the `topN` highest-BM25 docs (ties → smallest id),
     * joined back to the full rows. orderBy+limit plans as
     * TakeOrderedAndProject — per-partition top-N then a driver merge of

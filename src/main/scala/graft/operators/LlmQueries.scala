@@ -2297,6 +2297,77 @@ object LlmQueries {
       .orderBy("scheme")
   }
 
+  /** Dataset-card stats roll ([[CorpusStats.mergeCounts]]): the
+    * persisted (token, n) counts table is the MERGEABLE sufficient
+    * statistic for every number the q99 card reports — build the base
+    * counts over 90% of the corpus ONCE and persist them, then fold a
+    * new batch in by tokenizing ONLY the batch and summing (token, n)
+    * rows; the card recomputes from the merged counts. Byte-identical
+    * to q99 (the from-scratch card) BY CONSTRUCTION — the oracle
+    * replays the full-corpus card, so the hash check IS the
+    * merged ≡ rebuilt invariant (the q143 ≡ q86 pattern; exact-equality
+    * also spec-pinned in CorpusStatsSpec). At 100 TB: the daily card
+    * costs one batch scan plus a vocabulary-rows agg — never a corpus
+    * rescan. Completes the maintenance-job family: all five persisted
+    * index families roll (q144/q147/q151–q153/q169), and now the
+    * persisted STATS table does too.
+    */
+  def q180StatsRoll(spark: SparkSession, dir: String): DataFrame = {
+    val name = q180Saved.getOrElseUpdate(dir, {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = "graft_counts_q180_" + safe
+      CorpusStats.saveCounts(
+        CorpusStats.tokenCounts(
+          Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 3),
+          "text"),
+        base)
+      base
+    })
+    val delta = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 3)
+    CorpusStats.statsFromCounts(
+      CorpusStats.mergeCounts(CorpusStats.loadCounts(spark, name),
+                              CorpusStats.tokenCounts(delta, "text")),
+      topK = 100)
+  }
+  private val q180Saved = new graft.SavedOnce[String, String]
+
+  /** Exact-phrase search over the PERSISTED positional index
+    * ([[Relevance.positionalIndex]] / [[Relevance.phraseMatches]]) —
+    * the retrieval capability the tf-only BM25 index cannot answer
+    * ("table hash" as consecutive tokens, not a bag of terms): one row
+    * per (phrase, matching doc) with the exact occurrence count, for a
+    * two-term and a three-term phrase.
+    *
+    * Plan: each phrase term reads its token-pruned sliver of the
+    * bucketed postings (EqualTo(token) reaches the parquet scan), the
+    * doc_id inner joins touch only docs containing every term, and the
+    * consecutiveness check is one row-local codegen'd pass over the
+    * first term's positions (`p + i ∈ positions_i`) — no position
+    * explode, no window, never a corpus re-scan. FULLY oracle-checked:
+    * DuckDB replays phrase counting as a row-local token-window scan
+    * over the same tokenization.
+    */
+  def q181PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val name = q181Saved.getOrElseUpdate(dir, {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val nm = "graft_pos_q181_" + safe
+      IndexStore.savePositionalIndex(
+        Relevance.positionalIndex(Tables.documents(spark, dir),
+                                  "doc_id", "text"), nm)
+      nm
+    })
+    val idx = IndexStore.loadPositionalIndex(spark, name)
+    val two = Relevance.phraseMatches(idx, Seq("table", "hash"))
+      .withColumn("phrase", lit("table hash"))
+    val three = Relevance.phraseMatches(idx, Seq("slow", "hash", "batch"))
+      .withColumn("phrase", lit("slow hash batch"))
+    two.unionByName(three)
+      .select(col("phrase"), col("doc_id"), col("phrase_tf"))
+      .orderBy(col("phrase"), desc("phrase_tf"), col("doc_id"))
+  }
+  private val q181Saved = new graft.SavedOnce[String, String]
+
   /** Leakage-safe cluster-aware train/val/test split
     * ([[Splits.clusterAwareSplit]]): near-dup clusters from the q35
     * portable MinHash pipeline, every cluster hashed to exactly ONE
@@ -3929,6 +4000,8 @@ object LlmQueries {
     "q177_streaming_pq_encode" -> (q177StreamingPqEncode(_, _)),
     "q178_selective_rescore" -> (q178SelectiveRescore(_, _)),
     "q179_rendezvous_reshard" -> (q179RendezvousReshard(_, _)),
+    "q180_stats_roll" -> (q180StatsRoll(_, _)),
+    "q181_phrase_search" -> (q181PhraseSearch(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -4910,6 +4983,37 @@ object LlmQueries {
        |      FROM cand)
        |SELECT query_id, corpus_id, round(cos, 6) AS cos, rank
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** The full-corpus dataset card (q99) — ALSO q180's oracle: the rolled
+    * counts must reproduce it byte-for-byte (merged ≡ rebuilt).
+    */
+  private val corpusCardSql: String =
+    """WITH t AS (
+      |  SELECT unnest(list_filter(
+      |    string_split_regex(lower(trim(text)), '\W+'),
+      |    x -> len(x) > 0)) AS token
+      |  FROM documents),
+      |tc AS (SELECT token, CAST(count(*) AS DOUBLE) AS n
+      |       FROM t GROUP BY token),
+      |g AS (SELECT sum(n) AS nt, count(*) AS nd,
+      |             sum(n * log2(n)) AS s
+      |      FROM tc),
+      |tp AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk
+      |       FROM tc ORDER BY n DESC, token LIMIT 100),
+      |z AS (SELECT CAST(count(*) AS DOUBLE) AS k,
+      |             sum(ln(rk)) AS sx, sum(ln(n)) AS sy,
+      |             sum(ln(rk) * ln(n)) AS sxy,
+      |             sum(ln(rk) * ln(rk)) AS sxx
+      |      FROM tp)
+      |SELECT CAST(nt AS BIGINT) AS n_tokens,
+      |       CAST(nd AS BIGINT) AS n_distinct,
+      |       round(nd / nt, 6) AS ttr,
+      |       round(log2(nt) - s / nt, 6) AS entropy_bits,
+      |       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+      |         AS zipf_slope,
+      |       round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx))
+      |              * sx) / k, 6) AS zipf_intercept
+      |FROM g, z""".stripMargin
 
   def oracleSql: Map[String, String] = (
     // q59's oracle inlines a captured doc→bin assignment; if the capture
@@ -6679,33 +6783,34 @@ object LlmQueries {
          |ORDER BY n_exact DESC, token""".stripMargin,
     // Entropy + Zipf fit replay: same token counts, same ln/log2 sums,
     // same closed-form least squares, rounded to 6 decimals.
-    "q99_corpus_stats" ->
-      """WITH t AS (
-        |  SELECT unnest(list_filter(
+    "q99_corpus_stats" -> corpusCardSql,
+    // merged ≡ rebuilt: the rolled counts must reproduce the
+    // from-scratch card byte-for-byte, so q180's oracle IS q99's
+    "q180_stats_roll" -> corpusCardSql,
+    // phrase counting replayed as a row-local token-window scan over
+    // the same tokenization (1-based list indexing; range(1, n) stops
+    // at n-1, so the window never runs off the token list)
+    "q181_phrase_search" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(
         |    string_split_regex(lower(trim(text)), '\W+'),
-        |    x -> len(x) > 0)) AS token
+        |    x -> len(x) > 0) AS t
         |  FROM documents),
-        |tc AS (SELECT token, CAST(count(*) AS DOUBLE) AS n
-        |       FROM t GROUP BY token),
-        |g AS (SELECT sum(n) AS nt, count(*) AS nd,
-        |             sum(n * log2(n)) AS s
-        |      FROM tc),
-        |tp AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk
-        |       FROM tc ORDER BY n DESC, token LIMIT 100),
-        |z AS (SELECT CAST(count(*) AS DOUBLE) AS k,
-        |             sum(ln(rk)) AS sx, sum(ln(n)) AS sy,
-        |             sum(ln(rk) * ln(n)) AS sxy,
-        |             sum(ln(rk) * ln(rk)) AS sxx
-        |      FROM tp)
-        |SELECT CAST(nt AS BIGINT) AS n_tokens,
-        |       CAST(nd AS BIGINT) AS n_distinct,
-        |       round(nd / nt, 6) AS ttr,
-        |       round(log2(nt) - s / nt, 6) AS entropy_bits,
-        |       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
-        |         AS zipf_slope,
-        |       round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx))
-        |              * sx) / k, 6) AS zipf_intercept
-        |FROM g, z""".stripMargin,
+        |m AS (
+        |  SELECT 'table hash' AS phrase, doc_id,
+        |    CAST(len(list_filter(range(1, len(t)),
+        |      i -> t[i] = 'table' AND t[i+1] = 'hash')) AS BIGINT)
+        |      AS phrase_tf
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'slow hash batch', doc_id,
+        |    CAST(len(list_filter(range(1, len(t) - 1),
+        |      i -> t[i] = 'slow' AND t[i+1] = 'hash'
+        |           AND t[i+2] = 'batch')) AS BIGINT)
+        |  FROM d)
+        |SELECT phrase, doc_id, phrase_tf FROM m
+        |WHERE phrase_tf > 0
+        |ORDER BY phrase, phrase_tf DESC, doc_id""".stripMargin,
     // Quality expr (the q32/q96 replay), fixed-width buckets, Laplace
     // smoothing, ln contributions, and the -1 TOTAL row.
     "q108_quality_psi" ->

@@ -150,4 +150,50 @@ class RelevanceSpec extends SparkSpec {
     assert(indexRows(merged) == indexRows(expected),
            "delta docs must replace, not add to, their base postings")
   }
+
+  test("phraseMatches equals a brute-force sliding-window count; " +
+       "single term = tf; repeated-token phrases work") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox the quick brown"),
+      (2L, "quick the brown quick quick quick"),
+      (3L, "the the the"),
+      (4L, "no match here"),
+      (5L, "")).toDF("doc_id", "text")
+    val idx = Relevance.positionalIndex(docs, "doc_id", "text")
+    def brute(phrase: Seq[String]): Map[Long, Long] =
+      docs.collect().map { r =>
+        val toks = r.getString(1).toLowerCase.trim
+          .split("\\W+").filter(_.nonEmpty).toSeq
+        r.getLong(0) -> toks.sliding(phrase.size)
+          .count(w => w.size == phrase.size && w == phrase).toLong
+      }.filter(_._2 > 0).toMap
+    for (phrase <- Seq(Seq("quick", "brown"), Seq("the", "quick", "brown"),
+                       Seq("the", "the"), Seq("quick", "quick", "quick"),
+                       Seq("quick"), Seq("absent", "tokens"))) {
+      val got = Relevance.phraseMatches(idx, phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == brute(phrase), s"phrase $phrase: $got vs ${brute(phrase)}")
+    }
+  }
+
+  test("phrase search over the persisted index prunes postings by token") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    IndexStore.savePositionalIndex(
+      Relevance.positionalIndex(docs, "doc_id", "text"), "graft_pos_spec")
+    try {
+      val idx = IndexStore.loadPositionalIndex(spark, "graft_pos_spec")
+      val out = Relevance.phraseMatches(idx, Seq("table", "hash"))
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("table"),
+             s"token equality must reach the parquet scan:\n$plan")
+      // parity with an index built in-flight (no persistence drift)
+      val fresh = Relevance.phraseMatches(
+        Relevance.positionalIndex(docs, "doc_id", "text"),
+        Seq("table", "hash"))
+      assert(out.orderBy("doc_id").collect().toSeq ==
+             fresh.orderBy("doc_id").collect().toSeq)
+      assert(out.count() > 0, "expected at least one phrase match")
+    } finally IndexStore.drop(spark, "graft_pos_spec")
+  }
 }
