@@ -136,6 +136,7 @@ object SparkEntry {
     "q178_selective_rescore",
     "q179_rendezvous_reshard",
     "q180_stats_roll",
-    "q181_phrase_search"
+    "q181_phrase_search",
+    "q182_positional_roll"
   )
 }

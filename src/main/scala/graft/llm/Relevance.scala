@@ -183,6 +183,27 @@ object Relevance {
       .groupBy("token", "doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
 
+  /** ROLL a persisted positional index forward with a delta batch — the
+    * [[mergeBm25Index]] pattern for the phrase-search structure: tokenize
+    * ONLY the delta, and upsert its (token, doc_id, positions) rows
+    * (docs re-ingested in the delta REPLACE their base rows via a
+    * broadcast anti-join on the delta id set, so re-rolling the same
+    * delta is a no-op and merged ≡ rebuilt — RelevanceSpec pins both,
+    * q182's oracle replays the rebuild). Positions are per-document, so
+    * unlike BM25 there is no cross-document statistic to merge — the
+    * upsert IS the whole roll. Scale shape: O(delta) row-local
+    * tokenization + index-rows anti-join; base corpus text is never
+    * re-read.
+    */
+  def mergePositionalIndex(base: DataFrame, delta: DataFrame,
+                           idCol: String, textCol: String): DataFrame = {
+    val deltaIds = delta.select(col(idCol).as("doc_id")).distinct()
+    base.join(broadcast(deltaIds), Seq("doc_id"), "left_anti")
+      .select("token", "doc_id", "positions")
+      .unionByName(positionalIndex(delta, idCol, textCol)
+                     .select("token", "doc_id", "positions"))
+  }
+
   /** Exact-phrase matches from a LOADED positional index: docs where
     * `phrase` occurs as consecutive tokens, with the occurrence count.
     *

@@ -2368,6 +2368,44 @@ object LlmQueries {
   }
   private val q181Saved = new graft.SavedOnce[String, String]
 
+  /** Positional-index roll ([[Relevance.mergePositionalIndex]]): build
+    * the base index WITHOUT the delta slice (doc_id % 9 = 7), persist
+    * it, roll the delta in (tokenizing only the delta — an index-rows
+    * upsert, never a corpus re-scan), persist the merged index, and
+    * answer q181's exact phrase queries from it. Byte-identical to q181
+    * BY CONSTRUCTION — the oracle replays the full-corpus phrase scan,
+    * so the hash check IS the merged ≡ rebuilt invariant (the q144/q147/
+    * q151–q153/q169/q180 pattern — every persisted structure in the
+    * engine now has its maintenance job). Re-roll no-op and replace-not-
+    * append semantics are spec-pinned in RelevanceSpec.
+    */
+  def q182PositionalRoll(spark: SparkSession, dir: String): DataFrame = {
+    val name = q182Saved.getOrElseUpdate(dir, {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = Tables.documents(spark, dir)
+      val base = "graft_pos_q182_base_" + safe
+      IndexStore.savePositionalIndex(
+        Relevance.positionalIndex(docs.filter(col("doc_id") % 9 =!= 7),
+                                  "doc_id", "text"), base)
+      val merged = "graft_pos_q182_merged_" + safe
+      IndexStore.savePositionalIndex(
+        Relevance.mergePositionalIndex(
+          IndexStore.loadPositionalIndex(spark, base),
+          docs.filter(col("doc_id") % 9 === 7), "doc_id", "text"),
+        merged)
+      merged
+    })
+    val idx = IndexStore.loadPositionalIndex(spark, name)
+    Relevance.phraseMatches(idx, Seq("table", "hash"))
+      .withColumn("phrase", lit("table hash"))
+      .unionByName(
+        Relevance.phraseMatches(idx, Seq("slow", "hash", "batch"))
+          .withColumn("phrase", lit("slow hash batch")))
+      .select(col("phrase"), col("doc_id"), col("phrase_tf"))
+      .orderBy(col("phrase"), desc("phrase_tf"), col("doc_id"))
+  }
+  private val q182Saved = new graft.SavedOnce[String, String]
+
   /** Leakage-safe cluster-aware train/val/test split
     * ([[Splits.clusterAwareSplit]]): near-dup clusters from the q35
     * portable MinHash pipeline, every cluster hashed to exactly ONE
@@ -4002,6 +4040,7 @@ object LlmQueries {
     "q179_rendezvous_reshard" -> (q179RendezvousReshard(_, _)),
     "q180_stats_roll" -> (q180StatsRoll(_, _)),
     "q181_phrase_search" -> (q181PhraseSearch(_, _)),
+    "q182_positional_roll" -> (q182PositionalRoll(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -5014,6 +5053,34 @@ object LlmQueries {
       |       round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx))
       |              * sx) / k, 6) AS zipf_intercept
       |FROM g, z""".stripMargin
+
+  /** Phrase counting replayed as a row-local token-window scan over the
+    * same tokenization (1-based list indexing; range(1, n) stops at
+    * n-1, so the window never runs off the token list). q181's oracle,
+    * and ALSO q182's: the rolled positional index must reproduce it
+    * byte-for-byte (merged ≡ rebuilt).
+    */
+  private val phraseSearchSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(trim(text)), '\W+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM documents),
+      |m AS (
+      |  SELECT 'table hash' AS phrase, doc_id,
+      |    CAST(len(list_filter(range(1, len(t)),
+      |      i -> t[i] = 'table' AND t[i+1] = 'hash')) AS BIGINT)
+      |      AS phrase_tf
+      |  FROM d
+      |  UNION ALL
+      |  SELECT 'slow hash batch', doc_id,
+      |    CAST(len(list_filter(range(1, len(t) - 1),
+      |      i -> t[i] = 'slow' AND t[i+1] = 'hash'
+      |           AND t[i+2] = 'batch')) AS BIGINT)
+      |  FROM d)
+      |SELECT phrase, doc_id, phrase_tf FROM m
+      |WHERE phrase_tf > 0
+      |ORDER BY phrase, phrase_tf DESC, doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = (
     // q59's oracle inlines a captured doc→bin assignment; if the capture
@@ -6787,30 +6854,10 @@ object LlmQueries {
     // merged ≡ rebuilt: the rolled counts must reproduce the
     // from-scratch card byte-for-byte, so q180's oracle IS q99's
     "q180_stats_roll" -> corpusCardSql,
-    // phrase counting replayed as a row-local token-window scan over
-    // the same tokenization (1-based list indexing; range(1, n) stops
-    // at n-1, so the window never runs off the token list)
-    "q181_phrase_search" ->
-      """WITH d AS (
-        |  SELECT doc_id, list_filter(
-        |    string_split_regex(lower(trim(text)), '\W+'),
-        |    x -> len(x) > 0) AS t
-        |  FROM documents),
-        |m AS (
-        |  SELECT 'table hash' AS phrase, doc_id,
-        |    CAST(len(list_filter(range(1, len(t)),
-        |      i -> t[i] = 'table' AND t[i+1] = 'hash')) AS BIGINT)
-        |      AS phrase_tf
-        |  FROM d
-        |  UNION ALL
-        |  SELECT 'slow hash batch', doc_id,
-        |    CAST(len(list_filter(range(1, len(t) - 1),
-        |      i -> t[i] = 'slow' AND t[i+1] = 'hash'
-        |           AND t[i+2] = 'batch')) AS BIGINT)
-        |  FROM d)
-        |SELECT phrase, doc_id, phrase_tf FROM m
-        |WHERE phrase_tf > 0
-        |ORDER BY phrase, phrase_tf DESC, doc_id""".stripMargin,
+    "q181_phrase_search" -> phraseSearchSql,
+    // merged ≡ rebuilt: the rolled positional index must answer q181's
+    // phrase queries byte-for-byte, so q182's oracle IS q181's
+    "q182_positional_roll" -> phraseSearchSql,
     // Quality expr (the q32/q96 replay), fixed-width buckets, Laplace
     // smoothing, ln contributions, and the -1 TOTAL row.
     "q108_quality_psi" ->

@@ -177,6 +177,29 @@ class RelevanceSpec extends SparkSpec {
     }
   }
 
+  test("mergePositionalIndex: roll equals rebuild, re-roll is a no-op, " +
+       "re-ingested docs replace their rows") {
+    import spark.implicits._
+    val base = Seq((1L, "alpha beta gamma"), (2L, "beta beta alpha"),
+                   (3L, "gamma alpha")).toDF("doc_id", "text")
+    val delta = Seq((3L, "beta gamma beta"), (4L, "alpha alpha"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("token"), col("doc_id"),
+                col("positions").cast("string"))
+        .collect().map(_.toSeq).toSet
+    val baseIdx = Relevance.positionalIndex(base, "doc_id", "text")
+    val merged = Relevance.mergePositionalIndex(baseIdx, delta,
+                                                "doc_id", "text")
+    val rebuilt = Relevance.positionalIndex(
+      base.filter(col("doc_id") =!= 3L).unionByName(delta),
+      "doc_id", "text")
+    assert(rows(merged) == rows(rebuilt), "merged must equal rebuilt")
+    val reRolled = Relevance.mergePositionalIndex(merged, delta,
+                                                  "doc_id", "text")
+    assert(rows(reRolled) == rows(merged), "re-roll must be a no-op")
+  }
+
   test("phrase search over the persisted index prunes postings by token") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     IndexStore.savePositionalIndex(
