@@ -675,6 +675,64 @@ object ScaleProbe {
         }
       }
     }
+    // round-10 fourth wave: rendezvous assignment (row-local scan),
+    // stats roll vs rebuild (counts-rows merge vs corpus re-scan),
+    // phrase search from the persisted positional index (token-pruned
+    // sliver reads — should be near-flat like bm25_indexed) and the
+    // positional roll vs rebuild (same fixed-delta design as fp/bm25).
+    section("rendezvous stats_roll stats_rebuild phrase_search " +
+            "pos_build pos_roll pos_rebuild") {
+      val delta = Tables.documents(spark, dir)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+        .withColumn("text", concat(col("text"), lit(" probe-delta")))
+      for (n <- Seq(1, 5, 20)) {
+        val d = docsX(n); val rows = d.count()
+        time(s"rendezvous     n=$n ($rows)") {
+          noop(d.select(
+            graft.llm.Sharding.rendezvousShard(col("doc_id"), 16)
+              .as("s16"),
+            graft.llm.Sharding.rendezvousShard(col("doc_id"), 17)
+              .as("s17")))
+        }
+        val csName = s"graft_probe_counts_$n"
+        graft.llm.CorpusStats.saveCounts(
+          graft.llm.CorpusStats.tokenCounts(d, "text"), csName)
+        time(s"stats_roll     n=$n ($rows)") {
+          noop(graft.llm.CorpusStats.statsFromCounts(
+            graft.llm.CorpusStats.mergeCounts(
+              graft.llm.CorpusStats.loadCounts(spark, csName),
+              graft.llm.CorpusStats.tokenCounts(delta, "text"))))
+        }
+        time(s"stats_rebuild  n=$n ($rows)") {
+          noop(graft.llm.CorpusStats.corpusStats(
+            d.unionByName(delta), "text"))
+        }
+        graft.llm.CorpusStats.dropCounts(spark, csName)
+        val posName = s"graft_probe_pos_$n"
+        time(s"pos_build      n=$n ($rows)") {
+          graft.llm.IndexStore.savePositionalIndex(
+            graft.llm.Relevance.positionalIndex(d, "doc_id", "text"),
+            posName)
+        }
+        val posLoaded =
+          graft.llm.IndexStore.loadPositionalIndex(spark, posName)
+        time(s"phrase_search  n=$n ($rows)") {
+          noop(graft.llm.Relevance.phraseMatches(
+            posLoaded, Seq("table", "hash")))
+          noop(graft.llm.Relevance.phraseMatches(
+            posLoaded, Seq("slow", "hash", "batch")))
+        }
+        time(s"pos_roll       n=$n ($rows)") {
+          noop(graft.llm.Relevance.mergePositionalIndex(
+            posLoaded, delta, "doc_id", "text"))
+        }
+        time(s"pos_rebuild    n=$n ($rows)") {
+          noop(graft.llm.Relevance.positionalIndex(
+            d.unionByName(delta), "doc_id", "text"))
+        }
+        graft.llm.IndexStore.drop(spark, posName)
+      }
+    }
     spark.stop()
   }
 }
