@@ -137,6 +137,8 @@ object SparkEntry {
     "q179_rendezvous_reshard",
     "q180_stats_roll",
     "q181_phrase_search",
-    "q182_positional_roll"
+    "q182_positional_roll",
+    "q183_proximity_search",
+    "q184_vocab_coverage"
   )
 }

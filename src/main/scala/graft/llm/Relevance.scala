@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** BM25 relevance of documents against a fixed query-term set — the
@@ -231,6 +231,37 @@ object Relevance {
           .reduce(_ && _)))
     joined.select(col("doc_id"), tf.cast("long").as("phrase_tf"))
       .filter(col("phrase_tf") > 0)
+  }
+
+  /** Ordered proximity matches from a LOADED positional index: docs
+    * where `terms` appear IN ORDER with each step's gap ≤ `maxGap`
+    * positions (maxGap = 1 degenerates to the exact phrase). The count
+    * is the number of first-term positions that start a valid chain —
+    * the "sloppy phrase" semantics a search engine's `"a b"~k` gives.
+    *
+    * Same plan as [[phraseMatches]]: token-pruned sliver reads, doc_id
+    * inner joins, then one row-local pass — the chain check is nested
+    * codegen'd `exists` over the later terms' position arrays, still no
+    * explode and no window.
+    */
+  def proximityMatches(index: DataFrame, terms: Seq[String],
+                       maxGap: Int): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(maxGap >= 1, "maxGap must be >= 1")
+    val parts = terms.zipWithIndex.map { case (t, i) =>
+      index.filter(col("token") === lit(t))
+        .select(col("doc_id"), col("positions").as(s"__p$i"))
+    }
+    val joined = parts.reduce((a, b) => a.join(b, Seq("doc_id")))
+    def chain(i: Int, p: Column): Column =
+      if (i == terms.size) lit(true)
+      else exists(col(s"__p$i"),
+                  q => q > p && q <= p + maxGap && chain(i + 1, q))
+    val tf =
+      if (terms.size == 1) size(col("__p0"))
+      else size(filter(col("__p0"), p => chain(1, p)))
+    joined.select(col("doc_id"), tf.cast("long").as("prox_tf"))
+      .filter(col("prox_tf") > 0)
   }
 
   /** Selection form: the `topN` highest-BM25 docs (ties → smallest id),

@@ -2312,8 +2312,11 @@ object LlmQueries {
     * index families roll (q144/q147/q151–q153/q169), and now the
     * persisted STATS table does too.
     */
-  def q180StatsRoll(spark: SparkSession, dir: String): DataFrame = {
-    val name = q180Saved.getOrElseUpdate(dir, {
+  /** q180/q184's persisted base counts: (token, n) over the 90% slice
+    * (doc_id % 10 ≠ 3), built once per dir.
+    */
+  private def q180BaseName(spark: SparkSession, dir: String): String =
+    q180Saved.getOrElseUpdate(dir, {
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
       val base = "graft_counts_q180_" + safe
       CorpusStats.saveCounts(
@@ -2323,6 +2326,9 @@ object LlmQueries {
         base)
       base
     })
+
+  def q180StatsRoll(spark: SparkSession, dir: String): DataFrame = {
+    val name = q180BaseName(spark, dir)
     val delta = Tables.documents(spark, dir)
       .filter(col("doc_id") % 10 === 3)
     CorpusStats.statsFromCounts(
@@ -2405,6 +2411,77 @@ object LlmQueries {
       .orderBy(col("phrase"), desc("phrase_tf"), col("doc_id"))
   }
   private val q182Saved = new graft.SavedOnce[String, String]
+
+  /** Proximity ("sloppy phrase") search over q181's PERSISTED positional
+    * index ([[Relevance.proximityMatches]]): `"table … hash"` in order
+    * within 3 positions, and `"slow … hash … batch"` with per-step gap
+    * ≤ 2 — the `"a b"~k` retrieval capability, answered from the same
+    * token-pruned posting slivers as the exact phrase (the chain check
+    * is nested row-local `exists` over position arrays; no explode, no
+    * window). Superset-of-phrase and maxGap=1 ≡ phrase invariants are
+    * spec-pinned; FULLY oracle-checked — DuckDB rebuilds per-doc
+    * position lists and replays the same nested chain filter.
+    */
+  def q183ProximitySearch(spark: SparkSession, dir: String): DataFrame = {
+    val name = q181Saved.getOrElseUpdate(dir, {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val nm = "graft_pos_q181_" + safe
+      IndexStore.savePositionalIndex(
+        Relevance.positionalIndex(Tables.documents(spark, dir),
+                                  "doc_id", "text"), nm)
+      nm
+    })
+    val idx = IndexStore.loadPositionalIndex(spark, name)
+    Relevance.proximityMatches(idx, Seq("table", "hash"), maxGap = 3)
+      .withColumn("query", lit("table hash ~3"))
+      .unionByName(
+        Relevance.proximityMatches(idx, Seq("slow", "hash", "batch"),
+                                   maxGap = 2)
+          .withColumn("query", lit("slow hash batch ~2")))
+      .select(col("query"), col("doc_id"), col("prox_tf"))
+      .orderBy(col("query"), desc("prox_tf"), col("doc_id"))
+  }
+
+  /** Vocabulary-coverage (OOV) report: the incoming batch (q180's delta
+    * slice, doc_id % 10 = 3) scored per source against a FIXED-BUDGET
+    * vocabulary — the top-20 tokens of the PERSISTED base counts table
+    * (ties → token asc), standing in for a trained tokenizer's vocab.
+    * Reports per-source occurrence and type OOV mass (exact ppm) — the
+    * "does my tokenizer still cover the new data" number a tokenizer-
+    * transfer decision reads.
+    *
+    * Plan: the vocab is a TakeOrdered over counts rows (bounded,
+    * broadcast); the batch aggregates to (source, token, cnt) with
+    * map-side combine BEFORE the vocab join, so the join touches
+    * distinct types, never occurrence rows; the report is a #sources
+    * agg. The base corpus is only touched through its persisted counts.
+    * FULLY oracle-checked — DuckDB replays counts, the top-20 cut, and
+    * the integer ppm arithmetic.
+    */
+  def q184VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val base = q180BaseName(spark, dir)
+    val vocab = CorpusStats.loadCounts(spark, base)
+      .orderBy(desc("n"), asc("token")).limit(20)
+      .select(col("token"), lit(1).as("__known"))
+    val types = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 3)
+      .select(col("source"),
+              explode(Dedup.wordTokens(col("text"))).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("cnt"))
+    types.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("source")
+      .agg(sum("cnt").as("n_tokens"),
+           sum(when(col("__known").isNull, col("cnt")).otherwise(0L))
+             .as("n_oov"),
+           count(lit(1)).as("n_types"),
+           sum(when(col("__known").isNull, 1L).otherwise(0L))
+             .as("n_oov_types"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 DIV n_tokens"))
+      .select("source", "n_tokens", "n_oov", "n_types", "n_oov_types",
+              "oov_ppm")
+      .orderBy("source")
+  }
 
   /** Leakage-safe cluster-aware train/val/test split
     * ([[Splits.clusterAwareSplit]]): near-dup clusters from the q35
@@ -4041,6 +4118,8 @@ object LlmQueries {
     "q180_stats_roll" -> (q180StatsRoll(_, _)),
     "q181_phrase_search" -> (q181PhraseSearch(_, _)),
     "q182_positional_roll" -> (q182PositionalRoll(_, _)),
+    "q183_proximity_search" -> (q183ProximitySearch(_, _)),
+    "q184_vocab_coverage" -> (q184VocabCoverage(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -6858,6 +6937,78 @@ object LlmQueries {
     // merged ≡ rebuilt: the rolled positional index must answer q181's
     // phrase queries byte-for-byte, so q182's oracle IS q181's
     "q182_positional_roll" -> phraseSearchSql,
+    // per-doc position lists rebuilt row-locally, then the same nested
+    // chain filter (positions are 1-based here, 0-based in Spark —
+    // the gap predicates are shift-invariant)
+    "q183_proximity_search" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    list_filter(range(1, len(t) + 1), i -> t[i] = 'table')
+        |      AS p_table,
+        |    list_filter(range(1, len(t) + 1), i -> t[i] = 'hash')
+        |      AS p_hash,
+        |    list_filter(range(1, len(t) + 1), i -> t[i] = 'slow')
+        |      AS p_slow,
+        |    list_filter(range(1, len(t) + 1), i -> t[i] = 'batch')
+        |      AS p_batch
+        |  FROM d),
+        |m AS (
+        |  SELECT 'table hash ~3' AS query, doc_id,
+        |    CAST(len(list_filter(p_table, a ->
+        |      len(list_filter(p_hash, b ->
+        |        b > a AND b <= a + 3)) > 0)) AS BIGINT) AS prox_tf
+        |  FROM p
+        |  UNION ALL
+        |  SELECT 'slow hash batch ~2', doc_id,
+        |    CAST(len(list_filter(p_slow, a ->
+        |      len(list_filter(p_hash, b ->
+        |        b > a AND b <= a + 2 AND
+        |        len(list_filter(p_batch, c ->
+        |          c > b AND c <= b + 2)) > 0)) > 0)) AS BIGINT)
+        |  FROM p)
+        |SELECT query, doc_id, prox_tf FROM m
+        |WHERE prox_tf > 0
+        |ORDER BY query, prox_tf DESC, doc_id""".stripMargin,
+    // counts + the top-20 cut + integer ppm replayed from the same
+    // base/delta split
+    "q184_vocab_coverage" ->
+      """WITH base_toks AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> len(x) > 0)) AS token
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |bc AS (SELECT token, count(*) AS n FROM base_toks GROUP BY 1),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token,
+        |      row_number() OVER (ORDER BY n DESC, token) AS rk
+        |    FROM bc) WHERE rk <= 20),
+        |bt AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> len(x) > 0)) AS token
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |st AS (SELECT source, token, count(*) AS cnt
+        |       FROM bt GROUP BY 1, 2),
+        |j AS (
+        |  SELECT st.source, st.cnt,
+        |    (vocab.token IS NOT NULL) AS known
+        |  FROM st LEFT JOIN vocab ON st.token = vocab.token)
+        |SELECT source,
+        |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN NOT known THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN NOT known THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov_types,
+        |  CAST(sum(CASE WHEN NOT known THEN cnt ELSE 0 END) * 1000000
+        |       // sum(cnt) AS BIGINT) AS oov_ppm
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     // Quality expr (the q32/q96 replay), fixed-width buckets, Laplace
     // smoothing, ln contributions, and the -1 TOTAL row.
     "q108_quality_psi" ->

@@ -200,6 +200,36 @@ class RelevanceSpec extends SparkSpec {
     assert(rows(reRolled) == rows(merged), "re-roll must be a no-op")
   }
 
+  test("proximityMatches: maxGap=1 equals the exact phrase, matches are " +
+       "a superset of phrase matches, and chains respect the gap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta"),              // adjacent
+      (2L, "alpha x beta"),            // gap 2
+      (3L, "alpha x y z beta"),        // gap 4 — outside ~3
+      (4L, "beta alpha"),              // wrong order
+      (5L, "alpha x beta alpha beta")) // two chains at ~3
+      .toDF("doc_id", "text")
+    val idx = Relevance.positionalIndex(docs, "doc_id", "text")
+    val phrase = Seq("alpha", "beta")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = toMap(Relevance.phraseMatches(idx, phrase))
+    val gap1 = toMap(Relevance.proximityMatches(idx, phrase, maxGap = 1))
+    assert(gap1 == exact, s"maxGap=1 must equal exact phrase: $gap1 vs $exact")
+    val gap3 = toMap(Relevance.proximityMatches(idx, phrase, maxGap = 3))
+    assert(gap3 == Map(1L -> 1L, 2L -> 1L, 5L -> 2L), s"got $gap3")
+    // superset: every phrase-matching doc matches at any gap
+    exact.keySet.foreach(id => assert(gap3.contains(id)))
+    // 3-term chain: each STEP's gap is bounded, not the total span
+    val tri = Seq((10L, "a x b y c"), (11L, "a b x c"),
+                  (12L, "a x x b c")).toDF("doc_id", "text")
+    val triIdx = Relevance.positionalIndex(tri, "doc_id", "text")
+    val got = toMap(Relevance.proximityMatches(
+      triIdx, Seq("a", "b", "c"), maxGap = 2))
+    assert(got == Map(10L -> 1L, 11L -> 1L), s"got $got")
+  }
+
   test("phrase search over the persisted index prunes postings by token") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     IndexStore.savePositionalIndex(
