@@ -139,6 +139,7 @@ object SparkEntry {
     "q181_phrase_search",
     "q182_positional_roll",
     "q183_proximity_search",
-    "q184_vocab_coverage"
+    "q184_vocab_coverage",
+    "q185_salted_join"
   )
 }

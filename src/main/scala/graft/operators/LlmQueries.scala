@@ -2442,6 +2442,36 @@ object LlmQueries {
       .orderBy(col("query"), desc("prox_tf"), col("doc_id"))
   }
 
+  /** Salted join under the oracle ([[graft.operators.Skew.saltedJoin]]):
+    * the events fact table joined to a #event-types dim through the
+    * EXPLICIT skew-salting path — the big side salted deterministically
+    * from row content, the dim replicated n=8 ways, the join keyed on
+    * (event_type, salt) — then rolled up per type. The oracle replays
+    * the PLAIN join + rollup, so the hash check pins that salting is
+    * semantics-preserving on real data (SkewAndAggSpec pins it
+    * row-identically on a synthetic hot key). At 100 TB this is the
+    * planner-independent fallback when one key holds a double-digit
+    * share of the fact table and even AQE's split leaves a straggler:
+    * the hot key's rows spread over n reducers BY CONSTRUCTION.
+    */
+  def q185SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+    val dim = events.groupBy("event_type")
+      .agg(count(lit(1)).as("type_n"))
+      .withColumn("weight",
+                  (length(col("event_type")) * lit(1000L)).cast("long"))
+      .select("event_type", "weight")
+    graft.operators.Skew
+      .saltedJoin(events, dim, "event_type", n = 8,
+                  saltCols = Seq("event_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum("weight").as("weight_mass"),
+           round(sum("value"), 2).as("value_sum"))
+      .orderBy("event_type")
+  }
+
   /** Vocabulary-coverage (OOV) report: the incoming batch (q180's delta
     * slice, doc_id % 10 = 3) scored per source against a FIXED-BUDGET
     * vocabulary — the top-20 tokens of the PERSISTED base counts table
@@ -4120,6 +4150,7 @@ object LlmQueries {
     "q182_positional_roll" -> (q182PositionalRoll(_, _)),
     "q183_proximity_search" -> (q183ProximitySearch(_, _)),
     "q184_vocab_coverage" -> (q184VocabCoverage(_, _)),
+    "q185_salted_join" -> (q185SaltedJoin(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -7009,6 +7040,18 @@ object LlmQueries {
         |  CAST(sum(CASE WHEN NOT known THEN cnt ELSE 0 END) * 1000000
         |       // sum(cnt) AS BIGINT) AS oov_ppm
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // the PLAIN join + rollup — salting must be semantics-preserving
+    "q185_salted_join" ->
+      """WITH dim AS (
+        |  SELECT event_type,
+        |    CAST(length(event_type) * 1000 AS BIGINT) AS weight
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(dim.weight) AS BIGINT) AS weight_mass,
+        |  round(sum(e.value), 2) AS value_sum
+        |FROM events e JOIN dim ON e.event_type = dim.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     // Quality expr (the q32/q96 replay), fixed-width buckets, Laplace
     // smoothing, ln contributions, and the -1 TOTAL row.
     "q108_quality_psi" ->
