@@ -140,6 +140,7 @@ object SparkEntry {
     "q182_positional_roll",
     "q183_proximity_search",
     "q184_vocab_coverage",
-    "q185_salted_join"
+    "q185_salted_join",
+    "q186_padding_waste"
   )
 }

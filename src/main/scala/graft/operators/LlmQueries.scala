@@ -2472,6 +2472,51 @@ object LlmQueries {
       .orderBy("event_type")
   }
 
+  /** Padding-waste report — WHY q137's length-grouped batching exists,
+    * as a number: batch the same corpus twice at the same 2048-token
+    * capacity, once with q137's 8 length bands and once with a single
+    * band (random hash-order batching), and report per strategy the
+    * padded-token mass (each batch pads every doc to its max length)
+    * and the waste in exact ppm. Banded waste < random waste is
+    * spec-pinned; at 100 TB the gap is compute bought back from pad
+    * tokens on every training step.
+    *
+    * Plan: two runs of the q137 two-phase prefix-sum machinery (the
+    * per-(band, bucket) windows stay parallel; never a single-partition
+    * data-scale window even in the 1-band configuration, because the
+    * bucket decomposition still spreads the sort) + two bounded
+    * (band, batch) aggs. FULLY oracle-checked — DuckDB replays both
+    * batchings from the same md5 sort keys and the waste arithmetic.
+    */
+  def q186PaddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"))
+    def waste(batched: DataFrame, strategy: String): DataFrame =
+      batched.groupBy("band", "batch_id")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_toks"),
+             max("toks").as("mx"))
+        .agg(count(lit(1)).as("n_batches"),
+             sum("n_docs").as("n_docs"),
+             sum("n_toks").as("n_tokens"),
+             sum(col("mx") * col("n_docs")).as("n_padded"))
+        .withColumn("strategy", lit(strategy))
+    waste(Sharding.lengthBatching(toks, "doc_id", "toks",
+                                  bandTokens = 64, nBands = 8,
+                                  capacity = 2048L, seed = "r9",
+                                  nBuckets = 32), "banded")
+      .unionByName(
+        waste(Sharding.lengthBatching(toks, "doc_id", "toks",
+                                      bandTokens = 64, nBands = 1,
+                                      capacity = 2048L, seed = "r9",
+                                      nBuckets = 32), "random"))
+      .withColumn("waste_ppm",
+                  expr("(n_padded - n_tokens) * 1000000 DIV n_padded"))
+      .select("strategy", "n_batches", "n_docs", "n_tokens", "n_padded",
+              "waste_ppm")
+      .orderBy("strategy")
+  }
+
   /** Vocabulary-coverage (OOV) report: the incoming batch (q180's delta
     * slice, doc_id % 10 = 3) scored per source against a FIXED-BUDGET
     * vocabulary — the top-20 tokens of the PERSISTED base counts table
@@ -4151,6 +4196,7 @@ object LlmQueries {
     "q183_proximity_search" -> (q183ProximitySearch(_, _)),
     "q184_vocab_coverage" -> (q184VocabCoverage(_, _)),
     "q185_salted_join" -> (q185SaltedJoin(_, _)),
+    "q186_padding_waste" -> (q186PaddingWaste(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -7052,6 +7098,56 @@ object LlmQueries {
         |  round(sum(e.value), 2) AS value_sum
         |FROM events e JOIN dim ON e.event_type = dim.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // both batchings replayed from the same md5 sort keys (the q137
+    // window), then the padded-mass arithmetic
+    "q186_padding_waste" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS toks
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, toks,
+        |    ('0x' || substr(md5('r9:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS sort_key
+        |  FROM t),
+        |b1 AS (
+        |  SELECT CAST(least(toks // 64, 7) AS INTEGER) AS band, toks,
+        |    CAST(coalesce(sum(toks) OVER (
+        |        PARTITION BY least(toks // 64, 7)
+        |        ORDER BY sort_key, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) // 2048 AS batch_id
+        |  FROM k),
+        |b0 AS (
+        |  SELECT 0 AS band, toks,
+        |    CAST(coalesce(sum(toks) OVER (
+        |        ORDER BY sort_key, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) // 2048 AS batch_id
+        |  FROM k),
+        |g1 AS (SELECT band, batch_id, count(*) AS n_docs,
+        |         sum(toks) AS n_toks, max(toks) AS mx
+        |       FROM b1 GROUP BY 1, 2),
+        |g0 AS (SELECT band, batch_id, count(*) AS n_docs,
+        |         sum(toks) AS n_toks, max(toks) AS mx
+        |       FROM b0 GROUP BY 1, 2),
+        |r AS (
+        |  SELECT 'banded' AS strategy,
+        |    CAST(count(*) AS BIGINT) AS n_batches,
+        |    CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |    CAST(sum(mx * n_docs) AS BIGINT) AS n_padded
+        |  FROM g1
+        |  UNION ALL
+        |  SELECT 'random',
+        |    CAST(count(*) AS BIGINT), CAST(sum(n_docs) AS BIGINT),
+        |    CAST(sum(n_toks) AS BIGINT), CAST(sum(mx * n_docs) AS BIGINT)
+        |  FROM g0)
+        |SELECT strategy, n_batches, n_docs, n_tokens, n_padded,
+        |  CAST((n_padded - n_tokens) * 1000000 // n_padded AS BIGINT)
+        |    AS waste_ppm
+        |FROM r ORDER BY strategy""".stripMargin,
     // Quality expr (the q32/q96 replay), fixed-width buckets, Laplace
     // smoothing, ln contributions, and the -1 TOTAL row.
     "q108_quality_psi" ->

@@ -169,6 +169,30 @@ class ShardingSpec extends SparkSpec {
            s"band/bucket bases must broadcast:\n$plan")
   }
 
+  test("length-banded batching pads less than single-band (random) " +
+       "batching at the same capacity") {
+    val toks = Tables.documents(spark, sf0001).select(
+      col("doc_id"),
+      graft.llm.TextAnalysis.wsTokenCount(col("text")).cast("long")
+        .as("toks"))
+    def wastePpm(nBands: Int): Long = {
+      val g = Sharding.lengthBatching(toks, "doc_id", "toks",
+                                      bandTokens = 64, nBands = nBands,
+                                      capacity = 2048L, seed = "r9",
+                                      nBuckets = 32)
+        .groupBy("band", "batch_id")
+        .agg(count(lit(1)).as("n"), sum("toks").as("s"),
+             max("toks").as("m"))
+        .agg(sum(col("m") * col("n")).as("padded"), sum("s").as("real"))
+        .head()
+      val (padded, real) = (g.getLong(0), g.getLong(1))
+      (padded - real) * 1000000L / padded
+    }
+    val banded = wastePpm(8); val random = wastePpm(1)
+    assert(banded < random,
+           s"banded waste $banded ppm must beat random $random ppm")
+  }
+
   test("rendezvousShard matches an independent scalar argmax") {
     // independent JVM reference: md5("id:s") 60-bit prefix, argmax,
     // ties to the larger shard id (the struct-compare tiebreak)
