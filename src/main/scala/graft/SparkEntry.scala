@@ -84,7 +84,7 @@ object SparkEntry {
     "q118_hard_negatives",
     "q119_mixed_language",
     "q120_gopher_yield",
-    // q121/q122/q162/q177 are excluded deliberately: they run a
+    // q121/q122/q162/q177/q187 are excluded deliberately: they run a
     // streaming query to completion and memoize the sink output, so a
     // timed pass would measure a parquet re-read, not the operator
     "q123_windowed_counts",

@@ -2472,6 +2472,47 @@ object LlmQueries {
       .orderBy("event_type")
   }
 
+  /** Streaming dataset-card maintenance
+    * ([[graft.streaming.EventStreams.tokenCountSink]] — q177's sibling
+    * for the stats table): q180's delta slice streams through the sink
+    * as three staged file batches (no driver collect), each landing its
+    * (token, n) counts in an idempotent `batch_id=` partition; the card
+    * then recomputes from base counts ∪ streamed counts. Counts are the
+    * mergeable sufficient statistic, so streamed ≡ batch-rolled ≡
+    * rebuilt — the oracle IS q99's full-corpus card, byte-for-byte,
+    * exactly as for q180. At 100 TB this is the card's steady state:
+    * continuous ingest keeps the stats table current for per-batch
+    * cost, and restarts cannot double-count (partition overwrite).
+    */
+  def q187StreamingStatsRoll(spark: SparkSession,
+                             dir: String): DataFrame = {
+    val outDir = q187Saved.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q187_").toString
+      val in = s"$base/in"
+      graft.streaming.EventStreams.stageMicroBatchFiles(
+        Tables.documents(spark, dir).filter(col("doc_id") % 10 === 3)
+          .select("doc_id", "text"),
+        col("doc_id") % 3, nBatches = 3, inDir = in)
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val q = graft.streaming.EventStreams.tokenCountSink(
+        stream, "text", s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s"$base/out"
+    })
+    val streamed = spark.read.parquet(outDir)
+      .groupBy("token").agg(sum("n").as("n"))
+    CorpusStats.statsFromCounts(
+      CorpusStats.mergeCounts(
+        CorpusStats.loadCounts(spark, q180BaseName(spark, dir)),
+        streamed),
+      topK = 100)
+  }
+  private val q187Saved = new graft.SavedOnce[String, String]
+
   /** Padding-waste report — WHY q137's length-grouped batching exists,
     * as a number: batch the same corpus twice at the same 2048-token
     * capacity, once with q137's 8 length bands and once with a single
@@ -4197,6 +4238,7 @@ object LlmQueries {
     "q184_vocab_coverage" -> (q184VocabCoverage(_, _)),
     "q185_salted_join" -> (q185SaltedJoin(_, _)),
     "q186_padding_waste" -> (q186PaddingWaste(_, _)),
+    "q187_streaming_stats_roll" -> (q187StreamingStatsRoll(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -7010,6 +7052,9 @@ object LlmQueries {
     // merged ≡ rebuilt: the rolled counts must reproduce the
     // from-scratch card byte-for-byte, so q180's oracle IS q99's
     "q180_stats_roll" -> corpusCardSql,
+    // streamed ≡ batch-rolled ≡ rebuilt: the streaming feeder must
+    // reproduce the same card
+    "q187_streaming_stats_roll" -> corpusCardSql,
     "q181_phrase_search" -> phraseSearchSql,
     // merged ≡ rebuilt: the rolled positional index must answer q181's
     // phrase queries byte-for-byte, so q182's oracle IS q181's

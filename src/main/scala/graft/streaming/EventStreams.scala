@@ -299,6 +299,30 @@ object EventStreams {
     * cost is batch-sized row-local argmin work against the broadcast
     * codebooks.
     */
+  /** Streaming dataset-card maintenance: every micro-batch of documents
+    * lands its (token, n) counts in an idempotent `batch_id=` partition
+    * — the streaming feeder of [[graft.llm.CorpusStats.mergeCounts]].
+    * Counts are the mergeable sufficient statistic, so the partition
+    * union re-aggregated equals the counts of everything streamed,
+    * whatever the batch boundaries were (replays overwrite their own
+    * partition — exactly-once across restarts), and merging them into
+    * the persisted base counts reproduces the from-scratch card
+    * byte-for-byte (q187's oracle). Per-batch cost: one batch-sized
+    * tokenize + a vocabulary-rows agg; the base corpus is never
+    * touched.
+    */
+  def tokenCountSink(docs: DataFrame, textCol: String, outDir: String,
+                     checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        upsertBatch(
+          graft.llm.CorpusStats.tokenCounts(batch.toDF(), textCol),
+          id, outDir))
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .start()
+
   def pqEncodeSink(vecs: DataFrame, indexName: String,
                    outDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {

@@ -257,6 +257,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tokenCountSink: streamed counts re-aggregated equal the one-shot " +
+       "batch counts regardless of batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"),
+                   (3L, "alpha"), (4L, "gamma gamma beta"))
+    val input = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_tcs_").toString
+    val q = tokenCountSink(input.toDF().toDF("doc_id", "text"), "text",
+                           s"$base/out", s"$base/ckpt")
+    try {
+      input.addData(docs.take(1): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(1): _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$base/out")
+        .groupBy("token").agg(sum("n").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val direct = graft.llm.CorpusStats
+        .tokenCounts(docs.toDF("doc_id", "text"), "text")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == direct,
+             s"streamed counts $streamed must equal batch $direct")
+    } finally q.stop()
+  }
+
   test("stream-stream join: purchases match signups within the window; " +
        "late rows beyond the watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
