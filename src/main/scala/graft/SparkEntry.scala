@@ -141,6 +141,7 @@ object SparkEntry {
     "q183_proximity_search",
     "q184_vocab_coverage",
     "q185_salted_join",
-    "q186_padding_waste"
+    "q186_padding_waste",
+    "q188_index_manifest"
   )
 }

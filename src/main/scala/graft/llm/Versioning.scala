@@ -160,6 +160,35 @@ object Versioning {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Content digest of ANY frame — [[corpusDigest]] generalized to a
+    * caller-supplied canonical leaf string: one (n_rows, digest) row,
+    * where digest is the md5 of the bucket-ordered level-0 Merkle
+    * digests (64 buckets by default). Same scale shape as corpusDigest:
+    * only 32-byte leaf md5s shuffle, the root agg sees ≤ `buckets`
+    * rows. Used by the index-release manifest (q188) to pin the exact
+    * content of every persisted index a serving handoff ships.
+    */
+  def frameDigest(df: DataFrame, leaf: Column,
+                  buckets: Int = 64): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val leafMd5 = md5(leaf.cast("binary"))
+    val hash60 =
+      conv(substring(md5(leafMd5.cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+    df.select(leafMd5.as("__leaf"),
+              pmod(hash60, lit(buckets.toLong)).as("__bucket"))
+      .groupBy("__bucket")
+      .agg(count(lit(1)).as("__n"),
+           md5(array_join(sort_array(collect_list(col("__leaf"))), "")
+             .cast("binary")).as("__digest"))
+      .agg(sum("__n").as("n_rows"),
+           md5(array_join(
+             transform(sort_array(collect_list(struct(col("__bucket"),
+                                                      col("__digest")))),
+                       s => s.getField("__digest")), "")
+             .cast("binary")).as("digest"))
+  }
+
   def corpusDigest(docs: DataFrame, idCol: String, textCol: String,
                    buckets: Int = 64): DataFrame = {
     require(buckets > 0, "buckets must be positive")

@@ -2354,8 +2354,9 @@ object LlmQueries {
     * DuckDB replays phrase counting as a row-local token-window scan
     * over the same tokenization.
     */
-  def q181PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
-    val name = q181Saved.getOrElseUpdate(dir, {
+  /** q181/q183/q188's persisted full-corpus positional index. */
+  private def q181IndexName(spark: SparkSession, dir: String): String =
+    q181Saved.getOrElseUpdate(dir, {
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
       val nm = "graft_pos_q181_" + safe
       IndexStore.savePositionalIndex(
@@ -2363,7 +2364,10 @@ object LlmQueries {
                                   "doc_id", "text"), nm)
       nm
     })
-    val idx = IndexStore.loadPositionalIndex(spark, name)
+
+  def q181PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val idx = IndexStore.loadPositionalIndex(
+      spark, q181IndexName(spark, dir))
     val two = Relevance.phraseMatches(idx, Seq("table", "hash"))
       .withColumn("phrase", lit("table hash"))
     val three = Relevance.phraseMatches(idx, Seq("slow", "hash", "batch"))
@@ -2423,15 +2427,8 @@ object LlmQueries {
     * position lists and replays the same nested chain filter.
     */
   def q183ProximitySearch(spark: SparkSession, dir: String): DataFrame = {
-    val name = q181Saved.getOrElseUpdate(dir, {
-      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val nm = "graft_pos_q181_" + safe
-      IndexStore.savePositionalIndex(
-        Relevance.positionalIndex(Tables.documents(spark, dir),
-                                  "doc_id", "text"), nm)
-      nm
-    })
-    val idx = IndexStore.loadPositionalIndex(spark, name)
+    val idx = IndexStore.loadPositionalIndex(
+      spark, q181IndexName(spark, dir))
     Relevance.proximityMatches(idx, Seq("table", "hash"), maxGap = 3)
       .withColumn("query", lit("table hash ~3"))
       .unionByName(
@@ -2512,6 +2509,55 @@ object LlmQueries {
       topK = 100)
   }
   private val q187Saved = new graft.SavedOnce[String, String]
+
+  /** Index-release manifest ([[Versioning.frameDigest]]): the serving
+    * handoff artifact — one (index_name, n_rows, digest) row per
+    * persisted retrieval structure a release ships, with the digest a
+    * bucketed Merkle root over CANONICAL integer/string leaves (the
+    * exact content, not the file bytes, so re-bucketing or re-writing
+    * the same logical index keeps its digest). Covers the exact-dedup
+    * fingerprint index (built full-corpus here), q143's persisted BM25
+    * postings + sufficient-statistic stats, and q181's positional
+    * postings — the SQL-replayable families, so the manifest is FULLY
+    * oracle-checked: DuckDB rebuilds each index's canonical rows from
+    * scratch and recomputes every digest. A mirror verifies a fetched
+    * index against this table before serving (the q175 story, applied
+    * to the index side). Digest scale shape: only 32-byte leaf md5s
+    * shuffle; roots aggregate ≤64 bucket rows.
+    */
+  def q188IndexManifest(spark: SparkSession, dir: String): DataFrame = {
+    val fpName = q188Saved.getOrElseUpdate(dir, {
+      val n = "graft_fp_q188_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      IndexStore.saveFingerprintIndex(
+        Dedup.fingerprintIndex(Tables.documents(spark, dir),
+                               "doc_id", "text"), n)
+      n
+    })
+    val fp  = IndexStore.loadFingerprintIndex(spark, fpName)
+    val bm  = IndexStore.loadBm25Index(spark, q143IndexName(spark, dir))
+    val pos = IndexStore.loadPositionalIndex(spark,
+                                             q181IndexName(spark, dir))
+    def row(name: String, df: DataFrame,
+            leaf: org.apache.spark.sql.Column): DataFrame =
+      Versioning.frameDigest(df, leaf)
+        .withColumn("index_name", lit(name))
+    row("fingerprint", fp,
+        concat_ws(":", col("fp"), col("corpus_id").cast("string")))
+      .unionByName(row("bm25_postings", bm.postings,
+        concat_ws(":", col("token"), col("doc_id").cast("string"),
+                  col("dl").cast("string"),
+                  col("tf").cast("long").cast("string"))))
+      .unionByName(row("bm25_stats", bm.stats,
+        concat_ws(":", col("n_docs").cast("string"),
+                  col("sum_dl").cast("string"))))
+      .unionByName(row("positional", pos,
+        concat_ws(":", col("token"), col("doc_id").cast("string"),
+                  array_join(transform(col("positions"),
+                                       p => p.cast("string")), ","))))
+      .select("index_name", "n_rows", "digest")
+      .orderBy("index_name")
+  }
+  private val q188Saved = new graft.SavedOnce[String, String]
 
   /** Padding-waste report — WHY q137's length-grouped batching exists,
     * as a number: batch the same corpus twice at the same 2048-token
@@ -3103,14 +3149,18 @@ object LlmQueries {
     * ad-hoc-retrieval steady state; q86 is the one-shot anchor). Output
     * is byte-identical to q86 and shares its oracle.
     */
-  def q143Bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
-    val name = q143Saved.getOrElseUpdate(dir, {
+  /** q143/q188's persisted full-corpus BM25 index, built once per dir. */
+  private def q143IndexName(spark: SparkSession, dir: String): String =
+    q143Saved.getOrElseUpdate(dir, {
       val idx = Relevance.bm25Index(Tables.documents(spark, dir),
                                     "doc_id", "text")
       val n = "graft_bm25_q143_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       IndexStore.saveBm25Index(idx, n)
       n
     })
+
+  def q143Bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    val name = q143IndexName(spark, dir)
     Relevance.bm25ScoresWithIndex(IndexStore.loadBm25Index(spark, name),
                                   terms = Seq("vector", "stream", "merge"))
       .orderBy("doc_id")
@@ -4239,6 +4289,7 @@ object LlmQueries {
     "q185_salted_join" -> (q185SaltedJoin(_, _)),
     "q186_padding_waste" -> (q186PaddingWaste(_, _)),
     "q187_streaming_stats_roll" -> (q187StreamingStatsRoll(_, _)),
+    "q188_index_manifest" -> (q188IndexManifest(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -7055,6 +7106,85 @@ object LlmQueries {
     // streamed ≡ batch-rolled ≡ rebuilt: the streaming feeder must
     // reproduce the same card
     "q187_streaming_stats_roll" -> corpusCardSql,
+    // every persisted index's canonical rows rebuilt from scratch, then
+    // the same bucketed Merkle digest per family (q178's digest shape)
+    "q188_index_manifest" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents),
+        |fp_leaf AS (
+        |  SELECT fp || ':' || CAST(corpus_id AS VARCHAR) AS lf FROM (
+        |    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ',
+        |                              'g')) AS fp,
+        |      CAST(min(doc_id) AS BIGINT) AS corpus_id
+        |    FROM documents GROUP BY 1)),
+        |bp_leaf AS (
+        |  SELECT token || ':' || CAST(doc_id AS VARCHAR) || ':' ||
+        |    CAST(dl AS VARCHAR) || ':' || CAST(tf AS VARCHAR) AS lf
+        |  FROM (
+        |    SELECT token, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+        |    FROM (SELECT doc_id, unnest(t) AS token,
+        |            CAST(len(t) AS BIGINT) AS dl FROM toks)
+        |    GROUP BY 1, 2, 3)),
+        |bs_leaf AS (
+        |  SELECT CAST(count(*) AS VARCHAR) || ':' ||
+        |    CAST(CAST(sum(len(t)) AS BIGINT) AS VARCHAR) AS lf
+        |  FROM toks),
+        |pos_leaf AS (
+        |  SELECT token || ':' || CAST(doc_id AS VARCHAR) || ':' ||
+        |    array_to_string(positions, ',') AS lf
+        |  FROM (
+        |    SELECT doc_id, token, list_sort(list(pos)) AS positions
+        |    FROM (SELECT doc_id, unnest(t) AS token,
+        |            generate_subscripts(t, 1) - 1 AS pos FROM toks)
+        |    GROUP BY 1, 2)),
+        |dg_fp AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |    md5(string_agg(d, '' ORDER BY bucket)) AS digest
+        |  FROM (SELECT bucket, count(*) AS n,
+        |          md5(string_agg(leaf, '' ORDER BY leaf)) AS d
+        |        FROM (SELECT md5(lf) AS leaf,
+        |                ('0x' || substr(md5(md5(lf)), 1, 15))::BIGINT
+        |                  % 64 AS bucket FROM fp_leaf)
+        |        GROUP BY bucket)),
+        |dg_bp AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |    md5(string_agg(d, '' ORDER BY bucket)) AS digest
+        |  FROM (SELECT bucket, count(*) AS n,
+        |          md5(string_agg(leaf, '' ORDER BY leaf)) AS d
+        |        FROM (SELECT md5(lf) AS leaf,
+        |                ('0x' || substr(md5(md5(lf)), 1, 15))::BIGINT
+        |                  % 64 AS bucket FROM bp_leaf)
+        |        GROUP BY bucket)),
+        |dg_bs AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |    md5(string_agg(d, '' ORDER BY bucket)) AS digest
+        |  FROM (SELECT bucket, count(*) AS n,
+        |          md5(string_agg(leaf, '' ORDER BY leaf)) AS d
+        |        FROM (SELECT md5(lf) AS leaf,
+        |                ('0x' || substr(md5(md5(lf)), 1, 15))::BIGINT
+        |                  % 64 AS bucket FROM bs_leaf)
+        |        GROUP BY bucket)),
+        |dg_pos AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |    md5(string_agg(d, '' ORDER BY bucket)) AS digest
+        |  FROM (SELECT bucket, count(*) AS n,
+        |          md5(string_agg(leaf, '' ORDER BY leaf)) AS d
+        |        FROM (SELECT md5(lf) AS leaf,
+        |                ('0x' || substr(md5(md5(lf)), 1, 15))::BIGINT
+        |                  % 64 AS bucket FROM pos_leaf)
+        |        GROUP BY bucket))
+        |SELECT index_name, n_rows, digest FROM (
+        |  SELECT 'fingerprint' AS index_name, n_rows, digest FROM dg_fp
+        |  UNION ALL
+        |  SELECT 'bm25_postings', n_rows, digest FROM dg_bp
+        |  UNION ALL
+        |  SELECT 'bm25_stats', n_rows, digest FROM dg_bs
+        |  UNION ALL
+        |  SELECT 'positional', n_rows, digest FROM dg_pos)
+        |ORDER BY index_name""".stripMargin,
     "q181_phrase_search" -> phraseSearchSql,
     // merged ≡ rebuilt: the rolled positional index must answer q181's
     // phrase queries byte-for-byte, so q182's oracle IS q181's

@@ -79,6 +79,36 @@ class VersioningSpec extends SparkSpec {
     assert(a.keys.count(_._1 == 1) == 1) // exactly one root
   }
 
+  test("frameDigest: partitioning-invariant, content-sensitive, and " +
+       "equal to a driver-computed Merkle root") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    val rows = (0L until 300L).map(i => (i, s"k$i"))
+    val df = rows.toDF("id", "k")
+    val leaf = concat_ws(":", col("k"), col("id").cast("string"))
+    def out(d: org.apache.spark.sql.DataFrame) =
+      Versioning.frameDigest(d, leaf).head()
+    val a = out(df.repartition(1))
+    val b = out(df.repartition(17).sortWithinPartitions("k"))
+    assert(a == b, "digest must not depend on partitioning or order")
+    assert(a.getLong(0) == 300L)
+    // independent scalar reference
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString
+    val leaves = rows.map { case (i, k) => md5hex(s"$k:$i") }
+    val byBucket = leaves.groupBy { l =>
+      java.lang.Long.parseLong(md5hex(l).take(15), 16) % 64
+    }
+    val root = md5hex(byBucket.toSeq.sortBy(_._1)
+      .map { case (_, ls) => md5hex(ls.sorted.mkString("")) }
+      .mkString(""))
+    assert(a.getString(1) == root, "must equal the scalar Merkle root")
+    // any single-row change flips the digest
+    val mutated = rows.updated(7, (7L, "MUT")).toDF("id", "k")
+    assert(out(mutated).getString(1) != a.getString(1))
+  }
+
   test("corpusDigest localizes a single-doc mutation to one bucket") {
     import spark.implicits._
     val v1 = (0L until 500L).map(i => (i, s"document body $i"))
