@@ -142,6 +142,7 @@ object SparkEntry {
     "q184_vocab_coverage",
     "q185_salted_join",
     "q186_padding_waste",
-    "q188_index_manifest"
+    "q188_index_manifest",
+    "q189_hll_distinct"
   )
 }

@@ -2510,6 +2510,119 @@ object LlmQueries {
   }
   private val q187Saved = new graft.SavedOnce[String, String]
 
+  /** HLL-sketch distinct counting (`hll_sketch_agg` / `hll_union_agg` —
+    * Spark's DataSketches HLL): distinct (doc, token) incidences per
+    * source, estimated from per-source sketches, with the GLOBAL row
+    * estimated by UNIONING the per-source sketches — never re-scanning
+    * the corpus — beside the exact countDistinct and the error in ppm.
+    *
+    * The union row is the 100 TB point: distinct counts are not
+    * summable across shards, but sketches are — a fleet keeps one
+    * kilobyte-scale sketch per shard and the global cardinality is a
+    * ≤#shards-row union, where the exact answer would be a corpus-wide
+    * shuffle on the value. Estimates are order-independent (register
+    * maxima), so the output is deterministic; DuckDB's HLL is a
+    * different implementation, so this carries the q173-style PINNED
+    * GOLDEN self-oracle at the driver sf dirs, with the exact columns
+    * double-checked by construction inside the golden (union ≡ direct
+    * estimate and error bounds are spec-pinned in SketchesSpec).
+    */
+  def q189HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    q189Dir = dir
+    val itemed = Tables.documents(spark, dir).select(
+      col("source"), col("doc_id"),
+      explode(Dedup.wordTokens(col("text"))).as("token"))
+      .select(col("source"),
+              concat_ws(":", col("doc_id").cast("string"), col("token"))
+                .as("item"))
+    val perSrc = itemed.groupBy("source").agg(
+      countDistinct(col("item")).as("exact_distinct"),
+      hll_sketch_agg(col("item")).as("__sk"))
+    val srcRows = perSrc.select(
+      col("source").as("scope"), col("exact_distinct"),
+      hll_sketch_estimate(col("__sk")).as("hll_estimate"))
+    val globalRow = perSrc
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk")))
+             .as("hll_estimate"))
+      .crossJoin(itemed.agg(countDistinct(col("item"))
+                              .as("exact_distinct")))
+      .select(lit("GLOBAL").as("scope"), col("exact_distinct"),
+              col("hll_estimate"))
+    srcRows.unionByName(globalRow)
+      .withColumn("err_ppm",
+                  expr("abs(hll_estimate - exact_distinct) * 1000000" +
+                       " DIV exact_distinct"))
+      .orderBy("scope")
+  }
+  @volatile private var q189Dir = ""
+
+  private def q189Golden(rows: Seq[(String, Long, Long, Long)]): String = {
+    val vs = rows.map { case (s, e, h, p) => s"('$s', $e, $h, $p)" }
+      .mkString(",\n  ")
+    s"""-- pinned self-oracle: DuckDB's HLL is a different
+       |-- implementation; see LlmQueries.q189Goldens
+       |SELECT CAST(scope AS VARCHAR) AS scope,
+       |  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       |  CAST(hll_estimate AS BIGINT) AS hll_estimate,
+       |  CAST(err_ppm AS BIGINT) AS err_ppm
+       |FROM (VALUES
+       |  $vs) AS t(scope, exact_distinct, hll_estimate, err_ppm)
+       |ORDER BY scope""".stripMargin
+  }
+
+  private val q189Goldens
+      : Map[String, Seq[(String, Long, Long, Long)]] = Map(
+    "sf0.001" -> Seq(
+      ("GLOBAL", 11743L, 11647L, 8175L),
+      ("src0", 600L, 594L, 10000L),
+      ("src1", 586L, 588L, 3412L),
+      ("src10", 575L, 574L, 1739L),
+      ("src11", 603L, 595L, 13266L),
+      ("src12", 605L, 612L, 11570L),
+      ("src13", 549L, 551L, 3642L),
+      ("src14", 621L, 624L, 4830L),
+      ("src15", 592L, 593L, 1689L),
+      ("src16", 588L, 587L, 1700L),
+      ("src17", 559L, 556L, 5366L),
+      ("src18", 570L, 569L, 1754L),
+      ("src19", 620L, 616L, 6451L),
+      ("src2", 540L, 542L, 3703L),
+      ("src3", 624L, 629L, 8012L),
+      ("src4", 578L, 586L, 13840L),
+      ("src5", 560L, 556L, 7142L),
+      ("src6", 609L, 608L, 1642L),
+      ("src7", 549L, 554L, 9107L),
+      ("src8", 635L, 633L, 3149L),
+      ("src9", 580L, 583L, 5172L)),
+    "sf0.01" -> Seq(
+      ("GLOBAL", 11695L, 11684L, 940L),
+      ("src0", 619L, 615L, 6462L),
+      ("src1", 624L, 624L, 0L),
+      ("src10", 576L, 572L, 6944L),
+      ("src11", 649L, 649L, 0L),
+      ("src12", 568L, 572L, 7042L),
+      ("src13", 617L, 616L, 1620L),
+      ("src14", 568L, 571L, 5281L),
+      ("src15", 559L, 560L, 1788L),
+      ("src16", 555L, 552L, 5405L),
+      ("src17", 598L, 595L, 5016L),
+      ("src18", 586L, 585L, 1706L),
+      ("src19", 537L, 536L, 1862L),
+      ("src2", 593L, 592L, 1686L),
+      ("src3", 589L, 596L, 11884L),
+      ("src4", 574L, 577L, 5226L),
+      ("src5", 580L, 577L, 5172L),
+      ("src6", 555L, 551L, 7207L),
+      ("src7", 632L, 632L, 0L),
+      ("src8", 532L, 532L, 0L),
+      ("src9", 584L, 588L, 6849L)))
+
+  private def q189OracleEntry: Map[String, String] = {
+    val base = q189Dir.split('/').lastOption.getOrElse("")
+    q189Goldens.get(base)
+      .map(rows => "q189_hll_distinct" -> q189Golden(rows)).toMap
+  }
+
   /** Index-release manifest ([[Versioning.frameDigest]]): the serving
     * handoff artifact — one (index_name, n_rows, digest) row per
     * persisted retrieval structure a release ships, with the digest a
@@ -4290,6 +4403,7 @@ object LlmQueries {
     "q186_padding_waste" -> (q186PaddingWaste(_, _)),
     "q187_streaming_stats_roll" -> (q187StreamingStatsRoll(_, _)),
     "q188_index_manifest" -> (q188IndexManifest(_, _)),
+    "q189_hll_distinct" -> (q189HllDistinct(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -5338,7 +5452,7 @@ object LlmQueries {
     // time — omit the entry so the driver records a rows-only check
     if (q59Assign.nonEmpty) Map("q59_pack_stats" -> q59OracleSql)
     else Map.empty[String, String]
-  ) ++ q173OracleEntry ++ Map(
+  ) ++ q173OracleEntry ++ q189OracleEntry ++ Map(
     "q45_ann_ivf" -> q45OracleSql,
     "q88_semantic_dedup" -> q88OracleSql,
     "q91_surgical_decon" ->

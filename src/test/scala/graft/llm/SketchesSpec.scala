@@ -61,4 +61,31 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(a == b)
   }
+
+  test("HLL: union of per-group sketches equals the direct global " +
+       "estimate; error stays small; partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val items = (0 until 20000).map { i =>
+      (s"g${i % 5}", s"item${rnd.nextInt(8000)}")
+    }.toDF("grp", "item")
+    val perGrp = items.groupBy("grp").agg(
+      hll_sketch_agg(col("item")).as("sk"),
+      countDistinct(col("item")).as("exact"))
+    val unioned = perGrp
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    val direct = items
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("item"))).as("est"))
+      .head().getLong(0)
+    assert(unioned == direct,
+           s"union-of-sketches $unioned must equal direct $direct")
+    val exact = items.select("item").distinct().count()
+    assert(math.abs(direct - exact).toDouble / exact < 0.05,
+           s"HLL error too large: est $direct vs exact $exact")
+    val repart = items.repartition(23)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("item"))).as("est"))
+      .head().getLong(0)
+    assert(repart == direct, "estimate must not depend on partitioning")
+  }
 }
