@@ -143,6 +143,7 @@ object SparkEntry {
     "q185_salted_join",
     "q186_padding_waste",
     "q188_index_manifest",
-    "q189_hll_distinct"
+    "q189_hll_distinct",
+    "q190_manifest_verify"
   )
 }

@@ -2638,7 +2638,12 @@ object LlmQueries {
     * to the index side). Digest scale shape: only 32-byte leaf md5s
     * shuffle; roots aggregate ≤64 bucket rows.
     */
-  def q188IndexManifest(spark: SparkSession, dir: String): DataFrame = {
+  /** The 4-row manifest over the persisted indexes; `corruptPositional`
+    * simulates q190's bad fetch (every 'table' posting's positions
+    * shifted by one before digesting).
+    */
+  private def indexManifest(spark: SparkSession, dir: String,
+                            corruptPositional: Boolean): DataFrame = {
     val fpName = q188Saved.getOrElseUpdate(dir, {
       val n = "graft_fp_q188_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       IndexStore.saveFingerprintIndex(
@@ -2648,8 +2653,15 @@ object LlmQueries {
     })
     val fp  = IndexStore.loadFingerprintIndex(spark, fpName)
     val bm  = IndexStore.loadBm25Index(spark, q143IndexName(spark, dir))
-    val pos = IndexStore.loadPositionalIndex(spark,
-                                             q181IndexName(spark, dir))
+    val pos0 = IndexStore.loadPositionalIndex(spark,
+                                              q181IndexName(spark, dir))
+    val pos =
+      if (!corruptPositional) pos0
+      else pos0.withColumn(
+        "positions",
+        when(col("token") === "table",
+             transform(col("positions"), p => p + 1))
+          .otherwise(col("positions")))
     def row(name: String, df: DataFrame,
             leaf: org.apache.spark.sql.Column): DataFrame =
       Versioning.frameDigest(df, leaf)
@@ -2668,9 +2680,34 @@ object LlmQueries {
                   array_join(transform(col("positions"),
                                        p => p.cast("string")), ","))))
       .select("index_name", "n_rows", "digest")
+  }
+
+  def q188IndexManifest(spark: SparkSession, dir: String): DataFrame =
+    indexManifest(spark, dir, corruptPositional = false)
+      .orderBy("index_name")
+  private val q188Saved = new graft.SavedOnce[String, String]
+
+  /** Mirror-verify against the manifest (the q188 story's day-two
+    * check): a fetched copy of the indexes is re-digested and compared
+    * to the expected manifest — here the positional index arrives
+    * CORRUPTED (every 'table' posting's positions shifted by one, a
+    * deterministic simulated bad fetch), so exactly its digest row
+    * flips to false while row counts still match (corruption that a
+    * size check cannot see). The oracle replays expected AND corrupted
+    * manifests and the comparison — the detection itself is
+    * hash-checked.
+    */
+  def q190ManifestVerify(spark: SparkSession, dir: String): DataFrame = {
+    val e = indexManifest(spark, dir, corruptPositional = false)
+    val f = indexManifest(spark, dir, corruptPositional = true)
+      .withColumnRenamed("n_rows", "f_rows")
+      .withColumnRenamed("digest", "f_digest")
+    e.join(f, Seq("index_name"))
+      .select(col("index_name"), col("n_rows"),
+              (col("n_rows") === col("f_rows")).as("rows_match"),
+              (col("digest") === col("f_digest")).as("digest_match"))
       .orderBy("index_name")
   }
-  private val q188Saved = new graft.SavedOnce[String, String]
 
   /** Padding-waste report — WHY q137's length-grouped batching exists,
     * as a number: batch the same corpus twice at the same 2048-token
@@ -4404,6 +4441,7 @@ object LlmQueries {
     "q187_streaming_stats_roll" -> (q187StreamingStatsRoll(_, _)),
     "q188_index_manifest" -> (q188IndexManifest(_, _)),
     "q189_hll_distinct" -> (q189HllDistinct(_, _)),
+    "q190_manifest_verify" -> (q190ManifestVerify(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -5416,6 +5454,70 @@ object LlmQueries {
       |       round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx))
       |              * sx) / k, 6) AS zipf_intercept
       |FROM g, z""".stripMargin
+
+  /** [[graft.llm.Versioning.frameDigest]]'s DuckDB twin over a CTE of
+    * canonical leaf strings `lf` — q178's digest shape: leaf md5s →
+    * 64-bucket level-0 digests → root md5 + row count.
+    */
+  private def frameDigestSql(leafCte: String): String =
+    s"""SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       |    md5(string_agg(d, '' ORDER BY bucket)) AS digest
+       |  FROM (SELECT bucket, count(*) AS n,
+       |          md5(string_agg(leaf, '' ORDER BY leaf)) AS d
+       |        FROM (SELECT md5(lf) AS leaf,
+       |                ('0x' || substr(md5(md5(lf)), 1, 15))::BIGINT
+       |                  % 64 AS bucket FROM $leafCte)
+       |        GROUP BY bucket)""".stripMargin
+
+  /** The four index families' canonical-leaf CTEs (q188/q190's oracle
+    * building block). `posShift` corrupts the positional leaves the way
+    * q190's simulated bad fetch does (every 'table' posting shifted).
+    */
+  private def indexLeafCtes(p: String, posShift: Boolean): String = {
+    val shift = if (posShift)
+      "list_transform(positions, x -> x + CASE WHEN token = 'table' " +
+        "THEN 1 ELSE 0 END)"
+    else "positions"
+    s"""${p}fp_leaf AS (
+       |  SELECT fp || ':' || CAST(corpus_id AS VARCHAR) AS lf FROM (
+       |    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+       |                              'g')) AS fp,
+       |      CAST(min(doc_id) AS BIGINT) AS corpus_id
+       |    FROM documents GROUP BY 1)),
+       |${p}bp_leaf AS (
+       |  SELECT token || ':' || CAST(doc_id AS VARCHAR) || ':' ||
+       |    CAST(dl AS VARCHAR) || ':' || CAST(tf AS VARCHAR) AS lf
+       |  FROM (
+       |    SELECT token, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+       |    FROM (SELECT doc_id, unnest(t) AS token,
+       |            CAST(len(t) AS BIGINT) AS dl FROM toks)
+       |    GROUP BY 1, 2, 3)),
+       |${p}bs_leaf AS (
+       |  SELECT CAST(count(*) AS VARCHAR) || ':' ||
+       |    CAST(CAST(sum(len(t)) AS BIGINT) AS VARCHAR) AS lf
+       |  FROM toks),
+       |${p}pos_leaf AS (
+       |  SELECT token || ':' || CAST(doc_id AS VARCHAR) || ':' ||
+       |    array_to_string($shift, ',') AS lf
+       |  FROM (
+       |    SELECT doc_id, token, list_sort(list(pos)) AS positions
+       |    FROM (SELECT doc_id, unnest(t) AS token,
+       |            generate_subscripts(t, 1) - 1 AS pos FROM toks)
+       |    GROUP BY 1, 2)),
+       |${p}manifest AS (
+       |  SELECT index_name, n_rows, digest FROM (
+       |    SELECT 'fingerprint' AS index_name, n_rows, digest FROM (
+       |      ${frameDigestSql(s"${p}fp_leaf")})
+       |    UNION ALL
+       |    SELECT 'bm25_postings', n_rows, digest FROM (
+       |      ${frameDigestSql(s"${p}bp_leaf")})
+       |    UNION ALL
+       |    SELECT 'bm25_stats', n_rows, digest FROM (
+       |      ${frameDigestSql(s"${p}bs_leaf")})
+       |    UNION ALL
+       |    SELECT 'positional', n_rows, digest FROM (
+       |      ${frameDigestSql(s"${p}pos_leaf")})))""".stripMargin
+  }
 
   /** Phrase counting replayed as a row-local token-window scan over the
     * same tokenization (1-based list indexing; range(1, n) stops at
@@ -7223,82 +7325,29 @@ object LlmQueries {
     // every persisted index's canonical rows rebuilt from scratch, then
     // the same bucketed Merkle digest per family (q178's digest shape)
     "q188_index_manifest" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(
-        |    string_split_regex(lower(trim(text)), '\W+'),
-        |    x -> len(x) > 0) AS t
-        |  FROM documents),
-        |fp_leaf AS (
-        |  SELECT fp || ':' || CAST(corpus_id AS VARCHAR) AS lf FROM (
-        |    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ',
-        |                              'g')) AS fp,
-        |      CAST(min(doc_id) AS BIGINT) AS corpus_id
-        |    FROM documents GROUP BY 1)),
-        |bp_leaf AS (
-        |  SELECT token || ':' || CAST(doc_id AS VARCHAR) || ':' ||
-        |    CAST(dl AS VARCHAR) || ':' || CAST(tf AS VARCHAR) AS lf
-        |  FROM (
-        |    SELECT token, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
-        |    FROM (SELECT doc_id, unnest(t) AS token,
-        |            CAST(len(t) AS BIGINT) AS dl FROM toks)
-        |    GROUP BY 1, 2, 3)),
-        |bs_leaf AS (
-        |  SELECT CAST(count(*) AS VARCHAR) || ':' ||
-        |    CAST(CAST(sum(len(t)) AS BIGINT) AS VARCHAR) AS lf
-        |  FROM toks),
-        |pos_leaf AS (
-        |  SELECT token || ':' || CAST(doc_id AS VARCHAR) || ':' ||
-        |    array_to_string(positions, ',') AS lf
-        |  FROM (
-        |    SELECT doc_id, token, list_sort(list(pos)) AS positions
-        |    FROM (SELECT doc_id, unnest(t) AS token,
-        |            generate_subscripts(t, 1) - 1 AS pos FROM toks)
-        |    GROUP BY 1, 2)),
-        |dg_fp AS (
-        |  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
-        |    md5(string_agg(d, '' ORDER BY bucket)) AS digest
-        |  FROM (SELECT bucket, count(*) AS n,
-        |          md5(string_agg(leaf, '' ORDER BY leaf)) AS d
-        |        FROM (SELECT md5(lf) AS leaf,
-        |                ('0x' || substr(md5(md5(lf)), 1, 15))::BIGINT
-        |                  % 64 AS bucket FROM fp_leaf)
-        |        GROUP BY bucket)),
-        |dg_bp AS (
-        |  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
-        |    md5(string_agg(d, '' ORDER BY bucket)) AS digest
-        |  FROM (SELECT bucket, count(*) AS n,
-        |          md5(string_agg(leaf, '' ORDER BY leaf)) AS d
-        |        FROM (SELECT md5(lf) AS leaf,
-        |                ('0x' || substr(md5(md5(lf)), 1, 15))::BIGINT
-        |                  % 64 AS bucket FROM bp_leaf)
-        |        GROUP BY bucket)),
-        |dg_bs AS (
-        |  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
-        |    md5(string_agg(d, '' ORDER BY bucket)) AS digest
-        |  FROM (SELECT bucket, count(*) AS n,
-        |          md5(string_agg(leaf, '' ORDER BY leaf)) AS d
-        |        FROM (SELECT md5(lf) AS leaf,
-        |                ('0x' || substr(md5(md5(lf)), 1, 15))::BIGINT
-        |                  % 64 AS bucket FROM bs_leaf)
-        |        GROUP BY bucket)),
-        |dg_pos AS (
-        |  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
-        |    md5(string_agg(d, '' ORDER BY bucket)) AS digest
-        |  FROM (SELECT bucket, count(*) AS n,
-        |          md5(string_agg(leaf, '' ORDER BY leaf)) AS d
-        |        FROM (SELECT md5(lf) AS leaf,
-        |                ('0x' || substr(md5(md5(lf)), 1, 15))::BIGINT
-        |                  % 64 AS bucket FROM pos_leaf)
-        |        GROUP BY bucket))
-        |SELECT index_name, n_rows, digest FROM (
-        |  SELECT 'fingerprint' AS index_name, n_rows, digest FROM dg_fp
-        |  UNION ALL
-        |  SELECT 'bm25_postings', n_rows, digest FROM dg_bp
-        |  UNION ALL
-        |  SELECT 'bm25_stats', n_rows, digest FROM dg_bs
-        |  UNION ALL
-        |  SELECT 'positional', n_rows, digest FROM dg_pos)
-        |ORDER BY index_name""".stripMargin,
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\W+'),
+         |    x -> len(x) > 0) AS t
+         |  FROM documents),
+         |${indexLeafCtes("", posShift = false)}
+         |SELECT index_name, n_rows, digest FROM manifest
+         |ORDER BY index_name""".stripMargin,
+    // expected manifest vs the corrupted-fetch manifest, joined — only
+    // the positional family's digest may differ
+    "q190_manifest_verify" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\W+'),
+         |    x -> len(x) > 0) AS t
+         |  FROM documents),
+         |${indexLeafCtes("e_", posShift = false)},
+         |${indexLeafCtes("f_", posShift = true)}
+         |SELECT e.index_name, e.n_rows,
+         |  (e.n_rows = f.n_rows) AS rows_match,
+         |  (e.digest = f.digest) AS digest_match
+         |FROM e_manifest e JOIN f_manifest f USING (index_name)
+         |ORDER BY index_name""".stripMargin,
     "q181_phrase_search" -> phraseSearchSql,
     // merged ≡ rebuilt: the rolled positional index must answer q181's
     // phrase queries byte-for-byte, so q182's oracle IS q181's
