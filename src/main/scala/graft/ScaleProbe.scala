@@ -733,6 +733,82 @@ object ScaleProbe {
         graft.llm.IndexStore.drop(spark, posName)
       }
     }
+    // round-10 fifth wave: OOV report, salted join, padding waste,
+    // manifest digests, HLL distinct. All should be linear-in-scan or
+    // better; the HLL row is the sketch story — the global union stays
+    // a #groups-row agg at every n.
+    section("vocab_oov salted_join padding_waste manifest_digest " +
+            "hll_distinct") {
+      for (n <- Seq(1, 5, 20)) {
+        val d = docsX(n); val rows = d.count()
+        time(s"vocab_oov      n=$n ($rows)") {
+          val vocab = graft.llm.CorpusStats
+            .tokenCounts(d.filter(col("doc_id") % 10 =!= 3), "text")
+            .orderBy(desc("n"), asc("token")).limit(20)
+            .select(col("token"), lit(1).as("__known"))
+          noop(d.filter(col("doc_id") % 10 === 3)
+            .select(col("source"),
+                    explode(Dedup.wordTokens(col("text"))).as("token"))
+            .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+            .join(broadcast(vocab), Seq("token"), "left")
+            .groupBy("source")
+            .agg(sum("cnt").as("n_tokens"),
+                 sum(when(col("__known").isNull, col("cnt"))
+                       .otherwise(0L)).as("n_oov")))
+        }
+        time(s"padding_waste  n=$n ($rows)") {
+          noop(graft.llm.Sharding.lengthBatching(
+            d.select(col("doc_id"),
+                     graft.llm.TextAnalysis.wsTokenCount(col("text"))
+                       .cast("long").as("toks")),
+            "doc_id", "toks", 64, 8, 2048L, "r9", 32)
+            .groupBy("band", "batch_id")
+            .agg(count(lit(1)).as("n"), sum("toks").as("s"),
+                 max("toks").as("m")))
+        }
+        time(s"manifest_digest n=$n ($rows)") {
+          noop(graft.llm.Versioning.frameDigest(
+            d, concat_ws(":", col("doc_id").cast("string"),
+                         col("text"))))
+        }
+        time(s"hll_distinct   n=$n ($rows)") {
+          noop(d.select(col("source"), col("doc_id"),
+                        explode(Dedup.wordTokens(col("text")))
+                          .as("token"))
+            .select(col("source"),
+                    concat_ws(":", col("doc_id").cast("string"),
+                              col("token")).as("item"))
+            .groupBy("source")
+            .agg(hll_sketch_agg(col("item")).as("sk"))
+            .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+                   .as("est")))
+        }
+      }
+      val events = Tables.table(spark, dir, "events")
+      for (n <- Seq(1, 5, 20)) {
+        val e = (0 until n).map(i =>
+          events.withColumn("event_id", col("event_id") +
+                              lit(i * 100000000L)))
+          .reduce(_ union _)
+        val rows = e.count()
+        time(s"salted_join    n=$n ($rows)") {
+          val ev = e.select(col("event_type"), col("value"),
+                            col("event_id"))
+          val dim = ev.groupBy("event_type")
+            .agg(count(lit(1)).as("__n"))
+            .withColumn("weight",
+                        (length(col("event_type")) * lit(1000L))
+                          .cast("long"))
+            .select("event_type", "weight")
+          noop(graft.operators.Skew
+            .saltedJoin(ev, dim, "event_type", n = 8,
+                        saltCols = Seq("event_id"))
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n_events"),
+                 sum("weight").as("weight_mass")))
+        }
+      }
+    }
     spark.stop()
   }
 }
