@@ -144,6 +144,7 @@ object SparkEntry {
     "q186_padding_waste",
     "q188_index_manifest",
     "q189_hll_distinct",
-    "q190_manifest_verify"
+    "q190_manifest_verify",
+    "q191_indexed_hybrid"
   )
 }

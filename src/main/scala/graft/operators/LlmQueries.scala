@@ -2697,6 +2697,40 @@ object LlmQueries {
     * manifests and the comparison — the detection itself is
     * hash-checked.
     */
+  /** Indexed hybrid retrieval — q94's RRF stack moved onto the
+    * PERSISTED indexes (the serving path): the BM25 ranking answered
+    * from q143's postings index and an exact-phrase ranking ("table
+    * hash") answered from q181's positional index, each a bounded
+    * top-100 selection, fused by 1/(60+rank). Neither ranker touches
+    * corpus text — at 100 TB an ad-hoc query costs two token-pruned
+    * sliver reads plus a 200-row fuse. Fully oracle-checked: BM25
+    * replays per q86, the phrase count per q181, the fusion as plain
+    * SQL.
+    */
+  def q191IndexedHybrid(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = Relevance.bm25ScoresWithIndex(
+        IndexStore.loadBm25Index(spark, q143IndexName(spark, dir)),
+        terms = Seq("vector", "stream", "merge"))
+      .orderBy(desc("bm25"), asc("doc_id")).limit(100)
+      .withColumn("rank",
+                  row_number()
+                    .over(Window.orderBy(desc("bm25"), asc("doc_id")))
+                    .cast("long"))
+      .select("doc_id", "rank")
+    val ph = Relevance.phraseMatches(
+        IndexStore.loadPositionalIndex(spark, q181IndexName(spark, dir)),
+        Seq("table", "hash"))
+      .orderBy(desc("phrase_tf"), asc("doc_id")).limit(100)
+      .withColumn("rank",
+                  row_number()
+                    .over(Window.orderBy(desc("phrase_tf"),
+                                         asc("doc_id")))
+                    .cast("long"))
+      .select("doc_id", "rank")
+    Relevance.rrfFuse(bm, ph, "bm25", "phrase", k = 60, topN = 20)
+  }
+
   def q190ManifestVerify(spark: SparkSession, dir: String): DataFrame = {
     val e = indexManifest(spark, dir, corruptPositional = false)
     val f = indexManifest(spark, dir, corruptPositional = true)
@@ -4442,6 +4476,7 @@ object LlmQueries {
     "q188_index_manifest" -> (q188IndexManifest(_, _)),
     "q189_hll_distinct" -> (q189HllDistinct(_, _)),
     "q190_manifest_verify" -> (q190ManifestVerify(_, _)),
+    "q191_indexed_hybrid" -> (q191IndexedHybrid(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -7333,6 +7368,42 @@ object LlmQueries {
          |${indexLeafCtes("", posShift = false)}
          |SELECT index_name, n_rows, digest FROM manifest
          |ORDER BY index_name""".stripMargin,
+    // both persisted-index rankers + the 1/(60+rank) fusion replayed
+    "q191_indexed_hybrid" ->
+      s"""WITH $bm25Ctes,
+         |bm AS (SELECT doc_id, round(sum(term_score), 6) AS bm25
+         |       FROM s GROUP BY doc_id),
+         |bmr AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY bm25 DESC, doc_id)
+         |            AS bm25_rank
+         |        FROM bm),
+         |bmt AS (SELECT doc_id, bm25_rank FROM bmr
+         |        WHERE bm25_rank <= 100),
+         |pd AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\W+'),
+         |    x -> len(x) > 0) AS t
+         |  FROM documents),
+         |ph AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(range(1, len(t)),
+         |      i -> t[i] = 'table' AND t[i+1] = 'hash')) AS BIGINT)
+         |      AS tf
+         |  FROM pd),
+         |phr AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY tf DESC, doc_id)
+         |            AS phrase_rank
+         |        FROM ph WHERE tf > 0),
+         |pht AS (SELECT doc_id, phrase_rank FROM phr
+         |        WHERE phrase_rank <= 100),
+         |f AS (
+         |  SELECT coalesce(bmt.doc_id, pht.doc_id) AS doc_id,
+         |    bm25_rank, phrase_rank
+         |  FROM bmt FULL OUTER JOIN pht ON bmt.doc_id = pht.doc_id)
+         |SELECT doc_id, bm25_rank, phrase_rank,
+         |  round(coalesce(1.0 / (60 + bm25_rank), 0) +
+         |        coalesce(1.0 / (60 + phrase_rank), 0), 6) AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     // expected manifest vs the corrupted-fetch manifest, joined — only
     // the positional family's digest may differ
     "q190_manifest_verify" ->
