@@ -429,6 +429,65 @@ class RobustnessSpec extends SparkSpec {
              oneDom.getLong(5) == 1000000L)
   }
 
+  test("round-10 fourth/fifth-wave ops on empty and degenerate input") {
+    import spark.implicits._
+    // rendezvous: nShards=1 maps everything to shard 0; nShards=0 fails
+    val ids = Seq(1L, 2L, 3L).toDF("id")
+    assert(ids.select(Sharding.rendezvousShard(col("id"), 1).as("s"))
+      .collect().forall(_.getLong(0) == 0L))
+    intercept[IllegalArgumentException] {
+      Sharding.rendezvousShard(col("id"), 0)
+    }
+    // positional index of an empty corpus is empty; phrase/proximity
+    // over an EMPTY index return empty (not errors)
+    val emptyIdx = Relevance.positionalIndex(emptyDocs, "doc_id", "text")
+    assert(emptyIdx.count() == 0)
+    assert(Relevance.phraseMatches(emptyIdx, Seq("a", "b")).count() == 0)
+    assert(Relevance.proximityMatches(emptyIdx, Seq("a", "b"), 3)
+      .count() == 0)
+    intercept[IllegalArgumentException] {
+      Relevance.phraseMatches(emptyIdx, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Relevance.proximityMatches(emptyIdx, Seq("a"), 0)
+    }
+    // null text tokenizes to nothing rather than crashing
+    val nulled = Relevance.positionalIndex(
+      Seq((1L, null.asInstanceOf[String]), (2L, "a b"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(nulled.filter(col("doc_id") === 1L).count() == 0)
+    // positional roll with an EMPTY delta is an exact no-op
+    val base = Relevance.positionalIndex(
+      Seq((1L, "x y"), (2L, "y z")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val rolled = Relevance.mergePositionalIndex(base, emptyDocs,
+                                                "doc_id", "text")
+    assert(rolled.collect().map(_.toSeq.toString).sorted.toSeq ==
+           base.collect().map(_.toSeq.toString).sorted.toSeq)
+    // stats merge with an empty side is the identity on counts
+    val counts = CorpusStats.tokenCounts(
+      Seq((1L, "a a b")).toDF("doc_id", "text"), "text")
+    val merged = CorpusStats.mergeCounts(
+      counts, CorpusStats.tokenCounts(emptyDocs, "text"))
+    assert(merged.collect().map(r => r.getString(0) -> r.getLong(1))
+             .toMap == Map("a" -> 2L, "b" -> 1L))
+    // frameDigest of an empty frame: zero rows, digest of the empty
+    // concatenation (deterministic, not null)
+    val ed = graft.llm.Versioning.frameDigest(
+      emptyDocs, concat_ws(":", col("doc_id").cast("string"),
+                           col("text"))).head()
+    assert(ed.isNullAt(0) || ed.getLong(0) == 0L)
+    // salted join with n=1 degenerates to the plain join
+    val big = Seq(("k1", 1L), ("k1", 2L), ("k2", 3L)).toDF("k", "v")
+    val small = Seq(("k1", 10L), ("k2", 20L)).toDF("k", "w")
+    val salted = graft.operators.Skew
+      .saltedJoin(big, small, "k", n = 1, saltCols = Seq("v"))
+      .orderBy("v").collect().map(_.toSeq)
+    val plain = big.join(small, Seq("k")).orderBy("v")
+      .collect().map(_.toSeq)
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("q149 release build: internal consistency — lineage, funnel, " +
        "shard assignment, digest, and card all describe the SAME " +
        "retained set") {
