@@ -247,4 +247,41 @@ class PlanSpec extends SparkSpec {
              s"$name has an unpartitioned window:\n${keyless.mkString}")
     }
   }
+
+  test("round-10 fourth/fifth wave: q179 assignment stays row-local " +
+       "until the narrow aggs; q184 vocab broadcasts; q185 salts on " +
+       "(key, salt); no cartesians anywhere") {
+    // q179: the rendezvous/mod assignments are pure projections — the
+    // only shuffles are the (scheme)/(scheme, shard) aggs and the
+    // 2-row join; assert no explode-driven Generate of the shard list
+    // ever reaches an Exchange input width (no Generate at all: the
+    // argmax is transform+array_max, not posexplode)
+    val p179 = LlmQueries.q179RendezvousReshard(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p179.contains("Generate"),
+           s"q179 must not explode the shard sequence:\n$p179")
+    assert(!p179.contains("CartesianProduct"))
+    // q184: the fixed-budget vocab joins as a broadcast, never a
+    // shuffled join side
+    val p184 = LlmQueries.q184VocabCoverage(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p184.contains("BroadcastHashJoin") ||
+             p184.contains("BroadcastExchange"),
+           s"q184 vocab must broadcast:\n$p184")
+    assert(!p184.contains("CartesianProduct"))
+    // q185: the join key is the salted composite — the physical join
+    // carries __salt, so the hot key spreads by construction
+    val p185 = LlmQueries.q185SaltedJoin(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p185.contains("__salt"),
+           s"q185 must join on the salted key:\n$p185")
+    assert(!p185.contains("CartesianProduct"))
+    // q188: digests aggregate — no joins at all in the manifest build,
+    // and no window anywhere (sort_array inside agg, not a sort)
+    val p188 = LlmQueries.q188IndexManifest(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p188.contains("CartesianProduct") &&
+             !p188.contains("Window "),
+           s"q188 must be pure aggregation:\n$p188")
+  }
 }
