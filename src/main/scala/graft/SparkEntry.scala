@@ -145,6 +145,7 @@ object SparkEntry {
     "q188_index_manifest",
     "q189_hll_distinct",
     "q190_manifest_verify",
-    "q191_indexed_hybrid"
+    "q191_indexed_hybrid",
+    "q192_selective_reindex"
   )
 }

@@ -2697,6 +2697,56 @@ object LlmQueries {
     * manifests and the comparison — the detection itself is
     * hash-checked.
     */
+  /** Selective re-index ([[Versioning.shardDiff]] feeding
+    * [[Relevance.mergePositionalIndex]] — q178's incremental-recompute
+    * composition applied to index MAINTENANCE): the v1→v2 release diff
+    * names the changed buckets; only THEIR v2 docs roll into the live
+    * (persisted, v1) positional index as the delta, and v1 ids routed
+    * to changed buckets that are absent from v2 are deleted. The result
+    * must answer q181's phrase queries byte-identically to a full v2
+    * rebuild — the oracle replays the v2 construction and the phrase
+    * scan, so the hash check IS the selective ≡ full invariant
+    * (RelevanceSpec pins full row equality of the rolled index too).
+    * At 100 TB: a localized edit re-tokenizes ~1/64th of the corpus
+    * and touches index rows; the unchanged corpus is never re-read.
+    */
+  def q192SelectiveReindex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.select("doc_id", "text")
+    val v2 = v1.filter(col("doc_id") % 11 =!= 5)
+      .select(col("doc_id"),
+              when(col("doc_id") % 7 === 1,
+                   concat(col("text"), lit(" [rev2]")))
+                .otherwise(col("text")).as("text"))
+      .unionByName(
+        v1.filter(col("doc_id") % 13 === 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val changed = Versioning.shardDiff(v1, v2, "doc_id", "text",
+                                       buckets = 64)
+      .filter(col("status") =!= "unchanged")
+      .select("bucket")
+    val delta = v2.withColumn(
+        "bucket", Versioning.contentBucket(col("doc_id"), col("text"), 64))
+      .join(broadcast(changed), Seq("bucket"))
+      .select("doc_id", "text")
+    val removed = v1.withColumn(
+        "bucket", Versioning.contentBucket(col("doc_id"), col("text"), 64))
+      .join(broadcast(changed), Seq("bucket"))
+      .join(v2.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id").distinct()
+    val rolled = Relevance.mergePositionalIndex(
+        IndexStore.loadPositionalIndex(spark, q181IndexName(spark, dir)),
+        delta, "doc_id", "text")
+      .join(broadcast(removed), Seq("doc_id"), "left_anti")
+    Relevance.phraseMatches(rolled, Seq("table", "hash"))
+      .withColumn("phrase", lit("table hash"))
+      .unionByName(
+        Relevance.phraseMatches(rolled, Seq("slow", "hash", "batch"))
+          .withColumn("phrase", lit("slow hash batch")))
+      .select(col("phrase"), col("doc_id"), col("phrase_tf"))
+      .orderBy(col("phrase"), desc("phrase_tf"), col("doc_id"))
+  }
+
   /** Indexed hybrid retrieval — q94's RRF stack moved onto the
     * PERSISTED indexes (the serving path): the BM25 ranking answered
     * from q143's postings index and an exact-phrase ranking ("table
@@ -4477,6 +4527,7 @@ object LlmQueries {
     "q189_hll_distinct" -> (q189HllDistinct(_, _)),
     "q190_manifest_verify" -> (q190ManifestVerify(_, _)),
     "q191_indexed_hybrid" -> (q191IndexedHybrid(_, _)),
+    "q192_selective_reindex" -> (q192SelectiveReindex(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -5560,27 +5611,30 @@ object LlmQueries {
     * and ALSO q182's: the rolled positional index must reproduce it
     * byte-for-byte (merged ≡ rebuilt).
     */
+  private def phraseCountSql(docsRel: String): String =
+    s"""d AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(trim(text)), '\\W+'),
+       |    x -> len(x) > 0) AS t
+       |  FROM $docsRel),
+       |m AS (
+       |  SELECT 'table hash' AS phrase, doc_id,
+       |    CAST(len(list_filter(range(1, len(t)),
+       |      i -> t[i] = 'table' AND t[i+1] = 'hash')) AS BIGINT)
+       |      AS phrase_tf
+       |  FROM d
+       |  UNION ALL
+       |  SELECT 'slow hash batch', doc_id,
+       |    CAST(len(list_filter(range(1, len(t) - 1),
+       |      i -> t[i] = 'slow' AND t[i+1] = 'hash'
+       |           AND t[i+2] = 'batch')) AS BIGINT)
+       |  FROM d)
+       |SELECT phrase, doc_id, phrase_tf FROM m
+       |WHERE phrase_tf > 0
+       |ORDER BY phrase, phrase_tf DESC, doc_id""".stripMargin
+
   private val phraseSearchSql: String =
-    """WITH d AS (
-      |  SELECT doc_id, list_filter(
-      |    string_split_regex(lower(trim(text)), '\W+'),
-      |    x -> len(x) > 0) AS t
-      |  FROM documents),
-      |m AS (
-      |  SELECT 'table hash' AS phrase, doc_id,
-      |    CAST(len(list_filter(range(1, len(t)),
-      |      i -> t[i] = 'table' AND t[i+1] = 'hash')) AS BIGINT)
-      |      AS phrase_tf
-      |  FROM d
-      |  UNION ALL
-      |  SELECT 'slow hash batch', doc_id,
-      |    CAST(len(list_filter(range(1, len(t) - 1),
-      |      i -> t[i] = 'slow' AND t[i+1] = 'hash'
-      |           AND t[i+2] = 'batch')) AS BIGINT)
-      |  FROM d)
-      |SELECT phrase, doc_id, phrase_tf FROM m
-      |WHERE phrase_tf > 0
-      |ORDER BY phrase, phrase_tf DESC, doc_id""".stripMargin
+    s"WITH ${phraseCountSql("documents")}"
 
   def oracleSql: Map[String, String] = (
     // q59's oracle inlines a captured doc→bin assignment; if the capture
@@ -7368,6 +7422,19 @@ object LlmQueries {
          |${indexLeafCtes("", posShift = false)}
          |SELECT index_name, n_rows, digest FROM manifest
          |ORDER BY index_name""".stripMargin,
+    // the selective roll must answer byte-identically to a full v2
+    // rebuild — replay the v2 construction + the q181 phrase scan
+    "q192_selective_reindex" ->
+      s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+         |v2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 1 THEN text || ' [rev2]'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 11 <> 5
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents
+         |  WHERE doc_id % 13 = 2),
+         |${phraseCountSql("v2")}""".stripMargin,
     // both persisted-index rankers + the 1/(60+rank) fusion replayed
     "q191_indexed_hybrid" ->
       s"""WITH $bm25Ctes,

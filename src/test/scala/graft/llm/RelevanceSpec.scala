@@ -230,6 +230,46 @@ class RelevanceSpec extends SparkSpec {
     assert(got == Map(10L -> 1L, 11L -> 1L), s"got $got")
   }
 
+  test("selective re-index equals a full v2 rebuild: edits, additions, " +
+       "and removals all land through the diff-routed roll") {
+    import spark.implicits._
+    val v1 = Seq((1L, "alpha beta"), (2L, "beta gamma"),
+                 (3L, "gamma delta"), (4L, "delta alpha"),
+                 (5L, "epsilon zeta")).toDF("doc_id", "text")
+    // doc 2 edited, doc 5 removed, doc 6 added
+    val v2 = Seq((1L, "alpha beta"), (2L, "beta gamma EDITED"),
+                 (3L, "gamma delta"), (4L, "delta alpha"),
+                 (6L, "eta theta")).toDF("doc_id", "text")
+    val changed = Versioning.shardDiff(v1, v2, "doc_id", "text",
+                                       buckets = 16)
+      .filter(col("status") =!= "unchanged").select("bucket")
+    val delta = v2.withColumn(
+        "bucket", Versioning.contentBucket(col("doc_id"), col("text"),
+                                           16))
+      .join(broadcast(changed), Seq("bucket")).select("doc_id", "text")
+    val removed = v1.withColumn(
+        "bucket", Versioning.contentBucket(col("doc_id"), col("text"),
+                                           16))
+      .join(broadcast(changed), Seq("bucket"))
+      .join(v2.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id").distinct()
+    val rolled = Relevance.mergePositionalIndex(
+        Relevance.positionalIndex(v1, "doc_id", "text"),
+        delta, "doc_id", "text")
+      .join(broadcast(removed), Seq("doc_id"), "left_anti")
+    val rebuilt = Relevance.positionalIndex(v2, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("token"), col("doc_id"),
+                col("positions").cast("string"))
+        .collect().map(_.toSeq).toSet
+    assert(rows(rolled) == rows(rebuilt),
+           "selective roll must equal the full v2 rebuild exactly")
+    // the delta is a sliver, not the corpus: at most the changed
+    // buckets' docs re-tokenize
+    assert(delta.count() < v2.count(),
+           "selective roll must not re-ingest the whole corpus")
+  }
+
   test("phrase search over the persisted index prunes postings by token") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     IndexStore.savePositionalIndex(
