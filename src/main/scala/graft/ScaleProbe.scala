@@ -733,6 +733,38 @@ object ScaleProbe {
         graft.llm.IndexStore.drop(spark, posName)
       }
     }
+    // q192's shape: a FIXED changelog rolls into the persisted index —
+    // cost must track changelog + index rows, never corpus text. (The
+    // diff-ROUTED variant was probed and rejected: re-digesting v2 to
+    // find the delta costs as much as re-tokenizing it; see PLANS.md.)
+    section("chlog_reindex full_reindex") {
+      val chBase = Tables.documents(spark, dir)
+      val upserts = chBase.filter(col("doc_id") % 10 === 4)
+        .select(col("doc_id"),
+                concat(col("text"), lit(" [rev2]")).as("text"))
+      val deletes = chBase.filter(col("doc_id") % 10 === 5)
+        .select("doc_id")
+      for (n <- Seq(1, 5, 20)) {
+        val v1 = docsX(n); val rows = v1.count()
+        val posName = s"graft_probe_selidx_$n"
+        graft.llm.IndexStore.savePositionalIndex(
+          graft.llm.Relevance.positionalIndex(v1, "doc_id", "text"),
+          posName)
+        val base = graft.llm.IndexStore
+          .loadPositionalIndex(spark, posName)
+        time(s"chlog_reindex  n=$n ($rows)") {
+          noop(graft.llm.Relevance
+            .mergePositionalIndex(base, upserts, "doc_id", "text")
+            .join(broadcast(deletes), Seq("doc_id"), "left_anti"))
+        }
+        time(s"full_reindex   n=$n ($rows)") {
+          noop(graft.llm.Relevance.positionalIndex(v1, "doc_id",
+                                                   "text"))
+        }
+        graft.llm.IndexStore.drop(spark, posName)
+      }
+    }
+
     // round-10 fifth wave: OOV report, salted join, padding waste,
     // manifest digests, HLL distinct. All should be linear-in-scan or
     // better; the HLL row is the sketch story — the global union stays

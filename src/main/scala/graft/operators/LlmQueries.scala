@@ -2101,8 +2101,11 @@ object LlmQueries {
     * latest-wins choice and the full-outer merge, and compares content
     * md5 per surviving doc.
     */
-  def q105ApplyChangelog(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  /** q105/q192's deterministic synthetic changelog: revisions for id%7,
+    * a competing later revision for id%14, deletes for id%11, inserts
+    * above id 10⁶ for id%13.
+    */
+  private def q105Changelog(d: DataFrame): DataFrame = {
     val rev2 = d.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"), lit(2L).as("version"), lit("upsert").as("op"),
               concat(col("text"), lit(" [rev2]")).as("text"))
@@ -2117,7 +2120,12 @@ object LlmQueries {
               lit(1L).as("version"), lit("upsert").as("op"),
               concat(lit("new doc "), col("doc_id").cast("string"))
                 .as("text"))
-    val changes = rev2.unionByName(rev3).unionByName(dels).unionByName(ins)
+    rev2.unionByName(rev3).unionByName(dels).unionByName(ins)
+  }
+
+  def q105ApplyChangelog(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val changes = q105Changelog(d)
     Versioning.applyChangelog(d, changes, "doc_id", "version", "op", "text")
       .select(col("doc_id"),
               md5(col("text").cast("binary")).as("content_md5"))
@@ -2697,47 +2705,41 @@ object LlmQueries {
     * manifests and the comparison — the detection itself is
     * hash-checked.
     */
-  /** Selective re-index ([[Versioning.shardDiff]] feeding
-    * [[Relevance.mergePositionalIndex]] — q178's incremental-recompute
-    * composition applied to index MAINTENANCE): the v1→v2 release diff
-    * names the changed buckets; only THEIR v2 docs roll into the live
-    * (persisted, v1) positional index as the delta, and v1 ids routed
-    * to changed buckets that are absent from v2 are deleted. The result
-    * must answer q181's phrase queries byte-identically to a full v2
-    * rebuild — the oracle replays the v2 construction and the phrase
-    * scan, so the hash check IS the selective ≡ full invariant
-    * (RelevanceSpec pins full row equality of the rolled index too).
-    * At 100 TB: a localized edit re-tokenizes ~1/64th of the corpus
-    * and touches index rows; the unchanged corpus is never re-read.
+  /** Changelog-driven selective re-index (q105's changelog feeding
+    * [[Relevance.mergePositionalIndex]] — the MERGE INTO of the live
+    * index): the latest-wins resolution of the day's changelog yields
+    * the upsert docs (roll delta) and the delete ids (anti-join); the
+    * persisted v1 positional index rolls forward WITHOUT ANY corpus
+    * scan — cost is O(changelog) tokenization plus index rows. The
+    * result must answer q181's phrase queries byte-identically to a
+    * full rebuild of the changelog-applied corpus — the oracle replays
+    * q105's merge and the phrase scan, so the hash check IS the
+    * selective ≡ full invariant (RelevanceSpec pins full row equality
+    * of the rolled index too, including competing revisions and
+    * deletes). Honest probe note (PLANS.md): the earlier DIFF-routed
+    * variant was measured and REJECTED — routing by re-digesting v2
+    * costs as much as re-tokenizing it; the changelog is the shape
+    * where selective maintenance genuinely beats rebuild, and the probe
+    * shows it flat at 20× corpus under a fixed changelog.
     */
   def q192SelectiveReindex(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val v1 = docs.select("doc_id", "text")
-    val v2 = v1.filter(col("doc_id") % 11 =!= 5)
+    val d = Tables.documents(spark, dir)
+    val changes = q105Changelog(d)
+    val latest = changes
       .select(col("doc_id"),
-              when(col("doc_id") % 7 === 1,
-                   concat(col("text"), lit(" [rev2]")))
-                .otherwise(col("text")).as("text"))
-      .unionByName(
-        v1.filter(col("doc_id") % 13 === 2)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-    val changed = Versioning.shardDiff(v1, v2, "doc_id", "text",
-                                       buckets = 64)
-      .filter(col("status") =!= "unchanged")
-      .select("bucket")
-    val delta = v2.withColumn(
-        "bucket", Versioning.contentBucket(col("doc_id"), col("text"), 64))
-      .join(broadcast(changed), Seq("bucket"))
+              struct(col("version").as("v"), col("op"),
+                     md5(col("text").cast("binary")).as("fp"),
+                     col("text")).as("ch"))
+      .groupBy("doc_id").agg(max("ch").as("ch"))
+      .select(col("doc_id"), col("ch.op").as("op"),
+              col("ch.text").as("text"))
+    val upserts = latest.filter(col("op") =!= "delete")
       .select("doc_id", "text")
-    val removed = v1.withColumn(
-        "bucket", Versioning.contentBucket(col("doc_id"), col("text"), 64))
-      .join(broadcast(changed), Seq("bucket"))
-      .join(v2.select("doc_id"), Seq("doc_id"), "left_anti")
-      .select("doc_id").distinct()
+    val deletes = latest.filter(col("op") === "delete").select("doc_id")
     val rolled = Relevance.mergePositionalIndex(
         IndexStore.loadPositionalIndex(spark, q181IndexName(spark, dir)),
-        delta, "doc_id", "text")
-      .join(broadcast(removed), Seq("doc_id"), "left_anti")
+        upserts, "doc_id", "text")
+      .join(broadcast(deletes), Seq("doc_id"), "left_anti")
     Relevance.phraseMatches(rolled, Seq("table", "hash"))
       .withColumn("phrase", lit("table hash"))
       .unionByName(
@@ -7422,18 +7424,38 @@ object LlmQueries {
          |${indexLeafCtes("", posShift = false)}
          |SELECT index_name, n_rows, digest FROM manifest
          |ORDER BY index_name""".stripMargin,
-    // the selective roll must answer byte-identically to a full v2
-    // rebuild — replay the v2 construction + the q181 phrase scan
+    // the changelog-rolled index must answer byte-identically to a full
+    // rebuild of the changelog-applied corpus — q105's merge replay +
+    // the q181 phrase scan
     "q192_selective_reindex" ->
-      s"""WITH v1 AS (SELECT doc_id, text FROM documents),
-         |v2 AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 7 = 1 THEN text || ' [rev2]'
-         |         ELSE text END AS text
-         |  FROM documents WHERE doc_id % 11 <> 5
+      s"""WITH ch AS (
+         |  SELECT doc_id, 2 AS v, 'upsert' AS op,
+         |         text || ' [rev2]' AS text
+         |  FROM documents WHERE doc_id % 7 = 0
          |  UNION ALL
-         |  SELECT doc_id + 1000000, text FROM documents
-         |  WHERE doc_id % 13 = 2),
+         |  SELECT doc_id, 3, 'upsert', text || ' [rev3]'
+         |  FROM documents WHERE doc_id % 14 = 0
+         |  UNION ALL
+         |  SELECT doc_id, 2, 'delete', ''
+         |  FROM documents WHERE doc_id % 11 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 1, 'upsert',
+         |         'new doc ' || CAST(doc_id AS VARCHAR)
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |latest AS (
+         |  SELECT doc_id, op AS __op, text AS __text
+         |  FROM ch
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY doc_id
+         |    ORDER BY v DESC, op DESC, md5(text) DESC, text DESC) = 1),
+         |mm AS (
+         |  SELECT coalesce(b.doc_id, l.doc_id) AS doc_id,
+         |         l.__op, coalesce(l.__text, b.text) AS text
+         |  FROM documents b FULL OUTER JOIN latest l
+         |    ON b.doc_id = l.doc_id),
+         |v2 AS (
+         |  SELECT doc_id, text FROM mm
+         |  WHERE coalesce(__op, 'keep') <> 'delete'),
          |${phraseCountSql("v2")}""".stripMargin,
     // both persisted-index rankers + the 1/(60+rank) fusion replayed
     "q191_indexed_hybrid" ->

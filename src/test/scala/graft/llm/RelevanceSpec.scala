@@ -230,44 +230,51 @@ class RelevanceSpec extends SparkSpec {
     assert(got == Map(10L -> 1L, 11L -> 1L), s"got $got")
   }
 
-  test("selective re-index equals a full v2 rebuild: edits, additions, " +
-       "and removals all land through the diff-routed roll") {
+  test("changelog-driven selective re-index equals a full rebuild of " +
+       "the changelog-applied corpus: competing revisions, deletes, " +
+       "and inserts all land through the roll") {
     import spark.implicits._
     val v1 = Seq((1L, "alpha beta"), (2L, "beta gamma"),
                  (3L, "gamma delta"), (4L, "delta alpha"),
                  (5L, "epsilon zeta")).toDF("doc_id", "text")
-    // doc 2 edited, doc 5 removed, doc 6 added
-    val v2 = Seq((1L, "alpha beta"), (2L, "beta gamma EDITED"),
-                 (3L, "gamma delta"), (4L, "delta alpha"),
-                 (6L, "eta theta")).toDF("doc_id", "text")
-    val changed = Versioning.shardDiff(v1, v2, "doc_id", "text",
-                                       buckets = 16)
-      .filter(col("status") =!= "unchanged").select("bucket")
-    val delta = v2.withColumn(
-        "bucket", Versioning.contentBucket(col("doc_id"), col("text"),
-                                           16))
-      .join(broadcast(changed), Seq("bucket")).select("doc_id", "text")
-    val removed = v1.withColumn(
-        "bucket", Versioning.contentBucket(col("doc_id"), col("text"),
-                                           16))
-      .join(broadcast(changed), Seq("bucket"))
-      .join(v2.select("doc_id"), Seq("doc_id"), "left_anti")
-      .select("doc_id").distinct()
+    // doc 2: two competing revisions (v3 wins); doc 5 deleted;
+    // doc 6 inserted; doc 3 upserted AND deleted at the same version
+    // (upsert wins the lexicographic op tie, per applyChangelog)
+    val changes = Seq(
+      (2L, 2L, "upsert", "beta gamma EDITED"),
+      (2L, 3L, "upsert", "beta gamma FINAL"),
+      (5L, 2L, "delete", ""),
+      (6L, 1L, "upsert", "eta theta"),
+      (3L, 2L, "upsert", "gamma delta kept"),
+      (3L, 2L, "delete", ""))
+      .toDF("doc_id", "version", "op", "text")
+    val latest = changes
+      .select(col("doc_id"),
+              struct(col("version").as("v"), col("op"),
+                     md5(col("text").cast("binary")).as("fp"),
+                     col("text")).as("ch"))
+      .groupBy("doc_id").agg(max("ch").as("ch"))
+      .select(col("doc_id"), col("ch.op").as("op"),
+              col("ch.text").as("text"))
     val rolled = Relevance.mergePositionalIndex(
         Relevance.positionalIndex(v1, "doc_id", "text"),
-        delta, "doc_id", "text")
-      .join(broadcast(removed), Seq("doc_id"), "left_anti")
+        latest.filter(col("op") =!= "delete").select("doc_id", "text"),
+        "doc_id", "text")
+      .join(broadcast(latest.filter(col("op") === "delete")
+                        .select("doc_id")),
+            Seq("doc_id"), "left_anti")
+    val v2 = Versioning.applyChangelog(v1, changes, "doc_id", "version",
+                                       "op", "text")
     val rebuilt = Relevance.positionalIndex(v2, "doc_id", "text")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select(col("token"), col("doc_id"),
                 col("positions").cast("string"))
         .collect().map(_.toSeq).toSet
     assert(rows(rolled) == rows(rebuilt),
-           "selective roll must equal the full v2 rebuild exactly")
-    // the delta is a sliver, not the corpus: at most the changed
-    // buckets' docs re-tokenize
-    assert(delta.count() < v2.count(),
-           "selective roll must not re-ingest the whole corpus")
+           "changelog roll must equal the full rebuild exactly")
+    // sanity on the semantics the tie-break encodes
+    assert(rows(rolled).exists(_.toString.contains("final")),
+           "doc 2's v3 revision must win")
   }
 
   test("phrase search over the persisted index prunes postings by token") {
