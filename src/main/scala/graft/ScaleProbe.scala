@@ -826,12 +826,10 @@ object ScaleProbe {
         time(s"salted_join    n=$n ($rows)") {
           val ev = e.select(col("event_type"), col("value"),
                             col("event_id"))
-          val dim = ev.groupBy("event_type")
-            .agg(count(lit(1)).as("__n"))
+          val dim = ev.select("event_type").distinct()
             .withColumn("weight",
                         (length(col("event_type")) * lit(1000L))
                           .cast("long"))
-            .select("event_type", "weight")
           noop(graft.operators.Skew
             .saltedJoin(ev, dim, "event_type", n = 8,
                         saltCols = Seq("event_id"))

@@ -148,6 +148,6 @@ object SparkEntry {
     "q191_indexed_hybrid",
     "q192_selective_reindex"
   )
-  // (q192 recomputes the diff-routed roll each run — the timed cost is
-  // the maintenance job itself, not a memoized read)
+  // (q192 recomputes the changelog-driven roll each run — the timed
+  // cost is the maintenance job itself, not a memoized read)
 }

@@ -66,18 +66,33 @@ object Versioning {
     * changelog is delta-sized. Text never shuffles twice — the base
     * side moves only through the join it already needed.
     */
-  def applyChangelog(base: DataFrame, changes: DataFrame,
-                     idCol: String, versionCol: String, opCol: String,
-                     textCol: String): DataFrame = {
-    val latest = changes
+  /** Latest-wins resolution of a changelog: one (doc_id, op, text) row
+    * per id — highest version wins, ties broken by (op, content-md5,
+    * text) lexicographically, all inside one max(struct) aggregation
+    * (changelog-sized, no window sort). THE single definition of the
+    * tie-break: [[applyChangelog]] (corpus merge) and the index
+    * maintenance jobs (q192's roll delta/deletes) both consume it, so
+    * they cannot drift from each other.
+    */
+  def latestChanges(changes: DataFrame, idCol: String,
+                    versionCol: String, opCol: String,
+                    textCol: String): DataFrame =
+    changes
       .select(col(idCol).as("doc_id"),
               struct(col(versionCol).as("v"), col(opCol).as("op"),
                      md5(col(textCol).cast("binary")).as("fp"),
                      col(textCol).as("text")).as("ch"))
       .groupBy("doc_id")
       .agg(max(col("ch")).as("ch"))
-      .select(col("doc_id"), col("ch.op").as("__op"),
-              col("ch.text").as("__text"))
+      .select(col("doc_id"), col("ch.op").as("op"),
+              col("ch.text").as("text"))
+
+  def applyChangelog(base: DataFrame, changes: DataFrame,
+                     idCol: String, versionCol: String, opCol: String,
+                     textCol: String): DataFrame = {
+    val latest = latestChanges(changes, idCol, versionCol, opCol, textCol)
+      .select(col("doc_id"), col("op").as("__op"),
+              col("text").as("__text"))
     base.select(col(idCol).as("doc_id"), col(textCol).as("__base_text"))
       .join(latest, Seq("doc_id"), "full_outer")
       .filter(coalesce(col("__op"), lit("keep")) =!= "delete")
@@ -171,7 +186,13 @@ object Versioning {
   def frameDigest(df: DataFrame, leaf: Column,
                   buckets: Int = 64): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val leafMd5 = md5(leaf.cast("binary"))
+    // A NULL leaf must stay digest-VISIBLE: collect_list silently drops
+    // nulls, so without the sentinel a row whose leaf expression nulls
+    // out (e.g. concat over a null column) would vanish from the digest
+    // while still counting toward n_rows — exactly the corruption the
+    // attestation exists to catch. The sentinel is not valid hex, so it
+    // cannot collide with a real md5 leaf.
+    val leafMd5 = coalesce(md5(leaf.cast("binary")), lit("<null-leaf>"))
     val hash60 =
       conv(substring(md5(leafMd5.cast("binary")), 1, 15), 16, 10)
         .cast("long")
@@ -181,7 +202,7 @@ object Versioning {
       .agg(count(lit(1)).as("__n"),
            md5(array_join(sort_array(collect_list(col("__leaf"))), "")
              .cast("binary")).as("__digest"))
-      .agg(sum("__n").as("n_rows"),
+      .agg(coalesce(sum("__n"), lit(0L)).as("n_rows"),
            md5(array_join(
              transform(sort_array(collect_list(struct(col("__bucket"),
                                                       col("__digest")))),

@@ -2092,15 +2092,6 @@ object LlmQueries {
       budgetFraction = 0.5, weights = Map("src0" -> 3L, "src1" -> 0L))
       .orderBy("doc_id")
 
-  /** Changelog application ([[Versioning.applyChangelog]] — the MERGE
-    * INTO of a versioned corpus): a deterministic synthetic changelog
-    * (revisions for id%7, a competing later revision for id%14,
-    * deletes for id%11, inserts above id 10⁶ for id%13) merged onto the
-    * documents snapshot, latest version winning per id. FULLY
-    * oracle-checked — DuckDB rebuilds the changelog, replays the
-    * latest-wins choice and the full-outer merge, and compares content
-    * md5 per surviving doc.
-    */
   /** q105/q192's deterministic synthetic changelog: revisions for id%7,
     * a competing later revision for id%14, deletes for id%11, inserts
     * above id 10⁶ for id%13.
@@ -2123,6 +2114,13 @@ object LlmQueries {
     rev2.unionByName(rev3).unionByName(dels).unionByName(ins)
   }
 
+  /** Changelog application ([[Versioning.applyChangelog]] — the MERGE
+    * INTO of a versioned corpus): [[q105Changelog]] merged onto the
+    * documents snapshot, latest version winning per id. FULLY
+    * oracle-checked — DuckDB rebuilds the changelog, replays the
+    * latest-wins choice and the full-outer merge, and compares content
+    * md5 per surviving doc.
+    */
   def q105ApplyChangelog(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val changes = q105Changelog(d)
@@ -2305,21 +2303,6 @@ object LlmQueries {
       .orderBy("scheme")
   }
 
-  /** Dataset-card stats roll ([[CorpusStats.mergeCounts]]): the
-    * persisted (token, n) counts table is the MERGEABLE sufficient
-    * statistic for every number the q99 card reports — build the base
-    * counts over 90% of the corpus ONCE and persist them, then fold a
-    * new batch in by tokenizing ONLY the batch and summing (token, n)
-    * rows; the card recomputes from the merged counts. Byte-identical
-    * to q99 (the from-scratch card) BY CONSTRUCTION — the oracle
-    * replays the full-corpus card, so the hash check IS the
-    * merged ≡ rebuilt invariant (the q143 ≡ q86 pattern; exact-equality
-    * also spec-pinned in CorpusStatsSpec). At 100 TB: the daily card
-    * costs one batch scan plus a vocabulary-rows agg — never a corpus
-    * rescan. Completes the maintenance-job family: all five persisted
-    * index families roll (q144/q147/q151–q153/q169), and now the
-    * persisted STATS table does too.
-    */
   /** q180/q184's persisted base counts: (token, n) over the 90% slice
     * (doc_id % 10 ≠ 3), built once per dir.
     */
@@ -2335,6 +2318,21 @@ object LlmQueries {
       base
     })
 
+  /** Dataset-card stats roll ([[CorpusStats.mergeCounts]]): the
+    * persisted (token, n) counts table is the MERGEABLE sufficient
+    * statistic for every number the q99 card reports — build the base
+    * counts over 90% of the corpus ONCE and persist them, then fold a
+    * new batch in by tokenizing ONLY the batch and summing (token, n)
+    * rows; the card recomputes from the merged counts. Byte-identical
+    * to q99 (the from-scratch card) BY CONSTRUCTION — the oracle
+    * replays the full-corpus card, so the hash check IS the
+    * merged ≡ rebuilt invariant (the q143 ≡ q86 pattern; exact-equality
+    * also spec-pinned in CorpusStatsSpec). At 100 TB: the daily card
+    * costs one batch scan plus a vocabulary-rows agg — never a corpus
+    * rescan. Completes the maintenance-job family: all five persisted
+    * index families roll (q144/q147/q151–q153/q169), and now the
+    * persisted STATS table does too.
+    */
   def q180StatsRoll(spark: SparkSession, dir: String): DataFrame = {
     val name = q180BaseName(spark, dir)
     val delta = Tables.documents(spark, dir)
@@ -2345,6 +2343,17 @@ object LlmQueries {
       topK = 100)
   }
   private val q180Saved = new graft.SavedOnce[String, String]
+
+  /** q181/q183/q188's persisted full-corpus positional index. */
+  private def q181IndexName(spark: SparkSession, dir: String): String =
+    q181Saved.getOrElseUpdate(dir, {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val nm = "graft_pos_q181_" + safe
+      IndexStore.savePositionalIndex(
+        Relevance.positionalIndex(Tables.documents(spark, dir),
+                                  "doc_id", "text"), nm)
+      nm
+    })
 
   /** Exact-phrase search over the PERSISTED positional index
     * ([[Relevance.positionalIndex]] / [[Relevance.phraseMatches]]) —
@@ -2362,17 +2371,6 @@ object LlmQueries {
     * DuckDB replays phrase counting as a row-local token-window scan
     * over the same tokenization.
     */
-  /** q181/q183/q188's persisted full-corpus positional index. */
-  private def q181IndexName(spark: SparkSession, dir: String): String =
-    q181Saved.getOrElseUpdate(dir, {
-      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val nm = "graft_pos_q181_" + safe
-      IndexStore.savePositionalIndex(
-        Relevance.positionalIndex(Tables.documents(spark, dir),
-                                  "doc_id", "text"), nm)
-      nm
-    })
-
   def q181PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
     val idx = IndexStore.loadPositionalIndex(
       spark, q181IndexName(spark, dir))
@@ -2462,11 +2460,9 @@ object LlmQueries {
   def q185SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(spark, dir)
       .select(col("event_type"), col("value"), col("event_id"))
-    val dim = events.groupBy("event_type")
-      .agg(count(lit(1)).as("type_n"))
+    val dim = events.select("event_type").distinct()
       .withColumn("weight",
                   (length(col("event_type")) * lit(1000L)).cast("long"))
-      .select("event_type", "weight")
     graft.operators.Skew
       .saltedJoin(events, dim, "event_type", n = 8,
                   saltCols = Seq("event_id"))
@@ -2631,21 +2627,6 @@ object LlmQueries {
       .map(rows => "q189_hll_distinct" -> q189Golden(rows)).toMap
   }
 
-  /** Index-release manifest ([[Versioning.frameDigest]]): the serving
-    * handoff artifact — one (index_name, n_rows, digest) row per
-    * persisted retrieval structure a release ships, with the digest a
-    * bucketed Merkle root over CANONICAL integer/string leaves (the
-    * exact content, not the file bytes, so re-bucketing or re-writing
-    * the same logical index keeps its digest). Covers the exact-dedup
-    * fingerprint index (built full-corpus here), q143's persisted BM25
-    * postings + sufficient-statistic stats, and q181's positional
-    * postings — the SQL-replayable families, so the manifest is FULLY
-    * oracle-checked: DuckDB rebuilds each index's canonical rows from
-    * scratch and recomputes every digest. A mirror verifies a fetched
-    * index against this table before serving (the q175 story, applied
-    * to the index side). Digest scale shape: only 32-byte leaf md5s
-    * shuffle; roots aggregate ≤64 bucket rows.
-    */
   /** The 4-row manifest over the persisted indexes; `corruptPositional`
     * simulates q190's bad fetch (every 'table' posting's positions
     * shifted by one before digesting).
@@ -2690,21 +2671,26 @@ object LlmQueries {
       .select("index_name", "n_rows", "digest")
   }
 
+  /** Index-release manifest ([[Versioning.frameDigest]]): the serving
+    * handoff artifact — one (index_name, n_rows, digest) row per
+    * persisted retrieval structure a release ships, with the digest a
+    * bucketed Merkle root over CANONICAL integer/string leaves (the
+    * exact content, not the file bytes, so re-bucketing or re-writing
+    * the same logical index keeps its digest). Covers the exact-dedup
+    * fingerprint index (built full-corpus here), q143's persisted BM25
+    * postings + sufficient-statistic stats, and q181's positional
+    * postings — the SQL-replayable families, so the manifest is FULLY
+    * oracle-checked: DuckDB rebuilds each index's canonical rows from
+    * scratch and recomputes every digest. A mirror verifies a fetched
+    * index against this table before serving (the q175 story, applied
+    * to the index side). Digest scale shape: only 32-byte leaf md5s
+    * shuffle; roots aggregate ≤64 bucket rows.
+    */
   def q188IndexManifest(spark: SparkSession, dir: String): DataFrame =
     indexManifest(spark, dir, corruptPositional = false)
       .orderBy("index_name")
   private val q188Saved = new graft.SavedOnce[String, String]
 
-  /** Mirror-verify against the manifest (the q188 story's day-two
-    * check): a fetched copy of the indexes is re-digested and compared
-    * to the expected manifest — here the positional index arrives
-    * CORRUPTED (every 'table' posting's positions shifted by one, a
-    * deterministic simulated bad fetch), so exactly its digest row
-    * flips to false while row counts still match (corruption that a
-    * size check cannot see). The oracle replays expected AND corrupted
-    * manifests and the comparison — the detection itself is
-    * hash-checked.
-    */
   /** Changelog-driven selective re-index (q105's changelog feeding
     * [[Relevance.mergePositionalIndex]] — the MERGE INTO of the live
     * index): the latest-wins resolution of the day's changelog yields
@@ -2725,14 +2711,8 @@ object LlmQueries {
   def q192SelectiveReindex(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val changes = q105Changelog(d)
-    val latest = changes
-      .select(col("doc_id"),
-              struct(col("version").as("v"), col("op"),
-                     md5(col("text").cast("binary")).as("fp"),
-                     col("text")).as("ch"))
-      .groupBy("doc_id").agg(max("ch").as("ch"))
-      .select(col("doc_id"), col("ch.op").as("op"),
-              col("ch.text").as("text"))
+    val latest = Versioning.latestChanges(changes, "doc_id", "version",
+                                          "op", "text")
     val upserts = latest.filter(col("op") =!= "delete")
       .select("doc_id", "text")
     val deletes = latest.filter(col("op") === "delete").select("doc_id")
@@ -2783,6 +2763,16 @@ object LlmQueries {
     Relevance.rrfFuse(bm, ph, "bm25", "phrase", k = 60, topN = 20)
   }
 
+  /** Mirror-verify against the manifest (the q188 story's day-two
+    * check): a fetched copy of the indexes is re-digested and compared
+    * to the expected manifest — here the positional index arrives
+    * CORRUPTED (every 'table' posting's positions shifted by one, a
+    * deterministic simulated bad fetch), so exactly its digest row
+    * flips to false while row counts still match (corruption that a
+    * size check cannot see). The oracle replays expected AND corrupted
+    * manifests and the comparison — the detection itself is
+    * hash-checked.
+    */
   def q190ManifestVerify(spark: SparkSession, dir: String): DataFrame = {
     val e = indexManifest(spark, dir, corruptPositional = false)
     val f = indexManifest(spark, dir, corruptPositional = true)
@@ -3377,14 +3367,6 @@ object LlmQueries {
       .orderBy("query_id")
   }
 
-  /** BM25 from the PERSISTED inverted index ([[Relevance.bm25Index]] +
-    * [[IndexStore.saveBm25Index]]): the index is built + saved ONCE per
-    * (process, dir) — the offline indexing job — and every pass scores
-    * the q86 term set against the LOADED postings, reading token-pruned
-    * index slivers instead of re-tokenizing corpus text (the production
-    * ad-hoc-retrieval steady state; q86 is the one-shot anchor). Output
-    * is byte-identical to q86 and shares its oracle.
-    */
   /** q143/q188's persisted full-corpus BM25 index, built once per dir. */
   private def q143IndexName(spark: SparkSession, dir: String): String =
     q143Saved.getOrElseUpdate(dir, {
@@ -3395,6 +3377,14 @@ object LlmQueries {
       n
     })
 
+  /** BM25 from the PERSISTED inverted index ([[Relevance.bm25Index]] +
+    * [[IndexStore.saveBm25Index]]): the index is built + saved ONCE per
+    * (process, dir) — the offline indexing job — and every pass scores
+    * the q86 term set against the LOADED postings, reading token-pruned
+    * index slivers instead of re-tokenizing corpus text (the production
+    * ad-hoc-retrieval steady state; q86 is the one-shot anchor). Output
+    * is byte-identical to q86 and shares its oracle.
+    */
   def q143Bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
     val name = q143IndexName(spark, dir)
     Relevance.bm25ScoresWithIndex(IndexStore.loadBm25Index(spark, name),
@@ -5548,7 +5538,7 @@ object LlmQueries {
     * 64-bucket level-0 digests → root md5 + row count.
     */
   private def frameDigestSql(leafCte: String): String =
-    s"""SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+    s"""SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
        |    md5(string_agg(d, '' ORDER BY bucket)) AS digest
        |  FROM (SELECT bucket, count(*) AS n,
        |          md5(string_agg(leaf, '' ORDER BY leaf)) AS d

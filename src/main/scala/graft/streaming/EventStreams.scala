@@ -289,16 +289,6 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .start()
 
-  /** Streaming PQ encode: each micro-batch of newly ingested embedding
-    * vectors is encoded against a PERSISTED product-quantization
-    * index's codebooks (loaded by NAME — codebooks are the quantization
-    * contract and stay fixed across batches; refit = new index version,
-    * restart the sink) and landed as (corpus_id, codes) rows in
-    * idempotent `batch_id=` partitions — the continuous-ingest twin of
-    * the q169 roll, same encode rule, same day-two economics: per-batch
-    * cost is batch-sized row-local argmin work against the broadcast
-    * codebooks.
-    */
   /** Streaming dataset-card maintenance: every micro-batch of documents
     * lands its (token, n) counts in an idempotent `batch_id=` partition
     * — the streaming feeder of [[graft.llm.CorpusStats.mergeCounts]].
@@ -323,6 +313,16 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Streaming PQ encode: each micro-batch of newly ingested embedding
+    * vectors is encoded against a PERSISTED product-quantization
+    * index's codebooks (loaded by NAME — codebooks are the quantization
+    * contract and stay fixed across batches; refit = new index version,
+    * restart the sink) and landed as (corpus_id, codes) rows in
+    * idempotent `batch_id=` partitions — the continuous-ingest twin of
+    * the q169 roll, same encode rule, same day-two economics: per-batch
+    * cost is batch-sized row-local argmin work against the broadcast
+    * codebooks.
+    */
   def pqEncodeSink(vecs: DataFrame, indexName: String,
                    outDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {

@@ -248,14 +248,8 @@ class RelevanceSpec extends SparkSpec {
       (3L, 2L, "upsert", "gamma delta kept"),
       (3L, 2L, "delete", ""))
       .toDF("doc_id", "version", "op", "text")
-    val latest = changes
-      .select(col("doc_id"),
-              struct(col("version").as("v"), col("op"),
-                     md5(col("text").cast("binary")).as("fp"),
-                     col("text")).as("ch"))
-      .groupBy("doc_id").agg(max("ch").as("ch"))
-      .select(col("doc_id"), col("ch.op").as("op"),
-              col("ch.text").as("text"))
+    val latest = Versioning.latestChanges(changes, "doc_id", "version",
+                                          "op", "text")
     val rolled = Relevance.mergePositionalIndex(
         Relevance.positionalIndex(v1, "doc_id", "text"),
         latest.filter(col("op") =!= "delete").select("doc_id", "text"),

@@ -471,12 +471,28 @@ class RobustnessSpec extends SparkSpec {
       counts, CorpusStats.tokenCounts(emptyDocs, "text"))
     assert(merged.collect().map(r => r.getString(0) -> r.getLong(1))
              .toMap == Map("a" -> 2L, "b" -> 1L))
-    // frameDigest of an empty frame: zero rows, digest of the empty
-    // concatenation (deterministic, not null)
+    // frameDigest of an empty frame: EXACTLY zero rows and md5 of the
+    // empty concatenation — deterministic, never null
     val ed = graft.llm.Versioning.frameDigest(
       emptyDocs, concat_ws(":", col("doc_id").cast("string"),
                            col("text"))).head()
-    assert(ed.isNullAt(0) || ed.getLong(0) == 0L)
+    assert(ed.getLong(0) == 0L, s"empty frame must count 0 rows: $ed")
+    assert(ed.getString(1) == "d41d8cd98f00b204e9800998ecf8427e",
+           s"empty-frame digest must be md5(''): $ed")
+    // a NULL leaf is digest-VISIBLE: frames differing only in a
+    // null-leaf row must digest differently (plain concat nulls out
+    // when text is null)
+    val withNull = Seq((1L, "a"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val withoutNull = Seq((1L, "a")).toDF("doc_id", "text")
+    def dg(d: org.apache.spark.sql.DataFrame) =
+      graft.llm.Versioning.frameDigest(
+        d, concat(col("doc_id").cast("string"), lit(":"), col("text")))
+        .head()
+    assert(dg(withNull).getLong(0) == 2L,
+           "null-leaf rows must still count")
+    assert(dg(withNull).getString(1) != dg(withoutNull).getString(1),
+           "a null-leaf row must change the digest")
     // salted join with n=1 degenerates to the plain join
     val big = Seq(("k1", 1L), ("k1", 2L), ("k2", 3L)).toDF("k", "v")
     val small = Seq(("k1", 10L), ("k2", 20L)).toDF("k", "w")
