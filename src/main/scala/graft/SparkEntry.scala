@@ -146,7 +146,8 @@ object SparkEntry {
     "q189_hll_distinct",
     "q190_manifest_verify",
     "q191_indexed_hybrid",
-    "q192_selective_reindex"
+    "q192_selective_reindex",
+    "q193_changelog_bm25"
   )
   // (q192 recomputes the changelog-driven roll each run — the timed
   // cost is the maintenance job itself, not a memoized read)

@@ -153,6 +153,37 @@ object Relevance {
     Bm25Index(postings, stats)
   }
 
+  /** DELETE documents from a persisted [[Bm25Index]] — the missing CRUD
+    * half of [[mergeBm25Index]] (which replaces/appends but cannot
+    * express a pure removal): postings anti-join the delete-id set out,
+    * and the stats give back the removed docs' exact (count, Σdl)
+    * sufficient-statistic contribution, so the result equals
+    * [[bm25Index]] rebuilt over (corpus ∖ ids) — RelevanceSpec pins it,
+    * q193's oracle replays the rebuild on real data. Deleting an id not
+    * in the index is a no-op. Scale shape: one broadcast anti-join +
+    * one semi-join aggregate over index rows; corpus text is never
+    * touched.
+    */
+  def deleteFromBm25Index(base: Bm25Index, ids: DataFrame): Bm25Index = {
+    val deleteIds = ids.select(col(ids.columns.head).as("doc_id"))
+      .distinct()
+    val removed = base.postings
+      .join(broadcast(deleteIds), Seq("doc_id"), "left_semi")
+      .select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("r_n"),
+           coalesce(sum("dl"), lit(0L)).as("r_sum"))
+    val postings = base.postings
+      .join(broadcast(deleteIds), Seq("doc_id"), "left_anti")
+    val stats = base.stats
+      .select(col("n_docs").as("b_n"), col("sum_dl").as("b_sum"))
+      .crossJoin(removed)
+      .select((col("b_n") - col("r_n")).as("n_docs"),
+              (col("b_sum") - col("r_sum")).as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") /
+                             col("n_docs").cast("double"))
+    Bm25Index(postings, stats)
+  }
+
   /** Score ad-hoc `terms` against a LOADED [[Bm25Index]] — byte-identical
     * output to [[bm25Scores]] on the same corpus, without touching corpus
     * text (RelevanceSpec pins the equality).

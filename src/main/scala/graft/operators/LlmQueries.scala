@@ -2729,6 +2729,36 @@ object LlmQueries {
       .orderBy(col("phrase"), desc("phrase_tf"), col("doc_id"))
   }
 
+  /** Changelog-driven BM25 maintenance (q192's composition for the
+    * LEXICAL index — full CRUD): the changelog's latest-wins upserts
+    * roll in via [[Relevance.mergeBm25Index]] and its deletes remove
+    * postings AND their exact stats contribution via
+    * [[Relevance.deleteFromBm25Index]]; scoring the q86 terms against
+    * the maintained index must be byte-identical to scoring a
+    * from-scratch index over the changelog-applied corpus — the oracle
+    * replays q105's merge and q86's Okapi arithmetic over it. Cost is
+    * O(changelog) tokenize + index rows; corpus text behind the base
+    * index is never re-read. With q192 (positional) and q144/q151–q153/
+    * q169 (fingerprint/MinHash/IVF/LSH/PQ), every persisted index
+    * family now has changelog-or-delta maintenance with a
+    * rebuilt-equivalence oracle.
+    */
+  def q193ChangelogBm25(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val latest = Versioning.latestChanges(q105Changelog(d), "doc_id",
+                                          "version", "op", "text")
+    val rolled = Relevance.deleteFromBm25Index(
+      Relevance.mergeBm25Index(
+        IndexStore.loadBm25Index(spark, q143IndexName(spark, dir)),
+        latest.filter(col("op") =!= "delete").select("doc_id", "text"),
+        "doc_id", "text"),
+      latest.filter(col("op") === "delete").select("doc_id"))
+    Relevance.bm25ScoresWithIndex(rolled,
+                                  terms = Seq("vector", "stream",
+                                              "merge"))
+      .orderBy("doc_id")
+  }
+
   /** Indexed hybrid retrieval — q94's RRF stack moved onto the
     * PERSISTED indexes (the serving path): the BM25 ranking answered
     * from q143's postings index and an exact-phrase ranking ("table
@@ -4520,6 +4550,7 @@ object LlmQueries {
     "q190_manifest_verify" -> (q190ManifestVerify(_, _)),
     "q191_indexed_hybrid" -> (q191IndexedHybrid(_, _)),
     "q192_selective_reindex" -> (q192SelectiveReindex(_, _)),
+    "q193_changelog_bm25" -> (q193ChangelogBm25(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -4944,29 +4975,31 @@ object LlmQueries {
     * with q86's term set → `s` = (doc_id, term_score) rows, one per
     * matching (doc, term). Shared by the q86 and q94 oracles.
     */
-  private val bm25Ctes: String =
-    """toks AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split_regex(lower(trim(text)), '\W+'),
-      |                x -> len(x) > 0) AS t
-      |  FROM documents),
-      |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
-      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-      |tf AS (
-      |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
-      |  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
-      |  WHERE token IN ('vector', 'stream', 'merge')
-      |  GROUP BY 1, 2),
-      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-      |s AS (
-      |  SELECT tf.doc_id,
-      |    ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
-      |      * (tf.tf * (1.2 + 1.0))
-      |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
-      |      AS term_score
-      |  FROM tf JOIN df USING (token)
-      |       JOIN dl USING (doc_id)
-      |       CROSS JOIN stats)""".stripMargin
+  private def bm25CtesFor(docsRel: String): String =
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\W+'),
+       |                x -> len(x) > 0) AS t
+       |  FROM $docsRel),
+       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+       |  WHERE token IN ('vector', 'stream', 'merge')
+       |  GROUP BY 1, 2),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |s AS (
+       |  SELECT tf.doc_id,
+       |    ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+       |      * (tf.tf * (1.2 + 1.0))
+       |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+       |      AS term_score
+       |  FROM tf JOIN df USING (token)
+       |       JOIN dl USING (doc_id)
+       |       CROSS JOIN stats)""".stripMargin
+
+  private val bm25Ctes: String = bm25CtesFor("documents")
 
   /** The candidate-side gram CTE (`candg`) shared by every LM scorer. */
   private val candGramCtes: String =
@@ -7447,6 +7480,41 @@ object LlmQueries {
          |  SELECT doc_id, text FROM mm
          |  WHERE coalesce(__op, 'keep') <> 'delete'),
          |${phraseCountSql("v2")}""".stripMargin,
+    // the maintained BM25 index must score like a from-scratch index
+    // over the changelog-applied corpus — q105's merge + q86's Okapi
+    "q193_changelog_bm25" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, 2 AS v, 'upsert' AS op,
+         |         text || ' [rev2]' AS text
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id, 3, 'upsert', text || ' [rev3]'
+         |  FROM documents WHERE doc_id % 14 = 0
+         |  UNION ALL
+         |  SELECT doc_id, 2, 'delete', ''
+         |  FROM documents WHERE doc_id % 11 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 1, 'upsert',
+         |         'new doc ' || CAST(doc_id AS VARCHAR)
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |latest AS (
+         |  SELECT doc_id, op AS __op, text AS __text
+         |  FROM ch
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY doc_id
+         |    ORDER BY v DESC, op DESC, md5(text) DESC, text DESC) = 1),
+         |mm AS (
+         |  SELECT coalesce(b.doc_id, l.doc_id) AS doc_id,
+         |         l.__op, coalesce(l.__text, b.text) AS text
+         |  FROM documents b FULL OUTER JOIN latest l
+         |    ON b.doc_id = l.doc_id),
+         |v2 AS (
+         |  SELECT doc_id, text FROM mm
+         |  WHERE coalesce(__op, 'keep') <> 'delete'),
+         |${bm25CtesFor("v2")}
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |       round(sum(term_score), 6) AS bm25
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // both persisted-index rankers + the 1/(60+rank) fusion replayed
     "q191_indexed_hybrid" ->
       s"""WITH $bm25Ctes,

@@ -151,6 +151,31 @@ class RelevanceSpec extends SparkSpec {
            "delta docs must replace, not add to, their base postings")
   }
 
+  test("deleteFromBm25Index equals a rebuild without the deleted docs " +
+       "(postings AND the avgdl sufficient statistics); deleting an " +
+       "absent id is a no-op") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark streams data"), (2L, "spark spark fast"),
+                   (3L, "slow batch job"), (4L, "data data data"))
+      .toDF("doc_id", "text")
+    val full = Relevance.bm25Index(docs, "doc_id", "text")
+    val afterDelete = Relevance.deleteFromBm25Index(
+      full, Seq(2L, 4L, 999L).toDF("doc_id"))
+    val rebuilt = Relevance.bm25Index(
+      docs.filter(!col("doc_id").isin(2L, 4L)), "doc_id", "text")
+    def postingRows(ix: Relevance.Bm25Index) =
+      ix.postings.select("token", "doc_id", "dl", "tf")
+        .collect().map(_.toSeq).toSet
+    assert(postingRows(afterDelete) == postingRows(rebuilt))
+    assert(afterDelete.stats.head() == rebuilt.stats.head(),
+           "stats must give back the deleted docs' exact contribution")
+    // no-op delete: removing nothing changes nothing
+    val noop = Relevance.deleteFromBm25Index(
+      full, Seq(999L).toDF("doc_id"))
+    assert(postingRows(noop) == postingRows(full))
+    assert(noop.stats.head() == full.stats.head())
+  }
+
   test("phraseMatches equals a brute-force sliding-window count; " +
        "single term = tf; repeated-token phrases work") {
     import spark.implicits._
