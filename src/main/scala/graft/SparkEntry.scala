@@ -147,7 +147,8 @@ object SparkEntry {
     "q190_manifest_verify",
     "q191_indexed_hybrid",
     "q192_selective_reindex",
-    "q193_changelog_bm25"
+    "q193_changelog_bm25",
+    "q194_length_quantiles"
   )
   // (q192 recomputes the changelog-driven roll each run — the timed
   // cost is the maintenance job itself, not a memoized read)

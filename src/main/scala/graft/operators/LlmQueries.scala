@@ -2759,6 +2759,49 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Mergeable quantile sketch over document lengths
+    * ([[Sketches.logBin]] — the percentile companion to q189's HLL
+    * union): per-source token-count percentiles (p50/p90/p99) answered
+    * from per-source log-octave histograms, with the GLOBAL row
+    * computed by MERGING the per-source counter tables (plain counter
+    * addition — never re-scanning the corpus) next to a GLOBAL_DIRECT
+    * row binned from the corpus in one pass. The two global rows are
+    * equal by construction (counter sum is associative), and the oracle
+    * hash-checks that equality — the mergeability that lets a fleet
+    * keep one KB-scale histogram per shard and answer corpus
+    * percentiles from a #shards×#bins-row union instead of a
+    * corpus-wide sort.
+    *
+    * Unlike `percentile_approx` (engine-private GK sketch) every stage
+    * here is engine-portable integer arithmetic, so this is a TRUE SQL
+    * oracle, not a pinned golden. Token counts shift by +1 so empty
+    * docs bin at 1 (reported lengths shift back). Plan: ONE corpus-scale
+    * agg on (source, bin) with map-side combine (≤ #sources × 8·log₂max
+    * rows cross the wire); everything after is sketch-scale.
+    */
+  def q194LengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.documents(spark, dir).select(
+      col("source"),
+      Sketches.logBin(
+        (size(Dedup.wordTokens(col("text"))) + 1).cast("long")).as("bin"))
+    val perSrc = binned
+      .groupBy(col("source").as("scope"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = perSrc.groupBy("bin").agg(sum("cnt").as("cnt"))
+      .select(lit("GLOBAL").as("scope"), col("bin"), col("cnt"))
+    val direct = binned.groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .select(lit("GLOBAL_DIRECT").as("scope"), col("bin"), col("cnt"))
+    Sketches
+      .binQuantiles(perSrc.unionByName(merged).unionByName(direct),
+                    Seq(50, 90, 99))
+      .groupBy("scope")
+      .agg(max("n_rows").as("n_docs"),
+           (max(when(col("q") === 50, col("value_lb"))) - 1).as("p50_len"),
+           (max(when(col("q") === 90, col("value_lb"))) - 1).as("p90_len"),
+           (max(when(col("q") === 99, col("value_lb"))) - 1).as("p99_len"))
+      .orderBy("scope")
+  }
+
   /** Indexed hybrid retrieval — q94's RRF stack moved onto the
     * PERSISTED indexes (the serving path): the BM25 ranking answered
     * from q143's postings index and an exact-phrase ranking ("table
@@ -4551,6 +4594,7 @@ object LlmQueries {
     "q191_indexed_hybrid" -> (q191IndexedHybrid(_, _)),
     "q192_selective_reindex" -> (q192SelectiveReindex(_, _)),
     "q193_changelog_bm25" -> (q193ChangelogBm25(_, _)),
+    "q194_length_quantiles" -> (q194LengthQuantiles(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -7515,6 +7559,49 @@ object LlmQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
          |       round(sum(term_score), 6) AS bm25
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // merged-sketch GLOBAL ≡ direct-binned GLOBAL_DIRECT is inside the
+    // hash — the mergeability invariant is oracle-checked, not asserted
+    "q194_length_quantiles" ->
+      s"""WITH lens AS (
+         |  SELECT source,
+         |    CAST(len(list_filter(string_split_regex(lower(trim(text)),
+         |                                            '\\W+'),
+         |                         x -> len(x) > 0)) + 1 AS BIGINT) AS v
+         |  FROM documents),
+         |binned AS (SELECT source, ${Sketches.logBinSql("v")} AS bin
+         |           FROM lens),
+         |persrc AS (
+         |  SELECT source AS scope, bin, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM binned GROUP BY 1, 2),
+         |gm AS (
+         |  SELECT 'GLOBAL' AS scope, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM persrc GROUP BY 2),
+         |gd AS (
+         |  SELECT 'GLOBAL_DIRECT' AS scope, bin,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM binned GROUP BY 2),
+         |bins AS (SELECT * FROM persrc UNION ALL SELECT * FROM gm
+         |         UNION ALL SELECT * FROM gd),
+         |cum AS (
+         |  SELECT scope, bin,
+         |    sum(cnt) OVER (PARTITION BY scope ORDER BY bin) AS cum,
+         |    sum(cnt) OVER (PARTITION BY scope) AS total
+         |  FROM bins),
+         |hits AS (
+         |  SELECT scope, q, min(bin) AS pbin,
+         |    CAST(max(total) AS BIGINT) AS n_docs
+         |  FROM cum CROSS JOIN (VALUES (50), (90), (99)) AS qt(q)
+         |  WHERE cum * 100 >= total * q
+         |  GROUP BY 1, 2),
+         |vals AS (
+         |  SELECT scope, q, n_docs,
+         |    ${Sketches.logBinLowerBoundSql("pbin")} - 1 AS len_lb
+         |  FROM hits)
+         |SELECT scope, CAST(max(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(max(CASE WHEN q = 50 THEN len_lb END) AS BIGINT) AS p50_len,
+         |  CAST(max(CASE WHEN q = 90 THEN len_lb END) AS BIGINT) AS p90_len,
+         |  CAST(max(CASE WHEN q = 99 THEN len_lb END) AS BIGINT) AS p99_len
+         |FROM vals GROUP BY scope ORDER BY scope""".stripMargin,
     // both persisted-index rankers + the 1/(60+rank) fusion replayed
     "q191_indexed_hybrid" ->
       s"""WITH $bm25Ctes,

@@ -88,4 +88,72 @@ class SketchesSpec extends SparkSpec {
       .head().getLong(0)
     assert(repart == direct, "estimate must not depend on partitioning")
   }
+
+  test("logBin: monotone, lower-bound-inverting, one-bin-width tight") {
+    import spark.implicits._
+    val vs = (1L to 5000L).toDF("v")
+      .withColumn("bin", Sketches.logBin(col("v")))
+      .withColumn("lb", Sketches.logBinLowerBound(col("bin")))
+      .orderBy("v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    vs.sliding(2).foreach { case Array((_, b1, _), (_, b2, _)) =>
+      assert(b1 <= b2, "bin must be monotone in the value")
+    }
+    vs.foreach { case (v, _, lb) =>
+      assert(lb <= v, s"lower bound $lb must not exceed value $v")
+      assert(v - lb <= lb / 8 + 1,
+             s"value $v strays more than one bin width from lb $lb")
+    }
+    // bounded sketch: 5000 values span ≤ 8·⌈log₂ 5000⌉ bins
+    assert(vs.map(_._2).distinct.length <= 8 * 13)
+  }
+
+  test("binQuantiles picks the ceil-rank bin per scope") {
+    import spark.implicits._
+    // scope a: bins 0,8,16 with counts 5,4,1 (total 10)
+    //   p50 → rank 5 → bin 0 (cum 5 ≥ 5); p90 → rank 9 → bin 8;
+    //   p99 → rank 10 → bin 16
+    val bins = Seq(("a", 0L, 5L), ("a", 8L, 4L), ("a", 16L, 1L))
+      .toDF("scope", "bin", "cnt")
+    val got = Sketches.binQuantiles(bins, Seq(50, 90, 99))
+      .orderBy("q")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((50, 10L, 1L), (90, 10L, 2L), (99, 10L, 4L)))
+  }
+
+  test("log-bin quantiles: within one bin width of the exact order " +
+       "statistic; per-group merge equals direct binning exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 4000).map { i =>
+      (s"g${i % 4}", rnd.nextInt(2000).toLong + 1L)
+    }
+    val df = data.toDF("grp", "v")
+      .withColumn("bin", Sketches.logBin(col("v")))
+    val perGrp = df.groupBy(col("grp").as("scope"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = perGrp.groupBy("bin").agg(sum("cnt").as("cnt"))
+      .select(lit("G").as("scope"), col("bin"), col("cnt"))
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val direct = df.groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(merged == direct,
+           "summed per-group counters must equal direct binning")
+    val qs = Seq(50, 90, 99)
+    val quants = Sketches.binQuantiles(
+      perGrp.unionByName(
+        merged.toDF("bin", "cnt").select(lit("G").as("scope"),
+                                         col("bin"), col("cnt"))),
+      qs).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(3))).toMap
+    val sorted = data.map(_._2).sorted
+    qs.foreach { q =>
+      val exact = sorted((sorted.length * q + 99) / 100 - 1)
+      val lb = quants(("G", q))
+      assert(lb <= exact && exact - lb <= lb / 8 + 1,
+             s"p$q: sketch $lb vs exact $exact breaks the bin-width bound")
+    }
+  }
 }

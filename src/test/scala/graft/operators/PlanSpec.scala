@@ -283,5 +283,13 @@ class PlanSpec extends SparkSpec {
     assert(!p188.contains("CartesianProduct") &&
              !p188.contains("Window "),
            s"q188 must be pure aggregation:\n$p188")
+    // q194: the quantile table rides a BROADCAST nested loop (3 rows),
+    // never a cartesian shuffle; the windows run over the sketch-scale
+    // bin table, after the corpus has been reduced by the binning agg
+    val p194 = LlmQueries.q194LengthQuantiles(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p194.contains("BroadcastNestedLoopJoin"),
+           s"q194 quantile cross join must broadcast:\n$p194")
+    assert(!p194.contains("CartesianProduct"))
   }
 }
