@@ -185,6 +185,48 @@ object Sharding {
       .drop("__bucket", "__base")
   }
 
+  /** Curriculum training order — [[seededOrder]] with a leading STAGE
+    * key: documents rank by (stage ascending, seeded 60-bit md5 key,
+    * id), so stage 0 is exhausted before stage 1 begins while each
+    * stage is internally a reproducible pseudorandom shuffle (the
+    * "easy/high-quality first, random within difficulty" schedule of
+    * curriculum pretraining). Content-keyed and engine-portable like
+    * the other orders: the rank is a pure function of (stage, seed,
+    * id), byte-identical across hardware, partitioning, and engines.
+    *
+    * Scale shape: the [[seededOrder]] two-phase distributed prefix sum
+    * with bases keyed by (stage, hash-bucket) — the base table is
+    * ≤ #stages × nBuckets rows prefix-scanned on the driver-scale
+    * window, the in-bucket row_number windows stay parallel, and the
+    * corpus shuffles ONCE on (stage, bucket). Never a single-partition
+    * data-scale window.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, stageCol: String,
+                      seed: String, nBuckets: Int,
+                      batchSize: Long): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(batchSize > 0, "batchSize must be positive")
+    val width = ((1L << 60) + nBuckets - 1) / nBuckets
+    val keyed = df.select(
+      col(idCol), col(stageCol).cast("long").as("stage"),
+      md5Prefix60Scalar(concat_ws(":", lit(seed), col(idCol).cast("string")))
+        .as("sort_key"))
+      .withColumn("__bucket", expr(s"sort_key div ${width}L"))
+    val basesW = Window.orderBy("stage", "__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = keyed.groupBy("stage", "__bucket")
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__base", coalesce(sum("__bn").over(basesW), lit(0L)))
+      .select("stage", "__bucket", "__base")
+    val inBucketW = Window.partitionBy("stage", "__bucket")
+      .orderBy(col("sort_key"), col(idCol))
+    keyed.join(broadcast(bases), Seq("stage", "__bucket"))
+      .withColumn("global_rank",
+                  col("__base") + row_number().over(inBucketW) - 1)
+      .withColumn("batch_id", expr(s"global_rank div ${batchSize}L"))
+      .drop("__bucket", "__base")
+  }
+
   /** Length-grouped token-budget batching — the dynamic-batching step of
     * a padded-sequence training loader: group documents into length
     * BANDS (`band = min(toks div bandTokens, nBands-1)`, so batchmates
