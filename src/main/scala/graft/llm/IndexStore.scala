@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Persistence for the incremental-dedup and ANN indexes — the piece that
@@ -18,24 +19,75 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * metadata lives there — a bare parquet directory loses the bucketing
   * contract. Pass `dir` to pin the data files to an external location
   * (e.g. the corpus lake); omit it for warehouse-managed storage.
+  *
+  * ==Atomic, versioned publication==
+  *
+  * A daily index roll must never destroy the only copy of the live index:
+  * the naive drop-then-overwrite leaves a crash window in which yesterday's
+  * index is gone and today's is partial, and concurrent readers in other
+  * sessions see a missing/half-written table during every roll. Publication
+  * here is therefore versioned and commit-marked:
+  *
+  * {{{
+  *   {base}/                        logical table location
+  *     __v1/                        immutable version: data + descriptor
+  *       part-*.parquet
+  *       _graft_index_spec          schema DDL + bucket spec
+  *       _graft_index_commit        created LAST — the atomic publish point
+  *     __v2/
+  *     _graft_index_current         advisory pointer (human/ops-readable)
+  * }}}
+  *
+  * A save writes version N+1 COMPLETELY beside the live version N (data,
+  * then descriptor) and only then creates the `_graft_index_commit` marker
+  * — a single atomic file create, the whole commit. Readers resolve "the
+  * current version" as max(N) over version dirs that carry the marker, so:
+  *
+  *  - a crash anywhere before the marker leaves version N untouched and
+  *    live; the torn `__v{N+1}` dir has no marker, is invisible to every
+  *    reader, and is scrubbed by the next successful save;
+  *  - a concurrent reader (any session, any JVM over shared storage) sees
+  *    exactly one complete version — never a mix, never a gap — because
+  *    committed version dirs are immutable;
+  *  - the marker-create beats a pointer-file flip (delete + rename is TWO
+  *    operations with a no-pointer window between them; object stores make
+  *    overwrite-rename worse). `_graft_index_current` is still written as
+  *    an advisory convenience, AFTER the commit, but is never load-bearing.
+  *
+  * After commit, versions ≤ N−1 are garbage-collected — one previous
+  * version is always retained, so a reader that resolved the old current
+  * right before a flip has a full roll period to finish its scans before
+  * that version can disappear (GC of version N requires TWO further
+  * successful rolls).
+  *
+  * Catalog names are per-version (`{table}__v{N}`) and immutable once
+  * created, so no DROP/CREATE flip ever races a reader's resolution; the
+  * session catalog is only a cache over the on-disk truth.
   */
 object IndexStore {
 
-  /** Drop `table` AND its on-disk location. The drop alone is not enough
-    * across sessions: the catalog is per-session (in-memory), so a fresh
-    * JVM doesn't know yesterday's table, `DROP TABLE IF EXISTS` no-ops,
-    * and the leftover warehouse/external directory makes the re-save
-    * throw LOCATION_ALREADY_EXISTS — which is exactly the daily
-    * index-rotation path (save under the same name, next day, new
-    * process). Deleting the stale location restores save idempotence.
+  private val SpecFile = "_graft_index_spec"
+  private val CommitFile = "_graft_index_commit"
+  private val CurrentFile = "_graft_index_current"
+  private val VersionDirRe = "__v([0-9]+)".r
+
+  /** Test-only failpoint: when set, a save throws AFTER the new version's
+    * data + descriptor are fully written but BEFORE the commit marker —
+    * the worst-case crash point of a roll. Specs use it to pin that the
+    * previous version stays live and byte-identical.
+    */
+  private[graft] val failBeforeCommit =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Drop `table` AND its on-disk location — the legacy single-version
+    * helper, retained for plain (non-index) artifact tables that overwrite
+    * in place. Index publication itself no longer uses it: see the
+    * versioned-publication scaladoc above.
     */
   private[graft] def dropWithLocation(spark: SparkSession, table: String,
                                     dir: Option[String]): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = dir.getOrElse(
-      spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-        "/" + table.toLowerCase(java.util.Locale.ROOT))
-    val p = new org.apache.hadoop.fs.Path(loc)
+    val p = new Path(location(spark, table, dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
   }
@@ -46,52 +98,112 @@ object IndexStore {
       spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
         "/" + table.toLowerCase(java.util.Locale.ROOT))
 
-  /** Overwrite-save `df` as a bucketed, bucket-sorted parquet table.
-    * The pre-drop (metadata + location) makes re-saves idempotent even
-    * from a fresh session — a stale table with different bucketing/path
-    * can never half-merge with the new one. A small `_graft_index_spec`
-    * descriptor (schema DDL + bucket spec) is written beside the data so
-    * a LATER session can re-register the table with its bucketing intact
-    * (see [[ensureRegistered]]).
-    */
-  private def writeBucketedTable(df: DataFrame, table: String,
-                                 numBuckets: Int, keys: Seq[String],
-                                 dir: Option[String]): Unit = {
-    val spark = df.sparkSession
-    dropWithLocation(spark, table, dir)
-    val w = df.write.mode(SaveMode.Overwrite)
-      .bucketBy(numBuckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-      .format("parquet")
-    dir.fold(w)(d => w.option("path", d)).saveAsTable(table)
-    val loc = location(spark, table, dir)
-    val spec = s"$numBuckets\n${keys.mkString(",")}\n${df.schema.toDDL}"
-    val p = new org.apache.hadoop.fs.Path(loc, "_graft_index_spec")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(spec.getBytes("UTF-8")) finally out.close()
+  private def fileSystem(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionedName(table: String, v: Int): String = s"${table}__v$v"
+
+  /** Every `__v{N}` under `base`, committed or not. */
+  private def allVersions(fs: FileSystem, base: Path): Seq[Int] =
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq.collect {
+      case s if s.isDirectory =>
+        s.getPath.getName match {
+          case VersionDirRe(n) => Some(n.toInt)
+          case _               => None
+        }
+    }.flatten
+
+  private def isCommitted(fs: FileSystem, base: Path, v: Int): Boolean =
+    fs.exists(new Path(new Path(base, s"__v$v"), CommitFile))
+
+  /** The live version: max N whose dir carries the commit marker. */
+  private def currentVersion(fs: FileSystem, base: Path): Option[Int] = {
+    val committed = allVersions(fs, base).filter(isCommitted(fs, base, _))
+    if (committed.isEmpty) None else Some(committed.max)
   }
 
-  /** Re-register a persisted bucketed table in THIS session's catalog if
-    * it isn't there — the catalog is per-session, so an index saved by
-    * yesterday's JVM exists only as files + the `_graft_index_spec`
-    * descriptor. Registration re-declares the bucket spec (CLUSTERED BY
-    * … INTO n BUCKETS) over the existing LOCATION, so the loaded side
-    * keeps its Exchange-free join property across sessions.
+  private def writeSmallFile(fs: FileSystem, p: Path, text: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSmallFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  /** Versioned publish of `df` as `{table}` (bucketed when `bucket` is
+    * set, plain otherwise). Writes `__v{N+1}` completely beside the live
+    * `__v{N}`, commits with one atomic marker create, then GCs versions
+    * ≤ N−1. See the object scaladoc for the crash/concurrency analysis.
     */
-  private def ensureRegistered(spark: SparkSession, table: String,
-                               dir: Option[String]): Unit = {
-    if (!spark.catalog.tableExists(table)) {
-      val loc = location(spark, table, dir)
-      val p = new org.apache.hadoop.fs.Path(loc, "_graft_index_spec")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      require(fs.exists(p),
-              s"no persisted index at $loc (missing _graft_index_spec)")
-      val in = fs.open(p)
-      val spec =
-        try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        finally in.close()
+  private def publishTable(df: DataFrame, table: String,
+                           bucket: Option[(Int, Seq[String])],
+                           dir: Option[String]): Unit = {
+    val spark = df.sparkSession
+    val base = new Path(location(spark, table, dir))
+    val fs = fileSystem(spark, base)
+    val committedNow = allVersions(fs, base).filter(isCommitted(fs, base, _))
+    val cur = if (committedNow.isEmpty) 0 else committedNow.max
+    // scrub torn dirs from crashed attempts (any version without a marker)
+    allVersions(fs, base).filterNot(committedNow.contains).foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS ${versionedName(table, n)}")
+      fs.delete(new Path(base, s"__v$n"), true)
+    }
+    val vNext = cur + 1
+    val vt = versionedName(table, vNext)
+    // a lingering catalog entry at this version number can only be stale
+    // (the dir scrub above removed any torn data): drop the metadata too
+    spark.sql(s"DROP TABLE IF EXISTS $vt")
+    val vdir = new Path(base, s"__v$vNext").toString
+    val w0 = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", vdir)
+    val w = bucket.fold(w0) { case (n, keys) =>
+      w0.bucketBy(n, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+    }
+    w.saveAsTable(vt)
+    val spec = bucket match {
+      case Some((n, keys)) => s"$n\n${keys.mkString(",")}\n${df.schema.toDDL}"
+      case None            => s"0\n\n${df.schema.toDDL}"
+    }
+    writeSmallFile(fs, new Path(vdir, SpecFile), spec)
+    if (failBeforeCommit.get)
+      throw new IllegalStateException(
+        s"graft failpoint: simulated crash before committing $table v$vNext")
+    // COMMIT: one atomic create — before this line v{cur} is live,
+    // after it v{vNext} is
+    fs.create(new Path(vdir, CommitFile), false).close()
+    // advisory pointer, never load-bearing (see scaladoc)
+    writeSmallFile(fs, new Path(base, CurrentFile), vNext.toString)
+    // GC: keep the new current and one back; drop everything older
+    allVersions(fs, base).filter(_ <= vNext - 2).foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS ${versionedName(table, n)}")
+      fs.delete(new Path(base, s"__v$n"), true)
+    }
+  }
+
+  /** Resolve `{table}` through the commit markers to its live versioned
+    * catalog name, registering it in THIS session's catalog from the
+    * on-disk descriptor if needed (the catalog is per-session; an index
+    * saved by yesterday's JVM exists only as files + descriptor).
+    * Registration re-declares the bucket spec (CLUSTERED BY … INTO n
+    * BUCKETS) over the version dir, so the loaded side keeps its
+    * Exchange-free join property across sessions.
+    */
+  private def resolve(spark: SparkSession, table: String,
+                      dir: Option[String]): String = {
+    val base = new Path(location(spark, table, dir))
+    val fs = fileSystem(spark, base)
+    val cur = currentVersion(fs, base)
+    require(cur.isDefined,
+            s"no committed index version under $base (missing $CommitFile)")
+    val vt = versionedName(table, cur.get)
+    if (!spark.catalog.tableExists(vt)) {
+      val vdir = new Path(base, s"__v${cur.get}")
+      val spec = readSmallFile(fs, new Path(vdir, SpecFile))
       val Array(nb, keys, ddl) = spec.split("\n", 3)
       val clustered =
         if (nb == "0") ""
@@ -100,11 +212,51 @@ object IndexStore {
           s"CLUSTERED BY ($keyList) SORTED BY ($keyList) " +
             s"INTO $nb BUCKETS "
         }
-      spark.sql(
-        s"CREATE TABLE $table ($ddl) USING PARQUET " +
-          clustered + s"LOCATION '$loc'")
+      try spark.sql(
+        s"CREATE TABLE $vt ($ddl) USING PARQUET " +
+          clustered + s"LOCATION '$vdir'")
+      catch {
+        // lost a registration race with a concurrent resolve — theirs
+        // registered the identical immutable version; nothing to do
+        case _: org.apache.spark.sql.AnalysisException
+            if spark.catalog.tableExists(vt) => ()
+      }
     }
+    vt
   }
+
+  /** The live versioned catalog name for `{table}` (test/ops hook). */
+  private[graft] def currentTable(spark: SparkSession, table: String,
+                                  dir: Option[String] = None): String =
+    resolve(spark, table, dir)
+
+  /** Forget every catalog registration for `name`'s tables in THIS
+    * session WITHOUT touching disk — simulates a fresh session against
+    * the same storage (specs; the catalog is a cache, disk is truth).
+    */
+  private[graft] def forgetSession(spark: SparkSession, name: String): Unit =
+    indexTableNames(name).foreach { t =>
+      spark.sql(s"SHOW TABLES LIKE '${t.toLowerCase(java.util.Locale.ROOT)}__v*'")
+        .collect()
+        .foreach(r => spark.sql(s"DROP TABLE IF EXISTS ${r.getString(1)}"))
+    }
+
+  private def writeBucketedTable(df: DataFrame, table: String,
+                                 numBuckets: Int, keys: Seq[String],
+                                 dir: Option[String]): Unit =
+    publishTable(df, table, Some((numBuckets, keys)), dir)
+
+  /** Versioned publish of a small UNBUCKETED side table (IVF centroids,
+    * BM25 stats) with a numBuckets=0 descriptor — same commit protocol
+    * as the bucketed tables.
+    */
+  private def savePlainTable(df: DataFrame, table: String,
+                             dir: Option[String]): Unit =
+    publishTable(df, table, None, dir)
+
+  private def loadTable(spark: SparkSession, table: String,
+                        dir: Option[String]): DataFrame =
+    spark.table(resolve(spark, table, dir))
 
   // ---------------------------------------------------------------- MinHash
 
@@ -128,13 +280,10 @@ object IndexStore {
     * descriptor (pass the same `dir` given to save, if any).
     */
   def loadMinhashIndex(spark: SparkSession, name: String,
-                       dir: Option[String] = None): Dedup.MinhashIndex = {
-    ensureRegistered(spark, s"${name}_buckets", dir.map(d => s"$d/buckets"))
-    ensureRegistered(spark, s"${name}_shingles",
-                     dir.map(d => s"$d/shingles"))
-    Dedup.MinhashIndex(spark.table(s"${name}_buckets"),
-                       spark.table(s"${name}_shingles"))
-  }
+                       dir: Option[String] = None): Dedup.MinhashIndex =
+    Dedup.MinhashIndex(
+      loadTable(spark, s"${name}_buckets", dir.map(d => s"$d/buckets")),
+      loadTable(spark, s"${name}_shingles", dir.map(d => s"$d/shingles")))
 
   // ------------------------------------------------------------ fingerprint
 
@@ -147,10 +296,8 @@ object IndexStore {
     writeBucketedTable(index, name, numBuckets, Seq("fp"), dir)
 
   def loadFingerprintIndex(spark: SparkSession, name: String,
-                           dir: Option[String] = None): DataFrame = {
-    ensureRegistered(spark, name, dir)
-    spark.table(name)
-  }
+                           dir: Option[String] = None): DataFrame =
+    loadTable(spark, name, dir)
 
   // -------------------------------------------------------------------- LSH
 
@@ -163,30 +310,10 @@ object IndexStore {
     writeBucketedTable(index, name, numBuckets, Seq("bucket"), dir)
 
   def loadLshIndex(spark: SparkSession, name: String,
-                   dir: Option[String] = None): DataFrame = {
-    ensureRegistered(spark, name, dir)
-    spark.table(name)
-  }
+                   dir: Option[String] = None): DataFrame =
+    loadTable(spark, name, dir)
 
   // -------------------------------------------------------------------- IVF
-
-  /** Persist a small UNBUCKETED side table (IVF centroids, BM25 stats)
-    * with a numBuckets=0 descriptor so a fresh session can re-register
-    * it from disk like the bucketed tables.
-    */
-  private def savePlainTable(df: DataFrame, table: String,
-                             dir: Option[String]): Unit = {
-    val spark = df.sparkSession
-    dropWithLocation(spark, table, dir)
-    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
-    dir.fold(w)(d => w.option("path", d)).saveAsTable(table)
-    val loc = location(spark, table, dir)
-    val spec = s"0\n\n${df.schema.toDDL}"
-    val p = new org.apache.hadoop.fs.Path(loc, "_graft_index_spec")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(spec.getBytes("UTF-8")) finally out.close()
-  }
 
   /** Persist a [[Similarity.IvfIndex]]: the cell-assigned corpus bucketed
     * by `cell` (the probe-join key) and the tiny centroid table plain.
@@ -201,14 +328,10 @@ object IndexStore {
   }
 
   def loadIvfIndex(spark: SparkSession, name: String,
-                   dir: Option[String] = None): Similarity.IvfIndex = {
-    ensureRegistered(spark, s"${name}_assigned",
-                     dir.map(d => s"$d/assigned"))
-    ensureRegistered(spark, s"${name}_centroids",
-                     dir.map(d => s"$d/centroids"))
-    Similarity.IvfIndex(spark.table(s"${name}_assigned"),
-                        spark.table(s"${name}_centroids"))
-  }
+                   dir: Option[String] = None): Similarity.IvfIndex =
+    Similarity.IvfIndex(
+      loadTable(spark, s"${name}_assigned", dir.map(d => s"$d/assigned")),
+      loadTable(spark, s"${name}_centroids", dir.map(d => s"$d/centroids")))
 
   // -------------------------------------------------------------------- PQ
 
@@ -229,16 +352,15 @@ object IndexStore {
 
   def loadPqIndex(spark: SparkSession, name: String,
                   dir: Option[String] = None): Similarity.PqIndex = {
-    ensureRegistered(spark, s"${name}_codes", dir.map(d => s"$d/codes"))
-    ensureRegistered(spark, s"${name}_codebooks",
-                     dir.map(d => s"$d/codebooks"))
-    val cb = spark.table(s"${name}_codebooks")
+    val codes = loadTable(spark, s"${name}_codes", dir.map(d => s"$d/codes"))
+    val cb = loadTable(spark, s"${name}_codebooks",
+                       dir.map(d => s"$d/codebooks"))
     val shape = cb.agg(
       org.apache.spark.sql.functions.max("sub"),
       org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.size(
           org.apache.spark.sql.functions.col("centroid")))).head()
-    Similarity.PqIndex(spark.table(s"${name}_codes"), cb,
+    Similarity.PqIndex(codes, cb,
                        nSub = shape.getInt(0) + 1,
                        subDim = shape.getInt(1))
   }
@@ -270,28 +392,30 @@ object IndexStore {
                        Seq("token"), dir.map(d => s"$d/positions"))
 
   def loadPositionalIndex(spark: SparkSession, name: String,
-                          dir: Option[String] = None): DataFrame = {
-    ensureRegistered(spark, s"${name}_positions",
-                     dir.map(d => s"$d/positions"))
-    spark.table(s"${name}_positions")
-  }
+                          dir: Option[String] = None): DataFrame =
+    loadTable(spark, s"${name}_positions", dir.map(d => s"$d/positions"))
 
   def loadBm25Index(spark: SparkSession, name: String,
-                    dir: Option[String] = None): Relevance.Bm25Index = {
-    ensureRegistered(spark, s"${name}_postings",
-                     dir.map(d => s"$d/postings"))
-    ensureRegistered(spark, s"${name}_stats", dir.map(d => s"$d/stats"))
-    Relevance.Bm25Index(spark.table(s"${name}_postings"),
-                        spark.table(s"${name}_stats"))
-  }
+                    dir: Option[String] = None): Relevance.Bm25Index =
+    Relevance.Bm25Index(
+      loadTable(spark, s"${name}_postings", dir.map(d => s"$d/postings")),
+      loadTable(spark, s"${name}_stats", dir.map(d => s"$d/stats")))
 
-  /** Drop a persisted index's tables and their warehouse locations
-    * (external `dir` data is left for the caller's lifecycle).
-    */
-  def drop(spark: SparkSession, name: String): Unit =
+  private def indexTableNames(name: String): Seq[String] =
     Seq(name, s"${name}_buckets", s"${name}_shingles",
         s"${name}_assigned", s"${name}_centroids",
         s"${name}_postings", s"${name}_stats",
         s"${name}_codes", s"${name}_codebooks", s"${name}_positions")
-      .foreach(t => dropWithLocation(spark, t, None))
+
+  /** Drop a persisted index: every versioned catalog entry plus the
+    * warehouse locations (external `dir` data is left for the caller's
+    * lifecycle, as before).
+    */
+  def drop(spark: SparkSession, name: String): Unit =
+    indexTableNames(name).foreach { t =>
+      spark.sql(s"SHOW TABLES LIKE '${t.toLowerCase(java.util.Locale.ROOT)}__v*'")
+        .collect()
+        .foreach(r => spark.sql(s"DROP TABLE IF EXISTS ${r.getString(1)}"))
+      dropWithLocation(spark, t, None)
+    }
 }

@@ -93,21 +93,22 @@ class IndexStoreSpec extends SparkSpec {
       IndexStore.saveMinhashIndex(index, "idx_cs_mh", numBuckets = 4, dir)
       // simulate a fresh session: the per-session catalog forgets the
       // tables (external data stays on disk)
-      spark.sql("DROP TABLE IF EXISTS idx_cs_mh_buckets")
-      spark.sql("DROP TABLE IF EXISTS idx_cs_mh_shingles")
+      IndexStore.forgetSession(spark, "idx_cs_mh_buckets")
+      IndexStore.forgetSession(spark, "idx_cs_mh_shingles")
       val loaded = IndexStore.loadMinhashIndex(spark, "idx_cs_mh", dir)
       val disk = classified(
         Dedup.minhashIncrementalPortable(batch, loaded, "doc_id", "text"))
       assert(disk == mem, s"cross-session disk=$disk mem=$mem")
       // the re-registered table keeps its bucket spec
-      val ddl = spark.sql("SHOW CREATE TABLE idx_cs_mh_buckets")
-        .head().getString(0)
+      val vt = IndexStore.currentTable(spark, "idx_cs_mh_buckets",
+                                       dir.map(d => s"$d/buckets"))
+      val ddl = spark.sql(s"SHOW CREATE TABLE $vt").head().getString(0)
       assert(ddl.contains("CLUSTERED BY") && ddl.contains("4 BUCKETS"),
              s"bucket spec must survive re-registration:\n$ddl")
       // daily rotation: re-save under the same name from a catalog that
       // forgot the table but with stale files present — must not throw
-      spark.sql("DROP TABLE IF EXISTS idx_cs_mh_buckets")
-      spark.sql("DROP TABLE IF EXISTS idx_cs_mh_shingles")
+      IndexStore.forgetSession(spark, "idx_cs_mh_buckets")
+      IndexStore.forgetSession(spark, "idx_cs_mh_shingles")
       IndexStore.saveMinhashIndex(index, "idx_cs_mh", numBuckets = 4, dir)
       val disk2 = classified(Dedup.minhashIncrementalPortable(
         batch, IndexStore.loadMinhashIndex(spark, "idx_cs_mh", dir),
@@ -131,6 +132,145 @@ class IndexStoreSpec extends SparkSpec {
       assert(run(IndexStore.loadFingerprintIndex(spark, "idx_rt_fp")) ==
                run(index))
     } finally IndexStore.drop(spark, "idx_rt_fp")
+  }
+
+  // ------------------------------------------------- versioned publication
+
+  private def fpCorpus(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i => (100L + i, s"corpus document number $i"))
+      .toDF("doc_id", "text")
+  }
+
+  private def fpBatch: DataFrame = {
+    import spark.implicits._
+    (0 until 6).map(i => (i.toLong, s"corpus document number $i"))
+      .toDF("doc_id", "text")
+  }
+
+  private def fpClassify(idx: DataFrame): Set[Seq[Any]] =
+    Dedup.exactIncremental(fpBatch, idx, "doc_id", "text")
+      .collect().map(_.toSeq).toSet[Seq[Any]]
+
+  test("a crash before commit leaves the OLD index version live and " +
+       "byte-identical; the next save scrubs the torn version") {
+    val name = "idx_crash_fp"
+    val dir = Some(tmpDir("idx_crash"))
+    try {
+      IndexStore.saveFingerprintIndex(
+        Dedup.fingerprintIndex(fpCorpus(2), "doc_id", "text"), name,
+        numBuckets = 4, dir)
+      val v1 = fpClassify(IndexStore.loadFingerprintIndex(spark, name, dir))
+      // the roll dies at the WORST point: new data + descriptor fully
+      // written, commit marker not yet created
+      IndexStore.failBeforeCommit.set(true)
+      val boom = intercept[IllegalStateException] {
+        IndexStore.saveFingerprintIndex(
+          Dedup.fingerprintIndex(fpCorpus(5), "doc_id", "text"), name,
+          numBuckets = 4, dir)
+      }
+      IndexStore.failBeforeCommit.set(false)
+      assert(boom.getMessage.contains("failpoint"))
+      // the old version still loads and classifies byte-identically
+      IndexStore.forgetSession(spark, name)
+      val after = fpClassify(
+        IndexStore.loadFingerprintIndex(spark, name, dir))
+      assert(after == v1, s"crashed roll must not touch the live index")
+      // a subsequent save self-heals (scrubs the torn dir) and publishes
+      IndexStore.saveFingerprintIndex(
+        Dedup.fingerprintIndex(fpCorpus(5), "doc_id", "text"), name,
+        numBuckets = 4, dir)
+      val v2 = fpClassify(IndexStore.loadFingerprintIndex(spark, name, dir))
+      assert(v2 != v1, "the healed roll must actually publish new content")
+      assert(v2.count(_(1) == true) == 5 && v1.count(_(1) == true) == 2)
+    } finally IndexStore.drop(spark, name)
+  }
+
+  test("an in-flight roll is invisible: readers resolve exactly one " +
+       "complete version, and old versions GC to current + one back") {
+    val name = "idx_gc_fp"
+    val d = tmpDir("idx_gc")
+    val dir = Some(d)
+    try {
+      val results = (2 to 5).map { n =>
+        IndexStore.saveFingerprintIndex(
+          Dedup.fingerprintIndex(fpCorpus(n), "doc_id", "text"), name,
+          numBuckets = 4, dir)
+        n -> fpClassify(IndexStore.loadFingerprintIndex(spark, name, dir))
+      }.toMap
+      // GC keeps the current version and one back, nothing older
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val vdirs = fs.listStatus(new org.apache.hadoop.fs.Path(d))
+        .map(_.getPath.getName).filter(_.startsWith("__v")).sorted
+      assert(vdirs.toSeq == Seq("__v3", "__v4"),
+             s"expected v3+v4 to survive GC, found ${vdirs.mkString(",")}")
+      // current resolves to the last publish
+      assert(fpClassify(IndexStore.loadFingerprintIndex(spark, name, dir))
+               == results(5))
+      // leave an UNCOMMITTED v5 on disk; a fresh session must still
+      // resolve the committed v4
+      IndexStore.failBeforeCommit.set(true)
+      intercept[IllegalStateException] {
+        IndexStore.saveFingerprintIndex(
+          Dedup.fingerprintIndex(fpCorpus(6), "doc_id", "text"), name,
+          numBuckets = 4, dir)
+      }
+      IndexStore.failBeforeCommit.set(false)
+      IndexStore.forgetSession(spark, name)
+      assert(fpClassify(IndexStore.loadFingerprintIndex(spark, name, dir))
+               == results(5),
+             "a fresh session must see the last COMMITTED version only")
+    } finally IndexStore.drop(spark, name)
+  }
+
+  test("concurrent sessions: one rolls while the other classifies — the " +
+       "reader never errors and always sees a complete version") {
+    val name = "idx_ccr_fp"
+    val dir = Some(tmpDir("idx_ccr"))
+    try {
+      // expected per-version classification outcomes, precomputed from
+      // the in-memory indexes
+      val expected = (2 to 5).map { n =>
+        fpClassify(Dedup.fingerprintIndex(fpCorpus(n), "doc_id", "text"))
+      }.toSet
+      IndexStore.saveFingerprintIndex(
+        Dedup.fingerprintIndex(fpCorpus(2), "doc_id", "text"), name,
+        numBuckets = 4, dir)
+      @volatile var writerDone = false
+      @volatile var writerErr: Option[Throwable] = None
+      val writer = new Thread(() => {
+        try {
+          (3 to 5).foreach { n =>
+            IndexStore.saveFingerprintIndex(
+              Dedup.fingerprintIndex(fpCorpus(n), "doc_id", "text"), name,
+              numBuckets = 4, dir)
+            Thread.sleep(100)
+          }
+        } catch { case t: Throwable => writerErr = Some(t) }
+        finally writerDone = true
+      })
+      val reader = spark.newSession()
+      writer.start()
+      var reads = 0
+      try {
+        while (!writerDone || reads == 0) {
+          val got = Dedup.exactIncremental(
+            fpBatch, IndexStore.loadFingerprintIndex(reader, name, dir),
+            "doc_id", "text").collect().map(_.toSeq).toSet[Seq[Any]]
+          assert(expected.contains(got),
+                 s"reader saw a state matching no complete version: $got")
+          reads += 1
+        }
+      } finally writer.join()
+      assert(writerErr.isEmpty, s"writer failed: $writerErr")
+      assert(reads > 0)
+      // after the dust settles the reader resolves the final version
+      val fin = Dedup.exactIncremental(
+        fpBatch, IndexStore.loadFingerprintIndex(reader, name, dir),
+        "doc_id", "text").collect().map(_.toSeq).toSet[Seq[Any]]
+      assert(fin.count(_(1) == true) == 5)
+    } finally IndexStore.drop(spark, name)
   }
 
   test("lsh and ivf ANN indexes round-trip through disk with identical " +
