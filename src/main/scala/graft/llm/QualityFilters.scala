@@ -301,10 +301,15 @@ object QualityFilters {
       .withColumn("__unnorm", col("n_tokens") * col("u_ppm"))
     val tot = u.agg(sum("__unnorm").as("__tot"))
     u.crossJoin(broadcast(tot))
+      // exact integer floor-division (IntegralDivide): a decimal `/`
+      // rounds HALF_UP at the result scale BEFORE the floor, so a true
+      // ratio within ~5e-7 below an integer would round up past the
+      // exact floor the DuckDB `//` oracle computes — div truncates the
+      // exact quotient instead (all operands nonnegative ⇒ trunc = floor)
       .withColumn(
         "weight_ppm",
-        floor(col("__unnorm").cast("decimal(38,0)") * lit(1000000) /
-                col("__tot").cast("decimal(38,0)")).cast("long"))
+        expr("CAST((CAST(__unnorm AS DECIMAL(38,0)) * 1000000) div " +
+             "CAST(__tot AS DECIMAL(38,0)) AS BIGINT)"))
       .select("domain", "n_docs", "n_tokens", "avg_ppl_e4", "u_ppm",
               "weight_ppm")
   }

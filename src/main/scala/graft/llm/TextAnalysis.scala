@@ -300,9 +300,14 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { rows =>
         // one Deflater per partition, reset per row — per-row
-        // construction would allocate/free native zlib state every doc
+        // construction would allocate/free native zlib state every doc.
+        // end() on task completion: without it the native zlib state is
+        // only reclaimed at finalization, and long-lived executors
+        // running many tasks accumulate off-heap memory
         val buf = new Array[Byte](1 << 16)
         val d = new java.util.zip.Deflater(6, true)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => d.end()))
         rows.map { case (id, text) =>
           val raw =
             if (text == null) Array.empty[Byte]

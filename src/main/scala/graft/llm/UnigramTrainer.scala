@@ -85,7 +85,10 @@ object UnigramTrainer {
     var pieceCounts: Map[String, Long] = singles ++ seed
     var iter = 0
     while (iter < emIters) {
-      val total = pieceCounts.values.map(_.toDouble).sum +
+      // accumulate in Long (exact, order-independent) and convert ONCE:
+      // a double fold in hash-iteration order is stable within one JVM
+      // build but not guaranteed across Scala collection versions
+      val total = pieceCounts.values.sum.toDouble +
         singles.size // add-one mass for singles (coverage smoothing)
       def logp(p: String): Double = {
         val c = pieceCounts.getOrElse(p, 0L).toDouble +

@@ -840,18 +840,84 @@ object LlmQueries {
 
   /** Unigram-LM tokenizer vocabulary ([[UnigramTrainer.fitUnigram]] —
     * SentencePiece's unigram model, Viterbi-EM variant): the fitted
-    * (rank, piece, count) table. EM has no SQL twin, so this is a
-    * rows-only driver check; the fit itself is spec-pinned
+    * (rank, piece, count) table. EM has no SQL twin, so the fitted
+    * vocabulary at the driver sf dirs is pinned as a committed golden
+    * (the q50–q53 pattern, [[q165Goldens]]) — a drift gate on the fit's
+    * observable artifact; the fit math itself is spec-pinned
     * (UnigramTrainerSpec goldens + determinism) and its APPLICATION is
-    * fully oracle-checked in q166 with this vocabulary inlined.
+    * fully oracle-checked in q166 with this vocabulary inlined. Unknown
+    * sf dirs fall back to the rows-only check.
     */
   def q165UnigramVocab(spark: SparkSession, dir: String): DataFrame = {
+    q165Dir = dir
     val v = unigramVocabFor(spark, dir)
     import spark.implicits._
     v.zipWithIndex
       .map { case ((p, n), i) => (i.toLong, p, n) }
       .toDF("rank", "piece", "n")
       .orderBy("rank")
+  }
+  @volatile private var q165Dir: String = ""
+
+  /** PINNED SELF-ORACLE for q165 (the q50–q53 seeded-pipeline pattern):
+    * the Viterbi-EM fit is a pure deterministic function of (word
+    * counts, config) — measured bit-identical across local[8]/local[16]
+    * in the round-10 determinism sweep — so its output at the
+    * driver-generated sf dirs is committed as a VALUES literal. A
+    * self-consistency gate, clearly labeled: it does not validate the
+    * EM math independently (UnigramTrainerSpec's hand-computed goldens
+    * do that); it turns silent fit drift into a red CORRECTNESS row.
+    */
+  private def q165Golden(rows: String): String =
+    s"""-- pinned self-oracle (r11): fitted unigram-vocab golden, not
+       |-- derived from the tables; see LlmQueries.q165Goldens
+       |SELECT CAST(rank AS BIGINT) AS rank,
+       |  CAST(piece AS VARCHAR) AS piece, CAST(n AS BIGINT) AS n
+       |FROM (VALUES $rows) AS t(rank, piece, n)
+       |ORDER BY rank""".stripMargin
+
+  private val q165Goldens: Map[String, String] = Map(
+    "sf0.01" ->
+      ("(0, 'join', 964), (1, 'hash', 947), (2, 'row', 943), " +
+       "(3, 'batch', 937), (4, 'scan', 936), (5, 'column', 934), " +
+       "(6, 'custom', 934), (7, 'er', 934), (8, 'filter', 933), " +
+       "(9, 'small', 928), (10, 'merge', 918), (11, 'slow', 918), " +
+       "(12, 'order', 912), (13, 'vector', 912), (14, 'line', 910), " +
+       "(15, 'data', 908), (16, 'table', 908), (17, 'agg', 901), " +
+       "(18, 'value', 897), (19, 'key', 896), (20, 'stream', 888), " +
+       "(21, 'window', 886), (22, 'a', 880), (23, 'spark', 880), " +
+       "(24, 'group', 878), (25, 'part', 878), (26, 'big', 876), " +
+       "(27, 'sort', 872), (28, 'query', 871), (29, 'fast', 854), " +
+       "(30, 'the', 840), (31, 'dup', 26), (32, 'b', 0), (33, 'c', 0), " +
+       "(34, 'd', 0), (35, 'e', 0), (36, 'f', 0), (37, 'g', 0), " +
+       "(38, 'h', 0), (39, 'i', 0), (40, 'j', 0), (41, 'k', 0), " +
+       "(42, 'l', 0), (43, 'm', 0), (44, 'n', 0), (45, 'o', 0), " +
+       "(46, 'p', 0), (47, 'q', 0), (48, 'r', 0), (49, 's', 0), " +
+       "(50, 't', 0), (51, 'u', 0), (52, 'v', 0), (53, 'w', 0), " +
+       "(54, 'y', 0)"),
+    "sf0.001" ->
+      ("(0, 'scan', 984), (1, 'column', 978), (2, 'window', 976), " +
+       "(3, 'order', 975), (4, 'sort', 974), (5, 'part', 963), " +
+       "(6, 'agg', 953), (7, 'value', 950), (8, 'line', 946), " +
+       "(9, 'key', 945), (10, 'join', 936), (11, 'merge', 935), " +
+       "(12, 'group', 934), (13, 'query', 934), (14, 'a', 931), " +
+       "(15, 'vector', 931), (16, 'hash', 923), (17, 'slow', 921), " +
+       "(18, 'stream', 919), (19, 'filter', 917), (20, 'fast', 913), " +
+       "(21, 'batch', 910), (22, 'spark', 910), (23, 'the', 910), " +
+       "(24, 'table', 903), (25, 'small', 898), (26, 'data', 896), " +
+       "(27, 'big', 890), (28, 'custom', 889), (29, 'er', 889), " +
+       "(30, 'row', 866), (31, 'dup', 29), (32, 'b', 0), (33, 'c', 0), " +
+       "(34, 'd', 0), (35, 'e', 0), (36, 'f', 0), (37, 'g', 0), " +
+       "(38, 'h', 0), (39, 'i', 0), (40, 'j', 0), (41, 'k', 0), " +
+       "(42, 'l', 0), (43, 'm', 0), (44, 'n', 0), (45, 'o', 0), " +
+       "(46, 'p', 0), (47, 'q', 0), (48, 'r', 0), (49, 's', 0), " +
+       "(50, 't', 0), (51, 'u', 0), (52, 'v', 0), (53, 'w', 0), " +
+       "(54, 'y', 0)"))
+
+  private def q165OracleEntry: Map[String, String] = {
+    val base = q165Dir.split('/').lastOption.getOrElse("")
+    q165Goldens.get(base)
+      .map(rows => "q165_unigram_vocab" -> q165Golden(rows)).toMap
   }
 
   /** WordPiece-style greedy maximal-munch segmentation
@@ -3138,6 +3204,24 @@ object LlmQueries {
       .select("doc_id", "sort_key", "global_rank", "batch_id")
       .orderBy("global_rank")
 
+  /** Curriculum training order ([[Sharding.curriculumOrder]]): the
+    * sequence-length-warmup schedule — documents staged by length band
+    * (stage = min(n_chars div 400, 3), short docs first), each stage an
+    * internally reproducible seeded shuffle, stage s exhausted before
+    * s+1 begins. Oracle-checked row-by-row (DuckDB replays the band,
+    * the md5 sort key, and one (stage, key, id) row_number window; the
+    * engine side runs the two-phase distributed prefix sum keyed by
+    * (stage, hash-bucket), so the oracle also pins their equivalence —
+    * the q130 pattern with the leading stage key).
+    */
+  def q195CurriculumOrder(spark: SparkSession, dir: String): DataFrame =
+    Sharding.curriculumOrder(
+      Tables.documents(spark, dir).select(
+        col("doc_id"), expr("least(n_chars div 400, 3)").as("stage")),
+      "doc_id", "stage", seed = "r11", nBuckets = 32, batchSize = 50)
+      .select("doc_id", "stage", "sort_key", "global_rank", "batch_id")
+      .orderBy("global_rank")
+
   /** Vocabulary-growth curve ([[CorpusStats.vocabGrowth]], Heaps' law):
     * distinct word types after each tenth of the doc_id-ordered token
     * stream. Oracle-checked point-by-point (DuckDB replays first-
@@ -4532,6 +4616,7 @@ object LlmQueries {
     "q128_edit_verify"      -> (q128EditVerify(_, _)),
     "q129_cdc_chunks"       -> (q129CdcChunks(_, _)),
     "q130_training_order"   -> (q130TrainingOrder(_, _)),
+    "q195_curriculum_order" -> (q195CurriculumOrder(_, _)),
     "q131_vocab_growth"     -> (q131VocabGrowth(_, _)),
     "q132_domain_cap"       -> (q132DomainCap(_, _)),
     "q133_blocklist_ratio"  -> (q133BlocklistRatio(_, _)),
@@ -5712,7 +5797,7 @@ object LlmQueries {
     // time — omit the entry so the driver records a rows-only check
     if (q59Assign.nonEmpty) Map("q59_pack_stats" -> q59OracleSql)
     else Map.empty[String, String]
-  ) ++ q173OracleEntry ++ q189OracleEntry ++ Map(
+  ) ++ q173OracleEntry ++ q189OracleEntry ++ q165OracleEntry ++ Map(
     "q45_ann_ivf" -> q45OracleSql,
     "q88_semantic_dedup" -> q88OracleSql,
     "q91_surgical_decon" ->
@@ -6576,6 +6661,23 @@ object LlmQueries {
         |  CAST(ck.st AS INTEGER) AS "start",
         |  CAST(ck.ln AS INTEGER) AS chunk_len, ck.h AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // stage band, md5 key, and ONE global (stage, key, id) row_number —
+    // the engine's staged two-phase prefix sum must agree row-by-row
+    "q195_curriculum_order" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST(least(n_chars // 400, 3) AS BIGINT) AS stage,
+        |    ('0x' || substr(md5('r11:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS sort_key
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, stage, sort_key,
+        |    CAST(row_number() OVER (ORDER BY stage, sort_key, doc_id) - 1
+        |         AS BIGINT) AS global_rank
+        |  FROM k)
+        |SELECT doc_id, stage, sort_key, global_rank,
+        |  global_rank // 50 AS batch_id
+        |FROM r ORDER BY global_rank""".stripMargin,
     "q130_training_order" ->
       """WITH k AS (
         |  SELECT doc_id,

@@ -107,6 +107,53 @@ class ShardingSpec extends SparkSpec {
     assert(s0 == s0.sorted, "shard file must be written in pos order")
   }
 
+  test("curriculumOrder equals the single-window reference; stages are " +
+       "exhausted in order") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf0001).select(
+      col("doc_id"), expr("least(n_chars div 400, 3)").as("stage"))
+    // naive reference: the seeded key + ONE global (stage, key, id) window
+    val keyed = docs
+      .withColumn("sort_key",
+                  conv(substring(md5(concat_ws(":", lit("t"),
+                                               col("doc_id").cast("string"))
+                                       .cast("binary")), 1, 15), 16, 10)
+                    .cast("long"))
+    val refW = Window.orderBy("stage", "sort_key", "doc_id")
+    val ref = keyed
+      .withColumn("global_rank",
+                  (row_number().over(refW) - 1).cast("long"))
+      .withColumn("batch_id", expr("global_rank div 50L"))
+      .select("doc_id", "stage", "sort_key", "global_rank", "batch_id")
+      .orderBy("doc_id").collect().toSeq
+    // the staged distributed prefix sum must agree exactly at every
+    // bucket count, including degenerate 1-row buckets and nBuckets = 1
+    for (b <- Seq(1, 7, 32, 5000)) {
+      val got = Sharding.curriculumOrder(docs, "doc_id", "stage",
+                                         seed = "t", nBuckets = b,
+                                         batchSize = 50L)
+        .select("doc_id", "stage", "sort_key", "global_rank", "batch_id")
+        .orderBy("doc_id").collect().toSeq
+      assert(got == ref, s"nBuckets=$b diverged from the reference window")
+    }
+    // curriculum invariant: stage s is exhausted before s+1 begins
+    val bounds = Sharding.curriculumOrder(docs, "doc_id", "stage",
+                                          seed = "t", nBuckets = 32,
+                                          batchSize = 50L)
+      .groupBy("stage")
+      .agg(min("global_rank").as("lo"), max("global_rank").as("hi"),
+           count(lit(1)).as("n"))
+      .orderBy("stage").collect()
+    assert(bounds.length > 1, "fixture must span multiple stages")
+    bounds.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"),
+             s"stage overlap: $a vs $b")
+    }
+    // ranks are gapless overall
+    assert(bounds.map(_.getAs[Long]("n")).sum ==
+             bounds.last.getAs[Long]("hi") + 1)
+  }
+
   test("lengthBatching equals the single-window per-band reference; batches respect capacity") {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(spark, sf0001).select(
