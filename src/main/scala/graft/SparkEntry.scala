@@ -140,7 +140,7 @@ object SparkEntry {
     "q182_positional_roll",
     "q183_proximity_search",
     "q184_vocab_coverage",
-    "q185_salted_join",
+    "q185_skew_join",
     "q186_padding_waste",
     "q188_index_manifest",
     "q189_hll_distinct",
@@ -148,7 +148,10 @@ object SparkEntry {
     "q191_indexed_hybrid",
     "q192_selective_reindex",
     "q193_changelog_bm25",
-    "q194_length_quantiles"
+    "q194_length_quantiles",
+    "q195_curriculum_order",
+    "q196_gif_frames",
+    "q197_sketch_roll"
   )
   // (q192 recomputes the changelog-driven roll each run — the timed
   // cost is the maintenance job itself, not a memoized read)

@@ -98,23 +98,23 @@ object BpeTrainer {
   def save(spark: org.apache.spark.sql.SparkSession,
            merges: Seq[(String, String)], name: String): Unit = {
     import spark.implicits._
-    IndexStore.dropWithLocation(spark, s"${name}_merges", None)
-    merges.zipWithIndex
-      .map { case ((a, b), i) => (i, a, b) }
-      .toDF("merge_idx", "left", "right")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .format("parquet").saveAsTable(s"${name}_merges")
+    IndexStore.savePlainArtifact(
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i, a, b) }
+        .toDF("merge_idx", "left", "right"),
+      s"${name}_merges")
   }
 
   /** Load a persisted merge list in fit order. */
   def load(spark: org.apache.spark.sql.SparkSession,
            name: String): Seq[(String, String)] =
-    spark.table(s"${name}_merges").orderBy("merge_idx")
+    IndexStore.loadPlainArtifact(spark, s"${name}_merges")
+      .orderBy("merge_idx")
       .collect().toSeq
       .map(r => (r.getString(1), r.getString(2)))
 
   def drop(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
-    IndexStore.dropWithLocation(spark, s"${name}_merges", None)
+    IndexStore.dropArtifact(spark, s"${name}_merges")
 
   /** The marker-delimited symbol stream of one word: "ab" → "<a> <b>". */
   private def spaced(w: Column): Column =

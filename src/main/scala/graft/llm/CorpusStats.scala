@@ -47,21 +47,20 @@ object CorpusStats {
       .groupBy("token")
       .agg(sum("n").as("n"))
 
-  def saveCounts(counts: DataFrame, name: String): Unit = {
-    val spark = counts.sparkSession
-    IndexStore.dropWithLocation(spark, s"${name}_counts", None)
-    counts.select("token", "n")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .format("parquet").saveAsTable(s"${name}_counts")
-  }
+  /** Versioned publish ([[IndexStore.savePlainArtifact]]): the daily
+    * stats roll must never destroy the live counts on a crashed save.
+    */
+  def saveCounts(counts: DataFrame, name: String): Unit =
+    IndexStore.savePlainArtifact(counts.select("token", "n"),
+                                 s"${name}_counts")
 
   def loadCounts(spark: org.apache.spark.sql.SparkSession,
                  name: String): DataFrame =
-    spark.table(s"${name}_counts")
+    IndexStore.loadPlainArtifact(spark, s"${name}_counts")
 
   def dropCounts(spark: org.apache.spark.sql.SparkSession,
                  name: String): Unit =
-    IndexStore.dropWithLocation(spark, s"${name}_counts", None)
+    IndexStore.dropArtifact(spark, s"${name}_counts")
 
   /** Population Stability Index between a REFERENCE and a CURRENT score
     * distribution — the standard drift number data-quality monitors

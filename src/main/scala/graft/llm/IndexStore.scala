@@ -401,6 +401,33 @@ object IndexStore {
       loadTable(spark, s"${name}_postings", dir.map(d => s"$d/postings")),
       loadTable(spark, s"${name}_stats", dir.map(d => s"$d/stats")))
 
+  // --------------------------------------------------- plain artifacts
+
+  /** Versioned publish of a single plain artifact table (token counts,
+    * fitted vocabularies, merge lists, LM tables) — the daily-rolled
+    * artifacts outside the index families get the SAME commit protocol:
+    * a crashed vocab refit must not destroy the vocabulary yesterday's
+    * shards were tokenized with.
+    */
+  private[graft] def savePlainArtifact(df: DataFrame, table: String,
+                                       dir: Option[String] = None): Unit =
+    publishTable(df, table, None, dir)
+
+  private[graft] def loadPlainArtifact(spark: SparkSession, table: String,
+                                       dir: Option[String] = None): DataFrame =
+    loadTable(spark, table, dir)
+
+  /** Drop ONE versioned table (all versions + base location). */
+  private[graft] def dropArtifact(spark: SparkSession,
+                                  table: String): Unit = dropOne(spark, table)
+
+  private def dropOne(spark: SparkSession, t: String): Unit = {
+    spark.sql(s"SHOW TABLES LIKE '${t.toLowerCase(java.util.Locale.ROOT)}__v*'")
+      .collect()
+      .foreach(r => spark.sql(s"DROP TABLE IF EXISTS ${r.getString(1)}"))
+    dropWithLocation(spark, t, None)
+  }
+
   private def indexTableNames(name: String): Seq[String] =
     Seq(name, s"${name}_buckets", s"${name}_shingles",
         s"${name}_assigned", s"${name}_centroids",
@@ -412,10 +439,5 @@ object IndexStore {
     * lifecycle, as before).
     */
   def drop(spark: SparkSession, name: String): Unit =
-    indexTableNames(name).foreach { t =>
-      spark.sql(s"SHOW TABLES LIKE '${t.toLowerCase(java.util.Locale.ROOT)}__v*'")
-        .collect()
-        .foreach(r => spark.sql(s"DROP TABLE IF EXISTS ${r.getString(1)}"))
-      dropWithLocation(spark, t, None)
-    }
+    indexTableNames(name).foreach(dropOne(spark, _))
 }

@@ -13,9 +13,12 @@ import org.apache.spark.sql.types._
   * luminance into a fixed-length feature grid. AUDIO decode is REAL too:
   * [[JavaSoundDecoder]] parses WAV/AIFF/AU PCM through
   * `javax.sound.sampled` (also bundled with every JDK) and window-pools
-  * channel-averaged amplitude with the same cell arithmetic. Only VIDEO
-  * decode stays a clearly-marked stub ([[StubDecoder]] — no video codec
-  * ships with the JDK); all three sit behind the same decoder seam.
+  * channel-averaged amplitude with the same cell arithmetic. Multi-frame
+  * VIDEO-style decode is REAL for animated GIFs ([[decodeGifFrames]] —
+  * `ImageReader.getNumImages`/`read(i)`, the one animated container the
+  * JDK ships a codec for); only audio-video container formats (mp4/mkv/
+  * webm) stay a clearly-marked stub ([[StubDecoder]] — no such codec
+  * ships with the JDK). All decoders sit behind the same seam.
   *
   * Scale notes: media blobs ride in their partition; decode is row-local
   * (no shuffle), and the decoder is initialized once per partition. Frame
@@ -192,9 +195,10 @@ object Multimodal {
   }
 
   /** STUB: deterministic fake decoder — "pixels" are a byte-content hash
-    * walk. Retained ONLY for video, where no codec ships with the JDK;
-    * images go through [[ImageIoDecoder]] and audio through
-    * [[JavaSoundDecoder]].
+    * walk. Retained ONLY for audio-video container formats (mp4/mkv/
+    * webm), where no codec ships with the JDK; images go through
+    * [[ImageIoDecoder]], audio through [[JavaSoundDecoder]], and
+    * animated GIFs through the real multi-frame [[decodeGifFrames]].
     */
   class StubDecoder extends MediaDecoder {
     def decodeImage(bytes: Array[Byte], dims: Int): (Int, Int, Array[Double]) = {
@@ -320,6 +324,150 @@ object Multimodal {
         javax.sound.sampled.AudioSystem.write(
           ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
         Row(id, "audio", bos.toByteArray, null, null, n * 1000L / rate)
+      }
+    }(enc)
+  }
+
+  /** Synthesize REAL multi-frame ANIMATED GIFs from the documents table —
+    * every doc becomes an animated GIF with `2 + (id mod 3)` frames of
+    * the q43 dimensions (w ∈ {8..24 step 4}, h ∈ {8,16,24} — both
+    * divisible by the 2×4 pool grid, so every cell is the same size) and
+    * luminance `(id·31 + f·97 + y·w + x) mod 256` at pixel (x,y) of
+    * frame f. Frames are written through the real JDK GIF sequence
+    * encoder (`ImageWriter.writeToSequence`) over a 256-entry grayscale
+    * `IndexColorModel`; GIF stores indexed pixels losslessly and the JDK
+    * writer preserves the palette, so the encode→decode round trip is
+    * bit-exact (MultimodalSpec pins it) and the whole pipeline replays
+    * in plain SQL. `media_type` is "video": the animated container is
+    * the one video-ish format every JDK really decodes, which is what
+    * shrinks [[StubDecoder]]'s remit to audio-video container formats.
+    */
+  def syntheticGifMedia(documents: DataFrame): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    documents.select(col("doc_id")).mapPartitions { rows =>
+      imageIoMemoryCache
+      val gray = Array.tabulate[Byte](256)(i => i.toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 8 + (id % 5).toInt * 4
+        val h = 8 + (id % 3).toInt * 8
+        val nf = 2 + (id % 3).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val wr = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        wr.setOutput(ios)
+        wr.prepareWriteSequence(null)
+        var f = 0
+        while (f < nf) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0,
+                               ((id * 31 + f * 97 + y * w + x) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          wr.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+                             null)
+          f += 1
+        }
+        wr.endWriteSequence()
+        ios.close()
+        wr.dispose()
+        Row(id, "video", bos.toByteArray, w, h, nf * 100L)
+      }
+    }(enc)
+  }
+
+  val gifFrameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("features", ArrayType(DoubleType, false), nullable = false)))
+
+  /** REAL multi-frame decode of animated GIFs: one output row per frame,
+    * each average-pooled into the [[ImageIoDecoder]] luminance grid —
+    * the frame-extraction stage a video pipeline runs before per-frame
+    * dedup/captioning, on the one animated container the JDK ships a
+    * codec for (`ImageReader.getNumImages(true)` + `read(i)`).
+    *
+    * Luminance resolves through the frame's palette (`getRGB` + integer
+    * BT.601), never the raw index — a non-gray palette decodes correctly,
+    * and for a grayscale palette (R=G=B=i) the luma IS the index, so the
+    * synthetic corpus replays exactly in SQL. Rows whose bytes don't
+    * decode (or aren't GIF) yield one quarantine row (frame_idx −1,
+    * width 0) instead of failing the partition — the image/audio
+    * convention. Row-local mapPartitions, reader built per row (readers
+    * are stateful over their input stream), zero shuffle; frames of one
+    * blob never straddle partitions.
+    */
+  def decodeGifFrames(media: DataFrame, dims: Int = 8): DataFrame = {
+    val in = media.filter(col("media_type").isin("image", "video"))
+      .select(col("media_id").cast("long"), col("content"))
+    val enc = Encoders.row(gifFrameSchema)
+    in.mapPartitions { rows =>
+      imageIoMemoryCache
+      val gh0 = math.sqrt(dims.toDouble).toInt
+      require(gh0 > 0 && dims % gh0 == 0,
+              s"dims must factor as ⌊√dims⌋×(dims/⌊√dims⌋), got $dims")
+      val gw0 = dims / gh0
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val quarantine =
+          Row(id, -1, 0, 0, 0, new Array[Double](dims).toSeq)
+        if (bytes == null || bytes.isEmpty) Iterator.single(quarantine)
+        else {
+          val frames =
+            try {
+              val rd = javax.imageio.ImageIO
+                .getImageReadersByFormatName("gif").next()
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                rd.setInput(iis, false)
+                val n = rd.getNumImages(true)
+                (0 until n).map { f =>
+                  val img = rd.read(f)
+                  val w = img.getWidth; val h = img.getHeight
+                  val sums = new Array[Long](dims)
+                  val counts = new Array[Long](dims)
+                  var y = 0
+                  while (y < h) {
+                    val cy = y * gh0 / h
+                    var x = 0
+                    while (x < w) {
+                      val rgb = img.getRGB(x, y)
+                      val lum = (299 * ((rgb >> 16) & 0xFF) +
+                                 587 * ((rgb >> 8) & 0xFF) +
+                                 114 * (rgb & 0xFF)) / 1000
+                      val c = cy * gw0 + x * gw0 / w
+                      sums(c) += lum
+                      counts(c) += 1
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val feats = Array.tabulate(dims) { i =>
+                    if (counts(i) == 0) 0.0
+                    else sums(i).toDouble / counts(i) / 255.0
+                  }
+                  Row(id, f, n, w, h, feats.toSeq)
+                }
+              } finally { iis.close(); rd.dispose() }
+            } catch { case _: Exception => Seq.empty[Row] }
+          if (frames.isEmpty) Iterator.single(quarantine)
+          else frames.iterator
+        }
       }
     }(enc)
   }

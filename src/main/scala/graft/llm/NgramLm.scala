@@ -70,30 +70,26 @@ object NgramLm {
   def save(model: LmModel, name: String): Unit = {
     val spark = model.counts.sparkSession
     import spark.implicits._
-    def w(df: DataFrame, t: String): Unit = {
-      // metadata + stale-location drop (the cross-session re-save trap —
-      // see IndexStore.dropWithLocation)
-      IndexStore.dropWithLocation(spark, t, None)
-      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .format("parquet").saveAsTable(t)
-    }
-    w(model.counts, s"${name}_counts")
-    w(model.ctxTotals, s"${name}_totals")
-    w(Seq((model.n, model.vocabSize)).toDF("n", "vocab_size"),
+    // versioned publish (IndexStore.savePlainArtifact): a crashed
+    // re-fit must not destroy the live model
+    IndexStore.savePlainArtifact(model.counts, s"${name}_counts")
+    IndexStore.savePlainArtifact(model.ctxTotals, s"${name}_totals")
+    IndexStore.savePlainArtifact(
+      Seq((model.n, model.vocabSize)).toDF("n", "vocab_size"),
       s"${name}_meta")
   }
 
   def load(spark: org.apache.spark.sql.SparkSession,
            name: String): LmModel = {
-    val meta = spark.table(s"${name}_meta").head()
-    LmModel(spark.table(s"${name}_counts"),
-            spark.table(s"${name}_totals"),
+    val meta = IndexStore.loadPlainArtifact(spark, s"${name}_meta").head()
+    LmModel(IndexStore.loadPlainArtifact(spark, s"${name}_counts"),
+            IndexStore.loadPlainArtifact(spark, s"${name}_totals"),
             meta.getLong(1), meta.getInt(0))
   }
 
   def drop(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
     Seq(s"${name}_counts", s"${name}_totals", s"${name}_meta")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      .foreach(t => IndexStore.dropArtifact(spark, t))
 
   /** Score documents against a fitted model: per-doc gram count, mean
     * add-k log-probability, and perplexity exp(−mean). Unseen grams get

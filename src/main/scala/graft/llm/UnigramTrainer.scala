@@ -147,17 +147,16 @@ object UnigramTrainer {
   def save(spark: SparkSession, vocab: Seq[(String, Long)],
            name: String): Unit = {
     import spark.implicits._
-    IndexStore.dropWithLocation(spark, s"${name}_pieces", None)
-    vocab.zipWithIndex
-      .map { case ((p, n), i) => (i, p, n) }
-      .toDF("rank", "piece", "n")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .format("parquet").saveAsTable(s"${name}_pieces")
+    IndexStore.savePlainArtifact(
+      vocab.zipWithIndex
+        .map { case ((p, n), i) => (i, p, n) }
+        .toDF("rank", "piece", "n"),
+      s"${name}_pieces")
   }
 
   /** Load a persisted vocabulary in rank order. */
   def load(spark: SparkSession, name: String): Seq[(String, Long)] =
-    spark.table(s"${name}_pieces").orderBy("rank")
+    IndexStore.loadPlainArtifact(spark, s"${name}_pieces").orderBy("rank")
       .collect().toSeq.map(r => (r.getString(1), r.getLong(2)))
 
   /** Greedy maximal-munch segmentation of one word: repeatedly take the

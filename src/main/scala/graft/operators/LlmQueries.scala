@@ -784,6 +784,31 @@ object LlmQueries {
       .orderBy("media_id")
   }
 
+  /** REAL multi-frame video-style decode + frame sampling
+    * ([[Multimodal.syntheticGifMedia]] → [[Multimodal.decodeGifFrames]]):
+    * deterministic ANIMATED GIFs (2–4 frames each, real JDK GIF sequence
+    * encoder) are frame-extracted through `javax.imageio`'s actual
+    * multi-image reader, every 2nd frame is sampled (the q40 schedule,
+    * now over REAL frames), and each sampled frame is average-pooled
+    * into the 2×4 luminance grid with the exact-integer fold-back of
+    * q43 (uniform cells, ⌊x+0.5⌋ kills the double error). FULLY
+    * oracle-checked: GIF's indexed storage is lossless over the 256-gray
+    * palette, so DuckDB regenerates every pixel of every frame from the
+    * (id·31 + f·97 + p) mod 256 formula and replays the sampling.
+    */
+  def q196GifFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeGifFrames(
+      Multimodal.syntheticGifMedia(Tables.documents(spark, dir)), dims = 8)
+      .filter(col("frame_idx") % 2 === 0)
+      .select(col("media_id"), col("frame_idx"), col("n_frames"),
+              col("width"), col("height"),
+              floor(aggregate(col("features"), lit(0.0d),
+                              (acc, x) => acc + x)
+                      * (col("height") / 2) * (col("width") / 4)
+                      * 255.0d + 0.5d)
+                .cast("long").as("lum_sum"))
+      .orderBy("media_id", "frame_idx")
+
   /** Image near-duplicate detection by perceptual hash — the multimodal
     * dedup stage: content-keyed 16×16 PNGs
     * ([[Multimodal.syntheticContentImages]] — REAL `ImageIO` encode)
@@ -2511,27 +2536,35 @@ object LlmQueries {
       .orderBy(col("query"), desc("prox_tf"), col("doc_id"))
   }
 
-  /** Salted join under the oracle ([[graft.operators.Skew.saltedJoin]]):
-    * the events fact table joined to a #event-types dim through the
-    * EXPLICIT skew-salting path — the big side salted deterministically
-    * from row content, the dim replicated n=8 ways, the join keyed on
-    * (event_type, salt) — then rolled up per type. The oracle replays
-    * the PLAIN join + rollup, so the hash check pins that salting is
-    * semantics-preserving on real data (SkewAndAggSpec pins it
-    * row-identically on a synthetic hot key). At 100 TB this is the
-    * planner-independent fallback when one key holds a double-digit
-    * share of the fact table and even AQE's split leaves a straggler:
-    * the hot key's rows spread over n reducers BY CONSTRUCTION.
+  /** Skew-aware fact-to-dim join — the ADJUDICATED implementation
+    * (round 11, replacing round 10's always-salted q185_salted_join):
+    * the events fact table joins its #event-types dim through the
+    * PLANNER's path and lets the engine handle skew — broadcast when
+    * the dim fits (it does here: zero shuffle, reducer skew cannot
+    * exist), AQE's skew-join split when both sides must shuffle.
+    *
+    * The measured adjudication on a synthetic 90%-hot-key corpus at
+    * ×20 (2M rows, broadcast disabled so every variant shuffles,
+    * 3 solo reruns — ScaleProbe `skew_`): unsplit straggler
+    * 2.28/2.44/2.47 s, AQE split 1.55/1.69/1.71 s, manual
+    * [[graft.operators.Skew.saltedJoin]] 1.72/1.88/1.89 s. AQE's
+    * runtime split is consistently ~10% ahead of the explicit salt
+    * (it splits ONLY the skewed partitions; the salt taxes every row
+    * with a wider key + 8× dim replication), so the planner path is
+    * the production default. `Skew.saltedJoin` remains the documented
+    * planner-independent fallback for the joins AQE cannot split —
+    * no shuffle stage to split (bucketed-scan joins), or skew born
+    * downstream of the exchange — with its semantics-preservation
+    * pinned row-identically by SkewAndAggSpec and the probe.
+    * The oracle replays the plain join + rollup, unchanged.
     */
-  def q185SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+  def q185SkewJoin(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(spark, dir)
       .select(col("event_type"), col("value"), col("event_id"))
     val dim = events.select("event_type").distinct()
       .withColumn("weight",
                   (length(col("event_type")) * lit(1000L)).cast("long"))
-    graft.operators.Skew
-      .saltedJoin(events, dim, "event_type", n = 8,
-                  saltCols = Seq("event_id"))
+    events.join(dim, Seq("event_type"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
            sum("weight").as("weight_mass"),
@@ -2867,6 +2900,50 @@ object LlmQueries {
            (max(when(col("q") === 99, col("value_lb"))) - 1).as("p99_len"))
       .orderBy("scope")
   }
+
+  /** PERSISTED quantile-sketch roll ([[Sketches.logBin]] +
+    * [[IndexStore.savePlainArtifact]]) — the maintenance half of q194,
+    * completing the index-roll contract for the sketch family: the
+    * per-source log-bin histograms of the base slice (doc_id % 10 ≠ 6)
+    * are built ONCE and published through the versioned-commit store
+    * (the q45/q143 steady-state pattern), then the daily delta slice
+    * (doc_id % 10 = 6) rolls in by PLAIN COUNTER ADDITION — one
+    * delta-sized binning scan + a sketch-scale merge; base text is
+    * never re-read. The GLOBAL row merges the rolled per-source tables
+    * the same way. FULLY oracle-checked against a from-scratch rebuild
+    * over the whole corpus (rolled ≡ rebuilt — counter addition is
+    * associative, and the oracle hash pins it on real data).
+    */
+  def q197SketchRoll(spark: SparkSession, dir: String): DataFrame = {
+    def binned(d: DataFrame) = d.select(
+      col("source").as("scope"),
+      Sketches.logBin(
+        (size(Dedup.wordTokens(col("text"))) + 1).cast("long")).as("bin"))
+    val docs = Tables.documents(spark, dir)
+    val name = q197Saved.getOrElseUpdate(dir, {
+      val n = "graft_hist_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      IndexStore.savePlainArtifact(
+        binned(docs.filter(col("doc_id") % 10 =!= 6))
+          .groupBy("scope", "bin").agg(count(lit(1)).as("cnt")),
+        n)
+      n
+    })
+    val delta = binned(docs.filter(col("doc_id") % 10 === 6))
+      .groupBy("scope", "bin").agg(count(lit(1)).as("cnt"))
+    val rolled = IndexStore.loadPlainArtifact(spark, name)
+      .unionByName(delta)
+      .groupBy("scope", "bin").agg(sum("cnt").as("cnt"))
+    val merged = rolled.groupBy("bin").agg(sum("cnt").as("cnt"))
+      .select(lit("GLOBAL").as("scope"), col("bin"), col("cnt"))
+    Sketches.binQuantiles(rolled.unionByName(merged), Seq(50, 90, 99))
+      .groupBy("scope")
+      .agg(max("n_rows").as("n_docs"),
+           (max(when(col("q") === 50, col("value_lb"))) - 1).as("p50_len"),
+           (max(when(col("q") === 90, col("value_lb"))) - 1).as("p90_len"),
+           (max(when(col("q") === 99, col("value_lb"))) - 1).as("p99_len"))
+      .orderBy("scope")
+  }
+  private val q197Saved = new graft.SavedOnce[String, String]
 
   /** Indexed hybrid retrieval — q94's RRF stack moved onto the
     * PERSISTED indexes (the serving path): the BM25 ranking answered
@@ -4670,7 +4747,7 @@ object LlmQueries {
     "q182_positional_roll" -> (q182PositionalRoll(_, _)),
     "q183_proximity_search" -> (q183ProximitySearch(_, _)),
     "q184_vocab_coverage" -> (q184VocabCoverage(_, _)),
-    "q185_salted_join" -> (q185SaltedJoin(_, _)),
+    "q185_skew_join"   -> (q185SkewJoin(_, _)),
     "q186_padding_waste" -> (q186PaddingWaste(_, _)),
     "q187_streaming_stats_roll" -> (q187StreamingStatsRoll(_, _)),
     "q188_index_manifest" -> (q188IndexManifest(_, _)),
@@ -4680,6 +4757,7 @@ object LlmQueries {
     "q192_selective_reindex" -> (q192SelectiveReindex(_, _)),
     "q193_changelog_bm25" -> (q193ChangelogBm25(_, _)),
     "q194_length_quantiles" -> (q194LengthQuantiles(_, _)),
+    "q197_sketch_roll"      -> (q197SketchRoll(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -4714,6 +4792,7 @@ object LlmQueries {
     "q38_ann_brute_force"  -> (q38AnnBruteForce(_, _)),
     "q39_ann_lsh"          -> (q39AnnLsh(_, _)),
     "q40_frame_sample"     -> (q40FrameSample(_, _)),
+    "q196_gif_frames"      -> (q196GifFrames(_, _)),
     "q43_multimodal_decode" -> (q43MultimodalDecode(_, _)),
     "q44_lsh_sim_join"     -> (q44LshSimJoin(_, _)),
     "q45_ann_ivf"          -> (q45AnnIvf(_, _)),
@@ -7663,6 +7742,45 @@ object LlmQueries {
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // merged-sketch GLOBAL ≡ direct-binned GLOBAL_DIRECT is inside the
     // hash — the mergeability invariant is oracle-checked, not asserted
+    // rolled ≡ rebuilt: the oracle replays the WHOLE corpus from
+    // scratch (per-source + merged GLOBAL), pinning that the persisted
+    // base histogram + delta counter-add equals the full rebuild
+    "q197_sketch_roll" ->
+      s"""WITH lens AS (
+         |  SELECT source,
+         |    CAST(len(list_filter(string_split_regex(lower(trim(text)),
+         |                                            '\\W+'),
+         |                         x -> len(x) > 0)) + 1 AS BIGINT) AS v
+         |  FROM documents),
+         |binned AS (SELECT source, ${Sketches.logBinSql("v")} AS bin
+         |           FROM lens),
+         |persrc AS (
+         |  SELECT source AS scope, bin, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM binned GROUP BY 1, 2),
+         |gm AS (
+         |  SELECT 'GLOBAL' AS scope, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM persrc GROUP BY 2),
+         |bins AS (SELECT * FROM persrc UNION ALL SELECT * FROM gm),
+         |cum AS (
+         |  SELECT scope, bin,
+         |    sum(cnt) OVER (PARTITION BY scope ORDER BY bin) AS cum,
+         |    sum(cnt) OVER (PARTITION BY scope) AS total
+         |  FROM bins),
+         |hits AS (
+         |  SELECT scope, q, min(bin) AS pbin,
+         |    CAST(max(total) AS BIGINT) AS n_docs
+         |  FROM cum CROSS JOIN (VALUES (50), (90), (99)) AS qt(q)
+         |  WHERE cum * 100 >= total * q
+         |  GROUP BY 1, 2),
+         |vals AS (
+         |  SELECT scope, q, n_docs,
+         |    ${Sketches.logBinLowerBoundSql("pbin")} - 1 AS len_lb
+         |  FROM hits)
+         |SELECT scope, CAST(max(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(max(CASE WHEN q = 50 THEN len_lb END) AS BIGINT) AS p50_len,
+         |  CAST(max(CASE WHEN q = 90 THEN len_lb END) AS BIGINT) AS p90_len,
+         |  CAST(max(CASE WHEN q = 99 THEN len_lb END) AS BIGINT) AS p99_len
+         |FROM vals GROUP BY scope ORDER BY scope""".stripMargin,
     "q194_length_quantiles" ->
       s"""WITH lens AS (
          |  SELECT source,
@@ -7832,7 +7950,7 @@ object LlmQueries {
         |       // sum(cnt) AS BIGINT) AS oov_ppm
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
     // the PLAIN join + rollup — salting must be semantics-preserving
-    "q185_salted_join" ->
+    "q185_skew_join" ->
       """WITH dim AS (
         |  SELECT event_type,
         |    CAST(length(event_type) * 1000 AS BIGINT) AS weight
@@ -8544,6 +8662,32 @@ object LlmQueries {
         |SELECT media_id, frame_idx, CAST(frame_idx AS BIGINT) * 1000 AS ts_ms
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
 
+    // Replays the GIF-sequence-encode → multi-frame-decode → sample →
+    // grid-pool pipeline arithmetically: pixel (x,y) of frame f has
+    // luminance (media_id*31 + f*97 + y*w + x) mod 256, GIF's indexed
+    // storage is lossless over the gray palette, and the query
+    // reconstitutes each sampled frame's exact integer luminance total.
+    "q196_gif_frames" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS media_id,
+        |         8 + (doc_id % 5) * 4 AS width,
+        |         8 + (doc_id % 3) * 8 AS height,
+        |         2 + (doc_id % 3) AS nf
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, width, height, nf,
+        |         unnest(generate_series(0, nf - 1)) AS fi
+        |  FROM imgs)
+        |SELECT media_id, CAST(fi AS INT) AS frame_idx,
+        |       CAST(nf AS INT) AS n_frames,
+        |       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        |       CAST(sum((media_id * 31 + fi * 97 + p) % 256) AS BIGINT)
+        |         AS lum_sum
+        |FROM f, LATERAL unnest(generate_series(0, width*height - 1))
+        |       AS t(p)
+        |WHERE fi % 2 = 0
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY media_id, frame_idx""".stripMargin,
     // Replays the full PNG-encode → javax.imageio-decode → grid-pool
     // pipeline arithmetically: pixel (x,y) of image media_id has
     // luminance (media_id*31 + y*w + x) mod 256, PNG is lossless, and

@@ -183,6 +183,53 @@ class MultimodalSpec extends SparkSpec {
     assert(d1.getSeq[Double](3).size == 8)
   }
 
+  test("decodeGifFrames: REAL multi-frame GIF decode, per-frame pooled " +
+       "features match the pixel formula exactly") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 7L, 12L).toDF("doc_id")
+    val media = Multimodal.syntheticGifMedia(ids)
+    // frame counts come from the real reader, not metadata
+    val got = Multimodal.decodeGifFrames(media, dims = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+             ((r.getInt(2), r.getInt(3), r.getInt(4),
+               r.getSeq[Double](5))))
+      .toMap
+    for (id <- Seq(0L, 1L, 7L, 12L)) {
+      val w = 8 + (id % 5).toInt * 4
+      val h = 8 + (id % 3).toInt * 8
+      val nf = 2 + (id % 3).toInt
+      assert((0 until nf).forall(f => got.contains((id, f))),
+             s"id=$id must decode all $nf frames")
+      for (f <- 0 until nf) {
+        val (gn, gw, gh, feats) = got((id, f))
+        assert((gn, gw, gh) == ((nf, w, h)))
+        // exact expected pooled grid from the written formula
+        val sums = new Array[Long](8); val counts = new Array[Long](8)
+        for (y <- 0 until h; x <- 0 until w) {
+          val c = (y * 2 / h) * 4 + x * 4 / w
+          sums(c) += (id * 31 + f * 97 + y * w + x) % 256
+          counts(c) += 1
+        }
+        val exp = (0 until 8).map(i => sums(i).toDouble / counts(i) / 255.0)
+        assert(feats == exp, s"id=$id frame=$f pooled mismatch")
+      }
+    }
+  }
+
+  test("decodeGifFrames quarantines undecodable bytes as one " +
+       "(frame_idx -1, width 0) row instead of failing the partition") {
+    import spark.implicits._
+    val junk = Seq(
+      (1L, "video", "definitely not a gif".getBytes("UTF-8")),
+      (2L, "video", Array.empty[Byte]),
+      (3L, "image", null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "media_type", "content")
+    val out = Multimodal.decodeGifFrames(junk, dims = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(3))).sorted
+    assert(out.toSeq == Seq((1L, -1, 0), (2L, -1, 0), (3L, -1, 0)))
+  }
+
   test("sampleFrames: frame count = min(maxFrames, dur/step + 1)") {
     import spark.implicits._
     val media = Seq(

@@ -296,6 +296,53 @@ class RelevanceSpec extends SparkSpec {
            "doc 2's v3 revision must win")
   }
 
+  test("serving-path plans read ONLY the persisted indexes — no " +
+       "corpus-scale scan node (q143/q181/q183/q191 ad-hoc shape)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    IndexStore.saveBm25Index(
+      Relevance.bm25Index(docs, "doc_id", "text"), "graft_srv_bm")
+    IndexStore.savePositionalIndex(
+      Relevance.positionalIndex(docs, "doc_id", "text"), "graft_srv_pos")
+    try {
+      val bm = IndexStore.loadBm25Index(spark, "graft_srv_bm")
+      val pos = IndexStore.loadPositionalIndex(spark, "graft_srv_pos")
+      val bmTop = Relevance
+        .bm25ScoresWithIndex(bm, Seq("vector", "stream", "merge"))
+        .orderBy(desc("bm25"), asc("doc_id")).limit(100)
+        .withColumn("rank",
+                    row_number().over(Window.orderBy(desc("bm25"),
+                                                     asc("doc_id")))
+                      .cast("long"))
+        .select("doc_id", "rank")
+      val phTop = Relevance.phraseMatches(pos, Seq("table", "hash"))
+        .orderBy(desc("phrase_tf"), asc("doc_id")).limit(100)
+        .withColumn("rank",
+                    row_number().over(Window.orderBy(desc("phrase_tf"),
+                                                     asc("doc_id")))
+                      .cast("long"))
+        .select("doc_id", "rank")
+      val serving = Seq(
+        "bm25"  -> Relevance.bm25ScoresWithIndex(bm, Seq("vector")),
+        "phrase" -> Relevance.phraseMatches(pos, Seq("table", "hash")),
+        "prox"  -> Relevance.proximityMatches(pos, Seq("table", "hash"),
+                                              maxGap = 3),
+        "rrf"   -> Relevance.rrfFuse(bmTop, phTop, "bm25", "phrase",
+                                     k = 60, topN = 20))
+      serving.foreach { case (name, df) =>
+        df.collect() // force AQE-final plan
+        val plan = df.queryExecution.executedPlan.toString
+        // every FileScan must read index tables, never the corpus dir
+        assert(!plan.contains(sf0001),
+               s"$name serving plan scans the corpus directory:\n$plan")
+      }
+    } finally {
+      IndexStore.drop(spark, "graft_srv_bm")
+      IndexStore.drop(spark, "graft_srv_pos")
+    }
+  }
+
   test("phrase search over the persisted index prunes postings by token") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     IndexStore.savePositionalIndex(

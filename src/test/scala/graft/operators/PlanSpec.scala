@@ -249,8 +249,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("round-10 fourth/fifth wave: q179 assignment stays row-local " +
-       "until the narrow aggs; q184 vocab broadcasts; q185 salts on " +
-       "(key, salt); no cartesians anywhere") {
+       "until the narrow aggs; q184 vocab broadcasts; q185 rides the " +
+       "planner (broadcast dim, zero reducer skew); no cartesians " +
+       "anywhere") {
     // q179: the rendezvous/mod assignments are pure projections — the
     // only shuffles are the (scheme)/(scheme, shard) aggs and the
     // 2-row join; assert no explode-driven Generate of the shard list
@@ -269,12 +270,17 @@ class PlanSpec extends SparkSpec {
              p184.contains("BroadcastExchange"),
            s"q184 vocab must broadcast:\n$p184")
     assert(!p184.contains("CartesianProduct"))
-    // q185: the join key is the salted composite — the physical join
-    // carries __salt, so the hot key spreads by construction
-    val p185 = LlmQueries.q185SaltedJoin(spark, sf0001)
+    // q185 (adjudicated round 11): the planner path — the tiny dim
+    // must BROADCAST, so no reducer skew can exist at all; the manual
+    // salt stays in Skew.saltedJoin (SkewAndAggSpec + probe) for the
+    // joins AQE cannot split
+    val p185 = LlmQueries.q185SkewJoin(spark, sf0001)
       .queryExecution.executedPlan.toString
-    assert(p185.contains("__salt"),
-           s"q185 must join on the salted key:\n$p185")
+    assert(p185.contains("BroadcastHashJoin") ||
+             p185.contains("BroadcastExchange"),
+           s"q185 dim must broadcast:\n$p185")
+    assert(!p185.contains("__salt"),
+           s"q185 must ride the planner, not the manual salt:\n$p185")
     assert(!p185.contains("CartesianProduct"))
     // q188: digests aggregate — no joins at all in the manifest build,
     // and no window anywhere (sort_array inside agg, not a sort)
