@@ -151,7 +151,8 @@ object SparkEntry {
     "q194_length_quantiles",
     "q195_curriculum_order",
     "q196_gif_frames",
-    "q197_sketch_roll"
+    "q197_sketch_roll",
+    "q198_cdc_dedup"
   )
   // (q192 recomputes the changelog-driven roll each run — the timed
   // cost is the maintenance job itself, not a memoized read)

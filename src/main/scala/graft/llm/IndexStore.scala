@@ -63,6 +63,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * Catalog names are per-version (`{table}__v{N}`) and immutable once
   * created, so no DROP/CREATE flip ever races a reader's resolution; the
   * session catalog is only a cache over the on-disk truth.
+  *
+  * WRITER concurrency contract: one writer per index (the daily roll is
+  * one scheduled job). Readers are unrestricted — any number, any
+  * session, concurrent with the single writer (IndexStoreSpec pins it).
+  * Two simultaneous writers would race the same `__v{N+1}` dir (the
+  * second's torn-dir scrub can delete the first's in-flight data); the
+  * commit-marker create (`overwrite=false`) makes the residual collision
+  * fail loudly rather than publish a mix, but the contract is: serialize
+  * your roll jobs per index.
   */
 object IndexStore {
 

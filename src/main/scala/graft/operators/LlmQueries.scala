@@ -2945,6 +2945,55 @@ object LlmQueries {
   }
   private val q197Saved = new graft.SavedOnce[String, String]
 
+  /** Content-defined-chunking DEDUP report ([[TextAnalysis.cdcChunks]],
+    * q129's chunk table put to its purpose) — the SHIFT-RESILIENCE
+    * demonstration fixed-stride chunking (q115) cannot pass: every
+    * (doc_id % 11 = 5) document is re-ingested as doc_id + 2 000 000
+    * with a 21-char prefix insertion (the crawler-re-scrape edit that
+    * misaligns every fixed window), both corpora chunk by the LBFS gear
+    * rule (k=8, mod 64), and the per-pair report counts chunks and
+    * shared distinct fingerprints. Because CDC boundaries are a local
+    * function of content, they RE-SYNCHRONIZE at the first post-edit
+    * boundary and the planted pairs share nearly all chunks despite the
+    * shift — exactly the signal a chunk-level dedup store uses to
+    * detect near-identical re-crawls without any all-pairs comparison
+    * (chunk fps equi-join, the q34 exact-dedup shape at sub-document
+    * granularity; TextAnalysisSpec pins CDC-shared ≫ fixed-stride-
+    * shared on the same edit). FULLY oracle-checked: DuckDB replays
+    * normalization, gram hashes, boundaries, chunk md5s, and the
+    * intersection counts.
+    */
+  def q198CdcDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val clones = docs.filter(col("doc_id") % 11 === 5)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+              concat(lit("intro insertion shim "), col("text")).as("text"))
+    val chunks = docs.unionByName(clones)
+      .select(col("doc_id"),
+              Dedup.normalizeText(col("text")).as("__norm"))
+      .withColumn("__hs", TextAnalysis.gramHashes(col("__norm"), k = 8))
+      .select(col("doc_id"),
+              explode(TextAnalysis.cdcChunks(col("__norm"), col("__hs"),
+                                             k = 8, modulus = 64))
+                .as("__c"))
+      .select(col("doc_id"), col("__c.chunk_md5").as("chunk_md5"))
+    val a = chunks.filter(col("doc_id") % 11 === 5 &&
+                          col("doc_id") < 2000000L)
+      .select(col("doc_id").as("orig"), col("chunk_md5"))
+    val b = chunks.filter(col("doc_id") >= 2000000L)
+      .select((col("doc_id") - 2000000L).as("orig"), col("chunk_md5"))
+    val shared = a.distinct().join(b.distinct(), Seq("orig", "chunk_md5"))
+      .groupBy("orig").agg(count(lit(1)).as("n_shared"))
+    a.groupBy("orig").agg(count(lit(1)).as("n_chunks_orig"))
+      .join(b.groupBy("orig").agg(count(lit(1)).as("n_chunks_clone")),
+            Seq("orig"))
+      .join(shared, Seq("orig"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .select(col("orig").as("doc_id"), col("n_chunks_orig"),
+              col("n_chunks_clone"), col("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** Indexed hybrid retrieval — q94's RRF stack moved onto the
     * PERSISTED indexes (the serving path): the BM25 ranking answered
     * from q143's postings index and an exact-phrase ranking ("table
@@ -4758,6 +4807,7 @@ object LlmQueries {
     "q193_changelog_bm25" -> (q193ChangelogBm25(_, _)),
     "q194_length_quantiles" -> (q194LengthQuantiles(_, _)),
     "q197_sketch_roll"      -> (q197SketchRoll(_, _)),
+    "q198_cdc_dedup"        -> (q198CdcDedup(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -7742,6 +7792,67 @@ object LlmQueries {
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // merged-sketch GLOBAL ≡ direct-binned GLOBAL_DIRECT is inside the
     // hash — the mergeability invariant is oracle-checked, not asserted
+    // q129's replay machinery (normalization, 8-gram 60-bit hashes,
+    // mod-64 gear boundaries, chunk md5s) over the clone-salted corpus,
+    // then the per-pair distinct-fp intersection
+    "q198_cdc_dedup" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 'intro insertion shim ' || text
+        |  FROM documents WHERE doc_id % 11 = 5),
+        |nrm AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM docs2 WHERE length(regexp_replace(lower(trim(text)),
+        |                                         '\s+', ' ', 'g')) > 0),
+        |h AS (
+        |  SELECT doc_id, s,
+        |    CASE WHEN length(s) >= 8 THEN
+        |      list_transform(range(1, length(s) - 6),
+        |        i -> ('0x' || substr(md5(substr(s, i, 8)), 1, 15))::BIGINT)
+        |    ELSE []::BIGINT[] END AS hs
+        |  FROM nrm),
+        |e AS (
+        |  SELECT doc_id, s,
+        |    list_append(
+        |      list_filter(
+        |        list_transform(
+        |          list_filter(range(1, len(hs) + 1), i -> hs[i] % 64 = 0),
+        |          p -> p + 7),
+        |        x -> x < length(s)),
+        |      CAST(length(s) AS BIGINT)) AS ends
+        |  FROM h),
+        |se AS (
+        |  SELECT doc_id, s, ends,
+        |    list_prepend(CAST(1 AS BIGINT),
+        |                 list_transform(ends[1:len(ends)-1], x -> x + 1))
+        |      AS starts
+        |  FROM e),
+        |ch AS (
+        |  SELECT doc_id,
+        |    md5(substr(s, CAST(starts[u.j] AS INTEGER),
+        |               CAST(ends[u.j] - starts[u.j] + 1 AS INTEGER)))
+        |      AS fp
+        |  FROM se, LATERAL unnest(generate_series(1, len(ends)))
+        |       AS u(j)),
+        |a AS (SELECT doc_id AS orig, fp FROM ch
+        |      WHERE doc_id % 11 = 5 AND doc_id < 2000000),
+        |b AS (SELECT doc_id - 2000000 AS orig, fp FROM ch
+        |      WHERE doc_id >= 2000000),
+        |sh AS (
+        |  SELECT orig, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM (SELECT DISTINCT orig, fp FROM a) x
+        |  JOIN (SELECT DISTINCT orig, fp FROM b) y USING (orig, fp)
+        |  GROUP BY orig),
+        |ca AS (SELECT orig, CAST(count(*) AS BIGINT) AS n_chunks_orig
+        |       FROM a GROUP BY orig),
+        |cb AS (SELECT orig, CAST(count(*) AS BIGINT) AS n_chunks_clone
+        |       FROM b GROUP BY orig)
+        |SELECT ca.orig AS doc_id, n_chunks_orig, n_chunks_clone,
+        |  coalesce(n_shared, 0) AS n_shared
+        |FROM ca JOIN cb USING (orig) LEFT JOIN sh USING (orig)
+        |ORDER BY doc_id""".stripMargin,
     // rolled ≡ rebuilt: the oracle replays the WHOLE corpus from
     // scratch (per-source + merged GLOBAL), pinning that the persisted
     // base histogram + delta counter-add equals the full rebuild

@@ -199,6 +199,72 @@ class TextAnalysisSpec extends SparkSpec {
            s"density off: ${fps(1L).size} picks over $nWindows windows")
   }
 
+  test("cdcChunks tile the normalized text exactly (contiguous, " +
+       "disjoint, covering) and re-key only edited chunks") {
+    import spark.implicits._
+    val text = (1 to 60).map(i => s"word$i token$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.normalizeText(col("text")).as("n"))
+      .withColumn("hs", TextAnalysis.gramHashes(col("n"), k = 8))
+      .select(col("n"), explode(
+        TextAnalysis.cdcChunks(col("n"), col("hs"), k = 8, modulus = 64))
+        .as("c"))
+    val rows = df.select(col("n"), col("c.chunk_idx"), col("c.start"),
+                         col("c.chunk_len"), col("c.chunk_md5"))
+      .collect().sortBy(_.getInt(1))
+    val norm = rows.head.getString(0)
+    assert(rows.length > 3, "fixture must produce several chunks")
+    // contiguous + covering: starts chain exactly, lengths sum to |norm|
+    var expectStart = 1
+    rows.foreach { r =>
+      assert(r.getInt(2) == expectStart, s"gap/overlap at chunk $r")
+      expectStart += r.getInt(3)
+    }
+    assert(expectStart == norm.length + 1)
+    // fingerprints really are the chunk substrings' md5s
+    rows.foreach { r =>
+      val sub = norm.substring(r.getInt(2) - 1,
+                               r.getInt(2) - 1 + r.getInt(3))
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sub.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(4) == md)
+    }
+  }
+
+  test("cdc shift-resilience: a prefix edit re-keys only the chunks up " +
+       "to the first re-synced boundary, while fixed-stride chunking " +
+       "loses every match") {
+    import spark.implicits._
+    val text = (1 to 80).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    def chunkFps(t: String): Set[String] =
+      Seq((1L, t)).toDF("doc_id", "text")
+        .select(Dedup.normalizeText(col("text")).as("n"))
+        .withColumn("hs", TextAnalysis.gramHashes(col("n"), k = 8))
+        .select(explode(TextAnalysis.cdcChunks(col("n"), col("hs"),
+                                               k = 8, modulus = 64))
+                  .as("c"))
+        .select("c.chunk_md5").collect().map(_.getString(0)).toSet
+    def fixedFps(t: String): Set[String] = {
+      val n = t.toLowerCase.trim.replaceAll("\\s+", " ")
+      n.grouped(64).map { s =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }.toSet
+    }
+    val edited = "intro insertion shim " + text
+    val cdcA = chunkFps(text); val cdcB = chunkFps(edited)
+    val cdcShared = (cdcA & cdcB).size
+    val fixedShared = (fixedFps(text) & fixedFps(edited)).size
+    assert(cdcA.size > 5, "fixture must produce several chunks")
+    // CDC loses at most the chunks overlapping the edit + the one it
+    // re-syncs into; everything after is bit-identical
+    assert(cdcShared >= cdcA.size - 2,
+           s"cdc must re-sync: shared $cdcShared of ${cdcA.size}")
+    // the 21-char shift misaligns EVERY fixed window
+    assert(fixedShared == 0, s"fixed-stride should lose all matches")
+    assert(cdcShared > fixedShared)
+  }
+
   test("blocklistHits counts spam markers over word tokens, case-folded") {
     import spark.implicits._
     val df = Seq(
