@@ -381,20 +381,8 @@ object Dedup {
                                  k: Int = 5, numHashes: Int = 32,
                                  bands: Int = 8,
                                  threshold: Double = 0.5): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val sigs = portableSigTable(batch, idCol, textCol, k, numHashes)
-    val banded = bandedBuckets(sigs, bands,
-                               portableBucketOfBand(numHashes, bands))
-    val cand = banded.join(index.buckets, Seq("band", "bucket"))
-      .select("doc_id", "corpus_id")
-      .distinct()
-    val verified = cand
-      .join(sigs.select(col("doc_id"), col("shh").as("sh_b")), Seq("doc_id"))
-      .join(index.shingles.select(col("corpus_id"), col("shh").as("sh_c")),
-            Seq("corpus_id"))
-      .select(col("doc_id"), col("corpus_id"),
-              jaccardLong(col("sh_b"), col("sh_c")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val verified = minhashIncrementalPairsPortable(
+      batch, index, idCol, textCol, k, numHashes, bands, threshold)
     // min(struct) picks the smallest corpus_id and carries ITS jaccard —
     // deterministic however many corpus docs a batch doc matches.
     val best = verified.groupBy("doc_id")
@@ -406,6 +394,85 @@ object Dedup {
       .select(col("doc_id"),
               col("match_id").isNotNull.as("dup_of_corpus"),
               col("match_id"), col("match_jaccard"))
+  }
+
+  /** ALL verified (batch doc, corpus doc) near-dup pairs against an
+    * existing [[MinhashIndex]] — [[minhashIncrementalPortable]]'s edge
+    * set before its best-match aggregation, exposed for graph-level
+    * maintenance ([[rollClusters]] needs every edge, not just each
+    * doc's minimum match). Same plan shape and bounds: the index side
+    * is touched only on its join key, a batch doc emits at most
+    * bands×maxBucket candidates.
+    */
+  def minhashIncrementalPairsPortable(batch: DataFrame,
+                                      index: MinhashIndex,
+                                      idCol: String, textCol: String,
+                                      k: Int = 5, numHashes: Int = 32,
+                                      bands: Int = 8,
+                                      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = portableSigTable(batch, idCol, textCol, k, numHashes)
+    val banded = bandedBuckets(sigs, bands,
+                               portableBucketOfBand(numHashes, bands))
+    val cand = banded.join(index.buckets, Seq("band", "bucket"))
+      .select("doc_id", "corpus_id")
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id"), col("shh").as("sh_b")), Seq("doc_id"))
+      .join(index.shingles.select(col("corpus_id"), col("shh").as("sh_c")),
+            Seq("corpus_id"))
+      .select(col("doc_id"), col("corpus_id"),
+              jaccardLong(col("sh_b"), col("sh_c")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** ROLL a persisted CLUSTER ASSIGNMENT forward with a delta batch —
+    * the graph half of the daily dedup maintenance contract: the
+    * release pipeline keeps (doc_id, cluster_id) families current
+    * without ever re-running the corpus-scale pair generation. The
+    * rolled graph is
+    *
+    *   star edges of the existing assignment (doc → its cluster label)
+    *   ∪ delta-vs-corpus verified pairs (classified against the
+    *     PERSISTED index — corpus text never re-shingled)
+    *   ∪ delta-vs-delta verified pairs (delta-sized self-banding),
+    *
+    * closed by the same contraction CC ([[clustersFromEdges]]). Because
+    * star edges reproduce exactly the base components and labels are
+    * component minima, the result equals [[clustersFromPairs]] rebuilt
+    * over base ∪ delta whenever the maxBucket boilerplate guard agrees
+    * between the two views (a bucket that crosses the guard only once
+    * the delta lands can diverge — boilerplate junk by definition; the
+    * q151 mergeMinhashIndex caveat, same remedy: heavy re-ingest ⇒
+    * schedule a rebuild). DedupSpec pins rolled ≡ rebuilt on
+    * cross-boundary transitive chains including a delta doc that merges
+    * TWO base clusters; q199's oracle replays the full rebuild closure
+    * on real data.
+    *
+    * Scale shape: delta shingling is O(delta) row-local; the corpus
+    * contributes one narrow star-edge projection of the persisted
+    * cluster table plus index-key joins; the closure starts from a
+    * near-contracted graph (stars are depth-1), so it converges in the
+    * local-finish endgame almost immediately.
+    */
+  def rollClusters(baseClusters: DataFrame, index: MinhashIndex,
+                   delta: DataFrame, idCol: String, textCol: String,
+                   k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.5): DataFrame = {
+    val stars = baseClusters
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val deltaCorpus = minhashIncrementalPairsPortable(
+        delta, index, idCol, textCol, k, numHashes, bands, threshold)
+      .select(col("doc_id").as("doc_a"), col("corpus_id").as("doc_b"))
+    val deltaDelta = minhashCandidatePairsPortable(
+        delta, idCol, textCol, k, numHashes, bands, threshold)
+      .select("doc_a", "doc_b")
+    val vertices = baseClusters.select("doc_id")
+      .unionByName(delta.select(col(idCol).as("doc_id")))
+    clustersFromEdges(vertices,
+                      stars.unionByName(deltaCorpus)
+                           .unionByName(deltaDelta))
   }
 
   /** Shared LSH plumbing of both minhash families: band-bucket explode →

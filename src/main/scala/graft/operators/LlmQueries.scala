@@ -2901,6 +2901,44 @@ object LlmQueries {
       .orderBy("scope")
   }
 
+  /** PERSISTED cluster-assignment roll ([[Dedup.rollClusters]]) — the
+    * GRAPH half of the daily dedup maintenance contract, closing the
+    * last un-rolled persisted structure: the release pipeline's
+    * duplicate families (doc_id, cluster_id) stay current as the
+    * (doc_id % 10 = 7) delta lands, WITHOUT re-running corpus-scale
+    * pair generation. Base index and base clusters are built once and
+    * published through the versioned stores; the roll unions the
+    * assignment's star edges with delta-vs-corpus pairs (classified
+    * against the persisted index — corpus text never re-shingled) and
+    * delta-vs-delta pairs, then re-closes with the contraction CC.
+    * FULLY oracle-checked against the FULL-corpus rebuild (q35's exact
+    * replay: signatures, guarded banding, Jaccard verify, recursive
+    * min-label closure) — rolled ≡ rebuilt on real data, transitive
+    * chains across the base/delta boundary included.
+    */
+  def q199ClusterRoll(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val name = q199Saved.getOrElseUpdate(dir, {
+      val n = "graft_clroll_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = docs.filter(col("doc_id") % 10 =!= 7)
+      IndexStore.saveMinhashIndex(
+        Dedup.minhashIndexPortable(base, "doc_id", "text"), n)
+      IndexStore.savePlainArtifact(
+        Dedup.clustersFromPairs(
+            base, "doc_id", "text",
+            Dedup.minhashCandidatePairsPortable(base, "doc_id", "text"))
+          .select("doc_id", "cluster_id"),
+        s"${n}_clusters")
+      n
+    })
+    Dedup.rollClusters(
+        IndexStore.loadPlainArtifact(spark, s"${name}_clusters"),
+        IndexStore.loadMinhashIndex(spark, name),
+        docs.filter(col("doc_id") % 10 === 7), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+  private val q199Saved = new graft.SavedOnce[String, String]
+
   /** PERSISTED quantile-sketch roll ([[Sketches.logBin]] +
     * [[IndexStore.savePlainArtifact]]) — the maintenance half of q194,
     * completing the index-roll contract for the sketch family: the
@@ -4808,6 +4846,7 @@ object LlmQueries {
     "q194_length_quantiles" -> (q194LengthQuantiles(_, _)),
     "q197_sketch_roll"      -> (q197SketchRoll(_, _)),
     "q198_cdc_dedup"        -> (q198CdcDedup(_, _)),
+    "q199_cluster_roll"     -> (q199ClusterRoll(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -6315,6 +6354,11 @@ object LlmQueries {
         |SELECT doc_id, cluster_id, doc_id <> cluster_id AS is_duplicate
         |FROM c ORDER BY doc_id""".stripMargin,
     "q35_minhash_dedup" ->
+      minhashPortableOracleSql(k = 5, numHashes = 32, bands = 8,
+                               threshold = 0.5, maxBucket = 1000),
+    // the ROLLED assignment (persisted clusters + index + delta edges)
+    // must equal the full-corpus rebuild closure — q35's replay verbatim
+    "q199_cluster_roll" ->
       minhashPortableOracleSql(k = 5, numHashes = 32, bands = 8,
                                threshold = 0.5, maxBucket = 1000),
     "q36_simhash" -> simhashPortableOracleSql(60),

@@ -507,6 +507,77 @@ class DedupSpec extends SparkSpec {
            "all buckets hold 6 identical docs > cap 4 — must be dropped")
   }
 
+  test("rollClusters: star edges + delta pairs re-close to exactly the " +
+       "full rebuild — incl. a delta doc that MERGES two base clusters") {
+    import spark.implicits._
+    val t1 = "the quick brown fox jumps over the lazy dog near the " +
+      "quiet river bank while morning light settles on the water"
+    val t2 = "an entirely different corpus document about compilers " +
+      "and register allocation strategies in modern optimizing backends"
+    val t3 = "novel text on oceanic plate tectonics and subduction " +
+      "zones forming volcanic island arcs over geologic eras"
+    // bridge fixture: A and B differ by FOUR word substitutions
+    // (Jaccard < 0.5 ⇒ separate base singletons); X carries two of B's
+    // four substitutions (≈ 0.68 to each side ⇒ links BOTH)
+    val tA = t3
+    val tB = t3.replace("novel", "fresh").replace("oceanic", "maritime")
+      .replace("volcanic", "igneous").replace("geologic", "ancient")
+    val tX = t3.replace("novel", "fresh").replace("oceanic", "maritime")
+    // base: two separate clusters {1,2} (t1-near) and {5,6} (t2-near),
+    // plus the bridge singletons 8 (tA) and 9 (tB)
+    val base = Seq(
+      (1L, t1), (2L, t1.replace("morning", "evening")),
+      (5L, t2), (6L, t2.replace("modern", "current")),
+      (8L, tA), (9L, tB)).toDF("doc_id", "text")
+    // delta: 10 ~ cluster{1,2}; 11 ~ cluster{5,6}; 12 ~ 10 (delta-delta
+    // chain that must close THROUGH the base); 13 novel singleton;
+    // 14 = tX, the bridge that MERGES base clusters {8} and {9}
+    val delta = Seq(
+      (10L, t1.replace("lazy", "sleepy")),
+      (11L, t2.replace("register", "storage")),
+      (12L, t1.replace("lazy", "sleepy").replace("quick", "rapid")),
+      (13L, "completely unrelated content about baking sourdough " +
+            "bread with a long cold fermentation schedule overnight"),
+      (14L, tX))
+      .toDF("doc_id", "text")
+    // 16 bands of 2 rows: the LSH S-curve midpoint drops to ~J 0.35,
+    // so the J≈0.6 bridge pairs band-collide deterministically while
+    // the J≈0.33 A-B pair is still rejected by the exact verify
+    val bands = 16
+    val index = Dedup.minhashIndexPortable(base, "doc_id", "text",
+                                           bands = bands)
+    val baseClusters = Dedup.clustersFromPairs(
+        base, "doc_id", "text",
+        Dedup.minhashCandidatePairsPortable(base, "doc_id", "text",
+                                            bands = bands))
+      .select("doc_id", "cluster_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id", "is_duplicate")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    val rolled = rows(Dedup.rollClusters(baseClusters, index, delta,
+                                         "doc_id", "text", bands = bands))
+    val rebuilt = rows(Dedup.clustersFromPairs(
+      base.unionByName(delta), "doc_id", "text",
+      Dedup.minhashCandidatePairsPortable(base.unionByName(delta),
+                                          "doc_id", "text",
+                                          bands = bands)))
+    assert(rolled == rebuilt, s"rolled=$rolled\nrebuilt=$rebuilt")
+    // the cross-boundary transitive chain landed: 12 ~ 10 ~ {1,2} ⇒
+    // 12's label is the BASE minimum 1 even though 12 never touched a
+    // base doc directly
+    assert(rolled.contains((12L, 1L, true)),
+           s"delta-delta chain must close through the base: $rolled")
+    assert(rolled.contains((11L, 5L, true)))
+    assert(rolled.contains((13L, 13L, false)))
+    // the bridge doc merged the two previously-separate base
+    // singletons: 8, 9, 14 all label 8
+    assert(rolled.contains((8L, 8L, false)) &&
+             rolled.contains((9L, 8L, true)) &&
+             rolled.contains((14L, 8L, true)),
+           s"delta bridge must merge base clusters 8 and 9: $rolled")
+  }
+
   test("cluster-size report conserves mass and matches the cluster table") {
     val stats = graft.operators.LlmQueries
       .q146ClusterStats(spark, sf0001).collect()
