@@ -1022,6 +1022,54 @@ object ScaleProbe {
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", oldSkew)
       }
     }
+    // Round-11: q198's CDC fingerprinting (row-local chunker + fp
+    // joins — should be scan-linear) and q199's cluster roll vs the
+    // full rebuild: the roll pays delta banding + star edges + a
+    // near-contracted closure; the rebuild re-shingles, re-bands, and
+    // re-verifies the WHOLE corpus.
+    section("cdc_chunks cluster_roll cluster_rebuild") {
+      for (n <- Seq(1, 5, 20)) {
+        val d = docsX(n); val rows = d.count()
+        time(s"cdc_chunks     n=$n ($rows)") {
+          noop(d
+            .select(col("doc_id"),
+                    Dedup.normalizeText(col("text")).as("__norm"))
+            .withColumn("__hs",
+                        graft.llm.TextAnalysis.gramHashes(col("__norm"),
+                                                          k = 8))
+            .select(col("doc_id"),
+                    explode(graft.llm.TextAnalysis.cdcChunks(
+                      col("__norm"), col("__hs"), k = 8, modulus = 64))
+                      .as("__c"))
+            .select(col("doc_id"), col("__c.chunk_md5").as("fp"))
+            .groupBy("fp").agg(count(lit(1)).as("n")))
+        }
+        // base = replicated corpus, FIXED delta slice (the daily batch)
+        val delta = Tables.documents(spark, dir)
+          .withColumn("doc_id", col("doc_id") + lit(900000000L))
+          .limit(2000)
+        val index = Dedup.minhashIndexPortable(d, "doc_id", "text")
+        val baseClusters = Dedup.clustersFromPairs(
+            d, "doc_id", "text",
+            Dedup.minhashCandidatePairsPortable(d, "doc_id", "text"))
+          .select("doc_id", "cluster_id")
+          .localCheckpoint(true)
+        val bC = index.buckets.localCheckpoint(true)
+        val sC = index.shingles.localCheckpoint(true)
+        time(s"cluster_roll   n=$n ($rows corpus, 2000 delta)") {
+          noop(Dedup.rollClusters(
+            baseClusters, Dedup.MinhashIndex(bC, sC), delta,
+            "doc_id", "text"))
+        }
+        time(s"cluster_rebuild n=$n ($rows corpus, 2000 delta)") {
+          val u = d.select("doc_id", "text")
+            .unionByName(delta.select("doc_id", "text"))
+          noop(Dedup.clustersFromPairs(
+            u, "doc_id", "text",
+            Dedup.minhashCandidatePairsPortable(u, "doc_id", "text")))
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -216,6 +216,24 @@ class ShardingSpec extends SparkSpec {
            s"band/bucket bases must broadcast:\n$plan")
   }
 
+  test("curriculumOrder plan: data-scale window is (stage, bucket)-" +
+       "partitioned; bases broadcast") {
+    val docs = Tables.documents(spark, sf0001).select(
+      col("doc_id"), expr("least(n_chars div 400, 3)").as("stage"))
+    val plan = Sharding.curriculumOrder(docs, "doc_id", "stage",
+                                        seed = "t", nBuckets = 32,
+                                        batchSize = 50L)
+      .queryExecution.executedPlan.toString
+    // the corpus-scale row_number parallelizes over (stage, hash-bucket)
+    // — never a single-partition global window; only the ≤ stages×32-row
+    // bases frame is globally ordered, and it broadcasts
+    assert(plan.contains("windowspecdefinition(stage"),
+           s"expected a (stage, __bucket)-partitioned window in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+             plan.contains("BroadcastExchange"),
+           s"stage/bucket bases must broadcast:\n$plan")
+  }
+
   test("length-banded batching pads less than single-band (random) " +
        "batching at the same capacity") {
     val toks = Tables.documents(spark, sf0001).select(
