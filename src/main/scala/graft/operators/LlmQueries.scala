@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.llm.{BpeTrainer, Contamination, CorpusStats, Dedup, IndexStore,
                   Multimodal, NgramLm, QualityFilters, Relevance, Sharding,
@@ -2939,6 +2939,126 @@ object LlmQueries {
   }
   private val q199Saved = new graft.SavedOnce[String, String]
 
+  /** DAILY INCREMENTAL RELEASE — the q149 composition applied to the
+    * incremental-maintenance theme: ONE job takes the day's delta batch
+    * (doc_id % 7 = 3, read and materialized ONCE) and rolls EVERY
+    * persisted artifact family forward — exact-fingerprint index
+    * ([[Dedup.mergeFingerprintIndex]], q144's family), BM25 postings +
+    * (n_docs, Σdl) sufficient-statistic stats ([[Relevance
+    * .mergeBm25Index]], q147's), positional index ([[Relevance
+    * .mergePositionalIndex]], q182's), the dataset-card token counts
+    * ([[CorpusStats.mergeCounts]], q180's), the per-source length
+    * histogram (counter addition, q197's), and the near-dup cluster
+    * assignment through the persisted MinHash index ([[Dedup
+    * .rollClusters]], q199's) — and publishes ONE release-gate row per
+    * family: (family, n_rows, checksum), the relation a daily publish
+    * job would gate its pointer-flip on. The checksum is the
+    * order-invariant sum of per-row 60-bit md5 hashes of a canonical
+    * row string, taken mod 2²⁰ so the BIGINT sum cannot overflow at any
+    * corpus size (n·2²⁰ < 2⁶³ up to ~10¹² index rows).
+    *
+    * The oracle never sees the roll: DuckDB rebuilds all six families
+    * FROM SCRATCH over the full corpus and digests the rebuilt rows, so
+    * a hash-green row means rolled ≡ rebuilt byte-for-byte — the
+    * q144/q147/q151/q182/q199 invariant pinned for every family through
+    * one composed job. Scale shape: yesterday's corpus is touched ONLY
+    * through its persisted artifacts (index-sized scans, Exchange-free
+    * where bucketed); the delta is scanned once (materialized), then
+    * tokenized/shingled row-locally per family; every merge is a narrow
+    * union + agg or a broadcast anti-join on the delta id set; and the
+    * checksums are map-side-combined aggregates, one bounded row per
+    * family — the daily publish never re-reads yesterday's text.
+    */
+  def q200DailyRoll(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pre = q200Saved.getOrElseUpdate(dir, {
+      val n = "graft_daily_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = docs.filter(col("doc_id") % 7 =!= 3)
+      IndexStore.saveFingerprintIndex(
+        Dedup.fingerprintIndex(base, "doc_id", "text"), s"${n}_fp")
+      IndexStore.saveBm25Index(
+        Relevance.bm25Index(base, "doc_id", "text"), s"${n}_bm25")
+      IndexStore.savePositionalIndex(
+        Relevance.positionalIndex(base, "doc_id", "text"), s"${n}_pos")
+      CorpusStats.saveCounts(CorpusStats.tokenCounts(base, "text"), n)
+      IndexStore.savePlainArtifact(
+        base.select(col("source").as("scope"),
+                    Sketches.logBin((size(Dedup.wordTokens(col("text"))) + 1)
+                                      .cast("long")).as("bin"))
+          .groupBy("scope", "bin").agg(count(lit(1)).as("cnt")),
+        s"${n}_hist")
+      IndexStore.saveMinhashIndex(
+        Dedup.minhashIndexPortable(base, "doc_id", "text"), s"${n}_mh")
+      IndexStore.savePlainArtifact(
+        Dedup.clustersFromPairs(
+            base, "doc_id", "text",
+            Dedup.minhashCandidatePairsPortable(base, "doc_id", "text"))
+          .select("doc_id", "cluster_id"),
+        s"${n}_clusters")
+      n
+    })
+    // THE day's batch: one pushed-filter read, materialized, feeding
+    // every family's roll below.
+    val delta = docs.filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "text", "source")
+      .transform(graft.Materialize(_))
+
+    def digest(family: String, rows: DataFrame, canon: Column): DataFrame =
+      rows.select(canon.as("c"))
+        .agg(count(lit(1)).as("n_rows"),
+             coalesce(sum(conv(substring(md5(col("c").cast("binary")), 1, 15),
+                               16, 10).cast("long") % 1048576L),
+                      lit(0L)).as("checksum"))
+        .select(lit(family).as("family"), col("n_rows"), col("checksum"))
+
+    val fp = Dedup.mergeFingerprintIndex(
+      IndexStore.loadFingerprintIndex(spark, s"${pre}_fp"),
+      delta, "doc_id", "text")
+    val bm = Relevance.mergeBm25Index(
+      IndexStore.loadBm25Index(spark, s"${pre}_bm25"),
+      delta, "doc_id", "text")
+    val pos = Relevance.mergePositionalIndex(
+      IndexStore.loadPositionalIndex(spark, s"${pre}_pos"),
+      delta, "doc_id", "text")
+    val counts = CorpusStats.mergeCounts(
+      CorpusStats.loadCounts(spark, pre),
+      CorpusStats.tokenCounts(delta, "text"))
+    val hist = IndexStore.loadPlainArtifact(spark, s"${pre}_hist")
+      .unionByName(
+        delta.select(col("source").as("scope"),
+                     Sketches.logBin((size(Dedup.wordTokens(col("text"))) + 1)
+                                       .cast("long")).as("bin"))
+          .groupBy("scope", "bin").agg(count(lit(1)).as("cnt")))
+      .groupBy("scope", "bin").agg(sum("cnt").as("cnt"))
+    val clusters = Dedup.rollClusters(
+      IndexStore.loadPlainArtifact(spark, s"${pre}_clusters"),
+      IndexStore.loadMinhashIndex(spark, s"${pre}_mh"),
+      delta, "doc_id", "text")
+
+    digest("bm25_postings", bm.postings,
+           concat_ws(":", col("token"), col("doc_id"), col("dl"),
+                     col("tf").cast("long")))
+      .unionByName(digest("bm25_stats", bm.stats,
+                          concat_ws(":", lit("stats"), col("n_docs"),
+                                    col("sum_dl"))))
+      .unionByName(digest("clusters", clusters,
+                          concat_ws(":", col("doc_id"), col("cluster_id"))))
+      .unionByName(digest("exact_fp", fp,
+                          concat_ws(":", col("fp"), col("corpus_id"))))
+      .unionByName(digest("length_hist", hist,
+                          concat_ws(":", col("scope"), col("bin"),
+                                    col("cnt"))))
+      .unionByName(digest("positional", pos,
+                          concat_ws(":", col("token"), col("doc_id"),
+                                    array_join(col("positions")
+                                                 .cast("array<string>"),
+                                               ","))))
+      .unionByName(digest("token_counts", counts,
+                          concat_ws(":", col("token"), col("n"))))
+      .orderBy("family")
+  }
+  private val q200Saved = new graft.SavedOnce[String, String]
+
   /** PERSISTED quantile-sketch roll ([[Sketches.logBin]] +
     * [[IndexStore.savePlainArtifact]]) — the maintenance half of q194,
     * completing the index-roll contract for the sketch family: the
@@ -4847,6 +4967,7 @@ object LlmQueries {
     "q197_sketch_roll"      -> (q197SketchRoll(_, _)),
     "q198_cdc_dedup"        -> (q198CdcDedup(_, _)),
     "q199_cluster_roll"     -> (q199ClusterRoll(_, _)),
+    "q200_daily_roll"       -> (q200DailyRoll(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -6361,6 +6482,76 @@ object LlmQueries {
     "q199_cluster_roll" ->
       minhashPortableOracleSql(k = 5, numHashes = 32, bands = 8,
                                threshold = 0.5, maxBucket = 1000),
+    // Every family rebuilt FROM SCRATCH over the full corpus and
+    // digested (order-invariant 60-bit-md5 sum mod 2^20 per canonical
+    // row string) — Spark's ROLLED artifacts must match byte-for-byte.
+    "q200_daily_roll" ->
+      s"""WITH RECURSIVE
+         |${minhashPortableCtes("documents", k = 5, numHashes = 32,
+                                bands = 8, threshold = 0.5,
+                                maxBucket = 1000)},
+         |toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\W+'),
+         |                x -> len(x) > 0) AS t
+         |  FROM documents),
+         |fpr AS (
+         |  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |      AS fp,
+         |    CAST(min(doc_id) AS BIGINT) AS corpus_id
+         |  FROM documents GROUP BY 1),
+         |post AS (
+         |  SELECT u.token, doc_id, CAST(len(t) AS BIGINT) AS dl,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks, LATERAL unnest(t) AS u(token)
+         |  GROUP BY 1, 2, 3),
+         |stat AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(coalesce(sum(len(t)), 0) AS BIGINT) AS sum_dl
+         |  FROM toks),
+         |posr AS (
+         |  SELECT doc_id, t, u.i
+         |  FROM toks, LATERAL unnest(generate_series(0, len(t) - 1))
+         |    AS u(i)),
+         |posl AS (
+         |  SELECT t[i + 1] AS token, doc_id,
+         |    array_to_string(list_sort(list(i)), ',') AS ps
+         |  FROM posr GROUP BY 1, 2),
+         |tc AS (
+         |  SELECT u.token, CAST(count(*) AS BIGINT) AS n
+         |  FROM toks, LATERAL unnest(t) AS u(token) GROUP BY 1),
+         |hist AS (
+         |  SELECT source AS scope, ${Sketches.logBinSql("v")} AS bin,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT source,
+         |          CAST(len(list_filter(
+         |                 string_split_regex(lower(trim(text)), '\\W+'),
+         |                 x -> len(x) > 0)) + 1 AS BIGINT) AS v
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |fam AS (
+         |  SELECT 'bm25_postings' AS family,
+         |    token || ':' || doc_id || ':' || dl || ':' || tf AS c
+         |  FROM post
+         |  UNION ALL
+         |  SELECT 'bm25_stats', 'stats:' || n_docs || ':' || sum_dl
+         |  FROM stat
+         |  UNION ALL
+         |  SELECT 'clusters', doc_id || ':' || cluster_id FROM cc
+         |  UNION ALL
+         |  SELECT 'exact_fp', fp || ':' || corpus_id FROM fpr
+         |  UNION ALL
+         |  SELECT 'length_hist', scope || ':' || bin || ':' || cnt
+         |  FROM hist
+         |  UNION ALL
+         |  SELECT 'positional', token || ':' || doc_id || ':' || ps
+         |  FROM posl
+         |  UNION ALL
+         |  SELECT 'token_counts', token || ':' || n FROM tc)
+         |SELECT family, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(coalesce(sum(('0x' || substr(md5(c), 1, 15))::BIGINT
+         |                    % 1048576), 0) AS BIGINT) AS checksum
+         |FROM fam GROUP BY family ORDER BY family""".stripMargin,
     "q36_simhash" -> simhashPortableOracleSql(60),
     // Positional word-6-grams → broadcast eval-fp semi-join →
     // gaps-and-islands span merge, all replayed as window SQL.

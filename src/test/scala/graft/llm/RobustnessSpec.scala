@@ -538,4 +538,74 @@ class RobustnessSpec extends SparkSpec {
     val cardDocs = byKind("card_docs").map(_.getString(3).toLong).sum
     assert(cardDocs == retainedIds.size.toLong)
   }
+
+  test("q200 daily roll: every rolled family digest equals the " +
+       "from-scratch rebuild digest; checksum is partitioning-invariant " +
+       "and row-sensitive") {
+    import org.apache.spark.sql.{Column, DataFrame}
+    def digest(df: DataFrame, canon: Column): (Long, Long) = {
+      val r = df.select(canon.as("c"))
+        .agg(count(lit(1)),
+             coalesce(sum(conv(substring(md5(col("c").cast("binary")),
+                                         1, 15), 16, 10).cast("long")
+                            % 1048576L), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val out = graft.operators.LlmQueries
+      .queries("q200_daily_roll")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set("bm25_postings", "bm25_stats", "clusters",
+                             "exact_fp", "length_hist", "positional",
+                             "token_counts"))
+    // in-Spark rebuild over the FULL corpus (oracle-independent twin of
+    // the DuckDB replay): rolled must equal rebuilt per family
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val bm = Relevance.bm25Index(docs, "doc_id", "text")
+    val rebuilt = Map(
+      "exact_fp" -> digest(Dedup.fingerprintIndex(docs, "doc_id", "text"),
+                           concat_ws(":", col("fp"), col("corpus_id"))),
+      "bm25_postings" -> digest(bm.postings,
+                                concat_ws(":", col("token"), col("doc_id"),
+                                          col("dl"),
+                                          col("tf").cast("long"))),
+      "bm25_stats" -> digest(bm.stats,
+                             concat_ws(":", lit("stats"), col("n_docs"),
+                                       col("sum_dl"))),
+      "positional" -> digest(Relevance.positionalIndex(docs, "doc_id",
+                                                       "text"),
+                             concat_ws(":", col("token"), col("doc_id"),
+                                       array_join(col("positions")
+                                                    .cast("array<string>"),
+                                                  ","))),
+      "token_counts" -> digest(CorpusStats.tokenCounts(docs, "text"),
+                               concat_ws(":", col("token"), col("n"))),
+      "length_hist" -> digest(
+        docs.select(col("source").as("scope"),
+                    Sketches.logBin((size(Dedup.wordTokens(col("text")))
+                                       + 1).cast("long")).as("bin"))
+          .groupBy("scope", "bin").agg(count(lit(1)).as("cnt")),
+        concat_ws(":", col("scope"), col("bin"), col("cnt"))),
+      "clusters" -> digest(
+        Dedup.clustersFromPairs(
+            docs, "doc_id", "text",
+            Dedup.minhashCandidatePairsPortable(docs, "doc_id", "text"))
+          .select("doc_id", "cluster_id"),
+        concat_ws(":", col("doc_id"), col("cluster_id"))))
+    rebuilt.foreach { case (fam, d) =>
+      assert(out(fam) == d, s"$fam: rolled ${out(fam)} != rebuilt $d")
+    }
+    // checksum is a sum of row hashes: partitioning/order cannot move it
+    val fp = Dedup.fingerprintIndex(docs, "doc_id", "text")
+    val canon = concat_ws(":", col("fp"), col("corpus_id"))
+    assert(digest(fp.repartition(7), canon) == rebuilt("exact_fp"))
+    // ...but any single changed row does (same row count, new content)
+    val bumped = fp.withColumn(
+      "corpus_id",
+      when(col("corpus_id") === fp.agg(min("corpus_id")).head().getLong(0),
+           col("corpus_id") + 1L).otherwise(col("corpus_id")))
+    val (nb, cb) = digest(bumped, canon)
+    assert(nb == rebuilt("exact_fp")._1 && cb != rebuilt("exact_fp")._2,
+           "a modified row must move the checksum at equal row count")
+  }
 }
