@@ -298,4 +298,16 @@ class PlanSpec extends SparkSpec {
            s"q194 quantile cross join must broadcast:\n$p194")
     assert(!p194.contains("CartesianProduct"))
   }
+
+  test("q200 daily roll: the publish job never scans corpus text — " +
+       "base via persisted artifacts, delta via the materialized batch") {
+    val plan = LlmQueries.queries("q200_daily_roll")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // every appearance of the documents table would be a corpus re-scan
+    // the roll exists to avoid; the delta feeds in as the checkpointed
+    // RDD, the base only through the index/artifact tables
+    assert(!plan.contains("documents.parquet"),
+           s"q200 must not re-scan corpus text:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
