@@ -154,7 +154,8 @@ object SparkEntry {
     "q197_sketch_roll",
     "q198_cdc_dedup",
     "q199_cluster_roll",
-    "q200_daily_roll"
+    "q200_daily_roll",
+    "q201_chat_assembly"
   )
   // (q192 recomputes the changelog-driven roll each run — the timed
   // cost is the maintenance job itself, not a memoized read)

@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{BpeTrainer, Contamination, CorpusStats, Dedup, IndexStore,
+import graft.llm.{BpeTrainer, Contamination, Conversations, CorpusStats,
+                  Dedup, IndexStore,
                   Multimodal, NgramLm, QualityFilters, Relevance, Sharding,
                   Similarity, Sketches, Splits, TextAnalysis, TextPacking,
                   UnigramTrainer, Versioning}
@@ -3059,6 +3060,65 @@ object LlmQueries {
   }
   private val q200Saved = new graft.SavedOnce[String, String]
 
+  /** Conversation / instruction-tuning assembly ([[Conversations]]) —
+    * the SFT data model the flat-document families never exercise:
+    * each document becomes a multi-turn transcript (sentence turns,
+    * alternating roles), every 13th transcript is structurally
+    * CORRUPTED by dropping its leading user turn (turns keep their
+    * ORIGINAL roles, exactly the mis-threaded transcript a chat scraper
+    * produces), and the query publishes the per-conversation report a
+    * chat-data curation run gates on: turn count, the FIRST structural
+    * defect ('too_short' / 'starts_with_assistant' /
+    * 'dangling_user_turn' / 'ok'), total whitespace tokens, the
+    * budget-48 tail truncation in COMPLETE (user, assistant) pairs
+    * ([[Conversations.keptPairs]] — never splits an exchange, always
+    * keeps the most recent context), and the md5 of the rendered
+    * `<|role|>…<|end|>` chat template.
+    *
+    * Scale shape: one corpus scan, everything row-local HOFs over the
+    * two parallel (turns, roles) arrays — no shuffle, no explode, no
+    * window (PlanSpec-pinned); each derived array is a NAMED column so
+    * no interpreted lambda re-evaluates an upstream tree per element.
+    * FULLY oracle-checked: DuckDB replays splitting, role parity, the
+    * corruption slice, validation order, pair suffix sums, the
+    * truncation count, and the rendered md5 with plain list functions.
+    */
+  def q201ChatAssembly(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 48L
+    val corrupt = col("doc_id") % 13 === 2
+    val staged = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("__t0", Conversations.sentenceTurns(col("text")))
+      .withColumn("__r0", Conversations.turnRoles(col("__t0")))
+      .withColumn("__turns",
+                  when(corrupt, slice(col("__t0"), 2, 8))
+                    .otherwise(col("__t0")))
+      .withColumn("__roles",
+                  when(corrupt, slice(col("__r0"), 2, 8))
+                    .otherwise(col("__r0")))
+      .withColumn("__tk", Conversations.turnTokenCounts(col("__turns")))
+      .withColumn("__pt", Conversations.pairTokenSums(col("__tk")))
+      .withColumn("__ss", Conversations.pairSuffixSums(col("__pt")))
+      .withColumn("__kp", Conversations.keptPairs(col("__ss"), budget))
+      .withColumn("__reason",
+                  Conversations.validationReason(col("__turns"),
+                                                 col("__roles")))
+    staged.select(
+      col("doc_id"),
+      size(col("__turns")).cast("long").as("n_turns"),
+      (col("__reason") === "ok").as("valid"),
+      col("__reason").as("reason"),
+      coalesce(aggregate(col("__tk"), lit(0L), (a, x) => a + x), lit(0L))
+        .as("total_tokens"),
+      col("__kp").cast("long").as("kept_pairs"),
+      when(col("__kp") === 0, lit(0L))
+        .otherwise(element_at(col("__ss"), col("__kp")))
+        .as("kept_tokens"),
+      md5(Conversations.renderChat(col("__turns"), col("__roles"))
+            .cast("binary")).as("render_md5"))
+      .orderBy("doc_id")
+  }
+
   /** PERSISTED quantile-sketch roll ([[Sketches.logBin]] +
     * [[IndexStore.savePlainArtifact]]) — the maintenance half of q194,
     * completing the index-roll contract for the sketch family: the
@@ -4968,6 +5028,7 @@ object LlmQueries {
     "q198_cdc_dedup"        -> (q198CdcDedup(_, _)),
     "q199_cluster_roll"     -> (q199ClusterRoll(_, _)),
     "q200_daily_roll"       -> (q200DailyRoll(_, _)),
+    "q201_chat_assembly"    -> (q201ChatAssembly(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -6482,6 +6543,65 @@ object LlmQueries {
     "q199_cluster_roll" ->
       minhashPortableOracleSql(k = 5, numHashes = 32, bands = 8,
                                threshold = 0.5, maxBucket = 1000),
+    // Sentence turns, role parity, the every-13th leading-turn drop,
+    // validation order, pair suffix sums, budget-48 truncation, and the
+    // rendered-template md5 — all replayed with plain list functions.
+    "q201_chat_assembly" ->
+      """WITH s0 AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |        string_split_regex(text, '[.!?]\s+'), x -> trim(x)),
+        |      x -> len(x) > 0)[1:8] AS t0
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT doc_id, t0,
+        |    list_transform(generate_series(1, len(t0)),
+        |      i -> CASE WHEN i % 2 = 1 THEN 'user'
+        |                ELSE 'assistant' END) AS r0
+        |  FROM s0),
+        |s2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 2 THEN t0[2:] ELSE t0 END AS t,
+        |    CASE WHEN doc_id % 13 = 2 THEN r0[2:] ELSE r0 END AS r
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT doc_id, t, r, len(t) AS n,
+        |    list_transform(t,
+        |      x -> CAST(len(string_split_regex(x, '\s+')) AS BIGINT)) AS tk
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT *, CAST(n // 2 AS BIGINT) AS np FROM s3),
+        |s5 AS (
+        |  SELECT *,
+        |    list_transform(generate_series(1, np),
+        |      j -> tk[2 * j - 1] + tk[2 * j]) AS pt
+        |  FROM s4),
+        |s6 AS (
+        |  SELECT *,
+        |    list_transform(generate_series(1, np),
+        |      k -> CAST(list_sum(pt[np - k + 1:]) AS BIGINT)) AS ss
+        |  FROM s5),
+        |s7 AS (
+        |  SELECT *,
+        |    CASE WHEN n < 2 THEN 'too_short'
+        |         WHEN r[1] <> 'user' THEN 'starts_with_assistant'
+        |         WHEN n % 2 = 1 THEN 'dangling_user_turn'
+        |         ELSE 'ok' END AS reason,
+        |    len(list_filter(ss, s -> s <= 48)) AS kp
+        |  FROM s6)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_turns,
+        |  reason = 'ok' AS valid,
+        |  reason,
+        |  CAST(coalesce(list_sum(tk), 0) AS BIGINT) AS total_tokens,
+        |  CAST(kp AS BIGINT) AS kept_pairs,
+        |  CAST(CASE WHEN kp = 0 THEN 0 ELSE ss[kp] END AS BIGINT)
+        |    AS kept_tokens,
+        |  md5(coalesce(list_aggregate(
+        |        list_transform(generate_series(1, n),
+        |          i -> '<|' || r[i] || '|>' || t[i]),
+        |        'string_agg', ''), '') || '<|end|>') AS render_md5
+        |FROM s7 ORDER BY doc_id""".stripMargin,
     // Every family rebuilt FROM SCRATCH over the full corpus and
     // digested (order-invariant 60-bit-md5 sum mod 2^20 per canonical
     // row string) — Spark's ROLLED artifacts must match byte-for-byte.

@@ -1,0 +1,122 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Conversation-model invariants: validation branch order, truncation
+  * maximality (greedy tail, whole pairs, never over budget), role
+  * integrity through the corruption slice, and the degenerate shapes
+  * (empty text, single sentence) that the sequence(1, 0) descending
+  * trap would otherwise corrupt.
+  */
+class ConversationsSpec extends SparkSpec {
+
+  private def assemble(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    val corrupt = col("doc_id") % 13 === 2
+    rows.toDF("doc_id", "text")
+      .withColumn("__t0", Conversations.sentenceTurns(col("text")))
+      .withColumn("__r0", Conversations.turnRoles(col("__t0")))
+      .withColumn("__turns",
+                  when(corrupt, slice(col("__t0"), 2, 8))
+                    .otherwise(col("__t0")))
+      .withColumn("__roles",
+                  when(corrupt, slice(col("__r0"), 2, 8))
+                    .otherwise(col("__r0")))
+  }
+
+  test("degenerate inputs: empty text and a single sentence survive " +
+       "every stage with empty pair arrays (no descending sequence)") {
+    // ids chosen off the % 13 = 2 corruption slice
+    val out = assemble(Seq(1L -> "", 3L -> "just one sentence no split",
+                           4L -> "   "))
+      .withColumn("__tk", Conversations.turnTokenCounts(col("__turns")))
+      .withColumn("__pt", Conversations.pairTokenSums(col("__tk")))
+      .withColumn("__ss", Conversations.pairSuffixSums(col("__pt")))
+      .select(col("doc_id"), size(col("__turns")).as("n"),
+              size(col("__pt")).as("np"), size(col("__ss")).as("ns"),
+              Conversations.validationReason(col("__turns"),
+                                             col("__roles")).as("reason"),
+              Conversations.renderChat(col("__turns"), col("__roles"))
+                .as("render"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 1, 0))
+    assert(out.map(_.getInt(2)).toSeq == Seq(0, 0, 0),
+           "no phantom pairs on short conversations")
+    assert(out.map(_.getInt(3)).toSeq == Seq(0, 0, 0))
+    assert(out.map(_.getString(4)).forall(_ == "too_short"))
+    assert(out(0).getString(5) == "<|end|>",
+           "empty conversation renders the bare terminal")
+    assert(out(1).getString(5) ==
+             "<|user|>just one sentence no split<|end|>")
+  }
+
+  test("validation reports the FIRST defect in contract order") {
+    // doc 2 (% 13 = 2) loses its leading turn -> starts_with_assistant
+    // doc 3 has three sentences -> dangling_user_turn
+    // doc 4 has two -> ok; the split CONSUMES '. ' so turns carry no
+    // terminal punctuation
+    val out = assemble(Seq(
+        2L -> "dropped lead. kept a. kept b. kept c. ",
+        3L -> "alpha one. beta two. gamma three. ",
+        4L -> "ask something. answer it. "))
+      .select(col("doc_id"),
+              Conversations.validationReason(col("__turns"),
+                                             col("__roles")).as("reason"),
+              element_at(col("__roles"), 1).as("first_role"),
+              Conversations.renderChat(col("__turns"), col("__roles"))
+                .as("render"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(1)).toSeq ==
+             Seq("starts_with_assistant", "dangling_user_turn", "ok"))
+    // corruption preserves ORIGINAL roles: the surviving first turn was
+    // turn 2, so it still renders as the assistant
+    assert(out(0).getString(2) == "assistant")
+    assert(out(0).getString(3).startsWith("<|assistant|>kept a"))
+    assert(out(2).getString(3) ==
+             "<|user|>ask something<|assistant|>answer it<|end|>")
+  }
+
+  test("truncation keeps the maximal TAIL of whole pairs within budget " +
+       "(q201 output vs a collected replay on real data)") {
+    val rows = graft.operators.LlmQueries
+      .queries("q201_chat_assembly")(spark, sf0001)
+      .collect()
+    assert(rows.length == 500)
+    // recompute per-turn token counts independently and replay greedily
+    val tk = assemble(
+        graft.sources.Tables.documents(spark, sf0001)
+          .select(col("doc_id"), col("text"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq)
+      .select(col("doc_id"),
+              Conversations.turnTokenCounts(col("__turns")).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val budget = 48L
+    rows.foreach { r =>
+      val (id, kp, kt) = (r.getLong(0), r.getLong(5), r.getLong(6))
+      val pairs = tk(id).grouped(2).filter(_.size == 2).map(_.sum).toSeq
+      // greedy from the tail
+      val suffix = pairs.reverse.scanLeft(0L)(_ + _).drop(1)
+      val expectKp = suffix.count(_ <= budget)
+      val expectKt = if (expectKp == 0) 0L else suffix(expectKp - 1)
+      assert(kp == expectKp && kt == expectKt,
+             s"doc $id: got ($kp, $kt), want ($expectKp, $expectKt)")
+      assert(kt <= budget, s"doc $id over budget")
+      // maximality: one more pair would not fit
+      if (expectKp < pairs.size)
+        assert(suffix(expectKp) > budget, s"doc $id not maximal")
+    }
+  }
+
+  test("q201 plans as one row-local stage: no exchange, no generate, " +
+       "no window") {
+    val plan = graft.operators.LlmQueries
+      .queries("q201_chat_assembly")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // the only exchange allowed is the final presentation orderBy
+    assert(!plan.contains("Generate"), s"no explode:\n$plan")
+    assert(!plan.contains("Window"), s"no window:\n$plan")
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") <= 1,
+           s"only the presentation sort may exchange:\n$plan")
+  }
+}
