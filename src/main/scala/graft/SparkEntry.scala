@@ -155,7 +155,8 @@ object SparkEntry {
     "q198_cdc_dedup",
     "q199_cluster_roll",
     "q200_daily_roll",
-    "q201_chat_assembly"
+    "q201_chat_assembly",
+    "q202_loss_mask"
   )
   // (q192 recomputes the changelog-driven roll each run — the timed
   // cost is the maintenance job itself, not a memoized read)

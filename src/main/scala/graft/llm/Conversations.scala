@@ -42,6 +42,31 @@ object Conversations {
                  s => length(s) > 0),
           1, maxTurns)
 
+  /** Non-empty whitespace tokens — materialize this as a NAMED column
+    * before calling [[wordWindowTurnsOfWords]] (HOF discipline: the
+    * window lambda slices the attribute; passing the split tree would
+    * re-run the split once per turn).
+    */
+  def words(text: Column): Column =
+    filter(split(trim(text), "\\s+"), x => length(x) > 0)
+
+  /** Fixed word-window turns over an ALREADY-MATERIALIZED token array:
+    * consecutive `wordsPerTurn`-word chunks (last chunk may be short),
+    * capped at `maxTurns` — the turn derivation for unpunctuated text
+    * where [[sentenceTurns]] cannot split.
+    */
+  def wordWindowTurnsOfWords(words: Column, wordsPerTurn: Int = 12,
+                             maxTurns: Int = 8): Column = {
+    val nT = least(floor((size(words) + (wordsPerTurn - 1))
+                           / wordsPerTurn).cast("int"),
+                   lit(maxTurns))
+    transform(indices1To(nT),
+              i => array_join(slice(words,
+                                    (i - 1) * wordsPerTurn + 1,
+                                    lit(wordsPerTurn)),
+                              " "))
+  }
+
   /** Roles by original position: odd (1-based) turns are the user, even
     * turns the assistant — the alternation contract a well-formed chat
     * transcript satisfies. Kept as a parallel array so a structural edit
@@ -110,4 +135,31 @@ object Conversations {
     */
   def keptPairs(suffixSums: Column, budget: Long): Column =
     size(filter(suffixSums, s => s <= lit(budget)))
+
+  /** Canonical loss-mask run-length spec over a kept tail that starts
+    * on a pair boundary: `0:n` for a user turn's n tokens (masked),
+    * `1:m` for an assistant turn's (learned), comma-joined in turn
+    * order — the compact form a trainer expands to per-token labels.
+    */
+  def maskSpec(keptTokenCounts: Column): Column =
+    array_join(
+      transform(indices1To(size(keptTokenCounts)),
+                i => concat(when(i % 2 === 1, lit("0")).otherwise(lit("1")),
+                            lit(":"),
+                            element_at(keptTokenCounts, i)
+                              .cast("string"))),
+      ",")
+
+  /** Learned (assistant-turn) token count of a pair-aligned kept tail:
+    * the sum over EVEN 1-based positions.
+    */
+  def learnedTokens(keptTokenCounts: Column): Column =
+    coalesce(
+      aggregate(
+        transform(indices1To(size(keptTokenCounts)),
+                  i => when(i % 2 === 0,
+                            element_at(keptTokenCounts, i))
+                         .otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x),
+      lit(0L))
 }

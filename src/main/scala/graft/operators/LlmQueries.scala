@@ -3062,8 +3062,11 @@ object LlmQueries {
 
   /** Conversation / instruction-tuning assembly ([[Conversations]]) —
     * the SFT data model the flat-document families never exercise:
-    * each document becomes a multi-turn transcript (sentence turns,
-    * alternating roles), every 13th transcript is structurally
+    * each document becomes a multi-turn transcript (12-word window
+    * turns — the driver corpus is unpunctuated, so
+    * [[Conversations.sentenceTurns]] stays the API for punctuated
+    * text while [[Conversations.wordWindowTurnsOfWords]] feeds the
+    * query — with alternating roles), every 13th transcript is structurally
     * CORRUPTED by dropping its leading user turn (turns keep their
     * ORIGINAL roles, exactly the mis-threaded transcript a chat scraper
     * produces), and the query publishes the per-conversation report a
@@ -3083,12 +3086,17 @@ object LlmQueries {
     * corruption slice, validation order, pair suffix sums, the
     * truncation count, and the rendered md5 with plain list functions.
     */
-  def q201ChatAssembly(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared q201/q202 staging: turns, roles, corruption slice, token
+    * counts, pair suffix sums, budget-48 kept-pair count, validation.
+    */
+  private def chatStaged(spark: SparkSession, dir: String): DataFrame = {
     val budget = 48L
     val corrupt = col("doc_id") % 13 === 2
-    val staged = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
-      .withColumn("__t0", Conversations.sentenceTurns(col("text")))
+      .withColumn("__w", Conversations.words(col("text")))
+      .withColumn("__t0",
+                  Conversations.wordWindowTurnsOfWords(col("__w")))
       .withColumn("__r0", Conversations.turnRoles(col("__t0")))
       .withColumn("__turns",
                   when(corrupt, slice(col("__t0"), 2, 8))
@@ -3103,7 +3111,10 @@ object LlmQueries {
       .withColumn("__reason",
                   Conversations.validationReason(col("__turns"),
                                                  col("__roles")))
-    staged.select(
+  }
+
+  def q201ChatAssembly(spark: SparkSession, dir: String): DataFrame = {
+    chatStaged(spark, dir).select(
       col("doc_id"),
       size(col("__turns")).cast("long").as("n_turns"),
       (col("__reason") === "ok").as("valid"),
@@ -3116,6 +3127,56 @@ object LlmQueries {
         .as("kept_tokens"),
       md5(Conversations.renderChat(col("__turns"), col("__roles"))
             .cast("binary")).as("render_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** SFT loss-mask emission ([[Conversations.maskSpec]]) — the step
+    * that turns q201's VALID conversations into training examples: the
+    * example is the budget-48 truncated tail (whole (user, assistant)
+    * pairs, [[Conversations.keptPairs]]), user-turn tokens are MASKED
+    * (loss weight 0 — the model must not learn to imitate prompts) and
+    * assistant-turn tokens are LEARNED, and the per-example mask ships
+    * as the canonical run-length spec `0:n,1:m,…` (one entry per kept
+    * turn) a trainer expands to per-token labels. Invariants pinned by
+    * spec and oracle: learned + masked = example tokens; example tokens
+    * ≤ the 48 budget; within the kept tail odd positions are always the
+    * user (validity guarantees user-first alternation, and the tail
+    * starts on a pair boundary).
+    *
+    * Scale shape: q201's row-local HOF chain plus one slice — still
+    * zero data-scale exchanges, one corpus scan at any size. FULLY
+    * oracle-checked via the shared chat CTE chain + list slicing.
+    */
+  def q202LossMask(spark: SparkSession, dir: String): DataFrame = {
+    // Validity in CLOSED FORM over (doc_id, word count): with 12-word
+    // turns capped at 8, 'ok' ⟺ not corrupted ∧ n₀ ≥ 2 ∧ n₀ even
+    // (a corrupted transcript can never validate — its first surviving
+    // turn is the assistant's). Equivalent to `__reason = 'ok'`
+    // (spec-pinned against q201's verdict per doc), but CHEAP when
+    // predicate pushdown inlines it into the scan's data filter: one
+    // split per row, instead of the whole inlined turns/roles HOF tree
+    // re-evaluated per row (measured 4.1 s → sub-second at sf0.1).
+    val n0 = least(floor((size(Conversations.words(col("text"))) + 11) / 12)
+                     .cast("int"), lit(8))
+    chatStaged(spark, dir)
+      .filter(col("doc_id") % 13 =!= 2 && n0 >= 2 &&
+              pmod(n0, lit(2)) === 0)
+      .withColumn("__n", size(col("__turns")))
+      .withColumn("__kt",
+                  slice(col("__turns"),
+                        col("__n") - col("__kp") * 2 + 1,
+                        col("__kp") * 2))
+      .withColumn("__ktk", Conversations.turnTokenCounts(col("__kt")))
+      .withColumn("__ex",
+                  coalesce(aggregate(col("__ktk"), lit(0L),
+                                     (a, x) => a + x), lit(0L)))
+      .withColumn("__learned", Conversations.learnedTokens(col("__ktk")))
+      .select(col("doc_id"),
+              size(col("__kt")).cast("long").as("kept_turns"),
+              col("__ex").as("example_tokens"),
+              col("__learned").as("learned_tokens"),
+              (col("__ex") - col("__learned")).as("masked_tokens"),
+              Conversations.maskSpec(col("__ktk")).as("mask_spec"))
       .orderBy("doc_id")
   }
 
@@ -5029,6 +5090,7 @@ object LlmQueries {
     "q199_cluster_roll"     -> (q199ClusterRoll(_, _)),
     "q200_daily_roll"       -> (q200DailyRoll(_, _)),
     "q201_chat_assembly"    -> (q201ChatAssembly(_, _)),
+    "q202_loss_mask"        -> (q202LossMask(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -5188,6 +5250,60 @@ object LlmQueries {
        |  WHERE CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE)
        |        / len(list_distinct(list_concat(ha.h, hb.h))) >= $threshold)"""
       .stripMargin
+
+  /** Shared q201/q202 oracle chain — the DuckDB replay of
+    * [[chatStaged]]: sentence turns (s0), parity roles (s1), the
+    * every-13th leading-turn corruption (s2), per-turn token counts
+    * (s3), pair sums + suffix sums (s4–s6), validation + the budget-48
+    * kept-pair count (s7).
+    */
+  private def chatCtes: String =
+    """s0 AS (
+      |  SELECT doc_id,
+      |    list_transform(
+      |      generate_series(1, least((len(tw) + 11) // 12, 8)),
+      |      i -> array_to_string(
+      |             tw[(i - 1) * 12 + 1:(i - 1) * 12 + 12], ' ')) AS t0
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(trim(text), '\s+'),
+      |                      x -> len(x) > 0) AS tw
+      |        FROM documents)),
+      |s1 AS (
+      |  SELECT doc_id, t0,
+      |    list_transform(generate_series(1, len(t0)),
+      |      i -> CASE WHEN i % 2 = 1 THEN 'user'
+      |                ELSE 'assistant' END) AS r0
+      |  FROM s0),
+      |s2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 2 THEN t0[2:] ELSE t0 END AS t,
+      |    CASE WHEN doc_id % 13 = 2 THEN r0[2:] ELSE r0 END AS r
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT doc_id, t, r, len(t) AS n,
+      |    list_transform(t,
+      |      x -> CAST(len(string_split_regex(x, '\s+')) AS BIGINT)) AS tk
+      |  FROM s2),
+      |s4 AS (
+      |  SELECT *, CAST(n // 2 AS BIGINT) AS np FROM s3),
+      |s5 AS (
+      |  SELECT *,
+      |    list_transform(generate_series(1, np),
+      |      j -> tk[2 * j - 1] + tk[2 * j]) AS pt
+      |  FROM s4),
+      |s6 AS (
+      |  SELECT *,
+      |    list_transform(generate_series(1, np),
+      |      k -> CAST(list_sum(pt[np - k + 1:]) AS BIGINT)) AS ss
+      |  FROM s5),
+      |s7 AS (
+      |  SELECT *,
+      |    CASE WHEN n < 2 THEN 'too_short'
+      |         WHEN r[1] <> 'user' THEN 'starts_with_assistant'
+      |         WHEN n % 2 = 1 THEN 'dangling_user_turn'
+      |         ELSE 'ok' END AS reason,
+      |    len(list_filter(ss, s -> s <= 48)) AS kp
+      |  FROM s6)""".stripMargin
 
   private def minhashPortableCtes(source: String, k: Int, numHashes: Int,
                                   bands: Int, threshold: Double,
@@ -6547,48 +6663,7 @@ object LlmQueries {
     // validation order, pair suffix sums, budget-48 truncation, and the
     // rendered-template md5 — all replayed with plain list functions.
     "q201_chat_assembly" ->
-      """WITH s0 AS (
-        |  SELECT doc_id,
-        |    list_filter(list_transform(
-        |        string_split_regex(text, '[.!?]\s+'), x -> trim(x)),
-        |      x -> len(x) > 0)[1:8] AS t0
-        |  FROM documents),
-        |s1 AS (
-        |  SELECT doc_id, t0,
-        |    list_transform(generate_series(1, len(t0)),
-        |      i -> CASE WHEN i % 2 = 1 THEN 'user'
-        |                ELSE 'assistant' END) AS r0
-        |  FROM s0),
-        |s2 AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 13 = 2 THEN t0[2:] ELSE t0 END AS t,
-        |    CASE WHEN doc_id % 13 = 2 THEN r0[2:] ELSE r0 END AS r
-        |  FROM s1),
-        |s3 AS (
-        |  SELECT doc_id, t, r, len(t) AS n,
-        |    list_transform(t,
-        |      x -> CAST(len(string_split_regex(x, '\s+')) AS BIGINT)) AS tk
-        |  FROM s2),
-        |s4 AS (
-        |  SELECT *, CAST(n // 2 AS BIGINT) AS np FROM s3),
-        |s5 AS (
-        |  SELECT *,
-        |    list_transform(generate_series(1, np),
-        |      j -> tk[2 * j - 1] + tk[2 * j]) AS pt
-        |  FROM s4),
-        |s6 AS (
-        |  SELECT *,
-        |    list_transform(generate_series(1, np),
-        |      k -> CAST(list_sum(pt[np - k + 1:]) AS BIGINT)) AS ss
-        |  FROM s5),
-        |s7 AS (
-        |  SELECT *,
-        |    CASE WHEN n < 2 THEN 'too_short'
-        |         WHEN r[1] <> 'user' THEN 'starts_with_assistant'
-        |         WHEN n % 2 = 1 THEN 'dangling_user_turn'
-        |         ELSE 'ok' END AS reason,
-        |    len(list_filter(ss, s -> s <= 48)) AS kp
-        |  FROM s6)
+      s"""WITH $chatCtes
         |SELECT doc_id,
         |  CAST(n AS BIGINT) AS n_turns,
         |  reason = 'ok' AS valid,
@@ -6602,6 +6677,37 @@ object LlmQueries {
         |          i -> '<|' || r[i] || '|>' || t[i]),
         |        'string_agg', ''), '') || '<|end|>') AS render_md5
         |FROM s7 ORDER BY doc_id""".stripMargin,
+    // The kept tail slice + per-position parity replay of the loss
+    // mask: learned = even positions, mask spec = run-length string.
+    "q202_loss_mask" ->
+      s"""WITH $chatCtes,
+        |v AS (SELECT * FROM s7 WHERE reason = 'ok'),
+        |k AS (
+        |  SELECT doc_id, t[CAST(n - 2 * kp + 1 AS INTEGER):] AS kt
+        |  FROM v),
+        |kk AS (
+        |  SELECT doc_id,
+        |    list_transform(kt,
+        |      x -> CAST(len(string_split_regex(x, '\\s+')) AS BIGINT))
+        |      AS ktk
+        |  FROM k),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(ktk) AS BIGINT) AS kept_turns,
+        |    CAST(coalesce(list_sum(ktk), 0) AS BIGINT) AS example_tokens,
+        |    CAST(coalesce(list_sum(list_transform(
+        |        generate_series(1, len(ktk)),
+        |        i -> CASE WHEN i % 2 = 0 THEN ktk[i] ELSE 0 END)), 0)
+        |      AS BIGINT) AS learned_tokens,
+        |    coalesce(list_aggregate(list_transform(
+        |        generate_series(1, len(ktk)),
+        |        i -> (CASE WHEN i % 2 = 1 THEN '0' ELSE '1' END)
+        |             || ':' || ktk[i]),
+        |      'string_agg', ','), '') AS mask_spec
+        |  FROM kk)
+        |SELECT doc_id, kept_turns, example_tokens, learned_tokens,
+        |  example_tokens - learned_tokens AS masked_tokens, mask_spec
+        |FROM f ORDER BY doc_id""".stripMargin,
     // Every family rebuilt FROM SCRATCH over the full corpus and
     // digested (order-invariant 60-bit-md5 sum mod 2^20 per canonical
     // row string) — Spark's ROLLED artifacts must match byte-for-byte.

@@ -15,7 +15,9 @@ class ConversationsSpec extends SparkSpec {
     import spark.implicits._
     val corrupt = col("doc_id") % 13 === 2
     rows.toDF("doc_id", "text")
-      .withColumn("__t0", Conversations.sentenceTurns(col("text")))
+      .withColumn("__w", Conversations.words(col("text")))
+      .withColumn("__t0",
+                  Conversations.wordWindowTurnsOfWords(col("__w")))
       .withColumn("__r0", Conversations.turnRoles(col("__t0")))
       .withColumn("__turns",
                   when(corrupt, slice(col("__t0"), 2, 8))
@@ -52,29 +54,31 @@ class ConversationsSpec extends SparkSpec {
   }
 
   test("validation reports the FIRST defect in contract order") {
-    // doc 2 (% 13 = 2) loses its leading turn -> starts_with_assistant
-    // doc 3 has three sentences -> dangling_user_turn
-    // doc 4 has two -> ok; the split CONSUMES '. ' so turns carry no
-    // terminal punctuation
-    val out = assemble(Seq(
-        2L -> "dropped lead. kept a. kept b. kept c. ",
-        3L -> "alpha one. beta two. gamma three. ",
-        4L -> "ask something. answer it. "))
-      .select(col("doc_id"),
+    def text(nWords: Int) = (1 to nWords).map(i => s"w$i").mkString(" ")
+    // doc 2 (% 13 = 2): 40 words -> 4 turns, loses its leading turn
+    //   -> starts_with_assistant
+    // doc 3: 30 words -> 3 turns -> dangling_user_turn
+    // doc 4: 20 words -> 2 turns (12 + 8) -> ok
+    val out = assemble(Seq(2L -> text(40), 3L -> text(30),
+                           4L -> text(20)))
+      .select(col("doc_id"), size(col("__turns")).as("n"),
               Conversations.validationReason(col("__turns"),
                                              col("__roles")).as("reason"),
               element_at(col("__roles"), 1).as("first_role"),
               Conversations.renderChat(col("__turns"), col("__roles"))
                 .as("render"))
       .orderBy("doc_id").collect()
-    assert(out.map(_.getString(1)).toSeq ==
+    assert(out.map(_.getInt(1)).toSeq == Seq(3, 3, 2))
+    assert(out.map(_.getString(2)).toSeq ==
              Seq("starts_with_assistant", "dangling_user_turn", "ok"))
     // corruption preserves ORIGINAL roles: the surviving first turn was
-    // turn 2, so it still renders as the assistant
-    assert(out(0).getString(2) == "assistant")
-    assert(out(0).getString(3).startsWith("<|assistant|>kept a"))
-    assert(out(2).getString(3) ==
-             "<|user|>ask something<|assistant|>answer it<|end|>")
+    // turn 2 (words 13-24), so it still renders as the assistant
+    assert(out(0).getString(3) == "assistant")
+    assert(out(0).getString(4).startsWith("<|assistant|>w13 w14"))
+    assert(out(2).getString(4) ==
+             "<|user|>" + (1 to 12).map(i => s"w$i").mkString(" ") +
+               "<|assistant|>" + (13 to 20).map(i => s"w$i").mkString(" ") +
+               "<|end|>")
   }
 
   test("truncation keeps the maximal TAIL of whole pairs within budget " +
@@ -105,6 +109,39 @@ class ConversationsSpec extends SparkSpec {
       // maximality: one more pair would not fit
       if (expectKp < pairs.size)
         assert(suffix(expectKp) > budget, s"doc $id not maximal")
+    }
+  }
+
+  test("q202 loss mask: pair-aligned tails, budget respected, mask " +
+       "spec consistent with the token accounting") {
+    val rows = graft.operators.LlmQueries
+      .queries("q202_loss_mask")(spark, sf0001).collect()
+    assert(rows.length > 50, s"expected many valid chats, got ${rows.length}")
+    // the closed-form validity filter must select EXACTLY q201's
+    // 'ok' verdicts
+    val okIds = graft.operators.LlmQueries
+      .queries("q201_chat_assembly")(spark, sf0001).collect()
+      .filter(_.getString(3) == "ok").map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == okIds,
+           "q202 rows must be exactly the q201-valid conversations")
+    rows.foreach { r =>
+      val (kt, ex, learned, masked, spec) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getString(5))
+      assert(kt % 2 == 0, "kept tail must be whole pairs")
+      assert(ex == learned + masked)
+      assert(ex <= 48L, "truncated example must fit the budget")
+      val entries = if (spec.isEmpty) Array.empty[String]
+                    else spec.split(",")
+      assert(entries.length == kt)
+      entries.zipWithIndex.foreach { case (e, i) =>
+        assert(e.startsWith(if (i % 2 == 0) "0:" else "1:"),
+               s"mask parity broken at $i in $spec")
+      }
+      assert(entries.filter(_.startsWith("1:"))
+               .map(_.drop(2).toLong).sum == learned)
+      assert(entries.filter(_.startsWith("0:"))
+               .map(_.drop(2).toLong).sum == masked)
     }
   }
 
