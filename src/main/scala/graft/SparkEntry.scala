@@ -156,7 +156,8 @@ object SparkEntry {
     "q199_cluster_roll",
     "q200_daily_roll",
     "q201_chat_assembly",
-    "q202_loss_mask"
+    "q202_loss_mask",
+    "q203_preference_pairs"
   )
   // (q192 recomputes the changelog-driven roll each run — the timed
   // cost is the maintenance job itself, not a memoized read)

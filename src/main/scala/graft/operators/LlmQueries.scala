@@ -3180,6 +3180,55 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Preference-pair mining — the DPO/RLHF data-construction step: per
+    * source, the top-k documents by the exact ×10⁴ integer quality
+    * score ([[TextAnalysis.qualityScore]], the q85 arithmetic) become
+    * CHOSEN candidates, the bottom-k REJECTED candidates, and rank i
+    * pairs with rank i (an injective pairing — no document is reused
+    * within a side) when the quality margin clears 0.1000 (1000 exact
+    * integer units) and the two sides are distinct documents. The
+    * margin gate is what makes the pairs trainable: a preference pair
+    * whose sides are nearly equal teaches noise.
+    *
+    * Scale shape: the ONLY corpus-scale operators are the two
+    * `row_number ≤ k` windows, and both plan as WindowGroupLimit (the
+    * q64/q155 pattern, PlanSpec-pinned) — every map task forwards at
+    * most k rows per source before the exchange, so the shuffle carries
+    * O(k · mappers · #sources) rows at ANY corpus size, never a
+    * per-source sort of the corpus. The rank-i join is top-k-sized.
+    * FULLY oracle-checked (quality integers, both windows with their
+    * full tie-breaks, the pairing join, and the margin gate replayed).
+    */
+  def q203PreferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val margin = 1000L
+    val q = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      floor(TextAnalysis.qualityScore(col("text")) * 10000.0d + 0.5d)
+        .cast("long").as("qi"))
+    val wHi = Window.partitionBy("source")
+      .orderBy(desc("qi"), col("doc_id"))
+    val wLo = Window.partitionBy("source")
+      .orderBy(col("qi"), desc("doc_id"))
+    val hi = q.withColumn("r", row_number().over(wHi))
+      .filter(col("r") <= k)
+      .select(col("source"), col("r"),
+              col("doc_id").as("chosen_id"), col("qi").as("chosen_q"))
+    val lo = q.withColumn("r", row_number().over(wLo))
+      .filter(col("r") <= k)
+      .select(col("source"), col("r"),
+              col("doc_id").as("rejected_id"), col("qi").as("rejected_q"))
+    hi.join(lo, Seq("source", "r"))
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+              col("chosen_q") - col("rejected_q") >= margin)
+      .select(col("source"), col("r").cast("long").as("pair_rank"),
+              col("chosen_id"), col("chosen_q"),
+              col("rejected_id"), col("rejected_q"),
+              (col("chosen_q") - col("rejected_q")).as("margin"))
+      .orderBy("source", "pair_rank")
+  }
+
   /** PERSISTED quantile-sketch roll ([[Sketches.logBin]] +
     * [[IndexStore.savePlainArtifact]]) — the maintenance half of q194,
     * completing the index-roll contract for the sketch family: the
@@ -5091,6 +5140,7 @@ object LlmQueries {
     "q200_daily_roll"       -> (q200DailyRoll(_, _)),
     "q201_chat_assembly"    -> (q201ChatAssembly(_, _)),
     "q202_loss_mask"        -> (q202LossMask(_, _)),
+    "q203_preference_pairs" -> (q203PreferencePairs(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -6677,6 +6727,34 @@ object LlmQueries {
         |          i -> '<|' || r[i] || '|>' || t[i]),
         |        'string_agg', ''), '') || '<|end|>') AS render_md5
         |FROM s7 ORDER BY doc_id""".stripMargin,
+    // Exact ×10⁴ integer quality, both top-k windows with their full
+    // tie-breaks, the rank-i pairing join, and the margin gate.
+    "q203_preference_pairs" ->
+      s"""WITH ql AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor($qualitySql * 10000.0 + 0.5) AS BIGINT) AS qi
+        |  FROM documents),
+        |hi AS (
+        |  SELECT source, r, doc_id AS chosen_id, qi AS chosen_q
+        |  FROM (SELECT *,
+        |          row_number() OVER (PARTITION BY source
+        |                             ORDER BY qi DESC, doc_id) AS r
+        |        FROM ql)
+        |  WHERE r <= 8),
+        |lo AS (
+        |  SELECT source, r, doc_id AS rejected_id, qi AS rejected_q
+        |  FROM (SELECT *,
+        |          row_number() OVER (PARTITION BY source
+        |                             ORDER BY qi, doc_id DESC) AS r
+        |        FROM ql)
+        |  WHERE r <= 8)
+        |SELECT source, CAST(r AS BIGINT) AS pair_rank,
+        |  chosen_id, chosen_q, rejected_id, rejected_q,
+        |  chosen_q - rejected_q AS margin
+        |FROM hi JOIN lo USING (source, r)
+        |WHERE chosen_id <> rejected_id
+        |  AND chosen_q - rejected_q >= 1000
+        |ORDER BY source, pair_rank""".stripMargin,
     // The kept tail slice + per-position parity replay of the loss
     // mask: learned = even positions, mask spec = run-length string.
     "q202_loss_mask" ->
