@@ -157,7 +157,8 @@ object SparkEntry {
     "q200_daily_roll",
     "q201_chat_assembly",
     "q202_loss_mask",
-    "q203_preference_pairs"
+    "q203_preference_pairs",
+    "q204_prefix_cache"
   )
   // (q192 recomputes the changelog-driven roll each run — the timed
   // cost is the maintenance job itself, not a memoized read)

@@ -3229,6 +3229,48 @@ object LlmQueries {
       .orderBy("source", "pair_rank")
   }
 
+  /** Prefix-cache sharing report — the SERVING-side economics of the
+    * chat corpus: examples whose conversations open with the SAME first
+    * turn share a KV-cache prefix at inference (the vLLM/SGLang
+    * prefix-caching model), so each group of n sharers re-computes the
+    * prefix once and saves (n−1)·prefix_tokens. One row per shared
+    * prefix (n ≥ 2) plus the GLOBAL savings row a capacity planner
+    * reads. Singleton prefixes save nothing and are aggregated away.
+    *
+    * Scale shape: row-local first-turn md5 + token count, then ONE
+    * map-side-combined agg on the 16-byte digest (text never shuffles —
+    * only (md5, tokens) pairs), a `HAVING n ≥ 2` filter, and a
+    * sharer-count-sized GLOBAL re-agg. FULLY oracle-checked.
+    */
+  def q204PrefixCache(spark: SparkSession, dir: String): DataFrame = {
+    // n ≥ 1 in closed form over the word count (the q202 pushdown
+    // discipline): a corrupted doc keeps ≥ 1 turn iff it had ≥ 2, i.e.
+    // > 12 words; an intact one needs ≥ 1 word.
+    val nWords = size(Conversations.words(col("text")))
+    val groups = chatStaged(spark, dir)
+      .filter(when(col("doc_id") % 13 === 2, nWords > 12)
+                .otherwise(nWords >= 1))
+      .select(md5(element_at(col("__turns"), 1).cast("binary"))
+                .as("prefix_md5"),
+              element_at(col("__tk"), 1).as("prefix_tokens"))
+      .groupBy("prefix_md5", "prefix_tokens")
+      .agg(count(lit(1)).as("n_examples"))
+      .filter(col("n_examples") >= 2)
+      .withColumn("saved_tokens",
+                  (col("n_examples") - 1) * col("prefix_tokens"))
+    val global = groups.agg(
+      coalesce(sum("n_examples"), lit(0L)).as("n_examples"),
+      coalesce(sum("prefix_tokens"), lit(0L)).as("prefix_tokens"),
+      coalesce(sum("saved_tokens"), lit(0L)).as("saved_tokens"))
+      .select(lit("GLOBAL").as("scope"), lit("ALL").as("prefix_md5"),
+              col("n_examples"), col("prefix_tokens"), col("saved_tokens"))
+    groups
+      .select(lit("PREFIX").as("scope"), col("prefix_md5"),
+              col("n_examples"), col("prefix_tokens"), col("saved_tokens"))
+      .unionByName(global)
+      .orderBy(col("scope"), desc("saved_tokens"), col("prefix_md5"))
+  }
+
   /** PERSISTED quantile-sketch roll ([[Sketches.logBin]] +
     * [[IndexStore.savePlainArtifact]]) — the maintenance half of q194,
     * completing the index-roll contract for the sketch family: the
@@ -5141,6 +5183,7 @@ object LlmQueries {
     "q201_chat_assembly"    -> (q201ChatAssembly(_, _)),
     "q202_loss_mask"        -> (q202LossMask(_, _)),
     "q203_preference_pairs" -> (q203PreferencePairs(_, _)),
+    "q204_prefix_cache"     -> (q204PrefixCache(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -6727,6 +6770,31 @@ object LlmQueries {
         |          i -> '<|' || r[i] || '|>' || t[i]),
         |        'string_agg', ''), '') || '<|end|>') AS render_md5
         |FROM s7 ORDER BY doc_id""".stripMargin,
+    // First-turn md5 + token count from the shared chat chain, the
+    // n ≥ 2 grouping, and the (n−1)·prefix savings arithmetic.
+    "q204_prefix_cache" ->
+      s"""WITH $chatCtes,
+        |g AS (
+        |  SELECT md5(t[1]) AS prefix_md5, tk[1] AS prefix_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_examples
+        |  FROM s7 WHERE n >= 1
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 2),
+        |gg AS (
+        |  SELECT 'PREFIX' AS scope, prefix_md5, n_examples,
+        |    prefix_tokens,
+        |    (n_examples - 1) * prefix_tokens AS saved_tokens
+        |  FROM g),
+        |gl AS (
+        |  SELECT 'GLOBAL' AS scope, 'ALL' AS prefix_md5,
+        |    CAST(coalesce(sum(n_examples), 0) AS BIGINT) AS n_examples,
+        |    CAST(coalesce(sum(prefix_tokens), 0) AS BIGINT)
+        |      AS prefix_tokens,
+        |    CAST(coalesce(sum(saved_tokens), 0) AS BIGINT)
+        |      AS saved_tokens
+        |  FROM gg)
+        |SELECT * FROM gg UNION ALL SELECT * FROM gl
+        |ORDER BY scope, saved_tokens DESC, prefix_md5""".stripMargin,
     // Exact ×10⁴ integer quality, both top-k windows with their full
     // tie-breaks, the rank-i pairing join, and the margin gate.
     "q203_preference_pairs" ->

@@ -145,6 +145,34 @@ class ConversationsSpec extends SparkSpec {
     }
   }
 
+  test("q204 prefix cache: groups are real first-turn collisions, " +
+       "savings arithmetic holds, GLOBAL row is the exact sum") {
+    val rows = graft.operators.LlmQueries
+      .queries("q204_prefix_cache")(spark, sf0001).collect()
+    val (globalRows, prefixRows) = rows.partition(_.getString(0) == "GLOBAL")
+    assert(globalRows.length == 1 && prefixRows.nonEmpty)
+    prefixRows.foreach { r =>
+      assert(r.getLong(2) >= 2L)
+      assert(r.getLong(4) == (r.getLong(2) - 1) * r.getLong(3))
+    }
+    val g = globalRows.head
+    assert(g.getLong(2) == prefixRows.map(_.getLong(2)).sum)
+    assert(g.getLong(3) == prefixRows.map(_.getLong(3)).sum)
+    assert(g.getLong(4) == prefixRows.map(_.getLong(4)).sum)
+    // shared md5s really are first-turn collisions: recompute counts
+    val firstTurns = assemble(
+        graft.sources.Tables.documents(spark, sf0001)
+          .select(col("doc_id"), col("text"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq)
+      .filter(size(col("__turns")) >= 1)
+      .select(element_at(col("__turns"), 1).as("t1"))
+      .collect().map(_.getString(0))
+    val counts = firstTurns.groupBy(identity).filter(_._2.length >= 2)
+    assert(prefixRows.length == counts.size)
+    assert(prefixRows.map(_.getLong(2)).sum ==
+             counts.values.map(_.length.toLong).sum)
+  }
+
   test("q201 plans as one row-local stage: no exchange, no generate, " +
        "no window") {
     val plan = graft.operators.LlmQueries
