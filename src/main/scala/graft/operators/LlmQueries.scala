@@ -3271,6 +3271,35 @@ object LlmQueries {
       .orderBy(col("scope"), desc("saved_tokens"), col("prefix_md5"))
   }
 
+  /** Group-relative advantage (the GRPO reward-centering step): within
+    * each source group, every document's reward (the exact ×10⁴
+    * integer quality, q203's scale) is centered on the GROUP mean —
+    * published EXACTLY as adv_scaled = qᵢ·n − Σq (the advantage in
+    * units of 1/n, so no division ever happens and the numbers are
+    * engine-portable integers; Σ adv_scaled = 0 per group by algebra,
+    * spec-pinned). The sign bit is the trainer's signal: above or
+    * below the group baseline.
+    *
+    * Scale shape: one map-side-combined (source) agg to #sources rows,
+    * broadcast back onto the corpus, then row-local arithmetic — no
+    * window, no corpus-keyed shuffle beyond the one agg. FULLY
+    * oracle-checked.
+    */
+  def q205GroupAdvantage(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      floor(TextAnalysis.qualityScore(col("text")) * 10000.0d + 0.5d)
+        .cast("long").as("qi"))
+    val g = q.groupBy("source")
+      .agg(count(lit(1)).as("n_group"), sum("qi").as("sum_q"))
+    q.join(broadcast(g), Seq("source"))
+      .select(col("doc_id"), col("source"), col("qi"), col("n_group"),
+              (col("qi") * col("n_group") - col("sum_q")).as("adv_scaled"),
+              (col("qi") * col("n_group") > col("sum_q"))
+                .as("above_baseline"))
+      .orderBy("doc_id")
+  }
+
   /** PERSISTED quantile-sketch roll ([[Sketches.logBin]] +
     * [[IndexStore.savePlainArtifact]]) — the maintenance half of q194,
     * completing the index-roll contract for the sketch family: the
@@ -5184,6 +5213,7 @@ object LlmQueries {
     "q202_loss_mask"        -> (q202LossMask(_, _)),
     "q203_preference_pairs" -> (q203PreferencePairs(_, _)),
     "q204_prefix_cache"     -> (q204PrefixCache(_, _)),
+    "q205_group_advantage"  -> (q205GroupAdvantage(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -6770,6 +6800,21 @@ object LlmQueries {
         |          i -> '<|' || r[i] || '|>' || t[i]),
         |        'string_agg', ''), '') || '<|end|>') AS render_md5
         |FROM s7 ORDER BY doc_id""".stripMargin,
+    // Exact integer reward centering: qᵢ·n − Σq per source group.
+    "q205_group_advantage" ->
+      s"""WITH ql AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor($qualitySql * 10000.0 + 0.5) AS BIGINT) AS qi
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_group,
+        |    CAST(sum(qi) AS BIGINT) AS sum_q
+        |  FROM ql GROUP BY 1)
+        |SELECT doc_id, source, qi, n_group,
+        |  qi * n_group - sum_q AS adv_scaled,
+        |  qi * n_group > sum_q AS above_baseline
+        |FROM ql JOIN g USING (source)
+        |ORDER BY doc_id""".stripMargin,
     // First-turn md5 + token count from the shared chat chain, the
     // n ≥ 2 grouping, and the (n−1)·prefix savings arithmetic.
     "q204_prefix_cache" ->

@@ -42,6 +42,23 @@ class PreferencePairsSpec extends SparkSpec {
     assert(pairs.forall(_.getLong(6) >= 1000L))
   }
 
+  test("q205 group advantage: per-group advantages sum to zero; sign " +
+       "agrees with the mean comparison; broadcast join, no window") {
+    val df = LlmQueries.queries("q205_group_advantage")(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.length == 500)
+    rows.groupBy(_.getString(1)).foreach { case (src, g) =>
+      assert(g.map(_.getLong(4)).sum == 0L, s"$src advantages must sum to 0")
+      g.foreach(r => assert(r.getBoolean(5) == (r.getLong(4) > 0L)))
+      assert(g.map(_.getLong(3)).distinct.toSeq == Seq(g.length.toLong))
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+             plan.contains("BroadcastExchange"),
+           s"group stats must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"no window needed:\n$plan")
+  }
+
   test("both top-k windows plan as WindowGroupLimit — map-side k rows " +
        "per source, never a per-source corpus sort") {
     val plan = LlmQueries.queries("q203_preference_pairs")(spark, sf0001)
