@@ -159,7 +159,8 @@ object SparkEntry {
     "q202_loss_mask",
     "q203_preference_pairs",
     "q204_prefix_cache",
-    "q205_group_advantage"
+    "q205_group_advantage",
+    "q206_dedup_savings"
   )
   // (q192 recomputes the changelog-driven roll each run — the timed
   // cost is the maintenance job itself, not a memoized read)

@@ -3300,6 +3300,59 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Dedup SAVINGS report — the number a curation run publishes to
+    * justify the dedup job: per duplicate family (the PERSISTED q35
+    * closure clusters via [[dupArtifacts]], size ≥ 2), the token mass,
+    * the kept representative's tokens (the cluster_id doc — q35's
+    * min-id convention), the tokens SAVED by keeping one copy, and the
+    * within-family savings ratio as an exact ppm; plus the GLOBAL row
+    * where the ppm is measured against the WHOLE corpus token mass —
+    * the headline "dedup saves X% of training tokens". ppm arithmetic
+    * rides DECIMAL(38) integral division (the q167 pattern), so no
+    * overflow at any corpus size and no float anywhere.
+    *
+    * Scale shape: clusters and token counts join on doc_id (ID-only
+    * rows), one (cluster_id) agg — duplicate families are tiny, the
+    * agg is map-side-combined — and a bounded GLOBAL re-agg with a
+    * broadcast one-row corpus total. FULLY oracle-checked (closure
+    * replay + token counts + the exact integer division).
+    */
+  def q206DedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val (_, clusters) = dupArtifacts(spark, dir)
+    val toks = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"))
+    val per = clusters.select("doc_id", "cluster_id")
+      .join(toks, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("toks").as("total_tokens"),
+           sum(when(col("doc_id") === col("cluster_id"), col("toks"))
+                 .otherwise(0L)).as("kept_tokens"))
+      .filter(col("n_docs") >= 2)
+      .withColumn("saved_tokens",
+                  col("total_tokens") - col("kept_tokens"))
+      .withColumn("saved_ppm",
+                  expr("CAST((CAST(saved_tokens AS DECIMAL(38,0)) " +
+                       "* 1000000) div total_tokens AS BIGINT)"))
+    val corpus = toks.agg(sum("toks").as("corpus_tokens"))
+    val global = per.agg(
+        coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(sum("total_tokens"), lit(0L)).as("total_tokens"),
+        coalesce(sum("saved_tokens"), lit(0L)).as("saved_tokens"))
+      .crossJoin(broadcast(corpus))
+      .select(lit("GLOBAL").as("scope"), lit(-1L).as("cluster_id"),
+              col("n_docs"), col("total_tokens"), col("saved_tokens"),
+              expr("CAST((CAST(saved_tokens AS DECIMAL(38,0)) " +
+                   "* 1000000) div corpus_tokens AS BIGINT)")
+                .as("saved_ppm"))
+    per.select(lit("CLUSTER").as("scope"), col("cluster_id"),
+               col("n_docs"), col("total_tokens"), col("saved_tokens"),
+               col("saved_ppm"))
+      .unionByName(global)
+      .orderBy("scope", "cluster_id")
+  }
+
   /** PERSISTED quantile-sketch roll ([[Sketches.logBin]] +
     * [[IndexStore.savePlainArtifact]]) — the maintenance half of q194,
     * completing the index-roll contract for the sketch family: the
@@ -5214,6 +5267,7 @@ object LlmQueries {
     "q203_preference_pairs" -> (q203PreferencePairs(_, _)),
     "q204_prefix_cache"     -> (q204PrefixCache(_, _)),
     "q205_group_advantage"  -> (q205GroupAdvantage(_, _)),
+    "q206_dedup_savings"    -> (q206DedupSavings(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -6800,6 +6854,47 @@ object LlmQueries {
         |          i -> '<|' || r[i] || '|>' || t[i]),
         |        'string_agg', ''), '') || '<|end|>') AS render_md5
         |FROM s7 ORDER BY doc_id""".stripMargin,
+    // Closure replay + token counts + exact integer ppm division.
+    "q206_dedup_savings" ->
+      s"""WITH RECURSIVE
+        |${minhashPortableCtes("documents", k = 5, numHashes = 32,
+                               bands = 8, threshold = 0.5,
+                               maxBucket = 1000)},
+        |tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+        |      AS toks
+        |  FROM documents),
+        |j AS (
+        |  SELECT cc.doc_id, cc.cluster_id, tok.toks
+        |  FROM cc JOIN tok USING (doc_id)),
+        |per AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |    CAST(sum(CASE WHEN doc_id = cluster_id THEN toks
+        |                  ELSE 0 END) AS BIGINT) AS kept
+        |  FROM j GROUP BY 1 HAVING count(*) >= 2),
+        |pc AS (
+        |  SELECT 'CLUSTER' AS scope, cluster_id, n_docs, total_tokens,
+        |    total_tokens - kept AS saved_tokens,
+        |    CAST((total_tokens - kept) * 1000000 // total_tokens
+        |         AS BIGINT) AS saved_ppm
+        |  FROM per),
+        |ct AS (SELECT CAST(sum(toks) AS BIGINT) AS corpus_tokens
+        |       FROM tok),
+        |gl AS (
+        |  SELECT 'GLOBAL' AS scope, CAST(-1 AS BIGINT) AS cluster_id,
+        |    CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS n_docs,
+        |    CAST(coalesce(sum(total_tokens), 0) AS BIGINT)
+        |      AS total_tokens,
+        |    CAST(coalesce(sum(saved_tokens), 0) AS BIGINT)
+        |      AS saved_tokens,
+        |    CAST(coalesce(sum(saved_tokens), 0) * 1000000
+        |         // (SELECT corpus_tokens FROM ct) AS BIGINT)
+        |      AS saved_ppm
+        |  FROM pc)
+        |SELECT * FROM pc UNION ALL SELECT * FROM gl
+        |ORDER BY scope, cluster_id""".stripMargin,
     // Exact integer reward centering: qᵢ·n − Σq per source group.
     "q205_group_advantage" ->
       s"""WITH ql AS (

@@ -539,6 +539,23 @@ class RobustnessSpec extends SparkSpec {
     assert(cardDocs == retainedIds.size.toLong)
   }
 
+  test("q206 dedup savings: GLOBAL is the exact sum of family rows; " +
+       "every family saves all but its representative's tokens") {
+    val rows = graft.operators.LlmQueries
+      .queries("q206_dedup_savings")(spark, sf0001).collect()
+    val (g, c) = rows.partition(_.getString(0) == "GLOBAL")
+    assert(g.length == 1 && c.nonEmpty)
+    c.foreach { r =>
+      assert(r.getLong(2) >= 2L)
+      assert(r.getLong(4) < r.getLong(3),
+             "kept representative must retain some tokens")
+      assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000000L)
+    }
+    assert(g.head.getLong(2) == c.map(_.getLong(2)).sum)
+    assert(g.head.getLong(3) == c.map(_.getLong(3)).sum)
+    assert(g.head.getLong(4) == c.map(_.getLong(4)).sum)
+  }
+
   test("q200 daily roll: every rolled family digest equals the " +
        "from-scratch rebuild digest; checksum is partitioning-invariant " +
        "and row-sensitive") {
