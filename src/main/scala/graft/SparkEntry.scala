@@ -160,7 +160,8 @@ object SparkEntry {
     "q203_preference_pairs",
     "q204_prefix_cache",
     "q205_group_advantage",
-    "q206_dedup_savings"
+    "q206_dedup_savings",
+    "q207_compaction_plan"
   )
   // (q192 recomputes the changelog-driven roll each run — the timed
   // cost is the maintenance job itself, not a memoized read)

@@ -3353,6 +3353,66 @@ object LlmQueries {
       .orderBy("scope", "cluster_id")
   }
 
+  /** Small-files COMPACTION plan (the OPTIMIZE/maintenance job every
+    * long-lived table needs): the file manifest (one row per file with
+    * its byte size — derived here deterministically as doc_id % 97
+    * shards over n_chars) splits at the half-capacity threshold; files
+    * ≥ 8192 B are KEPT as-is, smaller ones are ordered size-descending
+    * (FFD's ordering) and WATERLINE-packed into 16384-B target bins by
+    * one running-sum window — bin = ⌊(cum − bytes) ∕ C⌋, the
+    * deterministic, replayable packing whose bins are ≥ half full
+    * except possibly the last. Output: one row per planned bin with
+    * its fill ppm, one per kept file, and the GLOBAL row whose
+    * fill_ppm field is the compaction ratio (files_after ppm of
+    * files_before) — the "wrote N files, plan rewrites to M" number.
+    *
+    * Scale shape: the ONLY corpus-scale work is the manifest agg (one
+    * map-side-combined shuffle to #files rows). The running-sum window
+    * is a single ordered partition BY DESIGN — its input is the FILE
+    * MANIFEST, bounded by corpus_bytes/target_file_size (~10⁶ narrow
+    * rows at 100 TB with 128 MB files), not the corpus; the q124-style
+    * staged prefix sum stands ready if manifests ever outgrow that.
+    * FULLY oracle-checked (manifest, ROWS-frame cumsum, bin floor
+    * division, fills, and the compaction ratio replayed).
+    */
+  def q207CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capacity = 16384L
+    val threshold = 8192L
+    val files = Tables.documents(spark, dir)
+      .groupBy((col("doc_id") % 97).as("file_id"))
+      .agg(sum("n_chars").as("bytes"))
+    val w = Window.orderBy(desc("bytes"), col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bins = files.filter(col("bytes") < threshold)
+      .withColumn("cum", sum("bytes").over(w))
+      .withColumn("bin_id",
+                  expr(s"CAST((cum - bytes) div ${capacity}L AS BIGINT)"))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_files"), sum("bytes").as("total_bytes"))
+      .select(lit("BIN").as("scope"), col("bin_id").as("id"),
+              col("n_files"), col("total_bytes"),
+              expr(s"CAST((CAST(total_bytes AS DECIMAL(38,0)) * 1000000)" +
+                   s" div ${capacity}L AS BIGINT)").as("fill_ppm"))
+    val keep = files.filter(col("bytes") >= threshold)
+      .select(lit("KEEP").as("scope"), col("file_id").as("id"),
+              lit(1L).as("n_files"), col("bytes").as("total_bytes"),
+              expr(s"CAST((CAST(bytes AS DECIMAL(38,0)) * 1000000)" +
+                   s" div ${capacity}L AS BIGINT)").as("fill_ppm"))
+    val global = files.agg(count(lit(1)).as("files_before"),
+                           sum("bytes").as("all_bytes"))
+      .crossJoin(broadcast(bins.agg(count(lit(1)).as("n_bins"))))
+      .crossJoin(broadcast(keep.agg(count(lit(1)).as("n_keep"))))
+      .select(lit("GLOBAL").as("scope"), lit(-1L).as("id"),
+              col("files_before").as("n_files"),
+              col("all_bytes").as("total_bytes"),
+              expr("CAST((CAST(n_bins + n_keep AS DECIMAL(38,0)) " +
+                   "* 1000000) div files_before AS BIGINT)")
+                .as("fill_ppm"))
+    bins.unionByName(keep).unionByName(global)
+      .orderBy("scope", "id")
+  }
+
   /** PERSISTED quantile-sketch roll ([[Sketches.logBin]] +
     * [[IndexStore.savePlainArtifact]]) — the maintenance half of q194,
     * completing the index-roll contract for the sketch family: the
@@ -5268,6 +5328,7 @@ object LlmQueries {
     "q204_prefix_cache"     -> (q204PrefixCache(_, _)),
     "q205_group_advantage"  -> (q205GroupAdvantage(_, _)),
     "q206_dedup_savings"    -> (q206DedupSavings(_, _)),
+    "q207_compaction_plan"  -> (q207CompactionPlan(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -6854,6 +6915,40 @@ object LlmQueries {
         |          i -> '<|' || r[i] || '|>' || t[i]),
         |        'string_agg', ''), '') || '<|end|>') AS render_md5
         |FROM s7 ORDER BY doc_id""".stripMargin,
+    // Manifest agg, ROWS-frame size-desc cumsum, waterline bin floor
+    // division, per-bin fills, and the compaction ratio.
+    "q207_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT doc_id % 97 AS file_id,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1),
+        |b AS (
+        |  SELECT file_id, bytes,
+        |    sum(bytes) OVER (ORDER BY bytes DESC, file_id
+        |                     ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM f WHERE bytes < 8192),
+        |bins AS (
+        |  SELECT 'BIN' AS scope,
+        |    CAST((cum - bytes) // 16384 AS BIGINT) AS id,
+        |    CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |    CAST(sum(bytes) * 1000000 // 16384 AS BIGINT) AS fill_ppm
+        |  FROM b GROUP BY 2),
+        |keep AS (
+        |  SELECT 'KEEP' AS scope, file_id AS id,
+        |    CAST(1 AS BIGINT) AS n_files, bytes AS total_bytes,
+        |    CAST(bytes * 1000000 // 16384 AS BIGINT) AS fill_ppm
+        |  FROM f WHERE bytes >= 8192),
+        |gl AS (
+        |  SELECT 'GLOBAL' AS scope, CAST(-1 AS BIGINT) AS id,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_files,
+        |    (SELECT CAST(sum(bytes) AS BIGINT) FROM f) AS total_bytes,
+        |    CAST(((SELECT count(*) FROM bins)
+        |          + (SELECT count(*) FROM keep)) * 1000000
+        |         // (SELECT count(*) FROM f) AS BIGINT) AS fill_ppm)
+        |SELECT * FROM bins UNION ALL SELECT * FROM keep
+        |UNION ALL SELECT * FROM gl
+        |ORDER BY scope, id""".stripMargin,
     // Closure replay + token counts + exact integer ppm division.
     "q206_dedup_savings" ->
       s"""WITH RECURSIVE

@@ -556,6 +556,33 @@ class RobustnessSpec extends SparkSpec {
     assert(g.head.getLong(4) == c.map(_.getLong(4)).sum)
   }
 
+  test("q207 compaction plan: bins partition the small files, ids are " +
+       "contiguous, non-last bins at least half full, ratio exact") {
+    val rows = graft.operators.LlmQueries
+      .queries("q207_compaction_plan")(spark, sf0001).collect()
+    val bins = rows.filter(_.getString(0) == "BIN")
+    val keep = rows.filter(_.getString(0) == "KEEP")
+    val g = rows.filter(_.getString(0) == "GLOBAL").head
+    assert(bins.nonEmpty)
+    // contiguous ids 0..n-1
+    assert(bins.map(_.getLong(1)).sorted.toSeq ==
+             (0L until bins.length).toSeq)
+    // waterline guarantee: every non-last bin holds >= C/2 (files are
+    // < C/2 each, so a bin spanning a full C of waterline cannot be
+    // emptier), and no bin overshoots by more than one small file
+    val byId = bins.sortBy(_.getLong(1))
+    byId.dropRight(1).foreach(r =>
+      assert(r.getLong(3) >= 8192L, s"bin ${r.getLong(1)} under half"))
+    byId.foreach(r => assert(r.getLong(3) <= 16384L + 8192L))
+    // conservation + the ratio
+    assert(g.getLong(2) == bins.map(_.getLong(2)).sum + keep.length)
+    assert(g.getLong(3) ==
+             bins.map(_.getLong(3)).sum + keep.map(_.getLong(3)).sum)
+    val after = bins.length + keep.length
+    assert(g.getLong(4) ==
+             after.toLong * 1000000L / g.getLong(2))
+  }
+
   test("q200 daily roll: every rolled family digest equals the " +
        "from-scratch rebuild digest; checksum is partitioning-invariant " +
        "and row-sensitive") {
