@@ -161,7 +161,8 @@ object SparkEntry {
     "q204_prefix_cache",
     "q205_group_advantage",
     "q206_dedup_savings",
-    "q207_compaction_plan"
+    "q207_compaction_plan",
+    "q208_binary_ann"
   )
   // (q192 recomputes the changelog-driven roll each run — the timed
   // cost is the maintenance job itself, not a memoized read)

@@ -80,6 +80,60 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Sign-bit binary quantization: bit i of one BIGINT word is set iff
+    * component i is positive — 64 float32 dims become 8 bytes (a 32×
+    * index cut, the "binary embeddings" serving trick), and the word is
+    * exactly a seeded-free random-hyperplane sketch whose hamming
+    * distance tracks angle. Dims MUST be ≤ 64 (one word); the driver
+    * embeddings are 64-dim. Engine-portable bit arithmetic only.
+    */
+  def withSignBits(df: DataFrame, vecCol: String = "embedding",
+                   outCol: String = "sig"): DataFrame =
+    df.withColumn(outCol,
+      expr(s"aggregate(sequence(0, size($vecCol) - 1), 0L, " +
+           s"(acc, i) -> acc + IF(element_at($vecCol, i + 1) > 0.0D, " +
+           s"shiftleft(1L, i), 0L))"))
+
+  /** Binary-sketch ANN with exact re-rank: queries broadcast, the
+    * corpus SCAN ranks by `bit_count(xor)` hamming on the 8-byte
+    * signatures only (ids + two longs ride the candidate window — the
+    * float vectors never enter it; the `rank ≤ rerank` filter plans as
+    * WindowGroupLimit, map-side top-R per query), then the
+    * rerank-sized candidate set broadcasts back onto the corpus to
+    * fetch floats for the exact cosine top-k. At 100 TB the hamming
+    * pass reads 8 bytes/vector instead of 256 — the memory-bound
+    * first stage binary indexes exist for.
+    */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 rerank: Int = 20, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+                          col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"),
+                           col(vecCol).as("qvec"))
+    val csig = withSignBits(c, "cvec", "csig").select("corpus_id", "csig")
+    val qsig = withSignBits(q, "qvec", "qsig").select("query_id", "qsig")
+    val wH = Window.partitionBy("query_id")
+      .orderBy(asc("hamming"), asc("corpus_id"))
+    val cand = csig
+      .join(broadcast(qsig), col("query_id") =!= col("corpus_id"))
+      .withColumn("hamming",
+                  expr("CAST(bit_count(csig ^ qsig) AS BIGINT)"))
+      .withColumn("hrank", row_number().over(wH))
+      .filter(col("hrank") <= rerank)
+      .select("query_id", "corpus_id", "hamming")
+    val wC = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("corpus_id"))
+    c.join(broadcast(cand), Seq("corpus_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(wC).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("hamming"),
+              round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Exact top-k neighbors for each query id. `queries` must be small
     * enough to broadcast (it is explicitly broadcast). Corpus is scanned
     * once; ranking is a window over (query, corpus-partition) — Spark plans

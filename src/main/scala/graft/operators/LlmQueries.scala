@@ -3354,7 +3354,10 @@ object LlmQueries {
   }
 
   /** Small-files COMPACTION plan (the OPTIMIZE/maintenance job every
-    * long-lived table needs): the file manifest (one row per file with
+    * long-lived table needs — the PLANNER side of [[graft.io
+    * .Compaction]], whose writers execute plans like this one and whose
+    * CompactionSpec proves the layout/pruning payoff): the file
+    * manifest (one row per file with
     * its byte size — derived here deterministically as doc_id % 97
     * shards over n_chars) splits at the half-capacity threshold; files
     * ≥ 8192 B are KEPT as-is, smaller ones are ordered size-descending
@@ -3411,6 +3414,20 @@ object LlmQueries {
                 .as("fill_ppm"))
     bins.unionByName(keep).unionByName(global)
       .orderBy("scope", "id")
+  }
+
+  /** Binary-embedding ANN ([[Similarity.binaryTopK]]) — the 32×-cheaper
+    * first stage next to int8 (q78) and PQ (q168): sign-bit signatures
+    * (one BIGINT per 64-dim vector), hamming ranking via
+    * `bit_count(xor)`, exact cosine re-rank of the top-20 candidates.
+    * The output carries BOTH numbers per hit (hamming and cosine), so
+    * the rows also document how well the 8-byte sketch tracks the true
+    * angle on real data. FULLY oracle-checked (bit construction,
+    * hamming window, candidate cut, cosine re-rank all replayed).
+    */
+  def q208BinaryAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.binaryTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
   }
 
   /** PERSISTED quantile-sketch roll ([[Sketches.logBin]] +
@@ -5329,6 +5346,7 @@ object LlmQueries {
     "q205_group_advantage"  -> (q205GroupAdvantage(_, _)),
     "q206_dedup_savings"    -> (q206DedupSavings(_, _)),
     "q207_compaction_plan"  -> (q207CompactionPlan(_, _)),
+    "q208_binary_ann"       -> (q208BinaryAnn(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -6915,6 +6933,54 @@ object LlmQueries {
         |          i -> '<|' || r[i] || '|>' || t[i]),
         |        'string_agg', ''), '') || '<|end|>') AS render_md5
         |FROM s7 ORDER BY doc_id""".stripMargin,
+    // Sign-bit words, hamming window, top-20 cut, cosine re-rank.
+    // Bit 63 is spelled as the two's-complement MIN BIGINT: Spark's
+    // shiftleft(1L, 63) wraps there, DuckDB's << refuses to.
+    "q208_binary_ann" ->
+      """WITH sig AS (
+        |  SELECT vec_id,
+        |    CAST(coalesce(list_sum(list_transform(
+        |        generate_series(0, len(embedding) - 1),
+        |        i -> CASE WHEN embedding[i + 1] > 0
+        |                  THEN CASE WHEN i = 63
+        |                            THEN CAST(-9223372036854775808
+        |                                      AS HUGEINT)
+        |                            ELSE CAST(CAST(1 AS BIGINT) << i
+        |                                      AS HUGEINT) END
+        |                  ELSE CAST(0 AS HUGEINT) END)), 0) AS BIGINT)
+        |      AS s
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, s AS qs FROM sig
+        |      WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS corpus_id, s AS cs FROM sig),
+        |h AS (
+        |  SELECT query_id, corpus_id,
+        |    CAST(bit_count(xor(cs, qs)) AS BIGINT) AS hamming
+        |  FROM c CROSS JOIN q WHERE corpus_id <> query_id),
+        |hr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY hamming, corpus_id)
+        |    AS hrank
+        |  FROM h),
+        |cand AS (SELECT query_id, corpus_id, hamming FROM hr
+        |         WHERE hrank <= 20),
+        |cv AS (SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |       FROM embeddings),
+        |sc AS (
+        |  SELECT cand.query_id, cand.corpus_id, cand.hamming,
+        |    list_cosine_similarity(qv.v, cv.v) AS cos
+        |  FROM cand
+        |  JOIN cv ON cv.vec_id = cand.corpus_id
+        |  JOIN cv qv ON qv.vec_id = cand.query_id),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |                                    ORDER BY cos DESC, corpus_id)
+        |              AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT query_id, corpus_id, hamming, round(cos, 6) AS cos, rank
+        |FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     // Manifest agg, ROWS-frame size-desc cumsum, waterline bin floor
     // division, per-bin fills, and the compaction ratio.
     "q207_compaction_plan" ->

@@ -559,4 +559,36 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == graft.operators.LlmQueries
              .q159CellPurity(spark, sf0001).collect().toSeq)
   }
+
+  test("binary sign ANN (q208): signatures match a Scala bit replay " +
+       "incl. bit 63, hamming pass plans as WindowGroupLimit, recall " +
+       "vs exact is honest") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    // signature replay on a sample, incl. the sign-wrap bit 63
+    val sigs = Similarity.withSignBits(emb.filter(col("vec_id") < 20))
+      .select("vec_id", "sig", "embedding").collect()
+    sigs.foreach { r =>
+      val v = r.getSeq[Float](2)
+      val expect = v.zipWithIndex.foldLeft(0L) {
+        case (acc, (x, i)) => if (x > 0f) acc + (1L << i) else acc
+      }
+      assert(r.getLong(1) == expect, s"vec ${r.getLong(0)}")
+    }
+    assert(sigs.exists(_.getLong(1) < 0L),
+           "bit 63 must be exercised (negative word) on 64-dim data")
+    val df = graft.operators.LlmQueries.queries("q208_binary_ann")(
+      spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+           s"hamming rank must group-limit map-side:\n$plan")
+    // recall@10 vs the exact ranking — binary sketches are lossy on
+    // near-random vectors; pin a floor, not a fantasy
+    val exact = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.3, f"recall@10 $recall%.2f below floor")
+  }
 }
