@@ -162,7 +162,8 @@ object SparkEntry {
     "q205_group_advantage",
     "q206_dedup_savings",
     "q207_compaction_plan",
-    "q208_binary_ann"
+    "q208_binary_ann",
+    "q209_streaming_chat"
   )
   // (q192 recomputes the changelog-driven roll each run — the timed
   // cost is the maintenance job itself, not a memoized read)

@@ -3089,11 +3089,18 @@ object LlmQueries {
   /** Shared q201/q202 staging: turns, roles, corruption slice, token
     * counts, pair suffix sums, budget-48 kept-pair count, validation.
     */
-  private def chatStaged(spark: SparkSession, dir: String): DataFrame = {
+  private def chatStaged(spark: SparkSession, dir: String): DataFrame =
+    chatStagedOf(Tables.documents(spark, dir)
+                   .select(col("doc_id"), col("text")))
+
+  /** The row-local chat chain over any (doc_id, text) relation — batch
+    * OR streaming (stateless, so stream ≡ batch holds exactly; q209
+    * pins it through the oracle).
+    */
+  private def chatStagedOf(docs: DataFrame): DataFrame = {
     val budget = 48L
     val corrupt = col("doc_id") % 13 === 2
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
+    docs
       .withColumn("__w", Conversations.words(col("text")))
       .withColumn("__t0",
                   Conversations.wordWindowTurnsOfWords(col("__w")))
@@ -3113,8 +3120,11 @@ object LlmQueries {
                                                  col("__roles")))
   }
 
-  def q201ChatAssembly(spark: SparkSession, dir: String): DataFrame = {
-    chatStaged(spark, dir).select(
+  /** q201's output columns off the staged chain (no sort — shared by
+    * the batch query and the q209 streaming sink).
+    */
+  private def chatReport(staged: DataFrame): DataFrame =
+    staged.select(
       col("doc_id"),
       size(col("__turns")).cast("long").as("n_turns"),
       (col("__reason") === "ok").as("valid"),
@@ -3127,8 +3137,48 @@ object LlmQueries {
         .as("kept_tokens"),
       md5(Conversations.renderChat(col("__turns"), col("__roles"))
             .cast("binary")).as("render_md5"))
-      .orderBy("doc_id")
+
+  def q201ChatAssembly(spark: SparkSession, dir: String): DataFrame =
+    chatReport(chatStaged(spark, dir)).orderBy("doc_id")
+
+  /** STREAMING twin of q201 — the chat-ingest validation running as a
+    * continuous pipeline: the corpus arrives as 3 staged file-source
+    * micro-batches (executor-written, nothing collected — the q162
+    * harness), every batch flows through the SAME row-local
+    * [[chatReport]] chain, and lands in idempotent `batch_id=`
+    * partitions. Because the chain is STATELESS (one row in, one row
+    * out, no cross-doc state), stream ≡ batch holds exactly — the
+    * oracle replays the BATCH q201 report with the batch assignment
+    * appended, so hash-green IS the parity proof. The design point:
+    * emission-side chat processing needs no backfill/streaming split
+    * at 100 TB — one code path serves both.
+    */
+  def q209StreamingChat(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = q209Saved.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q209_").toString
+      val in = s"$base/in"
+      graft.streaming.EventStreams.stageMicroBatchFiles(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        col("doc_id") % 3, nBatches = 3, inDir = in)
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val out = s"$base/out"
+      val q = graft.streaming.EventStreams.idempotentParquetSink(
+        chatReport(chatStagedOf(stream)), out, s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      out
+    })
+    spark.read.parquet(outDir)
+      .select(col("batch_id").cast("long").as("batch_id"), col("doc_id"),
+              col("n_turns"), col("valid"), col("reason"),
+              col("total_tokens"), col("kept_pairs"), col("kept_tokens"),
+              col("render_md5"))
+      .orderBy("batch_id", "doc_id")
   }
+  private val q209Saved = new graft.SavedOnce[String, String]
 
   /** SFT loss-mask emission ([[Conversations.maskSpec]]) — the step
     * that turns q201's VALID conversations into training examples: the
@@ -5347,6 +5397,7 @@ object LlmQueries {
     "q206_dedup_savings"    -> (q206DedupSavings(_, _)),
     "q207_compaction_plan"  -> (q207CompactionPlan(_, _)),
     "q208_binary_ann"       -> (q208BinaryAnn(_, _)),
+    "q209_streaming_chat"   -> (q209StreamingChat(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -6915,6 +6966,23 @@ object LlmQueries {
     "q199_cluster_roll" ->
       minhashPortableOracleSql(k = 5, numHashes = 32, bands = 8,
                                threshold = 0.5, maxBucket = 1000),
+    // The BATCH q201 replay + the micro-batch assignment: hash-green
+    // IS the stream ≡ batch parity proof for the stateless chain.
+    "q209_streaming_chat" ->
+      s"""WITH $chatCtes
+        |SELECT doc_id % 3 AS batch_id, doc_id,
+        |  CAST(n AS BIGINT) AS n_turns,
+        |  reason = 'ok' AS valid,
+        |  reason,
+        |  CAST(coalesce(list_sum(tk), 0) AS BIGINT) AS total_tokens,
+        |  CAST(kp AS BIGINT) AS kept_pairs,
+        |  CAST(CASE WHEN kp = 0 THEN 0 ELSE ss[kp] END AS BIGINT)
+        |    AS kept_tokens,
+        |  md5(coalesce(list_aggregate(
+        |        list_transform(generate_series(1, n),
+        |          i -> '<|' || r[i] || '|>' || t[i]),
+        |        'string_agg', ''), '') || '<|end|>') AS render_md5
+        |FROM s7 ORDER BY batch_id, doc_id""".stripMargin,
     // Sentence turns, role parity, the every-13th leading-turn drop,
     // validation order, pair suffix sums, budget-48 truncation, and the
     // rendered-template md5 — all replayed with plain list functions.
