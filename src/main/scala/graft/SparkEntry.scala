@@ -163,7 +163,8 @@ object SparkEntry {
     "q206_dedup_savings",
     "q207_compaction_plan",
     "q208_binary_ann",
-    "q209_streaming_chat"
+    "q209_streaming_chat",
+    "q210_mrl_recall"
   )
   // (q192 recomputes the changelog-driven roll each run — the timed
   // cost is the maintenance job itself, not a memoized read)

@@ -3480,6 +3480,35 @@ object LlmQueries {
     Similarity.binaryTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
   }
 
+  /** Matryoshka (MRL) truncation-recall report — the "which embedding
+    * width can we afford" capacity decision: top-10 cosine rankings
+    * computed on the FIRST 8/16/32/64 components of the same vectors,
+    * each scored for recall against the full-width exact ranking
+    * through [[annRecallReport]] (the q140/q148 report shape; the
+    * dim64 ranker IS the reference, so its recall_x1000 = 1000 row is
+    * a built-in sanity check). At 100 TB the answer decides index
+    * bytes/vector — truncation is free at read time when vectors are
+    * stored MRL-style (prefix dims first), which is exactly the
+    * column-prefix slice this query models.
+    *
+    * Scale shape: each ranker is [[Similarity.bruteForceTopK]]'s
+    * broadcast-queries + per-partition-top-k scan over row-locally
+    * sliced vectors; the recall joins are top-k-sized. FULLY
+    * oracle-checked per dim (sliced-list cosine, rank windows, hit
+    * joins, exact ×1000 floors).
+    */
+  def q210MrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    def trunc(df: DataFrame, d: Int) =
+      df.withColumn("embedding", slice(col("embedding"), 1, d))
+    val rankers = Seq(8, 16, 32, 64).map { d =>
+      f"dim$d%02d" ->
+        Similarity.bruteForceTopK(trunc(emb, d), trunc(queries, d), k = 10)
+    }
+    annRecallReport(emb, queries, k = 10, rankers)
+  }
+
   /** PERSISTED quantile-sketch roll ([[Sketches.logBin]] +
     * [[IndexStore.savePlainArtifact]]) — the maintenance half of q194,
     * completing the index-roll contract for the sketch family: the
@@ -5398,6 +5427,7 @@ object LlmQueries {
     "q207_compaction_plan"  -> (q207CompactionPlan(_, _)),
     "q208_binary_ann"       -> (q208BinaryAnn(_, _)),
     "q209_streaming_chat"   -> (q209StreamingChat(_, _)),
+    "q210_mrl_recall"       -> (q210MrlRecall(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -6966,6 +6996,56 @@ object LlmQueries {
     "q199_cluster_roll" ->
       minhashPortableOracleSql(k = 5, numHashes = 32, bands = 8,
                                threshold = 0.5, maxBucket = 1000),
+    // Per-dim sliced-list cosine rankings scored against the full-width
+    // exact top-10; the dim64 ranker must come back at recall 1000.
+    "q210_mrl_recall" -> {
+      val dims = Seq(8, 16, 32, 64)
+      val dimCtes = dims.map { d =>
+        f"""a$d%02d AS (
+           |  SELECT query_id, corpus_id FROM (
+           |    SELECT q.query_id, c.vec_id AS corpus_id,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+           |                 c.vec_id) AS rank
+           |    FROM (SELECT vec_id AS query_id, v[1:$d] AS qv FROM e
+           |          WHERE vec_id < 5) q
+           |    CROSS JOIN (SELECT vec_id, v[1:$d] AS cv FROM e) c
+           |    WHERE c.vec_id <> q.query_id)
+           |  WHERE rank <= 10)""".stripMargin
+      }.mkString(",\n")
+      val dimSelects = dims.map { d =>
+        f"""SELECT 'dim$d%02d' AS ranker, ex.query_id,
+           |  CAST(count(*) AS BIGINT) AS n_exact,
+           |  CAST(sum(CASE WHEN a$d%02d.corpus_id IS NOT NULL
+           |               THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  CAST(floor(sum(CASE WHEN a$d%02d.corpus_id IS NOT NULL
+           |                     THEN 1 ELSE 0 END) * 1000
+           |             / greatest(count(*), 1)) AS BIGINT)
+           |    AS recall_x1000
+           |FROM ex LEFT JOIN a$d%02d
+           |  ON ex.query_id = a$d%02d.query_id
+           | AND ex.corpus_id = a$d%02d.corpus_id
+           |GROUP BY ex.query_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |exq AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |        WHERE vec_id < 5),
+         |exs AS (SELECT query_id, e.vec_id AS corpus_id,
+         |          list_cosine_similarity(qv, v) AS cos
+         |        FROM exq CROSS JOIN e WHERE e.vec_id <> query_id),
+         |ex AS (SELECT query_id, corpus_id FROM (
+         |         SELECT query_id, corpus_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, corpus_id)
+         |             AS rank
+         |         FROM exs) WHERE rank <= 10),
+         |$dimCtes
+         |SELECT * FROM (
+         |$dimSelects
+         |) ORDER BY ranker, query_id""".stripMargin
+    },
     // The BATCH q201 replay + the micro-batch assignment: hash-green
     // IS the stream ≡ batch parity proof for the stateless chain.
     "q209_streaming_chat" ->

@@ -591,4 +591,21 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & got).size.toDouble / exact.size
     assert(recall >= 0.3, f"recall@10 $recall%.2f below floor")
   }
+
+  test("MRL truncation recall (q210): the full-width ranker is a " +
+       "perfect sanity row and mean recall is monotone in prefix width") {
+    val rows = graft.operators.LlmQueries
+      .queries("q210_mrl_recall")(spark, sf0001).collect()
+    val byDim = rows.groupBy(_.getString(0))
+      .map { case (d, rs) =>
+        d -> rs.map(_.getLong(3)).sum.toDouble / rs.map(_.getLong(2)).sum
+      }
+    assert(byDim("dim64") == 1.0,
+           "full-width ranking must equal the exact reference")
+    val order = Seq("dim08", "dim16", "dim32", "dim64").map(byDim)
+    assert(order.sliding(2).forall(p => p.head <= p.last),
+           s"recall must not decrease with width: $order")
+    rows.foreach(r => assert(r.getLong(4) ==
+      r.getLong(3) * 1000L / math.max(r.getLong(2), 1L)))
+  }
 }
