@@ -1022,6 +1022,52 @@ object ScaleProbe {
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", oldSkew)
       }
     }
+    // Round-11 second wave: the chat chain (q201 — pure row-local HOFs,
+    // must scale linearly with ZERO shuffle growth), preference-pair
+    // mining (q203 — scan grows, but WindowGroupLimit keeps the shuffle
+    // at k·mappers·#sources rows), and binary ANN (q208 — an 8-byte/
+    // vector hamming scan; the float fetch is rerank-sized).
+    section("chat_assembly pref_pairs binary_ann") {
+      import org.apache.spark.sql.expressions.Window
+      for (n <- Seq(1, 5, 20)) {
+        val d = docsX(n); val rows = d.count()
+        time(s"chat_assembly  n=$n ($rows)") {
+          noop(graft.operators.LlmQueries.chatReport(
+            graft.operators.LlmQueries.chatStagedOf(
+              d.select("doc_id", "text"))))
+        }
+        time(s"pref_pairs     n=$n ($rows)") {
+          val q = d.select(
+            col("doc_id"), col("source"),
+            floor(graft.llm.TextAnalysis.qualityScore(col("text"))
+                    * 10000.0d + 0.5d).cast("long").as("qi"))
+          val wHi = Window.partitionBy("source")
+            .orderBy(desc("qi"), col("doc_id"))
+          val wLo = Window.partitionBy("source")
+            .orderBy(col("qi"), desc("doc_id"))
+          val hi = q.withColumn("r", row_number().over(wHi))
+            .filter(col("r") <= 8)
+            .select(col("source"), col("r"),
+                    col("doc_id").as("chosen_id"),
+                    col("qi").as("chosen_q"))
+          val lo = q.withColumn("r", row_number().over(wLo))
+            .filter(col("r") <= 8)
+            .select(col("source"), col("r"),
+                    col("doc_id").as("rejected_id"),
+                    col("qi").as("rejected_q"))
+          noop(hi.join(lo, Seq("source", "r"))
+            .filter(col("chosen_id") =!= col("rejected_id") &&
+                    col("chosen_q") - col("rejected_q") >= 1000L))
+        }
+      }
+      for (n <- Seq(1, 5, 20)) {
+        val e = embX(n); val rows = e.count()
+        time(s"binary_ann     n=$n ($rows)") {
+          noop(Similarity.binaryTopK(e, e.filter(col("vec_id") < 5),
+                                     k = 10))
+        }
+      }
+    }
     // Round-11: q198's CDC fingerprinting (row-local chunker + fp
     // joins — should be scan-linear) and q199's cluster roll vs the
     // full rebuild: the roll pays delta banding + star edges + a

@@ -3097,7 +3097,7 @@ object LlmQueries {
     * OR streaming (stateless, so stream ≡ batch holds exactly; q209
     * pins it through the oracle).
     */
-  private def chatStagedOf(docs: DataFrame): DataFrame = {
+  private[graft] def chatStagedOf(docs: DataFrame): DataFrame = {
     val budget = 48L
     val corrupt = col("doc_id") % 13 === 2
     docs
@@ -3123,7 +3123,7 @@ object LlmQueries {
   /** q201's output columns off the staged chain (no sort — shared by
     * the batch query and the q209 streaming sink).
     */
-  private def chatReport(staged: DataFrame): DataFrame =
+  private[graft] def chatReport(staged: DataFrame): DataFrame =
     staged.select(
       col("doc_id"),
       size(col("__turns")).cast("long").as("n_turns"),
