@@ -164,7 +164,8 @@ object SparkEntry {
     "q207_compaction_plan",
     "q208_binary_ann",
     "q209_streaming_chat",
-    "q210_mrl_recall"
+    "q210_mrl_recall",
+    "q211_packed_examples"
   )
   // (q192 recomputes the changelog-driven roll each run — the timed
   // cost is the maintenance job itself, not a memoized read)

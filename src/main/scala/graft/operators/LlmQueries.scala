@@ -3509,6 +3509,54 @@ object LlmQueries {
     annRecallReport(emb, queries, k = 10, rankers)
   }
 
+  /** Packed training batches with BOUNDARY OFFSETS — the last artifact
+    * of the chat pipeline (q201 validate → q202 truncate/mask → THIS):
+    * the valid truncated examples are length-banded and packed into
+    * 128-token context windows by [[Sharding.lengthBatching]] (q137's
+    * staged two-phase machinery — batches respect capacity, no global
+    * sort), and every example gets its [offset_start, offset_end) slot
+    * inside its window — exactly the block-diagonal attention-mask
+    * boundary map a trainer needs for cross-example packing without
+    * cross-example attention.
+    *
+    * Scale shape: the q202 chain (row-local, closed-form scan filter) +
+    * lengthBatching's (band, bucket)-partitioned windows with broadcast
+    * bases; the batch-local offset window partitions by (band,
+    * batch_id) — partitions bounded by capacity/min-example, never
+    * corpus-sized. FULLY oracle-checked (the chat CTEs + the q137
+    * single-window reference replay + the in-window offsets).
+    */
+  def q211PackedExamples(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n0 = least(floor((size(Conversations.words(col("text"))) + 11) / 12)
+                     .cast("int"), lit(8))
+    val ex = chatStaged(spark, dir)
+      .filter(col("doc_id") % 13 =!= 2 && n0 >= 2 &&
+              pmod(n0, lit(2)) === 0)
+      .withColumn("__n", size(col("__turns")))
+      .withColumn("__kt",
+                  slice(col("__turns"),
+                        col("__n") - col("__kp") * 2 + 1,
+                        col("__kp") * 2))
+      .withColumn("__ktk", Conversations.turnTokenCounts(col("__kt")))
+      .select(col("doc_id"),
+              coalesce(aggregate(col("__ktk"), lit(0L), (a, x) => a + x),
+                       lit(0L)).as("toks"))
+    val batched = Sharding.lengthBatching(ex, "doc_id", "toks",
+                                          bandTokens = 8, nBands = 8,
+                                          capacity = 128L, seed = "r11",
+                                          nBuckets = 32)
+    val w = Window.partitionBy("band", "batch_id")
+      .orderBy(col("sort_key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    batched
+      .withColumn("offset_start", coalesce(sum("toks").over(w), lit(0L)))
+      .select(col("band").cast("long").as("band"), col("batch_id"),
+              col("doc_id"), col("toks"), col("offset_start"),
+              (col("offset_start") + col("toks")).as("offset_end"))
+      .orderBy("band", "batch_id", "offset_start", "doc_id")
+  }
+
   /** PERSISTED quantile-sketch roll ([[Sketches.logBin]] +
     * [[IndexStore.savePlainArtifact]]) — the maintenance half of q194,
     * completing the index-roll contract for the sketch family: the
@@ -5428,6 +5476,7 @@ object LlmQueries {
     "q208_binary_ann"       -> (q208BinaryAnn(_, _)),
     "q209_streaming_chat"   -> (q209StreamingChat(_, _)),
     "q210_mrl_recall"       -> (q210MrlRecall(_, _)),
+    "q211_packed_examples"  -> (q211PackedExamples(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -6996,6 +7045,44 @@ object LlmQueries {
     "q199_cluster_roll" ->
       minhashPortableOracleSql(k = 5, numHashes = 32, bands = 8,
                                threshold = 0.5, maxBucket = 1000),
+    // Chat CTEs → kept-tail example tokens → the q137 single-window
+    // banding/batching reference → in-window boundary offsets.
+    "q211_packed_examples" ->
+      s"""WITH $chatCtes,
+        |v AS (SELECT doc_id, t, n, kp FROM s7 WHERE reason = 'ok'),
+        |ktx AS (
+        |  SELECT doc_id, t[CAST(n - 2 * kp + 1 AS INTEGER):] AS kt
+        |  FROM v),
+        |ex AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(list_sum(list_transform(kt,
+        |        x -> CAST(len(string_split_regex(x, '\\s+'))
+        |                  AS BIGINT))), 0) AS BIGINT) AS toks
+        |  FROM ktx),
+        |k AS (
+        |  SELECT doc_id, toks,
+        |    CAST(least(toks // 8, 7) AS BIGINT) AS band,
+        |    ('0x' || substr(md5('r11:' || CAST(doc_id AS VARCHAR)),
+        |                    1, 15))::BIGINT AS sort_key
+        |  FROM ex),
+        |b AS (
+        |  SELECT doc_id, toks, band, sort_key,
+        |    CAST(coalesce(sum(toks) OVER (PARTITION BY band
+        |          ORDER BY sort_key, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS BIGINT) // 128 AS batch_id
+        |  FROM k),
+        |o AS (
+        |  SELECT band, CAST(batch_id AS BIGINT) AS batch_id, doc_id,
+        |    toks,
+        |    CAST(coalesce(sum(toks) OVER (PARTITION BY band, batch_id
+        |          ORDER BY sort_key, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS BIGINT) AS offset_start
+        |  FROM b)
+        |SELECT band, batch_id, doc_id, toks, offset_start,
+        |  offset_start + toks AS offset_end
+        |FROM o ORDER BY band, batch_id, offset_start, doc_id""".stripMargin,
     // Per-dim sliced-list cosine rankings scored against the full-width
     // exact top-10; the dim64 ranker must come back at recall 1000.
     "q210_mrl_recall" -> {

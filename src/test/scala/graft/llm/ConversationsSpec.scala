@@ -173,6 +173,36 @@ class ConversationsSpec extends SparkSpec {
              counts.values.map(_.length.toLong).sum)
   }
 
+  test("q211 packed examples: slots are contiguous and disjoint per " +
+       "window, windows respect capacity up to one waterline item, " +
+       "and exactly the q202 examples are packed") {
+    val rows = graft.operators.LlmQueries
+      .queries("q211_packed_examples")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val q202Ids = graft.operators.LlmQueries
+      .queries("q202_loss_mask")(spark, sf0001).collect()
+      .map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(2)).toSet == q202Ids)
+    rows.groupBy(r => (r.getLong(0), r.getLong(1))).foreach {
+      case ((band, batch), slot0) =>
+        val slots = slot0.sortBy(_.getLong(4))
+        assert(slots.head.getLong(4) == 0L,
+               s"window ($band,$batch) must start at offset 0")
+        slots.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a.getLong(5) == b.getLong(4),
+                   s"window ($band,$batch): slots must be contiguous")
+          case _ => ()
+        }
+        val total = slots.map(_.getLong(3)).sum
+        val maxItem = slots.map(_.getLong(3)).max
+        assert(total <= 128L + maxItem - 1,
+               s"window ($band,$batch) exceeds waterline bound: $total")
+        slots.foreach(r => assert(r.getLong(5) - r.getLong(4) ==
+                                    r.getLong(3)))
+    }
+  }
+
   test("q201 plans as one row-local stage: no exchange, no generate, " +
        "no window") {
     val plan = graft.operators.LlmQueries
