@@ -165,7 +165,8 @@ object SparkEntry {
     "q208_binary_ann",
     "q209_streaming_chat",
     "q210_mrl_recall",
-    "q211_packed_examples"
+    "q211_packed_examples",
+    "q212_props_schema_gate"
   )
   // (q192 recomputes the changelog-driven roll each run — the timed
   // cost is the maintenance job itself, not a memoized read)

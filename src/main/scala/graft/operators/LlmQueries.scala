@@ -3557,6 +3557,60 @@ object LlmQueries {
       .orderBy("band", "batch_id", "offset_start", "doc_id")
   }
 
+  /** Semi-structured SCHEMA-CONFORMANCE gate over the `events.props`
+    * JSON — the tool-call/metadata validation a pipeline ingesting
+    * model- or client-produced JSON runs on every batch: each payload
+    * is checked against the expected contract (valid JSON → has `k` →
+    * `k` is an integer → in [0, 1000]) and classified by its FIRST
+    * defect (the q201 verdict-order pattern). Four deterministic
+    * corruption classes are synthesized by event_id parity (value
+    * +100000 → out_of_range, key rename → missing_key, truncation →
+    * malformed, quoted value → bad_type), so every branch is exercised
+    * on real data. Published per (event_type, verdict) with exact
+    * DECIMAL-div share ppm.
+    *
+    * Scale shape: row-local JSON probing (`get_json_object` +
+    * `try_cast` — no ANSI throw on bad payloads), one map-side-combined
+    * (type, verdict) agg, and a bounded per-type total broadcast back.
+    * FULLY oracle-checked (DuckDB replays corruption synthesis,
+    * json_valid/extract/TRY_CAST branch order, counts, and ppm).
+    */
+  def q212PropsSchemaGate(spark: SparkSession, dir: String): DataFrame = {
+    val kInt = get_json_object(col("props"), "$.k").cast("int")
+    val p2 = when(col("event_id") % 11 === 2,
+                  concat(lit("{\"k\": "), (kInt + 100000).cast("string"),
+                         lit("}")))
+      .when(col("event_id") % 11 === 4,
+            expr("replace(props, '\"k\"', '\"x\"')"))
+      .when(col("event_id") % 11 === 7, lit("{\"k\": "))
+      .when(col("event_id") % 11 === 9,
+            concat(lit("{\"k\": \"v"),
+                   get_json_object(col("props"), "$.k"), lit("\"}")))
+      .otherwise(col("props"))
+    val counts = Tables.events(spark, dir)
+      .withColumn("__p", p2)
+      .withColumn("__k", expr("try_cast(get_json_object(__p, '$.k') " +
+                              "AS INT)"))
+      .withColumn("verdict",
+                  when(expr("get_json_object(__p, '$')").isNull,
+                       lit("malformed"))
+                    .when(expr("get_json_object(__p, '$.k')").isNull,
+                          lit("missing_key"))
+                    .when(col("__k").isNull, lit("bad_type"))
+                    .when(col("__k") < 0 || col("__k") > 1000,
+                          lit("out_of_range"))
+                    .otherwise(lit("ok")))
+      .groupBy("event_type", "verdict")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("event_type")
+      .agg(sum("n").as("type_total"))
+    counts.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("verdict"), col("n"),
+              expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000) " +
+                   "div type_total AS BIGINT)").as("share_ppm"))
+      .orderBy("event_type", "verdict")
+  }
+
   /** PERSISTED quantile-sketch roll ([[Sketches.logBin]] +
     * [[IndexStore.savePlainArtifact]]) — the maintenance half of q194,
     * completing the index-roll contract for the sketch family: the
@@ -5477,6 +5531,7 @@ object LlmQueries {
     "q209_streaming_chat"   -> (q209StreamingChat(_, _)),
     "q210_mrl_recall"       -> (q210MrlRecall(_, _)),
     "q211_packed_examples"  -> (q211PackedExamples(_, _)),
+    "q212_props_schema_gate" -> (q212PropsSchemaGate(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -7045,6 +7100,43 @@ object LlmQueries {
     "q199_cluster_roll" ->
       minhashPortableOracleSql(k = 5, numHashes = 32, bands = 8,
                                threshold = 0.5, maxBucket = 1000),
+    // Corruption synthesis, json_valid/extract/TRY_CAST branch order,
+    // (type, verdict) counts, and the exact ppm shares.
+    "q212_props_schema_gate" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 11 = 2
+        |           THEN '{"k": ' ||
+        |                CAST(CAST(json_extract_string(props, '$.k')
+        |                          AS INTEGER) + 100000 AS VARCHAR) || '}'
+        |         WHEN event_id % 11 = 4
+        |           THEN replace(props, '"k"', '"x"')
+        |         WHEN event_id % 11 = 7 THEN '{"k": '
+        |         WHEN event_id % 11 = 9
+        |           THEN '{"k": "v' ||
+        |                json_extract_string(props, '$.k') || '"}'
+        |         ELSE props END AS p2
+        |  FROM events),
+        |v AS (
+        |  SELECT event_type,
+        |    CASE WHEN NOT json_valid(p2) THEN 'malformed'
+        |         WHEN json_extract_string(p2, '$.k') IS NULL
+        |           THEN 'missing_key'
+        |         WHEN TRY_CAST(json_extract_string(p2, '$.k') AS INTEGER)
+        |              IS NULL THEN 'bad_type'
+        |         WHEN TRY_CAST(json_extract_string(p2, '$.k') AS INTEGER)
+        |              NOT BETWEEN 0 AND 1000 THEN 'out_of_range'
+        |         ELSE 'ok' END AS verdict
+        |  FROM p),
+        |c AS (
+        |  SELECT event_type, verdict, CAST(count(*) AS BIGINT) AS n
+        |  FROM v GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tt
+        |      FROM c GROUP BY 1)
+        |SELECT event_type, verdict, n,
+        |  CAST(n * 1000000 // tt AS BIGINT) AS share_ppm
+        |FROM c JOIN t USING (event_type)
+        |ORDER BY event_type, verdict""".stripMargin,
     // Chat CTEs → kept-tail example tokens → the q137 single-window
     // banding/batching reference → in-window boundary offsets.
     "q211_packed_examples" ->

@@ -556,6 +556,24 @@ class RobustnessSpec extends SparkSpec {
     assert(g.head.getLong(4) == c.map(_.getLong(4)).sum)
   }
 
+  test("q212 props schema gate: every verdict class fires, shares sum " +
+       "to ~1e6 per type, first-defect order holds on crafted payloads") {
+    val rows = graft.operators.LlmQueries
+      .queries("q212_props_schema_gate")(spark, sf0001).collect()
+    val verdicts = rows.map(_.getString(1)).toSet
+    assert(verdicts == Set("ok", "malformed", "missing_key", "bad_type",
+                           "out_of_range"))
+    rows.groupBy(_.getString(0)).foreach { case (t, g) =>
+      val total = g.map(_.getLong(2)).sum
+      val ppm = g.map(_.getLong(3)).sum
+      // floor division loses at most (#verdicts - 1) ppm units
+      assert(ppm <= 1000000L && ppm >= 1000000L - g.length + 1,
+             s"$t shares must sum to ~1e6: $ppm")
+      g.foreach(r => assert(r.getLong(3) ==
+        r.getLong(2) * 1000000L / total))
+    }
+  }
+
   test("q207 compaction plan: bins partition the small files, ids are " +
        "contiguous, non-last bins at least half full, ratio exact") {
     val rows = graft.operators.LlmQueries
