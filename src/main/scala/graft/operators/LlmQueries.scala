@@ -2970,6 +2970,19 @@ object LlmQueries {
     * checksums are map-side-combined aggregates, one bounded row per
     * family — the daily publish never re-reads yesterday's text.
     */
+  /** (family, n_rows, checksum) release-gate row: the order-invariant
+    * sum of per-row 60-bit md5 canonical hashes mod 2²⁰ (BIGINT-safe up
+    * to ~10¹² rows) — shared by the q200/q213 daily-roll digests.
+    */
+  private def familyDigest(family: String, rows: DataFrame,
+                           canon: Column): DataFrame =
+    rows.select(canon.as("c"))
+      .agg(count(lit(1)).as("n_rows"),
+           coalesce(sum(conv(substring(md5(col("c").cast("binary")), 1, 15),
+                             16, 10).cast("long") % 1048576L),
+                    lit(0L)).as("checksum"))
+      .select(lit(family).as("family"), col("n_rows"), col("checksum"))
+
   def q200DailyRoll(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val pre = q200Saved.getOrElseUpdate(dir, {
@@ -3004,13 +3017,8 @@ object LlmQueries {
       .select("doc_id", "text", "source")
       .transform(graft.Materialize(_))
 
-    def digest(family: String, rows: DataFrame, canon: Column): DataFrame =
-      rows.select(canon.as("c"))
-        .agg(count(lit(1)).as("n_rows"),
-             coalesce(sum(conv(substring(md5(col("c").cast("binary")), 1, 15),
-                               16, 10).cast("long") % 1048576L),
-                      lit(0L)).as("checksum"))
-        .select(lit(family).as("family"), col("n_rows"), col("checksum"))
+    def digest(family: String, rows: DataFrame, canon: Column) =
+      familyDigest(family, rows, canon)
 
     val fp = Dedup.mergeFingerprintIndex(
       IndexStore.loadFingerprintIndex(spark, s"${pre}_fp"),
@@ -3610,6 +3618,76 @@ object LlmQueries {
                    "div type_total AS BIGINT)").as("share_ppm"))
       .orderBy("event_type", "verdict")
   }
+
+  /** VECTOR-side daily incremental release — q200's composition for the
+    * three persisted embedding-index families: ONE materialized delta
+    * (vec_id % 5 = 2) rolls the IVF assignment (frozen base centroids,
+    * [[Similarity.mergeIvfIndex]]), the PQ codes (frozen codebooks,
+    * [[Similarity.mergePqIndex]]) and the LSH buckets ([[Similarity
+    * .mergeLshIndex]]) forward, and the release gate is one digest row
+    * per family ([[familyDigest]]). The oracle re-derives every family
+    * over the FULL embedding table — IVF/PQ against the RUNTIME-CAPTURED
+    * centroid/codebook literals (the frozen-quantizer contract: rebuild
+    * = re-assign/re-encode, refit is a new index version — q152/q169's
+    * convention), LSH from the pure hyperplane SQL — so hash-green
+    * means rolled ≡ rebuilt for the whole vector estate at once.
+    *
+    * Scale shape: base vectors move only through their index rows
+    * (broadcast delta-id anti-joins); the delta is scanned once; every
+    * digest is a map-side-combined aggregate over narrow canonical
+    * strings (floats never enter the checksum — assignments, buckets,
+    * and codes do).
+    */
+  def q213VectorDailyRoll(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pre = q213Saved.getOrElseUpdate(dir, {
+      val n = "graft_vdaily_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = emb.filter(col("vec_id") % 5 =!= 2)
+      IndexStore.saveIvfIndex(
+        Similarity.ivfIndex(base, nCells = 8, seed = 42L), s"${n}_ivf")
+      IndexStore.savePqIndex(
+        Similarity.pqIndex(base, nSub = 4, nCodes = 16, seed = 42L),
+        s"${n}_pq")
+      IndexStore.saveLshIndex(
+        Similarity.lshIndex(base, dim = 64, nBits = 6), s"${n}_lsh")
+      n
+    })
+    val delta = emb.filter(col("vec_id") % 5 === 2)
+      .select("vec_id", "embedding")
+      .transform(graft.Materialize(_))
+    val ivf = Similarity.mergeIvfIndex(
+      IndexStore.loadIvfIndex(spark, s"${pre}_ivf"), delta)
+    q213CentroidRows = ivf.centroids.orderBy("cell").collect()
+      .map { r =>
+        val cs = r.getSeq[Double](1).map(_.toString).mkString(", ")
+        s"(${r.getInt(0)}, [$cs])"
+      }
+      .mkString(",\n  ")
+    val pq = Similarity.mergePqIndex(
+      IndexStore.loadPqIndex(spark, s"${pre}_pq"), delta)
+    q213CodebookRows = pq.codebooks.orderBy("sub", "code").collect()
+      .map { r =>
+        val cs = r.getSeq[Double](2).map(_.toString).mkString(", ")
+        s"(${r.getInt(0)}, ${r.getInt(1)}, [$cs])"
+      }
+      .mkString(",\n  ")
+    val lsh = Similarity.mergeLshIndex(
+      IndexStore.loadLshIndex(spark, s"${pre}_lsh"), delta,
+      dim = 64, nBits = 6)
+    familyDigest("ivf_assign", ivf.assigned,
+                 concat_ws(":", col("corpus_id"), col("cell")))
+      .unionByName(familyDigest("lsh_buckets", lsh,
+                                concat_ws(":", col("corpus_id"),
+                                          col("bucket"))))
+      .unionByName(familyDigest(
+        "pq_codes", pq.codes,
+        concat_ws(":", col("corpus_id"),
+                  array_join(col("codes").cast("array<string>"), ","))))
+      .orderBy("family")
+  }
+  private val q213Saved = new graft.SavedOnce[String, String]
+  @volatile private var q213CentroidRows: String = ""
+  @volatile private var q213CodebookRows: String = ""
 
   /** PERSISTED quantile-sketch roll ([[Sketches.logBin]] +
     * [[IndexStore.savePlainArtifact]]) — the maintenance half of q194,
@@ -5532,6 +5610,7 @@ object LlmQueries {
     "q210_mrl_recall"       -> (q210MrlRecall(_, _)),
     "q211_packed_examples"  -> (q211PackedExamples(_, _)),
     "q212_props_schema_gate" -> (q212PropsSchemaGate(_, _)),
+    "q213_vector_daily_roll" -> (q213VectorDailyRoll(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -7100,6 +7179,49 @@ object LlmQueries {
     "q199_cluster_roll" ->
       minhashPortableOracleSql(k = 5, numHashes = 32, bands = 8,
                                threshold = 0.5, maxBucket = 1000),
+    // IVF re-assignment + PQ re-encoding from the runtime-captured
+    // frozen quantizer literals, LSH from the pure hyperplane SQL —
+    // every family digested over the FULL table (rolled ≡ rebuilt).
+    "q213_vector_daily_roll" ->
+      s"""WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c(cell, cv) AS (VALUES
+        |  $q213CentroidRows),
+        |ia AS (
+        |  SELECT vec_id, cell FROM e CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY list_distance(v, cv) ASC, cell ASC) = 1),
+        |cb(sub, code, cv) AS (VALUES
+        |  $q213CodebookRows),
+        |pa AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT e.vec_id, cb.sub, cb.code,
+        |      row_number() OVER (PARTITION BY e.vec_id, cb.sub
+        |        ORDER BY list_sum(list_transform(generate_series(1, 16),
+        |                   i -> (v[cb.sub * 16 + i] - cv[i]) ^ 2)) ASC,
+        |                 cb.code ASC) AS rn
+        |    FROM e CROSS JOIN cb)
+        |  WHERE rn = 1),
+        |pc AS (
+        |  SELECT vec_id,
+        |    array_to_string(list(code ORDER BY sub), ',') AS codes
+        |  FROM pa GROUP BY vec_id),
+        |lb AS (
+        |  SELECT vec_id, CAST(${lshBucketSql(6)} AS BIGINT) AS bucket
+        |  FROM e),
+        |fam AS (
+        |  SELECT 'ivf_assign' AS family, vec_id || ':' || cell AS c
+        |  FROM ia
+        |  UNION ALL
+        |  SELECT 'lsh_buckets', vec_id || ':' || bucket FROM lb
+        |  UNION ALL
+        |  SELECT 'pq_codes', vec_id || ':' || codes FROM pc)
+        |SELECT family, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(('0x' || substr(md5(c), 1, 15))::BIGINT
+        |                    % 1048576), 0) AS BIGINT) AS checksum
+        |FROM fam GROUP BY family ORDER BY family""".stripMargin,
     // Corruption synthesis, json_valid/extract/TRY_CAST branch order,
     // (type, verdict) counts, and the exact ppm shares.
     "q212_props_schema_gate" ->

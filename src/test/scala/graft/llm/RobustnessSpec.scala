@@ -556,6 +556,17 @@ class RobustnessSpec extends SparkSpec {
     assert(g.head.getLong(4) == c.map(_.getLong(4)).sum)
   }
 
+  test("q213 vector daily roll: all three families cover every vector " +
+       "exactly once") {
+    val rows = graft.operators.LlmQueries
+      .queries("q213_vector_daily_roll")(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+             Seq("ivf_assign", "lsh_buckets", "pq_codes"))
+    val nVecs = graft.sources.Tables.embeddings(spark, sf0001).count()
+    rows.foreach(r => assert(r.getLong(1) == nVecs,
+      s"${r.getString(0)}: every vector must appear exactly once"))
+  }
+
   test("q212 props schema gate: every verdict class fires, shares sum " +
        "to ~1e6 per type, first-defect order holds on crafted payloads") {
     val rows = graft.operators.LlmQueries
