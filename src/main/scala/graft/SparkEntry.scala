@@ -167,7 +167,8 @@ object SparkEntry {
     "q210_mrl_recall",
     "q211_packed_examples",
     "q212_props_schema_gate",
-    "q213_vector_daily_roll"
+    "q213_vector_daily_roll",
+    "q214_pseudonymize"
   )
   // (q192 recomputes the changelog-driven roll each run — the timed
   // cost is the maintenance job itself, not a memoized read)

@@ -3689,6 +3689,46 @@ object LlmQueries {
   @volatile private var q213CentroidRows: String = ""
   @volatile private var q213CodebookRows: String = ""
 
+  /** Consistent PSEUDONYMIZATION + collision audit — the privacy step
+    * beside PII masking (q57) that a released event log needs: every
+    * user_id maps to a 60-bit keyed-hash surrogate (stable across the
+    * release — the same user keeps one surrogate, so joins and
+    * sessionization still work; the salt is the secret that prevents
+    * re-identification by re-hashing), and the release gate is the
+    * COLLISION AUDIT: surrogates mapping ≥ 2 distinct users would
+    * silently merge their histories. One row per surrogate with its
+    * event count plus the 'AUDIT' summary row (n_users, n_surrogates,
+    * n_collisions — must be 0 at 60 bits until ~2³⁰ users).
+    *
+    * Scale shape: row-local keyed hash, one (surrogate) agg with
+    * count-distinct over user_id (exact — bounded by users/surrogate,
+    * in practice 1), and a 1-row audit re-agg. FULLY oracle-checked.
+    */
+  def q214Pseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    val surrogate = conv(substring(md5(concat(lit("rel11:"),
+                                              col("user_id")
+                                                .cast("string"))
+                                         .cast("binary")), 1, 15),
+                         16, 10).cast("long")
+    val per = Tables.events(spark, dir)
+      .select(surrogate.as("surrogate"), col("user_id"))
+      .groupBy("surrogate")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct("user_id").as("n_users"))
+    val audit = per.agg(
+        sum("n_users").as("n_users"),
+        sum("n_events").as("n_events"),
+        sum(when(col("n_users") >= 2, 1L).otherwise(0L))
+          .as("n_collisions"))
+      .select(lit("AUDIT").as("scope"), lit(-1L).as("surrogate"),
+              col("n_users"), col("n_events"), col("n_collisions"))
+    per.select(lit("MAP").as("scope"), col("surrogate"),
+               col("n_users"), col("n_events"),
+               lit(0L).as("n_collisions"))
+      .unionByName(audit)
+      .orderBy("scope", "surrogate")
+  }
+
   /** PERSISTED quantile-sketch roll ([[Sketches.logBin]] +
     * [[IndexStore.savePlainArtifact]]) — the maintenance half of q194,
     * completing the index-roll contract for the sketch family: the
@@ -5611,6 +5651,7 @@ object LlmQueries {
     "q211_packed_examples"  -> (q211PackedExamples(_, _)),
     "q212_props_schema_gate" -> (q212PropsSchemaGate(_, _)),
     "q213_vector_daily_roll" -> (q213VectorDailyRoll(_, _)),
+    "q214_pseudonymize"      -> (q214Pseudonymize(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -7179,6 +7220,31 @@ object LlmQueries {
     "q199_cluster_roll" ->
       minhashPortableOracleSql(k = 5, numHashes = 32, bands = 8,
                                threshold = 0.5, maxBucket = 1000),
+    // Keyed 60-bit surrogate, per-surrogate event/user counts, and the
+    // collision audit row.
+    "q214_pseudonymize" ->
+      """WITH s AS (
+        |  SELECT ('0x' || substr(md5('rel11:' || CAST(user_id AS VARCHAR)),
+        |                         1, 15))::BIGINT AS surrogate,
+        |    user_id
+        |  FROM events),
+        |per AS (
+        |  SELECT surrogate, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM s GROUP BY 1),
+        |m AS (
+        |  SELECT 'MAP' AS scope, surrogate, n_users, n_events,
+        |    CAST(0 AS BIGINT) AS n_collisions
+        |  FROM per),
+        |a AS (
+        |  SELECT 'AUDIT' AS scope, CAST(-1 AS BIGINT) AS surrogate,
+        |    CAST(sum(n_users) AS BIGINT) AS n_users,
+        |    CAST(sum(n_events) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN n_users >= 2 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_collisions
+        |  FROM per)
+        |SELECT * FROM m UNION ALL SELECT * FROM a
+        |ORDER BY scope, surrogate""".stripMargin,
     // IVF re-assignment + PQ re-encoding from the runtime-captured
     // frozen quantizer literals, LSH from the pure hyperplane SQL —
     // every family digested over the FULL table (rolled ≡ rebuilt).

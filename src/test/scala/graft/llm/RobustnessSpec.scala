@@ -556,6 +556,24 @@ class RobustnessSpec extends SparkSpec {
     assert(g.head.getLong(4) == c.map(_.getLong(4)).sum)
   }
 
+  test("q214 pseudonymize: surrogate map is a collision-free bijection " +
+       "on this corpus and the audit row sums the map") {
+    val rows = graft.operators.LlmQueries
+      .queries("q214_pseudonymize")(spark, sf0001).collect()
+    val (a, m) = rows.partition(_.getString(0) == "AUDIT")
+    assert(a.length == 1 && m.nonEmpty)
+    assert(m.forall(_.getLong(2) == 1L), "no surrogate maps two users")
+    assert(a.head.getLong(4) == 0L, "collision audit must be clean")
+    assert(a.head.getLong(2) == m.length.toLong)
+    assert(a.head.getLong(3) == m.map(_.getLong(3)).sum)
+    // consistency: the keyed hash is a pure function, so a re-run maps
+    // identically
+    val again = graft.operators.LlmQueries
+      .queries("q214_pseudonymize")(spark, sf0001).collect()
+      .filter(_.getString(0) == "MAP").map(_.getLong(1)).toSet
+    assert(again == m.map(_.getLong(1)).toSet)
+  }
+
   test("q213 vector daily roll: all three families cover every vector " +
        "exactly once") {
     val rows = graft.operators.LlmQueries
