@@ -168,7 +168,9 @@ object SparkEntry {
     "q211_packed_examples",
     "q212_props_schema_gate",
     "q213_vector_daily_roll",
-    "q214_pseudonymize"
+    "q214_pseudonymize",
+    "q215_k_anonymity",
+    "q216_sketch_prune"
   )
   // (q192 recomputes the changelog-driven roll each run — the timed
   // cost is the maintenance job itself, not a memoized read)

@@ -3729,6 +3729,110 @@ object LlmQueries {
       .orderBy("scope", "surrogate")
   }
 
+  /** k-anonymity / l-diversity audit of a quasi-identifier release —
+    * the privacy gate that belongs BESIDE q214's pseudonymization:
+    * surrogate keys stop direct re-identification, but a release that
+    * also carries behavioral quasi-identifiers (activity volume, modal
+    * event type, active-hours band) can still single users out when a
+    * QI equivalence class is small. One row per class with its size and
+    * its l-diversity over the sensitive attribute (did the user make a
+    * high-value purchase), `risk_users` = class size when size < k=5,
+    * plus the SUMMARY row a release gate reads (total users, worst-case
+    * l, total users at risk).
+    *
+    * Scale shape: two user-keyed aggregates share one user_id shuffle
+    * (per-user totals + the modal-type window), classes are bounded by
+    * the QI cross-product (4 bands × #event-types × 4 hour bands — not
+    * data-scale), and the summary is a one-row re-agg of the class
+    * table. No corpus-scale exchange beyond the per-user groupBy a
+    * release build already pays.
+    */
+  def q215KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val ev = Tables.events(spark, dir)
+    val modal = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("user_id").orderBy(desc("n"), col("event_type"))))
+      .filter(col("r") === 1)
+      .select(col("user_id"), col("event_type").as("modal_type"))
+    val perUser = ev.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      min("ts").as("first_ts"),
+      max(when(col("event_type") === "purchase" && col("value") > 150.0d,
+               1L).otherwise(0L)).as("sensitive"))
+    val qi = perUser.join(modal, Seq("user_id"))
+      .select(col("user_id"), col("sensitive"),
+        concat(
+          when(col("n_events") < 5, "0-4")
+            .when(col("n_events") < 10, "5-9")
+            .when(col("n_events") < 20, "10-19")
+            .otherwise("20+"),
+          lit("|"), col("modal_type"), lit("|"),
+          floor(hour(col("first_ts")).cast("double") / 6.0d)
+            .cast("long").cast("string")).as("qi"))
+    val classes = qi.groupBy("qi").agg(
+        count(lit(1)).as("n_users"),
+        countDistinct("sensitive").as("l_div"))
+      .withColumn("risk_users",
+                  when(col("n_users") < k, col("n_users")).otherwise(0L))
+    val summary = classes.agg(
+        sum("n_users").as("n_users"), min("l_div").as("l_div"),
+        sum("risk_users").as("risk_users"))
+      .select(lit("SUMMARY").as("scope"), lit("ALL").as("qi"),
+              col("n_users"), col("l_div"), col("risk_users"))
+    classes.select(lit("CLASS").as("scope"), col("qi"),
+                   col("n_users"), col("l_div"), col("risk_users"))
+      .unionByName(summary)
+      .orderBy("scope", "qi")
+  }
+
+  /** Sketch-thresholded per-source pruning — the "drop the bottom
+    * decile" gate done the way 100 TB requires: the per-source p10
+    * token-count threshold comes from the MERGEABLE log-bin sketch
+    * (q194's machinery — one map-side-combined binning scan into
+    * ≤ #sources × 8·log₂max rows), the thresholds broadcast back, and
+    * the keep/prune decision is row-local. No sort, no
+    * percent_rank-style global window — the exact-percentile
+    * alternative needs a per-source sort of the corpus, which is the
+    * operation this operator exists to avoid. The threshold is the p10
+    * BIN's lower bound, so the cut is sketch-resolution-conservative
+    * (prunes strictly below the bin holding the true p10); the report
+    * carries the threshold so the resolution is visible. Per-source
+    * yield rows + the GLOBAL roll-up, exact integer ppm.
+    */
+  def q216SketchPrune(spark: SparkSession, dir: String): DataFrame = {
+    val lens = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      (size(Dedup.wordTokens(col("text"))) + 1).cast("long").as("v"))
+    val binned = lens
+      .groupBy(col("source").as("scope"),
+               Sketches.logBin(col("v")).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val thr = Sketches.binQuantiles(binned, Seq(10))
+      .select(col("scope").as("source"), col("value_lb").as("thr_v"))
+    val per = lens.join(broadcast(thr), Seq("source"))
+      .withColumn("pruned", when(col("v") < col("thr_v"), 1L).otherwise(0L))
+      .groupBy(col("source").as("scope"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum("pruned").as("n_pruned"),
+           sum(col("v") - 1).as("tokens_total"),
+           sum(when(col("pruned") === 1L, col("v") - 1).otherwise(0L))
+             .as("tokens_pruned"),
+           max("thr_v").as("threshold_v"))
+    val global = per.agg(
+        sum("n_docs").as("n_docs"), sum("n_pruned").as("n_pruned"),
+        sum("tokens_total").as("tokens_total"),
+        sum("tokens_pruned").as("tokens_pruned"))
+      .select(lit("GLOBAL").as("scope"), col("n_docs"), col("n_pruned"),
+              col("tokens_total"), col("tokens_pruned"),
+              lit(-1L).as("threshold_v"))
+    per.unionByName(global)
+      .withColumn("prune_ppm", expr("n_pruned * 1000000 DIV n_docs"))
+      .orderBy("scope")
+  }
+
   /** PERSISTED quantile-sketch roll ([[Sketches.logBin]] +
     * [[IndexStore.savePlainArtifact]]) — the maintenance half of q194,
     * completing the index-roll contract for the sketch family: the
@@ -5652,6 +5756,8 @@ object LlmQueries {
     "q212_props_schema_gate" -> (q212PropsSchemaGate(_, _)),
     "q213_vector_daily_roll" -> (q213VectorDailyRoll(_, _)),
     "q214_pseudonymize"      -> (q214Pseudonymize(_, _)),
+    "q215_k_anonymity"       -> (q215KAnonymity(_, _)),
+    "q216_sketch_prune"      -> (q216SketchPrune(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -7222,6 +7328,96 @@ object LlmQueries {
                                threshold = 0.5, maxBucket = 1000),
     // Keyed 60-bit surrogate, per-surrogate event/user counts, and the
     // collision audit row.
+    // per-user QI tuple (activity band | modal type | first-hour band),
+    // class sizes + l-diversity, k=5 risk accounting — full replay
+    "q215_k_anonymity" ->
+      """WITH pu AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    min(ts) AS first_ts,
+        |    CAST(max(CASE WHEN event_type = 'purchase' AND value > 150
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS sensitive
+        |  FROM events GROUP BY 1),
+        |pt AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |md AS (
+        |  SELECT user_id, event_type AS modal_type FROM pt
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |      ORDER BY n DESC, event_type) = 1),
+        |qi AS (
+        |  SELECT pu.user_id, pu.sensitive,
+        |    (CASE WHEN n_events < 5 THEN '0-4'
+        |          WHEN n_events < 10 THEN '5-9'
+        |          WHEN n_events < 20 THEN '10-19' ELSE '20+' END)
+        |    || '|' || md.modal_type || '|'
+        |    || CAST(extract(hour FROM first_ts) // 6 AS VARCHAR) AS qi
+        |  FROM pu JOIN md ON pu.user_id = md.user_id),
+        |cls AS (
+        |  SELECT qi, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(count(DISTINCT sensitive) AS BIGINT) AS l_div
+        |  FROM qi GROUP BY 1),
+        |c2 AS (
+        |  SELECT qi, n_users, l_div,
+        |    CASE WHEN n_users < 5 THEN n_users
+        |         ELSE CAST(0 AS BIGINT) END AS risk_users
+        |  FROM cls),
+        |s AS (
+        |  SELECT 'SUMMARY' AS scope, 'ALL' AS qi,
+        |    CAST(sum(n_users) AS BIGINT) AS n_users,
+        |    CAST(min(l_div) AS BIGINT) AS l_div,
+        |    CAST(sum(risk_users) AS BIGINT) AS risk_users
+        |  FROM c2)
+        |SELECT 'CLASS' AS scope, qi, n_users, l_div, risk_users FROM c2
+        |UNION ALL SELECT * FROM s
+        |ORDER BY scope, qi""".stripMargin,
+    // log-bin sketch replay (q194's SQL twins) → p10 bin lower bound per
+    // source → row-local prune decision → exact integer yield report
+    "q216_sketch_prune" ->
+      s"""WITH lens AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split_regex(lower(trim(text)),
+         |                                            '\\W+'),
+         |                         x -> len(x) > 0)) + 1 AS BIGINT) AS v
+         |  FROM documents),
+         |binned AS (
+         |  SELECT source AS scope, ${Sketches.logBinSql("v")} AS bin,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM lens GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT scope, bin,
+         |    sum(cnt) OVER (PARTITION BY scope ORDER BY bin) AS cum,
+         |    sum(cnt) OVER (PARTITION BY scope) AS total
+         |  FROM binned),
+         |thr AS (
+         |  SELECT scope, min(bin) AS pbin FROM cum
+         |  WHERE cum * 100 >= total * 10 GROUP BY 1),
+         |thv AS (
+         |  SELECT scope AS source,
+         |    ${Sketches.logBinLowerBoundSql("pbin")} AS thr_v
+         |  FROM thr),
+         |dec AS (
+         |  SELECT l.source, l.v, t.thr_v,
+         |    CASE WHEN l.v < t.thr_v THEN 1 ELSE 0 END AS pruned
+         |  FROM lens l JOIN thv t ON l.source = t.source),
+         |per AS (
+         |  SELECT source AS scope, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(pruned) AS BIGINT) AS n_pruned,
+         |    CAST(sum(v - 1) AS BIGINT) AS tokens_total,
+         |    CAST(sum(CASE WHEN pruned = 1 THEN v - 1 ELSE 0 END)
+         |         AS BIGINT) AS tokens_pruned,
+         |    CAST(max(thr_v) AS BIGINT) AS threshold_v
+         |  FROM dec GROUP BY 1),
+         |gtot AS (
+         |  SELECT 'GLOBAL' AS scope, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_pruned) AS BIGINT) AS n_pruned,
+         |    CAST(sum(tokens_total) AS BIGINT) AS tokens_total,
+         |    CAST(sum(tokens_pruned) AS BIGINT) AS tokens_pruned,
+         |    CAST(-1 AS BIGINT) AS threshold_v
+         |  FROM per),
+         |allr AS (SELECT * FROM per UNION ALL SELECT * FROM gtot)
+         |SELECT scope, n_docs, n_pruned, tokens_total, tokens_pruned,
+         |  threshold_v, (n_pruned * 1000000) // n_docs AS prune_ppm
+         |FROM allr ORDER BY scope""".stripMargin,
     "q214_pseudonymize" ->
       """WITH s AS (
         |  SELECT ('0x' || substr(md5('rel11:' || CAST(user_id AS VARCHAR)),

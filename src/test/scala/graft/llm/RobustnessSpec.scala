@@ -556,6 +556,62 @@ class RobustnessSpec extends SparkSpec {
     assert(g.head.getLong(4) == c.map(_.getLong(4)).sum)
   }
 
+  test("q215 k-anonymity: classes partition the users, risk accounting " +
+       "exact, summary aggregates the class table") {
+    val rows = graft.operators.LlmQueries
+      .queries("q215_k_anonymity")(spark, sf0001).collect()
+    val (s, c) = rows.partition(_.getString(0) == "SUMMARY")
+    assert(s.length == 1 && c.nonEmpty)
+    val nUsers = graft.sources.Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(s.head.getLong(2) == nUsers,
+           "every user must land in exactly one QI class")
+    assert(s.head.getLong(2) == c.map(_.getLong(2)).sum)
+    assert(s.head.getLong(4) == c.map(_.getLong(4)).sum)
+    assert(s.head.getLong(3) == c.map(_.getLong(3)).min)
+    c.foreach { r =>
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= 2L,
+             "binary sensitive attribute bounds l-diversity")
+      val expectRisk = if (r.getLong(2) < 5L) r.getLong(2) else 0L
+      assert(r.getLong(4) == expectRisk, s"risk_users wrong for ${r}")
+    }
+  }
+
+  test("q216 sketch prune: global sums the sources, ppm exact, the " +
+       "conservative cut prunes strictly less than the decile") {
+    val rows = graft.operators.LlmQueries
+      .queries("q216_sketch_prune")(spark, sf0001).collect()
+    val (g, c) = rows.partition(_.getString(0) == "GLOBAL")
+    assert(g.length == 1 && c.nonEmpty)
+    assert(g.head.getLong(1) == c.map(_.getLong(1)).sum)
+    assert(g.head.getLong(2) == c.map(_.getLong(2)).sum)
+    assert(g.head.getLong(3) == c.map(_.getLong(3)).sum)
+    assert(g.head.getLong(4) == c.map(_.getLong(4)).sum)
+    rows.foreach { r =>
+      assert(r.getLong(6) == r.getLong(2) * 1000000L / r.getLong(1))
+      // bin-lower-bound threshold: everything strictly below the p10
+      // bin is < 10% of the source by the minimality of the picked bin
+      assert(r.getLong(2) * 10 < r.getLong(1),
+             s"${r.getString(0)}: conservative cut must stay under p10")
+      assert(r.getLong(4) <= r.getLong(3))
+    }
+    // decisions recount: per source, n_pruned is exactly the docs whose
+    // (token count + 1) falls below the published threshold
+    import org.apache.spark.sql.functions._
+    val lens = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("source"),
+              (size(Dedup.wordTokens(col("text"))) + 1).cast("long")
+                .as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    c.foreach { r =>
+      val thr = r.getLong(5)
+      val n = lens.count { case (src, v) =>
+        src == r.getString(0) && v < thr }
+      assert(r.getLong(2) == n.toLong,
+             s"${r.getString(0)}: pruned recount mismatch")
+    }
+  }
+
   test("q214 pseudonymize: surrogate map is a collision-free bijection " +
        "on this corpus and the audit row sums the map") {
     val rows = graft.operators.LlmQueries
