@@ -170,7 +170,9 @@ object SparkEntry {
     "q213_vector_daily_roll",
     "q214_pseudonymize",
     "q215_k_anonymity",
-    "q216_sketch_prune"
+    "q216_sketch_prune",
+    "q217_dp_histogram",
+    "q218_gate_ablation"
   )
   // (q192 recomputes the changelog-driven roll each run — the timed
   // cost is the maintenance job itself, not a memoized read)

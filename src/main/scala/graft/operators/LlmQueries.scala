@@ -3833,6 +3833,127 @@ object LlmQueries {
       .orderBy("scope")
   }
 
+  /** Differentially-private histogram release — per-(source ×
+    * length-band) document counts with DISCRETE-LAPLACE noise added the
+    * way a replayable pipeline has to: the two-sided-geometric(α=1/2)
+    * noise (ε = ln 2 per cell for sensitivity-1 counts) is sampled as
+    * the DIFFERENCE OF TWO GEOMETRIC(1/2) draws, and each geometric
+    * draw is the trailing-zero count of a keyed 60-bit md5 hash —
+    * P(tz = k) = 2^-(k+1) exactly. Pure integer bit math end to end
+    * (no ln/exp, no float), so the release is bit-replayable by the
+    * DuckDB oracle and deterministic across engines; a production
+    * release would swap the keyed hash for sealed randomness, which is
+    * the ONLY line that changes. Released counts clamp at 0
+    * (post-processing, DP-safe). Per-cell rows carry the internal true
+    * count beside the released one (this is the curator's audit view —
+    * only `n_released` leaves the trust boundary); the SUMMARY row
+    * totals the L1 noise actually drawn and the composed ε numerator
+    * (cells × ln 2, as ppm).
+    *
+    * Scale shape: one row-local banding scan into a (sources × 4)-cell
+    * aggregate — the exchange carries ≤ #cells rows; noise is a
+    * per-CELL hash, so the mechanism costs nothing at any corpus size.
+    */
+  def q217DpHistogram(spark: SparkSession, dir: String): DataFrame = {
+    def tz(h: String): Column =
+      when(col(h) === 0L, lit(60L))
+        .otherwise(expr(s"CAST(bit_count(($h & -$h) - 1) AS BIGINT)"))
+    val band = when(col("n_chars") < 100, "0-99")
+      .when(col("n_chars") < 500, "100-499")
+      .when(col("n_chars") < 2000, "500-1999")
+      .otherwise("2000+")
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("source"), band.as("band"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("key", concat(col("source"), lit("|"), col("band")))
+      .withColumn("__h1", conv(substring(md5(
+        concat(lit("dp11:a:"), col("key")).cast("binary")), 1, 15), 16, 10)
+        .cast("long"))
+      .withColumn("__h2", conv(substring(md5(
+        concat(lit("dp11:b:"), col("key")).cast("binary")), 1, 15), 16, 10)
+        .cast("long"))
+      .withColumn("noise", tz("__h1") - tz("__h2"))
+      .withColumn("n_released", greatest(col("n_true") + col("noise"), lit(0L)))
+    val perCell = cells.select(
+      lit("CELL").as("scope"), col("key"), col("n_true"),
+      col("noise"), col("n_released"), lit(693147L).as("eps_ppm"))
+    val summary = cells.agg(
+        count(lit(1)).as("__n_cells"), sum("n_true").as("n_true"),
+        sum(abs(col("noise"))).as("noise"),
+        sum("n_released").as("n_released"))
+      .select(lit("SUMMARY").as("scope"), lit("ALL").as("key"),
+              col("n_true"), col("noise"), col("n_released"),
+              (col("__n_cells") * 693147L).as("eps_ppm"))
+    perCell.unionByName(summary).orderBy("scope", "key")
+  }
+
+  /** Quality-gate ABLATION matrix over the seven Gopher sub-gates
+    * ([[QualityFilters.gopherStats]], q65's conjunction taken apart) —
+    * the report a curation team reads before tuning thresholds: which
+    * gates reject how much, how much is rejected by ONLY one gate
+    * (the marginal a threshold change actually moves), and the full
+    * fail-pattern histogram. Per-doc fail bits over the SAME rounded
+    * stats the q65 keep verdict uses → a 7-bit mask; 'MASK' rows
+    * count docs/tokens per observed pattern, 'GATE' rows give each
+    * gate's total and unique rejections, and 'TOTAL' carries corpus
+    * size and the overall reject count.
+    *
+    * Scale shape: one row-local stats scan (the identical work q65
+    * already does) into a ≤ 2⁷-row mask aggregate; the GATE rows
+    * re-aggregate the materialized mask table (7 × 128 rows), never the corpus. No
+    * filter is pushed over the HOF tree — the mask is only grouped on,
+    * so the scan stays a plain column read (the q202/q204 lesson does
+    * not bite here).
+    */
+  def q218GateAblation(spark: SparkSession, dir: String): DataFrame = {
+    val stats = QualityFilters.gopherStats(
+      Tables.documents(spark, dir), "text", minStopwordHits = 1)
+    val bits = Seq(
+      ("words_range",   col("n_words") < 5 || col("n_words") > 100000),
+      ("mean_word_len", col("mean_word_len") < 2.0 ||
+                          col("mean_word_len") > 10.0),
+      ("symbol_ratio",  col("symbol_ratio") > 0.1),
+      ("bullet_lines",  col("bullet_line_frac") > 0.9),
+      ("ellipsis_lines", col("ellipsis_line_frac") > 0.3),
+      ("alpha_words",   col("alpha_word_frac") < 0.8),
+      ("stopwords",     col("stopword_hits") < 1))
+    val mask = bits.zipWithIndex
+      .map { case ((_, c), i) => when(c, lit(1L << i)).otherwise(0L) }
+      .reduce(_ + _)
+    val masked = stats
+      .select(col("n_words"), mask.as("mask"))
+      .groupBy("mask")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"))
+      // ≤ 2⁷ rows, re-read by the 7 GATE aggregates + TOTAL — never
+      // recompute the corpus stats scan per gate
+      .transform(graft.Materialize(_))
+    val maskRows = masked.select(
+      lit("MASK").as("scope"), format_string("%03d", col("mask")).as("key"),
+      col("n_docs"), col("n_tokens"), lit(-1L).as("n_unique"))
+    val gateRows = bits.zipWithIndex.map { case ((name, _), i) =>
+      val bit = 1L << i
+      masked.agg(
+          sum(when(expr(s"(mask & $bit) != 0"), col("n_docs"))
+                .otherwise(0L)).as("n_docs"),
+          sum(when(expr(s"(mask & $bit) != 0"), col("n_tokens"))
+                .otherwise(0L)).as("n_tokens"),
+          sum(when(col("mask") === bit, col("n_docs")).otherwise(0L))
+            .as("n_unique"))
+        .select(lit("GATE").as("scope"), lit(name).as("key"),
+                coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+                coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+                coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+    }.reduce(_ unionByName _)
+    val total = masked.agg(
+        sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum(when(col("mask") =!= 0L, col("n_docs")).otherwise(0L))
+          .as("n_unique"))
+      .select(lit("TOTAL").as("scope"), lit("ALL").as("key"),
+              col("n_docs"), col("n_tokens"), col("n_unique"))
+    maskRows.unionByName(gateRows).unionByName(total)
+      .orderBy("scope", "key")
+  }
+
   /** PERSISTED quantile-sketch roll ([[Sketches.logBin]] +
     * [[IndexStore.savePlainArtifact]]) — the maintenance half of q194,
     * completing the index-roll contract for the sketch family: the
@@ -5758,6 +5879,8 @@ object LlmQueries {
     "q214_pseudonymize"      -> (q214Pseudonymize(_, _)),
     "q215_k_anonymity"       -> (q215KAnonymity(_, _)),
     "q216_sketch_prune"      -> (q216SketchPrune(_, _)),
+    "q217_dp_histogram"      -> (q217DpHistogram(_, _)),
+    "q218_gate_ablation"     -> (q218GateAblation(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -7370,6 +7493,95 @@ object LlmQueries {
         |SELECT 'CLASS' AS scope, qi, n_users, l_div, risk_users FROM c2
         |UNION ALL SELECT * FROM s
         |ORDER BY scope, qi""".stripMargin,
+    // keyed trailing-zero geometric difference = discrete Laplace noise,
+    // replayed bit-exactly; clamp + L1/ε accounting
+    "q217_dp_histogram" ->
+      """WITH cells AS (
+        |  SELECT source || '|' ||
+        |    (CASE WHEN n_chars < 100 THEN '0-99'
+        |          WHEN n_chars < 500 THEN '100-499'
+        |          WHEN n_chars < 2000 THEN '500-1999'
+        |          ELSE '2000+' END) AS key,
+        |    CAST(count(*) AS BIGINT) AS n_true
+        |  FROM documents GROUP BY 1),
+        |h AS (
+        |  SELECT key, n_true,
+        |    ('0x' || substr(md5('dp11:a:' || key), 1, 15))::BIGINT AS h1,
+        |    ('0x' || substr(md5('dp11:b:' || key), 1, 15))::BIGINT AS h2
+        |  FROM cells),
+        |n AS (
+        |  SELECT key, n_true, CAST(
+        |    (CASE WHEN h1 = 0 THEN 60
+        |          ELSE bit_count((h1 & -h1) - 1) END)
+        |    - (CASE WHEN h2 = 0 THEN 60
+        |            ELSE bit_count((h2 & -h2) - 1) END) AS BIGINT) AS noise
+        |  FROM h),
+        |c AS (
+        |  SELECT key, n_true, noise,
+        |    CAST(greatest(n_true + noise, 0) AS BIGINT) AS n_released
+        |  FROM n),
+        |s AS (
+        |  SELECT 'SUMMARY' AS scope, 'ALL' AS key,
+        |    CAST(sum(n_true) AS BIGINT) AS n_true,
+        |    CAST(sum(abs(noise)) AS BIGINT) AS noise,
+        |    CAST(sum(n_released) AS BIGINT) AS n_released,
+        |    CAST(count(*) * 693147 AS BIGINT) AS eps_ppm
+        |  FROM c)
+        |SELECT 'CELL' AS scope, key, n_true, noise, n_released,
+        |  CAST(693147 AS BIGINT) AS eps_ppm FROM c
+        |UNION ALL SELECT * FROM s
+        |ORDER BY scope, key""".stripMargin,
+    // gopher stats replay (q65's CTE) → 7 fail bits → mask histogram,
+    // per-gate totals/uniques, corpus total
+    "q218_gate_ablation" ->
+      s"""WITH g AS (
+         |${gopherStatsSql("documents")}),
+         |b AS (
+         |  SELECT n_words,
+         |    (CASE WHEN n_words < 5 OR n_words > 100000
+         |          THEN 1 ELSE 0 END)
+         |    + (CASE WHEN mean_word_len < 2.0 OR mean_word_len > 10.0
+         |            THEN 2 ELSE 0 END)
+         |    + (CASE WHEN symbol_ratio > 0.1 THEN 4 ELSE 0 END)
+         |    + (CASE WHEN bullet_line_frac > 0.9 THEN 8 ELSE 0 END)
+         |    + (CASE WHEN ellipsis_line_frac > 0.3 THEN 16 ELSE 0 END)
+         |    + (CASE WHEN alpha_word_frac < 0.8 THEN 32 ELSE 0 END)
+         |    + (CASE WHEN stopword_hits < 1 THEN 64 ELSE 0 END) AS mask
+         |  FROM g),
+         |m AS (
+         |  SELECT mask, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_words) AS BIGINT) AS n_tokens
+         |  FROM b GROUP BY 1),
+         |gates AS (SELECT * FROM (VALUES
+         |    ('words_range', 1), ('mean_word_len', 2),
+         |    ('symbol_ratio', 4), ('bullet_lines', 8),
+         |    ('ellipsis_lines', 16), ('alpha_words', 32),
+         |    ('stopwords', 64)) AS t(key, bit)),
+         |gr AS (
+         |  SELECT 'GATE' AS scope, g.key,
+         |    CAST(coalesce(sum(CASE WHEN (m.mask & g.bit) != 0
+         |                           THEN m.n_docs END), 0)
+         |         AS BIGINT) AS n_docs,
+         |    CAST(coalesce(sum(CASE WHEN (m.mask & g.bit) != 0
+         |                           THEN m.n_tokens END), 0)
+         |         AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(sum(CASE WHEN m.mask = g.bit
+         |                           THEN m.n_docs END), 0)
+         |         AS BIGINT) AS n_unique
+         |  FROM gates g CROSS JOIN m GROUP BY g.key),
+         |mr AS (
+         |  SELECT 'MASK' AS scope, printf('%03d', mask) AS key,
+         |    n_docs, n_tokens, CAST(-1 AS BIGINT) AS n_unique FROM m),
+         |t AS (
+         |  SELECT 'TOTAL' AS scope, 'ALL' AS key,
+         |    CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(sum(CASE WHEN mask != 0 THEN n_docs END), 0)
+         |         AS BIGINT) AS n_unique
+         |  FROM m)
+         |SELECT * FROM mr UNION ALL SELECT * FROM gr
+         |UNION ALL SELECT * FROM t
+         |ORDER BY scope, key""".stripMargin,
     // log-bin sketch replay (q194's SQL twins) → p10 bin lower bound per
     // source → row-local prune decision → exact integer yield report
     "q216_sketch_prune" ->

@@ -612,6 +612,56 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("q217 dp histogram: noise bounded, clamp exact, summary sums the " +
+       "cells and composes epsilon") {
+    val rows = graft.operators.LlmQueries
+      .queries("q217_dp_histogram")(spark, sf0001).collect()
+    val (s, c) = rows.partition(_.getString(0) == "SUMMARY")
+    assert(s.length == 1 && c.nonEmpty)
+    val nDocs = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(s.head.getLong(2) == nDocs,
+           "cell true counts must partition the corpus")
+    assert(s.head.getLong(2) == c.map(_.getLong(2)).sum)
+    assert(s.head.getLong(3) == c.map(r => math.abs(r.getLong(3))).sum,
+           "summary noise is the L1 of the drawn noise")
+    assert(s.head.getLong(4) == c.map(_.getLong(4)).sum)
+    assert(s.head.getLong(5) == c.length * 693147L,
+           "epsilon composes linearly over released cells")
+    c.foreach { r =>
+      assert(math.abs(r.getLong(3)) <= 60L, "tz difference bounds noise")
+      assert(r.getLong(4) == math.max(r.getLong(2) + r.getLong(3), 0L),
+             s"clamped release wrong for ${r}")
+      assert(r.getLong(5) == 693147L)
+    }
+  }
+
+  test("q218 gate ablation: masks partition the corpus, clean mask " +
+       "equals q65 keeps, gate uniques within totals") {
+    val rows = graft.operators.LlmQueries
+      .queries("q218_gate_ablation")(spark, sf0001).collect()
+    val masks = rows.filter(_.getString(0) == "MASK")
+    val gates = rows.filter(_.getString(0) == "GATE")
+    val total = rows.filter(_.getString(0) == "TOTAL")
+    assert(total.length == 1 && gates.length == 7 && masks.nonEmpty)
+    val nDocs = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(total.head.getLong(2) == nDocs)
+    assert(masks.map(_.getLong(2)).sum == nDocs,
+           "fail-pattern histogram partitions the corpus")
+    val rejected = masks.filter(_.getString(1) != "000").map(_.getLong(2)).sum
+    assert(total.head.getLong(4) == rejected)
+    val keeps = graft.operators.LlmQueries
+      .queries("q65_gopher_filter")(spark, sf0001)
+      .filter(col("keep")).count()
+    assert(masks.filter(_.getString(1) == "000").map(_.getLong(2)).sum
+             == keeps,
+           "the all-clear mask must be exactly the q65 keep set")
+    gates.foreach { g =>
+      assert(g.getLong(4) <= g.getLong(2),
+             s"unique rejections exceed total for ${g.getString(1)}")
+      assert(g.getLong(2) <= rejected)
+    }
+  }
+
   test("q214 pseudonymize: surrogate map is a collision-free bijection " +
        "on this corpus and the audit row sums the map") {
     val rows = graft.operators.LlmQueries
