@@ -172,7 +172,8 @@ object SparkEntry {
     "q215_k_anonymity",
     "q216_sketch_prune",
     "q217_dp_histogram",
-    "q218_gate_ablation"
+    "q218_gate_ablation",
+    "q219_kmv_roll"
   )
   // (q192 recomputes the changelog-driven roll each run — the timed
   // cost is the maintenance job itself, not a memoized read)

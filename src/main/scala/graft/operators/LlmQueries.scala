@@ -3954,6 +3954,85 @@ object LlmQueries {
       .orderBy("scope", "key")
   }
 
+  /** PERSISTED bottom-k (KMV) distinct sketches with a TEMPORAL roll —
+    * daily-active-users maintained the mergeable way: each day keeps
+    * only its k=64 smallest keyed 60-bit user hashes (the KMV / Theta
+    * bottom-k sketch), published once through the versioned store, and
+    * every WEEK row is estimated from the union of its days' sketches —
+    * never re-scanning events. Bottom-k merge is LOSSLESS (any hash in
+    * the window's true bottom-k beats at most k−1 others window-wide,
+    * so certainly day-wide), so merged ≡ rebuilt holds as exact set
+    * equality and — unlike q189's HLL, whose DuckDB twin differs — the
+    * whole sketch is FULLY oracle-replayable: estimate
+    * (k−1)·2⁶⁰ div h₍ₖ₎ is pure integer math, sketches below k rows
+    * degrade to exact counts, and the digest column pins the sketch
+    * contents hash-for-hash. Exact distincts ride along as the audit
+    * columns with the error in ppm.
+    *
+    * Scale shape: one (day, hash)-distinct shuffle (the same exchange
+    * an exact daily-DAU job pays) into per-day WindowGroupLimit top-k;
+    * after publication every window estimate reads k × #days rows —
+    * a month of 100 TB days is 64 × 31 longs.
+    */
+  def q219KmvRoll(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val ev = Tables.events(spark, dir).select(
+      datediff(col("ts").cast("date"), lit("1970-01-01")).cast("long")
+        .as("day"),
+      col("user_id"))
+    val name = q219Saved.getOrElseUpdate(dir, {
+      val n = "graft_kmv_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val hashed = ev.select(
+          col("day"),
+          conv(substring(md5(concat(lit("kmv11:"),
+            col("user_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      val sk = hashed
+        .withColumn("r", row_number().over(
+          Window.partitionBy("day").orderBy("h")))
+        .filter(col("r") <= k).select("day", "h")
+      IndexStore.savePlainArtifact(sk, n)
+      n
+    })
+    val daily = IndexStore.loadPlainArtifact(spark, name)
+    def sketchRows(scoped: DataFrame): DataFrame =
+      scoped.distinct()
+        .withColumn("r", row_number().over(
+          Window.partitionBy("scope", "key").orderBy("h")))
+        .filter(col("r") <= k)
+        .groupBy("scope", "key")
+        .agg(count(lit(1)).as("n_sketch"),
+             max(when(col("r") === k, col("h"))).as("__hk"),
+             (sum(col("h") % 1048576L) % 1048576L).as("sketch_digest"))
+        .withColumn("kmv_est",
+          when(col("n_sketch") < k, col("n_sketch"))
+            .otherwise(expr(
+              "CAST(least((CAST(1152921504606846976 AS DECIMAL(38,0)) " +
+              s"* ${k - 1}) div greatest(__hk, 1), " +
+              "4611686018427387904) AS BIGINT)")))
+    val dayRows = sketchRows(daily.select(
+      lit("DAY").as("scope"), col("day").as("key"), col("h")))
+    val weekRows = sketchRows(daily.select(
+      lit("WEEK").as("scope"), expr("day div 7").as("key"), col("h")))
+    val exact = ev.groupBy(col("day").as("key"))
+      .agg(countDistinct("user_id").as("n_exact"))
+      .withColumn("scope", lit("DAY"))
+      .unionByName(
+        ev.groupBy(expr("day div 7").as("key"))
+          .agg(countDistinct("user_id").as("n_exact"))
+          .withColumn("scope", lit("WEEK")))
+    dayRows.unionByName(weekRows)
+      .join(exact, Seq("scope", "key"))
+      .select(col("scope"), col("key"), col("n_exact"), col("kmv_est"),
+              expr("abs(kmv_est - n_exact) * 1000000 DIV n_exact")
+                .as("err_ppm"),
+              col("n_sketch"), col("sketch_digest"))
+      .orderBy("scope", "key")
+  }
+  private val q219Saved = new graft.SavedOnce[String, String]
+
   /** PERSISTED quantile-sketch roll ([[Sketches.logBin]] +
     * [[IndexStore.savePlainArtifact]]) — the maintenance half of q194,
     * completing the index-roll contract for the sketch family: the
@@ -5881,6 +5960,7 @@ object LlmQueries {
     "q216_sketch_prune"      -> (q216SketchPrune(_, _)),
     "q217_dp_histogram"      -> (q217DpHistogram(_, _)),
     "q218_gate_ablation"     -> (q218GateAblation(_, _)),
+    "q219_kmv_roll"          -> (q219KmvRoll(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -7493,6 +7573,58 @@ object LlmQueries {
         |SELECT 'CLASS' AS scope, qi, n_users, l_div, risk_users FROM c2
         |UNION ALL SELECT * FROM s
         |ORDER BY scope, qi""".stripMargin,
+    // full KMV replay: daily bottom-64 keyed hashes rebuilt from events,
+    // week sketches merged from the daily ones (lossless), integer
+    // estimator — hash-green pins Spark's artifact-merged roll ≡ rebuilt
+    "q219_kmv_roll" ->
+      """WITH ev AS (
+        |  SELECT (ts::DATE - DATE '1970-01-01') AS day, user_id
+        |  FROM events),
+        |hashed AS (
+        |  SELECT DISTINCT day,
+        |    ('0x' || substr(md5('kmv11:' || CAST(user_id AS VARCHAR)),
+        |                    1, 15))::BIGINT AS h
+        |  FROM ev),
+        |daily AS (
+        |  SELECT day, h FROM (
+        |    SELECT day, h,
+        |      row_number() OVER (PARTITION BY day ORDER BY h) AS r
+        |    FROM hashed) WHERE r <= 64),
+        |scoped AS (
+        |  SELECT 'DAY' AS scope, CAST(day AS BIGINT) AS key, h FROM daily
+        |  UNION ALL
+        |  SELECT DISTINCT 'WEEK' AS scope, CAST(day // 7 AS BIGINT) AS key, h
+        |  FROM daily),
+        |ranked AS (
+        |  SELECT scope, key, h,
+        |    row_number() OVER (PARTITION BY scope, key ORDER BY h) AS r
+        |  FROM scoped),
+        |sk AS (
+        |  SELECT scope, key, CAST(count(*) AS BIGINT) AS n_sketch,
+        |    max(CASE WHEN r = 64 THEN h END) AS hk,
+        |    CAST(sum(h % 1048576) % 1048576 AS BIGINT) AS sketch_digest
+        |  FROM ranked WHERE r <= 64 GROUP BY 1, 2),
+        |est AS (
+        |  SELECT scope, key, n_sketch, sketch_digest,
+        |    CASE WHEN n_sketch < 64 THEN n_sketch
+        |         ELSE CAST(least((1152921504606846976::HUGEINT * 63)
+        |                           // greatest(hk, 1),
+        |                         4611686018427387904::HUGEINT) AS BIGINT)
+        |    END AS kmv_est
+        |  FROM sk),
+        |ex AS (
+        |  SELECT 'DAY' AS scope, CAST(day AS BIGINT) AS key,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM ev GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'WEEK' AS scope, CAST(day // 7 AS BIGINT) AS key,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT e.scope, e.key, x.n_exact, e.kmv_est,
+        |  abs(e.kmv_est - x.n_exact) * 1000000 // x.n_exact AS err_ppm,
+        |  e.n_sketch, e.sketch_digest
+        |FROM est e JOIN ex x ON e.scope = x.scope AND e.key = x.key
+        |ORDER BY e.scope, e.key""".stripMargin,
     // keyed trailing-zero geometric difference = discrete Laplace noise,
     // replayed bit-exactly; clamp + L1/ε accounting
     "q217_dp_histogram" ->

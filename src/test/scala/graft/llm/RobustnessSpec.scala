@@ -612,6 +612,47 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("q219 kmv roll: merged week sketches equal a direct rebuild, " +
+       "sub-k sketches are exact, err accounting consistent") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = graft.operators.LlmQueries
+      .queries("q219_kmv_roll")(spark, sf0001).collect()
+    val (wk, dy) = rows.partition(_.getString(0) == "WEEK")
+    assert(wk.nonEmpty && dy.nonEmpty)
+    rows.foreach { r =>
+      if (r.getLong(5) < 64L)
+        assert(r.getLong(3) == r.getLong(2),
+               s"sub-k sketch must count exactly: ${r}")
+      assert(r.getLong(4) ==
+               math.abs(r.getLong(3) - r.getLong(2)) * 1000000L
+                 / r.getLong(2))
+    }
+    // lossless-merge theorem made real: week bottom-k rebuilt straight
+    // from events (no daily staging) must match the artifact-merged rows
+    val direct = graft.sources.Tables.events(spark, sf0001)
+      .select(
+        expr("CAST(datediff(CAST(ts AS DATE), '1970-01-01') AS BIGINT)" +
+             " div 7").as("week"),
+        expr("CAST(conv(substring(md5(CAST(concat('kmv11:', " +
+             "CAST(user_id AS STRING)) AS BINARY)), 1, 15), 16, 10) " +
+             "AS BIGINT)").as("h"))
+      .distinct()
+      .withColumn("r", row_number().over(
+        Window.partitionBy("week").orderBy("h")))
+      .filter(col("r") <= 64)
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_sketch"),
+           (sum(col("h") % 1048576L) % 1048576L).as("digest"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(wk.map(_.getLong(1)).toSet == direct.keySet)
+    wk.foreach { r =>
+      val (n, d) = direct(r.getLong(1))
+      assert(r.getLong(5) == n && r.getLong(6) == d,
+             s"merged week sketch differs from rebuild: ${r}")
+    }
+  }
+
   test("q217 dp histogram: noise bounded, clamp exact, summary sums the " +
        "cells and composes epsilon") {
     val rows = graft.operators.LlmQueries
