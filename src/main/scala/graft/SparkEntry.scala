@@ -173,7 +173,9 @@ object SparkEntry {
     "q216_sketch_prune",
     "q217_dp_histogram",
     "q218_gate_ablation",
-    "q219_kmv_roll"
+    "q219_kmv_roll",
+    "q220_threshold_sweep",
+    "q221_centroid_drift"
   )
   // (q192 recomputes the changelog-driven roll each run — the timed
   // cost is the maintenance job itself, not a memoized read)

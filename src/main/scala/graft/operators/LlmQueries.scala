@@ -4033,6 +4033,107 @@ object LlmQueries {
   }
   private val q219Saved = new graft.SavedOnce[String, String]
 
+  /** Quality-threshold SWEEP — the calibration curve behind every
+    * "quality ≥ τ" gate (q32's score, q163's distilled rules, the
+    * release budget cuts): docs/tokens kept at each candidate threshold,
+    * as exact integers, from ONE scoring scan. The corpus collapses to
+    * a ≤ 1001-row milli-score histogram (doc + token mass per bin) and
+    * the ten candidate thresholds sweep over THAT — so picking a
+    * threshold never costs ten scans, and re-picking after a policy
+    * change costs zero (the histogram is the reusable artifact; q197
+    * shows the same shape persisted). Yield in exact ppm per row.
+    *
+    * Scale shape: one row-local scoring pass → ≤ 1001-row exchange
+    * (map-side combined) → a 10 × 1001 broadcast sweep. Nothing
+    * downstream of the scan is corpus-scale.
+    */
+  def q220ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir).select(
+      floor(TextAnalysis.qualityScore(col("text")) * 1000.0d)
+        .cast("long").as("bin"),
+      TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"))
+    val binned = scored.groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .transform(graft.Materialize(_)) // ≤1001 rows, read by sweep+totals
+    val thrs = spark.range(0, 10)
+      .select((col("id") * 100L).as("thr_milli"))
+    val swept = thrs.crossJoin(binned)
+      .groupBy("thr_milli")
+      .agg(sum(when(col("bin") >= col("thr_milli"), col("n_docs"))
+                 .otherwise(0L)).as("n_docs"),
+           sum(when(col("bin") >= col("thr_milli"), col("n_tokens"))
+                 .otherwise(0L)).as("n_tokens"))
+    val tot = binned.agg(sum("n_docs").as("__td"),
+                         sum("n_tokens").as("__tt"))
+    swept.crossJoin(broadcast(tot))
+      .select(col("thr_milli"), col("n_docs"), col("n_tokens"),
+              expr("n_docs * 1000000 DIV __td").as("doc_ppm"),
+              expr("n_tokens * 1000000 DIV __tt").as("token_ppm"))
+      .orderBy("thr_milli")
+  }
+
+  /** Embedding-snapshot CENTROID DRIFT — the monitoring companion of
+    * q213's vector roll: after a delta ingest (vec_id % 5 = 2, the
+    * q213 slice), how far did each label's centroid move? Components
+    * are milli-quantized (floor(x·1000) — float→double is exact, so
+    * the quantization is engine-portable) and everything downstream is
+    * EXACT integer arithmetic on per-(label, dim) sums: the report
+    * carries dot(Σbase, Σfull) and both squared norms, from which any
+    * consumer derives the cosine — no sqrt/ln ever enters the query,
+    * so the oracle replays it bit-for-bit. LABEL rows + the GLOBAL
+    * whole-corpus row; counts ride along.
+    *
+    * Scale shape: one posexplode scan partial-aggregated to
+    * #labels × 64 sum rows before the exchange; every join/agg after
+    * the scan is on that bounded table. At 10⁹+ vectors the qv sums
+    * approach int64 range — the decimal(38,0) upgrade is one cast at
+    * the two sum sites (documented, not needed at any driver SF).
+    */
+  def q221CentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.select(
+        col("label").cast("long").as("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("vec_id"), col("pos"),
+              floor(col("x").cast("double") * 1000.0d).cast("long")
+                .as("qv"))
+    val sb = q.filter(col("vec_id") % 5 =!= 2)
+      .groupBy("label", "pos").agg(sum("qv").as("sb"))
+      .transform(graft.Materialize(_)) // #labels×64 rows, read twice
+    val sf2 = q.groupBy("label", "pos").agg(sum("qv").as("sf"))
+      .transform(graft.Materialize(_))
+    def products(b: DataFrame, f: DataFrame, keys: Seq[String]) = {
+      val j = b.join(f, keys)
+      val g = if (keys.contains("label")) j.groupBy("label") else
+        j.groupBy()
+      g.agg(sum(col("sb") * col("sf")).as("dot"),
+            sum(col("sb") * col("sb")).as("norm2_base"),
+            sum(col("sf") * col("sf")).as("norm2_full"))
+    }
+    val labProd = products(sb, sf2, Seq("label", "pos"))
+    val globProd = products(
+      sb.groupBy("pos").agg(sum("sb").as("sb")),
+      sf2.groupBy("pos").agg(sum("sf").as("sf")), Seq("pos"))
+    val cnt = emb.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_full"),
+           sum(when(col("vec_id") % 5 =!= 2, 1L).otherwise(0L))
+             .as("n_base"))
+    val labRows = cnt.join(labProd, Seq("label"), "left")
+      .select(lit("LABEL").as("scope"), col("label").cast("string")
+                .as("key"),
+              col("n_base"), col("n_full"),
+              coalesce(col("dot"), lit(0L)).as("dot"),
+              coalesce(col("norm2_base"), lit(0L)).as("norm2_base"),
+              coalesce(col("norm2_full"), lit(0L)).as("norm2_full"))
+    val globRow = cnt.agg(sum("n_base").as("n_base"),
+                          sum("n_full").as("n_full"))
+      .crossJoin(globProd)
+      .select(lit("GLOBAL").as("scope"), lit("ALL").as("key"),
+              col("n_base"), col("n_full"), col("dot"),
+              col("norm2_base"), col("norm2_full"))
+    labRows.unionByName(globRow).orderBy("scope", "key")
+  }
+
   /** PERSISTED quantile-sketch roll ([[Sketches.logBin]] +
     * [[IndexStore.savePlainArtifact]]) — the maintenance half of q194,
     * completing the index-roll contract for the sketch family: the
@@ -5961,6 +6062,8 @@ object LlmQueries {
     "q217_dp_histogram"      -> (q217DpHistogram(_, _)),
     "q218_gate_ablation"     -> (q218GateAblation(_, _)),
     "q219_kmv_roll"          -> (q219KmvRoll(_, _)),
+    "q220_threshold_sweep"   -> (q220ThresholdSweep(_, _)),
+    "q221_centroid_drift"    -> (q221CentroidDrift(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -7573,6 +7676,101 @@ object LlmQueries {
         |SELECT 'CLASS' AS scope, qi, n_users, l_div, risk_users FROM c2
         |UNION ALL SELECT * FROM s
         |ORDER BY scope, qi""".stripMargin,
+    // milli-quantized per-(label,dim) sums, exact integer dot/norms for
+    // base vs full snapshot, per label + GLOBAL
+    "q221_centroid_drift" ->
+      """WITH q AS (
+        |  SELECT CAST(label AS BIGINT) AS label, vec_id,
+        |    generate_subscripts(embedding, 1) - 1 AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
+        |         AS BIGINT) AS qv
+        |  FROM embeddings),
+        |sb AS (SELECT label, pos, sum(qv) AS sb FROM q
+        |       WHERE vec_id % 5 <> 2 GROUP BY 1, 2),
+        |sf AS (SELECT label, pos, sum(qv) AS sf FROM q GROUP BY 1, 2),
+        |j AS (SELECT sb.label, sb.sb, sf.sf FROM sb
+        |      JOIN sf ON sb.label = sf.label AND sb.pos = sf.pos),
+        |lab AS (
+        |  SELECT label, CAST(sum(sb * sf) AS BIGINT) AS dot,
+        |    CAST(sum(sb * sb) AS BIGINT) AS norm2_base,
+        |    CAST(sum(sf * sf) AS BIGINT) AS norm2_full
+        |  FROM j GROUP BY 1),
+        |gb AS (SELECT pos, CAST(sum(sb) AS BIGINT) AS sb FROM sb
+        |       GROUP BY 1),
+        |gf AS (SELECT pos, CAST(sum(sf) AS BIGINT) AS sf FROM sf
+        |       GROUP BY 1),
+        |gprod AS (
+        |  SELECT CAST(sum(gb.sb * gf.sf) AS BIGINT) AS dot,
+        |    CAST(sum(gb.sb * gb.sb) AS BIGINT) AS norm2_base,
+        |    CAST(sum(gf.sf * gf.sf) AS BIGINT) AS norm2_full
+        |  FROM gb JOIN gf ON gb.pos = gf.pos),
+        |cnt AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(count(*) AS BIGINT) AS n_full,
+        |    CAST(sum(CASE WHEN vec_id % 5 <> 2 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_base
+        |  FROM embeddings GROUP BY 1),
+        |lr AS (
+        |  SELECT 'LABEL' AS scope, CAST(cnt.label AS VARCHAR) AS key,
+        |    cnt.n_base, cnt.n_full,
+        |    CAST(coalesce(lab.dot, 0) AS BIGINT) AS dot,
+        |    CAST(coalesce(lab.norm2_base, 0) AS BIGINT) AS norm2_base,
+        |    CAST(coalesce(lab.norm2_full, 0) AS BIGINT) AS norm2_full
+        |  FROM cnt LEFT JOIN lab ON cnt.label = lab.label),
+        |gr AS (
+        |  SELECT 'GLOBAL' AS scope, 'ALL' AS key,
+        |    CAST(sum(n_base) AS BIGINT) AS n_base,
+        |    CAST(sum(n_full) AS BIGINT) AS n_full,
+        |    (SELECT dot FROM gprod) AS dot,
+        |    (SELECT norm2_base FROM gprod) AS norm2_base,
+        |    (SELECT norm2_full FROM gprod) AS norm2_full
+        |  FROM cnt)
+        |SELECT * FROM lr UNION ALL SELECT * FROM gr
+        |ORDER BY scope, key""".stripMargin,
+    // q32's score replay → milli-score histogram → 10-threshold sweep
+    // over the histogram, exact integer yields
+    "q220_threshold_sweep" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+         |      / CAST(greatest(length(text), 1) AS DOUBLE) AS praw,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS wst
+         |  FROM documents),
+         |u AS (
+         |  SELECT praw, wst,
+         |    len(list_filter(toks, x -> list_contains($stopList, x)))
+         |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS sraw,
+         |    least(length(text) / 200.0, 1.0) AS len_score
+         |  FROM t),
+         |b AS (
+         |  SELECT CAST(floor(round((len_score + least(sraw * 4.0, 1.0)
+         |           + greatest(1.0 - praw * 4.0, 0.0)) / 3.0, 4)
+         |         * 1000) AS BIGINT) AS bin, wst
+         |  FROM u),
+         |binned AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(wst) AS BIGINT) AS n_tokens
+         |  FROM b GROUP BY 1),
+         |tot AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt
+         |        FROM binned),
+         |thr AS (SELECT range AS thr_milli
+         |        FROM range(0, 1000, 100)),
+         |swept AS (
+         |  SELECT thr_milli,
+         |    CAST(coalesce(sum(CASE WHEN bin >= thr_milli
+         |                           THEN n_docs END), 0) AS BIGINT)
+         |      AS n_docs,
+         |    CAST(coalesce(sum(CASE WHEN bin >= thr_milli
+         |                           THEN n_tokens END), 0) AS BIGINT)
+         |      AS n_tokens
+         |  FROM thr CROSS JOIN binned GROUP BY 1)
+         |SELECT CAST(thr_milli AS BIGINT) AS thr_milli, n_docs, n_tokens,
+         |  CAST((n_docs * 1000000) // td AS BIGINT) AS doc_ppm,
+         |  CAST((n_tokens * 1000000) // tt AS BIGINT) AS token_ppm
+         |FROM swept CROSS JOIN tot
+         |ORDER BY thr_milli""".stripMargin,
     // full KMV replay: daily bottom-64 keyed hashes rebuilt from events,
     // week sketches merged from the daily ones (lossless), integer
     // estimator — hash-green pins Spark's artifact-merged roll ≡ rebuilt

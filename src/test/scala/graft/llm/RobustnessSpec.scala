@@ -612,6 +612,52 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("q220 threshold sweep: monotone yields, zero-threshold row is " +
+       "the corpus, direct recount at tau=500 agrees") {
+    val rows = graft.operators.LlmQueries
+      .queries("q220_threshold_sweep")(spark, sf0001).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length == 10 && rows.head.getLong(0) == 0L)
+    val nDocs = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(rows.head.getLong(1) == nDocs,
+           "tau=0 keeps everything")
+    assert(rows.head.getLong(3) == 1000000L)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) <= a.getLong(1) && b.getLong(2) <= a.getLong(2),
+             "yield must be non-increasing in the threshold")
+    }
+    val direct = graft.sources.Tables.documents(spark, sf0001)
+      .filter(floor(TextAnalysis.qualityScore(col("text")) * 1000.0d)
+                >= 500L)
+      .count()
+    assert(rows.find(_.getLong(0) == 500L).get.getLong(1) == direct)
+  }
+
+  test("q221 centroid drift: global counts the table, Cauchy-Schwarz " +
+       "holds, base counts recount") {
+    val rows = graft.operators.LlmQueries
+      .queries("q221_centroid_drift")(spark, sf0001).collect()
+    val (g, l) = rows.partition(_.getString(0) == "GLOBAL")
+    assert(g.length == 1 && l.nonEmpty)
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    assert(g.head.getLong(3) == emb.count())
+    assert(g.head.getLong(2) ==
+             emb.filter(col("vec_id") % 5 =!= 2).count())
+    assert(l.map(_.getLong(3)).sum == g.head.getLong(3))
+    rows.foreach { r =>
+      val dot = BigInt(r.getLong(4))
+      val cs = dot * dot <=
+        BigInt(r.getLong(5)) * BigInt(r.getLong(6))
+      assert(cs, s"Cauchy-Schwarz violated: ${r}")
+      assert(r.getLong(5) > 0L && r.getLong(6) > 0L)
+      // a random-slice delta keeps the sum-vectors positively aligned
+      // (tight bounds need n large — at 500 vectors the sums are noisy)
+      val cos = dot.toDouble /
+        math.sqrt(r.getLong(5).toDouble * r.getLong(6).toDouble)
+      assert(cos > 0.5, s"unexpectedly large drift: ${r}")
+    }
+  }
+
   test("q219 kmv roll: merged week sketches equal a direct rebuild, " +
        "sub-k sketches are exact, err accounting consistent") {
     import org.apache.spark.sql.expressions.Window
