@@ -175,7 +175,9 @@ object SparkEntry {
     "q218_gate_ablation",
     "q219_kmv_roll",
     "q220_threshold_sweep",
-    "q221_centroid_drift"
+    "q221_centroid_drift",
+    "q222_canon_levels",
+    "q223_retrieval_eval"
   )
   // (q192 recomputes the changelog-driven roll each run — the timed
   // cost is the maintenance job itself, not a memoized read)

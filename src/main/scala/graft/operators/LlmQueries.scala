@@ -4134,6 +4134,126 @@ object LlmQueries {
     labRows.unionByName(globRow).orderBy("scope", "key")
   }
 
+  /** Canonicalization-SENSITIVITY audit of exact dedup — how many
+    * duplicate documents each successively coarser normalization level
+    * reveals: raw bytes → whitespace-collapse → lowercase → Unicode NFC
+    * ([[graft.functions.NfcNormalizeExpr]], the registered
+    * `nfc_normalize` with a native DuckDB twin) → alphanumeric-only.
+    * One row per level with docs changed by that canonical form, the
+    * distinct-fingerprint count, the implied duplicate docs, and the
+    * newly-merged count vs the previous level — the report that decides
+    * which canonical form an exact-dedup store keys on (too weak leaves
+    * dupes; too strong merges distinct content; the level-over-level
+    * deltas make that trade visible).
+    *
+    * Scale shape: one row-local normalization scan exploded ×5 as
+    * (level, fingerprint) — IDs and 16-byte hashes ride the exchange,
+    * never text; per-level distinct is the q34 exact-dedup shuffle run
+    * five times side by side, then a 5-row window for the deltas.
+    */
+  def q222CanonLevels(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+              regexp_replace(trim(col("text")), "\\s+", " ").as("w"))
+      .withColumn("lw", lower(col("w")))
+      .withColumn("nf", expr("nfc_normalize(lw)"))
+      .withColumn("an", trim(regexp_replace(
+        regexp_replace(col("nf"), "[^a-z0-9 ]", ""), " +", " ")))
+    val lv = staged.select(col("text"), explode(array(
+        struct(lit(0L).as("lord"), lit("raw").as("level"),
+               col("text").as("canon")),
+        struct(lit(1L).as("lord"), lit("ws").as("level"),
+               col("w").as("canon")),
+        struct(lit(2L).as("lord"), lit("lower").as("level"),
+               col("lw").as("canon")),
+        struct(lit(3L).as("lord"), lit("nfc").as("level"),
+               col("nf").as("canon")),
+        struct(lit(4L).as("lord"), lit("alnum").as("level"),
+               col("an").as("canon")))).as("s"))
+      .select(col("s.lord").as("lord"), col("s.level").as("level"),
+              md5(col("s.canon").cast("binary")).as("fp"),
+              when(col("s.canon") =!= col("text"), 1L).otherwise(0L)
+                .as("chg"))
+    val per = lv.groupBy("lord", "level")
+      .agg(count(lit(1)).as("n_docs"), sum("chg").as("n_changed"),
+           countDistinct("fp").as("n_fp"))
+    per.withColumn("dup_docs", col("n_docs") - col("n_fp"))
+      .withColumn("merged_vs_prev",
+        coalesce(lag("n_fp", 1).over(Window.orderBy("lord"))
+                   - col("n_fp"), lit(0L)))
+      .orderBy("lord")
+  }
+
+  /** Retrieval-quality EVAL over the persisted BM25 index — the
+    * harness that tells you whether the q143/q147 index is actually
+    * retrieving: a deterministic gold set (doc_id % 97 = 3, the
+    * fixed eval sample — production passes an explicit eval table),
+    * each gold doc queried by its top-8 TF-IDF terms (tf·N/df
+    * descending with (df, token) tie-break — exact-integer inputs, so
+    * the double ordering key is engine-portable; read straight off the
+    * index's postings — a known-item-search query generator; a
+    * rarest-only generator was measured first and retrieves poorly on
+    * near-uniform token distributions), all queries scored in ONE
+    * index join, gold ranked among its candidates by the rounded-6
+    * score with doc_id tie-break (the q94 cross-engine-stable ranking
+    * convention). Per-query rank / reciprocal-rank-ppm / hits@1/5/10
+    * plus the SUMMARY row whose `rank` column carries n_queries and
+    * whose rr_ppm is the exact integer MRR.
+    *
+    * Scale shape: everything reads the INDEX, never corpus text — df
+    * is an index-sized agg, query terms a broadcast table, candidate
+    * scoring one postings join whose groups are small by construction
+    * (rarest-term queries), and the rank window runs per-query over
+    * those candidates. Corpus scans: zero.
+    */
+  def q223RetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = IndexStore.loadBm25Index(spark, q143IndexName(spark, dir))
+    val post = idx.postings
+    val dfTok = post.groupBy("token").agg(count(lit(1)).as("df"))
+    val qterms = post.filter(col("doc_id") % 97 === 3)
+      .select(col("doc_id").as("qid"), col("token"), col("tf"))
+      .join(dfTok, Seq("token"))
+      .crossJoin(broadcast(idx.stats.select("n_docs")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("qid").orderBy(
+          ((col("tf") * col("n_docs")) / col("df")).desc,
+          col("df"), col("token"))))
+      .filter(col("r") <= 8)
+      .select("qid", "token", "df")
+    val cand = post.join(broadcast(qterms), Seq("token"))
+      .crossJoin(broadcast(idx.stats))
+      .select(col("qid"), col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+               (col("df") + 0.5)) *
+          (col("tf") * (1.2 + 1.0)) /
+          (col("tf") + lit(1.2) *
+            (lit(1.0 - 0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("term_score"))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum("term_score"), 6).as("bm25"))
+    val gold = cand.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("bm25"), col("doc_id"))))
+      .filter(col("qid") === col("doc_id"))
+    val perQ = gold.select(
+      lit("QUERY").as("scope"), col("qid").cast("string").as("key"),
+      col("rank").cast("long").as("rank"),
+      expr("CAST(1000000 DIV CAST(rank AS BIGINT) AS BIGINT)")
+        .as("rr_ppm"),
+      when(col("rank") <= 1, 1L).otherwise(0L).as("hit1"),
+      when(col("rank") <= 5, 1L).otherwise(0L).as("hit5"),
+      when(col("rank") <= 10, 1L).otherwise(0L).as("hit10"))
+    val summ = perQ.agg(
+        count(lit(1)).as("n"), sum("rr_ppm").as("srr"),
+        sum("hit1").as("hit1"), sum("hit5").as("hit5"),
+        sum("hit10").as("hit10"))
+      .select(lit("SUMMARY").as("scope"), lit("ALL").as("key"),
+              col("n").as("rank"), expr("srr DIV n").as("rr_ppm"),
+              col("hit1"), col("hit5"), col("hit10"))
+    perQ.unionByName(summ).orderBy("scope", "key")
+  }
+
   /** PERSISTED quantile-sketch roll ([[Sketches.logBin]] +
     * [[IndexStore.savePlainArtifact]]) — the maintenance half of q194,
     * completing the index-roll contract for the sketch family: the
@@ -6064,6 +6184,8 @@ object LlmQueries {
     "q219_kmv_roll"          -> (q219KmvRoll(_, _)),
     "q220_threshold_sweep"   -> (q220ThresholdSweep(_, _)),
     "q221_centroid_drift"    -> (q221CentroidDrift(_, _)),
+    "q222_canon_levels"      -> (q222CanonLevels(_, _)),
+    "q223_retrieval_eval"    -> (q223RetrievalEval(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -7676,6 +7798,99 @@ object LlmQueries {
         |SELECT 'CLASS' AS scope, qi, n_users, l_div, risk_users FROM c2
         |UNION ALL SELECT * FROM s
         |ORDER BY scope, qi""".stripMargin,
+    // full BM25 replay: postings + df rebuilt, rarest-3 query terms per
+    // gold doc, rounded-score ranking with doc_id tie-break, exact MRR
+    "q223_retrieval_eval" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |post AS (
+        |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+        |  GROUP BY 1, 2),
+        |dft AS (SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |qt AS (
+        |  SELECT qid, token, df FROM (
+        |    SELECT p.doc_id AS qid, p.token, d.df,
+        |      row_number() OVER (PARTITION BY p.doc_id
+        |                         ORDER BY p.tf * stats.n_docs / d.df
+        |                                    DESC,
+        |                                  d.df, p.token) AS r
+        |    FROM post p JOIN dft d USING (token) CROSS JOIN stats
+        |    WHERE p.doc_id % 97 = 3)
+        |  WHERE r <= 8),
+        |cand AS (
+        |  SELECT q.qid, p.doc_id,
+        |    round(sum(ln(1.0 + (stats.n_docs - q.df + 0.5)
+        |                       / (q.df + 0.5))
+        |      * (p.tf * (1.2 + 1.0))
+        |      / (p.tf + 1.2 * (1.0 - 0.75
+        |                       + 0.75 * dl.dl / stats.avgdl))), 6)
+        |      AS bm25
+        |  FROM qt q JOIN post p USING (token)
+        |       JOIN dl ON p.doc_id = dl.doc_id
+        |       CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT qid, doc_id,
+        |    row_number() OVER (PARTITION BY qid
+        |                       ORDER BY bm25 DESC, doc_id) AS rank
+        |  FROM cand),
+        |g AS (SELECT qid, CAST(rank AS BIGINT) AS rank FROM rk
+        |      WHERE qid = doc_id),
+        |pq AS (
+        |  SELECT 'QUERY' AS scope, CAST(qid AS VARCHAR) AS key, rank,
+        |    CAST(1000000 // rank AS BIGINT) AS rr_ppm,
+        |    CAST(CASE WHEN rank <= 1 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS hit1,
+        |    CAST(CASE WHEN rank <= 5 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS hit5,
+        |    CAST(CASE WHEN rank <= 10 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS hit10
+        |  FROM g),
+        |s AS (
+        |  SELECT 'SUMMARY' AS scope, 'ALL' AS key,
+        |    CAST(count(*) AS BIGINT) AS rank,
+        |    CAST(sum(rr_ppm) // count(*) AS BIGINT) AS rr_ppm,
+        |    CAST(sum(hit1) AS BIGINT) AS hit1,
+        |    CAST(sum(hit5) AS BIGINT) AS hit5,
+        |    CAST(sum(hit10) AS BIGINT) AS hit10
+        |  FROM pq)
+        |SELECT * FROM pq UNION ALL SELECT * FROM s
+        |ORDER BY scope, key""".stripMargin,
+    // five canonical forms replayed (ws/lower/nfc/alnum), per-level
+    // distinct-md5 dedup counts + newly-merged deltas
+    "q222_canon_levels" ->
+      """WITH s4 AS (
+        |  SELECT doc_id, text, w, lower(w) AS lw,
+        |    nfc_normalize(lower(w)) AS nf,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(lower(w)),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS an
+        |  FROM (SELECT doc_id, text,
+        |          regexp_replace(trim(text), '\s+', ' ', 'g') AS w
+        |        FROM documents)),
+        |lv AS (
+        |  SELECT 0 AS lord, 'raw' AS level, text AS canon, text FROM s4
+        |  UNION ALL SELECT 1, 'ws', w, text FROM s4
+        |  UNION ALL SELECT 2, 'lower', lw, text FROM s4
+        |  UNION ALL SELECT 3, 'nfc', nf, text FROM s4
+        |  UNION ALL SELECT 4, 'alnum', an, text FROM s4),
+        |per AS (
+        |  SELECT CAST(lord AS BIGINT) AS lord, level,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN canon <> text THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_changed,
+        |    CAST(count(DISTINCT md5(canon)) AS BIGINT) AS n_fp
+        |  FROM lv GROUP BY 1, 2)
+        |SELECT lord, level, n_docs, n_changed, n_fp,
+        |  n_docs - n_fp AS dup_docs,
+        |  CAST(coalesce(lag(n_fp) OVER (ORDER BY lord) - n_fp, 0)
+        |       AS BIGINT) AS merged_vs_prev
+        |FROM per ORDER BY lord""".stripMargin,
     // milli-quantized per-(label,dim) sums, exact integer dot/norms for
     // base vs full snapshot, per label + GLOBAL
     "q221_centroid_drift" ->

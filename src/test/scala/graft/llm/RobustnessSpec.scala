@@ -612,6 +612,62 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("q222 canon levels: raw unchanged, distinct count monotone, " +
+       "deltas telescope, lower-level recount agrees") {
+    val rows = graft.operators.LlmQueries
+      .queries("q222_canon_levels")(spark, sf0001).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length == 5)
+    val nDocs = graft.sources.Tables.documents(spark, sf0001).count()
+    rows.foreach { r =>
+      assert(r.getLong(2) == nDocs)
+      assert(r.getLong(5) == r.getLong(2) - r.getLong(4),
+             "dup_docs must be n_docs - n_fp")
+    }
+    assert(rows.head.getString(1) == "raw" && rows.head.getLong(3) == 0L
+             && rows.head.getLong(6) == 0L)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(4) <= a.getLong(4),
+             "coarser canonicalization cannot split fingerprints")
+      assert(b.getLong(6) == a.getLong(4) - b.getLong(4),
+             "merged_vs_prev must telescope")
+      assert(b.getLong(3) >= a.getLong(3),
+             "changed-doc count grows with coarseness")
+    }
+    val lowerFp = graft.sources.Tables.documents(spark, sf0001)
+      .select(md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))
+                    .cast("binary")).as("fp"))
+      .distinct().count()
+    assert(rows(2).getLong(4) == lowerFp)
+  }
+
+  test("q223 retrieval eval: gold set correct, per-query accounting " +
+       "exact, summary aggregates, known-item queries retrieve") {
+    val rows = graft.operators.LlmQueries
+      .queries("q223_retrieval_eval")(spark, sf0001).collect()
+    val (s, q) = rows.partition(_.getString(0) == "SUMMARY")
+    assert(s.length == 1 && q.nonEmpty)
+    q.foreach { r =>
+      assert(r.getString(1).toLong % 97 == 3,
+             "every query is a gold doc from the fixed sample")
+      val rank = r.getLong(2)
+      assert(rank >= 1L)
+      assert(r.getLong(3) == 1000000L / rank)
+      assert(r.getLong(4) == (if (rank <= 1) 1L else 0L))
+      assert(r.getLong(5) == (if (rank <= 5) 1L else 0L))
+      assert(r.getLong(6) == (if (rank <= 10) 1L else 0L))
+    }
+    assert(s.head.getLong(2) == q.length.toLong)
+    assert(s.head.getLong(3) == q.map(_.getLong(3)).sum / q.length)
+    assert(s.head.getLong(4) == q.map(_.getLong(4)).sum)
+    assert(s.head.getLong(5) == q.map(_.getLong(5)).sum)
+    assert(s.head.getLong(6) == q.map(_.getLong(6)).sum)
+    // the tf-idf query generator must actually retrieve: majority of
+    // golds in the top 10 (rank-1 on both driver SFs in practice)
+    assert(q.count(_.getLong(6) == 1L) * 2 > q.length,
+           "known-item retrieval failed for most golds")
+  }
+
   test("q220 threshold sweep: monotone yields, zero-threshold row is " +
        "the corpus, direct recount at tau=500 agrees") {
     val rows = graft.operators.LlmQueries
