@@ -1116,6 +1116,89 @@ object ScaleProbe {
         }
       }
     }
+
+    // round-11 third wave: the corpus-scale cores of q218 (gate-mask
+    // histogram), q219 (daily KMV sketch build), q221 (per-dim quantized
+    // sums), q222 (5-level fingerprint distinct) — each should scale
+    // linearly in the scan with a bounded (mask/sketch/label×dim) or
+    // id+hash-only (canon) exchange
+    section("gate_ablation kmv_sketch canon_levels centroid_drift") {
+      import org.apache.spark.sql.expressions.Window
+      for (n <- Seq(1, 5, 20)) {
+        val d = docsX(n); val rows = d.count()
+        time(s"gate_ablation  n=$n ($rows)") {
+          val stats = graft.llm.QualityFilters.gopherStats(
+            d, "text", minStopwordHits = 1)
+          val bits = Seq(
+            col("n_words") < 5 || col("n_words") > 100000,
+            col("mean_word_len") < 2.0 || col("mean_word_len") > 10.0,
+            col("symbol_ratio") > 0.1, col("bullet_line_frac") > 0.9,
+            col("ellipsis_line_frac") > 0.3,
+            col("alpha_word_frac") < 0.8, col("stopword_hits") < 1)
+          val mask = bits.zipWithIndex
+            .map { case (c, i) => when(c, lit(1L << i)).otherwise(0L) }
+            .reduce(_ + _)
+          noop(stats.select(col("n_words"), mask.as("mask"))
+            .groupBy("mask")
+            .agg(count(lit(1)).as("n_docs"),
+                 sum("n_words").as("n_tokens")))
+        }
+        time(s"canon_levels   n=$n ($rows)") {
+          val staged = d
+            .select(col("doc_id"), col("text"),
+                    regexp_replace(trim(col("text")), "\\s+", " ")
+                      .as("w"))
+            .withColumn("lw", lower(col("w")))
+            .withColumn("nf", expr("nfc_normalize(lw)"))
+            .withColumn("an", trim(regexp_replace(
+              regexp_replace(col("nf"), "[^a-z0-9 ]", ""), " +", " ")))
+          val lv = staged.select(col("text"), explode(array(
+              struct(lit(0L).as("lord"), col("text").as("canon")),
+              struct(lit(1L).as("lord"), col("w").as("canon")),
+              struct(lit(2L).as("lord"), col("lw").as("canon")),
+              struct(lit(3L).as("lord"), col("nf").as("canon")),
+              struct(lit(4L).as("lord"), col("an").as("canon"))))
+              .as("s"))
+            .select(col("s.lord").as("lord"),
+                    md5(col("s.canon").cast("binary")).as("fp"))
+          noop(lv.groupBy("lord")
+            .agg(count(lit(1)).as("n_docs"), countDistinct("fp")
+                   .as("n_fp")))
+        }
+      }
+      for (n <- Seq(1, 5, 20)) {
+        val ev0 = Tables.events(spark, dir)
+        val e = (0 until n).map(i =>
+          ev0.withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+          .reduce(_ union _)
+        val rows = e.count()
+        time(s"kmv_sketch     n=$n ($rows)") {
+          noop(e.select(
+              datediff(col("ts").cast("date"), lit("1970-01-01"))
+                .cast("long").as("day"),
+              conv(substring(md5(concat(lit("kmv11:"),
+                col("user_id").cast("string")).cast("binary")), 1, 15),
+                16, 10).cast("long").as("h"))
+            .distinct()
+            .withColumn("r", row_number().over(
+              Window.partitionBy("day").orderBy("h")))
+            .filter(col("r") <= 64).select("day", "h"))
+        }
+      }
+      for (n <- Seq(1, 5, 20)) {
+        val e = embX(n); val rows = e.count()
+        time(s"centroid_drift n=$n ($rows)") {
+          noop(e.select(
+              col("label").cast("long").as("label"), col("vec_id"),
+              posexplode(col("embedding")).as(Seq("pos", "x")))
+            .filter(col("vec_id") % 5 =!= 2)
+            .select(col("label"), col("pos"),
+                    floor(col("x").cast("double") * 1000.0d)
+                      .cast("long").as("qv"))
+            .groupBy("label", "pos").agg(sum("qv").as("sb")))
+        }
+      }
+    }
     spark.stop()
   }
 }
