@@ -4033,6 +4033,60 @@ object LlmQueries {
   }
   private val q219Saved = new graft.SavedOnce[String, String]
 
+  /** STREAMING KMV sketch maintenance
+    * ([[graft.streaming.EventStreams.kmvSketchSink]]) — q219's daily
+    * distinct-user sketches kept fresh by the ingest stream instead of
+    * a batch job: events arrive as file-source micro-batches (executor-
+    * written slices, the q209 harness), each batch lands its per-day
+    * partial bottom-64 sketch in an idempotent `batch_id=` partition,
+    * and the read side re-cuts the union to bottom-64 per day. Bottom-k
+    * merge is lossless, so stream ≡ batch EXACTLY whatever the batch
+    * boundaries — the oracle replays the one-pass batch build from raw
+    * events and hash-green IS the parity proof. Output: per-day sketch
+    * size, integer KMV estimate, content digest.
+    *
+    * Scale shape: per-batch cost is batch-sized (distinct + k-rows/day
+    * cut); the merge reads k × #days × #batches rows. Nothing re-reads
+    * the accumulated stream.
+    */
+  def q224StreamingKmv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val outDir = q224Saved.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q224_").toString
+      val in = s"$base/in"
+      graft.streaming.EventStreams.stageMicroBatchFiles(
+        Tables.events(spark, dir).select("ts", "user_id"),
+        col("user_id") % 3, nBatches = 3, inDir = in)
+      val stream = spark.readStream
+        .schema("ts TIMESTAMP, user_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val q = graft.streaming.EventStreams.kmvSketchSink(
+        stream, s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s"$base/out"
+    })
+    spark.read.parquet(outDir).select("day", "h").distinct()
+      .withColumn("r", row_number().over(
+        Window.partitionBy("day").orderBy("h")))
+      .filter(col("r") <= 64)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sketch"),
+           max(when(col("r") === 64, col("h"))).as("__hk"),
+           (sum(col("h") % 1048576L) % 1048576L).as("sketch_digest"))
+      .withColumn("kmv_est",
+        when(col("n_sketch") < 64, col("n_sketch"))
+          .otherwise(expr(
+            "CAST(least((CAST(1152921504606846976 AS DECIMAL(38,0)) " +
+            "* 63) div greatest(__hk, 1), " +
+            "4611686018427387904) AS BIGINT)")))
+      .select(col("day"), col("n_sketch"), col("kmv_est"),
+              col("sketch_digest"))
+      .orderBy("day")
+  }
+  private val q224Saved = new graft.SavedOnce[String, String]
+
   /** Quality-threshold SWEEP — the calibration curve behind every
     * "quality ≥ τ" gate (q32's score, q163's distilled rules, the
     * release budget cuts): docs/tokens kept at each candidate threshold,
@@ -6186,6 +6240,7 @@ object LlmQueries {
     "q221_centroid_drift"    -> (q221CentroidDrift(_, _)),
     "q222_canon_levels"      -> (q222CanonLevels(_, _)),
     "q223_retrieval_eval"    -> (q223RetrievalEval(_, _)),
+    "q224_streaming_kmv"     -> (q224StreamingKmv(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -7798,8 +7853,37 @@ object LlmQueries {
         |SELECT 'CLASS' AS scope, qi, n_users, l_div, risk_users FROM c2
         |UNION ALL SELECT * FROM s
         |ORDER BY scope, qi""".stripMargin,
-    // full BM25 replay: postings + df rebuilt, rarest-3 query terms per
-    // gold doc, rounded-score ranking with doc_id tie-break, exact MRR
+    // one-pass batch replay of the daily bottom-64 sketch from raw
+    // events — hash-green IS the stream ≡ batch parity proof
+    "q224_streaming_kmv" ->
+      """WITH ev AS (
+        |  SELECT (ts::DATE - DATE '1970-01-01') AS day, user_id
+        |  FROM events),
+        |hashed AS (
+        |  SELECT DISTINCT day,
+        |    ('0x' || substr(md5('kmv11:' || CAST(user_id AS VARCHAR)),
+        |                    1, 15))::BIGINT AS h
+        |  FROM ev),
+        |ranked AS (
+        |  SELECT day, h,
+        |    row_number() OVER (PARTITION BY day ORDER BY h) AS r
+        |  FROM hashed),
+        |sk AS (
+        |  SELECT CAST(day AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_sketch,
+        |    max(CASE WHEN r = 64 THEN h END) AS hk,
+        |    CAST(sum(h % 1048576) % 1048576 AS BIGINT) AS sketch_digest
+        |  FROM ranked WHERE r <= 64 GROUP BY 1)
+        |SELECT day, n_sketch,
+        |  CASE WHEN n_sketch < 64 THEN n_sketch
+        |       ELSE CAST(least((1152921504606846976::HUGEINT * 63)
+        |                         // greatest(hk, 1),
+        |                       4611686018427387904::HUGEINT) AS BIGINT)
+        |  END AS kmv_est,
+        |  sketch_digest
+        |FROM sk ORDER BY day""".stripMargin,
+    // full BM25 replay: postings + df rebuilt, top-8 tf-idf query terms
+    // per gold doc, rounded-score ranking with doc_id tie-break, exact MRR
     "q223_retrieval_eval" ->
       """WITH toks AS (
         |  SELECT doc_id,

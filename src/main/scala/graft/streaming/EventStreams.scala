@@ -313,6 +313,41 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Streaming KMV sketch maintenance: each micro-batch of events emits
+    * its per-day bottom-64 keyed user-hash sketch (q219's sketch rule —
+    * distinct (day, hash), WindowGroupLimit bottom-k) into idempotent
+    * `batch_id=` partitions. Because bottom-k merge is LOSSLESS, the
+    * union of the per-batch partial sketches re-cut to bottom-k equals
+    * the sketch built in one batch pass over everything streamed,
+    * whatever the batch boundaries were — the q187 counts argument with
+    * set-minima instead of sums, and q224's oracle pins it from raw
+    * events. Per-batch cost: one batch-sized distinct + a k-rows/day
+    * cut; accumulated state lives in the sink partitions, not the
+    * stream.
+    */
+  def kmvSketchSink(events: DataFrame, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        upsertBatch(
+          batch.toDF().select(
+              datediff(col("ts").cast("date"), lit("1970-01-01"))
+                .cast("long").as("day"),
+              conv(substring(md5(concat(lit("kmv11:"),
+                col("user_id").cast("string")).cast("binary")), 1, 15),
+                16, 10).cast("long").as("h"))
+            .distinct()
+            .withColumn("r", row_number().over(
+              Window.partitionBy("day").orderBy("h")))
+            .filter(col("r") <= 64).select("day", "h"),
+          id, outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .start()
+
   /** Streaming PQ encode: each micro-batch of newly ingested embedding
     * vectors is encoded against a PERSISTED product-quantization
     * index's codebooks (loaded by NAME — codebooks are the quantization

@@ -524,6 +524,44 @@ class EventStreamsSpec extends SparkSpec {
            s"each micro-batch must be exactly its doc_id%3 slice: $got")
   }
 
+  test("kmvSketchSink: per-batch partials stay k-bounded and re-cut to " +
+       "the one-pass bottom-64 sketch exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val evs = (0L until 600L).map { i =>
+      (ts(((i * 5) % 2880).toInt), i % 200) // 2 days, 200 users/day > k
+    }.toDF("ts", "user_id")
+    val dir0 = tmpDir("kmvsink")
+    val in = s"$dir0/in"
+    EventStreams.stageMicroBatchFiles(evs, col("user_id") % 3,
+                                      nBatches = 3, inDir = in)
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, user_id BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val q = EventStreams.kmvSketchSink(stream, s"$dir0/out", s"$dir0/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val partials = spark.read.parquet(s"$dir0/out")
+    partials.groupBy("batch_id", "day").count().collect()
+      .foreach(r => assert(r.getLong(2) <= 64L,
+                           "a batch partial exceeded the sketch bound"))
+    def cut(df: org.apache.spark.sql.DataFrame) =
+      df.select("day", "h").distinct()
+        .withColumn("r", row_number().over(
+          Window.partitionBy("day").orderBy("h")))
+        .filter(col("r") <= 64).select("day", "h")
+    val merged = cut(partials.select("day", "h"))
+    val direct = cut(evs.select(
+      expr("CAST(datediff(CAST(ts AS DATE), '1970-01-01') AS BIGINT)")
+        .as("day"),
+      expr("CAST(conv(substring(md5(CAST(concat('kmv11:', " +
+           "CAST(user_id AS STRING)) AS BINARY)), 1, 15), 16, 10) " +
+           "AS BIGINT)").as("h")))
+    assert(merged.exceptAll(direct).isEmpty &&
+             direct.exceptAll(merged).isEmpty,
+           "streamed-merged sketch must equal the one-pass build")
+  }
+
   test("stream-static enrichment join: streaming events pick up dimension " +
        "attributes without a stream-stream state store") {
     implicit val sqlCtx = spark.sqlContext
