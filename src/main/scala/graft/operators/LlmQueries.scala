@@ -4087,6 +4087,86 @@ object LlmQueries {
   }
   private val q224Saved = new graft.SavedOnce[String, String]
 
+  /** PMI collocation mining — the top-20 bigram collocations by
+    * pointwise mutual information (min count 5), the classic
+    * distributional-semantics statistic a corpus card ships beside the
+    * q46 Zipf table: PMI = ln(c_xy·N / (c_x·c_y)) over adjacent word
+    * pairs, rounded to 6 decimals before ranking with a (w1, w2)
+    * tie-break (the q94 cross-engine-stable convention; ln inputs are
+    * exact integer ratios). Surfaces multiword units ("new york"-style)
+    * that tokenizer and dedup policy both care about.
+    *
+    * Scale shape: one row-local bigram explode → (w1, w2) agg with
+    * map-side combine and the min-count filter BEFORE the joins (the
+    * heavy tail dies early), two vocab-sized broadcast-able unigram
+    * joins, and a distributed TakeOrdered top-20 — never a full sort.
+    */
+  def q225PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(Dedup.wordTokens(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .transform(graft.Materialize(_)) // vocab rows, read 3×
+    val n = uni.agg(sum("c").as("n_tokens"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+        "i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+    val scored = bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi", round(log(
+        (col("c_xy") * col("n_tokens")).cast("double") /
+          (col("c_x") * col("c_y")).cast("double")), 6))
+      .select("w1", "w2", "c_xy", "c_x", "c_y", "pmi")
+    scored.orderBy(desc("pmi"), col("w1"), col("w2")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("pmi"), col("w1"), col("w2"))).cast("long"))
+      .select("rank", "w1", "w2", "c_xy", "c_x", "c_y", "pmi")
+      .orderBy("rank")
+  }
+
+  /** Cross-source DUPLICATION matrix — who mirrors whom: the persisted
+    * q35 MinHash closure clusters (dupArtifacts, the q206 estate) cut
+    * by source into an upper-triangular (src_a ≤ src_b) matrix of
+    * near-duplicate PAIR counts — within-source pairs n·(n−1)/2 on the
+    * diagonal, n_a·n_b across — with the number of clusters
+    * contributing to each cell. The provenance report that decides
+    * which source to drop when two mirror each other, computed without
+    * touching text: the clusters are the index.
+    *
+    * Scale shape: one (cluster, source) count over the persisted
+    * assignment (id + source only), then a self-join whose per-cluster
+    * groups are bounded by #sources — output ≤ #sources² rows.
+    */
+  def q226SourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val (_, clusters) = dupArtifacts(spark, dir)
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    val cs = clusters.select("doc_id", "cluster_id")
+      .join(src, Seq("doc_id"))
+      .groupBy("cluster_id", "source").agg(count(lit(1)).as("n"))
+      .transform(graft.Materialize(_))
+    val a = cs.select(col("cluster_id"), col("source").as("src_a"),
+                      col("n").as("na"))
+    val b = cs.select(col("cluster_id"), col("source").as("src_b"),
+                      col("n").as("nb"))
+    a.join(b, Seq("cluster_id"))
+      .filter(col("src_a") <= col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        when(col("src_a") === col("src_b"),
+             expr("na * (na - 1) DIV 2"))
+          .otherwise(col("na") * col("nb")).as("np"))
+      .filter(col("np") > 0)
+      .groupBy("src_a", "src_b")
+      .agg(sum("np").as("n_pairs"), count(lit(1)).as("n_clusters"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Quality-threshold SWEEP — the calibration curve behind every
     * "quality ≥ τ" gate (q32's score, q163's distilled rules, the
     * release budget cuts): docs/tokens kept at each candidate threshold,
@@ -6241,6 +6321,8 @@ object LlmQueries {
     "q222_canon_levels"      -> (q222CanonLevels(_, _)),
     "q223_retrieval_eval"    -> (q223RetrievalEval(_, _)),
     "q224_streaming_kmv"     -> (q224StreamingKmv(_, _)),
+    "q225_pmi_collocations"  -> (q225PmiCollocations(_, _)),
+    "q226_source_dup_matrix" -> (q226SourceDupMatrix(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -7853,6 +7935,62 @@ object LlmQueries {
         |SELECT 'CLASS' AS scope, qi, n_users, l_div, risk_users FROM c2
         |UNION ALL SELECT * FROM s
         |ORDER BY scope, qi""".stripMargin,
+    // adjacent bigrams via zipped unnests, unigram joins, round-6 PMI
+    // rank with (w1, w2) tie-break, top 20
+    "q225_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)),
+        |                                        '\W+'),
+        |                     x -> len(x) > 0) AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
+        |bi AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM (
+        |    SELECT
+        |      unnest(list_transform(range(1, len(t)), i -> t[i]))
+        |        AS w1,
+        |      unnest(list_transform(range(1, len(t)), i -> t[i+1]))
+        |        AS w2
+        |    FROM toks WHERE len(t) >= 2)
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |sc AS (
+        |  SELECT b.w1, b.w2, b.c_xy, u1.c AS c_x, u2.c AS c_y,
+        |    round(ln(CAST(b.c_xy * n.n_tokens AS DOUBLE)
+        |             / CAST(u1.c * u2.c AS DOUBLE)), 6) AS pmi
+        |  FROM bi b JOIN uni u1 ON b.w1 = u1.w
+        |       JOIN uni u2 ON b.w2 = u2.w CROSS JOIN n),
+        |rk AS (
+        |  SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2)
+        |    AS rank
+        |  FROM sc)
+        |SELECT CAST(rank AS BIGINT) AS rank, w1, w2, c_xy, c_x, c_y,
+        |  pmi
+        |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // the q35 closure replay cut by source: upper-triangular pair
+    // counts, diagonal n(n-1)/2
+    "q226_source_dup_matrix" ->
+      s"""WITH RECURSIVE
+         |${minhashPortableCtes("documents", k = 5, numHashes = 32,
+                                bands = 8, threshold = 0.5,
+                                maxBucket = 1000)},
+         |cs AS (
+         |  SELECT cc.cluster_id, d.source,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM cc JOIN documents d USING (doc_id)
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+         |         ELSE a.n * b.n END AS np
+         |  FROM cs a JOIN cs b ON a.cluster_id = b.cluster_id
+         |       AND a.source <= b.source)
+         |SELECT src_a, src_b, CAST(sum(np) AS BIGINT) AS n_pairs,
+         |  CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM p WHERE np > 0 GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
     // one-pass batch replay of the daily bottom-64 sketch from raw
     // events — hash-green IS the stream ≡ batch parity proof
     "q224_streaming_kmv" ->

@@ -612,6 +612,51 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("q225 pmi collocations: ranked top-20, monotone pmi, min-count " +
+       "respected, one bigram recounts directly") {
+    val rows = graft.operators.LlmQueries
+      .queries("q225_pmi_collocations")(spark, sf0001).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length == 20)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 20L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getDouble(6) <= a.getDouble(6), "pmi must be non-increasing")
+    }
+    rows.foreach(r => assert(r.getLong(3) >= 5L, "min count violated"))
+    val top = rows.head
+    val (w1, w2) = (top.getString(1), top.getString(2))
+    val direct = graft.sources.Tables.documents(spark, sf0001)
+      .select(Dedup.wordTokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+        "i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+      .filter(col("b.w1") === w1 && col("b.w2") === w2)
+      .count()
+    assert(top.getLong(3) == direct, s"c_xy recount mismatch for $w1 $w2")
+  }
+
+  test("q226 source dup matrix: upper-triangular, cell pairs sum to " +
+       "the closure's total pair count") {
+    val rows = graft.operators.LlmQueries
+      .queries("q226_source_dup_matrix")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "matrix must be upper-tri")
+      assert(r.getLong(2) >= r.getLong(3),
+             "a contributing cluster yields at least one pair")
+    }
+    // Σ cells = Σ_clusters n(n-1)/2 — the matrix partitions ALL
+    // near-dup pairs by source pair
+    val q35 = graft.operators.LlmQueries
+      .queries("q35_minhash_dedup")(spark, sf0001)
+      .groupBy("cluster_id").agg(count(lit(1)).as("n"))
+      .select(expr("CAST(sum(n * (n - 1) DIV 2) AS BIGINT)").as("p"))
+      .collect().head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == q35,
+           "matrix cells must partition the closure's pairs")
+  }
+
   test("q222 canon levels: raw unchanged, distinct count monotone, " +
        "deltas telescope, lower-level recount agrees") {
     val rows = graft.operators.LlmQueries
