@@ -299,6 +299,33 @@ class PlanSpec extends SparkSpec {
     assert(!p194.contains("CartesianProduct"))
   }
 
+  test("round-11 third wave: q219 bottom-k is WindowGroupLimit, q223 " +
+       "reads only the index, q225 tops out without a global sort, " +
+       "q226 never reads text") {
+    val p219 = LlmQueries.queries("q219_kmv_roll")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p219.contains("WindowGroupLimit"),
+           s"the k-cut must push below the sort:\n$p219")
+    assert(!p219.contains("CartesianProduct"))
+    val p223 = LlmQueries.queries("q223_retrieval_eval")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p223.contains("documents.parquet"),
+           s"retrieval eval must read the index, not corpus text:\n$p223")
+    assert(!p223.contains("CartesianProduct"))
+    val p225 = LlmQueries.queries("q225_pmi_collocations")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p225.contains("TakeOrderedAndProject"),
+           s"top-20 must be a distributed top-k, not a sort:\n$p225")
+    assert(!p225.contains("CartesianProduct"))
+    val p226 = LlmQueries.queries("q226_source_dup_matrix")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val docScans = p226.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("documents"))
+    assert(docScans.forall(!_.contains("text")),
+           s"q226 must not read text — clusters are the index:\n$p226")
+    assert(!p226.contains("CartesianProduct"))
+  }
+
   test("q200 daily roll: the publish job never scans corpus text — " +
        "base via persisted artifacts, delta via the materialized batch") {
     val plan = LlmQueries.queries("q200_daily_roll")(spark, sf0001)
