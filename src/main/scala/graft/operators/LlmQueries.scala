@@ -4087,6 +4087,64 @@ object LlmQueries {
   }
   private val q224Saved = new graft.SavedOnce[String, String]
 
+  /** Robust volume-anomaly detection over daily event counts — the
+    * ingest-monitoring gate (did a feed break / double-fire today?)
+    * done with the MEDIAN/MAD modified z-score, which one bad day
+    * cannot poison the way a mean/stddev gate can. Everything stays
+    * EXACT integer: med2 = lower+upper median of the daily counts
+    * (2·median), dev2 = |2n − med2| (2·deviation), mad4 = med2 of the
+    * dev2 values (4·MAD), and the |z| > 3.5 flag (z = 0.6745·dev/MAD)
+    * becomes the cross-multiplied comparison 13490·dev2 > 35000·mad4 —
+    * no division, no doubles, bit-replayable. One row per
+    * (event_type, day) with the full evidence trail.
+    *
+    * Scale shape: ONE corpus-scale (type, day) count with map-side
+    * combine; every window/join after it runs over the
+    * #types × #days table (calendar-bounded, not data-bounded). The
+    * zero-MAD caveat is the standard one: a perfectly constant series
+    * flags any deviation, which is exactly what a monitor wants.
+    */
+  def q227AnomalyDays(spark: SparkSession, dir: String): DataFrame =
+    anomalyDaysFrom(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"),
+                 datediff(col("ts").cast("date"), lit("1970-01-01"))
+                   .cast("long").as("day"))
+        .agg(count(lit(1)).as("n")))
+
+  /** [[q227AnomalyDays]]'s detector over an explicit (event_type, day,
+    * n) frame — also the spec's entry for planted-spike cases (the
+    * driver corpus is volume-uniform, so the flag branch needs a
+    * synthetic series to fire).
+    */
+  def anomalyDaysFrom(dailyCounts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = dailyCounts
+      .transform(graft.Materialize(_)) // #types×#days rows, read 3×
+    def med2Of(df: DataFrame, vCol: String, out: String): DataFrame =
+      df.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(vCol, "day")))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg((max(when(col("rn") === expr("(cnt + 1) DIV 2"),
+                       col(vCol)))
+                + max(when(col("rn") === expr("cnt DIV 2 + 1"),
+                           col(vCol)))).as(out),
+             max("cnt").cast("long").as("n_days"))
+    val med = med2Of(daily, "n", "med2").select("event_type", "med2")
+    val dev = daily.join(med, Seq("event_type"))
+      .withColumn("dev2", abs(col("n") * 2 - col("med2")))
+    val mad = med2Of(dev, "dev2", "mad4")
+      .select(col("event_type"), col("mad4"))
+    dev.join(mad, Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"), col("med2"),
+              col("mad4"), col("dev2"),
+              when(col("dev2") * 13490L > col("mad4") * 35000L, 1L)
+                .otherwise(0L).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
   /** PMI collocation mining — the top-20 bigram collocations by
     * pointwise mutual information (min count 5), the classic
     * distributional-semantics statistic a corpus card ships beside the
@@ -6323,6 +6381,7 @@ object LlmQueries {
     "q224_streaming_kmv"     -> (q224StreamingKmv(_, _)),
     "q225_pmi_collocations"  -> (q225PmiCollocations(_, _)),
     "q226_source_dup_matrix" -> (q226SourceDupMatrix(_, _)),
+    "q227_anomaly_days"      -> (q227AnomalyDays(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -7935,6 +7994,46 @@ object LlmQueries {
         |SELECT 'CLASS' AS scope, qi, n_users, l_div, risk_users FROM c2
         |UNION ALL SELECT * FROM s
         |ORDER BY scope, qi""".stripMargin,
+    // exact-integer median/MAD replay: doubled medians from rank
+    // windows, cross-multiplied modified-z flag — no division anywhere
+    "q227_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(ts::DATE - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r1 AS (
+        |  SELECT event_type, day, n,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY n, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM daily),
+        |med AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = (cnt + 1) // 2 THEN n END)
+        |      + max(CASE WHEN rn = cnt // 2 + 1 THEN n END) AS med2
+        |  FROM r1 GROUP BY 1),
+        |dev AS (
+        |  SELECT d.event_type, d.day, d.n, m.med2,
+        |    abs(d.n * 2 - m.med2) AS dev2
+        |  FROM daily d JOIN med m USING (event_type)),
+        |r2 AS (
+        |  SELECT event_type, day, dev2,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY dev2, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM dev),
+        |mad AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = (cnt + 1) // 2 THEN dev2 END)
+        |      + max(CASE WHEN rn = cnt // 2 + 1 THEN dev2 END) AS mad4
+        |  FROM r2 GROUP BY 1)
+        |SELECT d.event_type, d.day, d.n, d.med2,
+        |  CAST(m.mad4 AS BIGINT) AS mad4, CAST(d.dev2 AS BIGINT) AS dev2,
+        |  CAST(CASE WHEN d.dev2 * 13490 > m.mad4 * 35000
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM dev d JOIN mad m USING (event_type)
+        |ORDER BY d.event_type, d.day""".stripMargin,
     // adjacent bigrams via zipped unnests, unigram joins, round-6 PMI
     // rank with (w1, w2) tie-break, top 20
     "q225_pmi_collocations" ->

@@ -612,6 +612,39 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("q227 anomaly days: rows partition the events, median/MAD " +
+       "arithmetic recounts, planted spike flags and clean days don't") {
+    import spark.implicits._
+    val rows = graft.operators.LlmQueries
+      .queries("q227_anomaly_days")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(2)).sum ==
+             graft.sources.Tables.events(spark, sf0001).count(),
+           "daily counts must partition all events")
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ns = rs.map(_.getLong(2)).sorted
+      val (lo, hi) = (ns((ns.length - 1) / 2), ns(ns.length / 2))
+      assert(rs.forall(_.getLong(3) == lo + hi), "med2 recount")
+      val devs = rs.map(r => math.abs(2 * r.getLong(2) - (lo + hi)))
+        .sorted
+      val mad4 = devs((devs.length - 1) / 2) + devs(devs.length / 2)
+      rs.foreach { r =>
+        assert(r.getLong(4) == mad4, "mad4 recount")
+        assert(r.getLong(5) == math.abs(2 * r.getLong(2) - (lo + hi)))
+        assert(r.getLong(6) ==
+                 (if (r.getLong(5) * 13490L > mad4 * 35000L) 1L else 0L))
+      }
+    }
+    // planted spike: 14 steady days around 100, day 15 fires 10×
+    val spiked = ((1L to 14L).map(d => ("a", d, 100L + (d % 3)))
+      :+ (("a", 15L, 1000L))).toDF("event_type", "day", "n")
+    val out = graft.operators.LlmQueries.anomalyDaysFrom(spiked)
+      .collect().map(r => r.getLong(1) -> r.getLong(6)).toMap
+    assert(out(15L) == 1L, "the 10x spike must flag")
+    assert((1L to 14L).forall(out(_) == 0L),
+           "steady days must not flag")
+  }
+
   test("q225 pmi collocations: ranked top-20, monotone pmi, min-count " +
        "respected, one bigram recounts directly") {
     val rows = graft.operators.LlmQueries
