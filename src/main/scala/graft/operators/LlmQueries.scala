@@ -4087,6 +4087,135 @@ object LlmQueries {
   }
   private val q224Saved = new graft.SavedOnce[String, String]
 
+  /** Passage-level retrieval with MaxP document scoring — the
+    * long-document answer BM25 needs once documents outgrow one
+    * relevance judgment: q115's overlapping 32-token chunks become the
+    * retrieval unit (chunk-level tf/dl/df — a localized hit now beats
+    * dilution across a long doc), and each document scores as its BEST
+    * chunk (MaxP), reported with the winning chunk index (the snippet
+    * a RAG pipeline would fetch) and its hit-chunk count. Same Okapi
+    * constants and round-6 + chunk_idx tie-break conventions as
+    * q86/q143.
+    *
+    * Scale shape: the chunk explode is row-local (ids + text slices,
+    * bounded ×⌈n/stride⌉); term filtering cuts the tf table to
+    * query-term postings BEFORE any join; df/stats are chunk-table
+    * aggs; MaxP is a WindowGroupLimit-shaped per-doc argmax over hit
+    * chunks only.
+    */
+  def q228PassageMaxp(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("vector", "stream", "merge")
+    val chunks = TextPacking.chunkDocuments(
+        Tables.documents(spark, dir), "doc_id", "text",
+        chunkTokens = 32, overlap = 8)
+      .select(col("doc_id"), col("chunk_idx"),
+              filter(split(lower(col("chunk_text")), "\\W+"),
+                     t => length(t) > 0).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = chunks
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") /
+                             col("n_docs").cast("double"))
+    val tf = chunks
+      .select(col("doc_id"), col("chunk_idx"), col("dl"),
+              explode(col("toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "chunk_idx", "dl", "token")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfTok = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfTok), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("chunk_idx"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+               (col("df") + 0.5)) *
+          (col("tf") * (1.2 + 1.0)) /
+          (col("tf") + lit(1.2) *
+            (lit(1.0 - 0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("ts"))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(round(sum("ts"), 6).as("chunk_bm25"))
+    scored
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(desc("chunk_bm25"), col("chunk_idx"))))
+      .withColumn("nh", count(lit(1)).over(
+        Window.partitionBy("doc_id")))
+      .filter(col("r") === 1)
+      .select(col("doc_id"), col("nh").cast("long").as("n_hit_chunks"),
+              col("chunk_idx").cast("long").as("best_chunk"),
+              col("chunk_bm25").as("bm25_maxp"))
+      .orderBy("doc_id")
+  }
+
+  /** FILTERED vector search — metadata-constrained ANN (label = 1,
+    * the "only docs from license-clean sources" shape every production
+    * vector store needs), measuring the decision that actually matters:
+    * PRE-filtering (restrict the index candidates to the predicate,
+    * then rank) versus POST-filtering (rank unfiltered top-k, then
+    * drop non-matching — the naive composition). Both run against the
+    * same LSH index ([[Similarity.lshTopKWithIndex]], 7-probe), with
+    * the exact filtered top-10 (brute force over the predicate slice)
+    * as ground truth. Per-query result counts + recall in permille,
+    * and the ALL summary row. POST ⊆ PRE holds as a theorem (a
+    * predicate-matching candidate in the unfiltered top-k only ranks
+    * higher once non-matching rows leave — spec-pinned), so
+    * post-filtering returns fewer results and strictly less recall at
+    * the same probe budget; absolute recall rides q39's known LSH
+    * recall on unstructured vectors (q140 reports it) — the finding
+    * here is the pre/post GAP, measured per query.
+    *
+    * Scale shape: the predicate composes with the bucket join (an
+    * id-join against the label table before ranking), so PRE costs the
+    * same probe reads as unfiltered search; nothing scans the float
+    * corpus except the bucket-matched candidates.
+    */
+  def q229FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val emb = Tables.embeddings(spark, dir)
+    val labels = emb.select(col("vec_id").as("corpus_id"), col("label"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val queries = emb.filter(col("vec_id") < 5)
+    val index = Similarity.lshIndex(corpus, dim = 64, nBits = 6)
+      .transform(graft.Materialize(_))
+    val exact = Similarity.bruteForceTopK(
+        corpus.filter(col("label") === 1), queries, k)
+      .select("query_id", "corpus_id")
+    val pre = Similarity.lshTopKWithIndex(
+        index.join(labels, Seq("corpus_id"))
+          .filter(col("label") === 1)
+          .select("corpus_id", "cvec", "bucket"),
+        queries, k, dim = 64, nBits = 6)
+      .select("query_id", "corpus_id")
+    val post = Similarity.lshTopKWithIndex(index, queries, k,
+                                           dim = 64, nBits = 6)
+      .join(labels, Seq("corpus_id")).filter(col("label") === 1)
+      .select("query_id", "corpus_id")
+    def cnt(df: DataFrame, n: String) =
+      df.groupBy("query_id").agg(count(lit(1)).cast("long").as(n))
+    val spine = queries.select(col("vec_id").as("query_id"))
+    val perH = spine
+      .join(cnt(pre, "n_pre"), Seq("query_id"), "left")
+      .join(cnt(post, "n_post"), Seq("query_id"), "left")
+      .join(cnt(pre.join(exact, Seq("query_id", "corpus_id")),
+                "h_pre"), Seq("query_id"), "left")
+      .join(cnt(post.join(exact, Seq("query_id", "corpus_id")),
+                "h_post"), Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_pre", "n_post", "h_pre", "h_post"))
+    val per = perH.select(
+      col("query_id"), col("n_pre"), col("n_post"),
+      expr(s"h_pre * 1000 DIV $k").as("recall_pre_pm"),
+      expr(s"h_post * 1000 DIV $k").as("recall_post_pm"))
+    val summary = perH.agg(
+        count(lit(1)).as("nq"), sum("n_pre").as("n_pre"),
+        sum("n_post").as("n_post"), sum("h_pre").as("h_pre"),
+        sum("h_post").as("h_post"))
+      .select(lit(-1L).as("query_id"), col("n_pre"), col("n_post"),
+              expr(s"h_pre * 1000 DIV ($k * nq)").as("recall_pre_pm"),
+              expr(s"h_post * 1000 DIV ($k * nq)").as("recall_post_pm"))
+    per.unionByName(summary).orderBy("query_id")
+  }
+
   /** Robust volume-anomaly detection over daily event counts — the
     * ingest-monitoring gate (did a feed break / double-fire today?)
     * done with the MEDIAN/MAD modified z-score, which one bad day
@@ -6382,6 +6511,8 @@ object LlmQueries {
     "q225_pmi_collocations"  -> (q225PmiCollocations(_, _)),
     "q226_source_dup_matrix" -> (q226SourceDupMatrix(_, _)),
     "q227_anomaly_days"      -> (q227AnomalyDays(_, _)),
+    "q228_passage_maxp"      -> (q228PassageMaxp(_, _)),
+    "q229_filtered_ann"      -> (q229FilteredAnn(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -7994,6 +8125,141 @@ object LlmQueries {
         |SELECT 'CLASS' AS scope, qi, n_users, l_div, risk_users FROM c2
         |UNION ALL SELECT * FROM s
         |ORDER BY scope, qi""".stripMargin,
+    // q115's chunk replay → chunk-level Okapi (q86 constants) → per-doc
+    // MaxP argmax with chunk_idx tie-break
+    "q228_passage_maxp" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+        |         len(string_split_regex(trim(text), '\s+')) AS n
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, ci AS chunk_idx,
+        |    array_to_string(t[ci*24 + 1 : ci*24 + 32], ' ')
+        |      AS chunk_text
+        |  FROM (SELECT doc_id, n, t,
+        |          unnest(generate_series(0,
+        |            CASE WHEN n <= 32 THEN 0
+        |                 ELSE (n - 32 + 23) // 24 END)) AS ci
+        |        FROM tok)),
+        |ct AS (
+        |  SELECT doc_id, chunk_idx,
+        |    list_filter(string_split_regex(lower(chunk_text), '\W+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM ch),
+        |dl AS (SELECT doc_id, chunk_idx, CAST(len(toks) AS BIGINT)
+        |         AS dl FROM ct),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, chunk_idx, token,
+        |    CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, chunk_idx, unnest(toks) AS token
+        |        FROM ct)
+        |  WHERE token IN ('vector', 'stream', 'merge')
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id, tf.chunk_idx,
+        |    ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |      * (tf.tf * (1.2 + 1.0))
+        |      / (tf.tf + 1.2 * (1.0 - 0.75
+        |                        + 0.75 * dl.dl / stats.avgdl)) AS ts
+        |  FROM tf JOIN dfq USING (token)
+        |       JOIN dl ON tf.doc_id = dl.doc_id
+        |                  AND tf.chunk_idx = dl.chunk_idx
+        |       CROSS JOIN stats),
+        |cs AS (SELECT doc_id, chunk_idx, round(sum(ts), 6)
+        |         AS chunk_bm25
+        |       FROM s GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT doc_id, chunk_idx, chunk_bm25,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY chunk_bm25 DESC, chunk_idx)
+        |      AS r,
+        |    count(*) OVER (PARTITION BY doc_id) AS nh
+        |  FROM cs)
+        |SELECT doc_id, CAST(nh AS BIGINT) AS n_hit_chunks,
+        |  CAST(chunk_idx AS BIGINT) AS best_chunk,
+        |  chunk_bm25 AS bm25_maxp
+        |FROM rk WHERE r = 1 ORDER BY doc_id""".stripMargin,
+    // q39's LSH probe replay split into pre-filter / post-filter / exact
+    // arms, per-query and summary recall in exact permille
+    "q229_filtered_ann" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, label, v,
+         |        CAST(${lshBucketSql(6)} AS BIGINT) AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket
+         |      FROM b WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS corpus_id, label, v AS cv, bucket
+         |      FROM b WHERE vec_id >= 5),
+         |ex AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT q.query_id, c.corpus_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+         |                 c.corpus_id) AS r
+         |    FROM q CROSS JOIN c WHERE c.label = 1)
+         |  WHERE r <= 10),
+         |p AS (SELECT query_id, qv,
+         |        unnest([bucket, xor(bucket, CAST(1 AS BIGINT)),
+         |                xor(bucket, CAST(2 AS BIGINT)),
+         |                xor(bucket, CAST(4 AS BIGINT)),
+         |                xor(bucket, CAST(8 AS BIGINT)),
+         |                xor(bucket, CAST(16 AS BIGINT)),
+         |                xor(bucket, CAST(32 AS BIGINT))]) AS probe
+         |      FROM q),
+         |cand AS (
+         |  SELECT p.query_id, c.corpus_id, c.label,
+         |         list_cosine_similarity(p.qv, c.cv) AS cos
+         |  FROM p JOIN c ON c.bucket = p.probe),
+         |pre AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY cos DESC, corpus_id) AS r
+         |    FROM cand WHERE label = 1) WHERE r <= 10),
+         |post AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id, label,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY cos DESC, corpus_id) AS r
+         |    FROM cand) WHERE r <= 10 AND label = 1),
+         |np AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_pre
+         |       FROM pre GROUP BY 1),
+         |nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_post
+         |       FROM post GROUP BY 1),
+         |hp AS (SELECT p.query_id, CAST(count(*) AS BIGINT) AS h
+         |       FROM pre p JOIN ex USING (query_id, corpus_id)
+         |       GROUP BY 1),
+         |ho AS (SELECT p.query_id, CAST(count(*) AS BIGINT) AS h
+         |       FROM post p JOIN ex USING (query_id, corpus_id)
+         |       GROUP BY 1),
+         |per AS (
+         |  SELECT q.query_id,
+         |    coalesce(np.n_pre, 0) AS n_pre,
+         |    coalesce(nq.n_post, 0) AS n_post,
+         |    coalesce(hp.h, 0) AS h_pre, coalesce(ho.h, 0) AS h_post
+         |  FROM q LEFT JOIN np USING (query_id)
+         |       LEFT JOIN nq USING (query_id)
+         |       LEFT JOIN hp USING (query_id)
+         |       LEFT JOIN ho USING (query_id)),
+         |s AS (
+         |  SELECT CAST(-1 AS BIGINT) AS query_id,
+         |    CAST(sum(n_pre) AS BIGINT) AS n_pre,
+         |    CAST(sum(n_post) AS BIGINT) AS n_post,
+         |    CAST(sum(h_pre) * 1000 // (10 * count(*)) AS BIGINT)
+         |      AS recall_pre_pm,
+         |    CAST(sum(h_post) * 1000 // (10 * count(*)) AS BIGINT)
+         |      AS recall_post_pm
+         |  FROM per)
+         |SELECT query_id, n_pre, n_post,
+         |  CAST(h_pre * 1000 // 10 AS BIGINT) AS recall_pre_pm,
+         |  CAST(h_post * 1000 // 10 AS BIGINT) AS recall_post_pm
+         |FROM per
+         |UNION ALL SELECT * FROM s
+         |ORDER BY query_id""".stripMargin,
     // exact-integer median/MAD replay: doubled medians from rank
     // windows, cross-multiplied modified-z flag — no division anywhere
     "q227_anomaly_days" ->

@@ -612,6 +612,50 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("q228 passage maxp: hit-doc set equals the doc-level q86 set, " +
+       "best chunk is a real chunk, hit counts positive") {
+    val rows = graft.operators.LlmQueries
+      .queries("q228_passage_maxp")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L)
+      assert(r.getLong(2) >= 0L)
+    }
+    // a chunk contains a query term iff its doc does → identical doc sets
+    val docLevel = graft.operators.LlmQueries
+      .queries("q86_bm25_relevance")(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == docLevel,
+           "MaxP must surface exactly the q86 hit docs")
+    // the winning chunk index stays inside the doc's chunk range
+    val nChunks = graft.llm.TextPacking.chunkDocuments(
+        graft.sources.Tables.documents(spark, sf0001),
+        "doc_id", "text", chunkTokens = 32, overlap = 8)
+      .groupBy("doc_id").agg(max("chunk_idx").as("mx"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach(r => assert(r.getLong(2) <= nChunks(r.getLong(0)).toLong))
+  }
+
+  test("q229 filtered ann: post is contained in pre, counts bounded by " +
+       "k, summary aggregates exactly") {
+    val rows = graft.operators.LlmQueries
+      .queries("q229_filtered_ann")(spark, sf0001).collect()
+    val (s, q) = rows.partition(_.getLong(0) == -1L)
+    assert(s.length == 1 && q.length == 5)
+    q.foreach { r =>
+      assert(r.getLong(1) <= 10L && r.getLong(2) <= r.getLong(1),
+             s"post must return no more than pre: ${r}")
+      assert(r.getLong(4) <= r.getLong(3),
+             s"post recall cannot exceed pre recall: ${r}")
+    }
+    assert(s.head.getLong(1) == q.map(_.getLong(1)).sum)
+    assert(s.head.getLong(2) == q.map(_.getLong(2)).sum)
+    // per-query recall is h·100 pm, so the pooled summary mean divides
+    // exactly: summary = Σ recall_pm / nq
+    assert(s.head.getLong(3) == q.map(_.getLong(3)).sum / q.length)
+    assert(s.head.getLong(4) == q.map(_.getLong(4)).sum / q.length)
+  }
+
   test("q227 anomaly days: rows partition the events, median/MAD " +
        "arithmetic recounts, planted spike flags and clean days don't") {
     import spark.implicits._
