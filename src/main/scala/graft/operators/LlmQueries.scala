@@ -3981,22 +3981,8 @@ object LlmQueries {
       datediff(col("ts").cast("date"), lit("1970-01-01")).cast("long")
         .as("day"),
       col("user_id"))
-    val name = q219Saved.getOrElseUpdate(dir, {
-      val n = "graft_kmv_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      val hashed = ev.select(
-          col("day"),
-          conv(substring(md5(concat(lit("kmv11:"),
-            col("user_id").cast("string")).cast("binary")), 1, 15), 16, 10)
-            .cast("long").as("h"))
-        .distinct()
-      val sk = hashed
-        .withColumn("r", row_number().over(
-          Window.partitionBy("day").orderBy("h")))
-        .filter(col("r") <= k).select("day", "h")
-      IndexStore.savePlainArtifact(sk, n)
-      n
-    })
-    val daily = IndexStore.loadPlainArtifact(spark, name)
+    val daily = IndexStore.loadPlainArtifact(
+      spark, q219DailyName(spark, dir))
     def sketchRows(scoped: DataFrame): DataFrame =
       scoped.distinct()
         .withColumn("r", row_number().over(
@@ -4032,6 +4018,256 @@ object LlmQueries {
       .orderBy("scope", "key")
   }
   private val q219Saved = new graft.SavedOnce[String, String]
+
+  /** q219/q233's persisted per-day bottom-64 user-hash sketches, built
+    * and published once per (process, dir).
+    */
+  private def q219DailyName(spark: SparkSession, dir: String): String =
+    q219Saved.getOrElseUpdate(dir, {
+      import org.apache.spark.sql.expressions.Window
+      val n = "graft_kmv_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val hashed = Tables.events(spark, dir).select(
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"),
+          conv(substring(md5(concat(lit("kmv11:"),
+            col("user_id").cast("string")).cast("binary")), 1, 15),
+            16, 10).cast("long").as("h"))
+        .distinct()
+      val sk = hashed
+        .withColumn("r", row_number().over(
+          Window.partitionBy("day").orderBy("h")))
+        .filter(col("r") <= 64).select("day", "h")
+      IndexStore.savePlainArtifact(sk, n)
+      n
+    })
+
+  /** KMV set-OVERLAP estimation — Jaccard similarity of the user
+    * populations behind every event-type pair, estimated from per-type
+    * bottom-64 sketches alone (the q219 machinery pointed at overlap):
+    * for a pair, re-cut the union of both sketches to bottom-k and
+    * count how many survivors live in BOTH — matches/|M| is the
+    * classic KMV Jaccard estimator, pure integer, fully replayable.
+    * Exact Jaccard rides along as the audit (both in permille) with
+    * the absolute error. The 100 TB point: populations are not
+    * joinable across shards without a user-level shuffle, but k-row
+    * sketches are — every pairwise overlap question costs k×#types
+    * rows once the sketches exist.
+    *
+    * Scale shape: one (type, hash)-distinct exchange (the per-type
+    * exact-count shuffle) → WindowGroupLimit bottom-64 → a
+    * #types²-bounded pair explode over k-row sketches; the exact audit
+    * is one (pair, user) agg.
+    */
+  def q230KmvJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"),
+      col("user_id"),
+      conv(substring(md5(concat(lit("kmv11:"),
+        col("user_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val sk = ev.select("event_type", "h").distinct()
+      .withColumn("r", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("r") <= k).select("event_type", "h")
+      .transform(graft.Materialize(_))
+    val types = sk.select("event_type").distinct()
+    val pairs = types.select(col("event_type").as("type_a"))
+      .crossJoin(types.select(col("event_type").as("type_b")))
+      .filter(col("type_a") < col("type_b"))
+    val tagged = pairs.join(sk, col("event_type") === col("type_a") ||
+                                col("event_type") === col("type_b"))
+      .select(col("type_a"), col("type_b"), col("h"),
+              when(col("event_type") === col("type_a"), 1L)
+                .otherwise(0L).as("ina"),
+              when(col("event_type") === col("type_b"), 1L)
+                .otherwise(0L).as("inb"))
+      .groupBy("type_a", "type_b", "h")
+      .agg(max("ina").as("ina"), max("inb").as("inb"))
+    val est = tagged.withColumn("r", row_number().over(
+        Window.partitionBy("type_a", "type_b").orderBy("h")))
+      .filter(col("r") <= k)
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_sketch"),
+           sum(col("ina") * col("inb")).as("matches"))
+      .withColumn("est_jacc_pm",
+                  expr("matches * 1000 DIV n_sketch"))
+    val exact = pairs.join(
+        ev.select("event_type", "user_id").distinct(),
+        col("event_type") === col("type_a") ||
+          col("event_type") === col("type_b"))
+      .select(col("type_a"), col("type_b"), col("user_id"),
+              when(col("event_type") === col("type_a"), 1L)
+                .otherwise(0L).as("ina"),
+              when(col("event_type") === col("type_b"), 1L)
+                .otherwise(0L).as("inb"))
+      .groupBy("type_a", "type_b", "user_id")
+      .agg(max("ina").as("ina"), max("inb").as("inb"))
+      .groupBy("type_a", "type_b")
+      .agg(sum(col("ina") * col("inb")).as("inter"),
+           count(lit(1)).as("uni"))
+      .withColumn("exact_jacc_pm", expr("inter * 1000 DIV uni"))
+      .select("type_a", "type_b", "exact_jacc_pm")
+    est.join(exact, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("n_sketch"),
+              col("est_jacc_pm"), col("exact_jacc_pm"),
+              abs(col("est_jacc_pm") - col("exact_jacc_pm"))
+                .as("err_pm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Content-addressable-store SAVINGS report — what chunk-level dedup
+    * (q198's CDC machinery priced as storage) actually buys: every doc
+    * chunks by the content-defined gear rule, chunks key by md5 into
+    * the CAS, and the report compares stored (unique) versus ingested
+    * (total) characters per source and globally — the GLOBAL row is
+    * strictly better than the per-source sum whenever sources mirror
+    * each other (cross-source chunks dedup once). `stored_ppm` is the
+    * exact compression the store achieves.
+    *
+    * Scale shape: one row-local chunking scan → ONE (source, fp)
+    * exchange with map-side combine (ids + 16-byte hashes + a length,
+    * never text); all four report aggregates re-read the Materialized
+    * fp-scale table, not the corpus.
+    */
+  def q231CasSavings(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .select(col("source"), Dedup.normalizeText(col("text")).as("__norm"))
+      .withColumn("__hs", TextAnalysis.gramHashes(col("__norm"), k = 8))
+      .select(col("source"),
+              explode(TextAnalysis.cdcChunks(col("__norm"), col("__hs"),
+                                             k = 8, modulus = 64))
+                .as("__c"))
+      .select(col("source"), col("__c.chunk_md5").as("fp"),
+              col("__c.chunk_len").cast("long").as("len"))
+    val sfp = chunks.groupBy("source", "fp")
+      .agg(count(lit(1)).as("n"), max("len").as("len"))
+      .transform(graft.Materialize(_)) // fp-scale, read by both report sides
+    val per = sfp.groupBy(col("source").as("key"))
+      .agg(sum("n").as("n_chunks"), count(lit(1)).as("n_unique"),
+           sum(col("n") * col("len")).as("total_chars"),
+           sum("len").as("unique_chars"))
+      .select(lit("SOURCE").as("scope"), col("key"), col("n_chunks"),
+              col("n_unique"), col("total_chars"), col("unique_chars"))
+    val global = sfp.groupBy("fp")
+      .agg(sum("n").as("n"), max("len").as("len"))
+      .agg(sum("n").as("n_chunks"), count(lit(1)).as("n_unique"),
+           sum(col("n") * col("len")).as("total_chars"),
+           sum("len").as("unique_chars"))
+      .select(lit("GLOBAL").as("scope"), lit("ALL").as("key"),
+              col("n_chunks"), col("n_unique"), col("total_chars"),
+              col("unique_chars"))
+    per.unionByName(global)
+      .withColumn("stored_ppm",
+                  expr("unique_chars * 1000000 DIV total_chars"))
+      .orderBy("scope", "key")
+  }
+
+  /** kNN-classifier PRECISION/RECALL sweep — q142's label eval turned
+    * into the threshold curve a deployment reads: with k = 10 exact
+    * neighbors per held-out vector (vec_id % 10 = 0, q142's split),
+    * predict label 1 when ≥ t neighbors vote 1 and sweep t = 1..10,
+    * reporting the exact confusion quadrant and precision/recall in
+    * permille per threshold — the operating-point picker for any
+    * voting-based labeler (weak supervision, dedup adjudication,
+    * nearest-class assignment).
+    *
+    * Scale shape: one bruteForceTopK pass (queries broadcast,
+    * per-partition top-k — the q38 shape; swap in the IVF probe at
+    * corpus scale), then a #queries-row vote table swept by a 10-row
+    * broadcast — the sweep costs nothing more at any corpus size.
+    */
+  def q232KnnPr(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val labels = corpus.select(col("vec_id").as("corpus_id"),
+                               col("label"))
+    val votes = Similarity.bruteForceTopK(corpus, queries, k = 10)
+      .join(labels, Seq("corpus_id"))
+      .groupBy("query_id")
+      .agg(sum(when(col("label") === 1, 1L).otherwise(0L)).as("votes1"))
+    val scored = queries
+      .select(col("vec_id").as("query_id"),
+              when(col("label") === 1, 1L).otherwise(0L).as("y"))
+      .join(votes, Seq("query_id"))
+      .transform(graft.Materialize(_)) // #queries rows, swept 10×
+    spark.range(1, 11).select(col("id").as("t"))
+      .crossJoin(scored)
+      .groupBy("t")
+      .agg(sum(when(col("votes1") >= col("t") && col("y") === 1L, 1L)
+                 .otherwise(0L)).as("tp"),
+           sum(when(col("votes1") >= col("t") && col("y") === 0L, 1L)
+                 .otherwise(0L)).as("fp"),
+           sum(when(col("votes1") < col("t") && col("y") === 1L, 1L)
+                 .otherwise(0L)).as("fn"),
+           sum(when(col("votes1") < col("t") && col("y") === 0L, 1L)
+                 .otherwise(0L)).as("tn"))
+      .withColumn("prec_pm",
+        when(col("tp") + col("fp") === 0L, -1L)
+          .otherwise(expr("tp * 1000 DIV (tp + fp)")))
+      .withColumn("rec_pm",
+        when(col("tp") + col("fn") === 0L, -1L)
+          .otherwise(expr("tp * 1000 DIV (tp + fn)")))
+      .orderBy("t")
+  }
+
+  /** Rolling 7-day active users from the PERSISTED daily KMV sketches
+    * alone — the WAU panel every growth dashboard draws, priced at
+    * k rows/day: each day's sketch contributes to the 7 windows it
+    * closes ([day, day+6] window-end explode — an equi-join shape, no
+    * range join), each window re-cuts its union to bottom-64
+    * (lossless, q219's theorem), and the estimate is the same integer
+    * KMV formula. Exact WAU rides along as the audit. Events are
+    * touched ONLY by the audit column; the product path reads the
+    * artifact.
+    */
+  def q233RollingWau(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val daily = IndexStore.loadPlainArtifact(
+      spark, q219DailyName(spark, dir))
+    val days = daily.select("day").distinct()
+    val windows = daily
+      .select(explode(sequence(col("day"), col("day") + 6))
+                .as("window_end"),
+              col("day"), col("h"))
+      .join(days.withColumnRenamed("day", "window_end"),
+            Seq("window_end"))
+    val sk = windows.select("window_end", "h").distinct()
+      .withColumn("r", row_number().over(
+        Window.partitionBy("window_end").orderBy("h")))
+      .filter(col("r") <= k)
+      .groupBy("window_end")
+      .agg(count(lit(1)).as("n_sketch"),
+           max(when(col("r") === k, col("h"))).as("__hk"))
+      .withColumn("wau_est",
+        when(col("n_sketch") < k, col("n_sketch"))
+          .otherwise(expr(
+            "CAST(least((CAST(1152921504606846976 AS DECIMAL(38,0)) " +
+            "* 63) div greatest(__hk, 1), " +
+            "4611686018427387904) AS BIGINT)")))
+    val nDays = windows.select("window_end", "day").distinct()
+      .groupBy("window_end").agg(count(lit(1)).as("n_days"))
+    val exact = Tables.events(spark, dir).select(
+        datediff(col("ts").cast("date"), lit("1970-01-01")).cast("long")
+          .as("day"),
+        col("user_id")).distinct()
+      .select(explode(sequence(col("day"), col("day") + 6))
+                .as("window_end"),
+              col("user_id"))
+      .join(days.withColumnRenamed("day", "window_end"),
+            Seq("window_end"))
+      .groupBy("window_end")
+      .agg(countDistinct("user_id").as("wau_exact"))
+    sk.join(nDays, Seq("window_end")).join(exact, Seq("window_end"))
+      .select(col("window_end"), col("n_days"), col("n_sketch"),
+              col("wau_est"), col("wau_exact"),
+              expr("abs(wau_est - wau_exact) * 1000000 DIV wau_exact")
+                .as("err_ppm"))
+      .orderBy("window_end")
+  }
 
   /** STREAMING KMV sketch maintenance
     * ([[graft.streaming.EventStreams.kmvSketchSink]]) — q219's daily
@@ -6513,6 +6749,10 @@ object LlmQueries {
     "q227_anomaly_days"      -> (q227AnomalyDays(_, _)),
     "q228_passage_maxp"      -> (q228PassageMaxp(_, _)),
     "q229_filtered_ann"      -> (q229FilteredAnn(_, _)),
+    "q230_kmv_jaccard"       -> (q230KmvJaccard(_, _)),
+    "q231_cas_savings"       -> (q231CasSavings(_, _)),
+    "q232_knn_pr"            -> (q232KnnPr(_, _)),
+    "q233_rolling_wau"       -> (q233RollingWau(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
     "q81_dataset_card"      -> (q81DatasetCard(_, _)),
@@ -8125,6 +8365,234 @@ object LlmQueries {
         |SELECT 'CLASS' AS scope, qi, n_users, l_div, risk_users FROM c2
         |UNION ALL SELECT * FROM s
         |ORDER BY scope, qi""".stripMargin,
+    // q198's CDC replay priced as storage: (source, fp) chunk table,
+    // stored vs ingested chars per source + the cross-source GLOBAL
+    "q231_cas_savings" ->
+      """WITH nrm AS (
+        |  SELECT source,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents
+        |  WHERE length(regexp_replace(lower(trim(text)),
+        |                              '\s+', ' ', 'g')) > 0),
+        |h AS (
+        |  SELECT source, s,
+        |    CASE WHEN length(s) >= 8 THEN
+        |      list_transform(range(1, length(s) - 6),
+        |        i -> ('0x' || substr(md5(substr(s, i, 8)), 1, 15))::BIGINT)
+        |    ELSE []::BIGINT[] END AS hs
+        |  FROM nrm),
+        |e AS (
+        |  SELECT source, s,
+        |    list_append(
+        |      list_filter(
+        |        list_transform(
+        |          list_filter(range(1, len(hs) + 1), i -> hs[i] % 64 = 0),
+        |          p -> p + 7),
+        |        x -> x < length(s)),
+        |      CAST(length(s) AS BIGINT)) AS ends
+        |  FROM h),
+        |se AS (
+        |  SELECT source, s, ends,
+        |    list_prepend(CAST(1 AS BIGINT),
+        |                 list_transform(ends[1:len(ends)-1], x -> x + 1))
+        |      AS starts
+        |  FROM e),
+        |ch AS (
+        |  SELECT source,
+        |    md5(substr(s, CAST(starts[u.j] AS INTEGER),
+        |               CAST(ends[u.j] - starts[u.j] + 1 AS INTEGER)))
+        |      AS fp,
+        |    CAST(ends[u.j] - starts[u.j] + 1 AS BIGINT) AS len
+        |  FROM se, LATERAL unnest(generate_series(1, len(ends)))
+        |       AS u(j)),
+        |sfp AS (
+        |  SELECT source, fp, CAST(count(*) AS BIGINT) AS n,
+        |    max(len) AS len
+        |  FROM ch GROUP BY 1, 2),
+        |per AS (
+        |  SELECT 'SOURCE' AS scope, source AS key,
+        |    CAST(sum(n) AS BIGINT) AS n_chunks,
+        |    CAST(count(*) AS BIGINT) AS n_unique,
+        |    CAST(sum(n * len) AS BIGINT) AS total_chars,
+        |    CAST(sum(len) AS BIGINT) AS unique_chars
+        |  FROM sfp GROUP BY 1, 2),
+        |gfp AS (SELECT fp, CAST(sum(n) AS BIGINT) AS n, max(len) AS len
+        |        FROM sfp GROUP BY 1),
+        |grow AS (
+        |  SELECT 'GLOBAL' AS scope, 'ALL' AS key,
+        |    CAST(sum(n) AS BIGINT) AS n_chunks,
+        |    CAST(count(*) AS BIGINT) AS n_unique,
+        |    CAST(sum(n * len) AS BIGINT) AS total_chars,
+        |    CAST(sum(len) AS BIGINT) AS unique_chars
+        |  FROM gfp),
+        |allr AS (SELECT * FROM per UNION ALL SELECT * FROM grow)
+        |SELECT scope, key, n_chunks, n_unique, total_chars,
+        |  unique_chars,
+        |  CAST(unique_chars * 1000000 // total_chars AS BIGINT)
+        |    AS stored_ppm
+        |FROM allr ORDER BY scope, key""".stripMargin,
+    // q142's kNN replay → one-vs-rest votes for class 1 → 10-threshold
+    // confusion sweep, exact permille
+    "q232_knn_pr" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id,
+        |        CAST(CASE WHEN label = 1 THEN 1 ELSE 0 END AS BIGINT)
+        |          AS y,
+        |        v AS qv
+        |      FROM e WHERE vec_id % 10 = 0),
+        |c AS (SELECT vec_id AS corpus_id, label, v AS cv
+        |      FROM e WHERE vec_id % 10 <> 0),
+        |nb AS (
+        |  SELECT query_id, corpus_id, label FROM (
+        |    SELECT q.query_id, c.corpus_id, c.label,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+        |                 c.corpus_id) AS r
+        |    FROM q CROSS JOIN c) WHERE r <= 10),
+        |vt AS (
+        |  SELECT query_id,
+        |    CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS votes1
+        |  FROM nb GROUP BY 1),
+        |sc AS (SELECT q.query_id, q.y, vt.votes1
+        |       FROM q JOIN vt USING (query_id)),
+        |sw AS (
+        |  SELECT t.range AS t,
+        |    CAST(sum(CASE WHEN votes1 >= t.range AND y = 1
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN votes1 >= t.range AND y = 0
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN votes1 < t.range AND y = 1
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN votes1 < t.range AND y = 0
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM range(1, 11) t CROSS JOIN sc GROUP BY 1)
+        |SELECT CAST(t AS BIGINT) AS t, tp, fp, fn, tn,
+        |  CAST(CASE WHEN tp + fp = 0 THEN -1
+        |            ELSE tp * 1000 // (tp + fp) END AS BIGINT)
+        |    AS prec_pm,
+        |  CAST(CASE WHEN tp + fn = 0 THEN -1
+        |            ELSE tp * 1000 // (tp + fn) END AS BIGINT)
+        |    AS rec_pm
+        |FROM sw ORDER BY t""".stripMargin,
+    // per-type bottom-64 sketches rebuilt, pair union re-cut, KMV
+    // Jaccard matches/|M| beside the exact audit
+    "q230_kmv_jaccard" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    ('0x' || substr(md5('kmv11:' || CAST(user_id AS VARCHAR)),
+        |                    1, 15))::BIGINT AS h
+        |  FROM events),
+        |sk AS (
+        |  SELECT event_type, h FROM (
+        |    SELECT event_type, h,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |        AS r
+        |    FROM (SELECT DISTINCT event_type, h FROM ev))
+        |  WHERE r <= 64),
+        |types AS (SELECT DISTINCT event_type FROM sk),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM types a CROSS JOIN types b
+        |  WHERE a.event_type < b.event_type),
+        |tagged AS (
+        |  SELECT p.type_a, p.type_b, s.h,
+        |    max(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END)
+        |      AS ina,
+        |    max(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END)
+        |      AS inb
+        |  FROM pairs p JOIN sk s
+        |    ON s.event_type = p.type_a OR s.event_type = p.type_b
+        |  GROUP BY 1, 2, 3),
+        |est AS (
+        |  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_sketch,
+        |    CAST(sum(ina * inb) AS BIGINT) AS matches
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY type_a, type_b ORDER BY h) AS r
+        |        FROM tagged)
+        |  WHERE r <= 64 GROUP BY 1, 2),
+        |exu AS (
+        |  SELECT p.type_a, p.type_b, e.user_id,
+        |    max(CASE WHEN e.event_type = p.type_a THEN 1 ELSE 0 END)
+        |      AS ina,
+        |    max(CASE WHEN e.event_type = p.type_b THEN 1 ELSE 0 END)
+        |      AS inb
+        |  FROM pairs p
+        |  JOIN (SELECT DISTINCT event_type, user_id FROM events) e
+        |    ON e.event_type = p.type_a OR e.event_type = p.type_b
+        |  GROUP BY 1, 2, 3),
+        |exa AS (
+        |  SELECT type_a, type_b,
+        |    CAST(sum(ina * inb) * 1000 // count(*) AS BIGINT)
+        |      AS exact_jacc_pm
+        |  FROM exu GROUP BY 1, 2)
+        |SELECT e.type_a, e.type_b, e.n_sketch,
+        |  CAST(e.matches * 1000 // e.n_sketch AS BIGINT)
+        |    AS est_jacc_pm,
+        |  x.exact_jacc_pm,
+        |  abs(CAST(e.matches * 1000 // e.n_sketch AS BIGINT)
+        |      - x.exact_jacc_pm) AS err_pm
+        |FROM est e JOIN exa x
+        |  ON e.type_a = x.type_a AND e.type_b = x.type_b
+        |ORDER BY e.type_a, e.type_b""".stripMargin,
+    // daily sketches rebuilt, window-end explode, re-cut union per
+    // window — the rolled WAU must equal this from-events replay
+    "q233_rolling_wau" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT (ts::DATE - DATE '1970-01-01') AS day,
+        |    user_id,
+        |    ('0x' || substr(md5('kmv11:' || CAST(user_id AS VARCHAR)),
+        |                    1, 15))::BIGINT AS h
+        |  FROM events),
+        |daily AS (
+        |  SELECT day, h FROM (
+        |    SELECT day, h,
+        |      row_number() OVER (PARTITION BY day ORDER BY h) AS r
+        |    FROM (SELECT DISTINCT day, h FROM ev)) WHERE r <= 64),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |win AS (
+        |  SELECT we AS window_end, day, h
+        |  FROM daily,
+        |       LATERAL unnest(generate_series(day, day + 6)) AS t(we)
+        |  WHERE we IN (SELECT day FROM days)),
+        |sk AS (
+        |  SELECT window_end, CAST(count(*) AS BIGINT) AS n_sketch,
+        |    max(CASE WHEN r = 64 THEN h END) AS hk
+        |  FROM (SELECT window_end, h,
+        |          row_number() OVER (PARTITION BY window_end
+        |                             ORDER BY h) AS r
+        |        FROM (SELECT DISTINCT window_end, h FROM win))
+        |  WHERE r <= 64 GROUP BY 1),
+        |nd AS (SELECT window_end,
+        |         CAST(count(DISTINCT day) AS BIGINT) AS n_days
+        |       FROM win GROUP BY 1),
+        |exw AS (
+        |  SELECT we AS window_end,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS wau_exact
+        |  FROM (SELECT DISTINCT day, user_id FROM ev) u,
+        |       LATERAL unnest(generate_series(u.day, u.day + 6))
+        |         AS t(we)
+        |  WHERE we IN (SELECT day FROM days)
+        |  GROUP BY 1),
+        |est AS (
+        |  SELECT window_end, n_sketch,
+        |    CASE WHEN n_sketch < 64 THEN n_sketch
+        |         ELSE CAST(least((1152921504606846976::HUGEINT * 63)
+        |                           // greatest(hk, 1),
+        |                         4611686018427387904::HUGEINT)
+        |                   AS BIGINT)
+        |    END AS wau_est
+        |  FROM sk)
+        |SELECT e.window_end, nd.n_days, e.n_sketch, e.wau_est,
+        |  x.wau_exact,
+        |  abs(e.wau_est - x.wau_exact) * 1000000 // x.wau_exact
+        |    AS err_ppm
+        |FROM est e JOIN nd USING (window_end)
+        |     JOIN exw x USING (window_end)
+        |ORDER BY e.window_end""".stripMargin,
     // q115's chunk replay → chunk-level Okapi (q86 constants) → per-doc
     // MaxP argmax with chunk_idx tie-break
     "q228_passage_maxp" ->

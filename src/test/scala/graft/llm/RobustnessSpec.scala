@@ -612,6 +612,94 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("q230 kmv jaccard: upper-tri, permille bounds, one pair's exact " +
+       "overlap recounts from raw sets") {
+    val rows = graft.operators.LlmQueries
+      .queries("q230_kmv_jaccard")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 64L)
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000L)
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000L)
+      assert(r.getLong(5) == math.abs(r.getLong(3) - r.getLong(4)))
+    }
+    val top = rows.head
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select("event_type", "user_id").distinct().collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.map(_.getLong(1)).toSet }
+    val (a, b) = (ev(top.getString(0)), ev(top.getString(1)))
+    assert(top.getLong(4) ==
+             (a & b).size.toLong * 1000L / (a | b).size.toLong,
+           "exact Jaccard recount mismatch")
+  }
+
+  test("q231 cas savings: global totals sum the sources, cross-source " +
+       "dedup only helps, compression bounded") {
+    val rows = graft.operators.LlmQueries
+      .queries("q231_cas_savings")(spark, sf0001).collect()
+    val (g, s) = rows.partition(_.getString(0) == "GLOBAL")
+    assert(g.length == 1 && s.nonEmpty)
+    assert(g.head.getLong(2) == s.map(_.getLong(2)).sum,
+           "chunk occurrences must sum")
+    assert(g.head.getLong(4) == s.map(_.getLong(4)).sum,
+           "ingested chars must sum")
+    assert(g.head.getLong(5) <= s.map(_.getLong(5)).sum,
+           "cross-source dedup can only shrink the store")
+    assert(g.head.getLong(3) <= s.map(_.getLong(3)).sum)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getLong(5) <= r.getLong(4))
+      assert(r.getLong(6) >= 0L && r.getLong(6) <= 1000000L)
+    }
+  }
+
+  test("q232 knn pr: confusion partitions the queries, tp monotone " +
+       "non-increasing, recall falls as the threshold rises") {
+    val rows = graft.operators.LlmQueries
+      .queries("q232_knn_pr")(spark, sf0001).collect().sortBy(_.getLong(0))
+    assert(rows.length == 10)
+    val nq = graft.sources.Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 10 === 0).count()
+    val positives = rows.head.getLong(1) + rows.head.getLong(3)
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4)
+               == nq, "confusion quadrant must partition the queries")
+      assert(r.getLong(1) + r.getLong(3) == positives,
+             "positives are threshold-independent")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) <= a.getLong(1),
+             "tp cannot grow as the threshold rises")
+      assert(b.getLong(2) <= a.getLong(2))
+    }
+  }
+
+  test("q233 rolling wau: windows are the observed days, full windows " +
+       "span 7 days, sub-k estimates exact, WAU dominates DAU") {
+    val rows = graft.operators.LlmQueries
+      .queries("q233_rolling_wau")(spark, sf0001).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    val daily = graft.operators.LlmQueries
+      .queries("q219_kmv_roll")(spark, sf0001).collect()
+      .filter(_.getString(0) == "DAY")
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(rows.map(_.getLong(0)).toSet == daily.keySet,
+           "one window per observed day")
+    val minDay = daily.keySet.min
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 7L)
+      if (r.getLong(0) >= minDay + 6) assert(r.getLong(1) == 7L,
+        "a window past the warmup must span 7 contiguous days")
+      if (r.getLong(2) < 64L) assert(r.getLong(3) == r.getLong(4),
+        "sub-k window sketches count exactly")
+      assert(r.getLong(4) >= daily(r.getLong(0)),
+             "weekly actives dominate that day's dailies")
+    }
+  }
+
   test("q228 passage maxp: hit-doc set equals the doc-level q86 set, " +
        "best chunk is a real chunk, hit counts positive") {
     val rows = graft.operators.LlmQueries
