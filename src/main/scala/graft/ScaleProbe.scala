@@ -1199,6 +1199,50 @@ object ScaleProbe {
         }
       }
     }
+
+    // round-11 fourth wave: bigram PMI (the heaviest new agg class —
+    // (w1,w2) explode), passage MaxP (chunk explode + chunk-level
+    // Okapi), filtered ANN (three arms over one LSH index)
+    section("pmi_bigrams passage_maxp filtered_ann") {
+      import org.apache.spark.sql.expressions.Window
+      for (n <- Seq(1, 5, 20)) {
+        val d = docsX(n); val rows = d.count()
+        time(s"pmi_bigrams    n=$n ($rows)") {
+          val toks = d.select(Dedup.wordTokens(col("text")).as("t"))
+          noop(toks.filter(size(col("t")) >= 2)
+            .select(explode(expr(
+              "transform(sequence(1, size(t) - 1), " +
+              "i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+            .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+            .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+            .filter(col("c_xy") >= 5))
+        }
+        time(s"passage_maxp   n=$n ($rows)") {
+          val chunks = graft.llm.TextPacking.chunkDocuments(
+              d, "doc_id", "text", chunkTokens = 32, overlap = 8)
+            .select(col("doc_id"), col("chunk_idx"),
+                    filter(split(lower(col("chunk_text")), "\\W+"),
+                           t => length(t) > 0).as("toks"))
+            .withColumn("dl", size(col("toks")).cast("long"))
+          noop(chunks
+            .select(col("doc_id"), col("chunk_idx"), col("dl"),
+                    explode(col("toks")).as("token"))
+            .filter(col("token").isin("vector", "stream", "merge"))
+            .groupBy("doc_id", "chunk_idx", "dl", "token")
+            .agg(count(lit(1)).as("tf")))
+        }
+      }
+      for (n <- Seq(1, 5, 20)) {
+        val e = embX(n); val rows = e.count()
+        time(s"filtered_ann   n=$n ($rows)") {
+          val index = Similarity.lshIndex(e.filter(col("vec_id") >= 5),
+                                          dim = 64, nBits = 6)
+          noop(Similarity.lshTopKWithIndex(
+            index, e.filter(col("vec_id") < 5), k = 10,
+            dim = 64, nBits = 6))
+        }
+      }
+    }
     spark.stop()
   }
 }
