@@ -4213,6 +4213,118 @@ object LlmQueries {
       .orderBy("t")
   }
 
+  /** KMV CONTAINMENT matrix — the asymmetric twin of q230 aimed at
+    * content: C(A→B) = |A∩B|/|A| over the sources' distinct word-8-gram
+    * fingerprints, the statistic that catches "source A is a subset
+    * mirror / quote-wrapper of B" where symmetric Jaccard (q226's pair
+    * counts, q116's centroids) stays low because B is much larger.
+    * Estimated from per-source bottom-256 sketches alone: for an
+    * ordered pair, M = bottom-k of the sketch union, and any member of
+    * M that belongs to a side is provably in that side's sketch, so
+    * |M∩A∩B| / |M∩A| is computable sketch-only — pure integer,
+    * fully replayed. Exact containment rides along as the audit
+    * (quadratic in #sources by construction — the audit column, not
+    * the product path).
+    *
+    * Scale shape: one (source, gram-fp) distinct exchange (the q103
+    * df table's shape) → per-source WindowGroupLimit bottom-256 →
+    * ordered-pair explode over k-row sketches, ≤ #sources² rows out.
+    */
+  def q234KmvContainment(spark: SparkSession,
+                         dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 256
+    val docs = Tables.documents(spark, dir)
+    val g = Contamination
+      .gramFingerprints(docs, "doc_id", "text", n = 8)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .select(col("source"), col("gram_fp").as("h")).distinct()
+      .transform(graft.Materialize(_))
+    val sk = g.withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy("h")))
+      .filter(col("r") <= k).select("source", "h")
+      .transform(graft.Materialize(_))
+    val types = sk.select("source").distinct()
+    val pairs = types.select(col("source").as("sa"))
+      .crossJoin(types.select(col("source").as("sb")))
+      .filter(col("sa") =!= col("sb"))
+    def tagged(rel: DataFrame) = pairs
+      .join(rel, col("source") === col("sa") ||
+                 col("source") === col("sb"))
+      .select(col("sa"), col("sb"), col("h"),
+              when(col("source") === col("sa"), 1L).otherwise(0L)
+                .as("ina"),
+              when(col("source") === col("sb"), 1L).otherwise(0L)
+                .as("inb"))
+      .groupBy("sa", "sb", "h")
+      .agg(max("ina").as("ina"), max("inb").as("inb"))
+    val est = tagged(sk)
+      .withColumn("r", row_number().over(
+        Window.partitionBy("sa", "sb").orderBy("h")))
+      .filter(col("r") <= k)
+      .groupBy("sa", "sb")
+      .agg(sum("ina").as("m_a"),
+           sum(col("ina") * col("inb")).as("matches"))
+      .select(col("sa"), col("sb"), col("m_a").as("n_sketch_a"),
+              when(col("m_a") === 0L, -1L)
+                .otherwise(expr("matches * 1000 DIV m_a"))
+                .as("est_cont_pm"))
+    val exact = tagged(g)
+      .groupBy("sa", "sb")
+      .agg(sum("ina").as("na"),
+           sum(col("ina") * col("inb")).as("inter"))
+      .select(col("sa"), col("sb"),
+              when(col("na") === 0L, -1L)
+                .otherwise(expr("inter * 1000 DIV na"))
+                .as("exact_cont_pm"))
+    est.join(exact, Seq("sa", "sb"))
+      .select(col("sa").as("src_a"), col("sb").as("src_b"),
+              col("n_sketch_a"), col("est_cont_pm"),
+              col("exact_cont_pm"),
+              abs(col("est_cont_pm") - col("exact_cont_pm"))
+                .as("err_pm"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Join-SKEW advisor — the pre-flight report for any key-partitioned
+    * operation (join, groupBy, stateful stream): the per-key row-count
+    * distribution as a log-bin histogram, the ten hottest keys exactly,
+    * and the SUMMARY's recommended salt factor
+    * ⌈max_rows_per_key / 100k-rows-per-task⌉ — the number q185's
+    * manual-salt fallback needs as input, derived from the SAME
+    * exchange the skewed operation itself would pay (so running the
+    * advisor costs one count of the join input).
+    *
+    * Scale shape: one (key) count with map-side combine → everything
+    * downstream (histogram, top-10 TakeOrdered-shape window, 1-row
+    * summary) runs over the key-count table, never the raw rows.
+    */
+  def q235SkewAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val target = 100000L
+    val kc = Tables.events(spark, dir)
+      .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n"))
+      .transform(graft.Materialize(_)) // key-scale, read 3×
+    val hist = kc.groupBy(Sketches.logBin(col("n")).as("bin"))
+      .agg(count(lit(1)).as("n_keys"), sum("n").as("n_rows"))
+      .select(lit("HIST").as("scope"),
+              format_string("%03d", col("bin")).as("key"),
+              col("n_keys"), col("n_rows"), lit(-1L).as("salt_factor"))
+    val top = kc.orderBy(desc("n"), col("key")).limit(10) // TakeOrdered
+      .select(lit("TOP").as("scope"), col("key").cast("string")
+                .as("key"),
+              lit(1L).as("n_keys"), col("n").as("n_rows"),
+              lit(-1L).as("salt_factor"))
+    val summary = kc.agg(count(lit(1)).as("n_keys"),
+                         sum("n").as("n_rows"), max("n").as("__mx"))
+      .select(lit("SUMMARY").as("scope"), lit("ALL").as("key"),
+              col("n_keys"), col("n_rows"),
+              expr(s"greatest(CAST(1 AS BIGINT), " +
+                   s"(__mx + ${target - 1}) DIV $target)")
+                .as("salt_factor"))
+    hist.unionByName(top).unionByName(summary)
+      .orderBy("scope", "key")
+  }
+
   /** Rolling 7-day active users from the PERSISTED daily KMV sketches
     * alone — the WAU panel every growth dashboard draws, priced at
     * k rows/day: each day's sketch contributes to the 7 windows it
@@ -6752,6 +6864,8 @@ object LlmQueries {
     "q230_kmv_jaccard"       -> (q230KmvJaccard(_, _)),
     "q231_cas_savings"       -> (q231CasSavings(_, _)),
     "q232_knn_pr"            -> (q232KnnPr(_, _)),
+    "q234_kmv_containment"   -> (q234KmvContainment(_, _)),
+    "q235_skew_advisor"      -> (q235SkewAdvisor(_, _)),
     "q233_rolling_wau"       -> (q233RollingWau(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
@@ -8365,6 +8479,89 @@ object LlmQueries {
         |SELECT 'CLASS' AS scope, qi, n_users, l_div, risk_users FROM c2
         |UNION ALL SELECT * FROM s
         |ORDER BY scope, qi""".stripMargin,
+    // per-source bottom-256 gram sketches rebuilt, ordered-pair union
+    // re-cut, sketch-only containment beside the exact audit
+    "q234_kmv_containment" ->
+      s"""WITH gf AS (
+         |${gramFpSql("documents")}),
+         |g AS (SELECT DISTINCT d.source, gf.fp AS h
+         |      FROM gf JOIN documents d USING (doc_id)),
+         |sk AS (
+         |  SELECT source, h FROM (
+         |    SELECT source, h,
+         |      row_number() OVER (PARTITION BY source ORDER BY h) AS r
+         |    FROM g) WHERE r <= 256),
+         |types AS (SELECT DISTINCT source FROM sk),
+         |pairs AS (
+         |  SELECT a.source AS sa, b.source AS sb
+         |  FROM types a CROSS JOIN types b WHERE a.source <> b.source),
+         |tsk AS (
+         |  SELECT p.sa, p.sb, s.h,
+         |    max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ina,
+         |    max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS inb
+         |  FROM pairs p JOIN sk s
+         |    ON s.source = p.sa OR s.source = p.sb
+         |  GROUP BY 1, 2, 3),
+         |m AS (
+         |  SELECT sa, sb, CAST(sum(ina) AS BIGINT) AS m_a,
+         |    CAST(sum(ina * inb) AS BIGINT) AS matches
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY sa, sb
+         |                                     ORDER BY h) AS r
+         |        FROM tsk) WHERE r <= 256 GROUP BY 1, 2),
+         |tex AS (
+         |  SELECT p.sa, p.sb, gg.h,
+         |    max(CASE WHEN gg.source = p.sa THEN 1 ELSE 0 END) AS ina,
+         |    max(CASE WHEN gg.source = p.sb THEN 1 ELSE 0 END) AS inb
+         |  FROM pairs p JOIN g gg
+         |    ON gg.source = p.sa OR gg.source = p.sb
+         |  GROUP BY 1, 2, 3),
+         |ex AS (
+         |  SELECT sa, sb,
+         |    CAST(CASE WHEN sum(ina) = 0 THEN -1
+         |              ELSE sum(ina * inb) * 1000 // sum(ina) END
+         |         AS BIGINT) AS exact_cont_pm
+         |  FROM tex GROUP BY 1, 2),
+         |est AS (
+         |  SELECT sa, sb, m_a AS n_sketch_a,
+         |    CAST(CASE WHEN m_a = 0 THEN -1
+         |              ELSE matches * 1000 // m_a END AS BIGINT)
+         |      AS est_cont_pm
+         |  FROM m)
+         |SELECT e.sa AS src_a, e.sb AS src_b, e.n_sketch_a,
+         |  e.est_cont_pm, x.exact_cont_pm,
+         |  abs(e.est_cont_pm - x.exact_cont_pm) AS err_pm
+         |FROM est e JOIN ex x ON e.sa = x.sa AND e.sb = x.sb
+         |ORDER BY src_a, src_b""".stripMargin,
+    // key-count replay: log-bin histogram, exact top-10, integer-ceil
+    // salt recommendation
+    "q235_skew_advisor" ->
+      s"""WITH kc AS (
+         |  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1),
+         |hist AS (
+         |  SELECT 'HIST' AS scope, printf('%03d', ${Sketches
+               .logBinSql("n")}) AS key,
+         |    CAST(count(*) AS BIGINT) AS n_keys,
+         |    CAST(sum(n) AS BIGINT) AS n_rows,
+         |    CAST(-1 AS BIGINT) AS salt_factor
+         |  FROM kc GROUP BY 2),
+         |top AS (
+         |  SELECT 'TOP' AS scope, CAST(key AS VARCHAR) AS key,
+         |    CAST(1 AS BIGINT) AS n_keys, n AS n_rows,
+         |    CAST(-1 AS BIGINT) AS salt_factor
+         |  FROM (SELECT key, n,
+         |          row_number() OVER (ORDER BY n DESC, key) AS r
+         |        FROM kc) WHERE r <= 10),
+         |s AS (
+         |  SELECT 'SUMMARY' AS scope, 'ALL' AS key,
+         |    CAST(count(*) AS BIGINT) AS n_keys,
+         |    CAST(sum(n) AS BIGINT) AS n_rows,
+         |    CAST(greatest(1, (max(n) + 99999) // 100000) AS BIGINT)
+         |      AS salt_factor
+         |  FROM kc)
+         |SELECT * FROM hist UNION ALL SELECT * FROM top
+         |UNION ALL SELECT * FROM s
+         |ORDER BY scope, key""".stripMargin,
     // q198's CDC replay priced as storage: (source, fp) chunk table,
     // stored vs ingested chars per source + the cross-source GLOBAL
     "q231_cas_savings" ->

@@ -612,6 +612,59 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("q234 kmv containment: full ordered matrix, permille bounds, " +
+       "one pair's exact containment recounts from raw gram sets") {
+    val rows = graft.operators.LlmQueries
+      .queries("q234_kmv_containment")(spark, sf0001).collect()
+    val nSrc = graft.sources.Tables.documents(spark, sf0001)
+      .select("source").distinct().count()
+    assert(rows.length == nSrc * (nSrc - 1))
+    rows.foreach { r =>
+      assert(r.getString(0) != r.getString(1))
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 256L)
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000L)
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000L)
+      assert(r.getLong(5) == math.abs(r.getLong(3) - r.getLong(4)))
+    }
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val top = rows.head
+    val sets = graft.llm.Contamination
+      .gramFingerprints(docs, "doc_id", "text", n = 8)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .select("source", "gram_fp").distinct()
+      .filter(col("source").isin(top.getString(0), top.getString(1)))
+      .collect().groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(1)).toSet }
+    val (a, b) = (sets(top.getString(0)), sets(top.getString(1)))
+    assert(top.getLong(4) == (a & b).size.toLong * 1000L / a.size,
+           "exact containment recount mismatch")
+  }
+
+  test("q235 skew advisor: histogram partitions the keys, top-10 " +
+       "descending and recounted, salt is the integer ceiling") {
+    val rows = graft.operators.LlmQueries
+      .queries("q235_skew_advisor")(spark, sf0001).collect()
+    val hist = rows.filter(_.getString(0) == "HIST")
+    val top = rows.filter(_.getString(0) == "TOP")
+      .sortBy(r => (-r.getLong(3), r.getString(1).toLong))
+    val s = rows.filter(_.getString(0) == "SUMMARY")
+    assert(s.length == 1 && hist.nonEmpty && top.length <= 10)
+    val kc = graft.sources.Tables.events(spark, sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(s.head.getLong(2) == kc.length.toLong)
+    assert(s.head.getLong(3) == kc.map(_._2).sum)
+    assert(hist.map(_.getLong(2)).sum == kc.length.toLong,
+           "histogram must partition the keys")
+    assert(hist.map(_.getLong(3)).sum == kc.map(_._2).sum)
+    val mx = kc.map(_._2).max
+    assert(s.head.getLong(4) == math.max(1L, (mx + 99999L) / 100000L))
+    val want = kc.sortBy(t => (-t._2, t._1)).take(10)
+    assert(top.map(r => (r.getString(1).toLong, r.getLong(3))).toSeq
+             == want.toSeq,
+           "top-10 hottest keys must match the exact recount")
+  }
+
   test("q230 kmv jaccard: upper-tri, permille bounds, one pair's exact " +
        "overlap recounts from raw sets") {
     val rows = graft.operators.LlmQueries
