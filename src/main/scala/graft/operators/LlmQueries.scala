@@ -4286,6 +4286,56 @@ object LlmQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** Subsample STABILITY of the quality gate — the poor-man's
+    * confidence interval a release gate needs before anyone trusts a
+    * pass-rate: the q65 Gopher verdict is computed ONCE per doc, then
+    * 16 deterministic half-samples (keyed-hash coin per (doc,
+    * replicate) — no RNG, fully replayable) each report their exact
+    * pass-rate in ppm, and the SUMMARY row carries the full-sample
+    * rate with the replicate min/max/range. A range of a few hundred
+    * ppm says the gate is stable; a wide one says the corpus is too
+    * small or the gate sits on a knife edge — measured, not assumed.
+    *
+    * Scale shape: one row-local stats scan (the q65 work) + a ×16
+    * row-local replicate explode of two bits — the exchange is the
+    * 16-row replicate agg plus a 1-row summary. The bootstrap costs
+    * nothing beyond the scan at any corpus size.
+    */
+  def q236GateStability(spark: SparkSession, dir: String): DataFrame = {
+    val reps = 16
+    val verdicts = QualityFilters.gopherStats(
+        Tables.documents(spark, dir), "text", minStopwordHits = 1)
+      .select(col("doc_id"),
+              when(col("keep"), 1L).otherwise(0L).as("kept"))
+    val sampled = verdicts
+      .select(col("doc_id"), col("kept"),
+              explode(expr(s"sequence(0, ${reps - 1})")).as("rep"))
+      .withColumn("__h", conv(substring(md5(concat(
+        lit("boot11:"), col("doc_id").cast("string"), lit(":"),
+        col("rep").cast("string")).cast("binary")), 1, 15), 16, 10)
+        .cast("long"))
+      .filter(col("__h") % 2 === 0)
+    val perRep = sampled.groupBy(col("rep").cast("long").as("rep"))
+      .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"))
+      .withColumn("pass_ppm", expr("n_kept * 1000000 DIV n_docs"))
+      .transform(graft.Materialize(_)) // 16 rows, read twice
+    val repRows = perRep.select(
+      lit("REP").as("scope"), format_string("%02d", col("rep"))
+        .as("key"),
+      col("n_docs"), col("n_kept"), col("pass_ppm"),
+      lit(-1L).as("range_ppm"))
+    val summary = verdicts
+      .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"))
+      .withColumn("pass_ppm", expr("n_kept * 1000000 DIV n_docs"))
+      .crossJoin(broadcast(
+        perRep.agg(min("pass_ppm").as("__mn"),
+                   max("pass_ppm").as("__mx"))))
+      .select(lit("SUMMARY").as("scope"), lit("ALL").as("key"),
+              col("n_docs"), col("n_kept"), col("pass_ppm"),
+              (col("__mx") - col("__mn")).as("range_ppm"))
+    repRows.unionByName(summary).orderBy("scope", "key")
+  }
+
   /** Join-SKEW advisor — the pre-flight report for any key-partitioned
     * operation (join, groupBy, stateful stream): the per-key row-count
     * distribution as a log-bin histogram, the ten hottest keys exactly,
@@ -6866,6 +6916,7 @@ object LlmQueries {
     "q232_knn_pr"            -> (q232KnnPr(_, _)),
     "q234_kmv_containment"   -> (q234KmvContainment(_, _)),
     "q235_skew_advisor"      -> (q235SkewAdvisor(_, _)),
+    "q236_gate_stability"    -> (q236GateStability(_, _)),
     "q233_rolling_wau"       -> (q233RollingWau(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
@@ -8479,6 +8530,45 @@ object LlmQueries {
         |SELECT 'CLASS' AS scope, qi, n_users, l_div, risk_users FROM c2
         |UNION ALL SELECT * FROM s
         |ORDER BY scope, qi""".stripMargin,
+    // q65's verdict replay → 16 keyed-hash half-samples → per-replicate
+    // exact pass ppm + full-sample summary with the replicate range
+    "q236_gate_stability" ->
+      s"""WITH g AS (
+         |${gopherStatsSql("documents")}),
+         |v AS (SELECT doc_id,
+         |        CAST(CASE WHEN keep THEN 1 ELSE 0 END AS BIGINT)
+         |          AS kept
+         |      FROM g),
+         |sampled AS (
+         |  SELECT v.doc_id, v.kept, t.rep
+         |  FROM v, LATERAL unnest(generate_series(0, 15)) AS t(rep)
+         |  WHERE ('0x' || substr(md5('boot11:'
+         |          || CAST(v.doc_id AS VARCHAR) || ':'
+         |          || CAST(t.rep AS VARCHAR)), 1, 15))::BIGINT % 2 = 0),
+         |pr AS (
+         |  SELECT CAST(rep AS BIGINT) AS rep,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(kept) AS BIGINT) AS n_kept
+         |  FROM sampled GROUP BY 1),
+         |prp AS (SELECT rep, n_docs, n_kept,
+         |          CAST(n_kept * 1000000 // n_docs AS BIGINT)
+         |            AS pass_ppm
+         |        FROM pr),
+         |reps AS (
+         |  SELECT 'REP' AS scope, printf('%02d', rep) AS key, n_docs,
+         |    n_kept, pass_ppm, CAST(-1 AS BIGINT) AS range_ppm
+         |  FROM prp),
+         |s AS (
+         |  SELECT 'SUMMARY' AS scope, 'ALL' AS key,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_docs,
+         |    (SELECT CAST(sum(kept) AS BIGINT) FROM v) AS n_kept,
+         |    (SELECT CAST(sum(kept) * 1000000 // count(*) AS BIGINT)
+         |     FROM v) AS pass_ppm,
+         |    CAST(max(pass_ppm) - min(pass_ppm) AS BIGINT)
+         |      AS range_ppm
+         |  FROM prp)
+         |SELECT * FROM reps UNION ALL SELECT * FROM s
+         |ORDER BY scope, key""".stripMargin,
     // per-source bottom-256 gram sketches rebuilt, ordered-pair union
     // re-cut, sketch-only containment beside the exact audit
     "q234_kmv_containment" ->

@@ -612,6 +612,28 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("q236 gate stability: 16 replicates near half-size, summary is " +
+       "the full q65 rate, range brackets the replicates") {
+    val rows = graft.operators.LlmQueries
+      .queries("q236_gate_stability")(spark, sf0001).collect()
+    val (s, r) = rows.partition(_.getString(0) == "SUMMARY")
+    assert(s.length == 1 && r.length == 16)
+    val nDocs = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(s.head.getLong(2) == nDocs)
+    val keeps = graft.operators.LlmQueries
+      .queries("q65_gopher_filter")(spark, sf0001)
+      .filter(col("keep")).count()
+    assert(s.head.getLong(3) == keeps)
+    assert(s.head.getLong(4) == keeps * 1000000L / nDocs)
+    r.foreach { rep =>
+      assert(rep.getLong(2) > nDocs / 3 && rep.getLong(2) < 2 * nDocs / 3,
+             s"a half-sample strayed far from half: ${rep}")
+      assert(rep.getLong(4) == rep.getLong(3) * 1000000L / rep.getLong(2))
+    }
+    val (mn, mx) = (r.map(_.getLong(4)).min, r.map(_.getLong(4)).max)
+    assert(s.head.getLong(5) == mx - mn)
+  }
+
   test("q234 kmv containment: full ordered matrix, permille bounds, " +
        "one pair's exact containment recounts from raw gram sets") {
     val rows = graft.operators.LlmQueries
