@@ -4269,13 +4269,23 @@ object LlmQueries {
               when(col("m_a") === 0L, -1L)
                 .otherwise(expr("matches * 1000 DIV m_a"))
                 .as("est_cont_pm"))
-    val exact = tagged(g)
-      .groupBy("sa", "sb")
-      .agg(sum("ina").as("na"),
-           sum(col("ina") * col("inb")).as("inter"))
+    // exact audit via per-fp co-occurrence: (fp → source set) explode,
+    // bounded by sources-per-gram² — NOT the pairs × gram-table join
+    // (measured 8.7 s vs 1.4 s at sf0.1 for identical values)
+    val bySrc = g.groupBy("source").agg(count(lit(1)).as("na"))
+    val co = g.groupBy("h").agg(collect_set("source").as("__ss"))
+      .select(explode(col("__ss")).as("__sa"), col("__ss"))
+      .select(col("__sa"), explode(col("__ss")).as("__sb"))
+      .filter(col("__sa") =!= col("__sb"))
+      .groupBy(col("__sa").as("sa"), col("__sb").as("sb"))
+      .agg(count(lit(1)).as("inter"))
+    val exact = pairs
+      .join(co, Seq("sa", "sb"), "left")
+      .join(broadcast(bySrc.select(col("source").as("sa"), col("na"))),
+            Seq("sa"))
       .select(col("sa"), col("sb"),
               when(col("na") === 0L, -1L)
-                .otherwise(expr("inter * 1000 DIV na"))
+                .otherwise(expr("coalesce(inter, 0) * 1000 DIV na"))
                 .as("exact_cont_pm"))
     est.join(exact, Seq("sa", "sb"))
       .select(col("sa").as("src_a"), col("sb").as("src_b"),
