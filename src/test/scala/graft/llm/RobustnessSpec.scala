@@ -612,6 +612,22 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("anomalyDaysFrom survives single-day and constant series: " +
+       "zero-MAD never divides, nothing flags") {
+    import spark.implicits._
+    val one = Seq(("a", 1L, 5L)).toDF("event_type", "day", "n")
+    val r1 = graft.operators.LlmQueries.anomalyDaysFrom(one).collect()
+    assert(r1.length == 1)
+    assert(r1.head.getLong(3) == 10L && r1.head.getLong(5) == 0L &&
+             r1.head.getLong(6) == 0L,
+           "a lone day is its own median and cannot flag")
+    val const = (1L to 5L).map(d => ("a", d, 7L))
+      .toDF("event_type", "day", "n")
+    val r2 = graft.operators.LlmQueries.anomalyDaysFrom(const).collect()
+    assert(r2.length == 5 && r2.forall(_.getLong(6) == 0L),
+           "a constant series has zero deviation everywhere")
+  }
+
   test("q236 gate stability: 16 replicates near half-size, summary is " +
        "the full q65 rate, range brackets the replicates") {
     val rows = graft.operators.LlmQueries
