@@ -4296,6 +4296,42 @@ object LlmQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** Conversion-LATENCY distribution — time from a user's first event
+    * to their first purchase, as a log-bin histogram (the q194 sketch
+    * machinery on a duration column) plus the SUMMARY row with the
+    * exact conversion rate: the activation-funnel panel next to q106's
+    * step counts and q107's cohorts. Latencies are exact integer
+    * seconds (+1 so the same-event conversion lands in the first bin);
+    * the histogram is the mergeable artifact a daily roll would keep.
+    *
+    * Scale shape: ONE (user) min-aggregate with map-side combine (the
+    * sessionization exchange) → a ≤ 8·log₂max-row histogram + a 1-row
+    * summary. Nothing downstream of the user agg is data-scale.
+    */
+  def q237ConversionLatency(spark: SparkSession,
+                            dir: String): DataFrame = {
+    val per = Tables.events(spark, dir).groupBy("user_id")
+      .agg(min(unix_timestamp(col("ts"))).as("first_s"),
+           min(when(col("event_type") === "purchase",
+                    unix_timestamp(col("ts")))).as("purchase_s"))
+      .transform(graft.Materialize(_)) // user-scale, read twice
+    val hist = per.filter(col("purchase_s").isNotNull)
+      .select((col("purchase_s") - col("first_s") + 1L).as("lat"))
+      .groupBy(Sketches.logBin(col("lat")).as("bin"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(lit("HIST").as("scope"),
+              format_string("%03d", col("bin")).as("key"),
+              col("n_users"), lit(-1L).as("conv_ppm"))
+    val summary = per.agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("purchase_s").isNotNull, 1L).otherwise(0L))
+          .as("n_conv"))
+      .select(lit("SUMMARY").as("scope"), lit("ALL").as("key"),
+              col("n_conv").as("n_users"),
+              expr("n_conv * 1000000 DIV n_total").as("conv_ppm"))
+    hist.unionByName(summary).orderBy("scope", "key")
+  }
+
   /** Subsample STABILITY of the quality gate — the poor-man's
     * confidence interval a release gate needs before anyone trusts a
     * pass-rate: the q65 Gopher verdict is computed ONCE per doc, then
@@ -6927,6 +6963,7 @@ object LlmQueries {
     "q234_kmv_containment"   -> (q234KmvContainment(_, _)),
     "q235_skew_advisor"      -> (q235SkewAdvisor(_, _)),
     "q236_gate_stability"    -> (q236GateStability(_, _)),
+    "q237_conversion_latency" -> (q237ConversionLatency(_, _)),
     "q233_rolling_wau"       -> (q233RollingWau(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
@@ -8540,6 +8577,36 @@ object LlmQueries {
         |SELECT 'CLASS' AS scope, qi, n_users, l_div, risk_users FROM c2
         |UNION ALL SELECT * FROM s
         |ORDER BY scope, qi""".stripMargin,
+    // per-user first-event/first-purchase minima (floored epoch seconds
+    // — DuckDB CAST rounds, Spark unix_timestamp floors), log-bin
+    // latency histogram + exact conversion rate
+    "q237_conversion_latency" ->
+      s"""WITH per AS (
+         |  SELECT user_id,
+         |    min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_s,
+         |    min(CASE WHEN event_type = 'purchase'
+         |             THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+         |      AS purchase_s
+         |  FROM events GROUP BY 1),
+         |lat AS (
+         |  SELECT purchase_s - first_s + 1 AS v FROM per
+         |  WHERE purchase_s IS NOT NULL),
+         |hist AS (
+         |  SELECT 'HIST' AS scope,
+         |    printf('%03d', ${Sketches.logBinSql("v")}) AS key,
+         |    CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(-1 AS BIGINT) AS conv_ppm
+         |  FROM lat GROUP BY 2),
+         |s AS (
+         |  SELECT 'SUMMARY' AS scope, 'ALL' AS key,
+         |    CAST(sum(CASE WHEN purchase_s IS NOT NULL
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+         |    CAST(sum(CASE WHEN purchase_s IS NOT NULL
+         |                  THEN 1 ELSE 0 END) * 1000000 // count(*)
+         |         AS BIGINT) AS conv_ppm
+         |  FROM per)
+         |SELECT * FROM hist UNION ALL SELECT * FROM s
+         |ORDER BY scope, key""".stripMargin,
     // q65's verdict replay → 16 keyed-hash half-samples → per-replicate
     // exact pass ppm + full-sample summary with the replicate range
     "q236_gate_stability" ->

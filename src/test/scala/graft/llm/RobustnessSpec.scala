@@ -612,6 +612,22 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("q237 conversion latency: histogram counts the converted users, " +
+       "rate recounts, every latency nonnegative by construction") {
+    val rows = graft.operators.LlmQueries
+      .queries("q237_conversion_latency")(spark, sf0001).collect()
+    val (s, h) = rows.partition(_.getString(0) == "SUMMARY")
+    assert(s.length == 1 && h.nonEmpty)
+    assert(h.map(_.getLong(2)).sum == s.head.getLong(2),
+           "histogram must partition the converted users")
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    val total = ev.select("user_id").distinct().count()
+    assert(s.head.getLong(2) == conv)
+    assert(s.head.getLong(3) == conv * 1000000L / total)
+  }
+
   test("anomalyDaysFrom survives single-day and constant series: " +
        "zero-MAD never divides, nothing flags") {
     import spark.implicits._
