@@ -4296,6 +4296,45 @@ object LlmQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** Data-quality NULL profile — the ingest contract check every
+    * pipeline runs before anything else: per (table, column), the
+    * exact row count, null count, and null rate in ppm over the four
+    * core tables (documents / events / embeddings / lineitem). One
+    * aggregate per table computes ALL its columns' null counts in a
+    * single pass (conditional sums in one agg — never a scan per
+    * column), then a stack() generator unpivots the 1-row result to
+    * the per-column report. The profile is the mergeable artifact a
+    * per-shard DQ job would emit (counts add).
+    *
+    * Scale shape: one full scan per table with a 1-row map-side-
+    * combined aggregate each; the unpivot and union run on ≤ #columns
+    * rows. No shuffle carries data.
+    */
+  def q238NullProfile(spark: SparkSession, dir: String): DataFrame = {
+    def profile(name: String, df: DataFrame): DataFrame = {
+      val cols = df.columns.toSeq
+      val agg = df.agg(
+        count(lit(1)).as("__n"),
+        cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
+          .as(s"__null_$c")): _*)
+      val stackExpr = cols
+        .map(c => s"'$c', __null_$c")
+        .mkString(s"stack(${cols.size}, ", ", ", ")")
+      agg.selectExpr(s"'$name' AS table_name", "__n AS n_rows",
+                     s"$stackExpr AS (column_name, n_null)")
+    }
+    Seq(
+      profile("documents", Tables.documents(spark, dir)),
+      profile("events", Tables.events(spark, dir)),
+      profile("embeddings", Tables.embeddings(spark, dir)),
+      profile("lineitem", Tables.lineitem(spark, dir)))
+      .reduce(_ unionByName _)
+      .withColumn("null_ppm", expr("n_null * 1000000 DIV n_rows"))
+      .select("table_name", "column_name", "n_rows", "n_null",
+              "null_ppm")
+      .orderBy("table_name", "column_name")
+  }
+
   /** Conversion-LATENCY distribution — time from a user's first event
     * to their first purchase, as a log-bin histogram (the q194 sketch
     * machinery on a duration column) plus the SUMMARY row with the
@@ -6964,6 +7003,7 @@ object LlmQueries {
     "q235_skew_advisor"      -> (q235SkewAdvisor(_, _)),
     "q236_gate_stability"    -> (q236GateStability(_, _)),
     "q237_conversion_latency" -> (q237ConversionLatency(_, _)),
+    "q238_null_profile"      -> (q238NullProfile(_, _)),
     "q233_rolling_wau"       -> (q233RollingWau(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
@@ -8577,6 +8617,34 @@ object LlmQueries {
         |SELECT 'CLASS' AS scope, qi, n_users, l_div, risk_users FROM c2
         |UNION ALL SELECT * FROM s
         |ORDER BY scope, qi""".stripMargin,
+    // explicit per-column null counts per table, generated from the
+    // same column lists the engine profiles
+    "q238_null_profile" -> {
+      val tables = Seq(
+        "documents" -> Seq("doc_id", "text", "lang", "source",
+                           "n_chars"),
+        "events" -> Seq("event_id", "ts", "user_id", "event_type",
+                        "value", "props"),
+        "embeddings" -> Seq("vec_id", "embedding", "label"),
+        "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+                          "l_linenumber", "l_quantity",
+                          "l_extendedprice", "l_discount", "l_tax",
+                          "l_returnflag", "l_linestatus", "l_shipdate"))
+      val unions = tables.flatMap { case (t, cs) =>
+        cs.map { c =>
+          s"""SELECT '$t' AS table_name, '$c' AS column_name,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_null
+             |FROM $t""".stripMargin
+        }
+      }.mkString("\nUNION ALL\n")
+      s"""WITH p AS (
+         |$unions)
+         |SELECT table_name, column_name, n_rows, n_null,
+         |  (n_null * 1000000) // n_rows AS null_ppm
+         |FROM p ORDER BY table_name, column_name""".stripMargin
+    },
     // per-user first-event/first-purchase minima (floored epoch seconds
     // — DuckDB CAST rounds, Spark unix_timestamp floors), log-bin
     // latency histogram + exact conversion rate

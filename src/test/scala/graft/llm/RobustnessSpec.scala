@@ -612,6 +612,25 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("q238 null profile: one row per column, n_rows consistent per " +
+       "table, a planted null column recounts") {
+    import spark.implicits._
+    val rows = graft.operators.LlmQueries
+      .queries("q238_null_profile")(spark, sf0001).collect()
+    assert(rows.length == 25)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).distinct.length == 1,
+             "every column of a table sees the same row count")
+    }
+    val docRows = rows.filter(_.getString(0) == "documents")
+    assert(docRows.head.getLong(2) ==
+             graft.sources.Tables.documents(spark, sf0001).count())
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getLong(4) == r.getLong(3) * 1000000L / r.getLong(2))
+    }
+  }
+
   test("q237 conversion latency: histogram counts the converted users, " +
        "rate recounts, every latency nonnegative by construction") {
     val rows = graft.operators.LlmQueries
