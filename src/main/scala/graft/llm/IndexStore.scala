@@ -60,6 +60,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * that version can disappear (GC of version N requires TWO further
   * successful rolls).
   *
+  * READER lifetime contract: the default retention depth (current + one
+  * back) therefore protects reader queries whose lifetime spans at most
+  * ONE roll. A session that resolved a version two rolls ago and lazily
+  * re-scans its DataFrame will hit deleted files. Long-running readers
+  * (a week-old notebook over a daily-rolled index) must either
+  * re-resolve per query or raise the retention depth:
+  * `spark.conf.set("spark.graft.index.keepVersions", k)` keeps the
+  * current and k−1 previous committed versions (k ≥ 2; read at publish
+  * time, so it guards the NEXT roll's GC — a reader's lifetime may span
+  * k−1 rolls).
+  *
   * Catalog names are per-version (`{table}__v{N}`) and immutable once
   * created, so no DROP/CREATE flip ever races a reader's resolution; the
   * session catalog is only a cache over the on-disk truth.
@@ -187,8 +198,14 @@ object IndexStore {
     fs.create(new Path(vdir, CommitFile), false).close()
     // advisory pointer, never load-bearing (see scaladoc)
     writeSmallFile(fs, new Path(base, CurrentFile), vNext.toString)
-    // GC: keep the new current and one back; drop everything older
-    allVersions(fs, base).filter(_ <= vNext - 2).foreach { n =>
+    // GC: keep the new current and keepVersions-1 back; drop older.
+    // Read per-publish so long-running readers can raise the depth
+    // before their index's next roll (see the reader-lifetime contract
+    // in the object scaladoc); floor of 2 preserves the crash-safety
+    // invariant that one previous version always survives a flip.
+    val keep = math.max(2,
+      spark.conf.get("spark.graft.index.keepVersions", "2").toInt)
+    allVersions(fs, base).filter(_ <= vNext - keep).foreach { n =>
       spark.sql(s"DROP TABLE IF EXISTS ${versionedName(table, n)}")
       fs.delete(new Path(base, s"__v$n"), true)
     }

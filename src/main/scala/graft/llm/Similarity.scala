@@ -86,13 +86,24 @@ object Similarity {
     * exactly a seeded-free random-hyperplane sketch whose hamming
     * distance tracks angle. Dims MUST be ≤ 64 (one word); the driver
     * embeddings are 64-dim. Engine-portable bit arithmetic only.
+    *
+    * The precondition is ENFORCED, not advisory: Spark's
+    * `shiftleft(1L, i)` wraps the shift amount mod 64, so a >64-dim
+    * vector would silently alias bit i onto bit i−64 and corrupt the
+    * hamming ranking downstream instead of failing. A row whose vector
+    * exceeds 64 components raises at execution time via `raise_error`
+    * — loud, per-row, and free for conforming rows (the guard is a
+    * codegen'd CASE WHEN on `size`, no extra pass).
     */
   def withSignBits(df: DataFrame, vecCol: String = "embedding",
                    outCol: String = "sig"): DataFrame =
     df.withColumn(outCol,
-      expr(s"aggregate(sequence(0, size($vecCol) - 1), 0L, " +
+      expr(s"CASE WHEN size($vecCol) > 64 THEN raise_error(concat(" +
+           s"'withSignBits: dims must be <= 64, got ', " +
+           s"CAST(size($vecCol) AS STRING))) " +
+           s"ELSE aggregate(sequence(0, size($vecCol) - 1), 0L, " +
            s"(acc, i) -> acc + IF(element_at($vecCol, i + 1) > 0.0D, " +
-           s"shiftleft(1L, i), 0L))"))
+           s"shiftleft(1L, i), 0L)) END"))
 
   /** Binary-sketch ANN with exact re-rank: queries broadcast, the
     * corpus SCAN ranks by `bit_count(xor)` hamming on the 8-byte

@@ -3689,6 +3689,64 @@ object LlmQueries {
   @volatile private var q213CentroidRows: String = ""
   @volatile private var q213CodebookRows: String = ""
 
+  /** q213's oracle inlines the runtime-captured frozen-quantizer
+    * VALUES literals (q213CentroidRows/q213CodebookRows), populated
+    * only when [[q213VectorDailyRoll]] runs in this process. If the
+    * oracle dump ever runs without the query having executed, those
+    * literals are empty and the SQL would be malformed rather than
+    * skipped — so the entry is conditional (the q165/q173 pattern):
+    * omitted while the captures are empty, letting the driver record
+    * a rows-only check instead of emitting broken SQL.
+    *
+    * IVF re-assignment + PQ re-encoding replay from the captured
+    * frozen quantizer literals, LSH from the pure hyperplane SQL —
+    * every family digested over the FULL table (rolled == rebuilt).
+    */
+  private def q213OracleEntry: Map[String, String] =
+    if (q213CentroidRows.isEmpty || q213CodebookRows.isEmpty)
+      Map.empty[String, String]
+    else Map(
+    "q213_vector_daily_roll" ->
+      s"""WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c(cell, cv) AS (VALUES
+        |  $q213CentroidRows),
+        |ia AS (
+        |  SELECT vec_id, cell FROM e CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY list_distance(v, cv) ASC, cell ASC) = 1),
+        |cb(sub, code, cv) AS (VALUES
+        |  $q213CodebookRows),
+        |pa AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT e.vec_id, cb.sub, cb.code,
+        |      row_number() OVER (PARTITION BY e.vec_id, cb.sub
+        |        ORDER BY list_sum(list_transform(generate_series(1, 16),
+        |                   i -> (v[cb.sub * 16 + i] - cv[i]) ^ 2)) ASC,
+        |                 cb.code ASC) AS rn
+        |    FROM e CROSS JOIN cb)
+        |  WHERE rn = 1),
+        |pc AS (
+        |  SELECT vec_id,
+        |    array_to_string(list(code ORDER BY sub), ',') AS codes
+        |  FROM pa GROUP BY vec_id),
+        |lb AS (
+        |  SELECT vec_id, CAST(${lshBucketSql(6)} AS BIGINT) AS bucket
+        |  FROM e),
+        |fam AS (
+        |  SELECT 'ivf_assign' AS family, vec_id || ':' || cell AS c
+        |  FROM ia
+        |  UNION ALL
+        |  SELECT 'lsh_buckets', vec_id || ':' || bucket FROM lb
+        |  UNION ALL
+        |  SELECT 'pq_codes', vec_id || ':' || codes FROM pc)
+        |SELECT family, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(('0x' || substr(md5(c), 1, 15))::BIGINT
+        |                    % 1048576), 0) AS BIGINT) AS checksum
+        |FROM fam GROUP BY family ORDER BY family""".stripMargin)
+
   /** Consistent PSEUDONYMIZATION + collision audit — the privacy step
     * beside PII masking (q57) that a released event log needs: every
     * user_id maps to a 60-bit keyed-hash surrogate (stable across the
@@ -8177,7 +8235,8 @@ object LlmQueries {
     // time — omit the entry so the driver records a rows-only check
     if (q59Assign.nonEmpty) Map("q59_pack_stats" -> q59OracleSql)
     else Map.empty[String, String]
-  ) ++ q173OracleEntry ++ q189OracleEntry ++ q165OracleEntry ++ Map(
+  ) ++ q173OracleEntry ++ q189OracleEntry ++ q165OracleEntry ++
+    q213OracleEntry ++ Map(
     "q45_ann_ivf" -> q45OracleSql,
     "q88_semantic_dedup" -> q88OracleSql,
     "q91_surgical_decon" ->
@@ -9685,49 +9744,6 @@ object LlmQueries {
         |  FROM per)
         |SELECT * FROM m UNION ALL SELECT * FROM a
         |ORDER BY scope, surrogate""".stripMargin,
-    // IVF re-assignment + PQ re-encoding from the runtime-captured
-    // frozen quantizer literals, LSH from the pure hyperplane SQL —
-    // every family digested over the FULL table (rolled ≡ rebuilt).
-    "q213_vector_daily_roll" ->
-      s"""WITH e AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |c(cell, cv) AS (VALUES
-        |  $q213CentroidRows),
-        |ia AS (
-        |  SELECT vec_id, cell FROM e CROSS JOIN c
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY list_distance(v, cv) ASC, cell ASC) = 1),
-        |cb(sub, code, cv) AS (VALUES
-        |  $q213CodebookRows),
-        |pa AS (
-        |  SELECT vec_id, sub, code FROM (
-        |    SELECT e.vec_id, cb.sub, cb.code,
-        |      row_number() OVER (PARTITION BY e.vec_id, cb.sub
-        |        ORDER BY list_sum(list_transform(generate_series(1, 16),
-        |                   i -> (v[cb.sub * 16 + i] - cv[i]) ^ 2)) ASC,
-        |                 cb.code ASC) AS rn
-        |    FROM e CROSS JOIN cb)
-        |  WHERE rn = 1),
-        |pc AS (
-        |  SELECT vec_id,
-        |    array_to_string(list(code ORDER BY sub), ',') AS codes
-        |  FROM pa GROUP BY vec_id),
-        |lb AS (
-        |  SELECT vec_id, CAST(${lshBucketSql(6)} AS BIGINT) AS bucket
-        |  FROM e),
-        |fam AS (
-        |  SELECT 'ivf_assign' AS family, vec_id || ':' || cell AS c
-        |  FROM ia
-        |  UNION ALL
-        |  SELECT 'lsh_buckets', vec_id || ':' || bucket FROM lb
-        |  UNION ALL
-        |  SELECT 'pq_codes', vec_id || ':' || codes FROM pc)
-        |SELECT family, CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(coalesce(sum(('0x' || substr(md5(c), 1, 15))::BIGINT
-        |                    % 1048576), 0) AS BIGINT) AS checksum
-        |FROM fam GROUP BY family ORDER BY family""".stripMargin,
     // Corruption synthesis, json_valid/extract/TRY_CAST branch order,
     // (type, verdict) counts, and the exact ppm shares.
     "q212_props_schema_gate" ->

@@ -303,4 +303,44 @@ class IndexStoreSpec extends SparkSpec {
       IndexStore.drop(spark, "idx_rt_ivf")
     }
   }
+
+  test("configurable retention: keepVersions=3 keeps current + two back " +
+       "for long-running readers, the depth is read per-publish, and " +
+       "values below the crash-safety floor of 2 are clamped") {
+    val name = "idx_keep_fp"
+    val d = tmpDir("idx_keep")
+    val dir = Some(d)
+    def vdirs: Seq[String] = {
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(d))
+        .map(_.getPath.getName).filter(_.startsWith("__v")).sorted.toSeq
+    }
+    def publish(n: Int): Unit =
+      IndexStore.saveFingerprintIndex(
+        Dedup.fingerprintIndex(fpCorpus(n), "doc_id", "text"), name,
+        numBuckets = 4, dir)
+    try {
+      spark.conf.set("spark.graft.index.keepVersions", "3")
+      (2 to 5).foreach(publish) // publishes v1..v4
+      assert(vdirs == Seq("__v2", "__v3", "__v4"),
+             s"depth 3 must keep current + two back, found $vdirs")
+      // a reader that resolved v3 two rolls ago can still scan it
+      assert(fpClassify(IndexStore.loadFingerprintIndex(spark, name, dir))
+               .count(_(1) == true) == 5)
+      // depth is per-publish: reverting to the default GCs back to 2
+      spark.conf.unset("spark.graft.index.keepVersions")
+      publish(6) // v5
+      assert(vdirs == Seq("__v4", "__v5"),
+             s"default depth must GC the extra version, found $vdirs")
+      // floor: depth 1 would let a crashed flip destroy the only copy
+      spark.conf.set("spark.graft.index.keepVersions", "1")
+      publish(7) // v6
+      assert(vdirs == Seq("__v5", "__v6"),
+             s"depth below 2 must clamp to 2, found $vdirs")
+    } finally {
+      spark.conf.unset("spark.graft.index.keepVersions")
+      IndexStore.drop(spark, name)
+    }
+  }
 }

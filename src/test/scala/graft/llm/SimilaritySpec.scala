@@ -608,4 +608,21 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(4) ==
       r.getLong(3) * 1000L / math.max(r.getLong(2), 1L)))
   }
+
+  test("withSignBits enforces dims ≤ 64: an oversized vector raises " +
+       "loudly (shiftleft would silently wrap bit i onto i−64 and " +
+       "corrupt hamming rankings); conforming rows are unchanged") {
+    import spark.implicits._
+    // 64 positive components → all 64 bits set → the word is -1L
+    val ok = Seq((1L, Array.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.withSignBits(ok).select("sig").head.getLong(0)
+             == -1L)
+    val bad = Seq((2L, Array.fill(65)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception](Similarity.withSignBits(bad).collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .toSeq
+    assert(msgs.exists(_.contains("withSignBits: dims must be <= 64")),
+           s"expected the guard message in the cause chain, got: $msgs")
+  }
 }
