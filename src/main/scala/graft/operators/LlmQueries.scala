@@ -2,8 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{BpeTrainer, Contamination, Conversations, CorpusStats,
-                  Dedup, IndexStore,
+import graft.llm.{Annotation, BpeTrainer, Contamination, Conversations,
+                  CorpusStats, Dedup, IndexStore,
                   Multimodal, NgramLm, QualityFilters, Relevance, Sharding,
                   Similarity, Sketches, Splits, TextAnalysis, TextPacking,
                   UnigramTrainer, Versioning}
@@ -4393,6 +4393,36 @@ object LlmQueries {
       .orderBy("table_name", "column_name")
   }
 
+  /** Inter-annotator agreement ([[Annotation.agreement]]) — the
+    * labeling-pipeline QA gate: three deterministic correlated
+    * pseudo-raters ([[Annotation.syntheticRaters]], flip rates
+    * 5/15/35% over the ground bit word-count ≥ 56, all keyed md5
+    * coins — no RNG) label every document, then per-pair Cohen's
+    * kappa and the pooled Fleiss kappa are computed in exact integer
+    * ppm (products widened through DECIMAL(38,0); HUGEINT in the
+    * oracle). Low kappa flags a broken labeling guideline; per-pair
+    * rows localize which rater drifted — here the 1:2 pair (lowest
+    * combined noise) must beat 1:3 must beat 2:3, which the spec
+    * pins. FULLY oracle-checked: DuckDB replays the rater coins, the
+    * pair join, and every ppm floor.
+    *
+    * Scale shape: label synthesis is a row-local scan; the pair
+    * stats are one self-join co-partitioned on doc_id over the R·N
+    * label rows (never text) collapsing map-side to ≤ R² counter
+    * rows; Fleiss is one groupBy(doc_id) to per-item counters then a
+    * 1-row global agg.
+    */
+  def q239RaterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val ground = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              (TextAnalysis.wsTokenCount(col("text")) >= 56)
+                .cast("long").as("ground"))
+    val labels = Annotation.syntheticRaters(
+      ground, "doc_id", "ground",
+      raters = Seq(1 -> 5, 2 -> 15, 3 -> 35), key = "rate12")
+    Annotation.agreement(labels, "item", "rater", "label")
+  }
+
   /** Conversion-LATENCY distribution — time from a user's first event
     * to their first purchase, as a log-bin histogram (the q194 sketch
     * machinery on a duration column) plus the SUMMARY row with the
@@ -7062,6 +7092,7 @@ object LlmQueries {
     "q236_gate_stability"    -> (q236GateStability(_, _)),
     "q237_conversion_latency" -> (q237ConversionLatency(_, _)),
     "q238_null_profile"      -> (q238NullProfile(_, _)),
+    "q239_rater_agreement"   -> (q239RaterAgreement(_, _)),
     "q233_rolling_wau"       -> (q233RollingWau(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
@@ -8678,6 +8709,61 @@ object LlmQueries {
         |ORDER BY scope, qi""".stripMargin,
     // explicit per-column null counts per table, generated from the
     // same column lists the engine profiles
+    // rater coins, pair join, and every ppm floor replayed exactly;
+    // HUGEINT widens the n² / t² products like Spark's DECIMAL(38,0)
+    "q239_rater_agreement" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 56
+         |         THEN 1 ELSE 0 END AS ground
+         |  FROM documents),
+         |l AS (
+         |  SELECT doc_id, r.rater,
+         |    CASE WHEN ('0x' || substr(md5('rate12:' || r.rater || ':'
+         |                || doc_id), 1, 15))::BIGINT % 100 < r.flip
+         |         THEN 1 - ground ELSE ground END AS label
+         |  FROM g CROSS JOIN (VALUES (1, 5), (2, 15), (3, 35))
+         |    AS r(rater, flip)),
+         |p AS (
+         |  SELECT a.rater AS ra, b.rater AS rb,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a.label = b.label THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS agree,
+         |    CAST(sum(a.label) AS BIGINT) AS a1,
+         |    CAST(sum(b.label) AS BIGINT) AS b1
+         |  FROM l a JOIN l b ON a.doc_id = b.doc_id AND a.rater < b.rater
+         |  GROUP BY 1, 2),
+         |c AS (
+         |  SELECT 'cohen ' || ra || ':' || rb AS pair, n, agree,
+         |    agree * 1000000 // n AS po_ppm,
+         |    CAST((CAST(a1 AS HUGEINT) * b1
+         |          + CAST(n - a1 AS HUGEINT) * (n - b1)) * 1000000
+         |         // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm
+         |  FROM p),
+         |pi AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS r,
+         |    CAST(sum(label) AS BIGINT) AS r1
+         |  FROM l GROUP BY 1 HAVING count(*) >= 2),
+         |f AS (
+         |  SELECT 'fleiss' AS pair, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum((r1 * (r1 - 1) + (r - r1) * (r - r1 - 1)) // 2)
+         |         AS BIGINT) AS agree,
+         |    CAST(sum((r * (r - 1)) // 2) AS BIGINT) AS npairs,
+         |    CAST(sum(r1) AS BIGINT) AS t1, CAST(sum(r) AS BIGINT) AS t
+         |  FROM pi),
+         |fr AS (
+         |  SELECT pair, n, agree, agree * 1000000 // npairs AS po_ppm,
+         |    CAST((CAST(t1 AS HUGEINT) * t1
+         |          + CAST(t - t1 AS HUGEINT) * (t - t1)) * 1000000
+         |         // (CAST(t AS HUGEINT) * t) AS BIGINT) AS pe_ppm
+         |  FROM f),
+         |m AS (SELECT * FROM c UNION ALL SELECT * FROM fr)
+         |SELECT pair, n, agree, po_ppm, pe_ppm,
+         |  CASE WHEN pe_ppm >= 1000000 THEN
+         |    CASE WHEN po_ppm = 1000000 THEN 1000000 ELSE 0 END
+         |  ELSE (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
+         |  END AS kappa_ppm
+         |FROM m ORDER BY pair""".stripMargin,
     "q238_null_profile" -> {
       val tables = Seq(
         "documents" -> Seq("doc_id", "text", "lang", "source",
