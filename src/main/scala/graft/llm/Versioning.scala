@@ -100,6 +100,76 @@ object Versioning {
               coalesce(col("__text"), col("__base_text")).as(textCol))
   }
 
+  /** Open-interval sentinel for [[scd2History]]: a `valid_to` of this
+    * value means "still live" (no later change closed the interval).
+    */
+  val Scd2Open: Long = 9999L
+
+  /** SCD-2 history build — the warehouse twin of [[applyChangelog]]:
+    * instead of collapsing the changelog to the LATEST state, keep the
+    * FULL version history as validity intervals, the layout every
+    * "what did this record look like when we trained model v3?"
+    * question needs. The base snapshot enters as version-1 upserts;
+    * each upsert opens an interval `[version, next-change-version)`
+    * (the closing change may be an upsert or a delete — either ends
+    * the predecessor); deletes close their predecessor and open
+    * nothing; an interval with no successor is open ([[Scd2Open]],
+    * `is_current = 1`). Rows sharing (id, version) resolve by source
+    * precedence (a changelog row beats the injected base row — the
+    * changelog is authoritative), then the SAME `(op, content-md5,
+    * text)` lexicographic max as [[latestChanges]] — so for any
+    * changelog with versions ≥ 1 (the base snapshot IS version 1;
+    * earlier versions are malformed input) the `is_current = 1` slice
+    * reconciles EXACTLY with [[applyChangelog]]'s latest-state view,
+    * which the spec pins including the equal-version collision cases.
+    *
+    * Scale shape: one union (base + changelog), one (id, version)
+    * aggregation, then one window partitioned BY ID ordered over that
+    * id's few versions — a single shuffle on the id key, per-partition
+    * sort bounded by versions-per-id (never corpus-scale). The content
+    * column rides the shuffle once, exactly as the MERGE it replaces.
+    *
+    * Returns `(doc_id, valid_from, valid_to, is_current, content_h)`
+    * with a 60-bit md5-prefix content hash, ordered by (id, from).
+    */
+  def scd2History(base: DataFrame, changes: DataFrame, idCol: String,
+                  versionCol: String, opCol: String,
+                  textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = base.select(col(idCol).as("doc_id"),
+                          lit(1L).as("version"),
+                          lit(0L).as("src"),
+                          lit("upsert").as("op"),
+                          col(textCol).as("text"))
+      .unionByName(changes.select(col(idCol).as("doc_id"),
+                                  col(versionCol).cast("long")
+                                    .as("version"),
+                                  lit(1L).as("src"),
+                                  col(opCol).as("op"),
+                                  col(textCol).as("text")))
+    val resolved = all
+      .select(col("doc_id"), col("version"),
+              struct(col("src"), col("op"),
+                     md5(col("text").cast("binary")).as("fp"),
+                     col("text")).as("ch"))
+      .groupBy("doc_id", "version").agg(max(col("ch")).as("ch"))
+      .select(col("doc_id"), col("version"), col("ch.op").as("op"),
+              col("ch.text").as("text"))
+    val w = Window.partitionBy("doc_id").orderBy("version")
+    resolved
+      .withColumn("valid_to",
+                  coalesce(lead(col("version"), 1).over(w),
+                           lit(Scd2Open)))
+      .filter(col("op") === "upsert")
+      .select(col("doc_id"), col("version").as("valid_from"),
+              col("valid_to"),
+              (col("valid_to") === Scd2Open).cast("long")
+                .as("is_current"),
+              conv(substring(md5(col("text").cast("binary")), 1, 15),
+                   16, 10).cast("long").as("content_h"))
+      .orderBy("doc_id", "valid_from")
+  }
+
   /** Merkle-style corpus content digest — the verifiable release
     * attestation: two parties holding "the same" release can compare one
     * root hash instead of 100 TB of bytes, and a mismatch localizes to

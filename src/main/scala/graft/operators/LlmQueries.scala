@@ -2222,6 +2222,48 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** The [[q105Changelog]] synthesis as a DuckDB CTE body — ONE
+    * definition shared by the q105 (latest-state MERGE) and q240
+    * (SCD-2 history) oracles, so both replay the byte-identical
+    * changelog.
+    */
+  private val changelogChCte: String =
+    """ch AS (
+      |  SELECT doc_id, 2 AS v, 'upsert' AS op,
+      |         text || ' [rev2]' AS text
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 3, 'upsert', text || ' [rev3]'
+      |  FROM documents WHERE doc_id % 14 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 2, 'delete', ''
+      |  FROM documents WHERE doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 1, 'upsert',
+      |         'new doc ' || CAST(doc_id AS VARCHAR)
+      |  FROM documents WHERE doc_id % 13 = 0)""".stripMargin
+
+  /** SCD-2 history build ([[Versioning.scd2History]]) — the versioned
+    * corpus kept as validity intervals instead of collapsed to latest
+    * state: base snapshot as version-1 upserts + the [[q105Changelog]],
+    * one interval per surviving upsert, `[version, next-change)`,
+    * deletes closing their predecessor, open intervals flagged
+    * `is_current`. Same (op, md5, text) tie-break as q105's MERGE, so
+    * the `is_current = 1` slice reconciles exactly with q105's output
+    * (VersioningSpec pins it). FULLY oracle-checked: DuckDB replays
+    * the shared changelog CTE, the per-(id, version) resolution, and
+    * the lead() interval cut.
+    *
+    * Scale shape: one union + one (id, version) agg + one id-keyed
+    * window whose per-partition sort is bounded by versions-per-id —
+    * a single data-scale shuffle on the id.
+    */
+  def q240Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    Versioning.scd2History(d, q105Changelog(d),
+                           "doc_id", "version", "op", "text")
+  }
+
   /** Corpus-internal gram novelty ([[Contamination.gramNovelty]]): per
     * doc, how many of its distinct word-6-grams appear in NO other
     * document — the uniqueness/memorization-risk audit (and, inverted,
@@ -7093,6 +7135,7 @@ object LlmQueries {
     "q237_conversion_latency" -> (q237ConversionLatency(_, _)),
     "q238_null_profile"      -> (q238NullProfile(_, _)),
     "q239_rater_agreement"   -> (q239RaterAgreement(_, _)),
+    "q240_scd2_history"      -> (q240Scd2History(_, _)),
     "q233_rolling_wau"       -> (q233RollingWau(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
@@ -12157,21 +12200,34 @@ object LlmQueries {
     // Changelog rebuilt from the same id-modulo rules; latest-wins via
     // the (v, op, fp, text) DESC ordering (the max(struct) twin), then
     // the full-outer merge and delete filter.
+    // SAME (id, version) resolution tie-break as q105's latest-wins,
+    // then the lead() interval cut over each id's resolved versions
+    "q240_scd2_history" ->
+      s"""WITH $changelogChCte,
+        |al AS (
+        |  SELECT doc_id, 1 AS v, 0 AS src, 'upsert' AS op, text
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, v, 1 AS src, op, text FROM ch),
+        |res AS (
+        |  SELECT doc_id, v, op, text FROM al
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY doc_id, v
+        |    ORDER BY src DESC, op DESC, md5(text) DESC, text DESC) = 1),
+        |iv AS (
+        |  SELECT doc_id, v, op, text,
+        |    coalesce(lead(v) OVER (PARTITION BY doc_id ORDER BY v),
+        |             9999) AS valid_to
+        |  FROM res)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(v AS BIGINT) AS valid_from,
+        |  CAST(valid_to AS BIGINT) AS valid_to,
+        |  CAST(CASE WHEN valid_to = 9999 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_current,
+        |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_h
+        |FROM iv WHERE op = 'upsert'
+        |ORDER BY doc_id, valid_from""".stripMargin,
     "q105_apply_changelog" ->
-      """WITH ch AS (
-        |  SELECT doc_id, 2 AS v, 'upsert' AS op,
-        |         text || ' [rev2]' AS text
-        |  FROM documents WHERE doc_id % 7 = 0
-        |  UNION ALL
-        |  SELECT doc_id, 3, 'upsert', text || ' [rev3]'
-        |  FROM documents WHERE doc_id % 14 = 0
-        |  UNION ALL
-        |  SELECT doc_id, 2, 'delete', ''
-        |  FROM documents WHERE doc_id % 11 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, 1, 'upsert',
-        |         'new doc ' || CAST(doc_id AS VARCHAR)
-        |  FROM documents WHERE doc_id % 13 = 0),
+      s"""WITH $changelogChCte,
         |latest AS (
         |  SELECT doc_id, op AS __op, text AS __text
         |  FROM ch

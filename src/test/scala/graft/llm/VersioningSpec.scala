@@ -173,4 +173,99 @@ class VersioningSpec extends SparkSpec {
     assert(rescored.filter(col("doc_id") === 7).count() == 1,
            "the edited doc itself must be in the rescore set")
   }
+
+  test("scd2History: intervals chain correctly, deletes close without " +
+       "opening, equal-version collisions resolve changelog-first, and " +
+       "the is_current slice reconciles EXACTLY with applyChangelog") {
+    import spark.implicits._
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val changes = Seq(
+      (2L, 1L, "upsert", "two v1"),   // collides with the base at v1 —
+                                      //   changelog must win
+      (2L, 3L, "upsert", "two v3"),
+      (2L, 2L, "upsert", "two v2"),
+      (3L, 1L, "delete", ""),         // delete AT the base version
+      (5L, 1L, "upsert", "five new"),
+      (4L, 1L, "delete", ""),
+      (4L, 2L, "upsert", "four back"))
+      .toDF("doc_id", "version", "op", "text")
+    val hist = Versioning.scd2History(base, changes,
+                                      "doc_id", "version", "op", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                 r.getLong(3)))
+    // doc 1: untouched → one open interval from the base
+    assert(hist.filter(_._1 == 1L).toSeq ==
+             Seq((1L, 1L, Versioning.Scd2Open, 1L)))
+    // doc 2: v1 (changelog wins the collision) → v2 → v3 open
+    assert(hist.filter(_._1 == 2L).toSeq ==
+             Seq((2L, 1L, 2L, 0L), (2L, 2L, 3L, 0L),
+                 (2L, 3L, Versioning.Scd2Open, 1L)))
+    // doc 3: deleted at the base version → NO interval at all
+    assert(!hist.exists(_._1 == 3L))
+    // doc 4: deleted at v1 then re-upserted at v2 → one open interval
+    assert(hist.filter(_._1 == 4L).toSeq ==
+             Seq((4L, 2L, Versioning.Scd2Open, 1L)))
+    // doc 5: inserted → open from its insert version
+    assert(hist.filter(_._1 == 5L).toSeq ==
+             Seq((5L, 1L, Versioning.Scd2Open, 1L)))
+    // every id's intervals tile without gaps or overlaps
+    hist.groupBy(_._1).values.foreach { iv =>
+      val s = iv.sortBy(_._2)
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 == b._2, s"gap/overlap in $s")
+        case _           =>
+      }
+      assert(s.count(_._4 == 1L) <= 1 &&
+               (s.count(_._4 == 1L) == 1) ==
+                 (s.last._3 == Versioning.Scd2Open))
+    }
+    // current-state reconciliation: is_current rows ≡ applyChangelog
+    val current = Versioning.scd2History(base, changes,
+                                         "doc_id", "version", "op",
+                                         "text")
+      .filter(col("is_current") === 1L)
+      .select("doc_id", "content_h")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val merged = Versioning.applyChangelog(base, changes,
+                                           "doc_id", "version", "op",
+                                           "text")
+      .select(col("doc_id"),
+              conv(substring(md5(col("text").cast("binary")), 1, 15),
+                   16, 10).cast("long").as("content_h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(current == merged,
+           s"SCD2 current slice must equal the MERGE view:\n" +
+             s"current=$current\nmerged=$merged")
+  }
+
+  test("scd2History on the q240 corpus changelog: row counts decompose " +
+       "into base + revisions + inserts − deletions, and the current " +
+       "slice matches q105's merged corpus") {
+    val sf = sf0001
+    val d = graft.sources.Tables.documents(spark, sf)
+    val hist = graft.operators.LlmQueries
+      .queries("q240_scd2_history")(spark, sf)
+    val n = d.count()
+    val nRev2 = d.filter(col("doc_id") % 7 === 0).count()
+    val nRev3 = d.filter(col("doc_id") % 14 === 0).count()
+    val nIns = d.filter(col("doc_id") % 13 === 0).count()
+    // every upsert row opens exactly one interval (deletes open none)
+    assert(hist.count() == n + nRev2 + nRev3 + nIns)
+    val nDel = d.filter(col("doc_id") % 11 === 0 &&
+                        col("doc_id") % 7 =!= 0).count()
+    assert(hist.filter(col("is_current") === 1L).count() ==
+             n + nIns - nDel)
+    val current = hist.filter(col("is_current") === 1L)
+      .select("doc_id", "content_h")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val merged = graft.operators.LlmQueries
+      .queries("q105_apply_changelog")(spark, sf)
+      .select(col("doc_id"),
+              conv(substring(col("content_md5"), 1, 15), 16, 10)
+                .cast("long").as("content_h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(current == merged)
+  }
 }
