@@ -353,7 +353,95 @@ object TimeSeriesQueries {
       .windowedCountsBatch(Tables.events(spark, dir))
       .orderBy("window_start", "event_type")
 
+  /** Watermark late-data audit — the batch replay of Structured
+    * Streaming's drop decision, answering the capacity question every
+    * watermark setting needs BEFORE it ships: with a 15-minute
+    * watermark over 1-hour event-time windows, how many events would
+    * arrive too late to count, and in which windows? Ingest delays are
+    * deterministic keyed-hash synthetics (0–10 min base, a 5% heavy
+    * tail up to +2 h — no RNG, fully replayable); an event is DROPPED
+    * iff its window's end is ≤ the watermark at its arrival, where the
+    * watermark is `max(event time over strictly earlier arrivals) −
+    * 15 min` — arrival order totally ordered by (ingest_s, event_id),
+    * the per-event refinement of Spark's per-batch watermark update
+    * (its strictest limit: real micro-batches only drop a subset of
+    * what this audit flags, so the audit is the safe bound).
+    *
+    * Scale shape: the arrival-order running max is the same two-phase
+    * distributed scan as [[graft.llm.Sharding.tokenOffsets]] — ingest-
+    * hour buckets, per-bucket maxima prefix-maxed in one ≤#hours-row
+    * window, in-bucket running max partitioned BY BUCKET — never a
+    * single-partition data-scale window. Output is per (window,
+    * verdict) counts + max observed delay, with SUMMARY rows at
+    * win_start = −1. FULLY oracle-checked (DuckDB replays the delay
+    * hashes and the running max as one window — small data — against
+    * the engine's distributed two-phase form).
+    */
+  def q241WatermarkAudit(spark: SparkSession, dir: String): DataFrame =
+    watermarkAudit(q241Arrivals(spark, dir), wmLagS = 900L,
+                   winS = 3600L)
+
+  /** q241's deterministic arrival synthesis (keyed-hash delays), public
+    * so the spec can replay the audit from the same input.
+    */
+  def q241Arrivals(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("event_s"))
+      .withColumn("__h", conv(substring(md5(concat(lit("lag12:"),
+        col("event_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+        .cast("long"))
+      .withColumn("__h2", conv(substring(md5(concat(lit("spike12:"),
+        col("event_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+        .cast("long"))
+      .withColumn("delay_s",
+        col("__h") % 600L +
+          when(col("__h2") % 100L < 5, col("__h2") % 7200L)
+            .otherwise(0L))
+      .withColumn("ingest_s", col("event_s") + col("delay_s"))
+    e.select("event_id", "event_s", "delay_s", "ingest_s")
+  }
+
+  /** The audit core over prepared `(event_id, event_s, delay_s,
+    * ingest_s)` rows — see [[q241WatermarkAudit]] for semantics and the
+    * two-phase scale analysis.
+    */
+  def watermarkAudit(events: DataFrame, wmLagS: Long,
+                     winS: Long): DataFrame = {
+    val e = events.withColumn("__b", expr("ingest_s div 3600"))
+    // phase 1+2: per-ingest-hour event-time maxima, prefix-maxed over
+    // the ≤ #hours bucket rows (bounded by construction)
+    val basesW = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = e.groupBy("__b").agg(max("event_s").as("__bmax"))
+      .withColumn("__base", max("__bmax").over(basesW))
+      .select("__b", "__base")
+    // phase 3: in-bucket running max over (ingest_s, event_id), merged
+    // with the earlier-bucket base; epoch 0 stands in for "no earlier
+    // arrival" (all event times are far later)
+    val inW = Window.partitionBy("__b").orderBy("ingest_s", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perWin = e.join(broadcast(bases), Seq("__b"))
+      .withColumn("__wm",
+        greatest(coalesce(max("event_s").over(inW), lit(0L)),
+                 coalesce(col("__base"), lit(0L))) - wmLagS)
+      .withColumn("win_start", expr(s"event_s div ${winS}L * ${winS}L"))
+      .withColumn("verdict",
+        when(col("win_start") + winS > col("__wm"), "accepted")
+          .otherwise("dropped_late"))
+      .groupBy("win_start", "verdict")
+      .agg(count(lit(1)).as("n"), max("delay_s").as("max_delay_s"))
+      .transform(graft.Materialize(_)) // window-count-scale, read twice
+    val summary = perWin.groupBy("verdict")
+      .agg(sum("n").as("n"), max("max_delay_s").as("max_delay_s"))
+      .select(lit(-1L).as("win_start"), col("verdict"), col("n"),
+              col("max_delay_s"))
+    perWin.select("win_start", "verdict", "n", "max_delay_s")
+      .unionByName(summary)
+      .orderBy("win_start", "verdict")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_watermark_audit" -> (q241WatermarkAudit(_, _)),
     "q123_windowed_counts" -> (q123WindowedCounts(_, _)),
     "q111_ab_test" -> (q111AbTest(_, _)),
     "q110_event_transitions" -> (q110EventTransitions(_, _)),
@@ -372,6 +460,46 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // delay hashes + the arrival-order running max as ONE window (small
+    // data) vs the engine's two-phase distributed form
+    "q241_watermark_audit" ->
+      """WITH e AS (
+        |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS event_s,
+        |    ('0x' || substr(md5('lag12:' || event_id), 1, 15))::BIGINT
+        |      AS h,
+        |    ('0x' || substr(md5('spike12:' || event_id), 1, 15))::BIGINT
+        |      AS h2
+        |  FROM events),
+        |a AS (
+        |  SELECT event_id, event_s,
+        |    h % 600 + CASE WHEN h2 % 100 < 5 THEN h2 % 7200 ELSE 0 END
+        |      AS delay_s,
+        |    event_s + h % 600
+        |      + CASE WHEN h2 % 100 < 5 THEN h2 % 7200 ELSE 0 END
+        |      AS ingest_s
+        |  FROM e),
+        |w AS (
+        |  SELECT event_s, delay_s,
+        |    coalesce(max(event_s) OVER (ORDER BY ingest_s, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      - 900 AS wm
+        |  FROM a),
+        |v AS (
+        |  SELECT event_s // 3600 * 3600 AS win_start, delay_s,
+        |    CASE WHEN event_s // 3600 * 3600 + 3600 > wm
+        |         THEN 'accepted' ELSE 'dropped_late' END AS verdict
+        |  FROM w),
+        |p AS (
+        |  SELECT win_start, verdict, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(max(delay_s) AS BIGINT) AS max_delay_s
+        |  FROM v GROUP BY 1, 2),
+        |s AS (
+        |  SELECT CAST(-1 AS BIGINT) AS win_start, verdict,
+        |    CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(max(max_delay_s) AS BIGINT) AS max_delay_s
+        |  FROM p GROUP BY 2)
+        |SELECT * FROM p UNION ALL SELECT * FROM s
+        |ORDER BY win_start, verdict""".stripMargin,
     // hour bucket = Spark's window(ts, '1 hour') start; mean = exact
     // DECIMAL sum + the floored ×10⁴ rounding (identical op order)
     "q123_windowed_counts" ->
