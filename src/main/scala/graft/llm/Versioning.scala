@@ -147,7 +147,11 @@ object Versioning {
                                   lit(1L).as("src"),
                                   col(opCol).as("op"),
                                   col(textCol).as("text")))
-    val resolved = all
+    // one shuffle serves both the (id, version) resolution and the
+    // id-partitioned window: hash-distributing by id alone satisfies
+    // the agg's ClusteredDistribution(id, version) (same-key rows stay
+    // co-located), so Catalyst plans NO second exchange before lead()
+    val resolved = all.repartition(col("doc_id"))
       .select(col("doc_id"), col("version"),
               struct(col("src"), col("op"),
                      md5(col("text").cast("binary")).as("fp"),
