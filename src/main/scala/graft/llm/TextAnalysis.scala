@@ -94,6 +94,20 @@ object TextAnalysis {
     when(anyHit, best).otherwise(lit("und"))
   }
 
+  /** Confidence margin of [[langId]]: top-1 minus top-2 per-language
+    * stopword hit counts over the same markers — 0 on argmax ties and
+    * on no-hit ("und") rows, growing with how decisively one language
+    * out-votes the rest. The calibration signal q242 buckets against
+    * ground truth; row-local and codegen'd like [[langId]] itself.
+    */
+  def langIdMargin(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val scored = langMarkers.map { case (_, markers) =>
+      size(filter(toks, t => t.isin(markers: _*))) }
+    val sorted = array_sort(array(scored: _*))
+    element_at(sorted, -1) - element_at(sorted, -2)
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key. md5 exists verbatim in DuckDB, so this is
     * oracle-checkable.

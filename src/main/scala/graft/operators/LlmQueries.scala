@@ -4465,6 +4465,39 @@ object LlmQueries {
     Annotation.agreement(labels, "item", "rater", "label")
   }
 
+  /** Confidence calibration of the language-ID heuristic — the audit
+    * every classifier-driven routing decision needs before its
+    * threshold ships: per [[TextAnalysis.langIdMargin]] bucket (top-1
+    * minus top-2 stopword votes, capped at 10), the exact accuracy of
+    * [[TextAnalysis.langId]] against the ground-truth `lang` column,
+    * in ppm, plus the pooled ALL row at bucket −1. A well-behaved
+    * confidence signal shows accuracy rising with margin (the spec
+    * pins high-margin ≫ zero-margin and brackets the pooled rate);
+    * the zero-margin bucket's rate tells the router exactly what
+    * abstaining would cost. FULLY oracle-checked — DuckDB replays the
+    * stopword votes, the sorted-margin cut, and the ppm floors.
+    *
+    * Scale shape: votes and margin are one row-local codegen'd scan;
+    * the exchange carries ≤ 12 bucket counter rows.
+    */
+  def q242LangidCalibration(spark: SparkSession,
+                            dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("lang"),
+              TextAnalysis.langId(col("text")).as("pred"),
+              TextAnalysis.langIdMargin(col("text")).as("m"))
+      .select(least(col("m"), lit(10)).cast("long").as("bucket"),
+              (col("pred") === col("lang")).cast("long").as("ok"))
+    val per = scored.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("ok").as("n_correct"))
+      .transform(graft.Materialize(_)) // ≤ 12 rows, read twice
+    val all = per.agg(sum("n").as("n"), sum("n_correct").as("n_correct"))
+      .select(lit(-1L).as("bucket"), col("n"), col("n_correct"))
+    per.select("bucket", "n", "n_correct").unionByName(all)
+      .withColumn("acc_ppm", expr("n_correct * 1000000 DIV n"))
+      .orderBy("bucket")
+  }
+
   /** Conversion-LATENCY distribution — time from a user's first event
     * to their first purchase, as a log-bin histogram (the q194 sketch
     * machinery on a duration column) plus the SUMMARY row with the
@@ -7136,6 +7169,7 @@ object LlmQueries {
     "q238_null_profile"      -> (q238NullProfile(_, _)),
     "q239_rater_agreement"   -> (q239RaterAgreement(_, _)),
     "q240_scd2_history"      -> (q240Scd2History(_, _)),
+    "q242_langid_calibration" -> (q242LangidCalibration(_, _)),
     "q233_rolling_wau"       -> (q233RollingWau(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
@@ -7544,6 +7578,18 @@ object LlmQueries {
        |            '[^A-Za-z0-9\\s]'))
        |          / CAST(greatest(length(text), 1) AS DOUBLE)) * 4.0, 0.0))
        |      / 3.0, 4)""".stripMargin
+
+  /** The per-language stopword hit counts as one DuckDB list literal
+    * (alphabetical language order, expects a CTE column `toks`) — the
+    * q242 margin is top-1 minus top-2 of this list after list_sort.
+    */
+  private val langHitsList: String = {
+    val markers = TextAnalysis.langMarkersForSql
+    markers.keys.toSeq.sorted.map { lang =>
+      val lst = markers(lang).map(s => s"'$s'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($lst, x)))"
+    }.mkString("[", ", ", "]")
+  }
 
   private val langCase = {
     // Mirror TextAnalysis.langId: alphabetical candidates, later wins only
@@ -8752,6 +8798,35 @@ object LlmQueries {
         |ORDER BY scope, qi""".stripMargin,
     // explicit per-column null counts per table, generated from the
     // same column lists the engine profiles
+    // stopword votes, the sorted-margin cut, and the ppm floors —
+    // langCase/langHitsList share the marker lists with the engine
+    "q242_langid_calibration" ->
+      s"""WITH lt AS (
+         |  SELECT lang,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT lang, ($langCase) AS pred,
+         |    list_sort($langHitsList) AS hl
+         |  FROM lt),
+         |b AS (
+         |  SELECT least(hl[4] - hl[3], 10) AS bucket,
+         |    CASE WHEN pred = lang THEN 1 ELSE 0 END AS ok
+         |  FROM s),
+         |p AS (
+         |  SELECT CAST(bucket AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(ok) AS BIGINT) AS n_correct
+         |  FROM b GROUP BY 1),
+         |a AS (
+         |  SELECT CAST(-1 AS BIGINT) AS bucket,
+         |    CAST(sum(n) AS BIGINT) AS n,
+         |    CAST(sum(n_correct) AS BIGINT) AS n_correct
+         |  FROM p),
+         |m AS (SELECT * FROM p UNION ALL SELECT * FROM a)
+         |SELECT bucket, n, n_correct,
+         |  n_correct * 1000000 // n AS acc_ppm
+         |FROM m ORDER BY bucket""".stripMargin,
     // rater coins, pair join, and every ppm floor replayed exactly;
     // HUGEINT widens the n² / t² products like Spark's DECIMAL(38,0)
     "q239_rater_agreement" ->

@@ -328,4 +328,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again == out, "row-local compression must not depend on " +
                          "partitioning")
   }
+
+  test("langIdMargin: counts the top-1 vs top-2 vote gap, 0 on ties " +
+       "and no-hit rows, and q242's calibration buckets reconcile") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat and the dog and the house",     // en 5 hits (the ×3 +
+                                               //   and ×2, per token),
+                                               //   others 0 → margin 5
+      "der hund the cat und das la maison",    // de 3 (der/und/das) vs
+                                               //   en 1, fr 1 → 3-1=2
+      "le la est the and is",                  // fr 3 vs en 3 → tie, 0
+      "zzz qqq").toDF("t")                     // no hits → all 0 → 0
+    val m = df.select(TextAnalysis.langIdMargin(col("t")).as("m"))
+      .collect().map(_.getInt(0))
+    assert(m.toSeq == Seq(5, 2, 0, 0), s"got ${m.toSeq}")
+    // q242 on the corpus: ALL row sums its buckets exactly, and
+    // nonzero-margin predictions beat the zero-margin bucket (the
+    // abstain-cost the router reads off this table)
+    val rows = graft.operators.LlmQueries
+      .queries("q242_langid_calibration")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3)))
+    val all = rows.find(_._1 == -1L).get
+    val buckets = rows.filter(_._1 >= 0L)
+    assert(buckets.map(_._2).sum == all._2 &&
+             buckets.map(_._3).sum == all._3)
+    assert(rows.forall(r => r._4 == r._3 * 1000000L / r._2))
+    val zero = buckets.find(_._1 == 0L).get
+    val nzN = buckets.filter(_._1 > 0L).map(_._2).sum
+    val nzC = buckets.filter(_._1 > 0L).map(_._3).sum
+    assert(nzC * 1000000L / nzN > zero._4,
+           "confident predictions must beat the zero-margin bucket")
+  }
 }
