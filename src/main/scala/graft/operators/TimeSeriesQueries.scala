@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -440,7 +440,58 @@ object TimeSeriesQueries {
       .orderBy("win_start", "verdict")
   }
 
+  /** Exponentially-decayed per-key activity scores — the "trending"
+    * ranking primitive, as a MERGEABLE integer sketch: each event
+    * contributes `2^(30 − age_days)` (a half-life of one day, scores
+    * in units of 2⁻³⁰; events older than the 30-day horizon or after
+    * `refDay` contribute 0). All integer arithmetic — no float decay
+    * factors, so per-shard partial sums ADD to the full-corpus score
+    * as long as every shard pins the same `refDay` (the spec's merge
+    * law), and a stored score rolls one day forward by a single
+    * halving. Input columns: `event_type, user_id, day`.
+    *
+    * Headroom: score ≤ n_events·2³⁰, so BIGINT holds ~8.5e9 events
+    * per (type, user) key — far past any per-user activity; widen
+    * through DECIMAL(38,0) only if keys ever aggregate whole shards.
+    */
+  def decayedScores(e: DataFrame, refDay: Column): DataFrame =
+    e.withColumn("__age", (refDay - col("day")).cast("int"))
+      .withColumn("__w",
+        when(col("__age").between(0, 30),
+             expr("shiftright(1073741824L, __age)"))
+          .otherwise(lit(0L)))
+      .groupBy("event_type", "user_id")
+      .agg(sum("__w").as("score"))
+
+  /** Decayed heavy hitters ([[decayedScores]]): top-10 trending users
+    * per event type by half-life-weighted activity as of the corpus'
+    * last day, ties broken by user id. The rank filter plans as
+    * WindowGroupLimit (map-side top-k per type — the exchange carries
+    * ≤ #types·10 candidate rows after partial limits, never the full
+    * key space). FULLY oracle-checked: DuckDB replays the day cut,
+    * the shift weights, and the ranked cut.
+    *
+    * Scale shape: one row-local scan + map-side-combined (type, user)
+    * partial sums; the reference day comes from a broadcast 1-row
+    * max — no corpus-scale sort anywhere.
+    */
+  def q243DecayedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+              expr("unix_timestamp(ts) div 86400").as("day"))
+    val ref = e.agg(max("day").as("__ref"))
+    val scored = decayedScores(
+      e.crossJoin(broadcast(ref)), col("__ref"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(desc("score"), asc("user_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("event_type", "rank", "user_id", "score")
+      .orderBy("event_type", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_decayed_topk" -> (q243DecayedTopk(_, _)),
     "q241_watermark_audit" -> (q241WatermarkAudit(_, _)),
     "q123_windowed_counts" -> (q123WindowedCounts(_, _)),
     "q111_ab_test" -> (q111AbTest(_, _)),
@@ -460,6 +511,26 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // day cut, shift weights, ranked cut — all integer
+    "q243_decayed_topk" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |mx AS (SELECT max(day) AS md FROM e),
+        |s AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CASE WHEN md - day BETWEEN 0 AND 30
+        |                  THEN 1073741824 >> CAST(md - day AS INTEGER)
+        |                  ELSE 0 END) AS BIGINT) AS score
+        |  FROM e CROSS JOIN mx GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, score,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY score DESC, user_id ASC) AS BIGINT) AS rank
+        |  FROM s)
+        |SELECT event_type, rank, user_id, score FROM r
+        |WHERE rank <= 10 ORDER BY event_type, rank""".stripMargin,
     // delay hashes + the arrival-order running max as ONE window (small
     // data) vs the engine's two-phase distributed form
     "q241_watermark_audit" ->
