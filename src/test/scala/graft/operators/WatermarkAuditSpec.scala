@@ -69,4 +69,55 @@ class WatermarkAuditSpec extends SparkSpec {
     assert(got.exists(_._2 == "dropped_late") &&
              got.exists(_._2 == "accepted"))
   }
+
+  test("the audit IS per-event-batch streaming: feeding arrivals one " +
+       "micro-batch each through windowedCounts with the same 15-min " +
+       "watermark reproduces the audit-accepted counts exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // first 100 arrivals in ingest order, with their event types
+    val arr = TimeSeriesQueries.q241Arrivals(spark, sf0001)
+      .join(graft.sources.Tables.events(spark, sf0001)
+              .select(col("event_id"), col("event_type")),
+            Seq("event_id"))
+      .select("event_id", "event_s", "ingest_s", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                 r.getString(3)))
+      .sortBy(t => (t._3, t._1)).take(100)
+    // audit replay over exactly this prefix (per-event watermark)
+    var runMax = 0L
+    val expected = arr.flatMap { case (_, es, _, tpe) =>
+      val wm = runMax - 900L
+      val win = es / 3600L * 3600L
+      runMax = math.max(runMax, es)
+      if (win + 3600L > wm) Some(((win, tpe), 1L)) else None
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    // stream the same prefix, ONE micro-batch per arrival — Spark's
+    // per-batch watermark update then equals the audit's
+    // strictly-earlier-arrival rule
+    val input = MemoryStream[graft.streaming.EventStreams.Event]
+    val q = graft.streaming.EventStreams
+      .windowedCounts(input.toDF(), windowLen = "1 hour",
+                      lateness = "15 minutes")
+      .writeStream.format("memory").queryName("wm_audit_x")
+      .outputMode("update").start()
+    try {
+      arr.foreach { case (id, es, _, tpe) =>
+        input.addData(graft.streaming.EventStreams.Event(
+          new java.sql.Timestamp(es * 1000L), tpe, id, 0.0))
+        q.processAllAvailable()
+      }
+      // update-mode counts only grow per key: max = final
+      val streamed = spark.table("wm_audit_x")
+        .groupBy("window_start", "event_type").agg(max("n").as("n"))
+        .collect()
+        .map(r => ((r.getTimestamp(0).getTime / 1000L,
+                    r.getString(1)), r.getLong(2))).toMap
+      assert(streamed == expected,
+             s"streamed=$streamed\nexpected=$expected")
+    } finally q.stop()
+  }
 }
