@@ -2243,6 +2243,36 @@ object LlmQueries {
       |         'new doc ' || CAST(doc_id AS VARCHAR)
       |  FROM documents WHERE doc_id % 13 = 0)""".stripMargin
 
+  /** The SCD-2 full-rebuild replay over base + the complete shared
+    * changelog — ONE definition consumed by BOTH the q240 (direct
+    * build) and q244 (incremental roll) oracles, so rolled ≡ rebuilt
+    * is checked against the byte-identical SQL.
+    */
+  private lazy val scd2RebuildSql: String =
+      s"""WITH $changelogChCte,
+        |al AS (
+        |  SELECT doc_id, 1 AS v, 0 AS src, 'upsert' AS op, text
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, v, 1 AS src, op, text FROM ch),
+        |res AS (
+        |  SELECT doc_id, v, op, text FROM al
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY doc_id, v
+        |    ORDER BY src DESC, op DESC, md5(text) DESC, text DESC) = 1),
+        |iv AS (
+        |  SELECT doc_id, v, op, text,
+        |    coalesce(lead(v) OVER (PARTITION BY doc_id ORDER BY v),
+        |             9999) AS valid_to
+        |  FROM res)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(v AS BIGINT) AS valid_from,
+        |  CAST(valid_to AS BIGINT) AS valid_to,
+        |  CAST(CASE WHEN valid_to = 9999 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_current,
+        |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_h
+        |FROM iv WHERE op = 'upsert'
+        |ORDER BY doc_id, valid_from""".stripMargin
+
   /** SCD-2 history build ([[Versioning.scd2History]]) — the versioned
     * corpus kept as validity intervals instead of collapsed to latest
     * state: base snapshot as version-1 upserts + the [[q105Changelog]],
@@ -2262,6 +2292,25 @@ object LlmQueries {
     val d = Tables.documents(spark, dir)
     Versioning.scd2History(d, q105Changelog(d),
                            "doc_id", "version", "op", "text")
+  }
+
+  /** Incremental SCD-2 roll ([[Versioning.scd2Roll]]) — q240's
+    * maintenance twin: the changelog split into day deltas (versions
+    * ≤ 2, then version 3) and applied incrementally onto the existing
+    * history. The oracle is the SAME SQL string as q240's full
+    * rebuild — rolled ≡ rebuilt byte-for-byte, the q144/q147 pattern
+    * for the warehouse layer. Scale shape: the day-2 delta does all
+    * the shuffling; the standing history is touched only through a
+    * broadcast join on the delta's affected ids.
+    */
+  def q244Scd2Roll(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val full = q105Changelog(d)
+    val hist1 = Versioning.scd2History(
+      d, full.filter(col("version") <= 2),
+      "doc_id", "version", "op", "text")
+    Versioning.scd2Roll(hist1, full.filter(col("version") === 3),
+                        "doc_id", "version", "op", "text")
   }
 
   /** Corpus-internal gram novelty ([[Contamination.gramNovelty]]): per
@@ -7170,6 +7219,7 @@ object LlmQueries {
     "q239_rater_agreement"   -> (q239RaterAgreement(_, _)),
     "q240_scd2_history"      -> (q240Scd2History(_, _)),
     "q242_langid_calibration" -> (q242LangidCalibration(_, _)),
+    "q244_scd2_roll"         -> (q244Scd2Roll(_, _)),
     "q233_rolling_wau"       -> (q233RollingWau(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
@@ -12275,32 +12325,12 @@ object LlmQueries {
     // Changelog rebuilt from the same id-modulo rules; latest-wins via
     // the (v, op, fp, text) DESC ordering (the max(struct) twin), then
     // the full-outer merge and delete filter.
+    // rolled ≡ rebuilt: the incremental roll replays against the SAME
+    // full-rebuild SQL as q240 (shared val — byte-identical oracle)
+    "q244_scd2_roll" -> scd2RebuildSql,
     // SAME (id, version) resolution tie-break as q105's latest-wins,
     // then the lead() interval cut over each id's resolved versions
-    "q240_scd2_history" ->
-      s"""WITH $changelogChCte,
-        |al AS (
-        |  SELECT doc_id, 1 AS v, 0 AS src, 'upsert' AS op, text
-        |  FROM documents
-        |  UNION ALL SELECT doc_id, v, 1 AS src, op, text FROM ch),
-        |res AS (
-        |  SELECT doc_id, v, op, text FROM al
-        |  QUALIFY row_number() OVER (
-        |    PARTITION BY doc_id, v
-        |    ORDER BY src DESC, op DESC, md5(text) DESC, text DESC) = 1),
-        |iv AS (
-        |  SELECT doc_id, v, op, text,
-        |    coalesce(lead(v) OVER (PARTITION BY doc_id ORDER BY v),
-        |             9999) AS valid_to
-        |  FROM res)
-        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |  CAST(v AS BIGINT) AS valid_from,
-        |  CAST(valid_to AS BIGINT) AS valid_to,
-        |  CAST(CASE WHEN valid_to = 9999 THEN 1 ELSE 0 END AS BIGINT)
-        |    AS is_current,
-        |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_h
-        |FROM iv WHERE op = 'upsert'
-        |ORDER BY doc_id, valid_from""".stripMargin,
+    "q240_scd2_history" -> scd2RebuildSql,
     "q105_apply_changelog" ->
       s"""WITH $changelogChCte,
         |latest AS (

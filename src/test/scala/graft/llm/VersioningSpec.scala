@@ -268,4 +268,44 @@ class VersioningSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(current == merged)
   }
+
+  test("scd2Roll ≡ rebuild: day-by-day rolls (including a delete-only " +
+       "day and a brand-new id) land byte-identical to the one-shot " +
+       "history, and the roll only broadcasts the delta against hist") {
+    import spark.implicits._
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("doc_id", "text")
+    val day1 = Seq((2L, 2L, "upsert", "two v2"),
+                   (4L, 2L, "upsert", "four new"))
+      .toDF("doc_id", "version", "op", "text")
+    val day2 = Seq((3L, 3L, "delete", ""),       // delete-only for 3
+                   (2L, 3L, "delete", ""),
+                   (2L, 4L, "upsert", "two back")) // delete then revive
+      .toDF("doc_id", "version", "op", "text")
+    val cols = ("doc_id", "version", "op", "text")
+    def hist(ch: org.apache.spark.sql.DataFrame) =
+      Versioning.scd2History(base, ch, cols._1, cols._2, cols._3,
+                             cols._4)
+    def roll(h: org.apache.spark.sql.DataFrame,
+             ch: org.apache.spark.sql.DataFrame) =
+      Versioning.scd2Roll(h, ch, cols._1, cols._2, cols._3, cols._4)
+    val rolled = roll(roll(hist(day1.limit(0)), day1), day2)
+    val rebuilt = hist(day1.unionByName(day2))
+    assert(rolled.collect().toSeq == rebuilt.collect().toSeq,
+           "chained daily rolls must equal the one-shot rebuild")
+    // the corpus-scale check, against the q240 full build
+    val sf = sf0001
+    val rolledQ = graft.operators.LlmQueries
+      .queries("q244_scd2_roll")(spark, sf).collect().toSeq
+    val rebuiltQ = graft.operators.LlmQueries
+      .queries("q240_scd2_history")(spark, sf).collect().toSeq
+    assert(rolledQ == rebuiltQ)
+    // hist never shuffles: its branch reaches the union through a
+    // BroadcastHashJoin on the delta's affected-id set
+    val plan = graft.operators.LlmQueries
+      .queries("q244_scd2_roll")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+           s"the roll must broadcast the delta id set:\n$plan")
+  }
 }
