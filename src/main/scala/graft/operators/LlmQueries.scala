@@ -2313,6 +2313,73 @@ object LlmQueries {
                         "doc_id", "version", "op", "text")
   }
 
+  /** Streaming SCD-2 maintenance ([[graft.streaming.EventStreams
+    * .scd2Sink]]): the changelog arrives as one micro-batch per
+    * version day over a staged file source; each batch rolls the
+    * standing history via [[Versioning.scd2Roll]] into a
+    * deterministic per-batch directory (idempotent on replay). The
+    * final landed table is oracle-checked against the SAME
+    * full-rebuild SQL as q240 and q244 — stream ≡ roll ≡ rebuild,
+    * byte-for-byte, one shared oracle string for all three paths.
+    * Like the other streaming queries the sink output is memoized per
+    * sf dir (excluded from the bench — a timed pass would measure a
+    * parquet re-read).
+    */
+  def q246StreamingScd2(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = q246Saved.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q246_").toString
+      val in = s"$base/in"
+      val d = Tables.documents(spark, dir)
+      val full = q105Changelog(d)
+      graft.streaming.EventStreams.stageMicroBatchFiles(
+        full, col("version") - 1, nBatches = 3, inDir = in)
+      Versioning.scd2History(d, full.limit(0),
+                             "doc_id", "version", "op", "text")
+        .write.mode("overwrite").parquet(s"$base/out/vinit")
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, version BIGINT, op STRING, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val q = graft.streaming.EventStreams.scd2Sink(
+        stream, s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s"$base/out/v2"
+    })
+    spark.read.parquet(outDir).orderBy("doc_id", "valid_from")
+  }
+  private val q246Saved = new graft.SavedOnce[String, String]
+
+  /** Bitemporal as-of serving from the SCD-2 table — the query the
+    * history layout exists FOR: "what did the corpus look like at
+    * version v?" answered by pure interval containment
+    * (`valid_from ≤ v < valid_to`), no changelog replay at read time.
+    * One row per as-of version (1..3): live-doc count + an
+    * order-invariant digest (Σ (content_h + doc_id) mod 2²⁰ — the
+    * q200 digest shape, overflow-safe to 10¹² docs). The oracle is an
+    * INDEPENDENT derivation: DuckDB rebuilds each state by the q105
+    * latest-wins MERGE over the changelog PREFIX `version ≤ v` and
+    * digests that — so SCD2-served states ≡ prefix merges, for every
+    * version at once.
+    *
+    * Scale shape: the served state is one scan of the (id-bucketable)
+    * history with a row-local containment filter per as-of version —
+    * the explode carries 3 small longs per interval; the exchange is
+    * ≤ #versions digest rows.
+    */
+  def q245Scd2Asof(spark: SparkSession, dir: String): DataFrame =
+    q240Scd2History(spark, dir)
+      .select(col("doc_id"), col("valid_from"), col("valid_to"),
+              col("content_h"),
+              explode(expr("array(1L, 2L, 3L)")).as("as_of"))
+      .filter(col("valid_from") <= col("as_of") &&
+              col("as_of") < col("valid_to"))
+      .groupBy("as_of")
+      .agg(count(lit(1)).as("n_docs"),
+           sum((col("content_h") + col("doc_id")) % 1048576L)
+             .as("digest"))
+      .orderBy("as_of")
+
   /** Corpus-internal gram novelty ([[Contamination.gramNovelty]]): per
     * doc, how many of its distinct word-6-grams appear in NO other
     * document — the uniqueness/memorization-risk audit (and, inverted,
@@ -7220,6 +7287,8 @@ object LlmQueries {
     "q240_scd2_history"      -> (q240Scd2History(_, _)),
     "q242_langid_calibration" -> (q242LangidCalibration(_, _)),
     "q244_scd2_roll"         -> (q244Scd2Roll(_, _)),
+    "q245_scd2_asof"         -> (q245Scd2Asof(_, _)),
+    "q246_streaming_scd2"    -> (q246StreamingScd2(_, _)),
     "q233_rolling_wau"       -> (q233RollingWau(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
@@ -12328,6 +12397,39 @@ object LlmQueries {
     // rolled ≡ rebuilt: the incremental roll replays against the SAME
     // full-rebuild SQL as q240 (shared val — byte-identical oracle)
     "q244_scd2_roll" -> scd2RebuildSql,
+    // stream ≡ roll ≡ rebuild: the streamed sink's final table replays
+    // against the same shared full-rebuild SQL
+    "q246_streaming_scd2" -> scd2RebuildSql,
+    // INDEPENDENT derivation: each as-of state rebuilt by the q105
+    // latest-wins MERGE over the changelog prefix version ≤ v, then
+    // digested — SCD2 interval serving ≡ prefix merges
+    "q245_scd2_asof" ->
+      s"""WITH $changelogChCte,
+        |av(vat) AS (VALUES (1), (2), (3)),
+        |cx AS (
+        |  SELECT a.vat, c.doc_id, c.v, c.op, c.text
+        |  FROM ch c JOIN av a ON c.v <= a.vat),
+        |latest AS (
+        |  SELECT vat, doc_id, op AS __op, text AS __text
+        |  FROM cx
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY vat, doc_id
+        |    ORDER BY v DESC, op DESC, md5(text) DESC, text DESC) = 1),
+        |bb AS (
+        |  SELECT a.vat, b.doc_id, b.text
+        |  FROM documents b CROSS JOIN av a),
+        |m AS (
+        |  SELECT coalesce(bb.vat, l.vat) AS vat,
+        |    coalesce(bb.doc_id, l.doc_id) AS doc_id,
+        |    l.__op, coalesce(l.__text, bb.text) AS text
+        |  FROM bb FULL OUTER JOIN latest l
+        |    ON bb.vat = l.vat AND bb.doc_id = l.doc_id)
+        |SELECT CAST(vat AS BIGINT) AS as_of,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum((('0x' || substr(md5(text), 1, 15))::BIGINT
+        |            + doc_id) % 1048576) AS BIGINT) AS digest
+        |FROM m WHERE coalesce(__op, 'keep') <> 'delete'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // SAME (id, version) resolution tie-break as q105's latest-wins,
     // then the lead() interval cut over each id's resolved versions
     "q240_scd2_history" -> scd2RebuildSql,

@@ -443,4 +443,39 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), windowValueAvg)
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n"), col("value_avg"))
+
+  /** Streaming SCD-2 maintenance: each changelog micro-batch (columns
+    * `doc_id, version, op, text`) rolls the standing history forward
+    * via [[graft.llm.Versioning.scd2Roll]] and lands the full rolled
+    * table at `{outDir}/v{batchId}` — the staged-state shape of the
+    * daily-delta contract, but fed by a stream. The write is
+    * DETERMINISTIC per batch (same prev state + same delta → same
+    * output, overwrite mode), so a replayed micro-batch after a
+    * restart reproduces its own directory instead of corrupting it —
+    * the same idempotency story as the `batch_id=` sinks. Seed the
+    * initial history at `{outDir}/vinit` before starting.
+    *
+    * Per-batch cost is delta-sized plus one read+write of the history
+    * table; at 100 TB the landing table would be id-bucketed and the
+    * rewrite bounded to affected buckets — here the point pinned by
+    * the oracle is stream ≡ roll ≡ rebuild, byte-for-byte.
+    */
+  def scd2Sink(changes: DataFrame, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+        val spark = batch.sparkSession
+        val prev = if (id == 0L) s"$outDir/vinit"
+                   else s"$outDir/v${id - 1}"
+        val hist = spark.read.parquet(prev)
+        graft.llm.Versioning
+          .scd2Roll(hist, batch.toDF(), "doc_id", "version", "op",
+                    "text")
+          .write.mode("overwrite").parquet(s"$outDir/v$id")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .start()
 }

@@ -308,4 +308,30 @@ class VersioningSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
            s"the roll must broadcast the delta id set:\n$plan")
   }
+
+  test("q245 as-of serving: the final-version state digest equals the " +
+       "q105 merged corpus digested the same way, and doc counts move " +
+       "with the changelog (inserts at v1, deletes at v2)") {
+    import spark.implicits._
+    val sf = sf0001
+    val rows = graft.operators.LlmQueries
+      .queries("q245_scd2_asof")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val d = graft.sources.Tables.documents(spark, sf)
+    val n = d.count()
+    val nIns = d.filter(col("doc_id") % 13 === 0).count()
+    val nDel = d.filter(col("doc_id") % 11 === 0 &&
+                        col("doc_id") % 7 =!= 0).count()
+    assert(rows(1L)._1 == n + nIns, "v1 = base + inserts")
+    assert(rows(2L)._1 == n + nIns - nDel, "v2 loses the deletes")
+    assert(rows(3L)._1 == rows(2L)._1, "v3 only rewrites")
+    val mergedDigest = graft.operators.LlmQueries
+      .queries("q105_apply_changelog")(spark, sf)
+      .select(sum((conv(substring(col("content_md5"), 1, 15), 16, 10)
+                     .cast("long") + col("doc_id")) % 1048576L))
+      .head.getLong(0)
+    assert(rows(3L)._2 == mergedDigest,
+           "as-of final version must digest-match the MERGE view")
+  }
 }
