@@ -1243,6 +1243,61 @@ object ScaleProbe {
         }
       }
     }
+
+    // round-12 newcomers: SCD-2 build/roll, the watermark audit's
+    // two-phase running max, and the rater-agreement self-join
+    section("scd2_build scd2_roll wm_audit rater_pairs") {
+      import graft.llm.{Annotation, Versioning}
+      def changelogX(d: org.apache.spark.sql.DataFrame) = {
+        val rev2 = d.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), lit(2L).as("version"),
+                  lit("upsert").as("op"),
+                  concat(col("text"), lit(" [rev2]")).as("text"))
+        val rev3 = d.filter(col("doc_id") % 14 === 0)
+          .select(col("doc_id"), lit(3L).as("version"),
+                  lit("upsert").as("op"),
+                  concat(col("text"), lit(" [rev3]")).as("text"))
+        val dels = d.filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id"), lit(2L).as("version"),
+                  lit("delete").as("op"), lit("").as("text"))
+        rev2.unionByName(rev3).unionByName(dels)
+      }
+      for (n <- Seq(1, 5, 20)) {
+        val d = docsX(n); val rows = d.count()
+        val full = changelogX(d)
+        time(s"scd2_build     n=$n ($rows)") {
+          noop(Versioning.scd2History(d, full, "doc_id", "version",
+                                      "op", "text"))
+        }
+        val hist1 = Materialize(Versioning.scd2History(
+          d, full.filter(col("version") <= 2),
+          "doc_id", "version", "op", "text"))
+        time(s"scd2_roll      n=$n ($rows)") {
+          noop(Versioning.scd2Roll(
+            hist1, full.filter(col("version") === 3),
+            "doc_id", "version", "op", "text"))
+        }
+        val arr = (0 until n).map { i =>
+          graft.operators.TimeSeriesQueries.q241Arrivals(spark, dir)
+            .withColumn("event_id", col("event_id") + lit(i * 100000000L))
+        }.reduce(_ unionByName _)
+        time(s"wm_audit       n=$n") {
+          noop(graft.operators.TimeSeriesQueries
+            .watermarkAudit(arr, wmLagS = 900L, winS = 3600L))
+        }
+        val ground = d.select(
+          col("doc_id"),
+          (graft.llm.TextAnalysis.wsTokenCount(col("text")) >= 56)
+            .cast("long").as("ground"))
+        time(s"rater_pairs    n=$n ($rows)") {
+          noop(Annotation.agreement(
+            Annotation.syntheticRaters(ground, "doc_id", "ground",
+                                       Seq(1 -> 5, 2 -> 15, 3 -> 35),
+                                       key = "rate12"),
+            "item", "rater", "label"))
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -589,6 +589,40 @@ object Similarity {
       .withColumn("qscale", col("__maxabs") / 127.0d)
       .drop("__maxabs")
 
+  /** Retrieval-result diversity audit: per query, pairwise-cosine
+    * stats (mean/max/min, 6 dp) among its exact top-k results — the
+    * redundancy number a serving stack monitors beside recall (mean
+    * near 1 = a result page of near-duplicates). Pairs are bounded at
+    * k·(k−1)/2 per query, the ids re-join their vectors in one
+    * result-sized pass, and the mean follows the exact-DECIMAL-sum +
+    * one-IEEE-division convention so summation order cannot flap the
+    * rounding.
+    */
+  def resultDiversity(corpus: DataFrame, queries: DataFrame, k: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val top = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"))
+    val withV = top.join(
+      corpus.select(col(idCol).as("corpus_id"),
+                    col(vecCol).as("__v")),
+      Seq("corpus_id"))
+    val a = withV.select(col("query_id"), col("corpus_id").as("ca"),
+                         col("__v").as("va"))
+    val b = withV.select(col("query_id"), col("corpus_id").as("cb"),
+                         col("__v").as("vb"))
+    a.join(b, Seq("query_id")).filter(col("ca") < col("cb"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_pairs"),
+           (floor(sum(col("cos").cast("decimal(18,6)")).cast("double")
+                    / count(lit(1)).cast("double") * 1000000.0d + 0.5d)
+              / 1000000.0d).as("mean_cos"),
+           round(max("cos"), 6).as("max_cos"),
+           round(min("cos"), 6).as("min_cos"))
+      .orderBy("query_id")
+  }
+
   /** Exact top-k over the int8-quantized index: same plan as
     * [[bruteForceTopK]] (broadcast queries, per-partition top-k) but the
     * corpus scanned is a quarter the bytes. Integer dots are exact in

@@ -120,6 +120,25 @@ object LlmQueries {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
   }
 
+  /** Retrieval-result DIVERSITY audit — the serving-quality number a
+    * search/RAG stack monitors beside recall: per query, the mean /
+    * max / min pairwise cosine among its exact top-10 results. A mean
+    * near 1 means the result page is redundant (near-dup results
+    * crowding out coverage — the symptom SemDeDup-style pruning
+    * exists to fix); the audit quantifies it per query. Pairwise
+    * stats are k·(k−1)/2 = 45 BOUNDED pairs per query — never a
+    * corpus-scale product; the result ids join their vectors back in
+    * one broadcast-sized pass. Mean follows the exact-DECIMAL-sum +
+    * one-IEEE-division convention so summation order cannot flap the
+    * 6-dp rounding. FULLY oracle-checked (DuckDB replays the exact
+    * top-10, the pair join, and every rounding).
+    */
+  def q247AnnDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.resultDiversity(emb, emb.filter(col("vec_id") < 5),
+                               k = 10)
+  }
+
   /** Product-quantized ANN ([[Similarity.pqIndex]]/[[Similarity.pqTopK]]
     * — the FAISS PQ memory story): the 64-dim float corpus is encoded as
     * 4 codes from per-subspace seeded codebooks (a 64× index-size cut),
@@ -7289,6 +7308,7 @@ object LlmQueries {
     "q244_scd2_roll"         -> (q244Scd2Roll(_, _)),
     "q245_scd2_asof"         -> (q245Scd2Asof(_, _)),
     "q246_streaming_scd2"    -> (q246StreamingScd2(_, _)),
+    "q247_ann_diversity"     -> (q247AnnDiversity(_, _)),
     "q233_rolling_wau"       -> (q233RollingWau(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
@@ -12953,6 +12973,35 @@ object LlmQueries {
         |      FROM f)
         |SELECT query_id, corpus_id, round(cos, 6) AS cos, rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the q38 exact-top-10 replay, then the 45-pair cosine stats per
+    // query with the exact-DECIMAL-sum mean
+    "q247_ann_diversity" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS corpus_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT query_id, corpus_id,
+        |        list_cosine_similarity(qv, cv) AS cos
+        |      FROM q CROSS JOIN c WHERE query_id <> corpus_id),
+        |r AS (SELECT query_id, corpus_id,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY cos DESC, corpus_id) AS rank
+        |      FROM s),
+        |t AS (SELECT query_id, corpus_id FROM r WHERE rank <= 10),
+        |p AS (SELECT t1.query_id,
+        |        round(list_cosine_similarity(v1.cv, v2.cv), 6) AS pcos
+        |      FROM t t1 JOIN t t2 ON t1.query_id = t2.query_id
+        |        AND t1.corpus_id < t2.corpus_id
+        |      JOIN c v1 ON v1.corpus_id = t1.corpus_id
+        |      JOIN c v2 ON v2.corpus_id = t2.corpus_id)
+        |SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  floor(CAST(sum(CAST(pcos AS DECIMAL(18,6))) AS DOUBLE)
+        |        / count(*) * 1000000 + 0.5) / 1000000 AS mean_cos,
+        |  round(max(pcos), 6) AS max_cos,
+        |  round(min(pcos), 6) AS min_cos
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q38_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

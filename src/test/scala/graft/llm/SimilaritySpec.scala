@@ -609,6 +609,53 @@ class SimilaritySpec extends SparkSpec {
       r.getLong(3) * 1000L / math.max(r.getLong(2), 1L)))
   }
 
+  test("resultDiversity: a clustered corpus yields redundant result " +
+       "pages (high mean pairwise cosine), the random driver corpus " +
+       "low ones; pair counts are k(k-1)/2 and a driver recompute " +
+       "matches exactly") {
+    // clustered: top-10 of a member are its cluster-mates → redundant
+    val clRows = Similarity.resultDiversity(
+      clustered, clustered.filter(col("vec_id") < 3), k = 10)
+      .collect()
+    clRows.foreach { r =>
+      assert(r.getLong(1) == 45L)
+      assert(r.getDouble(2) > 0.9,
+             s"cluster-mate pages must be redundant: ${r.getDouble(2)}")
+    }
+    // random 64-dim corpus: near-orthogonal results
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val rnd = graft.operators.LlmQueries
+      .queries("q247_ann_diversity")(spark, sf0001).collect()
+    assert(rnd.length == 5)
+    rnd.foreach { r =>
+      assert(r.getLong(1) == 45L)
+      assert(math.abs(r.getDouble(2)) < 0.5, "random corpus pages " +
+             s"must not be redundant: ${r.getDouble(2)}")
+      assert(r.getDouble(3) >= r.getDouble(2) &&
+               r.getDouble(2) >= r.getDouble(4))
+    }
+    // driver recompute of query 0's mean from the exact top-10
+    val ids = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 10)
+      .collect().map(_.getLong(1))
+    val vecs = emb.filter(col("vec_id").isin(ids: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      val dx = x.map(_.toDouble); val dy = y.map(_.toDouble)
+      val d = dx.zip(dy).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(dx.map(v => v * v).sum) *
+             math.sqrt(dy.map(v => v * v).sum))
+    }
+    val pairs = for {
+      i <- ids; j <- ids if i < j
+    } yield BigDecimal(cos(vecs(i), vecs(j)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val mean = math.floor(
+      pairs.sum.toDouble / pairs.length * 1000000.0 + 0.5) / 1000000.0
+    assert(rnd.find(_.getLong(0) == 0L).get.getDouble(2) == mean)
+  }
+
   test("withSignBits enforces dims ≤ 64: an oversized vector raises " +
        "loudly (shiftleft would silently wrap bit i onto i−64 and " +
        "corrupt hamming rankings); conforming rows are unchanged") {
