@@ -139,6 +139,85 @@ object LlmQueries {
                                k = 10)
   }
 
+  /** Hubness audit of the ANN graph — the high-dimensional pathology
+    * a vector index operator watches for: a few "hub" vectors that
+    * appear in a disproportionate share of everyone's top-k crowd out
+    * genuine neighbors and silently cap recall. Over a deterministic
+    * 2% query sample (`vec_id % 50 = 0`), count each corpus vector's
+    * in-degree in the exact top-10 lists; report the top-20 hubs
+    * (ties by id) and a SUMMARY row (corpus_id −1) with the max
+    * in-degree and the coverage share — how many distinct corpus
+    * vectors appear in any result list, in ppm of the corpus. FULLY
+    * oracle-checked (DuckDB replays the sampled exact top-10, the
+    * in-degree counts, the ranked cut, and the ppm floors).
+    *
+    * Scale shape: queries are a hash-sampled sliver (broadcast); the
+    * corpus scans once per the brute-force pass; in-degree is a
+    * map-side-combined count over 10·|sample| id rows; the top-20 cut
+    * plans as WindowGroupLimit.
+    */
+  def q248HubnessAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val top = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+                      k = 10)
+      .select(col("query_id"), col("corpus_id"))
+      .transform(graft.Materialize(_)) // 10·sample rows, read thrice
+    val deg = top.groupBy("corpus_id")
+      .agg(count(lit(1)).as("in_degree"))
+      .transform(graft.Materialize(_))
+    val w = Window.orderBy(desc("in_degree"), asc("corpus_id"))
+    val hubs = deg
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+      .select(lit("HUB").as("scope"), col("corpus_id"),
+              col("in_degree"), col("rank"))
+    val nCorpus = emb.count()
+    val summary = deg.agg(
+        max("in_degree").as("max_deg"),
+        count(lit(1)).as("n_distinct"))
+      .select(lit("SUMMARY").as("scope"), lit(-1L).as("corpus_id"),
+              col("max_deg").as("in_degree"),
+              expr(s"n_distinct * 1000000 DIV ${nCorpus}L").as("rank"))
+    hubs.unionByName(summary).orderBy("scope", "rank", "corpus_id")
+  }
+
+  /** Dedup THRESHOLD sweep — the tuning table a near-dup pipeline
+    * reads before picking its Jaccard cutoff: over the LSH-surfaced
+    * verified candidate pairs (threshold floor 0.3, the same
+    * banding/guards as q35), for each grid cutoff t ∈ {30..95 by 5}
+    * percent, how many pairs still qualify and how many DISTINCT
+    * documents they touch (the upper bound on removals — exact
+    * removal counts need the per-threshold closure, which the chosen
+    * cutoff then gets from the real q35 run). Pair fanout is ≤ 14
+    * grid rows per pair over the pair table only — the corpus never
+    * re-scans per threshold. FULLY oracle-checked: the shared minhash
+    * edge replay (now carrying its verified Jaccard) composed with
+    * the same grid cut; the t/100 comparison constant is correctly
+    * rounded in both engines, so the float comparisons agree exactly.
+    */
+  def q249DedupThresholdSweep(spark: SparkSession,
+                              dir: String): DataFrame = {
+    val pairs = Dedup.minhashCandidatePairsPortable(
+        Tables.documents(spark, dir), "doc_id", "text",
+        k = 5, numHashes = 32, bands = 8, threshold = 0.3,
+        maxBucket = 1000)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+              explode(expr("sequence(30, 95, 5)")).as("t"))
+      .filter(col("jaccard") >= col("t").cast("double") / 100.0d)
+      .transform(graft.Materialize(_)) // pair×grid rows, read twice
+    val np = pairs.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+    val nd = pairs
+      .select(col("t"), explode(array(col("doc_a"), col("doc_b")))
+                .as("d"))
+      .groupBy("t").agg(countDistinct("d").as("n_docs"))
+    np.join(nd, Seq("t"))
+      .select(col("t").cast("long").as("thr_pct"), col("n_pairs"),
+              col("n_docs"))
+      .orderBy("thr_pct")
+  }
+
   /** Product-quantized ANN ([[Similarity.pqIndex]]/[[Similarity.pqTopK]]
     * — the FAISS PQ memory story): the 64-dim float corpus is encoded as
     * 4 codes from per-subspace seeded codebooks (a 64× index-size cut),
@@ -7309,6 +7388,8 @@ object LlmQueries {
     "q245_scd2_asof"         -> (q245Scd2Asof(_, _)),
     "q246_streaming_scd2"    -> (q246StreamingScd2(_, _)),
     "q247_ann_diversity"     -> (q247AnnDiversity(_, _)),
+    "q248_hubness_audit"     -> (q248HubnessAudit(_, _)),
+    "q249_dedup_thr_sweep"   -> (q249DedupThresholdSweep(_, _)),
     "q233_rolling_wau"       -> (q233RollingWau(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
@@ -7463,7 +7544,10 @@ object LlmQueries {
        |  FROM bf a JOIN bf b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
        |ed AS (
-       |  SELECT da, db FROM pr
+       |  SELECT da, db,
+       |    CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(ha.h, hb.h))) AS jac
+       |  FROM pr
        |  JOIN hs ha ON ha.doc_id = pr.da
        |  JOIN hs hb ON hb.doc_id = pr.db
        |  WHERE CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE)
@@ -12973,6 +13057,57 @@ object LlmQueries {
         |      FROM f)
         |SELECT query_id, corpus_id, round(cos, 6) AS cos, rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the sampled exact-top-10 replay, in-degree counts, ranked cut,
+    // and the coverage ppm floor
+    "q248_hubness_audit" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS corpus_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT query_id, corpus_id,
+        |        list_cosine_similarity(qv, cv) AS cos
+        |      FROM q CROSS JOIN c WHERE query_id <> corpus_id),
+        |r AS (SELECT query_id, corpus_id,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY cos DESC, corpus_id) AS rank
+        |      FROM s),
+        |t AS (SELECT query_id, corpus_id FROM r WHERE rank <= 10),
+        |deg AS (SELECT corpus_id,
+        |          CAST(count(*) AS BIGINT) AS in_degree
+        |        FROM t GROUP BY 1),
+        |h AS (SELECT 'HUB' AS scope, corpus_id, in_degree,
+        |        CAST(row_number() OVER (ORDER BY in_degree DESC,
+        |                                corpus_id) AS BIGINT) AS rank
+        |      FROM deg QUALIFY rank <= 20),
+        |sm AS (SELECT 'SUMMARY' AS scope,
+        |         CAST(-1 AS BIGINT) AS corpus_id,
+        |         CAST(max(in_degree) AS BIGINT) AS in_degree,
+        |         CAST(count(*) * 1000000
+        |              // (SELECT count(*) FROM embeddings) AS BIGINT)
+        |           AS rank
+        |       FROM deg)
+        |SELECT * FROM h UNION ALL SELECT * FROM sm
+        |ORDER BY scope, rank, corpus_id""".stripMargin,
+    // the shared minhash edge replay (carrying its verified Jaccard)
+    // composed with the grid cut; t/100 is correctly rounded in both
+    // engines so the float comparisons agree exactly
+    "q249_dedup_thr_sweep" ->
+      s"""WITH ${minhashEdgeCtes("documents", k = 5, numHashes = 32,
+                                 bands = 8, threshold = 0.3,
+                                 maxBucket = 1000)},
+        |g(t) AS (VALUES (30), (35), (40), (45), (50), (55), (60),
+        |                (65), (70), (75), (80), (85), (90), (95)),
+        |qq AS (SELECT t, da, db FROM ed CROSS JOIN g
+        |       WHERE jac >= t / CAST(100.0 AS DOUBLE)),
+        |p AS (SELECT t, CAST(count(*) AS BIGINT) AS n_pairs
+        |      FROM qq GROUP BY 1),
+        |dd AS (SELECT t, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+        |       FROM (SELECT t, unnest([da, db]) AS d FROM qq) u
+        |       GROUP BY 1)
+        |SELECT CAST(p.t AS BIGINT) AS thr_pct, n_pairs, n_docs
+        |FROM p JOIN dd ON p.t = dd.t ORDER BY 1""".stripMargin,
     // the q38 exact-top-10 replay, then the 45-pair cosine stats per
     // query with the exact-DECIMAL-sum mean
     "q247_ann_diversity" ->

@@ -651,4 +651,30 @@ class DedupSpec extends SparkSpec {
     assert(out(1L)._3 == 0L && out(2L)._3 == 0L)
     assert(out(3L) == (("cx cz", 2L, 18L)))
   }
+
+  test("q249 threshold sweep: pair and doc counts are non-increasing " +
+       "in the cutoff, docs ≤ 2·pairs, and the t=50 row equals the " +
+       "q35-parameter portable pair count exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.LlmQueries
+      .queries("q249_dedup_thr_sweep")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._1 < b._1 && a._2 >= b._2 && a._3 >= b._3,
+               s"sweep must be monotone: $a then $b")
+      case _ =>
+    }
+    rows.foreach { case (_, np, ndocs) =>
+      assert(ndocs <= 2 * np && ndocs >= 2) }
+    val at50 = rows.find(_._1 == 50L).map(_._2).getOrElse(0L)
+    val q35Pairs = Dedup.minhashCandidatePairsPortable(
+      graft.sources.Tables.documents(spark, sf0001), "doc_id", "text",
+      k = 5, numHashes = 32, bands = 8, threshold = 0.5,
+      maxBucket = 1000).count()
+    assert(at50 == q35Pairs,
+           s"sweep t=50 ($at50) must equal the 0.5-cutoff pipeline " +
+             s"($q35Pairs)")
+  }
 }

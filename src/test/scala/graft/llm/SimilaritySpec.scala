@@ -656,6 +656,36 @@ class SimilaritySpec extends SparkSpec {
     assert(rnd.find(_.getLong(0) == 0L).get.getDouble(2) == mean)
   }
 
+  test("q248 hubness audit: 20 HUB rows ranked by in-degree with id " +
+       "tie-break, SUMMARY carries the max degree and a coverage ppm " +
+       "≤ 1e6, and a driver recount from the exact top-10 matches") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.LlmQueries
+      .queries("q248_hubness_audit")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                 r.getLong(3)))
+    val hubs = rows.filter(_._1 == "HUB").sortBy(_._4)
+    val sm = rows.find(_._1 == "SUMMARY").get
+    assert(hubs.length == 20 && rows.length == 21)
+    hubs.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2),
+               s"rank order broken: $a then $b")
+      case _ =>
+    }
+    assert(sm._3 == hubs.head._3, "SUMMARY max = top hub degree")
+    assert(sm._4 > 0L && sm._4 <= 1000000L, "coverage ppm bounded")
+    // driver recount over the same sampled exact top-10
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val deg = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+                      k = 10)
+      .collect().groupBy(_.getLong(1)).map { case (c, rs) =>
+        c -> rs.length.toLong }
+    hubs.foreach { case (_, cid, d, _) => assert(deg(cid) == d) }
+    assert(sm._3 == deg.values.max)
+  }
+
   test("withSignBits enforces dims ≤ 64: an oversized vector raises " +
        "loudly (shiftleft would silently wrap bit i onto i−64 and " +
        "corrupt hamming rankings); conforming rows are unchanged") {
