@@ -5600,6 +5600,43 @@ object LlmQueries {
     * (band, batch) aggs. FULLY oracle-checked — DuckDB replays both
     * batchings from the same md5 sort keys and the waste arithmetic.
     */
+  /** Sequence-length sweep — the max_seq_len capacity table a training
+    * run reads before fixing its context window: for each candidate
+    * length L ∈ {64, 128, 256, 512}, the exact integer accounting of
+    * the three losses that trade off against each other — TRUNCATION
+    * (tokens beyond L in long docs, in ppm of all tokens), PADDING
+    * (one-doc-per-sequence fill, in ppm of padded capacity n_docs·L),
+    * and CONCAT-PACKING tail waste (greedy concatenation loses only
+    * the final partial sequence — its ppm exposes why packed pipelines
+    * ignore L almost entirely). One row-local scan; the explode
+    * carries 4 small longs per doc; the exchange is 4 counter rows.
+    * FULLY oracle-checked — every DIV floor replayed.
+    */
+  def q250SeqlenSweep(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(TextAnalysis.wsTokenCount(col("text")).cast("long")
+                .as("toks"),
+              explode(expr("array(64L, 128L, 256L, 512L)")).as("len"))
+      .groupBy("len")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("toks").as("n_tokens"),
+           sum(when(col("toks") > col("len"),
+                    col("toks") - col("len")).otherwise(0L))
+             .as("n_truncated"),
+           sum(when(col("toks") < col("len"),
+                    col("len") - col("toks")).otherwise(0L))
+             .as("n_padding"))
+      .select(col("len"), col("n_docs"), col("n_tokens"),
+              col("n_truncated"),
+              expr("n_truncated * 1000000 DIV n_tokens")
+                .as("trunc_ppm"),
+              expr("n_padding * 1000000 DIV (n_docs * len)")
+                .as("pad_ppm"),
+              expr("""((len - (n_tokens - n_truncated) % len) % len)
+                     | * 1000000 DIV (n_tokens - n_truncated)"""
+                .stripMargin.replace("\n", " ")).as("concat_ppm"))
+      .orderBy("len")
+
   def q186PaddingWaste(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir).select(
       col("doc_id"),
@@ -7390,6 +7427,7 @@ object LlmQueries {
     "q247_ann_diversity"     -> (q247AnnDiversity(_, _)),
     "q248_hubness_audit"     -> (q248HubnessAudit(_, _)),
     "q249_dedup_thr_sweep"   -> (q249DedupThresholdSweep(_, _)),
+    "q250_seqlen_sweep"      -> (q250SeqlenSweep(_, _)),
     "q233_rolling_wau"       -> (q233RollingWau(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
@@ -13057,6 +13095,28 @@ object LlmQueries {
         |      FROM f)
         |SELECT query_id, corpus_id, round(cos, 6) AS cos, rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // per-length truncation/padding/concat-tail accounting, every DIV
+    // floor replayed
+    "q250_seqlen_sweep" ->
+      """WITH t AS (
+        |  SELECT len(string_split_regex(trim(text), '\s+')) AS toks
+        |  FROM documents),
+        |x AS (SELECT toks, unnest([64, 128, 256, 512]) AS len FROM t),
+        |a AS (
+        |  SELECT CAST(len AS BIGINT) AS len,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN toks > len THEN toks - len ELSE 0 END)
+        |         AS BIGINT) AS n_truncated,
+        |    CAST(sum(CASE WHEN toks < len THEN len - toks ELSE 0 END)
+        |         AS BIGINT) AS n_padding
+        |  FROM x GROUP BY 1)
+        |SELECT len, n_docs, n_tokens, n_truncated,
+        |  n_truncated * 1000000 // n_tokens AS trunc_ppm,
+        |  n_padding * 1000000 // (n_docs * len) AS pad_ppm,
+        |  ((len - (n_tokens - n_truncated) % len) % len) * 1000000
+        |    // (n_tokens - n_truncated) AS concat_ppm
+        |FROM a ORDER BY len""".stripMargin,
     // the sampled exact-top-10 replay, in-degree counts, ranked cut,
     // and the coverage ppm floor
     "q248_hubness_audit" ->

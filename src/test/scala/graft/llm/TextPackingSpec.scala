@@ -120,4 +120,35 @@ class TextPackingSpec extends SparkSpec {
       .head().getDouble(0)
     assert(agg > 0.10 && agg < 0.20, s"mask rate drifted: $agg")
   }
+
+  test("q250 seqlen sweep: truncation falls and padding climbs with " +
+       "the window, concat-packing tail waste stays far below " +
+       "one-doc-per-sequence padding, and a driver recount matches") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.LlmQueries
+      .queries("q250_seqlen_sweep")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                 r.getLong(3), r.getLong(4), r.getLong(5),
+                 r.getLong(6)))
+    assert(rows.map(_._1).toSeq == Seq(64L, 128L, 256L, 512L))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._5 >= b._5, "trunc_ppm must not rise with len")
+        assert(a._6 <= b._6, "pad_ppm must not fall with len")
+      case _ =>
+    }
+    rows.foreach { case (_, _, _, _, _, pad, concat) =>
+      assert(concat < pad, "packing must beat padding") }
+    // driver recount at len = 128
+    val toks = graft.sources.Tables.documents(spark, sf0001)
+      .select(graft.llm.TextAnalysis.wsTokenCount(col("text"))
+                .cast("long").as("t"))
+      .collect().map(_.getLong(0))
+    val r128 = rows.find(_._1 == 128L).get
+    assert(r128._2 == toks.length && r128._3 == toks.sum)
+    assert(r128._4 == toks.map(t => math.max(0L, t - 128L)).sum)
+    assert(r128._6 == toks.map(t => math.max(0L, 128L - t)).sum *
+             1000000L / (toks.length * 128L))
+  }
 }
