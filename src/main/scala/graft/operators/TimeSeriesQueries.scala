@@ -490,7 +490,103 @@ object TimeSeriesQueries {
       .orderBy("event_type", "rank")
   }
 
+  /** Streaming decayed-activity partials ([[graft.streaming
+    * .EventStreams.decayedScoreSink]]): the events table streamed as
+    * three micro-batches, each landing its per-key decayed-score
+    * partial under the PINNED reference day in an idempotent
+    * `batch_id=` partition; the partition union re-aggregated with
+    * plain sum() and ranked reproduces q243's trending table EXACTLY
+    * — the oracle is the SAME SQL string (streamed ≡ batch, the merge
+    * law made operational). Memoized sink output, excluded from the
+    * bench like the other streaming queries.
+    */
+  def q251StreamingDecay(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = q251Saved.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q251_").toString
+      val in = s"$base/in"
+      graft.streaming.EventStreams.stageMicroBatchFiles(
+        Tables.events(spark, dir).select("ts", "event_type", "user_id"),
+        col("user_id") % 3, nBatches = 3, inDir = in)
+      val refDay = Tables.events(spark, dir)
+        .agg(max(expr("unix_timestamp(ts) div 86400"))).head.getLong(0)
+      val stream = spark.readStream
+        .schema("ts TIMESTAMP, event_type STRING, user_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val q = graft.streaming.EventStreams.decayedScoreSink(
+        stream, refDay, s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s"$base/out"
+    })
+    val merged = spark.read.parquet(outDir)
+      .groupBy("event_type", "user_id")
+      .agg(sum("score").as("score"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(desc("score"), asc("user_id"))
+    merged.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("event_type", "rank", "user_id", "score")
+      .orderBy("event_type", "rank")
+  }
+  private val q251Saved = new graft.SavedOnce[String, String]
+
+  /** Session-scoped funnel — the product-analytics twin of the
+    * event-level funnel (q106): how many SESSIONS (q29's gap-30-min
+    * semantics, same (ts, event_id) total order) contain the ordered
+    * subsequence view → click → purchase, with each later stage
+    * required to occur STRICTLY AFTER the earlier stage's first
+    * occurrence inside that session. Per-session event-type arrays
+    * are session-bounded (an activity burst, never corpus-scale), so
+    * the subsequence scan is row-local array_position/slice work on
+    * top of sessionization's one user-keyed shuffle; the final
+    * aggregate is a single counter row with exact ppm conversion
+    * rates. FULLY oracle-checked — DuckDB replays the sessionization
+    * windows, the ordered list aggregation, and the positional scan.
+    */
+  def q252SessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMs = 30 * 60 * 1000L
+    val tl = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+               unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+                 > gapMs * 1000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(byUser))
+      .groupBy("user_id", "sess_id")
+      .agg(transform(
+             array_sort(collect_list(struct(col("ts"), col("event_id"),
+                                            col("event_type")))),
+             x => x.getField("event_type")).as("tl"))
+      .withColumn("p1", array_position(col("tl"), "view"))
+      .withColumn("p2",
+        when(col("p1") > 0,
+             array_position(slice(col("tl"),
+                                  (col("p1") + 1).cast("int"),
+                                  size(col("tl"))), "click"))
+          .otherwise(lit(0L)))
+      .withColumn("p3",
+        when(col("p2") > 0,
+             array_position(
+               slice(col("tl"), (col("p1") + col("p2") + 1).cast("int"),
+                     size(col("tl"))), "purchase"))
+          .otherwise(lit(0L)))
+    tl.agg(count(lit(1)).as("n_sessions"),
+           sum(when(col("p1") > 0, 1L).otherwise(0L)).as("n_view"),
+           sum(when(col("p2") > 0, 1L).otherwise(0L)).as("n_view_click"),
+           sum(when(col("p3") > 0, 1L).otherwise(0L)).as("n_full"))
+      .select(col("n_sessions"), col("n_view"), col("n_view_click"),
+              col("n_full"),
+              expr("n_view * 1000000 DIV n_sessions").as("view_ppm"),
+              expr("n_view_click * 1000000 DIV n_sessions")
+                .as("vc_ppm"),
+              expr("n_full * 1000000 DIV n_sessions").as("full_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_session_funnel" -> (q252SessionFunnel(_, _)),
+    "q251_streaming_decay" -> (q251StreamingDecay(_, _)),
     "q243_decayed_topk" -> (q243DecayedTopk(_, _)),
     "q241_watermark_audit" -> (q241WatermarkAudit(_, _)),
     "q123_windowed_counts" -> (q123WindowedCounts(_, _)),
@@ -510,9 +606,11 @@ object TimeSeriesQueries {
     "q27_lag_delta"    -> (q27LagDelta(_, _))
   )
 
-  val oracleSql: Map[String, String] = Map(
-    // day cut, shift weights, ranked cut — all integer
-    "q243_decayed_topk" ->
+  /** The decayed-top-k full replay — ONE definition consumed by both
+    * the q243 (batch) and q251 (streamed partials, re-merged) oracles:
+    * streamed ≡ batch against the byte-identical SQL.
+    */
+  private val decayedTopkSql: String =
       """WITH e AS (
         |  SELECT event_type, user_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
@@ -530,7 +628,71 @@ object TimeSeriesQueries {
         |      ORDER BY score DESC, user_id ASC) AS BIGINT) AS rank
         |  FROM s)
         |SELECT event_type, rank, user_id, score FROM r
-        |WHERE rank <= 10 ORDER BY event_type, rank""".stripMargin,
+        |WHERE rank <= 10 ORDER BY event_type, rank""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    // sessionization windows + ordered list + positional subsequence
+    // scan; list_position is NULL-on-missing (coalesce to 0 = Spark's
+    // array_position convention)
+    "q252_session_funnel" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type
+        |  FROM events),
+        |lagged AS (
+        |  SELECT *, lag(ts) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev_ts
+        |  FROM e),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |                   OR epoch_us(ts) - epoch_us(prev_ts)
+        |                      > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING)
+        |              AS sess_id
+        |  FROM flagged),
+        |arr AS (
+        |  SELECT user_id, sess_id,
+        |    list(event_type ORDER BY ts, event_id) AS tl
+        |  FROM sess GROUP BY 1, 2),
+        |p1t AS (
+        |  SELECT tl, coalesce(list_position(tl, 'view'), 0) AS p1
+        |  FROM arr),
+        |p2t AS (
+        |  SELECT tl, p1,
+        |    CASE WHEN p1 = 0 THEN 0
+        |         ELSE coalesce(list_position(tl[p1+1:], 'click'), 0)
+        |    END AS p2
+        |  FROM p1t),
+        |p3t AS (
+        |  SELECT p1, p2,
+        |    CASE WHEN p2 = 0 THEN 0
+        |         ELSE coalesce(list_position(tl[p1+p2+1:], 'purchase'),
+        |                       0)
+        |    END AS p3
+        |  FROM p2t),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |    CAST(sum(CASE WHEN p1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_view,
+        |    CAST(sum(CASE WHEN p2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_view_click,
+        |    CAST(sum(CASE WHEN p3 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_full
+        |  FROM p3t)
+        |SELECT n_sessions, n_view, n_view_click, n_full,
+        |  n_view * 1000000 // n_sessions AS view_ppm,
+        |  n_view_click * 1000000 // n_sessions AS vc_ppm,
+        |  n_full * 1000000 // n_sessions AS full_ppm
+        |FROM a""".stripMargin,
+    // day cut, shift weights, ranked cut — all integer
+    "q243_decayed_topk" -> decayedTopkSql,
+    // streamed partials re-merged ≡ the same full replay
+    "q251_streaming_decay" -> decayedTopkSql,
     // delay hashes + the arrival-order running max as ONE window (small
     // data) vs the engine's two-phase distributed form
     "q241_watermark_audit" ->

@@ -444,6 +444,36 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n"), col("value_avg"))
 
+  /** Streaming decayed-activity partials: each micro-batch of events
+    * lands its per-(event_type, user) decayed-score PARTIAL SUM under
+    * the PINNED reference day `refDay` in an idempotent `batch_id=`
+    * partition. Because every weight is computed against the same
+    * refDay, the partition union re-aggregated with plain sum() equals
+    * the one-shot batch score exactly (the
+    * [[graft.operators.TimeSeriesQueries.decayedScores]] merge law —
+    * integer weights, no halving, no floors crossing batch
+    * boundaries); rolling refDay forward is a store-side halving, not
+    * a sink concern. Per-batch cost: batch-sized row-local weights +
+    * a keys-rows aggregate.
+    */
+  def decayedScoreSink(events: DataFrame, refDay: Long, outDir: String,
+                       checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+        upsertBatch(
+          graft.operators.TimeSeriesQueries.decayedScores(
+            batch.toDF().select(
+              col("event_type"), col("user_id"),
+              expr("unix_timestamp(ts) div 86400").as("day")),
+            lit(refDay)),
+          id, outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .start()
+
   /** Streaming SCD-2 maintenance: each changelog micro-batch (columns
     * `doc_id, version, op, text`) rolls the standing history forward
     * via [[graft.llm.Versioning.scd2Roll]] and lands the full rolled

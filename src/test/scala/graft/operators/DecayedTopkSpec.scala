@@ -59,6 +59,15 @@ class DecayedTopkSpec extends SparkSpec {
     }
   }
 
+  test("q251 streamed partials re-merged equal q243's batch trending " +
+       "table exactly (the merge law made operational)") {
+    val streamed = TimeSeriesQueries
+      .queries("q251_streaming_decay")(spark, sf0001).collect().toSeq
+    val batch = TimeSeriesQueries
+      .queries("q243_decayed_topk")(spark, sf0001).collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("q243 plan: the per-type rank cut plans as WindowGroupLimit " +
        "(map-side top-k), and ranks are dense 1..10 per type") {
     val df = TimeSeriesQueries.q243DecayedTopk(spark, sf0001)

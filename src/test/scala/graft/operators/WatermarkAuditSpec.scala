@@ -70,6 +70,56 @@ class WatermarkAuditSpec extends SparkSpec {
              got.exists(_._2 == "accepted"))
   }
 
+  test("q252 session funnel hand fixture: stages must occur strictly " +
+       "after the previous stage's FIRST occurrence within one " +
+       "session; cross-session and out-of-order stages never count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    def ts(min: Int) = new java.sql.Timestamp(86400000L + min * 60000L)
+    // user 1, one session: view→click→purchase in order → full
+    // user 2, one session: click before view, purchase after view but
+    //   no click after the view → counts as view-only
+    // user 3, two sessions split by a 40-min gap: view in s1,
+    //   click+purchase in s2 → neither converts past view
+    // user 4, one session: view→purchase→click → view_click NOT
+    //   reached before purchase; purchase precedes click → vc only
+    val e = Seq(
+      (1L, 1L, ts(0), "view"), (2L, 1L, ts(1), "click"),
+      (3L, 1L, ts(2), "purchase"),
+      (4L, 2L, ts(0), "click"), (5L, 2L, ts(1), "view"),
+      (6L, 2L, ts(2), "purchase"),
+      (7L, 3L, ts(0), "view"), (8L, 3L, ts(50), "click"),
+      (9L, 3L, ts(51), "purchase"),
+      (10L, 4L, ts(0), "view"), (11L, 4L, ts(1), "purchase"),
+      (12L, 4L, ts(2), "click"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("value", lit(0.0d)).withColumn("props", lit("{}"))
+    // route through a temp view-backed Tables? q252 reads Tables
+    // directly — exercise the core by replicating its tail on the
+    // fixture via the same code path (sessionize + positional scan)
+    val out = {
+      val dirLess = e // shape matches events schema columns used
+      // inline: reuse the production query body by temporarily
+      // writing fixture parquet and pointing the query at it
+      val d = tmpDir("q252fix")
+      dirLess.select("event_id", "ts", "user_id", "event_type",
+                     "value", "props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      TimeSeriesQueries.q252SessionFunnel(spark, d).collect()(0)
+    }
+    // sessions: u1:1, u2:1, u3:2, u4:1 → 5 total
+    assert(out.getLong(0) == 5L, s"n_sessions ${out.getLong(0)}")
+    // views: u1, u2, u3-s1, u4 → 4
+    assert(out.getLong(1) == 4L, s"n_view ${out.getLong(1)}")
+    // view→click: u1, u4 (click at pos 3 after view at pos 1) → 2
+    assert(out.getLong(2) == 2L, s"n_view_click ${out.getLong(2)}")
+    // full funnel: u1 only (u4's purchase precedes its click)
+    assert(out.getLong(3) == 1L, s"n_full ${out.getLong(3)}")
+    assert(out.getLong(4) == 4L * 1000000L / 5L &&
+             out.getLong(5) == 2L * 1000000L / 5L &&
+             out.getLong(6) == 1000000L / 5L)
+  }
+
   test("the audit IS per-event-batch streaming: feeding arrivals one " +
        "micro-batch each through windowedCounts with the same 15-min " +
        "watermark reproduces the audit-accepted counts exactly") {
