@@ -584,7 +584,83 @@ object TimeSeriesQueries {
               expr("n_full * 1000000 DIV n_sessions").as("full_ppm"))
   }
 
+  /** Streaming session funnel ([[graft.streaming.EventStreams
+    * .funnelSessionize]]): the events table streamed in time-sliced
+    * micro-batches through the per-user funnel STATE MACHINE
+    * (flatMapGroupsWithState, EventTimeTimeout eviction); two
+    * far-future sentinel rows advance the watermark and trigger the
+    * final timeouts so every real session emits its reached stage.
+    * The landed stages re-aggregated reproduce q252's batch funnel
+    * row EXACTLY — state machine ≡ positional scan, one shared
+    * oracle string. Memoized sink, excluded from the bench.
+    */
+  def q253StreamingFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = q253Saved.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q253_").toString
+      val in = s"$base/in"
+      val e = Tables.events(spark, dir)
+        .select(col("ts"), col("event_type"), col("user_id"),
+                col("event_id"))
+      val Array(lo, hi) = e
+        .agg(min(unix_timestamp(col("ts"))),
+             max(unix_timestamp(col("ts"))))
+        .head.toSeq.map(_.asInstanceOf[Long]).toArray
+      // two sentinel rows: the first advances the watermark past every
+      // last+gap, the second triggers the resulting timeouts
+      val sentinels = spark.range(2).select(
+        timestamp_seconds(lit(hi) + 259200L + col("id")).as("ts"),
+        lit("flush").as("event_type"), lit(-1L).as("user_id"),
+        (lit(-1L) - col("id")).as("event_id"))
+      val staged = e.unionByName(sentinels)
+      val slice = when(col("user_id") === -1L,
+                       lit(3L) + (lit(-1L) - col("event_id")))
+        .otherwise(expr(s"least(((unix_timestamp(ts) - ${lo}L) * 3L) " +
+                        s"div ${hi - lo + 1}L, 2L)"))
+      graft.streaming.EventStreams.stageMicroBatchFiles(
+        staged, slice, nBatches = 5, inDir = in)
+      val stream = spark.readStream
+        .schema("ts TIMESTAMP, event_type STRING, user_id BIGINT, " +
+                "event_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      implicit val s: SparkSession = spark
+      import spark.implicits._
+      val out = s"$base/out"
+      val q = graft.streaming.EventStreams
+        .funnelSessionize(
+          stream.as[graft.streaming.EventStreams.FunnelEvent])
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[
+             graft.streaming.EventStreams.FunnelOut], id: Long) =>
+            graft.streaming.EventStreams
+              .upsertBatch(batch.toDF(), id, out)
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      out
+    })
+    spark.read.parquet(outDir)
+      .filter(col("user_id") =!= -1L)
+      .agg(count(lit(1)).as("n_sessions"),
+           sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n_view"),
+           sum(when(col("stage") >= 2, 1L).otherwise(0L))
+             .as("n_view_click"),
+           sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n_full"))
+      .select(col("n_sessions"), col("n_view"), col("n_view_click"),
+              col("n_full"),
+              expr("n_view * 1000000 DIV n_sessions").as("view_ppm"),
+              expr("n_view_click * 1000000 DIV n_sessions")
+                .as("vc_ppm"),
+              expr("n_full * 1000000 DIV n_sessions").as("full_ppm"))
+  }
+  private val q253Saved = new graft.SavedOnce[String, String]
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_streaming_funnel" -> (q253StreamingFunnel(_, _)),
     "q252_session_funnel" -> (q252SessionFunnel(_, _)),
     "q251_streaming_decay" -> (q251StreamingDecay(_, _)),
     "q243_decayed_topk" -> (q243DecayedTopk(_, _)),
@@ -630,11 +706,11 @@ object TimeSeriesQueries {
         |SELECT event_type, rank, user_id, score FROM r
         |WHERE rank <= 10 ORDER BY event_type, rank""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
-    // sessionization windows + ordered list + positional subsequence
-    // scan; list_position is NULL-on-missing (coalesce to 0 = Spark's
-    // array_position convention)
-    "q252_session_funnel" ->
+  /** The session-funnel full replay — ONE definition consumed by the
+    * q252 (batch positional scan) and q253 (streaming state machine)
+    * oracles: the two implementations must agree byte-for-byte.
+    */
+  private val sessionFunnelSql: String =
       """WITH e AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |    event_type
@@ -688,7 +764,15 @@ object TimeSeriesQueries {
         |  n_view * 1000000 // n_sessions AS view_ppm,
         |  n_view_click * 1000000 // n_sessions AS vc_ppm,
         |  n_full * 1000000 // n_sessions AS full_ppm
-        |FROM a""".stripMargin,
+        |FROM a""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    // sessionization windows + ordered list + positional subsequence
+    // scan; list_position is NULL-on-missing (coalesce to 0 = Spark's
+    // array_position convention)
+    "q252_session_funnel" -> sessionFunnelSql,
+    // the streamed state machine must agree with the same replay
+    "q253_streaming_funnel" -> sessionFunnelSql,
     // day cut, shift weights, ranked cut — all integer
     "q243_decayed_topk" -> decayedTopkSql,
     // streamed partials re-merged ≡ the same full replay

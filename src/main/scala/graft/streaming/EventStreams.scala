@@ -115,6 +115,90 @@ object EventStreams {
       }
   }
 
+  case class FunnelEvent(ts: Timestamp, event_type: String,
+                         user_id: Long, event_id: Long)
+  case class FunnelState(start: Long, last: Long, lastId: Long,
+                         v: Boolean, c: Boolean, p: Boolean)
+  case class FunnelOut(user_id: Long, stage: Int)
+
+  /** Streaming session-funnel state machine — the stateful-streaming
+    * twin of the batch session funnel (q252): per user, sessions close
+    * on a >`gapMs` event-time gap (or an EventTimeTimeout once the
+    * watermark passes last+gap), and each CLOSED session emits the
+    * funnel stage it reached (0–3) under the same strictly-after rule
+    * — the first `view` arms the session, the first `click` after
+    * that advances it, the first `purchase` after that completes it.
+    * Events are processed in exact (ts, event_id) order (sorted
+    * within each per-user group; feed batches time-sliced so the
+    * cross-batch order is also by time), so the state machine
+    * reproduces the batch positional scan decision-for-decision —
+    * q253's oracle is the SAME SQL string as q252's.
+    *
+    * State per live session is three booleans + timestamps — constant
+    * memory per active user on an infinite stream, evicted by the
+    * timeout like [[sessionize]].
+    */
+  def funnelSessionize(events: Dataset[FunnelEvent],
+                       gapMs: Long = 30 * 60 * 1000L)
+                      (implicit spark: SparkSession)
+      : Dataset[FunnelOut] = {
+    import spark.implicits._
+    def out(uid: Long, s: FunnelState) = FunnelOut(
+      uid, (if (s.v) 1 else 0) + (if (s.c) 1 else 0) +
+             (if (s.p) 1 else 0))
+    def step(s: FunnelState, e: FunnelEvent): FunnelState = {
+      val t = e.ts.getTime
+      val s2 = s.copy(last = math.max(s.last, t), lastId = e.event_id)
+      e.event_type match {
+        case "view" if !s2.v                 => s2.copy(v = true)
+        case "click" if s2.v && !s2.c        => s2.copy(c = true)
+        case "purchase" if s2.c && !s2.p     => s2.copy(p = true)
+        case _                                => s2
+      }
+    }
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[FunnelEvent],
+         state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(out(userId, s))
+          } else {
+            val sorted = rows.toSeq
+              .sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[FunnelOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(step(s, e))
+                case Some(s) =>
+                  closed ::= out(userId, s)
+                  cur = Some(step(FunnelState(t, t, e.event_id,
+                                              v = false, c = false,
+                                              p = false), e))
+                case None =>
+                  cur = Some(step(FunnelState(t, t, e.event_id,
+                                              v = false, c = false,
+                                              p = false), e))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs,
+                         state.getCurrentWatermarkMs() + 1))
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Streaming exact dedup for incremental corpus ingest: new documents
     * are dropped if their normalized-text fingerprint was already seen
     * within the watermark horizon. State = one fingerprint per unique doc

@@ -120,6 +120,64 @@ class WatermarkAuditSpec extends SparkSpec {
              out.getLong(6) == 1000000L / 5L)
   }
 
+  test("q253 streaming funnel state machine ≡ q252 batch positional " +
+       "scan on the events table") {
+    val streamed = TimeSeriesQueries
+      .queries("q253_streaming_funnel")(spark, sf0001)
+      .collect().toSeq
+    val batch = TimeSeriesQueries
+      .queries("q252_session_funnel")(spark, sf0001)
+      .collect().toSeq
+    assert(streamed == batch,
+           s"state machine diverged: $streamed vs $batch")
+  }
+
+  test("funnelSessionize state carry: a session spanning micro-batches " +
+       "keeps its stage progress, a gap closes and emits, and the " +
+       "timeout flushes the final session") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.{FunnelEvent, FunnelOut}
+    import spark.implicits._
+    val base = 48L * 3600000L
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    val input = MemoryStream[FunnelEvent]
+    val q = EventStreams.funnelSessionize(input.toDF().as[FunnelEvent])
+      .writeStream.format("memory").queryName("funnel_carry")
+      .outputMode("append").start()
+    try {
+      // batch 1: the view arrives alone — state must carry the armed
+      // stage across the batch boundary
+      input.addData(FunnelEvent(ts(0), "view", 1L, 1L))
+      q.processAllAvailable()
+      // batch 2: click + purchase within the gap → same session
+      // completes the funnel; nothing emitted yet (session open)
+      input.addData(FunnelEvent(ts(5), "click", 1L, 2L),
+                    FunnelEvent(ts(6), "purchase", 1L, 3L))
+      q.processAllAvailable()
+      assert(spark.table("funnel_carry").isEmpty)
+      // batch 3: a >30-min gap event closes the stage-3 session
+      input.addData(FunnelEvent(ts(60), "view", 1L, 4L))
+      q.processAllAvailable()
+      val afterGap = spark.table("funnel_carry").as[FunnelOut]
+        .collect().toSeq
+      assert(afterGap == Seq(FunnelOut(1L, 3)),
+             s"cross-batch session must close at stage 3: $afterGap")
+      // flush: advance the watermark far past last+gap (one event),
+      // then trigger the timeout pass (a second event)
+      input.addData(FunnelEvent(ts(3000), "flush", -1L, 5L))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(ts(3001), "flush", -1L, 6L))
+      q.processAllAvailable()
+      val fin = spark.table("funnel_carry").as[FunnelOut]
+        .collect().toSeq.filter(_.user_id == 1L)
+      assert(fin == Seq(FunnelOut(1L, 3), FunnelOut(1L, 1)),
+             s"timeout must flush the final view-only session: $fin")
+    } finally q.stop()
+  }
+
   test("the audit IS per-event-batch streaming: feeding arrivals one " +
        "micro-batch each through windowedCounts with the same 15-min " +
        "watermark reproduces the audit-accepted counts exactly") {
