@@ -5600,6 +5600,44 @@ object LlmQueries {
     * (band, batch) aggs. FULLY oracle-checked — DuckDB replays both
     * batchings from the same md5 sort keys and the waste arithmetic.
     */
+  /** Per-source percentile assignment WITHOUT a per-source sort — the
+    * score-normalization step mixing/curation pipelines need (a raw
+    * length or quality score means nothing across sources; its
+    * in-source percentile does): every document gets
+    * `pct_ppm = (#source-mates with strictly smaller score) · 10⁶ div
+    * n_source`, computed by broadcasting the per-(source, score)
+    * count table — bounded by #sources × #distinct-scores, NOT
+    * corpus-scale — and joining it back with a range condition folded
+    * into a cumulative sum over the tiny table. The corpus never
+    * sorts: the classic skew trap (window partitioned by a hot
+    * source) becomes one row-local scan + one broadcast join. FULLY
+    * oracle-checked — DuckDB derives the same percentiles
+    * INDEPENDENTLY via rank() per source.
+    */
+  def q254SourcePercentile(spark: SparkSession,
+                           dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+              TextAnalysis.wsTokenCount(col("text")).cast("long")
+                .as("toks"))
+    // bounded per-(source, score) histogram → cumulative counts via a
+    // window over the HISTOGRAM (≤ #sources × #distinct-lengths rows)
+    val w = Window.partitionBy("source").orderBy("toks")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = d.groupBy("source", "toks")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("below", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("n_source",
+        sum("n").over(Window.partitionBy("source")))
+    d.join(broadcast(hist.select("source", "toks", "below",
+                                 "n_source")),
+           Seq("source", "toks"))
+      .select(col("doc_id"), col("source"), col("toks"),
+              expr("below * 1000000 DIV n_source").as("pct_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence-length sweep — the max_seq_len capacity table a training
     * run reads before fixing its context window: for each candidate
     * length L ∈ {64, 128, 256, 512}, the exact integer accounting of
@@ -7428,6 +7466,7 @@ object LlmQueries {
     "q248_hubness_audit"     -> (q248HubnessAudit(_, _)),
     "q249_dedup_thr_sweep"   -> (q249DedupThresholdSweep(_, _)),
     "q250_seqlen_sweep"      -> (q250SeqlenSweep(_, _)),
+    "q254_source_percentile" -> (q254SourcePercentile(_, _)),
     "q233_rolling_wau"       -> (q233RollingWau(_, _)),
     "q78_ann_int8"          -> (q78AnnInt8(_, _)),
     "q79_line_dedup"        -> (q79LineDedup(_, _)),
@@ -13095,6 +13134,24 @@ object LlmQueries {
         |      FROM f)
         |SELECT query_id, corpus_id, round(cos, 6) AS cos, rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // INDEPENDENT derivation: rank() per source (rank-1 = strictly
+    // smaller count) vs the engine's broadcast-histogram form
+    "q254_source_percentile" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, toks,
+        |    CAST(rank() OVER (PARTITION BY source ORDER BY toks)
+        |         AS BIGINT) - 1 AS below,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+        |      AS n_source
+        |  FROM t)
+        |SELECT doc_id, source, toks,
+        |  below * 1000000 // n_source AS pct_ppm
+        |FROM r ORDER BY doc_id""".stripMargin,
     // per-length truncation/padding/concat-tail accounting, every DIV
     // floor replayed
     "q250_seqlen_sweep" ->
