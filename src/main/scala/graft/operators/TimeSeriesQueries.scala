@@ -482,6 +482,10 @@ object TimeSeriesQueries {
     val ref = e.agg(max("day").as("__ref"))
     val scored = decayedScores(
       e.crossJoin(broadcast(ref)), col("__ref"))
+      // a key with no in-horizon activity is not "trending": dropping
+      // score-0 keys keeps all three legs (batch / streamed partials /
+      // rolled store, which prunes to the horizon slice) identical
+      .filter(col("score") > 0L)
     val w = Window.partitionBy("event_type")
       .orderBy(desc("score"), asc("user_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -522,6 +526,7 @@ object TimeSeriesQueries {
     val merged = spark.read.parquet(outDir)
       .groupBy("event_type", "user_id")
       .agg(sum("score").as("score"))
+      .filter(col("score") > 0L) // same not-trending cut as q243/q255
     val w = Window.partitionBy("event_type")
       .orderBy(desc("score"), asc("user_id"))
     merged.withColumn("rank", row_number().over(w).cast("long"))
@@ -659,7 +664,65 @@ object TimeSeriesQueries {
   }
   private val q253Saved = new graft.SavedOnce[String, String]
 
+  /** Decayed-score STORE with a daily roll — the third leg of the
+    * trending family (batch q243, streamed partials q251): the
+    * persisted artifact is per-(event_type, user, day) activity
+    * COUNTS (the exact sufficient statistic for any half-life and any
+    * reference day — no score ever needs rebuilding from raw events),
+    * published as the store, then rolled by ingesting ONLY the newest
+    * day's delta-sized partials on top. Serving re-weights the 31-day
+    * horizon slice (`day ≥ ref − 30` — a pushed-down scan predicate,
+    * day-partition pruning at scale) with `n · 2^(30−age)` and cuts
+    * top-10 per type. Rolled-store serving ≡ the full rebuild from
+    * raw events: the oracle is the SAME shared SQL as q243/q251 —
+    * batch ≡ streamed ≡ rolled-store, one replay string for all
+    * three.
+    */
+  def q255DecayRoll(spark: SparkSession, dir: String): DataFrame = {
+    val name = q255Saved.getOrElseUpdate(dir, {
+      val n = "graft_decay_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"), col("user_id"),
+                expr("unix_timestamp(ts) div 86400").as("day"))
+      val ref = ev.agg(max("day")).head.getLong(0)
+      // store v1: everything before the newest day
+      graft.llm.IndexStore.savePlainArtifact(
+        ev.filter(col("day") < ref)
+          .groupBy("event_type", "user_id", "day")
+          .agg(count(lit(1)).as("n")), n)
+      // the daily roll: ONLY day=ref aggregates; the standing store
+      // re-publishes with the delta appended (atomic versioned flip)
+      val delta = ev.filter(col("day") === ref)
+        .groupBy("event_type", "user_id", "day")
+        .agg(count(lit(1)).as("n"))
+      graft.llm.IndexStore.savePlainArtifact(
+        graft.llm.IndexStore.loadPlainArtifact(spark, n)
+          .unionByName(delta), n)
+      n
+    })
+    val daily = graft.llm.IndexStore.loadPlainArtifact(spark, name)
+    // resolve the reference day first (a 1-row lookup) so the horizon
+    // cut is a LITERAL scan predicate — PushedFilters on the store
+    // read, i.e. day-partition pruning at scale, not a post-scan filter
+    val refV = daily.agg(max("day")).head.getLong(0)
+    val scored = daily
+      .filter(col("day") >= refV - 30L)
+      .withColumn("__age", (lit(refV) - col("day")).cast("int"))
+      .withColumn("__w",
+        col("n") * expr("shiftright(1073741824L, __age)"))
+      .groupBy("event_type", "user_id")
+      .agg(sum("__w").as("score"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(desc("score"), asc("user_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("event_type", "rank", "user_id", "score")
+      .orderBy("event_type", "rank")
+  }
+  private val q255Saved = new graft.SavedOnce[String, String]
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_decay_roll" -> (q255DecayRoll(_, _)),
     "q253_streaming_funnel" -> (q253StreamingFunnel(_, _)),
     "q252_session_funnel" -> (q252SessionFunnel(_, _)),
     "q251_streaming_decay" -> (q251StreamingDecay(_, _)),
@@ -702,7 +765,7 @@ object TimeSeriesQueries {
         |  SELECT event_type, user_id, score,
         |    CAST(row_number() OVER (PARTITION BY event_type
         |      ORDER BY score DESC, user_id ASC) AS BIGINT) AS rank
-        |  FROM s)
+        |  FROM s WHERE score > 0)
         |SELECT event_type, rank, user_id, score FROM r
         |WHERE rank <= 10 ORDER BY event_type, rank""".stripMargin
 
@@ -777,6 +840,8 @@ object TimeSeriesQueries {
     "q243_decayed_topk" -> decayedTopkSql,
     // streamed partials re-merged ≡ the same full replay
     "q251_streaming_decay" -> decayedTopkSql,
+    // rolled-store serving ≡ the same full replay (third leg)
+    "q255_decay_roll" -> decayedTopkSql,
     // delay hashes + the arrival-order running max as ONE window (small
     // data) vs the engine's two-phase distributed form
     "q241_watermark_audit" ->

@@ -68,6 +68,20 @@ class DecayedTopkSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("q255 rolled-store serving ≡ q243's rebuild from raw events, " +
+       "and the horizon cut is a PUSHED literal predicate on the " +
+       "store scan (day-partition pruning at scale)") {
+    val rolled = TimeSeriesQueries
+      .queries("q255_decay_roll")(spark, sf0001).collect().toSeq
+    val batch = TimeSeriesQueries
+      .queries("q243_decayed_topk")(spark, sf0001).collect().toSeq
+    assert(rolled == batch, "store roll must serve the rebuild's table")
+    val plan = TimeSeriesQueries.queries("q255_decay_roll")(
+      spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(day"),
+           s"horizon cut must reach PushedFilters:\n$plan")
+  }
+
   test("q243 plan: the per-type rank cut plans as WindowGroupLimit " +
        "(map-side top-k), and ranks are dense 1..10 per type") {
     val df = TimeSeriesQueries.q243DecayedTopk(spark, sf0001)
