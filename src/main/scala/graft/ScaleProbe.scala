@@ -1298,6 +1298,43 @@ object ScaleProbe {
         }
       }
     }
+
+    // round-12 late wave: the 0.3-floor threshold sweep (the heaviest
+    // newcomer — how does the widened candidate set grow?) and the
+    // broadcast-histogram percentile assignment
+    section("thr_sweep src_pctile") {
+      for (n <- Seq(1, 5, 20)) {
+        val d = docsX(n); val rows = d.count()
+        time(s"thr_sweep      n=$n ($rows)") {
+          noop(Dedup.minhashCandidatePairsPortable(
+              d, "doc_id", "text", k = 5, numHashes = 32, bands = 8,
+              threshold = 0.3, maxBucket = 1000)
+            .select(col("doc_a"), col("doc_b"), col("jaccard"),
+                    explode(expr("sequence(30, 95, 5)")).as("t"))
+            .filter(col("jaccard") >= col("t").cast("double") / 100.0d)
+            .groupBy("t").agg(count(lit(1)).as("n_pairs")))
+        }
+        time(s"src_pctile     n=$n ($rows)") {
+          import org.apache.spark.sql.expressions.Window
+          val dd = d.select(col("doc_id"), col("source"),
+            graft.llm.TextAnalysis.wsTokenCount(col("text"))
+              .cast("long").as("toks"))
+          val w = Window.partitionBy("source").orderBy("toks")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val hist = dd.groupBy("source", "toks")
+            .agg(count(lit(1)).as("nn"))
+            .withColumn("below", coalesce(sum("nn").over(w), lit(0L)))
+            .withColumn("n_source",
+              sum("nn").over(Window.partitionBy("source")))
+          noop(dd.join(broadcast(hist.select("source", "toks", "below",
+                                             "n_source")),
+                       Seq("source", "toks"))
+            .select(col("doc_id"),
+                    expr("below * 1000000 DIV n_source")
+                      .as("pct_ppm")))
+        }
+      }
+    }
     spark.stop()
   }
 }
