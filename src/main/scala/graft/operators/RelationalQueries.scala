@@ -294,7 +294,130 @@ object RelationalQueries {
       .orderBy(desc("n_items"), asc("l_partkey"))
       .limit(50)
 
+  /** Incremental JOIN+AGG view maintenance ([[ViewMaintenance]]): the
+    * per-order revenue view built from a day-1 slice of `orders ⋈
+    * lineitem` (orders with key % 10 < 8; their first four line
+    * numbers), then ROLLED with the day-2 insert-only deltas arriving
+    * on BOTH sides of the join — the remaining orders with all their
+    * lines, plus the late line numbers (> 4) of day-1 orders. The
+    * emitted table is the ROLLED view; the oracle is the FULL REBUILD
+    * over the complete tables, so rolled ≡ rebuilt is the driver-
+    * checked contract (the q244 pattern, extended from unary changelog
+    * rolls to a binary join view). Both merge cases are live: day-1
+    * keys gain items from late lines (attributes inherited from the
+    * standing row), day-2 keys enter fresh (attributes from the delta
+    * orders). Exact throughout — COUNT and DECIMAL(24,4) sums, no
+    * doubles.
+    */
+  def q256JoinViewRoll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val standing = ViewMaintenance.orderRevenueView(
+      o.filter(col("o_orderkey") % 10 < 8),
+      l.filter(col("l_orderkey") % 10 < 8 && col("l_linenumber") <= 4))
+    val deltaLines =
+      l.filter(col("l_orderkey") % 10 >= 8 || col("l_linenumber") > 4)
+    // attribute rows for every delta key (line numbers are NOT 1-based
+    // per order in this data, so a late line can belong to an order the
+    // day-1 view never saw) — a delta-key semi-join, delta-sized
+    val deltaOrders = o.join(
+      deltaLines.select(col("l_orderkey").as("o_orderkey")).distinct,
+      Seq("o_orderkey"), "left_semi")
+    ViewMaintenance.orderRevenueRoll(standing, deltaOrders, deltaLines)
+      .select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderpriority"), col("n_items"),
+              col("revenue").cast("string").as("revenue"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Retractable view maintenance ([[ViewMaintenance
+    * .orderRevenueRetractRoll]]): the standing view is the FULL
+    * `orders ⋈ lineitem` build, then a CDC changelog retracts every
+    * high-quantity line (`l_quantity > 45`) and — for orders outside
+    * the `key % 7 = 0` cohort — re-inserts it with its discount
+    * zeroed (delete-before-image + insert-after-image, the standard
+    * update encoding). All three retraction behaviors are live:
+    * updated keys keep their item count but change revenue, the
+    * `% 7 = 0` cohort's deletes shrink counts, and orders whose every
+    * line is deleted LEAVE the view. The emitted table is the rolled
+    * view; the oracle REBUILDS from the net table (lineitem minus
+    * pure deletes, with updated discounts) — so retract-roll ≡
+    * rebuild is driver-checked. Deletes give back exactly what their
+    * inserts contributed: revenue is decimal-exact group arithmetic,
+    * not float cancellation.
+    */
+  def q257RetractViewRoll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val standing = ViewMaintenance.orderRevenueView(o, l)
+    val hot = col("l_quantity") > 45
+    val changelog = l.filter(hot).withColumn("op", lit(-1))
+      .unionByName(
+        l.filter(hot && col("l_orderkey") % 7 =!= 0)
+          .withColumn("l_discount", lit(0.0))
+          .withColumn("op", lit(1)))
+    val deltaOrders = o.join(
+      changelog.select(col("l_orderkey").as("o_orderkey")).distinct,
+      Seq("o_orderkey"), "left_semi")
+    ViewMaintenance.orderRevenueRetractRoll(standing, deltaOrders,
+                                            changelog)
+      .select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderpriority"), col("n_items"),
+              col("revenue").cast("string").as("revenue"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Streamed join-view maintenance ([[graft.streaming.EventStreams
+    * .joinViewSink]]): q256's day-2 deltas arrive as three key-sliced
+    * micro-batches over a staged file source; each batch rolls the
+    * standing view forward into a deterministic per-batch directory.
+    * The final landed view replays against the SAME full-rebuild
+    * oracle string as q256 — build ≡ roll ≡ stream for the join-view
+    * family, byte-for-byte (the q240/q244/q246 three-legs pattern,
+    * extended from the unary SCD-2 changelog to a binary join view).
+    * Memoized per sf dir and excluded from the bench like the other
+    * streaming sinks (a timed pass would measure a parquet re-read).
+    */
+  def q258StreamedViewRoll(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = q258Saved.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q258_").toString
+      val in = s"$base/in"
+      val o = Tables.orders(spark, dir)
+      val l = Tables.lineitem(spark, dir)
+      ViewMaintenance.orderRevenueView(
+          o.filter(col("o_orderkey") % 10 < 8),
+          l.filter(col("l_orderkey") % 10 < 8 &&
+                   col("l_linenumber") <= 4))
+        .write.mode("overwrite").parquet(s"$base/out/vinit")
+      val deltaLines = l
+        .filter(col("l_orderkey") % 10 >= 8 || col("l_linenumber") > 4)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      graft.streaming.EventStreams.stageMicroBatchFiles(
+        deltaLines, pmod(col("l_orderkey"), lit(3)), nBatches = 3,
+        inDir = in)
+      val stream = spark.readStream
+        .schema("l_orderkey BIGINT, l_extendedprice DOUBLE, " +
+                "l_discount DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val q = graft.streaming.EventStreams.joinViewSink(
+        stream, o, s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s"$base/out/v2"
+    })
+    spark.read.parquet(outDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderpriority"), col("n_items"),
+              col("revenue").cast("string").as("revenue"))
+      .orderBy("o_orderkey")
+  }
+  private val q258Saved = new graft.SavedOnce[String, String]
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_join_view_roll"   -> (q256JoinViewRoll(_, _)),
+    "q257_retract_view_roll" -> (q257RetractViewRoll(_, _)),
+    "q258_streamed_view_roll" -> (q258StreamedViewRoll(_, _)),
     "q16_decimal_agg"       -> (q16DecimalAgg(_, _)),
     "q17_semi_join"         -> (q17SemiJoin(_, _)),
     "q18_left_join_count"   -> (q18LeftJoinCount(_, _)),
@@ -309,7 +432,42 @@ object RelationalQueries {
     "q13_distinct"          -> (q13Distinct(_, _))
   )
 
+  /** The join view rebuilt from scratch over given order/line inputs —
+    * the ONE oracle string every maintenance path of the view family
+    * replays (q256 batch roll, q257 retract roll via a net-table
+    * rewrite, q258 streamed roll): build ≡ roll ≡ retract ≡ stream.
+    */
+  private def joinViewRebuildSql(linesRel: String): String =
+    s"""WITH j AS (
+       |  SELECT o_orderkey, o_custkey, o_orderpriority,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(3,2))
+       |      AS DECIMAL(14,4)) AS rev
+       |  FROM orders JOIN $linesRel ON l_orderkey = o_orderkey)
+       |SELECT o_orderkey, o_custkey, o_orderpriority,
+       |  count(*) AS n_items,
+       |  CAST(CAST(sum(rev) AS DECIMAL(24,4)) AS VARCHAR) AS revenue
+       |FROM j
+       |GROUP BY o_orderkey, o_custkey, o_orderpriority
+       |ORDER BY o_orderkey""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // q256 emits the ROLLED view; the oracle rebuilds the view from
+    // scratch over the complete tables — rolled ≡ rebuilt, checked by
+    // the driver on every run (the shared-oracle maintenance pattern).
+    "q256_join_view_roll" -> joinViewRebuildSql("lineitem"),
+    // q257 emits the RETRACT-ROLLED view; the oracle rebuilds over the
+    // NET table (pure deletes removed, updated rows' discounts zeroed)
+    // — the same rebuild string applied to the changelog's closure.
+    "q257_retract_view_roll" -> joinViewRebuildSql(
+      """(SELECT l_orderkey, l_extendedprice,
+        |   CASE WHEN l_quantity > 45 THEN 0.0 ELSE l_discount END
+        |     AS l_discount
+        | FROM lineitem
+        | WHERE NOT (l_quantity > 45 AND l_orderkey % 7 = 0)) nl""".stripMargin),
+    // q258 is the STREAMED roll of the same view — the oracle is the
+    // IDENTICAL rebuild string as q256: build ≡ roll ≡ stream.
+    "q258_streamed_view_roll" -> joinViewRebuildSql("lineitem"),
     "q16_decimal_agg" ->
       """SELECT l_returnflag,
         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price_exact,

@@ -574,6 +574,40 @@ object EventStreams {
     * rewrite bounded to affected buckets — here the point pinned by
     * the oracle is stream ≡ roll ≡ rebuild, byte-for-byte.
     */
+  /** Streaming JOIN+AGG view maintenance: each micro-batch of newly
+    * arrived lineitem rows rolls the standing per-order revenue view
+    * forward via [[graft.operators.ViewMaintenance.orderRevenueRoll]],
+    * with the batch's order-attribute rows resolved by a delta-key
+    * semi-join against the orders dimension (delta-sized — the same
+    * contract as the batch roll). Lands the full rolled view at
+    * `{outDir}/v{batchId}`, deterministic per batch, so a replayed
+    * micro-batch reproduces its own directory (the [[scd2Sink]]
+    * idempotency story). Seed the initial view at `{outDir}/vinit`.
+    */
+  def joinViewSink(lines: DataFrame, orders: DataFrame, outDir: String,
+                   checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    lines.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+        val spark = batch.sparkSession
+        val prev = if (id == 0L) s"$outDir/vinit"
+                   else s"$outDir/v${id - 1}"
+        val view = spark.read.parquet(prev)
+        val deltaLines = batch.toDF()
+        val deltaOrders = orders.join(
+          deltaLines.select(col("l_orderkey").as("o_orderkey"))
+            .distinct(),
+          Seq("o_orderkey"), "left_semi")
+        graft.operators.ViewMaintenance
+          .orderRevenueRoll(view, deltaOrders, deltaLines)
+          .write.mode("overwrite").parquet(s"$outDir/v$id")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .start()
+
   def scd2Sink(changes: DataFrame, outDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream

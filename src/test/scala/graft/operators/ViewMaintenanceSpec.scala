@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental join-view maintenance (q256): rolled ≡ rebuilt on the
+  * real tables, the empty delta is the identity, and both merge cases
+  * (late lines onto standing keys, brand-new keys) are genuinely live
+  * in the q256 split — including the late-line key whose order never
+  * entered the day-1 view (line numbers are not 1-based per order).
+  */
+class ViewMaintenanceSpec extends SparkSpec {
+
+  private def canon(df: DataFrame): Set[(Long, Long, String, Long, String)] =
+    df.select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+              col("n_items"), col("revenue").cast("string"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+                 r.getLong(3), r.getString(4)))
+      .toSet
+
+  private lazy val o = Tables.orders(spark, sf0001)
+  private lazy val l = Tables.lineitem(spark, sf0001)
+
+  private lazy val standing = ViewMaintenance.orderRevenueView(
+    o.filter(col("o_orderkey") % 10 < 8),
+    l.filter(col("l_orderkey") % 10 < 8 && col("l_linenumber") <= 4))
+
+  private lazy val deltaLines =
+    l.filter(col("l_orderkey") % 10 >= 8 || col("l_linenumber") > 4)
+
+  private lazy val rolled = ViewMaintenance.orderRevenueRoll(
+    standing,
+    o.join(deltaLines.select(col("l_orderkey").as("o_orderkey")).distinct,
+           Seq("o_orderkey"), "left_semi"),
+    deltaLines)
+
+  test("rolled view equals the from-scratch rebuild exactly " +
+       "(values AND decimal rendering)") {
+    val rebuilt = ViewMaintenance.orderRevenueView(o, l)
+    assert(canon(rolled) == canon(rebuilt))
+  }
+
+  test("empty delta is the identity") {
+    val same = ViewMaintenance.orderRevenueRoll(
+      standing, o.limit(0), l.limit(0))
+    assert(canon(same) == canon(standing))
+  }
+
+  test("both merge cases are live, and no attribute comes back null") {
+    val sv = canon(standing)
+    val rv = canon(rolled)
+    val standingItems = sv.map(t => t._1 -> t._4).toMap
+    val grew = rv.count(t =>
+      standingItems.get(t._1).exists(_ < t._4))
+    val fresh = rv.count(t => !standingItems.contains(t._1))
+    assert(grew > 0, "no standing key gained late lines")
+    assert(fresh > 0, "no brand-new key entered the view")
+    // the bug case: a late line (key % 10 < 8) for an order absent from
+    // the day-1 view must still resolve its attributes via deltaOrders
+    val lateFresh = rv.count(t =>
+      t._1 % 10 < 8 && !standingItems.contains(t._1))
+    assert(lateFresh > 0,
+           "split no longer exercises the late-line-without-view-row case")
+    assert(rolled.filter(col("o_custkey").isNull ||
+                         col("o_orderpriority").isNull).count() == 0)
+  }
+
+  test("revenue stays DECIMAL(24,4) on both the build and roll paths") {
+    import org.apache.spark.sql.types.DecimalType
+    assert(standing.schema("revenue").dataType == DecimalType(24, 4))
+    assert(rolled.schema("revenue").dataType == DecimalType(24, 4))
+  }
+
+  // --- retractable changelog (q257) ---
+
+  private lazy val fullView = ViewMaintenance.orderRevenueView(o, l)
+  private lazy val hot = col("l_quantity") > 45
+  private lazy val changelog = l.filter(hot).withColumn("op", lit(-1))
+    .unionByName(
+      l.filter(hot && col("l_orderkey") % 7 =!= 0)
+        .withColumn("l_discount", lit(0.0)).withColumn("op", lit(1)))
+  private lazy val retracted = ViewMaintenance.orderRevenueRetractRoll(
+    fullView,
+    o.join(changelog.select(col("l_orderkey").as("o_orderkey")).distinct,
+           Seq("o_orderkey"), "left_semi"),
+    changelog)
+
+  test("retract roll equals the rebuild over the net table exactly") {
+    val net = l.filter(!hot)
+      .unionByName(l.filter(hot && col("l_orderkey") % 7 =!= 0)
+        .withColumn("l_discount", lit(0.0)))
+    assert(canon(retracted) ==
+           canon(ViewMaintenance.orderRevenueView(o, net)))
+  }
+
+  test("fully-retracted orders leave the view; updates keep their " +
+       "count but change revenue") {
+    val fv = canon(fullView)
+    val rv = canon(retracted)
+    val vanished = fv.map(_._1) -- rv.map(_._1)
+    assert(vanished.nonEmpty, "no order was fully retracted")
+    // only the pure-delete cohort can vanish
+    vanished.foreach(k => assert(k % 7 == 0, s"key $k vanished outside" +
+                                 " the delete-only cohort"))
+    val fullItems = fv.map(t => t._1 -> t._4).toMap
+    val fullRev = fv.map(t => t._1 -> BigDecimal(t._5)).toMap
+    val updated = rv.count(t => fullItems(t._1) == t._4 &&
+                                BigDecimal(t._5) > fullRev(t._1))
+    assert(updated > 0, "no update-encoded (delete+reinsert) key " +
+                        "kept its count while gaining revenue")
+    val shrunk = rv.count(t => fullItems(t._1) > t._4)
+    assert(shrunk > 0, "no partially-deleted key shrank")
+  }
+
+  test("empty changelog is the retract identity") {
+    val same = ViewMaintenance.orderRevenueRetractRoll(
+      fullView, o.limit(0), l.withColumn("op", lit(1)).limit(0))
+    assert(canon(same) == canon(fullView))
+  }
+
+  // --- streamed roll (q258) ---
+
+  test("streamed micro-batch roll lands exactly the rebuilt view " +
+       "(stream ≡ roll ≡ build at a second SF beside the driver's)") {
+    val streamed = RelationalQueries.q258StreamedViewRoll(spark, sf0001)
+    assert(canon(streamed) == canon(fullView))
+  }
+}
