@@ -1335,6 +1335,67 @@ object ScaleProbe {
         }
       }
     }
+
+    // round-12 join-view maintenance: rebuild cost grows with the full
+    // corpus (re-join + re-agg of every line); the roll onto a
+    // MATERIALIZED standing view pays one merge pass over the view plus
+    // the FIXED-size delta legs — the never-re-join-the-history claim,
+    // measured. The retract roll adds the signed changelog on top.
+    section("jv_rebuild jv_roll jv_retract") {
+      import graft.operators.ViewMaintenance
+      def ordersX(n: Int) = {
+        val o = Tables.orders(spark, dir)
+        (0 until n).map(i =>
+          o.withColumn("o_orderkey",
+                       col("o_orderkey") + lit(i * 10000000L)))
+          .reduce(_ union _)
+      }
+      def linesX(n: Int) = {
+        val l = Tables.lineitem(spark, dir)
+        (0 until n).map(i =>
+          l.withColumn("l_orderkey",
+                       col("l_orderkey") + lit(i * 10000000L)))
+          .reduce(_ union _)
+      }
+      for (n <- Seq(1, 5, 20)) {
+        val o = ordersX(n); val l = linesX(n)
+        val rows = l.count()
+        time(s"jv_rebuild     n=$n ($rows)") {
+          noop(ViewMaintenance.orderRevenueView(o, l))
+        }
+        // standing view over the N× day-1 slice, materialized so the
+        // roll timings don't re-pay the build
+        val standing = Materialize(ViewMaintenance.orderRevenueView(
+          o, l.filter(col("l_orderkey") % 10 < 8 &&
+                      col("l_linenumber") <= 4)))
+        // the delta stays BASE-sized at every n (one day's arrivals
+        // don't grow with history depth)
+        val delta = Tables.lineitem(spark, dir)
+          .filter(col("l_orderkey") % 10 >= 8 ||
+                  col("l_linenumber") > 4)
+        val deltaOrders = Tables.orders(spark, dir).join(
+          delta.select(col("l_orderkey").as("o_orderkey")).distinct,
+          Seq("o_orderkey"), "left_semi")
+        time(s"jv_roll        n=$n ($rows)") {
+          noop(ViewMaintenance.orderRevenueRoll(standing, deltaOrders,
+                                                delta))
+        }
+        val changelog = Tables.lineitem(spark, dir)
+          .filter(col("l_quantity") > 45).withColumn("op", lit(-1))
+          .unionByName(Tables.lineitem(spark, dir)
+            .filter(col("l_quantity") > 45 &&
+                    col("l_orderkey") % 7 =!= 0)
+            .withColumn("l_discount", lit(0.0))
+            .withColumn("op", lit(1)))
+        val chOrders = Tables.orders(spark, dir).join(
+          changelog.select(col("l_orderkey").as("o_orderkey")).distinct,
+          Seq("o_orderkey"), "left_semi")
+        time(s"jv_retract     n=$n ($rows)") {
+          noop(ViewMaintenance.orderRevenueRetractRoll(
+            standing, chOrders, changelog))
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -346,16 +346,25 @@ object RelationalQueries {
     * inserts contributed: revenue is decimal-exact group arithmetic,
     * not float cancellation.
     */
-  def q257RetractViewRoll(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    val l = Tables.lineitem(spark, dir)
-    val standing = ViewMaintenance.orderRevenueView(o, l)
+  /** The q257/q259 CDC changelog: delete every high-quantity line;
+    * re-insert it with discount zeroed for orders outside the
+    * `% 7 = 0` cohort (update encoding), leave the cohort's deletes
+    * pure so some orders fully retract.
+    */
+  private def retractChangelog(l: DataFrame): DataFrame = {
     val hot = col("l_quantity") > 45
-    val changelog = l.filter(hot).withColumn("op", lit(-1))
+    l.filter(hot).withColumn("op", lit(-1))
       .unionByName(
         l.filter(hot && col("l_orderkey") % 7 =!= 0)
           .withColumn("l_discount", lit(0.0))
           .withColumn("op", lit(1)))
+  }
+
+  def q257RetractViewRoll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val standing = ViewMaintenance.orderRevenueView(o, l)
+    val changelog = retractChangelog(l)
     val deltaOrders = o.join(
       changelog.select(col("l_orderkey").as("o_orderkey")).distinct,
       Seq("o_orderkey"), "left_semi")
@@ -414,10 +423,55 @@ object RelationalQueries {
   }
   private val q258Saved = new graft.SavedOnce[String, String]
 
+  /** Streamed RETRACTABLE view maintenance — the fourth leg of the
+    * family matrix (batch/stream × insert-only/retract): q257's CDC
+    * changelog arrives as three key-atomic micro-batches (each key's
+    * delete + re-insert rows ride together, so every intermediate
+    * landed view is a valid prefix state) and [[graft.streaming
+    * .EventStreams.joinViewSink]] rolls with [[ViewMaintenance
+    * .orderRevenueRetractRoll]]. The final landed view replays
+    * q257's net-table rebuild oracle — streamed CDC with deletes ≡
+    * batch retract roll ≡ rebuild. Memoized per sf dir; excluded
+    * from the bench like the other streaming sinks.
+    */
+  def q259StreamedRetractRoll(spark: SparkSession,
+                              dir: String): DataFrame = {
+    val outDir = q259Saved.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q259_").toString
+      val in = s"$base/in"
+      val o = Tables.orders(spark, dir)
+      val l = Tables.lineitem(spark, dir)
+      ViewMaintenance.orderRevenueView(o, l)
+        .write.mode("overwrite").parquet(s"$base/out/vinit")
+      graft.streaming.EventStreams.stageMicroBatchFiles(
+        retractChangelog(l)
+          .select("l_orderkey", "l_extendedprice", "l_discount", "op"),
+        pmod(col("l_orderkey"), lit(3)), nBatches = 3, inDir = in)
+      val stream = spark.readStream
+        .schema("l_orderkey BIGINT, l_extendedprice DOUBLE, " +
+                "l_discount DOUBLE, op INT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val q = graft.streaming.EventStreams.joinViewSink(
+        stream, o, s"$base/out", s"$base/ckpt",
+        ViewMaintenance.orderRevenueRetractRoll)
+      try q.processAllAvailable() finally q.stop()
+      s"$base/out/v2"
+    })
+    spark.read.parquet(outDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderpriority"), col("n_items"),
+              col("revenue").cast("string").as("revenue"))
+      .orderBy("o_orderkey")
+  }
+  private val q259Saved = new graft.SavedOnce[String, String]
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q256_join_view_roll"   -> (q256JoinViewRoll(_, _)),
     "q257_retract_view_roll" -> (q257RetractViewRoll(_, _)),
     "q258_streamed_view_roll" -> (q258StreamedViewRoll(_, _)),
+    "q259_streamed_retract_roll" -> (q259StreamedRetractRoll(_, _)),
     "q16_decimal_agg"       -> (q16DecimalAgg(_, _)),
     "q17_semi_join"         -> (q17SemiJoin(_, _)),
     "q18_left_join_count"   -> (q18LeftJoinCount(_, _)),
@@ -451,6 +505,16 @@ object RelationalQueries {
        |GROUP BY o_orderkey, o_custkey, o_orderpriority
        |ORDER BY o_orderkey""".stripMargin
 
+  /** q257/q259 share this: rebuild over the NET table — pure deletes
+    * removed, updated rows' discounts zeroed.
+    */
+  private val oracleSqlRetract: String = joinViewRebuildSql(
+    """(SELECT l_orderkey, l_extendedprice,
+      |   CASE WHEN l_quantity > 45 THEN 0.0 ELSE l_discount END
+      |     AS l_discount
+      | FROM lineitem
+      | WHERE NOT (l_quantity > 45 AND l_orderkey % 7 = 0)) nl""".stripMargin)
+
   val oracleSql: Map[String, String] = Map(
     // q256 emits the ROLLED view; the oracle rebuilds the view from
     // scratch over the complete tables — rolled ≡ rebuilt, checked by
@@ -459,15 +523,12 @@ object RelationalQueries {
     // q257 emits the RETRACT-ROLLED view; the oracle rebuilds over the
     // NET table (pure deletes removed, updated rows' discounts zeroed)
     // — the same rebuild string applied to the changelog's closure.
-    "q257_retract_view_roll" -> joinViewRebuildSql(
-      """(SELECT l_orderkey, l_extendedprice,
-        |   CASE WHEN l_quantity > 45 THEN 0.0 ELSE l_discount END
-        |     AS l_discount
-        | FROM lineitem
-        | WHERE NOT (l_quantity > 45 AND l_orderkey % 7 = 0)) nl""".stripMargin),
+    "q257_retract_view_roll" -> oracleSqlRetract,
     // q258 is the STREAMED roll of the same view — the oracle is the
     // IDENTICAL rebuild string as q256: build ≡ roll ≡ stream.
     "q258_streamed_view_roll" -> joinViewRebuildSql("lineitem"),
+    // q259 streams q257's retract changelog — identical oracle to q257.
+    "q259_streamed_retract_roll" -> oracleSqlRetract,
     "q16_decimal_agg" ->
       """SELECT l_returnflag,
         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price_exact,

@@ -583,9 +583,20 @@ object EventStreams {
     * `{outDir}/v{batchId}`, deterministic per batch, so a replayed
     * micro-batch reproduces its own directory (the [[scd2Sink]]
     * idempotency story). Seed the initial view at `{outDir}/vinit`.
+    *
+    * `roll` defaults to the insert-only roll; pass
+    * [[graft.operators.ViewMaintenance.orderRevenueRetractRoll]] to
+    * maintain the view under a RETRACTABLE changelog stream (micro-
+    * batches carrying `op` = ±1) — streamed CDC with deletes. Batches
+    * staged key-atomically (each key's changelog rows in one batch)
+    * keep every intermediate landed view a valid prefix state; the
+    * group structure of the measures makes the final state order-
+    * independent regardless.
     */
   def joinViewSink(lines: DataFrame, orders: DataFrame, outDir: String,
-                   checkpoint: String)
+                   checkpoint: String,
+                   roll: (DataFrame, DataFrame, DataFrame) => DataFrame =
+                     graft.operators.ViewMaintenance.orderRevenueRoll)
       : org.apache.spark.sql.streaming.StreamingQuery =
     lines.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
@@ -599,8 +610,7 @@ object EventStreams {
           deltaLines.select(col("l_orderkey").as("o_orderkey"))
             .distinct(),
           Seq("o_orderkey"), "left_semi")
-        graft.operators.ViewMaintenance
-          .orderRevenueRoll(view, deltaOrders, deltaLines)
+        roll(view, deltaOrders, deltaLines)
           .write.mode("overwrite").parquet(s"$outDir/v$id")
         ()
       }

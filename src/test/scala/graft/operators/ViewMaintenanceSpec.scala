@@ -128,4 +128,11 @@ class ViewMaintenanceSpec extends SparkSpec {
     val streamed = RelationalQueries.q258StreamedViewRoll(spark, sf0001)
     assert(canon(streamed) == canon(fullView))
   }
+
+  test("streamed RETRACTABLE roll lands exactly the batch retract " +
+       "roll's state (the fourth leg: stream × CDC-with-deletes)") {
+    val streamed =
+      RelationalQueries.q259StreamedRetractRoll(spark, sf0001)
+    assert(canon(streamed) == canon(retracted))
+  }
 }
