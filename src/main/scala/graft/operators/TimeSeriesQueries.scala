@@ -721,7 +721,129 @@ object TimeSeriesQueries {
   }
   private val q255Saved = new graft.SavedOnce[String, String]
 
+  /** Cascading rollup maintenance (hour → day): the day grain is built
+    * ONLY from hourly partials, never from raw events — the aggregate-
+    * of-aggregates discipline a metrics warehouse runs at 100 TB (raw
+    * is scanned once per ingest day to cut its hours; every higher
+    * grain merges the grain below, which is orders of magnitude
+    * smaller). The incremental leg: the standing day table comes from
+    * the first 20 days' hours; later days arrive as the delta, are
+    * aggregated to THEIR hours only, cascade to day partials, and
+    * merge key-wise — history's raw is never re-read, and a partial
+    * day would sum in correctly because the measures are exact
+    * integers (COUNT + sum of floor(value·1000) milli-units — order-
+    * invariant, engine-exact). Oracle: DuckDB rebuilds the day grain
+    * STRAIGHT from raw — cascade ≡ direct AND rolled ≡ rebuilt in one
+    * hash check.
+    */
+  def q260CascadeRollup(spark: SparkSession, dir: String): DataFrame =
+    cascadeDayRollup(spark, dir, lit("2024-01-21").cast("timestamp"))
+
+  /** q260's body with the standing/delta cut exposed: a cut INSIDE a
+    * day proves the key-wise merge sums a split day correctly (the
+    * spec pins it); q260 ships the day-aligned production cut.
+    */
+  private[operators] def cascadeDayRollup(spark: SparkSession,
+                                          dir: String,
+                                          cut: Column): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"),
+              floor(col("value") * 1000).cast("long").as("vm"))
+    def hourly(e: DataFrame) =
+      e.groupBy(col("event_type"),
+                date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"), sum("vm").as("v_milli"))
+    def dayFromHours(h: DataFrame) =
+      h.groupBy(col("event_type"),
+                date_trunc("day", col("hour")).as("day"))
+        .agg(sum("n").as("n"), sum("v_milli").as("v_milli"))
+    val standing = dayFromHours(hourly(ev.filter(col("ts") < cut)))
+    val deltaDays = dayFromHours(hourly(ev.filter(col("ts") >= cut)))
+    standing.unionByName(deltaDays)
+      .groupBy("event_type", "day")
+      .agg(sum("n").as("n"), sum("v_milli").as("v_milli"))
+      .select("day", "event_type", "n", "v_milli")
+      .orderBy("day", "event_type")
+  }
+
+  /** Layout-pruning audit: QUANTIFIES what the Z-order rewrite
+    * ([[graft.io.Compaction]], q100) buys at scan time. Both layouts
+    * assign rows to fixed-size files (256 rows) — `natural` in
+    * event_id (ingest) order, `zorder` along the (value, user_id)
+    * Morton curve — then each file keeps only its user_id min/max
+    * (exactly the parquet footer stats a reader prunes on) and an
+    * 8-range user_id predicate grid counts the files whose stats
+    * overlap each range: `scan_ppm` is the fraction of files a range
+    * query must touch. Ingest order leaves every file spanning the
+    * whole user domain (scan_ppm ≈ 10⁶); the z-layout's files own
+    * small (value, user) tiles, so most are skipped — the measured
+    * justification for paying the layout rewrite.
+    *
+    * Scale shape: file ranks come from the [[graft.llm.Sharding
+    * .tokenOffsets]] two-phase prefix sum (range buckets + broadcast
+    * bases — never a single-partition window); file stats are one
+    * (layout, file) agg; the predicate join is a broadcast of the
+    * 8-row grid against the file-count-sized stats table. FULLY
+    * oracle-checked: DuckDB replays bins, interleave, rank, file cut,
+    * stats, and the overlap counts.
+    */
+  def q261LayoutPruning(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Compaction
+    val fileRows = 256L
+    val ev = Tables.events(spark, dir)
+    val stats = ev.agg(
+      min(col("value")).as("mnv"), max(col("value")).as("mxv"),
+      min(col("user_id").cast("double")).as("mnu"),
+      max(col("user_id").cast("double")).as("mxu"))
+    val withZ = ev.crossJoin(broadcast(stats))
+      .select(col("event_id"), col("user_id"),
+              Compaction.zInterleave(
+                Compaction.zBinCol(col("value"), col("mnv"),
+                                   col("mxv"), 8),
+                Compaction.zBinCol(col("user_id").cast("double"),
+                                   col("mnu"), col("mxu"), 8),
+                8).as("z"))
+    def layoutFiles(name: String, keyed: DataFrame, key: String) =
+      graft.llm.Sharding
+        .tokenOffsets(keyed.withColumn("one", lit(1L)), key, "one",
+                      nBuckets = 32, shardTokens = fileRows)
+        .select(lit(name).as("layout"), col("shard_id").as("file_id"),
+                col("user_id"))
+    val files = layoutFiles("natural",
+                            withZ.select("event_id", "user_id"),
+                            "event_id")
+      .unionByName(layoutFiles("zorder",
+        // (z, event_id)-ordered single sort key: z ≤ 2¹⁶ shifted clear
+        // of the id domain, ties impossible
+        withZ.select((col("z") * lit(1L << 44) + col("event_id"))
+                       .as("zkey"),
+                     col("user_id")),
+        "zkey"))
+      .groupBy("layout", "file_id")
+      .agg(min("user_id").as("u_min"), max("user_id").as("u_max"))
+    val grid = spark.range(8).select(col("id").as("q"))
+      .crossJoin(broadcast(
+        ev.agg(min("user_id").as("ulo"), max("user_id").as("uhi"))))
+      .withColumn("w", expr("(uhi - ulo + 8) div 8"))
+      .select(col("q"), (col("ulo") + col("q") * col("w")).as("lo"),
+              (col("ulo") + (col("q") + 1) * col("w")).as("hi"))
+    val totals = files.groupBy("layout")
+      .agg(count(lit(1)).as("files_total"))
+    files
+      .join(broadcast(grid),
+            col("u_min") < col("hi") && col("u_max") >= col("lo"))
+      .groupBy("layout", "q")
+      .agg(count(lit(1)).as("files_scanned"))
+      .join(broadcast(totals), Seq("layout"))
+      .withColumn("scan_ppm",
+                  expr("files_scanned * 1000000 DIV files_total"))
+      .select("layout", "q", "files_scanned", "files_total", "scan_ppm")
+      .orderBy("layout", "q")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_cascade_rollup" -> (q260CascadeRollup(_, _)),
+    "q261_layout_pruning" -> (q261LayoutPruning(_, _)),
     "q255_decay_roll" -> (q255DecayRoll(_, _)),
     "q253_streaming_funnel" -> (q253StreamingFunnel(_, _)),
     "q252_session_funnel" -> (q252SessionFunnel(_, _)),
@@ -830,6 +952,70 @@ object TimeSeriesQueries {
         |FROM a""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q260 emits the hour→day CASCADED and incrementally ROLLED day
+    // grain; the oracle rebuilds the day grain straight from raw —
+    // cascade ≡ direct and rolled ≡ rebuilt in one check.
+    "q260_cascade_rollup" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |    AS v_milli
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
+    "q261_layout_pruning" -> {
+      def bin(c: String, mn: String, mx: String): String =
+        s"CASE WHEN $mx = $mn THEN 0 ELSE " +
+          s"least(255, greatest(0, CAST(floor(($c - $mn) * 256.0 " +
+          s"/ ($mx - $mn)) AS BIGINT))) END"
+      s"""WITH s AS (
+         |  SELECT min(value) AS mnv, max(value) AS mxv,
+         |         min(CAST(user_id AS DOUBLE)) AS mnu,
+         |         max(CAST(user_id AS DOUBLE)) AS mxu
+         |  FROM events),
+         |b AS (
+         |  SELECT event_id, user_id,
+         |    ${bin("value", "mnv", "mxv")} AS bin_value,
+         |    ${bin("CAST(user_id AS DOUBLE)", "mnu", "mxu")} AS bin_user
+         |  FROM events, s),
+         |z AS (
+         |  SELECT event_id, user_id,
+         |    ${graft.io.Compaction.zInterleaveSql("bin_value",
+                                                   "bin_user", 8)} AS z
+         |  FROM b),
+         |lay AS (
+         |  SELECT 'natural' AS layout,
+         |    (row_number() OVER (ORDER BY event_id) - 1) // 256
+         |      AS file_id, user_id
+         |  FROM z
+         |  UNION ALL
+         |  SELECT 'zorder' AS layout,
+         |    (row_number() OVER (ORDER BY z * ${1L << 44} + event_id)
+         |      - 1) // 256 AS file_id, user_id
+         |  FROM z),
+         |f AS (
+         |  SELECT layout, file_id, min(user_id) AS u_min,
+         |         max(user_id) AS u_max
+         |  FROM lay GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT layout, count(*) AS files_total FROM f GROUP BY 1),
+         |ub AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi
+         |       FROM events),
+         |g AS (
+         |  SELECT q, ulo + q * w AS lo, ulo + (q + 1) * w AS hi
+         |  FROM (SELECT unnest(range(8)) AS q, ulo, uhi,
+         |               (uhi - ulo + 8) // 8 AS w
+         |        FROM ub)),
+         |sc AS (
+         |  SELECT layout, q, count(*) AS files_scanned
+         |  FROM f JOIN g ON u_min < hi AND u_max >= lo
+         |  GROUP BY 1, 2)
+         |SELECT layout, q, files_scanned, files_total,
+         |  files_scanned * 1000000 // files_total AS scan_ppm
+         |FROM sc JOIN tot USING (layout)
+         |ORDER BY layout, q""".stripMargin
+    },
     // sessionization windows + ordered list + positional subsequence
     // scan; list_position is NULL-on-missing (coalesce to 0 = Spark's
     // array_position convention)
