@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -467,7 +467,89 @@ object RelationalQueries {
   }
   private val q259Saved = new graft.SavedOnce[String, String]
 
+  /** The portable 60-bit md5 key hash (the repo-wide oracle hash
+    * convention) reduced to a `m`-bit-array slot — a 1-hash Bloom
+    * filter, chosen over Spark's native `stat.bloomFilter` exactly
+    * BECAUSE one hash makes membership replayable in any SQL engine
+    * (the native filter's k hashes are engine-private, so its false
+    * positives can't be oracle-checked).
+    */
+  private def bloomSlot(key: Column, m: Long): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 15),
+         16, 10).cast("long") % m
+
+  /** Runtime bloom-filter join pruning, AUDITED: the small side (a
+    * flagged-orders key set) compiles to a broadcast 1-hash Bloom
+    * bitmap that prunes the big side AT THE SCAN, before any shuffle
+    * — the runtime-filter pattern AQE applies implicitly, made
+    * explicit and measured. One pass over lineitem counts rows
+    * scanned, rows surviving the bloom, and true matches; `fp_ppm` is
+    * the measured false-positive rate among true non-matches. Every
+    * number is oracle-checked — the DuckDB replay recomputes the same
+    * md5-slot bitmap, so even the false positives match bit-for-bit
+    * (Spark's native bloomFilter can't be audited this way; see
+    * [[bloomSlot]]). Scale shape: the bitmap is ≤ m distinct slots
+    * broadcast once; the big side is one scan + two broadcast lookups
+    * + a 1-row agg — rows pruned here never reach the join shuffle.
+    */
+  def q262BloomPruneAudit(spark: SparkSession, dir: String): DataFrame = {
+    val m = 1024L
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val keys = o.filter(col("o_orderpriority") === "1-URGENT" &&
+                        col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("l_orderkey")).distinct()
+    val bits = keys.select(bloomSlot(col("l_orderkey"), m).as("bit"))
+      .distinct()
+    l.select(col("l_orderkey"),
+             bloomSlot(col("l_orderkey"), m).as("bit"))
+      .join(broadcast(bits.withColumn("in_bloom", lit(1L))),
+            Seq("bit"), "left")
+      .join(broadcast(keys.withColumn("in_true", lit(1L))),
+            Seq("l_orderkey"), "left")
+      .agg(count(lit(1)).as("n_big"),
+           sum(coalesce(col("in_bloom"), lit(0L))).as("n_pass"),
+           sum(coalesce(col("in_true"), lit(0L))).as("n_true"))
+      .withColumn("fp_ppm",
+        expr("(n_pass - n_true) * 1000000 DIV (n_big - n_true)"))
+      .select("n_big", "n_pass", "n_true", "fp_ppm")
+  }
+
+  /** Histogram join-cardinality estimation vs ground truth — the
+    * optimizer-statistics introspection family (with q235's skew
+    * advisor and q261's layout audit): 16 equal-width buckets over
+    * the events self-join key (user_id), per-bucket rows + exact NDV,
+    * the textbook estimate `n²/ndv` (uniform-frequency assumption),
+    * and the TRUE self-join cardinality Σ c_u² — the per-bucket
+    * `err_ppm` quantifies exactly how key skew breaks the uniform
+    * assumption, the number a cost-based reorderer needs to distrust
+    * its own histogram. All-integer arithmetic, fully oracle-checked.
+    * Scale shape: one (bucket, key) agg → per-bucket rollup (≤ 16
+    * rows); the true cardinality needs no join at all — Σ c² folds
+    * from the same per-key counts.
+    */
+  def q263JoinCardEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bounds = ev.agg(min("user_id").as("ulo"), max("user_id").as("uhi"))
+    val perKey = ev.crossJoin(broadcast(bounds))
+      .withColumn("w", expr("(uhi - ulo + 16) div 16"))
+      .withColumn("bucket", expr("(user_id - ulo) div w"))
+      .groupBy("bucket", "user_id")
+      .agg(count(lit(1)).as("c"))
+    perKey.groupBy("bucket")
+      .agg(sum("c").as("n"),
+           count(lit(1)).as("ndv"),
+           sum(col("c") * col("c")).as("true_card"))
+      .withColumn("est_card", expr("n * n DIV ndv"))
+      .withColumn("err_ppm",
+        expr("abs(est_card - true_card) * 1000000 DIV true_card"))
+      .select("bucket", "n", "ndv", "est_card", "true_card", "err_ppm")
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_bloom_prune_audit" -> (q262BloomPruneAudit(_, _)),
+    "q263_join_card_estimate" -> (q263JoinCardEstimate(_, _)),
     "q256_join_view_roll"   -> (q256JoinViewRoll(_, _)),
     "q257_retract_view_roll" -> (q257RetractViewRoll(_, _)),
     "q258_streamed_view_roll" -> (q258StreamedViewRoll(_, _)),
@@ -529,6 +611,51 @@ object RelationalQueries {
     "q258_streamed_view_roll" -> joinViewRebuildSql("lineitem"),
     // q259 streams q257's retract changelog — identical oracle to q257.
     "q259_streamed_retract_roll" -> oracleSqlRetract,
+    // q262: the oracle recomputes the SAME 1-hash md5-slot bitmap, so
+    // even the bloom's false positives are checked bit-for-bit.
+    "q262_bloom_prune_audit" ->
+      """WITH s AS (
+        |  SELECT DISTINCT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 = 0),
+        |bits AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 1024 AS bit
+        |  FROM s),
+        |big AS (
+        |  SELECT l_orderkey,
+        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 1024 AS bit
+        |  FROM lineitem),
+        |agg AS (
+        |  SELECT count(*) AS n_big,
+        |    CAST(sum(CASE WHEN bit IN (SELECT bit FROM bits)
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |    CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM s)
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+        |  FROM big)
+        |SELECT n_big, n_pass, n_true,
+        |  (n_pass - n_true) * 1000000 // (n_big - n_true) AS fp_ppm
+        |FROM agg""".stripMargin,
+    "q263_join_card_estimate" ->
+      """WITH b AS (
+        |  SELECT min(user_id) AS ulo,
+        |         (max(user_id) - min(user_id) + 16) // 16 AS w
+        |  FROM events),
+        |pk AS (
+        |  SELECT (user_id - ulo) // w AS bucket, user_id,
+        |         count(*) AS c
+        |  FROM events, b GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT bucket, CAST(sum(c) AS BIGINT) AS n,
+        |         count(*) AS ndv,
+        |         CAST(sum(c * c) AS BIGINT) AS true_card
+        |  FROM pk GROUP BY bucket)
+        |SELECT bucket, n, ndv, n * n // ndv AS est_card, true_card,
+        |  abs(n * n // ndv - true_card) * 1000000 // true_card
+        |    AS err_ppm
+        |FROM agg
+        |ORDER BY bucket""".stripMargin,
     "q16_decimal_agg" ->
       """SELECT l_returnflag,
         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price_exact,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** The engine-introspection audits: runtime bloom pruning (q262) and
+  * histogram join-cardinality estimation (q263) — output invariants
+  * recounted independently, plans pinned broadcast-only.
+  */
+class StatsAuditSpec extends SparkSpec {
+
+  test("q262: no false negatives, exact true-match count, consistent " +
+       "fp arithmetic, and the big side never sort-merges") {
+    val df = RelationalQueries.queries("q262_bloom_prune_audit")(
+      spark, sf0001)
+    val r = df.collect().head
+    val (nBig, nPass, nTrue, fpPpm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // independent recount of the ground truth
+    val o = Tables.orders(spark, sf0001)
+    val l = Tables.lineitem(spark, sf0001)
+    val keys = o.filter(col("o_orderpriority") === "1-URGENT" &&
+                        col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("l_orderkey")).distinct()
+    assert(nBig == l.count())
+    assert(nTrue == l.join(keys, Seq("l_orderkey"), "left_semi").count())
+    // a Bloom filter may over-admit but NEVER under-admit
+    assert(nPass >= nTrue, "bloom dropped a true match")
+    assert(nPass < nBig, "bloom pruned nothing")
+    assert(fpPpm == (nPass - nTrue) * 1000000L / (nBig - nTrue))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+           s"bitmap and key set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+           s"the scanned side must never sort-merge:\n$plan")
+  }
+
+  test("q263: estimates follow the uniform-frequency formula, truth " +
+       "bounds hold, and bucket rows partition the table") {
+    val rows = RelationalQueries.queries("q263_join_card_estimate")(
+      spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                 r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.length <= 16)
+    rows.foreach { case (b, n, ndv, est, tru, err) =>
+      assert(est == n * n / ndv, s"estimate formula broke at bucket $b")
+      // Cauchy-Schwarz floor: sum c^2 >= n^2/ndv, so the uniform
+      // estimate can only UNDER-estimate a skewed bucket
+      assert(tru >= est, s"true self-join card under the CS floor at $b")
+      assert(ndv <= n)
+      assert(err == (tru - est) * 1000000L / tru)
+    }
+    assert(rows.map(_._2).sum == Tables.events(spark, sf0001).count(),
+           "bucket rows must partition the events table")
+  }
+}
