@@ -841,7 +841,70 @@ object TimeSeriesQueries {
       .orderBy("layout", "q")
   }
 
+  /** Stream-stream LEFT OUTER join over the real events stream
+    * ([[graft.streaming.EventStreams.streamStreamLeftJoin]]): the
+    * events table arrives as one micro-batch per day over a staged
+    * file source; signups left-outer-join purchases of the same user
+    * within the following hour, the outer (no-purchase) verdict
+    * finalized per signup by the watermark. A SENTINEL batch one day
+    * past the data (a signup+purchase pair for a reserved user, which
+    * can match nothing) pushes both watermarks past every real event
+    * so the engine flushes ALL pending outer rows before the stream
+    * stops — the streaming equivalent of "close the books". The
+    * comparison restricts to watermark-FINALIZED signups (≥ 2 h
+    * before max ts, conservatively past window + lateness); the
+    * oracle replays the interval left join in batch SQL — streamed
+    * outer join ≡ batch outer join, row for row including the nulls.
+    * Memoized per sf dir; excluded from the bench like the other
+    * streaming sinks.
+    */
+  def q264StreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = q264Saved.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q264_").toString
+      val in = s"$base/in"
+      val ev = Tables.events(spark, dir)
+        .select(col("ts"), col("event_type"), col("user_id"),
+                col("value"),
+                datediff(col("ts"), lit("2024-01-01").cast("date"))
+                  .as("b"))
+      val sentinel = ev.sparkSession.range(1).select(
+        (lit("2024-03-01").cast("timestamp")).as("ts"),
+        explode(array(lit("signup"), lit("purchase")))
+          .as("event_type"),
+        lit(999999999L).as("user_id"), lit(0.0).as("value"),
+        lit(31).as("b"))
+      graft.streaming.EventStreams.stageMicroBatchFiles(
+        ev.unionByName(sentinel), col("b"), nBatches = 32, inDir = in)
+      val stream = spark.readStream
+        .schema("ts TIMESTAMP, event_type STRING, user_id BIGINT, " +
+                "value DOUBLE, b INT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val joined = graft.streaming.EventStreams.streamStreamLeftJoin(
+        stream.filter(col("event_type") === "signup"),
+        stream.filter(col("event_type") === "purchase"))
+      val q = graft.streaming.EventStreams.idempotentParquetSink(
+        joined, s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s"$base/out"
+    })
+    // finalization cutoff: only signups whose outer verdict the
+    // watermark has sealed (2 h ≥ window + lateness before max ts)
+    val mx = Tables.events(spark, dir).agg(max("ts")).head.getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(mx.getTime - 2L * 3600 * 1000)
+    spark.read.parquet(outDir)
+      .filter(col("user_id") =!= 999999999L &&
+              col("signup_ts") <= lit(cutoff))
+      .select("user_id", "signup_ts", "purchase_ts", "p_milli")
+      .orderBy(col("user_id"), col("signup_ts"),
+               col("purchase_ts").asc_nulls_first,
+               col("p_milli").asc_nulls_first)
+  }
+  private val q264Saved = new graft.SavedOnce[String, String]
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_stream_outer_join" -> (q264StreamOuterJoin(_, _)),
     "q260_cascade_rollup" -> (q260CascadeRollup(_, _)),
     "q261_layout_pruning" -> (q261LayoutPruning(_, _)),
     "q255_decay_roll" -> (q255DecayRoll(_, _)),
@@ -952,6 +1015,27 @@ object TimeSeriesQueries {
         |FROM a""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q264 emits the STREAMED left outer join (watermark-finalized
+    // slice); the oracle replays the interval left join in batch SQL —
+    // streamed ≡ batch, nulls included.
+    "q264_stream_outer_join" ->
+      """WITH mx AS (SELECT max(ts) AS mt FROM events),
+        |s AS (
+        |  SELECT user_id, ts AS signup_ts FROM events
+        |  WHERE event_type = 'signup'),
+        |p AS (
+        |  SELECT user_id, ts AS purchase_ts,
+        |         CAST(floor(value * 1000) AS BIGINT) AS p_milli
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT s.user_id, s.signup_ts, p.purchase_ts, p.p_milli
+        |FROM s
+        |LEFT JOIN p ON s.user_id = p.user_id
+        |  AND p.purchase_ts > s.signup_ts
+        |  AND p.purchase_ts <= s.signup_ts + INTERVAL 1 HOUR
+        |CROSS JOIN mx
+        |WHERE s.signup_ts <= mt - INTERVAL 2 HOUR
+        |ORDER BY s.user_id, s.signup_ts,
+        |  p.purchase_ts NULLS FIRST, p.p_milli NULLS FIRST""".stripMargin,
     // q260 emits the hour→day CASCADED and incrementally ROLLED day
     // grain; the oracle rebuilds the day grain straight from raw —
     // cascade ≡ direct and rolled ≡ rebuilt in one check.

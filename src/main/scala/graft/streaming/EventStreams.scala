@@ -247,6 +247,39 @@ object EventStreams {
               col("purchase_ts"), col("value"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER join — the harder sibling of
+    * [[streamStreamJoin]]: every signup emits exactly once, WITH its
+    * in-window purchases or (once the watermark passes
+    * `signup_ts + window` and no match arrived) with nulls. The outer
+    * row cannot be emitted eagerly — it is only correct when late
+    * matches are impossible — so Spark holds the signup in state until
+    * the watermark finalizes it; the time-bound join condition keeps
+    * that state O(window + lateness horizon), constant on an infinite
+    * stream. Consumers comparing against a batch twin must restrict to
+    * watermark-FINALIZED signups (old enough that the outer verdict
+    * can't change) — q264 does exactly that.
+    */
+  def streamStreamLeftJoin(signups: DataFrame, purchases: DataFrame,
+                           lateness: String = "30 minutes",
+                           window: String = "1 hour"): DataFrame = {
+    val s = signups
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", lateness)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("value"))
+      .withWatermark("purchase_ts", lateness)
+    s.join(p,
+        col("s_user") === col("p_user") &&
+          col("purchase_ts") > col("signup_ts") &&
+          col("purchase_ts") <=
+            col("signup_ts") + expr(s"INTERVAL $window"),
+        "left_outer")
+      .select(col("s_user").as("user_id"), col("signup_ts"),
+              col("purchase_ts"),
+              floor(col("value") * 1000).cast("long").as("p_milli"))
+  }
+
   /** Idempotent micro-batch parquet upsert — the foreachBatch exactly-once
     * recipe: each micro-batch lands in its own `batch_id=` partition with
     * overwrite, so a replayed batch (failure between sink write and

@@ -686,4 +686,43 @@ class EventStreamsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$root/out/v1")
     assert(landed("v1") == fin, "replay must be idempotent")
   }
+
+  test("q264 streamed LEFT OUTER join equals the batch interval left " +
+       "join on the finalized slice, with both verdicts live") {
+    val df = graft.operators.TimeSeriesQueries
+      .q264StreamOuterJoin(spark, sf0001)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("user_id"), col("signup_ts").cast("string"),
+               col("purchase_ts").cast("string"), col("p_milli"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1),
+                   Option(r.getString(2)),
+                   if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toSeq.sorted(Ordering.by((t: (Long, String, Option[String],
+                                       Option[Long])) =>
+          (t._1, t._2, t._3.getOrElse(""), t._4.getOrElse(-1L))))
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val mx = ev.agg(max("ts")).head.getTimestamp(0)
+    val cutoff = new Timestamp(mx.getTime - 2L * 3600 * 1000)
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"))
+      .filter(col("signup_ts") <= lit(cutoff))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+              col("ts").as("purchase_ts"),
+              floor(col("value") * 1000).cast("long").as("p_milli"))
+    val batch = s.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") > col("signup_ts") &&
+          col("purchase_ts") <=
+            col("signup_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select("user_id", "signup_ts", "purchase_ts", "p_milli")
+    val streamed = canon(df)
+    assert(streamed == canon(batch))
+    assert(streamed.exists(_._3.isEmpty),
+           "no outer (unconverted-signup) row emitted")
+    assert(streamed.exists(_._3.nonEmpty),
+           "no inner (converted) row emitted")
+  }
 }
