@@ -858,29 +858,40 @@ object TimeSeriesQueries {
     * Memoized per sf dir; excluded from the bench like the other
     * streaming sinks.
     */
+  /** Stage the events table as one micro-batch per day plus a SENTINEL
+    * batch one day past the data (a signup+purchase pair for reserved
+    * user 999999999 that can match/merge with nothing) — the sentinel
+    * pushes every watermark past all real events so stateful operators
+    * flush their pending finalized results before the stream stops.
+    * Returns the file-source stream (q264/q265 share it).
+    */
+  private def stagedDailyEvents(spark: SparkSession, dir: String,
+                                in: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("user_id"),
+              col("value"),
+              datediff(col("ts"), lit("2024-01-01").cast("date"))
+                .as("b"))
+    val sentinel = ev.sparkSession.range(1).select(
+      (lit("2024-03-01").cast("timestamp")).as("ts"),
+      explode(array(lit("signup"), lit("purchase")))
+        .as("event_type"),
+      lit(999999999L).as("user_id"), lit(0.0).as("value"),
+      lit(31).as("b"))
+    graft.streaming.EventStreams.stageMicroBatchFiles(
+      ev.unionByName(sentinel), col("b"), nBatches = 32, inDir = in)
+    spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, user_id BIGINT, " +
+              "value DOUBLE, b INT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+  }
+
   def q264StreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
     val outDir = q264Saved.getOrElseUpdate(dir, {
       val base = java.nio.file.Files
         .createTempDirectory("graft_q264_").toString
-      val in = s"$base/in"
-      val ev = Tables.events(spark, dir)
-        .select(col("ts"), col("event_type"), col("user_id"),
-                col("value"),
-                datediff(col("ts"), lit("2024-01-01").cast("date"))
-                  .as("b"))
-      val sentinel = ev.sparkSession.range(1).select(
-        (lit("2024-03-01").cast("timestamp")).as("ts"),
-        explode(array(lit("signup"), lit("purchase")))
-          .as("event_type"),
-        lit(999999999L).as("user_id"), lit(0.0).as("value"),
-        lit(31).as("b"))
-      graft.streaming.EventStreams.stageMicroBatchFiles(
-        ev.unionByName(sentinel), col("b"), nBatches = 32, inDir = in)
-      val stream = spark.readStream
-        .schema("ts TIMESTAMP, event_type STRING, user_id BIGINT, " +
-                "value DOUBLE, b INT")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in)
+      val stream = stagedDailyEvents(spark, dir, s"$base/in")
       val joined = graft.streaming.EventStreams.streamStreamLeftJoin(
         stream.filter(col("event_type") === "signup"),
         stream.filter(col("event_type") === "purchase"))
@@ -903,8 +914,38 @@ object TimeSeriesQueries {
   }
   private val q264Saved = new graft.SavedOnce[String, String]
 
+  /** Native `session_window` streaming aggregation ([[graft.streaming
+    * .EventStreams.sessionWindowCounts]]) over the staged daily events
+    * stream: one row per (user, session) with exact event count and
+    * milli-unit value sum, sessions cut by a 30-minute gap and
+    * finalized by the watermark (the sentinel batch flushes the last
+    * open ones). The oracle replays the classic batch gap-cut
+    * sessionization (lag → break flags → running session ids — q29's
+    * shape) — native streamed session windows ≡ batch gap cut, every
+    * session boundary, count, and sum. Memoized per sf dir; excluded
+    * from the bench like the other streaming sinks.
+    */
+  def q265SessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = q265Saved.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q265_").toString
+      val stream = stagedDailyEvents(spark, dir, s"$base/in")
+      val q = graft.streaming.EventStreams.idempotentParquetSink(
+        graft.streaming.EventStreams.sessionWindowCounts(stream),
+        s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s"$base/out"
+    })
+    spark.read.parquet(outDir)
+      .filter(col("user_id") =!= 999999999L)
+      .select("user_id", "s_start", "s_end", "n", "v_milli")
+      .orderBy("user_id", "s_start")
+  }
+  private val q265Saved = new graft.SavedOnce[String, String]
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q264_stream_outer_join" -> (q264StreamOuterJoin(_, _)),
+    "q265_session_window" -> (q265SessionWindow(_, _)),
     "q260_cascade_rollup" -> (q260CascadeRollup(_, _)),
     "q261_layout_pruning" -> (q261LayoutPruning(_, _)),
     "q255_decay_roll" -> (q255DecayRoll(_, _)),
@@ -1036,6 +1077,30 @@ object TimeSeriesQueries {
         |WHERE s.signup_ts <= mt - INTERVAL 2 HOUR
         |ORDER BY s.user_id, s.signup_ts,
         |  p.purchase_ts NULLS FIRST, p.p_milli NULLS FIRST""".stripMargin,
+    // q265 emits NATIVE streamed session windows; the oracle replays
+    // the batch gap-cut (break at diff ≥ gap, matching session_window's
+    // strict-overlap merge; end = last event + gap).
+    "q265_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         CAST(floor(value * 1000) AS BIGINT) AS vm
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, ts, vm,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts, vm,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM l)
+        |SELECT user_id, min(ts) AS s_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS s_end,
+        |  count(*) AS n, CAST(sum(vm) AS BIGINT) AS v_milli
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
     // q260 emits the hour→day CASCADED and incrementally ROLLED day
     // grain; the oracle rebuilds the day grain straight from raw —
     // cascade ≡ direct and rolled ≡ rebuilt in one check.

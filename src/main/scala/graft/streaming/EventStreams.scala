@@ -280,6 +280,30 @@ object EventStreams {
               floor(col("value") * 1000).cast("long").as("p_milli"))
   }
 
+  /** Native `session_window` streaming aggregation — the declarative
+    * sibling of the [[sessionize]] custom-state operator: Spark's
+    * built-in session windows merge adjacent per-key windows closer
+    * than `gap` inside the aggregation itself (no user state
+    * machine), finalize each session when the watermark passes its
+    * end, and evict its state — O(open sessions), constant on an
+    * infinite stream. Emits one row per (user, session): start, end
+    * (last event + gap), event count, and the exact milli-unit value
+    * sum. The batch twin is the classic gap-cut sessionization
+    * (q29's lag/cumsum shape) — q265 pins streamed ≡ batch through
+    * one oracle.
+    */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+                          lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n"),
+           sum(floor(col("value") * 1000).cast("long")).as("v_milli"))
+      .select(col("user_id"),
+              col("session_window.start").as("s_start"),
+              col("session_window.end").as("s_end"),
+              col("n"), col("v_milli"))
+
   /** Idempotent micro-batch parquet upsert — the foreachBatch exactly-once
     * recipe: each micro-batch lands in its own `batch_id=` partition with
     * overwrite, so a replayed batch (failure between sink write and

@@ -725,4 +725,57 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.exists(_._3.nonEmpty),
            "no inner (converted) row emitted")
   }
+
+  test("q265 native session windows partition every event exactly " +
+       "once, never overlap per user, and merge across micro-batches") {
+    val rows = graft.operators.TimeSeriesQueries
+      .q265SessionWindow(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+                 r.getLong(3)))
+    val nEvents = graft.sources.Tables.events(spark, sf0001).count()
+    assert(rows.map(_._4).sum == nEvents,
+           "session event counts must partition the events table")
+    rows.groupBy(_._1).values.foreach { sess =>
+      sess.sortBy(_._2.getTime).sliding(2).foreach {
+        case Array(a, b) =>
+          // next session starts at/after the previous one's end
+          // (end = last event + gap, so ≥ means a real ≥gap silence)
+          assert(b._2.getTime >= a._3.getTime,
+                 s"overlapping sessions for user ${a._1}: $a $b")
+        case _ =>
+      }
+    }
+    // (cross-batch merging is pinned deterministically below; at
+    // sf0.01 the oracle additionally covers the one real session that
+    // spans a midnight, i.e. two staged day-batches)
+  }
+
+  test("session_window merges a session ACROSS micro-batches and " +
+       "only the watermark finalizes it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = sessionWindowCounts(input.toDF(), gap = "30 minutes",
+                                lateness = "10 minutes")
+      .writeStream.format("memory").queryName("swc")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(ts(0), "click", 1, 1.0))
+      q.processAllAvailable()
+      input.addData(Event(ts(20), "click", 1, 2.5)) // < gap: must merge
+      q.processAllAvailable()
+      assert(spark.table("swc").count() == 0,
+             "session emitted before the watermark closed it")
+      input.addData(Event(ts(120), "click", 2, 0.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("swc").filter(col("user_id") === 1)
+        .collect()
+        .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3),
+                   r.getLong(4)))
+      assert(rows.toSeq == Seq((ts(0), ts(50), 2L, 3500L)),
+             s"two micro-batches must fold into ONE session: " +
+               s"${rows.toSeq}")
+    } finally q.stop()
+  }
 }
