@@ -547,7 +547,27 @@ object RelationalQueries {
       .orderBy("bucket")
   }
 
+  /** Column-level lineage of the q256 join view, extracted from its
+    * ANALYZED Catalyst plan ([[graft.plans.PlanLineage]]): for every
+    * output column, the leaf (table, column) attributes its values
+    * derive from — through the aliases, both aggregation legs, the
+    * union, the attribute-inheriting merge, and the USING joins. Pure
+    * plan introspection: never touches data, so the answer (and its
+    * cost) is the same at 100 TB. The oracle is the pinned expected
+    * mapping (the q50 golden pattern — lineage is a structural fact of
+    * the query, not of the data; PlanLineageSpec derives the same
+    * expectations by hand on independent plans).
+    */
+  def q266ColumnLineage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.PlanLineage
+      .columnLineage(q256JoinViewRoll(spark, dir))
+      .toDF("out_col", "src_table", "src_col")
+      .orderBy("out_col", "src_table", "src_col")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_column_lineage" -> (q266ColumnLineage(_, _)),
     "q262_bloom_prune_audit" -> (q262BloomPruneAudit(_, _)),
     "q263_join_card_estimate" -> (q263JoinCardEstimate(_, _)),
     "q256_join_view_roll"   -> (q256JoinViewRoll(_, _)),
@@ -611,6 +631,17 @@ object RelationalQueries {
     "q258_streamed_view_roll" -> joinViewRebuildSql("lineitem"),
     // q259 streams q257's retract changelog — identical oracle to q257.
     "q259_streamed_retract_roll" -> oracleSqlRetract,
+    // q266: lineage is a structural fact of the q256 plan, not of the
+    // data — the oracle pins the expected mapping (q50 golden pattern).
+    "q266_column_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('o_custkey', 'orders', 'o_custkey'),
+        |  ('o_orderkey', 'lineitem', 'l_orderkey'),
+        |  ('o_orderpriority', 'orders', 'o_orderpriority'),
+        |  ('revenue', 'lineitem', 'l_discount'),
+        |  ('revenue', 'lineitem', 'l_extendedprice'))
+        |  AS t(out_col, src_table, src_col)
+        |ORDER BY out_col, src_table, src_col""".stripMargin,
     // q262: the oracle recomputes the SAME 1-hash md5-slot bitmap, so
     // even the bloom's false positives are checked bit-for-bit.
     "q262_bloom_prune_audit" ->

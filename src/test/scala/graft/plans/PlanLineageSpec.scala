@@ -1,0 +1,87 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Column lineage ([[PlanLineage]]): hand-derived expectations on
+  * independent plans — aliases, expressions, aggregation, joins (value
+  * lineage of the surviving attribute), unions, windows, and the
+  * filter/join-condition exclusion (control lineage stays out).
+  */
+class PlanLineageSpec extends SparkSpec {
+
+  private def lin(df: org.apache.spark.sql.DataFrame) =
+    PlanLineage.columnLineage(df).toSet
+
+  test("projection, alias chains, and multi-column expressions") {
+    val l = Tables.lineitem(spark, sf0001)
+    val df = l.select((col("l_extendedprice") * (lit(1) -
+                        col("l_discount"))).as("rev"),
+                      col("l_orderkey").as("k"))
+      .select(col("rev"), (col("k") + 1).as("k1"))
+    assert(lin(df) == Set(
+      ("rev", "lineitem", "l_extendedprice"),
+      ("rev", "lineitem", "l_discount"),
+      ("k1", "lineitem", "l_orderkey")))
+  }
+
+  test("filters and join conditions are control lineage — excluded; " +
+       "the surviving join attribute carries its own side's lineage") {
+    val o = Tables.orders(spark, sf0001)
+    val l = Tables.lineitem(spark, sf0001)
+    val df = l.filter(col("l_quantity") > 10) // control only
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+      .join(o.select(col("o_orderkey"), col("o_custkey")),
+            Seq("o_orderkey"))
+      .select("o_orderkey", "o_custkey")
+    assert(lin(df) == Set(
+      // USING join keeps the LEFT attribute: lineage follows the value
+      ("o_orderkey", "lineitem", "l_orderkey"),
+      ("o_custkey", "orders", "o_custkey")))
+  }
+
+  test("aggregation: grouping keys and literal-only aggregates") {
+    val l = Tables.lineitem(spark, sf0001)
+    val df = l.groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+    assert(lin(df) == Set(
+      ("flag", "lineitem", "l_returnflag"),
+      // n = count(1) depends on no column — absent by design
+      ("qty", "lineitem", "l_quantity")))
+  }
+
+  test("union merges positional lineage across branches") {
+    val o = Tables.orders(spark, sf0001)
+    val l = Tables.lineitem(spark, sf0001)
+    val df = o.select(col("o_orderkey").as("k"))
+      .unionByName(l.select(col("l_orderkey").as("k")))
+      .select(col("k"))
+    assert(lin(df) == Set(("k", "orders", "o_orderkey"),
+                          ("k", "lineitem", "l_orderkey")))
+  }
+
+  test("window expressions reference their value columns") {
+    import org.apache.spark.sql.expressions.Window
+    val l = Tables.lineitem(spark, sf0001)
+    val df = l.withColumn("r",
+      sum(col("l_quantity")).over(
+        Window.partitionBy("l_orderkey").orderBy("l_linenumber")))
+      .select("r")
+    val got = lin(df)
+    assert(got.contains(("r", "lineitem", "l_quantity")))
+  }
+
+  test("q266 pins the q256 join view's full mapping") {
+    val got = graft.operators.RelationalQueries
+      .q266ColumnLineage(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1),
+                           r.getString(2))).toSet
+    assert(got == Set(
+      ("o_custkey", "orders", "o_custkey"),
+      ("o_orderkey", "lineitem", "l_orderkey"),
+      ("o_orderpriority", "orders", "o_orderpriority"),
+      ("revenue", "lineitem", "l_discount"),
+      ("revenue", "lineitem", "l_extendedprice")))
+  }
+}
