@@ -566,8 +566,59 @@ object RelationalQueries {
       .orderBy("out_col", "src_table", "src_col")
   }
 
+  /** The FK-candidate pairs q267 profiles — ONE list drives both the
+    * Spark side and the generated DuckDB replay, so the two can't
+    * drift. Two deliberate negatives keep the detector honest: order
+    * keys are NOT contained in customer keys (containment leg), and
+    * supplier.s_nationkey contains every customer nation but is not
+    * unique (parent-uniqueness leg).
+    */
+  private val fkCandidates: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "supplier", "s_nationkey"))
+
+  /** Foreign-key discovery — the schema-profiling sibling of q238's
+    * null profile and q263's cardinality stats: for each candidate
+    * (child.col → parent.col) pair, exact child NDV, how many child
+    * values the parent CONTAINS, parent row count and NDV, and the
+    * verdict `is_fk` = full containment ∧ parent-side uniqueness (the
+    * two properties a referential constraint needs). One deliberate
+    * negative pair keeps the detector honest. Scale shape per pair:
+    * two distinct-aggregations (map-side partial) + one key-only
+    * semi-join — value sets, never row sets, shuffle.
+    */
+  def q267FkDiscovery(spark: SparkSession, dir: String): DataFrame =
+    fkCandidates.map { case (ct, cc, pt, pc) =>
+      val c = Tables.table(spark, dir, ct)
+        .select(col(cc).as("v")).filter(col("v").isNotNull).distinct()
+      val p = Tables.table(spark, dir, pt)
+        .select(col(pc).as("v")).filter(col("v").isNotNull)
+      c.agg(count(lit(1)).as("ndv_child"))
+        .crossJoin(c.join(p.distinct(), Seq("v"), "left_semi")
+          .agg(count(lit(1)).as("n_contained")))
+        .crossJoin(p.agg(count(lit(1)).as("n_parent"),
+                         count_distinct(col("v")).as("ndv_parent")))
+        .select(lit(s"$ct.$cc").as("child"),
+                lit(s"$pt.$pc").as("parent"),
+                col("ndv_child"), col("n_contained"),
+                col("n_parent"), col("ndv_parent"))
+    }.reduce(_ unionByName _)
+      .withColumn("contained_ppm",
+                  expr("n_contained * 1000000 DIV ndv_child"))
+      .withColumn("is_fk",
+                  (col("n_contained") === col("ndv_child") &&
+                   col("ndv_parent") === col("n_parent")).cast("long"))
+      .orderBy("child", "parent")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q266_column_lineage" -> (q266ColumnLineage(_, _)),
+    "q267_fk_discovery" -> (q267FkDiscovery(_, _)),
     "q262_bloom_prune_audit" -> (q262BloomPruneAudit(_, _)),
     "q263_join_card_estimate" -> (q263JoinCardEstimate(_, _)),
     "q256_join_view_roll"   -> (q256JoinViewRoll(_, _)),
@@ -631,6 +682,31 @@ object RelationalQueries {
     "q258_streamed_view_roll" -> joinViewRebuildSql("lineitem"),
     // q259 streams q257's retract changelog — identical oracle to q257.
     "q259_streamed_retract_roll" -> oracleSqlRetract,
+    // q267: generated from the SAME fkCandidates list as the Spark side.
+    "q267_fk_discovery" -> {
+      val rows = fkCandidates.map { case (ct, cc, pt, pc) =>
+        s"""  SELECT '$ct.$cc' AS child, '$pt.$pc' AS parent,
+           |    (SELECT count(DISTINCT $cc) FROM $ct
+           |       WHERE $cc IS NOT NULL) AS ndv_child,
+           |    (SELECT count(*) FROM
+           |       (SELECT DISTINCT $cc AS v FROM $ct
+           |          WHERE $cc IS NOT NULL) cd
+           |       WHERE v IN (SELECT $pc FROM $pt
+           |                     WHERE $pc IS NOT NULL)) AS n_contained,
+           |    (SELECT count($pc) FROM $pt) AS n_parent,
+           |    (SELECT count(DISTINCT $pc) FROM $pt) AS ndv_parent"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH raw AS (
+         |$rows)
+         |SELECT child, parent, ndv_child, n_contained, n_parent,
+         |  ndv_parent,
+         |  n_contained * 1000000 // ndv_child AS contained_ppm,
+         |  CAST(CASE WHEN n_contained = ndv_child
+         |             AND ndv_parent = n_parent
+         |            THEN 1 ELSE 0 END AS BIGINT) AS is_fk
+         |FROM raw ORDER BY child, parent""".stripMargin
+    },
     // q266: lineage is a structural fact of the q256 plan, not of the
     // data — the oracle pins the expected mapping (q50 golden pattern).
     "q266_column_lineage" ->

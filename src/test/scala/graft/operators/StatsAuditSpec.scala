@@ -54,4 +54,35 @@ class StatsAuditSpec extends SparkSpec {
     assert(rows.map(_._2).sum == Tables.events(spark, sf0001).count(),
            "bucket rows must partition the events table")
   }
+
+  test("q267: the six schema FKs are detected; each negative is " +
+       "rejected by exactly the leg built to catch it") {
+    val rows = RelationalQueries.queries("q267_fk_discovery")(
+      spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                 r.getLong(3), r.getLong(4), r.getLong(5),
+                 r.getLong(6), r.getLong(7)))
+    val byPair = rows.map(t => (t._1, t._2) -> t).toMap
+    val fks = Seq(
+      ("lineitem.l_orderkey", "orders.o_orderkey"),
+      ("lineitem.l_partkey", "part.p_partkey"),
+      ("lineitem.l_suppkey", "supplier.s_suppkey"),
+      ("orders.o_custkey", "customer.c_custkey"),
+      ("customer.c_nationkey", "nation.n_nationkey"),
+      ("nation.n_regionkey", "region.r_regionkey"))
+    fks.foreach { p =>
+      assert(byPair(p)._8 == 1L, s"schema FK $p not detected")
+      assert(byPair(p)._7 == 1000000L)
+    }
+    // at sf0.01+ this pair is fully contained and rejected by
+    // uniqueness alone (the oracle pins that); at any SF the
+    // uniqueness violation itself must hold
+    val nonUnique =
+      byPair(("customer.c_nationkey", "supplier.s_nationkey"))
+    assert(nonUnique._8 == 0L && nonUnique._6 < nonUnique._5,
+           "parent uniqueness must be violated and the pair rejected")
+    val partial = byPair(("orders.o_orderkey", "customer.c_custkey"))
+    assert(partial._8 == 0L && partial._7 < 1000000L,
+           "must reject via partial containment")
+  }
 }
