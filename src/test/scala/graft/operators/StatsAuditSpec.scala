@@ -74,15 +74,25 @@ class StatsAuditSpec extends SparkSpec {
       assert(byPair(p)._8 == 1L, s"schema FK $p not detected")
       assert(byPair(p)._7 == 1000000L)
     }
-    // at sf0.01+ this pair is fully contained and rejected by
-    // uniqueness alone (the oracle pins that); at any SF the
-    // uniqueness violation itself must hold
+    // rejected at every SF; the uniqueness-leg-specific rejection
+    // (full containment, non-unique parent) needs sf0.01's 100
+    // suppliers over 25 nations — checked there below
     val nonUnique =
       byPair(("customer.c_nationkey", "supplier.s_nationkey"))
-    assert(nonUnique._8 == 0L && nonUnique._6 < nonUnique._5,
-           "parent uniqueness must be violated and the pair rejected")
+    assert(nonUnique._8 == 0L)
     val partial = byPair(("orders.o_orderkey", "customer.c_custkey"))
     assert(partial._8 == 0L && partial._7 < 1000000L,
            "must reject via partial containment")
+  }
+
+  test("q267 at sf0.01: the non-unique-parent pair is rejected by " +
+       "uniqueness ALONE (containment is full there)") {
+    val r = RelationalQueries.queries("q267_fk_discovery")(
+      spark, "/root/testdata/sf0.01")
+      .filter(col("parent") === "supplier.s_nationkey")
+      .collect().head
+    assert(r.getLong(6) == 1000000L, "containment must be full")
+    assert(r.getLong(5) < r.getLong(4), "parent must be non-unique")
+    assert(r.getLong(7) == 0L, "pair must still be rejected")
   }
 }
