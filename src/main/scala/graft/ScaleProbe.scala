@@ -1396,6 +1396,43 @@ object ScaleProbe {
         }
       }
     }
+    // round-12 extension wave: the cascade build (its roll/stream legs
+    // merge bounded grain tables — the build scan is the data-scale
+    // cost) and the FK profiler's heaviest pair (value-set distinct +
+    // key-only semi-join)
+    section("cascade fk_profile") {
+      import graft.operators.TimeSeriesQueries.{evDayFromHours, evHourly}
+      def eventsX(n: Int) = {
+        val e = Tables.events(spark, dir)
+        (0 until n).map(i =>
+          e.withColumn("event_id",
+                       col("event_id") + lit(i * 100000000L)))
+          .reduce(_ unionByName _)
+      }
+      def keyedX(name: String, key: String, n: Int) = {
+        val t = Tables.table(spark, dir, name)
+        (0 until n).map(i =>
+          t.withColumn(key, col(key) + lit(i * 10000000L)))
+          .reduce(_ union _)
+      }
+      for (n <- Seq(1, 5, 20)) {
+        val e = eventsX(n); val rows = e.count()
+        time(s"cascade        n=$n ($rows)") {
+          noop(evDayFromHours(evHourly(e)))
+        }
+        val c = keyedX("lineitem", "l_orderkey", n)
+          .select(col("l_orderkey").as("v")).distinct()
+        val p = keyedX("orders", "o_orderkey", n)
+          .select(col("o_orderkey").as("v"))
+        time(s"fk_profile     n=$n") {
+          noop(c.agg(count(lit(1)).as("ndv_child"))
+            .crossJoin(c.join(p.distinct(), Seq("v"), "left_semi")
+              .agg(count(lit(1)).as("n_contained")))
+            .crossJoin(p.agg(count(lit(1)).as("n_parent"),
+                             count_distinct(col("v")).as("ndv_parent"))))
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -743,25 +743,35 @@ object TimeSeriesQueries {
     * day proves the key-wise merge sums a split day correctly (the
     * spec pins it); q260 ships the day-aligned production cut.
     */
+  /** The cascade's grains — shared by the batch roll (q260), the
+    * streaming sink ([[graft.streaming.EventStreams.cascadeSink]],
+    * q268), and their specs. Exact integer measures throughout.
+    */
+  private[graft] def evHourly(e: DataFrame): DataFrame =
+    e.groupBy(col("event_type"),
+              date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+           sum(floor(col("value") * 1000).cast("long")).as("v_milli"))
+
+  private[graft] def evDayFromHours(h: DataFrame): DataFrame =
+    h.groupBy(col("event_type"),
+              date_trunc("day", col("hour")).as("day"))
+      .agg(sum("n").as("n"), sum("v_milli").as("v_milli"))
+
+  /** Key-wise merge of same-grain partial tables. */
+  private[graft] def mergeGrain(prev: DataFrame, delta: DataFrame,
+                                keys: Seq[String]): DataFrame =
+    prev.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum("n").as("n"), sum("v_milli").as("v_milli"))
+
   private[operators] def cascadeDayRollup(spark: SparkSession,
                                           dir: String,
                                           cut: Column): DataFrame = {
     val ev = Tables.events(spark, dir)
-      .select(col("event_type"), col("ts"),
-              floor(col("value") * 1000).cast("long").as("vm"))
-    def hourly(e: DataFrame) =
-      e.groupBy(col("event_type"),
-                date_trunc("hour", col("ts")).as("hour"))
-        .agg(count(lit(1)).as("n"), sum("vm").as("v_milli"))
-    def dayFromHours(h: DataFrame) =
-      h.groupBy(col("event_type"),
-                date_trunc("day", col("hour")).as("day"))
-        .agg(sum("n").as("n"), sum("v_milli").as("v_milli"))
-    val standing = dayFromHours(hourly(ev.filter(col("ts") < cut)))
-    val deltaDays = dayFromHours(hourly(ev.filter(col("ts") >= cut)))
-    standing.unionByName(deltaDays)
-      .groupBy("event_type", "day")
-      .agg(sum("n").as("n"), sum("v_milli").as("v_milli"))
+    val standing = evDayFromHours(evHourly(ev.filter(col("ts") < cut)))
+    val deltaDays = evDayFromHours(evHourly(ev.filter(col("ts") >= cut)))
+    mergeGrain(standing, deltaDays, Seq("event_type", "day"))
       .select("day", "event_type", "n", "v_milli")
       .orderBy("day", "event_type")
   }
@@ -943,9 +953,51 @@ object TimeSeriesQueries {
   }
   private val q265Saved = new graft.SavedOnce[String, String]
 
+  /** Streamed cascade-rollup maintenance ([[graft.streaming
+    * .EventStreams.cascadeSink]]): the events table arrives as one
+    * micro-batch per day; each batch is cut to its hourly partials
+    * once, the standing hourly table merges them, and the day grain
+    * merges the cascaded day partials — raw history is never re-read,
+    * the day grain never sees a raw row. The final landed day table
+    * replays q260's straight-from-raw rebuild oracle: build ≡ roll ≡
+    * stream for the cascade family (the SCD-2 three-legs pattern on
+    * the metrics-warehouse layer). Memoized per sf dir; excluded from
+    * the bench like the other streaming sinks.
+    */
+  def q268StreamedCascade(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = q268Saved.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q268_").toString
+      val in = s"$base/in"
+      val ev = Tables.events(spark, dir)
+        .select(col("ts"), col("event_type"), col("value"),
+                datediff(col("ts"), lit("2024-01-01").cast("date"))
+                  .as("b"))
+      graft.streaming.EventStreams.stageMicroBatchFiles(
+        ev, col("b"), nBatches = 30, inDir = in)
+      val empty = ev.limit(0)
+      evHourly(empty).write.mode("overwrite").parquet(s"$base/out/hinit")
+      evDayFromHours(evHourly(empty))
+        .write.mode("overwrite").parquet(s"$base/out/dinit")
+      val stream = spark.readStream
+        .schema("ts TIMESTAMP, event_type STRING, value DOUBLE, b INT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val q = graft.streaming.EventStreams.cascadeSink(
+        stream, s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s"$base/out/d29"
+    })
+    spark.read.parquet(outDir)
+      .select("day", "event_type", "n", "v_milli")
+      .orderBy("day", "event_type")
+  }
+  private val q268Saved = new graft.SavedOnce[String, String]
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q264_stream_outer_join" -> (q264StreamOuterJoin(_, _)),
     "q265_session_window" -> (q265SessionWindow(_, _)),
+    "q268_streamed_cascade" -> (q268StreamedCascade(_, _)),
     "q260_cascade_rollup" -> (q260CascadeRollup(_, _)),
     "q261_layout_pruning" -> (q261LayoutPruning(_, _)),
     "q255_decay_roll" -> (q255DecayRoll(_, _)),
@@ -1055,6 +1107,19 @@ object TimeSeriesQueries {
         |  n_full * 1000000 // n_sessions AS full_ppm
         |FROM a""".stripMargin
 
+  /** The cascade family's ONE rebuild string (q260 batch roll, q268
+    * streamed sink): the day grain straight from raw events.
+    */
+  private val cascadeDaySql: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |  event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+      |    AS v_milli
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // q264 emits the STREAMED left outer join (watermark-finalized
     // slice); the oracle replays the interval left join in batch SQL —
@@ -1102,17 +1167,10 @@ object TimeSeriesQueries {
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, s_start""".stripMargin,
     // q260 emits the hour→day CASCADED and incrementally ROLLED day
-    // grain; the oracle rebuilds the day grain straight from raw —
-    // cascade ≡ direct and rolled ≡ rebuilt in one check.
-    "q260_cascade_rollup" ->
-      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-        |  event_type,
-        |  count(*) AS n,
-        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
-        |    AS v_milli
-        |FROM events
-        |GROUP BY 1, 2
-        |ORDER BY day, event_type""".stripMargin,
+    // grain; q268 the STREAMED cascade — both replay the same rebuild
+    // straight from raw: build ≡ roll ≡ stream.
+    "q260_cascade_rollup" -> cascadeDaySql,
+    "q268_streamed_cascade" -> cascadeDaySql,
     "q261_layout_pruning" -> {
       def bin(c: String, mn: String, mx: String): String =
         s"CASE WHEN $mx = $mn THEN 0 ELSE " +

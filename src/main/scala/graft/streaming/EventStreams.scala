@@ -675,6 +675,40 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Streaming cascade-rollup maintenance (q260's stream leg): each
+    * micro-batch of raw events is cut to ITS hourly partials once;
+    * the standing hourly table merges them key-wise, and the day
+    * table merges the batch's day partials cascaded from those same
+    * hours — raw history is never re-read, the day grain never sees
+    * raw rows at all. Both grains land at `{outDir}/h{id}` /
+    * `{outDir}/d{id}`, deterministic per batch (replay-idempotent,
+    * the [[scd2Sink]] story). Seed empty grains at `hinit`/`dinit`.
+    * Per-batch cost: the batch scan + two bounded-table merges
+    * (≤ #types×#hours and ≤ #types×#days rows).
+    */
+  def cascadeSink(events: DataFrame, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+        val spark = batch.sparkSession
+        val tsq = graft.operators.TimeSeriesQueries
+        val (prevH, prevD) =
+          if (id == 0L) (s"$outDir/hinit", s"$outDir/dinit")
+          else (s"$outDir/h${id - 1}", s"$outDir/d${id - 1}")
+        val bh = tsq.evHourly(batch.toDF())
+        tsq.mergeGrain(spark.read.parquet(prevH), bh,
+                       Seq("event_type", "hour"))
+          .write.mode("overwrite").parquet(s"$outDir/h$id")
+        tsq.mergeGrain(spark.read.parquet(prevD), tsq.evDayFromHours(bh),
+                       Seq("event_type", "day"))
+          .write.mode("overwrite").parquet(s"$outDir/d$id")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .start()
+
   def scd2Sink(changes: DataFrame, outDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream

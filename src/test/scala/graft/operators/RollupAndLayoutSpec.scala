@@ -51,6 +51,29 @@ class RollupAndLayoutSpec extends SparkSpec {
            "the mid-day cut must split a populated day")
   }
 
+  test("q268: the STREAMED cascade lands the direct day grain, and " +
+       "its intermediate hourly table equals the direct hourly grain") {
+    val streamed = TimeSeriesQueries.q268StreamedCascade(spark, sf0001)
+    assert(canonDay(streamed) == direct)
+    // the final hourly artifact sits beside the day table (…/h29)
+    val outPath = streamed.inputFiles.head.replaceAll("/d29/.*$", "")
+    val hourly = spark.read.parquet(s"$outPath/h29")
+      .select(col("hour").cast("string"), col("event_type"),
+              col("n"), col("v_milli"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                 r.getLong(3))).toSet
+    val directHourly = TimeSeriesQueries
+      .evHourly(Tables.events(spark, sf0001))
+      .select(col("hour").cast("string"), col("event_type"),
+              col("n"), col("v_milli"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                 r.getLong(3))).toSet
+    assert(hourly == directHourly,
+           "the standing hourly grain must equal the direct hourly agg")
+  }
+
   test("q261: z-order layout scans strictly fewer files than ingest " +
        "order over the predicate grid; file counts reconcile") {
     val rows = TimeSeriesQueries.q261LayoutPruning(spark, sf0001)
