@@ -616,9 +616,45 @@ object RelationalQueries {
                    col("ndv_parent") === col("n_parent")).cast("long"))
       .orderBy("child", "parent")
 
+  /** The query set q269 inverts — headline batch queries whose plans
+    * are cheap to instantiate and structurally stable.
+    */
+  private val q269Targets = Seq(
+    "q01_pricing_summary", "q03_shipping_priority", "q05_region_revenue",
+    "q16_decimal_agg", "q17_semi_join", "q256_join_view_roll")
+
+  /** Impact analysis — [[graft.plans.PlanLineage]] INVERTED across a
+    * set of the engine's own queries: for every leaf (table, column)
+    * the set of queries whose OUTPUT VALUES derive from it — the
+    * "which dashboards break if I deprecate this column" question a
+    * platform answers before a schema change. Same conventions as
+    * q266 (value lineage only). Pure plan arithmetic on the driver;
+    * the oracle pins the expected inversion (a structural fact of the
+    * target queries, like q266's golden).
+    */
+  def q269ImpactAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    q269Targets
+      .flatMap { name =>
+        graft.plans.PlanLineage
+          .columnLineage(graft.SparkEntry.queries(name)(spark, dir))
+          .map { case (_, t, c) => ((t, c), name) }
+      }
+      .distinct
+      .groupBy(_._1)
+      .toSeq
+      .map { case ((t, c), hits) =>
+        val qs = hits.map(_._2).distinct.sorted
+        (t, c, qs.length.toLong, qs.mkString(","))
+      }
+      .toDF("src_table", "src_col", "n_queries", "queries")
+      .orderBy("src_table", "src_col")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q266_column_lineage" -> (q266ColumnLineage(_, _)),
     "q267_fk_discovery" -> (q267FkDiscovery(_, _)),
+    "q269_impact_analysis" -> (q269ImpactAnalysis(_, _)),
     "q262_bloom_prune_audit" -> (q262BloomPruneAudit(_, _)),
     "q263_join_card_estimate" -> (q263JoinCardEstimate(_, _)),
     "q256_join_view_roll"   -> (q256JoinViewRoll(_, _)),
@@ -707,6 +743,31 @@ object RelationalQueries {
          |            THEN 1 ELSE 0 END AS BIGINT) AS is_fk
          |FROM raw ORDER BY child, parent""".stripMargin
     },
+    // q269: the inversion is a structural fact of the six target
+    // plans — pinned golden, like q266.
+    "q269_impact_analysis" ->
+      ("""SELECT * FROM (VALUES
+        |  ('lineitem', 'l_discount', CAST(4 AS BIGINT),
+        |   'q01_pricing_summary,q03_shipping_priority,""" +
+          "q05_region_revenue,q256_join_view_roll'),\n" +
+       """  ('lineitem', 'l_extendedprice', 5,
+        |   'q01_pricing_summary,q03_shipping_priority,""" +
+          "q05_region_revenue,q16_decimal_agg,q256_join_view_roll'),\n" +
+       """  ('lineitem', 'l_linestatus', 1, 'q01_pricing_summary'),
+        |  ('lineitem', 'l_orderkey', 2,
+        |   'q03_shipping_priority,q256_join_view_roll'),
+        |  ('lineitem', 'l_quantity', 2,
+        |   'q01_pricing_summary,q16_decimal_agg'),
+        |  ('lineitem', 'l_returnflag', 2,
+        |   'q01_pricing_summary,q16_decimal_agg'),
+        |  ('lineitem', 'l_tax', 1, 'q01_pricing_summary'),
+        |  ('nation', 'n_name', 1, 'q05_region_revenue'),
+        |  ('orders', 'o_custkey', 1, 'q256_join_view_roll'),
+        |  ('orders', 'o_orderdate', 1, 'q03_shipping_priority'),
+        |  ('orders', 'o_orderpriority', 3,
+        |   'q03_shipping_priority,q17_semi_join,q256_join_view_roll'))
+        |  AS t(src_table, src_col, n_queries, queries)
+        |ORDER BY src_table, src_col""").stripMargin,
     // q266: lineage is a structural fact of the q256 plan, not of the
     // data — the oracle pins the expected mapping (q50 golden pattern).
     "q266_column_lineage" ->

@@ -72,6 +72,35 @@ class PlanLineageSpec extends SparkSpec {
     assert(got.contains(("r", "lineitem", "l_quantity")))
   }
 
+  test("q269 impact analysis is exactly the inversion of forward " +
+       "lineage over its targets") {
+    val targets = Seq(
+      "q01_pricing_summary", "q03_shipping_priority",
+      "q05_region_revenue", "q16_decimal_agg", "q17_semi_join",
+      "q256_join_view_roll")
+    val expected = targets
+      .flatMap { n =>
+        PlanLineage.columnLineage(
+            graft.SparkEntry.queries(n)(spark, sf0001))
+          .map { case (_, t, c) => ((t, c), n) }
+      }
+      .distinct.groupBy(_._1)
+      .map { case ((t, c), hits) =>
+        (t, c, hits.map(_._2).distinct.sorted.mkString(","))
+      }.toSet
+    val got = graft.operators.RelationalQueries
+      .q269ImpactAnalysis(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(3)))
+      .toSet
+    assert(got == expected)
+    // the blast-radius reading: the price column hits 5 of 6 targets,
+    // the nation name exactly one
+    val byCol = got.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byCol(("lineitem", "l_extendedprice")).split(",").length == 5)
+    assert(byCol(("nation", "n_name")) == "q05_region_revenue")
+  }
+
   test("q266 pins the q256 join view's full mapping") {
     val got = graft.operators.RelationalQueries
       .q266ColumnLineage(spark, sf0001)
