@@ -2411,6 +2411,39 @@ object LlmQueries {
                         "doc_id", "version", "op", "text")
   }
 
+  /** Warehouse close-of-day — the q200 release-gate pattern applied to
+    * the WAREHOUSE maintenance layer: ONE job runs the round's three
+    * standing-artifact rolls (the q256 join view, the q260 hour→day
+    * cascade, the q244 SCD-2 history) and publishes one gate row per
+    * family — (family, n_rows, checksum), the relation a nightly
+    * publish job flips its pointers on. Checksums are the established
+    * order-invariant sum of per-row 60-bit md5 canonical hashes mod
+    * 2²⁰ ([[familyDigest]] — BIGINT-safe to ~10¹² rows). The oracle
+    * never sees any roll: DuckDB REBUILDS all three families from
+    * scratch (each family's own shared rebuild SQL, nested as CTEs)
+    * and digests the rebuilt rows — one hash-green row per family
+    * means rolled ≡ rebuilt across the whole warehouse close.
+    * Timestamps digest as epoch seconds (UTC session) so the canon
+    * string never depends on a renderer.
+    */
+  def q270WarehouseClose(spark: SparkSession, dir: String): DataFrame = {
+    val jv = RelationalQueries.q256JoinViewRoll(spark, dir)
+    val cas = TimeSeriesQueries.q260CascadeRollup(spark, dir)
+    val scd = q244Scd2Roll(spark, dir)
+    familyDigest("cascade_day", cas,
+        concat_ws("|", unix_timestamp(col("day")), col("event_type"),
+                  col("n"), col("v_milli")))
+      .unionByName(familyDigest("join_view", jv,
+        concat_ws("|", col("o_orderkey"), col("o_custkey"),
+                  col("o_orderpriority"), col("n_items"),
+                  col("revenue"))))
+      .unionByName(familyDigest("scd2_history", scd,
+        concat_ws("|", col("doc_id"), col("valid_from"),
+                  col("valid_to"), col("is_current"),
+                  col("content_h"))))
+      .orderBy("family")
+  }
+
   /** Streaming SCD-2 maintenance ([[graft.streaming.EventStreams
     * .scd2Sink]]): the changelog arrives as one micro-batch per
     * version day over a staged file source; each batch rolls the
@@ -7462,6 +7495,7 @@ object LlmQueries {
     "q244_scd2_roll"         -> (q244Scd2Roll(_, _)),
     "q245_scd2_asof"         -> (q245Scd2Asof(_, _)),
     "q246_streaming_scd2"    -> (q246StreamingScd2(_, _)),
+    "q270_warehouse_close"   -> (q270WarehouseClose(_, _)),
     "q247_ann_diversity"     -> (q247AnnDiversity(_, _)),
     "q248_hubness_audit"     -> (q248HubnessAudit(_, _)),
     "q249_dedup_thr_sweep"   -> (q249DedupThresholdSweep(_, _)),
@@ -12581,6 +12615,32 @@ object LlmQueries {
     // stream ≡ roll ≡ rebuild: the streamed sink's final table replays
     // against the same shared full-rebuild SQL
     "q246_streaming_scd2" -> scd2RebuildSql,
+    // q270: DuckDB rebuilds all three warehouse families from scratch
+    // (each family's own shared rebuild SQL nested as a CTE) and
+    // digests the rebuilt rows — rolled ≡ rebuilt per family.
+    "q270_warehouse_close" ->
+      s"""WITH jv AS (${RelationalQueries.joinViewRebuildSql("lineitem")}),
+         |cas AS (${TimeSeriesQueries.cascadeDaySql}),
+         |scd AS ($scd2RebuildSql),
+         |fam AS (
+         |  SELECT 'cascade_day' AS family,
+         |    concat_ws('|', CAST(floor(epoch(day)) AS BIGINT),
+         |              event_type, n, v_milli) AS c
+         |  FROM cas
+         |  UNION ALL
+         |  SELECT 'join_view',
+         |    concat_ws('|', o_orderkey, o_custkey, o_orderpriority,
+         |              n_items, revenue)
+         |  FROM jv
+         |  UNION ALL
+         |  SELECT 'scd2_history',
+         |    concat_ws('|', doc_id, valid_from, valid_to, is_current,
+         |              content_h)
+         |  FROM scd)
+         |SELECT family, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(coalesce(sum(('0x' || substr(md5(c), 1, 15))::BIGINT
+         |                    % 1048576), 0) AS BIGINT) AS checksum
+         |FROM fam GROUP BY family ORDER BY family""".stripMargin,
     // INDEPENDENT derivation: each as-of state rebuilt by the q105
     // latest-wins MERGE over the changelog prefix version ≤ v, then
     // digested — SCD2 interval serving ≡ prefix merges

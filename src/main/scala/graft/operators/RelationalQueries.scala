@@ -680,7 +680,7 @@ object RelationalQueries {
     * replays (q256 batch roll, q257 retract roll via a net-table
     * rewrite, q258 streamed roll): build ≡ roll ≡ retract ≡ stream.
     */
-  private def joinViewRebuildSql(linesRel: String): String =
+  private[operators] def joinViewRebuildSql(linesRel: String): String =
     s"""WITH j AS (
        |  SELECT o_orderkey, o_custkey, o_orderpriority,
        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))

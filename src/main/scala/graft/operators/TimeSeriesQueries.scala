@@ -1110,7 +1110,7 @@ object TimeSeriesQueries {
   /** The cascade family's ONE rebuild string (q260 batch roll, q268
     * streamed sink): the day grain straight from raw events.
     */
-  private val cascadeDaySql: String =
+  private[operators] val cascadeDaySql: String =
     """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
       |  event_type,
       |  count(*) AS n,
