@@ -439,6 +439,17 @@ object IndexStore {
                                        dir: Option[String] = None): Unit =
     publishTable(df, table, None, dir)
 
+  /** Versioned publish of a single KEY-BUCKETED artifact table (e.g. a
+    * maintained join view bucketed by its merge key, so the roll's
+    * merge join reads it Exchange-free) — same commit protocol as the
+    * index families. Load through [[loadPlainArtifact]].
+    */
+  private[graft] def saveBucketedArtifact(df: DataFrame, table: String,
+                                          numBuckets: Int,
+                                          keys: Seq[String],
+                                          dir: Option[String] = None): Unit =
+    writeBucketedTable(df, table, numBuckets, keys, dir)
+
   private[graft] def loadPlainArtifact(spark: SparkSession, table: String,
                                        dir: Option[String] = None): DataFrame =
     loadTable(spark, table, dir)

@@ -310,19 +310,11 @@ object RelationalQueries {
     * doubles.
     */
   def q256JoinViewRoll(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    val l = Tables.lineitem(spark, dir)
-    val standing = ViewMaintenance.orderRevenueView(
-      o.filter(col("o_orderkey") % 10 < 8),
-      l.filter(col("l_orderkey") % 10 < 8 && col("l_linenumber") <= 4))
-    val deltaLines =
-      l.filter(col("l_orderkey") % 10 >= 8 || col("l_linenumber") > 4)
-    // attribute rows for every delta key (line numbers are NOT 1-based
-    // per order in this data, so a late line can belong to an order the
-    // day-1 view never saw) — a delta-key semi-join, delta-sized
-    val deltaOrders = o.join(
-      deltaLines.select(col("l_orderkey").as("o_orderkey")).distinct,
-      Seq("o_orderkey"), "left_semi")
+    // attribute rows for every delta key ride in via jvSplit's
+    // delta-key semi-join (line numbers are NOT 1-based per order in
+    // this data, so a late line can belong to an order the day-1 view
+    // never saw)
+    val (standing, deltaOrders, deltaLines) = jvSplit(spark, dir)
     ViewMaintenance.orderRevenueRoll(standing, deltaOrders, deltaLines)
       .select(col("o_orderkey"), col("o_custkey"),
               col("o_orderpriority"), col("n_items"),
@@ -651,10 +643,55 @@ object RelationalQueries {
       .orderBy("src_table", "src_col")
   }
 
+  /** q256's day-1/day-2 split, shared with q271. */
+  private[operators] def jvSplit(spark: SparkSession, dir: String) = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val standing = ViewMaintenance.orderRevenueView(
+      o.filter(col("o_orderkey") % 10 < 8),
+      l.filter(col("l_orderkey") % 10 < 8 && col("l_linenumber") <= 4))
+    val deltaLines =
+      l.filter(col("l_orderkey") % 10 >= 8 || col("l_linenumber") > 4)
+    val deltaOrders = o.join(
+      deltaLines.select(col("l_orderkey").as("o_orderkey")).distinct,
+      Seq("o_orderkey"), "left_semi")
+    (standing, deltaOrders, deltaLines)
+  }
+
+  /** The CO-LOCATED roll against a PERSISTED key-bucketed standing
+    * view ([[ViewMaintenance.orderRevenueRollCoLocated]]): the view is
+    * published once per sf dir through [[graft.llm.IndexStore]]
+    * bucketed by `o_orderkey`, and the day-2 delta merge-joins it
+    * full-outer on that key — Catalyst reads the view Exchange-free
+    * (ViewMaintenanceSpec pins the plan: `Bucketed: true`, strictly
+    * fewer hash exchanges than the union-shaped roll) and only the
+    * delta shuffles. This is the shape q256's scaladoc promises at
+    * 100 TB, made literal. Same result, same oracle string as q256:
+    * rolled ≡ rebuilt through a third physical strategy.
+    */
+  def q271BucketedViewRoll(spark: SparkSession, dir: String): DataFrame = {
+    val (_, deltaOrders, deltaLines) = jvSplit(spark, dir)
+    val name = q271Saved.getOrElseUpdate(dir, {
+      val n = "graft_jv_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.llm.IndexStore.saveBucketedArtifact(
+        jvSplit(spark, dir)._1, n, numBuckets = 16, Seq("o_orderkey"))
+      n
+    })
+    val view = graft.llm.IndexStore.loadPlainArtifact(spark, name)
+    ViewMaintenance.orderRevenueRollCoLocated(view, deltaOrders,
+                                              deltaLines)
+      .select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderpriority"), col("n_items"),
+              col("revenue").cast("string").as("revenue"))
+      .orderBy("o_orderkey")
+  }
+  private val q271Saved = new graft.SavedOnce[String, String]
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q266_column_lineage" -> (q266ColumnLineage(_, _)),
     "q267_fk_discovery" -> (q267FkDiscovery(_, _)),
     "q269_impact_analysis" -> (q269ImpactAnalysis(_, _)),
+    "q271_bucketed_view_roll" -> (q271BucketedViewRoll(_, _)),
     "q262_bloom_prune_audit" -> (q262BloomPruneAudit(_, _)),
     "q263_join_card_estimate" -> (q263JoinCardEstimate(_, _)),
     "q256_join_view_roll"   -> (q256JoinViewRoll(_, _)),
@@ -718,6 +755,9 @@ object RelationalQueries {
     "q258_streamed_view_roll" -> joinViewRebuildSql("lineitem"),
     // q259 streams q257's retract changelog — identical oracle to q257.
     "q259_streamed_retract_roll" -> oracleSqlRetract,
+    // q271 rolls the same view through the co-located (bucketed merge
+    // join) strategy — identical oracle to q256.
+    "q271_bucketed_view_roll" -> joinViewRebuildSql("lineitem"),
     // q267: generated from the SAME fkCandidates list as the Spark side.
     "q267_fk_discovery" -> {
       val rows = fkCandidates.map { case (ct, cc, pt, pc) =>

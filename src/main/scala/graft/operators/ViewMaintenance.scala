@@ -102,6 +102,38 @@ object ViewMaintenance {
       .filter(col("n_items") > 0)
   }
 
+  /** The CO-LOCATED roll — [[orderRevenueRoll]]'s shape for a view
+    * PERSISTED bucketed by its key (the [[graft.llm.IndexStore]]
+    * contract): instead of union + re-aggregate (whose Union erases
+    * the view's distribution and forces a full re-shuffle), the
+    * aggregated delta MERGE-JOINs the view full-outer on the key and
+    * folds the measures column-wise. Because the view is unique per
+    * key (it is an aggregate) and the delta aggregates to one row per
+    * key, the join is 1:1 and the fold is exact. With the view
+    * key-bucketed, Catalyst reads it Exchange-free and only the delta
+    * shuffles — the claim ViewMaintenanceSpec pins in the plan.
+    */
+  def orderRevenueRollCoLocated(view: DataFrame, deltaOrders: DataFrame,
+                                deltaLines: DataFrame): DataFrame = {
+    val deltaRows =
+      attachAttrs(lineMeasures(deltaLines), deltaOrders)
+        .select(col("o_orderkey"), col("o_custkey").as("d_custkey"),
+                col("o_orderpriority").as("d_priority"),
+                col("n_items").as("d_items"),
+                col("revenue").as("d_revenue"))
+    view.join(deltaRows, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+              coalesce(col("o_custkey"), col("d_custkey"))
+                .as("o_custkey"),
+              coalesce(col("o_orderpriority"), col("d_priority"))
+                .as("o_orderpriority"),
+              (coalesce(col("n_items"), lit(0L)) +
+                coalesce(col("d_items"), lit(0L))).as("n_items"),
+              (coalesce(col("revenue"), lit(0).cast("decimal(24,4)")) +
+                coalesce(col("d_revenue"), lit(0).cast("decimal(24,4)")))
+                .cast("decimal(24,4)").as("revenue"))
+  }
+
   /** Attach order attributes to aggregated delta rows (left join —
     * keys already in the standing view may carry nulls here; the
     * merge inherits their attributes from the standing row).

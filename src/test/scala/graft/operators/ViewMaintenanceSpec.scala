@@ -121,6 +121,54 @@ class ViewMaintenanceSpec extends SparkSpec {
     assert(canon(same) == canon(fullView))
   }
 
+  test("q271: the co-located roll over the PERSISTED bucketed view " +
+       "gives the same rows and reads the view Exchange- AND " +
+       "Sort-free; a PLAIN-persisted view pays the extra shuffle") {
+    val df = RelationalQueries.q271BucketedViewRoll(spark, sf0001)
+    assert(canon(df) == canon(rolled),
+           "co-located strategy must produce the union strategy's rows")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true") &&
+             plan.contains("SelectedBucketsCount"),
+           s"the standing view must scan as a bucketed table:\n$plan")
+    // the view-side child of the full-outer merge join is the bucketed
+    // FileScan with NO Exchange — at most an in-partition Sort (Spark
+    // only trusts the writer's sortBy when each bucket is one file)
+    val lines = plan.linesIterator.toVector
+    val smj = lines.indexWhere(l => l.contains("SortMergeJoin") &&
+                                    l.contains("FullOuter"))
+    assert(smj >= 0, s"the merge must be the full-outer join:\n$plan")
+    val viewScan = lines.indexWhere(
+      l => l.contains("FileScan parquet") && l.contains("graft_jv"), smj)
+    assert(viewScan > smj, s"bucketed view scan not under the join:\n$plan")
+    assert(!lines.slice(smj + 1, viewScan).exists(_.contains("Exchange")),
+           s"the view must feed the join with no Exchange:\n$plan")
+    // the honest 100 TB comparison: the same union-shaped roll over a
+    // PLAIN-persisted (unbucketed) view must re-shuffle the view
+    graft.llm.IndexStore.savePlainArtifact(
+      RelationalQueries.jvSplit(spark, sf0001)._1, "graft_jv_plain_spec")
+    val plainView = graft.llm.IndexStore
+      .loadPlainArtifact(spark, "graft_jv_plain_spec")
+    val (_, dOrders, dLines) = RelationalQueries.jvSplit(spark, sf0001)
+    val plainPlan = ViewMaintenance
+      .orderRevenueRoll(plainView, dOrders, dLines)
+      .queryExecution.executedPlan.toString
+    // tree print order: ancestors precede descendants. Plain view: the
+    // merge's hash exchange prints ABOVE the view scan — view rows ride
+    // a shuffle. Bucketed view: every hash exchange prints AFTER the
+    // view scan — only delta rows ever move.
+    val pLines = plainPlan.linesIterator.toVector
+    val plainScan = pLines.indexWhere(_.contains("graft_jv_plain_spec"))
+    val plainFirstEx =
+      pLines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(plainFirstEx >= 0 && plainScan > plainFirstEx,
+           s"plain-persisted view rows must ride a shuffle:\n$plainPlan")
+    val firstEx =
+      lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(firstEx > viewScan,
+           s"no shuffle may sit above the bucketed view scan:\n$plan")
+  }
+
   // --- streamed roll (q258) ---
 
   test("streamed micro-batch roll lands exactly the rebuilt view " +
