@@ -4464,6 +4464,90 @@ object LlmQueries {
       .orderBy("type_a", "type_b")
   }
 
+  /** Sketch-based join-cardinality estimation — the 100 TB companion
+    * of q263's exact histogram estimator: each equi-join side is
+    * summarized by a MERGEABLE KMV bottom-64 sketch of its key set
+    * plus a row count (one tiny shuffle per side; at cluster scale
+    * these ship as planning statistics, never the key sets), and
+    * |A ⋈ B| is estimated as matched-keys × mean-multiplicities:
+    * m̂ = (matches/k)·|A∪B|̂ from the re-cut union sketch (the q230
+    * membership trick — any union-bottom-k member provably sits in
+    * its side's sketch), mult = rows ÷ D̂ per side. The exact truth
+    * Σ_u cA(u)·cB(u) is computed beside it; `err_ppm` is the
+    * calibration number a cost-based join reorderer needs before
+    * trusting the sketch. All-integer arithmetic (DECIMAL(38,0)
+    * widening, the q219 estimator guards); FULLY oracle-checked
+    * including both sketches and the union cut. The union re-cut
+    * window is single-partition BY CONSTRUCTION bounded at ≤ 2k rows.
+    */
+  def q273KmvJoinCard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val cut = lit("2024-01-15").cast("timestamp")
+    val ev = Tables.events(spark, dir).select(
+      when(col("ts") < cut, lit("A")).otherwise(lit("B")).as("side"),
+      col("user_id"),
+      conv(substring(md5(concat(lit("kmvjc:"),
+        col("user_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    def estExpr(hk: String, n: String) =
+      expr(s"CASE WHEN $n < $k THEN $n ELSE " +
+           s"CAST(least((CAST(1152921504606846976 AS DECIMAL(38,0)) " +
+           s"* ${k - 1}) div greatest($hk, 1), " +
+           "4611686018427387904) AS BIGINT) END")
+    val sk = ev.select("side", "h").distinct()
+      .withColumn("r", row_number().over(
+        Window.partitionBy("side").orderBy("h")))
+      .filter(col("r") <= k).select("side", "h")
+      .transform(graft.Materialize(_))
+    val sideEst = sk
+      .withColumn("r", row_number().over(
+        Window.partitionBy("side").orderBy("h")))
+      .groupBy("side")
+      .agg(count(lit(1)).as("n_sk"),
+           max(when(col("r") === k, col("h"))).as("hk"))
+      .withColumn("d_est", estExpr("hk", "n_sk"))
+      .join(ev.groupBy("side").agg(count(lit(1)).as("n_rows")), "side")
+    val unionCut = sk.select(col("h"),
+        when(col("side") === "A", 1L).otherwise(0L).as("ina"),
+        when(col("side") === "B", 1L).otherwise(0L).as("inb"))
+      .groupBy("h").agg(max("ina").as("ina"), max("inb").as("inb"))
+      .withColumn("r", row_number().over(Window.orderBy("h")))
+      .filter(col("r") <= k)
+      .agg(count(lit(1)).as("n_u"),
+           max(when(col("r") === k, col("h"))).as("hku"),
+           sum(col("ina") * col("inb")).as("matches"))
+      .withColumn("u_est", estExpr("hku", "n_u"))
+      // widen: matches × u_est can exceed BIGINT when the union
+      // estimator saturates
+      .withColumn("est_matched",
+        expr("CAST((CAST(matches AS DECIMAL(38,0)) * u_est) " +
+             "div n_u AS BIGINT)"))
+    val truth = ev
+      .groupBy("user_id")
+      .agg(sum(when(col("side") === "A", 1L).otherwise(0L)).as("ca"),
+           sum(when(col("side") === "B", 1L).otherwise(0L)).as("cb"))
+      .agg(sum(when(col("ca") > 0 && col("cb") > 0, 1L)
+                 .otherwise(0L)).as("true_matched"),
+           sum(col("ca") * col("cb")).as("true_card"))
+    val a = sideEst.filter(col("side") === "A")
+      .select(col("n_rows").as("rows_a"), col("d_est").as("d_est_a"))
+    val b = sideEst.filter(col("side") === "B")
+      .select(col("n_rows").as("rows_b"), col("d_est").as("d_est_b"))
+    a.crossJoin(b)
+      .crossJoin(unionCut.select("est_matched"))
+      .crossJoin(truth)
+      .withColumn("est_card",
+        expr("CAST((CAST(est_matched AS DECIMAL(38,0)) " +
+             "* (rows_a * 1000 DIV d_est_a) " +
+             "* (rows_b * 1000 DIV d_est_b)) div 1000000 AS BIGINT)"))
+      .withColumn("err_ppm",
+        expr("CAST((CAST(abs(est_card - true_card) AS DECIMAL(38,0)) " +
+             "* 1000000) div true_card AS BIGINT)"))
+      .select("rows_a", "rows_b", "d_est_a", "d_est_b", "est_matched",
+              "true_matched", "est_card", "true_card", "err_ppm")
+  }
+
   /** Content-addressable-store SAVINGS report — what chunk-level dedup
     * (q198's CDC machinery priced as storage) actually buys: every doc
     * chunks by the content-defined gear rule, chunks key by md5 into
@@ -7496,6 +7580,7 @@ object LlmQueries {
     "q245_scd2_asof"         -> (q245Scd2Asof(_, _)),
     "q246_streaming_scd2"    -> (q246StreamingScd2(_, _)),
     "q270_warehouse_close"   -> (q270WarehouseClose(_, _)),
+    "q273_kmv_join_card"     -> (q273KmvJoinCard(_, _)),
     "q247_ann_diversity"     -> (q247AnnDiversity(_, _)),
     "q248_hubness_audit"     -> (q248HubnessAudit(_, _)),
     "q249_dedup_thr_sweep"   -> (q249DedupThresholdSweep(_, _)),
@@ -12615,6 +12700,82 @@ object LlmQueries {
     // stream ≡ roll ≡ rebuild: the streamed sink's final table replays
     // against the same shared full-rebuild SQL
     "q246_streaming_scd2" -> scd2RebuildSql,
+    // q273: full replay — both side sketches, the union re-cut, the
+    // integer estimators (HUGEINT where Spark widens DECIMAL(38,0)),
+    // and the exact Σ cA·cB truth.
+    "q273_kmv_join_card" -> {
+      val est60 = "CAST(least((1152921504606846976::HUGEINT * 63) " +
+        "// greatest(%s, 1), 4611686018427387904::HUGEINT) AS BIGINT)"
+      s"""WITH ev AS (
+         |  SELECT CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'A'
+         |              ELSE 'B' END AS side, user_id,
+         |    ('0x' || substr(md5('kmvjc:' || CAST(user_id AS VARCHAR)),
+         |                    1, 15))::BIGINT AS h
+         |  FROM events),
+         |sk AS (
+         |  SELECT side, h FROM (
+         |    SELECT side, h,
+         |      row_number() OVER (PARTITION BY side ORDER BY h) AS r
+         |    FROM (SELECT DISTINCT side, h FROM ev)) WHERE r <= 64),
+         |se AS (
+         |  SELECT side, count(*) AS n_sk,
+         |    max(CASE WHEN r = 64 THEN h END) AS hk
+         |  FROM (SELECT side, h,
+         |          row_number() OVER (PARTITION BY side ORDER BY h) AS r
+         |        FROM sk)
+         |  GROUP BY side),
+         |sest AS (
+         |  SELECT side,
+         |    CASE WHEN n_sk < 64 THEN n_sk
+         |         ELSE ${est60.format("hk")} END AS d_est
+         |  FROM se),
+         |rowsides AS (SELECT side, count(*) AS n_rows FROM ev
+         |             GROUP BY side),
+         |tagged AS (
+         |  SELECT h, max(CASE WHEN side = 'A' THEN 1 ELSE 0 END) AS ina,
+         |         max(CASE WHEN side = 'B' THEN 1 ELSE 0 END) AS inb
+         |  FROM sk GROUP BY h),
+         |ucut AS (
+         |  SELECT count(*) AS n_u,
+         |    max(CASE WHEN r = 64 THEN h END) AS hku,
+         |    CAST(sum(ina * inb) AS BIGINT) AS matches
+         |  FROM (SELECT *, row_number() OVER (ORDER BY h) AS r
+         |        FROM tagged)
+         |  WHERE r <= 64),
+         |um AS (
+         |  SELECT CAST((matches::HUGEINT *
+         |    (CASE WHEN n_u < 64 THEN n_u
+         |          ELSE ${est60.format("hku")} END)) // n_u AS BIGINT)
+         |    AS est_matched
+         |  FROM ucut),
+         |truth AS (
+         |  SELECT CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0
+         |                   END) AS BIGINT) AS true_matched,
+         |    CAST(sum(ca * cb) AS BIGINT) AS true_card
+         |  FROM (SELECT user_id,
+         |          sum(CASE WHEN side = 'A' THEN 1 ELSE 0 END) AS ca,
+         |          sum(CASE WHEN side = 'B' THEN 1 ELSE 0 END) AS cb
+         |        FROM ev GROUP BY user_id)),
+         |ab AS (
+         |  SELECT
+         |    (SELECT n_rows FROM rowsides WHERE side = 'A') AS rows_a,
+         |    (SELECT n_rows FROM rowsides WHERE side = 'B') AS rows_b,
+         |    (SELECT d_est FROM sest WHERE side = 'A') AS d_est_a,
+         |    (SELECT d_est FROM sest WHERE side = 'B') AS d_est_b),
+         |f AS (
+         |  SELECT rows_a, rows_b, d_est_a, d_est_b, est_matched,
+         |    true_matched,
+         |    CAST((est_matched::HUGEINT * (rows_a * 1000 // d_est_a)
+         |          * (rows_b * 1000 // d_est_b)) // 1000000 AS BIGINT)
+         |      AS est_card,
+         |    true_card
+         |  FROM ab, um, truth)
+         |SELECT rows_a, rows_b, d_est_a, d_est_b, est_matched,
+         |  true_matched, est_card, true_card,
+         |  CAST((abs(est_card::HUGEINT - true_card) * 1000000)
+         |       // true_card AS BIGINT) AS err_ppm
+         |FROM f""".stripMargin
+    },
     // q270: DuckDB rebuilds all three warehouse families from scratch
     // (each family's own shared rebuild SQL nested as a CTE) and
     // digests the rebuilt rows — rolled ≡ rebuilt per family.

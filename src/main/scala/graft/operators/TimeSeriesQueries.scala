@@ -797,43 +797,54 @@ object TimeSeriesQueries {
     * oracle-checked: DuckDB replays bins, interleave, rank, file cut,
     * stats, and the overlap counts.
     */
-  def q261LayoutPruning(spark: SparkSession, dir: String): DataFrame = {
+  /** (event_id, user_id, ts, zkey) — the (value, user) Morton key of
+    * every event, shifted clear of the id domain so (z, event_id) is a
+    * collision-free single sort key. Shared by q261 and q272.
+    */
+  private def zKeyedEvents(spark: SparkSession, dir: String): DataFrame = {
     import graft.io.Compaction
-    val fileRows = 256L
     val ev = Tables.events(spark, dir)
     val stats = ev.agg(
       min(col("value")).as("mnv"), max(col("value")).as("mxv"),
       min(col("user_id").cast("double")).as("mnu"),
       max(col("user_id").cast("double")).as("mxu"))
-    val withZ = ev.crossJoin(broadcast(stats))
-      .select(col("event_id"), col("user_id"),
-              Compaction.zInterleave(
-                Compaction.zBinCol(col("value"), col("mnv"),
-                                   col("mxv"), 8),
-                Compaction.zBinCol(col("user_id").cast("double"),
-                                   col("mnu"), col("mxu"), 8),
-                8).as("z"))
-    def layoutFiles(name: String, keyed: DataFrame, key: String) =
-      graft.llm.Sharding
-        .tokenOffsets(keyed.withColumn("one", lit(1L)), key, "one",
-                      nBuckets = 32, shardTokens = fileRows)
-        .select(lit(name).as("layout"), col("shard_id").as("file_id"),
-                col("user_id"))
-    val files = layoutFiles("natural",
-                            withZ.select("event_id", "user_id"),
-                            "event_id")
-      .unionByName(layoutFiles("zorder",
-        // (z, event_id)-ordered single sort key: z ≤ 2¹⁶ shifted clear
-        // of the id domain, ties impossible
-        withZ.select((col("z") * lit(1L << 44) + col("event_id"))
-                       .as("zkey"),
-                     col("user_id")),
-        "zkey"))
-      .groupBy("layout", "file_id")
+    ev.crossJoin(broadcast(stats))
+      .select(col("event_id"), col("user_id"), col("ts"),
+              (Compaction.zInterleave(
+                 Compaction.zBinCol(col("value"), col("mnv"),
+                                    col("mxv"), 8),
+                 Compaction.zBinCol(col("user_id").cast("double"),
+                                    col("mnu"), col("mxu"), 8),
+                 8) * lit(1L << 44) + col("event_id")).as("zkey"))
+  }
+
+  /** Assign `keyed`'s rows to 256-row files in `key` order (two-phase
+    * prefix rank — no single-partition window), tagged with the layout
+    * name; `fileBase` offsets the ids so two rank spaces can coexist
+    * in one layout (the hybrid append case).
+    */
+  private def layoutFiles(name: String, keyed: DataFrame, key: String,
+                          fileBase: Long = 0L): DataFrame =
+    graft.llm.Sharding
+      .tokenOffsets(keyed.withColumn("one", lit(1L)), key, "one",
+                    nBuckets = 32, shardTokens = 256L)
+      .select(lit(name).as("layout"),
+              (col("shard_id") + lit(fileBase)).as("file_id"),
+              col("user_id"))
+
+  /** Per-(layout, range) scan stats: each file keeps only its user_id
+    * min/max (the parquet footer stats), an 8-range predicate grid
+    * counts overlapping files, `scan_ppm` = fraction a range query
+    * must touch.
+    */
+  private def scanStats(spark: SparkSession, dir: String,
+                        layouts: DataFrame): DataFrame = {
+    val files = layouts.groupBy("layout", "file_id")
       .agg(min("user_id").as("u_min"), max("user_id").as("u_max"))
     val grid = spark.range(8).select(col("id").as("q"))
       .crossJoin(broadcast(
-        ev.agg(min("user_id").as("ulo"), max("user_id").as("uhi"))))
+        Tables.events(spark, dir)
+          .agg(min("user_id").as("ulo"), max("user_id").as("uhi"))))
       .withColumn("w", expr("(uhi - ulo + 8) div 8"))
       .select(col("q"), (col("ulo") + col("q") * col("w")).as("lo"),
               (col("ulo") + (col("q") + 1) * col("w")).as("hi"))
@@ -849,6 +860,38 @@ object TimeSeriesQueries {
                   expr("files_scanned * 1000000 DIV files_total"))
       .select("layout", "q", "files_scanned", "files_total", "scan_ppm")
       .orderBy("layout", "q")
+  }
+
+  def q261LayoutPruning(spark: SparkSession, dir: String): DataFrame = {
+    val z = zKeyedEvents(spark, dir)
+    scanStats(spark, dir,
+      layoutFiles("natural", z.select("event_id", "user_id"),
+                  "event_id")
+        .unionByName(layoutFiles("zorder",
+                                 z.select("zkey", "user_id"), "zkey")))
+  }
+
+  /** Layout DEBT under ingest — q261's decay story: the first 21 days
+    * were compacted on the Z-curve, days 22+ appended in ingest order
+    * as new files (what every streaming sink does between OPTIMIZE
+    * runs). `hybrid` is that real table; `ideal` is the same corpus
+    * fully re-clustered. The per-range gap between the two scan_ppm
+    * columns IS the compaction debt — the measured number an OPTIMIZE
+    * scheduler weighs against the rewrite cost (q261 priced the
+    * benefit of clustering; this prices NOT re-clustering). Same
+    * machinery, fully oracle-checked.
+    */
+  def q272LayoutDebt(spark: SparkSession, dir: String): DataFrame = {
+    val z = zKeyedEvents(spark, dir)
+    val cut = lit("2024-01-22").cast("timestamp")
+    scanStats(spark, dir,
+      layoutFiles("ideal", z.select("zkey", "user_id"), "zkey")
+        .unionByName(layoutFiles("hybrid",
+          z.filter(col("ts") < cut).select("zkey", "user_id"), "zkey"))
+        // appended files live in a disjoint id space after the base
+        .unionByName(layoutFiles("hybrid",
+          z.filter(col("ts") >= cut).select("event_id", "user_id"),
+          "event_id", fileBase = 1000000L)))
   }
 
   /** Stream-stream LEFT OUTER join over the real events stream
@@ -998,6 +1041,7 @@ object TimeSeriesQueries {
     "q264_stream_outer_join" -> (q264StreamOuterJoin(_, _)),
     "q265_session_window" -> (q265SessionWindow(_, _)),
     "q268_streamed_cascade" -> (q268StreamedCascade(_, _)),
+    "q272_layout_debt" -> (q272LayoutDebt(_, _)),
     "q260_cascade_rollup" -> (q260CascadeRollup(_, _)),
     "q261_layout_pruning" -> (q261LayoutPruning(_, _)),
     "q255_decay_roll" -> (q255DecayRoll(_, _)),
@@ -1120,6 +1164,56 @@ object TimeSeriesQueries {
       |GROUP BY 1, 2
       |ORDER BY day, event_type""".stripMargin
 
+  /** Shared q261/q272 replay: the z CTE (bins, Morton interleave,
+    * collision-free zkey), a caller-supplied layout CTE, and the
+    * file-stats + predicate-grid scan counts.
+    */
+  private def layoutScanSql(layCte: String): String = {
+    def bin(c: String, mn: String, mx: String): String =
+      s"CASE WHEN $mx = $mn THEN 0 ELSE " +
+        s"least(255, greatest(0, CAST(floor(($c - $mn) * 256.0 " +
+        s"/ ($mx - $mn)) AS BIGINT))) END"
+    s"""WITH s AS (
+       |  SELECT min(value) AS mnv, max(value) AS mxv,
+       |         min(CAST(user_id AS DOUBLE)) AS mnu,
+       |         max(CAST(user_id AS DOUBLE)) AS mxu
+       |  FROM events),
+       |b AS (
+       |  SELECT event_id, user_id, ts,
+       |    ${bin("value", "mnv", "mxv")} AS bin_value,
+       |    ${bin("CAST(user_id AS DOUBLE)", "mnu", "mxu")} AS bin_user
+       |  FROM events, s),
+       |z AS (
+       |  SELECT event_id, user_id, ts,
+       |    ${graft.io.Compaction.zInterleaveSql("bin_value",
+                                                 "bin_user", 8)}
+       |      * ${1L << 44} + event_id AS zkey
+       |  FROM b),
+       |lay AS (
+       |$layCte),
+       |f AS (
+       |  SELECT layout, file_id, min(user_id) AS u_min,
+       |         max(user_id) AS u_max
+       |  FROM lay GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT layout, count(*) AS files_total FROM f GROUP BY 1),
+       |ub AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi
+       |       FROM events),
+       |g AS (
+       |  SELECT q, ulo + q * w AS lo, ulo + (q + 1) * w AS hi
+       |  FROM (SELECT unnest(range(8)) AS q, ulo, uhi,
+       |               (uhi - ulo + 8) // 8 AS w
+       |        FROM ub)),
+       |sc AS (
+       |  SELECT layout, q, count(*) AS files_scanned
+       |  FROM f JOIN g ON u_min < hi AND u_max >= lo
+       |  GROUP BY 1, 2)
+       |SELECT layout, q, files_scanned, files_total,
+       |  files_scanned * 1000000 // files_total AS scan_ppm
+       |FROM sc JOIN tot USING (layout)
+       |ORDER BY layout, q""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     // q264 emits the STREAMED left outer join (watermark-finalized
     // slice); the oracle replays the interval left join in batch SQL —
@@ -1171,58 +1265,34 @@ object TimeSeriesQueries {
     // straight from raw: build ≡ roll ≡ stream.
     "q260_cascade_rollup" -> cascadeDaySql,
     "q268_streamed_cascade" -> cascadeDaySql,
-    "q261_layout_pruning" -> {
-      def bin(c: String, mn: String, mx: String): String =
-        s"CASE WHEN $mx = $mn THEN 0 ELSE " +
-          s"least(255, greatest(0, CAST(floor(($c - $mn) * 256.0 " +
-          s"/ ($mx - $mn)) AS BIGINT))) END"
-      s"""WITH s AS (
-         |  SELECT min(value) AS mnv, max(value) AS mxv,
-         |         min(CAST(user_id AS DOUBLE)) AS mnu,
-         |         max(CAST(user_id AS DOUBLE)) AS mxu
-         |  FROM events),
-         |b AS (
-         |  SELECT event_id, user_id,
-         |    ${bin("value", "mnv", "mxv")} AS bin_value,
-         |    ${bin("CAST(user_id AS DOUBLE)", "mnu", "mxu")} AS bin_user
-         |  FROM events, s),
-         |z AS (
-         |  SELECT event_id, user_id,
-         |    ${graft.io.Compaction.zInterleaveSql("bin_value",
-                                                   "bin_user", 8)} AS z
-         |  FROM b),
-         |lay AS (
-         |  SELECT 'natural' AS layout,
+    "q261_layout_pruning" -> layoutScanSql(
+      s"""  SELECT 'natural' AS layout,
          |    (row_number() OVER (ORDER BY event_id) - 1) // 256
          |      AS file_id, user_id
          |  FROM z
          |  UNION ALL
          |  SELECT 'zorder' AS layout,
-         |    (row_number() OVER (ORDER BY z * ${1L << 44} + event_id)
-         |      - 1) // 256 AS file_id, user_id
-         |  FROM z),
-         |f AS (
-         |  SELECT layout, file_id, min(user_id) AS u_min,
-         |         max(user_id) AS u_max
-         |  FROM lay GROUP BY 1, 2),
-         |tot AS (
-         |  SELECT layout, count(*) AS files_total FROM f GROUP BY 1),
-         |ub AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi
-         |       FROM events),
-         |g AS (
-         |  SELECT q, ulo + q * w AS lo, ulo + (q + 1) * w AS hi
-         |  FROM (SELECT unnest(range(8)) AS q, ulo, uhi,
-         |               (uhi - ulo + 8) // 8 AS w
-         |        FROM ub)),
-         |sc AS (
-         |  SELECT layout, q, count(*) AS files_scanned
-         |  FROM f JOIN g ON u_min < hi AND u_max >= lo
-         |  GROUP BY 1, 2)
-         |SELECT layout, q, files_scanned, files_total,
-         |  files_scanned * 1000000 // files_total AS scan_ppm
-         |FROM sc JOIN tot USING (layout)
-         |ORDER BY layout, q""".stripMargin
-    },
+         |    (row_number() OVER (ORDER BY zkey) - 1) // 256 AS file_id,
+         |    user_id
+         |  FROM z""".stripMargin),
+    // q272: the hybrid layout = z-compacted base (days < 22) + ingest-
+    // order appends in a disjoint file-id space, vs the fully
+    // re-clustered ideal.
+    "q272_layout_debt" -> layoutScanSql(
+      s"""  SELECT 'ideal' AS layout,
+         |    (row_number() OVER (ORDER BY zkey) - 1) // 256 AS file_id,
+         |    user_id
+         |  FROM z
+         |  UNION ALL
+         |  SELECT 'hybrid' AS layout,
+         |    (row_number() OVER (ORDER BY zkey) - 1) // 256 AS file_id,
+         |    user_id
+         |  FROM z WHERE ts < TIMESTAMP '2024-01-22'
+         |  UNION ALL
+         |  SELECT 'hybrid' AS layout,
+         |    1000000 + (row_number() OVER (ORDER BY event_id) - 1)
+         |      // 256 AS file_id, user_id
+         |  FROM z WHERE ts >= TIMESTAMP '2024-01-22'""".stripMargin),
     // sessionization windows + ordered list + positional subsequence
     // scan; list_position is NULL-on-missing (coalesce to 0 = Spark's
     // array_position convention)

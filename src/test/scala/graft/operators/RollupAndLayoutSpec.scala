@@ -51,6 +51,29 @@ class RollupAndLayoutSpec extends SparkSpec {
            "the mid-day cut must split a populated day")
   }
 
+  test("q272: compaction debt is visible and bounded — hybrid never " +
+       "prunes better than ideal, and never worse than unclustered") {
+    val rows = TimeSeriesQueries.q272LayoutDebt(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                 r.getLong(3), r.getLong(4)))
+    val ideal = rows.filter(_._1 == "ideal").map(t => t._2 -> t._5).toMap
+    val hybrid = rows.filter(_._1 == "hybrid")
+    assert(ideal.nonEmpty && hybrid.nonEmpty)
+    hybrid.foreach { case (_, q, _, _, ppm) =>
+      assert(ppm >= ideal(q),
+             s"hybrid cannot prune better than the re-clustered ideal" +
+               s" at range $q")
+      assert(ppm <= 1000000L)
+    }
+    assert(hybrid.map(_._5).sum > ideal.values.sum,
+           "the appended days must show as measurable debt")
+    // the append cut splits one file boundary at most
+    val idealFiles = rows.find(_._1 == "ideal").get._4
+    val hybridFiles = hybrid.head._4
+    assert(hybridFiles >= idealFiles && hybridFiles <= idealFiles + 1)
+  }
+
   test("q268: the STREAMED cascade lands the direct day grain, and " +
        "its intermediate hourly table equals the direct hourly grain") {
     val streamed = TimeSeriesQueries.q268StreamedCascade(spark, sf0001)

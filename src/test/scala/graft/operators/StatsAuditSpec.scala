@@ -85,6 +85,35 @@ class StatsAuditSpec extends SparkSpec {
            "must reject via partial containment")
   }
 
+  test("q273: sketch join-card estimate reconciles with its " +
+       "components and the truth recounts independently") {
+    val r = LlmQueries.queries("q273_kmv_join_card")(spark, sf0001)
+      .collect().head
+    val (rowsA, rowsB, dA, dB, estM, trueM, estC, trueC, err) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+       r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+       r.getLong(8))
+    val ev = Tables.events(spark, sf0001)
+    assert(rowsA + rowsB == ev.count(),
+           "the two sides must partition the events table")
+    // independent truth recount
+    val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val byUser = ev.select("user_id", "ts").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(rs => (rs.count(_.getTimestamp(1).before(cut)).toLong,
+                        rs.count(!_.getTimestamp(1).before(cut)).toLong))
+      .toMap
+    assert(trueM == byUser.values.count(t => t._1 > 0 && t._2 > 0))
+    assert(trueC == byUser.values.map(t => t._1 * t._2).sum)
+    // estimate arithmetic reconciles with its own components
+    assert(estC ==
+      (BigInt(estM) * (rowsA * 1000 / dA) * (rowsB * 1000 / dB) /
+        1000000).toLong)
+    assert(err == (BigInt((estC - trueC).abs) * 1000000 / trueC).toLong)
+    // matched-keys estimate can never exceed either side's estimate
+    assert(estM <= math.min(dA, dB))
+  }
+
   test("q267 at sf0.01: the non-unique-parent pair is rejected by " +
        "uniqueness ALONE (containment is full there)") {
     val r = RelationalQueries.queries("q267_fk_discovery")(
