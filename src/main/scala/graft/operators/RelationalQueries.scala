@@ -687,11 +687,61 @@ object RelationalQueries {
   }
   private val q271Saved = new graft.SavedOnce[String, String]
 
+  /** Right-to-be-forgotten erasure audit — the FK graph q267 discovers,
+    * made actionable: for an erase set of customers (`c_custkey % 97 =
+    * 0`), the delete cascades down the key chain (customer → orders →
+    * lineitem; events by user id), and the audit emits per table the
+    * blast radius (`n_delete`/`n_keep`) plus the post-delete integrity
+    * check `n_orphans_after` — kept child rows whose parent was erased
+    * (must be 0 for every table, and the oracle pins that it IS the
+    * anti-join count, not a constant). Scale shape: the erase set and
+    * each cascaded key set are key-only broadcasts; every count is a
+    * semi/anti-join + 1-row agg — no data row ever moves.
+    */
+  def q274ErasureAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val ev = Tables.events(spark, dir)
+    val erase = cust.filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("k"))
+    def keyed(df: DataFrame, c: String) = df.withColumn("k", col(c))
+    def split(df: DataFrame, keys: DataFrame): (DataFrame, DataFrame) =
+      (df.join(broadcast(keys), Seq("k"), "left_semi"),
+       df.join(broadcast(keys), Seq("k"), "left_anti"))
+    val (cDel, cKeep) = split(keyed(cust, "c_custkey"), erase)
+    val (oDel, oKeep) = split(keyed(ord, "o_custkey"), erase)
+    val deadOrders = oDel.select(col("o_orderkey").as("k")).distinct()
+    val (lDel, lKeep) = split(keyed(li, "l_orderkey"), deadOrders)
+    val (eDel, eKeep) = split(keyed(ev, "user_id"), erase)
+    def row(tbl: String, del: DataFrame, keep: DataFrame,
+            orphans: DataFrame) =
+      del.agg(count(lit(1)).as("n_delete"))
+        .crossJoin(keep.agg(count(lit(1)).as("n_keep")))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans_after")))
+        .select(lit(tbl).as("tbl"), col("n_delete"), col("n_keep"),
+                col("n_orphans_after"))
+    val keptCust = cKeep.select(col("c_custkey").as("k")).distinct()
+    val keptOrd = oKeep.select(col("o_orderkey").as("k")).distinct()
+    row("customer", cDel, cKeep, cKeep.limit(0))
+      .unionByName(row("orders", oDel, oKeep,
+        oKeep.select(col("o_custkey").as("k"))
+          .join(broadcast(keptCust), Seq("k"), "left_anti")))
+      .unionByName(row("lineitem", lDel, lKeep,
+        lKeep.select(col("l_orderkey").as("k"))
+          .join(broadcast(keptOrd), Seq("k"), "left_anti")))
+      .unionByName(row("events", eDel, eKeep,
+        eKeep.select(col("user_id").as("k"))
+          .join(broadcast(keptCust), Seq("k"), "left_anti")))
+      .orderBy("tbl")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q266_column_lineage" -> (q266ColumnLineage(_, _)),
     "q267_fk_discovery" -> (q267FkDiscovery(_, _)),
     "q269_impact_analysis" -> (q269ImpactAnalysis(_, _)),
     "q271_bucketed_view_roll" -> (q271BucketedViewRoll(_, _)),
+    "q274_erasure_audit" -> (q274ErasureAudit(_, _)),
     "q262_bloom_prune_audit" -> (q262BloomPruneAudit(_, _)),
     "q263_join_card_estimate" -> (q263JoinCardEstimate(_, _)),
     "q256_join_view_roll"   -> (q256JoinViewRoll(_, _)),
@@ -783,6 +833,55 @@ object RelationalQueries {
          |            THEN 1 ELSE 0 END AS BIGINT) AS is_fk
          |FROM raw ORDER BY child, parent""".stripMargin
     },
+    "q274_erasure_audit" ->
+      """WITH e AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+        |od AS (SELECT o_orderkey FROM orders
+        |       WHERE o_custkey IN (SELECT k FROM e)),
+        |rows_ AS (
+        |  SELECT 'customer' AS tbl,
+        |    (SELECT count(*) FROM customer
+        |       WHERE c_custkey IN (SELECT k FROM e)) AS n_delete,
+        |    (SELECT count(*) FROM customer
+        |       WHERE c_custkey NOT IN (SELECT k FROM e)) AS n_keep,
+        |    0::BIGINT AS n_orphans_after
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    (SELECT count(*) FROM orders
+        |       WHERE o_custkey IN (SELECT k FROM e)),
+        |    (SELECT count(*) FROM orders
+        |       WHERE o_custkey NOT IN (SELECT k FROM e)),
+        |    (SELECT count(*) FROM orders
+        |       WHERE o_custkey NOT IN (SELECT k FROM e)
+        |         AND o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                               WHERE c_custkey NOT IN
+        |                                 (SELECT k FROM e)))
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |    (SELECT count(*) FROM lineitem
+        |       WHERE l_orderkey IN (SELECT o_orderkey FROM od)),
+        |    (SELECT count(*) FROM lineitem
+        |       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM od)),
+        |    (SELECT count(*) FROM lineitem
+        |       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM od)
+        |         AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+        |                                WHERE o_custkey NOT IN
+        |                                  (SELECT k FROM e)))
+        |  UNION ALL
+        |  SELECT 'events',
+        |    (SELECT count(*) FROM events
+        |       WHERE user_id IN (SELECT k FROM e)),
+        |    (SELECT count(*) FROM events
+        |       WHERE user_id NOT IN (SELECT k FROM e)),
+        |    (SELECT count(*) FROM events
+        |       WHERE user_id NOT IN (SELECT k FROM e)
+        |         AND user_id NOT IN (SELECT c_custkey FROM customer
+        |                             WHERE c_custkey NOT IN
+        |                               (SELECT k FROM e))))
+        |SELECT tbl, CAST(n_delete AS BIGINT) AS n_delete,
+        |  CAST(n_keep AS BIGINT) AS n_keep,
+        |  CAST(n_orphans_after AS BIGINT) AS n_orphans_after
+        |FROM rows_ ORDER BY tbl""".stripMargin,
     // q269: the inversion is a structural fact of the six target
     // plans — pinned golden, like q266.
     "q269_impact_analysis" ->

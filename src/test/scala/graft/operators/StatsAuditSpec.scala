@@ -114,6 +114,39 @@ class StatsAuditSpec extends SparkSpec {
     assert(estM <= math.min(dA, dB))
   }
 
+  test("q274: the erasure cascade recounts independently, integrity " +
+       "holds, and no data row ever rides a shuffle") {
+    val df = RelationalQueries.queries("q274_erasure_audit")(
+      spark, sf0001)
+    val rows = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+                                   r.getLong(3))).toMap
+    val cust = Tables.customer(spark, sf0001)
+    val ord = Tables.orders(spark, sf0001)
+    val erased = cust.filter(col("c_custkey") % 97 === 0)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(erased.nonEmpty)
+    assert(rows("customer")._1 == erased.size)
+    val deadOrders = ord.collect()
+      .filter(r => erased(r.getAs[Long]("o_custkey")))
+      .map(_.getAs[Long]("o_orderkey")).toSet
+    assert(rows("orders")._1 == deadOrders.size)
+    assert(rows("lineitem")._1 ==
+      Tables.lineitem(spark, sf0001).collect()
+        .count(r => deadOrders(r.getAs[Long]("l_orderkey"))))
+    rows.foreach { case (t, (del, keep, orph)) =>
+      assert(orph == 0L, s"$t left orphans")
+      assert(del > 0L, s"$t cascade must be non-empty")
+    }
+    assert(rows.values.map(t => t._1 + t._2).sum ==
+      cust.count() + ord.count() +
+        Tables.lineitem(spark, sf0001).count() +
+        Tables.events(spark, sf0001).count())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+           s"erasure audit must be key-broadcast only:\n$plan")
+  }
+
   test("q267 at sf0.01: the non-unique-parent pair is rejected by " +
        "uniqueness ALONE (containment is full there)") {
     val r = RelationalQueries.queries("q267_fk_discovery")(
