@@ -736,7 +736,41 @@ object RelationalQueries {
       .orderBy("tbl")
   }
 
+  /** Erasure propagated to the MATERIALIZED view — q274's delete
+    * cascade composed with q257's retraction machinery: the erased
+    * customers' lines become a pure-delete changelog (before-images,
+    * op = −1) and the standing per-order revenue view retract-rolls
+    * them out — every erased order leaves the view exactly, WITHOUT
+    * rebuilding from the fact table (the right-to-be-forgotten
+    * obligation extends to derived artifacts; at 100 TB you cannot
+    * re-join history to honor it). Oracle: the same rebuild string
+    * over the net (post-erasure) lineitem — retracted ≡ rebuilt.
+    */
+  def q275ViewErasure(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val erase = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("o_custkey"))
+    val deadOrders = o.join(broadcast(erase), Seq("o_custkey"),
+                            "left_semi")
+      .select(col("o_orderkey").as("l_orderkey"))
+    val changelog = l.join(broadcast(deadOrders), Seq("l_orderkey"),
+                           "left_semi")
+      .withColumn("op", lit(-1))
+    val deltaOrders = o.join(
+      changelog.select(col("l_orderkey").as("o_orderkey")).distinct,
+      Seq("o_orderkey"), "left_semi")
+    ViewMaintenance.orderRevenueRetractRoll(
+        ViewMaintenance.orderRevenueView(o, l), deltaOrders, changelog)
+      .select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderpriority"), col("n_items"),
+              col("revenue").cast("string").as("revenue"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_view_erasure" -> (q275ViewErasure(_, _)),
     "q266_column_lineage" -> (q266ColumnLineage(_, _)),
     "q267_fk_discovery" -> (q267FkDiscovery(_, _)),
     "q269_impact_analysis" -> (q269ImpactAnalysis(_, _)),
@@ -808,6 +842,14 @@ object RelationalQueries {
     // q271 rolls the same view through the co-located (bucketed merge
     // join) strategy — identical oracle to q256.
     "q271_bucketed_view_roll" -> joinViewRebuildSql("lineitem"),
+    // q275 retract-rolls the erasure out of the standing view; the
+    // oracle rebuilds over the post-erasure net lines.
+    "q275_view_erasure" -> joinViewRebuildSql(
+      """(SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
+        |  WHERE l_orderkey NOT IN (
+        |    SELECT o_orderkey FROM orders WHERE o_custkey IN (
+        |      SELECT c_custkey FROM customer
+        |      WHERE c_custkey % 97 = 0))) nl""".stripMargin),
     // q267: generated from the SAME fkCandidates list as the Spark side.
     "q267_fk_discovery" -> {
       val rows = fkCandidates.map { case (ct, cc, pt, pc) =>

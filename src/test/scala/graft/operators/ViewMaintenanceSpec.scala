@@ -169,6 +169,25 @@ class ViewMaintenanceSpec extends SparkSpec {
            s"no shuffle may sit above the bucketed view scan:\n$plan")
   }
 
+  test("q275: erasure retracts EXACTLY the dead orders from the view " +
+       "and leaves every kept row byte-identical") {
+    val erased = RelationalQueries.queries("q275_view_erasure")(
+      spark, sf0001)
+    val full = canon(fullView)
+    val got = canon(erased)
+    val eraseSet = graft.sources.Tables.customer(spark, sf0001)
+      .filter(col("c_custkey") % 97 === 0)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val deadKeys = graft.sources.Tables.orders(spark, sf0001)
+      .filter(col("o_custkey").isin(eraseSet.toSeq: _*))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(got == full.filterNot(t => deadKeys(t._1)),
+           "erased view must be the full view minus dead orders, " +
+             "kept rows untouched")
+    assert(full.exists(t => deadKeys(t._1)),
+           "the erase set must actually hit the view")
+  }
+
   // --- streamed roll (q258) ---
 
   test("streamed micro-batch roll lands exactly the rebuilt view " +
