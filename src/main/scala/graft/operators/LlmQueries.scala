@@ -12781,7 +12781,7 @@ object LlmQueries {
     // digests the rebuilt rows — rolled ≡ rebuilt per family.
     "q270_warehouse_close" ->
       s"""WITH jv AS (${RelationalQueries.joinViewRebuildSql("lineitem")}),
-         |cas AS (${TimeSeriesQueries.cascadeDaySql}),
+         |cas AS (${TimeSeriesQueries.cascadeDaySql()}),
          |scd AS ($scd2RebuildSql),
          |fam AS (
          |  SELECT 'cascade_day' AS family,

@@ -1037,8 +1037,44 @@ object TimeSeriesQueries {
   }
   private val q268Saved = new graft.SavedOnce[String, String]
 
+  /** Retractable cascade roll — corrections flowing through the
+    * hour→day grains (the q257 group-structure argument applied to the
+    * metrics warehouse): a CDC changelog deletes every `event_id %
+    * 103 = 0` row outright and re-states every other `event_id % 101 =
+    * 0` row with its corrected value (+1) — before-image delete +
+    * after-image insert. Signed hourly partials cascade to signed day
+    * partials and merge into the standing day grain; cells whose count
+    * reaches zero leave it. Exact integer measures make every merge
+    * order-invariant, and a delete gives back exactly the milli-units
+    * its insert contributed. Oracle: the family's shared rebuild
+    * string over the NET (post-correction) event rows — retract-rolled
+    * ≡ rebuilt.
+    */
+  def q276CascadeRetract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val standing = evDayFromHours(evHourly(ev))
+    val del = col("event_id") % 103 === 0
+    val upd = col("event_id") % 101 === 0 && !del
+    val changelog = ev.filter(del || upd).withColumn("op", lit(-1))
+      .unionByName(ev.filter(upd)
+        .withColumn("value", col("value") + 1)
+        .withColumn("op", lit(1)))
+    val signedHours = changelog
+      .groupBy(col("event_type"),
+               date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(col("op")).cast("long").as("n"),
+           sum(col("op") * floor(col("value") * 1000).cast("long"))
+             .as("v_milli"))
+    mergeGrain(standing, evDayFromHours(signedHours),
+               Seq("event_type", "day"))
+      .filter(col("n") > 0)
+      .select("day", "event_type", "n", "v_milli")
+      .orderBy("day", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q264_stream_outer_join" -> (q264StreamOuterJoin(_, _)),
+    "q276_cascade_retract" -> (q276CascadeRetract(_, _)),
     "q265_session_window" -> (q265SessionWindow(_, _)),
     "q268_streamed_cascade" -> (q268StreamedCascade(_, _)),
     "q272_layout_debt" -> (q272LayoutDebt(_, _)),
@@ -1152,15 +1188,16 @@ object TimeSeriesQueries {
         |FROM a""".stripMargin
 
   /** The cascade family's ONE rebuild string (q260 batch roll, q268
-    * streamed sink): the day grain straight from raw events.
+    * streamed sink, q276 retract roll via a net-table rewrite): the
+    * day grain straight from raw rows of `rel`.
     */
-  private[operators] val cascadeDaySql: String =
-    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  private[operators] def cascadeDaySql(rel: String = "events"): String =
+    s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
       |  event_type,
       |  count(*) AS n,
       |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
       |    AS v_milli
-      |FROM events
+      |FROM $rel
       |GROUP BY 1, 2
       |ORDER BY day, event_type""".stripMargin
 
@@ -1263,8 +1300,15 @@ object TimeSeriesQueries {
     // q260 emits the hour→day CASCADED and incrementally ROLLED day
     // grain; q268 the STREAMED cascade — both replay the same rebuild
     // straight from raw: build ≡ roll ≡ stream.
-    "q260_cascade_rollup" -> cascadeDaySql,
-    "q268_streamed_cascade" -> cascadeDaySql,
+    "q260_cascade_rollup" -> cascadeDaySql(),
+    "q268_streamed_cascade" -> cascadeDaySql(),
+    // q276 retract-rolls corrections through the grains; the oracle
+    // rebuilds over the net (post-correction) rows.
+    "q276_cascade_retract" -> cascadeDaySql(
+      """(SELECT ts, event_type,
+        |   CASE WHEN event_id % 101 = 0 AND event_id % 103 <> 0
+        |        THEN value + 1 ELSE value END AS value
+        | FROM events WHERE event_id % 103 <> 0) net""".stripMargin),
     "q261_layout_pruning" -> layoutScanSql(
       s"""  SELECT 'natural' AS layout,
          |    (row_number() OVER (ORDER BY event_id) - 1) // 256

@@ -51,6 +51,31 @@ class RollupAndLayoutSpec extends SparkSpec {
            "the mid-day cut must split a populated day")
   }
 
+  test("q276: the retract-rolled day grain equals the net rebuild; " +
+       "both correction behaviors are live") {
+    val got = canonDay(TimeSeriesQueries.q276CascadeRetract(spark,
+                                                            sf0001))
+    val ev = Tables.events(spark, sf0001)
+    val net = ev.filter(col("event_id") % 103 =!= 0)
+      .withColumn("value",
+        when(col("event_id") % 101 === 0, col("value") + 1)
+          .otherwise(col("value")))
+    val rebuilt = canonDay(
+      net.groupBy(date_trunc("day", col("ts")).as("day"),
+                  col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(floor(col("value") * 1000).cast("long"))
+               .as("v_milli")))
+    assert(got == rebuilt)
+    val before = direct.map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    val shrunk = got.count(t => before((t._1, t._2))._1 > t._3)
+    assert(shrunk > 0, "no cell lost a deleted event")
+    val repriced = got.count(t => before((t._1, t._2))._1 == t._3 &&
+                                  before((t._1, t._2))._2 != t._4)
+    assert(repriced > 0,
+           "no cell was re-priced by an update at equal count")
+  }
+
   test("q272: compaction debt is visible and bounded — hybrid never " +
        "prunes better than ideal, and never worse than unclustered") {
     val rows = TimeSeriesQueries.q272LayoutDebt(spark, sf0001)
