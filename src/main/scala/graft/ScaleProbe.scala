@@ -1433,6 +1433,30 @@ object ScaleProbe {
         }
       }
     }
+    // round-12 second extension wave: the layout-debt audit (three
+    // two-phase rank passes) and the KMV join-cardinality estimator
+    // (value-set sketches)
+    section("layout_debt kmv_jc") {
+      def eventsX2(n: Int) = {
+        val e = Tables.events(spark, dir)
+        (0 until n).map(i =>
+          e.withColumn("event_id",
+                       col("event_id") + lit(i * 100000000L))
+            .withColumn("user_id",
+                        col("user_id") + lit(i * 1000000L)))
+          .reduce(_ unionByName _)
+      }
+      for (n <- Seq(1, 5, 20)) {
+        val e = eventsX2(n); val rows = e.count()
+        time(s"layout_debt    n=$n ($rows)") {
+          noop(graft.operators.TimeSeriesQueries
+            .layoutDebtOver(e))
+        }
+        time(s"kmv_jc         n=$n ($rows)") {
+          noop(graft.operators.LlmQueries.kmvJoinCardOver(e))
+        }
+      }
+    }
     spark.stop()
   }
 }

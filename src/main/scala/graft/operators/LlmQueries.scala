@@ -4480,11 +4480,15 @@ object LlmQueries {
     * including both sketches and the union cut. The union re-cut
     * window is single-partition BY CONSTRUCTION bounded at ≤ 2k rows.
     */
-  def q273KmvJoinCard(spark: SparkSession, dir: String): DataFrame = {
+  def q273KmvJoinCard(spark: SparkSession, dir: String): DataFrame =
+    kmvJoinCardOver(Tables.events(spark, dir))
+
+  /** q273's body over any events-shaped frame (ScaleProbe entry). */
+  private[graft] def kmvJoinCardOver(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 64
     val cut = lit("2024-01-15").cast("timestamp")
-    val ev = Tables.events(spark, dir).select(
+    val ev = events.select(
       when(col("ts") < cut, lit("A")).otherwise(lit("B")).as("side"),
       col("user_id"),
       conv(substring(md5(concat(lit("kmvjc:"),

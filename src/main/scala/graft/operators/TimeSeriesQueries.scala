@@ -801,9 +801,8 @@ object TimeSeriesQueries {
     * every event, shifted clear of the id domain so (z, event_id) is a
     * collision-free single sort key. Shared by q261 and q272.
     */
-  private def zKeyedEvents(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def zKeyedOf(ev: DataFrame): DataFrame = {
     import graft.io.Compaction
-    val ev = Tables.events(spark, dir)
     val stats = ev.agg(
       min(col("value")).as("mnv"), max(col("value")).as("mxv"),
       min(col("user_id").cast("double")).as("mnu"),
@@ -837,14 +836,13 @@ object TimeSeriesQueries {
     * counts overlapping files, `scan_ppm` = fraction a range query
     * must touch.
     */
-  private def scanStats(spark: SparkSession, dir: String,
-                        layouts: DataFrame): DataFrame = {
+  private[graft] def scanStats(ev: DataFrame,
+                               layouts: DataFrame): DataFrame = {
     val files = layouts.groupBy("layout", "file_id")
       .agg(min("user_id").as("u_min"), max("user_id").as("u_max"))
-    val grid = spark.range(8).select(col("id").as("q"))
+    val grid = ev.sparkSession.range(8).select(col("id").as("q"))
       .crossJoin(broadcast(
-        Tables.events(spark, dir)
-          .agg(min("user_id").as("ulo"), max("user_id").as("uhi"))))
+        ev.agg(min("user_id").as("ulo"), max("user_id").as("uhi"))))
       .withColumn("w", expr("(uhi - ulo + 8) div 8"))
       .select(col("q"), (col("ulo") + col("q") * col("w")).as("lo"),
               (col("ulo") + (col("q") + 1) * col("w")).as("hi"))
@@ -863,8 +861,9 @@ object TimeSeriesQueries {
   }
 
   def q261LayoutPruning(spark: SparkSession, dir: String): DataFrame = {
-    val z = zKeyedEvents(spark, dir)
-    scanStats(spark, dir,
+    val ev = Tables.events(spark, dir)
+    val z = zKeyedOf(ev)
+    scanStats(ev,
       layoutFiles("natural", z.select("event_id", "user_id"),
                   "event_id")
         .unionByName(layoutFiles("zorder",
@@ -881,10 +880,14 @@ object TimeSeriesQueries {
     * benefit of clustering; this prices NOT re-clustering). Same
     * machinery, fully oracle-checked.
     */
-  def q272LayoutDebt(spark: SparkSession, dir: String): DataFrame = {
-    val z = zKeyedEvents(spark, dir)
+  def q272LayoutDebt(spark: SparkSession, dir: String): DataFrame =
+    layoutDebtOver(Tables.events(spark, dir))
+
+  /** q272's body over any events-shaped frame (ScaleProbe entry). */
+  private[graft] def layoutDebtOver(ev: DataFrame): DataFrame = {
+    val z = zKeyedOf(ev)
     val cut = lit("2024-01-22").cast("timestamp")
-    scanStats(spark, dir,
+    scanStats(ev,
       layoutFiles("ideal", z.select("zkey", "user_id"), "zkey")
         .unionByName(layoutFiles("hybrid",
           z.filter(col("ts") < cut).select("zkey", "user_id"), "zkey"))
