@@ -769,8 +769,61 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** The (table, column, encoder) triples q277 profiles — one list
+    * drives the Spark side and the generated DuckDB replay. Encoders
+    * make min/max engine-portable BIGINTs: longs as-is, doubles as
+    * milli-units (floor is monotonic, so encode∘min ≡ min∘encode),
+    * timestamps as epoch micros, strings as the 60-bit md5 of the
+    * lexicographic extreme.
+    */
+  private val analyzeCols: Seq[(String, String, String)] = Seq(
+    ("orders", "o_custkey", "int"),
+    ("orders", "o_totalprice", "milli"),
+    ("orders", "o_orderdate", "ts"),
+    ("lineitem", "l_quantity", "milli"),
+    ("lineitem", "l_shipdate", "ts"),
+    ("customer", "c_mktsegment", "str"),
+    ("events", "value", "milli"),
+    ("events", "user_id", "int"),
+    ("documents", "lang", "str"),
+    ("documents", "source", "str"))
+
+  /** ANALYZE-style column statistics — the optimizer-statistics
+    * COLLECTOR beside its consumers (q263's estimator, q235's
+    * advisor, q267's profiler): per configured column, exact row
+    * count, null count, exact NDV, and portable integer-encoded
+    * min/max. One partial-agg scan per table-column; at cluster scale
+    * these rows ARE the catalog statistics a CBO reads. Every number
+    * replayed by the oracle from the same column list.
+    */
+  def q277AnalyzeStats(spark: SparkSession, dir: String): DataFrame = {
+    def enc(kind: String, c: Column): Column = kind match {
+      case "int"   => c.cast("long")
+      case "milli" => floor(c * 1000).cast("long")
+      // parquet reads NTZ; session is pinned UTC, so the cast is exact
+      case "ts"    => unix_micros(c.cast("timestamp"))
+      case _ =>
+        conv(substring(md5(c.cast("binary")), 1, 15), 16, 10)
+          .cast("long")
+    }
+    analyzeCols.map { case (t, cn, kind) =>
+      (if (t == "events") Tables.events(spark, dir)
+       else Tables.table(spark, dir, t))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(when(col(cn).isNull, 1L).otherwise(0L)).as("n_null"),
+             count_distinct(col(cn)).as("ndv"),
+             enc(kind, min(col(cn))).as("min_enc"),
+             enc(kind, max(col(cn))).as("max_enc"))
+        .select(lit(t).as("tbl"), lit(cn).as("col_name"),
+                col("n_rows"), col("n_null"), col("ndv"),
+                col("min_enc"), col("max_enc"))
+    }.reduce(_ unionByName _)
+      .orderBy("tbl", "col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q275_view_erasure" -> (q275ViewErasure(_, _)),
+    "q277_analyze_stats" -> (q277AnalyzeStats(_, _)),
     "q266_column_lineage" -> (q266ColumnLineage(_, _)),
     "q267_fk_discovery" -> (q267FkDiscovery(_, _)),
     "q269_impact_analysis" -> (q269ImpactAnalysis(_, _)),
@@ -874,6 +927,25 @@ object RelationalQueries {
          |             AND ndv_parent = n_parent
          |            THEN 1 ELSE 0 END AS BIGINT) AS is_fk
          |FROM raw ORDER BY child, parent""".stripMargin
+    },
+    // q277: generated from the SAME analyzeCols list as the Spark side.
+    "q277_analyze_stats" -> {
+      def enc(kind: String, e: String): String = kind match {
+        case "int"   => s"CAST($e AS BIGINT)"
+        case "milli" => s"CAST(floor($e * 1000) AS BIGINT)"
+        case "ts"    => s"epoch_us($e)"
+        case _       => s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+      }
+      analyzeCols.map { case (t, cn, kind) =>
+        s"""SELECT '$t' AS tbl, '$cn' AS col_name,
+           |  count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $cn IS NULL THEN 1 ELSE 0 END)
+           |       AS BIGINT) AS n_null,
+           |  count(DISTINCT $cn) AS ndv,
+           |  ${enc(kind, s"min($cn)")} AS min_enc,
+           |  ${enc(kind, s"max($cn)")} AS max_enc
+           |FROM $t""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_name")
     },
     "q274_erasure_audit" ->
       """WITH e AS (

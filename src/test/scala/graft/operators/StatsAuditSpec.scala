@@ -147,6 +147,35 @@ class StatsAuditSpec extends SparkSpec {
            s"erasure audit must be key-broadcast only:\n$plan")
   }
 
+  test("q277: catalog statistics recount independently and the " +
+       "encoded extremes are ordered") {
+    val rows = RelationalQueries.queries("q277_analyze_stats")(
+      spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+             (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+              r.getLong(6))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    assert(rows(("orders", "o_custkey"))._1 ==
+      Tables.orders(spark, sf0001).count())
+    assert(rows(("customer", "c_mktsegment"))._3 ==
+      Tables.customer(spark, sf0001)
+        .select("c_mktsegment").distinct().count())
+    assert(rows(("documents", "lang"))._2 ==
+      docs.filter(col("lang").isNull).count())
+    assert(rows(("events", "user_id"))._4 ==
+      Tables.events(spark, sf0001).agg(min("user_id"))
+        .head.getLong(0))
+    // string extremes are md5-encoded (deterministic, NOT
+    // order-preserving) — the ordering invariant applies to the
+    // monotonic encoders only
+    val strCols = Set(("customer", "c_mktsegment"),
+                      ("documents", "lang"), ("documents", "source"))
+    rows.foreach { case (k, (n, nul, ndv, mn, mx)) =>
+      if (!strCols(k)) assert(mn <= mx, s"$k extremes out of order")
+      assert(ndv <= n - nul, s"$k ndv exceeds non-null rows")
+    }
+  }
+
   test("q267 at sf0.01: the non-unique-parent pair is rejected by " +
        "uniqueness ALONE (containment is full there)") {
     val r = RelationalQueries.queries("q267_fk_discovery")(
