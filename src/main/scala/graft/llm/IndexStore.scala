@@ -201,10 +201,19 @@ object IndexStore {
     // GC: keep the new current and keepVersions-1 back; drop older.
     // Read per-publish so long-running readers can raise the depth
     // before their index's next roll (see the reader-lifetime contract
-    // in the object scaladoc); floor of 2 preserves the crash-safety
+    // in the object scaladoc); a malformed tuning value must NOT abort
+    // the publish path here — the commit marker is already written, so
+    // throwing would make a SUCCESSFUL roll look failed and leave stale
+    // versions unGC'd — so parse defensively (trim, default 2 with a
+    // warning); floor of 2 preserves the crash-safety
     // invariant that one previous version always survives a flip.
-    val keep = math.max(2,
-      spark.conf.get("spark.graft.index.keepVersions", "2").toInt)
+    val raw = spark.conf.get("spark.graft.index.keepVersions", "2")
+    val keep = math.max(2, raw.trim.toIntOption.getOrElse {
+      System.err.println(
+        s"graft: ignoring malformed spark.graft.index.keepVersions=" +
+          s"'$raw', using 2")
+      2
+    })
     allVersions(fs, base).filter(_ <= vNext - keep).foreach { n =>
       spark.sql(s"DROP TABLE IF EXISTS ${versionedName(table, n)}")
       fs.delete(new Path(base, s"__v$n"), true)

@@ -687,31 +687,53 @@ object RelationalQueries {
   }
   private val q271Saved = new graft.SavedOnce[String, String]
 
+  /** Broadcast a key-only set ONLY when a count says it fits — the
+    * erasure-cascade guard (same idea as `Dedup.maxBucket`): an RTBF
+    * erase set is thousands of keys and broadcasts for free, but a
+    * BULK erasure's cascaded key sets grow with the corpus and a
+    * forced hint would die at the broadcast cap; past the gate the
+    * set flows unhinted and AQE picks the shuffle join. The count is
+    * one job over the key-only projection — negligible beside the
+    * erasure it prices.
+    */
+  private[operators] def gatedBroadcast(keys: DataFrame,
+                                        maxKeys: Long = 10000000L)
+      : DataFrame =
+    if (keys.count() <= maxKeys) broadcast(keys) else keys
+
   /** Right-to-be-forgotten erasure audit — the FK graph q267 discovers,
     * made actionable: for an erase set of customers (`c_custkey % 97 =
     * 0`), the delete cascades down the key chain (customer → orders →
     * lineitem; events by user id), and the audit emits per table the
     * blast radius (`n_delete`/`n_keep`) plus the post-delete integrity
-    * check `n_orphans_after` — kept child rows whose parent was erased
-    * (must be 0 for every table, and the oracle pins that it IS the
-    * anti-join count, not a constant). Scale shape: the erase set and
-    * each cascaded key set are key-only broadcasts; every count is a
-    * semi/anti-join + 1-row agg — no data row ever moves.
+    * check `n_orphans_after` — kept child rows whose parent row was
+    * ERASED (must be 0 for every table). A child key that never had a
+    * parent row at all is NOT an orphan here: parent keys partition
+    * into kept ∪ erased, so "parent erased" is exactly a semi-join
+    * against the small DELETED key set (referential completeness is
+    * q267's concern, not this audit's). Scale shape: every broadcast
+    * is of a deleted key set — erase-set-proportional, never
+    * corpus-proportional — behind the [[gatedBroadcast]] size gate;
+    * every count is a semi/anti-join + 1-row agg; no data row ever
+    * moves. StatsAuditSpec pins that no anti-derived (kept) set is
+    * ever hinted for broadcast.
     */
   def q274ErasureAudit(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
     val ord = Tables.orders(spark, dir)
     val li = Tables.lineitem(spark, dir)
     val ev = Tables.events(spark, dir)
-    val erase = cust.filter(col("c_custkey") % 97 === 0)
-      .select(col("c_custkey").as("k"))
+    val erase = gatedBroadcast(
+      cust.filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("k")))
     def keyed(df: DataFrame, c: String) = df.withColumn("k", col(c))
     def split(df: DataFrame, keys: DataFrame): (DataFrame, DataFrame) =
-      (df.join(broadcast(keys), Seq("k"), "left_semi"),
-       df.join(broadcast(keys), Seq("k"), "left_anti"))
+      (df.join(keys, Seq("k"), "left_semi"),
+       df.join(keys, Seq("k"), "left_anti"))
     val (cDel, cKeep) = split(keyed(cust, "c_custkey"), erase)
     val (oDel, oKeep) = split(keyed(ord, "o_custkey"), erase)
-    val deadOrders = oDel.select(col("o_orderkey").as("k")).distinct()
+    val deadOrders = gatedBroadcast(
+      oDel.select(col("o_orderkey").as("k")).distinct())
     val (lDel, lKeep) = split(keyed(li, "l_orderkey"), deadOrders)
     val (eDel, eKeep) = split(keyed(ev, "user_id"), erase)
     def row(tbl: String, del: DataFrame, keep: DataFrame,
@@ -721,18 +743,16 @@ object RelationalQueries {
         .crossJoin(orphans.agg(count(lit(1)).as("n_orphans_after")))
         .select(lit(tbl).as("tbl"), col("n_delete"), col("n_keep"),
                 col("n_orphans_after"))
-    val keptCust = cKeep.select(col("c_custkey").as("k")).distinct()
-    val keptOrd = oKeep.select(col("o_orderkey").as("k")).distinct()
     row("customer", cDel, cKeep, cKeep.limit(0))
       .unionByName(row("orders", oDel, oKeep,
         oKeep.select(col("o_custkey").as("k"))
-          .join(broadcast(keptCust), Seq("k"), "left_anti")))
+          .join(erase, Seq("k"), "left_semi")))
       .unionByName(row("lineitem", lDel, lKeep,
         lKeep.select(col("l_orderkey").as("k"))
-          .join(broadcast(keptOrd), Seq("k"), "left_anti")))
+          .join(deadOrders, Seq("k"), "left_semi")))
       .unionByName(row("events", eDel, eKeep,
         eKeep.select(col("user_id").as("k"))
-          .join(broadcast(keptCust), Seq("k"), "left_anti")))
+          .join(erase, Seq("k"), "left_semi")))
       .orderBy("tbl")
   }
 
@@ -749,14 +769,17 @@ object RelationalQueries {
   def q275ViewErasure(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
-    val erase = Tables.customer(spark, dir)
-      .filter(col("c_custkey") % 97 === 0)
-      .select(col("c_custkey").as("o_custkey"))
-    val deadOrders = o.join(broadcast(erase), Seq("o_custkey"),
-                            "left_semi")
-      .select(col("o_orderkey").as("l_orderkey"))
-    val changelog = l.join(broadcast(deadOrders), Seq("l_orderkey"),
-                           "left_semi")
+    val erase = gatedBroadcast(
+      Tables.customer(spark, dir)
+        .filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("o_custkey")))
+    // the cascaded order-key set is erase-set-proportional for RTBF
+    // erasures but corpus-proportional for a bulk one — the gate (not
+    // a forced hint) decides whether it rides a broadcast
+    val deadOrders = gatedBroadcast(
+      o.join(erase, Seq("o_custkey"), "left_semi")
+        .select(col("o_orderkey").as("l_orderkey")))
+    val changelog = l.join(deadOrders, Seq("l_orderkey"), "left_semi")
       .withColumn("op", lit(-1))
     val deltaOrders = o.join(
       changelog.select(col("l_orderkey").as("o_orderkey")).distinct,
@@ -967,9 +990,7 @@ object RelationalQueries {
         |       WHERE o_custkey NOT IN (SELECT k FROM e)),
         |    (SELECT count(*) FROM orders
         |       WHERE o_custkey NOT IN (SELECT k FROM e)
-        |         AND o_custkey NOT IN (SELECT c_custkey FROM customer
-        |                               WHERE c_custkey NOT IN
-        |                                 (SELECT k FROM e)))
+        |         AND o_custkey IN (SELECT k FROM e))
         |  UNION ALL
         |  SELECT 'lineitem',
         |    (SELECT count(*) FROM lineitem
@@ -978,9 +999,7 @@ object RelationalQueries {
         |       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM od)),
         |    (SELECT count(*) FROM lineitem
         |       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM od)
-        |         AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
-        |                                WHERE o_custkey NOT IN
-        |                                  (SELECT k FROM e)))
+        |         AND l_orderkey IN (SELECT o_orderkey FROM od))
         |  UNION ALL
         |  SELECT 'events',
         |    (SELECT count(*) FROM events
@@ -989,9 +1008,7 @@ object RelationalQueries {
         |       WHERE user_id NOT IN (SELECT k FROM e)),
         |    (SELECT count(*) FROM events
         |       WHERE user_id NOT IN (SELECT k FROM e)
-        |         AND user_id NOT IN (SELECT c_custkey FROM customer
-        |                             WHERE c_custkey NOT IN
-        |                               (SELECT k FROM e))))
+        |         AND user_id IN (SELECT k FROM e)))
         |SELECT tbl, CAST(n_delete AS BIGINT) AS n_delete,
         |  CAST(n_keep AS BIGINT) AS n_keep,
         |  CAST(n_orphans_after AS BIGINT) AS n_orphans_after

@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExprId,
   NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode,
-  LogicalPlan, Project, Union, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand,
+  Generate, LeafNode, LogicalPlan, Project, Union, Window}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
 
@@ -61,30 +61,57 @@ object PlanLineage {
       val childMap = other.children.map(walk)
         .foldLeft(Map.empty[ExprId, Set[(String, String)]])(_ ++ _)
       def deps(e: Expression): Set[(String, String)] =
-        e.references.toSeq
-          .flatMap(a => childMap.getOrElse(a.exprId,
-                                           Set.empty[(String, String)]))
-          .toSet
+        e.references.toSeq.flatMap { a =>
+          childMap.get(a.exprId) match {
+            case Some(ds) => ds
+            case None => throw new IllegalArgumentException(
+              s"PlanLineage cannot resolve '${a.name}' (referenced " +
+                s"in ${other.nodeName}): it is produced by an " +
+                "operator the walker does not model — refusing to " +
+                "under-report lineage")
+          }
+        }.toSet
       def named(nes: Seq[NamedExpression]) =
         nes.map(ne => ne.exprId -> deps(ne)).toMap
       val produced = other match {
         case p: Project   => named(p.projectList)
         case a: Aggregate => named(a.aggregateExpressions)
         case w: Window    => named(w.windowExpressions)
+        // explode/posexplode etc.: every generator output column's
+        // values derive from whatever the generator reads
+        case g: Generate  =>
+          val gDeps = deps(g.generator)
+          g.generatorOutput.map(a => a.exprId -> gDeps).toMap
+        // grouping sets / rollup / cube: output position i is fed by
+        // that position of EVERY projection (gid columns are
+        // literal-only and so emit nothing, like count(1))
+        case e: Expand    =>
+          e.output.zipWithIndex.map { case (a, i) =>
+            a.exprId -> e.projections.flatMap(p => deps(p(i))).toSet
+          }.toMap
         case _            => Map.empty[ExprId, Set[(String, String)]]
       }
       childMap ++ produced
   }
 
   /** (out_col, src_table, src_col) rows for the frame's output, sorted;
-    * literal-only outputs contribute nothing.
+    * literal-only outputs contribute nothing. An output column the
+    * walker cannot resolve AT ALL (an unmodeled producer, e.g. an
+    * object/deserialize node) throws instead of silently emitting no
+    * rows — under-reporting is the worst failure mode for a
+    * governance tool (q269 would miss a dependency).
     */
   def columnLineage(df: DataFrame): Seq[(String, String, String)] = {
     val analyzed = df.queryExecution.analyzed
     val m = walk(analyzed)
-    analyzed.output
-      .flatMap(a => m.getOrElse(a.exprId, Set.empty[(String, String)])
-        .toSeq.map { case (t, c) => (a.name, t, c) })
-      .distinct.sorted
+    analyzed.output.flatMap { a =>
+      m.get(a.exprId) match {
+        case Some(ds) => ds.toSeq.map { case (t, c) => (a.name, t, c) }
+        case None => throw new IllegalArgumentException(
+          s"PlanLineage cannot resolve output column '${a.name}' to " +
+            "leaf dependencies: the plan contains a producer the " +
+            "walker does not model — refusing to under-report lineage")
+      }
+    }.distinct.sorted
   }
 }

@@ -41,6 +41,24 @@ class AnnotationSpec extends SparkSpec {
     assert(d.getLong(4) == 1000000L && d.getLong(5) == 1000000L)
   }
 
+  test("negative kappa floors like the DuckDB oracle (trunc-toward-" +
+       "zero would round below-chance agreement UP by one ppm)") {
+    // r1: 1,1,0  r2: 0,0,1 → agree 0, po = 0; marginals 2/1 over 9
+    // rater-pairs → pe = 444444 ppm, kappa strictly negative and
+    // inexact, so floor ≠ trunc
+    val out = Annotation.agreement(
+      rows((1, 1, 1), (2, 1, 1), (3, 1, 0),
+           (1, 2, 0), (2, 2, 0), (3, 2, 1)),
+      "item", "rater", "label").collect()
+    val c = out.find(_.getString(0) == "cohen 1:2").get
+    val (po, pe, kappa) = (c.getLong(3), c.getLong(4), c.getLong(5))
+    assert(po == 0L && pe == 444444L)
+    val floor = Math.floorDiv((po - pe) * 1000000L, 1000000L - pe)
+    assert(kappa == floor, s"kappa must floor-divide: $kappa vs $floor")
+    assert(floor != (po - pe) * 1000000L / (1000000L - pe),
+           "fixture must make trunc and floor actually diverge")
+  }
+
   test("Fleiss counters: agree counts rater-pairs per item " +
        "(C(r1,2)+C(r0,2)), items with a single rating are excluded") {
     // item 1: labels 1,1,0 → 1 agreeing pair of 3; item 2: 1,1,1 → 3

@@ -338,6 +338,17 @@ class IndexStoreSpec extends SparkSpec {
       publish(7) // v6
       assert(vdirs == Seq("__v5", "__v6"),
              s"depth below 2 must clamp to 2, found $vdirs")
+      // malformed tuning value must not abort the publish — GC runs
+      // AFTER the commit marker, so a throw there would make a
+      // successful roll look failed; defensive parse defaults to 2
+      spark.conf.set("spark.graft.index.keepVersions", "two")
+      publish(8) // v7
+      assert(vdirs == Seq("__v6", "__v7"),
+             s"malformed depth must default to 2, found $vdirs")
+      spark.conf.set("spark.graft.index.keepVersions", " 3 ")
+      publish(9) // v8
+      assert(vdirs == Seq("__v6", "__v7", "__v8"),
+             s"padded numeric depth must still parse, found $vdirs")
     } finally {
       spark.conf.unset("spark.graft.index.keepVersions")
       IndexStore.drop(spark, name)

@@ -145,7 +145,52 @@ class StatsAuditSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"),
            s"erasure audit must be key-broadcast only:\n$plan")
+    // round-13 pin: every broadcast-hinted side must be a DELETED key
+    // set — never an anti-derived (kept) set, which is
+    // corpus-proportional and dies at the broadcast cap at 100 TB
+    val hinted = broadcastHintedSides(df)
+    assert(hinted.nonEmpty, "deleted key sets must carry the gated hint")
+    hinted.foreach { side =>
+      assert(!containsAntiJoin(side),
+             s"a kept (anti-derived) key set is hinted for broadcast:\n" +
+               side.toString)
+    }
   }
+
+  /** The broadcast gate itself: a key set above the threshold flows
+    * UNHINTED (AQE decides), below it carries the hint.
+    */
+  test("gatedBroadcast hints small key sets and lets big ones flow") {
+    val keys = Tables.customer(spark, sf0001)
+      .select(col("c_custkey").as("k"))
+    val probe = Tables.orders(spark, sf0001)
+      .select(col("o_custkey").as("k"))
+    val small = probe.join(
+      RelationalQueries.gatedBroadcast(keys.limit(5)),
+      Seq("k"), "left_semi")
+    val big = probe.join(
+      RelationalQueries.gatedBroadcast(keys, maxKeys = 3L),
+      Seq("k"), "left_semi")
+    assert(broadcastHintedSides(small).nonEmpty,
+           "small set must carry the hint into the join")
+    assert(broadcastHintedSides(big).isEmpty,
+           "over-threshold set must flow unhinted (AQE decides)")
+  }
+
+  private def broadcastHintedSides(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right)
+          .collect { case (Some(h), side) if h.strategy.isDefined =>
+            side }
+    }.flatten
+
+  private def containsAntiJoin(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    p.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }.nonEmpty
 
   test("q277: catalog statistics recount independently and the " +
        "encoded extremes are ordered") {

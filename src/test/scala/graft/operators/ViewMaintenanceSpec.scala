@@ -186,6 +186,25 @@ class ViewMaintenanceSpec extends SparkSpec {
              "kept rows untouched")
     assert(full.exists(t => deadKeys(t._1)),
            "the erase set must actually hit the view")
+    // round-13 pin: every broadcast-hinted side in the erasure plan
+    // must be a deleted key set (filter/semi-derived), never an
+    // anti-derived complement
+    val hinted = erased.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right)
+          .collect { case (Some(h), side) if h.strategy.isDefined =>
+            side }
+    }.flatten
+    assert(hinted.nonEmpty, "the erase cascade must carry gated hints")
+    hinted.foreach { side =>
+      val antis = side.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType ==
+            org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }
+      assert(antis.isEmpty,
+             s"an anti-derived set is hinted for broadcast:\n$side")
+    }
   }
 
   // --- streamed roll (q258) ---

@@ -72,6 +72,43 @@ class PlanLineageSpec extends SparkSpec {
     assert(got.contains(("r", "lineitem", "l_quantity")))
   }
 
+  test("Generate (explode) output columns derive from the generator's " +
+       "inputs; pass-through columns keep their own lineage") {
+    val d = Tables.documents(spark, sf0001)
+    val df = d.select(col("doc_id"),
+                      explode(split(col("text"), "\\s+")).as("tok"))
+      .select(col("tok"), col("doc_id").as("id"))
+    assert(lin(df) == Set(("tok", "documents", "text"),
+                          ("id", "documents", "doc_id")))
+    // posexplode: BOTH generator outputs (pos and value) trace back
+    val df2 = d.select(posexplode(split(col("text"), "\\s+")))
+    assert(lin(df2) == Set(("pos", "documents", "text"),
+                           ("col", "documents", "text")))
+  }
+
+  test("Expand (rollup/cube) feeds each output position from every " +
+       "projection; gid is literal-only and emits nothing") {
+    val l = Tables.lineitem(spark, sf0001)
+    val df = l.rollup(col("l_returnflag").as("flag"),
+                      col("l_linestatus").as("st"))
+      .agg(sum("l_quantity").as("qty"))
+    assert(lin(df) == Set(
+      ("flag", "lineitem", "l_returnflag"),
+      ("st", "lineitem", "l_linestatus"),
+      ("qty", "lineitem", "l_quantity")))
+  }
+
+  test("an unmodeled producer fails LOUDLY instead of under-reporting " +
+       "(silent empty lineage is the worst governance failure)") {
+    import spark.implicits._
+    val typed = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey")).as[Long].map(_ + 1).toDF("k")
+    val err = intercept[IllegalArgumentException] {
+      PlanLineage.columnLineage(typed)
+    }
+    assert(err.getMessage.contains("under-report"))
+  }
+
   test("q269 impact analysis is exactly the inversion of forward " +
        "lineage over its targets") {
     val targets = Seq(
