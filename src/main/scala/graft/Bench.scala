@@ -12,7 +12,16 @@ import java.nio.file.{Files, Paths}
   * shape about to be timed — a single up-front warmup phase left ~50
   * queries between q01's warmup and its timing, and the evicted warm
   * state showed up as a phantom 1.8× "regression" on the headline query
-  * in round 6), then 3 timed passes, median reported.
+  * in round 6), then 3 timed passes, MINIMUM reported (round-13
+  * protocol). Timing noise on a fixed plan is strictly one-sided — GC,
+  * page-cache eviction, and JIT recompiles only ADD time — so the
+  * fastest pass is the closest observation of the plan's true cost;
+  * the previous median-of-3 still let a majority-slowed triple read as
+  * a riser (two phantom 2–10× outliers each cost a solo-rerun
+  * adjudication cycle in round 12). The per-query max/min spread
+  * across the timed passes is published alongside (`"spread"`), so a
+  * noisy run is visible IN the artifact instead of needing a rerun to
+  * diagnose.
   * `SPARK_GRAFT_BENCH_QUERIES` (comma-separated names) restricts the run
   * to a subset — the isolation/reorder tool used to diagnose exactly that
   * kind of contention artifact.
@@ -41,7 +50,8 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    val results: Seq[(String, Double, Boolean)] = names.map { name =>
+    val results: Seq[(String, Double, Double, Boolean)] = names.map {
+      name =>
       // Warmup this query's exact shape, untimed, right before timing.
       try run(name)
       catch { case _: Throwable => () }
@@ -57,19 +67,23 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val okAll = passes.forall(_._2)
-      val med   = passes.map(_._1).sorted.apply(passes.size / 2)
-      (name, med, okAll)
+      val times = passes.map(_._1).sorted
+      val spread = times.last / math.max(times.head, 1e-9)
+      (name, times.head, spread, okAll)
     }
 
     val qs = results
-      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.4f" }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
+    val spreads = results
+      .map { case (k, _, s, _) => "\"" + k + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
     val oks = results
-      .map { case (k, _, ok) => "\"" + k + "\":" + ok }
+      .map { case (k, _, _, ok) => "\"" + k + "\":" + ok }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"ok":$oks,"sf":"$sfDir"}"""
     println(line)
     try Files.writeString(Paths.get("bench_out.json"), line)
     catch { case _: Throwable => () }

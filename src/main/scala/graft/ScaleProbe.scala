@@ -1457,6 +1457,118 @@ object ScaleProbe {
         }
       }
     }
+    // round-13: the erasure/statistics tail. FK-consistent N×
+    // replication (custkeys shift on customer/orders/events together,
+    // orderkeys on orders/lineitem together) so the cascade stays
+    // real. The erase SET is held at the BASE corpus' % 97 customers
+    // at every N — the audit's broadcast payload must stay constant
+    // while the scans grow (the fixed q274 property); a second sweep
+    // grows the erase fraction at fixed corpus. Volume counters print
+    // the erase/dead key-set sizes so flat-vs-growing is in the log,
+    // not inferred.
+    section("erasure_audit erasure_sweep view_erasure cascade_retract " +
+            "analyze_col") {
+      import graft.operators.{RelationalQueries, TimeSeriesQueries,
+        ViewMaintenance}
+      def custX(n: Int) = {
+        val c = Tables.table(spark, dir, "customer")
+        (0 until n).map(i =>
+          c.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L)))
+          .reduce(_ unionByName _)
+      }
+      def ordX(n: Int) = {
+        val o = Tables.orders(spark, dir)
+        (0 until n).map(i =>
+          o.withColumn("o_orderkey",
+                       col("o_orderkey") + lit(i * 10000000L))
+            .withColumn("o_custkey",
+                        col("o_custkey") + lit(i * 10000000L)))
+          .reduce(_ unionByName _)
+      }
+      def liX(n: Int) = {
+        val l = Tables.lineitem(spark, dir)
+        (0 until n).map(i =>
+          l.withColumn("l_orderkey",
+                       col("l_orderkey") + lit(i * 10000000L)))
+          .reduce(_ unionByName _)
+      }
+      def evX(n: Int) = {
+        val e = Tables.events(spark, dir)
+        (0 until n).map(i =>
+          e.withColumn("event_id",
+                       col("event_id") + lit(i * 100000000L))
+            .withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+          .reduce(_ unionByName _)
+      }
+      val baseErase = Tables.table(spark, dir, "customer")
+        .filter(col("c_custkey") % 97 === 0)
+      for (n <- Seq(1, 5, 20)) {
+        val (c, o, l, e) = (custX(n), ordX(n), liX(n), evX(n))
+        val rows = l.count()
+        // q274: fixed erase set, growing corpus — broadcasts constant
+        time(s"erasure_audit  n=$n ($rows lines)") {
+          noop(RelationalQueries.erasureAuditOver(
+            c, o, l, e, baseErase.select(col("c_custkey").as("k"))))
+        }
+        println(s"[probe] erasure_audit  n=$n erase keys = " +
+                baseErase.count())
+        // q275: erasure overlay on a MATERIALIZED standing view — the
+        // cascade derivation + retract roll, not the view rebuild
+        val standing = Materialize(ViewMaintenance.orderRevenueView(o, l))
+        time(s"view_erasure   n=$n ($rows lines)") {
+          noop(RelationalQueries.viewErasureOver(
+            o, l, standing,
+            baseErase.select(col("c_custkey").as("o_custkey"))))
+        }
+        // q276: corrections-volume-proportional — standing grain
+        // materialized (bounded: days × types cells at every N), the
+        // changelog stays BASE-sized
+        val grain = Materialize(TimeSeriesQueries.evDayFromHours(
+          TimeSeriesQueries.evHourly(e)))
+        val base = Tables.events(spark, dir)
+        val del = col("event_id") % 103 === 0
+        val upd = col("event_id") % 101 === 0 && !del
+        val changelog = base.filter(del || upd)
+          .withColumn("op", lit(-1))
+          .unionByName(base.filter(upd)
+            .withColumn("value", col("value") + 1)
+            .withColumn("op", lit(1)))
+        time(s"cascade_retract n=$n ($rows lines)") {
+          noop(TimeSeriesQueries.mergeGrain(
+            grain,
+            TimeSeriesQueries.evDayFromHours(
+              changelog.groupBy(col("event_type"),
+                                date_trunc("hour", col("ts")).as("hour"))
+                .agg(sum(col("op")).cast("long").as("n"),
+                     sum(col("op") *
+                         floor(col("value") * 1000).cast("long"))
+                       .as("v_milli"))),
+            Seq("event_type", "day")).filter(col("n") > 0))
+        }
+        println(s"[probe] cascade_retract n=$n changelog rows = " +
+                changelog.count() + ", grain cells = " + grain.count())
+        // q277: one partial-agg scan per column at every ×N
+        time(s"analyze_col    n=$n ($rows)") {
+          noop(RelationalQueries.analyzeOneOver(e, "events", "value",
+                                                "milli")
+            .unionByName(RelationalQueries.analyzeOneOver(
+              e, "events", "user_id", "int")))
+        }
+      }
+      // erase-set-size sweep at FIXED ×5 corpus: the audit cost must
+      // track the erase fraction only through the (gated) broadcast
+      // payload — the scans are identical across mods
+      val (c5, o5, l5, e5) = (custX(5), ordX(5), liX(5), evX(5))
+      for (m <- Seq(97, 19, 5)) {
+        val erase = c5.filter(col("c_custkey") % m === 0)
+        time(s"erasure_sweep  mod=$m") {
+          noop(RelationalQueries.erasureAuditOver(
+            c5, o5, l5, e5, erase.select(col("c_custkey").as("k"))))
+        }
+        println(s"[probe] erasure_sweep  mod=$m erase keys = " +
+                erase.count())
+      }
+    }
     spark.stop()
   }
 }

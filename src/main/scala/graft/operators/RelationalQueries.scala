@@ -483,6 +483,9 @@ object RelationalQueries {
     * [[bloomSlot]]). Scale shape: the bitmap is ≤ m distinct slots
     * broadcast once; the big side is one scan + two broadcast lookups
     * + a 1-row agg — rows pruned here never reach the join shuffle.
+    * The truth-leg key set is flagged-order-proportional (grows with
+    * the corpus, unlike the m-bounded bitmap), so it rides the
+    * [[gatedBroadcast]] size gate rather than a forced hint.
     */
   def q262BloomPruneAudit(spark: SparkSession, dir: String): DataFrame = {
     val m = 1024L
@@ -497,7 +500,7 @@ object RelationalQueries {
              bloomSlot(col("l_orderkey"), m).as("bit"))
       .join(broadcast(bits.withColumn("in_bloom", lit(1L))),
             Seq("bit"), "left")
-      .join(broadcast(keys.withColumn("in_true", lit(1L))),
+      .join(gatedBroadcast(keys.withColumn("in_true", lit(1L))),
             Seq("l_orderkey"), "left")
       .agg(count(lit(1)).as("n_big"),
            sum(coalesce(col("in_bloom"), lit(0L))).as("n_pass"),
@@ -696,8 +699,8 @@ object RelationalQueries {
     * one job over the key-only projection — negligible beside the
     * erasure it prices.
     */
-  private[operators] def gatedBroadcast(keys: DataFrame,
-                                        maxKeys: Long = 10000000L)
+  private[graft] def gatedBroadcast(keys: DataFrame,
+                                    maxKeys: Long = 10000000L)
       : DataFrame =
     if (keys.count() <= maxKeys) broadcast(keys) else keys
 
@@ -720,20 +723,31 @@ object RelationalQueries {
     */
   def q274ErasureAudit(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
-    val ord = Tables.orders(spark, dir)
-    val li = Tables.lineitem(spark, dir)
-    val ev = Tables.events(spark, dir)
-    val erase = gatedBroadcast(
-      cust.filter(col("c_custkey") % 97 === 0)
-        .select(col("c_custkey").as("k")))
+    erasureAuditOver(cust, Tables.orders(spark, dir),
+                     Tables.lineitem(spark, dir),
+                     Tables.events(spark, dir),
+                     cust.filter(col("c_custkey") % 97 === 0)
+                       .select(col("c_custkey").as("k")))
+  }
+
+  /** q274's frame-parameterized core ([[graft.ScaleProbe]] times it
+    * over replicated corpora and sweeping erase-set sizes).
+    */
+  private[graft] def erasureAuditOver(cust: DataFrame, ord: DataFrame,
+                                      li: DataFrame, ev: DataFrame,
+                                      erase0: DataFrame): DataFrame = {
+    // both key sets are erase-proportional and consumed by several
+    // legs (erase: 6 joins; deadOrders: 3) — pin them once through
+    // graft.Materialize so no leg re-evaluates the derivation subplan
+    val erase = gatedBroadcast(graft.Materialize(erase0))
     def keyed(df: DataFrame, c: String) = df.withColumn("k", col(c))
     def split(df: DataFrame, keys: DataFrame): (DataFrame, DataFrame) =
       (df.join(keys, Seq("k"), "left_semi"),
        df.join(keys, Seq("k"), "left_anti"))
     val (cDel, cKeep) = split(keyed(cust, "c_custkey"), erase)
     val (oDel, oKeep) = split(keyed(ord, "o_custkey"), erase)
-    val deadOrders = gatedBroadcast(
-      oDel.select(col("o_orderkey").as("k")).distinct())
+    val deadOrders = gatedBroadcast(graft.Materialize(
+      oDel.select(col("o_orderkey").as("k")).distinct()))
     val (lDel, lKeep) = split(keyed(li, "l_orderkey"), deadOrders)
     val (eDel, eKeep) = split(keyed(ev, "user_id"), erase)
     def row(tbl: String, del: DataFrame, keep: DataFrame,
@@ -768,24 +782,47 @@ object RelationalQueries {
     */
   def q275ViewErasure(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val l = Tables.lineitem(spark, dir)
-    val erase = gatedBroadcast(
+    viewErasureOver(
+      o, Tables.lineitem(spark, dir),
+      ViewMaintenance.orderRevenueView(o, Tables.lineitem(spark, dir)),
       Tables.customer(spark, dir)
         .filter(col("c_custkey") % 97 === 0)
         .select(col("c_custkey").as("o_custkey")))
+  }
+
+  /** q275's frame-parameterized core: cascade the erase set down to a
+    * pure-delete line changelog and retract-roll it out of `standing`
+    * ([[graft.ScaleProbe]] times it with the standing view
+    * materialized, so the probe isolates the erasure overlay).
+    *
+    * The cascade's intermediates are MATERIALIZED through
+    * [[graft.Materialize]]: both are erase-proportional (bounded), the
+    * changelog is consumed TWICE downstream (the signed aggregate and
+    * the delta-order derivation) so pinning it scans the line corpus
+    * ONCE instead of twice, and the downstream plan sees two leaves
+    * instead of the embedded corpus-scan subtrees — the round-13
+    * ErasureProbe measured the un-pinned form at 266 s for the
+    * delta-order leg alone at ×20 (nested re-evaluated subplans)
+    * vs 2.7 s for the same roll over pinned inputs.
+    */
+  private[graft] def viewErasureOver(o: DataFrame, l: DataFrame,
+                                     standing: DataFrame,
+                                     erase0: DataFrame): DataFrame = {
+    val erase = gatedBroadcast(erase0)
     // the cascaded order-key set is erase-set-proportional for RTBF
     // erasures but corpus-proportional for a bulk one — the gate (not
     // a forced hint) decides whether it rides a broadcast
-    val deadOrders = gatedBroadcast(
+    val deadOrders = gatedBroadcast(graft.Materialize(
       o.join(erase, Seq("o_custkey"), "left_semi")
-        .select(col("o_orderkey").as("l_orderkey")))
-    val changelog = l.join(deadOrders, Seq("l_orderkey"), "left_semi")
-      .withColumn("op", lit(-1))
+        .select(col("o_orderkey").as("l_orderkey"))))
+    val changelog = graft.Materialize(
+      l.join(deadOrders, Seq("l_orderkey"), "left_semi")
+        .withColumn("op", lit(-1)))
     val deltaOrders = o.join(
       changelog.select(col("l_orderkey").as("o_orderkey")).distinct,
       Seq("o_orderkey"), "left_semi")
     ViewMaintenance.orderRevenueRetractRoll(
-        ViewMaintenance.orderRevenueView(o, l), deltaOrders, changelog)
+        standing, deltaOrders, changelog)
       .select(col("o_orderkey"), col("o_custkey"),
               col("o_orderpriority"), col("n_items"),
               col("revenue").cast("string").as("revenue"))
@@ -819,7 +856,21 @@ object RelationalQueries {
     * these rows ARE the catalog statistics a CBO reads. Every number
     * replayed by the oracle from the same column list.
     */
-  def q277AnalyzeStats(spark: SparkSession, dir: String): DataFrame = {
+  def q277AnalyzeStats(spark: SparkSession, dir: String): DataFrame =
+    analyzeCols.map { case (t, cn, kind) =>
+      analyzeOneOver(
+        if (t == "events") Tables.events(spark, dir)
+        else Tables.table(spark, dir, t), t, cn, kind)
+    }.reduce(_ unionByName _)
+      .orderBy("tbl", "col_name")
+
+  /** q277's per-column core — ONE partial-agg scan producing the
+    * catalog row ([[graft.ScaleProbe]] times it at ×N; [[graft.plans
+    * .StatsCatalog]] publishes the same statistics in typed form).
+    */
+  private[graft] def analyzeOneOver(df: DataFrame, tbl: String,
+                                    cn: String, kind: String)
+      : DataFrame = {
     def enc(kind: String, c: Column): Column = kind match {
       case "int"   => c.cast("long")
       case "milli" => floor(c * 1000).cast("long")
@@ -829,22 +880,251 @@ object RelationalQueries {
         conv(substring(md5(c.cast("binary")), 1, 15), 16, 10)
           .cast("long")
     }
-    analyzeCols.map { case (t, cn, kind) =>
-      (if (t == "events") Tables.events(spark, dir)
-       else Tables.table(spark, dir, t))
-        .agg(count(lit(1)).as("n_rows"),
-             sum(when(col(cn).isNull, 1L).otherwise(0L)).as("n_null"),
-             count_distinct(col(cn)).as("ndv"),
-             enc(kind, min(col(cn))).as("min_enc"),
-             enc(kind, max(col(cn))).as("max_enc"))
-        .select(lit(t).as("tbl"), lit(cn).as("col_name"),
-                col("n_rows"), col("n_null"), col("ndv"),
-                col("min_enc"), col("max_enc"))
-    }.reduce(_ unionByName _)
-      .orderBy("tbl", "col_name")
+    df.agg(count(lit(1)).as("n_rows"),
+           sum(when(col(cn).isNull, 1L).otherwise(0L)).as("n_null"),
+           count_distinct(col(cn)).as("ndv"),
+           enc(kind, min(col(cn))).as("min_enc"),
+           enc(kind, max(col(cn))).as("max_enc"))
+      .select(lit(tbl).as("tbl"), lit(cn).as("col_name"),
+              col("n_rows"), col("n_null"), col("ndv"),
+              col("min_enc"), col("max_enc"))
+  }
+
+  /** Statistics-driven plan flip — the planner CONSUMING the
+    * statistics the engine collects (q277's exact rows), closing the
+    * collector-without-consumer gap: the same filtered
+    * orders⋈customer aggregate is planned three ways and the row
+    * records, per scenario, the COMPILE-TIME join strategy Catalyst
+    * picked plus the (scenario-invariant) query result.
+    *
+    *  - `a_no_stats_cbo_on`: catalog stats cleared — the filter can't
+    *    be estimated, the dimension side keeps its full scan size,
+    *    and the join SORT-MERGES.
+    *  - `b_stats_cbo_off`: stats published but the consumer off —
+    *    still sort-merge; publishing alone changes nothing.
+    *  - `c_stats_cbo_on`: with `spark.sql.cbo.enabled`,
+    *    FilterEstimation turns the `c_acctbal` range predicate plus
+    *    the published min/max/NDV into a row-count estimate, the
+    *    build side drops below the broadcast threshold at COMPILE
+    *    time, and the join BROADCASTS.
+    *
+    * The broadcast threshold is derived from the stats-blind plan's
+    * own size estimate (half of it), so the flip is a property of the
+    * ESTIMATES, not of a lucky constant, and holds at every SF. The
+    * strategy column is read from `sparkPlan` — the pre-AQE physical
+    * plan — because that is precisely what CBO improves: AQE can only
+    * convert to broadcast AFTER the build side's shuffle map stage
+    * ran, while the stats decision skips that map stage entirely (at
+    * 100 TB that's the corpus-side shuffle write). Oracle: result
+    * columns replayed from the tables (pinning that plan changes
+    * never change answers); strategies pinned golden like q266's
+    * structural facts.
+    */
+  def q278CboBroadcastFlip(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.plans.StatsCatalog
+    val cust = StatsCatalog.ensureTable(spark, dir, "customer")
+    val ord = StatsCatalog.ensureTable(spark, dir, "orders")
+    StatsCatalog.clear(spark, cust)
+    StatsCatalog.clear(spark, ord)
+    val blindSize = StatsCatalog.withConfs(
+      spark, "spark.sql.cbo.enabled" -> "false") {
+      spark.table(cust).where(col("c_acctbal").between(100, 400))
+        .select("c_custkey")
+        .queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    }
+    val threshold = math.max(64L, blindSize / 2)
+    def scenario(tag: String, cbo: Boolean) = {
+      spark.catalog.refreshTable(cust) // fresh statsCache per leg
+      spark.catalog.refreshTable(ord)
+      StatsCatalog.withConfs(spark,
+        "spark.sql.cbo.enabled" -> cbo.toString,
+        "spark.sql.autoBroadcastJoinThreshold" -> threshold.toString) {
+        val df = spark.sql(
+          s"""SELECT count(*) AS n_rows,
+             |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+             |       AS DECIMAL(24,2)) AS STRING) AS sum_px
+             |FROM $ord o JOIN $cust c ON o.o_custkey = c.c_custkey
+             |WHERE c.c_acctbal BETWEEN 100 AND 400""".stripMargin)
+        val strat = df.queryExecution.sparkPlan.collectFirst {
+          case _: org.apache.spark.sql.execution.joins
+                    .BroadcastHashJoinExec => "BroadcastHashJoin"
+          case _: org.apache.spark.sql.execution.joins
+                    .SortMergeJoinExec => "SortMergeJoin"
+          case _: org.apache.spark.sql.execution.joins
+                    .ShuffledHashJoinExec => "ShuffledHashJoin"
+        }.getOrElse("Unknown")
+        val r = df.head()
+        (tag, strat, r.getLong(0), r.getString(1))
+      }
+    }
+    val s1 = scenario("a_no_stats_cbo_on", cbo = true)
+    StatsCatalog.publish(spark, cust,
+      Seq("c_custkey", "c_acctbal", "c_nationkey"))
+    StatsCatalog.publish(spark, ord,
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+    val s2 = scenario("b_stats_cbo_off", cbo = false)
+    val s3 = scenario("c_stats_cbo_on", cbo = true)
+    import spark.implicits._
+    Seq(s1, s2, s3)
+      .toDF("scenario", "join_strategy", "n_rows", "sum_px")
+      .orderBy("scenario")
+  }
+
+  /** Equi-height histogram bins over `events.value` (milli-encoded) —
+    * the statistic that FIXES the failure q263 quantifies: its
+    * `err_ppm` shows exactly how the uniform-frequency assumption
+    * breaks on a skewed column; per-bin bounds restore the estimate.
+    * Ranking is [[graft.llm.Sharding.tokenOffsets]]' two-phase prefix
+    * sum over a collision-free (vm, event_id) sort key — never a
+    * single-partition window — and `bin = rank·B div n` is the exact
+    * ntile cut, integer-replayable in DuckDB.
+    */
+  private[graft] def valueHistogramBins(ev: DataFrame, nBins: Int)
+      : DataFrame = {
+    val v = ev.filter(col("value").isNotNull)
+      .select(floor(col("value") * 1000).cast("long").as("vm"),
+              col("event_id"))
+      .withColumn("skey",
+        col("vm") * lit(1000000000000L) + col("event_id"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.llm.Sharding
+      .tokenOffsets(v, "skey", "one", nBuckets = 32, shardTokens = 1L)
+    ranked
+      .crossJoin(broadcast(ranked.agg(count(lit(1)).as("__n"))))
+      .withColumn("bin", expr(s"global_offset * $nBins DIV __n"))
+      .groupBy("bin")
+      .agg(min("vm").as("blo"), max("vm").as("bhi"),
+           count(lit(1)).as("bn"), count_distinct(col("vm")).as("bndv"))
+  }
+
+  /** Histogram-corrected selectivity vs the uniform assumption — the
+    * estimator experiment beside its planner hookup (StatsCatalogSpec
+    * publishes the same bins as a Catalyst `Histogram` and pins that
+    * `FilterEstimation` itself improves): for two probe ranges over
+    * the long-tailed `events.value` — the hot head, where uniform
+    * UNDER-estimates 4–7×, and the in-domain sparse tail, where it
+    * OVER-estimates ~2× — emit the true count, the domain-clamped
+    * min/max-uniform estimate (the fair baseline: exactly what
+    * Catalyst computes from NDV+min/max alone), the 32-bin histogram
+    * estimate, and both errors in ppm. All-integer arithmetic; the
+    * oracle replays bins, cuts, and both estimators bit-for-bit.
+    */
+  def q281HistogramEstimate(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bins = valueHistogramBins(ev, 32)
+    val v = ev.filter(col("value").isNotNull)
+      .select(floor(col("value") * 1000).cast("long").as("vm"))
+    val tot = v.agg(count(lit(1)).as("n"), min("vm").as("vlo"),
+                    max("vm").as("vhi"))
+    val probes = {
+      import spark.implicits._
+      Seq(("p1_hot_head", 0L, 50000L),
+          ("p2_sparse_tail", 100000L, 200000L))
+        .toDF("probe", "plo", "phi")
+    }
+    val withTrue = probes.crossJoin(broadcast(tot))
+      .join(v.crossJoin(broadcast(probes))
+              .filter(col("vm").between(col("plo"), col("phi")))
+              .groupBy("probe").agg(count(lit(1)).as("true_rows")),
+            Seq("probe"), "left")
+      .na.fill(0L, Seq("true_rows"))
+    val histEst = bins.crossJoin(broadcast(probes))
+      .withColumn("contrib",
+        when(col("bhi") < col("plo") || col("blo") > col("phi"), 0L)
+          .when(col("bhi") === col("blo"), col("bn"))
+          .otherwise(expr(
+            """bn * (least(bhi, phi) - greatest(blo, plo))
+              |DIV (bhi - blo)""".stripMargin.replace("\n", " "))))
+      .groupBy("probe").agg(sum("contrib").as("hist_est"))
+    def err(est: String) =
+      expr(s"abs($est - true_rows) * 1000000 " +
+        "DIV greatest(true_rows, 1)")
+    withTrue.join(histEst, Seq("probe"))
+      .withColumn("uniform_est",
+        expr("""n * greatest(least(phi, vhi) - greatest(plo, vlo), 0)
+               |DIV (vhi - vlo)""".stripMargin.replace("\n", " ")))
+      .select(col("probe"), col("true_rows"),
+              col("uniform_est"), col("hist_est"),
+              err("uniform_est").as("uniform_err_ppm"),
+              err("hist_est").as("hist_err_ppm"))
+      .orderBy("probe")
+  }
+
+  /** Statistics-driven JOIN REORDER — q278's sibling consumer, the
+    * second planner decision the published stats flip: a three-table
+    * join WRITTEN in the worst order (fact ⋈ customer first, the
+    * selective nation filter last). With `spark.sql.cbo
+    * .joinReorder.enabled`, Catalyst's DP reorderer reads the
+    * published row counts + NDVs, estimates the filtered nation at
+    * ~1/25 of its 25 rows, and rebuilds the tree with
+    * customer ⋈ nation at the BOTTOM — the fact table joins a
+    * few-customer set instead of all customers joining the fact
+    * table first. The row records the bottom join's leaf tables per
+    * scenario plus the (invariant) answer. At 100 TB the written
+    * order shuffles the whole fact table against the whole dimension
+    * before the selective filter ever bites; the reordered plan's
+    * first join is dimension-sized. Oracle: answer replayed;
+    * bottom-join structure pinned golden (q266/q278 precedent).
+    */
+  def q280CboJoinReorder(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.plans.StatsCatalog
+    val cust = StatsCatalog.ensureTable(spark, dir, "customer")
+    val ord = StatsCatalog.ensureTable(spark, dir, "orders")
+    val nat = StatsCatalog.ensureTable(spark, dir, "nation")
+    StatsCatalog.publish(spark, cust,
+      Seq("c_custkey", "c_acctbal", "c_nationkey"))
+    StatsCatalog.publish(spark, ord,
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+    StatsCatalog.publish(spark, nat, Seq("n_nationkey", "n_name"))
+    def bottomJoin(df: DataFrame): String = {
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      joins.last.collectLeaves().collect {
+        case lr: org.apache.spark.sql.execution.datasources
+                   .LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                       .HadoopFsRelation =>
+              fs.location.rootPaths.headOption
+                .map(_.getName).getOrElse("relation")
+                .replaceAll("\\.[A-Za-z0-9]+$", "")
+            case _ => "relation"
+          }
+      }.sorted.mkString("+")
+    }
+    def scenario(tag: String, reorder: Boolean) = {
+      Seq(cust, ord, nat).foreach(spark.catalog.refreshTable)
+      StatsCatalog.withConfs(spark,
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> reorder.toString) {
+        val df = spark.sql(
+          s"""SELECT count(*) AS n_rows,
+             |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+             |       AS DECIMAL(24,2)) AS STRING) AS sum_px
+             |FROM $ord o
+             |JOIN $cust c ON o.o_custkey = c.c_custkey
+             |JOIN $nat n ON c.c_nationkey = n.n_nationkey
+             |WHERE n.n_name = 'NATION_7'""".stripMargin)
+        val r = df.head()
+        (tag, bottomJoin(df), r.getLong(0), r.getString(1))
+      }
+    }
+    val s1 = scenario("a_written_order", reorder = false)
+    val s2 = scenario("b_reordered", reorder = true)
+    import spark.implicits._
+    Seq(s1, s2)
+      .toDF("scenario", "bottom_join", "n_rows", "sum_px")
+      .orderBy("scenario")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_histogram_estimate" -> (q281HistogramEstimate(_, _)),
+    "q280_cbo_join_reorder" -> (q280CboJoinReorder(_, _)),
+    "q278_cbo_broadcast_flip" -> (q278CboBroadcastFlip(_, _)),
     "q275_view_erasure" -> (q275ViewErasure(_, _)),
     "q277_analyze_stats" -> (q277AnalyzeStats(_, _)),
     "q266_column_lineage" -> (q266ColumnLineage(_, _)),
@@ -970,6 +1250,83 @@ object RelationalQueries {
            |FROM $t""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_name")
     },
+    // q281: bins (exact ntile cut over the collision-free sort key),
+    // both estimators, and both errors replayed bit-for-bit — every
+    // quotient non-negative, so DuckDB // ≡ Spark DIV
+    "q281_histogram_estimate" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(value * 1000) AS BIGINT) AS vm, event_id
+        |  FROM events WHERE value IS NOT NULL),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, min(vm) AS vlo,
+        |             max(vm) AS vhi FROM v),
+        |r AS (
+        |  SELECT vm, CAST(row_number() OVER (
+        |    ORDER BY vm * 1000000000000 + event_id) - 1 AS BIGINT)
+        |    AS rk
+        |  FROM v),
+        |bins AS (
+        |  SELECT rk * 32 // (SELECT n FROM t) AS bin,
+        |    min(vm) AS blo, max(vm) AS bhi,
+        |    CAST(count(*) AS BIGINT) AS bn
+        |  FROM r GROUP BY 1),
+        |probes(probe, plo, phi) AS (VALUES
+        |  ('p1_hot_head', 0::BIGINT, 50000::BIGINT),
+        |  ('p2_sparse_tail', 100000::BIGINT, 200000::BIGINT)),
+        |est AS (
+        |  SELECT p.probe,
+        |    (SELECT count(*) FROM v
+        |       WHERE vm BETWEEN p.plo AND p.phi) AS true_rows,
+        |    (SELECT n * greatest(least(p.phi, vhi)
+        |                         - greatest(p.plo, vlo), 0)
+        |       // (vhi - vlo) FROM t) AS uniform_est,
+        |    (SELECT coalesce(sum(CASE
+        |        WHEN bhi < p.plo OR blo > p.phi THEN 0
+        |        WHEN bhi = blo THEN bn
+        |        ELSE bn * (least(bhi, p.phi) - greatest(blo, p.plo))
+        |             // (bhi - blo) END), 0) FROM bins) AS hist_est
+        |  FROM probes p)
+        |SELECT probe, CAST(true_rows AS BIGINT) AS true_rows,
+        |  CAST(uniform_est AS BIGINT) AS uniform_est,
+        |  CAST(hist_est AS BIGINT) AS hist_est,
+        |  CAST(abs(uniform_est - true_rows) * 1000000
+        |       // greatest(true_rows, 1) AS BIGINT) AS uniform_err_ppm,
+        |  CAST(abs(hist_est - true_rows) * 1000000
+        |       // greatest(true_rows, 1) AS BIGINT) AS hist_err_ppm
+        |FROM est ORDER BY probe""".stripMargin,
+    // q280: answer replayed; the bottom-join structure per scenario
+    // is a plan fact — pinned golden (q266/q278 precedent)
+    "q280_cbo_join_reorder" ->
+      """WITH r AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+        |         AS DECIMAL(24,2)) AS VARCHAR) AS sum_px
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7')
+        |SELECT s.scenario, s.bottom_join, r.n_rows, r.sum_px
+        |FROM (VALUES ('a_written_order', 'customer+orders'),
+        |             ('b_reordered', 'customer+nation'))
+        |  s(scenario, bottom_join)
+        |CROSS JOIN r
+        |ORDER BY scenario""".stripMargin,
+    // q278: result columns replayed from the tables (the plan flip
+    // must never change the answer); the per-scenario strategy is a
+    // structural fact of the plan — pinned golden (q266 precedent).
+    "q278_cbo_broadcast_flip" ->
+      """WITH r AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+        |         AS DECIMAL(24,2)) AS VARCHAR) AS sum_px
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_acctbal BETWEEN 100 AND 400)
+        |SELECT s.scenario, s.join_strategy, r.n_rows, r.sum_px
+        |FROM (VALUES ('a_no_stats_cbo_on', 'SortMergeJoin'),
+        |             ('b_stats_cbo_off', 'SortMergeJoin'),
+        |             ('c_stats_cbo_on', 'BroadcastHashJoin'))
+        |  s(scenario, join_strategy)
+        |CROSS JOIN r
+        |ORDER BY scenario""".stripMargin,
     "q274_erasure_audit" ->
       """WITH e AS (
         |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),

@@ -536,6 +536,58 @@ object TimeSeriesQueries {
   }
   private val q251Saved = new graft.SavedOnce[String, String]
 
+  /** Right-to-be-forgotten for the STREAMING estate ([[graft.streaming
+    * .EventStreams.eraseFromSink]]): q251's idempotent `batch_id=`
+    * sink is landed in a private dir, then the q274/q275 erase set
+    * (`c_custkey % 97 = 0`, cascaded to events by user id) is scrubbed
+    * from it with the partition-pruned pass — key-only routing finds
+    * the touched partitions, ONLY those are rewritten, untouched ones
+    * stay byte-identical (SinkErasureSpec pins both). The emitted
+    * table is the post-erasure sink merged and ranked exactly like
+    * q251, and the oracle rebuilds it from the NET corpus (events
+    * minus erased users) — the q275 "retracted ≡ rebuilt" obligation
+    * extended to streamed artifacts. The decay reference day stays the
+    * FULL ingest timeline's max: erasure removes a user's
+    * contributions, it does not time-travel the clock the surviving
+    * scores were computed against.
+    */
+  def q279SinkErasure(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = q279Saved.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q279_").toString
+      val in = s"$base/in"
+      graft.streaming.EventStreams.stageMicroBatchFiles(
+        Tables.events(spark, dir).select("ts", "event_type", "user_id"),
+        col("user_id") % 3, nBatches = 3, inDir = in)
+      val refDay = Tables.events(spark, dir)
+        .agg(max(expr("unix_timestamp(ts) div 86400"))).head.getLong(0)
+      val stream = spark.readStream
+        .schema("ts TIMESTAMP, event_type STRING, user_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val q = graft.streaming.EventStreams.decayedScoreSink(
+        stream, refDay, s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val erase = RelationalQueries.gatedBroadcast(
+        Tables.customer(spark, dir).filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey").as("user_id")))
+      graft.streaming.EventStreams.eraseFromSink(
+        spark, s"$base/out", erase, "user_id")
+      s"$base/out"
+    })
+    val merged = spark.read.parquet(outDir)
+      .groupBy("event_type", "user_id")
+      .agg(sum("score").as("score"))
+      .filter(col("score") > 0L)
+    val w = Window.partitionBy("event_type")
+      .orderBy(desc("score"), asc("user_id"))
+    merged.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("event_type", "rank", "user_id", "score")
+      .orderBy("event_type", "rank")
+  }
+  private val q279Saved = new graft.SavedOnce[String, String]
+
   /** Session-scoped funnel — the product-analytics twin of the
     * event-level funnel (q106): how many SESSIONS (q29's gap-30-min
     * semantics, same (ts, event_id) total order) contain the ordered
@@ -1086,6 +1138,7 @@ object TimeSeriesQueries {
     "q255_decay_roll" -> (q255DecayRoll(_, _)),
     "q253_streaming_funnel" -> (q253StreamingFunnel(_, _)),
     "q252_session_funnel" -> (q252SessionFunnel(_, _)),
+    "q279_sink_erasure" -> (q279SinkErasure(_, _)),
     "q251_streaming_decay" -> (q251StreamingDecay(_, _)),
     "q243_decayed_topk" -> (q243DecayedTopk(_, _)),
     "q241_watermark_audit" -> (q241WatermarkAudit(_, _)),
@@ -1106,16 +1159,22 @@ object TimeSeriesQueries {
     "q27_lag_delta"    -> (q27LagDelta(_, _))
   )
 
-  /** The decayed-top-k full replay — ONE definition consumed by both
-    * the q243 (batch) and q251 (streamed partials, re-merged) oracles:
-    * streamed ≡ batch against the byte-identical SQL.
+  /** The decayed-top-k full replay — ONE definition consumed by the
+    * q243 (batch), q251 (streamed partials, re-merged), q255 (rolled
+    * store), and q279 (post-erasure sink, over the NET event relation)
+    * oracles: every leg against the byte-identical SQL shape. The
+    * reference day is always the FULL ingest timeline's max — for
+    * rel = events that is unchanged; for q279's filtered relation it
+    * pins that erasure does not move the decay clock.
     */
-  private val decayedTopkSql: String =
-      """WITH e AS (
+  private def decayedTopkSql(rel: String): String =
+      s"""WITH e AS (
         |  SELECT event_type, user_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM $rel),
+        |mx AS (
+        |  SELECT max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS md
         |  FROM events),
-        |mx AS (SELECT max(day) AS md FROM e),
         |s AS (
         |  SELECT event_type, user_id,
         |    CAST(sum(CASE WHEN md - day BETWEEN 0 AND 30
@@ -1347,11 +1406,18 @@ object TimeSeriesQueries {
     // the streamed state machine must agree with the same replay
     "q253_streaming_funnel" -> sessionFunnelSql,
     // day cut, shift weights, ranked cut — all integer
-    "q243_decayed_topk" -> decayedTopkSql,
+    "q243_decayed_topk" -> decayedTopkSql("events"),
     // streamed partials re-merged ≡ the same full replay
-    "q251_streaming_decay" -> decayedTopkSql,
+    "q251_streaming_decay" -> decayedTopkSql("events"),
     // rolled-store serving ≡ the same full replay (third leg)
-    "q255_decay_roll" -> decayedTopkSql,
+    "q255_decay_roll" -> decayedTopkSql("events"),
+    // fourth leg: the POST-ERASURE sink ≡ the same replay over the
+    // NET corpus (erased users' events removed; decay clock unchanged)
+    "q279_sink_erasure" -> decayedTopkSql(
+      """(SELECT * FROM events
+        |   WHERE user_id NOT IN (
+        |     SELECT c_custkey FROM customer
+        |     WHERE c_custkey % 97 = 0)) ne""".stripMargin),
     // delay hashes + the arrival-order running max as ONE window (small
     // data) vs the engine's two-phase distributed form
     "q241_watermark_audit" ->

@@ -325,6 +325,56 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Right-to-be-forgotten for a LANDED `batch_id=` sink — the
+    * streaming estate's erasure pass: idempotent micro-batch sinks
+    * keep every batch's rows forever, so erased keys persist in
+    * landed partitions long after the source tables forgot them
+    * (q274/q275 cover the batch tables and the materialized view;
+    * this covers the streamed artifacts). The pass is
+    * PARTITION-PRUNED end to end:
+    *
+    *  1. key-only routing — scan just `(batch_id, key)`, semi-join
+    *     the (gated-broadcast) erase set, `distinct` the batch ids:
+    *     the touched-partition list is bounded by the PARTITION
+    *     count, never the data (safe to collect);
+    *  2. rewrite ONLY touched partitions — each is read alone,
+    *     anti-joined against the erase keys, written to a temp dir,
+    *     and swapped in; untouched partitions are never opened, so
+    *     they stay byte-identical (the 100 TB property: erasure cost
+    *     tracks the erase set's partition footprint, not sink size).
+    *
+    * The temp-write-then-swap keeps the read and the overwrite of the
+    * same path apart (Spark would otherwise delete its own input); a
+    * production estate would publish through the
+    * [[graft.llm.IndexStore]] versioned-commit protocol instead of
+    * the rename — the pruning shape, which is what scales, is
+    * identical. Returns (touched partitions, erased rows).
+    */
+  def eraseFromSink(spark: SparkSession, outDir: String,
+                    eraseKeys: DataFrame, keyCol: String)
+      : (Long, Long) = {
+    val sink = spark.read.parquet(outDir)
+    val nErased = sink.select(col(keyCol))
+      .join(eraseKeys, Seq(keyCol), "left_semi").count()
+    val touched = sink.select(col("batch_id"), col(keyCol))
+      .join(eraseKeys, Seq(keyCol), "left_semi")
+      .select("batch_id").distinct()
+      .collect().map(_.get(0).toString).sorted
+    val hconf = spark.sparkContext.hadoopConfiguration
+    touched.foreach { b =>
+      val pdir = new org.apache.hadoop.fs.Path(s"$outDir/batch_id=$b")
+      val tmp =
+        new org.apache.hadoop.fs.Path(s"$outDir/__erase_tmp_b$b")
+      val fs = pdir.getFileSystem(hconf)
+      spark.read.parquet(pdir.toString)
+        .join(eraseKeys, Seq(keyCol), "left_anti")
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(pdir, true)
+      require(fs.rename(tmp, pdir), s"swap failed for $pdir")
+    }
+    (touched.length.toLong, nErased)
+  }
+
   /** Stage a bounded ingest slice as ONE parquet file per micro-batch
     * under `inDir`, so a file-source stream
     * (`spark.readStream.schema(...).parquet(inDir)` with

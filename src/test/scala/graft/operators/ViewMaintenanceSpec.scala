@@ -186,16 +186,23 @@ class ViewMaintenanceSpec extends SparkSpec {
              "kept rows untouched")
     assert(full.exists(t => deadKeys(t._1)),
            "the erase set must actually hit the view")
-    // round-13 pin: every broadcast-hinted side in the erasure plan
-    // must be a deleted key set (filter/semi-derived), never an
-    // anti-derived complement
-    val hinted = erased.queryExecution.optimizedPlan.collect {
+    // round-13 pins: (a) the cascade's erase-proportional
+    // intermediates are MATERIALIZED — the final plan consumes them
+    // as pinned leaves (LogicalRDD) instead of re-evaluating the
+    // embedded corpus-scan subtrees (the ErasureProbe measured the
+    // un-pinned form at 266 s vs 2.7 s at ×20); (b) no broadcast-
+    // hinted side anywhere is an anti-derived (kept) complement
+    val opt = erased.queryExecution.optimizedPlan
+    assert(opt.collectLeaves().exists(
+             _.nodeName.contains("LogicalRDD")),
+           s"the cascade intermediates must be materialized leaves:\n" +
+             opt.toString.take(2000))
+    val hinted = opt.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
         Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right)
           .collect { case (Some(h), side) if h.strategy.isDefined =>
             side }
     }.flatten
-    assert(hinted.nonEmpty, "the erase cascade must carry gated hints")
     hinted.foreach { side =>
       val antis = side.collect {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join
