@@ -362,6 +362,32 @@ object Dedup {
     MinhashIndex(buckets, shingles)
   }
 
+  /** Right-to-be-forgotten for the persisted index estate: drop every
+    * erased doc's bucket AND shingle rows (id-keyed anti-joins — one
+    * pass over each table, erase-proportional routing; pass
+    * `eraseIds` pre-gated/materialized with a `corpus_id` column).
+    * The result is published as the NEXT VERSION through
+    * [[IndexStore]]'s crash-safe flip — erasure of a persisted
+    * artifact is a ROLL, not an in-place mutation: readers pinned to
+    * the previous version are unaffected until the commit marker
+    * lands, and retention GCs the pre-erasure version on schedule
+    * (the retention horizon IS the erasure deadline — size
+    * `spark.graft.index.keepVersions` accordingly).
+    *
+    * Equivalence to a net-corpus rebuild: exact except a bucket that
+    * was guard-dropped at BUILD time whose size falls back under
+    * `maxBucket` once erased rows are discounted — the rebuild
+    * resurrects it, the erased index cannot (the
+    * [[mergeMinhashIndex]] re-ingestion corner, mirrored).
+    * Guard-dropped buckets are boilerplate by definition; schedule a
+    * rebuild after a bulk erasure.
+    */
+  def eraseFromMinhashIndex(index: MinhashIndex,
+                            eraseIds: DataFrame): MinhashIndex =
+    MinhashIndex(
+      index.buckets.join(eraseIds, Seq("corpus_id"), "left_anti"),
+      index.shingles.join(eraseIds, Seq("corpus_id"), "left_anti"))
+
   /** Incremental MinHash near-dedup: classify a NEW batch against an
     * existing [[MinhashIndex]] without touching corpus text — the
     * daily-crawl shape where the corpus is orders of magnitude bigger

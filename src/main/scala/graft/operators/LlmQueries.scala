@@ -6738,6 +6738,48 @@ object LlmQueries {
   }
   private val q151RollSaved = new graft.SavedOnce[String, String]
 
+  /** Right-to-be-forgotten for the PERSISTED INDEX estate
+    * ([[Dedup.eraseFromMinhashIndex]]) — the last artifact class the
+    * erasure story must reach (q274/q275 batch tables + materialized
+    * view, q279 landed streaming sinks; a persisted dedup index ALSO
+    * holds doc-derived rows for every corpus document): the standing
+    * minhash index over the `doc_id % 4 ∈ {0,1}` slice is built +
+    * published, then the erase set (`doc_id % 23 = 0`) is scrubbed by
+    * id-keyed anti-joins and the result is published as the NEXT
+    * VERSION of the SAME index name through the crash-safe flip —
+    * in-flight readers keep the pre-erasure version until the commit
+    * marker lands; retention GCs it (the retention horizon is the
+    * erasure deadline). The probe batch (`% 4 ∈ {2,3}`) classifies
+    * against the erased index; the oracle replays the classification
+    * against a FROM-SCRATCH index over the NET corpus — erased ≡
+    * rebuilt at the classification surface (exact up to the
+    * guard-dropped-bucket corner documented on the erase op).
+    */
+  def q282IndexErasure(spark: SparkSession, dir: String): DataFrame = {
+    val name = q282Saved.getOrElseUpdate(dir, {
+      val docs = Tables.documents(spark, dir)
+      val n = "graft_mh_q282_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      IndexStore.saveMinhashIndex(
+        Dedup.minhashIndexPortable(
+          docs.filter(col("doc_id") % 4 <= 1), "doc_id", "text",
+          k = 5, numHashes = 32, bands = 8, maxBucket = 1000), n)
+      val erase = RelationalQueries.gatedBroadcast(graft.Materialize(
+        docs.filter(col("doc_id") % 4 <= 1 &&
+                      col("doc_id") % 23 === 0)
+          .select(col("doc_id").as("corpus_id"))))
+      IndexStore.saveMinhashIndex(
+        Dedup.eraseFromMinhashIndex(
+          IndexStore.loadMinhashIndex(spark, n), erase), n)
+      n
+    })
+    Dedup.minhashIncrementalPortable(
+      Tables.documents(spark, dir).filter(col("doc_id") % 4 >= 2),
+      IndexStore.loadMinhashIndex(spark, name), "doc_id", "text",
+      k = 5, numHashes = 32, bands = 8, threshold = 0.5)
+      .orderBy("doc_id")
+  }
+  private val q282Saved = new graft.SavedOnce[String, String]
+
   /** IVF-index ROLL + health report ([[Similarity.mergeIvfIndex]] — the
     * maintenance job for the FOURTH persisted index family): the base
     * index is fitted + persisted over the `vec_id % 4 = 0` slice, the
@@ -7493,6 +7535,7 @@ object LlmQueries {
     "q148_ann_recall_multi" -> (q148AnnRecallMulti(_, _)),
     "q149_release_build"    -> (q149ReleaseBuild(_, _)),
     "q150_union_split"      -> (q150UnionSplit(_, _)),
+    "q282_index_erasure"    -> (q282IndexErasure(_, _)),
     "q151_minhash_roll"     -> (q151MinhashRoll(_, _)),
     "q152_ivf_roll"         -> (q152IvfRoll(_, _)),
     "q153_lsh_roll"         -> (q153LshRoll(_, _)),
@@ -11921,6 +11964,15 @@ object LlmQueries {
       minhashIncrementalOracleSql(k = 5, numHashes = 32, bands = 8,
                                   threshold = 0.5, maxBucket = 1000,
                                   corpusPred = "doc_id % 4 IN (0, 1)",
+                                  batchPred = "doc_id % 4 IN (2, 3)"),
+    // erased index ≡ index REBUILT over the net corpus, at the
+    // classification surface (the q151 oracle with the erase set
+    // removed from the corpus predicate)
+    "q282_index_erasure" ->
+      minhashIncrementalOracleSql(k = 5, numHashes = 32, bands = 8,
+                                  threshold = 0.5, maxBucket = 1000,
+                                  corpusPred = "doc_id % 4 IN (0, 1) " +
+                                    "AND doc_id % 23 <> 0",
                                   batchPred = "doc_id % 4 IN (2, 3)"),
     "q152_ivf_roll" -> q152OracleSql,
     "q141_epoch_expand" ->

@@ -507,6 +507,35 @@ class DedupSpec extends SparkSpec {
            "all buckets hold 6 identical docs > cap 4 — must be dropped")
   }
 
+  test("eraseFromMinhashIndex: the erased index equals a from-scratch " +
+       "rebuild over the NET corpus, no erased id survives, and " +
+       "re-erasing is a no-op") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 4 <= 1)
+    val built = Dedup.minhashIndexPortable(corpus, "doc_id", "text")
+    val eraseIds = corpus.filter(col("doc_id") % 23 === 0)
+      .select(col("doc_id").as("corpus_id"))
+    assert(eraseIds.count() > 0, "fixture drift: empty erase set")
+    val erased = Dedup.eraseFromMinhashIndex(built, eraseIds)
+    val rebuilt = Dedup.minhashIndexPortable(
+      corpus.filter(col("doc_id") % 23 =!= 0), "doc_id", "text")
+    assert(minhashIndexRows(erased) == minhashIndexRows(rebuilt),
+           "erased index must equal the net-corpus rebuild exactly")
+    assert(erased.buckets.count() < built.buckets.count(),
+           "the erasure must actually remove bucket rows")
+    assert(erased.buckets
+             .join(eraseIds, Seq("corpus_id"), "left_semi")
+             .count() == 0 &&
+           erased.shingles
+             .join(eraseIds, Seq("corpus_id"), "left_semi")
+             .count() == 0,
+           "no erased id may survive in buckets or shingles")
+    val again = Dedup.eraseFromMinhashIndex(erased, eraseIds)
+    assert(minhashIndexRows(again) == minhashIndexRows(rebuilt),
+           "re-erasing must be a no-op")
+  }
+
   test("rollClusters: star edges + delta pairs re-close to exactly the " +
        "full rebuild — incl. a delta doc that MERGES two base clusters") {
     import spark.implicits._
