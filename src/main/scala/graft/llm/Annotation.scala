@@ -83,19 +83,17 @@ object Annotation {
     // pe = 1 (degenerate one-class marginals) leaves kappa undefined:
     // pin the convention — perfect agreement stays 1, anything else 0 —
     // so constant-label inputs never divide by zero (mirrored in the
-    // oracle SQL). Rounding is FLOOR division like the DuckDB `//`
-    // replay: Spark DIV truncates toward zero, which diverges exactly
-    // when kappa is negative (below-chance agreement, po < pe), so the
-    // negative-and-inexact case subtracts 1 — the denominator is
-    // strictly positive in this branch, making trunc−1 ≡ floor.
+    // oracle SQL). Rounding convention: TRUNCATION TOWARD ZERO on both
+    // sides — Spark `DIV` truncates, and the installed DuckDB 1.0.0's
+    // `//` ALSO truncates toward zero (verified in-container:
+    // (0-7)//2 = -3, not -4), so plain DIV here replays bit-exactly,
+    // including negative (below-chance) kappa. Do NOT "fix" this to
+    // floor division: that creates an engine/oracle divergence on
+    // negative inexact kappa (AnnotationSpec pins the trunc branch).
     cohen.unionByName(fleiss)
       .withColumn("kappa_ppm",
         expr("""CASE WHEN pe_ppm >= 1000000 THEN
                |  CASE WHEN po_ppm = 1000000 THEN 1000000L ELSE 0L END
-               |WHEN po_ppm < pe_ppm
-               |  AND (po_ppm - pe_ppm) * 1000000 % (1000000 - pe_ppm)
-               |      != 0 THEN
-               |  (po_ppm - pe_ppm) * 1000000 DIV (1000000 - pe_ppm) - 1
                |ELSE (po_ppm - pe_ppm) * 1000000 DIV (1000000 - pe_ppm)
                |END""".stripMargin.replace("\n", " ")))
       .orderBy("pair")

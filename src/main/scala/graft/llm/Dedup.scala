@@ -90,6 +90,24 @@ object Dedup {
         col(idCol).as("corpus_id")))
       .groupBy("fp").agg(min("corpus_id").as("corpus_id"))
 
+  /** Right-to-be-forgotten for the persisted fingerprint index
+    * ([[fingerprintIndex]]'s (fp, min-owner) rows): drop every row
+    * OWNED by an erased doc — one erase-proportional anti-join,
+    * corpus text never touched. Semantics corner (the min-owner
+    * analogue of the minhash guard corner): the index keeps one row
+    * per distinct text keyed by the MINIMUM owning id, so when the
+    * min owner is erased but other docs share the text, the whole fp
+    * row goes and surviving duplicates re-classify as NOVEL until the
+    * next roll re-inserts the fp under a surviving owner — the
+    * conservative direction (nothing derived from an erased doc is
+    * retained; dedup recall, not privacy, pays). The q283 estate
+    * attestation MEASURES this gap per erasure (`n_rebuild_gap`)
+    * instead of hiding it.
+    */
+  def eraseFromFingerprintIndex(index: DataFrame,
+                                eraseIds: DataFrame): DataFrame =
+    index.join(eraseIds, Seq("corpus_id"), "left_anti")
+
   /** Decouple CPU-bound row-local stages from the INPUT's split count:
     * a small/compacted source can arrive as one partition, serializing
     * the signature computation on one core no matter the cluster size.

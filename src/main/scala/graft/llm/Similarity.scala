@@ -441,6 +441,34 @@ object Similarity {
     IvfIndex(assigned, base.centroids)
   }
 
+  /** Right-to-be-forgotten for the persisted ANN estate — one
+    * id-keyed anti-join per family, erase-proportional, the
+    * [[Dedup.eraseFromMinhashIndex]] discipline applied to the vector
+    * indexes. Per-vector rows (LSH buckets, IVF cell assignments, PQ
+    * codes) are SUBJECT data and go; the fitted model parameters
+    * (IVF centroids, PQ codebooks, the LSH hyperplanes implicit in
+    * the seed) are aggregates over the training corpus and are
+    * RETAINED — the same privacy class as a trained model, and the
+    * same frozen-model convention the roll ops already pin
+    * (re-fitting is the separately scheduled job q152's health report
+    * triggers). Because every per-vector row is a pure row-local
+    * function of (vector, frozen model), erased ≡ net-corpus rebuild
+    * EXACTLY for all three families — no guard/min-owner corner —
+    * and the q283 estate attestation measures the gap at 0.
+    */
+  def eraseFromLshIndex(index: DataFrame, eraseIds: DataFrame): DataFrame =
+    index.join(eraseIds, Seq("corpus_id"), "left_anti")
+
+  /** See [[eraseFromLshIndex]] — centroids retained by design. */
+  def eraseFromIvfIndex(index: IvfIndex, eraseIds: DataFrame): IvfIndex =
+    IvfIndex(index.assigned.join(eraseIds, Seq("corpus_id"), "left_anti"),
+             index.centroids)
+
+  /** See [[eraseFromLshIndex]] — codebooks retained by design. */
+  def eraseFromPqIndex(index: PqIndex, eraseIds: DataFrame): PqIndex =
+    index.copy(codes =
+      index.codes.join(eraseIds, Seq("corpus_id"), "left_anti"))
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 3, seed: Long = 42L,
               kmeansMaxIter: Int = 8,

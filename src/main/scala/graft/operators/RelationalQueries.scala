@@ -709,17 +709,24 @@ object RelationalQueries {
     * 0`), the delete cascades down the key chain (customer → orders →
     * lineitem; events by user id), and the audit emits per table the
     * blast radius (`n_delete`/`n_keep`) plus the post-delete integrity
-    * check `n_orphans_after` — kept child rows whose parent row was
-    * ERASED (must be 0 for every table). A child key that never had a
-    * parent row at all is NOT an orphan here: parent keys partition
-    * into kept ∪ erased, so "parent erased" is exactly a semi-join
-    * against the small DELETED key set (referential completeness is
-    * q267's concern, not this audit's). Scale shape: every broadcast
-    * is of a deleted key set — erase-set-proportional, never
-    * corpus-proportional — behind the [[gatedBroadcast]] size gate;
-    * every count is a semi/anti-join + 1-row agg; no data row ever
-    * moves. StatsAuditSpec pins that no anti-derived (kept) set is
-    * ever hinted for broadcast.
+    * check `n_orphans_after` — kept child rows whose parent row
+    * existed before the cascade but is absent from the KEPT parent
+    * table (must be 0 for every table). The check is recounted
+    * INDEPENDENTLY of the cascade's own derivation (anti-join vs the
+    * kept-parent key set, not vs the erase set the child was just
+    * anti-joined on — that form is 0 by construction and could never
+    * catch e.g. a wrong `deadOrders` derivation). A child key that
+    * never had a parent row at all is NOT an orphan here (referential
+    * completeness is q267's concern), hence the semi-join vs the
+    * original parent keys first. Scale shape: cascade broadcasts are
+    * of deleted key sets — erase-set-proportional — behind the
+    * [[gatedBroadcast]] size gate; the orphan legs join kept children
+    * against corpus-proportional kept-parent KEY sets and therefore
+    * flow UNHINTED (AQE broadcasts at small SF, shuffles at 100 TB —
+    * the honest price of a real post-delete check). StatsAuditSpec
+    * pins that no anti-derived (kept) set is ever hinted for
+    * broadcast, and that the orphan check actually fires on a broken
+    * cascade.
     */
   def q274ErasureAudit(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
@@ -750,6 +757,12 @@ object RelationalQueries {
       oDel.select(col("o_orderkey").as("k")).distinct()))
     val (lDel, lKeep) = split(keyed(li, "l_orderkey"), deadOrders)
     val (eDel, eKeep) = split(keyed(ev, "user_id"), erase)
+    // independent integrity recount: kept-parent key sets derived from
+    // the kept TABLES (never from the erase set), both legs unhinted
+    val custKeys  = cust.select(col("c_custkey").as("k"))
+    val cKeepKeys = cKeep.select(col("k"))
+    val ordKeys   = ord.select(col("o_orderkey").as("k"))
+    val oKeepKeys = oKeep.select(col("o_orderkey").as("k"))
     def row(tbl: String, del: DataFrame, keep: DataFrame,
             orphans: DataFrame) =
       del.agg(count(lit(1)).as("n_delete"))
@@ -759,16 +772,30 @@ object RelationalQueries {
                 col("n_orphans_after"))
     row("customer", cDel, cKeep, cKeep.limit(0))
       .unionByName(row("orders", oDel, oKeep,
-        oKeep.select(col("o_custkey").as("k"))
-          .join(erase, Seq("k"), "left_semi")))
+        orphanKeys(oKeep.select(col("o_custkey").as("k")),
+                   custKeys, cKeepKeys)))
       .unionByName(row("lineitem", lDel, lKeep,
-        lKeep.select(col("l_orderkey").as("k"))
-          .join(deadOrders, Seq("k"), "left_semi")))
+        orphanKeys(lKeep.select(col("l_orderkey").as("k")),
+                   ordKeys, oKeepKeys)))
       .unionByName(row("events", eDel, eKeep,
-        eKeep.select(col("user_id").as("k"))
-          .join(erase, Seq("k"), "left_semi")))
+        orphanKeys(eKeep.select(col("user_id").as("k")),
+                   custKeys, cKeepKeys)))
       .orderBy("tbl")
   }
+
+  /** The real post-delete orphan predicate: kept-child keys whose
+    * parent existed ORIGINALLY (semi vs `parentKeys`) but is gone
+    * from the kept parent (anti vs `keptParentKeys`). Parentless
+    * children are excluded by the semi leg; a broken cascade (kept
+    * child of an erased parent) survives the anti leg and is counted.
+    * Deliberately unhinted on both joins — kept-parent key sets are
+    * corpus-proportional.
+    */
+  private[graft] def orphanKeys(keptChildKeys: DataFrame,
+                                parentKeys: DataFrame,
+                                keptParentKeys: DataFrame): DataFrame =
+    keptChildKeys.join(parentKeys, Seq("k"), "left_semi")
+      .join(keptParentKeys, Seq("k"), "left_anti")
 
   /** Erasure propagated to the MATERIALIZED view — q274's delete
     * cascade composed with q257's retraction machinery: the erased
@@ -1347,7 +1374,9 @@ object RelationalQueries {
         |       WHERE o_custkey NOT IN (SELECT k FROM e)),
         |    (SELECT count(*) FROM orders
         |       WHERE o_custkey NOT IN (SELECT k FROM e)
-        |         AND o_custkey IN (SELECT k FROM e))
+        |         AND o_custkey IN (SELECT c_custkey FROM customer)
+        |         AND o_custkey NOT IN (SELECT c_custkey FROM customer
+        |           WHERE c_custkey NOT IN (SELECT k FROM e)))
         |  UNION ALL
         |  SELECT 'lineitem',
         |    (SELECT count(*) FROM lineitem
@@ -1356,7 +1385,9 @@ object RelationalQueries {
         |       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM od)),
         |    (SELECT count(*) FROM lineitem
         |       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM od)
-        |         AND l_orderkey IN (SELECT o_orderkey FROM od))
+        |         AND l_orderkey IN (SELECT o_orderkey FROM orders)
+        |         AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+        |           WHERE o_custkey NOT IN (SELECT k FROM e)))
         |  UNION ALL
         |  SELECT 'events',
         |    (SELECT count(*) FROM events
@@ -1365,7 +1396,9 @@ object RelationalQueries {
         |       WHERE user_id NOT IN (SELECT k FROM e)),
         |    (SELECT count(*) FROM events
         |       WHERE user_id NOT IN (SELECT k FROM e)
-        |         AND user_id IN (SELECT k FROM e)))
+        |         AND user_id IN (SELECT c_custkey FROM customer)
+        |         AND user_id NOT IN (SELECT c_custkey FROM customer
+        |           WHERE c_custkey NOT IN (SELECT k FROM e))))
         |SELECT tbl, CAST(n_delete AS BIGINT) AS n_delete,
         |  CAST(n_keep AS BIGINT) AS n_keep,
         |  CAST(n_orphans_after AS BIGINT) AS n_orphans_after

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat,
   CatalogStatistics}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, TimestampType}
+import org.apache.spark.sql.types.StringType
 
 /** Publishes engine-collected ANALYZE statistics into the session
   * catalog so Catalyst's cost-based optimizer CONSUMES them — the
@@ -54,8 +54,15 @@ object StatsCatalog {
     * one scan: table row count and byte size, plus per-column NDV,
     * null count, and min/max (min/max for orderable non-string types;
     * strings keep NDV/nulls only, matching what Spark's own ANALYZE
-    * stores). Timestamps are converted to their internal micros so
-    * the catalog's external-string codec round-trips them.
+    * stores). Min/max values come back from the collector as EXTERNAL
+    * JVM objects whose class depends on session confs
+    * (`java.sql.Timestamp` or `java.time.Instant` under
+    * `spark.sql.datetime.java8API.enabled`, `java.sql.Date` /
+    * `LocalDate`, `java.math.BigDecimal`) — they are normalized to
+    * Catalyst-internal form (micros / days / Decimal) through
+    * `CatalystTypeConverters` before the catalog's external-string
+    * codec, which expects internal values (StatsCatalogSpec pins the
+    * java8API leg).
     */
   def publish(spark: SparkSession, name: String,
               cols: Seq[String]): Unit = {
@@ -72,12 +79,10 @@ object StatsCatalog {
       val dt = fields(c)
       def ext(v: Any): Option[String] = (Option(v), dt) match {
         case (None, _) | (_, StringType) => None
-        case (Some(t: java.sql.Timestamp), TimestampType) =>
-          Some(CatalogColumnStat.toExternalString(
-            org.apache.spark.sql.catalyst.util.DateTimeUtils
-              .fromJavaTimestamp(t), c, dt))
         case (Some(x), _) =>
-          Some(CatalogColumnStat.toExternalString(x, c, dt))
+          Some(CatalogColumnStat.toExternalString(
+            org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .convertToCatalyst(x), c, dt))
       }
       val len = dt.defaultSize.toLong
       c -> CatalogColumnStat(

@@ -344,15 +344,25 @@ object EventStreams {
     *     tracks the erase set's partition footprint, not sink size).
     *
     * The temp-write-then-swap keeps the read and the overwrite of the
-    * same path apart (Spark would otherwise delete its own input); a
-    * production estate would publish through the
-    * [[graft.llm.IndexStore]] versioned-commit protocol instead of
-    * the rename — the pruning shape, which is what scales, is
-    * identical. Returns (touched partitions, erased rows).
+    * same path apart (Spark would otherwise delete its own input).
+    * The swap itself is CRASH-ORDERED (the versioned-flip discipline
+    * of [[graft.llm.IndexStore]], applied to a partition dir): write
+    * tmp → rename the live partition ASIDE → rename tmp in → delete
+    * the old. At every intermediate state either the old or the new
+    * partition is complete on disk, and both staging names are
+    * underscore-prefixed so Spark's file index never lists them as
+    * data. [[recoverSinkSwaps]] (run first on every pass) rolls any
+    * interrupted swap forward or back from the state alone:
+    * old-aside present without the live dir means the tmp write had
+    * already completed (the aside rename strictly follows it), so the
+    * swap finishes; otherwise stale staging dirs are dropped and the
+    * pass redoes that partition. Returns (touched partitions, erased
+    * rows).
     */
   def eraseFromSink(spark: SparkSession, outDir: String,
                     eraseKeys: DataFrame, keyCol: String)
       : (Long, Long) = {
+    recoverSinkSwaps(spark, outDir)
     val sink = spark.read.parquet(outDir)
     val nErased = sink.select(col(keyCol))
       .join(eraseKeys, Seq(keyCol), "left_semi").count()
@@ -365,14 +375,75 @@ object EventStreams {
       val pdir = new org.apache.hadoop.fs.Path(s"$outDir/batch_id=$b")
       val tmp =
         new org.apache.hadoop.fs.Path(s"$outDir/__erase_tmp_b$b")
+      val old =
+        new org.apache.hadoop.fs.Path(s"$outDir/__erase_old_b$b")
       val fs = pdir.getFileSystem(hconf)
       spark.read.parquet(pdir.toString)
         .join(eraseKeys, Seq(keyCol), "left_anti")
         .write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(pdir, true)
-      require(fs.rename(tmp, pdir), s"swap failed for $pdir")
+      // crash-ordered swap: aside → in → delete. A crash before the
+      // aside rename leaves the sink untouched (stale tmp is swept by
+      // recoverSinkSwaps); after it, the tmp is provably complete and
+      // recovery finishes the swap.
+      require(fs.rename(pdir, old), s"aside rename failed for $pdir")
+      require(fs.rename(tmp, pdir), s"swap-in failed for $pdir")
+      fs.delete(old, true)
     }
     (touched.length.toLong, nErased)
+  }
+
+  /** Roll interrupted [[eraseFromSink]] swaps forward or back. State
+    * machine per partition b (tmp = `__erase_tmp_b`, old =
+    * `__erase_old_b`, live = `batch_id=b`):
+    *
+    *  - old exists, live missing — crash between the two renames. The
+    *    aside rename strictly follows a COMPLETED tmp write, so if tmp
+    *    exists finish the swap (tmp → live, drop old); if tmp is gone
+    *    (it was already renamed in and the live dir then vanished some
+    *    other way) restore old → live.
+    *  - old exists, live exists — crash after swap-in, before the old
+    *    delete: the new partition is live, drop old.
+    *  - tmp exists, live exists — crash before the aside rename: tmp
+    *    may be PARTIAL, drop it (the pass will rewrite).
+    *
+    * Both staging prefixes start with `_`, so a concurrent plain
+    * `spark.read.parquet(outDir)` never lists them as data even
+    * before recovery runs (SinkErasureSpec pins this).
+    */
+  def recoverSinkSwaps(spark: SparkSession, outDir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("__erase_old_b")) {
+        val b = n.stripPrefix("__erase_old_b")
+        val live = new org.apache.hadoop.fs.Path(s"$outDir/batch_id=$b")
+        val tmp =
+          new org.apache.hadoop.fs.Path(s"$outDir/__erase_tmp_b$b")
+        if (!fs.exists(live)) {
+          if (fs.exists(tmp)) {
+            require(fs.rename(tmp, live), s"recovery swap-in failed: $tmp")
+            fs.delete(p, true)
+          } else {
+            require(fs.rename(p, live), s"recovery restore failed: $p")
+          }
+        } else {
+          fs.delete(p, true)
+        }
+      }
+    }
+    // stale tmp dirs with a live partition and no old-aside: the swap
+    // never started, the tmp may be partial — drop it
+    fs.listStatus(root).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("__erase_tmp_b")) {
+        val b = n.stripPrefix("__erase_tmp_b")
+        val live = new org.apache.hadoop.fs.Path(s"$outDir/batch_id=$b")
+        if (fs.exists(live)) fs.delete(p, true)
+      }
+    }
   }
 
   /** Stage a bounded ingest slice as ONE parquet file per micro-batch

@@ -41,11 +41,14 @@ class AnnotationSpec extends SparkSpec {
     assert(d.getLong(4) == 1000000L && d.getLong(5) == 1000000L)
   }
 
-  test("negative kappa floors like the DuckDB oracle (trunc-toward-" +
-       "zero would round below-chance agreement UP by one ppm)") {
+  test("negative kappa truncates toward zero like the DuckDB 1.0.0 " +
+       "oracle `//` (floor would round below-chance agreement DOWN " +
+       "by one ppm and diverge from the replay)") {
     // r1: 1,1,0  r2: 0,0,1 → agree 0, po = 0; marginals 2/1 over 9
     // rater-pairs → pe = 444444 ppm, kappa strictly negative and
-    // inexact, so floor ≠ trunc
+    // inexact, so trunc ≠ floor — the branch where the conventions
+    // can diverge. DuckDB 1.0.0 `//` truncates toward zero (verified:
+    // (0-7)//2 = -3), same as Spark DIV and Scala /.
     val out = Annotation.agreement(
       rows((1, 1, 1), (2, 1, 1), (3, 1, 0),
            (1, 2, 0), (2, 2, 0), (3, 2, 1)),
@@ -53,9 +56,10 @@ class AnnotationSpec extends SparkSpec {
     val c = out.find(_.getString(0) == "cohen 1:2").get
     val (po, pe, kappa) = (c.getLong(3), c.getLong(4), c.getLong(5))
     assert(po == 0L && pe == 444444L)
-    val floor = Math.floorDiv((po - pe) * 1000000L, 1000000L - pe)
-    assert(kappa == floor, s"kappa must floor-divide: $kappa vs $floor")
-    assert(floor != (po - pe) * 1000000L / (1000000L - pe),
+    val trunc = (po - pe) * 1000000L / (1000000L - pe)
+    assert(kappa == trunc,
+           s"kappa must truncate toward zero: $kappa vs $trunc")
+    assert(trunc != Math.floorDiv((po - pe) * 1000000L, 1000000L - pe),
            "fixture must make trunc and floor actually diverge")
   }
 

@@ -142,12 +142,12 @@ class StatsAuditSpec extends SparkSpec {
       cust.count() + ord.count() +
         Tables.lineitem(spark, sf0001).count() +
         Tables.events(spark, sf0001).count())
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("SortMergeJoin"),
-           s"erasure audit must be key-broadcast only:\n$plan")
     // round-13 pin: every broadcast-hinted side must be a DELETED key
     // set — never an anti-derived (kept) set, which is
-    // corpus-proportional and dies at the broadcast cap at 100 TB
+    // corpus-proportional and dies at the broadcast cap at 100 TB.
+    // (The round-14 orphan legs join kept children vs kept-parent KEY
+    // sets and are deliberately UNHINTED — AQE may plan them as SMJ at
+    // scale, so no blanket no-SMJ assertion here.)
     val hinted = broadcastHintedSides(df)
     assert(hinted.nonEmpty, "deleted key sets must carry the gated hint")
     hinted.foreach { side =>
@@ -155,6 +155,24 @@ class StatsAuditSpec extends SparkSpec {
              s"a kept (anti-derived) key set is hinted for broadcast:\n" +
                side.toString)
     }
+  }
+
+  test("q274's orphan check is REAL: a kept child of an erased parent " +
+       "is counted, a parentless child is not") {
+    import spark.implicits._
+    // parents originally {1, 2}; parent 2 erased → kept parents {1};
+    // kept children reference 1 (fine), 2 (orphan — cascade broke),
+    // 3 (never had a parent — q267's concern, not an orphan)
+    val parentKeys     = Seq(1L, 2L).toDF("k")
+    val keptParentKeys = Seq(1L).toDF("k")
+    val keptChildKeys  = Seq(1L, 2L, 3L).toDF("k")
+    val orphans = RelationalQueries.orphanKeys(
+      keptChildKeys, parentKeys, keptParentKeys).collect()
+    assert(orphans.map(_.getLong(0)).toSeq == Seq(2L),
+           "exactly the erased-parent child must surface as an orphan")
+    // and the kept-parent leg is independent of the erase derivation:
+    // feeding the OLD tautological shape (anti vs erase then semi vs
+    // erase) would have returned 0 here no matter what
   }
 
   /** The broadcast gate itself: a key set above the threshold flows

@@ -119,6 +119,44 @@ class StatsCatalogSpec extends SparkSpec {
              s"$withHist vs $withoutHist (true $trueRows)")
   }
 
+  test("publish normalizes session-dependent external types: " +
+       "Instant/LocalDate (java8API on) and Timestamp/Date/BigDecimal " +
+       "land as identical catalog strings") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sc_").toString
+    Seq(("2024-01-02 03:04:05", "2024-01-02", "1.23"),
+        ("2024-06-07 08:09:10", "2024-06-07", "45.67"))
+      .toDF("ts_s", "d_s", "m_s")
+      .select(col("ts_s").cast("timestamp").as("ts"),
+              col("d_s").cast("date").as("d"),
+              col("m_s").cast("decimal(9,2)").as("m"))
+      .write.mode("overwrite").parquet(s"$base/typed.parquet")
+    val name = StatsCatalog.ensureTable(spark, base, "typed")
+    def stats() = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(name)).stats.get.colStats
+    StatsCatalog.withConfs(spark,
+      "spark.sql.datetime.java8API.enabled" -> "true") {
+      StatsCatalog.publish(spark, name, Seq("ts", "d", "m"))
+    }
+    val java8 = stats()
+    assert(java8("ts").min.get.startsWith("2024-01-02"),
+           s"Instant min must round-trip: ${java8("ts").min}")
+    assert(java8("d").max.get == "2024-06-07",
+           s"LocalDate max must round-trip: ${java8("d").max}")
+    assert(BigDecimal(java8("m").max.get) == BigDecimal("45.67"))
+    StatsCatalog.withConfs(spark,
+      "spark.sql.datetime.java8API.enabled" -> "false") {
+      StatsCatalog.publish(spark, name, Seq("ts", "d", "m"))
+    }
+    val legacy = stats()
+    Seq("ts", "d", "m").foreach { c =>
+      assert(legacy(c).min == java8(c).min &&
+               legacy(c).max == java8(c).max,
+             s"$c stats must not depend on the java8API conf")
+    }
+  }
+
   test("published catalog stats EQUAL the q277 collector's values " +
        "where the two overlap (one statistics story, two surfaces)") {
     val ord = StatsCatalog.ensureTable(spark, sf0001, "orders")

@@ -66,6 +66,88 @@ class SinkErasureSpec extends SparkSpec {
     assert(t2 == 0L && e2 == 0L, "the erasure pass must be idempotent")
   }
 
+  private def mv(from: String, to: String): Unit =
+    java.nio.file.Files.move(java.nio.file.Paths.get(from),
+                             java.nio.file.Paths.get(to))
+
+  test("crash-ordered swap: every interrupted state recovers — no " +
+       "row is ever lost, staging dirs are invisible to plain reads, " +
+       "and a re-run completes the erasure") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sec_").toString
+    val out = s"$base/out"
+    def batch(rows: (String, Long, Long)*) =
+      rows.toDF("event_type", "user_id", "score")
+    def land(): Unit = {
+      EventStreams.upsertBatch(
+        batch(("a", 1L, 10L), ("a", 3L, 20L)), 0L, out)
+      EventStreams.upsertBatch(batch(("b", 7L, 9L)), 1L, out)
+    }
+    val erase = Seq(3L).toDF("user_id")
+
+    // state 1 — crash BEFORE the aside rename: a (possibly partial)
+    // __erase_tmp_* exists next to the intact live partition. A plain
+    // read must not see it as extra rows; recovery drops it; the
+    // re-run erases.
+    land()
+    batch(("a", 99L, 99L)).write.parquet(s"$out/__erase_tmp_b0")
+    assert(spark.read.parquet(out).count() == 3,
+           "staging dirs must be invisible to a plain read")
+    val (t1, e1) = EventStreams.eraseFromSink(spark, out, erase,
+                                              "user_id")
+    assert(t1 == 1L && e1 == 1L)
+    assert(!java.nio.file.Files.exists(
+             java.nio.file.Paths.get(s"$out/__erase_tmp_b0")))
+    assert(spark.read.parquet(out).select("user_id").collect()
+             .map(_.getLong(0)).toSet == Set(1L, 7L))
+
+    // state 2 — crash BETWEEN the two renames: live is aside, tmp is
+    // complete. Recovery must finish the swap (old data never lost),
+    // and the re-run then has nothing to erase.
+    val out2 = s"$base/out2"
+    def land2(): Unit = {
+      EventStreams.upsertBatch(
+        batch(("a", 1L, 10L), ("a", 3L, 20L)), 0L, out2)
+      EventStreams.upsertBatch(batch(("b", 7L, 9L)), 1L, out2)
+    }
+    land2()
+    batch(("a", 1L, 10L)).write.parquet(s"$out2/__erase_tmp_b0")
+    mv(s"$out2/batch_id=0", s"$out2/__erase_old_b0")
+    val (t2, e2) = EventStreams.eraseFromSink(spark, out2, erase,
+                                              "user_id")
+    assert(t2 == 0L && e2 == 0L,
+           "recovery must have completed the interrupted erasure")
+    assert(spark.read.parquet(out2).select("user_id").collect()
+             .map(_.getLong(0)).toSet == Set(1L, 7L))
+    assert(!java.nio.file.Files.exists(
+             java.nio.file.Paths.get(s"$out2/__erase_old_b0")))
+
+    // state 3 — crash AFTER swap-in, before the old delete: new
+    // partition live, old aside. Recovery drops the aside; rows
+    // unchanged.
+    val out3 = s"$base/out3"
+    EventStreams.upsertBatch(batch(("a", 1L, 10L)), 0L, out3)
+    EventStreams.upsertBatch(batch(("b", 7L, 9L)), 1L, out3)
+    batch(("a", 1L, 10L), ("a", 3L, 20L))
+      .write.parquet(s"$out3/__erase_old_b0")
+    EventStreams.recoverSinkSwaps(spark, out3)
+    assert(!java.nio.file.Files.exists(
+             java.nio.file.Paths.get(s"$out3/__erase_old_b0")))
+    assert(spark.read.parquet(out3).count() == 2)
+
+    // state 4 — aside present, live AND tmp missing (live vanished
+    // after a completed restore was itself lost): recovery restores
+    // the pre-erasure partition rather than losing it.
+    val out4 = s"$base/out4"
+    EventStreams.upsertBatch(batch(("b", 7L, 9L)), 1L, out4)
+    batch(("a", 1L, 10L), ("a", 3L, 20L))
+      .write.parquet(s"$out4/__erase_old_b0")
+    EventStreams.recoverSinkSwaps(spark, out4)
+    assert(spark.read.parquet(out4).count() == 3,
+           "the aside partition must be restored, never dropped")
+  }
+
   test("q279: the post-erasure trending table equals the in-engine " +
        "rebuild over the net corpus (decay clock from the FULL " +
        "timeline), and no erased user appears") {
