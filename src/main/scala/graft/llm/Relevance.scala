@@ -235,6 +235,22 @@ object Relevance {
                      .select("token", "doc_id", "positions"))
   }
 
+  /** Right-to-be-forgotten for the persisted positional index: drop
+    * every erased doc's (token, doc_id, positions) rows — one id-keyed
+    * anti-join, erase-proportional, corpus text never touched. Unlike
+    * the fingerprint/minhash families there is no cross-document state
+    * (no min-owner, no guard, no stats row), so erased ≡ net-corpus
+    * rebuild EXACTLY — the q283 estate attestation measures the gap
+    * at 0. Publish the result as the NEXT index version through
+    * [[IndexStore.savePositionalIndex]] (erasure is a roll, not an
+    * in-place mutation).
+    */
+  def eraseFromPositionalIndex(index: DataFrame,
+                               eraseIds: DataFrame): DataFrame = {
+    val ids = eraseIds.select(col(eraseIds.columns.head).as("doc_id"))
+    index.join(ids, Seq("doc_id"), "left_anti")
+  }
+
   /** Exact-phrase matches from a LOADED positional index: docs where
     * `phrase` occurs as consecutive tokens, with the occurrence count.
     *

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.llm.{Annotation, BpeTrainer, Contamination, Conversations,
-                  CorpusStats, Dedup, IndexStore,
+                  CorpusStats, Dedup, Erasure, IndexStore,
                   Multimodal, NgramLm, QualityFilters, Relevance, Sharding,
                   Similarity, Sketches, Splits, TextAnalysis, TextPacking,
                   UnigramTrainer, Versioning}
@@ -6780,6 +6780,210 @@ object LlmQueries {
   }
   private val q282Saved = new graft.SavedOnce[String, String]
 
+  /** ESTATE-WIDE right-to-be-forgotten + attestation
+    * ([[Erasure.eraseEstate]]): q282 erased ONE index family; this is
+    * the operation a privacy office actually runs — the same erase sets
+    * (docs `doc_id % 23 = 0`, vectors `vec_id % 23 = 0`, users
+    * `user_id % 23 = 0`) swept through ALL EIGHT persisted index
+    * families in one job (fingerprint, MinHash buckets+shingles, BM25
+    * postings+stats, positional, LSH, IVF, PQ, per-day KMV sketches),
+    * each published as its family's NEXT VERSION through the crash-safe
+    * flip, followed by the q188-style ATTESTATION over the RELOADED
+    * post-sweep versions: per artifact, the row count, the SURVIVOR
+    * count against an independently recomputed erase set (zero = the
+    * subject is gone; this is measured from the persisted artifacts,
+    * not derived from the erase expression, so a family the sweep
+    * missed or a broken publish flips it nonzero), the MEASURED
+    * erased-vs-net-rebuilt row gap (0 for the row-local families;
+    * positive where a conservative erase drops more than a rebuild
+    * would — fingerprint min-owner rows, guard-resurrected minhash
+    * buckets, KMV bottom-k replacements), and the content digest, plus
+    * the one ESTATE summary row ("user X is gone everywhere" as a
+    * single Merkle-rooted fact). FULLY oracle-checked: DuckDB rebuilds
+    * every family from the net corpus (signatures, bands + guard,
+    * tokenizations, hyperplane buckets, argmin cells from the inlined
+    * fitted centroids, PQ codes from the inlined codebooks, bottom-64
+    * user hashes) and recomputes every count, gap, and digest.
+    *
+    * 100 TB shape: the sweep is eight erase-proportional anti-joins
+    * over index rows (never a corpus scan); the attestation digests
+    * shuffle only 32-byte leaf md5s into ≤64 bucket rows per family;
+    * the rebuild-gap audit is the only corpus-touching stage and is the
+    * scheduled-rebuild cost estimate the operator wants anyway (run it
+    * sampled at scale).
+    */
+  def q283EstateErasure(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val emb  = Tables.embeddings(spark, dir)
+    val ev   = Tables.events(spark, dir)
+    val names = q283Saved.getOrElseUpdate(dir, {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val nm = Erasure.EstateNames(
+        fingerprint = "graft_est_fp_" + safe,
+        minhash     = "graft_est_mh_" + safe,
+        bm25        = "graft_est_bm_" + safe,
+        positional  = "graft_est_pos_" + safe,
+        lsh         = "graft_est_lsh_" + safe,
+        ivf         = "graft_est_ivf_" + safe,
+        pq          = "graft_est_pq_" + safe,
+        kmv         = "graft_est_kmv_" + safe)
+      IndexStore.saveFingerprintIndex(
+        Dedup.fingerprintIndex(docs, "doc_id", "text"), nm.fingerprint)
+      IndexStore.saveMinhashIndex(
+        Dedup.minhashIndexPortable(docs, "doc_id", "text",
+                                   k = 5, numHashes = 32, bands = 8,
+                                   maxBucket = 1000), nm.minhash)
+      IndexStore.saveBm25Index(
+        Relevance.bm25Index(docs, "doc_id", "text"), nm.bm25)
+      IndexStore.savePositionalIndex(
+        Relevance.positionalIndex(docs, "doc_id", "text"), nm.positional)
+      IndexStore.saveLshIndex(
+        Similarity.lshIndex(emb, dim = 64, nBits = 6), nm.lsh)
+      IndexStore.saveIvfIndex(
+        Similarity.ivfIndex(emb, nCells = 8, seed = 42L), nm.ivf)
+      IndexStore.savePqIndex(
+        Similarity.pqIndex(emb, nSub = 4, nCodes = 16, seed = 42L),
+        nm.pq)
+      IndexStore.savePlainArtifact(Erasure.kmvDailySketch(ev), nm.kmv)
+      Erasure.eraseEstate(spark, nm,
+        RelationalQueries.gatedBroadcast(graft.Materialize(
+          docs.filter(col("doc_id") % 23 === 0)
+            .select(col("doc_id").as("corpus_id")))),
+        RelationalQueries.gatedBroadcast(graft.Materialize(
+          emb.filter(col("vec_id") % 23 === 0)
+            .select(col("vec_id").as("corpus_id")))),
+        RelationalQueries.gatedBroadcast(graft.Materialize(
+          ev.select("user_id").distinct()
+            .filter(col("user_id") % 23 === 0)
+            .select(Erasure.kmvUserHash(col("user_id")).as("h")))))
+      nm
+    })
+    // Attestation: everything below reads the PUBLISHED post-sweep
+    // versions and recomputes erase sets / rebuild counts independently
+    // of the sweep (the q274 lesson: an audit derived from the same
+    // expression it checks is structurally zero and checks nothing).
+    val eraseDocs = docs.filter(col("doc_id") % 23 === 0)
+      .select(col("doc_id").as("corpus_id"))
+    val eraseDocsAsDoc = eraseDocs.select(col("corpus_id").as("doc_id"))
+    val eraseVecs = emb.filter(col("vec_id") % 23 === 0)
+      .select(col("vec_id").as("corpus_id"))
+    val eraseHs = ev.select("user_id").distinct()
+      .filter(col("user_id") % 23 === 0)
+      .select(Erasure.kmvUserHash(col("user_id")).as("h"))
+    val netDocs = docs.filter(col("doc_id") % 23 =!= 0)
+    val netEmb  = emb.filter(col("vec_id") % 23 =!= 0)
+    val netEv   = ev.filter(col("user_id") % 23 =!= 0)
+
+    val fp  = IndexStore.loadFingerprintIndex(spark, names.fingerprint)
+    val mh  = IndexStore.loadMinhashIndex(spark, names.minhash)
+    val bm  = IndexStore.loadBm25Index(spark, names.bm25)
+    val pos = IndexStore.loadPositionalIndex(spark, names.positional)
+    val lsh = IndexStore.loadLshIndex(spark, names.lsh)
+    val ivf = IndexStore.loadIvfIndex(spark, names.ivf)
+    val pq  = IndexStore.loadPqIndex(spark, names.pq)
+    val kmv = IndexStore.loadPlainArtifact(spark, names.kmv)
+
+    q283CentroidRows = ivf.centroids.orderBy("cell").collect()
+      .map { r =>
+        val cs = r.getSeq[Double](1).map(_.toString).mkString(", ")
+        s"(${r.getInt(0)}, [$cs])"
+      }.mkString(",\n  ")
+    q283CodebookRows = pq.codebooks.orderBy("sub", "code").collect()
+      .map { r =>
+        val cs = r.getSeq[Double](2).map(_.toString).mkString(", ")
+        s"(${r.getInt(0)}, ${r.getInt(1)}, [$cs])"
+      }.mkString(",\n  ")
+
+    def surv(df: DataFrame, keys: DataFrame, keyCol: String): Long =
+      df.join(keys, Seq(keyCol), "left_semi").count()
+    def row(name: String, df: DataFrame, leaf: Column,
+            survivors: Long, rebuilt: Long): DataFrame =
+      Versioning.frameDigest(df, leaf)
+        .select(lit(name).as("artifact"), col("n_rows"),
+                lit(survivors).as("n_survivors"),
+                (lit(rebuilt) - col("n_rows")).as("n_rebuild_gap"),
+                col("digest"))
+
+    val netMh = Dedup.minhashIndexPortable(netDocs, "doc_id", "text",
+                                           k = 5, numHashes = 32,
+                                           bands = 8, maxBucket = 1000)
+    val fams = Seq(
+      row("fingerprint", fp,
+          concat_ws(":", col("fp"), col("corpus_id").cast("string")),
+          surv(fp, eraseDocs, "corpus_id"),
+          Dedup.fingerprintIndex(netDocs, "doc_id", "text").count()),
+      row("minhash_buckets", mh.buckets,
+          concat_ws(":", col("corpus_id").cast("string"),
+                    col("band").cast("string"),
+                    col("bucket").cast("string")),
+          surv(mh.buckets, eraseDocs, "corpus_id"),
+          netMh.buckets.count()),
+      row("minhash_shingles", mh.shingles,
+          concat_ws(":", col("corpus_id").cast("string"),
+                    array_join(transform(array_sort(col("shh")),
+                                         h => h.cast("string")), ",")),
+          surv(mh.shingles, eraseDocs, "corpus_id"),
+          netMh.shingles.count()),
+      row("bm25_postings", bm.postings,
+          concat_ws(":", col("token"), col("doc_id").cast("string"),
+                    col("dl").cast("string"),
+                    col("tf").cast("long").cast("string")),
+          surv(bm.postings, eraseDocsAsDoc, "doc_id"),
+          Relevance.bm25Index(netDocs, "doc_id", "text")
+            .postings.count()),
+      row("bm25_stats", bm.stats,
+          concat_ws(":", col("n_docs").cast("string"),
+                    col("sum_dl").cast("string")),
+          0L, 1L),
+      row("positional", pos,
+          concat_ws(":", col("token"), col("doc_id").cast("string"),
+                    array_join(transform(col("positions"),
+                                         p => p.cast("string")), ",")),
+          surv(pos, eraseDocsAsDoc, "doc_id"),
+          Relevance.positionalIndex(netDocs, "doc_id", "text").count()),
+      row("lsh", lsh,
+          concat_ws(":", col("corpus_id").cast("string"),
+                    col("bucket").cast("string")),
+          surv(lsh, eraseVecs, "corpus_id"),
+          Similarity.lshIndex(netEmb, dim = 64, nBits = 6).count()),
+      row("ivf", ivf.assigned,
+          concat_ws(":", col("corpus_id").cast("string"),
+                    col("cell").cast("string")),
+          surv(ivf.assigned, eraseVecs, "corpus_id"),
+          Similarity.assignToCells(ivf.centroids, netEmb).count()),
+      row("pq", pq.codes,
+          concat_ws(":", col("corpus_id").cast("string"),
+                    array_join(transform(col("codes"),
+                                         c => c.cast("string")), ",")),
+          surv(pq.codes, eraseVecs, "corpus_id"),
+          Similarity.pqAssignCodes(
+            pq.codebooks,
+            netEmb.select(col("vec_id").as("corpus_id"),
+                          col("embedding").as("cvec")),
+            pq.subDim).count()),
+      row("kmv_daily", kmv,
+          concat_ws(":", col("day").cast("string"),
+                    col("h").cast("string")),
+          surv(kmv, eraseHs, "h"),
+          Erasure.kmvDailySketch(netEv).count())
+    ).reduce(_ unionByName _)
+    val estate = fams.agg(
+        sum("n_rows").cast("long").as("n_rows"),
+        sum("n_survivors").cast("long").as("n_survivors"),
+        sum("n_rebuild_gap").cast("long").as("n_rebuild_gap"),
+        md5(array_join(
+              transform(array_sort(collect_list(struct(col("artifact"),
+                                                       col("digest")))),
+                        s => s.getField("digest")), "")
+            .cast("binary")).as("digest"))
+      .select(lit("ESTATE").as("artifact"), col("n_rows"),
+              col("n_survivors"), col("n_rebuild_gap"), col("digest"))
+    fams.unionByName(estate).orderBy("artifact")
+  }
+  private val q283Saved = new graft.SavedOnce[String, Erasure.EstateNames]
+  @volatile private var q283CentroidRows: String = ""
+  @volatile private var q283CodebookRows: String = ""
+
   /** IVF-index ROLL + health report ([[Similarity.mergeIvfIndex]] — the
     * maintenance job for the FOURTH persisted index family): the base
     * index is fitted + persisted over the `vec_id % 4 = 0` slice, the
@@ -7536,6 +7740,7 @@ object LlmQueries {
     "q149_release_build"    -> (q149ReleaseBuild(_, _)),
     "q150_union_split"      -> (q150UnionSplit(_, _)),
     "q282_index_erasure"    -> (q282IndexErasure(_, _)),
+    "q283_estate_erasure"   -> (q283EstateErasure(_, _)),
     "q151_minhash_roll"     -> (q151MinhashRoll(_, _)),
     "q152_ivf_roll"         -> (q152IvfRoll(_, _)),
     "q153_lsh_roll"         -> (q153LshRoll(_, _)),
@@ -8656,6 +8861,181 @@ object LlmQueries {
        |  CAST(n_total * 8000 // grand AS BIGINT) AS share_x1000,
        |  (n_total * 8000 // grand) > 2000 AS refit_flag
        |FROM ct, g ORDER BY cell""".stripMargin
+
+  /** q283's estate-attestation replay: every persisted family rebuilt
+    * from the net corpus (or, for the two conservative-erase families,
+    * the DOCUMENTED erase semantics over the full build) — signature
+    * CTEs for MinHash, tokenizations for BM25/positional, hyperplane
+    * buckets for LSH, argmin cells from the runtime-inlined fitted
+    * centroids for IVF, codes from the inlined codebooks for PQ,
+    * bottom-64 user hashes for KMV — then the same frame digests,
+    * counts, gaps, and the ESTATE summary row.
+    */
+  private def q283OracleSql: String =
+    s"""WITH
+       |${minhashSigCtes("documents", 5, 32, 8)},
+       |mb_full AS (
+       |  SELECT doc_id, band, bucket FROM bd
+       |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+       |mb_leaf AS (
+       |  SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(band AS VARCHAR)
+       |    || ':' || CAST(bucket AS VARCHAR) AS lf
+       |  FROM mb_full WHERE doc_id % 23 <> 0),
+       |mb_net AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id FROM (SELECT * FROM bd WHERE doc_id % 23 <> 0)
+       |    QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000)),
+       |ms_leaf AS (
+       |  SELECT CAST(doc_id AS VARCHAR) || ':' ||
+       |    array_to_string(list_sort(h), ',') AS lf
+       |  FROM hs WHERE doc_id % 23 <> 0),
+       |ms_net AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS c FROM hs
+       |  WHERE doc_id % 23 <> 0),
+       |fpg AS (
+       |  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+       |                            'g')) AS fp,
+       |    CAST(min(doc_id) AS BIGINT) AS corpus_id
+       |  FROM documents GROUP BY 1),
+       |fp_leaf AS (
+       |  SELECT fp || ':' || CAST(corpus_id AS VARCHAR) AS lf
+       |  FROM fpg WHERE corpus_id % 23 <> 0),
+       |fp_net AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT 1 FROM documents WHERE doc_id % 23 <> 0
+       |    GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+       |                                'g')))),
+       |ntk AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(trim(text)), '\\W+'),
+       |    x -> len(x) > 0) AS t
+       |  FROM documents WHERE doc_id % 23 <> 0),
+       |bp_leaf AS (
+       |  SELECT token || ':' || CAST(doc_id AS VARCHAR) || ':' ||
+       |    CAST(dl AS VARCHAR) || ':' || CAST(tf AS VARCHAR) AS lf
+       |  FROM (
+       |    SELECT token, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+       |    FROM (SELECT doc_id, unnest(t) AS token,
+       |            CAST(len(t) AS BIGINT) AS dl FROM ntk)
+       |    GROUP BY 1, 2, 3)),
+       |bs_leaf AS (
+       |  SELECT CAST(count(*) AS VARCHAR) || ':' ||
+       |    CAST(CAST(sum(len(t)) AS BIGINT) AS VARCHAR) AS lf
+       |  FROM ntk),
+       |pos_leaf AS (
+       |  SELECT token || ':' || CAST(doc_id AS VARCHAR) || ':' ||
+       |    array_to_string(positions, ',') AS lf
+       |  FROM (
+       |    SELECT doc_id, token, list_sort(list(pos)) AS positions
+       |    FROM (SELECT doc_id, unnest(t) AS token,
+       |            generate_subscripts(t, 1) - 1 AS pos FROM ntk)
+       |    GROUP BY 1, 2)),
+       |em AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |nem AS (SELECT vec_id, v FROM em WHERE vec_id % 23 <> 0),
+       |lsh_leaf AS (
+       |  SELECT CAST(vec_id AS VARCHAR) || ':' ||
+       |    CAST(CAST(${lshBucketSql(6)} AS BIGINT) AS VARCHAR) AS lf
+       |  FROM nem),
+       |cent(cell, cv) AS (VALUES
+       |  $q283CentroidRows),
+       |ivf_leaf AS (
+       |  SELECT CAST(vec_id AS VARCHAR) || ':' || CAST(cell AS VARCHAR)
+       |    AS lf
+       |  FROM (
+       |    SELECT vec_id, cell FROM nem CROSS JOIN cent
+       |    QUALIFY row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY list_distance(v, cv) ASC, cell ASC) = 1)),
+       |cbk(sub, code, cv) AS (VALUES
+       |  $q283CodebookRows),
+       |pq_leaf AS (
+       |  SELECT CAST(vec_id AS VARCHAR) || ':' ||
+       |    array_to_string(list(code ORDER BY sub), ',') AS lf
+       |  FROM (
+       |    SELECT vec_id, sub, code FROM (
+       |      SELECT nem.vec_id, cbk.sub, cbk.code,
+       |        row_number() OVER (PARTITION BY nem.vec_id, cbk.sub
+       |          ORDER BY list_sum(list_transform(generate_series(1, 16),
+       |                     i -> (v[cbk.sub * 16 + i] - cv[i]) ^ 2)) ASC,
+       |                   cbk.code ASC) AS rn
+       |      FROM nem CROSS JOIN cbk)
+       |    WHERE rn = 1)
+       |  GROUP BY vec_id),
+       |kev AS (
+       |  SELECT (ts::DATE - DATE '1970-01-01') AS day, user_id
+       |  FROM events),
+       |khash AS (
+       |  SELECT day,
+       |    ('0x' || substr(md5('kmv11:' || CAST(user_id AS VARCHAR)),
+       |                    1, 15))::BIGINT AS h,
+       |    max(CASE WHEN user_id % 23 = 0 THEN 1 ELSE 0 END) AS er
+       |  FROM kev GROUP BY 1, 2),
+       |kfull AS (
+       |  SELECT day, h, er FROM (
+       |    SELECT day, h, er,
+       |      row_number() OVER (PARTITION BY day ORDER BY h) AS r
+       |    FROM khash) WHERE r <= 64),
+       |kmv_leaf AS (
+       |  SELECT CAST(day AS VARCHAR) || ':' || CAST(h AS VARCHAR) AS lf
+       |  FROM kfull WHERE er = 0),
+       |kmv_net AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT day, h FROM (
+       |      SELECT day, h,
+       |        row_number() OVER (PARTITION BY day ORDER BY h) AS r
+       |      FROM khash WHERE er = 0) WHERE r <= 64)),
+       |fams AS (
+       |  SELECT 'fingerprint' AS artifact, n_rows,
+       |    CAST(0 AS BIGINT) AS n_survivors,
+       |    (SELECT c FROM fp_net) - n_rows AS n_rebuild_gap, digest
+       |  FROM (${frameDigestSql("fp_leaf")})
+       |  UNION ALL
+       |  SELECT 'minhash_buckets', n_rows, CAST(0 AS BIGINT),
+       |    (SELECT c FROM mb_net) - n_rows, digest
+       |  FROM (${frameDigestSql("mb_leaf")})
+       |  UNION ALL
+       |  SELECT 'minhash_shingles', n_rows, CAST(0 AS BIGINT),
+       |    (SELECT c FROM ms_net) - n_rows, digest
+       |  FROM (${frameDigestSql("ms_leaf")})
+       |  UNION ALL
+       |  SELECT 'bm25_postings', n_rows, CAST(0 AS BIGINT),
+       |    CAST(0 AS BIGINT), digest
+       |  FROM (${frameDigestSql("bp_leaf")})
+       |  UNION ALL
+       |  SELECT 'bm25_stats', n_rows, CAST(0 AS BIGINT),
+       |    CAST(0 AS BIGINT), digest
+       |  FROM (${frameDigestSql("bs_leaf")})
+       |  UNION ALL
+       |  SELECT 'positional', n_rows, CAST(0 AS BIGINT),
+       |    CAST(0 AS BIGINT), digest
+       |  FROM (${frameDigestSql("pos_leaf")})
+       |  UNION ALL
+       |  SELECT 'lsh', n_rows, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |    digest
+       |  FROM (${frameDigestSql("lsh_leaf")})
+       |  UNION ALL
+       |  SELECT 'ivf', n_rows, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |    digest
+       |  FROM (${frameDigestSql("ivf_leaf")})
+       |  UNION ALL
+       |  SELECT 'pq', n_rows, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |    digest
+       |  FROM (${frameDigestSql("pq_leaf")})
+       |  UNION ALL
+       |  SELECT 'kmv_daily', n_rows, CAST(0 AS BIGINT),
+       |    (SELECT c FROM kmv_net) - n_rows, digest
+       |  FROM (${frameDigestSql("kmv_leaf")}))
+       |SELECT artifact, n_rows, n_survivors, n_rebuild_gap, digest
+       |FROM fams
+       |UNION ALL
+       |SELECT 'ESTATE', CAST(sum(n_rows) AS BIGINT),
+       |  CAST(sum(n_survivors) AS BIGINT),
+       |  CAST(sum(n_rebuild_gap) AS BIGINT),
+       |  md5(string_agg(digest, '' ORDER BY artifact))
+       |FROM fams
+       |ORDER BY artifact""".stripMargin
 
   /** The q39 LSH top-k replay (hyperplane projection from inlined
     * literals, multi-probe, in-bucket ranking) — shared by q39 and the
@@ -11974,6 +12354,7 @@ object LlmQueries {
                                   corpusPred = "doc_id % 4 IN (0, 1) " +
                                     "AND doc_id % 23 <> 0",
                                   batchPred = "doc_id % 4 IN (2, 3)"),
+    "q283_estate_erasure" -> q283OracleSql,
     "q152_ivf_roll" -> q152OracleSql,
     "q141_epoch_expand" ->
       """WITH s AS (

@@ -1,0 +1,214 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Estate-wide right-to-be-forgotten ([[Erasure]]): the one-sweep erase
+  * across all eight persisted families, the survivor audit's
+  * non-tautology (a family the sweep misses FIRES), the fingerprint
+  * min-owner rebuild gap, KMV reduced-k validity, and the positional
+  * family's exact erased ≡ rebuilt equivalence.
+  */
+class ErasureSpec extends SparkSpec {
+
+  /** 24 docs; doc 0 and doc 31 share a text (the min-owner corner:
+    * erasing 0 drops the shared fp row even though 31 survives).
+    */
+  private def docs: DataFrame = {
+    import spark.implicits._
+    val base = (0 until 23).map { i =>
+      (i.toLong,
+       s"estate doc $i speaks of matter ${i % 5} with marker " +
+         s"ax$i bx$i cx$i dx$i ex$i fx$i gx$i")
+    }
+    (base :+ (31L, base(0)._2)).toDF("doc_id", "text")
+  }
+
+  private def emb: DataFrame = {
+    import spark.implicits._
+    (0 until 24).map { i =>
+      (i.toLong,
+       Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def events: DataFrame = {
+    import spark.implicits._
+    (for (day <- 0 until 3; u <- 0 until 30) yield
+      (java.sql.Timestamp.valueOf(s"2024-01-0${day + 1} 12:00:00"),
+       u.toLong)).toDF("ts", "user_id")
+  }
+
+  // erase doc/vec ids ≡ 0 mod 5; users ≡ 0 mod 5
+  private def eraseDocs =
+    docs.filter(col("doc_id") % 5 === 0).select(col("doc_id").as("corpus_id"))
+  private def eraseVecs =
+    emb.filter(col("vec_id") % 5 === 0).select(col("vec_id").as("corpus_id"))
+  private def eraseHs =
+    events.select("user_id").distinct().filter(col("user_id") % 5 === 0)
+      .select(Erasure.kmvUserHash(col("user_id")).as("h"))
+
+  private def buildEstate(tag: String): Erasure.EstateNames = {
+    val nm = Erasure.EstateNames(
+      s"est_spec_fp_$tag", s"est_spec_mh_$tag", s"est_spec_bm_$tag",
+      s"est_spec_pos_$tag", s"est_spec_lsh_$tag", s"est_spec_ivf_$tag",
+      s"est_spec_pq_$tag", s"est_spec_kmv_$tag")
+    IndexStore.saveFingerprintIndex(
+      Dedup.fingerprintIndex(docs, "doc_id", "text"), nm.fingerprint)
+    IndexStore.saveMinhashIndex(
+      Dedup.minhashIndexPortable(docs, "doc_id", "text",
+                                 k = 5, numHashes = 16, bands = 4,
+                                 maxBucket = 100), nm.minhash)
+    IndexStore.saveBm25Index(
+      Relevance.bm25Index(docs, "doc_id", "text"), nm.bm25)
+    IndexStore.savePositionalIndex(
+      Relevance.positionalIndex(docs, "doc_id", "text"), nm.positional)
+    IndexStore.saveLshIndex(
+      Similarity.lshIndex(emb, dim = 8, nBits = 4), nm.lsh)
+    IndexStore.saveIvfIndex(
+      Similarity.ivfIndex(emb, nCells = 2, seed = 7L), nm.ivf)
+    IndexStore.savePqIndex(
+      Similarity.pqIndex(emb, nSub = 2, nCodes = 2, seed = 7L), nm.pq)
+    IndexStore.savePlainArtifact(Erasure.kmvDailySketch(events, k = 8),
+                                 nm.kmv)
+    nm
+  }
+
+  private def dropEstate(nm: Erasure.EstateNames): Unit =
+    Seq(nm.fingerprint, nm.minhash, nm.bm25, nm.positional, nm.lsh,
+        nm.ivf, nm.pq, nm.kmv).foreach(IndexStore.drop(spark, _))
+
+  /** Per-family survivor counts against the given erase sets, measured
+    * from the RELOADED current versions — the q283 audit column.
+    */
+  private def survivors(nm: Erasure.EstateNames): Map[String, Long] = {
+    val dAsDoc = eraseDocs.select(col("corpus_id").as("doc_id"))
+    Map(
+      "fingerprint" -> IndexStore.loadFingerprintIndex(spark, nm.fingerprint)
+        .join(eraseDocs, Seq("corpus_id"), "left_semi").count(),
+      "minhash_buckets" -> IndexStore.loadMinhashIndex(spark, nm.minhash)
+        .buckets.join(eraseDocs, Seq("corpus_id"), "left_semi").count(),
+      "minhash_shingles" -> IndexStore.loadMinhashIndex(spark, nm.minhash)
+        .shingles.join(eraseDocs, Seq("corpus_id"), "left_semi").count(),
+      "bm25_postings" -> IndexStore.loadBm25Index(spark, nm.bm25)
+        .postings.join(dAsDoc, Seq("doc_id"), "left_semi").count(),
+      "positional" -> IndexStore.loadPositionalIndex(spark, nm.positional)
+        .join(dAsDoc, Seq("doc_id"), "left_semi").count(),
+      "lsh" -> IndexStore.loadLshIndex(spark, nm.lsh)
+        .join(eraseVecs, Seq("corpus_id"), "left_semi").count(),
+      "ivf" -> IndexStore.loadIvfIndex(spark, nm.ivf)
+        .assigned.join(eraseVecs, Seq("corpus_id"), "left_semi").count(),
+      "pq" -> IndexStore.loadPqIndex(spark, nm.pq)
+        .codes.join(eraseVecs, Seq("corpus_id"), "left_semi").count(),
+      "kmv_daily" -> IndexStore.loadPlainArtifact(spark, nm.kmv)
+        .join(eraseHs, Seq("h"), "left_semi").count())
+  }
+
+  test("eraseEstate scrubs every family; survivors audit reads zero " +
+       "from the published next versions") {
+    val nm = buildEstate("full")
+    try {
+      val before = survivors(nm)
+      assert(before.values.forall(_ > 0),
+             s"fixture must plant erased rows in every family: $before")
+      Erasure.eraseEstate(spark, nm, eraseDocs, eraseVecs, eraseHs)
+      val after = survivors(nm)
+      assert(after.values.forall(_ == 0L),
+             s"post-sweep survivors must all be zero: $after")
+      // and surviving subjects keep their rows (erase-proportional,
+      // not a wipe): doc 1's postings survive
+      assert(IndexStore.loadBm25Index(spark, nm.bm25).postings
+               .filter(col("doc_id") === 1L).count() > 0)
+    } finally dropEstate(nm)
+  }
+
+  test("a family the sweep misses FIRES the survivor audit " +
+       "(non-tautology: the check is measured, not structural)") {
+    val nm = buildEstate("miss")
+    try {
+      // partial sweep: every family EXCEPT positional
+      IndexStore.saveFingerprintIndex(
+        Dedup.eraseFromFingerprintIndex(
+          IndexStore.loadFingerprintIndex(spark, nm.fingerprint),
+          eraseDocs), nm.fingerprint)
+      IndexStore.saveMinhashIndex(
+        Dedup.eraseFromMinhashIndex(
+          IndexStore.loadMinhashIndex(spark, nm.minhash), eraseDocs),
+        nm.minhash)
+      IndexStore.saveBm25Index(
+        Relevance.deleteFromBm25Index(
+          IndexStore.loadBm25Index(spark, nm.bm25), eraseDocs), nm.bm25)
+      IndexStore.saveLshIndex(
+        Similarity.eraseFromLshIndex(
+          IndexStore.loadLshIndex(spark, nm.lsh), eraseVecs), nm.lsh)
+      IndexStore.saveIvfIndex(
+        Similarity.eraseFromIvfIndex(
+          IndexStore.loadIvfIndex(spark, nm.ivf), eraseVecs), nm.ivf)
+      IndexStore.savePqIndex(
+        Similarity.eraseFromPqIndex(
+          IndexStore.loadPqIndex(spark, nm.pq), eraseVecs), nm.pq)
+      IndexStore.savePlainArtifact(
+        Erasure.eraseFromKmvSketch(
+          IndexStore.loadPlainArtifact(spark, nm.kmv), eraseHs), nm.kmv)
+      val after = survivors(nm)
+      assert(after("positional") > 0L,
+             "the missed family must show nonzero survivors")
+      assert(after.filterNot(_._1 == "positional").values.forall(_ == 0L))
+    } finally dropEstate(nm)
+  }
+
+  test("fingerprint min-owner corner: erased index drops the shared fp " +
+       "row; net rebuild re-keys it under the survivor (measured gap)") {
+    val erased = Dedup.eraseFromFingerprintIndex(
+      Dedup.fingerprintIndex(docs, "doc_id", "text"), eraseDocs)
+    val rebuilt = Dedup.fingerprintIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+    // doc 0 (erased) owns the fp it shares with doc 31: gone from the
+    // erased index, present in the rebuild keyed to 31
+    assert(erased.filter(col("corpus_id") === 31L).count() == 0L)
+    assert(rebuilt.filter(col("corpus_id") === 31L).count() == 1L)
+    val gap = rebuilt.count() - erased.count()
+    assert(gap == 1L, s"exactly the one shared-text fp resurrects: $gap")
+    // conservative direction: every erased-index row is in the rebuild
+    assert(erased.join(rebuilt, Seq("fp", "corpus_id"), "left_anti")
+             .count() == 0L)
+  }
+
+  test("positional erase ≡ net-corpus rebuild exactly") {
+    // collected-set compare (exceptAll over two plans sharing the same
+    // base lineage misbinds the rewritten attribute ids)
+    def rows(df: DataFrame): Set[String] = df.select(
+        concat_ws("|", col("token"), col("doc_id").cast("string"),
+                  array_join(transform(col("positions"),
+                                       p => p.cast("string")), ",")))
+      .collect().map(_.getString(0)).toSet
+    val erased = rows(Relevance.eraseFromPositionalIndex(
+      Relevance.positionalIndex(docs, "doc_id", "text"), eraseDocs))
+    val rebuilt = rows(Relevance.positionalIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text"))
+    assert(erased == rebuilt)
+    assert(erased.nonEmpty)
+  }
+
+  test("KMV erased sketch = per-day prefix of the net rebuild " +
+       "(reduced effective k — precision pays, never validity)") {
+    val full = Erasure.kmvDailySketch(events, k = 8)
+    val erased = Erasure.eraseFromKmvSketch(full, eraseHs)
+    val rebuilt = Erasure.kmvDailySketch(
+      events.filter(col("user_id") % 5 =!= 0), k = 8)
+    // every surviving row is in the rebuild (subset) …
+    assert(erased.join(rebuilt, Seq("day", "h"), "left_anti").count() == 0)
+    // … and is exactly the rebuild's SMALLEST hashes per day: no
+    // rebuild hash below the erased sketch's max is missing
+    val mx = erased.groupBy("day").agg(max("h").as("mx"), count(lit(1)).as("n"))
+    val prefix = rebuilt.join(mx, Seq("day"))
+      .filter(col("h") <= col("mx"))
+      .groupBy("day").agg(count(lit(1)).as("np"))
+    val bad = mx.join(prefix, Seq("day"))
+      .filter(col("np") =!= col("n")).count()
+    assert(bad == 0L, "erased rows must be the per-day bottom prefix")
+    // the fixture really exercises replacement: rebuild has more rows
+    assert(rebuilt.count() > erased.count())
+  }
+}
