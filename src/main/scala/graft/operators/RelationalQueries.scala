@@ -1025,6 +1025,71 @@ object RelationalQueries {
            count(lit(1)).as("bn"), count_distinct(col("vm")).as("bndv"))
   }
 
+  /** [[valueHistogramBins]] generalized to an integer key column:
+    * equi-height bins over (keyCol, tieCol)-ranked rows via the same
+    * two-phase prefix sum (never a single-partition window), emitting
+    * per-bin (blo, bhi, bn, bndv). The tie key packs as
+    * `key·10¹² + tie` — callers own the no-overflow contract (both
+    * fixtures here are small ids).
+    */
+  private[graft] def keyHistogramBins(ev: DataFrame, keyCol: String,
+                                      tieCol: String, nBins: Int)
+      : DataFrame = {
+    val v = ev.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("long").as("kv"), col(tieCol).as("__t"))
+      .withColumn("skey", col("kv") * lit(1000000000000L) + col("__t"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.llm.Sharding
+      .tokenOffsets(v, "skey", "one", nBuckets = 32, shardTokens = 1L)
+    ranked
+      .crossJoin(broadcast(ranked.agg(count(lit(1)).as("__n"))))
+      .withColumn("bin", expr(s"global_offset * $nBins DIV __n"))
+      .groupBy("bin")
+      .agg(min("kv").as("blo"), max("kv").as("bhi"),
+           count(lit(1)).as("bn"), count_distinct(col("kv")).as("bndv"))
+  }
+
+  /** Histogram JOIN-cardinality estimation vs the NDV-uniform textbook
+    * estimate vs ground truth — q281's experiment moved from
+    * `FilterEstimation` to `JoinEstimation` (closing the estimator gap
+    * q263/q273 quantified): a SELF-join on the long-tailed integer key
+    * `floor(events.value)` (the natural ids in the testdata are
+    * near-uniform — ratio ≤ 1.2 — while the value head concentrates:
+    * Σc²/(n²/ndv) = 1.8 at sf0.001, 3.0 at sf0.01, growing with SF).
+    * Emit the uniform estimate `n²/ndv`, the 16-bin equi-height
+    * histogram estimate (Catalyst's per-bin overlap rule specialized
+    * to identical bins on both sides: Σ bn²/bndv), and the exact truth
+    * Σc² — measured: uniform errs 45–66%, the bins 15–20%.
+    * StatsCatalogSpec publishes the SAME bins as a catalog `Histogram`
+    * and pins that Catalyst's own JoinEstimation rowCount moves the
+    * same way. All-integer, fully oracle-checked.
+    * Scale shape: one per-key agg + the two-phase ranked binning — no
+    * join is ever executed; the truth folds from the per-key counts.
+    */
+  def q284HistJoinEstimate(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(floor(col("value")).cast("long").as("vk"),
+              col("event_id"))
+    val bins = keyHistogramBins(ev, "vk", "event_id", 16)
+    val perKey = ev.groupBy("vk").agg(count(lit(1)).as("c"))
+    val tot = perKey.agg(sum("c").as("n"),
+                         count(lit(1)).as("ndv"),
+                         sum(col("c") * col("c")).as("true_card"))
+    val hist = bins.agg(sum(expr("bn * bn DIV bndv")).as("hist_est"))
+    val base = tot.crossJoin(broadcast(hist))
+    base.select(lit("a_ndv_uniform").as("estimator"),
+                expr("n * n DIV ndv").cast("long").as("est_card"),
+                col("true_card").cast("long").as("true_card"))
+      .unionByName(
+        base.select(lit("b_histogram_16").as("estimator"),
+                    col("hist_est").cast("long").as("est_card"),
+                    col("true_card").cast("long").as("true_card")))
+      .withColumn("err_ppm",
+        expr("abs(est_card - true_card) * 1000000 DIV true_card"))
+      .orderBy("estimator")
+  }
+
   /** Histogram-corrected selectivity vs the uniform assumption — the
     * estimator experiment beside its planner hookup (StatsCatalogSpec
     * publishes the same bins as a Catalyst `Histogram` and pins that
@@ -1150,6 +1215,7 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q281_histogram_estimate" -> (q281HistogramEstimate(_, _)),
+    "q284_hist_join_estimate" -> (q284HistJoinEstimate(_, _)),
     "q280_cbo_join_reorder" -> (q280CboJoinReorder(_, _)),
     "q278_cbo_broadcast_flip" -> (q278CboBroadcastFlip(_, _)),
     "q275_view_erasure" -> (q275ViewErasure(_, _)),
@@ -1280,6 +1346,37 @@ object RelationalQueries {
     // q281: bins (exact ntile cut over the collision-free sort key),
     // both estimators, and both errors replayed bit-for-bit — every
     // quotient non-negative, so DuckDB // ≡ Spark DIV
+    "q284_hist_join_estimate" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(value) AS BIGINT) AS kv, event_id
+        |  FROM events WHERE value IS NOT NULL),
+        |pk AS (SELECT kv, CAST(count(*) AS BIGINT) AS c
+        |       FROM v GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |             CAST(count(*) AS BIGINT) AS ndv,
+        |             CAST(sum(c * c) AS BIGINT) AS true_card FROM pk),
+        |r AS (
+        |  SELECT kv, CAST(row_number() OVER (
+        |    ORDER BY kv * 1000000000000 + event_id) - 1 AS BIGINT)
+        |    AS rk
+        |  FROM v),
+        |bins AS (
+        |  SELECT rk * 16 // (SELECT n FROM t) AS bin,
+        |    CAST(count(*) AS BIGINT) AS bn,
+        |    CAST(count(DISTINCT kv) AS BIGINT) AS bndv
+        |  FROM r GROUP BY 1),
+        |h AS (SELECT CAST(sum(bn * bn // bndv) AS BIGINT) AS hist_est
+        |      FROM bins),
+        |e AS (
+        |  SELECT 'a_ndv_uniform' AS estimator, n * n // ndv AS est_card,
+        |    true_card FROM t
+        |  UNION ALL
+        |  SELECT 'b_histogram_16', hist_est, true_card FROM h, t)
+        |SELECT estimator, CAST(est_card AS BIGINT) AS est_card,
+        |  true_card,
+        |  CAST(abs(est_card - true_card) * 1000000 // true_card
+        |       AS BIGINT) AS err_ppm
+        |FROM e ORDER BY estimator""".stripMargin,
     "q281_histogram_estimate" ->
       """WITH v AS (
         |  SELECT CAST(floor(value * 1000) AS BIGINT) AS vm, event_id

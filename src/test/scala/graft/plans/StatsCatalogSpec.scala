@@ -119,6 +119,55 @@ class StatsCatalogSpec extends SparkSpec {
              s"$withHist vs $withoutHist (true $trueRows)")
   }
 
+  test("q284's bins published as a Catalyst Histogram reach " +
+       "JOIN estimation: the self-join rowCount on the skewed " +
+       "floor(value) key moves from the NDV-uniform guess toward " +
+       "the Σc² truth") {
+    // materialize the derived long-tailed key as a catalog table
+    // (catalog stats hang off columns, not expressions) — the same
+    // key q284 measures
+    val vk = graft.sources.Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
+      .select(floor(col("value")).cast("long").as("vk"),
+              col("event_id"))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_jehist_").toString
+    vk.write.mode("overwrite").parquet(s"$base/events_vk.parquet")
+    val t = StatsCatalog.ensureTable(spark, base, "events_vk")
+    StatsCatalog.publish(spark, t, Seq("vk"))
+    def joinEst(): Long =
+      StatsCatalog.withConfs(spark,
+        "spark.sql.cbo.enabled" -> "true") {
+        spark.catalog.refreshTable(t)
+        val a = spark.table(t).select(col("vk"))
+        val b = spark.table(t).select(col("vk").as("vk2"))
+        a.join(b, col("vk") === col("vk2"))
+          .queryExecution.optimizedPlan.stats.rowCount.get.toLong
+      }
+    val truth = spark.table(t).groupBy("vk").count()
+      .agg(sum(col("count") * col("count"))).head().getLong(0)
+    val uniform = joinEst()
+    assert(uniform < truth,
+           s"fixture drift: uniform must under-estimate the skewed " +
+             s"self-join ($uniform vs true $truth)")
+    // publish the SAME equi-height bins q284 computes
+    val bins = graft.operators.RelationalQueries
+      .keyHistogramBins(spark.table(t), "vk", "event_id", 16)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble,
+                 r.getLong(4)))
+    val n = spark.table(t).count()
+    StatsCatalog.publishHistogram(spark, t, "vk", bins.toSeq,
+                                  n.toDouble / 16)
+    val withHist = joinEst()
+    assert(math.abs(withHist - truth) < math.abs(uniform - truth),
+           s"histogram join estimate must be closer to the truth: " +
+             s"$withHist vs uniform $uniform (true $truth)")
+    assert(withHist > uniform,
+           s"on an under-estimated skewed key the histogram must " +
+             s"raise the estimate: $withHist vs $uniform")
+  }
+
   test("publish normalizes session-dependent external types: " +
        "Instant/LocalDate (java8API on) and Timestamp/Date/BigDecimal " +
        "land as identical catalog strings") {
