@@ -1569,6 +1569,59 @@ object ScaleProbe {
                 erase.count())
       }
     }
+    // Round-14 CBO-estate probes (q278/q280/q281/q284): each runs
+    // END-TO-END — internal ANALYZE publishes, per-scenario plan
+    // recompiles, the two-phase histogram binning — over an ×N copy
+    // of its tables written to a temp dir. Expect sub-linear growth
+    // (the collector is one partial-agg scan; plan compilation is
+    // size-independent), and the q278 flip must HOLD at every ×N:
+    // its threshold derives from the stats-blind estimate (half of
+    // it), so both sides scale together by construction — the probe
+    // checks the construction.
+    section("cbo_flip cbo_reorder cbo_hist cbo_joinhist") {
+      import java.nio.file.Files
+      import graft.operators.RelationalQueries
+      for (n <- Seq(1, 5, 20)) {
+        val tmp = Files.createTempDirectory(s"graft_cbo_x${n}_")
+          .toString
+        def writeX(t: String, keyCols: Seq[String],
+                   copies: Int): Long = {
+          val base = if (t == "events") Tables.events(spark, dir)
+                     else Tables.table(spark, dir, t)
+          val x = (0 until copies).map { i =>
+            keyCols.foldLeft(base)((d, c) =>
+              d.withColumn(c, col(c) + lit(i * 10000000L)))
+          }.reduce(_ union _)
+          x.write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+          x.count()
+        }
+        val nc = writeX("customer", Seq("c_custkey"), n)
+        writeX("orders", Seq("o_orderkey", "o_custkey"), n)
+        writeX("nation", Seq(), 1) // dimensions don't replicate
+        val ne = writeX("events", Seq("event_id"), n)
+        time(s"cbo_flip       n=$n ($nc cust)") {
+          val strat = RelationalQueries
+            .q278CboBroadcastFlip(spark, tmp).collect()
+            .map(r => r.getString(0) -> r.getString(1)).toMap
+          require(strat("c_stats_cbo_on") == "BroadcastHashJoin" &&
+                    strat("a_no_stats_cbo_on") == "SortMergeJoin",
+                  s"q278 flip lost at x$n: ${strat.toSeq.sorted}")
+        }
+        time(s"cbo_reorder    n=$n") {
+          val bottom = RelationalQueries
+            .q280CboJoinReorder(spark, tmp).collect()
+            .map(r => r.getString(0) -> r.getString(1)).toMap
+          require(bottom("b_reordered") == "customer+nation",
+                  s"q280 reorder lost at x$n: ${bottom.toSeq.sorted}")
+        }
+        time(s"cbo_hist       n=$n ($ne events)") {
+          noop(RelationalQueries.q281HistogramEstimate(spark, tmp))
+        }
+        time(s"cbo_joinhist   n=$n ($ne events)") {
+          noop(RelationalQueries.q284HistJoinEstimate(spark, tmp))
+        }
+      }
+    }
     spark.stop()
   }
 }
