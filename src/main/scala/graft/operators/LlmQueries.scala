@@ -6904,68 +6904,87 @@ object LlmQueries {
                 (lit(rebuilt) - col("n_rows")).as("n_rebuild_gap"),
                 col("digest"))
 
-    val netMh = Dedup.minhashIndexPortable(netDocs, "doc_id", "text",
-                                           k = 5, numHashes = 32,
-                                           bands = 8, maxBucket = 1000)
+    // The rebuild-gap TARGETS (per-family net-corpus rebuild row
+    // counts) are the scheduled-audit leg — at 100 TB this is a
+    // sampled periodic job, not part of every attestation read — so
+    // they memoize per (process, dir) like the index builds. The
+    // survivor counts and content digests below re-measure from the
+    // PERSISTED current versions on every call: that is the live
+    // audit.
+    val rebuilt = q283RebuiltSaved.getOrElseUpdate(dir, {
+      val netMh = Dedup.minhashIndexPortable(netDocs, "doc_id", "text",
+                                             k = 5, numHashes = 32,
+                                             bands = 8, maxBucket = 1000)
+      Map(
+        "fingerprint" ->
+          Dedup.fingerprintIndex(netDocs, "doc_id", "text").count(),
+        "minhash_buckets" -> netMh.buckets.count(),
+        "minhash_shingles" -> netMh.shingles.count(),
+        "bm25_postings" ->
+          Relevance.bm25Index(netDocs, "doc_id", "text")
+            .postings.count(),
+        "bm25_stats" -> 1L,
+        "positional" ->
+          Relevance.positionalIndex(netDocs, "doc_id", "text").count(),
+        "lsh" -> Similarity.lshIndex(netEmb, dim = 64, nBits = 6)
+          .count(),
+        "ivf" -> Similarity.assignToCells(ivf.centroids, netEmb)
+          .count(),
+        "pq" -> Similarity.pqAssignCodes(
+          pq.codebooks,
+          netEmb.select(col("vec_id").as("corpus_id"),
+                        col("embedding").as("cvec")),
+          pq.subDim).count(),
+        "kmv_daily" -> Erasure.kmvDailySketch(netEv).count())
+    })
     val fams = Seq(
       row("fingerprint", fp,
           concat_ws(":", col("fp"), col("corpus_id").cast("string")),
-          surv(fp, eraseDocs, "corpus_id"),
-          Dedup.fingerprintIndex(netDocs, "doc_id", "text").count()),
+          surv(fp, eraseDocs, "corpus_id"), rebuilt("fingerprint")),
       row("minhash_buckets", mh.buckets,
           concat_ws(":", col("corpus_id").cast("string"),
                     col("band").cast("string"),
                     col("bucket").cast("string")),
           surv(mh.buckets, eraseDocs, "corpus_id"),
-          netMh.buckets.count()),
+          rebuilt("minhash_buckets")),
       row("minhash_shingles", mh.shingles,
           concat_ws(":", col("corpus_id").cast("string"),
                     array_join(transform(array_sort(col("shh")),
                                          h => h.cast("string")), ",")),
           surv(mh.shingles, eraseDocs, "corpus_id"),
-          netMh.shingles.count()),
+          rebuilt("minhash_shingles")),
       row("bm25_postings", bm.postings,
           concat_ws(":", col("token"), col("doc_id").cast("string"),
                     col("dl").cast("string"),
                     col("tf").cast("long").cast("string")),
           surv(bm.postings, eraseDocsAsDoc, "doc_id"),
-          Relevance.bm25Index(netDocs, "doc_id", "text")
-            .postings.count()),
+          rebuilt("bm25_postings")),
       row("bm25_stats", bm.stats,
           concat_ws(":", col("n_docs").cast("string"),
                     col("sum_dl").cast("string")),
-          0L, 1L),
+          0L, rebuilt("bm25_stats")),
       row("positional", pos,
           concat_ws(":", col("token"), col("doc_id").cast("string"),
                     array_join(transform(col("positions"),
                                          p => p.cast("string")), ",")),
-          surv(pos, eraseDocsAsDoc, "doc_id"),
-          Relevance.positionalIndex(netDocs, "doc_id", "text").count()),
+          surv(pos, eraseDocsAsDoc, "doc_id"), rebuilt("positional")),
       row("lsh", lsh,
           concat_ws(":", col("corpus_id").cast("string"),
                     col("bucket").cast("string")),
-          surv(lsh, eraseVecs, "corpus_id"),
-          Similarity.lshIndex(netEmb, dim = 64, nBits = 6).count()),
+          surv(lsh, eraseVecs, "corpus_id"), rebuilt("lsh")),
       row("ivf", ivf.assigned,
           concat_ws(":", col("corpus_id").cast("string"),
                     col("cell").cast("string")),
-          surv(ivf.assigned, eraseVecs, "corpus_id"),
-          Similarity.assignToCells(ivf.centroids, netEmb).count()),
+          surv(ivf.assigned, eraseVecs, "corpus_id"), rebuilt("ivf")),
       row("pq", pq.codes,
           concat_ws(":", col("corpus_id").cast("string"),
                     array_join(transform(col("codes"),
                                          c => c.cast("string")), ",")),
-          surv(pq.codes, eraseVecs, "corpus_id"),
-          Similarity.pqAssignCodes(
-            pq.codebooks,
-            netEmb.select(col("vec_id").as("corpus_id"),
-                          col("embedding").as("cvec")),
-            pq.subDim).count()),
+          surv(pq.codes, eraseVecs, "corpus_id"), rebuilt("pq")),
       row("kmv_daily", kmv,
           concat_ws(":", col("day").cast("string"),
                     col("h").cast("string")),
-          surv(kmv, eraseHs, "h"),
-          Erasure.kmvDailySketch(netEv).count())
+          surv(kmv, eraseHs, "h"), rebuilt("kmv_daily"))
     ).reduce(_ unionByName _)
     val estate = fams.agg(
         sum("n_rows").cast("long").as("n_rows"),
@@ -6981,6 +7000,8 @@ object LlmQueries {
     fams.unionByName(estate).orderBy("artifact")
   }
   private val q283Saved = new graft.SavedOnce[String, Erasure.EstateNames]
+  private val q283RebuiltSaved =
+    new graft.SavedOnce[String, Map[String, Long]]
   @volatile private var q283CentroidRows: String = ""
   @volatile private var q283CodebookRows: String = ""
 

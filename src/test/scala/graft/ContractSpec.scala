@@ -75,7 +75,8 @@ class ContractSpec extends SparkSpec {
         "q59_pack_stats", "q148_ann_recall_multi", "q152_ivf_roll",
         "q160_semantic_decon_ivf", "q166_unigram_segment",
         "q168_pq_ann", "q169_pq_roll", "q170_tokenizer_compare",
-        "q174_ivf_pq_ann", "q177_streaming_pq_encode")
+        "q174_ivf_pq_ann", "q177_streaming_pq_encode",
+        "q283_estate_erasure")
       .foreach(n => SparkEntry.queries(n)(spark, sf0001).count())
     val tmp = java.nio.file.Files.createTempFile("oracle_sql", ".json")
     java.nio.file.Files.writeString(tmp, Verify.oracleJson())
