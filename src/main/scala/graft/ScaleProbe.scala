@@ -1578,6 +1578,45 @@ object ScaleProbe {
     // its threshold derives from the stats-blind estimate (half of
     // it), so both sides scale together by construction — the probe
     // checks the construction.
+    // Round-14 estate-erasure probe (q283): the WHOLE job — eight
+    // index builds, the erase sweep, and the attestation (survivor
+    // semi-joins + content digests + memoized rebuild targets) — over
+    // an ×N copy of documents/embeddings/events. Build + rebuild legs
+    // are corpus-scan-bound (minhash signatures dominate); the sweep
+    // itself is erase-proportional anti-joins; digests shuffle only
+    // leaf md5s into ≤64 buckets per family. Expect scan-linear
+    // growth, nothing super-linear.
+    section("estate_erase") {
+      import java.nio.file.Files
+      import graft.operators.LlmQueries
+      for (n <- Seq(1, 5, 20)) {
+        val tmp = Files.createTempDirectory(s"graft_est_x${n}_")
+          .toString
+        val d = (0 until n).map { i =>
+          Tables.documents(spark, dir)
+            .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+            .withColumn("text",
+              if (i == 0) col("text")
+              else concat(col("text"), lit(s" e$i")))
+        }.reduce(_ union _)
+        d.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+        embX(n).write.mode("overwrite")
+          .parquet(s"$tmp/embeddings.parquet")
+        val e = (0 until n).map(i =>
+          Tables.events(spark, dir)
+            .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+            .withColumn("user_id", col("user_id") + lit(i * 10000L)))
+          .reduce(_ union _)
+        e.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+        val rows = d.count()
+        time(s"estate_erase   n=$n ($rows docs)") {
+          noop(LlmQueries.q283EstateErasure(spark, tmp))
+        }
+        time(s"estate_attest  n=$n (re-read only)") {
+          noop(LlmQueries.q283EstateErasure(spark, tmp))
+        }
+      }
+    }
     section("cbo_flip cbo_reorder cbo_hist cbo_joinhist") {
       import java.nio.file.Files
       import graft.operators.RelationalQueries

@@ -123,6 +123,35 @@ class ErasureSpec extends SparkSpec {
     } finally dropEstate(nm)
   }
 
+  test("re-running the sweep is idempotent: a second eraseEstate " +
+       "changes no family's row count (the crash-recovery contract — " +
+       "a job that died mid-sweep just runs again)") {
+    val nm = buildEstate("idem")
+    try {
+      Erasure.eraseEstate(spark, nm, eraseDocs, eraseVecs, eraseHs)
+      def counts(): Seq[Long] = Seq(
+        IndexStore.loadFingerprintIndex(spark, nm.fingerprint).count(),
+        IndexStore.loadMinhashIndex(spark, nm.minhash).buckets.count(),
+        IndexStore.loadMinhashIndex(spark, nm.minhash).shingles.count(),
+        IndexStore.loadBm25Index(spark, nm.bm25).postings.count(),
+        IndexStore.loadPositionalIndex(spark, nm.positional).count(),
+        IndexStore.loadLshIndex(spark, nm.lsh).count(),
+        IndexStore.loadIvfIndex(spark, nm.ivf).assigned.count(),
+        IndexStore.loadPqIndex(spark, nm.pq).codes.count(),
+        IndexStore.loadPlainArtifact(spark, nm.kmv).count())
+      val first = counts()
+      Erasure.eraseEstate(spark, nm, eraseDocs, eraseVecs, eraseHs)
+      assert(counts() == first,
+             "the second sweep must be a row-for-row no-op")
+      // and the BM25 sufficient statistics must not double-subtract
+      val stats = IndexStore.loadBm25Index(spark, nm.bm25).stats.head()
+      val netDocs = docs.filter(col("doc_id") % 5 =!= 0).count()
+      assert(stats.getLong(0) == netDocs,
+             s"n_docs must equal the net corpus after re-running: " +
+               s"${stats.getLong(0)} vs $netDocs")
+    } finally dropEstate(nm)
+  }
+
   test("a family the sweep misses FIRES the survivor audit " +
        "(non-tautology: the check is measured, not structural)") {
     val nm = buildEstate("miss")
