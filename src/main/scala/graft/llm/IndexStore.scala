@@ -235,9 +235,20 @@ object IndexStore {
     val cur = currentVersion(fs, base)
     require(cur.isDefined,
             s"no committed index version under $base (missing $CommitFile)")
-    val vt = versionedName(table, cur.get)
+    resolveVersion(spark, table, cur.get, base, fs)
+  }
+
+  /** Register (if needed) and return the catalog name of ONE committed
+    * version — [[resolve]]'s per-version core, also used directly by
+    * the erasure-horizon audit to read versions BEHIND the current one.
+    */
+  private def resolveVersion(spark: SparkSession, table: String, v: Int,
+                             base: Path, fs: FileSystem): String = {
+    require(isCommitted(fs, base, v),
+            s"version $v of $table is not committed under $base")
+    val vt = versionedName(table, v)
     if (!spark.catalog.tableExists(vt)) {
-      val vdir = new Path(base, s"__v${cur.get}")
+      val vdir = new Path(base, s"__v$v")
       val spec = readSmallFile(fs, new Path(vdir, SpecFile))
       val Array(nb, keys, ddl) = spec.split("\n", 3)
       val clustered =
@@ -258,6 +269,31 @@ object IndexStore {
       }
     }
     vt
+  }
+
+  /** Every RETAINED committed version number of `{table}`, ascending —
+    * the enumeration the erasure-horizon audit (q285) walks: "the
+    * subject is erased" is a property of EVERY version a reader can
+    * still resolve, not just the current one; the retention horizon IS
+    * the erasure deadline.
+    */
+  private[graft] def retainedVersionNumbers(
+      spark: SparkSession, table: String,
+      dir: Option[String] = None): Seq[Int] = {
+    val base = new Path(location(spark, table, dir))
+    val fs = fileSystem(spark, base)
+    allVersions(fs, base).filter(isCommitted(fs, base, _)).sorted
+  }
+
+  /** Load ONE committed version of `{table}` (audit/ops hook — normal
+    * readers go through the current-version loaders).
+    */
+  private[graft] def loadTableVersion(
+      spark: SparkSession, table: String, v: Int,
+      dir: Option[String] = None): DataFrame = {
+    val base = new Path(location(spark, table, dir))
+    spark.table(resolveVersion(spark, table, v, base,
+                               fileSystem(spark, base)))
   }
 
   /** The live versioned catalog name for `{table}` (test/ops hook). */

@@ -7002,6 +7002,76 @@ object LlmQueries {
   private val q283Saved = new graft.SavedOnce[String, Erasure.EstateNames]
   private val q283RebuiltSaved =
     new graft.SavedOnce[String, Map[String, Long]]
+
+  /** ERASURE HORIZON attestation — the retention loophole the
+    * current-version audits (q282/q283) cannot see: a versioned store
+    * RETAINS the pre-erasure version until GC, so "the subject is
+    * erased" only becomes true estate-wide once the retention horizon
+    * passes (the horizon IS the erasure deadline — the claim every
+    * erase op's scaladoc makes, here MEASURED). The fixture walks the
+    * full lifecycle on the MinHash family: (1) full build — subject
+    * present, (2) the erasure publish, (3) one append-only roll of a
+    * content-disjoint delta — at which point keepVersions=2 GC drops
+    * the pre-erasure build. The attestation then enumerates EVERY
+    * retained committed version of both index tables
+    * ([[IndexStore.retainedVersionNumbers]]) and reports per (table,
+    * version rank): rows + survivors against an independently
+    * recomputed erase set, plus the RETENTION summary row (versions
+    * retained, versions still holding ANY subject row — must be 0).
+    * FULLY oracle-checked: DuckDB replays the erased index (signatures
+    * + full-corpus guard, survivors filtered) and the rolled index
+    * (union with the delta's replayed signatures, guard recounted)
+    * row-count-exact, and pins retention at exactly 2 versions.
+    *
+    * 100 TB shape: the walk is bounded by keepVersions (2 here — a
+    * privacy office sizes it to the erasure deadline); each version's
+    * survivor check is one erase-proportional semi-join.
+    */
+  def q285ErasureHorizon(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val name = q285Saved.getOrElseUpdate(dir, {
+      val n = "graft_mh_q285_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      IndexStore.saveMinhashIndex(
+        Dedup.minhashIndexPortable(docs, "doc_id", "text",
+                                   k = 5, numHashes = 32, bands = 8,
+                                   maxBucket = 1000), n)
+      val erase = RelationalQueries.gatedBroadcast(graft.Materialize(
+        docs.filter(col("doc_id") % 23 === 0)
+          .select(col("doc_id").as("corpus_id"))))
+      IndexStore.saveMinhashIndex(
+        Dedup.eraseFromMinhashIndex(
+          IndexStore.loadMinhashIndex(spark, n), erase), n)
+      val delta = docs.filter(col("doc_id") % 4 === 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+                concat(col("text"), lit(" hz")).as("text"))
+      IndexStore.saveMinhashIndex(
+        Dedup.mergeMinhashIndex(
+          IndexStore.loadMinhashIndex(spark, n), delta, "doc_id",
+          "text", k = 5, numHashes = 32, bands = 8, maxBucket = 1000),
+        n)
+      n
+    })
+    val eraseIds = docs.filter(col("doc_id") % 23 === 0)
+      .select(col("doc_id").as("corpus_id"))
+    def versionRows(tbl: String, label: String): Seq[(String, Long,
+                                                      Long, Long)] =
+      IndexStore.retainedVersionNumbers(spark, tbl).zipWithIndex.map {
+        case (v, i) =>
+          val df = IndexStore.loadTableVersion(spark, tbl, v)
+          (label, (i + 1).toLong, df.count(),
+           df.join(eraseIds, Seq("corpus_id"), "left_semi").count())
+      }
+    val fams = versionRows(s"${name}_buckets", "minhash_buckets") ++
+      versionRows(s"${name}_shingles", "minhash_shingles")
+    val retained = fams.map(_._2).max
+    val dirty = fams.groupBy(_._2)
+      .count { case (_, rs) => rs.exists(_._4 > 0) }.toLong
+    import spark.implicits._
+    (fams :+ (("RETENTION", 0L, retained, dirty)))
+      .toDF("artifact", "version_rank", "n_rows", "n_survivors")
+      .orderBy("artifact", "version_rank")
+  }
+  private val q285Saved = new graft.SavedOnce[String, String]
   @volatile private var q283CentroidRows: String = ""
   @volatile private var q283CodebookRows: String = ""
 
@@ -7762,6 +7832,7 @@ object LlmQueries {
     "q150_union_split"      -> (q150UnionSplit(_, _)),
     "q282_index_erasure"    -> (q282IndexErasure(_, _)),
     "q283_estate_erasure"   -> (q283EstateErasure(_, _)),
+    "q285_erasure_horizon"  -> (q285ErasureHorizon(_, _)),
     "q151_minhash_roll"     -> (q151MinhashRoll(_, _)),
     "q152_ivf_roll"         -> (q152IvfRoll(_, _)),
     "q153_lsh_roll"         -> (q153LshRoll(_, _)),
@@ -7956,8 +8027,12 @@ object LlmQueries {
     * ([[minhashPortableCtes]]) and the incremental oracle (q76), which
     * splits bd into corpus/batch sides instead of self-joining it.
     */
+  /** `p` prefixes every CTE name so two sig chains (e.g. corpus + a
+    * roll delta, q285) can coexist in one WITH — default "" keeps the
+    * historical names (nrm/sh/hs/sg/bd) for the existing callers.
+    */
   private def minhashSigCtes(source: String, k: Int, numHashes: Int,
-                             bands: Int): String = {
+                             bands: Int, p: String = ""): String = {
     import graft.functions.PortableHash
     val (pa, pb)    = PortableHash.perms(numHashes)
     val P           = PortableHash.P
@@ -7970,29 +8045,29 @@ object LlmQueries {
       val bucket = (0 until rowsPerBand).foldLeft(s"CAST(${b + 1} AS BIGINT)") {
         (acc, j) => s"(($acc) * $M + s${b * rowsPerBand + j}) % $P"
       }
-      s"  SELECT doc_id, $b AS band, ($bucket) AS bucket FROM sg"
+      s"  SELECT doc_id, $b AS band, ($bucket) AS bucket FROM ${p}sg"
     }.mkString("\n  UNION ALL\n")
-    s"""nrm AS (
+    s"""${p}nrm AS (
        |  SELECT doc_id,
        |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
        |  FROM $source),
-       |sh AS (
+       |${p}sh AS (
        |  SELECT doc_id,
        |    CASE WHEN length(nt) < $k THEN [nt]
        |         ELSE list_distinct(list_transform(
        |                generate_series(1, length(nt) - ${k - 1}),
        |                i -> substr(nt, i, $k)))
        |    END AS s
-       |  FROM nrm),
-       |hs AS (
+       |  FROM ${p}nrm),
+       |${p}hs AS (
        |  SELECT doc_id,
        |    list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
-       |  FROM sh),
-       |sg AS (
+       |  FROM ${p}sh),
+       |${p}sg AS (
        |  SELECT doc_id,
        |$sigCols
-       |  FROM hs),
-       |bd AS (
+       |  FROM ${p}hs),
+       |${p}bd AS (
        |$bandSelects)""".stripMargin
   }
 
@@ -9057,6 +9132,49 @@ object LlmQueries {
        |  md5(string_agg(digest, '' ORDER BY artifact))
        |FROM fams
        |ORDER BY artifact""".stripMargin
+
+  /** q285's erasure-horizon replay: the erased index (full-corpus
+    * signatures + build-time guard, erased owners filtered) and the
+    * rolled index (union with the delta's OWN replayed signature
+    * chain — the prefixed CTE set — guard recounted over the union),
+    * row-count-exact per retained version, retention pinned at 2.
+    */
+  private def q285OracleSql: String =
+    s"""WITH
+       |${minhashSigCtes("documents", 5, 32, 8)},
+       |hzdelta AS (
+       |  SELECT doc_id + 1000000 AS doc_id, text || ' hz' AS text
+       |  FROM documents WHERE doc_id % 4 = 2),
+       |${minhashSigCtes("hzdelta", 5, 32, 8, p = "d_")},
+       |v1b AS (
+       |  SELECT doc_id, band, bucket FROM bd
+       |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+       |v2b AS (SELECT * FROM v1b WHERE doc_id % 23 <> 0),
+       |v3b AS (
+       |  SELECT doc_id, band, bucket FROM (
+       |    SELECT doc_id, band, bucket FROM v2b
+       |    UNION ALL
+       |    SELECT doc_id, band, bucket FROM d_bd)
+       |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+       |s2 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM hs
+       |       WHERE doc_id % 23 <> 0),
+       |s3 AS (SELECT (SELECT c FROM s2) +
+       |              (SELECT CAST(count(*) AS BIGINT) FROM d_hs) AS c)
+       |SELECT 'RETENTION' AS artifact, CAST(0 AS BIGINT) AS version_rank,
+       |  CAST(2 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_survivors
+       |UNION ALL
+       |SELECT 'minhash_buckets', CAST(1 AS BIGINT),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM v2b), CAST(0 AS BIGINT)
+       |UNION ALL
+       |SELECT 'minhash_buckets', CAST(2 AS BIGINT),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM v3b), CAST(0 AS BIGINT)
+       |UNION ALL
+       |SELECT 'minhash_shingles', CAST(1 AS BIGINT),
+       |  (SELECT c FROM s2), CAST(0 AS BIGINT)
+       |UNION ALL
+       |SELECT 'minhash_shingles', CAST(2 AS BIGINT),
+       |  (SELECT c FROM s3), CAST(0 AS BIGINT)
+       |ORDER BY artifact, version_rank""".stripMargin
 
   /** The q39 LSH top-k replay (hyperplane projection from inlined
     * literals, multi-probe, in-bucket ranking) — shared by q39 and the
@@ -12376,6 +12494,7 @@ object LlmQueries {
                                     "AND doc_id % 23 <> 0",
                                   batchPred = "doc_id % 4 IN (2, 3)"),
     "q283_estate_erasure" -> q283OracleSql,
+    "q285_erasure_horizon" -> q285OracleSql,
     "q152_ivf_roll" -> q152OracleSql,
     "q141_epoch_expand" ->
       """WITH s AS (

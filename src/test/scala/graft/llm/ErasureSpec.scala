@@ -187,6 +187,49 @@ class ErasureSpec extends SparkSpec {
     } finally dropEstate(nm)
   }
 
+  test("erasure horizon (q285's loophole made visible): after the " +
+       "erasure publish the PRE-ERASURE version is still retained and " +
+       "still holds subject rows; the next roll's GC closes it") {
+    val n = "est_spec_hz"
+    try {
+      IndexStore.saveMinhashIndex(
+        Dedup.minhashIndexPortable(docs, "doc_id", "text",
+                                   k = 5, numHashes = 16, bands = 4,
+                                   maxBucket = 100), n)
+      IndexStore.saveMinhashIndex(
+        Dedup.eraseFromMinhashIndex(
+          IndexStore.loadMinhashIndex(spark, n), eraseDocs), n)
+      val tbl = s"${n}_buckets"
+      def survivorsByVersion(): Seq[(Int, Long)] =
+        IndexStore.retainedVersionNumbers(spark, tbl).map { v =>
+          v -> IndexStore.loadTableVersion(spark, tbl, v)
+            .join(eraseDocs, Seq("corpus_id"), "left_semi").count()
+        }
+      val afterErase = survivorsByVersion()
+      assert(afterErase.size == 2, s"keepVersions=2: $afterErase")
+      assert(afterErase.head._2 > 0,
+             "the RETAINED pre-erasure version must still hold " +
+               s"subject rows — that is the horizon: $afterErase")
+      assert(afterErase.last._2 == 0, s"current is clean: $afterErase")
+      // one roll later the pre-erasure version is GC'd
+      val delta = docs.filter(col("doc_id") === 1L)
+        .select((col("doc_id") + 500L).as("doc_id"),
+                concat(col("text"), lit(" hz")).as("text"))
+      IndexStore.saveMinhashIndex(
+        Dedup.mergeMinhashIndex(
+          IndexStore.loadMinhashIndex(spark, n), delta, "doc_id",
+          "text", k = 5, numHashes = 16, bands = 4, maxBucket = 100),
+        n)
+      val afterRoll = survivorsByVersion()
+      assert(afterRoll.size == 2 &&
+               afterRoll.forall(_._2 == 0L),
+             s"post-roll estate must be survivor-free everywhere: " +
+               s"$afterRoll")
+      assert(!afterRoll.map(_._1).contains(afterErase.head._1),
+             "the pre-erasure version number must be GONE")
+    } finally IndexStore.drop(spark, n)
+  }
+
   test("fingerprint min-owner corner: erased index drops the shared fp " +
        "row; net rebuild re-keys it under the survivor (measured gap)") {
     val erased = Dedup.eraseFromFingerprintIndex(
