@@ -7025,7 +7025,12 @@ object LlmQueries {
     *
     * 100 TB shape: the walk is bounded by keepVersions (2 here — a
     * privacy office sizes it to the erasure deadline); each version's
-    * survivor check is one erase-proportional semi-join.
+    * survivor check is one erase-proportional semi-join. MinHash is
+    * REPRESENTATIVE: every family publishes through the same
+    * `publishTable` commit/GC path, so an estate-wide horizon walk is
+    * [[IndexStore.retainedVersionNumbers]] over each family's tables
+    * with the same per-version semi-join — the q283 sweep composed
+    * with this audit.
     */
   def q285ErasureHorizon(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
