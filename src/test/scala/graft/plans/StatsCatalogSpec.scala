@@ -168,6 +168,17 @@ class StatsCatalogSpec extends SparkSpec {
              s"raise the estimate: $withHist vs $uniform")
   }
 
+  test("q284 never executes the self-join it estimates: no shuffle " +
+       "join in its physical plan (truth folds from per-key counts)") {
+    val plan = graft.operators.RelationalQueries
+      .queries("q284_hist_join_estimate")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") &&
+             !plan.contains("ShuffledHashJoin") &&
+             !plan.contains("CartesianProduct"),
+           s"q284 must not join the corpus with itself:\n$plan")
+  }
+
   test("publish normalizes session-dependent external types: " +
        "Instant/LocalDate (java8API on) and Timestamp/Date/BigDecimal " +
        "land as identical catalog strings") {
