@@ -71,6 +71,41 @@ object Bench {
       .toMap
   }
 
+  /** The `"sf"` field of one of our artifacts — adjudication must not
+    * compare minima across scale factors (a baseline produced at a
+    * different SF, or a foreign artifact pointed at via
+    * SPARK_GRAFT_BENCH_BASELINE, would make every query a phantom
+    * riser or mask real ones).
+    */
+  private[graft] def parseSf(json: String): Option[String] =
+    """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+
+  /** Host-speed calibration: a fixed, seeded, CPU-bound in-memory
+    * aggregation (no IO, no warehouse, no shuffle-file reuse) timed
+    * before the suite and published as `"calibration"`. Two rounds in a
+    * row the cross-round shared-set ratio was dominated by host drift
+    * (round-13 phantom risers, round-14 a uniform ~16–19% shift); with
+    * this field the adjudicator and PLANS.md can report
+    * host-NORMALIZED ratios (sharedRatio / calibrationRatio) alongside
+    * raw ones. Same warmup+min-of-3 protocol as the queries.
+    */
+  private[graft] def calibrate(spark: org.apache.spark.sql.SparkSession)
+      : Double = {
+    // the hash is folded mod 1e6 BEFORE aggregating: 50M raw xxhash64
+    // longs would overflow an ANSI sum
+    def pass(): Unit = spark.range(0L, 50000000L, 1L, 32)
+      .selectExpr("id % 9973 AS k", "pmod(xxhash64(id), 1000000) AS h")
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("h"),
+           org.apache.spark.sql.functions.avg("h"),
+           org.apache.spark.sql.functions.max("h"))
+      .write.format("noop").mode("overwrite").save()
+    pass()
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); pass(); (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
   /** Shared queries whose new minimum rose by more than `factor` over
     * the previous artifact's — the set the closing protocol must
     * re-adjudicate before committing.
@@ -97,7 +132,16 @@ object Bench {
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
                                          "bench_out.json")
     val baseline: Map[String, Double] =
-      try parseQueryTimes(Files.readString(Paths.get(baselinePath)))
+      try {
+        val json = Files.readString(Paths.get(baselinePath))
+        val baseSf = parseSf(json)
+        if (baseSf.exists(_ != sfDir)) {
+          System.err.println(s"[bench] baseline $baselinePath is at sf " +
+            s"${baseSf.get}, current run is at $sfDir — skipping " +
+            "adjudication (cross-SF minima are not comparable)")
+          Map.empty[String, Double]
+        } else parseQueryTimes(json)
+      }
       catch { case _: Throwable => Map.empty }
 
     def run(name: String): Unit =
@@ -123,6 +167,26 @@ object Bench {
       (times.head, times.last / math.max(times.head, 1e-9),
        passes.forall(_._2))
     }
+
+    // Warehouse hygiene FIRST on full runs: round-14's judge measured
+    // dead-estate accumulation (271 tables / 530 version dirs) inflating
+    // the persisted-index queries to a 1.43× median vs 1.19× elsewhere
+    // — the closing bench must measure the operators, not listing
+    // pollution. Everything the suite needs is rebuilt (memoized per
+    // JVM via SavedOnce), so the live set is empty: full clean slate.
+    // Subset runs are mid-iteration diagnostics and leave the warehouse
+    // alone. Disable with SPARK_GRAFT_BENCH_NOVACUUM=1.
+    if (subset.isEmpty &&
+        !sys.env.get("SPARK_GRAFT_BENCH_NOVACUUM").exists(_ == "1")) {
+      val rep = graft.llm.IndexStore.vacuum(spark)
+      System.err.println(s"[bench] ${rep.summary}")
+    }
+
+    // Host-speed probe FIRST (before any query warms caches), so every
+    // artifact carries a same-instant CPU reference for cross-round
+    // normalization.
+    val calibration = calibrate(spark)
+    System.err.println(f"[bench] calibration: $calibration%.3f s")
 
     val inSuite: Seq[(String, (Double, Double, Boolean))] =
       names.map(n => n -> time(n))
@@ -167,7 +231,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"ok":$oks,"readjudicated":$readj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration":${f"$calibration%.4f"},"queries":$qs,"spread":$spreads,"ok":$oks,"readjudicated":$readj,"sf":"$sfDir"}"""
     println(line)
     // A diagnostic subset run must not clobber the standing full
     // artifact (the previous run's bench_out.json IS the next run's
@@ -176,6 +240,32 @@ object Bench {
                   else "bench_subset.json"
     try Files.writeString(Paths.get(outFile), line)
     catch { case _: Throwable => () }
+
+    // Standing-regime CBO leg (SPARK_GRAFT_BENCH_CBO=1): stats
+    // published on the sf catalog tables, cbo + joinReorder ON, every
+    // SQL anchor twin EXECUTED and checked bit-identical against the
+    // DataFrame program, with compile-time flip facts — the closing
+    // chain's proof that the engine runs correctly AS an operating
+    // mode under its own optimizer estate, not just in demos. Written
+    // to bench_cbo.json (never into the adjudication artifact).
+    if (subset.isEmpty &&
+        sys.env.get("SPARK_GRAFT_BENCH_CBO").exists(_ == "1")) {
+      val outcomes = graft.tools.CboAnchors.benchLeg(spark, sfDir)
+      val body = outcomes.map { o =>
+        "\"" + o.name + "\":{\"hash_ok\":" + o.hashOk +
+          ",\"default_flip\":" + o.defaultFlip +
+          ",\"scaled_flip\":" + o.scaledFlip +
+          f",\"sec\":${o.sec}%.4f}"
+      }.mkString("{", ",", "}")
+      val cboLine =
+        s"""{"metric":"cbo_anchors","sf":"$sfDir","anchors":$body,"all_hash_ok":${outcomes.forall(_.hashOk)}}"""
+      System.err.println(s"[bench] cbo leg: " +
+        s"${outcomes.count(_.hashOk)}/${outcomes.size} hash-identical, " +
+        s"default flips ${outcomes.count(_.defaultFlip)}, " +
+        s"scaled flips ${outcomes.count(_.scaledFlip)}")
+      try Files.writeString(Paths.get("bench_cbo.json"), cboLine)
+      catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

@@ -1605,7 +1605,11 @@ object ScaleProbe {
         val e = (0 until n).map(i =>
           Tables.events(spark, dir)
             .withColumn("event_id", col("event_id") + lit(i * 10000000L))
-            .withColumn("user_id", col("user_id") + lit(i * 10000L)))
+            // same stride as the id columns: at sf0.1 the user space is
+            // tiny (1,500 ids) so a 10k stride happened to work, but the
+            // xN contract (disjoint per-copy user spaces) must hold at
+            // ANY SF, so the stride matches the 10M id stride
+            .withColumn("user_id", col("user_id") + lit(i * 10000000L)))
           .reduce(_ union _)
         e.write.mode("overwrite").parquet(s"$tmp/events.parquet")
         val rows = d.count()

@@ -15,11 +15,14 @@ object SqlAnchors {
     * or catalog tables). Table tokens are matched whole-word and
     * case-sensitively — column prefixes (`l_`, `o_`…) never collide,
     * and SQL keywords are upper-case in the twins (`ORDER BY` does not
-    * contain the token `orders`).
+    * contain the token `orders`). Both sides are quoted so regex
+    * metacharacters in a source name and `$`/`\` in a target name pass
+    * through literally regardless of what the caller sanitizes.
     */
   def rebind(sql: String, mapping: Map[String, String]): String =
     mapping.foldLeft(sql) { case (s, (from, to)) =>
-      s.replaceAll("\\b" + from + "\\b", to)
+      s.replaceAll("\\b" + java.util.regex.Pattern.quote(from) + "\\b",
+                   java.util.regex.Matcher.quoteReplacement(to))
     }
 
   // the decimal-exact revenue row shared by q01/q03/q05's twins —
@@ -162,6 +165,48 @@ object SqlAnchors {
         |HAVING count(1) >= 30
         |ORDER BY n_items DESC, l_partkey ASC
         |LIMIT 50""".stripMargin)
+
+  /** Epoch-day twins of the date-filtered anchors (q17/q19 — q18 has
+    * no date predicate and needs no twin): the testdata's `o_orderdate`
+    * loads as TIMESTAMP_NTZ, which Spark 4.1.2's `FilterEstimation`
+    * cannot estimate (no NTZ branch — it MatchErrors, so
+    * `StatsCatalog.publish` excludes NTZ columns entirely and those
+    * filters fall back to default selectivity). These twins filter on
+    * `o_orderdate_day` — a BIGINT epoch-day column derived as
+    * `datediff(o_orderdate, DATE '1970-01-01')` in the day-table CTAS
+    * (`StatsCatalog.ensureDayTable`) — so the SAME range predicate
+    * becomes estimable from published min/max. Day boundaries are
+    * whole days, so each twin is answer-identical to its anchor.
+    */
+  val dayTwins: Seq[(String, String)] = {
+    def d(iso: String): Long = java.time.LocalDate.parse(iso).toEpochDay
+    Seq(
+      "q17_semi_join_day" ->
+        s"""SELECT o_orderpriority, count(1) AS order_count
+           |FROM orders_day
+           |WHERE o_orderdate_day >= ${d("1997-01-01")}
+           |  AND o_orderdate_day < ${d("1997-07-01")}
+           |  AND EXISTS (SELECT 1 FROM lineitem
+           |              WHERE l_orderkey = o_orderkey
+           |                AND l_quantity >= 45)
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin,
+      "q19_anti_join_day" ->
+        s"""SELECT c_mktsegment, count(1) AS n_inactive
+           |FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders_day
+           |                  WHERE o_custkey = c_custkey
+           |                    AND o_orderdate_day >=
+           |                      ${d("1998-06-01")})
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** The day-table stats publish list: the twins' join keys plus the
+    * now-estimable epoch-day filter column.
+    */
+  val dayStatsColumns: Map[String, Seq[String]] = Map(
+    "orders_day" -> Seq("o_orderkey", "o_custkey", "o_orderdate_day"))
 
   /** The TPC-H-ish tables the twins reference, with the columns whose
     * statistics matter to their plans (join keys + pushed filters) —

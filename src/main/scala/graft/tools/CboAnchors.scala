@@ -117,11 +117,108 @@ object CboAnchors {
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = graft.Sessions.local(
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-cbo-anchors")
-    sweep(spark, dir).foreach { case (name, legs) =>
+  /** The epoch-day-twin sweep (q17/q19 rewritten onto
+    * `orders_day.o_orderdate_day` — `SqlAnchors.dayTwins`): the same
+    * four legs as [[sweep]], but with the date-filtered anchors' range
+    * predicates on a BIGINT column whose min/max ARE publishable, so
+    * the estimate under the `cbo` legs is real instead of default
+    * selectivity. Closes the measured boundary from the round-14
+    * PLANS table (q17–q19 could not flip because every testdata
+    * date/ts column loads as TIMESTAMP_NTZ and Spark 4.1.2's
+    * FilterEstimation has no NTZ branch).
+    */
+  def sweepDay(spark: SparkSession, dir: String)
+      : Seq[(String, Map[String, String])] = {
+    val base = ensureTables(spark, dir)
+    val dayName = StatsCatalog.ensureDayTable(spark, dir, "orders",
+                                              Seq("o_orderdate"))
+    val mapping = base + ("orders_day" -> dayName)
+    val scaledT = (128 * 1024).toString
+    def legs(confs: (String, String)*): Map[String, String] =
+      StatsCatalog.withConfs(spark, confs: _*)(
+        SqlAnchors.dayTwins.map { case (name, sql) =>
+          name -> joinAlgos(
+            spark.sql(SqlAnchors.rebind(sql, mapping))).mkString(" ")
+        }.toMap)
+    mapping.values.foreach(StatsCatalog.clear(spark, _))
+    val blind = legs("spark.sql.cbo.enabled" -> "false")
+    val blindT = legs("spark.sql.cbo.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> scaledT)
+    publishAll(spark, base)
+    SqlAnchors.dayStatsColumns.foreach { case (t, cols) =>
+      StatsCatalog.publish(spark, mapping(t), cols)
+    }
+    val cbo = legs("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    val cboT = legs("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> scaledT)
+    SqlAnchors.dayTwins.map { case (name, _) =>
+      name -> Map("blind" -> blind(name), "cbo" -> cbo(name),
+                  "blind@128k" -> blindT(name),
+                  "cbo@128k" -> cboT(name))
+    }
+  }
+
+  /** The optimizer's estimated row count for the first optimized-plan
+    * Filter whose condition references `colName` — the probe that
+    * distinguishes a REAL estimate (published min/max consumed by
+    * FilterEstimation) from default selectivity. Requires
+    * `spark.sql.cbo.enabled` for rowCount propagation.
+    */
+  def filterEstimate(spark: SparkSession, sql: String,
+                     colName: String): Option[BigInt] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    spark.sql(sql).queryExecution.optimizedPlan.collectFirst {
+      case f: Filter if f.condition.references.exists(_.name == colName)
+        => f.stats.rowCount
+    }.flatten
+  }
+
+  /** One anchor's standing-regime outcome: answers bit-identical to
+    * the DataFrame program, plan flips at default and scaled
+    * thresholds, and the executed-under-CBO latency.
+    */
+  final case class AnchorOutcome(name: String, hashOk: Boolean,
+                                 defaultFlip: Boolean,
+                                 scaledFlip: Boolean, sec: Double)
+
+  /** The standing-regime leg the closing bench runs (env-gated there):
+    * statistics published once on the sf catalog tables, CBO + join
+    * reorder ENABLED, every SQL anchor twin EXECUTED — not just
+    * compiled — with its full result checked bit-identical against the
+    * engine's DataFrame program for the same query, plus the
+    * compile-time flip facts from [[sweep]]. This is the round-15
+    * promotion of the CBO estate from per-experiment demos to the
+    * engine's operating mode: the artifact records, per anchor, that
+    * running WITH the optimizer estate changes plans where expected
+    * and answers nowhere.
+    */
+  def benchLeg(spark: SparkSession, dir: String): Seq[AnchorOutcome] = {
+    val flips = sweep(spark, dir).toMap // leaves stats published
+    val mapping = ensureTables(spark, dir)
+    StatsCatalog.withConfs(spark,
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      SqlAnchors.twins.map { case (name, sql) =>
+        val bound = SqlAnchors.rebind(sql, mapping)
+        spark.sql(bound).collect() // warm
+        val t0 = System.nanoTime()
+        val viaCbo = spark.sql(bound).collect().toSeq
+        val sec = (System.nanoTime() - t0) / 1e9
+        val viaDf = graft.SparkEntry.queries(name)(spark, dir)
+          .collect().toSeq
+        val legs = flips(name)
+        AnchorOutcome(name, viaCbo == viaDf,
+                      legs("blind") != legs("cbo"),
+                      legs("blind@128k") != legs("cbo@128k"), sec)
+      }
+    }
+  }
+
+  private def printSweep(rows: Seq[(String, Map[String, String])])
+      : Unit =
+    rows.foreach { case (name, legs) =>
       val flip  = if (legs("blind") != legs("cbo")) "FLIP" else "same"
       val flipT = if (legs("blind@128k") != legs("cbo@128k")) "FLIP"
                   else "same"
@@ -130,6 +227,13 @@ object CboAnchors {
         s"blind@128k=[${legs("blind@128k")}] " +
         s"cbo@128k=[${legs("cbo@128k")}]")
     }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-cbo-anchors")
+    printSweep(sweep(spark, dir))
+    printSweep(sweepDay(spark, dir))
     spark.stop()
   }
 }

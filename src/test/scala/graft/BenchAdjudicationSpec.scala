@@ -35,4 +35,29 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(Bench.risers(prev, Map("a" -> 1.5, "z" -> 99.0)).isEmpty)
     assert(Bench.risers(prev, Map("a" -> 1.51)) == Seq("a"))
   }
+
+  test("parseSf reads the artifact's scale dir; adjudication must not " +
+       "compare minima across scale factors") {
+    assert(Bench.parseSf(artifact) == Some("/root/testdata/sf0.1"))
+    assert(Bench.parseSf("{\"metric\":\"total\"}").isEmpty)
+  }
+
+  test("BenchDrift: raw ratio over the shared set, normalized by the " +
+       "calibration ratio when both artifacts carry one") {
+    val oldA =
+      """{"metric":"total","value":2.0,"calibration":1.0000,"queries":{"a":1.0,"b":1.0,"gone":5.0},"sf":"x"}"""
+    val newA =
+      """{"metric":"total","value":3.0,"calibration":1.2000,"queries":{"a":1.2,"b":1.8,"new":7.0},"sf":"x"}"""
+    val r = tools.BenchDrift.report(oldA, newA)
+    assert(r.shared == 2)
+    assert(math.abs(r.rawRatio - 1.5) < 1e-9)
+    assert(r.calRatio.exists(c => math.abs(c - 1.2) < 1e-9))
+    assert(r.normRatio.exists(n => math.abs(n - 1.25) < 1e-9))
+    // per-query normalized: a = 1.2/1.2 = 1.0, b = 1.8/1.2 = 1.5
+    assert(r.risers.head._1 == "b" &&
+             math.abs(r.risers.head._2 - 1.5) < 1e-9)
+    // without calibration on one side, normalization reports n/a
+    val r2 = tools.BenchDrift.report(artifact, newA)
+    assert(r2.calRatio.isEmpty && r2.normRatio.isEmpty)
+  }
 }

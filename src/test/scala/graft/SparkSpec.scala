@@ -10,7 +10,17 @@ import org.scalatest.funsuite.AnyFunSuite
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = Sessions.local("4", getClass.getSimpleName)
 
-  val sf0001 = "/root/testdata/sf0.001"
+  val sf0001 = sys.env.getOrElse("SPARK_GRAFT_SF0001_DIR",
+                                 "/root/testdata/sf0.001")
+  val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF01_DIR",
+                               "/root/testdata/sf0.1")
+
+  /** Skip (not fail) a test on a machine without the driver-generated
+    * dataset — suites that pin dataset-scale plan facts use this gate.
+    */
+  def assumeData(dir: String): Unit =
+    assume(new java.io.File(dir).isDirectory,
+           s"driver testdata not present at $dir")
 
   override def afterAll(): Unit = {
     // Session is shared process-wide (getOrCreate); don't stop between

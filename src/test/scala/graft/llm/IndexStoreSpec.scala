@@ -354,4 +354,67 @@ class IndexStoreSpec extends SparkSpec {
       IndexStore.drop(spark, name)
     }
   }
+
+  test("vacuum: drops dead estates, GCs survivors to keepVersions, " +
+       "deregisters dangling catalog entries, and is idempotent — " +
+       "while a live estate's retained versions stay loadable") {
+    // warehouse-managed fixtures (dir=None) under a spec-private scope
+    // so the sweep never touches estates other suites memoized
+    val dead = "graft_vacspec_dead"
+    val live = "graft_vacspec_live"
+    def publish(name: String, n: Int): Unit =
+      IndexStore.saveFingerprintIndex(
+        Dedup.fingerprintIndex(fpCorpus(n), "doc_id", "text"), name,
+        numBuckets = 4)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    def vdirs(name: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$wh/$name")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("__v")).sorted.toSeq
+    }
+    try {
+      publish(dead, 2)
+      // three rolls at depth 3, then default depth: vacuum must GC the
+      // survivor from 3 retained versions back down to 2
+      spark.conf.set("spark.graft.index.keepVersions", "3")
+      (2 to 4).foreach(publish(live, _)) // v1..v3 all retained
+      spark.conf.unset("spark.graft.index.keepVersions")
+      assert(vdirs(live) == Seq("__v1", "__v2", "__v3"))
+      // register a version entry, then delete its dir out from under
+      // the catalog — the dangling-entry case the sweep deregisters
+      IndexStore.loadTableVersion(spark, live, 1)
+      assert(spark.catalog.tableExists(s"${live}__v1"))
+
+      val rep = IndexStore.vacuum(spark, live = Seq(live),
+                                  scope = "graft_vacspec_")
+      assert(rep.droppedEstates == Seq(dead),
+             s"dead estate must drop: $rep")
+      assert(vdirs(dead).isEmpty && !new java.io.File(s"$wh/$dead").exists,
+             "dead estate dir must be deleted")
+      assert(!spark.catalog.tableExists(s"${dead}__v1"),
+             "dead estate catalog entries must be deregistered")
+      assert(vdirs(live) == Seq("__v2", "__v3"),
+             s"survivor must GC to keepVersions=2: ${vdirs(live)}")
+      assert(!spark.catalog.tableExists(s"${live}__v1"),
+             "the GC'd version's catalog entry must go with its dir")
+      // q285-style horizon walk still sees exactly the retained depth
+      assert(IndexStore.retainedVersionNumbers(spark, live) == Seq(2, 3))
+      // and every retained version still loads + classifies
+      assert(fpClassify(IndexStore.loadFingerprintIndex(spark, live))
+               .count(_(1) == true) == 4)
+      assert(IndexStore.loadTableVersion(spark, live, 2).count() == 3)
+
+      val rep2 = IndexStore.vacuum(spark, live = Seq(live),
+                                   scope = "graft_vacspec_")
+      assert(rep2.droppedEstates.isEmpty && rep2.gcedVersionDirs == 0 &&
+               rep2.droppedCatalogEntries == 0,
+             s"second sweep must be a no-op: $rep2")
+    } finally {
+      spark.conf.unset("spark.graft.index.keepVersions")
+      IndexStore.drop(spark, dead)
+      IndexStore.drop(spark, live)
+    }
+  }
 }
