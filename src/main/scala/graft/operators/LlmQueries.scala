@@ -6812,11 +6812,17 @@ object LlmQueries {
     * scheduled-rebuild cost estimate the operator wants anyway (run it
     * sampled at scale).
     */
-  def q283EstateErasure(spark: SparkSession, dir: String): DataFrame = {
+  /** The q283 estate: build all eight families, then run the
+    * estate-wide erasure sweep — memoized per (process, dir) and
+    * shared with the estate-wide horizon audit (q286), which adds the
+    * horizon-crossing roll on top of the SAME estate.
+    */
+  private def q283EstateNames(spark: SparkSession,
+                              dir: String): Erasure.EstateNames = {
     val docs = Tables.documents(spark, dir)
     val emb  = Tables.embeddings(spark, dir)
     val ev   = Tables.events(spark, dir)
-    val names = q283Saved.getOrElseUpdate(dir, {
+    q283Saved.getOrElseUpdate(dir, {
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
       val nm = Erasure.EstateNames(
         fingerprint = "graft_est_fp_" + safe,
@@ -6858,6 +6864,13 @@ object LlmQueries {
             .select(Erasure.kmvUserHash(col("user_id")).as("h")))))
       nm
     })
+  }
+
+  def q283EstateErasure(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val emb  = Tables.embeddings(spark, dir)
+    val ev   = Tables.events(spark, dir)
+    val names = q283EstateNames(spark, dir)
     // Attestation: everything below reads the PUBLISHED post-sweep
     // versions and recomputes erase sets / rebuild counts independently
     // of the sweep (the q274 lesson: an audit derived from the same
@@ -7079,6 +7092,221 @@ object LlmQueries {
   private val q285Saved = new graft.SavedOnce[String, String]
   @volatile private var q283CentroidRows: String = ""
   @volatile private var q283CodebookRows: String = ""
+
+  /** ESTATE-WIDE erasure-horizon attestation — the q283 × q285
+    * composition its own scaladocs promised: q283 proved the CURRENT
+    * version of every family is clean, q285 proved the retained-version
+    * walk on ONE family; this walks EVERY retained committed version of
+    * every subject-keyed table in all eight families. The fixture takes
+    * q283's post-sweep estate and performs the horizon-crossing roll —
+    * one more publish per family (a compaction re-publish of the
+    * current, already-erased content: the cheapest roll a maintenance
+    * scheduler performs, and content-identical so q283's digests stand)
+    * — after which keepVersions=2 GC drops the pre-erasure build from
+    * every family: the retention horizon has PASSED estate-wide. The
+    * attestation then reports per (subject-keyed artifact, version
+    * rank): rows + survivors against independently recomputed erase
+    * sets, one RETENTION row per family (versions retained, versions
+    * still holding ANY subject row — zero), and the ESTATE summary
+    * ("the subject is gone from every version of everything a reader
+    * can still resolve"). The parameter tables (bm25 stats, IVF
+    * centroids, PQ codebooks) are corpus-level aggregates retained by
+    * design — the trained-model privacy class per [[Erasure]] — and
+    * carry no subject-keyed rows to walk. FULLY oracle-checked: DuckDB
+    * replays each family's erased content count (both retained ranks
+    * are post-erasure, so each family's count is its net/erased replay
+    * from q283's CTE set) and pins retention at exactly 2 everywhere.
+    *
+    * 100 TB shape: bounded by keepVersions × families; each cell is
+    * one index-rows count + one erase-proportional semi-join — never a
+    * corpus scan. Cite: the audit side of a GDPR/RTBF deletion SLA.
+    */
+  def q286EstateHorizon(spark: SparkSession, dir: String): DataFrame = {
+    val names = q283EstateNames(spark, dir)
+    q286Saved.getOrElseUpdate(dir, {
+      // horizon roll: re-publish each family's current (erased)
+      // content as its next version; GC then retains only
+      // post-erasure versions
+      IndexStore.saveFingerprintIndex(
+        IndexStore.loadFingerprintIndex(spark, names.fingerprint),
+        names.fingerprint)
+      IndexStore.saveMinhashIndex(
+        IndexStore.loadMinhashIndex(spark, names.minhash), names.minhash)
+      IndexStore.saveBm25Index(
+        IndexStore.loadBm25Index(spark, names.bm25), names.bm25)
+      IndexStore.savePositionalIndex(
+        IndexStore.loadPositionalIndex(spark, names.positional),
+        names.positional)
+      IndexStore.saveLshIndex(
+        IndexStore.loadLshIndex(spark, names.lsh), names.lsh)
+      IndexStore.saveIvfIndex(
+        IndexStore.loadIvfIndex(spark, names.ivf), names.ivf)
+      IndexStore.savePqIndex(
+        IndexStore.loadPqIndex(spark, names.pq), names.pq)
+      IndexStore.savePlainArtifact(
+        IndexStore.loadPlainArtifact(spark, names.kmv), names.kmv)
+      "rolled"
+    })
+    val docs = Tables.documents(spark, dir)
+    val emb  = Tables.embeddings(spark, dir)
+    val ev   = Tables.events(spark, dir)
+    // erase sets recomputed independently of the sweep (the q274
+    // lesson), materialized once — each is broadcast into 18 semi-joins
+    val eraseDocs = RelationalQueries.gatedBroadcast(graft.Materialize(
+      docs.filter(col("doc_id") % 23 === 0)
+        .select(col("doc_id").as("corpus_id"))))
+    val eraseDocsAsDoc = eraseDocs.select(col("corpus_id").as("doc_id"))
+    val eraseVecs = RelationalQueries.gatedBroadcast(graft.Materialize(
+      emb.filter(col("vec_id") % 23 === 0)
+        .select(col("vec_id").as("corpus_id"))))
+    val eraseHs = RelationalQueries.gatedBroadcast(graft.Materialize(
+      ev.select("user_id").distinct()
+        .filter(col("user_id") % 23 === 0)
+        .select(Erasure.kmvUserHash(col("user_id")).as("h"))))
+    // (family, artifact, physical table, erase keys, key column)
+    val surfaces: Seq[(String, String, String, DataFrame, String)] = Seq(
+      ("fingerprint", "fingerprint", names.fingerprint,
+       eraseDocs, "corpus_id"),
+      ("minhash", "minhash_buckets", s"${names.minhash}_buckets",
+       eraseDocs, "corpus_id"),
+      ("minhash", "minhash_shingles", s"${names.minhash}_shingles",
+       eraseDocs, "corpus_id"),
+      ("bm25", "bm25_postings", s"${names.bm25}_postings",
+       eraseDocsAsDoc, "doc_id"),
+      ("positional", "positional", s"${names.positional}_positions",
+       eraseDocsAsDoc, "doc_id"),
+      ("lsh", "lsh", names.lsh, eraseVecs, "corpus_id"),
+      ("ivf", "ivf", s"${names.ivf}_assigned", eraseVecs, "corpus_id"),
+      ("pq", "pq", s"${names.pq}_codes", eraseVecs, "corpus_id"),
+      ("kmv", "kmv_daily", names.kmv, eraseHs, "h"))
+    val vrows = surfaces.flatMap { case (fam, art, tbl, keys, kc) =>
+      IndexStore.retainedVersionNumbers(spark, tbl).zipWithIndex.map {
+        case (v, i) =>
+          val df = IndexStore.loadTableVersion(spark, tbl, v)
+          (fam, art, (i + 1).toLong, df.count(),
+           df.join(keys, Seq(kc), "left_semi").count())
+      }
+    }
+    val retRows = surfaces.map(_._1).distinct.sorted.map { fam =>
+      val rs = vrows.filter(_._1 == fam)
+      val retained = rs.map(_._3).max
+      val dirty = rs.groupBy(_._3)
+        .count { case (_, g) => g.exists(_._5 > 0) }.toLong
+      (fam, s"RETENTION_$fam", 0L, retained, dirty)
+    }
+    val estate = ("ESTATE", "ESTATE", 0L,
+                  retRows.map(_._4).sum, retRows.map(_._5).sum)
+    import spark.implicits._
+    ((vrows ++ retRows :+ estate)
+       .map { case (_, a, r, n, s) => (a, r, n, s) })
+      .toDF("artifact", "version_rank", "n_rows", "n_survivors")
+      .orderBy("artifact", "version_rank")
+  }
+  private val q286Saved = new graft.SavedOnce[String, String]
+
+  /** STREAMING-STATE erasure horizon — the last place in the estate
+    * where "user X is gone EVERYWHERE" could silently stay false
+    * (round-14 verdict residual #1): [[graft.streaming.EventStreams
+    * .eraseFromSink]] scrubs a landed `batch_id=` sink, but the
+    * checkpoint's STATE STORE behind `dropDuplicatesWithinWatermark`
+    * retains subject fingerprints until watermark eviction. The
+    * retention policy for that state is the watermark horizon itself
+    * — each state row carries an eviction deadline, and the engine's
+    * no-data final micro-batch applies the last watermark — so this
+    * query drives the full lifecycle and ATTESTS the horizon:
+    * each distinct-fingerprint document (exact-dedup representative)
+    * is staged once into a 3-batch file stream with batch-synthetic
+    * event times 2 h apart (subjects — `doc_id % 23 = 0` — all in
+    * batch 0, the rest split by `doc_id % 2`), streamed through the
+    * watermarked dedup (30 min horizon) into an idempotent sink, the
+    * subjects' fingerprints are erased from the LANDED sink, and the
+    * attestation reads BOTH surfaces: the sink (no subject rows) and
+    * the checkpoint state via Spark's state data source
+    * ([[graft.streaming.EventStreams.dedupStateFingerprints]]) —
+    * no subject key, nothing from any pre-horizon batch, every
+    * surviving row inside the retention bound (eviction deadline
+    * beyond the final watermark), exactly the final batch's
+    * fingerprints. FULLY oracle-checked: the state content past the
+    * horizon is deterministic (batch-2 fingerprints), so DuckDB
+    * replays every count from the documents table alone.
+    *
+    * 100 TB shape: state is bounded by the watermark horizon (the
+    * policy), the sink erase is partition-pruned and
+    * erase-proportional, and the attestation semi-joins the
+    * (broadcast) subject set against state rows — never a corpus
+    * scan. EventStreamsSpec drives the erase-MID-stream +
+    * restart-from-checkpoint lifecycle this query summarizes.
+    */
+  def q287StateHorizon(spark: SparkSession, dir: String): DataFrame = {
+    val tsBase = 1700000000L
+    def bCol(c: Column): Column =
+      when(c % 23 === 0, lit(0L)).otherwise(c % 2 + 1)
+    val base = q287Saved.getOrElseUpdate(dir, {
+      val docs = Tables.documents(spark, dir)
+      val reps = docs
+        .withColumn("fp",
+                    graft.llm.TextAnalysis.fingerprint(col("text")))
+        .groupBy("fp")
+        .agg(min(struct(col("doc_id"), col("text"))).as("s"))
+        .select(col("fp"), col("s.doc_id").as("doc_id"),
+                col("s.text").as("text"))
+      val b = java.nio.file.Files
+        .createTempDirectory("graft_q287_").toString
+      val in = s"$b/in"
+      graft.streaming.EventStreams.stageMicroBatchFiles(
+        reps.select(
+          col("doc_id"),
+          timestamp_seconds(lit(tsBase) + bCol(col("doc_id")) * 7200L)
+            .as("ts"),
+          col("text")),
+        bCol(col("doc_id")), nBatches = 3, inDir = in)
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val out = s"$b/out"
+      val q = graft.streaming.EventStreams.streamingDedupSink(
+        stream, "ts", "text", "30 minutes", out, s"$b/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.EventStreams.eraseFromSink(
+        spark, out,
+        RelationalQueries.gatedBroadcast(graft.Materialize(
+          reps.filter(col("doc_id") % 23 === 0).select("fp"))),
+        "fp")
+      b
+    })
+    // Attestation: every set below is recomputed from the documents
+    // table, independently of the staged fixture (the q274 lesson)
+    val reps = Tables.documents(spark, dir)
+      .withColumn("fp", graft.llm.TextAnalysis.fingerprint(col("text")))
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    val subj = RelationalQueries.gatedBroadcast(graft.Materialize(
+      reps.filter(col("doc_id") % 23 === 0).select("fp")))
+    val pre = RelationalQueries.gatedBroadcast(graft.Materialize(
+      reps.filter(bCol(col("doc_id")) < 2).select("fp")))
+    val live = RelationalQueries.gatedBroadcast(graft.Materialize(
+      reps.filter(bCol(col("doc_id")) === 2).select("fp")))
+    val state = graft.streaming.EventStreams
+      .dedupStateFingerprints(spark, s"$base/ckpt")
+    val sink = spark.read.parquet(s"$base/out").select("fp")
+    // final watermark = max event time (batch 2) − 30 min horizon
+    val horizonMicros = (tsBase + 2 * 7200L - 1800L) * 1000000L
+    def semi(df: DataFrame, keys: DataFrame): Long =
+      df.join(keys, Seq("fp"), "left_semi").count()
+    import spark.implicits._
+    Seq(
+      ("SINK", sink.count()),
+      ("SINK_SUBJECT", semi(sink, subj)),
+      ("STATE", state.count()),
+      ("STATE_SUBJECT", semi(state, subj)),
+      ("STATE_PRE_HORIZON", semi(state, pre)),
+      ("STATE_LIVE", semi(state, live)),
+      ("STATE_IN_RETENTION",
+       state.filter(col("expires_at_micros") > horizonMicros).count()))
+      .toDF("artifact", "n_rows")
+      .orderBy("artifact")
+  }
+  private val q287Saved = new graft.SavedOnce[String, String]
 
   /** IVF-index ROLL + health report ([[Similarity.mergeIvfIndex]] — the
     * maintenance job for the FOURTH persisted index family): the base
@@ -7838,6 +8066,8 @@ object LlmQueries {
     "q282_index_erasure"    -> (q282IndexErasure(_, _)),
     "q283_estate_erasure"   -> (q283EstateErasure(_, _)),
     "q285_erasure_horizon"  -> (q285ErasureHorizon(_, _)),
+    "q286_estate_horizon"   -> (q286EstateHorizon(_, _)),
+    "q287_state_horizon"    -> (q287StateHorizon(_, _)),
     "q151_minhash_roll"     -> (q151MinhashRoll(_, _)),
     "q152_ivf_roll"         -> (q152IvfRoll(_, _)),
     "q153_lsh_roll"         -> (q153LshRoll(_, _)),
@@ -9180,6 +9410,104 @@ object LlmQueries {
        |SELECT 'minhash_shingles', CAST(2 AS BIGINT),
        |  (SELECT c FROM s3), CAST(0 AS BIGINT)
        |ORDER BY artifact, version_rank""".stripMargin
+
+  /** q286's estate-wide horizon replay: both retained ranks of every
+    * family are post-erasure (the horizon roll is content-identical),
+    * so each family's per-version row count is its erased/net replay
+    * from the q283 CTE set — counts only, no digests — and survivors,
+    * retention, and dirty-version counts are pinned at their
+    * horizon-passed values (0 / 2 / 0).
+    */
+  private def q286OracleSql: String =
+    s"""WITH
+       |${minhashSigCtes("documents", 5, 32, 8)},
+       |mbc AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id FROM bd
+       |    QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000)
+       |  WHERE doc_id % 23 <> 0),
+       |msc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM hs
+       |        WHERE doc_id % 23 <> 0),
+       |fpc AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT CAST(min(doc_id) AS BIGINT) AS corpus_id
+       |    FROM documents
+       |    GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+       |                                'g')))
+       |  WHERE corpus_id % 23 <> 0),
+       |tkc AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id, token FROM (
+       |      SELECT doc_id, unnest(list_filter(
+       |        string_split_regex(lower(trim(text)), '\\W+'),
+       |        x -> len(x) > 0)) AS token
+       |      FROM documents WHERE doc_id % 23 <> 0)
+       |    GROUP BY 1, 2)),
+       |vc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings
+       |       WHERE vec_id % 23 <> 0),
+       |khash AS (
+       |  SELECT (ts::DATE - DATE '1970-01-01') AS day,
+       |    ('0x' || substr(md5('kmv11:' || CAST(user_id AS VARCHAR)),
+       |                    1, 15))::BIGINT AS h,
+       |    max(CASE WHEN user_id % 23 = 0 THEN 1 ELSE 0 END) AS er
+       |  FROM events GROUP BY 1, 2),
+       |kc AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT day, h, er,
+       |      row_number() OVER (PARTITION BY day ORDER BY h) AS r
+       |    FROM khash) WHERE r <= 64 AND er = 0),
+       |fam(artifact, c) AS (
+       |  SELECT 'fingerprint', (SELECT c FROM fpc)
+       |  UNION ALL SELECT 'minhash_buckets', (SELECT c FROM mbc)
+       |  UNION ALL SELECT 'minhash_shingles', (SELECT c FROM msc)
+       |  UNION ALL SELECT 'bm25_postings', (SELECT c FROM tkc)
+       |  UNION ALL SELECT 'positional', (SELECT c FROM tkc)
+       |  UNION ALL SELECT 'lsh', (SELECT c FROM vc)
+       |  UNION ALL SELECT 'ivf', (SELECT c FROM vc)
+       |  UNION ALL SELECT 'pq', (SELECT c FROM vc)
+       |  UNION ALL SELECT 'kmv_daily', (SELECT c FROM kc))
+       |SELECT fam.artifact, r.version_rank, fam.c AS n_rows,
+       |  CAST(0 AS BIGINT) AS n_survivors
+       |FROM fam
+       |CROSS JOIN (SELECT CAST(1 AS BIGINT) AS version_rank
+       |            UNION ALL SELECT CAST(2 AS BIGINT)) r
+       |UNION ALL
+       |SELECT 'RETENTION_' || f, CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+       |  CAST(0 AS BIGINT)
+       |FROM (SELECT unnest(['bm25', 'fingerprint', 'ivf', 'kmv', 'lsh',
+       |                     'minhash', 'positional', 'pq']) AS f)
+       |UNION ALL
+       |SELECT 'ESTATE', CAST(0 AS BIGINT), CAST(16 AS BIGINT),
+       |  CAST(0 AS BIGINT)
+       |ORDER BY artifact, version_rank""".stripMargin
+
+  /** q287's streaming-state horizon replay: per-batch
+    * distinct-fingerprint counts from the documents table (subjects →
+    * batch 0, the rest by `doc_id % 2`); past the horizon the state is
+    * exactly batch 2, the sink is everything minus the erased
+    * subjects, and every subject/pre-horizon membership count is 0.
+    */
+  private def q287OracleSql: String =
+    """WITH reps AS (
+      |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ',
+      |                            'g')) AS fp,
+      |    CAST(min(doc_id) AS BIGINT) AS doc_id
+      |  FROM documents GROUP BY 1),
+      |c AS (SELECT
+      |  CAST(count(*) FILTER (WHERE doc_id % 23 = 0) AS BIGINT) AS n0,
+      |  CAST(count(*) FILTER (WHERE doc_id % 23 <> 0
+      |                          AND doc_id % 2 = 0) AS BIGINT) AS n1,
+      |  CAST(count(*) FILTER (WHERE doc_id % 23 <> 0
+      |                          AND doc_id % 2 = 1) AS BIGINT) AS n2
+      |  FROM reps)
+      |SELECT 'SINK' AS artifact, n1 + n2 AS n_rows FROM c
+      |UNION ALL SELECT 'SINK_SUBJECT', CAST(0 AS BIGINT) FROM c
+      |UNION ALL SELECT 'STATE', n2 FROM c
+      |UNION ALL SELECT 'STATE_SUBJECT', CAST(0 AS BIGINT) FROM c
+      |UNION ALL SELECT 'STATE_PRE_HORIZON', CAST(0 AS BIGINT) FROM c
+      |UNION ALL SELECT 'STATE_LIVE', n2 FROM c
+      |UNION ALL SELECT 'STATE_IN_RETENTION', n2 FROM c
+      |ORDER BY artifact""".stripMargin
 
   /** The q39 LSH top-k replay (hyperplane projection from inlined
     * literals, multi-probe, in-bucket ranking) — shared by q39 and the
@@ -12500,6 +12828,8 @@ object LlmQueries {
                                   batchPred = "doc_id % 4 IN (2, 3)"),
     "q283_estate_erasure" -> q283OracleSql,
     "q285_erasure_horizon" -> q285OracleSql,
+    "q286_estate_horizon" -> q286OracleSql,
+    "q287_state_horizon" -> q287OracleSql,
     "q152_ivf_roll" -> q152OracleSql,
     "q141_epoch_expand" ->
       """WITH s AS (

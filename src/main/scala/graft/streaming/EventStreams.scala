@@ -446,6 +446,36 @@ object EventStreams {
     }
   }
 
+  /** Readout of a streaming operator's STATE STORE from its checkpoint
+    * — Spark 4's state data source over the checkpoint dir (operator
+    * 0, the latest committed batch, default store). This is the RTBF
+    * audit surface for STATEFUL queries, the one place the erasure
+    * estate could not see until round 15: [[eraseFromSink]] scrubs the
+    * LANDED partitions, but subject keys live on inside the
+    * checkpoint's state (dedup fingerprints, session state, join
+    * buffers) until watermark eviction. The retention POLICY for that
+    * state is the watermark horizon itself — every state row carries
+    * an eviction deadline (`value.expiresAtMicros` for
+    * dropDuplicatesWithinWatermark), and the engine's no-data final
+    * micro-batch applies the last watermark — so the attestation a
+    * privacy office needs is: PAST THE HORIZON, the readable state
+    * snapshot holds no subject key. q287 measures it under the DuckDB
+    * oracle; EventStreamsSpec drives the full erase-mid-stream →
+    * restart-from-checkpoint lifecycle.
+    */
+  def stateReadout(spark: SparkSession, checkpoint: String): DataFrame =
+    spark.read.format("statestore").option("path", checkpoint).load()
+
+  /** [[stateReadout]] shaped for [[streamingDedup]]'s state: one row
+    * per fingerprint still held by the checkpoint, with its eviction
+    * deadline.
+    */
+  def dedupStateFingerprints(spark: SparkSession,
+                             checkpoint: String): DataFrame =
+    stateReadout(spark, checkpoint)
+      .select(col("key.fp").as("fp"),
+              col("value.expiresAtMicros").as("expires_at_micros"))
+
   /** Stage a bounded ingest slice as ONE parquet file per micro-batch
     * under `inDir`, so a file-source stream
     * (`spark.readStream.schema(...).parquet(inDir)` with
@@ -463,13 +493,17 @@ object EventStreams {
     */
   def stageMicroBatchFiles(slice: DataFrame,
                            batchExpr: org.apache.spark.sql.Column,
-                           nBatches: Int, inDir: String): Unit = {
+                           nBatches: Int, inDir: String,
+                           firstBatch: Int = 0): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
     import scala.jdk.CollectionConverters._
     val base = Paths.get(inDir)
     Files.createDirectories(base)
-    (0 until nBatches).foreach { b =>
+    // `firstBatch` stages a LATER tranche into an already-fed landing
+    // dir (mtimes continue the sequence) — the mid-stream-pause
+    // lifecycle the RTBF specs drive: feed, stop, erase, feed the rest
+    (firstBatch until firstBatch + nBatches).foreach { b =>
       val stage = s"$inDir/__stage_b$b"
       slice.filter(batchExpr === b).coalesce(1)
         .write.mode("overwrite").parquet(stage)

@@ -230,6 +230,57 @@ class ErasureSpec extends SparkSpec {
     } finally IndexStore.drop(spark, n)
   }
 
+  test("estate-wide horizon (q286's composition): after the erasure " +
+       "sweep plus one compaction roll per family, EVERY retained " +
+       "version of every subject-keyed table in all eight families is " +
+       "survivor-free and retention is exactly keepVersions") {
+    val nm = buildEstate("hzall")
+    try {
+      Erasure.eraseEstate(spark, nm, eraseDocs, eraseVecs, eraseHs)
+      // horizon roll: content-identical re-publish per family — GC
+      // drops the pre-erasure build everywhere
+      IndexStore.saveFingerprintIndex(
+        IndexStore.loadFingerprintIndex(spark, nm.fingerprint),
+        nm.fingerprint)
+      IndexStore.saveMinhashIndex(
+        IndexStore.loadMinhashIndex(spark, nm.minhash), nm.minhash)
+      IndexStore.saveBm25Index(
+        IndexStore.loadBm25Index(spark, nm.bm25), nm.bm25)
+      IndexStore.savePositionalIndex(
+        IndexStore.loadPositionalIndex(spark, nm.positional),
+        nm.positional)
+      IndexStore.saveLshIndex(
+        IndexStore.loadLshIndex(spark, nm.lsh), nm.lsh)
+      IndexStore.saveIvfIndex(
+        IndexStore.loadIvfIndex(spark, nm.ivf), nm.ivf)
+      IndexStore.savePqIndex(
+        IndexStore.loadPqIndex(spark, nm.pq), nm.pq)
+      IndexStore.savePlainArtifact(
+        IndexStore.loadPlainArtifact(spark, nm.kmv), nm.kmv)
+      val dAsDoc = eraseDocs.select(col("corpus_id").as("doc_id"))
+      val surfaces: Seq[(String, DataFrame, String)] = Seq(
+        (nm.fingerprint, eraseDocs, "corpus_id"),
+        (s"${nm.minhash}_buckets", eraseDocs, "corpus_id"),
+        (s"${nm.minhash}_shingles", eraseDocs, "corpus_id"),
+        (s"${nm.bm25}_postings", dAsDoc, "doc_id"),
+        (s"${nm.positional}_positions", dAsDoc, "doc_id"),
+        (nm.lsh, eraseVecs, "corpus_id"),
+        (s"${nm.ivf}_assigned", eraseVecs, "corpus_id"),
+        (s"${nm.pq}_codes", eraseVecs, "corpus_id"),
+        (nm.kmv, eraseHs, "h"))
+      surfaces.foreach { case (tbl, keys, kc) =>
+        val vs = IndexStore.retainedVersionNumbers(spark, tbl)
+        assert(vs.size == 2, s"$tbl must retain exactly 2 versions: $vs")
+        vs.foreach { v =>
+          val n = IndexStore.loadTableVersion(spark, tbl, v)
+            .join(keys, Seq(kc), "left_semi").count()
+          assert(n == 0L,
+                 s"$tbl v$v holds $n subject rows past the horizon")
+        }
+      }
+    } finally dropEstate(nm)
+  }
+
   test("fingerprint min-owner corner: erased index drops the shared fp " +
        "row; net rebuild re-keys it under the survivor (measured gap)") {
     val erased = Dedup.eraseFromFingerprintIndex(

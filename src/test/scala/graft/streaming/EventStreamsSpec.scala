@@ -778,4 +778,112 @@ class EventStreamsSpec extends SparkSpec {
                s"${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("checkpoint-state RTBF: after the sink erase the subject fp " +
+       "STILL lives in the state store (the honest loophole); a " +
+       "restart from checkpoint never re-emits it, and past the " +
+       "watermark horizon the state readout is clean") {
+    import spark.implicits._
+    val base = tmpDir("ckpt_rtbf")
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val t0 = 1700000000L
+    // batch 0: subject + bystander; batch 1 (2 h later): a RE-SEND of
+    // the subject text + a fresh doc; batch 2 (4 h later): sentinel
+    val df = Seq(
+      (0L, t0,          "subject secret profile"),
+      (1L, t0,          "bystander document zero"),
+      (2L, t0 + 7200L,  "subject secret profile"),
+      (3L, t0 + 7200L,  "fresh document one"),
+      (4L, t0 + 14400L, "sentinel document two"))
+      .toDF("doc_id", "epoch", "text")
+      .select(col("doc_id"), timestamp_seconds(col("epoch")).as("ts"),
+              col("text"))
+    val bx = when(col("doc_id") < 2, 0)
+      .when(col("doc_id") < 4, 1).otherwise(2)
+    def fpOf(t: String) = Seq(t).toDF("text")
+      .select(graft.llm.TextAnalysis.fingerprint(col("text")).as("fp"))
+    val subjFp = fpOf("subject secret profile")
+    def mkStream() = spark.readStream
+      .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+
+    stageMicroBatchFiles(df, bx, 1, in) // batch 0 only
+    val q1 = streamingDedupSink(mkStream(), "ts", "text",
+                                "30 minutes", out, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out)
+             .join(subjFp, Seq("fp"), "left_semi").count() == 1)
+    // mid-stream RTBF: scrub the landed sink
+    eraseFromSink(spark, out, subjFp, "fp")
+    assert(spark.read.parquet(out)
+             .join(subjFp, Seq("fp"), "left_semi").count() == 0)
+    // the loophole this estate closes by ATTESTING it: the checkpoint
+    // state still holds the subject fingerprint after the sink erase
+    assert(dedupStateFingerprints(spark, ckpt)
+             .join(subjFp, Seq("fp"), "left_semi").count() == 1,
+           "pre-horizon state must still hold the subject fp")
+
+    // feed the rest; restart from the SAME checkpoint
+    stageMicroBatchFiles(df, bx, 2, in, firstBatch = 1)
+    val q2 = streamingDedupSink(mkStream(), "ts", "text",
+                                "30 minutes", out, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val sink = spark.read.parquet(out)
+    // the batch-1 re-send was suppressed by the still-live state: the
+    // subject never re-emerges in the sink
+    assert(sink.join(subjFp, Seq("fp"), "left_semi").count() == 0,
+           "subject must not re-emerge after restart")
+    assert(sink.count() == 3,
+           s"bystander + fresh + sentinel expected: ${sink.count()}")
+    // past the horizon the state readout is clean: the final watermark
+    // (sentinel ts - 30 min) evicted every earlier fingerprint
+    val st = dedupStateFingerprints(spark, ckpt)
+    assert(st.join(subjFp, Seq("fp"), "left_semi").count() == 0,
+           "state must be subject-free past the horizon")
+    assert(st.count() == 1 &&
+             st.join(fpOf("sentinel document two"), Seq("fp"),
+                     "left_semi").count() == 1,
+           "only the sentinel fp may survive in state")
+  }
+
+  test("session-state RTBF horizon: a timed-out user's state leaves " +
+       "the checkpoint — readable via the state source — while an " +
+       "active user's state remains (the sessionization analogue of " +
+       "the dedup-state attestation)") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val ckpt = tmpDir("sess_rtbf_ckpt")
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapMs = 10 * 60000L)
+      .writeStream.format("memory").queryName("sessrtbf")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // subject (user 1) and bystander (user 2) both open sessions
+      input.addData(Event(ts(0), "c", 1, 1.0), Event(ts(0), "c", 2, 1.0))
+      q.processAllAvailable()
+      def stateUsers(): Set[Long] =
+        stateReadout(spark, ckpt).selectExpr("key.*").collect()
+          .map(_.getLong(0)).toSet
+      assert(stateUsers() == Set(1L, 2L),
+             "both open sessions must be visible in the state readout")
+      // watermark far past user 1's timeout; user 2 stays active with
+      // a fresh event — the subject's state is REMOVED by the horizon
+      input.addData(Event(ts(300), "c", 2, 2.0))
+      q.processAllAvailable()
+      input.addData(Event(ts(301), "c", 2, 0.5))
+      q.processAllAvailable()
+      val after = stateUsers()
+      assert(!after.contains(1L),
+             s"timed-out subject must leave the checkpoint state: $after")
+      assert(after.contains(2L),
+             s"the active bystander's state must remain: $after")
+      // and the subject's session was EMITTED before removal (the
+      // state left because the session closed, not because data was
+      // lost)
+      assert(spark.table("sessrtbf").filter(col("user_id") === 1)
+               .count() == 1)
+    } finally q.stop()
+  }
 }
