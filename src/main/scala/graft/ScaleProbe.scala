@@ -1665,6 +1665,52 @@ object ScaleProbe {
         }
       }
     }
+    // Warehouse-hygiene probe: how the estate SWEEP itself scales with
+    // the number of dead estates (round-14's measured symptom was
+    // accumulated dead tables/version dirs inflating index-estate
+    // queries; the closing bench now vacuums first). vac_sweep must
+    // grow ~linearly in the estate count and the second sweep must be
+    // a no-op at any N; the dirty/clean read pair measures whether a
+    // SAME-SESSION read of a live estate even sees the pollution (the
+    // cross-run symptom was catalog+listing growth over hundreds of
+    // runs — recorded here honestly either way).
+    section("vacuum") {
+      import graft.llm.{IndexStore => IS}
+      val small = Tables.documents(spark, dir).limit(500)
+        .select("doc_id", "text")
+      for (n <- Seq(8, 40, 160)) {
+        val live = "graft_vacprobe_live"
+        IS.saveFingerprintIndex(
+          Dedup.fingerprintIndex(small, "doc_id", "text"), live,
+          numBuckets = 4)
+        time(s"vac_pollute    n=$n") {
+          (0 until n).foreach { i =>
+            IS.saveFingerprintIndex(
+              Dedup.fingerprintIndex(small, "doc_id", "text"),
+              s"graft_vacprobe_dead_$i", numBuckets = 4)
+          }
+        }
+        time(s"vac_dirty_read n=$n") {
+          noop(IS.loadFingerprintIndex(spark, live))
+        }
+        time(s"vac_sweep      n=$n") {
+          val rep = IS.vacuum(spark, live = Seq(live),
+                              scope = "graft_vacprobe_")
+          require(rep.droppedEstates.size == n,
+                  s"sweep must drop all $n dead estates: ${rep.summary}")
+        }
+        time(s"vac_clean_read n=$n") {
+          noop(IS.loadFingerprintIndex(spark, live))
+        }
+        time(s"vac_second     n=$n") {
+          val rep = IS.vacuum(spark, live = Seq(live),
+                              scope = "graft_vacprobe_")
+          require(rep.droppedEstates.isEmpty && rep.gcedVersionDirs == 0,
+                  s"second sweep must be a no-op: ${rep.summary}")
+        }
+        IS.drop(spark, live)
+      }
+    }
     spark.stop()
   }
 }
