@@ -7308,6 +7308,78 @@ object LlmQueries {
   }
   private val q287Saved = new graft.SavedOnce[String, String]
 
+  /** Sessionization on Spark 4's `transformWithState`
+    * ([[graft.streaming.EventStreams.TwsSessionProcessor]] — the
+    * modern arbitrary-state API: named typed state variables,
+    * explicit event-time timers, RocksDB backend, per-variable state
+    * readout), run over the REAL events table as a 3-batch file
+    * stream (10-day event-time tranches, so the watermark advances
+    * deterministically and nothing is late) into an idempotent
+    * `batch_id=` sink. Emitted rows = every CLOSED session: closed by
+    * a gap-split when the user's next event arrives, or by the
+    * explicit event-time timer once the final watermark (max event
+    * time − 1 h) passes `last + gap`. FULLY oracle-checked: DuckDB
+    * replays the gaps-and-islands sessionization (30 min gap, stable
+    * (ts, value) ordering), keeps every non-final session plus final
+    * sessions whose deadline the final watermark passed, and matches
+    * rows/schema/hash — the modern-API operator answers exactly like
+    * the batch replay, on real data. EventStreamsSpec separately pins
+    * twin ≡ flatMapGroupsWithState and the per-variable readout.
+    *
+    * 100 TB shape: state per user is one SessionState + one timer
+    * (RocksDB-backed, watermark-bounded); the sink is idempotent
+    * batch partitions; the stream never re-reads history.
+    */
+  def q288TwsSessions(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = q288Saved.getOrElseUpdate(dir, {
+      val b = java.nio.file.Files
+        .createTempDirectory("graft_q288_").toString
+      val in = s"$b/in"
+      // millisecond truncation: the session fold runs on epoch MILLIS
+      // (java.sql.Timestamp.getTime), so the staged event times carry
+      // exactly the precision the operator folds — and the oracle
+      // truncates identically
+      val ev = Tables.events(spark, dir).select(
+        date_trunc("millisecond", col("ts").cast("timestamp")).as("ts"),
+        col("event_type"), col("user_id"), col("value"))
+      val batchExpr =
+        when(col("ts") < to_timestamp(lit("2024-01-11")), 0L)
+          .when(col("ts") < to_timestamp(lit("2024-01-21")), 1L)
+          .otherwise(2L)
+      graft.streaming.EventStreams.stageMicroBatchFiles(
+        ev, batchExpr, nBatches = 3, inDir = in)
+      val out = s"$b/out"
+      implicit val sp: SparkSession = spark
+      import spark.implicits._
+      val stream = spark.readStream
+        .schema("ts TIMESTAMP, event_type STRING, user_id BIGINT, " +
+                "value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+        .as[graft.streaming.EventStreams.Event]
+      val sessions = graft.streaming.EventStreams
+        .twsSessionize(stream, gapMs = 30 * 60000L)
+      val q = graft.streaming.EventStreams.withRocksDbState(spark) {
+        sessions.writeStream
+          .foreachBatch(
+            (batch: org.apache.spark.sql.Dataset[
+               graft.streaming.EventStreams.SessionOut],
+             id: Long) => graft.streaming.EventStreams.upsertBatch(
+              batch.toDF(), id, out))
+          .option("checkpointLocation", s"$b/ckpt")
+          .outputMode("append")
+          .start()
+      }
+      try q.processAllAvailable() finally q.stop()
+      out
+    })
+    spark.read.parquet(outDir)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+              col("n_events"), round(col("value_sum"), 4).as("value_sum"))
+      .orderBy("user_id", "session_start")
+  }
+  private val q288Saved = new graft.SavedOnce[String, String]
+
   /** IVF-index ROLL + health report ([[Similarity.mergeIvfIndex]] — the
     * maintenance job for the FOURTH persisted index family): the base
     * index is fitted + persisted over the `vec_id % 4 = 0` slice, the
@@ -8068,6 +8140,7 @@ object LlmQueries {
     "q285_erasure_horizon"  -> (q285ErasureHorizon(_, _)),
     "q286_estate_horizon"   -> (q286EstateHorizon(_, _)),
     "q287_state_horizon"    -> (q287StateHorizon(_, _)),
+    "q288_tws_sessions"     -> (q288TwsSessions(_, _)),
     "q151_minhash_roll"     -> (q151MinhashRoll(_, _)),
     "q152_ivf_roll"         -> (q152IvfRoll(_, _)),
     "q153_lsh_roll"         -> (q153LshRoll(_, _)),
@@ -9508,6 +9581,40 @@ object LlmQueries {
       |UNION ALL SELECT 'STATE_LIVE', n2 FROM c
       |UNION ALL SELECT 'STATE_IN_RETENTION', n2 FROM c
       |ORDER BY artifact""".stripMargin
+
+  /** q288's replay: gaps-and-islands sessionization (30 min gap,
+    * stable (ts, value) ordering for the double fold), emitting every
+    * non-final session (closed by its successor's arrival) plus final
+    * sessions whose `last + gap` deadline the final watermark
+    * (max ts − 1 h) passed.
+    */
+  private def q288OracleSql: String =
+    """WITH e AS (SELECT user_id,
+      |  date_trunc('milliseconds', ts) AS ts, value FROM events),
+      |m AS (SELECT max(ts) AS mx FROM e),
+      |l AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, value
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM l),
+      |g AS (
+      |  SELECT user_id, sid, min(ts) AS session_start,
+      |    max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events,
+      |    round(sum(value), 4) AS value_sum
+      |  FROM s GROUP BY 1, 2),
+      |g2 AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid
+      |       FROM g)
+      |SELECT user_id, session_start, session_end, n_events, value_sum
+      |FROM g2, m
+      |WHERE sid < last_sid
+      |   OR session_end + INTERVAL 30 MINUTE < mx - INTERVAL 1 HOUR
+      |ORDER BY user_id, session_start""".stripMargin
 
   /** The q39 LSH top-k replay (hyperplane projection from inlined
     * literals, multi-probe, in-bucket ranking) — shared by q39 and the
@@ -12830,6 +12937,7 @@ object LlmQueries {
     "q285_erasure_horizon" -> q285OracleSql,
     "q286_estate_horizon" -> q286OracleSql,
     "q287_state_horizon" -> q287OracleSql,
+    "q288_tws_sessions" -> q288OracleSql,
     "q152_ivf_roll" -> q152OracleSql,
     "q141_epoch_expand" ->
       """WITH s AS (

@@ -115,6 +115,122 @@ object EventStreams {
       }
   }
 
+  /** [[sessionize]]'s twin on Spark 4's `transformWithState` — the
+    * arbitrary-state API that supersedes `flatMapGroupsWithState`:
+    * explicit NAMED typed state variables (two `ValueState`s here;
+    * list/map state and per-variable TTL retention policies hang off
+    * the same handle), first-class event-time TIMERS instead of the
+    * one implicit timeout, per-variable state READOUT through the
+    * state data source (`stateVarName` — the RTBF audit surface gets
+    * variable-level resolution), and the RocksDB state-store backend
+    * (required by the operator; [[withRocksDbState]] scopes the
+    * provider conf around query start). Output semantics are
+    * IDENTICAL to [[sessionize]] — EventStreamsSpec pins twin ≡
+    * flatMapGroupsWithState on the same feed — so stateful operators
+    * can move to the modern API without changing answers; q288 runs
+    * it over the staged real events table under the DuckDB oracle.
+    */
+  class TwsSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SessionOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues,
+      ExpiredTimerInfo, TTLConfig, ValueState}
+    @transient private var st: ValueState[SessionState] = _
+    // the registered timer's timestamp, so a continued session can
+    // DELETE its stale timer before registering the next one (FMGWS's
+    // implicit timeout did this internally; here timers are explicit)
+    @transient private var timerAt: ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[SessionState](
+        "session", org.apache.spark.sql.Encoders.product[SessionState],
+        TTLConfig.NONE)
+      timerAt = getHandle.getValueState[Long](
+        "timer", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    private def out(uid: Long, s: SessionState) =
+      SessionOut(uid, new Timestamp(s.start), new Timestamp(s.last),
+                 s.n, s.total)
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[SessionOut] = {
+      // (ts, value) sort: equal-timestamp events fold in a stable
+      // order, so the double sum is bit-reproducible across runs
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+      var closed = List.empty[SessionOut]
+      var cur: Option[SessionState] =
+        if (st.exists()) Some(st.get()) else None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(SessionState(s.start, math.max(s.last, t),
+                                    s.n + 1, s.total + e.value))
+          case Some(s) =>
+            closed ::= out(uid, s)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        st.update(s)
+        if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+        // same clamp as sessionize: an already-overdue deadline would
+        // be a timer in the past — fire on the next watermark advance
+        val at = math.max(s.last + gapMs, tv.getCurrentWatermarkInMs() + 1)
+        getHandle.registerTimer(at)
+        timerAt.update(at)
+      }
+      closed.reverseIterator
+    }
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo)
+        : Iterator[SessionOut] =
+      if (!st.exists()) Iterator.empty
+      else {
+        val s = st.get()
+        st.clear()
+        timerAt.clear()
+        Iterator(out(uid, s))
+      }
+  }
+
+  /** Run `body` (typically a `writeStream.start()`) with the RocksDB
+    * state-store provider `transformWithState` requires, restoring the
+    * prior provider conf after. The provider is read at QUERY START
+    * and pinned into that query's checkpoint, so scoping the conf
+    * around the start is sufficient and no other query's checkpoint is
+    * affected.
+    */
+  def withRocksDbState[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Event-time sessionization via [[TwsSessionProcessor]] — same
+    * contract as [[sessionize]]: one row per CLOSED session, state per
+    * user is one `SessionState` + one timer.
+    */
+  def twsSessionize(events: Dataset[Event],
+                    gapMs: Long = 30 * 60 * 1000L)
+                   (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TwsSessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   case class FunnelEvent(ts: Timestamp, event_type: String,
                          user_id: Long, event_id: Long)
   case class FunnelState(start: Long, last: Long, lastId: Long,

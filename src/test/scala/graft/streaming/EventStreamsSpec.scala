@@ -886,4 +886,58 @@ class EventStreamsSpec extends SparkSpec {
                .count() == 1)
     } finally q.stop()
   }
+
+  test("transformWithState sessionizer: identical closed sessions to " +
+       "the flatMapGroupsWithState operator on the same feed, and the " +
+       "named state variables read out per-variable via the state " +
+       "source (stateVarName)") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val feed = Seq(
+      // user 1: two sessions (gap > 10 min), user 2: one open session
+      Seq(Event(ts(0), "c", 1, 1.0), Event(ts(5), "c", 1, 2.0),
+          Event(ts(0), "c", 2, 7.0)),
+      Seq(Event(ts(30), "c", 1, 4.0)),
+      Seq(Event(ts(300), "c", 99, 0.0)),
+      Seq(Event(ts(600), "c", 98, 0.0)))
+    def run(name: String,
+            f: org.apache.spark.sql.Dataset[Event] =>
+               org.apache.spark.sql.Dataset[SessionOut],
+            ckpt: Option[String]): Seq[(Long, java.sql.Timestamp,
+                                        java.sql.Timestamp, Long,
+                                        Double)] = {
+      val input = MemoryStream[Event]
+      val w0 = f(input.toDS()).writeStream.format("memory")
+        .queryName(name).outputMode("append")
+      val w = ckpt.fold(w0)(c => w0.option("checkpointLocation", c))
+      val q = withRocksDbState(spark)(w.start())
+      try {
+        feed.foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+                   r.getLong(3), r.getDouble(4)))
+        .sortBy(t => (t._1, t._2.getTime)).toSeq
+    }
+    val ckpt = tmpDir("tws_ckpt")
+    val viaTws = run("tws_par", twsSessionize(_, gapMs = 10 * 60000L),
+                     Some(ckpt))
+    val viaFmgws = run("fmgws_par", sessionize(_, gapMs = 10 * 60000L),
+                       None)
+    assert(viaTws == viaFmgws,
+           s"tws=$viaTws\nfmgws=$viaFmgws")
+    assert(viaTws.count(_._1 == 1L) == 2, s"user 1 closes twice: $viaTws")
+    // per-variable state readout: user 98's open session (and only it)
+    // is in the "session" variable; the "timer" variable tracks it
+    val sess = spark.read.format("statestore")
+      .option("path", ckpt).option("stateVarName", "session").load()
+    val users = sess.selectExpr("key.*").collect().map(_.getLong(0)).toSet
+    assert(users == Set(98L),
+           s"only the final open session may remain in state: $users")
+    val timers = spark.read.format("statestore")
+      .option("path", ckpt).option("stateVarName", "timer").load()
+    assert(timers.selectExpr("key.*").collect().map(_.getLong(0)).toSet
+             == Set(98L))
+  }
 }
