@@ -1016,4 +1016,45 @@ class EventStreamsSpec extends SparkSpec {
            s"TTL must forget the idle key (count restarts at 1): " +
              s"${emitted()}")
   }
+
+  test("stream-stream join buffers are horizon-bounded and auditable: " +
+       "both sides' buffered rows leave the checkpoint once the " +
+       "watermark passes — the join-state leg of the RTBF audit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = tmpDir("ssj_rtbf_ckpt")
+    val signups   = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = streamStreamJoin(
+      signups.toDF(), purchases.toDF(),
+      lateness = "10 minutes", window = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjrtbf")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      signups.addData(Event(ts(0), "signup", 1, 0.0))
+      purchases.addData(Event(ts(5), "purchase", 1, 9.0))
+      q.processAllAvailable()
+      def sideUsers(name: String): Set[Long] =
+        spark.read.format("statestore")
+          .option("path", ckpt).option("joinSide", name).load()
+          .selectExpr("key.field0 AS user_id").collect()
+          .map(_.getLong(0)).toSet
+      // both sides buffer the subject's rows while a late match is
+      // still possible — visible to the audit
+      assert(sideUsers("left") == Set(1L) && sideUsers("right") == Set(1L),
+             s"subject must be buffered on both sides: " +
+               s"${sideUsers("left")} / ${sideUsers("right")}")
+      // advance BOTH watermarks far past the subject's horizon
+      signups.addData(Event(ts(120), "signup", 99, 0.0))
+      purchases.addData(Event(ts(120), "purchase", 99, 0.0))
+      q.processAllAvailable()
+      // the subject's buffered rows are GONE from both join buffers;
+      // only the still-joinable bystander remains
+      assert(sideUsers("left") == Set(99L) &&
+               sideUsers("right") == Set(99L),
+             s"horizon must evict the subject from both buffers: " +
+               s"${sideUsers("left")} / ${sideUsers("right")}")
+    } finally q.stop()
+  }
 }
