@@ -27,7 +27,9 @@ import java.nio.file.{Files, Paths}
   * four environmental risers shipped un-adjudicated): on a FULL-set run,
   * the previous artifact (bench_out.json in cwd, or
   * SPARK_GRAFT_BENCH_BASELINE) is read BEFORE it is overwritten, and any
-  * shared query whose new minimum rose by more than 1.5× is re-timed
+  * shared query whose new minimum rose by more than the
+  * calibration-normalized 1.5× threshold (see [[risers]]; raw 3×
+  * backstop) is re-timed
   * solo (fresh warmup + 3 passes) AFTER the suite finishes — the exact
   * rerun the round-12/13 judges performed by hand. The better minimum
   * is spliced into the artifact and the query is listed under
@@ -80,6 +82,14 @@ object Bench {
   private[graft] def parseSf(json: String): Option[String] =
     """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
 
+  /** The `"calibration"` field of one of our artifacts (present from
+    * round 15) — the same-instant host-speed probe the adjudicator
+    * normalizes riser ratios by.
+    */
+  private[graft] def parseCalibration(json: String): Option[Double] =
+    """"calibration"\s*:\s*([0-9.eE+-]+)""".r.findFirstMatchIn(json)
+      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+
   /** Host-speed calibration: a fixed, seeded, CPU-bound in-memory
     * aggregation (no IO, no warehouse, no shuffle-file reuse) timed
     * before the suite and published as `"calibration"`. Two rounds in a
@@ -106,17 +116,33 @@ object Bench {
     }.min
   }
 
-  /** Shared queries whose new minimum rose by more than `factor` over
-    * the previous artifact's — the set the closing protocol must
-    * re-adjudicate before committing.
+  /** Shared queries whose new minimum rose by more than the effective
+    * threshold over the previous artifact's — the set the closing
+    * protocol must re-adjudicate before committing.
+    *
+    * CALIBRATION-AWARE (round-16): the raw 1.5× test on a slower host
+    * flags every query uniformly (the driver's round-15 rerun burned
+    * 24 solo adjudication cycles on a 1.27×-slower instant), so when
+    * both artifacts carry a `"calibration"` probe the threshold is
+    * relaxed by the host-speed ratio: effective factor =
+    * min(rawBackstop, factor × max(1, calRatio)). The max(1, ·) clamp
+    * means a FASTER host never tightens the test below the raw 1.5×
+    * (the probe is CPU-bound; IO/shuffle-mixed queries don't speed up
+    * proportionally and would all false-positive), and the raw 3×
+    * backstop caps how much slowness a bad probe reading can excuse —
+    * a genuine 3× regression reruns no matter what the probe said.
     */
   private[graft] def risers(prev: Map[String, Double],
                             cur: Map[String, Double],
-                            factor: Double = 1.5): Seq[String] =
+                            factor: Double = 1.5,
+                            calRatio: Double = 1.0,
+                            rawBackstop: Double = 3.0): Seq[String] = {
+    val eff = math.min(rawBackstop, factor * math.max(1.0, calRatio))
     cur.collect {
-      case (name, t) if prev.get(name).exists(p => p > 0 && t > factor * p)
+      case (name, t) if prev.get(name).exists(p => p > 0 && t > eff * p)
         => name
     }.toSeq.sorted
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -131,7 +157,7 @@ object Bench {
     // Read the previous artifact BEFORE this run overwrites it.
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
                                          "bench_out.json")
-    val baseline: Map[String, Double] =
+    val (baseline, baseCal): (Map[String, Double], Option[Double]) =
       try {
         val json = Files.readString(Paths.get(baselinePath))
         val baseSf = parseSf(json)
@@ -139,10 +165,10 @@ object Bench {
           System.err.println(s"[bench] baseline $baselinePath is at sf " +
             s"${baseSf.get}, current run is at $sfDir — skipping " +
             "adjudication (cross-SF minima are not comparable)")
-          Map.empty[String, Double]
-        } else parseQueryTimes(json)
+          (Map.empty[String, Double], None)
+        } else (parseQueryTimes(json), parseCalibration(json))
       }
-      catch { case _: Throwable => Map.empty }
+      catch { case _: Throwable => (Map.empty[String, Double], None) }
 
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
@@ -174,19 +200,49 @@ object Bench {
     // — the closing bench must measure the operators, not listing
     // pollution. Everything the suite needs is rebuilt (memoized per
     // JVM via SavedOnce), so the live set is empty: full clean slate.
+    // SINGLE-WRITER: the empty-live-set sweep deletes EVERY graft_*
+    // estate in the shared warehouse, so a full bench run must not
+    // overlap another session (spec/Verify/probe) using that warehouse
+    // — vacuum's own contract, inherited here. Concurrent sessions:
+    // run with SPARK_GRAFT_BENCH_NOVACUUM=1 (the only cost is the
+    // round-14 listing-pollution noise this sweep exists to remove).
     // Subset runs are mid-iteration diagnostics and leave the warehouse
-    // alone. Disable with SPARK_GRAFT_BENCH_NOVACUUM=1.
+    // alone.
     if (subset.isEmpty &&
         !sys.env.get("SPARK_GRAFT_BENCH_NOVACUUM").exists(_ == "1")) {
       val rep = graft.llm.IndexStore.vacuum(spark)
       System.err.println(s"[bench] ${rep.summary}")
     }
 
+    // Standing optimizer posture (round-16): the executed 11-anchor CBO
+    // side leg proved hash-identity under cbo+joinReorder with published
+    // statistics two rounds running; full suites now OPERATE there —
+    // anchor-table statistics published post-vacuum, cbo + joinReorder
+    // on for every timed query (subset runs too: a diagnostic rerun
+    // must time the same plans the suite did). The suite's path-based
+    // reads carry no catalog stats, so for them this changes the stats
+    // PROPAGATION visitor, not scan estimates; catalog-table reads
+    // (persisted indexes, anchor twins) see real row counts. Control
+    // regime via SPARK_GRAFT_BENCH_NOCBO=1.
+    val cboRegime = !sys.env.get("SPARK_GRAFT_BENCH_NOCBO").exists(_ == "1")
+    if (cboRegime) {
+      val mapping = graft.tools.CboAnchors.ensureTables(spark, sfDir)
+      graft.tools.CboAnchors.publishAll(spark, mapping)
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      System.err.println("[bench] cbo regime ON: statistics published " +
+        s"on ${mapping.size} anchor catalog tables")
+    }
+
     // Host-speed probe FIRST (before any query warms caches), so every
     // artifact carries a same-instant CPU reference for cross-round
     // normalization.
     val calibration = calibrate(spark)
-    System.err.println(f"[bench] calibration: $calibration%.3f s")
+    // host-speed ratio vs the adjudication baseline (1.0 when either
+    // side lacks the probe — pre-r15 artifacts — leaving the raw test)
+    val calRatio = baseCal.filter(_ > 0).map(calibration / _).getOrElse(1.0)
+    System.err.println(f"[bench] calibration: $calibration%.3f s" +
+      baseCal.fold("")(b => f" (baseline $b%.3f s, ratio $calRatio%.3f)"))
 
     val inSuite: Seq[(String, (Double, Double, Boolean))] =
       names.map(n => n -> time(n))
@@ -197,7 +253,9 @@ object Bench {
       !sys.env.get("SPARK_GRAFT_BENCH_NOADJ").exists(_ == "1") &&
       baseline.nonEmpty
     val curMins = inSuite.map { case (n, (t, _, _)) => n -> t }.toMap
-    val toRerun = if (adjudicate) risers(baseline, curMins) else Seq.empty
+    val toRerun =
+      if (adjudicate) risers(baseline, curMins, calRatio = calRatio)
+      else Seq.empty
     val rerunResults: Map[String, (Double, Double, Boolean)] =
       toRerun.map { n =>
         System.err.println(s"[bench] re-adjudicating $n: " +
@@ -231,7 +289,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","calibration":${f"$calibration%.4f"},"queries":$qs,"spread":$spreads,"ok":$oks,"readjudicated":$readj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration":${f"$calibration%.4f"},"cbo":$cboRegime,"queries":$qs,"spread":$spreads,"ok":$oks,"readjudicated":$readj,"sf":"$sfDir"}"""
     println(line)
     // A diagnostic subset run must not clobber the standing full
     // artifact (the previous run's bench_out.json IS the next run's

@@ -27,6 +27,19 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus, "graft-verify")
+    // Same standing optimizer posture as Bench (round-16): anchor-table
+    // statistics published, cbo + joinReorder on — so the round's
+    // correctness artifact itself proves every query hash-green UNDER
+    // the operating regime, not beside it. SPARK_GRAFT_VERIFY_NOCBO=1
+    // restores the stats-blind control.
+    if (!sys.env.get("SPARK_GRAFT_VERIFY_NOCBO").exists(_ == "1")) {
+      val mapping = graft.tools.CboAnchors.ensureTables(spark, sfDir)
+      graft.tools.CboAnchors.publishAll(spark, mapping)
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      System.err.println("[verify] cbo regime ON: statistics published " +
+        s"on ${mapping.size} anchor catalog tables")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

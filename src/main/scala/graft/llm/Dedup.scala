@@ -244,16 +244,22 @@ object Dedup {
     * 2-3 times; at cluster scale this is the relation a persisted dedup
     * index stores.
     */
+  private[llm] def md5Prefix60(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.Md5Prefix60Expr(
+      ColumnBridge.expression(c)))
+  }
+
+  private[llm] def permSig(c: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.PermMinSigExpr(
+      ColumnBridge.expression(c), numHashes))
+  }
+
   private[llm] def portableSigTable(df: DataFrame, idCol: String,
                                     textCol: String, k: Int,
                                     numHashes: Int): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    def md5Prefix60(c: Column): Column =
-      ColumnBridge.column(graft.functions.Md5Prefix60Expr(
-        ColumnBridge.expression(c)))
-    def permSig(c: Column): Column =
-      ColumnBridge.column(graft.functions.PermMinSigExpr(
-        ColumnBridge.expression(c), numHashes))
+    def permSig(c: Column): Column = Dedup.permSig(c, numHashes)
     parallelizeCompute(df, idCol).select(
       col(idCol).as("doc_id"),
       normalizeText(col(textCol)).as("norm"))
@@ -468,6 +474,64 @@ object Dedup {
       .select(col("doc_id"), col("corpus_id"),
               jaccardLong(col("sh_b"), col("sh_c")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** [[minhashIncrementalPairsPortable]] re-shaped for a STREAMING
+    * source — the per-row plan behind the transformWithState twin of
+    * the incremental near-dedup sink: one row per (doc, band)
+    * carrying the doc's event time and a verified match (corpus_id,
+    * jaccard) or nulls. Three deliberate differences from the batch
+    * pairs plan, each a streaming constraint:
+    *
+    *  - LEFT joins instead of inner, so a clean doc (no candidate in
+    *    any band) still reaches the downstream classifier;
+    *  - no Materialize of the signature table (localCheckpoint is a
+    *    batch action; per-projection attribute references keep
+    *    CollapseProject from inlining the shingle HOF's inputs) and
+    *    no pair-distinct (a second stateful operator): a (doc,
+    *    corpus) pair sharing b bands is verified b times and
+    *    collapsed by the downstream per-doc aggregation — bounded by
+    *    `bands`, and ingest micro-batches are delta-sized;
+    *  - the hashed shingle set rides the band explode (bands× its
+    *    size in flight) instead of being re-joined from a
+    *    materialized table.
+    *
+    * The foreachBatch sink remains the bulk path; this is the
+    * single-declarative-plan shape the modern state API consumes.
+    */
+  def minhashCandidateRowsPortable(batch: DataFrame, index: MinhashIndex,
+                                   idCol: String, textCol: String,
+                                   tsCol: String,
+                                   k: Int = 5, numHashes: Int = 32,
+                                   bands: Int = 8,
+                                   threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = batch
+      .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+              normalizeText(col(textCol)).as("norm"))
+      .select(col("doc_id"), col("ts"),
+              shinglesOfNorm(col("norm"), k).as("sh"))
+      .withColumn("shh", md5Prefix60(col("sh")))
+      .withColumn("sig", permSig(col("shh"), numHashes))
+      .select("doc_id", "ts", "sig", "shh")
+    val bandArr = array(
+      (0 until bands).map(portableBucketOfBand(numHashes, bands)): _*)
+    val banded = sigs
+      .select(col("doc_id"), col("ts"), col("shh"), posexplode(bandArr))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    banded
+      .join(index.buckets, Seq("band", "bucket"), "left_outer")
+      .join(index.shingles.select(col("corpus_id"),
+                                  col("shh").as("sh_c")),
+            Seq("corpus_id"), "left_outer")
+      .select(col("doc_id"), col("ts"), col("corpus_id"),
+              when(col("sh_c").isNotNull,
+                   jaccardLong(col("shh"), col("sh_c"))).as("j"))
+      .select(col("doc_id"), col("ts"),
+              when(col("j") >= threshold, col("corpus_id"))
+                .as("corpus_id"),
+              when(col("j") >= threshold, col("j")).as("jaccard"))
   }
 
   /** ROLL a persisted CLUSTER ASSIGNMENT forward with a delta batch —

@@ -287,9 +287,14 @@ object IndexStore {
   }
 
   /** Whether the session catalog's entry for `vt` points at `vdir` (the
-    * immutable version dir it is supposed to describe). Any read
-    * failure counts as "no" — the caller drops and re-registers, which
-    * is always safe because the catalog is only a cache over disk.
+    * immutable version dir it is supposed to describe). The catalog
+    * side is qualified through ITS OWN location's filesystem before
+    * comparing — a stored unqualified or scheme-variant URI (`file:/`
+    * vs `file:///`) would otherwise compare false and every resolve
+    * would drop + re-register the entry: safe, but silent churn that
+    * defeats the catalog cache. Any read failure counts as "no" — the
+    * caller drops and re-registers, which is always safe because the
+    * catalog is only a cache over disk.
     */
   private def registeredOver(spark: SparkSession, vt: String,
                              vdir: Path): Boolean =
@@ -297,7 +302,8 @@ object IndexStore {
       val loc = spark.sessionState.catalog
         .getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(vt)).location
-      new Path(loc) == vdir
+      val p = new Path(loc)
+      fileSystem(spark, p).makeQualified(p) == vdir
     }.getOrElse(false)
 
   /** Every RETAINED committed version number of `{table}`, ascending —
@@ -601,11 +607,21 @@ object IndexStore {
     val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
     val liveLc = live.map(_.toLowerCase(java.util.Locale.ROOT))
 
+    // SHOW TABLES LIKE treats characters other than * as regex, so a
+    // dir name with metacharacters (anything outside [A-Za-z0-9_])
+    // would error or over-match and drop unintended entries — match in
+    // Scala over the plain listing instead (catalog-bounded).
+    lazy val allCatalogNames: Seq[String] =
+      spark.sql("SHOW TABLES").collect().map(_.getString(1)).toSeq
+
     def dropEntriesFor(t: String): Unit = {
-      val n = spark.sql(s"SHOW TABLES LIKE '${t}__v*'").collect()
-        .map(r => { spark.sql(s"DROP TABLE IF EXISTS ${r.getString(1)}"); 1 })
-        .sum
-      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val n = allCatalogNames.count { name =>
+        val hit = name.startsWith(s"${t}__v") &&
+          name.stripPrefix(s"${t}__v").forall(_.isDigit)
+        if (hit) spark.sql(s"DROP TABLE IF EXISTS `$name`")
+        hit
+      }
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
       deregistered += n
     }
 
@@ -638,18 +654,26 @@ object IndexStore {
     // Dangling catalog entries: any in-scope {t}__v{N} whose backing
     // dir no longer carries a commit marker (external-dir estates whose
     // entry is healthy re-register lazily — dropping is still safe).
-    spark.sql(s"SHOW TABLES LIKE '${scope}*__v*'").collect().foreach { r =>
-      val name = r.getString(1)
+    // Fresh listing (the estate loop above already dropped some), and
+    // the commit probe resolves the filesystem from the TABLE'S OWN
+    // location — external-dir estates can live on a different fs than
+    // the warehouse (file:/ temp estates under an HDFS/S3 warehouse),
+    // where the warehouse fs would throw, the Try would swallow it as
+    // "not committed", and healthy entries would be dropped on every
+    // sweep, breaking idempotence.
+    spark.sql("SHOW TABLES").collect().map(_.getString(1))
+      .filter(_.startsWith(scope)).foreach { name =>
       name match {
         case VersionedNameRe(t, v) =>
           val committed = scala.util.Try {
             val loc = spark.sessionState.catalog
               .getTableMetadata(
                 org.apache.spark.sql.catalyst.TableIdentifier(name)).location
-            fs.exists(new Path(new Path(loc), CommitFile))
+            val marker = new Path(new Path(loc), CommitFile)
+            fileSystem(spark, marker).exists(marker)
           }.getOrElse(false)
           if (!committed) {
-            spark.sql(s"DROP TABLE IF EXISTS $name")
+            spark.sql(s"DROP TABLE IF EXISTS `$name`")
             deregistered += 1
           }
         case _ => ()

@@ -36,6 +36,43 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(Bench.risers(prev, Map("a" -> 1.51)) == Seq("a"))
   }
 
+  test("risers is calibration-aware: a slower host relaxes the 1.5x " +
+       "threshold by the probe ratio (the driver's round-15 rerun " +
+       "burned 24 solo cycles a 1.27x-slower instant explains), a " +
+       "faster host never tightens it, and the raw 3x backstop caps " +
+       "what a bad probe reading can excuse") {
+    val prev = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
+    // synthetic slow-host pass: every query uniformly 1.8x raw — the
+    // exact shape that was 24 phantom risers; calRatio 1.27 relaxes
+    // the threshold to 1.905x and none is flagged
+    val slow = Map("a" -> 1.8, "b" -> 1.8, "c" -> 1.8)
+    assert(Bench.risers(prev, slow).size == 3)
+    assert(Bench.risers(prev, slow, calRatio = 1.27).isEmpty)
+    // a genuine regression still pokes above the relaxed threshold
+    assert(Bench.risers(prev, slow + ("b" -> 2.0),
+                        calRatio = 1.27) == Seq("b"))
+    // raw backstop: calRatio 3 would put the threshold at 4.5x; the
+    // 3x cap keeps a real 3.1x regression flagged regardless
+    assert(Bench.risers(prev, Map("a" -> 3.1), calRatio = 3.0)
+             == Seq("a"))
+    assert(Bench.risers(prev, Map("a" -> 2.9), calRatio = 3.0).isEmpty)
+    // faster host (CPU probe sped up 2x): the clamp keeps the raw
+    // 1.5x floor — IO-bound queries that didn't speed up must not all
+    // false-positive
+    assert(Bench.risers(prev, Map("a" -> 1.4), calRatio = 0.5).isEmpty)
+    assert(Bench.risers(prev, Map("a" -> 1.6), calRatio = 0.5)
+             == Seq("a"))
+  }
+
+  test("parseCalibration reads the probe field; absent on pre-r15 " +
+       "artifacts") {
+    val withCal =
+      """{"metric":"total","value":2.0,"calibration":0.3701,"queries":{"a":1.0},"sf":"x"}"""
+    assert(Bench.parseCalibration(withCal).exists(c =>
+      math.abs(c - 0.3701) < 1e-9))
+    assert(Bench.parseCalibration(artifact).isEmpty)
+  }
+
   test("parseSf reads the artifact's scale dir; adjudication must not " +
        "compare minima across scale factors") {
     assert(Bench.parseSf(artifact) == Some("/root/testdata/sf0.1"))

@@ -334,4 +334,45 @@ class ErasureSpec extends SparkSpec {
     // the fixture really exercises replacement: rebuild has more rows
     assert(rebuilt.count() > erased.count())
   }
+
+  test("full-estate attestation (q289): one answer over all 28 " +
+       "surfaces — 18 index version-surfaces plus the four stateful " +
+       "streaming families' checkpoints and erased sinks — with " +
+       "subject survivors AND past-retention rows zero everywhere") {
+    assumeData(sf0001)
+    val rows = graft.operators.LlmQueries
+      .queries("q289_full_estate_horizon")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                 r.getLong(3), r.getLong(4)))
+    assert(rows.length == 41, s"41 attestation rows expected: " +
+      s"${rows.length}")
+    // the headline: nothing subject-keyed and nothing past retention
+    // survives ANYWHERE a reader can still resolve
+    val dirty = rows.filter(r => r._4 > 0 || r._5 > 0)
+    assert(dirty.isEmpty, s"dirty surfaces: ${dirty.toSeq}")
+    // every family contributes: all four streaming state surfaces are
+    // PRESENT and non-empty (an empty checkpoint readout would make
+    // the zero-survivor claim vacuous) …
+    Seq("stream_dedup_state", "stream_fmgws_state",
+        "stream_tws_state_session", "stream_tws_state_timer",
+        "stream_join_left", "stream_join_right").foreach { a =>
+      val r = rows.find(_._1 == a)
+      assert(r.exists(_._3 > 0), s"$a must audit a non-empty state: $r")
+    }
+    // … and so are the erased sinks and every index version row
+    Seq("stream_dedup_sink", "stream_fmgws_sink", "stream_tws_sink",
+        "stream_join_sink").foreach { a =>
+      assert(rows.exists(r => r._1 == a && r._3 > 0), s"$a missing")
+    }
+    assert(rows.count(_._2 > 0) == 18,
+           "18 index version-surfaces expected")
+    val estate = rows.find(_._1 == "ESTATE").get
+    assert(estate._3 == 28L && estate._4 == 0L && estate._5 == 0L)
+    // the sessions twins agree at the surface level: FMGWS and TWS
+    // state/sink counts are identical on the same staged feed
+    def n(a: String) = rows.find(_._1 == a).get._3
+    assert(n("stream_fmgws_state") == n("stream_tws_state_session"))
+    assert(n("stream_fmgws_sink") == n("stream_tws_sink"))
+  }
 }
