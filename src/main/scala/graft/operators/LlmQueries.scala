@@ -7224,16 +7224,54 @@ object LlmQueries {
       ("ivf", "ivf", s"${names.ivf}_assigned", eraseVecs, "corpus_id"),
       ("pq", "pq", s"${names.pq}_codes", eraseVecs, "corpus_id"),
       ("kmv", "kmv_daily", names.kmv, eraseHs, "h"))
-    surfaces.flatMap { case (fam, art, tbl, keys, kc) =>
+    // resolve version tables SEQUENTIALLY (catalog registration), then
+    // measure each surface as ONE fused job in a bounded parallel pool
+    val cells = surfaces.flatMap { case (fam, art, tbl, keys, kc) =>
       IndexStore.retainedVersionNumbers(spark, tbl).zipWithIndex.map {
         case (v, i) =>
-          val df = IndexStore.loadTableVersion(spark, tbl, v)
-          (fam, art, (i + 1).toLong, df.count(),
-           df.join(keys, Seq(kc), "left_semi").count())
+          (fam, art, (i + 1).toLong,
+           IndexStore.loadTableVersion(spark, tbl, v), keys, kc)
       }
+    }
+    auditPar(cells) { case (fam, art, rank, df, keys, kc) =>
+      val (n, subj) = auditCounts(df, keys, kc)
+      (fam, art, rank, n, subj)
     }
   }
   private val q286Saved = new graft.SavedOnce[String, String]
+
+  /** One fused audit job per surface: total rows + subject survivors
+    * in a single aggregation over a LEFT join against the (unique-key,
+    * broadcastable) erase set — the two-job count+semi-join pattern
+    * issued ~60 tiny Spark jobs across q286/q289's surfaces, and on
+    * these index-scale tables per-job overhead WAS the query. `keys`
+    * must be unique on `kc` (every erase set is id-distinct by
+    * construction) or survivors would double-count.
+    */
+  private def auditCounts(df: DataFrame, keys: DataFrame,
+                          kc: String): (Long, Long) = {
+    val r = df
+      .join(keys.select(col(kc)).withColumn("__subj", lit(1)),
+            Seq(kc), "left")
+      .agg(count(lit(1)).as("n"), count(col("__subj")).as("s")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Run small audit jobs concurrently (order-preserving) on a bounded
+    * pool — the surfaces are independent sub-second jobs whose
+    * sequential sum, not any single job, was q289's cost; local[32]
+    * has headroom for 8 driver threads submitting concurrently.
+    */
+  private def auditPar[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    import scala.collection.parallel.CollectionConverters._
+    val pool = new java.util.concurrent.ForkJoinPool(8)
+    try {
+      val pc = xs.par
+      pc.tasksupport =
+        new scala.collection.parallel.ForkJoinTaskSupport(pool)
+      pc.map(f).seq.toSeq
+    } finally pool.shutdown()
+  }
 
   /** STREAMING-STATE erasure horizon — the last place in the estate
     * where "user X is gone EVERYWHERE" could silently stay false
@@ -7582,8 +7620,20 @@ object LlmQueries {
     def joinBuf(side: String): DataFrame =
       spark.read.format("statestore").option("path", s"$base/j_ckpt")
         .option("joinSide", side).load()
-    def subjCount(df: DataFrame, kc: String, keys: DataFrame): Long =
-      df.join(keys, Seq(kc), "left_semi").count()
+    // one fused job per surface: rows + subject survivors + rows past
+    // the surface's own retention policy in a single aggregation
+    def streamAudit(df: DataFrame, kc: String, keys: DataFrame,
+                    past: Option[Column]): (Long, Long, Long) = {
+      val base = df.join(
+        keys.select(col(kc)).withColumn("__subj", lit(1)),
+        Seq(kc), "left")
+      val aggs = Seq(count(lit(1)).as("n"),
+                     count(col("__subj")).as("s")) ++
+        past.map(p => count(when(p, lit(1))).as("p"))
+      val r = base.agg(aggs.head, aggs.tail: _*).head()
+      (r.getLong(0), r.getLong(1),
+       if (past.isDefined) r.getLong(2) else 0L)
+    }
     // (family, artifact, n_rows, n_subject, n_past_retention)
     val dedupState = EventStreams
       .dedupStateFingerprints(spark, s"$dedupBase/ckpt")
@@ -7603,36 +7653,35 @@ object LlmQueries {
       .select(col("key.field0").as("user_id"), col("value.signup_ts"))
     def sinkUsers(p: String): DataFrame =
       spark.read.parquet(s"$base/$p").select("user_id")
-    val stream: Seq[(String, String, Long, Long, Long)] = Seq(
-      ("stream_dedup", "stream_dedup_sink", dedupSink.count(),
-       subjCount(dedupSink, "fp", subjFp), 0L),
-      ("stream_dedup", "stream_dedup_state", dedupState.count(),
-       subjCount(dedupState, "fp", subjFp),
-       dedupState.filter(col("expires_at_micros") <= dedupHorizonMicros)
-         .count()),
-      ("stream_fmgws", "stream_fmgws_sink", sinkUsers("fm_out").count(),
-       subjCount(sinkUsers("fm_out"), "user_id", subjU), 0L),
-      ("stream_fmgws", "stream_fmgws_state", fmState.count(),
-       subjCount(fmState, "user_id", subjU),
-       fmState.filter(col("last") + gapMs < sessWmMs).count()),
-      ("stream_tws", "stream_tws_sink", sinkUsers("tw_out").count(),
-       subjCount(sinkUsers("tw_out"), "user_id", subjU), 0L),
-      ("stream_tws", "stream_tws_state_session", twState.count(),
-       subjCount(twState, "user_id", subjU),
-       twState.filter(col("last") + gapMs < sessWmMs).count()),
-      ("stream_tws", "stream_tws_state_timer", twTimer.count(),
-       subjCount(twTimer, "user_id", subjU),
-       twTimer.filter(col("deadline") < sessWmMs).count()),
-      ("stream_join", "stream_join_sink", sinkUsers("j_out").count(),
-       subjCount(sinkUsers("j_out"), "user_id", subjU), 0L),
-      ("stream_join", "stream_join_left", jLeft.count(),
-       subjCount(jLeft, "user_id", subjU),
-       jLeft.filter(col("purchase_ts") <
-         timestamp_seconds(lit(joinWm - 1800L))).count()),
-      ("stream_join", "stream_join_right", jRight.count(),
-       subjCount(jRight, "user_id", subjU),
-       jRight.filter(col("signup_ts") <
-         timestamp_seconds(lit(joinWm - 1800L))).count()))
+    val streamSpecs: Seq[(String, String, DataFrame, String, DataFrame,
+                          Option[Column])] = Seq(
+      ("stream_dedup", "stream_dedup_sink", dedupSink, "fp", subjFp,
+       None),
+      ("stream_dedup", "stream_dedup_state", dedupState, "fp", subjFp,
+       Some(col("expires_at_micros") <= dedupHorizonMicros)),
+      ("stream_fmgws", "stream_fmgws_sink", sinkUsers("fm_out"),
+       "user_id", subjU, None),
+      ("stream_fmgws", "stream_fmgws_state", fmState, "user_id", subjU,
+       Some(col("last") + gapMs < sessWmMs)),
+      ("stream_tws", "stream_tws_sink", sinkUsers("tw_out"),
+       "user_id", subjU, None),
+      ("stream_tws", "stream_tws_state_session", twState, "user_id",
+       subjU, Some(col("last") + gapMs < sessWmMs)),
+      ("stream_tws", "stream_tws_state_timer", twTimer, "user_id",
+       subjU, Some(col("deadline") < sessWmMs)),
+      ("stream_join", "stream_join_sink", sinkUsers("j_out"),
+       "user_id", subjU, None),
+      ("stream_join", "stream_join_left", jLeft, "user_id", subjU,
+       Some(col("purchase_ts") <
+              timestamp_seconds(lit(joinWm - 1800L)))),
+      ("stream_join", "stream_join_right", jRight, "user_id", subjU,
+       Some(col("signup_ts") <
+              timestamp_seconds(lit(joinWm - 1800L)))))
+    val stream: Seq[(String, String, Long, Long, Long)] =
+      auditPar(streamSpecs) { case (fam, art, df, kc, keys, past) =>
+        val (n, s, p) = streamAudit(df, kc, keys, past)
+        (fam, art, n, s, p)
+      }
     // ---- index estate (q286's walk, past-retention = versions beyond
     // keepVersions per family)
     val keepVersions = 2L

@@ -651,10 +651,39 @@ object TimeSeriesQueries {
     * row EXACTLY — state machine ≡ positional scan, one shared
     * oracle string. Memoized sink, excluded from the bench.
     */
-  def q253StreamingFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val outDir = q253Saved.getOrElseUpdate(dir, {
+  def q253StreamingFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelStagesAgg(spark,
+                    streamingFunnelOut(spark, dir, useTws = false))
+
+  /** The streamed funnel on `transformWithState`
+    * ([[graft.streaming.EventStreams.TwsFunnelProcessor]] — shared
+    * fold with the FMGWS operator, named `funnel`/`timer` state
+    * variables, explicit event-time timers, RocksDB backend) over the
+    * SAME staged real-events feed as q253, landed and re-aggregated
+    * identically — three operators (batch positional scan, FMGWS
+    * state machine, TWS state machine) now answer through ONE oracle
+    * string. This is the migration proof on real data: q288 pinned
+    * sessionization, this pins the funnel, and no FMGWS user is left
+    * without a hash-checked modern-API twin.
+    */
+  def q290TwsFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelStagesAgg(spark,
+                    streamingFunnelOut(spark, dir, useTws = true))
+
+  /** Staged-feed fixture shared by q253 (FMGWS) and q290 (TWS): the
+    * events table in time-sliced micro-batches through the chosen
+    * per-user funnel state machine into an idempotent `batch_id=`
+    * sink; two far-future sentinel rows advance the watermark and
+    * trigger the final timeouts so every real session emits its
+    * reached stage. Memoized per (process, dir, operator).
+    */
+  private def streamingFunnelOut(spark: SparkSession, dir: String,
+                                 useTws: Boolean): String = {
+    val saved = if (useTws) q290Saved else q253Saved
+    saved.getOrElseUpdate(dir, {
       val base = java.nio.file.Files
-        .createTempDirectory("graft_q253_").toString
+        .createTempDirectory(if (useTws) "graft_q290_" else "graft_q253_")
+        .toString
       val in = s"$base/in"
       val e = Tables.events(spark, dir)
         .select(col("ts"), col("event_type"), col("user_id"),
@@ -684,10 +713,11 @@ object TimeSeriesQueries {
       implicit val s: SparkSession = spark
       import spark.implicits._
       val out = s"$base/out"
-      val q = graft.streaming.EventStreams
-        .funnelSessionize(
-          stream.as[graft.streaming.EventStreams.FunnelEvent])
-        .writeStream
+      val es = graft.streaming.EventStreams
+      val ds = stream.as[graft.streaming.EventStreams.FunnelEvent]
+      val stages = if (useTws) es.twsFunnelSessionize(ds)
+                   else es.funnelSessionize(ds)
+      val writer = stages.writeStream
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[
              graft.streaming.EventStreams.FunnelOut], id: Long) =>
@@ -696,10 +726,18 @@ object TimeSeriesQueries {
         }
         .option("checkpointLocation", s"$base/ckpt")
         .outputMode("append")
-        .start()
+      val q = if (useTws) es.withRocksDbState(spark)(writer.start())
+              else writer.start()
       try q.processAllAvailable() finally q.stop()
       out
     })
+  }
+
+  /** Re-aggregate a landed (user_id, stage) sink to the funnel report
+    * row — q252's exact output shape, shared by both streamed legs.
+    */
+  private def funnelStagesAgg(spark: SparkSession,
+                              outDir: String): DataFrame =
     spark.read.parquet(outDir)
       .filter(col("user_id") =!= -1L)
       .agg(count(lit(1)).as("n_sessions"),
@@ -713,8 +751,8 @@ object TimeSeriesQueries {
               expr("n_view_click * 1000000 DIV n_sessions")
                 .as("vc_ppm"),
               expr("n_full * 1000000 DIV n_sessions").as("full_ppm"))
-  }
   private val q253Saved = new graft.SavedOnce[String, String]
+  private val q290Saved = new graft.SavedOnce[String, String]
 
   /** Decayed-score STORE with a daily roll — the third leg of the
     * trending family (batch q243, streamed partials q251): the
@@ -1137,6 +1175,7 @@ object TimeSeriesQueries {
     "q261_layout_pruning" -> (q261LayoutPruning(_, _)),
     "q255_decay_roll" -> (q255DecayRoll(_, _)),
     "q253_streaming_funnel" -> (q253StreamingFunnel(_, _)),
+    "q290_tws_funnel" -> (q290TwsFunnel(_, _)),
     "q252_session_funnel" -> (q252SessionFunnel(_, _)),
     "q279_sink_erasure" -> (q279SinkErasure(_, _)),
     "q251_streaming_decay" -> (q251StreamingDecay(_, _)),
@@ -1405,6 +1444,7 @@ object TimeSeriesQueries {
     "q252_session_funnel" -> sessionFunnelSql,
     // the streamed state machine must agree with the same replay
     "q253_streaming_funnel" -> sessionFunnelSql,
+    "q290_tws_funnel" -> sessionFunnelSql,
     // day cut, shift weights, ranked cut — all integer
     "q243_decayed_topk" -> decayedTopkSql("events"),
     // streamed partials re-merged ≡ the same full replay

@@ -71,6 +71,12 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(Bench.parseCalibration(withCal).exists(c =>
       math.abs(c - 0.3701) < 1e-9))
     assert(Bench.parseCalibration(artifact).isEmpty)
+    // r16 artifacts carry pre/post diagnostics too — the reader must
+    // bind the min-of-both "calibration" field, not a diagnostic
+    val withBoth =
+      """{"metric":"total","calibration":0.3832,"calibration_pre":1.1194,"calibration_post":0.3832,"queries":{"a":1.0},"sf":"x"}"""
+    assert(Bench.parseCalibration(withBoth).exists(c =>
+      math.abs(c - 0.3832) < 1e-9))
   }
 
   test("parseSf reads the artifact's scale dir; adjudication must not " +
