@@ -499,12 +499,18 @@ object Dedup {
     * The foreachBatch sink remains the bulk path; this is the
     * single-declarative-plan shape the modern state API consumes.
     */
-  def minhashCandidateRowsPortable(batch: DataFrame, index: MinhashIndex,
-                                   idCol: String, textCol: String,
-                                   tsCol: String,
-                                   k: Int = 5, numHashes: Int = 32,
-                                   bands: Int = 8,
-                                   threshold: Double = 0.5): DataFrame = {
+  /** STREAM-safe banded signature rows — (doc_id, ts, band, bucket,
+    * shh), one row per doc × band, via per-projection attribute
+    * references and no Materialize (see
+    * [[minhashCandidateRowsPortable]]'s notes). The row shape both
+    * streaming near-dedup layers consume: the static-index classifier
+    * joins it against persisted buckets; the in-stream layer groups it
+    * BY (band, bucket) and carries state per bucket.
+    */
+  def bandedSigRowsPortable(batch: DataFrame, idCol: String,
+                            textCol: String, tsCol: String,
+                            k: Int = 5, numHashes: Int = 32,
+                            bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sigs = batch
       .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
@@ -516,10 +522,20 @@ object Dedup {
       .select("doc_id", "ts", "sig", "shh")
     val bandArr = array(
       (0 until bands).map(portableBucketOfBand(numHashes, bands)): _*)
-    val banded = sigs
+    sigs
       .select(col("doc_id"), col("ts"), col("shh"), posexplode(bandArr))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+  }
+
+  def minhashCandidateRowsPortable(batch: DataFrame, index: MinhashIndex,
+                                   idCol: String, textCol: String,
+                                   tsCol: String,
+                                   k: Int = 5, numHashes: Int = 32,
+                                   bands: Int = 8,
+                                   threshold: Double = 0.5): DataFrame = {
+    val banded = bandedSigRowsPortable(batch, idCol, textCol, tsCol,
+                                       k, numHashes, bands)
     banded
       .join(index.buckets, Seq("band", "bucket"), "left_outer")
       .join(index.shingles.select(col("corpus_id"),

@@ -7714,6 +7714,59 @@ object LlmQueries {
   }
   private val q289Saved = new graft.SavedOnce[String, String]
 
+  /** IN-STREAM near-dedup over the real documents table
+    * ([[graft.streaming.EventStreams.inStreamNearDedupSink]]) — the
+    * coverage hole between index rotations closed and ORACLE-CHECKED:
+    * the static-index sinks (q76/q151 batch, the streaming twins)
+    * classify arrivals against a persisted index, so two NEW
+    * near-duplicates arriving between rotations both pass; this
+    * operator buckets the stream itself (banded portable MinHash, the
+    * q35 candidate rule) and verifies each arrival against the
+    * bucket's earlier within-horizon arrivals in transformWithState
+    * list state. The documents table is staged as 3 micro-batches
+    * (doc_id mod 3, event times 10 min apart, horizon 1 h — wide open,
+    * so the pair set is the full banding truth), and the query reports
+    * each matched doc's MINIMUM earlier match with its exact Jaccard
+    * permille. FULLY oracle-checked: DuckDB replays the signatures,
+    * banding, the (batch, doc_id)-earlier rule, and the
+    * distinct-intersection/union permille — the in-stream state layer
+    * answers exactly like the from-scratch pair enumeration.
+    *
+    * 100 TB shape: state = per-bucket within-horizon entries
+    * (maxBucket-capped, watermark-evicted); the only exchange is the
+    * (band, bucket) shuffle the batch pipeline also pays.
+    */
+  def q291InStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = q291Saved.getOrElseUpdate(dir, {
+      val b = java.nio.file.Files
+        .createTempDirectory("graft_q291_").toString
+      val in = s"$b/in"
+      val docs = Tables.documents(spark, dir).select(
+        col("doc_id"),
+        timestamp_seconds(lit(q287TsBase) + (col("doc_id") % 3) * 600L)
+          .as("ts"),
+        col("text"))
+      graft.streaming.EventStreams.stageMicroBatchFiles(
+        docs, col("doc_id") % 3, nBatches = 3, inDir = in)
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val q = graft.streaming.EventStreams.inStreamNearDedupSink(
+        stream, "doc_id", "text", "ts", s"$b/out", s"$b/ckpt",
+        lateness = "30 minutes", horizonMs = 3600000L)
+      try q.processAllAvailable() finally q.stop()
+      s"$b/out"
+    })
+    spark.read.parquet(outDir)
+      .groupBy("doc_id")
+      .agg(min(struct(col("match_id"), col("jaccard_pm"))).as("m"))
+      .select(col("doc_id"), col("m.match_id").as("match_id"),
+              col("m.jaccard_pm").as("jaccard_pm"))
+      .orderBy("doc_id")
+  }
+  private val q291Saved = new graft.SavedOnce[String, String]
+
   /** IVF-index ROLL + health report ([[Similarity.mergeIvfIndex]] — the
     * maintenance job for the FOURTH persisted index family): the base
     * index is fitted + persisted over the `vec_id % 4 = 0` slice, the
@@ -8476,6 +8529,7 @@ object LlmQueries {
     "q287_state_horizon"    -> (q287StateHorizon(_, _)),
     "q288_tws_sessions"     -> (q288TwsSessions(_, _)),
     "q289_full_estate_horizon" -> (q289FullEstateHorizon(_, _)),
+    "q291_instream_dedup"   -> (q291InStreamDedup(_, _)),
     "q151_minhash_roll"     -> (q151MinhashRoll(_, _)),
     "q152_ivf_roll"         -> (q152IvfRoll(_, _)),
     "q153_lsh_roll"         -> (q153LshRoll(_, _)),
@@ -10061,6 +10115,44 @@ object LlmQueries {
        |SELECT 'ESTATE', CAST(0 AS BIGINT), CAST(28 AS BIGINT),
        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
        |ORDER BY artifact, version_rank""".stripMargin
+
+  /** q291's replay: banded portable-MinHash candidate pairs under the
+    * staged (doc_id mod 3 = batch, then doc_id) earlier-than order,
+    * verified with the exact distinct-intersection/union Jaccard in
+    * integer permille, each doc reporting its minimum earlier match —
+    * the from-scratch pair enumeration the in-stream state layer must
+    * equal (the horizon is wide open across all three staged batches
+    * by construction).
+    */
+  private def q291OracleSql: String =
+    s"""WITH
+       |${minhashSigCtes("documents", 5, 32, 8)},
+       |pr AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bd a JOIN bd b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE (a.doc_id % 3 < b.doc_id % 3)
+       |     OR (a.doc_id % 3 = b.doc_id % 3 AND a.doc_id < b.doc_id)),
+       |ed AS (
+       |  SELECT da, db,
+       |    CAST(len(list_intersect(ha.h, hb.h)) AS BIGINT) * 1000
+       |      // CAST(len(list_distinct(list_concat(ha.h, hb.h)))
+       |           AS BIGINT) AS jpm
+       |  FROM pr
+       |  JOIN hs ha ON ha.doc_id = pr.da
+       |  JOIN hs hb ON hb.doc_id = pr.db),
+       |fl AS (SELECT db AS doc_id, da AS match_id, jpm
+       |       FROM ed WHERE jpm >= 500)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(match_id AS BIGINT) AS match_id,
+       |  CAST(jpm AS BIGINT) AS jaccard_pm
+       |FROM (
+       |  SELECT doc_id, match_id, jpm,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY match_id, jpm) AS rn
+       |  FROM fl)
+       |WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
 
   /** The q39 LSH top-k replay (hyperplane projection from inlined
     * literals, multi-probe, in-bucket ranking) — shared by q39 and the
@@ -13385,6 +13477,7 @@ object LlmQueries {
     "q287_state_horizon" -> q287OracleSql,
     "q288_tws_sessions" -> q288OracleSql,
     "q289_full_estate_horizon" -> q289OracleSql,
+    "q291_instream_dedup" -> q291OracleSql,
     "q152_ivf_roll" -> q152OracleSql,
     "q141_epoch_expand" ->
       """WITH s AS (

@@ -710,6 +710,162 @@ object EventStreams extends Serializable {
       .select(col("key.fp").as("fp"),
               col("value.expiresAtMicros").as("expires_at_micros"))
 
+  /** One banded-signature row into the in-stream dedup layer:
+    * doc × band with its hashed shingle set (the
+    * [[graft.llm.Dedup.bandedSigRowsPortable]] shape).
+    */
+  case class BandedDoc(band: Int, bucket: Long, doc_id: Long,
+                       ts: Timestamp, shh: Array[Long])
+
+  /** One entry buffered per LSH bucket: the doc's id, event time, and
+    * hashed shingle set — everything a later arrival needs to verify
+    * exact Jaccard against it.
+    */
+  case class BucketEntry(doc_id: Long, tsMs: Long, shh: Array[Long])
+
+  /** One verified NEW-NEW near-dup pair out of the in-stream layer:
+    * `doc_id` matched the EARLIER `match_id` (earlier by (event time,
+    * doc id)) with exact Jaccard `jaccard_pm` (permille, integer —
+    * engine-portable). The same pair can surface from several shared
+    * bands; consumers dedup/min-aggregate.
+    */
+  case class InStreamPair(doc_id: Long, match_id: Long, jaccard_pm: Long)
+
+  /** Per-(band, bucket) processor behind [[inStreamNearDedupSink]]:
+    * buffers the bucket's within-horizon entries in a named list
+    * state, verifies each arrival against strictly-earlier entries
+    * (exact Jaccard on the hashed shingle sets — the same
+    * distinct-intersection/union rule as `jaccardLong`, in integer
+    * permille), and emits qualifying pairs. Horizon eviction is lazy
+    * (entries are filtered against the watermark on every access) plus
+    * an event-time timer that sweeps an idle bucket. `maxBucket` caps
+    * the buffered entries per bucket — the hot-bucket/boilerplate
+    * guard every LSH layer in the engine carries; a bucket at cap
+    * stops admitting (boilerplate detection is upstream's job).
+    */
+  class TwsInStreamDedupProcessor(horizonMs: Long, maxBucket: Int,
+                                  thresholdPm: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Int, Long), BandedDoc, InStreamPair] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues,
+      ExpiredTimerInfo, TTLConfig, ValueState, ListState}
+    @transient private var entries: ListState[BucketEntry] = _
+    @transient private var timerAt: ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: TimeMode): Unit = {
+      entries = getHandle.getListState[BucketEntry](
+        "entries", org.apache.spark.sql.Encoders.product[BucketEntry],
+        TTLConfig.NONE)
+      timerAt = getHandle.getValueState[Long](
+        "timer", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    private def jpm(a: Array[Long], b: Array[Long]): Long = {
+      val sa = a.toSet
+      val sb = b.toSet
+      val inter = sa.count(sb.contains)
+      val union = sa.size + sb.size - inter
+      if (union == 0) 1000L else inter.toLong * 1000L / union
+    }
+    private def live(wm: Long): Seq[BucketEntry] =
+      (if (entries.exists()) entries.get().toSeq else Seq.empty)
+        .filter(_.tsMs + horizonMs > wm)
+    private def pin(acc: Seq[BucketEntry], wm: Long): Unit = {
+      entries.clear()
+      if (timerAt.exists()) {
+        getHandle.deleteTimer(timerAt.get())
+        timerAt.clear()
+      }
+      if (acc.nonEmpty) {
+        entries.appendList(acc.toArray)
+        val at = math.max(acc.map(_.tsMs).max + horizonMs, wm + 1)
+        getHandle.registerTimer(at)
+        timerAt.update(at)
+      }
+    }
+    override def handleInputRows(key: (Int, Long),
+                                 rows: Iterator[BandedDoc],
+                                 tv: TimerValues): Iterator[InStreamPair] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      var acc = live(wm).sortBy(e => (e.tsMs, e.doc_id))
+      val out = Seq.newBuilder[InStreamPair]
+      rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+        val t = r.ts.getTime
+        acc.foreach { e =>
+          if (e.doc_id != r.doc_id &&
+              (e.tsMs < t || (e.tsMs == t && e.doc_id < r.doc_id))) {
+            val j = jpm(e.shh, r.shh)
+            if (j >= thresholdPm)
+              out += InStreamPair(r.doc_id, e.doc_id, j)
+          }
+        }
+        if (acc.size < maxBucket && !acc.exists(_.doc_id == r.doc_id))
+          acc = acc :+ BucketEntry(r.doc_id, t, r.shh)
+      }
+      pin(acc, wm)
+      out.result().iterator
+    }
+    override def handleExpiredTimer(key: (Int, Long), tv: TimerValues,
+                                    info: ExpiredTimerInfo)
+        : Iterator[InStreamPair] = {
+      pin(live(tv.getCurrentWatermarkInMs()),
+          tv.getCurrentWatermarkInMs())
+      Iterator.empty
+    }
+  }
+
+  /** IN-STREAM near-dedup — the layer the static-index sink
+    * structurally lacks: [[incrementalNearDedupSink]] (and its TWS
+    * twin) classify each arrival against a PERSISTED index, so two NEW
+    * near-duplicate docs arriving between index rotations both pass as
+    * unique. This operator buckets the stream itself (banded portable
+    * MinHash, the exact q35/q76 candidate rule) and keeps each
+    * bucket's within-horizon arrivals in transformWithState list
+    * state, emitting every verified (later doc, earlier doc, Jaccard
+    * permille) pair into idempotent `batch_id=` partitions. Compose
+    * with the static-index sink for full coverage: index catches
+    * new-vs-corpus, this catches new-vs-new; the daily index roll
+    * resets the horizon.
+    *
+    * 100 TB shape: state is one (id, ts, shingle-hash set) entry per
+    * doc × band inside the horizon, RocksDB-backed, `maxBucket`-capped
+    * per bucket (the hot-bucket guard), lazily + timer-evicted at the
+    * watermark horizon; per-batch work is delta-sized signing plus
+    * per-bucket verifies bounded by bucket occupancy — never a corpus
+    * scan, no shuffle beyond the (band, bucket) exchange the batch
+    * pipeline also pays. q291 pins the full pair set against a DuckDB
+    * replay of the banding + Jaccard rule on the real documents table.
+    */
+  def inStreamNearDedupSink(docs: DataFrame, idCol: String,
+                            textCol: String, tsCol: String,
+                            outDir: String, checkpoint: String,
+                            lateness: String = "30 minutes",
+                            horizonMs: Long = 3600000L,
+                            k: Int = 5, numHashes: Int = 32,
+                            bands: Int = 8, thresholdPm: Long = 500L,
+                            maxBucket: Int = 1000)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = graft.llm.Dedup
+      .bandedSigRowsPortable(docs, idCol, textCol, tsCol,
+                             k, numHashes, bands)
+      .withWatermark("ts", lateness)
+      .as[BandedDoc]
+      .groupByKey(r => (r.band, r.bucket))
+      .transformWithState(
+        new TwsInStreamDedupProcessor(horizonMs, maxBucket, thresholdPm),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+    withRocksDbState(spark) {
+      pairs.writeStream
+        .foreachBatch((b: Dataset[InStreamPair], id: Long) =>
+          upsertBatch(b.toDF(), id, outDir))
+        .option("checkpointLocation", checkpoint)
+        .outputMode(OutputMode.Append)
+        .start()
+    }
+  }
+
   /** Stage a bounded ingest slice as ONE parquet file per micro-batch
     * under `inDir`, so a file-source stream
     * (`spark.readStream.schema(...).parquet(inDir)` with

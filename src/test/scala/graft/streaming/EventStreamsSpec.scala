@@ -1209,4 +1209,82 @@ class EventStreamsSpec extends SparkSpec {
              s"horizon must evict old entries: $seenAfter")
     } finally q2.stop()
   }
+
+  test("in-stream near-dedup catches a cross-batch NEW-NEW duplicate " +
+       "the static-index sink structurally misses, survives a " +
+       "restart, and the bucket state evicts past the horizon (a late " +
+       "near-dup is re-admitted unmatched)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.Dedup
+    val tA = "the quick brown fox jumps over the lazy dog near the " +
+      "quiet river bank while morning light settles on the water"
+    val tA2 = tA.replace("morning", "evening") // near-dup of tA
+    val tB = "an entirely different document about compilers and " +
+      "register allocation strategies in modern optimizing backends"
+    val e0 = 86400L
+    // the static index knows NEITHER doc: built over unrelated corpus
+    val index = Dedup.minhashIndexPortable(
+      Seq((100L, "completely unrelated corpus text about oceanic " +
+                 "plate tectonics and subduction zones and arcs"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+
+    // leg 0: the EXISTING static-index sink passes BOTH as unique —
+    // the coverage hole this operator closes
+    val holeIn = MemoryStream[(Long, String)]
+    val holeOut = tmpDir("hole") + "/out"
+    val qh = EventStreams.incrementalNearDedupSink(
+      holeIn.toDF().toDF("doc_id", "text"), index,
+      "doc_id", "text", holeOut, tmpDir("hole") + "/ckpt")
+    try {
+      holeIn.addData((1L, tA)); qh.processAllAvailable()
+      holeIn.addData((2L, tA2)); qh.processAllAvailable()
+      val dup = spark.read.parquet(holeOut)
+        .filter(col("dup_of_corpus")).count()
+      assert(dup == 0L,
+             "static-index sink must miss the new-new pair (the hole)")
+    } finally qh.stop()
+
+    // the in-stream layer: batch 0 = doc 1 (tA) + doc 3 (tB),
+    // restart, batch 1 (10 min later) = doc 2 (tA2) → pair (2, 1)
+    val input = MemoryStream[(Long, Long, String)]
+    def feedDf = input.toDF().toDF("doc_id", "epoch", "text")
+      .select(col("doc_id"), timestamp_seconds(col("epoch")).as("ts"),
+              col("text"))
+    val outDir = tmpDir("instream") + "/out"
+    val ckpt   = tmpDir("instream") + "/ckpt"
+    def start() = EventStreams.inStreamNearDedupSink(
+      feedDf, "doc_id", "text", "ts", outDir, ckpt,
+      lateness = "30 minutes", horizonMs = 3600000L)
+    def pairs() = spark.read.parquet(outDir)
+      .select("doc_id", "match_id", "jaccard_pm").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val q1 = start()
+    try {
+      input.addData((1L, e0, tA), (3L, e0, tB))
+      q1.processAllAvailable()
+      assert(pairs().isEmpty, s"no pair within batch 0: ${pairs()}")
+    } finally q1.stop()
+    val q2 = start() // restart: bucket state restored from checkpoint
+    try {
+      input.addData((2L, e0 + 600, tA2))
+      q2.processAllAvailable()
+      val p = pairs()
+      assert(p.map(x => (x._1, x._2)) == Set((2L, 1L)),
+             s"cross-batch new-new pair expected across restart: $p")
+      assert(p.head._3 >= 500L && p.head._3 < 1000L,
+             s"verified jaccard permille expected: $p")
+      // horizon eviction: sentinel advances the watermark far past
+      // every entry; a LATE near-dup of tA is then re-admitted with
+      // nothing left to match
+      input.addData((9L, e0 + 18000, "sentinel text unrelated to all " +
+                                     "previous documents entirely"))
+      q2.processAllAvailable()
+      input.addData((4L, e0 + 18060, tA))
+      q2.processAllAvailable()
+      assert(!pairs().exists(_._1 == 4L),
+             s"evicted bucket must not match the late arrival: " +
+               s"${pairs()}")
+    } finally q2.stop()
+  }
 }
