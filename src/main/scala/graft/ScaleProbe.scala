@@ -68,6 +68,45 @@ object ScaleProbe {
         }
       }
     }
+    // In-stream near-dedup (round-16, q291's operator): full streamed
+    // drive over the replicated corpus staged as 3 micro-batches.
+    // Expectations at scale: state entries grow linearly with docs
+    // inside the horizon (×bands); PAIR EMISSION is quadratic in
+    // dup-CLUSTER size (docsX's replicas form one near-dup cluster per
+    // base doc — the same property as batch edge enumeration), with
+    // the maxBucket cap bounding the worst bucket. The probe prints
+    // sink pairs + buffered state entries next to wall time so the
+    // growth attributes to emission volume, not per-row cost.
+    section("instream_dedup") {
+      for (n <- Seq(1, 5, 20)) {
+        val d = docsX(n)
+        val rows = d.count()
+        val b = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_instream_$n").toString
+        graft.streaming.EventStreams.stageMicroBatchFiles(
+          d.select(col("doc_id"),
+                   timestamp_seconds(lit(1700000000L) +
+                     (col("doc_id") % 3) * 600L).as("ts"),
+                   col("text")),
+          col("doc_id") % 3, nBatches = 3, inDir = s"$b/in")
+        time(s"instream_dedup n=$n ($rows)") {
+          val stream = spark.readStream
+            .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$b/in")
+          val q = graft.streaming.EventStreams.inStreamNearDedupSink(
+            stream, "doc_id", "text", "ts", s"$b/out", s"$b/ckpt")
+          try q.processAllAvailable() finally q.stop()
+        }
+        val pairs = spark.read.parquet(s"$b/out").count()
+        val state = spark.read.format("statestore")
+          .option("path", s"$b/ckpt")
+          .option("stateVarName", "entries").load().count()
+        println(f"[probe] instream_dedup n=$n pairs=$pairs " +
+          f"state_entries=$state")
+      }
+    }
+
     section("ann_brute ann_lsh ann_int8") {
     for (n <- Seq(1, 5, 20)) {
         val e = embX(n); val rows = e.count()
