@@ -71,12 +71,13 @@ object ScaleProbe {
     // In-stream near-dedup (round-16, q291's operator): full streamed
     // drive over the replicated corpus staged as 3 micro-batches.
     // Expectations at scale: state entries grow linearly with docs
-    // inside the horizon (×bands); PAIR EMISSION is quadratic in
-    // dup-CLUSTER size (docsX's replicas form one near-dup cluster per
-    // base doc — the same property as batch edge enumeration), with
-    // the maxBucket cap bounding the worst bucket. The probe prints
-    // sink pairs + buffered state entries next to wall time so the
-    // growth attributes to emission volume, not per-row cost.
+    // inside the horizon (×bands), and since the round-17 min-fold the
+    // LANDED volume is ≤1 best-match row per arriving doc per batch —
+    // linear in docs, no longer quadratic in dup-cluster size (the
+    // VERIFY work per bucket is still occupancy-bounded, which the
+    // maxBucket cap clamps on the worst bucket). The probe prints sink
+    // rows + buffered state entries next to wall time so the growth
+    // attributes to emission volume, not per-row cost.
     section("instream_dedup") {
       for (n <- Seq(1, 5, 20)) {
         val d = docsX(n)

@@ -21,6 +21,15 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
+      // The state-store maintenance interval is pinned JVM-wide by the
+      // FIRST stateful query; a fixture that starts one outside
+      // withRocksDbState's scoped conf would otherwise lock in the 60s
+      // default and the maintenance thread races query teardown
+      // (CANNOT_COMMIT / FileNotFoundException log noise). Set it at
+      // session creation so every entrypoint gets the quiet interval
+      // regardless of which query starts first (SparkSpec does the
+      // same for test JVMs).
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "2h")
       // events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects by
       // default; read as long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

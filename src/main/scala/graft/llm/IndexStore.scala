@@ -610,19 +610,21 @@ object IndexStore {
     // SHOW TABLES LIKE treats characters other than * as regex, so a
     // dir name with metacharacters (anything outside [A-Za-z0-9_])
     // would error or over-match and drop unintended entries — match in
-    // Scala over the plain listing instead (catalog-bounded).
-    lazy val allCatalogNames: Seq[String] =
+    // Scala over the plain listing instead (catalog-bounded). Listed
+    // FRESH per estate: earlier estates' drops mutate the catalog, and
+    // a shared snapshot would hand later estates a stale listing if
+    // estate name prefixes ever overlap.
+    def allCatalogNames(): Seq[String] =
       spark.sql("SHOW TABLES").collect().map(_.getString(1)).toSeq
 
     def dropEntriesFor(t: String): Unit = {
-      val n = allCatalogNames.count { name =>
-        val hit = name.startsWith(s"${t}__v") &&
+      val hits = allCatalogNames().filter { name =>
+        name.startsWith(s"${t}__v") &&
           name.stripPrefix(s"${t}__v").forall(_.isDigit)
-        if (hit) spark.sql(s"DROP TABLE IF EXISTS `$name`")
-        hit
       }
+      hits.foreach(name => spark.sql(s"DROP TABLE IF EXISTS `$name`"))
       spark.sql(s"DROP TABLE IF EXISTS `$t`")
-      deregistered += n
+      deregistered += hits.size
     }
 
     if (fs.exists(whRoot)) {

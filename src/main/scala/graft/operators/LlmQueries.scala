@@ -7748,6 +7748,22 @@ object LlmQueries {
         col("text"))
       graft.streaming.EventStreams.stageMicroBatchFiles(
         docs, col("doc_id") % 3, nBatches = 3, inDir = in)
+      // Cap attribution guard (round-16 ADVICE): the processor's
+      // maxBucket admission cap is NOT modeled by the oracle replay —
+      // parity holds because no (band, bucket) reaches the cap at the
+      // tested SFs. Measure the actual worst bucket batch-side and say
+      // so loudly if a corpus ever engages it, so a future hash red
+      // is attributable to the cap rather than a silent mystery.
+      val worst = graft.llm.Dedup
+        .bandedSigRowsPortable(docs, "doc_id", "text", "ts")
+        .groupBy("band", "bucket").count()
+        .agg(max("count")).head.getLong(0)
+      if (worst >= 1000L)
+        System.err.println(
+          s"[q291] WARNING: hottest (band,bucket) holds $worst docs >= " +
+            "maxBucket=1000 — the admission cap engages and the oracle " +
+            "replay (cap-free) will diverge; raise maxBucket or model " +
+            "the cap before trusting a hash mismatch")
       val stream = spark.readStream
         .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
         .option("maxFilesPerTrigger", 1)

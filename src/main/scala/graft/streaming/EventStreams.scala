@@ -723,11 +723,16 @@ object EventStreams extends Serializable {
     */
   case class BucketEntry(doc_id: Long, tsMs: Long, shh: Array[Long])
 
-  /** One verified NEW-NEW near-dup pair out of the in-stream layer:
+  /** One verified NEW-NEW near-dup match out of the in-stream layer:
     * `doc_id` matched the EARLIER `match_id` (earlier by (event time,
     * doc id)) with exact Jaccard `jaccard_pm` (permille, integer —
-    * engine-portable). The same pair can surface from several shared
-    * bands; consumers dedup/min-aggregate.
+    * engine-portable). The processor folds to the single best match —
+    * min (match_id, jaccard_pm), the engine's deterministic tie rule —
+    * per arriving doc per bucket, and the sink folds across bands per
+    * micro-batch, so the landed volume is ≤1 row per arriving doc per
+    * batch (round-16 emitted every qualifying pair per shared band and
+    * the ×20 probe landed 7.9 M rows the reader immediately
+    * min-aggregated away).
     */
   case class InStreamPair(doc_id: Long, match_id: Long, jaccard_pm: Long)
 
@@ -736,12 +741,26 @@ object EventStreams extends Serializable {
     * state, verifies each arrival against strictly-earlier entries
     * (exact Jaccard on the hashed shingle sets — the same
     * distinct-intersection/union rule as `jaccardLong`, in integer
-    * permille), and emits qualifying pairs. Horizon eviction is lazy
-    * (entries are filtered against the watermark on every access) plus
-    * an event-time timer that sweeps an idle bucket. `maxBucket` caps
-    * the buffered entries per bucket — the hot-bucket/boilerplate
-    * guard every LSH layer in the engine carries; a bucket at cap
-    * stops admitting (boilerplate detection is upstream's job).
+    * permille), and emits the arriving doc's single BEST qualifying
+    * match — min (match_id, jaccard_pm), the deterministic tie rule
+    * the q291 reader already applied — instead of every qualifying
+    * pair (the fold cuts ×20-probe emission from pair-quadratic in
+    * dup-cluster size to one row per arrival per shared band).
+    *
+    * Horizon eviction is an EARLIEST-DEADLINE event-time timer: the
+    * registered timer is the soonest entry death (tsMs + horizon),
+    * and each firing sweeps the dead entries and re-registers at the
+    * next death — so once the final watermark passes, the STORED
+    * state equals the logically-live set exactly (round-16's
+    * max-deadline idle sweep left dead entries physically present in
+    * buckets whose newest entry kept the timer in the future, which a
+    * state-source erasure attestation would mis-read as retention
+    * violations). Access-path reads additionally filter against the
+    * watermark, so a reader never observes a dead entry between
+    * firings. `maxBucket` caps the buffered entries per bucket — the
+    * hot-bucket/boilerplate guard every LSH layer in the engine
+    * carries; a bucket at cap stops admitting (boilerplate detection
+    * is upstream's job).
     */
   class TwsInStreamDedupProcessor(horizonMs: Long, maxBucket: Int,
                                   thresholdPm: Long)
@@ -777,7 +796,12 @@ object EventStreams extends Serializable {
       }
       if (acc.nonEmpty) {
         entries.appendList(acc.toArray)
-        val at = math.max(acc.map(_.tsMs).max + horizonMs, wm + 1)
+        // earliest entry death, so every firing sweeps something and
+        // the stored list converges to the live set as the watermark
+        // advances (a max-deadline timer would strand dead entries in
+        // any bucket whose newest arrival keeps the deadline ahead of
+        // the final watermark)
+        val at = math.max(acc.map(_.tsMs).min + horizonMs, wm + 1)
         getHandle.registerTimer(at)
         timerAt.update(at)
       }
@@ -790,14 +814,21 @@ object EventStreams extends Serializable {
       val out = Seq.newBuilder[InStreamPair]
       rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
         val t = r.ts.getTime
+        // fold to the arriving doc's best match in THIS bucket: min
+        // (match_id, jaccard_pm) over qualifying earlier entries —
+        // the same deterministic rule the reader's min-aggregate
+        // applies, so folding here changes landed volume, not answers
+        var best: Option[(Long, Long)] = None
         acc.foreach { e =>
           if (e.doc_id != r.doc_id &&
               (e.tsMs < t || (e.tsMs == t && e.doc_id < r.doc_id))) {
             val j = jpm(e.shh, r.shh)
-            if (j >= thresholdPm)
-              out += InStreamPair(r.doc_id, e.doc_id, j)
+            if (j >= thresholdPm && best.forall { case (bm, bj) =>
+                  e.doc_id < bm || (e.doc_id == bm && j < bj) })
+              best = Some((e.doc_id, j))
           }
         }
+        best.foreach { case (m, j) => out += InStreamPair(r.doc_id, m, j) }
         if (acc.size < maxBucket && !acc.exists(_.doc_id == r.doc_id))
           acc = acc :+ BucketEntry(r.doc_id, t, r.shh)
       }
@@ -820,8 +851,10 @@ object EventStreams extends Serializable {
     * unique. This operator buckets the stream itself (banded portable
     * MinHash, the exact q35/q76 candidate rule) and keeps each
     * bucket's within-horizon arrivals in transformWithState list
-    * state, emitting every verified (later doc, earlier doc, Jaccard
-    * permille) pair into idempotent `batch_id=` partitions. Compose
+    * state, landing each verified arrival's single best earlier match
+    * — min (match_id, Jaccard permille), folded per bucket in the
+    * processor and across bands in one narrow per-batch exchange —
+    * into idempotent `batch_id=` partitions. Compose
     * with the static-index sink for full coverage: index catches
     * new-vs-corpus, this catches new-vs-new; the daily index roll
     * resets the horizon.
@@ -859,7 +892,17 @@ object EventStreams extends Serializable {
     withRocksDbState(spark) {
       pairs.writeStream
         .foreachBatch((b: Dataset[InStreamPair], id: Long) =>
-          upsertBatch(b.toDF(), id, outDir))
+          // cross-band fold: the same arriving doc surfaces its
+          // per-bucket best from up to `bands` buckets — one narrow
+          // (doc_id) exchange per micro-batch lands exactly its
+          // global best match, so sink volume is ≤1 row per arrival
+          upsertBatch(
+            b.groupBy("doc_id")
+              .agg(min(struct(col("match_id"), col("jaccard_pm")))
+                     .as("m"))
+              .select(col("doc_id"), col("m.match_id").as("match_id"),
+                      col("m.jaccard_pm").as("jaccard_pm")),
+            id, outDir))
         .option("checkpointLocation", checkpoint)
         .outputMode(OutputMode.Append)
         .start()

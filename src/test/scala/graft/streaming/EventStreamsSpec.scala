@@ -1287,4 +1287,103 @@ class EventStreamsSpec extends SparkSpec {
                s"${pairs()}")
     } finally q2.stop()
   }
+
+  test("in-stream near-dedup min-fold lands exactly one best-match row " +
+       "per arrival — equal to the full pair enumeration's per-doc " +
+       "minimum — and the earliest-deadline sweep leaves stored state " +
+       "== the live set") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val tA = "the quick brown fox jumps over the lazy dog near the " +
+      "quiet river bank while morning light settles on the water"
+    val tB = "an entirely different document about compilers and " +
+      "register allocation strategies in modern optimizing backends"
+    val e0 = 86400L
+    // one dup CLUSTER {1,2,3,4} (tA + three near variants — so later
+    // members have MULTIPLE qualifying earlier matches and the fold is
+    // load-bearing) + the unrelated doc 10
+    val docs = Seq(
+      (1L, 0L, tA), (10L, 0L, tB),
+      (2L, 1L, tA.replace("morning", "evening")),
+      (3L, 1L, tA.replace("quick", "swift")),
+      (4L, 2L, tA.replace("water", "stones")))
+      .toDF("doc_id", "b", "text")
+      .select(col("doc_id"), col("b"),
+              timestamp_seconds(lit(e0) + col("b") * 600L).as("ts"),
+              col("text"))
+    val base = tmpDir("instream_fold")
+    EventStreams.stageMicroBatchFiles(
+      docs.select("doc_id", "ts", "text"), col("b"), nBatches = 3,
+      inDir = s"$base/in")
+    def start() = EventStreams.inStreamNearDedupSink(
+      spark.readStream
+        .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      "doc_id", "text", "ts", s"$base/out", s"$base/ckpt",
+      lateness = "30 minutes", horizonMs = 3600000L)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // full enumeration from scratch (batch side): banded candidates,
+    // earlier by (ts, doc_id), exact distinct-Jaccard permille ≥ 500,
+    // per-doc minimum (match_id, jpm)
+    val bd = Dedup.bandedSigRowsPortable(
+      docs.select("doc_id", "ts", "text"), "doc_id", "text", "ts")
+    val a = bd.select(col("band"), col("bucket"), col("doc_id").as("ma"),
+                      col("ts").as("ta"), col("shh").as("sa"))
+    val bb = bd.select(col("band"), col("bucket"),
+                       col("doc_id").as("doc_id"),
+                       col("ts").as("tb"), col("shh").as("sb"))
+    val expected = a.join(bb, Seq("band", "bucket"))
+      .filter(col("ta") < col("tb") ||
+              (col("ta") === col("tb") && col("ma") < col("doc_id")))
+      .select(col("doc_id"), col("ma").as("match_id"),
+              expr("CAST(size(array_intersect(sa, sb)) AS BIGINT) " +
+                   "* 1000 div " +
+                   "CAST(size(array_union(sa, sb)) AS BIGINT)")
+                .as("jpm"))
+      .filter(col("jpm") >= 500).distinct()
+      .groupBy("doc_id")
+      .agg(min(struct(col("match_id"), col("jpm"))).as("m"))
+      .select(col("doc_id"), col("m.match_id"), col("m.jpm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(expected.size >= 2 &&
+             expected.exists(_._1 == 4L) && expected.exists(_._1 == 3L),
+           s"fixture must exercise a multi-match cluster: $expected")
+    val sinkRows = spark.read.parquet(s"$base/out")
+      .select("doc_id", "match_id", "jaccard_pm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sinkRows.length == sinkRows.map(_._1).distinct.length,
+           s"min-fold must land at most one row per arrival: " +
+             sinkRows.mkString(" "))
+    assert(sinkRows.toSet == expected,
+           s"folded sink ${sinkRows.toSet} != enumeration min $expected")
+
+    // sweep: a far-future arrival advances the watermark past every
+    // entry's (tsMs + horizon) deadline; the earliest-deadline timers
+    // fire and the STORED list state converges to the live set — only
+    // the sentinel's own entries remain physically present
+    EventStreams.stageMicroBatchFiles(
+      Seq((99L, 3L, "sentinel text unrelated to every previous " +
+                    "document in this fixture entirely"))
+        .toDF("doc_id", "b", "text")
+        .select(col("doc_id"), col("b"),
+                timestamp_seconds(lit(e0) + lit(14400L)).as("ts"),
+                col("text"))
+        .select("doc_id", "ts", "text", "b"),
+      col("b"), nBatches = 1, inDir = s"$base/in", firstBatch = 3)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val stored = spark.read.format("statestore")
+      .option("path", s"$base/ckpt")
+      .option("stateVarName", "entries").load()
+      // list-state readout: one row per element, struct `list_element`
+      .select("list_element.doc_id").collect().map(_.getLong(0))
+    assert(stored.toSet == Set(99L),
+           s"stored state must equal the live set after the sweep: " +
+             s"${stored.toSeq.sorted}")
+    assert(stored.length == 8, // one entry per band for the lone doc
+           s"sentinel buffers once per band: ${stored.length}")
+  }
 }
