@@ -91,6 +91,33 @@ object IndexStore {
   private val CurrentFile = "_graft_index_current"
   private val VersionDirRe = "__v([0-9]+)".r
 
+  /** Standing retention depth for persisted index estates — THE one
+    * policy number: the GC on every publish/roll, the [[vacuum]]
+    * sweep, and the estate attestations (q289/q292's
+    * versions-beyond-retention column) all read it through
+    * [[keepVersions]], so the attested policy can't silently diverge
+    * from the sweeper (round-16 verdict #6 — q289 hardcoded its own
+    * `2`).
+    */
+  val DefaultKeepVersions: Int = 2
+
+  /** The effective retention depth: `spark.graft.index.keepVersions`
+    * if set (readers raise it before a roll per the reader-lifetime
+    * contract), parsed defensively — a malformed value must never
+    * abort a publish whose commit marker is already written — with a
+    * floor of 2 so one previous version always survives a flip.
+    */
+  def keepVersions(spark: SparkSession): Int = {
+    val raw = spark.conf.get("spark.graft.index.keepVersions",
+                             DefaultKeepVersions.toString)
+    math.max(2, raw.trim.toIntOption.getOrElse {
+      System.err.println(
+        s"graft: ignoring malformed spark.graft.index.keepVersions=" +
+          s"'$raw', using $DefaultKeepVersions")
+      DefaultKeepVersions
+    })
+  }
+
   /** Test-only failpoint: when set, a save throws AFTER the new version's
     * data + descriptor are fully written but BEFORE the commit marker —
     * the worst-case crash point of a roll. Specs use it to pin that the
@@ -201,19 +228,8 @@ object IndexStore {
     // GC: keep the new current and keepVersions-1 back; drop older.
     // Read per-publish so long-running readers can raise the depth
     // before their index's next roll (see the reader-lifetime contract
-    // in the object scaladoc); a malformed tuning value must NOT abort
-    // the publish path here — the commit marker is already written, so
-    // throwing would make a SUCCESSFUL roll look failed and leave stale
-    // versions unGC'd — so parse defensively (trim, default 2 with a
-    // warning); floor of 2 preserves the crash-safety
-    // invariant that one previous version always survives a flip.
-    val raw = spark.conf.get("spark.graft.index.keepVersions", "2")
-    val keep = math.max(2, raw.trim.toIntOption.getOrElse {
-      System.err.println(
-        s"graft: ignoring malformed spark.graft.index.keepVersions=" +
-          s"'$raw', using 2")
-      2
-    })
+    // in the object scaladoc).
+    val keep = keepVersions(spark)
     allVersions(fs, base).filter(_ <= vNext - keep).foreach { n =>
       spark.sql(s"DROP TABLE IF EXISTS ${versionedName(table, n)}")
       fs.delete(new Path(base, s"__v$n"), true)
@@ -641,9 +657,7 @@ object IndexStore {
           val base = st.getPath
           val committed =
             allVersions(fs, base).filter(isCommitted(fs, base, _)).sorted
-          val raw = spark.conf.get("spark.graft.index.keepVersions", "2")
-          val keep = math.max(2, raw.trim.toIntOption.getOrElse(2))
-          val retained = committed.takeRight(keep).toSet
+          val retained = committed.takeRight(keepVersions(spark)).toSet
           allVersions(fs, base).filterNot(retained.contains).foreach { n =>
             spark.sql(s"DROP TABLE IF EXISTS ${versionedName(t, n)}")
             fs.delete(new Path(base, s"__v$n"), true)

@@ -7519,7 +7519,24 @@ object LlmQueries {
     * erase sets; the sinks were erased partition-pruned. Cite: the
     * single-artifact deletion-SLA audit a GDPR/RTBF program publishes.
     */
-  def q289FullEstateHorizon(spark: SparkSession, dir: String): DataFrame = {
+  def q289FullEstateHorizon(spark: SparkSession, dir: String): DataFrame =
+    estateDf(spark, estateRows(spark, dir))
+
+  /** The 28-surface attestation core shared by q289 and q292: builds or
+    * reuses the staged streaming fixtures, walks the index estate, and
+    * returns every audited row — surfaces, per-family RETENTION rows,
+    * and the composed ESTATE row. `extraStream` appends additional
+    * streaming surfaces (family, artifact, frame, key column, subject
+    * keys, past-retention predicate); q292 passes the round-16
+    * operator families (TWS funnel state, in-stream near-dedup list
+    * state) so the attestation composition includes every stateful
+    * family the engine ships, and its ESTATE/RETENTION rows reflect
+    * whatever is appended.
+    */
+  private def estateRows(spark: SparkSession, dir: String,
+      extraStream: Seq[(String, String, DataFrame, String, DataFrame,
+                        Option[Column])] = Seq.empty)
+      : Seq[(String, Long, Long, Long, Long)] = {
     import graft.streaming.EventStreams
     val tsBase = q287TsBase
     val step = 14400L // 4 h between tranches
@@ -7678,13 +7695,15 @@ object LlmQueries {
        Some(col("signup_ts") <
               timestamp_seconds(lit(joinWm - 1800L)))))
     val stream: Seq[(String, String, Long, Long, Long)] =
-      auditPar(streamSpecs) { case (fam, art, df, kc, keys, past) =>
-        val (n, s, p) = streamAudit(df, kc, keys, past)
-        (fam, art, n, s, p)
+      auditPar(streamSpecs ++ extraStream) {
+        case (fam, art, df, kc, keys, past) =>
+          val (n, s, p) = streamAudit(df, kc, keys, past)
+          (fam, art, n, s, p)
       }
     // ---- index estate (q286's walk, past-retention = versions beyond
-    // keepVersions per family)
-    val keepVersions = 2L
+    // the SHARED retention depth — the same constant the publish GC
+    // and the vacuum sweep enforce, so attestation ≡ policy)
+    val keepVersions = graft.llm.IndexStore.keepVersions(spark).toLong
     val vrows = indexEstateWalk(spark, dir)
       .map { case (fam, art, rank, n, s) => (fam, art, rank, n, s, 0L) }
     val idxRet = vrows.map(_._1).distinct.sorted.map { fam =>
@@ -7705,11 +7724,16 @@ object LlmQueries {
     val estate = ("ESTATE", "ESTATE", 0L, allSurfaces.size.toLong,
                   allSurfaces.count(_._5 > 0).toLong,
                   allSurfaces.map(_._6).sum)
+    (allSurfaces ++ idxRet ++ streamRet :+ estate)
+      .map { case (_, a, r, n, s, p) => (a, r, n, s, p) }
+  }
+
+  private def estateDf(spark: SparkSession,
+                       rows: Seq[(String, Long, Long, Long, Long)])
+      : DataFrame = {
     import spark.implicits._
-    ((allSurfaces ++ idxRet ++ streamRet :+ estate)
-       .map { case (_, a, r, n, s, p) => (a, r, n, s, p) })
-      .toDF("artifact", "version_rank", "n_rows", "n_subject",
-            "n_past_retention")
+    rows.toDF("artifact", "version_rank", "n_rows", "n_subject",
+              "n_past_retention")
       .orderBy("artifact", "version_rank")
   }
   private val q289Saved = new graft.SavedOnce[String, String]
@@ -7782,6 +7806,345 @@ object LlmQueries {
       .orderBy("doc_id")
   }
   private val q291Saved = new graft.SavedOnce[String, String]
+
+  /** q292's staged fixture for the two round-16 stateful families the
+    * estate attestation did not yet cover (round-16 verdict #1): the
+    * TWS funnel ([[graft.streaming.EventStreams.TwsFunnelProcessor]] —
+    * `funnel` + `timer` named state) and the in-stream near-dedup
+    * ([[graft.streaming.EventStreams.TwsInStreamDedupProcessor]] —
+    * content-derived `entries` list state + `timer`). Both feeds use
+    * the q289 tranche pattern — subjects (id % 23 = 0) all in tranche
+    * 0, the rest split by id % 2 — with tranche spacing chosen so the
+    * FINAL watermark passes every tranche-0/1 deadline: the funnel's
+    * 4 h steps clear t0/t1 sessions through their event-time timers,
+    * and the near-dedup's 2 h steps against the 1 h horizon + 30 min
+    * lateness mean every t0/t1 bucket entry is dead AND swept (the
+    * round-17 earliest-deadline timers make stored state == live set,
+    * which is precisely what lets a state-source attestation read
+    * zero residue). Landed sinks are then RTBF-erased: the funnel
+    * sink by subject user, the near-dedup match sink on BOTH pair
+    * endpoints (a best-match row mentioning an erased doc is itself
+    * content about that doc).
+    */
+  private def q292Fixture(spark: SparkSession, dir: String): String = {
+    val tsBase = q287TsBase
+    val stepF = 14400L // funnel tranche spacing (4 h)
+    val stepN = 7200L  // near-dedup tranche spacing (2 h)
+    def trancheCol(c: Column): Column =
+      when(c % 23 === 0, lit(0L)).otherwise(c % 2 + 1)
+    q292Saved.getOrElseUpdate(dir, {
+      import graft.streaming.EventStreams
+      val b = java.nio.file.Files
+        .createTempDirectory("graft_q292_").toString
+      implicit val sp: SparkSession = spark
+      import spark.implicits._
+      // ---- TWS funnel leg: view + click 60 s apart per user at the
+      // user's tranche time — one stage-2 session per user
+      val users = Tables.events(spark, dir).select("user_id").distinct()
+      val subjU = RelationalQueries.gatedBroadcast(graft.Materialize(
+        users.filter(col("user_id") % 23 === 0)))
+      val fFeed = users
+        .select(col("user_id"), trancheCol(col("user_id")).as("b"),
+                (lit(tsBase) + trancheCol(col("user_id")) * stepF)
+                  .as("t0"))
+        .select(col("user_id"), col("b"),
+                explode(array(
+                  struct(col("t0").as("epoch"), lit("view").as("et")),
+                  struct((col("t0") + 60L).as("epoch"),
+                         lit("click").as("et")))).as("e"))
+        .select(timestamp_seconds(col("e.epoch")).as("ts"),
+                col("e.et").as("event_type"), col("user_id"),
+                (col("user_id") * 2 +
+                   when(col("e.et") === "view", 0L).otherwise(1L))
+                  .as("event_id"),
+                col("b"))
+      EventStreams.stageMicroBatchFiles(fFeed, col("b"), 3, s"$b/fn_in")
+      val fStream = spark.readStream
+        .schema("ts TIMESTAMP, event_type STRING, user_id BIGINT, " +
+                "event_id BIGINT")
+        .option("maxFilesPerTrigger", 1).parquet(s"$b/fn_in")
+        .as[EventStreams.FunnelEvent]
+      val fq = EventStreams.withRocksDbState(spark) {
+        EventStreams.twsFunnelSessionize(fStream).writeStream
+          .foreachBatch((bt: org.apache.spark.sql.Dataset[
+              EventStreams.FunnelOut], id: Long) =>
+            EventStreams.upsertBatch(bt.toDF(), id, s"$b/fn_out"))
+          .option("checkpointLocation", s"$b/fn_ckpt")
+          .outputMode("append").start()
+      }
+      try fq.processAllAvailable() finally fq.stop()
+      EventStreams.eraseFromSink(spark, s"$b/fn_out", subjU, "user_id")
+      // ---- in-stream near-dedup leg over the real documents table
+      val docs = Tables.documents(spark, dir).select(
+        col("doc_id"),
+        timestamp_seconds(lit(tsBase) +
+          trancheCol(col("doc_id")) * stepN).as("ts"),
+        col("text"))
+      EventStreams.stageMicroBatchFiles(
+        docs, trancheCol(col("doc_id")), 3, s"$b/nn_in")
+      val nStream = spark.readStream
+        .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$b/nn_in")
+      val nq = EventStreams.inStreamNearDedupSink(
+        nStream, "doc_id", "text", "ts", s"$b/nn_out", s"$b/nn_ckpt",
+        lateness = "30 minutes", horizonMs = 3600000L)
+      try nq.processAllAvailable() finally nq.stop()
+      val subjD = RelationalQueries.gatedBroadcast(graft.Materialize(
+        Tables.documents(spark, dir)
+          .filter(col("doc_id") % 23 === 0).select("doc_id")))
+      EventStreams.eraseFromSink(spark, s"$b/nn_out", subjD, "doc_id")
+      EventStreams.eraseFromSink(spark, s"$b/nn_out",
+        subjD.select(col("doc_id").as("match_id")), "match_id")
+      b
+    })
+  }
+  private val q292Saved = new graft.SavedOnce[String, String]
+
+  /** FULL-ESTATE attestation, round-17 composition — q289 extended to
+    * EVERY stateful operator family the engine ships (round-16 verdict
+    * #1: the attestation had gone stale by the two families round 16
+    * itself added). 34 audited surfaces: q289's 28 (18 index version
+    * surfaces + the dedup/FMGWS/TWS-session/join checkpoints and
+    * erased sinks) plus the TWS funnel family (erased sink, `funnel`
+    * state, `timer` state — variable-granularity readout) and the
+    * in-stream near-dedup family (pair-endpoint-erased sink audited at
+    * ENDPOINT granularity — each landed best-match row contributes
+    * both its doc ids, so a single surviving subject endpoint would
+    * show — `entries` list state with content-derived shingle hashes
+    * keyed by doc, and the per-bucket `timer` state, which carries no
+    * per-document key and is audited for rows + retention with the
+    * subject column structurally zero). 14 RETENTION rows (one per
+    * family; version depth for the index families reads the SAME
+    * [[graft.llm.IndexStore.keepVersions]] constant the GC and vacuum
+    * enforce), one ESTATE row over all 34. "User X / doc X is gone
+    * EVERYWHERE" is again ONE hash-checked answer.
+    *
+    * FULLY oracle-checked: the funnel tranche classes replay from the
+    * events table; the near-dedup state, timers, and erased sink
+    * replay from the documents table via the portable-MinHash CTEs
+    * with the tranche-liveness pair rule ((0,2) pairs excluded — the
+    * t0 entries are dead before t2 arrives — and the per-doc
+    * min-fold), all other rows exactly as q289.
+    *
+    * 100 TB shape: identical to q289 — bounded index walks, one
+    * checkpoint-state read per streaming surface (each bounded by its
+    * own retention policy: watermark horizon, session gap, dedup
+    * horizon), broadcast semi-joins against erase sets, erased sinks
+    * partition-pruned. The composition cost is additive in surfaces,
+    * and all 34 audits run as fused single-aggregation jobs from the
+    * bounded pool.
+    */
+  def q292EstateAllFamilies(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val tsBase = q287TsBase
+    val stepF = 14400L
+    val stepN = 7200L
+    val gapMs = 30 * 60000L
+    val horizonMs = 3600000L
+    val base = q292Fixture(spark, dir)
+    // subject sets recomputed independently of the fixture (the q274
+    // lesson), broadcast into the fused audits
+    val users = Tables.events(spark, dir).select("user_id").distinct()
+    val subjU = RelationalQueries.gatedBroadcast(graft.Materialize(
+      users.filter(col("user_id") % 23 === 0)))
+    val subjD = RelationalQueries.gatedBroadcast(graft.Materialize(
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 23 === 0).select("doc_id")))
+    // final watermarks in each surface's native unit (ms)
+    val funnelWmMs = (tsBase + 2 * stepF + 60L - 3600L) * 1000L
+    val nnWmMs = (tsBase + 2 * stepN - 1800L) * 1000L
+    def varState(ckpt: String, v: String): DataFrame =
+      spark.read.format("statestore").option("path", ckpt)
+        .option("stateVarName", v).load()
+    val fState = varState(s"$base/fn_ckpt", "funnel")
+      .select(col("key.value").as("user_id"),
+              col("value.last").as("last"))
+    val fTimer = varState(s"$base/fn_ckpt", "timer")
+      .select(col("key.value").as("user_id"),
+              col("value.value").as("deadline"))
+    val fSink = spark.read.parquet(s"$base/fn_out").select("user_id")
+    val nEntries = varState(s"$base/nn_ckpt", "entries")
+      .select(col("list_element.doc_id").as("doc_id"),
+              col("list_element.tsMs").as("ts_ms"))
+    // the bucket timer state is keyed by (band, bucket) — no
+    // per-document key exists, so the subject join uses a sentinel
+    // that never matches and the audit pins rows + retention only
+    val nTimer = varState(s"$base/nn_ckpt", "timer")
+      .select(lit(-1L).as("doc_id"),
+              col("value.value").as("deadline"))
+    val nSink = spark.read.parquet(s"$base/nn_out")
+      .select(explode(array(col("doc_id"), col("match_id")))
+                .as("doc_id"))
+    val extra: Seq[(String, String, DataFrame, String, DataFrame,
+                    Option[Column])] = Seq(
+      ("stream_funnel", "stream_funnel_sink", fSink, "user_id", subjU,
+       None),
+      ("stream_funnel", "stream_funnel_state", fState, "user_id",
+       subjU, Some(col("last") + gapMs < funnelWmMs)),
+      ("stream_funnel", "stream_funnel_state_timer", fTimer, "user_id",
+       subjU, Some(col("deadline") < funnelWmMs)),
+      ("stream_nndup", "stream_nndup_sink", nSink, "doc_id", subjD,
+       None),
+      ("stream_nndup", "stream_nndup_state", nEntries, "doc_id", subjD,
+       Some(col("ts_ms") + horizonMs <= nnWmMs)),
+      ("stream_nndup", "stream_nndup_state_timer", nTimer, "doc_id",
+       subjD, Some(col("deadline") <= nnWmMs)))
+    estateDf(spark, estateRows(spark, dir, extra))
+  }
+
+  /** q293's feed classes — the documents table partitioned by
+    * `doc_id % 4` (0 = static corpus, 1/2/3 = micro-batches 0/1/2 with
+    * the index ROLL between batch 0 and batch 1) plus four PLANTED
+    * twin families (base text + " zq" — a 3-shingle perturbation, so
+    * J ≈ 0.99) guaranteeing every cell of the two-layer claim is
+    * populated: twins of corpus docs arriving pre-roll (index layer,
+    * vs the base index), twins of batch-0 docs arriving IN batch 0
+    * (in-stream layer, pre-roll), twins of batch-1 docs arriving IN
+    * batch 1 (in-stream layer, post-roll), and twins of batch-0 docs
+    * arriving in batch 1 — the STRADDLING cell, which the rotation
+    * promotes into the index and the in-stream horizon still covers:
+    * caught by BOTH layers, classified once.
+    */
+  private def q293Feed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def twins(m4: Long, m13: Long, off: Long, b: Long): DataFrame =
+      docs.filter(col("doc_id") % 4 === m4 &&
+                    col("doc_id") % 13 === m13)
+        .select((col("doc_id") + off).as("doc_id"),
+                concat(col("text"), lit(" zq")).as("text"),
+                lit(b).as("b"))
+    docs.filter(col("doc_id") % 4 =!= 0)
+      .select(col("doc_id"), col("text"),
+              (col("doc_id") % 4 - 1).as("b"))
+      .unionByName(twins(0L, 0L, 20000000L, 0L))
+      .unionByName(twins(1L, 0L, 30000000L, 0L))
+      .unionByName(twins(2L, 0L, 40000000L, 1L))
+      .unionByName(twins(1L, 1L, 50000000L, 1L))
+  }
+
+  /** Stages q293's feed, drives BOTH dedup layers across the index
+    * rotation, and returns the fixture dir: the static-index sink
+    * classifies micro-batch 0 against the base index (corpus =
+    * `doc_id % 4 = 0`), the index is ROLLED — [[Dedup
+    * .mergeMinhashIndex]], q151's machinery, delta = everything batch
+    * 0 ingested — and the SAME sink (same checkpoint, the "refresh =
+    * restart with a newer index" rotation protocol) resumes over
+    * batches 1–2 against the rolled index. The in-stream layer
+    * ([[graft.streaming.EventStreams.inStreamNearDedupSink]]) runs
+    * over the full staged feed with the horizon spanning all batches.
+    */
+  private def q293Fixture(spark: SparkSession, dir: String): String = {
+    val tsBase = q287TsBase
+    q293Saved.getOrElseUpdate(dir, {
+      import graft.streaming.EventStreams
+      val b = java.nio.file.Files
+        .createTempDirectory("graft_q293_").toString
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = Tables.documents(spark, dir)
+      val feed = q293Feed(spark, dir)
+        .select(col("doc_id"),
+                timestamp_seconds(lit(tsBase) + col("b") * 600L)
+                  .as("ts"),
+                col("text"), col("b"))
+      // batch 0 staged alone: the pre-roll ingest
+      EventStreams.stageMicroBatchFiles(feed, col("b"), 1, s"$b/in")
+      val baseN = "graft_mh_q293_base_" + safe
+      IndexStore.saveMinhashIndex(
+        Dedup.minhashIndexPortable(
+          docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+          k = 5, numHashes = 32, bands = 8, maxBucket = 1000), baseN)
+      def stream() = spark.readStream
+        .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$b/in")
+      val q1 = EventStreams.incrementalNearDedupSink(
+        stream(), baseN, "doc_id", "text", s"$b/idx_out", s"$b/idx_ckpt")
+      try q1.processAllAvailable() finally q1.stop()
+      // THE ROTATION: roll everything batch 0 ingested into the index
+      val mergedN = "graft_mh_q293_merged_" + safe
+      IndexStore.saveMinhashIndex(
+        Dedup.mergeMinhashIndex(
+          IndexStore.loadMinhashIndex(spark, baseN),
+          feed.filter(col("b") === 0).select("doc_id", "text"),
+          "doc_id", "text",
+          k = 5, numHashes = 32, bands = 8, maxBucket = 1000), mergedN)
+      // post-roll ingest: same checkpoint, rolled index
+      EventStreams.stageMicroBatchFiles(feed, col("b"), 2, s"$b/in",
+                                        firstBatch = 1)
+      val q2 = EventStreams.incrementalNearDedupSink(
+        stream(), mergedN, "doc_id", "text", s"$b/idx_out",
+        s"$b/idx_ckpt")
+      try q2.processAllAvailable() finally q2.stop()
+      // the in-stream layer over the whole feed, horizon wide open
+      val q3 = EventStreams.inStreamNearDedupSink(
+        stream(), "doc_id", "text", "ts", s"$b/ins_out", s"$b/ins_ckpt",
+        lateness = "30 minutes", horizonMs = 3600000L)
+      try q3.processAllAvailable() finally q3.stop()
+      b
+    })
+  }
+  private val q293Saved = new graft.SavedOnce[String, String]
+
+  /** TWO-LAYER continuous near-dedup across an index ROTATION, the
+    * composition the round-16 scaladoc asserted and this query PROVES
+    * (round-16 verdict #2): "the index sink catches new-vs-corpus, the
+    * in-stream layer catches new-vs-new, the daily roll resets the
+    * horizon" — run end to end on the real documents table plus four
+    * planted twin families (one per claim cell), and classified with a
+    * precedence rule so every feed doc lands in EXACTLY one cell:
+    *
+    *  - `dup_vs_corpus` — the reported index match is a static-corpus
+    *    doc (available pre- and post-roll).
+    *  - `dup_straddle` — the index match is ROLLED-IN pre-roll ingest:
+    *    only the rotation makes this pair visible to the index layer,
+    *    and the in-stream horizon still covers it — the double-caught
+    *    cell, counted once (index precedence).
+    *  - `dup_new_preroll` / `dup_new_postroll` — in-stream-only
+    *    matches among same-phase NEW arrivals, the pairs every
+    *    static-index classifier structurally misses.
+    *  - `unique` — neither layer matched.
+    *
+    * FULLY oracle-checked: DuckDB replays the twin construction, both
+    * layers' banding + exact-Jaccard verification + min-match rules
+    * (index candidates = corpus for batch 0, corpus ∪ batch-0 ingest
+    * for batches 1–2; in-stream candidates = strictly-earlier feed
+    * docs by (batch, doc_id)), and the same precedence CASE — no pair
+    * missed, none double-counted, across the rotation.
+    *
+    * 100 TB shape: both layers are banded-bucket joins (never all
+    * pairs); the roll is delta-sized (only batch-0 ingest is
+    * re-signed); the restart-with-new-index protocol is exactly the
+    * daily rotation a production feed runs, and the checkpoint carries
+    * ingest progress across it.
+    */
+  def q293TwoLayerRotation(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val base = q293Fixture(spark, dir)
+    // feed classes recomputed independently of the fixture
+    val feed = q293Feed(spark, dir).select("doc_id", "b")
+    val idx = spark.read.parquet(s"$base/idx_out")
+      .select(col("doc_id"), col("match_id").as("idx_match"))
+    val ins = spark.read.parquet(s"$base/ins_out")
+      .groupBy("doc_id")
+      .agg(min(struct(col("match_id"), col("jaccard_pm"))).as("m"))
+      .select(col("doc_id"), col("m.match_id").as("ins_match"))
+    val matchOrigin = feed.select(col("doc_id").as("idx_match"),
+                                  col("b").as("match_b"))
+    feed
+      .join(idx, Seq("doc_id"), "left")
+      .join(matchOrigin, Seq("idx_match"), "left")
+      .join(ins, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("idx_match").isNotNull && col("match_b").isNull,
+             "dup_vs_corpus")
+          .when(col("idx_match").isNotNull, "dup_straddle")
+          .when(col("ins_match").isNotNull && col("b") === 0,
+                "dup_new_preroll")
+          .when(col("ins_match").isNotNull, "dup_new_postroll")
+          .otherwise("unique").as("cell"),
+        coalesce(col("idx_match"), col("ins_match")).as("match_id"))
+      .orderBy("doc_id")
+  }
 
   /** IVF-index ROLL + health report ([[Similarity.mergeIvfIndex]] — the
     * maintenance job for the FOURTH persisted index family): the base
@@ -8546,6 +8909,8 @@ object LlmQueries {
     "q288_tws_sessions"     -> (q288TwsSessions(_, _)),
     "q289_full_estate_horizon" -> (q289FullEstateHorizon(_, _)),
     "q291_instream_dedup"   -> (q291InStreamDedup(_, _)),
+    "q292_estate_all_families" -> (q292EstateAllFamilies(_, _)),
+    "q293_two_layer_rotation" -> (q293TwoLayerRotation(_, _)),
     "q151_minhash_roll"     -> (q151MinhashRoll(_, _)),
     "q152_ivf_roll"         -> (q152IvfRoll(_, _)),
     "q153_lsh_roll"         -> (q153LshRoll(_, _)),
@@ -10021,16 +10386,12 @@ object LlmQueries {
       |   OR session_end + INTERVAL 30 MINUTE < mx - INTERVAL 1 HOUR
       |ORDER BY user_id, session_start""".stripMargin
 
-  /** q289's full-estate replay: the q286 index-family counts (both
-    * retained ranks post-erasure), the q287 dedup-stream classes, and
-    * the session/join tranche classes — every staged tranche is a
-    * deterministic function of user_id/doc_id mod classes, so all 41
-    * rows (28 surfaces + 12 RETENTION + ESTATE) replay from the raw
-    * tables with subject and past-retention counts pinned at zero.
+  /** Shared CTE block for the estate-attestation replays (q289/q292):
+    * index-family counts, dedup-stream classes, and session/join
+    * tranche classes — all deterministic functions of the raw tables.
     */
-  private def q289OracleSql: String =
-    s"""WITH
-       |${minhashSigCtes("documents", 5, 32, 8)},
+  private def estateOracleCtes: String =
+    s"""${minhashSigCtes("documents", 5, 32, 8)},
        |mbc AS (
        |  SELECT CAST(count(*) AS BIGINT) AS c FROM (
        |    SELECT doc_id FROM bd
@@ -10084,8 +10445,16 @@ object LlmQueries {
        |    WHERE user_id % 23 <> 0 AND user_id % 2 = 1) AS BIGINT) AS t2,
        |  CAST(count(DISTINCT user_id) FILTER (
        |    WHERE user_id % 23 <> 0) AS BIGINT) AS ns
-       |  FROM events),
-       |fam(artifact, c) AS (
+       |  FROM events)""".stripMargin
+
+  /** The attestation tail shared by q289/q292: family counts, the
+    * stream surfaces (plus any extras), retention rows (plus any
+    * extras), and the final assembly with the composed ESTATE row over
+    * `nSurfaces` audited surfaces.
+    */
+  private def estateOracleTail(extraStrm: String, extraRet: String,
+                               nSurfaces: Int): String =
+    s"""fam(artifact, c) AS (
        |  SELECT 'fingerprint', (SELECT c FROM fpc)
        |  UNION ALL SELECT 'minhash_buckets', (SELECT c FROM mbc)
        |  UNION ALL SELECT 'minhash_shingles', (SELECT c FROM msc)
@@ -10105,14 +10474,14 @@ object LlmQueries {
        |  UNION ALL SELECT 'stream_tws_state_timer', t2 FROM uc
        |  UNION ALL SELECT 'stream_join_sink', ns FROM uc
        |  UNION ALL SELECT 'stream_join_left', t2 FROM uc
-       |  UNION ALL SELECT 'stream_join_right', t2 FROM uc),
+       |  UNION ALL SELECT 'stream_join_right', t2 FROM uc$extraStrm),
        |ret(artifact, c) AS (
        |  SELECT 'RETENTION_' || f, CAST(2 AS BIGINT)
        |  FROM (SELECT unnest(['bm25', 'fingerprint', 'ivf', 'kmv',
        |                       'lsh', 'minhash', 'positional', 'pq',
        |                       'stream_dedup', 'stream_fmgws']) AS f)
        |  UNION ALL SELECT 'RETENTION_stream_tws', CAST(3 AS BIGINT)
-       |  UNION ALL SELECT 'RETENTION_stream_join', CAST(3 AS BIGINT))
+       |  UNION ALL SELECT 'RETENTION_stream_join', CAST(3 AS BIGINT)$extraRet)
        |SELECT fam.artifact, r.version_rank, fam.c AS n_rows,
        |  CAST(0 AS BIGINT) AS n_subject,
        |  CAST(0 AS BIGINT) AS n_past_retention
@@ -10128,9 +10497,164 @@ object LlmQueries {
        |  CAST(0 AS BIGINT)
        |FROM ret
        |UNION ALL
-       |SELECT 'ESTATE', CAST(0 AS BIGINT), CAST(28 AS BIGINT),
+       |SELECT 'ESTATE', CAST(0 AS BIGINT), CAST($nSurfaces AS BIGINT),
        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
        |ORDER BY artifact, version_rank""".stripMargin
+
+  /** q289's full-estate replay: the q286 index-family counts (both
+    * retained ranks post-erasure), the q287 dedup-stream classes, and
+    * the session/join tranche classes — every staged tranche is a
+    * deterministic function of user_id/doc_id mod classes, so all 41
+    * rows (28 surfaces + 12 RETENTION + ESTATE) replay from the raw
+    * tables with subject and past-retention counts pinned at zero.
+    */
+  private def q289OracleSql: String =
+    s"""WITH
+       |$estateOracleCtes,
+       |${estateOracleTail("", "", 28)}""".stripMargin
+
+  /** q292's replay = q289's plus the two round-16 families: funnel
+    * surfaces from the events tranche classes, and the in-stream
+    * near-dedup surfaces from the documents table via the portable
+    * MinHash CTEs — state entries and bucket timers from the tranche-2
+    * (live-past-final-watermark) docs, and the erased sink from the
+    * per-doc min-folded best-match pairs under the tranche-liveness
+    * rule ((0,2) pairs excluded: tranche-0 entries are dead before
+    * tranche-2 arrives), endpoint-exploded with both subject endpoints
+    * removed. 49 rows: 34 surfaces + 14 RETENTION + ESTATE, subject
+    * and past-retention pinned at zero everywhere.
+    */
+  private def q292OracleSql: String = {
+    val extraStrm = """
+  UNION ALL SELECT 'stream_funnel_sink', t1 FROM uc
+  UNION ALL SELECT 'stream_funnel_state', t2 FROM uc
+  UNION ALL SELECT 'stream_funnel_state_timer', t2 FROM uc
+  UNION ALL SELECT 'stream_nndup_sink', (SELECT c FROM nnsk)
+  UNION ALL SELECT 'stream_nndup_state', (SELECT c FROM nnent)
+  UNION ALL SELECT 'stream_nndup_state_timer', (SELECT c FROM nntm)"""
+    val extraRet = """
+  UNION ALL SELECT 'RETENTION_stream_funnel', CAST(3 AS BIGINT)
+  UNION ALL SELECT 'RETENTION_stream_nndup', CAST(3 AS BIGINT)"""
+    s"""WITH
+       |$estateOracleCtes,
+       |ntr AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 23 = 0 THEN 0 ELSE 1 + doc_id % 2 END AS tr
+       |  FROM documents),
+       |nnent AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS c
+       |  FROM bd JOIN ntr ON ntr.doc_id = bd.doc_id
+       |  WHERE ntr.tr = 2),
+       |nntm AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT DISTINCT band, bucket
+       |    FROM bd JOIN ntr ON ntr.doc_id = bd.doc_id
+       |    WHERE ntr.tr = 2)),
+       |nnpr AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM bd a JOIN bd b ON a.band = b.band AND a.bucket = b.bucket
+       |  JOIN ntr ta ON ta.doc_id = a.doc_id
+       |  JOIN ntr tb ON tb.doc_id = b.doc_id
+       |  WHERE (ta.tr < tb.tr AND NOT (ta.tr = 0 AND tb.tr = 2))
+       |     OR (ta.tr = tb.tr AND a.doc_id < b.doc_id)
+       |  GROUP BY 1, 2),
+       |nned AS (
+       |  SELECT da, db,
+       |    CAST(len(list_intersect(ha.h, hb.h)) AS BIGINT) * 1000
+       |      // CAST(len(list_distinct(list_concat(ha.h, hb.h)))
+       |           AS BIGINT) AS jpm
+       |  FROM nnpr
+       |  JOIN hs ha ON ha.doc_id = nnpr.da
+       |  JOIN hs hb ON hb.doc_id = nnpr.db),
+       |nnbest AS (
+       |  SELECT doc_id, match_id FROM (
+       |    SELECT db AS doc_id, da AS match_id,
+       |      row_number() OVER (PARTITION BY db ORDER BY da, jpm) AS rn
+       |    FROM nned WHERE jpm >= 500) WHERE rn = 1),
+       |nnsk AS (
+       |  SELECT CAST(2 * count(*) AS BIGINT) AS c FROM nnbest
+       |  WHERE doc_id % 23 <> 0 AND match_id % 23 <> 0),
+       |${estateOracleTail(extraStrm, extraRet, 34)}""".stripMargin
+  }
+
+  /** q293's replay: twin construction (base text || ' zq'), one
+    * signing pass over real docs ∪ twins, then BOTH layers' rules —
+    * index candidates are static-corpus docs for batch 0 and corpus ∪
+    * batch-0 ingest for batches 1–2 (the rotation), min corpus_id at
+    * J ≥ 0.5 (2·inter ≥ union — exact in integers); in-stream
+    * candidates are strictly-earlier feed docs by (batch, doc_id), min
+    * (match_id, permille) at ≥ 500‰ — and the same precedence CASE the
+    * query applies (index origin decides corpus vs straddle; otherwise
+    * in-stream by phase).
+    */
+  private def q293OracleSql: String =
+    s"""WITH
+       |a293 AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN doc_id % 4 = 0 THEN -1 ELSE doc_id % 4 - 1 END AS b
+       |  FROM documents
+       |  UNION ALL SELECT doc_id + 20000000, text || ' zq', 0
+       |  FROM documents WHERE doc_id % 4 = 0 AND doc_id % 13 = 0
+       |  UNION ALL SELECT doc_id + 30000000, text || ' zq', 0
+       |  FROM documents WHERE doc_id % 4 = 1 AND doc_id % 13 = 0
+       |  UNION ALL SELECT doc_id + 40000000, text || ' zq', 1
+       |  FROM documents WHERE doc_id % 4 = 2 AND doc_id % 13 = 0
+       |  UNION ALL SELECT doc_id + 50000000, text || ' zq', 1
+       |  FROM documents WHERE doc_id % 4 = 1 AND doc_id % 13 = 1),
+       |${minhashSigCtes("a293", 5, 32, 8)},
+       |icand AS (
+       |  SELECT f.doc_id AS doc_id, c.doc_id AS cid
+       |  FROM bd f JOIN bd c ON f.band = c.band AND f.bucket = c.bucket
+       |  JOIN a293 df ON df.doc_id = f.doc_id
+       |  JOIN a293 dc ON dc.doc_id = c.doc_id
+       |  WHERE df.b >= 0 AND
+       |    (dc.b = -1 OR (dc.b = 0 AND df.b >= 1))
+       |  GROUP BY 1, 2),
+       |ibest AS (
+       |  SELECT doc_id, cid AS idx_match FROM (
+       |    SELECT ic.doc_id, ic.cid,
+       |      row_number() OVER (PARTITION BY ic.doc_id
+       |                         ORDER BY ic.cid) AS rn
+       |    FROM icand ic
+       |    JOIN hs hf ON hf.doc_id = ic.doc_id
+       |    JOIN hs hc ON hc.doc_id = ic.cid
+       |    WHERE 2 * len(list_intersect(hf.h, hc.h)) >=
+       |          len(list_distinct(list_concat(hf.h, hc.h))))
+       |  WHERE rn = 1),
+       |ncand AS (
+       |  SELECT l.doc_id AS doc_id, e.doc_id AS eid
+       |  FROM bd l JOIN bd e ON l.band = e.band AND l.bucket = e.bucket
+       |  JOIN a293 dl ON dl.doc_id = l.doc_id
+       |  JOIN a293 de ON de.doc_id = e.doc_id
+       |  WHERE dl.b >= 0 AND de.b >= 0 AND
+       |    (de.b < dl.b OR (de.b = dl.b AND de.doc_id < dl.doc_id))
+       |  GROUP BY 1, 2),
+       |nbest AS (
+       |  SELECT doc_id, eid AS ins_match FROM (
+       |    SELECT nc.doc_id, nc.eid,
+       |      row_number() OVER (PARTITION BY nc.doc_id
+       |                         ORDER BY nc.eid) AS rn
+       |    FROM ncand nc
+       |    JOIN hs hf ON hf.doc_id = nc.doc_id
+       |    JOIN hs he ON he.doc_id = nc.eid
+       |    WHERE CAST(len(list_intersect(hf.h, he.h)) AS BIGINT) * 1000
+       |      // CAST(len(list_distinct(list_concat(hf.h, he.h)))
+       |           AS BIGINT) >= 500)
+       |  WHERE rn = 1)
+       |SELECT CAST(f.doc_id AS BIGINT) AS doc_id,
+       |  CASE WHEN ib.idx_match IS NOT NULL AND mb.b = -1
+       |         THEN 'dup_vs_corpus'
+       |       WHEN ib.idx_match IS NOT NULL THEN 'dup_straddle'
+       |       WHEN nb.ins_match IS NOT NULL AND f.b = 0
+       |         THEN 'dup_new_preroll'
+       |       WHEN nb.ins_match IS NOT NULL THEN 'dup_new_postroll'
+       |       ELSE 'unique' END AS cell,
+       |  CAST(coalesce(ib.idx_match, nb.ins_match) AS BIGINT)
+       |    AS match_id
+       |FROM (SELECT doc_id, b FROM a293 WHERE b >= 0) f
+       |LEFT JOIN ibest ib ON ib.doc_id = f.doc_id
+       |LEFT JOIN a293 mb ON mb.doc_id = ib.idx_match
+       |LEFT JOIN nbest nb ON nb.doc_id = f.doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** q291's replay: banded portable-MinHash candidate pairs under the
     * staged (doc_id mod 3 = batch, then doc_id) earlier-than order,
@@ -13494,6 +14018,8 @@ object LlmQueries {
     "q288_tws_sessions" -> q288OracleSql,
     "q289_full_estate_horizon" -> q289OracleSql,
     "q291_instream_dedup" -> q291OracleSql,
+    "q292_estate_all_families" -> q292OracleSql,
+    "q293_two_layer_rotation" -> q293OracleSql,
     "q152_ivf_roll" -> q152OracleSql,
     "q141_epoch_expand" ->
       """WITH s AS (

@@ -375,4 +375,50 @@ class ErasureSpec extends SparkSpec {
     assert(n("stream_fmgws_state") == n("stream_tws_state_session"))
     assert(n("stream_fmgws_sink") == n("stream_tws_sink"))
   }
+
+  test("round-17 composition (q292): the attestation covers the TWS " +
+       "funnel and in-stream near-dedup families too — erase-then-" +
+       "attest drives both new checkpoints and their erased sinks, " +
+       "zeros everywhere, 34 surfaces, the two new RETENTION rows") {
+    assumeData(sf0001)
+    val rows = graft.operators.LlmQueries
+      .queries("q292_estate_all_families")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                 r.getLong(3), r.getLong(4)))
+    assert(rows.length == 49, s"49 attestation rows expected: " +
+      s"${rows.length}")
+    // the headline again: nothing subject-keyed, nothing past its
+    // surface's own retention policy, anywhere — including the two
+    // families round 16 added and round 16's attestation missed
+    val dirty = rows.filter(r => r._4 > 0 || r._5 > 0)
+    assert(dirty.isEmpty, s"dirty surfaces: ${dirty.toSeq}")
+    def row(a: String) = rows.find(_._1 == a).get
+    // funnel family: erased sink + BOTH named state variables, each
+    // non-empty (tranche-2 sessions must still be open or the
+    // zero-survivor claim is vacuous)
+    assert(row("stream_funnel_sink")._3 > 0, "erased funnel sink empty")
+    assert(row("stream_funnel_state")._3 > 0 &&
+             row("stream_funnel_state")._3 ==
+               row("stream_funnel_state_timer")._3,
+           "funnel/timer variables must hold the open tranche-2 users")
+    // near-dedup family: content-derived list state non-empty (8
+    // banded entries per live doc), bucket timers bounded by entries
+    val ent = row("stream_nndup_state")._3
+    val tmr = row("stream_nndup_state_timer")._3
+    assert(ent > 0 && ent % 8 == 0,
+           s"live tranche-2 docs buffer once per band: $ent")
+    assert(tmr > 0 && tmr <= ent, s"one timer per live bucket: $tmr")
+    // the funnel sink holds ONLY the tranche-1 sessions: subjects
+    // (erased) and tranche-2 (still open) are both absent
+    val users = graft.sources.Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(row("stream_funnel_sink")._3 < users,
+           "erase + open sessions must leave a strict subset landed")
+    assert(row("RETENTION_stream_funnel")._3 == 3L &&
+             row("RETENTION_stream_nndup")._3 == 3L,
+           "new families' RETENTION rows must audit 3 surfaces each")
+    val estate = rows.find(_._1 == "ESTATE").get
+    assert(estate._3 == 34L && estate._4 == 0L && estate._5 == 0L)
+  }
 }

@@ -1386,4 +1386,106 @@ class EventStreamsSpec extends SparkSpec {
     assert(stored.length == 8, // one entry per band for the lone doc
            s"sentinel buffers once per band: ${stored.length}")
   }
+
+  test("two-layer dedup across an index rotation: the straddling pair " +
+       "is invisible to the index pre-roll, caught by BOTH layers " +
+       "post-roll, and the union classification counts every planted " +
+       "pair exactly once") {
+    import spark.implicits._
+    import graft.llm.{Dedup, IndexStore}
+    val tC = "corpus anchor text about tidal estuaries where silt " +
+      "settles in slow channels and herons wade between reed banks"
+    val tP = "pre roll fresh text describing compiler passes that " +
+      "hoist invariant loads out of deeply nested loops safely"
+    val tS = "straddle base text on fermentation chemistry where " +
+      "yeast converts sugars under careful temperature control"
+    val tQ = "post roll fresh text about glacier moraines left by " +
+      "retreating ice sheets across the northern valley floors"
+    def nd(t: String) = t + " zq" // 3-shingle twin, J ≈ 0.99
+    val e0 = 86400L
+    // batch 0 (pre-roll): 1 = dup of corpus, (2, 3) = fresh pre-roll
+    // pair, 4 = straddle base; batch 1 (post-roll): 5 = dup of 4
+    // (visible to the index ONLY because the roll promoted 4),
+    // (6, 7) = fresh post-roll pair
+    val feed = Seq(
+      (1L, 0L, nd(tC)), (2L, 0L, tP), (3L, 0L, nd(tP)), (4L, 0L, tS),
+      (5L, 1L, nd(tS)), (6L, 1L, tQ), (7L, 1L, nd(tQ)))
+      .toDF("doc_id", "b", "text")
+      .select(col("doc_id"), col("b"),
+              timestamp_seconds(lit(e0) + col("b") * 600L).as("ts"),
+              col("text"))
+    val base = tmpDir("twolayer")
+    EventStreams.stageMicroBatchFiles(
+      feed.select("doc_id", "ts", "text"), col("b"), 1, s"$base/in")
+    IndexStore.saveMinhashIndex(
+      Dedup.minhashIndexPortable(
+        Seq((100L, tC)).toDF("doc_id", "text"), "doc_id", "text"),
+      "graft_mh_twolayer_base")
+    def stream() = spark.readStream
+      .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q1 = EventStreams.incrementalNearDedupSink(
+      stream(), "graft_mh_twolayer_base", "doc_id", "text",
+      s"$base/idx_out", s"$base/idx_ckpt")
+    try q1.processAllAvailable() finally q1.stop()
+    def idxMatches() = spark.read.parquet(s"$base/idx_out")
+      .filter(col("dup_of_corpus"))
+      .select("doc_id", "match_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pre-roll: the index knows only the corpus — doc 1 caught, the
+    // fresh pre-roll pair and the straddle base pass as unique (the
+    // structural hole)
+    assert(idxMatches() == Map(1L -> 100L),
+           s"pre-roll index must catch only doc 1: ${idxMatches()}")
+    // THE ROTATION: roll batch-0 ingest into the index, restart the
+    // SAME sink (same checkpoint) with the rolled index
+    IndexStore.saveMinhashIndex(
+      Dedup.mergeMinhashIndex(
+        IndexStore.loadMinhashIndex(spark, "graft_mh_twolayer_base"),
+        feed.filter(col("b") === 0).select("doc_id", "text"),
+        "doc_id", "text"),
+      "graft_mh_twolayer_merged")
+    EventStreams.stageMicroBatchFiles(
+      feed.select("doc_id", "ts", "text"), col("b"), 1, s"$base/in",
+      firstBatch = 1)
+    val q2 = EventStreams.incrementalNearDedupSink(
+      stream(), "graft_mh_twolayer_merged", "doc_id", "text",
+      s"$base/idx_out", s"$base/idx_ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+    // post-roll: the straddling doc 5 matches ROLLED-IN doc 4; the
+    // fresh post-roll pair still passes the index (6, 7 not indexed)
+    assert(idxMatches() == Map(1L -> 100L, 5L -> 4L),
+           s"post-roll index must add exactly 5→4: ${idxMatches()}")
+    // the in-stream layer over the whole feed
+    val q3 = EventStreams.inStreamNearDedupSink(
+      stream(), "doc_id", "text", "ts", s"$base/ins_out",
+      s"$base/ins_ckpt", lateness = "30 minutes",
+      horizonMs = 3600000L)
+    try q3.processAllAvailable() finally q3.stop()
+    val insMatches = spark.read.parquet(s"$base/ins_out")
+      .select("doc_id", "match_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // in-stream catches every NEW-NEW pair: the pre pair, the post
+    // pair, AND the straddling pair (double-caught with the index) —
+    // doc 1 also matches nothing in-stream (its dup is in the corpus,
+    // not the feed)
+    assert(insMatches == Map(3L -> 2L, 5L -> 4L, 7L -> 6L),
+           s"in-stream pair set: $insMatches")
+    // union classification, index precedence: every planted pair in
+    // exactly one cell, the straddling pair counted ONCE
+    val idx = idxMatches()
+    val cells = feed.select("doc_id", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .map { case (d, b) =>
+        d -> (if (idx.contains(d) && idx(d) == 100L) "corpus"
+              else if (idx.contains(d)) "straddle"
+              else if (insMatches.contains(d) && b == 0L) "pre"
+              else if (insMatches.contains(d)) "post"
+              else "unique")
+      }.toMap
+    assert(cells == Map(1L -> "corpus", 2L -> "unique", 3L -> "pre",
+                        4L -> "unique", 5L -> "straddle",
+                        6L -> "unique", 7L -> "post"),
+           s"classification: $cells")
+  }
 }
