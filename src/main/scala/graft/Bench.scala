@@ -203,7 +203,9 @@ object Bench {
     // SINGLE-WRITER: the empty-live-set sweep deletes EVERY graft_*
     // estate in the shared warehouse, so a full bench run must not
     // overlap another session (spec/Verify/probe) using that warehouse
-    // — vacuum's own contract, inherited here. Concurrent sessions:
+    // — vacuum's own contract, inherited here, and since round 17
+    // ENFORCED by vacuum's create-exclusive warehouse lock (an
+    // overlapping sweep throws instead of racing). Concurrent sessions:
     // run with SPARK_GRAFT_BENCH_NOVACUUM=1 (the only cost is the
     // round-14 listing-pollution noise this sweep exists to remove).
     // Subset runs are mid-iteration diagnostics and leave the warehouse

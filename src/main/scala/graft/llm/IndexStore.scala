@@ -608,16 +608,81 @@ object IndexStore {
     *
     * Idempotent: a second call with the same `live` set finds a clean
     * warehouse and does nothing. Runs under the same single-writer
-    * contract as a roll — do not vacuum concurrently with an index
-    * writer (readers are fine: committed retained versions are
-    * untouched).
+    * contract as a roll — and since round 17 the contract is ENFORCED
+    * by a create-exclusive lock file under the warehouse root
+    * ([[VacuumLockName]], stale-broken after
+    * `spark.graft.vacuum.lockStaleMs`): an overlapping sweep throws
+    * instead of racing deletes. Do not vacuum concurrently with an
+    * index WRITER either (readers are fine: committed retained
+    * versions are untouched).
     */
+  /** The vacuum writer lock's file name, under the warehouse root. */
+  private[llm] val VacuumLockName = "__graft_vacuum_lock"
+
+  /** Acquire the warehouse-wide vacuum writer lock by atomic
+    * create-exclusive (round-15 ADVICE / round-16 verdict #7: the
+    * single-writer contract was documented + opt-out only; the lock
+    * makes an overlapping sweep REFUSE by construction instead of
+    * racing deletes). A lock older than
+    * `spark.graft.vacuum.lockStaleMs` (default 15 min — a sweep runs
+    * seconds, so that's a crashed holder) is broken with a warning.
+    * Throws IllegalStateException when a live holder exists.
+    */
+  private def acquireVacuumLock(spark: SparkSession,
+                                fs: org.apache.hadoop.fs.FileSystem,
+                                whRoot: Path): Path = {
+    val lock = new Path(whRoot, VacuumLockName)
+    val staleMs = spark.conf
+      .get("spark.graft.vacuum.lockStaleMs", "900000")
+      .trim.toLongOption.getOrElse(900000L)
+    fs.mkdirs(whRoot)
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lock, false)
+        out.writeBytes(s"pid=${ProcessHandle.current().pid()} " +
+                       s"ts=${System.currentTimeMillis()}\n")
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val age =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime
+        catch { // holder released between create and stat: retry below
+          case _: java.io.FileNotFoundException => Long.MaxValue
+        }
+      if (age >= staleMs) {
+        System.err.println(
+          s"graft: breaking stale vacuum lock $lock (age ${age} ms)")
+        fs.delete(lock, false)
+        if (!tryCreate())
+          throw new IllegalStateException(
+            s"vacuum: lost the race re-acquiring $lock after breaking " +
+              "a stale holder; another sweep is running — retry later")
+      } else
+        throw new IllegalStateException(
+          s"vacuum: another writer holds $lock (age ${age} ms); the " +
+            "sweep is single-writer by construction — wait for the " +
+            "holder, or delete the lock if its process crashed")
+    }
+    lock
+  }
+
   def vacuum(spark: SparkSession,
              live: Seq[String] = Seq.empty,
              scope: String = "graft_"): VacuumReport = {
     val whRoot = new Path(
       spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/"))
     val fs = fileSystem(spark, whRoot)
+    val lock = acquireVacuumLock(spark, fs, whRoot)
+    try vacuumLocked(spark, fs, whRoot, live, scope)
+    finally fs.delete(lock, false)
+  }
+
+  private def vacuumLocked(spark: SparkSession,
+                           fs: org.apache.hadoop.fs.FileSystem,
+                           whRoot: Path, live: Seq[String],
+                           scope: String): VacuumReport = {
     var gced = 0
     var deregistered = 0
     val dropped = scala.collection.mutable.ArrayBuffer.empty[String]

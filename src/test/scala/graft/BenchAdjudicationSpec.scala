@@ -99,6 +99,14 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     // per-query normalized: a = 1.2/1.2 = 1.0, b = 1.8/1.2 = 1.5
     assert(r.risers.head._1 == "b" &&
              math.abs(r.risers.head._2 - 1.5) < 1e-9)
+    // the full per-query table carries raw AND normalized columns
+    // (round-16 verdict #3: per-query normalization is the intended
+    // drift-adjudication read, not the suite total)
+    assert(r.perQuery.map(_._1) == Seq("a", "b"))
+    val a = r.perQuery.find(_._1 == "a").get
+    val b = r.perQuery.find(_._1 == "b").get
+    assert(math.abs(a._2 - 1.2) < 1e-9 && math.abs(a._3 - 1.0) < 1e-9)
+    assert(math.abs(b._2 - 1.8) < 1e-9 && math.abs(b._3 - 1.5) < 1e-9)
     // without calibration on one side, normalization reports n/a
     val r2 = tools.BenchDrift.report(artifact, newA)
     assert(r2.calRatio.isEmpty && r2.normRatio.isEmpty)

@@ -417,4 +417,49 @@ class IndexStoreSpec extends SparkSpec {
       IndexStore.drop(spark, live)
     }
   }
+
+  test("vacuum writer lock: an overlapping sweep REFUSES while a live " +
+       "holder exists, breaks a stale lock, and always releases its " +
+       "own") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    val lock = new org.apache.hadoop.fs.Path(s"$wh/__graft_vacuum_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      // live holder: create-exclusive already taken → the sweep throws
+      // instead of racing the holder's deletes
+      val out = fs.create(lock, false)
+      out.writeBytes("pid=test ts=now\n")
+      out.close()
+      val e = intercept[IllegalStateException] {
+        IndexStore.vacuum(spark, scope = "graft_vaclockspec_")
+      }
+      assert(e.getMessage.contains("single-writer"), e.getMessage)
+      assert(fs.exists(lock), "a refused sweep must not touch the lock")
+      // stale holder (older than the stale threshold): broken with a
+      // warning, the sweep runs, and ITS lock is released afterwards
+      fs.setTimes(lock, System.currentTimeMillis() - 3600000L, -1L)
+      val rep = IndexStore.vacuum(spark, scope = "graft_vaclockspec_")
+      assert(rep.droppedEstates.isEmpty)
+      assert(!fs.exists(lock),
+             "the sweep must release its lock on the way out")
+      // normal path: lock absent before and after
+      IndexStore.vacuum(spark, scope = "graft_vaclockspec_")
+      assert(!fs.exists(lock))
+    } finally fs.delete(lock, false)
+  }
+
+  test("retention depth is ONE constant: the conf-backed helper feeds " +
+       "the publish GC, the vacuum sweep, and the estate attestations") {
+    assert(IndexStore.DefaultKeepVersions == 2)
+    assert(IndexStore.keepVersions(spark) == 2)
+    try {
+      spark.conf.set("spark.graft.index.keepVersions", "5")
+      assert(IndexStore.keepVersions(spark) == 5)
+      spark.conf.set("spark.graft.index.keepVersions", "1")
+      assert(IndexStore.keepVersions(spark) == 2,
+             "floor of 2 preserves the crash-safety invariant")
+      spark.conf.set("spark.graft.index.keepVersions", "junk")
+      assert(IndexStore.keepVersions(spark) == 2)
+    } finally spark.conf.unset("spark.graft.index.keepVersions")
+  }
 }
