@@ -461,7 +461,22 @@ object Dedup {
                                       bands: Int = 8,
                                       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sigs = portableSigTable(batch, idCol, textCol, k, numHashes)
+    incrementalPairsFromSigTable(
+      portableSigTable(batch, idCol, textCol, k, numHashes),
+      index, numHashes, bands, threshold)
+  }
+
+  /** [[minhashIncrementalPairsPortable]] over a PREBUILT signature
+    * table — so a caller that also self-bands the same batch
+    * ([[rollClusters]]) shingles and materializes the batch ONCE
+    * instead of once per pair generator (round-17, guide §2.4).
+    */
+  private[llm] def incrementalPairsFromSigTable(sigs: DataFrame,
+                                                index: MinhashIndex,
+                                                numHashes: Int,
+                                                bands: Int,
+                                                threshold: Double)
+      : DataFrame = {
     val banded = bandedBuckets(sigs, bands,
                                portableBucketOfBand(numHashes, bands))
     val cand = banded.join(index.buckets, Seq("band", "bucket"))
@@ -586,11 +601,16 @@ object Dedup {
     val stars = baseClusters
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
-    val deltaCorpus = minhashIncrementalPairsPortable(
-        delta, index, idCol, textCol, k, numHashes, bands, threshold)
+    // ONE delta signature table feeds both the vs-corpus and the
+    // vs-delta pair generators (round-17: each used to shingle +
+    // materialize the delta independently — guide §2.4)
+    val sigs = portableSigTable(delta, idCol, textCol, k, numHashes)
+    val deltaCorpus = incrementalPairsFromSigTable(
+        sigs, index, numHashes, bands, threshold)
       .select(col("doc_id").as("doc_a"), col("corpus_id").as("doc_b"))
-    val deltaDelta = minhashCandidatePairsPortable(
-        delta, idCol, textCol, k, numHashes, bands, threshold)
+    val deltaDelta = pairsFromSigTable(
+        sigs, bands, portableBucketOfBand(numHashes, bands),
+        threshold, maxBucket = 1000)
       .select("doc_a", "doc_b")
     val vertices = baseClusters.select("doc_id")
       .unionByName(delta.select(col(idCol).as("doc_id")))
@@ -1395,4 +1415,17 @@ object Dedup {
       .select("doc_id", "span_start", "span_end")
     Contamination.exciseSpans(df, idCol, textCol, merged)
   }
+}
+
+/** Probe-only bridge to [[Dedup]]'s private signature table (round-17
+  * measurement harness; not part of any query path).
+  */
+object DedupProbeBridge {
+  def sigTable(df: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, k: Int, numHashes: Int)
+      : org.apache.spark.sql.DataFrame =
+    Dedup.portableSigTable(df, idCol, textCol, k, numHashes)
+  def bucketOfBand(numHashes: Int, bands: Int)
+      : Int => org.apache.spark.sql.Column =
+    Dedup.portableBucketOfBand(numHashes, bands)
 }

@@ -108,6 +108,45 @@ object TextAnalysis {
     element_at(sorted, -1) - element_at(sorted, -2)
   }
 
+  /** The [[langId]]/[[langIdMargin]] vote vector factored out (round-17,
+    * guide step-2 per-task work): a consumer that needs BOTH the
+    * prediction and the margin used to pay the tokenize + 4
+    * interpreted-filter HOF scans TWICE per row (once inside each
+    * expression). Tokenize once ([[langTokens]]) into a NAMED column,
+    * build the per-language vote array once ([[langVotesOfToks]], also
+    * named — multiple references keep CollapseProject from inlining
+    * either), then [[langIdOfVotes]]/[[langIdMarginOfVotes]] are cheap
+    * element_at arithmetic over the bound attribute. Semantics are
+    * pinned identical to the one-shot forms by TextAnalysisSpec.
+    */
+  def langTokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Per-language stopword votes (alphabetical language order) over a
+    * NAMED token-array column. */
+  def langVotesOfToks(toks: Column): Column =
+    array(langMarkers.map { case (_, markers) =>
+      size(filter(toks, t => t.isin(markers: _*))) }: _*)
+
+  /** [[langId]]'s argmax/tie-break/"und" rule off a named vote vector. */
+  def langIdOfVotes(votes: Column): Column = {
+    val scored = langMarkers.map(_._1).zipWithIndex.map {
+      case (lang, i) => (lang, element_at(votes, i + 1)) }
+    val (best, _) =
+      scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+        case ((bl, bs), (lang, s)) =>
+          (when(s > bs, lit(lang)).otherwise(bl),
+           when(s > bs, s).otherwise(bs))
+      }
+    val anyHit = scored.map(_._2).reduce(_ + _) > 0
+    when(anyHit, best).otherwise(lit("und"))
+  }
+
+  /** [[langIdMargin]]'s top1−top2 off a named vote vector. */
+  def langIdMarginOfVotes(votes: Column): Column = {
+    val sorted = array_sort(votes)
+    element_at(sorted, -1) - element_at(sorted, -2)
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key. md5 exists verbatim in DuckDB, so this is
     * oracle-checkable.

@@ -345,6 +345,48 @@ object Versioning {
              .cast("binary")).as("digest"))
   }
 
+  /** [[frameDigest]] FUSED with a subject-survivor count (round-17
+    * optimization, guide §2.6/§2.4): the estate attestations used to pay
+    * one extra sequential count job per surface for
+    * `join(keys, left_semi).count()` on top of the digest aggregation —
+    * per-job latency, not data, was the cost. Joining the (distinct,
+    * broadcastable) subject keys into the SAME two-level aggregation
+    * yields one (n_rows, digest, n_survivors) row per surface with the
+    * digest bit-identical to [[frameDigest]] (the left join against
+    * de-duplicated keys preserves row multiplicity, so the leaf set is
+    * unchanged — VersioningSpec pins both properties).
+    */
+  def frameDigestSurvivors(df: DataFrame, leaf: Column,
+                           keys: DataFrame, kc: String,
+                           buckets: Int = 64): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val leafMd5 = coalesce(md5(leaf.cast("binary")), lit("<null-leaf>"))
+    val hash60 =
+      conv(substring(md5(leafMd5.cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+    // distinct() so a duplicate subject key can never re-multiply df
+    // rows (which would corrupt BOTH n_rows and the digest); the key
+    // sets here are KB-scale erase lists.
+    df.join(broadcast(keys.select(col(kc)).distinct())
+              .withColumn("__subj", lit(1)),
+            Seq(kc), "left")
+      .select(leafMd5.as("__leaf"),
+              pmod(hash60, lit(buckets.toLong)).as("__bucket"),
+              col("__subj"))
+      .groupBy("__bucket")
+      .agg(count(lit(1)).as("__n"),
+           md5(array_join(sort_array(collect_list(col("__leaf"))), "")
+             .cast("binary")).as("__digest"),
+           count(col("__subj")).as("__s"))
+      .agg(coalesce(sum("__n"), lit(0L)).as("n_rows"),
+           md5(array_join(
+             transform(sort_array(collect_list(struct(col("__bucket"),
+                                                      col("__digest")))),
+                       s => s.getField("__digest")), "")
+             .cast("binary")).as("digest"),
+           coalesce(sum("__s"), lit(0L)).as("n_survivors"))
+  }
+
   def corpusDigest(docs: DataFrame, idCol: String, textCol: String,
                    buckets: Int = 64): DataFrame = {
     require(buckets > 0, "buckets must be positive")

@@ -4835,10 +4835,16 @@ object LlmQueries {
     */
   def q242LangidCalibration(spark: SparkSession,
                             dir: String): DataFrame = {
+    // round-17: tokenize + vote ONCE per row (named columns), then
+    // derive pred and margin from the shared vote vector — the
+    // two-expression form paid the interpreted filter HOFs twice
+    // (TextAnalysisSpec pins OfVotes ≡ one-shot forms)
     val scored = Tables.documents(spark, dir)
+      .withColumn("__toks", TextAnalysis.langTokens(col("text")))
+      .withColumn("__v", TextAnalysis.langVotesOfToks(col("__toks")))
       .select(col("lang"),
-              TextAnalysis.langId(col("text")).as("pred"),
-              TextAnalysis.langIdMargin(col("text")).as("m"))
+              TextAnalysis.langIdOfVotes(col("__v")).as("pred"),
+              TextAnalysis.langIdMarginOfVotes(col("__v")).as("m"))
       .select(least(col("m"), lit(10)).cast("long").as("bucket"),
               (col("pred") === col("lang")).cast("long").as("ok"))
     val per = scored.groupBy("bucket")
@@ -6925,13 +6931,24 @@ object LlmQueries {
         s"(${r.getInt(0)}, ${r.getInt(1)}, [$cs])"
       }.mkString(",\n  ")
 
-    def surv(df: DataFrame, keys: DataFrame, keyCol: String): Long =
-      df.join(keys, Seq(keyCol), "left_semi").count()
+    // Round-17 fusion (guide §2.6/§1): the survivor count used to be a
+    // separate sequential `left_semi.count()` job per family — 10 tiny
+    // jobs whose summed latency, not data, dominated the pass. Each
+    // family now computes (n_rows, digest, n_survivors) in ONE fused
+    // aggregation via [[Versioning.frameDigestSurvivors]] (digest
+    // bit-identical — VersioningSpec pins it), and all 10 stay inside
+    // the single union-tree action below.
     def row(name: String, df: DataFrame, leaf: Column,
-            survivors: Long, rebuilt: Long): DataFrame =
-      Versioning.frameDigest(df, leaf)
+            keys: Option[(DataFrame, String)], rebuilt: Long): DataFrame =
+      (keys match {
+        case Some((k, kc)) =>
+          Versioning.frameDigestSurvivors(df, leaf, k, kc)
+        case None =>
+          Versioning.frameDigest(df, leaf)
+            .withColumn("n_survivors", lit(0L))
+      })
         .select(lit(name).as("artifact"), col("n_rows"),
-                lit(survivors).as("n_survivors"),
+                col("n_survivors"),
                 (lit(rebuilt) - col("n_rows")).as("n_rebuild_gap"),
                 col("digest"))
 
@@ -6971,51 +6988,51 @@ object LlmQueries {
     val fams = Seq(
       row("fingerprint", fp,
           concat_ws(":", col("fp"), col("corpus_id").cast("string")),
-          surv(fp, eraseDocs, "corpus_id"), rebuilt("fingerprint")),
+          Some((eraseDocs, "corpus_id")), rebuilt("fingerprint")),
       row("minhash_buckets", mh.buckets,
           concat_ws(":", col("corpus_id").cast("string"),
                     col("band").cast("string"),
                     col("bucket").cast("string")),
-          surv(mh.buckets, eraseDocs, "corpus_id"),
+          Some((eraseDocs, "corpus_id")),
           rebuilt("minhash_buckets")),
       row("minhash_shingles", mh.shingles,
           concat_ws(":", col("corpus_id").cast("string"),
                     array_join(transform(array_sort(col("shh")),
                                          h => h.cast("string")), ",")),
-          surv(mh.shingles, eraseDocs, "corpus_id"),
+          Some((eraseDocs, "corpus_id")),
           rebuilt("minhash_shingles")),
       row("bm25_postings", bm.postings,
           concat_ws(":", col("token"), col("doc_id").cast("string"),
                     col("dl").cast("string"),
                     col("tf").cast("long").cast("string")),
-          surv(bm.postings, eraseDocsAsDoc, "doc_id"),
+          Some((eraseDocsAsDoc, "doc_id")),
           rebuilt("bm25_postings")),
       row("bm25_stats", bm.stats,
           concat_ws(":", col("n_docs").cast("string"),
                     col("sum_dl").cast("string")),
-          0L, rebuilt("bm25_stats")),
+          None, rebuilt("bm25_stats")),
       row("positional", pos,
           concat_ws(":", col("token"), col("doc_id").cast("string"),
                     array_join(transform(col("positions"),
                                          p => p.cast("string")), ",")),
-          surv(pos, eraseDocsAsDoc, "doc_id"), rebuilt("positional")),
+          Some((eraseDocsAsDoc, "doc_id")), rebuilt("positional")),
       row("lsh", lsh,
           concat_ws(":", col("corpus_id").cast("string"),
                     col("bucket").cast("string")),
-          surv(lsh, eraseVecs, "corpus_id"), rebuilt("lsh")),
+          Some((eraseVecs, "corpus_id")), rebuilt("lsh")),
       row("ivf", ivf.assigned,
           concat_ws(":", col("corpus_id").cast("string"),
                     col("cell").cast("string")),
-          surv(ivf.assigned, eraseVecs, "corpus_id"), rebuilt("ivf")),
+          Some((eraseVecs, "corpus_id")), rebuilt("ivf")),
       row("pq", pq.codes,
           concat_ws(":", col("corpus_id").cast("string"),
                     array_join(transform(col("codes"),
                                          c => c.cast("string")), ",")),
-          surv(pq.codes, eraseVecs, "corpus_id"), rebuilt("pq")),
+          Some((eraseVecs, "corpus_id")), rebuilt("pq")),
       row("kmv_daily", kmv,
           concat_ws(":", col("day").cast("string"),
                     col("h").cast("string")),
-          surv(kmv, eraseHs, "h"), rebuilt("kmv_daily"))
+          Some((eraseHs, "h")), rebuilt("kmv_daily"))
     ).reduce(_ unionByName _)
     val estate = fams.agg(
         sum("n_rows").cast("long").as("n_rows"),
@@ -7233,34 +7250,60 @@ object LlmQueries {
            IndexStore.loadTableVersion(spark, tbl, v), keys, kc)
       }
     }
-    auditPar(cells) { case (fam, art, rank, df, keys, kc) =>
-      val (n, subj) = auditCounts(df, keys, kc)
+    // round-17: all version-cell audits in ONE union-tree action (see
+    // [[fusedAuditRows]]) instead of one job per cell from the pool
+    fusedAuditRows(cells.map { case (_, _, _, df, keys, kc) =>
+      (df, kc, keys, None)
+    }).zip(cells).map { case ((n, subj, _), (fam, art, rank, _, _, _)) =>
       (fam, art, rank, n, subj)
     }
   }
   private val q286Saved = new graft.SavedOnce[String, String]
 
-  /** One fused audit job per surface: total rows + subject survivors
-    * in a single aggregation over a LEFT join against the (unique-key,
-    * broadcastable) erase set — the two-job count+semi-join pattern
-    * issued ~60 tiny Spark jobs across q286/q289's surfaces, and on
-    * these index-scale tables per-job overhead WAS the query. `keys`
-    * must be unique on `kc` (every erase set is id-distinct by
-    * construction) or survivors would double-count.
+  /** GROUPED union actions for a batch of independent one-row audits
+    * (round-17, guide §1/§2.6): each spec's
+    * `join(subject keys, left).agg(n, survivors, past_retention)` is a
+    * one-row aggregation. Two failure modes bracket the design, both
+    * MEASURED this round: one action per spec (round-16 shape) pays
+    * per-job latency ~0.15-0.7 s × #specs even 8-at-a-time from a pool
+    * (q292: 146 jobs, 7.9 s); ONE action for all ~50 specs makes AQE
+    * re-optimize a ~120-stage mega-plan after every finished stage —
+    * quadratic driver planning, measured SLOWER (q292: 10.0 s). The
+    * sweet spot is the middle: chunks of [[AuditFuseGroup]] specs,
+    * each a small union plan, submitted concurrently from the
+    * round-16 driver pool — same rows, ~8× fewer actions, plans small
+    * enough that AQE replanning stays trivial. `past = None` audits
+    * report 0 (as before, via a constant-false predicate).
     */
-  private def auditCounts(df: DataFrame, keys: DataFrame,
-                          kc: String): (Long, Long) = {
-    val r = df
-      .join(keys.select(col(kc)).withColumn("__subj", lit(1)),
-            Seq(kc), "left")
-      .agg(count(lit(1)).as("n"), count(col("__subj")).as("s")).head()
-    (r.getLong(0), r.getLong(1))
+  private def AuditFuseGroup: Int =
+    sys.env.get("SPARK_GRAFT_AUDIT_FUSE").flatMap(_.toIntOption)
+      .getOrElse(6)
+  private def fusedAuditRows(
+      specs: Seq[(DataFrame, String, DataFrame, Option[Column])])
+      : Seq[(Long, Long, Long)] = {
+    def one(chunk: Seq[((DataFrame, String, DataFrame, Option[Column]),
+                        Int)]): Map[Int, (Long, Long, Long)] =
+      chunk.map { case ((df, kc, keys, past), i) =>
+        df.join(keys.select(col(kc)).withColumn("__subj", lit(1)),
+                Seq(kc), "left")
+          .agg(count(lit(1)).as("n"), count(col("__subj")).as("s"),
+               count(when(past.getOrElse(lit(false)), lit(1))).as("p"))
+          .select(lit(i).as("__i"), col("n"), col("s"), col("p"))
+      }.reduce(_ unionByName _).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+                                   r.getLong(3)))).toMap
+    if (specs.isEmpty) Seq.empty
+    else {
+      val chunks = specs.zipWithIndex.grouped(AuditFuseGroup).toSeq
+      val byI = auditPar(chunks)(one).reduce(_ ++ _)
+      specs.indices.map(byI)
+    }
   }
 
   /** Run small audit jobs concurrently (order-preserving) on a bounded
-    * pool — the surfaces are independent sub-second jobs whose
-    * sequential sum, not any single job, was q289's cost; local[32]
-    * has headroom for 8 driver threads submitting concurrently.
+    * pool — independent sub-second jobs whose sequential sum, not any
+    * single job, is the cost; local[32] has headroom for 8 driver
+    * threads submitting concurrently.
     */
   private def auditPar[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
     import scala.collection.parallel.CollectionConverters._
@@ -7315,7 +7358,8 @@ object LlmQueries {
     val tsBase = q287TsBase
     def bCol(c: Column): Column =
       when(c % 23 === 0, lit(0L)).otherwise(c % 2 + 1)
-    q287Saved.getOrElseUpdate(dir, {
+    q287Saved.getOrElseUpdate(dir,
+        graft.streaming.EventStreams.withStatePartitions(spark, 4) {
       val docs = Tables.documents(spark, dir)
       val reps = docs
         .withColumn("fp",
@@ -7543,7 +7587,11 @@ object LlmQueries {
     val gapMs = 30 * 60000L
     def trancheCol(c: Column): Column =
       when(c % 23 === 0, lit(0L)).otherwise(c % 2 + 1)
-    val base = q289Saved.getOrElseUpdate(dir, {
+    // fixture streams run with NARROW state partitioning (see
+    // [[EventStreams.withStatePartitions]]) — every estate audit pays
+    // one state-store open per checkpoint partition per read
+    val base = q289Saved.getOrElseUpdate(dir,
+        EventStreams.withStatePartitions(spark, 4) {
       val b = java.nio.file.Files
         .createTempDirectory("graft_q289_").toString
       val users = Tables.events(spark, dir).select("user_id").distinct()
@@ -7614,7 +7662,7 @@ object LlmQueries {
         EventStreams.eraseFromSink(spark, out, subj, "user_id")
       }
       b
-    })
+    })  // end withStatePartitions
 
     // ---- attestation: subject sets recomputed independently of the
     // fixture (the q274 lesson), each broadcast into the semi-joins
@@ -7637,20 +7685,6 @@ object LlmQueries {
     def joinBuf(side: String): DataFrame =
       spark.read.format("statestore").option("path", s"$base/j_ckpt")
         .option("joinSide", side).load()
-    // one fused job per surface: rows + subject survivors + rows past
-    // the surface's own retention policy in a single aggregation
-    def streamAudit(df: DataFrame, kc: String, keys: DataFrame,
-                    past: Option[Column]): (Long, Long, Long) = {
-      val base = df.join(
-        keys.select(col(kc)).withColumn("__subj", lit(1)),
-        Seq(kc), "left")
-      val aggs = Seq(count(lit(1)).as("n"),
-                     count(col("__subj")).as("s")) ++
-        past.map(p => count(when(p, lit(1))).as("p"))
-      val r = base.agg(aggs.head, aggs.tail: _*).head()
-      (r.getLong(0), r.getLong(1),
-       if (past.isDefined) r.getLong(2) else 0L)
-    }
     // (family, artifact, n_rows, n_subject, n_past_retention)
     val dedupState = EventStreams
       .dedupStateFingerprints(spark, s"$dedupBase/ckpt")
@@ -7694,11 +7728,15 @@ object LlmQueries {
       ("stream_join", "stream_join_right", jRight, "user_id", subjU,
        Some(col("signup_ts") <
               timestamp_seconds(lit(joinWm - 1800L)))))
+    // round-17: every streaming surface audited inside ONE union-tree
+    // action (see [[fusedAuditRows]]) — the statestore-source reads
+    // were ~0.7 s each run as separate jobs and dominate q292's pass
+    val allSpecs = streamSpecs ++ extraStream
     val stream: Seq[(String, String, Long, Long, Long)] =
-      auditPar(streamSpecs ++ extraStream) {
-        case (fam, art, df, kc, keys, past) =>
-          val (n, s, p) = streamAudit(df, kc, keys, past)
-          (fam, art, n, s, p)
+      fusedAuditRows(allSpecs.map { case (_, _, df, kc, keys, past) =>
+        (df, kc, keys, past)
+      }).zip(allSpecs).map { case ((n, s, p), (fam, art, _, _, _, _)) =>
+        (fam, art, n, s, p)
       }
     // ---- index estate (q286's walk, past-retention = versions beyond
     // the SHARED retention depth — the same constant the publish GC
@@ -7832,7 +7870,8 @@ object LlmQueries {
     val stepN = 7200L  // near-dedup tranche spacing (2 h)
     def trancheCol(c: Column): Column =
       when(c % 23 === 0, lit(0L)).otherwise(c % 2 + 1)
-    q292Saved.getOrElseUpdate(dir, {
+    q292Saved.getOrElseUpdate(dir,
+        graft.streaming.EventStreams.withStatePartitions(spark, 4) {
       import graft.streaming.EventStreams
       val b = java.nio.file.Files
         .createTempDirectory("graft_q292_").toString
@@ -7931,8 +7970,8 @@ object LlmQueries {
     * own retention policy: watermark horizon, session gap, dedup
     * horizon), broadcast semi-joins against erase sets, erased sinks
     * partition-pruned. The composition cost is additive in surfaces,
-    * and all 34 audits run as fused single-aggregation jobs from the
-    * bounded pool.
+    * and all 34 audits run as grouped union-tree aggregations
+    * ([[fusedAuditRows]]) submitted from the bounded pool.
     */
   def q292EstateAllFamilies(spark: SparkSession, dir: String)
       : DataFrame = {

@@ -594,9 +594,15 @@ object RelationalQueries {
         .select(col(cc).as("v")).filter(col("v").isNotNull).distinct()
       val p = Tables.table(spark, dir, pt)
         .select(col(pc).as("v")).filter(col("v").isNotNull)
-      c.agg(count(lit(1)).as("ndv_child"))
-        .crossJoin(c.join(p.distinct(), Seq("v"), "left_semi")
-          .agg(count(lit(1)).as("n_contained")))
+      // round-17 (guide §2.4): ndv_child + n_contained in ONE pass over
+      // the child value set — the separate count + left_semi count
+      // computed the child distinct twice per pair. A LEFT join against
+      // the (unique) parent value set preserves multiplicity, so
+      // count(*) is still the child NDV and count(match) the semi-join
+      // count, bit-identically.
+      c.join(p.distinct().withColumn("__m", lit(1)), Seq("v"), "left")
+        .agg(count(lit(1)).as("ndv_child"),
+             count(col("__m")).as("n_contained"))
         .crossJoin(p.agg(count(lit(1)).as("n_parent"),
                          count_distinct(col("v")).as("ndv_parent")))
         .select(lit(s"$ct.$cc").as("child"),

@@ -928,8 +928,14 @@ object TimeSeriesQueries {
     */
   private[graft] def scanStats(ev: DataFrame,
                                layouts: DataFrame): DataFrame = {
-    val files = layouts.groupBy("layout", "file_id")
-      .agg(min("user_id").as("u_min"), max("user_id").as("u_max"))
+    // `files` feeds BOTH the grid-overlap join and the per-layout
+    // totals; without pinning it, the whole `layouts` subtree (three
+    // two-phase prefix ranks over the Morton-keyed events in q272)
+    // recomputes per consumer (round-17, guide §2.4 — measured 3.3 s
+    // exec on a 17 MB input). It is file-count-scale (≤ rows/256), so
+    // the checkpoint is tiny at any corpus size.
+    val files = graft.Materialize(layouts.groupBy("layout", "file_id")
+      .agg(min("user_id").as("u_min"), max("user_id").as("u_max")))
     val grid = ev.sparkSession.range(8).select(col("id").as("q"))
       .crossJoin(broadcast(
         ev.agg(min("user_id").as("ulo"), max("user_id").as("uhi"))))
@@ -952,7 +958,10 @@ object TimeSeriesQueries {
 
   def q261LayoutPruning(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val z = zKeyedOf(ev)
+    // pinned once: each layoutFiles references its input twice (bucket
+    // sums + in-bucket ranks), so the Morton-key subtree would
+    // otherwise recompute 4× here / 6× in q272 (round-17, guide §2.4)
+    val z = graft.Materialize(zKeyedOf(ev))
     scanStats(ev,
       layoutFiles("natural", z.select("event_id", "user_id"),
                   "event_id")
@@ -975,7 +984,7 @@ object TimeSeriesQueries {
 
   /** q272's body over any events-shaped frame (ScaleProbe entry). */
   private[graft] def layoutDebtOver(ev: DataFrame): DataFrame = {
-    val z = zKeyedOf(ev)
+    val z = graft.Materialize(zKeyedOf(ev))
     val cut = lit("2024-01-22").cast("timestamp")
     scanStats(ev,
       layoutFiles("ideal", z.select("zkey", "user_id"), "zkey")

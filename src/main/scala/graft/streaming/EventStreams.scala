@@ -237,6 +237,31 @@ object EventStreams extends Serializable {
     }
   }
 
+  /** Scope `spark.sql.shuffle.partitions` to `n` for a staged-fixture
+    * stream (round-17, guide §2.2/§6): a stateful query PINS its state
+    * partition count at first run from this conf, and every later
+    * state-data-source read of that checkpoint opens one store (a
+    * RocksDB instance load for the TWS families) PER PARTITION. The
+    * synthetic attestation fixtures are KB-scale, so running them at
+    * the session default (the local core count) made every estate
+    * audit pay 32 store opens per surface read; 4 keeps the read cost
+    * proportional to the data. Content is partition-invariant — the
+    * audits aggregate over all rows — and the narrow conf is scoped
+    * with restore, the [[withRocksDbState]] pattern. Production-scale
+    * streams must NOT use this: their state partitioning follows the
+    * cluster-sized session conf / AQE as before.
+    */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val k = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, n.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None    => spark.conf.unset(k)
+    }
+  }
+
   /** Event-time sessionization via [[TwsSessionProcessor]] — same
     * contract as [[sessionize]]: one row per CLOSED session, state per
     * user is one `SessionState` + one timer.

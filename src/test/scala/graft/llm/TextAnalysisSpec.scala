@@ -329,6 +329,28 @@ class TextAnalysisSpec extends SparkSpec {
                          "partitioning")
   }
 
+  test("langVotesOfToks factoring: langIdOfVotes / langIdMarginOfVotes " +
+       "over the shared named vote vector equal the one-shot forms") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat and the dog and the house",
+      "der hund the cat und das la maison",
+      "le la est the and is",
+      "el la de que los it was",
+      "zzz qqq", "", "   ").toDF("t")
+    val fused = df
+      .withColumn("__toks", TextAnalysis.langTokens(col("t")))
+      .withColumn("__v", TextAnalysis.langVotesOfToks(col("__toks")))
+      .select(TextAnalysis.langIdOfVotes(col("__v")).as("l"),
+              TextAnalysis.langIdMarginOfVotes(col("__v")).as("m"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    val oneShot = df
+      .select(TextAnalysis.langId(col("t")).as("l"),
+              TextAnalysis.langIdMargin(col("t")).as("m"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(fused == oneShot, s"fused $fused vs one-shot $oneShot")
+  }
+
   test("langIdMargin: counts the top-1 vs top-2 vote gap, 0 on ties " +
        "and no-hit rows, and q242's calibration buckets reconcile") {
     import spark.implicits._

@@ -109,6 +109,24 @@ class VersioningSpec extends SparkSpec {
     assert(out(mutated).getString(1) != a.getString(1))
   }
 
+  test("frameDigestSurvivors: digest and n_rows identical to " +
+       "frameDigest; survivors equal the semi-join count; duplicate " +
+       "subject keys cannot re-multiply rows") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i => (i, s"k$i"))
+    val df = rows.toDF("id", "k")
+    val leaf = concat_ws(":", col("k"), col("id").cast("string"))
+    val keys = Seq(3L, 7L, 7L, 7L, 250L, 999L).toDF("id") // dups + a miss
+    val plain = Versioning.frameDigest(df, leaf).head()
+    val fused = Versioning
+      .frameDigestSurvivors(df.repartition(13), leaf, keys, "id").head()
+    assert(fused.getLong(0) == plain.getLong(0), "n_rows unchanged")
+    assert(fused.getString(1) == plain.getString(1), "digest unchanged")
+    val semi = df.join(keys, Seq("id"), "left_semi").count()
+    assert(fused.getLong(2) == semi && semi == 3L,
+           "survivors = semi-join count despite duplicate keys")
+  }
+
   test("corpusDigest localizes a single-doc mutation to one bucket") {
     import spark.implicits._
     val v1 = (0L until 500L).map(i => (i, s"document body $i"))
