@@ -40,13 +40,23 @@ object Sketches {
   def cmsSketch(items: DataFrame, itemCol: String,
                 d: Int = 4, w: Int = 512): DataFrame = {
     require(d > 0 && w > 0, "d and w must be positive")
+    // Round-17 (guide §2.3 "aggregate before you shuffle", §1.2 step 2):
+    // hash DISTINCT items, not occurrences — the d md5 bucket addresses
+    // per OCCURRENCE (4 × corpus tokens) dominated the sketch build;
+    // counting per item first and summing weights into the counters is
+    // count-distributivity, so the (row, bucket, cnt) output is
+    // bit-identical while the md5 work drops from d·occurrences to
+    // d·vocabulary. The per-item partial counts also map-side combine,
+    // so the exchange carries vocabulary-, not corpus-, scale rows.
     items.select(col(itemCol).cast("string").as("item"))
-      .select(col("item"),
+      .groupBy("item").agg(count(lit(1)).as("__n"))
+      .select(col("item"), col("__n"),
               explode(array((0 until d).map(lit): _*)).as("row"))
-      .select(col("row"),
+      .select(col("row"), col("__n"),
               bucketOf(col("row"), col("item"), w).as("bucket"))
       .groupBy("row", "bucket")
-      .agg(count(lit(1)).as("cnt"))
+      // coalesce keeps cnt non-nullable, exactly like count()'s schema
+      .agg(coalesce(sum("__n"), lit(0L)).as("cnt"))
   }
 
   /** Point-estimate the count of each distinct item in `queries`:

@@ -94,6 +94,38 @@ class BpeTrainerSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("native bpe_apply kernel is byte-identical to the composed " +
+       "replace chain on the real corpus and on repeat/chain edges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // edge fixtures: repeated-pair non-overlap (x,x on xxx), a chained
+    // merge consuming an earlier merge's output, rules that never fire,
+    // multi-word docs, empty-ish docs
+    val edge = Seq(
+      (1L, "xxx xxxx"), (2L, "lowest lower low"), (3L, "ab ba aab"),
+      (4L, "a"), (5L, "   "), (6L, "!!!"), (7L, "mix 123 under_score")
+    ).toDF("doc_id", "text")
+    val merges = Seq(("x", "x"), ("l", "o"), ("lo", "w"), ("e", "s"),
+                     ("es", "t"), ("low", "est"), ("a", "b"), ("z", "q"))
+    def both(df: org.apache.spark.sql.DataFrame) = {
+      val out = df.select(
+        col("doc_id"),
+        BpeTrainer.tokenStream(col("text"), merges).as("native"),
+        BpeTrainer.tokenStreamComposed(col("text"), merges)
+          .as("composed"))
+      val bad = out.filter(!(col("native") <=> col("composed"))).count()
+      assert(bad == 0L, s"$bad rows diverge")
+      out
+    }
+    val e = both(edge).orderBy("doc_id").collect()
+    // spot-check the semantics, not just self-consistency
+    assert(e(0).getString(1) == "xx x xx xx", s"got ${e(0).getString(1)}")
+    assert(e(1).getString(1) == "lowest low e r low")
+    val docs = graft.sources.Tables
+      .documents(spark, sf0001).select("doc_id", "text")
+    both(docs)
+  }
+
   test("tokenizerFertilityFrames: exact integer fertility on a planted corpus") {
     import spark.implicits._
     // merges: l+o -> lo, lo+w -> low; "low" encodes to 1 token, "lower"
